@@ -1,0 +1,60 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints one
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Headline set = the scale-relevant operators (joins, aggregation,
+windows, CDC upsert, dedup, ANN) -- heavy pairwise ops use their
+LSH/bucketed variants, as they would at 100 TB.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from mysql_syncer_clickhouse_spark import queries as registry
+from mysql_syncer_clickhouse_spark.session import get_spark
+
+HEADLINE = [
+    "q1_pricing_summary",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark("bench", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    all_q = registry.all_queries()
+    names = [n for n in HEADLINE if n in all_q]
+
+    # warm the JVM + parquet footers once so per-query numbers measure
+    # the plan, not session startup
+    all_q[names[0]](spark, sf_dir).count()
+
+    times: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = all_q[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(json.dumps({
+        "metric": "headline_query_wall_sec",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf else sf_dir,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
