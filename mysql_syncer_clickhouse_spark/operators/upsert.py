@@ -1,0 +1,97 @@
+"""Upsert-by-dedup -- the engine's core operator (SURVEY.md §2.4 P4-P6).
+
+The reference gets upsert/delete semantics from ClickHouse
+`ReplacingMergeTree ORDER BY (pk)` (reference README.md:52-56,141-161):
+every change is appended, and the latest version per PK wins at merge
+time. The Spark-native analog is a changelog table plus a dedup-on-read
+window: `row_number() OVER (PARTITION BY pk ORDER BY seq DESC) = 1`,
+dropping PKs whose latest record is a delete tombstone
+(clickhouse/client.go:246-269's ALTER DELETE analog).
+
+Scale notes: the window shuffles once on pk -- the same shuffle an
+aggregation would need, no extra passes. Event order is total via
+`seq` (binlog position analog, river/master.go:17-25), so the result
+is deterministic under any partitioning. Skewed PKs are handled by AQE;
+for hot single keys, partial aggregation via max_by would apply but the
+window form keeps full-row semantics with tombstones.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DELETE_OP = "delete"
+
+
+def latest_state(changelog: DataFrame,
+                 pk_cols: Sequence[str],
+                 seq_col: str = "seq",
+                 op_col: str = "op",
+                 keep_op: bool = False) -> DataFrame:
+    """Materialize the current state of a synced table from its
+    changelog: latest row per PK, tombstones dropped."""
+    w = Window.partitionBy(*pk_cols).orderBy(F.col(seq_col).desc())
+    df = (changelog
+          .withColumn("__rn", F.row_number().over(w))
+          .filter((F.col("__rn") == 1) & (F.col(op_col) != DELETE_OP))
+          .drop("__rn"))
+    return df if keep_op else df.drop(op_col)
+
+
+def fill_partial_updates(changelog: DataFrame,
+                         pk_cols: Sequence[str],
+                         payload_cols: Sequence[str],
+                         seq_col: str = "seq",
+                         op_col: str = "op") -> DataFrame:
+    """Changed-column-only updates (river/sync.go:356-383): an update
+    event carries NULL for unchanged columns. Reconstruct full rows by
+    carrying the last non-null value per column forward in seq order,
+    then keep the latest row per PK (tombstones dropped).
+
+    Note: a delete resets history -- columns must not leak across a
+    delete/re-insert boundary -- so values are carried within an
+    "incarnation" (rows since the last delete), not the whole history.
+    """
+    w_inc = (Window.partitionBy(*pk_cols)
+             .orderBy(F.col(seq_col))
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    df = changelog.withColumn(
+        "__inc",
+        F.sum(F.when(F.col(op_col) == DELETE_OP, 1).otherwise(0)).over(w_inc))
+    w_fill = (Window.partitionBy(*pk_cols, "__inc")
+              .orderBy(F.col(seq_col))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    for c in payload_cols:
+        df = df.withColumn(c, F.last(c, ignorenulls=True).over(w_fill))
+    return latest_state(df, pk_cols, seq_col, op_col).drop("__inc")
+
+
+def apply_snapshot_and_changelog(snapshot: DataFrame,
+                                 changelog: DataFrame,
+                                 pk_cols: Sequence[str],
+                                 seq_col: str = "seq",
+                                 op_col: str = "op") -> DataFrame:
+    """Initial full load + incremental stream (S1+S2): the snapshot is
+    the mysqldump analog (river/river.go:135-146) and sorts before every
+    change event, so it enters the dedup with seq = -inf (-1; driver
+    seqs are >= 0) and op='insert'."""
+    snap = (snapshot
+            .withColumn(seq_col, F.lit(-1).cast("long"))
+            .withColumn(op_col, F.lit("insert")))
+    merged = snap.select(*changelog.columns) \
+        .unionByName(changelog, allowMissingColumns=True)
+    return latest_state(merged, pk_cols, seq_col, op_col)
+
+
+def fan_in(shards: Sequence[DataFrame]) -> DataFrame:
+    """Wildcard table fan-in (S4, river/river.go:182-236): shards of a
+    logical table union into one sink; schema drift across shards is
+    tolerated (missing columns -> NULL), mirroring re-introspection on
+    DDL (river/sync.go:54-60)."""
+    out = shards[0]
+    for s in shards[1:]:
+        out = out.unionByName(s, allowMissingColumns=True)
+    return out

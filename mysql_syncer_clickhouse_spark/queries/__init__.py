@@ -11,9 +11,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import relational
+from . import cdc, relational, scalar
 
-_MODULES = [relational]
+_MODULES = [relational, scalar, cdc]
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,205 @@
+"""Oracle-checked queries for the CDC/replication layer (SURVEY.md
+§2.1-2.4): upsert-by-dedup, tombstones, partial-update merge, snapshot
++ changelog application, routing/projection/rename, fan-in, and the
+stat counters. Each runs the REAL operator code (operators/upsert.py,
+plans/rules.py) over the deterministic events-derived changelog, with
+an ANSI-SQL twin for DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.upsert import (apply_snapshot_and_changelog, fan_in,
+                                fill_partial_updates, latest_state)
+from ..plans.rules import Rule
+from ..sources.changelog import CHANGELOG_SQL, derive_changelog_from_events
+from ..sources.tables import load_table
+
+_CL = f"WITH changelog AS ({CHANGELOG_SQL})"
+
+
+# --- P6: upsert-by-dedup (ReplacingMergeTree analog) --------------------
+
+def cdc_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cl = derive_changelog_from_events(spark, sf_dir)
+    return latest_state(cl, ["pk"])
+
+
+_FINAL_STATE_SQL = _CL + """
+SELECT seq, ts, pk, value, props FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY pk ORDER BY seq DESC) AS rn
+  FROM changelog
+) WHERE rn = 1 AND op <> 'delete'
+"""
+
+
+# --- R6: changed-column diff / partial update merge ---------------------
+
+def cdc_partial_update_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # model partial updates: update events carry only `value`
+    # (props NULL), inserts carry the full row -- the reference ships
+    # only changed columns on update (river/sync.go:367-370)
+    cl = derive_changelog_from_events(spark, sf_dir).withColumn(
+        "props", F.when(F.col("op") == "update", F.lit(None)).otherwise(F.col("props")))
+    return fill_partial_updates(cl, ["pk"], ["value", "props"])
+
+
+_PARTIAL_SQL = _CL + """
+, masked AS (
+  SELECT seq, ts, op, pk, value,
+         CASE WHEN op = 'update' THEN NULL ELSE props END AS props
+  FROM changelog
+), inc AS (
+  SELECT *, SUM(CASE WHEN op = 'delete' THEN 1 ELSE 0 END)
+              OVER (PARTITION BY pk ORDER BY seq
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS __inc
+  FROM masked
+), filled AS (
+  SELECT seq, ts, op, pk,
+         last_value(value IGNORE NULLS)
+           OVER (PARTITION BY pk, __inc ORDER BY seq
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+         last_value(props IGNORE NULLS)
+           OVER (PARTITION BY pk, __inc ORDER BY seq
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS props
+  FROM inc
+)
+SELECT seq, ts, pk, value, props FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY pk ORDER BY seq DESC) AS rn
+  FROM filled
+) WHERE rn = 1 AND op <> 'delete'
+"""
+
+
+# --- S1+S2: snapshot + incremental changelog ----------------------------
+
+def cdc_snapshot_plus_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # snapshot analog: one base row per customer key present in events
+    cust = load_table(spark, sf_dir, "customer")
+    snap = cust.select(
+        F.col("c_custkey").alias("pk"),
+        F.lit(None).cast("timestamp").alias("ts"),
+        F.col("c_acctbal").alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    cl = derive_changelog_from_events(spark, sf_dir)
+    return apply_snapshot_and_changelog(snap, cl, ["pk"])
+
+
+_SNAP_SQL = _CL + """
+, snap AS (
+  SELECT -1 AS seq, CAST(NULL AS TIMESTAMP) AS ts, 'insert' AS op,
+         c_custkey AS pk, c_acctbal AS value, '{}' AS props
+  FROM customer
+), merged AS (
+  SELECT seq, ts, op, pk, value, props FROM snap
+  UNION ALL
+  SELECT seq, ts, op, pk, value, props FROM changelog
+)
+SELECT seq, ts, pk, value, props FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY pk ORDER BY seq DESC) AS rn
+  FROM merged
+) WHERE rn = 1 AND op <> 'delete'
+"""
+
+
+# --- R3/R4/R5: routing + column filter + rename (real Rule code) --------
+
+_RULE = Rule(
+    source_schema="app", source_table="events_cdc",
+    sink_schema="olap", sink_table="events_synced",
+    pk=("pk",),
+    column_filter=("pk", "seq", "value", "ts"),
+    field_mapping={"value": "es_value"},
+)
+
+
+def cdc_route_project_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cl = derive_changelog_from_events(spark, sf_dir)
+    state = latest_state(cl, ["pk"])
+    return _RULE.apply_projection(state)
+
+
+_ROUTE_SQL = _CL + """
+SELECT seq, ts, pk, value AS es_value FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY pk ORDER BY seq DESC) AS rn
+  FROM changelog
+) WHERE rn = 1 AND op <> 'delete'
+"""
+
+
+# --- R7: composite-PK document key --------------------------------------
+
+_RULE_COMPOSITE = Rule(
+    source_schema="app", source_table="events_cdc",
+    sink_schema="olap", sink_table="events_synced",
+    pk=("pk", "seq"),
+)
+
+
+def cdc_composite_pk_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite doc id 'pk:seq' (reference intends 'a:b' ids,
+    river/river_test.go:109,295, but its getDocID only uses the first
+    PK column -- river/sync.go:393-412; we implement the intent)."""
+    cl = derive_changelog_from_events(spark, sf_dir)
+    return cl.select(_RULE_COMPOSITE.pk_key().alias("doc_id"),
+                     F.col("op"), F.col("value"))
+
+
+_COMPOSITE_SQL = _CL + """
+SELECT pk || ':' || seq AS doc_id, op, value FROM changelog
+"""
+
+
+# --- S4: wildcard fan-in with schema drift ------------------------------
+
+def cdc_wildcard_fan_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cl = derive_changelog_from_events(spark, sf_dir)
+    shard0 = cl.filter(F.col("pk") % 3 == 0)
+    shard1 = cl.filter(F.col("pk") % 3 == 1)
+    # shard2 drifted: lost `props` (mid-stream DROP COLUMN analog,
+    # river/river_test.go:385-399) -> NULL after fan-in
+    shard2 = cl.filter(F.col("pk") % 3 == 2).drop("props")
+    return fan_in([shard0, shard1, shard2])
+
+
+_FAN_IN_SQL = _CL + """
+SELECT seq, ts, op, pk, value, props FROM changelog WHERE pk % 3 = 0
+UNION ALL
+SELECT seq, ts, op, pk, value, props FROM changelog WHERE pk % 3 = 1
+UNION ALL
+SELECT seq, ts, op, pk, value, NULL AS props FROM changelog WHERE pk % 3 = 2
+"""
+
+
+# --- A1: stat counters ---------------------------------------------------
+
+def cdc_op_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cl = derive_changelog_from_events(spark, sf_dir)
+    return cl.groupBy("op").agg(F.count(F.lit(1)).alias("n"))
+
+
+_COUNTERS_SQL = _CL + "SELECT op, COUNT(*) AS n FROM changelog GROUP BY op"
+
+
+QUERIES = {
+    "cdc_final_state": cdc_final_state,
+    "cdc_partial_update_merge": cdc_partial_update_merge,
+    "cdc_snapshot_plus_changelog": cdc_snapshot_plus_changelog,
+    "cdc_route_project_rename": cdc_route_project_rename,
+    "cdc_composite_pk_key": cdc_composite_pk_key,
+    "cdc_wildcard_fan_in": cdc_wildcard_fan_in,
+    "cdc_op_counters": cdc_op_counters,
+}
+
+ORACLE = {
+    "cdc_final_state": _FINAL_STATE_SQL,
+    "cdc_partial_update_merge": _PARTIAL_SQL,
+    "cdc_snapshot_plus_changelog": _SNAP_SQL,
+    "cdc_route_project_rename": _ROUTE_SQL,
+    "cdc_composite_pk_key": _COMPOSITE_SQL,
+    "cdc_wildcard_fan_in": _FAN_IN_SQL,
+    "cdc_op_counters": _COUNTERS_SQL,
+}

@@ -1,0 +1,207 @@
+"""Oracle-checked queries for the scalar transform library (SURVEY.md
+§2.3 F1-F10). Inputs are derived deterministically from the `events`
+fixture (same derivation in the SQL twin) so every MySQL-ism the
+reference handles -- invalid enums, SET bitmasks, BIT bytes, zero
+dates, csv lists, unix timestamps, JSON, unsigned ranges -- is checked
+end-to-end against DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import transforms as X
+from ..sources.tables import load_table
+
+_ENUM_LABELS = ("e1", "e2", "e3")
+_SET_LABELS = ("a", "b", "c")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+# F1: ENUM decode (1-based; 0/out-of-range -> '')
+def t_enum_decode(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    idx = (F.col("event_id") % 5).cast("int")   # 0..4; 0 and 4 invalid
+    return ev.select("event_id",
+                     X.enum_decode(idx, _ENUM_LABELS).alias("enum_label"))
+
+
+_ENUM_SQL = """
+SELECT event_id,
+       CASE (event_id % 5) WHEN 1 THEN 'e1' WHEN 2 THEN 'e2'
+                           WHEN 3 THEN 'e3' ELSE '' END AS enum_label
+FROM events
+"""
+
+
+# F2: SET decode (bitmask -> csv of labels)
+def t_set_decode(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    mask = F.col("event_id") % 8
+    return ev.select("event_id",
+                     X.set_decode(mask, _SET_LABELS).alias("set_csv"))
+
+
+_SET_SQL = """
+SELECT event_id,
+       concat_ws(',',
+         CASE WHEN ((event_id % 8) & 1) <> 0 THEN 'a' END,
+         CASE WHEN ((event_id % 8) & 2) <> 0 THEN 'b' END,
+         CASE WHEN ((event_id % 8) & 4) <> 0 THEN 'c' END) AS set_csv
+FROM events
+"""
+
+
+# F3: BIT decode ('\x01' byte from dump path -> 1, other strings -> 0)
+def t_bit_decode(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    raw = F.when(F.col("event_id") % 2 == 1, F.char(F.lit(1))) \
+           .otherwise(F.char(F.lit(2)))
+    return ev.select("event_id", X.bit_decode(raw).alias("bit_val"))
+
+
+_BIT_SQL = """
+SELECT event_id,
+       CASE WHEN (CASE WHEN event_id % 2 = 1 THEN chr(1) ELSE chr(2) END)
+            = chr(1) THEN 1 ELSE 0 END AS bit_val
+FROM events
+"""
+
+
+# F6/F9: DATE parse with zero-date and garbage -> NULL
+def t_date_parse(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    raw = (F.when(F.col("event_id") % 10 == 0, F.lit("0000-00-00"))
+            .when(F.col("event_id") % 10 == 1, F.lit("not-a-date"))
+            .otherwise(F.date_format("ts", "yyyy-MM-dd")))
+    return ev.select("event_id", X.date_parse(raw).alias("d"))
+
+
+_DATE_SQL = """
+SELECT event_id,
+       CAST(try_strptime(
+         CASE WHEN event_id % 10 = 0 THEN '0000-00-00'
+              WHEN event_id % 10 = 1 THEN 'not-a-date'
+              ELSE strftime(ts, '%Y-%m-%d') END,
+         '%Y-%m-%d') AS DATE) AS d
+FROM events
+"""
+
+
+# DATETIME parse with zero-datetime -> NULL
+def t_datetime_parse(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    raw = (F.when(F.col("event_id") % 10 == 0,
+                  F.lit("0000-00-00 00:00:00"))
+            .otherwise(F.date_format("ts", "yyyy-MM-dd HH:mm:ss")))
+    return ev.select("event_id", X.datetime_parse(raw).alias("dt"))
+
+
+_DATETIME_SQL = """
+SELECT event_id,
+       try_strptime(
+         CASE WHEN event_id % 10 = 0 THEN '0000-00-00 00:00:00'
+              ELSE strftime(ts, '%Y-%m-%d %H:%M:%S') END,
+         '%Y-%m-%d %H:%M:%S') AS dt
+FROM events
+"""
+
+
+# F7: ',list' transform (csv -> array); scalar projections for the oracle
+def t_csv_to_list(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    csv = F.concat_ws(",", F.col("event_type"),
+                      F.col("user_id").cast("string"), F.lit("tail"))
+    arr = X.csv_to_list(csv)
+    return ev.select(
+        "event_id",
+        F.size(arr).alias("n_parts"),
+        F.get(arr, 0).alias("part1"),
+        F.get(arr, 1).alias("part2"),
+        F.array_join(arr, "|").alias("joined"),
+    )
+
+
+_CSV_SQL = """
+SELECT event_id,
+       len(parts) AS n_parts, parts[1] AS part1, parts[2] AS part2,
+       array_to_string(parts, '|') AS joined
+FROM (SELECT event_id,
+             string_split(event_type || ',' || user_id || ',tail', ',') AS parts
+      FROM events)
+"""
+
+
+# F8: ',date' transform (unix seconds -> timestamp)
+def t_unix_to_ts(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    secs = F.lit(1700000000) + F.col("event_id") * 3600
+    return ev.select("event_id", X.unix_to_ts(secs).alias("t"))
+
+
+_UNIX_SQL = """
+SELECT event_id,
+       CAST(to_timestamp(1700000000 + event_id * 3600) AS TIMESTAMP) AS t
+FROM events
+"""
+
+
+# F5: JSON extraction
+def t_json_get(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        X.json_get("props", "$.k").cast("int").alias("k"))
+
+
+_JSON_SQL = """
+SELECT event_id, CAST(props->>'$.k' AS INT) AS k FROM events
+"""
+
+
+# F10 + UInt64 safety: int normalization incl. beyond-int32 values
+def t_int_normalize(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    big = F.col("user_id") + F.lit(3748168280)   # UInt32-range survival
+    return ev.select(
+        "event_id",
+        X.int_normalize(F.col("value")).alias("value_i64"),
+        X.uint64_normalize(big).alias("big_u64"),
+    )
+
+
+_INT_SQL = """
+SELECT event_id,
+       CAST(FLOOR(value) AS BIGINT) AS value_i64,
+       CAST(user_id + 3748168280 AS DECIMAL(20,0)) AS big_u64
+FROM events
+"""
+
+
+QUERIES = {
+    "t_enum_decode": t_enum_decode,
+    "t_set_decode": t_set_decode,
+    "t_bit_decode": t_bit_decode,
+    "t_date_parse": t_date_parse,
+    "t_datetime_parse": t_datetime_parse,
+    "t_csv_to_list": t_csv_to_list,
+    "t_unix_to_ts": t_unix_to_ts,
+    "t_json_get": t_json_get,
+    "t_int_normalize": t_int_normalize,
+}
+
+ORACLE = {
+    "t_enum_decode": _ENUM_SQL,
+    "t_set_decode": _SET_SQL,
+    "t_bit_decode": _BIT_SQL,
+    "t_date_parse": _DATE_SQL,
+    "t_datetime_parse": _DATETIME_SQL,
+    "t_csv_to_list": _CSV_SQL,
+    "t_unix_to_ts": _UNIX_SQL,
+    "t_json_get": _JSON_SQL,
+    "t_int_normalize": _INT_SQL,
+}

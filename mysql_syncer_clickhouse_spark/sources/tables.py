@@ -11,6 +11,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region", "nation", "customer", "supplier", "part",
@@ -20,8 +21,18 @@ TABLES = (
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table. Plain `spark.read.parquet` so predicate
-    pushdown / column pruning stay available to every downstream query."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    pushdown / column pruning stay available to every downstream query.
+
+    `events.parquet` stores TIMESTAMP(NANOS), which Spark rejects by
+    default (PARQUET_TYPE_ILLEGAL); read nanos as long and rebuild the
+    timestamp at microsecond precision (exact: the fixture's values are
+    whole microseconds). Done here so it works under ANY SparkSession,
+    including the driver's."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str,

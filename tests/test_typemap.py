@@ -1,0 +1,45 @@
+"""MySQL -> Spark type mapping (reference README.md:165-266 rules)."""
+
+from pyspark.sql import types as T
+
+from mysql_syncer_clickhouse_spark.functions.typemap import mysql_to_spark_type
+
+
+def test_int_widths():
+    assert mysql_to_spark_type("tinyint(1)") == T.ByteType()
+    assert mysql_to_spark_type("tinyint unsigned") == T.ShortType()
+    assert mysql_to_spark_type("smallint") == T.ShortType()
+    assert mysql_to_spark_type("int(11)") == T.IntegerType()
+    assert mysql_to_spark_type("int(10) unsigned") == T.LongType()
+    assert mysql_to_spark_type("bigint") == T.LongType()
+    # UInt64 -> Decimal(20,0), not a truncating long (SURVEY §1.2 #5)
+    assert mysql_to_spark_type("bigint unsigned") == T.DecimalType(20, 0)
+
+
+def test_temporal():
+    assert mysql_to_spark_type("date") == T.DateType()
+    assert mysql_to_spark_type("datetime(3)") == T.TimestampType()
+    assert mysql_to_spark_type("timestamp(6)") == T.TimestampType()
+    assert mysql_to_spark_type("year") == T.ShortType()
+
+
+def test_decimal_policies():
+    assert mysql_to_spark_type("decimal(10,2)") == T.DecimalType(10, 2)
+    # Spark handles M<=38 natively...
+    assert mysql_to_spark_type("decimal(20,5)") == T.DecimalType(20, 5)
+    # ...but mirror mode reproduces the reference's M>18 -> String
+    # fallback (README.md:233-258)
+    assert mysql_to_spark_type(
+        "decimal(20,5)", mirror_decimal_fallback=True) == T.StringType()
+    assert mysql_to_spark_type("decimal(40,5)") == T.StringType()
+
+
+def test_misc():
+    assert mysql_to_spark_type("bit(1)") == T.LongType()
+    assert mysql_to_spark_type("float") == T.FloatType()
+    assert mysql_to_spark_type("double") == T.DoubleType()
+    assert mysql_to_spark_type("enum('a','b')") == T.StringType()
+    assert mysql_to_spark_type("set('a','b')") == T.StringType()
+    assert mysql_to_spark_type("json") == T.StringType()
+    assert mysql_to_spark_type("varchar(255)") == T.StringType()
+    assert mysql_to_spark_type("sometype") == T.StringType()

@@ -1,0 +1,124 @@
+"""Upsert-by-dedup semantics -- the reference's core correctness
+scenarios (river/river_test.go:216-399) re-encoded as changelog
+fixtures."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mysql_syncer_clickhouse_spark.operators.upsert import (
+    apply_snapshot_and_changelog, fan_in, fill_partial_updates, latest_state)
+
+SCHEMA = "seq long, op string, id long, title string, content string"
+
+
+@pytest.fixture()
+def make_cl(spark):
+    def _make(rows):
+        return spark.createDataFrame(rows, SCHEMA)
+    return _make
+
+
+def _state(df):
+    return {r["id"]: (r["title"], r["content"])
+            for r in df.collect()}
+
+
+def test_insert_update_delete_chain(make_cl):
+    cl = make_cl([
+        (1, "insert", 1, "first", "c1"),
+        (2, "update", 1, "first-edited", "c1"),
+        (3, "insert", 2, "second", "c2"),
+        (4, "delete", 2, None, None),
+    ])
+    st = _state(latest_state(cl, ["id"]))
+    assert st == {1: ("first-edited", "c1")}
+
+
+def test_multiple_updates_latest_wins(make_cl):
+    cl = make_cl([
+        (1, "insert", 1, "v1", "x"),
+        (2, "update", 1, "v2", "x"),
+        (3, "update", 1, "v3", "x"),
+    ])
+    st = _state(latest_state(cl, ["id"]))
+    assert st == {1: ("v3", "x")}
+
+
+def test_delete_then_reinsert(make_cl):
+    # ordering test: reference reorders mutations before inserts within
+    # a batch (clickhouse/client.go:93-126); seq-ordered dedup is
+    # order-correct by construction (SURVEY §2.4)
+    cl = make_cl([
+        (1, "insert", 1, "old", "x"),
+        (2, "delete", 1, None, None),
+        (3, "insert", 1, "new", "y"),
+    ])
+    st = _state(latest_state(cl, ["id"]))
+    assert st == {1: ("new", "y")}
+
+
+def test_pk_value_change_moves_row(make_cl):
+    # id 3 -> 30 must move the row (river/river_test.go:318-320):
+    # binlog-wise it is delete(3) + insert(30)
+    cl = make_cl([
+        (1, "insert", 3, "three", "c"),
+        (2, "delete", 3, None, None),
+        (3, "insert", 30, "three", "c"),
+    ])
+    st = _state(latest_state(cl, ["id"]))
+    assert st == {30: ("three", "c")}
+
+
+def test_partial_update_merge(make_cl):
+    # update carries only changed columns (river/sync.go:367-370)
+    cl = make_cl([
+        (1, "insert", 1, "t1", "c1"),
+        (2, "update", 1, "t2", None),       # only title changed
+        (3, "update", 1, None, "c2"),       # only content changed
+    ])
+    st = _state(fill_partial_updates(cl, ["id"], ["title", "content"]))
+    assert st == {1: ("t2", "c2")}
+
+
+def test_partial_update_does_not_leak_across_delete(make_cl):
+    cl = make_cl([
+        (1, "insert", 1, "t1", "c1"),
+        (2, "delete", 1, None, None),
+        (3, "insert", 1, "t2", None),       # fresh incarnation, no c1
+        (4, "update", 1, None, "c9"),
+    ])
+    st = _state(fill_partial_updates(cl, ["id"], ["title", "content"]))
+    assert st == {1: ("t2", "c9")}
+
+
+def test_snapshot_plus_changelog(spark, make_cl):
+    snap = spark.createDataFrame(
+        [(1, "snap1", "s"), (2, "snap2", "s")],
+        "id long, title string, content string")
+    cl = make_cl([
+        (0, "update", 1, "changed", "s"),
+        (1, "delete", 2, None, None),
+        (2, "insert", 3, "new", "n"),
+    ])
+    st = _state(apply_snapshot_and_changelog(snap, cl, ["id"]))
+    assert st == {1: ("changed", "s"), 3: ("new", "n")}
+
+
+def test_composite_pk(spark):
+    cl = spark.createDataFrame(
+        [(1, "insert", 1, "a", "x"), (2, "insert", 1, "b", "y"),
+         (3, "update", 1, "a", "x2")],
+        SCHEMA)
+    # composite key (id, title): both rows live, each latest wins
+    st = {(r["id"], r["title"]): r["content"]
+          for r in latest_state(cl, ["id", "title"]).collect()}
+    assert st == {(1, "a"): "x2", (1, "b"): "y"}
+
+
+def test_fan_in_schema_drift(spark):
+    a = spark.createDataFrame([(1, "x", "p")], "id long, t string, extra string")
+    b = spark.createDataFrame([(2, "y")], "id long, t string")
+    got = {r["id"]: (r["t"], r["extra"]) for r in fan_in([a, b]).collect()}
+    assert got == {1: ("x", "p"), 2: ("y", None)}
