@@ -3,33 +3,39 @@
 The reference delegates all query-time computation to ClickHouse over
 the synced ReplacingMergeTree tables (reference README.md:44-56); this
 module is the Spark-SQL side of that contract: scans, filter/project,
-joins (all types), hash aggregation, rollup/cube, windows, top-k, set
-ops. All built-in Catalyst operators -- broadcast or sort-merge join,
-partial aggregation, whole-stage codegen are picked by the optimizer.
+joins (inner/outer/semi/anti, broadcast + shuffle), hash aggregation,
+rollup/cube, windows (rank/lag/running/sessionize), top-k, pivot, set
+ops, distinct. All built-in Catalyst operators.
 
 Scale notes (100 TB stance):
-- dimension tables (region/nation/supplier) are explicitly broadcast;
-  fact-fact joins shuffle on their join key and benefit from AQE.
-- every aggregate uses exact DECIMAL accumulation (functions/numeric.py)
-  so results are partition-order-independent -- required both for the
-  oracle hash and for reproducibility on a real cluster.
-- top-k queries always order by a unique tie-breaker so LIMIT is
-  deterministic under any parallelism.
+- dimension tables (region/nation/supplier/customer) are explicitly
+  `F.broadcast()`; fact-fact joins shuffle on their keys under AQE.
+- every float aggregate uses exact DECIMAL accumulation
+  (functions/numeric.py) so results are partition-order-independent --
+  required for the oracle hash and for cluster reproducibility.
+- every top-k orders by a unique tie-breaker so LIMIT is deterministic
+  under any parallelism.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.numeric import davg, dsum, sql_davg, sql_dsum
 from ..sources.tables import load_table
 
+_DEC = "decimal(38,6)"
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
 
 # --- TPC-H Q1 style: pricing summary (flagship; SURVEY §7 M0) -----------
 
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return (
@@ -64,10 +70,428 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+# --- TPC-H Q3 style: shipping priority (join + agg + top-k) -------------
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.to_timestamp(F.lit("1997-03-15")))
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.to_timestamp(F.lit("1997-03-15")))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+          .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+          .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+          .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                    "revenue"))
+          .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+          .limit(10)
+    )
+
+
+_Q3_SQL = f"""
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       {sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue')}
+FROM customer
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1997-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+# --- TPC-H Q5 style: local supplier volume (6-way join) ------------------
+
+def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    supplier = _t(spark, sf_dir, "supplier")
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01"))) &
+        (F.col("o_orderdate") < F.to_timestamp(F.lit("1998-01-01"))))
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+          .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+          .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+          .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+          .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+          .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+          .groupBy("n_name")
+          .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                    "revenue"))
+    )
+
+
+_Q5_SQL = f"""
+SELECT n_name,
+       {sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue')}
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+# --- join types: left outer, semi, anti ----------------------------------
+
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 400000)
+    agg = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_big_orders"))
+    return (cust.join(agg, cust.c_custkey == agg.o_custkey, "left")
+                .select("c_custkey", "c_mktsegment",
+                        F.coalesce("n_big_orders", F.lit(0)).alias("n_big_orders")))
+
+
+_LEFT_SQL = """
+SELECT c_custkey, c_mktsegment, COALESCE(n_big_orders, 0) AS n_big_orders
+FROM customer
+LEFT JOIN (SELECT o_custkey, COUNT(*) AS n_big_orders FROM orders
+           WHERE o_totalprice > 400000 GROUP BY o_custkey) b
+  ON c_custkey = o_custkey
+"""
+
+
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers WITH at least one urgent order (EXISTS)."""
+    cust = _t(spark, sf_dir, "customer")
+    urgent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT")
+    return (cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_semi")
+                .select("c_custkey", "c_name"))
+
+
+_SEMI_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+"""
+
+
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with NO urgent order (NOT EXISTS) -- complement of
+    join_semi, guaranteed non-empty at every fixture SF."""
+    cust = _t(spark, sf_dir, "customer")
+    urgent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT")
+    return (cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_anti")
+                .select("c_custkey", "c_name"))
+
+
+_ANTI_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
+"""
+
+
+# --- rollup / cube --------------------------------------------------------
+
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.rollup("l_returnflag", "l_linestatus")
+              .agg(F.count(F.lit(1)).alias("n"),
+                   dsum("l_quantity", "sum_qty")))
+
+
+_ROLLUP_SQL = f"""
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       {sql_dsum('l_quantity', 'sum_qty')}
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (orders.cube("o_orderstatus", "o_orderpriority")
+                  .agg(F.count(F.lit(1)).alias("n"),
+                       dsum("o_totalprice", "sum_price")))
+
+
+_CUBE_SQL = f"""
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+       {sql_dsum('o_totalprice', 'sum_price')}
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+# --- window functions -----------------------------------------------------
+
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top 3 orders by totalprice per market segment (rank + filter);
+    o_orderkey tie-break keeps it deterministic."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    j = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (j.withColumn("rk", F.row_number().over(w))
+             .filter(F.col("rk") <= 3)
+             .select("c_mktsegment", "rk", "o_orderkey", "o_totalprice"))
+
+
+_TOPK_GRP_SQL = """
+SELECT c_mktsegment, rk, o_orderkey, o_totalprice FROM (
+  SELECT c_mktsegment, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+  FROM orders JOIN customer ON o_custkey = c_custkey
+) WHERE rk <= 3
+"""
+
+
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running revenue per supplier in ship order (exact decimal
+    accumulation -> identical under any partitioning)."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = (Window.partitionBy("l_suppkey")
+         .orderBy(F.col("l_shipdate").asc(), F.col("l_orderkey").asc(),
+                  F.col("l_linenumber").asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    running = F.sum(F.col("l_extendedprice").cast(_DEC)).over(w)
+    return li.select(
+        "l_suppkey", "l_orderkey", "l_linenumber",
+        F.round(running, 2).cast("double").alias("running_rev"))
+
+
+_RUNNING_SQL = """
+SELECT l_suppkey, l_orderkey, l_linenumber,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(38,6)))
+         OVER (PARTITION BY l_suppkey
+               ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+         AS DOUBLE) AS running_rev
+FROM lineitem
+"""
+
+
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc())
+    return ev.select(
+        "user_id", "event_id",
+        F.lag("event_type", 1).over(w).alias("prev_type"),
+        F.lead("event_type", 1).over(w).alias("next_type"))
+
+
+_LAG_SQL = """
+SELECT user_id, event_id,
+       LAG(event_type, 1)  OVER w AS prev_type,
+       LEAD(event_type, 1) OVER w AS next_type
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+"""
+
+
+def window_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min): lag + cumulative new-session
+    flags -- the batch analog of session_window (streaming/)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc())
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = (ev.withColumn("session_idx",
+                          F.sum(new_sess).over(
+                              w.rowsBetween(Window.unboundedPreceding, 0))))
+    return (sess.groupBy("user_id", "session_idx")
+                .agg(F.count(F.lit(1)).alias("n_events"),
+                     F.min("event_id").alias("first_event")))
+
+
+_SESSION_SQL = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN epoch(ts) - LAG(epoch(ts))
+                OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+              > 1800 THEN 1
+              WHEN LAG(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts ASC, event_id ASC) IS NULL THEN 1
+              ELSE 0 END AS new_sess
+  FROM events
+), sessions AS (
+  SELECT user_id, event_id,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_idx
+  FROM flagged
+)
+SELECT user_id, session_idx, COUNT(*) AS n_events,
+       MIN(event_id) AS first_event
+FROM sessions GROUP BY user_id, session_idx
+"""
+
+
+# --- top-k / sort-limit ---------------------------------------------------
+
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (orders.orderBy(F.col("o_totalprice").desc(),
+                           F.col("o_orderkey").asc())
+                  .limit(25)
+                  .select("o_orderkey", "o_totalprice", "o_orderdate"))
+
+
+_TOPK_SQL = """
+SELECT o_orderkey, o_totalprice, o_orderdate FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 25
+"""
+
+
+# --- pivot ----------------------------------------------------------------
+
+def pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = (li.groupBy("l_returnflag")
+           .pivot("l_linestatus", ["F", "O"])
+           .agg(F.round(F.sum(F.col("l_quantity").cast(_DEC)), 2)
+                 .cast("double")))
+    return p.select("l_returnflag",
+                    F.col("F").alias("qty_f"), F.col("O").alias("qty_o"))
+
+
+_PIVOT_SQL = f"""
+SELECT l_returnflag,
+       {sql_dsum("CASE WHEN l_linestatus = 'F' THEN l_quantity END", 'qty_f')},
+       {sql_dsum("CASE WHEN l_linestatus = 'O' THEN l_quantity END", 'qty_o')}
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# --- set operations --------------------------------------------------------
+
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers ordering in both 1996 and 1999 (INTERSECT = distinct)."""
+    orders = _t(spark, sf_dir, "orders")
+    a = orders.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    b = orders.filter(F.year("o_orderdate") == 1999).select("o_custkey")
+    return a.intersect(b)
+
+
+_INTERSECT_SQL = """
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+INTERSECT
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1999
+"""
+
+
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    a = orders.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    b = orders.filter(F.year("o_orderdate") == 1999).select("o_custkey")
+    return a.subtract(b)
+
+
+_EXCEPT_SQL = """
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+EXCEPT
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1999
+"""
+
+
+def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = _t(spark, sf_dir, "nation")
+    a = nation.filter(F.col("n_regionkey") <= 1).select("n_name")
+    b = nation.filter(F.col("n_regionkey") >= 1).select("n_name")
+    return a.union(b).distinct()
+
+
+_UNION_SQL = """
+SELECT n_name FROM nation WHERE n_regionkey <= 1
+UNION
+SELECT n_name FROM nation WHERE n_regionkey >= 1
+"""
+
+
+# --- distinct aggregation ---------------------------------------------------
+
+def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+              .agg(F.countDistinct("l_partkey").alias("n_parts"),
+                   F.countDistinct("l_suppkey").alias("n_supps"),
+                   F.count(F.lit(1)).alias("n_rows")))
+
+
+_DISTINCT_SQL = """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(DISTINCT l_suppkey) AS n_supps,
+       COUNT(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++). Estimates are engine-specific, so
+    there is deliberately no SQL oracle -- the driver records a
+    rows-only check; tests/test_relational.py bounds the error vs the
+    exact count instead."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+              .agg(F.approx_count_distinct("l_orderkey", 0.02)
+                    .alias("approx_orders")))
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_local_supplier": q5_local_supplier,
+    "join_left_outer": join_left_outer,
+    "join_semi": join_semi,
+    "join_anti": join_anti,
+    "agg_rollup": agg_rollup,
+    "agg_cube": agg_cube,
+    "window_topk_per_group": window_topk_per_group,
+    "window_running_sum": window_running_sum,
+    "window_lag_lead": window_lag_lead,
+    "window_sessionize": window_sessionize,
+    "topk_orders": topk_orders,
+    "pivot_status": pivot_status,
+    "set_intersect": set_intersect,
+    "set_except": set_except,
+    "set_union_distinct": set_union_distinct,
+    "distinct_counts": distinct_counts,
+    "approx_distinct": approx_distinct,
 }
 
 ORACLE = {
     "q1_pricing_summary": _Q1_SQL,
+    "q3_shipping_priority": _Q3_SQL,
+    "q5_local_supplier": _Q5_SQL,
+    "join_left_outer": _LEFT_SQL,
+    "join_semi": _SEMI_SQL,
+    "join_anti": _ANTI_SQL,
+    "agg_rollup": _ROLLUP_SQL,
+    "agg_cube": _CUBE_SQL,
+    "window_topk_per_group": _TOPK_GRP_SQL,
+    "window_running_sum": _RUNNING_SQL,
+    "window_lag_lead": _LAG_SQL,
+    "window_sessionize": _SESSION_SQL,
+    "topk_orders": _TOPK_SQL,
+    "pivot_status": _PIVOT_SQL,
+    "set_intersect": _INTERSECT_SQL,
+    "set_except": _EXCEPT_SQL,
+    "set_union_distinct": _UNION_SQL,
+    "distinct_counts": _DISTINCT_SQL,
+    # approx_distinct: rows-only by design (engine-specific estimate)
 }

@@ -1,0 +1,59 @@
+"""Physical-plan quality gates: filters reach the parquet scan, scans
+are column-pruned, small dimensions broadcast, the upsert window
+shuffles exactly once. These are the properties that decide 100 TB
+behavior; asserting them keeps regressions out."""
+
+from __future__ import annotations
+
+from mysql_syncer_clickhouse_spark.operators.upsert import latest_state
+from mysql_syncer_clickhouse_spark.plans.explain import (
+    formatted_plan, has_broadcast_join, n_shuffles, pushed_filters)
+from mysql_syncer_clickhouse_spark.queries import relational
+from mysql_syncer_clickhouse_spark.sources.changelog import (
+    derive_changelog_from_events)
+
+
+def test_q1_filter_pushed_and_pruned(spark, sf_dir):
+    df = relational.q1_pricing_summary(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" \
+        in plan
+    # scan must not read columns the query never touches
+    assert "l_partkey" not in plan and "l_suppkey" not in plan
+
+
+def test_q3_broadcasts_dimension(spark, sf_dir):
+    df = relational.q3_shipping_priority(spark, sf_dir)
+    assert has_broadcast_join(df)
+
+
+def test_q5_broadcasts_all_dims(spark, sf_dir):
+    df = relational.q5_local_supplier(spark, sf_dir)
+    plan = formatted_plan(df)
+    # one fact-fact join may shuffle; the four dims must broadcast
+    assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_semi_join_filter_pushdown(spark, sf_dir):
+    df = relational.join_semi(spark, sf_dir)
+    assert "EqualTo(o_orderpriority,1-URGENT)" in pushed_filters(df)
+
+
+def test_upsert_single_shuffle(spark, sf_dir):
+    cl = derive_changelog_from_events(spark, sf_dir)
+    df = latest_state(cl, ["pk"])
+    # the window dedup must cost exactly one shuffle (on pk) -- the
+    # same price as any keyed aggregation, nothing extra
+    assert n_shuffles(df) == 1
+
+
+def test_approx_distinct_error_bound(spark, sf_dir):
+    approx = {r["l_returnflag"]: r["approx_orders"]
+              for r in relational.approx_distinct(spark, sf_dir).collect()}
+    exact = {r["l_returnflag"]: r["n"]
+             for r in relational._t(spark, sf_dir, "lineitem")
+             .groupBy("l_returnflag")
+             .agg(relational.F.countDistinct("l_orderkey").alias("n"))
+             .collect()}
+    for k, v in exact.items():
+        assert abs(approx[k] - v) / v < 0.1
