@@ -1,0 +1,87 @@
+"""Text-analysis primitives for the LLM-data-pipeline layer (SURVEY §7
+M6). All JVM-side Column expressions (no Python UDFs), built on
+cross-engine-portable building blocks:
+
+- portable_hash32: first 8 hex chars of md5 as uint32 -- identical in
+  Spark (`conv(substr(md5(x),1,8),16,10)`) and DuckDB
+  (`('0x'||substr(md5(x),1,8))::BIGINT`), so every hash-derived
+  operator (minhash, simhash, fingerprints) is oracle-checkable.
+- shingling via sequence+substring / slice -- expressible in both
+  engines with identical semantics.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# BPE-ish tokenizer: letter runs, digit runs, or single non-alnum marks
+BPE_REGEX = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+DEFAULT_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def portable_hash32(col: Column | str) -> Column:
+    """md5-derived 32-bit unsigned hash as long. Deterministic and
+    identical across engines (md5 is standardized), unlike xxhash64/
+    murmur which differ per implementation."""
+    return F.conv(F.substring(F.md5(_c(col)), 1, 8), 16, 10).cast("long")
+
+
+def words(col: Column | str) -> Column:
+    """Whitespace tokenization (fixtures are single-space separated)."""
+    return F.split(F.trim(_c(col)), " ")
+
+
+def token_count_ws(col: Column | str) -> Column:
+    return F.size(words(col))
+
+
+def token_count_bpe(col: Column | str) -> Column:
+    """BPE-ish token count via regex classes -- the cheap proxy used to
+    budget LLM training tokens without a real tokenizer."""
+    return F.regexp_count(_c(col), F.lit(BPE_REGEX))
+
+
+def stopword_ratio(col: Column | str,
+                   stopwords: Sequence[str] = DEFAULT_STOPWORDS) -> Column:
+    ws = words(col)
+    hits = F.size(F.filter(ws, lambda w: w.isin(*stopwords)))
+    return hits.cast("double") / F.size(ws)
+
+
+def avg_word_len(col: Column | str) -> Column:
+    ws = words(col)
+    total = F.aggregate(ws, F.lit(0),
+                        lambda acc, w: acc + F.length(w))
+    return total.cast("double") / F.size(ws)
+
+
+def char_shingles(col: Column | str, k: int = 8) -> Column:
+    """Character k-shingles: array of substr(text, p, k) for p in
+    1..len-k+1 (whole text when shorter). The standard near-dup
+    shingling unit (minhash/simhash input)."""
+    c = _c(col)
+    n = F.greatest(F.length(c) - (k - 1), F.lit(1))
+    return F.transform(F.sequence(F.lit(1), n),
+                       lambda p: F.substring(c, p, F.lit(k)))
+
+
+def word_ngrams(col: Column | str, n: int = 3) -> Column:
+    """Word n-grams joined with spaces (whole text when shorter)."""
+    ws = words(col)
+    cnt = F.greatest(F.size(ws) - (n - 1), F.lit(1))
+    return F.transform(F.sequence(F.lit(1), cnt),
+                       lambda i: F.concat_ws(" ", F.slice(ws, i, n)))
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Deterministic document fingerprint: md5 of the
+    whitespace-normalized text."""
+    return F.md5(F.regexp_replace(F.trim(_c(col)), r"\s+", " "))

@@ -11,9 +11,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import cdc, relational, scalar
+from . import cdc, llm, relational, scalar
 
-_MODULES = [relational, scalar, cdc]
+_MODULES = [relational, scalar, cdc, llm]
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,419 @@
+"""Oracle-checked queries for the LLM-data-pipeline layer (SURVEY §7
+M6): dedup (exact / MinHash+LSH / SimHash / blocked n-gram Jaccard),
+similarity search over embeddings (brute-force + IVF top-k, near-dup
+pairs), text analysis (token counts, quality, lang-id heuristic,
+fingerprints), and multimodal metadata extraction.
+
+Near/exact duplicates are synthesized deterministically inside the
+query (operators/dedup.py:near_dup_corpus and its SQL twin) because the
+fixture corpus has no duplicates; both engines build the identical
+corpus so results stay oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+from ..functions.vectors import cosine
+from ..operators import ann, dedup, multimodal
+from ..sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments
+# ---------------------------------------------------------------------------
+
+_CORPUS = f"WITH corpus AS ({dedup.CORPUS_SQL})"
+
+_H32 = "('0x' || substr(md5({x}), 1, 8))::BIGINT"
+
+_SHINGLES_SQL = """
+shingles AS (
+  SELECT DISTINCT id, substr(text, p, 8) AS shingle
+  FROM (SELECT id, text,
+               unnest(generate_series(1, greatest(len(text) - 7, 1))) AS p
+        FROM corpus)
+)
+"""
+
+_PARAMS_SQL = "(VALUES " + ", ".join(
+    f"({i}, {a}, {b})" for i, (a, b) in enumerate(dedup.MINHASH_PARAMS)
+) + ") AS prm(i, a, b)"
+
+_VECS_SQL = """
+vecs AS (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS v, label FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000,
+         list_transform(embedding::DOUBLE[], x -> x * 1.01 + 0.001), label
+  FROM embeddings WHERE vec_id % 10 = 0
+)
+"""
+
+_DOT = ("(SELECT SUM(x*y) FROM (SELECT unnest({a}) x, unnest({b}) y))")
+_NSQ = "(SELECT SUM(x*x) FROM unnest({a}) t(x))"
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (f"ROUND({_DOT.format(a=a, b=b)} / "
+            f"(sqrt({_NSQ.format(a=a)}) * sqrt({_NSQ.format(a=b)})), 6)")
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+def _emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def _corpus(spark, sf_dir):
+    return dedup.near_dup_corpus(_docs(spark, sf_dir))
+
+
+def _vec_corpus(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    base = emb.select(F.col("vec_id").alias("id"),
+                      F.col("embedding").cast("array<double>").alias("v"),
+                      "label")
+    pert = (emb.filter(F.col("vec_id") % 10 == 0)
+               .select((F.col("vec_id") + 1000000).alias("id"),
+                       F.transform(F.col("embedding").cast("array<double>"),
+                                   lambda x: x * F.lit(1.01) + F.lit(0.001))
+                        .alias("v"),
+                       "label"))
+    return base.unionByName(pert)
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_duplicates(_corpus(spark, sf_dir), "id", "text")
+
+
+_DEDUP_EXACT_SQL = _CORPUS + """
+SELECT md5(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS fp,
+       MIN(id) AS canonical_id, COUNT(*) AS n_copies
+FROM corpus GROUP BY 1
+"""
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_dedup(_corpus(spark, sf_dir), "id", "text",
+                               threshold=0.5)
+
+
+_MINHASH_SQL = _CORPUS + "," + _SHINGLES_SQL + f"""
+, hashed AS (
+  SELECT id, shingle, {_H32.format(x='shingle')} AS h32 FROM shingles
+), sigs AS (
+  SELECT id, i, MIN((a * h32 + b) % {dedup.MINHASH_P}) AS mh
+  FROM hashed CROSS JOIN {_PARAMS_SQL}
+  GROUP BY id, i
+), bands AS (
+  SELECT id, i // {dedup.BANDS_OF} AS band,
+         SUM(CASE WHEN i % {dedup.BANDS_OF} = 0
+                  THEN mh * {dedup._BAND_SHIFT} ELSE mh END) AS band_sig
+  FROM sigs GROUP BY id, i // {dedup.BANDS_OF}
+), cands AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_sig = b.band_sig AND a.id < b.id
+), sizes AS (
+  SELECT id, COUNT(*) AS n FROM shingles GROUP BY id
+), inter AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+  FROM cands c
+  JOIN shingles sa ON sa.id = c.id_a
+  JOIN shingles sb ON sb.id = c.id_b AND sb.shingle = sa.shingle
+  GROUP BY c.id_a, c.id_b
+)
+SELECT i.id_a, i.id_b,
+       ROUND(CAST(n_inter AS DOUBLE) / (za.n + zb.n - n_inter), 6) AS jaccard
+FROM inter i
+JOIN sizes za ON za.id = i.id_a
+JOIN sizes zb ON zb.id = i.id_b
+WHERE CAST(n_inter AS DOUBLE) / (za.n + zb.n - n_inter) >= 0.5
+"""
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_table(_corpus(spark, sf_dir), "id", "text")
+
+
+_SIMHASH_SQL = _CORPUS + "," + _SHINGLES_SQL + f"""
+, hashed AS (
+  SELECT id, {_H32.format(x='shingle')} AS h32 FROM shingles
+), votes AS (
+  SELECT id, b,
+         SUM(CASE WHEN CAST(FLOOR(h32 / POWER(2, b)) AS BIGINT) % 2 = 1
+                  THEN 1 ELSE -1 END) AS vote
+  FROM hashed
+  CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b)
+  GROUP BY id, b
+)
+SELECT id, SUM(CASE WHEN vote > 0 THEN CAST(POWER(2, b) AS BIGINT)
+                    ELSE 0 END) AS simhash
+FROM votes GROUP BY id
+"""
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_blocked(
+        _corpus(spark, sf_dir), "id", "text",
+        block_cols=["source", "n_chars"], n=3, threshold=0.3)
+
+
+_NGRAM_SQL = _CORPUS + """
+, grams AS (
+  SELECT DISTINCT id, array_to_string(w[i:i+2], ' ') AS shingle
+  FROM (SELECT id, w,
+               unnest(generate_series(1, greatest(len(w) - 2, 1))) AS i
+        FROM (SELECT id, string_split(trim(text), ' ') AS w FROM corpus))
+), cands AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM corpus a JOIN corpus b
+    ON a.source = b.source AND a.n_chars = b.n_chars AND a.id < b.id
+), sizes AS (
+  SELECT id, COUNT(*) AS n FROM grams GROUP BY id
+), inter AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+  FROM cands c
+  JOIN grams ga ON ga.id = c.id_a
+  JOIN grams gb ON gb.id = c.id_b AND gb.shingle = ga.shingle
+  GROUP BY c.id_a, c.id_b
+)
+SELECT i.id_a, i.id_b,
+       ROUND(CAST(n_inter AS DOUBLE) / (za.n + zb.n - n_inter), 6) AS jaccard
+FROM inter i
+JOIN sizes za ON za.id = i.id_a
+JOIN sizes zb ON zb.id = i.id_b
+WHERE CAST(n_inter AS DOUBLE) / (za.n + zb.n - n_inter) >= 0.3
+"""
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = _vec_corpus(spark, sf_dir)
+    vecs = vecs.withColumn("blk", F.col("id") % 5)
+    return ann.embedding_near_dups(vecs, threshold=0.98, id_col="id",
+                                   vec_col="v", block_cols=("label", "blk"))
+
+
+_EMB_DEDUP_SQL = "WITH " + _VECS_SQL[_VECS_SQL.index("vecs"):] + f"""
+, scored AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         {_cos_sql('a.v', 'b.v')} AS score
+  FROM vecs a JOIN vecs b
+    ON a.label = b.label AND a.id % 5 = b.id % 5 AND a.id < b.id
+)
+SELECT id_a, id_b, score FROM scored WHERE score >= 0.98
+"""
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ann.topk_bruteforce(emb, queries, k=5)
+
+
+_ANN_BRUTE_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+      FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id, {_cos_sql('qv', 'cv')} AS score
+  FROM c CROSS JOIN q WHERE query_id <> neighbor_id
+)
+SELECT query_id, rk, neighbor_id, score FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, neighbor_id ASC) AS rk
+  FROM scored
+) WHERE rk <= 5
+"""
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ann.topk_ivf(emb, queries, k=5)
+
+
+_ANN_IVF_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, label
+           FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv, label
+      FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id, {_cos_sql('qv', 'cv')} AS score
+  FROM c JOIN q USING (label) WHERE query_id <> neighbor_id
+)
+SELECT query_id, rk, neighbor_id, score FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, neighbor_id ASC) AS rk
+  FROM scored
+) WHERE rk <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        TX.token_count_ws("text").alias("n_ws_tokens"),
+        TX.token_count_bpe("text").alias("n_bpe_tokens"))
+
+
+_TOKENS_SQL = f"""
+SELECT doc_id,
+       len(string_split(trim(text), ' ')) AS n_ws_tokens,
+       len(regexp_extract_all(text, '{TX.BPE_REGEX}')) AS n_bpe_tokens
+FROM documents
+"""
+
+_STOP_IN = ", ".join(f"'{w}'" for w in TX.DEFAULT_STOPWORDS)
+
+
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    stop = TX.stopword_ratio("text")
+    awl = TX.avg_word_len("text")
+    n = TX.token_count_ws("text")
+    quality = F.round(
+        F.lit(0.4) * F.least(n.cast("double") / 100.0, F.lit(1.0))
+        + F.lit(0.3) * (1.0 - stop)
+        + F.lit(0.3) * F.least(awl / 10.0, F.lit(1.0)), 6)
+    return docs.select("doc_id",
+                       F.round(stop, 6).alias("stop_ratio"),
+                       F.round(awl, 6).alias("avg_word_len"),
+                       quality.alias("quality"))
+
+
+_QUALITY_SQL = f"""
+WITH t AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+), m AS (
+  SELECT doc_id,
+         CAST(len(list_filter(w, x -> x IN ({_STOP_IN}))) AS DOUBLE)
+           / len(w) AS stop,
+         CAST(list_sum(list_transform(w, x -> len(x))) AS DOUBLE)
+           / len(w) AS awl,
+         len(w) AS n
+  FROM t
+)
+SELECT doc_id, ROUND(stop, 6) AS stop_ratio, ROUND(awl, 6) AS avg_word_len,
+       ROUND(0.4 * least(CAST(n AS DOUBLE) / 100.0, 1.0)
+             + 0.3 * (1.0 - stop)
+             + 0.3 * least(awl / 10.0, 1.0), 6) AS quality
+FROM m
+"""
+
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram/stopword language-ID heuristic. The fixture corpus is
+    synthetic English-ish word salad for every lang label, so the
+    heuristic honestly predicts 'en'/'unk'; the operator's value is the
+    deterministic scoring pipeline, checked for parity."""
+    docs = _docs(spark, sf_dir)
+    ws = TX.words("text")
+    en_hits = F.size(F.filter(ws, lambda w: w.isin("the", "a", "of", "and")))
+    ratio = en_hits.cast("double") / F.size(ws)
+    pred = (F.when(ratio >= 0.05, "en")
+             .when(ratio > 0.0, "en-ish")
+             .otherwise("unk"))
+    return docs.select("doc_id", F.col("lang").alias("lang_label"),
+                       F.round(ratio, 6).alias("en_signal"),
+                       pred.alias("lang_pred"))
+
+
+_LANG_SQL = """
+WITH t AS (
+  SELECT doc_id, lang, string_split(trim(text), ' ') AS w FROM documents
+), m AS (
+  SELECT doc_id, lang,
+         CAST(len(list_filter(w, x -> x IN ('the','a','of','and')))
+              AS DOUBLE) / len(w) AS ratio
+  FROM t
+)
+SELECT doc_id, lang AS lang_label, ROUND(ratio, 6) AS en_signal,
+       CASE WHEN ratio >= 0.05 THEN 'en'
+            WHEN ratio > 0.0 THEN 'en-ish'
+            ELSE 'unk' END AS lang_pred
+FROM m
+"""
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return docs.select("doc_id",
+                       TX.fingerprint("text").alias("fp"),
+                       TX.portable_hash32(F.col("text")).alias("fp32"))
+
+
+_FP_SQL = f"""
+SELECT doc_id,
+       md5(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS fp,
+       {_H32.format(x='text')} AS fp32
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return multimodal.decode_image_meta(
+        multimodal.with_binary_payload(docs))
+
+
+_MM_SQL = """
+SELECT doc_id, strlen(text) AS n_bytes,
+       CAST(strlen(text) % 640 AS INT) AS width,
+       CAST((strlen(text) * 7) % 480 AS INT) AS height,
+       'fake' AS format
+FROM documents
+"""
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
+    "ann_cosine_topk": ann_cosine_topk,
+    "ann_ivf_topk": ann_ivf_topk,
+    "text_token_count": text_token_count,
+    "text_quality_score": text_quality_score,
+    "text_lang_id": text_lang_id,
+    "doc_fingerprint": doc_fingerprint,
+    "multimodal_decode_meta": multimodal_decode_meta,
+}
+
+ORACLE = {
+    "dedup_exact": _DEDUP_EXACT_SQL,
+    "dedup_minhash_lsh": _MINHASH_SQL,
+    "dedup_simhash": _SIMHASH_SQL,
+    "dedup_ngram_jaccard": _NGRAM_SQL,
+    "dedup_embedding_cosine": _EMB_DEDUP_SQL,
+    "ann_cosine_topk": _ANN_BRUTE_SQL,
+    "ann_ivf_topk": _ANN_IVF_SQL,
+    "text_token_count": _TOKENS_SQL,
+    "text_quality_score": _QUALITY_SQL,
+    "text_lang_id": _LANG_SQL,
+    "doc_fingerprint": _FP_SQL,
+    "multimodal_decode_meta": _MM_SQL,
+}

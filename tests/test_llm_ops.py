@@ -1,0 +1,88 @@
+"""Semantic unit tests for the LLM-pipeline operators (beyond oracle
+parity): planted duplicates are found, ANN ranks the planted neighbor
+first, simhash is stable, multimodal plumbing produces typed metadata."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mysql_syncer_clickhouse_spark.operators import ann, dedup, multimodal
+from mysql_syncer_clickhouse_spark.sources.tables import load_table
+
+
+def _corpus(spark, sf_dir):
+    return dedup.near_dup_corpus(load_table(spark, sf_dir, "documents"))
+
+
+def test_exact_dedup_finds_planted_copies(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    n_planted = docs.filter(F.col("doc_id") % 11 == 0).count()
+    groups = dedup.exact_duplicates(_corpus(spark, sf_dir), "id", "text")
+    dupes = groups.filter(F.col("n_copies") >= 2)
+    # fixture corpus is dup-free -> exactly the planted copies collide
+    assert dupes.count() == n_planted
+    assert groups.count() == n_docs + docs.filter(
+        F.col("doc_id") % 7 == 0).count()
+
+
+def test_minhash_finds_planted_near_dups(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    planted = {(r["doc_id"], r["doc_id"] + 1000000)
+               for r in docs.filter(F.col("doc_id") % 7 == 0).collect()}
+    pairs = dedup.minhash_dedup(_corpus(spark, sf_dir), "id", "text",
+                                threshold=0.5)
+    found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    # LSH with 4 bands of 2 at jaccard ~0.9 recalls virtually all
+    # planted pairs (miss prob (1-s^2)^4 < 2%); require >90% here
+    assert len(found & planted) >= 0.9 * len(planted)
+    # and every surviving pair passed the exact-jaccard verify
+    assert pairs.filter(F.col("jaccard") < 0.5).count() == 0
+
+
+def test_simhash_identical_for_exact_copies(spark, sf_dir):
+    sh = dedup.simhash_table(_corpus(spark, sf_dir), "id", "text")
+    joined = (sh.alias("a").join(
+        sh.alias("b"),
+        F.col("a.id") + 2000000 == F.col("b.id")))
+    diff = joined.filter(F.col("a.simhash") != F.col("b.simhash"))
+    assert diff.count() == 0
+
+
+def test_ann_planted_neighbor_ranks_first(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", F.col("embedding").cast("array<double>")
+                      .alias("embedding"), "label")
+    # plant a near-identical copy of vec 0 and query for it
+    copy = base.filter(F.col("vec_id") == 0).select(
+        F.lit(999999).cast("long").alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.0001)).alias("embedding"),
+        "label")
+    corpus = base.unionByName(copy)
+    q = base.filter(F.col("vec_id") == 0)
+    top = ann.topk_bruteforce(corpus, q, k=3).collect()
+    assert top[0]["neighbor_id"] == 999999
+    assert top[0]["score"] >= 0.9999
+
+
+def test_ivf_subset_of_bruteforce_partition(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 1)
+    ivf = ann.topk_ivf(emb, q, k=5).collect()
+    label = emb.filter(F.col("vec_id") == 1).collect()[0]["label"]
+    same_label = {r["vec_id"] for r in
+                  emb.filter(F.col("label") == label).collect()}
+    assert all(r["neighbor_id"] in same_label for r in ivf)
+
+
+def test_multimodal_plumbing(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = multimodal.decode_image_meta(
+        multimodal.with_binary_payload(docs))
+    assert dict(out.dtypes) == {"doc_id": "bigint", "n_bytes": "bigint",
+                                "width": "int", "height": "int",
+                                "format": "string"}
+    row = out.filter(F.col("doc_id") == 0).collect()[0]
+    n0 = docs.filter(F.col("doc_id") == 0).collect()[0]["n_chars"]
+    assert row["n_bytes"] == n0
+    assert row["width"] == n0 % 640 and row["height"] == (n0 * 7) % 480
