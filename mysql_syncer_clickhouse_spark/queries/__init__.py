@@ -11,9 +11,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import cdc, llm, relational, scalar
+from . import cdc, llm, relational, scalar, streaming_q
 
-_MODULES = [relational, scalar, cdc, llm]
+_MODULES = [relational, scalar, cdc, llm, streaming_q]
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,101 @@
+"""Streaming-operator queries, oracle-checked in batch mode.
+
+Spark's time-window operators (`window`, `session_window`) produce the
+same results over a bounded input whether driven by readStream or
+batch -- the driver's oracle is batch SQL, so these run the operators
+in batch; tests/test_streaming.py drives the same logic through real
+readStream/foreachBatch/watermark machinery.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.numeric import dsum, sql_dsum
+from ..sources.tables import load_table
+
+
+def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+              .agg(F.count(F.lit(1)).alias("n"), dsum("value", "sum_value"))
+              .select(F.col("w.start").alias("win_start"), "event_type",
+                      "n", "sum_value"))
+
+
+_TUMBLING_SQL = f"""
+SELECT date_trunc('hour', ts) AS win_start, event_type,
+       COUNT(*) AS n, {sql_dsum('value', 'sum_value')}
+FROM events GROUP BY 1, 2
+"""
+
+
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1h windows sliding every 30min: each event lands in 2 windows."""
+    ev = load_table(spark, sf_dir, "events")
+    return (ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+              .agg(F.count(F.lit(1)).alias("n"))
+              .select(F.col("w.start").alias("win_start"), "n"))
+
+
+_SLIDING_SQL = """
+WITH slid AS (
+  -- duration 3600 / slide 1800: every event is in exactly the two
+  -- windows starting at floor(ts/1800)*1800 and 1800 earlier
+  SELECT to_timestamp(CAST(FLOOR(epoch(ts) / 1800) AS BIGINT) * 1800 - off)
+           AS win_start
+  FROM events
+  CROSS JOIN (SELECT unnest([0, 1800]) AS off)
+)
+SELECT CAST(win_start AS TIMESTAMP) AS win_start, COUNT(*) AS n
+FROM slid GROUP BY 1
+"""
+
+
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window (30 min gap) -- streaming-capable twin of
+    the lag/cumsum sessionization in relational.window_sessionize."""
+    ev = load_table(spark, sf_dir, "events")
+    return (ev.groupBy(F.session_window("ts", "30 minutes").alias("w"),
+                       "user_id")
+              .agg(F.count(F.lit(1)).alias("n_events"),
+                   F.min("event_id").alias("first_event"))
+              .select("user_id", F.col("w.start").alias("session_start"),
+                      "n_events", "first_event"))
+
+
+_SESSION_WIN_SQL = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN epoch(ts) - LAG(epoch(ts))
+                OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+              > 1800 THEN 1
+              WHEN LAG(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts ASC, event_id ASC) IS NULL THEN 1
+              ELSE 0 END AS new_sess
+  FROM events
+), sessions AS (
+  SELECT user_id, event_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_idx
+  FROM flagged
+)
+SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
+       MIN(event_id) AS first_event
+FROM sessions GROUP BY user_id, session_idx
+"""
+
+
+QUERIES = {
+    "stream_tumbling_window": stream_tumbling_window,
+    "stream_sliding_window": stream_sliding_window,
+    "stream_session_window": stream_session_window,
+}
+
+ORACLE = {
+    "stream_tumbling_window": _TUMBLING_SQL,
+    "stream_sliding_window": _SLIDING_SQL,
+    "stream_session_window": _SESSION_WIN_SQL,
+}

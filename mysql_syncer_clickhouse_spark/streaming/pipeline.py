@@ -1,0 +1,124 @@
+"""Streaming CDC apply pipeline -- the reference's sync loop under
+Structured Streaming (SURVEY.md §2.4 P1/P2/P9, §3.2-3.3).
+
+Mapping from the reference:
+- binlog tail (river/sync.go:72-102)         -> `readStream` over
+  changelog parquet partitions (same schema as sources/changelog.py);
+  a Kafka/Debezium source drops in without changing the apply logic.
+- bulk_size / flush_bulk_time micro-batching (river/sync.go:116-178)
+  -> trigger(processingTime=...) + maxFilesPerTrigger backpressure
+  (the bounded syncCh analog, river/river.go:52).
+- master.info position checkpoint (river/master.go:27-83)
+  -> checkpointLocation offset log; commit happens after the sink
+  write, giving the same at-least-once-then-idempotent contract the
+  reference gets from flush-before-save (river/sync.go:160-176):
+  replayed batches re-append rows whose (pk, seq) dedup away.
+- ClickHouse bulk apply (clickhouse/client.go:77-233) -> foreachBatch
+  append to the changelog table; upsert semantics come from
+  operators/upsert.latest_state on read (ReplacingMergeTree analog),
+  and compact() is the explicit background-merge analog.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Sequence
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.types import StructType
+
+from ..operators.upsert import latest_state
+from ..plans.rules import Rule
+
+
+@dataclass
+class SyncMetrics:
+    """insert/update/delete counters (river/status.go:14-47 analog)."""
+    counts: dict[str, int] = field(default_factory=dict)
+
+    def record(self, batch_df: DataFrame) -> None:
+        for row in batch_df.groupBy("op").count().collect():
+            self.counts[row["op"]] = self.counts.get(row["op"], 0) \
+                + row["count"]
+
+    def snapshot(self) -> dict[str, int]:
+        return dict(self.counts)
+
+
+@dataclass
+class StreamingSyncPipeline:
+    """One rule's source->sink stream (the reference runs one river per
+    config; we run one StreamingQuery per rule group)."""
+    rule: Rule
+    pk_cols: Sequence[str]
+    sink_dir: str
+    checkpoint_dir: str
+    seq_col: str = "seq"
+    op_col: str = "op"
+    metrics: SyncMetrics = field(default_factory=SyncMetrics)
+
+    def _apply_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        """The Client.Bulk analog: project/rename per rule, then append
+        the micro-batch to the changelog sink in one atomic-per-epoch
+        write. Keeping raw ops (not merged state) preserves event order
+        via seq and makes replays idempotent."""
+        meta = [self.seq_col, self.op_col]
+        payload = [c for c in batch_df.columns if c not in meta]
+        projected = batch_df.select(
+            *[F.col(c) for c in meta],
+            *self.rule.projection(payload))
+        self.metrics.record(batch_df)
+        projected.write.mode("append").parquet(self.sink_dir)
+
+    def start(self, spark: SparkSession, source_dir: str,
+              schema: StructType, *,
+              max_files_per_trigger: int = 4,
+              processing_time: str | None = None) -> StreamingQuery:
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", max_files_per_trigger)
+                  .parquet(source_dir))
+        writer = (stream.writeStream
+                  .foreachBatch(self._apply_batch)
+                  .option("checkpointLocation", self.checkpoint_dir)
+                  .outputMode("update"))
+        if processing_time:
+            writer = writer.trigger(processingTime=processing_time)
+        else:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    def run_available(self, spark: SparkSession, source_dir: str,
+                      schema: StructType, **kw) -> None:
+        """Drain everything currently in the source, then stop --
+        the batch-boundary analog of canal catch-up."""
+        q = self.start(spark, source_dir, schema, **kw)
+        q.awaitTermination()
+
+    def current_state(self, spark: SparkSession) -> DataFrame:
+        """Dedup-on-read view of the sink (ReplacingMergeTree SELECT
+        ... FINAL analog)."""
+        sink = spark.read.parquet(self.sink_dir)
+        return latest_state(sink, list(self._sink_pk()), self.seq_col,
+                            self.op_col)
+
+    def compact(self, spark: SparkSession) -> None:
+        """Background-merge analog: rewrite the changelog sink down to
+        its current materialized state (latest op wins, tombstones
+        drop). Run out-of-band, exactly like MergeTree merges."""
+        state = self.current_state(spark).withColumn(
+            self.op_col, F.lit("insert"))
+        tmp = self.sink_dir.rstrip("/") + ".compact"
+        state.write.mode("overwrite").parquet(tmp)
+        back = spark.read.parquet(tmp)
+        back.write.mode("overwrite").parquet(self.sink_dir)
+
+    def _sink_pk(self) -> list[str]:
+        """PK names after rule renames."""
+        out = []
+        for c in self.pk_cols:
+            name, _ = self.rule._field_parts(c)
+            out.append(name)
+        return out

@@ -1,0 +1,160 @@
+"""Streaming pipeline tests: the real readStream/foreachBatch/
+checkpoint machinery, including the reference's kill/resume contract
+(SURVEY §5: resume from master.info yields the same final state)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from mysql_syncer_clickhouse_spark.operators.upsert import latest_state
+from mysql_syncer_clickhouse_spark.plans.rules import Rule
+from mysql_syncer_clickhouse_spark.streaming.pipeline import StreamingSyncPipeline
+
+SCHEMA_DDL = "seq long, op string, id long, title string, mydate long"
+
+ROWS_PART1 = [
+    (1, "insert", 1, "first", 86400),
+    (2, "insert", 2, "second", 86400),
+    (3, "update", 1, "first-edited", 86400),
+]
+ROWS_PART2 = [
+    (4, "delete", 2, None, None),
+    (5, "insert", 3, "third", 172800),
+    (6, "update", 3, "third-edited", 172800),
+]
+
+
+def _rule():
+    return Rule(source_schema="app", source_table="items",
+                sink_schema="olap", sink_table="items_sink",
+                pk=("id",),
+                field_mapping={"title": "es_title"})
+
+
+def _write_part(spark, src, rows, name, schema=SCHEMA_DDL):
+    """Land one flat parquet FILE in the stream source dir (the file
+    source does not recurse into nested directories)."""
+    import glob
+    import shutil
+    df = spark.createDataFrame(rows, schema)
+    tmp = os.path.join(os.path.dirname(src), f"_tmp_{name}")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    shutil.copy(glob.glob(os.path.join(tmp, "part-*.parquet"))[0],
+                os.path.join(src, f"{name}.parquet"))
+    shutil.rmtree(tmp)
+
+
+@pytest.fixture()
+def dirs(tmp_path):
+    src = tmp_path / "src"
+    os.makedirs(src)
+    return str(src), str(tmp_path / "sink"), str(tmp_path / "ckpt")
+
+
+def _schema(spark):
+    return spark.createDataFrame([], SCHEMA_DDL).schema
+
+
+def test_stream_apply_and_state(spark, dirs):
+    src, sink, ckpt = dirs
+    _write_part(spark, src, ROWS_PART1, "p1")
+    pipe = StreamingSyncPipeline(_rule(), ["id"], sink, ckpt)
+    pipe.run_available(spark, src, _schema(spark))
+    state = {r["id"]: r["es_title"]
+             for r in pipe.current_state(spark).collect()}
+    assert state == {1: "first-edited", 2: "second"}
+    assert pipe.metrics.snapshot() == {"insert": 2, "update": 1}
+
+
+def test_kill_resume_no_loss_no_dup(spark, dirs):
+    """Stop after part 1, restart with the same checkpoint after part 2
+    arrives: final state must equal a one-shot batch apply of the full
+    changelog (at-least-once + idempotent upsert, river/sync.go:160-176
+    analog)."""
+    src, sink, ckpt = dirs
+    _write_part(spark, src, ROWS_PART1, "p1")
+    pipe = StreamingSyncPipeline(_rule(), ["id"], sink, ckpt)
+    pipe.run_available(spark, src, _schema(spark))   # "kill" after drain
+
+    _write_part(spark, src, ROWS_PART2, "p2")
+    pipe2 = StreamingSyncPipeline(_rule(), ["id"], sink, ckpt)  # resume
+    pipe2.run_available(spark, src, _schema(spark))
+
+    state = {r["id"]: r["es_title"]
+             for r in pipe2.current_state(spark).collect()}
+    assert state == {1: "first-edited", 3: "third-edited"}
+    # no duplicated epochs: sink holds each seq exactly once
+    sink_df = spark.read.parquet(sink)
+    assert sink_df.count() == 6
+    assert sink_df.select("seq").distinct().count() == 6
+
+
+def test_compact_preserves_state(spark, dirs):
+    src, sink, ckpt = dirs
+    _write_part(spark, src, ROWS_PART1, "p1")
+    _write_part(spark, src, ROWS_PART2, "p2")
+    pipe = StreamingSyncPipeline(_rule(), ["id"], sink, ckpt)
+    pipe.run_available(spark, src, _schema(spark))
+    before = {(r["id"], r["es_title"])
+              for r in pipe.current_state(spark).collect()}
+    pipe.compact(spark)
+    after = {(r["id"], r["es_title"])
+             for r in pipe.current_state(spark).collect()}
+    assert before == after
+    # compaction physically dropped superseded rows + tombstones
+    assert spark.read.parquet(sink).count() == len(after)
+
+
+def test_streaming_windowed_agg_memory_sink(spark, dirs):
+    """Genuine streaming: watermark + tumbling window over a file
+    stream, drained via availableNow into a memory sink."""
+    src, _, ckpt = dirs
+    ev = spark.createDataFrame(
+        [(1, "2024-01-01 00:05:00", 10.0), (2, "2024-01-01 00:25:00", 5.0),
+         (3, "2024-01-01 01:10:00", 2.0)],
+        "event_id long, ts_s string, value double"
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    _write_part(spark, src, [tuple(r) for r in ev.collect()],
+                "e1", schema=ev.schema)
+
+    stream = (spark.readStream.schema(ev.schema)
+              .parquet(src)
+              .withWatermark("ts", "10 minutes")
+              .groupBy(F.window("ts", "1 hour").alias("w"))
+              .agg(F.sum("value").alias("v"), F.count(F.lit(1)).alias("n")))
+    q = (stream.writeStream.outputMode("append")
+         .format("memory").queryName("win_out")
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {(str(r["w"]["start"]), r["v"], r["n"])
+           for r in spark.sql("SELECT * FROM win_out").collect()}
+    # append mode emits only watermark-closed windows: hour 0 closed by
+    # the 01:10 event; hour 1 stays open
+    assert got == {("2024-01-01 00:00:00", 15.0, 2)}
+
+
+def test_stream_dedup_within_watermark(spark, dirs):
+    """dropDuplicates on (id) across a replayed stream -- the
+    reference's idempotent re-apply, expressed as streaming dedup."""
+    src, _, ckpt = dirs
+    rows = [(1, "2024-01-01 00:00:01"), (2, "2024-01-01 00:00:02"),
+            (1, "2024-01-01 00:00:03")]
+    df = spark.createDataFrame(rows, "id long, ts_s string") \
+        .withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    _write_part(spark, src, [tuple(r) for r in df.collect()],
+                "d1", schema=df.schema)
+
+    stream = (spark.readStream.schema(df.schema).parquet(src)
+              .withWatermark("ts", "1 minute")
+              .dropDuplicates(["id"]))
+    q = (stream.writeStream.outputMode("append")
+         .format("memory").queryName("dedup_out")
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    assert spark.sql(
+        "SELECT count(*) AS n FROM dedup_out").collect()[0]["n"] == 2
