@@ -21,7 +21,22 @@ from mysql_syncer_clickhouse_spark import queries as registry
 from mysql_syncer_clickhouse_spark.session import get_spark
 
 HEADLINE = [
+    # relational (the work the reference delegates to ClickHouse)
     "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "window_topk_per_group",
+    "topk_orders",
+    # CDC core (the reference's own operator surface)
+    "cdc_final_state",
+    "cdc_wildcard_fan_in",
+    # LLM-data-pipeline layer (scale path variants)
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "ann_ivf_topk",
+    "text_quality_score",
+    # streaming operators in batch mode
+    "stream_tumbling_window",
 ]
 
 

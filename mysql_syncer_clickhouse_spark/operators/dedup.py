@@ -31,6 +31,16 @@ _BAND_SHIFT = 2147483648        # 2^31: pack two <2^31 hashes into one long
 BANDS_OF = 2                    # rows per band -> len(params)/2 bands
 
 
+def _spread(df: DataFrame, key_col: str) -> DataFrame:
+    """Repartition doc rows across all cores before a ~100x-or-more
+    shingle explode. Input splits bound pre-explode parallelism: a
+    corpus read from a few small files would run the whole explode +
+    hash work on a few cores. Shuffling the (small) doc rows is cheap
+    insurance; on a many-split 100 TB scan it is a no-op cost-wise."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, key_col)
+
+
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact dedup via fingerprint hash-aggregation: one row per
     distinct normalized text, keeping the smallest id as canonical."""
@@ -49,18 +59,40 @@ def shingle_set(df: DataFrame, id_col: str, text_col: str,
               .distinct())
 
 
-def minhash_signatures(shingles: DataFrame) -> DataFrame:
-    """(id, i, minhash_i): min over shingles of (a_i*H + b_i) mod P.
-    Exact int64 arithmetic -- a*H < 2^63 -- identical on any engine."""
-    spark = shingles.sparkSession
-    params = spark.createDataFrame(
-        [(i, a, b) for i, (a, b) in enumerate(MINHASH_PARAMS)],
-        "i int, a long, b long")
-    h = shingles.withColumn("h32", portable_hash32("shingle"))
-    return (h.join(F.broadcast(params))
-             .groupBy("id", "i")
-             .agg(F.min((F.col("a") * F.col("h32") + F.col("b"))
-                        % MINHASH_P).alias("mh")))
+def hashed_shingle_set(df: DataFrame, id_col: str, text_col: str,
+                       k: int = 8) -> DataFrame:
+    """Distinct (id, h32) pairs: 32-bit portable hashes of character
+    k-shingles. Hashing BEFORE the distinct means every downstream
+    shuffle (dedup, signature agg, set intersection) moves 8-byte longs
+    instead of k-char strings -- the representation all near-dup
+    operators share. md5-derived, so DuckDB computes identical values
+    and hash collisions (if any) affect both engines identically."""
+    return (_spread(df, id_col)
+            .select(F.col(id_col).alias("id"),
+                    F.explode(char_shingles(text_col, k)).alias("shingle"))
+            .select("id", portable_hash32("shingle").alias("h32"))
+            .distinct())
+
+
+def minhash_signatures(hashed: DataFrame) -> DataFrame:
+    """(id, i, minhash_i): min over shingle hashes of (a_i*H + b_i)
+    mod P. Exact int64 arithmetic -- a*H < 2^53 -- identical on any
+    engine. Input is (id, h32) from hashed_shingle_set.
+
+    All len(MINHASH_PARAMS) minhashes are computed as aggregates of ONE
+    groupBy(id) pass (map-side partial min per hash), instead of
+    fanning each shingle out len(params)x through a params join -- at
+    100 TB that fan-out would multiply the dominant shuffle by 8."""
+    wide = hashed.groupBy("id").agg(*[
+        F.min((F.lit(a) * F.col("h32") + F.lit(b)) % MINHASH_P)
+         .alias(f"mh{i}")
+        for i, (a, b) in enumerate(MINHASH_PARAMS)])
+    sig_structs = F.array(*[
+        F.struct(F.lit(i).alias("i"), F.col(f"mh{i}").alias("mh"))
+        for i in range(len(MINHASH_PARAMS))])
+    return (wide.select("id", F.explode(sig_structs).alias("s"))
+                .select("id", F.col("s.i").alias("i"),
+                        F.col("s.mh").alias("mh")))
 
 
 def lsh_band_signatures(sigs: DataFrame) -> DataFrame:
@@ -83,25 +115,28 @@ def lsh_candidate_pairs(bands: DataFrame) -> DataFrame:
              .distinct())
 
 
-def jaccard_verify(candidates: DataFrame, shingles: DataFrame,
+def jaccard_verify(candidates: DataFrame, hashed: DataFrame,
                    threshold: float) -> DataFrame:
-    """Exact Jaccard on candidate pairs only: |A∩B| via a keyed join on
-    the shingle sets, |A|,|B| via per-doc counts."""
-    sizes = shingles.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
-    inter = (candidates
-             .join(shingles.withColumnRenamed("id", "id_a"), "id_a")
-             .join(shingles.withColumnRenamed("id", "id_b"),
-                   ["id_b", "shingle"])
-             .groupBy("id_a", "id_b")
-             .agg(F.count(F.lit(1)).alias("n_inter")))
-    return (inter
-            .join(sizes.select(F.col("id").alias("id_a"),
-                               F.col("n").alias("n_a")), "id_a")
-            .join(sizes.select(F.col("id").alias("id_b"),
-                               F.col("n").alias("n_b")), "id_b")
+    """Exact Jaccard on candidate pairs only, over the (id, h32) hashed
+    shingle sets.
+
+    Plan shape: one groupBy(id) folds each document's shingle set into
+    an array (~hundreds of longs), then the candidate pairs pick up
+    both arrays via two keyed joins and intersect JVM-side with
+    array_intersect. This moves |docs| array rows through the joins
+    instead of exploding |pairs| x |shingles_per_doc| rows -- at 72k
+    candidate pairs and ~300 shingles/doc that is a 20M-row shuffle
+    avoided; the ratio only grows with corpus size."""
+    sets = hashed.groupBy("id").agg(F.collect_set("h32").alias("hs"))
+    return (candidates
+            .join(sets.select(F.col("id").alias("id_a"),
+                              F.col("hs").alias("hs_a")), "id_a")
+            .join(sets.select(F.col("id").alias("id_b"),
+                              F.col("hs").alias("hs_b")), "id_b")
+            .withColumn("n_inter", F.size(F.array_intersect("hs_a", "hs_b")))
             .withColumn("jaccard",
                         F.round(F.col("n_inter").cast("double")
-                                / (F.col("n_a") + F.col("n_b")
+                                / (F.size("hs_a") + F.size("hs_b")
                                    - F.col("n_inter")), 6))
             .filter(F.col("jaccard") >= threshold)
             .select("id_a", "id_b", "jaccard"))
@@ -110,8 +145,21 @@ def jaccard_verify(candidates: DataFrame, shingles: DataFrame,
 def minhash_dedup(df: DataFrame, id_col: str, text_col: str,
                   k: int = 8, threshold: float = 0.5) -> DataFrame:
     """End-to-end MinHash+LSH near-dup detection: shingle -> signature
-    -> band buckets -> candidate pairs -> exact-Jaccard verify."""
-    sh = shingle_set(df, id_col, text_col, k)
+    -> band buckets -> candidate pairs -> exact-Jaccard verify.
+
+    The shingle relation feeds several plan branches (signatures,
+    candidate join sides, verify); persist it so the explode + hash
+    scan runs once. MEMORY_AND_DISK spills rather than OOMs; a 100 TB
+    run would swap this for a parquet checkpoint of the shingle table,
+    which is the same plan shape. No pre-distinct: every consumer is
+    set-semantic already (min is duplicate-insensitive, collect_set
+    dedups), so the distinct would be a pure extra shuffle."""
+    from pyspark import StorageLevel
+    sh = (_spread(df, id_col)
+          .select(F.col(id_col).alias("id"),
+                  F.explode(char_shingles(text_col, k)).alias("shingle"))
+          .select("id", portable_hash32("shingle").alias("h32"))
+          .persist(StorageLevel.MEMORY_AND_DISK))
     cands = lsh_candidate_pairs(lsh_band_signatures(minhash_signatures(sh)))
     return jaccard_verify(cands, sh, threshold)
 
@@ -124,8 +172,7 @@ def simhash_table(df: DataFrame, id_col: str, text_col: str,
     parity. Identical simhash == near-identical text at this k."""
     spark = df.sparkSession
     bit_df = spark.createDataFrame([(b,) for b in range(bits)], "b int")
-    sh = shingle_set(df, id_col, text_col, k)
-    h = sh.withColumn("h32", portable_hash32("shingle"))
+    h = hashed_shingle_set(df, id_col, text_col, k)
     votes = (h.join(F.broadcast(bit_df))
               .withColumn("bit",
                           (F.floor(F.col("h32") / F.pow(F.lit(2.0), "b"))
@@ -152,7 +199,10 @@ def ngram_jaccard_blocked(df: DataFrame, id_col: str, text_col: str,
     cands = (a.join(b, block_cols)
               .filter(F.col("id_a") < F.col("id_b"))
               .select("id_a", "id_b"))
-    grams = base.select("id", F.explode("grams").alias("shingle")).distinct()
+    grams = (_spread(base, "id")
+             .select("id", F.explode("grams").alias("g"))
+             .select("id", portable_hash32("g").alias("h32"))
+             .distinct())
     return jaccard_verify(cands, grams, threshold)
 
 

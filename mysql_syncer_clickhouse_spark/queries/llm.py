@@ -28,9 +28,12 @@ _CORPUS = f"WITH corpus AS ({dedup.CORPUS_SQL})"
 
 _H32 = "('0x' || substr(md5({x}), 1, 8))::BIGINT"
 
-_SHINGLES_SQL = """
+_SHINGLES_SQL = f"""
 shingles AS (
-  SELECT DISTINCT id, substr(text, p, 8) AS shingle
+  -- distinct (id, h32): hash before distinct, exactly like
+  -- operators/dedup.hashed_shingle_set, so any md5-prefix collision
+  -- affects both engines identically
+  SELECT DISTINCT id, {_H32.format(x='substr(text, p, 8)')} AS h32
   FROM (SELECT id, text,
                unnest(generate_series(1, greatest(len(text) - 7, 1))) AS p
         FROM corpus)
@@ -107,11 +110,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _MINHASH_SQL = _CORPUS + "," + _SHINGLES_SQL + f"""
-, hashed AS (
-  SELECT id, shingle, {_H32.format(x='shingle')} AS h32 FROM shingles
-), sigs AS (
+, sigs AS (
   SELECT id, i, MIN((a * h32 + b) % {dedup.MINHASH_P}) AS mh
-  FROM hashed CROSS JOIN {_PARAMS_SQL}
+  FROM shingles CROSS JOIN {_PARAMS_SQL}
   GROUP BY id, i
 ), bands AS (
   SELECT id, i // {dedup.BANDS_OF} AS band,
@@ -128,7 +129,7 @@ _MINHASH_SQL = _CORPUS + "," + _SHINGLES_SQL + f"""
   SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
   FROM cands c
   JOIN shingles sa ON sa.id = c.id_a
-  JOIN shingles sb ON sb.id = c.id_b AND sb.shingle = sa.shingle
+  JOIN shingles sb ON sb.id = c.id_b AND sb.h32 = sa.h32
   GROUP BY c.id_a, c.id_b
 )
 SELECT i.id_a, i.id_b,
@@ -144,14 +145,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_table(_corpus(spark, sf_dir), "id", "text")
 
 
-_SIMHASH_SQL = _CORPUS + "," + _SHINGLES_SQL + f"""
-, hashed AS (
-  SELECT id, {_H32.format(x='shingle')} AS h32 FROM shingles
-), votes AS (
+_SIMHASH_SQL = _CORPUS + "," + _SHINGLES_SQL + """
+, votes AS (
   SELECT id, b,
          SUM(CASE WHEN CAST(FLOOR(h32 / POWER(2, b)) AS BIGINT) % 2 = 1
                   THEN 1 ELSE -1 END) AS vote
-  FROM hashed
+  FROM shingles
   CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b)
   GROUP BY id, b
 )
@@ -167,9 +166,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         block_cols=["source", "n_chars"], n=3, threshold=0.3)
 
 
-_NGRAM_SQL = _CORPUS + """
+_NGRAM_SQL = _CORPUS + f"""
 , grams AS (
-  SELECT DISTINCT id, array_to_string(w[i:i+2], ' ') AS shingle
+  SELECT DISTINCT id,
+         {_H32.format(x="array_to_string(w[i:i+2], ' ')")} AS h32
   FROM (SELECT id, w,
                unnest(generate_series(1, greatest(len(w) - 2, 1))) AS i
         FROM (SELECT id, string_split(trim(text), ' ') AS w FROM corpus))
@@ -183,7 +183,7 @@ _NGRAM_SQL = _CORPUS + """
   SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
   FROM cands c
   JOIN grams ga ON ga.id = c.id_a
-  JOIN grams gb ON gb.id = c.id_b AND gb.shingle = ga.shingle
+  JOIN grams gb ON gb.id = c.id_b AND gb.h32 = ga.h32
   GROUP BY c.id_a, c.id_b
 )
 SELECT i.id_a, i.id_b,
