@@ -49,15 +49,16 @@ def main() -> None:
     all_q = registry.all_queries()
     names = [n for n in HEADLINE if n in all_q]
 
-    # warm the JVM + parquet footers once so per-query numbers measure
-    # the plan, not session startup
-    all_q[names[0]](spark, sf_dir).count()
-
     times: dict[str, float] = {}
     for name in names:
+        # first run warms JVM/codegen/parquet footers; the timed second
+        # run measures the executed plan (what scales), not compilation
+        def run() -> None:
+            all_q[name](spark, sf_dir) \
+                .write.format("noop").mode("overwrite").save()
+        run()
         t0 = time.perf_counter()
-        df = all_q[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
+        run()
         times[name] = round(time.perf_counter() - t0, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

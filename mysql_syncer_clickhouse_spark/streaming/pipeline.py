@@ -99,8 +99,12 @@ class StreamingSyncPipeline:
 
     def current_state(self, spark: SparkSession) -> DataFrame:
         """Dedup-on-read view of the sink (ReplacingMergeTree SELECT
-        ... FINAL analog)."""
-        sink = spark.read.parquet(self.sink_dir)
+        ... FINAL analog). mergeSchema tolerates files written before
+        and after a mid-stream DDL (ADD/DROP COLUMN): the union schema
+        is taken and absent columns read as NULL, mirroring the
+        reference's re-introspection on OnTableChanged
+        (river/sync.go:54-60, river/river.go:166-180)."""
+        sink = spark.read.option("mergeSchema", "true").parquet(self.sink_dir)
         return latest_state(sink, list(self._sink_pk()), self.seq_col,
                             self.op_col)
 

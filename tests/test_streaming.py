@@ -108,6 +108,35 @@ def test_compact_preserves_state(spark, dirs):
     assert spark.read.parquet(sink).count() == len(after)
 
 
+def test_schema_evolution_add_drop_column(spark, dirs):
+    """Mid-stream DDL (river/river_test.go:385-399 scenario): after
+    draining schema v1, the source table gains a column ('extra') and
+    drops another ('mydate'). The restarted stream reads v2 with the
+    same checkpoint; the merged sink view exposes the union schema with
+    NULLs where a file predates/postdates the DDL."""
+    src, sink, ckpt = dirs
+    _write_part(spark, src, ROWS_PART1, "p1")
+    pipe = StreamingSyncPipeline(_rule(), ["id"], sink, ckpt)
+    pipe.run_available(spark, src, _schema(spark))
+
+    v2_ddl = "seq long, op string, id long, title string, extra string"
+    rows_v2 = [(4, "insert", 4, "fourth", "bonus"),
+               (5, "update", 1, "first-v2", "patched")]
+    _write_part(spark, src, rows_v2, "p2", schema=v2_ddl)
+    pipe2 = StreamingSyncPipeline(_rule(), ["id"], sink, ckpt)
+    pipe2.run_available(spark, src,
+                        spark.createDataFrame([], v2_ddl).schema)
+
+    state = pipe2.current_state(spark)
+    assert {"seq", "id", "es_title", "mydate", "extra"} <= set(state.columns)
+    rows = {r["id"]: r for r in state.collect()}
+    assert rows[1]["es_title"] == "first-v2"
+    assert rows[1]["extra"] == "patched"
+    assert rows[1]["mydate"] is None        # dropped post-DDL -> NULL
+    assert rows[2]["extra"] is None         # pre-DDL row -> NULL
+    assert rows[4]["es_title"] == "fourth"
+
+
 def test_streaming_windowed_agg_memory_sink(spark, dirs):
     """Genuine streaming: watermark + tumbling window over a file
     stream, drained via availableNow into a memory sink."""
