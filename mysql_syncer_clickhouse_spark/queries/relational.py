@@ -233,6 +233,49 @@ GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
 
 
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form rollup/cube sugar):
+    totals by (status, priority) and by (priority) alone, one pass."""
+    orders = _t(spark, sf_dir, "orders")
+    return (orders.groupingSets(
+                [["o_orderstatus", "o_orderpriority"], ["o_orderpriority"]],
+                "o_orderstatus", "o_orderpriority")
+                  .agg(F.count(F.lit(1)).alias("n"),
+                       dsum("o_totalprice", "sum_price")))
+
+
+_GROUPING_SETS_SQL = f"""
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+       {sql_dsum('o_totalprice', 'sum_price')}
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderpriority))
+"""
+
+
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact join through the salting operator (operators/skew.py):
+    row-identical to the plain join, but a hot l_orderkey spreads over
+    salt_n shuffle partitions. Aggregated so the result is compact."""
+    from ..operators.skew import salted_join
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount")
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority")
+    joined = salted_join(li, orders, ["l_orderkey"])
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (joined.groupBy("o_orderpriority")
+                  .agg(F.count(F.lit(1)).alias("n_items"),
+                       dsum(revenue, "revenue")))
+
+
+_SKEW_SQL = f"""
+SELECT o_orderpriority, COUNT(*) AS n_items,
+       {sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue')}
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
 # --- window functions -----------------------------------------------------
 
 def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -461,6 +504,8 @@ QUERIES = {
     "join_anti": join_anti,
     "agg_rollup": agg_rollup,
     "agg_cube": agg_cube,
+    "agg_grouping_sets": agg_grouping_sets,
+    "join_skew_salted": join_skew_salted,
     "window_topk_per_group": window_topk_per_group,
     "window_running_sum": window_running_sum,
     "window_lag_lead": window_lag_lead,
@@ -483,6 +528,8 @@ ORACLE = {
     "join_anti": _ANTI_SQL,
     "agg_rollup": _ROLLUP_SQL,
     "agg_cube": _CUBE_SQL,
+    "agg_grouping_sets": _GROUPING_SETS_SQL,
+    "join_skew_salted": _SKEW_SQL,
     "window_topk_per_group": _TOPK_GRP_SQL,
     "window_running_sum": _RUNNING_SQL,
     "window_lag_lead": _LAG_SQL,

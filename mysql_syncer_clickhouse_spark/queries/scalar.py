@@ -182,6 +182,79 @@ FROM events
 """
 
 
+# F5 (typed): from_json into a typed struct, not just path extraction
+def t_json_struct(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    parsed = F.from_json("props", "k INT")
+    return ev.select("event_id", parsed.getField("k").alias("k"),
+                     F.isnotnull(parsed).alias("valid_json"))
+
+
+_JSON_STRUCT_SQL = """
+SELECT event_id, CAST(props->>'$.k' AS INT) AS k,
+       (json_valid(props)) AS valid_json
+FROM events
+"""
+
+
+# query-layer built-in surface: string / date / math scalar functions
+# (the classes the reference delegates to ClickHouse, SURVEY §2.5)
+def t_builtins(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.upper(F.substring("o_orderpriority", 3, 20)).alias("prio_u"),
+        F.length("o_orderstatus").alias("status_len"),
+        F.concat_ws("|", "o_orderstatus", "o_orderpriority").alias("tag"),
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.date_trunc("quarter", "o_orderdate").alias("qtr"),
+        F.round(F.sqrt(F.abs("o_totalprice")), 4).alias("sqrt_price"),
+        F.round(F.log(10.0, F.col("o_totalprice") + 1), 6)
+         .alias("log_price"),
+        F.floor(F.col("o_totalprice") / 1000).alias("price_k"),
+    )
+
+
+_BUILTINS_SQL = """
+SELECT o_orderkey,
+       UPPER(SUBSTRING(o_orderpriority, 3, 20)) AS prio_u,
+       LENGTH(o_orderstatus) AS status_len,
+       CONCAT_WS('|', o_orderstatus, o_orderpriority) AS tag,
+       EXTRACT(YEAR FROM o_orderdate) AS yr,
+       EXTRACT(MONTH FROM o_orderdate) AS mo,
+       CAST(DATE_TRUNC('quarter', o_orderdate) AS TIMESTAMP) AS qtr,
+       ROUND(SQRT(ABS(o_totalprice)), 4) AS sqrt_price,
+       ROUND(LOG(10, o_totalprice + 1), 6) AS log_price,
+       CAST(FLOOR(o_totalprice / 1000) AS BIGINT) AS price_k
+FROM orders
+"""
+
+
+# array / map built-ins over the csv list transform's output
+def t_array_map_ops(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    arr = F.split(F.concat_ws(",", "event_type", "event_type"), ",")
+    return ev.select(
+        "event_id",
+        F.size(arr).alias("n_el"),
+        F.array_contains(arr, "click").alias("has_click"),
+        F.sort_array(F.array_distinct(arr)).alias("distinct_sorted"),
+        F.element_at(F.create_map(F.lit("t"), F.col("event_type")), "t")
+         .alias("map_val"),
+    )
+
+
+_ARRAY_MAP_SQL = """
+SELECT event_id,
+       2 AS n_el,
+       (event_type = 'click') AS has_click,
+       [event_type] AS distinct_sorted,
+       event_type AS map_val
+FROM events
+"""
+
+
 QUERIES = {
     "t_enum_decode": t_enum_decode,
     "t_set_decode": t_set_decode,
@@ -191,7 +264,10 @@ QUERIES = {
     "t_csv_to_list": t_csv_to_list,
     "t_unix_to_ts": t_unix_to_ts,
     "t_json_get": t_json_get,
+    "t_json_struct": t_json_struct,
     "t_int_normalize": t_int_normalize,
+    "t_builtins": t_builtins,
+    "t_array_map_ops": t_array_map_ops,
 }
 
 ORACLE = {
@@ -203,5 +279,8 @@ ORACLE = {
     "t_csv_to_list": _CSV_SQL,
     "t_unix_to_ts": _UNIX_SQL,
     "t_json_get": _JSON_SQL,
+    "t_json_struct": _JSON_STRUCT_SQL,
     "t_int_normalize": _INT_SQL,
+    "t_builtins": _BUILTINS_SQL,
+    "t_array_map_ops": _ARRAY_MAP_SQL,
 }

@@ -47,6 +47,20 @@ def test_upsert_single_shuffle(spark, sf_dir):
     assert n_shuffles(df) == 1
 
 
+def test_salted_join_row_identical_to_plain(spark, sf_dir):
+    """Salting must not change join results, only key distribution."""
+    from mysql_syncer_clickhouse_spark.operators.skew import salted_join
+    li = relational._t(spark, sf_dir, "lineitem") \
+        .select("l_orderkey", "l_quantity")
+    orders = relational._t(spark, sf_dir, "orders") \
+        .select(relational.F.col("o_orderkey").alias("l_orderkey"),
+                "o_orderpriority")
+    plain = li.join(orders, ["l_orderkey"])
+    salted = salted_join(li, orders, ["l_orderkey"])
+    assert sorted(map(tuple, salted.collect())) \
+        == sorted(map(tuple, plain.collect()))
+
+
 def test_approx_distinct_error_bound(spark, sf_dir):
     approx = {r["l_returnflag"]: r["approx_orders"]
               for r in relational.approx_distinct(spark, sf_dir).collect()}
