@@ -1,0 +1,37 @@
+"""JDBC snapshot source config tests (no MySQL in the container; the
+partitioning contract is what matters -- SURVEY §2.1 S1)."""
+
+from __future__ import annotations
+
+from mysql_syncer_clickhouse_spark.sources.jdbc import (
+    JdbcSnapshotConfig, pk_bounds_query)
+
+CFG = JdbcSnapshotConfig(
+    url="jdbc:mysql://db:3306/app", table="app.items",
+    user="u", password="p", partition_column="id", num_partitions=8)
+
+
+def test_partitioned_reader_options():
+    opts = CFG.reader_options(0, 1000)
+    assert opts["partitionColumn"] == "id"
+    assert opts["numPartitions"] == "8"
+    assert (opts["lowerBound"], opts["upperBound"]) == ("0", "1000")
+    assert opts["dbtable"] == "app.items"
+
+
+def test_unpartitioned_when_no_bounds():
+    opts = CFG.reader_options()
+    assert "partitionColumn" not in opts
+    # degenerate/empty range must not emit partitioning options
+    assert "partitionColumn" not in CFG.reader_options(5, 5)
+
+
+def test_no_partition_column():
+    cfg = JdbcSnapshotConfig(url="jdbc:mysql://db/app", table="t",
+                             user="u", password="p")
+    assert "partitionColumn" not in cfg.reader_options(0, 10)
+
+
+def test_bounds_probe_is_single_row_pushdown():
+    q = pk_bounds_query(CFG)
+    assert "MIN(id)" in q and "MAX(id)" in q and "app.items" in q

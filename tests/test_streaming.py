@@ -166,6 +166,33 @@ def test_streaming_windowed_agg_memory_sink(spark, dirs):
     assert got == {("2024-01-01 00:00:00", 15.0, 2)}
 
 
+def test_stateful_running_op_counts(spark, dirs):
+    """applyInPandasWithState running counters across two micro-batches
+    of one drain: totals must accumulate in the state store, per key."""
+    from mysql_syncer_clickhouse_spark.streaming.stateful import (
+        running_op_counts)
+    src, _, ckpt = dirs
+    _write_part(spark, src, ROWS_PART1, "p1")
+    _write_part(spark, src, ROWS_PART2, "p2")
+
+    stream = (spark.readStream.schema(_schema(spark))
+              .option("maxFilesPerTrigger", 1)   # force 2 micro-batches
+              .parquet(src))
+    q = (running_op_counts(stream).writeStream
+         .outputMode("update").format("memory").queryName("op_counts")
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    # memory sink in update mode appends each emission; latest per op
+    # is the running total after the final batch
+    rows = spark.sql(
+        "SELECT op, n FROM op_counts").collect()
+    latest = {}
+    for r in rows:                 # emissions arrive in batch order
+        latest[r["op"]] = max(latest.get(r["op"], 0), r["n"])
+    assert latest == {"insert": 3, "update": 2, "delete": 1}
+
+
 def test_stream_dedup_within_watermark(spark, dirs):
     """dropDuplicates on (id) across a replayed stream -- the
     reference's idempotent re-apply, expressed as streaming dedup."""
