@@ -233,6 +233,42 @@ GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
 
 
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer over two aggregated sides with disjoint key ranges
+    so both NULL-extension directions occur."""
+    cust_orders = (_t(spark, sf_dir, "orders")
+                   .groupBy("o_custkey")
+                   .agg(F.count(F.lit(1)).alias("n_orders")))
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey")
+    return (cust.join(cust_orders, ["o_custkey"], "full_outer")
+                .select(F.col("o_custkey").alias("custkey"),
+                        "c_nationkey", "n_orders"))
+
+
+_FULL_OUTER_SQL = """
+SELECT COALESCE(c.c_custkey, o.o_custkey) AS custkey,
+       c.c_nationkey, o.n_orders
+FROM customer c
+FULL OUTER JOIN (SELECT o_custkey, COUNT(*) AS n_orders
+                 FROM orders GROUP BY o_custkey) o
+  ON c.c_custkey = o.o_custkey
+"""
+
+
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian of two tiny dimensions (the only place a cross join
+    is ever sane; Catalyst turns it into BroadcastNestedLoop)."""
+    r = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return r.crossJoin(n)
+
+
+_CROSS_SQL = """
+SELECT r_regionkey, r_name, n_nationkey, n_name FROM region CROSS JOIN nation
+"""
+
+
 def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS (the general form rollup/cube sugar):
     totals by (status, priority) and by (priority) alone, one pass."""
@@ -502,6 +538,8 @@ QUERIES = {
     "join_left_outer": join_left_outer,
     "join_semi": join_semi,
     "join_anti": join_anti,
+    "join_full_outer": join_full_outer,
+    "join_cross": join_cross,
     "agg_rollup": agg_rollup,
     "agg_cube": agg_cube,
     "agg_grouping_sets": agg_grouping_sets,
@@ -526,6 +564,8 @@ ORACLE = {
     "join_left_outer": _LEFT_SQL,
     "join_semi": _SEMI_SQL,
     "join_anti": _ANTI_SQL,
+    "join_full_outer": _FULL_OUTER_SQL,
+    "join_cross": _CROSS_SQL,
     "agg_rollup": _ROLLUP_SQL,
     "agg_cube": _CUBE_SQL,
     "agg_grouping_sets": _GROUPING_SETS_SQL,
