@@ -312,6 +312,60 @@ GROUP BY o_orderpriority
 """
 
 
+# --- temporal joins (custom operators, operators/temporal.py) -------------
+
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each click picks up the latest prior purchase value per user --
+    the as-of join, one shuffle on user_id (operators/temporal.py).
+    Oracle is DuckDB's native ASOF JOIN."""
+    from ..operators.temporal import asof_join
+    ev = _t(spark, sf_dir, "events")
+    clicks = (ev.filter(F.col("event_type") == "click")
+                .select("event_id", "user_id", "ts"))
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                   .groupBy("user_id", "ts")
+                   .agg(F.max_by("value", "event_id").alias("pval")))
+    out = asof_join(clicks, purchases, "user_id", "ts", "ts", ["pval"])
+    return out.select("event_id", "user_id",
+                      F.round("pval_asof", 6).alias("value_asof"))
+
+
+_ASOF_SQL = """
+WITH p AS (SELECT user_id, ts, arg_max(value, event_id) AS pval
+           FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts),
+c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+SELECT c.event_id, c.user_id, ROUND(p.pval, 6) AS value_asof
+FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND p.ts <= c.ts
+"""
+
+
+def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per click: how many purchases the same user made in the prior
+    30 minutes. Candidates come from the (user, time-bin) equi-join
+    (operators/temporal.py), never a per-user cross join."""
+    from ..operators.temporal import range_join_binned
+    ev = _t(spark, sf_dir, "events")
+    clicks = (ev.filter(F.col("event_type") == "click")
+                .select(F.col("event_id").alias("click_id"),
+                        "user_id", F.col("ts").alias("cts")))
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                   .select(F.col("event_id").alias("p_id"),
+                           "user_id", F.col("ts").alias("pts")))
+    pairs = range_join_binned(clicks, purchases, "user_id",
+                              "cts", "pts", lookback_s=1800)
+    return pairs.groupBy("click_id").agg(F.count(F.lit(1)).alias("n_prior"))
+
+
+_RANGE_SQL = """
+SELECT c.event_id AS click_id, COUNT(*) AS n_prior
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts <= c.ts AND p.ts >= c.ts - INTERVAL 30 MINUTE
+GROUP BY c.event_id
+"""
+
+
 # --- window functions -----------------------------------------------------
 
 def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -540,6 +594,8 @@ QUERIES = {
     "join_anti": join_anti,
     "join_full_outer": join_full_outer,
     "join_cross": join_cross,
+    "join_asof": join_asof,
+    "join_range_binned": join_range_binned,
     "agg_rollup": agg_rollup,
     "agg_cube": agg_cube,
     "agg_grouping_sets": agg_grouping_sets,
@@ -566,6 +622,8 @@ ORACLE = {
     "join_anti": _ANTI_SQL,
     "join_full_outer": _FULL_OUTER_SQL,
     "join_cross": _CROSS_SQL,
+    "join_asof": _ASOF_SQL,
+    "join_range_binned": _RANGE_SQL,
     "agg_rollup": _ROLLUP_SQL,
     "agg_cube": _CUBE_SQL,
     "agg_grouping_sets": _GROUPING_SETS_SQL,
