@@ -53,3 +53,68 @@ def decode_image_meta(df: DataFrame) -> DataFrame:
             })
 
     return df.mapInPandas(decode, DECODE_SCHEMA)
+
+
+RESIZE_SCHEMA = "doc_id long, payload binary, width int, height int"
+
+
+def resize_image(df: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize stub: output payload is the input truncated/zero-padded
+    to width*height bytes (a real build calls PIL.Image.resize here).
+    The Spark-side contract under test: binary in -> binary out through
+    Arrow batches, one output row per input row."""
+    target = width * height
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf["payload"].map(
+                lambda b: bytes(b[:target]).ljust(target, b"\0"))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": out,
+                                "width": width, "height": height})
+
+    return df.mapInPandas(resize, RESIZE_SCHEMA)
+
+
+FRAMES_SCHEMA = "doc_id long, frame_idx int, frame binary, frame_n_bytes long"
+
+
+def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Frame-sampling stub (video -> n evenly spaced frames): slices
+    the payload into n equal byte ranges (a real build seeks with
+    ffmpeg). Fan-out happens INSIDE the Arrow batch (n rows out per row
+    in), so the operator parallelizes by input partition and never
+    materializes whole videos per frame."""
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                step = max(len(payload) // n_frames, 1)
+                for i in range(n_frames):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    frames.append(bytes(payload[i * step:(i + 1) * step]))
+            yield pd.DataFrame({
+                "doc_id": ids, "frame_idx": idxs, "frame": frames,
+                "frame_n_bytes": [len(f) for f in frames]})
+
+    return df.mapInPandas(sample, FRAMES_SCHEMA)
+
+
+FEATURES_SCHEMA = "doc_id long, features array<double>"
+
+
+def extract_features(df: DataFrame, dim: int = 8) -> DataFrame:
+    """Feature-extraction stub (payload -> embedding vector): a real
+    build runs a vision/audio encoder per Arrow batch; the fake derives
+    dim deterministic values from the byte length so the whole path is
+    oracle-checkable."""
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = pdf["payload"].map(len)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "features": n.map(lambda ln: [
+                    (ln * (j + 1)) % 997 / 997.0 for j in range(dim)]),
+            })
+
+    return df.mapInPandas(extract, FEATURES_SCHEMA)

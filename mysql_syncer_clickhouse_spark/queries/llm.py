@@ -388,6 +388,42 @@ FROM documents
 """
 
 
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing; the oracle checks the fan-out
+    shape + deterministic frame sizes (binary content checked by
+    pytest, not SQL-expressible)."""
+    docs = _docs(spark, sf_dir)
+    frames = multimodal.sample_frames(
+        multimodal.with_binary_payload(docs), n_frames=4)
+    return frames.select("doc_id", "frame_idx", "frame_n_bytes")
+
+
+_MM_FRAMES_SQL = """
+SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+       CASE WHEN (frame_idx + 1) * (strlen(text) // 4) <= strlen(text)
+            THEN strlen(text) // 4
+            ELSE GREATEST(strlen(text) - frame_idx * (strlen(text) // 4), 0)
+       END AS frame_n_bytes
+FROM documents
+CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS frame_idx)
+"""
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return multimodal.extract_features(
+        multimodal.with_binary_payload(docs), dim=4)
+
+
+_MM_FEATURES_SQL = """
+SELECT doc_id,
+       list_transform(generate_series(1, 4),
+                      j -> CAST((strlen(text) * j) % 997 AS DOUBLE) / 997.0)
+         AS features
+FROM documents
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -401,6 +437,8 @@ QUERIES = {
     "text_lang_id": text_lang_id,
     "doc_fingerprint": doc_fingerprint,
     "multimodal_decode_meta": multimodal_decode_meta,
+    "multimodal_frame_sample": multimodal_frame_sample,
+    "multimodal_features": multimodal_features,
 }
 
 ORACLE = {
@@ -416,4 +454,6 @@ ORACLE = {
     "text_lang_id": _LANG_SQL,
     "doc_fingerprint": _FP_SQL,
     "multimodal_decode_meta": _MM_SQL,
+    "multimodal_frame_sample": _MM_FRAMES_SQL,
+    "multimodal_features": _MM_FEATURES_SQL,
 }

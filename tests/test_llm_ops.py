@@ -86,3 +86,27 @@ def test_multimodal_plumbing(spark, sf_dir):
     n0 = docs.filter(F.col("doc_id") == 0).collect()[0]["n_chars"]
     assert row["n_bytes"] == n0
     assert row["width"] == n0 % 640 and row["height"] == (n0 * 7) % 480
+
+
+def test_multimodal_resize_and_frames_binary_content(spark, sf_dir):
+    """Binary payload semantics the SQL oracle can't express: resized
+    payload is exactly width*height bytes (truncate/pad), and sampled
+    frames are the right slices of the original bytes."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 5)
+    binary = multimodal.with_binary_payload(docs)
+    texts = {r["doc_id"]: r["text"].encode()
+             for r in docs.select("doc_id", "text").collect()}
+
+    resized = {r["doc_id"]: bytes(r["payload"])
+               for r in multimodal.resize_image(binary, 16, 4).collect()}
+    for doc_id, payload in resized.items():
+        assert len(payload) == 64
+        assert payload == texts[doc_id][:64].ljust(64, b"\0")
+
+    frames = multimodal.sample_frames(binary, n_frames=4).collect()
+    assert len(frames) == 4 * len(texts)
+    for r in frames:
+        orig, step = texts[r["doc_id"]], max(len(texts[r["doc_id"]]) // 4, 1)
+        i = r["frame_idx"]
+        assert bytes(r["frame"]) == orig[i * step:(i + 1) * step]
