@@ -27,6 +27,9 @@ HEADLINE = [
     "q5_local_supplier",
     "window_topk_per_group",
     "topk_orders",
+    "join_skew_salted",
+    "join_asof",
+    "join_range_binned",
     # CDC core (the reference's own operator surface)
     "cdc_final_state",
     "cdc_wildcard_fan_in",

@@ -58,6 +58,10 @@ class StreamingSyncPipeline:
     checkpoint_dir: str
     seq_col: str = "seq"
     op_col: str = "op"
+    # hive-style sink partitioning (MergeTree PARTITION BY analog):
+    # at 100 TB a date-ish partition key keeps appends small, lets
+    # compaction run per-partition, and gives readers partition pruning
+    partition_cols: Sequence[str] = ()
     metrics: SyncMetrics = field(default_factory=SyncMetrics)
 
     def _apply_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
@@ -71,7 +75,10 @@ class StreamingSyncPipeline:
             *[F.col(c) for c in meta],
             *self.rule.projection(payload))
         self.metrics.record(batch_df)
-        projected.write.mode("append").parquet(self.sink_dir)
+        writer = projected.write.mode("append")
+        if self.partition_cols:
+            writer = writer.partitionBy(*self.partition_cols)
+        writer.parquet(self.sink_dir)
 
     def start(self, spark: SparkSession, source_dir: str,
               schema: StructType, *,
@@ -117,7 +124,10 @@ class StreamingSyncPipeline:
         tmp = self.sink_dir.rstrip("/") + ".compact"
         state.write.mode("overwrite").parquet(tmp)
         back = spark.read.parquet(tmp)
-        back.write.mode("overwrite").parquet(self.sink_dir)
+        writer = back.write.mode("overwrite")
+        if self.partition_cols:
+            writer = writer.partitionBy(*self.partition_cols)
+        writer.parquet(self.sink_dir)
 
     def _sink_pk(self) -> list[str]:
         """PK names after rule renames."""

