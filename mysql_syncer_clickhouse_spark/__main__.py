@@ -1,0 +1,86 @@
+"""CLI -- the reference's `mysql-syncer-clickhouse -config river.toml`
+daemon (main.go:25-106), Spark-native.
+
+    python -m mysql_syncer_clickhouse_spark \
+        --config etc/river.toml --changelog-dir /data/changelog \
+        [--follow] [--compact]
+
+Reads the SAME river.toml an existing deployment already has. Each
+[[rule]] becomes one StreamingSyncPipeline: readStream over the rule's
+changelog parquet directory (`<changelog-dir>/<schema>.<table>/`; a
+Kafka/Debezium source drops in at the same seam), foreachBatch apply
+into `<data_dir>/<sink_schema>.<sink_table>`, checkpoint under
+`<data_dir>/_checkpoints/`. Without --follow it drains what's there
+(availableNow) and exits -- the catch-up/batch mode; with --follow it
+keeps a processingTime trigger running at flush_bulk_time cadence.
+Prints per-rule op counters (the /stat analog, river/status.go:49-68)
+as one JSON line each.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+from .config import EngineConfig
+from .session import get_spark
+from .streaming.pipeline import StreamingSyncPipeline
+
+
+def run(cfg: EngineConfig, changelog_dir: str, *, follow: bool = False,
+        compact: bool = False, spark=None) -> list[dict]:
+    spark = spark or get_spark("mysql-syncer-clickhouse-spark",
+                               cpus=cfg.threads)
+    results = []
+    for rule in cfg.rules.rules:
+        src = os.path.join(changelog_dir,
+                           f"{rule.source_schema}.{rule.source_table}")
+        if not os.path.isdir(src):
+            continue
+        if not rule.pk and cfg.skip_no_pk_table:
+            continue
+        schema = spark.read.parquet(src).schema
+        pipe = StreamingSyncPipeline(
+            rule, list(rule.pk), cfg.sink_dir(rule),
+            cfg.checkpoint_dir(rule))
+        if follow:
+            pipe.start(spark, src, schema,
+                       max_files_per_trigger=cfg.bulk_size,
+                       **cfg.trigger_kwargs(follow=True))
+            results.append({"rule": rule.key, "mode": "following"})
+            continue
+        pipe.run_available(spark, src, schema,
+                           max_files_per_trigger=cfg.bulk_size)
+        if compact:
+            pipe.compact(spark)
+        results.append({
+            "rule": rule.key,
+            "sink": cfg.sink_dir(rule),
+            "rows": pipe.current_state(spark).count(),
+            "ops": pipe.metrics.snapshot(),
+        })
+    return results
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="mysql_syncer_clickhouse_spark")
+    ap.add_argument("--config", required=True,
+                    help="river.toml (reference-compatible)")
+    ap.add_argument("--changelog-dir", required=True,
+                    help="root of per-table changelog parquet dirs")
+    ap.add_argument("--follow", action="store_true",
+                    help="keep tailing at flush_bulk_time cadence")
+    ap.add_argument("--compact", action="store_true",
+                    help="rewrite each sink to its merged state after draining")
+    args = ap.parse_args(argv)
+    cfg = EngineConfig.from_toml(args.config)
+    for line in run(cfg, args.changelog_dir,
+                    follow=args.follow, compact=args.compact):
+        print(json.dumps(line))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

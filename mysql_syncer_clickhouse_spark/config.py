@@ -1,0 +1,82 @@
+"""Engine config -- parses the reference's river.toml verbatim
+(river/config.go:18-51, etc/river.toml) so an existing deployment's
+config file drives this engine unchanged.
+
+Field mapping to Spark concepts:
+- data_dir          -> sink + checkpoint root (master.info analog is the
+                       Structured Streaming offset log under it)
+- bulk_size         -> maxFilesPerTrigger (micro-batch size cap;
+                       river/sync.go:117-120)
+- flush_bulk_time   -> processingTime trigger interval
+                       (river/sync.go:122-125); batch drains use
+                       availableNow instead
+- thread            -> spark.sql.shuffle.partitions floor
+                       (clickhouse/client.go:83's pool-size analog)
+- source_addr/user/pass -> sources/jdbc.py connection settings (the
+                       mysqldump/binlog endpoints; unused in the
+                       file-changelog test path)
+- skip_no_pk_table  -> rules without a PK are dropped instead of erroring
+                       (river/river.go:283-291)
+"""
+
+from __future__ import annotations
+
+import re
+import tomllib
+from dataclasses import dataclass, field
+
+from .plans.rules import Rule, RuleSet, rules_from_config
+
+_DURATION_RE = re.compile(r"^(\d+)(ms|s|m|h)$")
+_UNIT_MS = {"ms": 1, "s": 1000, "m": 60_000, "h": 3_600_000}
+
+
+def parse_duration_ms(text: str, default_ms: int = 200) -> int:
+    """'1ms' / '3s' / '2m' -> milliseconds (flush_bulk_time format)."""
+    m = _DURATION_RE.match(text.strip()) if text else None
+    return int(m.group(1)) * _UNIT_MS[m.group(2)] if m else default_ms
+
+
+@dataclass
+class EngineConfig:
+    rules: RuleSet
+    data_dir: str = "./log"
+    bulk_size: int = 128
+    flush_bulk_ms: int = 200
+    threads: int = 10
+    skip_no_pk_table: bool = False
+    source_addr: str | None = None
+    source_user: str | None = None
+    source_pass: str | None = None
+
+    @classmethod
+    def from_dict(cls, cfg: dict) -> EngineConfig:
+        return cls(
+            rules=rules_from_config(cfg),
+            data_dir=cfg.get("data_dir", "./log"),
+            bulk_size=int(cfg.get("bulk_size", 128)),
+            flush_bulk_ms=parse_duration_ms(cfg.get("flush_bulk_time", "")),
+            threads=int(cfg.get("thread", 10)),
+            skip_no_pk_table=bool(cfg.get("skip_no_pk_table", False)),
+            source_addr=cfg.get("source_addr"),
+            source_user=cfg.get("source_user"),
+            source_pass=cfg.get("source_pass"),
+        )
+
+    @classmethod
+    def from_toml(cls, path: str) -> EngineConfig:
+        with open(path, "rb") as f:
+            return cls.from_dict(tomllib.load(f))
+
+    def sink_dir(self, rule: Rule) -> str:
+        return f"{self.data_dir}/{rule.sink_schema}.{rule.sink_table}"
+
+    def checkpoint_dir(self, rule: Rule) -> str:
+        return f"{self.data_dir}/_checkpoints/{rule.sink_schema}.{rule.sink_table}"
+
+    def trigger_kwargs(self, follow: bool) -> dict:
+        """availableNow for a catch-up drain; the configured flush
+        interval when following the stream."""
+        if follow:
+            return {"processing_time": f"{self.flush_bulk_ms} milliseconds"}
+        return {}

@@ -101,22 +101,32 @@ class RuleSet:
         return [rf"{r.source_schema}\.{r.source_table}" for r in self.rules]
 
 
-def load_rules_toml(path: str) -> RuleSet:
-    """Parse the reference's TOML [[rule]] shape (etc/river.toml:51-60)."""
-    with open(path, "rb") as f:
-        cfg = tomllib.load(f)
+def rules_from_config(cfg: dict) -> RuleSet:
+    """Build rules from a parsed reference config. Accepts BOTH key
+    shapes the reference uses: the shipped config's source_schema/
+    source_table (etc/river.toml:56-60) and the older schema/table
+    (river/river_test.go:88-124)."""
     rules = []
     for raw in cfg.get("rule", []):
+        schema = raw.get("source_schema", raw.get("schema"))
+        table = raw.get("source_table", raw.get("table"))
         rules.append(Rule(
-            source_schema=raw["schema"],
-            source_table=raw["table"],
-            sink_schema=raw.get("sink_schema", raw["schema"]),
-            sink_table=raw.get("sink_table", raw["table"]),
+            source_schema=schema,
+            source_table=table,
+            sink_schema=raw.get("sink_schema", schema),
+            sink_table=raw.get("sink_table", table),
             pk=tuple(raw.get("id", ["id"])),
             column_filter=tuple(raw["filter"]) if "filter" in raw else None,
             field_mapping=dict(raw.get("field", {})),
         ))
     return RuleSet(rules)
+
+
+def load_rules_toml(path: str) -> RuleSet:
+    """Parse the reference's TOML [[rule]] shape (etc/river.toml:51-60)."""
+    with open(path, "rb") as f:
+        cfg = tomllib.load(f)
+    return rules_from_config(cfg)
 
 
 def wildcard_to_regex(pattern: str) -> str:

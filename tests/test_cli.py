@@ -1,0 +1,58 @@
+"""End-to-end CLI test: the reference's river.toml drives a full drain
+(main.go analog) from a file changelog to merged sinks."""
+
+from __future__ import annotations
+
+import os
+
+from mysql_syncer_clickhouse_spark.__main__ import run
+from mysql_syncer_clickhouse_spark.config import EngineConfig, parse_duration_ms
+
+TOML = os.path.join(os.path.dirname(__file__), "..", "etc", "river.toml")
+
+ROWS = [
+    (1, "insert", 1, "first", 86400),
+    (2, "insert", 2, "second", 86400),
+    (3, "update", 1, "first-edited", 86400),
+    (4, "delete", 2, None, None),
+]
+
+
+def test_parse_reference_config():
+    cfg = EngineConfig.from_toml(TOML)
+    assert cfg.bulk_size == 64
+    assert cfg.flush_bulk_ms == 1
+    assert cfg.threads == 10
+    rule = cfg.rules.rules[0]
+    assert rule.key == "app:items"
+    assert rule.sink == "olap.items_sink"
+    assert rule.field_mapping == {"title": "es_title"}
+
+
+def test_duration_parse():
+    assert parse_duration_ms("1ms") == 1
+    assert parse_duration_ms("3s") == 3000
+    assert parse_duration_ms("2m") == 120_000
+    assert parse_duration_ms("") == 200          # code default
+    assert parse_duration_ms("bogus") == 200
+
+
+def test_cli_drain_and_compact(spark, tmp_path):
+    changelog = tmp_path / "changelog" / "app.items"
+    os.makedirs(changelog)
+    df = spark.createDataFrame(
+        ROWS, "seq long, op string, id long, title string, mydate long")
+    df.coalesce(1).write.mode("append").parquet(str(changelog))
+
+    cfg = EngineConfig.from_toml(TOML)
+    cfg.data_dir = str(tmp_path / "log")
+    out = run(cfg, str(tmp_path / "changelog"), compact=True, spark=spark)
+
+    assert out == [{
+        "rule": "app:items",
+        "sink": f"{cfg.data_dir}/olap.items_sink",
+        "rows": 1,
+        "ops": {"insert": 2, "update": 1, "delete": 1},
+    }]
+    state = spark.read.parquet(f"{cfg.data_dir}/olap.items_sink").collect()
+    assert len(state) == 1 and state[0]["es_title"] == "first-edited"
