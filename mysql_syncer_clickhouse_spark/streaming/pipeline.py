@@ -39,10 +39,10 @@ class SyncMetrics:
     """insert/update/delete counters (river/status.go:14-47 analog)."""
     counts: dict[str, int] = field(default_factory=dict)
 
-    def record(self, batch_df: DataFrame) -> None:
-        for row in batch_df.groupBy("op").count().collect():
-            self.counts[row["op"]] = self.counts.get(row["op"], 0) \
-                + row["count"]
+    def record_counts(self, counts: dict[str, int]) -> None:
+        for op, n in counts.items():
+            if n:
+                self.counts[op] = self.counts.get(op, 0) + int(n)
 
     def snapshot(self) -> dict[str, int]:
         return dict(self.counts)
@@ -68,17 +68,23 @@ class StreamingSyncPipeline:
         """The Client.Bulk analog: project/rename per rule, then append
         the micro-batch to the changelog sink in one atomic-per-epoch
         write. Keeping raw ops (not merged state) preserves event order
-        via seq and makes replays idempotent."""
+        via seq and makes replays idempotent. Op counters ride the
+        write job via observe() -- no second pass over the batch."""
+        from pyspark.sql import Observation
         meta = [self.seq_col, self.op_col]
         payload = [c for c in batch_df.columns if c not in meta]
+        obs = Observation()
         projected = batch_df.select(
             *[F.col(c) for c in meta],
-            *self.rule.projection(payload))
-        self.metrics.record(batch_df)
+            *self.rule.projection(payload)) \
+            .observe(obs, *[
+                F.sum((F.col(self.op_col) == o).cast("long")).alias(o)
+                for o in ("insert", "update", "delete")])
         writer = projected.write.mode("append")
         if self.partition_cols:
             writer = writer.partitionBy(*self.partition_cols)
         writer.parquet(self.sink_dir)
+        self.metrics.record_counts(obs.get)
 
     def start(self, spark: SparkSession, source_dir: str,
               schema: StructType, *,

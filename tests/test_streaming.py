@@ -222,6 +222,47 @@ def test_stateful_running_op_counts(spark, dirs):
     assert latest == {"insert": 3, "update": 2, "delete": 1}
 
 
+def test_stream_stream_interval_join(spark, dirs):
+    """Stream-stream inner join with watermarks + time-range condition
+    (the streaming twin of operators/temporal.range_join_binned):
+    clicks pair with purchases up to 10 minutes earlier."""
+    src, _, ckpt = dirs
+    rows = [
+        (1, "click", 10, "2024-01-01 00:20:00"),
+        (2, "purchase", 10, "2024-01-01 00:15:00"),   # within 10 min
+        (3, "purchase", 10, "2024-01-01 00:05:00"),   # too early
+        (4, "click", 11, "2024-01-01 00:30:00"),      # no purchase
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, user_id long, ts_s string") \
+        .withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    _write_part(spark, src, [tuple(r) for r in df.collect()],
+                "j1", schema=df.schema)
+
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    clicks = (stream.filter(F.col("event_type") == "click")
+              .select(F.col("event_id").alias("click_id"), "user_id",
+                      F.col("ts").alias("cts"))
+              .withWatermark("cts", "1 minute"))
+    purchases = (stream.filter(F.col("event_type") == "purchase")
+                 .select(F.col("event_id").alias("p_id"),
+                         F.col("user_id").alias("p_user"),
+                         F.col("ts").alias("pts"))
+                 .withWatermark("pts", "1 minute"))
+    joined = clicks.join(
+        purchases,
+        F.expr("user_id = p_user AND "
+               "pts BETWEEN cts - INTERVAL 10 MINUTES AND cts"))
+    q = (joined.writeStream.outputMode("append")
+         .format("memory").queryName("ssj_out")
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {(r["click_id"], r["p_id"])
+           for r in spark.sql("SELECT * FROM ssj_out").collect()}
+    assert got == {(1, 2)}
+
+
 def test_stream_dedup_within_watermark(spark, dirs):
     """dropDuplicates on (id) across a replayed stream -- the
     reference's idempotent re-apply, expressed as streaming dedup."""
