@@ -79,3 +79,74 @@ def embedding_near_dups(emb: DataFrame, threshold: float = 0.98,
              .withColumn("score", cosine("va", "vb"))
              .filter(F.col("score") >= threshold)
              .select("id_a", "id_b", "score"))
+
+
+def kmeans_centroids(emb: DataFrame, k: int = 8, iters: int = 3,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Deterministic Lloyd's k-means over an embedding column, pure
+    DataFrame ops: init = the k lowest-id vectors; each iteration is
+    one broadcast of the k centroids + one groupBy(cid) with per-
+    dimension avg aggregates (vector mean without explode). Iterative
+    algorithms fit Spark fine when each step is a keyed aggregation --
+    the loop is driver-side control flow over small state (k x dim),
+    never driver-side data."""
+    dim = len(emb.select(vec_col).first()[0])
+    vecs = emb.select(F.col(id_col).alias("id"),
+                      F.col(vec_col).cast("array<double>").alias("v"))
+    cents = (vecs.orderBy("id").limit(k)
+                 .select(F.row_number().over(
+                             Window.orderBy("id")).alias("cid"),
+                         F.col("v").alias("cv")))
+    for _ in range(iters):
+        assigned = assign_to_centroids(vecs, cents)
+        cents = assigned.groupBy("cid").agg(
+            F.array(*[F.avg(F.col("v")[i]) for i in range(dim)]).alias("cv"))
+    return cents
+
+
+def assign_to_centroids(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+    """(id, v, cid): nearest centroid per vector (squared L2, id-break
+    ties). Centroids broadcast -- k x dim doubles, never a shuffle."""
+    d2 = F.aggregate(
+        F.zip_with("v", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    w = Window.partitionBy("id").orderBy("d2", "cid")
+    return (vecs.join(F.broadcast(cents))
+                .withColumn("d2", d2)
+                .withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .select("id", "v", "cid"))
+
+
+def topk_kmeans_ivf(emb: DataFrame, queries: DataFrame, k: int = 5,
+                    n_centroids: int = 8, nprobe: int = 2,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """IVF with LEARNED coarse quantizer: corpus assigned to its
+    nearest centroid, each query probes its nprobe nearest cells.
+    Candidates shrink by ~n_centroids/nprobe vs brute force; recall is
+    tunable via nprobe. The inverted lists are just a cid-keyed
+    DataFrame -- at 100 TB they'd be a cid-partitioned table."""
+    cents = kmeans_centroids(emb, k=n_centroids, iters=3, id_col=id_col,
+                             vec_col=vec_col)
+    corpus = assign_to_centroids(
+        emb.select(F.col(id_col).alias("id"),
+                   F.col(vec_col).cast("array<double>").alias("v")), cents) \
+        .select(F.col("id").alias("neighbor_id"), F.col("v").alias("cv"),
+                "cid")
+    qv = queries.select(F.col(id_col).alias("id"),
+                        F.col(vec_col).cast("array<double>").alias("v"))
+    wq = Window.partitionBy("id").orderBy("d2", "cid")
+    probes = (qv.join(F.broadcast(cents.withColumnRenamed("cv", "cv_c")))
+                .withColumn("d2", F.aggregate(
+                    F.zip_with("v", "cv_c", lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0), lambda acc, x: acc + x))
+                .withColumn("__rn", F.row_number().over(wq))
+                .filter(F.col("__rn") <= nprobe)
+                .select(F.col("id").alias("query_id"),
+                        F.col("v").alias("qv"), "cid"))
+    scored = (corpus.join(F.broadcast(probes), "cid")
+                    .filter(F.col("query_id") != F.col("neighbor_id"))
+                    .withColumn("score", cosine("qv", "cv")))
+    return _ranked_topk(scored, k)

@@ -240,6 +240,16 @@ SELECT query_id, rk, neighbor_id, score FROM (
 """
 
 
+def ann_kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with a LEARNED coarse quantizer (operators/ann.py k-means,
+    deterministic init + 3 Lloyd iterations, nprobe=2). Rows-only
+    driver check: the centroid arithmetic is float-iterative, so no
+    portable SQL twin -- recall/determinism are pytest-asserted."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ann.topk_kmeans_ivf(emb, queries, k=5, n_centroids=8, nprobe=2)
+
+
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 10)
@@ -432,6 +442,7 @@ QUERIES = {
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_ivf_topk": ann_ivf_topk,
+    "ann_kmeans_ivf_topk": ann_kmeans_ivf_topk,
     "text_token_count": text_token_count,
     "text_quality_score": text_quality_score,
     "text_lang_id": text_lang_id,

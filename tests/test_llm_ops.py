@@ -110,3 +110,17 @@ def test_multimodal_resize_and_frames_binary_content(spark, sf_dir):
         orig, step = texts[r["doc_id"]], max(len(texts[r["doc_id"]]) // 4, 1)
         i = r["frame_idx"]
         assert bytes(r["frame"]) == orig[i * step:(i + 1) * step]
+
+
+def test_kmeans_ivf_recall_and_determinism(spark, sf_dir):
+    """Learned-quantizer IVF: deterministic across runs, recall >= 0.6
+    vs brute force at nprobe=2 of 8 cells (it is 0.86 at sf0.01)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    a = ann.topk_kmeans_ivf(emb, q, k=5, n_centroids=8, nprobe=2).collect()
+    b = ann.topk_kmeans_ivf(emb, q, k=5, n_centroids=8, nprobe=2).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    brute = {(r["query_id"], r["neighbor_id"])
+             for r in ann.topk_bruteforce(emb, q, k=5).collect()}
+    got = {(r["query_id"], r["neighbor_id"]) for r in a}
+    assert len(got & brute) / len(brute) >= 0.6

@@ -61,6 +61,36 @@ def test_salted_join_row_identical_to_plain(spark, sf_dir):
         == sorted(map(tuple, plain.collect()))
 
 
+def test_bucketed_join_no_shuffle(spark, sf_dir, tmp_path):
+    """Pre-bucketing both fact tables on the join key makes the
+    sort-merge join shuffle-free -- the co-located-join strategy
+    SCALE.md prescribes for repeated 100 TB fact-fact joins. Asserted:
+    zero Exchange nodes in the joined plan."""
+    from mysql_syncer_clickhouse_spark.sources.tables import load_table
+    li = load_table(spark, sf_dir, "lineitem") \
+        .select("l_orderkey", "l_quantity")
+    orders = load_table(spark, sf_dir, "orders") \
+        .select("o_orderkey", "o_orderpriority")
+    try:
+        (li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+           .option("path", str(tmp_path / "li_b"))
+           .mode("overwrite").saveAsTable("li_b"))
+        (orders.withColumnRenamed("o_orderkey", "l_orderkey")
+               .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+               .option("path", str(tmp_path / "orders_b"))
+               .mode("overwrite").saveAsTable("orders_b"))
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("li_b").join(spark.table("orders_b"),
+                                          ["l_orderkey"])
+        plan = formatted_plan(joined)
+        assert "Exchange" not in plan, plan
+        assert joined.count() == li.count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS li_b")
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+
+
 def test_approx_distinct_error_bound(spark, sf_dir):
     approx = {r["l_returnflag"]: r["approx_orders"]
               for r in relational.approx_distinct(spark, sf_dir).collect()}
