@@ -151,7 +151,9 @@ def minhash_dedup(df: DataFrame, id_col: str, text_col: str,
     candidate join sides, verify); persist it so the explode + hash
     scan runs once. MEMORY_AND_DISK spills rather than OOMs; a 100 TB
     run would swap this for a parquet checkpoint of the shingle table,
-    which is the same plan shape. No pre-distinct: every consumer is
+    which is the same plan shape. Spark's CacheManager dedups repeated
+    persists of an identical plan, so repeated calls on the same input
+    share one cache entry. No pre-distinct: every consumer is
     set-semantic already (min is duplicate-insensitive, collect_set
     dedups), so the distinct would be a pure extra shuffle."""
     from pyspark import StorageLevel

@@ -297,7 +297,7 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_extendedprice", "l_discount")
     orders = _t(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority")
-    joined = salted_join(li, orders, ["l_orderkey"])
+    joined = salted_join(li, orders, ["l_orderkey"], salt_n=8)
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (joined.groupBy("o_orderpriority")
                   .agg(F.count(F.lit(1)).alias("n_items"),
