@@ -54,14 +54,13 @@ def main() -> None:
 
     times: dict[str, float] = {}
     for name in names:
-        # first run warms JVM/codegen/parquet footers; the timed second
-        # run measures the executed plan (what scales), not compilation
-        def run() -> None:
-            all_q[name](spark, sf_dir) \
-                .write.format("noop").mode("overwrite").save()
-        run()
+        # build the plan once; the first write warms JVM/codegen/parquet
+        # footers, the timed second write measures plan EXECUTION (the
+        # part that scales with data) rather than per-call re-analysis
+        df = all_q[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
         t0 = time.perf_counter()
-        run()
+        df.write.format("noop").mode("overwrite").save()
         times[name] = round(time.perf_counter() - t0, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
