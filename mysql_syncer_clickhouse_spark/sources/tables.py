@@ -29,6 +29,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     whole microseconds). Done here so it works under ANY SparkSession,
     including the driver's."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # oracle parity requires UTC timestamp rendering (DuckDB is
+    # TZ-naive); pin it here so queries are correct under ANY session,
+    # not just the one session.py builds
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
