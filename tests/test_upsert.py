@@ -122,3 +122,38 @@ def test_fan_in_schema_drift(spark):
     b = spark.createDataFrame([(2, "y")], "id long, t string")
     got = {r["id"]: (r["t"], r["extra"]) for r in fan_in([a, b]).collect()}
     assert got == {1: ("x", "p"), 2: ("y", None)}
+
+
+def test_pk_value_change_moves_row(make_cl):
+    """The reference's PK-change scenario (river/river_test.go:318-320,
+    355-360): UPDATE ... SET id = 30 WHERE id = 3 must MOVE the row --
+    old key gone, new key present. In the changelog model a PK-changing
+    update is emitted as delete(old_pk) + insert(new_pk), which is
+    exactly what the binlog row images give a producer (before image
+    keyed 3, after image keyed 30)."""
+    cl = make_cl([
+        (1, "insert", 3, "third", "c3"),
+        (2, "insert", 4, "fourth", "c4"),
+        # UPDATE id: 3 -> 30 becomes two events sharing one source op
+        (3, "delete", 3, None, None),
+        (4, "insert", 30, "third", "c3"),
+    ])
+    st = _state(latest_state(cl, ["id"]))
+    assert 3 not in st
+    assert st[30] == ("third", "c3")
+    assert st[4] == ("fourth", "c4")
+
+
+def test_delete_then_reinsert_same_pk(make_cl):
+    """Tombstone must not shadow a LATER re-insert of the same PK (the
+    ordering bug the reference has inside one batch, documented at
+    SURVEY §2.4: mutations run before inserts regardless of event
+    order -- clickhouse/client.go:93-126). Our seq-ordered dedup is
+    order-correct by construction."""
+    cl = make_cl([
+        (1, "insert", 7, "v1", "c"),
+        (2, "delete", 7, None, None),
+        (3, "insert", 7, "v2", "c"),
+    ])
+    st = _state(latest_state(cl, ["id"]))
+    assert st == {7: ("v2", "c")}
