@@ -145,6 +145,36 @@ GROUP BY n_name
 """
 
 
+# --- TPC-H Q14 style: promo revenue (conditional aggregate over join) ----
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share of revenue from promo parts per month -- broadcast join
+    to `part`, then one pass of conditional decimal aggregation."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev) \
+             .otherwise(F.lit(0.0))
+    return (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+              .groupBy(F.date_trunc("month", "l_shipdate").alias("mon"))
+              .agg(dsum(promo, "promo_revenue"),
+                   dsum(rev, "total_revenue"))
+              .withColumn("promo_pct",
+                          F.round(F.lit(100.0) * F.col("promo_revenue")
+                                  / F.col("total_revenue"), 4)))
+
+
+_Q14_SQL = f"""
+SELECT CAST(DATE_TRUNC('month', l_shipdate) AS TIMESTAMP) AS mon,
+       {sql_dsum("CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END", 'promo_revenue')},
+       {sql_dsum('l_extendedprice * (1 - l_discount)', 'total_revenue')},
+       ROUND(100.0 * CAST(ROUND(SUM(CAST((CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END) AS DECIMAL(38,6))), 2) AS DOUBLE)
+             / CAST(ROUND(SUM(CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(38,6))), 2) AS DOUBLE), 4) AS promo_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1
+"""
+
+
 # --- join types: left outer, semi, anti ----------------------------------
 
 def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -589,6 +619,7 @@ QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier": q5_local_supplier,
+    "q14_promo_revenue": q14_promo_revenue,
     "join_left_outer": join_left_outer,
     "join_semi": join_semi,
     "join_anti": join_anti,
@@ -617,6 +648,7 @@ ORACLE = {
     "q1_pricing_summary": _Q1_SQL,
     "q3_shipping_priority": _Q3_SQL,
     "q5_local_supplier": _Q5_SQL,
+    "q14_promo_revenue": _Q14_SQL,
     "join_left_outer": _LEFT_SQL,
     "join_semi": _SEMI_SQL,
     "join_anti": _ANTI_SQL,
