@@ -32,12 +32,23 @@ def latest_state(changelog: DataFrame,
                  op_col: str = "op",
                  keep_op: bool = False) -> DataFrame:
     """Materialize the current state of a synced table from its
-    changelog: latest row per PK, tombstones dropped."""
-    w = Window.partitionBy(*pk_cols).orderBy(F.col(seq_col).desc())
-    df = (changelog
-          .withColumn("__rn", F.row_number().over(w))
-          .filter((F.col("__rn") == 1) & (F.col(op_col) != DELETE_OP))
-          .drop("__rn"))
+    changelog: latest row per PK (by seq; seq is unique by the binlog-
+    position contract), tombstones dropped.
+
+    Formulated as groupBy(pk).max_by(row_struct, seq) rather than a
+    row_number window: both shuffle once on pk, but max_by is a real
+    aggregate, so map-side partial aggregation collapses each mapper's
+    rows to one candidate per PK BEFORE the exchange. On an
+    update-heavy 100 TB changelog that shrinks the shuffle by the
+    updates-per-key factor; the window variant ships every row."""
+    others = [c for c in changelog.columns if c not in pk_cols]
+    agg = changelog.groupBy(*pk_cols).agg(
+        F.max_by(F.struct(*[F.col(c) for c in others]),
+                 F.col(seq_col)).alias("__r"))
+    df = (agg.select(*pk_cols,
+                     *[F.col("__r").getField(c).alias(c) for c in others])
+             .filter(F.col(op_col) != DELETE_OP)
+             .select(*changelog.columns))
     return df if keep_op else df.drop(op_col)
 
 
