@@ -237,3 +237,55 @@ UNION ALL
 SELECT doc_id + 2000000, text, source, n_chars
 FROM documents WHERE doc_id % 11 = 0
 """
+
+
+def duplicate_clusters(pairs: DataFrame, max_iters: int = 6) -> DataFrame:
+    """Connected components over duplicate pairs -> (id, cluster_id)
+    with cluster_id = min id in the component (deterministic).
+
+    Min-label propagation: each iteration joins current labels across
+    the (symmetrized) edge list and keeps the per-node minimum -- one
+    keyed aggregation per iteration, converging in O(component
+    diameter) rounds. Near-dup components are chains/cliques of a few
+    docs, so the default bound covers diameters <= 2^6 (label doubling
+    is not needed at that size, and plain DataFrame joins keep the
+    whole thing Catalyst-optimizable). The loop is driver-side control
+    flow only; all data stays distributed."""
+    edges = (pairs.select(F.col("id_a").alias("src"),
+                          F.col("id_b").alias("dst"))
+             .unionByName(pairs.select(F.col("id_b").alias("src"),
+                                       F.col("id_a").alias("dst")))
+             .distinct())
+    labels = (edges.select(F.col("src").alias("id"))
+              .distinct()
+              .withColumn("cluster_id", F.col("id")))
+    for _ in range(max_iters):
+        neighbor_min = (edges
+                        .join(labels.withColumnRenamed("id", "dst")
+                                    .withColumnRenamed("cluster_id", "nl"),
+                              "dst")
+                        .groupBy("src")
+                        .agg(F.min("nl").alias("neighbor_label")))
+        new_labels = (labels
+                      .join(neighbor_min.withColumnRenamed("src", "id"),
+                            "id", "left")
+                      .select("id",
+                              F.least("cluster_id",
+                                      F.coalesce("neighbor_label",
+                                                 "cluster_id"))
+                               .alias("cluster_id")))
+        # localCheckpoint truncates the exponentially growing lineage;
+        # at scale this is the standard iterative-algorithm pattern
+        labels = new_labels.localCheckpoint(eager=False)
+    return labels
+
+
+def keep_canonical(docs: DataFrame, pairs: DataFrame,
+                   id_col: str = "id") -> DataFrame:
+    """Dedup filter: drop every doc that belongs to a duplicate
+    cluster but is not its canonical (min-id) member. Anti-join --
+    docs outside any cluster pass through untouched."""
+    clusters = duplicate_clusters(pairs)
+    losers = clusters.filter(F.col("id") != F.col("cluster_id")) \
+                     .select(F.col("id").alias(id_col))
+    return docs.join(losers, [id_col], "left_anti")

@@ -109,7 +109,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                                threshold=0.5)
 
 
-_MINHASH_SQL = _CORPUS + "," + _SHINGLES_SQL + f"""
+# full CTE chain ending in `pairs` -- shared by the pair query and the
+# connected-components cluster query
+_MINHASH_CTES = _CORPUS + "," + _SHINGLES_SQL + f"""
 , sigs AS (
   SELECT id, i, MIN((a * h32 + b) % {dedup.MINHASH_P}) AS mh
   FROM shingles CROSS JOIN {_PARAMS_SQL}
@@ -131,13 +133,44 @@ _MINHASH_SQL = _CORPUS + "," + _SHINGLES_SQL + f"""
   JOIN shingles sa ON sa.id = c.id_a
   JOIN shingles sb ON sb.id = c.id_b AND sb.h32 = sa.h32
   GROUP BY c.id_a, c.id_b
+), pairs AS (
+  SELECT i.id_a, i.id_b,
+         ROUND(CAST(n_inter AS DOUBLE) / (za.n + zb.n - n_inter), 6)
+           AS jaccard
+  FROM inter i
+  JOIN sizes za ON za.id = i.id_a
+  JOIN sizes zb ON zb.id = i.id_b
+  WHERE CAST(n_inter AS DOUBLE) / (za.n + zb.n - n_inter) >= 0.5
+)"""
+
+_MINHASH_SQL = _MINHASH_CTES + """
+SELECT id_a, id_b, jaccard FROM pairs
+"""
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the MinHash near-dup pairs
+    (operators/dedup.duplicate_clusters): (id, cluster_id = min id in
+    component). The step that turns pairwise detections into a usable
+    keep-one-per-cluster dedup decision. Oracle: DuckDB recursive CTE
+    reachability over the identical pairs."""
+    pairs = dedup.minhash_dedup(_corpus(spark, sf_dir), "id", "text",
+                                threshold=0.5)
+    return dedup.duplicate_clusters(pairs.select("id_a", "id_b"))
+
+
+_CLUSTERS_SQL = _MINHASH_CTES.replace(
+    "WITH corpus", "WITH RECURSIVE corpus", 1) + """
+, sym AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), reach AS (
+  SELECT src AS id, dst AS r FROM sym
+  UNION
+  SELECT reach.id, sym.dst FROM reach JOIN sym ON reach.r = sym.src
 )
-SELECT i.id_a, i.id_b,
-       ROUND(CAST(n_inter AS DOUBLE) / (za.n + zb.n - n_inter), 6) AS jaccard
-FROM inter i
-JOIN sizes za ON za.id = i.id_a
-JOIN sizes zb ON zb.id = i.id_b
-WHERE CAST(n_inter AS DOUBLE) / (za.n + zb.n - n_inter) >= 0.5
+SELECT id, LEAST(id, MIN(r)) AS cluster_id FROM reach GROUP BY id
 """
 
 
@@ -437,6 +470,7 @@ FROM documents
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_clusters": dedup_clusters,
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_embedding_cosine": dedup_embedding_cosine,
@@ -455,6 +489,7 @@ QUERIES = {
 ORACLE = {
     "dedup_exact": _DEDUP_EXACT_SQL,
     "dedup_minhash_lsh": _MINHASH_SQL,
+    "dedup_clusters": _CLUSTERS_SQL,
     "dedup_simhash": _SIMHASH_SQL,
     "dedup_ngram_jaccard": _NGRAM_SQL,
     "dedup_embedding_cosine": _EMB_DEDUP_SQL,

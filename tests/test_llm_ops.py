@@ -124,3 +124,20 @@ def test_kmeans_ivf_recall_and_determinism(spark, sf_dir):
              for r in ann.topk_bruteforce(emb, q, k=5).collect()}
     got = {(r["query_id"], r["neighbor_id"]) for r in a}
     assert len(got & brute) / len(brute) >= 0.6
+
+
+def test_duplicate_clusters_and_keep_canonical(spark):
+    """Chain, clique, pair, and an untouched singleton: components get
+    min-id labels; keep_canonical drops exactly the non-canonical
+    members."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (11, 12), (20, 21)],
+        "id_a long, id_b long")
+    got = {(r["id"], r["cluster_id"])
+           for r in dedup.duplicate_clusters(pairs).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1),
+                   (10, 10), (11, 10), (12, 10), (20, 20), (21, 20)}
+    docs = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 4, 10, 11, 12, 20, 21, 99]], "id long")
+    kept = sorted(r["id"] for r in dedup.keep_canonical(docs, pairs).collect())
+    assert kept == [1, 10, 20, 99]
