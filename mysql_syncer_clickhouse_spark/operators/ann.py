@@ -150,3 +150,47 @@ def topk_kmeans_ivf(emb: DataFrame, queries: DataFrame, k: int = 5,
                     .filter(F.col("query_id") != F.col("neighbor_id"))
                     .withColumn("score", cosine("qv", "cv")))
     return _ranked_topk(scored, k)
+
+
+def topk_bruteforce_np(emb: DataFrame, queries: DataFrame, k: int = 5,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """Vectorized brute-force cosine top-k: the query set (small by
+    contract, same as topk_bruteforce's broadcast) ships to executors
+    as a normalized numpy matrix; each Arrow batch of the corpus is ONE
+    `batch_matrix @ queries.T` matmul instead of per-row array
+    lambdas, and each batch emits only its local top-k per query, so
+    the final exact window ranks |batches| x |queries| x k rows, not
+    the whole corpus. This is the high-throughput path for 100 TB
+    similarity sweeps; the JVM-expression variant (topk_bruteforce)
+    stays the oracle-checkable reference (numpy's pairwise summation
+    can differ from sequential summation in the last ulp, so this
+    variant is checked against the reference by recall, not hash)."""
+    import numpy as np
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in q_rows])
+    qm = np.array([r[1] for r in q_rows], dtype=np.float64)
+    qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+
+    def score(batches):
+        import pandas as pd
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            cm = np.array(list(pdf[vec_col]), dtype=np.float64)
+            cm /= np.linalg.norm(cm, axis=1, keepdims=True)
+            sims = cm @ qm.T                       # (batch, n_queries)
+            top = min(k + 1, sims.shape[0])        # +1 covers self-hit
+            idx = np.argpartition(-sims, top - 1, axis=0)[:top]
+            out_q, out_n, out_s = [], [], []
+            for j, qid in enumerate(q_ids):
+                for i in idx[:, j]:
+                    if ids[i] != qid:
+                        out_q.append(qid)
+                        out_n.append(ids[i])
+                        out_s.append(round(float(sims[i, j]), 6))
+            yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_n,
+                                "score": out_s})
+
+    scored = emb.select(id_col, vec_col).mapInPandas(
+        score, "query_id long, neighbor_id long, score double")
+    return _ranked_topk(scored, k)

@@ -141,3 +141,15 @@ def test_duplicate_clusters_and_keep_canonical(spark):
         [(i,) for i in [1, 2, 3, 4, 10, 11, 12, 20, 21, 99]], "id long")
     kept = sorted(r["id"] for r in dedup.keep_canonical(docs, pairs).collect())
     assert kept == [1, 10, 20, 99]
+
+
+def test_numpy_bruteforce_matches_jvm_reference(spark, sf_dir):
+    """The vectorized (mapInPandas + matmul) brute-force path must
+    agree with the JVM-expression reference on the neighbor sets."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    ref = {(r["query_id"], r["neighbor_id"])
+           for r in ann.topk_bruteforce(emb, q, k=5).collect()}
+    got = {(r["query_id"], r["neighbor_id"])
+           for r in ann.topk_bruteforce_np(emb, q, k=5).collect()}
+    assert got == ref
