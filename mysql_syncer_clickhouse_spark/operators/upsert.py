@@ -75,8 +75,13 @@ def fill_partial_updates(changelog: DataFrame,
     w_fill = (Window.partitionBy(*pk_cols, "__inc")
               .orderBy(F.col(seq_col))
               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    for c in payload_cols:
-        df = df.withColumn(c, F.last(c, ignorenulls=True).over(w_fill))
+    # single projection -> ONE Window operator (and one sort) evaluates
+    # every fill column; a per-column withColumn chain would stack a
+    # Window + Sort per column
+    df = df.select(*[c for c in df.columns if c not in payload_cols],
+                   *[F.last(c, ignorenulls=True).over(w_fill).alias(c)
+                     for c in payload_cols]) \
+           .select(*df.columns)
     return latest_state(df, pk_cols, seq_col, op_col).drop("__inc")
 
 
