@@ -396,6 +396,36 @@ GROUP BY c.event_id
 """
 
 
+
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles + correlation per group -- the statistical
+    aggregate surface. Exact percentile (not approx) so the oracle
+    hash-matches; approx_percentile is the scale path when a full sort
+    per group is too expensive, mirrored by approx_distinct."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+              .agg(F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6)
+                    .alias("p50_price"),
+                   F.round(F.expr("percentile(l_extendedprice, 0.95)"), 6)
+                    .alias("p95_price"),
+                   F.round(F.corr("l_quantity", "l_extendedprice"), 6)
+                    .alias("qty_price_corr"),
+                   F.round(F.stddev_samp("l_discount"), 6)
+                    .alias("disc_stddev")))
+
+
+_PERCENTILES_SQL = """
+SELECT l_returnflag,
+       ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice), 6)
+         AS p50_price,
+       ROUND(percentile_cont(0.95) WITHIN GROUP (ORDER BY l_extendedprice), 6)
+         AS p95_price,
+       ROUND(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+       ROUND(stddev_samp(l_discount), 6) AS disc_stddev
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 # --- window functions -----------------------------------------------------
 
 def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -630,6 +660,7 @@ QUERIES = {
     "agg_rollup": agg_rollup,
     "agg_cube": agg_cube,
     "agg_grouping_sets": agg_grouping_sets,
+    "agg_percentiles": agg_percentiles,
     "join_skew_salted": join_skew_salted,
     "window_topk_per_group": window_topk_per_group,
     "window_running_sum": window_running_sum,
@@ -659,6 +690,7 @@ ORACLE = {
     "agg_rollup": _ROLLUP_SQL,
     "agg_cube": _CUBE_SQL,
     "agg_grouping_sets": _GROUPING_SETS_SQL,
+    "agg_percentiles": _PERCENTILES_SQL,
     "join_skew_salted": _SKEW_SQL,
     "window_topk_per_group": _TOPK_GRP_SQL,
     "window_running_sum": _RUNNING_SQL,

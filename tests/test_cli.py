@@ -56,3 +56,45 @@ def test_cli_drain_and_compact(spark, tmp_path):
     }]
     state = spark.read.parquet(f"{cfg.data_dir}/olap.items_sink").collect()
     assert len(state) == 1 and state[0]["es_title"] == "first-edited"
+
+
+def test_cli_follow_mode_tails_new_files(spark, tmp_path):
+    """--follow starts a processingTime-trigger stream: rows landed
+    AFTER startup must reach the sink without a restart (the binlog
+    tail analog). Stopped explicitly at the end."""
+    import time
+    changelog = tmp_path / "changelog" / "app.items"
+    os.makedirs(changelog)
+    df = spark.createDataFrame(
+        ROWS[:2], "seq long, op string, id long, title string, mydate long")
+    df.coalesce(1).write.mode("append").parquet(str(changelog))
+
+    cfg = EngineConfig.from_toml(TOML)
+    cfg.data_dir = str(tmp_path / "log")
+    out = run(cfg, str(tmp_path / "changelog"), follow=True, spark=spark)
+    assert out == [{"rule": "app:items", "mode": "following"}]
+    try:
+        sink = f"{cfg.data_dir}/olap.items_sink"
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            try:
+                if spark.read.parquet(sink).count() == 2:
+                    break
+            except Exception:
+                pass
+            time.sleep(1)
+        assert spark.read.parquet(sink).count() == 2
+
+        late = spark.createDataFrame(
+            ROWS[2:3], "seq long, op string, id long, title string, mydate long")
+        late.coalesce(1).write.mode("append").parquet(str(changelog))
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if spark.read.parquet(sink).count() == 3:
+                break
+            time.sleep(1)
+        state = spark.read.parquet(sink)
+        assert state.count() == 3            # the post-start row arrived
+    finally:
+        for q in spark.streams.active:
+            q.stop()
