@@ -397,6 +397,28 @@ FROM m
 """
 
 
+def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide most-frequent word 3-grams (contamination / boiler-
+    plate analysis): explode -> count -> top-k with deterministic
+    tie-break. Map-side partial counts collapse the explosion before
+    the shuffle, so the exchange carries distinct grams, not tokens."""
+    docs = _docs(spark, sf_dir)
+    grams = docs.select(
+        F.explode(TX.word_ngrams("text", 3)).alias("gram"))
+    return (grams.groupBy("gram")
+                 .agg(F.count(F.lit(1)).alias("n"))
+                 .orderBy(F.col("n").desc(), F.col("gram").asc())
+                 .limit(20))
+
+
+_NGRAM_TOPK_SQL = """
+SELECT array_to_string(w[i:i+2], ' ') AS gram, COUNT(*) AS n
+FROM (SELECT w, unnest(generate_series(1, greatest(len(w) - 2, 1))) AS i
+      FROM (SELECT string_split(trim(text), ' ') AS w FROM documents))
+GROUP BY 1 ORDER BY n DESC, gram ASC LIMIT 20
+"""
+
+
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     return docs.select("doc_id",
@@ -480,6 +502,7 @@ QUERIES = {
     "text_token_count": text_token_count,
     "text_quality_score": text_quality_score,
     "text_lang_id": text_lang_id,
+    "text_ngram_topk": text_ngram_topk,
     "doc_fingerprint": doc_fingerprint,
     "multimodal_decode_meta": multimodal_decode_meta,
     "multimodal_frame_sample": multimodal_frame_sample,
@@ -498,6 +521,7 @@ ORACLE = {
     "text_token_count": _TOKENS_SQL,
     "text_quality_score": _QUALITY_SQL,
     "text_lang_id": _LANG_SQL,
+    "text_ngram_topk": _NGRAM_TOPK_SQL,
     "doc_fingerprint": _FP_SQL,
     "multimodal_decode_meta": _MM_SQL,
     "multimodal_frame_sample": _MM_FRAMES_SQL,
