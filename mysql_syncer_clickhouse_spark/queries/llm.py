@@ -28,6 +28,8 @@ _CORPUS = f"WITH corpus AS ({dedup.CORPUS_SQL})"
 
 _H32 = "('0x' || substr(md5({x}), 1, 8))::BIGINT"
 
+_STOP_IN = ", ".join(f"'{w}'" for w in TX.DEFAULT_STOPWORDS)
+
 _SHINGLES_SQL = f"""
 shingles AS (
   -- distinct (id, h32): hash before distinct, exactly like
@@ -310,6 +312,69 @@ SELECT query_id, rk, neighbor_id, score FROM (
 # text analysis
 # ---------------------------------------------------------------------------
 
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data cleaning pipeline as ONE composed
+    plan: build the corpus -> MinHash near-dup pairs -> connected
+    components -> keep canonical members only -> quality-score the
+    survivors -> per-source stats. Every stage is the same operator the
+    standalone queries check individually; this query checks that they
+    COMPOSE (the real 100 TB workload is this chain, not single ops)."""
+    corpus = dedup.near_dup_corpus(_docs(spark, sf_dir))
+    pairs = dedup.minhash_dedup(corpus, "id", "text", threshold=0.5)
+    kept = dedup.keep_canonical(corpus, pairs.select("id_a", "id_b"),
+                                id_col="id")
+    stop = TX.stopword_ratio("text")
+    n = TX.token_count_ws("text")
+    quality = F.round(
+        F.lit(0.4) * F.least(n.cast("double") / 100.0, F.lit(1.0))
+        + F.lit(0.3) * (1.0 - stop)
+        + F.lit(0.3) * F.least(TX.avg_word_len("text") / 10.0, F.lit(1.0)),
+        6)
+    return (kept.select("id", "source", quality.alias("q"))
+                .filter(F.col("q") >= 0.5)
+                .groupBy("source")
+                .agg(F.count(F.lit(1)).alias("n_docs"),
+                     F.round(F.min("q"), 6).alias("min_q"),
+                     # decimal-sum avg (functions/numeric convention):
+                     # order-independent, so 6-dp rounding is stable
+                     F.round(F.sum(F.col("q").cast("decimal(38,6)"))
+                              .cast("double") / F.count(F.lit(1)), 6)
+                      .alias("avg_q")))
+
+
+_PIPELINE_SQL = _MINHASH_CTES.replace(
+    "WITH corpus", "WITH RECURSIVE corpus", 1) + f"""
+, sym AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), reach AS (
+  SELECT src AS id, dst AS r FROM sym
+  UNION
+  SELECT reach.id, sym.dst FROM reach JOIN sym ON reach.r = sym.src
+), losers AS (
+  SELECT id FROM (SELECT id, LEAST(id, MIN(r)) AS cluster_id
+                  FROM reach GROUP BY id)
+  WHERE id <> cluster_id
+), kept AS (
+  SELECT c.* FROM corpus c LEFT JOIN losers l ON c.id = l.id
+  WHERE l.id IS NULL
+), scored AS (
+  SELECT id, source,
+         ROUND(0.4 * least(CAST(len(w) AS DOUBLE) / 100.0, 1.0)
+               + 0.3 * (1.0 - CAST(len(list_filter(w, x -> x IN ({_STOP_IN})))
+                              AS DOUBLE) / len(w))
+               + 0.3 * least(CAST(list_sum(list_transform(w, x -> len(x)))
+                              AS DOUBLE) / len(w) / 10.0, 1.0), 6) AS q
+  FROM (SELECT id, source, string_split(trim(text), ' ') AS w FROM kept)
+)
+SELECT source, COUNT(*) AS n_docs, ROUND(MIN(q), 6) AS min_q,
+       ROUND(CAST(SUM(CAST(q AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6)
+         AS avg_q
+FROM scored WHERE q >= 0.5 GROUP BY source
+"""
+
+
 def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     return docs.select(
@@ -325,7 +390,6 @@ SELECT doc_id,
 FROM documents
 """
 
-_STOP_IN = ", ".join(f"'{w}'" for w in TX.DEFAULT_STOPWORDS)
 
 
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -493,6 +557,7 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_clusters": dedup_clusters,
+    "pipeline_clean_corpus": pipeline_clean_corpus,
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_embedding_cosine": dedup_embedding_cosine,
@@ -513,6 +578,7 @@ ORACLE = {
     "dedup_exact": _DEDUP_EXACT_SQL,
     "dedup_minhash_lsh": _MINHASH_SQL,
     "dedup_clusters": _CLUSTERS_SQL,
+    "pipeline_clean_corpus": _PIPELINE_SQL,
     "dedup_simhash": _SIMHASH_SQL,
     "dedup_ngram_jaccard": _NGRAM_SQL,
     "dedup_embedding_cosine": _EMB_DEDUP_SQL,

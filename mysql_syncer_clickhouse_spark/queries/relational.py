@@ -145,6 +145,35 @@ GROUP BY n_name
 """
 
 
+def window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-variant window surface: ntile buckets, first/nth value,
+    and a RANGE frame (value-based, vs the ROWS frames elsewhere).
+    All over unique order keys so results are deterministic."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderkey"))
+    wr = (Window.partitionBy("o_custkey")
+          .orderBy(F.col("o_totalprice"))
+          .rangeBetween(-10000, 0))
+    return o.select(
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.first_value("o_orderkey").over(w).alias("first_ok"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_ok"),
+        F.round(F.sum("o_totalprice").over(wr), 2).alias("near_sum"))
+
+
+_FRAMES_SQL = """
+SELECT o_orderkey,
+       NTILE(4) OVER w AS quartile,
+       FIRST_VALUE(o_orderkey) OVER w AS first_ok,
+       NTH_VALUE(o_orderkey, 2) OVER w AS second_ok,
+       ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+             ORDER BY o_totalprice
+             RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW), 2) AS near_sum
+FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+"""
+
+
 # --- TPC-H Q14 style: promo revenue (conditional aggregate over join) ----
 
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -666,6 +695,7 @@ QUERIES = {
     "window_running_sum": window_running_sum,
     "window_lag_lead": window_lag_lead,
     "window_sessionize": window_sessionize,
+    "window_frames": window_frames,
     "topk_orders": topk_orders,
     "pivot_status": pivot_status,
     "set_intersect": set_intersect,
@@ -696,6 +726,7 @@ ORACLE = {
     "window_running_sum": _RUNNING_SQL,
     "window_lag_lead": _LAG_SQL,
     "window_sessionize": _SESSION_SQL,
+    "window_frames": _FRAMES_SQL,
     "topk_orders": _TOPK_SQL,
     "pivot_status": _PIVOT_SQL,
     "set_intersect": _INTERSECT_SQL,
