@@ -36,6 +36,7 @@ HEADLINE = [
     # LLM-data-pipeline layer (scale path variants)
     "dedup_exact",
     "dedup_minhash_lsh",
+    "pipeline_clean_corpus",
     "ann_ivf_topk",
     "text_quality_score",
     # streaming operators in batch mode
