@@ -61,6 +61,10 @@ def range_join_binned(left: DataFrame, right: DataFrame, key: str,
     false candidates. Replication factor is constant, so the shuffle
     is O(|left| + |right|), never per-key quadratic."""
     bin_s = bin_s or lookback_s
+    if lookback_s % bin_s != 0:
+        # bin coverage proof (floor((t - L)/b) = floor(t/b) - L/b)
+        # requires b | L; a ragged bin could miss boundary candidates
+        raise ValueError("bin_s must divide lookback_s")
     n_bins = lookback_s // bin_s + 1
     l_bin = F.floor(F.unix_timestamp(F.col(left_ts)) / bin_s)
     r_bin = F.floor(F.unix_timestamp(F.col(right_ts)) / bin_s)
