@@ -1,0 +1,92 @@
+"""Continuous aggregate -- an incrementally-maintained, time-bucketed
+materialized rollup (the hypertable/continuous-aggregate pattern,
+TimescaleDB/ClickHouse-AggregatingMergeTree style) on Structured
+Streaming.
+
+Design: each micro-batch computes PARTIAL aggregates (count + decimal
+sum per (window, key)) and appends them with its epoch id; the read
+side merges partials with one keyed aggregation (counts and sums are
+associative). Nothing is ever updated in place, so:
+- appends are tiny (one row per touched bucket per epoch),
+- replayed epochs dedup away ((epoch, window, key) is deterministic,
+  dropDuplicates on read gives exactly-once arithmetic),
+- the merge cost is proportional to touched buckets, not event volume,
+- compaction (re-aggregating partials into one row per bucket) is the
+  same background-merge analog as the CDC sink's compact().
+
+This generalizes the upsert sink's dedup-on-read idea from "latest row
+wins" to "partials sum" -- the two reducers that cover OLTP mirroring
+and rollup maintenance respectively.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.types import StructType
+
+_DEC = "decimal(38,6)"
+
+
+@dataclass
+class ContinuousAggregate:
+    ts_col: str
+    window_duration: str                 # e.g. "1 hour"
+    key_cols: Sequence[str]
+    value_col: str
+    sink_dir: str
+    checkpoint_dir: str
+
+    def _partials(self, batch_df: DataFrame, epoch_id: int) -> DataFrame:
+        return (batch_df
+                .groupBy(F.window(self.ts_col, self.window_duration)
+                          .alias("w"), *self.key_cols)
+                .agg(F.count(F.lit(1)).alias("part_n"),
+                     F.sum(F.col(self.value_col).cast(_DEC))
+                      .alias("part_sum"))
+                .select(F.col("w.start").alias("win_start"),
+                        *self.key_cols, "part_n", "part_sum",
+                        F.lit(epoch_id).alias("epoch")))
+
+    def _apply_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        self._partials(batch_df, epoch_id) \
+            .write.mode("append").parquet(self.sink_dir)
+
+    def start(self, spark: SparkSession, source_dir: str,
+              schema: StructType, *,
+              max_files_per_trigger: int = 4) -> StreamingQuery:
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", max_files_per_trigger)
+                  .parquet(source_dir))
+        return (stream.writeStream
+                .foreachBatch(self._apply_batch)
+                .option("checkpointLocation", self.checkpoint_dir)
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .start())
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        """Merged rollup: dedup replayed epochs, then sum partials.
+        One shuffle on (window, keys) over bucket-grain rows."""
+        partials = spark.read.parquet(self.sink_dir) \
+            .dropDuplicates(["epoch", "win_start", *self.key_cols])
+        return (partials
+                .groupBy("win_start", *self.key_cols)
+                .agg(F.sum("part_n").alias("n"),
+                     F.sum("part_sum").cast("double").alias("total")))
+
+    def compact(self, spark: SparkSession) -> None:
+        """Fold all partials into one row per bucket (epoch -1)."""
+        state = self.read(spark).select(
+            "win_start", *self.key_cols,
+            F.col("n").alias("part_n"),
+            F.col("total").cast(_DEC).alias("part_sum"),
+            F.lit(-1).alias("epoch"))
+        tmp = self.sink_dir.rstrip("/") + ".compact"
+        state.write.mode("overwrite").parquet(tmp)
+        spark.read.parquet(tmp).write.mode("overwrite") \
+            .parquet(self.sink_dir)

@@ -284,3 +284,52 @@ def test_stream_dedup_within_watermark(spark, dirs):
     q.awaitTermination()
     assert spark.sql(
         "SELECT count(*) AS n FROM dedup_out").collect()[0]["n"] == 2
+
+
+def test_continuous_aggregate_incremental_and_replay_safe(spark, dirs):
+    """Continuous aggregate: incremental drains accumulate to exactly
+    the batch recomputation, a duplicated epoch (replay) changes
+    nothing, and compaction preserves the rollup."""
+    from mysql_syncer_clickhouse_spark.streaming.continuous_agg import (
+        ContinuousAggregate)
+    src, sink, ckpt = dirs
+    rows1 = [(1, "2024-01-01 00:10:00", "click", 5.0),
+             (2, "2024-01-01 00:40:00", "click", 3.0),
+             (3, "2024-01-01 00:50:00", "buy", 7.0)]
+    rows2 = [(4, "2024-01-01 01:05:00", "click", 2.0),
+             (5, "2024-01-01 00:20:00", "click", 1.0)]   # late event
+    ddl = "event_id long, ts_s string, event_type string, value double"
+
+    def to_parts(rows):
+        df = spark.createDataFrame(rows, ddl) \
+            .withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+        return df
+
+    agg = ContinuousAggregate("ts", "1 hour", ["event_type"], "value",
+                              sink, ckpt)
+    d1 = to_parts(rows1)
+    _write_part(spark, src, [tuple(r) for r in d1.collect()], "p1",
+                schema=d1.schema)
+    agg.start(spark, src, d1.schema).awaitTermination()
+    d2 = to_parts(rows2)
+    _write_part(spark, src, [tuple(r) for r in d2.collect()], "p2",
+                schema=d2.schema)
+    agg.start(spark, src, d1.schema).awaitTermination()   # resume
+
+    def snap():
+        return {(str(r["win_start"]), r["event_type"], r["n"], r["total"])
+                for r in agg.read(spark).collect()}
+    expect = {("2024-01-01 00:00:00", "click", 3, 9.0),
+              ("2024-01-01 00:00:00", "buy", 1, 7.0),
+              ("2024-01-01 01:00:00", "click", 1, 2.0)}
+    assert snap() == expect
+
+    # simulate an epoch replay: re-append epoch 0's partials verbatim
+    part0 = spark.read.parquet(sink).filter(F.col("epoch") == 0)
+    part0.write.mode("append").parquet(sink)
+    assert snap() == expect                      # dedup absorbs the replay
+
+    agg.compact(spark)
+    assert snap() == expect
+    # compaction left one partial row per bucket
+    assert spark.read.parquet(sink).count() == 3
