@@ -20,29 +20,35 @@ range filter. Candidate volume is bounded by bucket width, not
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def asof_join(left: DataFrame, right: DataFrame, key: str,
+def asof_join(left: DataFrame, right: DataFrame,
+              key: str | Sequence[str],
               left_ts: str, right_ts: str, value_cols: list[str],
               suffix: str = "_asof") -> DataFrame:
     """For each left row, attach the right row's value_cols from the
-    latest right event with right_ts <= left_ts (per key). Right-side
-    ties on (key, ts) must be pre-deduped by the caller so the result
-    is deterministic."""
+    latest right event with right_ts <= left_ts (per key; composite
+    keys accepted). Right-side ties on (key, ts) must be pre-deduped
+    by the caller so the result is deterministic."""
+    keys = [key] if isinstance(key, str) else list(key)
     side = "__side"          # right=0 sorts before left=1 at equal ts
     out_vals = [f"{c}{suffix}" for c in value_cols]
     l_tag = left.select(
-        F.col(key), F.col(left_ts).alias("__ts"), F.lit(1).alias(side),
+        *[F.col(k) for k in keys],
+        F.col(left_ts).alias("__ts"), F.lit(1).alias(side),
         F.struct(*[F.col(c) for c in left.columns]).alias("__row"),
         *[F.lit(None).cast(dict(right.dtypes)[c]).alias(o)
           for c, o in zip(value_cols, out_vals)])
     r_tag = right.select(
-        F.col(key), F.col(right_ts).alias("__ts"), F.lit(0).alias(side),
+        *[F.col(k) for k in keys],
+        F.col(right_ts).alias("__ts"), F.lit(0).alias(side),
         F.lit(None).cast(l_tag.schema["__row"].dataType).alias("__row"),
         *[F.col(c).alias(o) for c, o in zip(value_cols, out_vals)])
-    w = (Window.partitionBy(key).orderBy("__ts", side)
+    w = (Window.partitionBy(*keys).orderBy("__ts", side)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     filled = l_tag.unionByName(r_tag).select(
         F.col(side), F.col("__row"),

@@ -101,3 +101,21 @@ def test_approx_distinct_error_bound(spark, sf_dir):
              .collect()}
     for k, v in exact.items():
         assert abs(approx[k] - v) / v < 0.1
+
+
+def test_asof_join_composite_key(spark):
+    """As-of with a two-column key: matches must respect BOTH key
+    columns, not just the first."""
+    from pyspark.sql import functions as F
+    from mysql_syncer_clickhouse_spark.operators.temporal import asof_join
+    left = spark.createDataFrame(
+        [("a", 1, 100), ("a", 2, 100), ("b", 1, 100)],
+        "grp string, sub long, t long") \
+        .withColumn("ts", F.timestamp_seconds("t")).drop("t")
+    right = spark.createDataFrame(
+        [("a", 1, 50, 1.0), ("a", 2, 60, 2.0), ("b", 1, 150, 9.9)],
+        "grp string, sub long, t long, px double") \
+        .withColumn("rts", F.timestamp_seconds("t")).drop("t")
+    out = asof_join(left, right, ["grp", "sub"], "ts", "rts", ["px"])
+    got = {(r["grp"], r["sub"]): r["px_asof"] for r in out.collect()}
+    assert got == {("a", 1): 1.0, ("a", 2): 2.0, ("b", 1): None}
