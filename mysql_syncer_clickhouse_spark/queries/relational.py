@@ -204,6 +204,67 @@ GROUP BY 1
 """
 
 
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top customers by revenue from returned items (join + agg +
+    deterministic top-k across four tables)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+              .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+              .join(F.broadcast(nation),
+                    cust.c_nationkey == nation.n_nationkey)
+              .groupBy("c_custkey", "c_name", "n_name")
+              .agg(dsum(rev, "revenue"))
+              .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+              .limit(20))
+
+
+_Q10_SQL = f"""
+SELECT c_custkey, c_name, n_name,
+       {sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue')}
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders whose total quantity exceeds a threshold (HAVING
+    pushdown into a semi-join against an aggregate -- the classic
+    big-orders shape)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    big = (li.groupBy("l_orderkey")
+             .agg(dsum("l_quantity", "sum_qty"))
+             .filter(F.col("sum_qty") > 300))
+    return (orders.join(big, orders.o_orderkey == big.l_orderkey)
+                  .select("o_orderkey", "o_custkey", "o_orderdate",
+                          "sum_qty")
+                  .orderBy(F.col("sum_qty").desc(),
+                           F.col("o_orderkey").asc())
+                  .limit(100))
+
+
+_Q18_SQL = f"""
+SELECT o_orderkey, o_custkey, o_orderdate, sum_qty FROM orders
+JOIN (SELECT l_orderkey, {sql_dsum('l_quantity', 'sum_qty')}
+      FROM lineitem GROUP BY l_orderkey
+      HAVING CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(38,6))), 2)
+                  AS DOUBLE) > 300) b
+  ON o_orderkey = l_orderkey
+ORDER BY sum_qty DESC, o_orderkey ASC
+LIMIT 100
+"""
+
+
 # --- join types: left outer, semi, anti ----------------------------------
 
 def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -679,6 +740,8 @@ QUERIES = {
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier": q5_local_supplier,
     "q14_promo_revenue": q14_promo_revenue,
+    "q10_returned_items": q10_returned_items,
+    "q18_large_orders": q18_large_orders,
     "join_left_outer": join_left_outer,
     "join_semi": join_semi,
     "join_anti": join_anti,
@@ -710,6 +773,8 @@ ORACLE = {
     "q3_shipping_priority": _Q3_SQL,
     "q5_local_supplier": _Q5_SQL,
     "q14_promo_revenue": _Q14_SQL,
+    "q10_returned_items": _Q10_SQL,
+    "q18_large_orders": _Q18_SQL,
     "join_left_outer": _LEFT_SQL,
     "join_semi": _SEMI_SQL,
     "join_anti": _ANTI_SQL,
