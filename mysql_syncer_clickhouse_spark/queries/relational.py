@@ -432,6 +432,35 @@ GROUP BY o_orderpriority
 """
 
 
+def scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers richer than their nation's average balance -- the
+    correlated-scalar-subquery shape, expressed as a broadcast join
+    against the per-nation aggregate (what Catalyst rewrites the
+    subquery into anyway). Decimal-avg so the threshold is identical
+    across engines."""
+    cust = _t(spark, sf_dir, "customer")
+    nat_avg = (cust.groupBy("c_nationkey")
+                   .agg(F.round(F.sum(F.col("c_acctbal").cast(_DEC))
+                                 .cast("double") / F.count(F.lit(1)), 6)
+                         .alias("nat_avg")))
+    return (cust.join(F.broadcast(nat_avg), ["c_nationkey"])
+                .filter(F.col("c_acctbal") > F.col("nat_avg"))
+                .select("c_custkey", "c_nationkey", "c_acctbal", "nat_avg"))
+
+
+_SCALAR_SUB_SQL = """
+WITH nat AS (
+  SELECT c_nationkey,
+         ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+               / COUNT(*), 6) AS nat_avg
+  FROM customer GROUP BY c_nationkey
+)
+SELECT c_custkey, c_nationkey, c_acctbal, nat_avg
+FROM customer JOIN nat USING (c_nationkey)
+WHERE c_acctbal > nat_avg
+"""
+
+
 # --- temporal joins (custom operators, operators/temporal.py) -------------
 
 def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -747,6 +776,7 @@ QUERIES = {
     "join_anti": join_anti,
     "join_full_outer": join_full_outer,
     "join_cross": join_cross,
+    "scalar_subquery_above_avg": scalar_subquery_above_avg,
     "join_asof": join_asof,
     "join_range_binned": join_range_binned,
     "agg_rollup": agg_rollup,
@@ -780,6 +810,7 @@ ORACLE = {
     "join_anti": _ANTI_SQL,
     "join_full_outer": _FULL_OUTER_SQL,
     "join_cross": _CROSS_SQL,
+    "scalar_subquery_above_avg": _SCALAR_SUB_SQL,
     "join_asof": _ASOF_SQL,
     "join_range_binned": _RANGE_SQL,
     "agg_rollup": _ROLLUP_SQL,
