@@ -49,3 +49,63 @@ def running_op_counts(changelog_stream: DataFrame,
                 stateStructType=STATE_SCHEMA,
                 outputMode="update",
                 timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+SESS_STATE = "start long, last long, n long"
+SESS_OUT = ("user_id long, session_start timestamp, n_events long, "
+            "closed_by string")
+
+
+def _update_sessions(key: tuple, pdfs: Iterator[pd.DataFrame],
+                     state: GroupState) -> Iterator[pd.DataFrame]:
+    """Gap-based sessionization with explicit state + event-time
+    timeout: events extend the open session; when the watermark passes
+    last_event + gap, the timeout fires and the session is emitted.
+    This is the customizable form of session_window (arbitrary session
+    logic could live here: caps, value sums, early emission)."""
+    gap_s = 30 * 60
+    if state.hasTimedOut:
+        start, last, n = state.get
+        state.remove()
+        yield pd.DataFrame({"user_id": [key[0]],
+                            "session_start": [pd.Timestamp(start, unit="s")],
+                            "n_events": [n], "closed_by": ["timeout"]})
+        return
+    ts = []
+    for pdf in pdfs:
+        ts.extend(int(t.timestamp()) for t in pdf["ts"])
+    ts.sort()
+    if state.exists:
+        start, last, n = state.get
+    else:
+        start, last, n = ts[0], ts[0], 0
+    out = []
+    for t in ts:
+        if t - last > gap_s:                     # gap inside the batch
+            out.append((start, n))
+            start, n = t, 0
+        last = max(last, t)
+        n += 1
+    state.update((start, last, n))
+    state.setTimeoutTimestamp((last + gap_s) * 1000)
+    if out:
+        yield pd.DataFrame({
+            "user_id": [key[0]] * len(out),
+            "session_start": [pd.Timestamp(s, unit="s") for s, _ in out],
+            "n_events": [c for _, c in out],
+            "closed_by": ["gap"] * len(out)})
+
+
+def sessionize_with_timeout(events_stream: DataFrame,
+                            user_col: str = "user_id",
+                            ts_col: str = "ts") -> DataFrame:
+    """Streaming sessionizer over (user, ts) with EventTimeTimeout.
+    Input must carry a watermark on ts_col."""
+    return (events_stream
+            .groupBy(user_col)
+            .applyInPandasWithState(
+                _update_sessions,
+                outputStructType=SESS_OUT,
+                stateStructType=SESS_STATE,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.EventTimeTimeout))

@@ -333,3 +333,36 @@ def test_continuous_aggregate_incremental_and_replay_safe(spark, dirs):
     assert snap() == expect
     # compaction left one partial row per bucket
     assert spark.read.parquet(sink).count() == 3
+
+
+def test_stateful_sessionize_with_event_time_timeout(spark, dirs):
+    """Two micro-batches: user 1's first session must be closed by the
+    event-time timeout once the watermark (advanced by batch 2's
+    events) passes last_event + gap; the in-batch gap split also
+    emits. The still-open trailing sessions stay in state."""
+    from mysql_syncer_clickhouse_spark.streaming.stateful import (
+        sessionize_with_timeout)
+    src, _, ckpt = dirs
+    ddl = "event_id long, user_id long, ts_s string"
+    p1 = [(1, 1, "2024-01-01 00:00:00"), (2, 1, "2024-01-01 00:10:00"),
+          (3, 1, "2024-01-01 02:00:00")]      # in-batch gap: session split
+    p2 = [(4, 2, "2024-01-01 06:00:00")]      # advances watermark past 02:30
+    for name, rows in [("p1", p1), ("p2", p2)]:
+        df = spark.createDataFrame(rows, ddl) \
+            .withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+        _write_part(spark, src, [tuple(r) for r in df.collect()], name,
+                    schema=df.schema)
+
+    stream = (spark.readStream.schema(df.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src)
+              .withWatermark("ts", "1 minute"))
+    q = (sessionize_with_timeout(stream).writeStream
+         .outputMode("append").format("memory").queryName("sess_out")
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {(r["user_id"], str(r["session_start"]), r["n_events"],
+            r["closed_by"])
+           for r in spark.sql("SELECT * FROM sess_out").collect()}
+    assert (1, "2024-01-01 00:00:00", 2, "gap") in got
+    assert (1, "2024-01-01 02:00:00", 1, "timeout") in got
