@@ -119,3 +119,26 @@ def test_asof_join_composite_key(spark):
     out = asof_join(left, right, ["grp", "sub"], "ts", "rts", ["px"])
     got = {(r["grp"], r["sub"]): r["px_asof"] for r in out.collect()}
     assert got == {("a", 1): 1.0, ("a", 2): 2.0, ("b", 1): None}
+
+
+def test_results_identical_across_partitioning(spark, sf_dir):
+    """SCALE.md's determinism contract: changing shuffle parallelism
+    must not change any query result bit (decimal aggregation, rounded
+    scores, unique tie-breaks). Run representative queries at 32 and 5
+    shuffle partitions and compare rows exactly."""
+    names = ["q1_pricing_summary", "window_topk_per_group",
+             "dedup_minhash_lsh", "ann_cosine_topk", "cdc_final_state"]
+    from mysql_syncer_clickhouse_spark import queries as registry
+    qs = registry.all_queries()
+    base = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        results = {}
+        for nparts in ("32", "5"):
+            spark.conf.set("spark.sql.shuffle.partitions", nparts)
+            results[nparts] = {
+                n: sorted(map(tuple, qs[n](spark, sf_dir).collect()))
+                for n in names}
+        for n in names:
+            assert results["32"][n] == results["5"][n], n
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", base)
