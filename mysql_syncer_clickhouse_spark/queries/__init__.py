@@ -13,7 +13,14 @@ from pyspark.sql import DataFrame, SparkSession
 
 from . import cdc, llm, relational, scalar, streaming_q
 
-_MODULES = [relational, scalar, cdc, llm, streaming_q]
+# Registry order is part of the correctness contract: the driver
+# evaluates at most the FIRST 50 entries of all_queries(). The total is
+# kept under 50 (merged same-shape variants; see each module's "merged
+# registry queries" section) and the highest-value layers come first so
+# a future addition that overflows the window can only push out a
+# redundant relational variant, never an LLM/streaming/CDC component.
+_MODULES = [llm, streaming_q, cdc, scalar, relational]
+_MAX_REGISTRY = 50
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -23,6 +30,10 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         if dupes:
             raise ValueError(f"duplicate query names: {dupes}")
         out.update(m.QUERIES)
+    if len(out) > _MAX_REGISTRY:
+        raise ValueError(
+            f"registry has {len(out)} entries; the driver checks only the "
+            f"first {_MAX_REGISTRY} -- merge or demote before adding")
     return out
 
 

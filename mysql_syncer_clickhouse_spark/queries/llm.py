@@ -277,12 +277,50 @@ SELECT query_id, rk, neighbor_id, score FROM (
 
 def ann_kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF with a LEARNED coarse quantizer (operators/ann.py k-means,
-    deterministic init + 3 Lloyd iterations, nprobe=2). Rows-only
-    driver check: the centroid arithmetic is float-iterative, so no
-    portable SQL twin -- recall/determinism are pytest-asserted."""
+    deterministic init + 3 Lloyd iterations, nprobe=2). The raw top-k
+    has no portable SQL twin (float-iterative centroid arithmetic);
+    the registered query is ann_kmeans_ivf_recall below."""
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 10)
     return ann.topk_kmeans_ivf(emb, queries, k=5, n_centroids=8, nprobe=2)
+
+
+def ann_kmeans_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable wrapper for the k-means IVF index: macro recall
+    of the IVF top-5 against the exact brute-force top-5, asserted
+    >= 0.6 (measured: 0.86 / 0.86 / 0.80 at sf0.001 / 0.01 / 0.1, and
+    the whole pipeline is deterministic -- lowest-id k-means init,
+    fixed Lloyd iterations, id tie-breaks). The oracle can't replicate
+    learned centroids, so it asserts the banded outcome; exact
+    neighbor sets are pytest-checked (test_llm_ops.py)."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    k = 5
+    ivf = ann.topk_kmeans_ivf(emb, queries, k=k, n_centroids=8, nprobe=2)
+    brute = ann.topk_bruteforce(emb, queries, k=k)
+    hits = ivf.select("query_id", "neighbor_id").join(
+        brute.select("query_id", "neighbor_id"),
+        ["query_id", "neighbor_id"])
+    # left join from the query set so zero-hit queries still count in
+    # the denominator (n_queries must equal the oracle's COUNT(*))
+    per_q = (queries.select(F.col("vec_id").alias("query_id"))
+             .join(hits.groupBy("query_id")
+                       .agg(F.count(F.lit(1)).alias("n_hits")),
+                   "query_id", "left")
+             .select(F.coalesce("n_hits", F.lit(0)).alias("n_hits")))
+    return (per_q.agg(F.count(F.lit(1)).alias("n_queries"),
+                      F.sum("n_hits").alias("total_hits"))
+                 .select("n_queries",
+                         F.lit(k).alias("k"),
+                         (F.col("total_hits")
+                          >= 0.6 * k * F.col("n_queries"))
+                         .alias("recall_ok")))
+
+
+_ANN_KMEANS_RECALL_SQL = """
+SELECT COUNT(*) AS n_queries, 5 AS k, TRUE AS recall_ok
+FROM embeddings WHERE vec_id < 10
+"""
 
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -553,25 +591,149 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# merged registry queries
+#
+# The driver's correctness gate evaluates at most 50 registry entries;
+# same-shape single-op queries are merged into one checked entry each.
+# The standalone functions above stay as unit-level building blocks
+# (tests/test_llm_ops.py exercises them directly).
+# ---------------------------------------------------------------------------
+
+def dedup_simhash_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints + blocked n-gram Jaccard pairs, one checked
+    query: ('simhash', id, NULL, simhash-as-double) rows -- simhash is
+    32-bit so the double render is exact -- and ('ngram', id_a, id_b,
+    jaccard) rows."""
+    sh = dedup_simhash(spark, sf_dir).select(
+        F.lit("simhash").alias("part"),
+        F.col("id").alias("id_a"),
+        F.lit(None).cast("long").alias("id_b"),
+        F.col("simhash").cast("double").alias("score"))
+    ng = dedup_ngram_jaccard(spark, sf_dir).select(
+        F.lit("ngram").alias("part"), "id_a", "id_b",
+        F.col("jaccard").alias("score"))
+    return sh.unionByName(ng)
+
+
+_SIMHASH_NGRAM_SQL = f"""
+SELECT 'simhash' AS part, id AS id_a, CAST(NULL AS BIGINT) AS id_b,
+       CAST(simhash AS DOUBLE) AS score
+FROM ({_SIMHASH_SQL})
+UNION ALL
+SELECT 'ngram', id_a, id_b, jaccard FROM ({_NGRAM_SQL})
+"""
+
+
+def text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-document text-analysis surface in one scan: token counts
+    (whitespace + BPE-ish regex), quality signals (stopword ratio, avg
+    word length, composite score), and the language-ID heuristic --
+    column-for-column the same expressions as the standalone
+    text_token_count / text_quality_score / text_lang_id."""
+    docs = _docs(spark, sf_dir)
+    ws = TX.words("text")
+    stop = TX.stopword_ratio("text")
+    awl = TX.avg_word_len("text")
+    n = TX.token_count_ws("text")
+    quality = F.round(
+        F.lit(0.4) * F.least(n.cast("double") / 100.0, F.lit(1.0))
+        + F.lit(0.3) * (1.0 - stop)
+        + F.lit(0.3) * F.least(awl / 10.0, F.lit(1.0)), 6)
+    en_hits = F.size(F.filter(ws, lambda w: w.isin("the", "a", "of", "and")))
+    ratio = en_hits.cast("double") / F.size(ws)
+    pred = (F.when(ratio >= 0.05, "en")
+             .when(ratio > 0.0, "en-ish")
+             .otherwise("unk"))
+    return docs.select(
+        "doc_id",
+        n.alias("n_ws_tokens"),
+        TX.token_count_bpe("text").alias("n_bpe_tokens"),
+        F.round(stop, 6).alias("stop_ratio"),
+        F.round(awl, 6).alias("avg_word_len"),
+        quality.alias("quality"),
+        F.col("lang").alias("lang_label"),
+        F.round(ratio, 6).alias("en_signal"),
+        pred.alias("lang_pred"))
+
+
+_TEXT_ANALYSIS_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang, text, string_split(trim(text), ' ') AS w
+  FROM documents
+), m AS (
+  SELECT doc_id, lang, text, w,
+         CAST(len(list_filter(w, x -> x IN ({_STOP_IN}))) AS DOUBLE)
+           / len(w) AS stop,
+         CAST(list_sum(list_transform(w, x -> len(x))) AS DOUBLE)
+           / len(w) AS awl,
+         len(w) AS n,
+         CAST(len(list_filter(w, x -> x IN ('the','a','of','and')))
+              AS DOUBLE) / len(w) AS ratio
+  FROM t
+)
+SELECT doc_id,
+       n AS n_ws_tokens,
+       len(regexp_extract_all(text, '{TX.BPE_REGEX}')) AS n_bpe_tokens,
+       ROUND(stop, 6) AS stop_ratio,
+       ROUND(awl, 6) AS avg_word_len,
+       ROUND(0.4 * least(CAST(n AS DOUBLE) / 100.0, 1.0)
+             + 0.3 * (1.0 - stop)
+             + 0.3 * least(awl / 10.0, 1.0), 6) AS quality,
+       lang AS lang_label,
+       ROUND(ratio, 6) AS en_signal,
+       CASE WHEN ratio >= 0.05 THEN 'en'
+            WHEN ratio > 0.0 THEN 'en-ish'
+            ELSE 'unk' END AS lang_pred
+FROM m
+"""
+
+
+def multimodal_meta_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload decode metadata + extracted feature vector, one
+    checked query; the feature vector is projected to scalar columns
+    (f1..f4) because the driver's hash cannot canonicalize raw array
+    cells. Frame sampling keeps its own entry (different fan-out
+    shape)."""
+    docs = _docs(spark, sf_dir)
+    payload = multimodal.with_binary_payload(docs)
+    meta = multimodal.decode_image_meta(payload)
+    feats = multimodal.extract_features(payload, dim=4)
+    f = F.col("features")
+    return (meta.join(feats, "doc_id")
+                .select("doc_id", "n_bytes", "width", "height", "format",
+                        F.get(f, 0).alias("f1"), F.get(f, 1).alias("f2"),
+                        F.get(f, 2).alias("f3"), F.get(f, 3).alias("f4")))
+
+
+_MM_META_FEATURES_SQL = """
+SELECT doc_id, strlen(text) AS n_bytes,
+       CAST(strlen(text) % 640 AS INT) AS width,
+       CAST((strlen(text) * 7) % 480 AS INT) AS height,
+       'fake' AS format,
+       CAST(strlen(text) * 1 % 997 AS DOUBLE) / 997.0 AS f1,
+       CAST(strlen(text) * 2 % 997 AS DOUBLE) / 997.0 AS f2,
+       CAST(strlen(text) * 3 % 997 AS DOUBLE) / 997.0 AS f3,
+       CAST(strlen(text) * 4 % 997 AS DOUBLE) / 997.0 AS f4
+FROM documents
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_clusters": dedup_clusters,
     "pipeline_clean_corpus": pipeline_clean_corpus,
-    "dedup_simhash": dedup_simhash,
-    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_simhash_ngram": dedup_simhash_ngram,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_ivf_topk": ann_ivf_topk,
-    "ann_kmeans_ivf_topk": ann_kmeans_ivf_topk,
-    "text_token_count": text_token_count,
-    "text_quality_score": text_quality_score,
-    "text_lang_id": text_lang_id,
+    "ann_kmeans_ivf_recall": ann_kmeans_ivf_recall,
+    "text_analysis": text_analysis,
     "text_ngram_topk": text_ngram_topk,
     "doc_fingerprint": doc_fingerprint,
-    "multimodal_decode_meta": multimodal_decode_meta,
+    "multimodal_meta_features": multimodal_meta_features,
     "multimodal_frame_sample": multimodal_frame_sample,
-    "multimodal_features": multimodal_features,
 }
 
 ORACLE = {
@@ -579,17 +741,14 @@ ORACLE = {
     "dedup_minhash_lsh": _MINHASH_SQL,
     "dedup_clusters": _CLUSTERS_SQL,
     "pipeline_clean_corpus": _PIPELINE_SQL,
-    "dedup_simhash": _SIMHASH_SQL,
-    "dedup_ngram_jaccard": _NGRAM_SQL,
+    "dedup_simhash_ngram": _SIMHASH_NGRAM_SQL,
     "dedup_embedding_cosine": _EMB_DEDUP_SQL,
     "ann_cosine_topk": _ANN_BRUTE_SQL,
     "ann_ivf_topk": _ANN_IVF_SQL,
-    "text_token_count": _TOKENS_SQL,
-    "text_quality_score": _QUALITY_SQL,
-    "text_lang_id": _LANG_SQL,
+    "ann_kmeans_ivf_recall": _ANN_KMEANS_RECALL_SQL,
+    "text_analysis": _TEXT_ANALYSIS_SQL,
     "text_ngram_topk": _NGRAM_TOPK_SQL,
     "doc_fingerprint": _FP_SQL,
-    "multimodal_decode_meta": _MM_SQL,
+    "multimodal_meta_features": _MM_META_FEATURES_SQL,
     "multimodal_frame_sample": _MM_FRAMES_SQL,
-    "multimodal_features": _MM_FEATURES_SQL,
 }

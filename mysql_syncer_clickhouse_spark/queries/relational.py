@@ -630,10 +630,16 @@ def window_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.min("event_id").alias("first_event")))
 
 
+# Oracle notes (round-1 hash fix): the windowed SUM is CAST to BIGINT
+# (DuckDB types it HUGEINT/int128, which pandas hashes differently from
+# Spark's int64), and the gap compares TRUNCATED epoch seconds exactly
+# like Spark's `ts.cast("long")` -- DuckDB's epoch() keeps the
+# fractional part, one boundary row away from divergence otherwise.
 _SESSION_SQL = """
 WITH flagged AS (
   SELECT user_id, event_id, ts,
-         CASE WHEN epoch(ts) - LAG(epoch(ts))
+         CASE WHEN CAST(FLOOR(epoch(ts)) AS BIGINT)
+                   - LAG(CAST(FLOOR(epoch(ts)) AS BIGINT))
                 OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
               > 1800 THEN 1
               WHEN LAG(ts) OVER (PARTITION BY user_id
@@ -642,9 +648,10 @@ WITH flagged AS (
   FROM events
 ), sessions AS (
   SELECT user_id, event_id,
-         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           AS session_idx
+         CAST(SUM(new_sess)
+                OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS session_idx
   FROM flagged
 )
 SELECT user_id, session_idx, COUNT(*) AS n_events,
@@ -754,14 +761,224 @@ FROM lineitem GROUP BY l_returnflag
 
 
 def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HLL++). Estimates are engine-specific, so
-    there is deliberately no SQL oracle -- the driver records a
-    rows-only check; tests/test_relational.py bounds the error vs the
-    exact count instead."""
+    """approx_count_distinct (HLL++). Estimates are engine-specific;
+    the registered query (distinct_vs_approx) bands the estimate
+    against the exact count so it IS oracle-checkable, and
+    tests/test_plans.py bounds the error directly."""
     li = _t(spark, sf_dir, "lineitem")
     return (li.groupBy("l_returnflag")
               .agg(F.approx_count_distinct("l_orderkey", 0.02)
                     .alias("approx_orders")))
+
+
+# ---------------------------------------------------------------------------
+# merged registry queries
+#
+# The driver's correctness gate evaluates at most 50 registry entries;
+# single-operator variants over the same physical shape are unioned
+# into one checked query each (a `part` label keeps the sections
+# distinguishable in the diff). The standalone functions above remain
+# the unit-level building blocks used by the plan-quality tests.
+# ---------------------------------------------------------------------------
+
+def join_outer_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer + full-outer + cross join types, one checked query
+    (inner/semi/anti live in join_semi_anti; broadcast inner joins are
+    covered by q3/q5/q10)."""
+    left = join_left_outer(spark, sf_dir).select(
+        F.lit("left_outer").alias("part"),
+        F.col("c_custkey").cast("long").alias("k"),
+        F.col("c_mktsegment").alias("attr"),
+        F.col("n_big_orders").cast("long").alias("n"))
+    full = join_full_outer(spark, sf_dir).select(
+        F.lit("full_outer").alias("part"),
+        F.col("custkey").cast("long").alias("k"),
+        F.col("c_nationkey").cast("string").alias("attr"),
+        F.col("n_orders").cast("long").alias("n"))
+    cross = join_cross(spark, sf_dir).select(
+        F.lit("cross").alias("part"),
+        (F.col("r_regionkey") * 100 + F.col("n_nationkey"))
+        .cast("long").alias("k"),
+        F.concat_ws("|", "r_name", "n_name").alias("attr"),
+        F.lit(1).cast("long").alias("n"))
+    return left.unionByName(full).unionByName(cross)
+
+
+_OUTER_CROSS_SQL = f"""
+SELECT 'left_outer' AS part, CAST(c_custkey AS BIGINT) AS k,
+       c_mktsegment AS attr, CAST(n_big_orders AS BIGINT) AS n
+FROM ({_LEFT_SQL})
+UNION ALL
+SELECT 'full_outer', CAST(custkey AS BIGINT), CAST(c_nationkey AS VARCHAR),
+       CAST(n_orders AS BIGINT)
+FROM ({_FULL_OUTER_SQL})
+UNION ALL
+SELECT 'cross', CAST(r_regionkey * 100 + n_nationkey AS BIGINT),
+       r_name || '|' || n_name, CAST(1 AS BIGINT)
+FROM ({_CROSS_SQL})
+"""
+
+
+def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS (left-semi) and NOT EXISTS (left-anti), one checked
+    query; the two sections partition `customer` exactly."""
+    semi = join_semi(spark, sf_dir).select(
+        F.lit("semi").alias("part"), "c_custkey", "c_name")
+    anti = join_anti(spark, sf_dir).select(
+        F.lit("anti").alias("part"), "c_custkey", "c_name")
+    return semi.unionByName(anti)
+
+
+_SEMI_ANTI_SQL = f"""
+SELECT 'semi' AS part, c_custkey, c_name FROM ({_SEMI_SQL})
+UNION ALL
+SELECT 'anti', c_custkey, c_name FROM ({_ANTI_SQL})
+"""
+
+
+def agg_grouping_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP + CUBE + GROUPING SETS + statistical aggregates
+    (percentile/corr/stddev), one checked query over aligned columns
+    (part, g1, g2, n, m1..m4)."""
+    nd = F.lit(None).cast("double")
+    rollup = agg_rollup(spark, sf_dir).select(
+        F.lit("rollup").alias("part"),
+        F.col("l_returnflag").alias("g1"),
+        F.col("l_linestatus").alias("g2"),
+        "n", F.col("sum_qty").alias("m1"),
+        nd.alias("m2"), nd.alias("m3"), nd.alias("m4"))
+    cube = agg_cube(spark, sf_dir).select(
+        F.lit("cube").alias("part"),
+        F.col("o_orderstatus").alias("g1"),
+        F.col("o_orderpriority").alias("g2"),
+        "n", F.col("sum_price").alias("m1"),
+        nd.alias("m2"), nd.alias("m3"), nd.alias("m4"))
+    gsets = agg_grouping_sets(spark, sf_dir).select(
+        F.lit("gsets").alias("part"),
+        F.col("o_orderstatus").alias("g1"),
+        F.col("o_orderpriority").alias("g2"),
+        "n", F.col("sum_price").alias("m1"),
+        nd.alias("m2"), nd.alias("m3"), nd.alias("m4"))
+    pctl = agg_percentiles(spark, sf_dir).select(
+        F.lit("pctl").alias("part"),
+        F.col("l_returnflag").alias("g1"),
+        F.lit(None).cast("string").alias("g2"),
+        F.lit(None).cast("long").alias("n"),
+        F.col("p50_price").alias("m1"),
+        F.col("p95_price").alias("m2"),
+        F.col("qty_price_corr").alias("m3"),
+        F.col("disc_stddev").alias("m4"))
+    return rollup.unionByName(cube).unionByName(gsets).unionByName(pctl)
+
+
+_GROUPING_STATS_SQL = f"""
+SELECT 'rollup' AS part, l_returnflag AS g1, l_linestatus AS g2,
+       n, sum_qty AS m1, CAST(NULL AS DOUBLE) AS m2,
+       CAST(NULL AS DOUBLE) AS m3, CAST(NULL AS DOUBLE) AS m4
+FROM ({_ROLLUP_SQL})
+UNION ALL
+SELECT 'cube', o_orderstatus, o_orderpriority, n, sum_price,
+       NULL, NULL, NULL
+FROM ({_CUBE_SQL})
+UNION ALL
+SELECT 'gsets', o_orderstatus, o_orderpriority, n, sum_price,
+       NULL, NULL, NULL
+FROM ({_GROUPING_SETS_SQL})
+UNION ALL
+SELECT 'pctl', l_returnflag, CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+       p50_price, p95_price, qty_price_corr, disc_stddev
+FROM ({_PERCENTILES_SQL})
+"""
+
+
+def window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-row window-function surface in one scan of `orders`:
+    ntile buckets, first/nth value, a RANGE frame, and lag/lead --
+    window_running_sum keeps the ROWS-frame decimal accumulation as
+    its own checked query."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderkey"))
+    wr = (Window.partitionBy("o_custkey")
+          .orderBy(F.col("o_totalprice"))
+          .rangeBetween(-10000, 0))
+    return o.select(
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.first_value("o_orderkey").over(w).alias("first_ok"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_ok"),
+        F.round(F.sum("o_totalprice").over(wr), 2).alias("near_sum"),
+        F.lag("o_orderkey", 1).over(w).alias("prev_ok"),
+        F.lead("o_orderkey", 1).over(w).alias("next_ok"))
+
+
+_WINDOW_ANALYTICS_SQL = """
+SELECT o_orderkey,
+       NTILE(4) OVER w AS quartile,
+       FIRST_VALUE(o_orderkey) OVER w AS first_ok,
+       NTH_VALUE(o_orderkey, 2) OVER w AS second_ok,
+       ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+             ORDER BY o_totalprice
+             RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW), 2) AS near_sum,
+       LAG(o_orderkey, 1)  OVER w AS prev_ok,
+       LEAD(o_orderkey, 1) OVER w AS next_ok
+FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+"""
+
+
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT + EXCEPT + UNION DISTINCT, one checked query."""
+    i = set_intersect(spark, sf_dir).select(
+        F.lit("intersect").alias("part"),
+        F.col("o_custkey").cast("string").alias("val"))
+    e = set_except(spark, sf_dir).select(
+        F.lit("except").alias("part"),
+        F.col("o_custkey").cast("string").alias("val"))
+    u = set_union_distinct(spark, sf_dir).select(
+        F.lit("union_distinct").alias("part"),
+        F.col("n_name").alias("val"))
+    return i.unionByName(e).unionByName(u)
+
+
+_SET_OPS_SQL = f"""
+SELECT 'intersect' AS part, CAST(o_custkey AS VARCHAR) AS val
+FROM ({_INTERSECT_SQL})
+UNION ALL
+SELECT 'except', CAST(o_custkey AS VARCHAR) FROM ({_EXCEPT_SQL})
+UNION ALL
+SELECT 'union_distinct', n_name FROM ({_UNION_SQL})
+"""
+
+
+def distinct_vs_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT) surface plus a banded check of
+    approx_count_distinct (HLL++, rsd=0.02): the estimate itself is
+    engine-specific, so the checked value is `approx_ok` -- estimate
+    within 5% of the exact count -- which the oracle asserts as TRUE.
+    This replaces round 1's oracle-less approx_distinct (the driver
+    has no rows-only mode; an oracle-less query records an err)."""
+    li = _t(spark, sf_dir, "lineitem")
+    agg = (li.groupBy("l_returnflag")
+             .agg(F.countDistinct("l_partkey").alias("n_parts"),
+                  F.countDistinct("l_suppkey").alias("n_supps"),
+                  F.count(F.lit(1)).alias("n_rows"),
+                  F.countDistinct("l_orderkey").alias("n_orders"),
+                  F.approx_count_distinct("l_orderkey", 0.02)
+                   .alias("approx_orders")))
+    ok = (F.abs(F.col("approx_orders") - F.col("n_orders"))
+          <= 0.05 * F.col("n_orders"))
+    return agg.select("l_returnflag", "n_parts", "n_supps", "n_rows",
+                      "n_orders", ok.alias("approx_ok"))
+
+
+_DISTINCT_VS_APPROX_SQL = """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(DISTINCT l_suppkey) AS n_supps,
+       COUNT(*) AS n_rows,
+       COUNT(DISTINCT l_orderkey) AS n_orders,
+       TRUE AS approx_ok
+FROM lineitem GROUP BY l_returnflag
+"""
 
 
 QUERIES = {
@@ -771,31 +988,21 @@ QUERIES = {
     "q14_promo_revenue": q14_promo_revenue,
     "q10_returned_items": q10_returned_items,
     "q18_large_orders": q18_large_orders,
-    "join_left_outer": join_left_outer,
-    "join_semi": join_semi,
-    "join_anti": join_anti,
-    "join_full_outer": join_full_outer,
-    "join_cross": join_cross,
+    "join_outer_cross": join_outer_cross,
+    "join_semi_anti": join_semi_anti,
     "scalar_subquery_above_avg": scalar_subquery_above_avg,
     "join_asof": join_asof,
     "join_range_binned": join_range_binned,
-    "agg_rollup": agg_rollup,
-    "agg_cube": agg_cube,
-    "agg_grouping_sets": agg_grouping_sets,
-    "agg_percentiles": agg_percentiles,
+    "agg_grouping_stats": agg_grouping_stats,
     "join_skew_salted": join_skew_salted,
     "window_topk_per_group": window_topk_per_group,
     "window_running_sum": window_running_sum,
-    "window_lag_lead": window_lag_lead,
     "window_sessionize": window_sessionize,
-    "window_frames": window_frames,
+    "window_analytics": window_analytics,
     "topk_orders": topk_orders,
     "pivot_status": pivot_status,
-    "set_intersect": set_intersect,
-    "set_except": set_except,
-    "set_union_distinct": set_union_distinct,
-    "distinct_counts": distinct_counts,
-    "approx_distinct": approx_distinct,
+    "set_ops": set_ops,
+    "distinct_vs_approx": distinct_vs_approx,
 }
 
 ORACLE = {
@@ -805,29 +1012,19 @@ ORACLE = {
     "q14_promo_revenue": _Q14_SQL,
     "q10_returned_items": _Q10_SQL,
     "q18_large_orders": _Q18_SQL,
-    "join_left_outer": _LEFT_SQL,
-    "join_semi": _SEMI_SQL,
-    "join_anti": _ANTI_SQL,
-    "join_full_outer": _FULL_OUTER_SQL,
-    "join_cross": _CROSS_SQL,
+    "join_outer_cross": _OUTER_CROSS_SQL,
+    "join_semi_anti": _SEMI_ANTI_SQL,
     "scalar_subquery_above_avg": _SCALAR_SUB_SQL,
     "join_asof": _ASOF_SQL,
     "join_range_binned": _RANGE_SQL,
-    "agg_rollup": _ROLLUP_SQL,
-    "agg_cube": _CUBE_SQL,
-    "agg_grouping_sets": _GROUPING_SETS_SQL,
-    "agg_percentiles": _PERCENTILES_SQL,
+    "agg_grouping_stats": _GROUPING_STATS_SQL,
     "join_skew_salted": _SKEW_SQL,
     "window_topk_per_group": _TOPK_GRP_SQL,
     "window_running_sum": _RUNNING_SQL,
-    "window_lag_lead": _LAG_SQL,
     "window_sessionize": _SESSION_SQL,
-    "window_frames": _FRAMES_SQL,
+    "window_analytics": _WINDOW_ANALYTICS_SQL,
     "topk_orders": _TOPK_SQL,
     "pivot_status": _PIVOT_SQL,
-    "set_intersect": _INTERSECT_SQL,
-    "set_except": _EXCEPT_SQL,
-    "set_union_distinct": _UNION_SQL,
-    "distinct_counts": _DISTINCT_SQL,
-    # approx_distinct: rows-only by design (engine-specific estimate)
+    "set_ops": _SET_OPS_SQL,
+    "distinct_vs_approx": _DISTINCT_VS_APPROX_SQL,
 }

@@ -163,21 +163,25 @@ SELECT event_id, CAST(props->>'$.k' AS INT) AS k FROM events
 """
 
 
-# F10 + UInt64 safety: int normalization incl. beyond-int32 values
+# F10 + UInt64 safety: int normalization incl. beyond-int32 values.
+# big_u64 is DECIMAL(20,0) internally (full uint64 range) but rendered
+# as a string here: the driver's pandas value-hash treats Decimal
+# objects engine-specifically (round-1 hash mismatch), while the
+# digit string is identical everywhere.
 def t_int_normalize(spark, sf_dir):
     ev = _events(spark, sf_dir)
     big = F.col("user_id") + F.lit(3748168280)   # UInt32-range survival
     return ev.select(
         "event_id",
         X.int_normalize(F.col("value")).alias("value_i64"),
-        X.uint64_normalize(big).alias("big_u64"),
+        X.uint64_normalize(big).cast("string").alias("big_u64"),
     )
 
 
 _INT_SQL = """
 SELECT event_id,
        CAST(FLOOR(value) AS BIGINT) AS value_i64,
-       CAST(user_id + 3748168280 AS DECIMAL(20,0)) AS big_u64
+       CAST(CAST(user_id + 3748168280 AS DECIMAL(20,0)) AS VARCHAR) AS big_u64
 FROM events
 """
 
@@ -231,7 +235,9 @@ FROM orders
 """
 
 
-# array / map built-ins over the csv list transform's output
+# array / map built-ins over the csv list transform's output.
+# Array outputs are scalarized (array_join) -- the driver's pandas
+# canonicalizer cannot hash raw list cells (round-1 err row).
 def t_array_map_ops(spark, sf_dir):
     ev = _events(spark, sf_dir)
     arr = F.split(F.concat_ws(",", "event_type", "event_type"), ",")
@@ -239,7 +245,8 @@ def t_array_map_ops(spark, sf_dir):
         "event_id",
         F.size(arr).alias("n_el"),
         F.array_contains(arr, "click").alias("has_click"),
-        F.sort_array(F.array_distinct(arr)).alias("distinct_sorted"),
+        F.array_join(F.sort_array(F.array_distinct(arr)), "|")
+         .alias("distinct_sorted"),
         F.element_at(F.create_map(F.lit("t"), F.col("event_type")), "t")
          .alias("map_val"),
     )
@@ -249,38 +256,125 @@ _ARRAY_MAP_SQL = """
 SELECT event_id,
        2 AS n_el,
        (event_type = 'click') AS has_click,
-       [event_type] AS distinct_sorted,
+       event_type AS distinct_sorted,
        event_type AS map_val
 FROM events
 """
 
 
+# ---------------------------------------------------------------------------
+# merged registry queries
+#
+# The driver's correctness gate evaluates at most 50 registry entries,
+# so per-transform queries over the SAME base table are merged into
+# wide single-scan selects; the standalone functions above stay as the
+# unit-testable building blocks (tests/test_transforms.py and the
+# hypothesis suite exercise them directly).
+# ---------------------------------------------------------------------------
+
+def t_mysql_scalars(spark, sf_dir):
+    """F1 enum + F2 set + F3 bit + F6/F9 zero-date guards + F8 unix->ts
+    + F5 json (path + typed struct) in one scan of `events`: each
+    column is the same expression as its standalone query."""
+    ev = _events(spark, sf_dir)
+    idx = (F.col("event_id") % 5).cast("int")
+    mask = F.col("event_id") % 8
+    bit_raw = F.when(F.col("event_id") % 2 == 1, F.char(F.lit(1))) \
+               .otherwise(F.char(F.lit(2)))
+    date_raw = (F.when(F.col("event_id") % 10 == 0, F.lit("0000-00-00"))
+                 .when(F.col("event_id") % 10 == 1, F.lit("not-a-date"))
+                 .otherwise(F.date_format("ts", "yyyy-MM-dd")))
+    dt_raw = (F.when(F.col("event_id") % 10 == 0,
+                     F.lit("0000-00-00 00:00:00"))
+               .otherwise(F.date_format("ts", "yyyy-MM-dd HH:mm:ss")))
+    secs = F.lit(1700000000) + F.col("event_id") * 3600
+    parsed = F.from_json("props", "k INT")
+    return ev.select(
+        "event_id",
+        X.enum_decode(idx, _ENUM_LABELS).alias("enum_label"),
+        X.set_decode(mask, _SET_LABELS).alias("set_csv"),
+        X.bit_decode(bit_raw).alias("bit_val"),
+        X.date_parse(date_raw).alias("d"),
+        X.datetime_parse(dt_raw).alias("dt"),
+        X.unix_to_ts(secs).alias("t"),
+        X.json_get("props", "$.k").cast("int").alias("k"),
+        F.isnotnull(parsed).alias("valid_json"),
+    )
+
+
+_MYSQL_SCALARS_SQL = """
+SELECT event_id,
+       CASE (event_id % 5) WHEN 1 THEN 'e1' WHEN 2 THEN 'e2'
+                           WHEN 3 THEN 'e3' ELSE '' END AS enum_label,
+       concat_ws(',',
+         CASE WHEN ((event_id % 8) & 1) <> 0 THEN 'a' END,
+         CASE WHEN ((event_id % 8) & 2) <> 0 THEN 'b' END,
+         CASE WHEN ((event_id % 8) & 4) <> 0 THEN 'c' END) AS set_csv,
+       CASE WHEN (CASE WHEN event_id % 2 = 1 THEN chr(1) ELSE chr(2) END)
+            = chr(1) THEN 1 ELSE 0 END AS bit_val,
+       CAST(try_strptime(
+         CASE WHEN event_id % 10 = 0 THEN '0000-00-00'
+              WHEN event_id % 10 = 1 THEN 'not-a-date'
+              ELSE strftime(ts, '%Y-%m-%d') END,
+         '%Y-%m-%d') AS DATE) AS d,
+       try_strptime(
+         CASE WHEN event_id % 10 = 0 THEN '0000-00-00 00:00:00'
+              ELSE strftime(ts, '%Y-%m-%d %H:%M:%S') END,
+         '%Y-%m-%d %H:%M:%S') AS dt,
+       CAST(to_timestamp(1700000000 + event_id * 3600) AS TIMESTAMP) AS t,
+       CAST(props->>'$.k' AS INT) AS k,
+       (json_valid(props)) AS valid_json
+FROM events
+"""
+
+
+def t_array_ops(spark, sf_dir):
+    """F7 csv->list transform + array/map built-ins, one scan; every
+    array output scalarized for the driver's hash."""
+    ev = _events(spark, sf_dir)
+    csv = F.concat_ws(",", F.col("event_type"),
+                      F.col("user_id").cast("string"), F.lit("tail"))
+    arr = X.csv_to_list(csv)
+    arr2 = F.split(F.concat_ws(",", "event_type", "event_type"), ",")
+    return ev.select(
+        "event_id",
+        F.size(arr).alias("n_parts"),
+        F.get(arr, 0).alias("part1"),
+        F.get(arr, 1).alias("part2"),
+        F.array_join(arr, "|").alias("joined"),
+        F.size(arr2).alias("n_el"),
+        F.array_contains(arr2, "click").alias("has_click"),
+        F.array_join(F.sort_array(F.array_distinct(arr2)), "|")
+         .alias("distinct_sorted"),
+        F.element_at(F.create_map(F.lit("t"), F.col("event_type")), "t")
+         .alias("map_val"),
+    )
+
+
+_ARRAY_OPS_SQL = """
+SELECT event_id,
+       len(parts) AS n_parts, parts[1] AS part1, parts[2] AS part2,
+       array_to_string(parts, '|') AS joined,
+       2 AS n_el,
+       (event_type = 'click') AS has_click,
+       event_type AS distinct_sorted,
+       event_type AS map_val
+FROM (SELECT event_id, event_type,
+             string_split(event_type || ',' || user_id || ',tail', ',') AS parts
+      FROM events)
+"""
+
+
 QUERIES = {
-    "t_enum_decode": t_enum_decode,
-    "t_set_decode": t_set_decode,
-    "t_bit_decode": t_bit_decode,
-    "t_date_parse": t_date_parse,
-    "t_datetime_parse": t_datetime_parse,
-    "t_csv_to_list": t_csv_to_list,
-    "t_unix_to_ts": t_unix_to_ts,
-    "t_json_get": t_json_get,
-    "t_json_struct": t_json_struct,
+    "t_mysql_scalars": t_mysql_scalars,
+    "t_array_ops": t_array_ops,
     "t_int_normalize": t_int_normalize,
     "t_builtins": t_builtins,
-    "t_array_map_ops": t_array_map_ops,
 }
 
 ORACLE = {
-    "t_enum_decode": _ENUM_SQL,
-    "t_set_decode": _SET_SQL,
-    "t_bit_decode": _BIT_SQL,
-    "t_date_parse": _DATE_SQL,
-    "t_datetime_parse": _DATETIME_SQL,
-    "t_csv_to_list": _CSV_SQL,
-    "t_unix_to_ts": _UNIX_SQL,
-    "t_json_get": _JSON_SQL,
-    "t_json_struct": _JSON_STRUCT_SQL,
+    "t_mysql_scalars": _MYSQL_SCALARS_SQL,
+    "t_array_ops": _ARRAY_OPS_SQL,
     "t_int_normalize": _INT_SQL,
     "t_builtins": _BUILTINS_SQL,
-    "t_array_map_ops": _ARRAY_MAP_SQL,
 }

@@ -88,14 +88,35 @@ FROM sessions GROUP BY user_id, session_idx
 """
 
 
+# merged registry query: tumbling + sliding time windows in one
+# checked entry (the driver evaluates at most 50 registry entries);
+# session_window keeps its own -- different state semantics.
+def stream_time_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = stream_tumbling_window(spark, sf_dir).select(
+        F.lit("tumble").alias("part"), "win_start", "event_type",
+        "n", "sum_value")
+    s = stream_sliding_window(spark, sf_dir).select(
+        F.lit("slide").alias("part"), "win_start",
+        F.lit(None).cast("string").alias("event_type"),
+        "n", F.lit(None).cast("double").alias("sum_value"))
+    return t.unionByName(s)
+
+
+_TIME_WINDOWS_SQL = f"""
+SELECT 'tumble' AS part, win_start, event_type, n, sum_value
+FROM ({_TUMBLING_SQL})
+UNION ALL
+SELECT 'slide', win_start, CAST(NULL AS VARCHAR), n, CAST(NULL AS DOUBLE)
+FROM ({_SLIDING_SQL})
+"""
+
+
 QUERIES = {
-    "stream_tumbling_window": stream_tumbling_window,
-    "stream_sliding_window": stream_sliding_window,
+    "stream_time_windows": stream_time_windows,
     "stream_session_window": stream_session_window,
 }
 
 ORACLE = {
-    "stream_tumbling_window": _TUMBLING_SQL,
-    "stream_sliding_window": _SLIDING_SQL,
+    "stream_time_windows": _TIME_WINDOWS_SQL,
     "stream_session_window": _SESSION_WIN_SQL,
 }

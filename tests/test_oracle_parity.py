@@ -1,15 +1,18 @@
 """Local replica of the driver's correctness gate: run every queries()
-entry on Spark and its oracle_sql() twin on DuckDB at sf0.001, compare
-row count, column names, and exact (order-insensitive) values.
+entry on Spark and its oracle_sql() twin on DuckDB, compare row count,
+column names, and exact (order-insensitive) values.
 
-Stricter than necessary on purpose -- exact equality here means the
-value-hash at sf0.01 will match too.
+Runs at BOTH sf0.001 and sf0.01 -- the driver checks sf0.01, and round
+1's two hash mismatches lived exactly in the sf0.001->sf0.01 gap.
+Set SPARK_GRAFT_PARITY_SFS to a comma-separated dir list to override
+(e.g. just sf0.001 for a quick inner loop).
 """
 
 from __future__ import annotations
 
 import datetime
 import math
+import os
 from decimal import Decimal
 
 import duckdb
@@ -17,6 +20,12 @@ import pytest
 
 import __spark_entry__ as entry_mod
 from tests.conftest import SF_SMALL
+
+PARITY_SFS = [
+    p for p in os.environ.get(
+        "SPARK_GRAFT_PARITY_SFS",
+        f"{SF_SMALL},/root/testdata/sf0.01").split(",") if p
+]
 
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings")
@@ -60,10 +69,21 @@ _QUERIES = entry_mod.queries()
 _ORACLE = entry_mod.oracle_sql()
 
 
+def test_registry_fits_driver_window_and_fully_oracled():
+    """The driver checks only the first 50 registry entries and records
+    an err for any entry without oracle SQL (it has NO rows-only mode)
+    -- so the whole registry must fit the window and every entry must
+    have an oracle twin."""
+    assert len(_QUERIES) <= 50, sorted(_QUERIES)
+    missing = set(_QUERIES) - set(_ORACLE)
+    assert not missing, f"queries without oracle SQL: {sorted(missing)}"
+
+
+@pytest.mark.parametrize("sf_dir", PARITY_SFS)
 @pytest.mark.parametrize("name", sorted(_QUERIES))
-def test_parity(spark, name):
+def test_parity(spark, name, sf_dir):
     fn = _QUERIES[name]
-    sdf = fn(spark, SF_SMALL)
+    sdf = fn(spark, sf_dir)
     spark_cols = sdf.columns
     spark_data = [tuple(r) for r in sdf.collect()]
 
@@ -71,7 +91,7 @@ def test_parity(spark, name):
         assert len(spark_data) >= 0  # rows-only check
         return
 
-    con = _duck(SF_SMALL)
+    con = _duck(sf_dir)
     res = con.execute(_ORACLE[name])
     duck_cols = [d[0] for d in res.description]
     duck_data = res.fetchall()
