@@ -28,22 +28,46 @@ def with_binary_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
                        F.encode(F.col(text_col), "UTF-8").alias("payload"))
 
 
+try:                                    # real codec if the env has it
+    from PIL import Image as _PIL_Image  # pragma: no cover
+except ImportError:                     # this container: no PIL/ffmpeg
+    _PIL_Image = None
+
+
 def _fake_decode(payload: bytes) -> tuple[int, int, int, str]:
-    """Deterministic stand-in for a real image decoder. A production
-    build would call PIL/ffmpeg here; this container has neither, so
-    dimensions derive from the byte length (stable + testable)."""
+    """Deterministic stand-in for a real image decoder: dimensions
+    derive from the byte length (stable + oracle-checkable)."""
     n = len(payload)
     return n, n % 640, (n * 7) % 480, "fake"
 
 
+def _decode(payload: bytes) -> tuple[int, int, int, str]:
+    """Decode image metadata: uses PIL when the library is importable
+    AND the payload parses as a real image; otherwise the deterministic
+    fake. The fixture payloads are UTF-8 text, so tests always take the
+    fake path -- environment-limited, documented in COVERAGE.md. The
+    Spark-side plumbing (Arrow batching, schema, partition parallelism)
+    is identical either way."""
+    if _PIL_Image is not None:
+        import io
+        try:
+            with _PIL_Image.open(io.BytesIO(payload)) as im:
+                return (len(payload), im.width, im.height,
+                        (im.format or "unknown").lower())
+        except Exception:
+            pass
+    return _fake_decode(payload)
+
+
 def decode_image_meta(df: DataFrame) -> DataFrame:
     """mapInPandas decode: per Arrow batch, extract (n_bytes, width,
-    height, format) from the binary payload. Swap `_fake_decode` for a
-    real codec to productionize -- the Spark-side plumbing (schema,
-    batch iteration, partition parallelism) is the part under test."""
+    height, format) from the binary payload via `_decode` (PIL when
+    available, deterministic fake otherwise) -- the Spark-side plumbing
+    (schema, batch iteration, partition parallelism) is the part under
+    test."""
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            meta = pdf["payload"].map(_fake_decode)
+            meta = pdf["payload"].map(_decode)
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"],
                 "n_bytes": meta.map(lambda t: t[0]),

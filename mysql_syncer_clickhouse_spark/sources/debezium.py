@@ -1,0 +1,126 @@
+"""Debezium-envelope changelog source (JSON).
+
+The reference tails the MySQL replication protocol directly as a
+pseudo-replica (reference river/river.go:102-123, river/sync.go:72-102).
+The standard Spark-era equivalent of that binlog tail is Debezium
+publishing change events to Kafka; this module parses that public
+envelope -- `op` c/u/r/d, `before`/`after` row images, `source.file`/
+`source.pos` binlog position, `source.ts_ms` -- into the repo's
+normalized changelog schema (sources/changelog.py):
+
+    (seq long, ts timestamp, op string, <row columns...>)
+
+so the existing apply path (streaming/pipeline.py + operators/
+upsert.py) consumes a real replication feed without modification.
+
+Transport: in this sandbox the stream is JSON-lines files driven by
+`readStream.text` (one envelope per line, exactly what `kafka-console-
+consumer` would show). With spark-sql-kafka on the classpath, swap the
+reader for `spark.readStream.format("kafka")` and feed
+`CAST(value AS STRING)` to the same `parse_debezium`; nothing else
+changes.
+
+Scale notes: parsing is pure Catalyst (`from_json` + column ops -- no
+Python in the row path), so it pipelines inside whole-stage codegen at
+any partition count. Ordering does not rely on file arrival: `seq`
+encodes (binlog file index, position), the same total order the
+reference persists in master.info (river/master.go:17-25).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Debezium op -> normalized op. 'r' (snapshot read) applies as insert,
+# giving the same snapshot+increment contract as the reference's canal
+# dump phase (river/sync.go:33-50).
+_OP_MAP = {"c": "insert", "r": "insert", "u": "update", "d": "delete"}
+
+
+def envelope_ddl(row_ddl: str) -> str:
+    """DDL for the (unwrapped) Debezium payload given the row schema.
+
+    Matches the public Debezium MySQL connector envelope; `source`
+    keeps only the fields the sync path needs (binlog position + db/
+    table for routing) -- from_json ignores extra JSON keys, so real
+    envelopes with the full source block parse unchanged.
+    """
+    return (f"before struct<{row_ddl}>, after struct<{row_ddl}>, "
+            "source struct<db string, `table` string, file string, "
+            "pos long, ts_ms long>, op string, ts_ms long")
+
+
+def binlog_seq(file_col: F.Column, pos_col: F.Column) -> F.Column:
+    """Total order from (binlog file, position): numeric suffix of the
+    file name (mysql-bin.000042 -> 42) shifted above the 32-bit max
+    position. Same total order the reference checkpoints as
+    master.info's (name, pos) pair (river/master.go:17-25)."""
+    idx = F.regexp_extract(file_col, r"(\d+)$", 1).cast("long")
+    return (F.coalesce(idx, F.lit(0)) * F.lit(1 << 32)
+            + F.coalesce(pos_col, F.lit(0))).alias("seq")
+
+
+def parse_debezium(lines: DataFrame, row_ddl: str,
+                   value_col: str = "value", *,
+                   with_routing: bool = False) -> DataFrame:
+    """Parse a column of Debezium JSON envelopes (one per row) into the
+    normalized changelog schema. Works identically on a batch or
+    streaming DataFrame (pure column expressions).
+
+    Tolerates both raw payloads and schema-ful envelopes (the connector
+    default wraps the payload in {"schema":..., "payload":...}).
+    Unparseable lines are dropped (try-semantics), mirroring the
+    reference's skip-and-log on decode errors.
+    """
+    env_ddl = envelope_ddl(row_ddl)
+    raw = F.col(value_col)
+    # unwrap {"schema":..., "payload": {...}} if present
+    payload_str = F.coalesce(F.get_json_object(raw, "$.payload"), raw)
+    env = F.from_json(payload_str, env_ddl)
+
+    op_expr = F.element_at(
+        F.create_map(*[F.lit(x) for kv in _OP_MAP.items() for x in kv]),
+        env.getField("op"))
+    # row image: after for c/r/u, before for d (after is null on delete)
+    row = F.coalesce(env.getField("after"), env.getField("before"))
+    src = env.getField("source")
+
+    row_fields = [f.strip().split(" ", 1)[0].strip("`")
+                  for f in row_ddl.split(",")]
+    # (db, table) feed RuleSet.match for multi-table topics; off by
+    # default so the apply path's payload = row columns exactly
+    routing = ([F.col("src").getField("db").alias("src_db"),
+                F.col("src").getField("table").alias("src_table")]
+               if with_routing else [])
+    return (lines
+            .select(env.alias("e"), op_expr.alias("op"), row.alias("row"),
+                    src.alias("src"))
+            .filter(F.col("op").isNotNull() & F.col("row").isNotNull())
+            .select(
+                binlog_seq(F.col("src").getField("file"),
+                           F.col("src").getField("pos")),
+                F.timestamp_millis(
+                    F.coalesce(F.col("src").getField("ts_ms"),
+                               F.col("e").getField("ts_ms"))).alias("ts"),
+                "op",
+                *routing,
+                *[F.col("row").getField(c).alias(c) for c in row_fields]))
+
+
+def read_debezium_stream(spark: SparkSession, source_dir: str,
+                         row_ddl: str, *,
+                         max_files_per_trigger: int = 4) -> DataFrame:
+    """Streaming reader over a directory of Debezium JSON-lines files
+    (the Kafka-topic analog for this sandbox). Backpressure via
+    maxFilesPerTrigger, exactly like the parquet changelog source."""
+    lines = (spark.readStream
+             .option("maxFilesPerTrigger", max_files_per_trigger)
+             .text(source_dir))
+    return parse_debezium(lines, row_ddl)
+
+
+def read_debezium_batch(spark: SparkSession, source_dir: str,
+                        row_ddl: str) -> DataFrame:
+    """Batch catch-up over the same files (canal dump-phase analog)."""
+    return parse_debezium(spark.read.text(source_dir), row_ddl)

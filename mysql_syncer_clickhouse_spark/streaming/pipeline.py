@@ -86,13 +86,12 @@ class StreamingSyncPipeline:
         writer.parquet(self.sink_dir)
         self.metrics.record_counts(obs.get)
 
-    def start(self, spark: SparkSession, source_dir: str,
-              schema: StructType, *,
-              max_files_per_trigger: int = 4,
-              processing_time: str | None = None) -> StreamingQuery:
-        stream = (spark.readStream.schema(schema)
-                  .option("maxFilesPerTrigger", max_files_per_trigger)
-                  .parquet(source_dir))
+    def start_stream(self, stream: DataFrame, *,
+                     processing_time: str | None = None) -> StreamingQuery:
+        """Attach the apply loop to ANY streaming DataFrame in the
+        normalized changelog schema -- the parquet changelog source
+        below, sources/debezium.read_debezium_stream, or a real Kafka
+        reader all plug in here."""
         writer = (stream.writeStream
                   .foreachBatch(self._apply_batch)
                   .option("checkpointLocation", self.checkpoint_dir)
@@ -102,6 +101,15 @@ class StreamingSyncPipeline:
         else:
             writer = writer.trigger(availableNow=True)
         return writer.start()
+
+    def start(self, spark: SparkSession, source_dir: str,
+              schema: StructType, *,
+              max_files_per_trigger: int = 4,
+              processing_time: str | None = None) -> StreamingQuery:
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", max_files_per_trigger)
+                  .parquet(source_dir))
+        return self.start_stream(stream, processing_time=processing_time)
 
     def run_available(self, spark: SparkSession, source_dir: str,
                       schema: StructType, **kw) -> None:
