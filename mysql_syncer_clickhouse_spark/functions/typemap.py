@@ -75,3 +75,72 @@ def mysql_to_spark_type(mysql_type: str, *,
 def mysql_column_to_field(name: str, mysql_type: str, nullable: bool = True,
                           **kw) -> T.StructField:
     return T.StructField(name, mysql_to_spark_type(mysql_type, **kw), nullable)
+
+
+# ---------------------------------------------------------------------------
+# ClickHouse-side DDL emission (the reference's auto-CREATE,
+# README.md:141-161 + TransferToCkTypeByColumnType README.md:165-266).
+# The parquet sink doesn't need it, but a user pointing this engine at
+# a real ClickHouse does -- emitting the same DDL the reference would.
+# ---------------------------------------------------------------------------
+
+_CH_INT = {"tinyint": "Int8", "smallint": "Int16", "mediumint": "Int32",
+           "int": "Int32", "integer": "Int32", "bigint": "Int64"}
+
+
+def mysql_to_clickhouse_type(mysql_type: str, nullable: bool = False) -> str:
+    """MySQL column type -> ClickHouse type string, mirroring the
+    reference's mapping (README.md:165-266): unsigned ints widen to
+    UInt*, year->Int16, bool->Int8, bit->Int64, datetime(n)/
+    timestamp(n) -> DateTime64(n), decimal M>18 -> String (the
+    reference's go driver binds at most Decimal64), default String."""
+    t = mysql_type.strip().lower()
+    unsigned = "unsigned" in t
+    base = re.split(r"[\s(]", t, 1)[0]
+
+    if base in _CH_INT:
+        ch = _CH_INT[base]
+        out = "U" + ch if unsigned else ch
+    elif base == "year":
+        out = "Int16"
+    elif base in ("bool", "boolean"):
+        out = "Int8"
+    elif base == "float":
+        out = "Float32"
+    elif base in ("double", "real"):
+        out = "Float64"
+    elif base == "bit":
+        out = "Int64"
+    elif base == "date":
+        out = "Date"
+    elif base in ("datetime", "timestamp"):
+        m = re.match(r"(?:datetime|timestamp)\s*\((\d+)\)", t)
+        out = f"DateTime64({m.group(1)})" if m else "DateTime"
+    elif base in ("decimal", "numeric"):
+        m = re.match(r"(?:decimal|numeric)\s*\((\d+)\s*(?:,\s*(\d+))?\)", t)
+        prec = int(m.group(1)) if m else 18
+        scale = int(m.group(2)) if m and m.group(2) else (0 if m else 2)
+        out = "String" if prec > 18 else f"Decimal({prec},{scale})"
+    else:
+        out = "String"
+    return f"Nullable({out})" if nullable else out
+
+
+def clickhouse_create_table_ddl(schema: str, table: str,
+                                columns: list[tuple[str, str, bool]],
+                                pk: tuple[str, ...]) -> str:
+    """Emit the sink auto-CREATE the reference builds at runtime
+    (README.md:141-161): ReplacingMergeTree ordered by the PK. Two
+    deliberate divergences from the reference snippet, both bugs
+    there: it emits ONLY the PK columns (data columns never reach
+    addCkField), and its ORDER BY list stays empty (priArr is never
+    appended). We emit every column and order by the actual PK; PK
+    columns are non-Nullable (ClickHouse rejects Nullable ORDER BY
+    keys by default)."""
+    pkset = set(pk)
+    cols = ", ".join(
+        f"`{name}` {mysql_to_clickhouse_type(mtype, nullable and name not in pkset)}"
+        for name, mtype, nullable in columns)
+    order = ", ".join(f"`{c}`" for c in pk)
+    return (f"CREATE TABLE IF NOT EXISTS `{schema}`.`{table}` ({cols}) "
+            f"ENGINE = ReplacingMergeTree ORDER BY ({order})")

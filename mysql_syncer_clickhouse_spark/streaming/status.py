@@ -1,0 +1,70 @@
+"""Observability endpoint: the reference's `/stat` HTTP handler
+(river/status.go:49-68) serves insert/update/delete counters and the
+current position as plain text; this serves the SyncMetrics snapshot
+(plus optional streaming-query progress) as JSON from a stdlib
+threading HTTP server -- no framework, no hot-path coupling (the
+counters are collected via df.observe(), so serving them reads a dict,
+never touches Spark).
+
+Usage:
+    srv = StatusServer(pipeline.metrics, port=0)   # 0 = ephemeral
+    srv.start()
+    ... GET http://127.0.0.1:{srv.port}/stat ...
+    srv.stop()
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+
+class StatusServer:
+    def __init__(self, metrics, port: int = 8080,
+                 extra: dict | None = None) -> None:
+        self._metrics = metrics
+        self._extra = extra or {}
+        self._httpd = ThreadingHTTPServer(("127.0.0.1", port),
+                                          self._handler_cls())
+        self._thread: threading.Thread | None = None
+
+    @property
+    def port(self) -> int:
+        return self._httpd.server_address[1]
+
+    def _handler_cls(self):
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def do_GET(self):                        # noqa: N802 (stdlib API)
+                if self.path.rstrip("/") not in ("", "/stat"):
+                    self.send_response(404)
+                    self.end_headers()
+                    return
+                body = json.dumps({
+                    "counts": outer._metrics.snapshot(),
+                    **outer._extra,
+                }).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def log_message(self, *a):               # silence per-request noise
+                pass
+
+        return Handler
+
+    def start(self) -> "StatusServer":
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._httpd.shutdown()
+        self._httpd.server_close()
+        if self._thread:
+            self._thread.join(timeout=5)
