@@ -118,8 +118,9 @@ def mysql_to_clickhouse_type(mysql_type: str, nullable: bool = False) -> str:
         out = f"DateTime64({m.group(1)})" if m else "DateTime"
     elif base in ("decimal", "numeric"):
         m = re.match(r"(?:decimal|numeric)\s*\((\d+)\s*(?:,\s*(\d+))?\)", t)
-        prec = int(m.group(1)) if m else 18
-        scale = int(m.group(2)) if m and m.group(2) else (0 if m else 2)
+        # bare `decimal` means decimal(10,0) in MySQL
+        prec = int(m.group(1)) if m else 10
+        scale = int(m.group(2)) if m and m.group(2) else 0
         out = "String" if prec > 18 else f"Decimal({prec},{scale})"
     else:
         out = "String"
@@ -141,6 +142,8 @@ def clickhouse_create_table_ddl(schema: str, table: str,
     cols = ", ".join(
         f"`{name}` {mysql_to_clickhouse_type(mtype, nullable and name not in pkset)}"
         for name, mtype, nullable in columns)
-    order = ", ".join(f"`{c}`" for c in pk)
+    # ClickHouse spells the empty sort key `ORDER BY tuple()`;
+    # a literal `ORDER BY ()` is a syntax error
+    order = ("(" + ", ".join(f"`{c}`" for c in pk) + ")") if pk else "tuple()"
     return (f"CREATE TABLE IF NOT EXISTS `{schema}`.`{table}` ({cols}) "
-            f"ENGINE = ReplacingMergeTree ORDER BY ({order})")
+            f"ENGINE = ReplacingMergeTree ORDER BY {order}")

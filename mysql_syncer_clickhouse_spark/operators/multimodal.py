@@ -11,6 +11,9 @@ task streams Arrow batches instead of per-row Python calls.
 
 from __future__ import annotations
 
+import os
+import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -28,10 +31,51 @@ def with_binary_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
                        F.encode(F.col(text_col), "UTF-8").alias("payload"))
 
 
-try:                                    # real codec if the env has it
+try:                                    # optional full codec (see _decode)
     from PIL import Image as _PIL_Image  # pragma: no cover
 except ImportError:                     # this container: no PIL/ffmpeg
     _PIL_Image = None
+
+# PIL decoding is an explicit opt-in, NOT on by mere importability:
+# the registered oracle mirrors the header-parse/fake arithmetic, so an
+# environment that happens to have PIL must not silently change results.
+_REAL_CODEC = os.environ.get("SPARK_GRAFT_REAL_CODEC", "") == "1"
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def make_bmp_header(width: int, height: int) -> bytes:
+    """Minimal 54-byte BMP: BITMAPFILEHEADER + BITMAPINFOHEADER,
+    header-only (no pixel array) -- crawl-scale metadata extraction
+    reads headers, and truncated files are the common case anyway."""
+    return (b"BM" + struct.pack("<IHHI", 54, 0, 0, 54)
+            + struct.pack("<IiiHHIIiiII", 40, width, height,
+                          1, 24, 0, 0, 0, 0, 0, 0))
+
+
+def make_png_header(width: int, height: int) -> bytes:
+    """Minimal 33-byte PNG: signature + a valid IHDR chunk (real
+    CRC32), 8-bit RGB."""
+    chunk = b"IHDR" + struct.pack(">II", width, height) + bytes(
+        [8, 2, 0, 0, 0])
+    return (_PNG_SIG + struct.pack(">I", 13) + chunk
+            + struct.pack(">I", zlib.crc32(chunk)))
+
+
+def parse_image_header(payload: bytes) -> tuple[int, int, str] | None:
+    """Pure-Python image metadata from fixed header offsets -- a REAL
+    decoder for the two formats whose headers need no codec library:
+    PNG (IHDR width/height, big-endian at bytes 16..23) and BMP
+    (int32 LE at 18/22; negative height = top-down, take abs).
+    Returns (width, height, format) or None if not an image."""
+    if payload[:8] == _PNG_SIG and len(payload) >= 24 \
+            and payload[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", payload[16:24])
+        return w, h, "png"
+    if payload[:2] == b"BM" and len(payload) >= 26:
+        w, h = struct.unpack("<ii", payload[18:26])
+        return abs(w), abs(h), "bmp"
+    return None
 
 
 def _fake_decode(payload: bytes) -> tuple[int, int, int, str]:
@@ -42,13 +86,17 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int, str]:
 
 
 def _decode(payload: bytes) -> tuple[int, int, int, str]:
-    """Decode image metadata: uses PIL when the library is importable
-    AND the payload parses as a real image; otherwise the deterministic
-    fake. The fixture payloads are UTF-8 text, so tests always take the
-    fake path -- environment-limited, documented in COVERAGE.md. The
-    Spark-side plumbing (Arrow batching, schema, partition parallelism)
-    is identical either way."""
-    if _PIL_Image is not None:
+    """Decode image metadata, in order: (1) the pure-Python PNG/BMP
+    header parse (real decoding, always on, deterministic); (2) PIL
+    for other formats IF opted in via SPARK_GRAFT_REAL_CODEC=1; (3)
+    the deterministic fake for non-image payloads. The Spark-side
+    plumbing (Arrow batching, schema, partition parallelism) is
+    identical on every path."""
+    payload = bytes(payload)
+    hdr = parse_image_header(payload)
+    if hdr is not None:
+        return (len(payload), *hdr)
+    if _REAL_CODEC and _PIL_Image is not None:  # pragma: no cover
         import io
         try:
             with _PIL_Image.open(io.BytesIO(payload)) as im:
@@ -57,6 +105,33 @@ def _decode(payload: bytes) -> tuple[int, int, int, str]:
         except Exception:
             pass
     return _fake_decode(payload)
+
+
+MIXED_SCHEMA = "doc_id long, payload binary"
+
+
+def with_mixed_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Fixture payload column exercising every decode path:
+    doc_id%3==0 -> a BMP header, ==1 -> a PNG header (both with
+    dimensions DERIVED FROM doc_id, so the downstream decode proves
+    the header parser round-trips), ==2 -> UTF-8 text (fake path).
+    Arrow-batched like the decoders; one output row per input row."""
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+                w = int(doc_id % 64 + 1)
+                h = int((doc_id * 7) % 48 + 1)
+                m = doc_id % 3
+                if m == 0:
+                    out.append(make_bmp_header(w, h))
+                elif m == 1:
+                    out.append(make_png_header(w, h))
+                else:
+                    out.append(str(text).encode("utf-8"))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": out})
+
+    return docs.select("doc_id", text_col).mapInPandas(synth, MIXED_SCHEMA)
 
 
 def decode_image_meta(df: DataFrame) -> DataFrame:

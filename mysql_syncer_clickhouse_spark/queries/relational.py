@@ -8,8 +8,16 @@ rollup/cube, windows (rank/lag/running/sessionize), top-k, pivot, set
 ops, distinct. All built-in Catalyst operators.
 
 Scale notes (100 TB stance):
-- dimension tables (region/nation/supplier/customer) are explicitly
-  `F.broadcast()`; fact-fact joins shuffle on their keys under AQE.
+- broadcast policy (the 100x rule): only relations whose size is
+  BOUNDED regardless of scale factor carry an unconditional
+  `F.broadcast()` hint -- nation (25 rows) and region (5 rows) are
+  fixed by the TPC-H spec, and tiny aggregates like the 25-row
+  per-nation average. customer/supplier/part/orders/lineitem grow
+  linearly with sf, so a forced broadcast is an executor OOM at the
+  100 TB target; those joins carry NO hint and the static planner /
+  AQE broadcasts them at small sf (they fit under
+  autoBroadcastJoinThreshold) and shuffles them at scale. Asserted
+  both ways in tests/test_plans.py.
 - every float aggregate uses exact DECIMAL accumulation
   (functions/numeric.py) so results are partition-order-independent --
   required for the oracle hash and for cluster reproducibility.
@@ -81,7 +89,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") > F.to_timestamp(F.lit("1997-03-15")))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-          .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+          .join(cust, orders.o_custkey == cust.c_custkey)
           .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
           .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
                     "revenue"))
@@ -118,8 +126,8 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-          .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
-          .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+          .join(supplier, li.l_suppkey == supplier.s_suppkey)
+          .join(customer, orders.o_custkey == customer.c_custkey)
           .filter(F.col("c_nationkey") == F.col("s_nationkey"))
           .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
           .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
@@ -177,14 +185,16 @@ FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
 # --- TPC-H Q14 style: promo revenue (conditional aggregate over join) ----
 
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Share of revenue from promo parts per month -- broadcast join
-    to `part`, then one pass of conditional decimal aggregation."""
+    """Share of revenue from promo parts per month -- join to `part`
+    (sf-proportional, so unhinted: AQE broadcasts it at small sf,
+    shuffles at 100 TB), then one pass of conditional decimal
+    aggregation."""
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.when(F.col("p_type").startswith("PROMO"), rev) \
              .otherwise(F.lit(0.0))
-    return (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return (li.join(part, li.l_partkey == part.p_partkey)
               .groupBy(F.date_trunc("month", "l_shipdate").alias("mon"))
               .agg(dsum(promo, "promo_revenue"),
                    dsum(rev, "total_revenue"))
@@ -213,7 +223,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = _t(spark, sf_dir, "nation")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (li.join(orders, li.l_orderkey == orders.o_orderkey)
-              .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+              .join(cust, orders.o_custkey == cust.c_custkey)
               .join(F.broadcast(nation),
                     cust.c_nationkey == nation.n_nationkey)
               .groupBy("c_custkey", "c_name", "n_name")
@@ -552,7 +562,7 @@ def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     o_orderkey tie-break keeps it deterministic."""
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
-    j = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    j = orders.join(cust, orders.o_custkey == cust.c_custkey)
     w = Window.partitionBy("c_mktsegment").orderBy(
         F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
     return (j.withColumn("rk", F.row_number().over(w))

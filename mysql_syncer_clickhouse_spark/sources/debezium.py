@@ -48,17 +48,31 @@ def envelope_ddl(row_ddl: str) -> str:
     """
     return (f"before struct<{row_ddl}>, after struct<{row_ddl}>, "
             "source struct<db string, `table` string, file string, "
-            "pos long, ts_ms long>, op string, ts_ms long")
+            "pos long, `row` int, ts_ms long>, op string, ts_ms long")
 
 
-def binlog_seq(file_col: F.Column, pos_col: F.Column) -> F.Column:
-    """Total order from (binlog file, position): numeric suffix of the
-    file name (mysql-bin.000042 -> 42) shifted above the 32-bit max
-    position. Same total order the reference checkpoints as
-    master.info's (name, pos) pair (river/master.go:17-25)."""
+def binlog_seq(file_col: F.Column, pos_col: F.Column,
+               row_col: F.Column | None = None) -> F.Column:
+    """Total order from (binlog file, position, row-in-statement):
+    numeric suffix of the file name (mysql-bin.000042 -> 42) in the
+    high bits, position shifted by 8, `source.row` in the low byte.
+    Same total order the reference checkpoints as master.info's
+    (name, pos) pair (river/master.go:17-25), refined by row so a
+    multi-row statement -- several envelopes sharing one source.pos --
+    still yields UNIQUE seq values (upsert.latest_state's
+    max_by(struct, seq) depends on uniqueness for determinism).
+
+    Bit budget (64-bit long): pos < 2^32 (binlog positions are
+    32-bit) so pos<<8 < 2^40; file index gets bits 40..62 (8M binlog
+    files); row is clamped to the low byte -- events with >255 rows
+    keep a total order across events and degrade only within one
+    oversized event (Debezium splits row events well below that)."""
     idx = F.regexp_extract(file_col, r"(\d+)$", 1).cast("long")
-    return (F.coalesce(idx, F.lit(0)) * F.lit(1 << 32)
-            + F.coalesce(pos_col, F.lit(0))).alias("seq")
+    row = (F.least(F.coalesce(row_col.cast("long"), F.lit(0)), F.lit(255))
+           if row_col is not None else F.lit(0))
+    return (F.coalesce(idx, F.lit(0)) * F.lit(1 << 40)
+            + F.coalesce(pos_col, F.lit(0)) * F.lit(1 << 8)
+            + row).alias("seq")
 
 
 def parse_debezium(lines: DataFrame, row_ddl: str,
@@ -86,8 +100,10 @@ def parse_debezium(lines: DataFrame, row_ddl: str,
     row = F.coalesce(env.getField("after"), env.getField("before"))
     src = env.getField("source")
 
-    row_fields = [f.strip().split(" ", 1)[0].strip("`")
-                  for f in row_ddl.split(",")]
+    # parse the DDL properly -- a naive comma split breaks on
+    # parameterized/nested types (decimal(10,2), array<...>, struct<...>)
+    from pyspark.sql.types import StructType
+    row_fields = StructType.fromDDL(row_ddl).fieldNames()
     # (db, table) feed RuleSet.match for multi-table topics; off by
     # default so the apply path's payload = row columns exactly
     routing = ([F.col("src").getField("db").alias("src_db"),
@@ -99,7 +115,8 @@ def parse_debezium(lines: DataFrame, row_ddl: str,
             .filter(F.col("op").isNotNull() & F.col("row").isNotNull())
             .select(
                 binlog_seq(F.col("src").getField("file"),
-                           F.col("src").getField("pos")),
+                           F.col("src").getField("pos"),
+                           F.col("src").getField("row")),
                 F.timestamp_millis(
                     F.coalesce(F.col("src").getField("ts_ms"),
                                F.col("e").getField("ts_ms"))).alias("ts"),

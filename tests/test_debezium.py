@@ -80,6 +80,40 @@ def test_parse_ops_images_and_order(spark, dirs):
     assert rows[0]["ts"].year == 2023
 
 
+def test_multirow_statement_unique_seq(spark, dirs):
+    """A multi-row statement emits several envelopes sharing one
+    source.pos; source.row must disambiguate so seq stays UNIQUE
+    (upsert's max_by(struct, seq) needs that for determinism)."""
+    src, _, _ = dirs
+    lines = []
+    for i in range(3):
+        p = json.loads(_env("c", {"id": 10 + i, "title": f"t{i}",
+                                  "mydate": 1}, 100))
+        p["source"]["row"] = i
+        lines.append(json.dumps(p))
+    _write_lines(src, "p.jsonl", lines)
+    rows = read_debezium_batch(spark, src, ROW_DDL).orderBy("seq").collect()
+    assert len({r["seq"] for r in rows}) == 3
+    assert [r["id"] for r in rows] == [10, 11, 12]
+
+
+def test_parameterized_and_nested_types_in_row_ddl(spark, dirs):
+    """decimal(10,2)/array<string> in the row DDL must parse -- the
+    field-name extraction is a real DDL parse, not a comma split."""
+    src, _, _ = dirs
+    ddl = "id long, price decimal(10,2), tags array<string>"
+    payload = json.dumps({
+        "before": None,
+        "after": {"id": 1, "title": None, "price": 3.14, "tags": ["a", "b"]},
+        "source": {"db": "app", "table": "items",
+                   "file": "mysql-bin.000001", "pos": 7, "ts_ms": 1},
+        "op": "c", "ts_ms": 2})
+    _write_lines(src, "p.jsonl", [payload])
+    rows = read_debezium_batch(spark, src, ddl).collect()
+    assert rows[0]["price"] is not None and str(rows[0]["price"]) == "3.14"
+    assert list(rows[0]["tags"]) == ["a", "b"]
+
+
 def test_parse_drops_garbage_lines(spark, dirs):
     src, _, _ = dirs
     _write_lines(src, "p.jsonl",

@@ -88,6 +88,44 @@ def test_multimodal_plumbing(spark, sf_dir):
     assert row["width"] == n0 % 640 and row["height"] == (n0 * 7) % 480
 
 
+def test_image_header_parse_roundtrip():
+    """The pure-Python PNG/BMP header parser is REAL decoding: it must
+    recover the exact dimensions written by the synthesizers, including
+    the top-down (negative height) BMP variant, and reject non-images."""
+    from mysql_syncer_clickhouse_spark.operators.multimodal import (
+        make_bmp_header, make_png_header, parse_image_header)
+    assert parse_image_header(make_bmp_header(640, 480)) == (640, 480, "bmp")
+    assert parse_image_header(make_png_header(1920, 1080)) \
+        == (1920, 1080, "png")
+    # top-down BMP stores a negative height
+    import struct
+    topdown = bytearray(make_bmp_header(32, 16))
+    topdown[22:26] = struct.pack("<i", -16)
+    assert parse_image_header(bytes(topdown)) == (32, 16, "bmp")
+    assert parse_image_header(b"plain text payload") is None
+    assert parse_image_header(b"BM") is None          # truncated BMP
+    assert parse_image_header(b"\x89PNG\r\n\x1a\n") is None  # truncated PNG
+
+
+def test_mixed_payload_decodes_real_headers(spark, sf_dir):
+    """with_mixed_payload -> decode_image_meta round-trip: bmp/png rows
+    carry doc_id-derived dimensions (proving the header parse), text
+    rows the byte-length fake."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 9)
+    out = multimodal.decode_image_meta(
+        multimodal.with_mixed_payload(docs)).collect()
+    assert len(out) == 9
+    for r in out:
+        d = r["doc_id"]
+        if d % 3 == 2:
+            assert r["format"] == "fake"
+        else:
+            assert r["format"] == ("bmp" if d % 3 == 0 else "png")
+            assert r["n_bytes"] == (54 if d % 3 == 0 else 33)
+            assert r["width"] == d % 64 + 1
+            assert r["height"] == (d * 7) % 48 + 1
+
+
 def test_multimodal_resize_and_frames_binary_content(spark, sf_dir):
     """Binary payload semantics the SQL oracle can't express: resized
     payload is exactly width*height bytes (truncate/pad), and sampled

@@ -23,6 +23,8 @@ def test_q1_filter_pushed_and_pruned(spark, sf_dir):
 
 
 def test_q3_broadcasts_dimension(spark, sf_dir):
+    # no hint on customer (sf-proportional) -- the optimizer must still
+    # pick broadcast on its own at this sf (fits under the threshold)
     df = relational.q3_shipping_priority(spark, sf_dir)
     assert has_broadcast_join(df)
 
@@ -31,7 +33,39 @@ def test_q5_broadcasts_all_dims(spark, sf_dir):
     df = relational.q5_local_supplier(spark, sf_dir)
     plan = formatted_plan(df)
     # one fact-fact join may shuffle; the four dims must broadcast
+    # (nation/region by hint, supplier/customer by size estimate)
     assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_no_unconditional_broadcast_of_sf_proportional_tables(spark, sf_dir):
+    """The 100x rule: with the size thresholds disabled, a relation
+    only broadcasts if it carries an explicit hint. nation/region
+    (spec-bounded) may hint; customer/supplier/part/orders/lineitem
+    grow with sf and must NOT -- a forced broadcast of those is an
+    executor OOM at the 100 TB target."""
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        expected_hinted = {
+            "q3_shipping_priority": 0,          # customer unhinted
+            "q14_promo_revenue": 0,             # part unhinted
+            "window_topk_per_group": 0,         # customer unhinted
+            "q10_returned_items": 1,            # nation only
+            "q5_local_supplier": 2,             # nation + region only
+        }
+        import re
+        for name, n_hinted in expected_hinted.items():
+            df = getattr(relational, name)(spark, sf_dir)
+            plan = formatted_plan(df)
+            # formatted mode prints each node twice (tree + detail
+            # section) -- count the "(N) BroadcastHashJoin" headers
+            got = len(re.findall(r"^\(\d+\) BroadcastHashJoin",
+                                 plan, re.MULTILINE))
+            assert got == n_hinted, \
+                f"{name}: expected {n_hinted} hinted broadcasts, got {got}\n{plan}"
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
 
 
 def test_semi_join_filter_pushdown(spark, sf_dir):

@@ -54,6 +54,8 @@ def test_clickhouse_type_mapping():
         # reference README.md:233-258: its driver binds at most
         # Decimal64, so M>18 falls back to String
         "decimal(20,4)": "String",
+        # bare decimal is MySQL's decimal(10,0)
+        "decimal": "Decimal(10,0)",
         "varchar(255)": "String",
         "json": "String",
         "enum('a','b')": "String",
@@ -74,3 +76,11 @@ def test_create_table_ddl_orders_by_pk_and_wraps_nullable():
         "CREATE TABLE IF NOT EXISTS `olap`.`items_sink` "
         "(`id` Int64, `title` Nullable(String), `qty` UInt32) "
         "ENGINE = ReplacingMergeTree ORDER BY (`id`)")
+
+
+def test_create_table_ddl_empty_pk_spells_tuple():
+    """ClickHouse rejects `ORDER BY ()`; the empty sort key is spelled
+    `ORDER BY tuple()`."""
+    ddl = clickhouse_create_table_ddl(
+        "olap", "log", columns=[("msg", "text", True)], pk=())
+    assert ddl.endswith("ENGINE = ReplacingMergeTree ORDER BY tuple()")
