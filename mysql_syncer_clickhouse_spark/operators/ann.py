@@ -83,14 +83,26 @@ def embedding_near_dups(emb: DataFrame, threshold: float = 0.98,
 
 def kmeans_centroids(emb: DataFrame, k: int = 8, iters: int = 3,
                      id_col: str = "vec_id",
-                     vec_col: str = "embedding") -> DataFrame:
+                     vec_col: str = "embedding",
+                     tol: float | None = None,
+                     strict: bool = False) -> DataFrame:
     """Deterministic Lloyd's k-means over an embedding column, pure
     DataFrame ops: init = the k lowest-id vectors; each iteration is
     one broadcast of the k centroids + one groupBy(cid) with per-
     dimension avg aggregates (vector mean without explode). Iterative
     algorithms fit Spark fine when each step is a keyed aggregation --
     the loop is driver-side control flow over small state (k x dim),
-    never driver-side data."""
+    never driver-side data.
+
+    Convergence guard: with tol=None (default) runs exactly `iters`
+    rounds -- fixed cost, bit-for-bit deterministic (what the checked
+    registry query uses). With tol set, `iters` becomes a CAP: stop
+    early once the max centroid L2-shift of a round is <= tol (the
+    shift check is driver-side over k x dim doubles -- centroids are
+    small by construction); if the cap is hit unconverged, raise when
+    strict=True else return the cap's centroids (Lloyd's converges
+    asymptotically; the overflow is surfaced, not silent)."""
+    import math
     dim = len(emb.select(vec_col).first()[0])
     vecs = emb.select(F.col(id_col).alias("id"),
                       F.col(vec_col).cast("array<double>").alias("v"))
@@ -98,10 +110,29 @@ def kmeans_centroids(emb: DataFrame, k: int = 8, iters: int = 3,
                  .select(F.row_number().over(
                              Window.orderBy("id")).alias("cid"),
                          F.col("v").alias("cv")))
+
+    def shift(prev: dict[int, list[float]],
+              cur: dict[int, list[float]]) -> float:
+        return max(
+            math.sqrt(sum((a - b) ** 2
+                          for a, b in zip(prev[cid], cur[cid])))
+            if cid in prev else float("inf")
+            for cid in cur)
+
+    prev_state: dict[int, list[float]] | None = None
     for _ in range(iters):
         assigned = assign_to_centroids(vecs, cents)
         cents = assigned.groupBy("cid").agg(
             F.array(*[F.avg(F.col("v")[i]) for i in range(dim)]).alias("cv"))
+        if tol is not None:
+            state = {r["cid"]: list(r["cv"]) for r in cents.collect()}
+            if prev_state is not None and shift(prev_state, state) <= tol:
+                return cents
+            prev_state = state
+    if tol is not None and strict:
+        raise RuntimeError(
+            f"k-means centroid shift still > {tol} after {iters} "
+            "iterations -- raise iters or loosen tol")
     return cents
 
 

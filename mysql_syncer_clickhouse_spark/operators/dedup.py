@@ -239,7 +239,8 @@ FROM documents WHERE doc_id % 11 = 0
 """
 
 
-def duplicate_clusters(pairs: DataFrame, max_iters: int = 6) -> DataFrame:
+def duplicate_clusters(pairs: DataFrame, max_iters: int = 6,
+                       hard_cap: int = 64) -> DataFrame:
     """Connected components over duplicate pairs -> (id, cluster_id)
     with cluster_id = min id in the component (deterministic).
 
@@ -247,10 +248,14 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 6) -> DataFrame:
     the (symmetrized) edge list and keeps the per-node minimum -- one
     keyed aggregation per iteration, converging in O(component
     diameter) rounds. Near-dup components are chains/cliques of a few
-    docs, so the default bound covers diameters <= 2^6 (label doubling
-    is not needed at that size, and plain DataFrame joins keep the
-    whole thing Catalyst-optimizable). The loop is driver-side control
-    flow only; all data stays distributed."""
+    docs, so the first `max_iters` rounds run action-free (no
+    convergence checks on the hot path); after that a CONVERGENCE
+    GUARD takes over: keep propagating until a round changes no label
+    (checked with one count per extra round), raising RuntimeError if
+    a pathological component is still unconverged at `hard_cap` rounds
+    -- a long chain now costs extra rounds instead of silently
+    mislabeling. The loop is driver-side control flow only; all data
+    stays distributed."""
     edges = (pairs.select(F.col("id_a").alias("src"),
                           F.col("id_b").alias("dst"))
              .unionByName(pairs.select(F.col("id_b").alias("src"),
@@ -259,25 +264,40 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 6) -> DataFrame:
     labels = (edges.select(F.col("src").alias("id"))
               .distinct()
               .withColumn("cluster_id", F.col("id")))
-    for _ in range(max_iters):
+
+    def propagate(cur: DataFrame) -> DataFrame:
         neighbor_min = (edges
-                        .join(labels.withColumnRenamed("id", "dst")
-                                    .withColumnRenamed("cluster_id", "nl"),
+                        .join(cur.withColumnRenamed("id", "dst")
+                                 .withColumnRenamed("cluster_id", "nl"),
                               "dst")
                         .groupBy("src")
                         .agg(F.min("nl").alias("neighbor_label")))
-        new_labels = (labels
-                      .join(neighbor_min.withColumnRenamed("src", "id"),
-                            "id", "left")
-                      .select("id",
-                              F.least("cluster_id",
-                                      F.coalesce("neighbor_label",
-                                                 "cluster_id"))
-                               .alias("cluster_id")))
+        return (cur
+                .join(neighbor_min.withColumnRenamed("src", "id"),
+                      "id", "left")
+                .select("id",
+                        F.least("cluster_id",
+                                F.coalesce("neighbor_label",
+                                           "cluster_id"))
+                         .alias("cluster_id")))
+
+    for _ in range(max_iters):
         # localCheckpoint truncates the exponentially growing lineage;
         # at scale this is the standard iterative-algorithm pattern
-        labels = new_labels.localCheckpoint(eager=False)
-    return labels
+        labels = propagate(labels).localCheckpoint(eager=False)
+    for it in range(max_iters, hard_cap + 1):
+        nxt = propagate(labels).localCheckpoint(eager=True)
+        delta = (nxt.withColumnRenamed("cluster_id", "new_label")
+                 .join(labels, "id")
+                 .filter(F.col("new_label") != F.col("cluster_id"))
+                 .count())
+        if delta == 0:
+            return labels
+        labels = nxt
+    raise RuntimeError(
+        f"duplicate_clusters did not converge within {hard_cap} rounds "
+        "-- a duplicate component has pathological diameter; raise "
+        "hard_cap or pre-split the component")
 
 
 def keep_canonical(docs: DataFrame, pairs: DataFrame,

@@ -184,6 +184,50 @@ def cdc_op_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
 _COUNTERS_SQL = _CL + "SELECT op, COUNT(*) AS n FROM changelog GROUP BY op"
 
 
+# --- S2b: Debezium envelope parse (checked in batch) --------------------
+
+def cdc_debezium_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debezium-envelope parsing as a checked query: synthesize the
+    public envelope JSON from the events table (op from event_type,
+    binlog position from event_id, the row-in-statement disambiguator
+    from event_id % 3), then run the SAME parse_debezium the streaming
+    source uses (sources/debezium.py). The oracle computes the expected
+    output arithmetic directly -- passing proves the parser inverts the
+    envelope encoding, including the (file, pos, row) -> seq fold and
+    the c/r/u/d op mapping."""
+    from ..sources.debezium import parse_debezium
+    ev = load_table(spark, sf_dir, "events")
+    op = (F.when(F.col("event_type") == "click", "c")
+           .when(F.col("event_type") == "view", "r")
+           .when(F.col("event_type") == "purchase", "u")
+           .otherwise("d"))
+    env = F.to_json(F.struct(
+        F.struct(F.col("user_id").alias("id"),
+                 F.col("value").alias("val")).alias("after"),
+        F.struct(F.lit("app").alias("db"), F.lit("events").alias("table"),
+                 F.lit("mysql-bin.000007").alias("file"),
+                 F.col("event_id").alias("pos"),
+                 (F.col("event_id") % 3).cast("int").alias("row"),
+                 F.unix_millis("ts").alias("ts_ms")).alias("source"),
+        op.alias("op"),
+        F.unix_millis("ts").alias("ts_ms")))
+    out = parse_debezium(ev.select(env.alias("value")), "id long, val double")
+    return out.select("seq", "ts", "op", "id", "val")
+
+
+# seq = file_idx(7) << 40 | pos(event_id) << 8 | row(event_id % 3)
+_DBZ_PARSE_SQL = """
+SELECT 7 * 1099511627776 + event_id * 256 + event_id % 3 AS seq,
+       make_timestamp(epoch_ms(ts) * 1000) AS ts,
+       CASE event_type WHEN 'click' THEN 'insert'
+                       WHEN 'view' THEN 'insert'
+                       WHEN 'purchase' THEN 'update'
+                       ELSE 'delete' END AS op,
+       user_id AS id, value AS val
+FROM events
+"""
+
+
 QUERIES = {
     "cdc_final_state": cdc_final_state,
     "cdc_partial_update_merge": cdc_partial_update_merge,
@@ -192,9 +236,11 @@ QUERIES = {
     "cdc_composite_pk_key": cdc_composite_pk_key,
     "cdc_wildcard_fan_in": cdc_wildcard_fan_in,
     "cdc_op_counters": cdc_op_counters,
+    "cdc_debezium_parse": cdc_debezium_parse,
 }
 
 ORACLE = {
+    "cdc_debezium_parse": _DBZ_PARSE_SQL,
     "cdc_final_state": _FINAL_STATE_SQL,
     "cdc_partial_update_merge": _PARTIAL_SQL,
     "cdc_snapshot_plus_changelog": _SNAP_SQL,

@@ -111,12 +111,45 @@ FROM ({_SLIDING_SQL})
 """
 
 
+def continuous_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the continuous aggregate's merge-on-read
+    (streaming/continuous_agg.py): per-epoch PARTIAL rollups (count +
+    decimal sum per hourly bucket and event_type; epoch simulated as
+    event_id % 4, the micro-batch analog), plus a REPLAYED epoch
+    (exactly-once failure analog), pushed through the SAME
+    merge_partials used by the streaming read path. The oracle is the
+    direct one-pass rollup -- passing proves dedup-then-merge over
+    partials equals aggregating the raw events."""
+    from ..streaming.continuous_agg import merge_partials
+    ev = load_table(spark, sf_dir, "events")
+    partials = (ev.groupBy((F.col("event_id") % 4).alias("epoch"),
+                           F.window("ts", "1 hour").alias("w"),
+                           "event_type")
+                  .agg(F.count(F.lit(1)).alias("part_n"),
+                       F.sum(F.col("value").cast("decimal(38,6)"))
+                        .alias("part_sum"))
+                  .select("epoch", F.col("w.start").alias("win_start"),
+                          "event_type", "part_n", "part_sum"))
+    replayed = partials.unionByName(partials.filter(F.col("epoch") == 1))
+    return merge_partials(replayed, ["event_type"])
+
+
+_CONT_AGG_SQL = """
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS win_start, event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total
+FROM events GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "stream_time_windows": stream_time_windows,
     "stream_session_window": stream_session_window,
+    "continuous_agg_merge": continuous_agg_merge,
 }
 
 ORACLE = {
     "stream_time_windows": _TIME_WINDOWS_SQL,
     "stream_session_window": _SESSION_WIN_SQL,
+    "continuous_agg_merge": _CONT_AGG_SQL,
 }

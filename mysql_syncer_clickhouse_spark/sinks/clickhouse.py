@@ -1,0 +1,130 @@
+"""ClickHouse sink writer over the public HTTP interface.
+
+The reference's whole purpose is applying batches to ClickHouse
+(clickhouse/client.go:77-233: Begin/Exec/Commit over native TCP with
+bulk INSERTs, plus the auto-CREATE at startup). This is the Spark-era
+equivalent:
+
+- `ensure_table()` executes the same auto-CREATE DDL the reference
+  builds (functions/typemap.clickhouse_create_table_ddl) -- driver-side,
+  once, before the stream starts.
+- `apply_batch(df, epoch_id)` is a `foreachBatch` target: each micro-
+  batch is INSERTed as `FORMAT JSONEachRow` chunks of `bulk_size` rows
+  (the reference's bulk_size knob, river/sync.go:116-178). Rows are
+  posted FROM THE EXECUTORS via foreachPartition -- N partitions insert
+  in parallel, nothing funnels through the driver, which is the only
+  shape that survives 100 TB. ClickHouse HTTP INSERTs are atomic per
+  request up to max_insert_block_size, and the ReplacingMergeTree sink
+  dedups replayed epochs by (pk, seq) order -- the same at-least-once-
+  then-idempotent contract as the parquet changelog sink.
+
+Transport is stdlib urllib (the documented public HTTP protocol,
+default port 8123): no driver library needed. Point `url` at a real
+server (`http://host:8123`) -- tests run against a local fake that
+records requests (tests/test_clickhouse_sink.py); there is no live
+ClickHouse in this sandbox.
+"""
+
+from __future__ import annotations
+
+import json
+import urllib.parse
+import urllib.request
+from collections.abc import Sequence
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+
+from ..functions.typemap import clickhouse_create_table_ddl
+
+
+def _post(url: str, query: str, body: bytes = b"",
+          user: str | None = None, password: str | None = None,
+          timeout: int = 60) -> bytes:
+    """One ClickHouse HTTP request: SQL in the query string, data (for
+    INSERT ... FORMAT ...) in the body. Module-level so executor-side
+    closures pickle cleanly."""
+    q = urllib.parse.urlencode({"query": query})
+    req = urllib.request.Request(f"{url}/?{q}", data=body, method="POST")
+    if user:
+        req.add_header("X-ClickHouse-User", user)
+    if password:
+        req.add_header("X-ClickHouse-Key", password)
+    with urllib.request.urlopen(req, timeout=timeout) as r:
+        return r.read()
+
+
+def _row_to_json(row) -> str:
+    # JSONEachRow: dates/decimals render as strings, which ClickHouse
+    # parses back by column type (public input-format semantics)
+    return json.dumps(row.asDict(recursive=True), default=str)
+
+
+@dataclass
+class ClickHouseHTTPSink:
+    """foreachBatch sink applying micro-batches to ClickHouse.
+
+    columns: (name, mysql_type, nullable) triples -- the rule's source
+    schema, used only by ensure_table() to emit the auto-CREATE.
+    """
+    url: str
+    database: str
+    table: str
+    columns: Sequence[tuple[str, str, bool]] = field(default_factory=list)
+    pk: tuple[str, ...] = ()
+    bulk_size: int = 10000
+    user: str | None = None
+    password: str | None = None
+
+    def execute(self, sql: str) -> bytes:
+        """Driver-side statement (DDL, ALTER on schema drift)."""
+        return _post(self.url, sql, b"", self.user, self.password)
+
+    def ensure_table(self) -> str:
+        """Run the reference's auto-CREATE (README.md:141-161) and
+        return the DDL that was executed."""
+        ddl = clickhouse_create_table_ddl(
+            self.database, self.table, list(self.columns), self.pk)
+        self.execute(ddl)
+        return ddl
+
+    def apply_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        """foreachBatch target: INSERT the micro-batch as JSONEachRow
+        chunks of bulk_size, posted per-partition from the executors.
+        foreachBatch serializes epochs, so batches land in epoch order;
+        within an epoch partitions post in parallel (the sink table's
+        (pk, seq) dedup makes intra-epoch order irrelevant, exactly as
+        with the parquet changelog sink)."""
+        cols = ", ".join(f"`{c}`" for c in batch_df.columns)
+        insert_sql = (f"INSERT INTO `{self.database}`.`{self.table}` "
+                      f"({cols}) FORMAT JSONEachRow")
+        url, user, password = self.url, self.user, self.password
+        bulk = self.bulk_size
+
+        def send_partition(rows) -> None:
+            buf: list[str] = []
+            for row in rows:
+                buf.append(_row_to_json(row))
+                if len(buf) >= bulk:
+                    _post(url, insert_sql,
+                          ("\n".join(buf) + "\n").encode(), user, password)
+                    buf.clear()
+            if buf:
+                _post(url, insert_sql,
+                      ("\n".join(buf) + "\n").encode(), user, password)
+
+        batch_df.foreachPartition(send_partition)
+
+    def attach(self, stream: DataFrame, checkpoint_dir: str,
+               ensure: bool = True):
+        """Wire a streaming DataFrame to this sink: auto-CREATE first
+        (as the reference does at startup), then start the foreachBatch
+        apply loop with availableNow draining."""
+        if ensure:
+            self.ensure_table()
+        return (stream.writeStream
+                .foreachBatch(self.apply_batch)
+                .option("checkpointLocation", checkpoint_dir)
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .start())

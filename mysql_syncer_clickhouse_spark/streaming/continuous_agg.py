@@ -32,6 +32,22 @@ from pyspark.sql.types import StructType
 _DEC = "decimal(38,6)"
 
 
+def merge_partials(partials: DataFrame,
+                   key_cols: Sequence[str]) -> DataFrame:
+    """Merge-on-read over appended partial aggregates: dedup replayed
+    epochs ((epoch, win_start, keys) partial rows are deterministic, so
+    dropDuplicates gives exactly-once arithmetic), then sum -- counts
+    and decimal sums are associative, so the merged rollup equals the
+    direct aggregation over raw events. One shuffle on (window, keys)
+    over bucket-grain rows. Shared by the streaming read path and the
+    batch twin registered as `continuous_agg_merge`."""
+    deduped = partials.dropDuplicates(["epoch", "win_start", *key_cols])
+    return (deduped
+            .groupBy("win_start", *key_cols)
+            .agg(F.sum("part_n").alias("n"),
+                 F.sum("part_sum").cast("double").alias("total")))
+
+
 @dataclass
 class ContinuousAggregate:
     ts_col: str
@@ -70,14 +86,9 @@ class ContinuousAggregate:
                 .start())
 
     def read(self, spark: SparkSession) -> DataFrame:
-        """Merged rollup: dedup replayed epochs, then sum partials.
-        One shuffle on (window, keys) over bucket-grain rows."""
-        partials = spark.read.parquet(self.sink_dir) \
-            .dropDuplicates(["epoch", "win_start", *self.key_cols])
-        return (partials
-                .groupBy("win_start", *self.key_cols)
-                .agg(F.sum("part_n").alias("n"),
-                     F.sum("part_sum").cast("double").alias("total")))
+        """Merged rollup: dedup replayed epochs, then sum partials."""
+        return merge_partials(spark.read.parquet(self.sink_dir),
+                              self.key_cols)
 
     def compact(self, spark: SparkSession) -> None:
         """Fold all partials into one row per bucket (epoch -1)."""

@@ -36,16 +36,35 @@ from ..plans.rules import Rule
 
 @dataclass
 class SyncMetrics:
-    """insert/update/delete counters (river/status.go:14-47 analog)."""
+    """insert/update/delete counters + applied position
+    (river/status.go:14-47 analog; position mirrors its live
+    read_binlog / server_current_binlog pair)."""
     counts: dict[str, int] = field(default_factory=dict)
+    applied_seq: int | None = None
+    applied_epoch: int | None = None
 
     def record_counts(self, counts: dict[str, int]) -> None:
         for op, n in counts.items():
             if n:
                 self.counts[op] = self.counts.get(op, 0) + int(n)
 
+    def record_position(self, max_seq: int | None, epoch_id: int) -> None:
+        """Advance the applied position (max seq ever applied -- the
+        master.info analog, river/master.go:17-25). Replayed epochs
+        can only re-report an already-applied seq, so max() keeps the
+        position monotonic."""
+        if max_seq is not None:
+            s = int(max_seq)
+            if self.applied_seq is None or s > self.applied_seq:
+                self.applied_seq = s
+        self.applied_epoch = int(epoch_id)
+
     def snapshot(self) -> dict[str, int]:
         return dict(self.counts)
+
+    def position_snapshot(self) -> dict:
+        return {"applied_seq": self.applied_seq,
+                "applied_epoch": self.applied_epoch}
 
 
 @dataclass
@@ -79,12 +98,17 @@ class StreamingSyncPipeline:
             *self.rule.projection(payload)) \
             .observe(obs, *[
                 F.sum((F.col(self.op_col) == o).cast("long")).alias(o)
-                for o in ("insert", "update", "delete")])
+                for o in ("insert", "update", "delete")],
+                F.max(F.col(self.seq_col)).alias("__max_seq"))
         writer = projected.write.mode("append")
         if self.partition_cols:
             writer = writer.partitionBy(*self.partition_cols)
         writer.parquet(self.sink_dir)
-        self.metrics.record_counts(obs.get)
+        observed = dict(obs.get)
+        # position rides the same observation -- no second pass
+        self.metrics.record_position(observed.pop("__max_seq", None),
+                                     epoch_id)
+        self.metrics.record_counts(observed)
 
     def start_stream(self, stream: DataFrame, *,
                      processing_time: str | None = None) -> StreamingQuery:

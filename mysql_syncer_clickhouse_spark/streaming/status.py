@@ -22,9 +22,16 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 class StatusServer:
     def __init__(self, metrics, port: int = 8080,
-                 extra: dict | None = None) -> None:
+                 extra: dict | None = None,
+                 progress=None) -> None:
+        """`extra` is static context (config echo); `progress` is an
+        optional zero-arg callable evaluated PER REQUEST -- pass
+        `lambda: query.lastProgress` to serve the live streaming-query
+        progress the way the reference serves the live binlog position
+        (river/status.go:27-40)."""
         self._metrics = metrics
         self._extra = extra or {}
+        self._progress = progress
         self._httpd = ThreadingHTTPServer(("127.0.0.1", port),
                                           self._handler_cls())
         self._thread: threading.Thread | None = None
@@ -42,10 +49,23 @@ class StatusServer:
                     self.send_response(404)
                     self.end_headers()
                     return
-                body = json.dumps({
+                payload = {
                     "counts": outer._metrics.snapshot(),
                     **outer._extra,
-                }).encode()
+                }
+                # live applied position (max seq + epoch), read at
+                # request time -- the read_binlog analog
+                pos = getattr(outer._metrics, "position_snapshot", None)
+                if pos is not None:
+                    snap = pos()
+                    if snap.get("applied_seq") is not None:
+                        payload["position"] = snap
+                if outer._progress is not None:
+                    try:
+                        payload["progress"] = outer._progress()
+                    except Exception as e:   # never 500 the stat page
+                        payload["progress"] = {"error": str(e)}
+                body = json.dumps(payload).encode()
                 self.send_response(200)
                 self.send_header("Content-Type", "application/json")
                 self.send_header("Content-Length", str(len(body)))

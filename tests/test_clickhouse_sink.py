@@ -1,0 +1,125 @@
+"""ClickHouse HTTP sink: DDL + bulk INSERT ordering against a local
+fake ClickHouse (a recording HTTP server -- real transport, no live
+server in this sandbox). Mirrors the reference's apply contract
+(clickhouse/client.go:77-233): CREATE first, then epoch-ordered bulk
+inserts."""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+import pytest
+
+from mysql_syncer_clickhouse_spark.sinks.clickhouse import (
+    ClickHouseHTTPSink)
+from tests.test_streaming import (
+    ROWS_PART1, ROWS_PART2, SCHEMA_DDL, _write_part)
+
+COLUMNS = [("seq", "bigint", False), ("op", "varchar(16)", True),
+           ("id", "bigint", False), ("title", "varchar(64)", True),
+           ("mydate", "bigint", True)]
+
+
+class _FakeClickHouse:
+    """Records every (query, body) the sink posts. Thread-safe: local
+    executors post partitions concurrently."""
+
+    def __init__(self) -> None:
+        self.requests: list[tuple[str, str]] = []
+        self._lock = threading.Lock()
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def do_POST(self):                   # noqa: N802
+                n = int(self.headers.get("Content-Length", 0))
+                body = self.rfile.read(n).decode()
+                query = parse_qs(urlparse(self.path).query).get(
+                    "query", [""])[0]
+                with outer._lock:
+                    outer.requests.append((query, body))
+                self.send_response(200)
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+
+            def log_message(self, *a):
+                pass
+
+        self._httpd = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        self.url = f"http://127.0.0.1:{self._httpd.server_address[1]}"
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True)
+
+    def start(self):
+        self._thread.start()
+        return self
+
+    def stop(self):
+        self._httpd.shutdown()
+        self._httpd.server_close()
+
+
+@pytest.fixture()
+def fake_ch():
+    srv = _FakeClickHouse().start()
+    yield srv
+    srv.stop()
+
+
+def _sink(url, bulk_size=10000):
+    return ClickHouseHTTPSink(url=url, database="olap", table="items_sink",
+                              columns=COLUMNS, pk=("id",),
+                              bulk_size=bulk_size)
+
+
+def test_ensure_table_executes_auto_create(fake_ch):
+    ddl = _sink(fake_ch.url).ensure_table()
+    assert fake_ch.requests == [(ddl, "")]
+    assert ddl.startswith("CREATE TABLE IF NOT EXISTS `olap`.`items_sink`")
+    assert ddl.endswith("ENGINE = ReplacingMergeTree ORDER BY (`id`)")
+
+
+def test_stream_applies_ddl_then_epoch_ordered_bulk_inserts(spark, fake_ch,
+                                                            tmp_path):
+    """Drain two source files at one file per trigger: the fake must
+    see the CREATE first, then INSERTs whose seq sets arrive in epoch
+    order (file 1's rows strictly before file 2's)."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _write_part(spark, src, ROWS_PART1, "p1")
+    _write_part(spark, src, ROWS_PART2, "p2")
+    schema = spark.createDataFrame([], SCHEMA_DDL).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = _sink(fake_ch.url).attach(stream, str(tmp_path / "ckpt"))
+    q.awaitTermination()
+
+    assert fake_ch.requests[0][0].startswith("CREATE TABLE IF NOT EXISTS")
+    inserts = fake_ch.requests[1:]
+    assert all(i[0].startswith(
+        "INSERT INTO `olap`.`items_sink` (`seq`, `op`, `id`, `title`, "
+        "`mydate`) FORMAT JSONEachRow") for i in inserts)
+    seq_batches = [
+        {json.loads(line)["seq"] for line in body.strip().splitlines()}
+        for _, body in inserts]
+    applied = [s for batch in seq_batches for s in sorted(batch)]
+    assert sorted(applied) == [1, 2, 3, 4, 5, 6]
+    # epoch order: every seq of file 1 applied before any of file 2
+    first_epoch_end = max(i for i, s in enumerate(applied) if s <= 3)
+    assert all(s > 3 for s in applied[first_epoch_end + 1:])
+
+
+def test_bulk_size_chunks_inserts(spark, fake_ch):
+    """bulk_size caps rows per INSERT request (the reference's
+    bulk_size knob): 6 rows at bulk_size=2 -> 3+ INSERT posts, none
+    exceeding 2 rows."""
+    df = spark.createDataFrame(ROWS_PART1 + ROWS_PART2, SCHEMA_DDL) \
+        .coalesce(1)
+    _sink(fake_ch.url, bulk_size=2).apply_batch(df, epoch_id=0)
+    bodies = [b for _, b in fake_ch.requests]
+    rows_per_post = [len(b.strip().splitlines()) for b in bodies]
+    assert sum(rows_per_post) == 6
+    assert max(rows_per_post) <= 2

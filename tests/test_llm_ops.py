@@ -88,6 +88,41 @@ def test_multimodal_plumbing(spark, sf_dir):
     assert row["width"] == n0 % 640 and row["height"] == (n0 * 7) % 480
 
 
+def test_duplicate_clusters_converges_beyond_fixed_rounds(spark):
+    """A 13-doc duplicate chain has diameter 12 > the 6 action-free
+    rounds; the convergence guard must keep propagating until every
+    node carries the true min label (this silently mislabeled before
+    the guard)."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a long, id_b long")
+    out = dedup.duplicate_clusters(pairs)
+    got = {r["id"]: r["cluster_id"] for r in out.collect()}
+    assert got == {i: 0 for i in range(13)}
+
+
+def test_duplicate_clusters_raises_past_hard_cap(spark):
+    """A chain longer than the hard cap must raise instead of
+    silently returning partial labels."""
+    import pytest as _pytest
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "id_a long, id_b long")
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dedup.duplicate_clusters(pairs, max_iters=2, hard_cap=4)
+
+
+def test_kmeans_tol_early_exit_and_strict_overflow(spark):
+    """tol turns `iters` into a cap: well-separated clusters converge
+    in far fewer rounds; an unreachable tol with strict=True raises."""
+    import pytest as _pytest
+    rows = [(i, [float(i % 2) * 100.0, 0.0]) for i in range(20)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = ann.kmeans_centroids(emb, k=2, iters=20, tol=1e-9)
+    vals = sorted(r["cv"][0] for r in cents.collect())
+    assert vals == [0.0, 100.0]
+    with _pytest.raises(RuntimeError, match="centroid shift"):
+        ann.kmeans_centroids(emb, k=2, iters=1, tol=0.0, strict=True)
+
+
 def test_image_header_parse_roundtrip():
     """The pure-Python PNG/BMP header parser is REAL decoding: it must
     recover the exact dimensions written by the synthesizers, including

@@ -36,6 +36,67 @@ def test_stat_endpoint_serves_counters():
         srv.stop()
 
 
+def test_stat_serves_live_position_advancing_across_epochs(spark, tmp_path):
+    """The /stat position must be LIVE (read_binlog analog,
+    river/status.go:27-40): it reflects the max applied seq and
+    advances as later epochs apply -- not a static string."""
+    import os
+
+    from mysql_syncer_clickhouse_spark.plans.rules import Rule
+    from mysql_syncer_clickhouse_spark.streaming.pipeline import (
+        StreamingSyncPipeline)
+    from tests.test_streaming import (
+        ROWS_PART1, ROWS_PART2, SCHEMA_DDL, _write_part)
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    rule = Rule(source_schema="app", source_table="items",
+                sink_schema="olap", sink_table="items_sink", pk=("id",))
+    pipe = StreamingSyncPipeline(rule, ["id"], str(tmp_path / "sink"),
+                                 str(tmp_path / "ckpt"))
+    schema = spark.createDataFrame([], SCHEMA_DDL).schema
+    srv = StatusServer(pipe.metrics, port=0)
+    srv.start()
+    try:
+        def stat():
+            with urllib.request.urlopen(
+                    f"http://127.0.0.1:{srv.port}/stat", timeout=5) as r:
+                return json.loads(r.read())
+
+        assert "position" not in stat()          # nothing applied yet
+        _write_part(spark, src, ROWS_PART1, "p1")
+        pipe.run_available(spark, src, schema)
+        s1 = stat()
+        assert s1["position"]["applied_seq"] == 3
+        _write_part(spark, src, ROWS_PART2, "p2")
+        pipe.run_available(spark, src, schema)   # resume, next epoch
+        s2 = stat()
+        assert s2["position"]["applied_seq"] == 6
+        assert s2["position"]["applied_epoch"] > s1["position"]["applied_epoch"]
+        assert s2["counts"] == {"insert": 3, "update": 2, "delete": 1}
+    finally:
+        srv.stop()
+
+
+def test_stat_serves_query_progress_callable():
+    """`progress` is evaluated per request -- serve whatever the
+    StreamingQuery.lastProgress dict currently says."""
+    state = {"batchId": 0}
+    m = SyncMetrics()
+    srv = StatusServer(m, port=0, progress=lambda: dict(state))
+    srv.start()
+    try:
+        def stat():
+            with urllib.request.urlopen(
+                    f"http://127.0.0.1:{srv.port}/stat", timeout=5) as r:
+                return json.loads(r.read())
+        assert stat()["progress"] == {"batchId": 0}
+        state["batchId"] = 7                     # query advanced
+        assert stat()["progress"] == {"batchId": 7}
+    finally:
+        srv.stop()
+
+
 def test_clickhouse_type_mapping():
     cases = {
         "int unsigned": "UInt32",
