@@ -16,8 +16,22 @@ Usage:
 from __future__ import annotations
 
 import json
+import sys
 import threading
+import traceback
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+
+def _thread_stacks() -> dict[str, list[str]]:
+    """Python-side pprof analog (the reference mounts /debug/pprof,
+    river/status.go:64): current stack of every driver thread, keyed
+    by thread name -- enough to see where a stuck sync loop is."""
+    names = {t.ident: t.name for t in threading.enumerate()}
+    return {
+        f"{names.get(ident, '?')}-{ident}":
+            traceback.format_stack(frame)
+        for ident, frame in sys._current_frames().items()
+    }
 
 
 class StatusServer:
@@ -45,7 +59,16 @@ class StatusServer:
 
         class Handler(BaseHTTPRequestHandler):
             def do_GET(self):                        # noqa: N802 (stdlib API)
-                if self.path.rstrip("/") not in ("", "/stat"):
+                path = self.path.rstrip("/")
+                if path == "/stacks":
+                    body = json.dumps(_thread_stacks()).encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type", "application/json")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                    return
+                if path not in ("", "/stat"):
                     self.send_response(404)
                     self.end_headers()
                     return

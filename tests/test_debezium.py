@@ -133,6 +133,17 @@ def test_routing_columns(spark, dirs):
     assert got == {("app", "items"), ("app", "other")}
 
 
+def test_kafka_reader_requires_connector(spark):
+    """read_debezium_kafka builds the documented Kafka reader; without
+    the spark-sql-kafka package (this sandbox) the source lookup fails
+    by name -- proving the code path reaches the real connector."""
+    from mysql_syncer_clickhouse_spark.sources.debezium import (
+        read_debezium_kafka)
+    with pytest.raises(Exception, match="(?i)kafka"):
+        read_debezium_kafka(spark, "localhost:9092", "dbz.app.items",
+                            ROW_DDL)
+
+
 def test_stream_e2e_through_pipeline(spark, dirs):
     """Drain Debezium JSON-lines through the SAME apply path as the
     parquet changelog (kill/resume between files included): final

@@ -78,6 +78,26 @@ def test_stat_serves_live_position_advancing_across_epochs(spark, tmp_path):
         srv.stop()
 
 
+def test_stacks_endpoint_dumps_thread_stacks():
+    """/stacks is the /debug/pprof analog (river/status.go:64): every
+    live driver thread's current Python stack, keyed by thread name."""
+    import threading
+
+    m = SyncMetrics()
+    srv = StatusServer(m, port=0)
+    srv.start()
+    try:
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{srv.port}/stacks", timeout=5) as r:
+            stacks = json.loads(r.read())
+        me = threading.current_thread()
+        mine = [k for k in stacks if k.endswith(f"-{me.ident}")]
+        assert mine and any("test_stacks_endpoint" in line
+                            for line in stacks[mine[0]])
+    finally:
+        srv.stop()
+
+
 def test_stat_serves_query_progress_callable():
     """`progress` is evaluated per request -- serve whatever the
     StreamingQuery.lastProgress dict currently says."""
