@@ -29,11 +29,54 @@ from .session import get_spark
 from .streaming.pipeline import StreamingSyncPipeline
 
 
+class _AggregatedMetrics:
+    """Live view over every rule's SyncMetrics -- the single global
+    /stat the reference serves (river/status.go:49-68): op counts sum,
+    position is the max applied seq. Reads the pipeline list at
+    request time, so rules registered after the server starts are
+    included automatically."""
+
+    def __init__(self, pipes: list[StreamingSyncPipeline]) -> None:
+        self._pipes = pipes
+
+    def snapshot(self) -> dict[str, int]:
+        out: dict[str, int] = {}
+        for p in self._pipes:
+            for k, v in p.metrics.snapshot().items():
+                out[k] = out.get(k, 0) + v
+        return out
+
+    def position_snapshot(self) -> dict:
+        seqs = [p.metrics.applied_seq for p in self._pipes
+                if p.metrics.applied_seq is not None]
+        epochs = [p.metrics.applied_epoch for p in self._pipes
+                  if p.metrics.applied_epoch is not None]
+        return {"applied_seq": max(seqs) if seqs else None,
+                "applied_epoch": max(epochs) if epochs else None}
+
+
+def _start_stat_server(stat_addr: str, pipes: list[StreamingSyncPipeline]):
+    """stat_addr is 'host:port' (river.toml format). The server is a
+    daemon thread -- it lives as long as the process, like the
+    reference's http.ListenAndServe."""
+    from .streaming.status import StatusServer
+    host, _, port = stat_addr.rpartition(":")
+    srv = StatusServer(_AggregatedMetrics(pipes), port=int(port),
+                       host=host or "127.0.0.1")
+    srv.start()
+    return srv
+
+
 def run(cfg: EngineConfig, changelog_dir: str, *, follow: bool = False,
         compact: bool = False, spark=None) -> list[dict]:
     spark = spark or get_spark("mysql-syncer-clickhouse-spark",
                                cpus=cfg.threads)
     results = []
+    pipes: list[StreamingSyncPipeline] = []
+    if cfg.stat_addr:
+        srv = _start_stat_server(cfg.stat_addr, pipes)
+        results.append(
+            {"stat": f"http://{srv._httpd.server_address[0]}:{srv.port}/stat"})
     for rule in cfg.rules.rules:
         src = os.path.join(changelog_dir,
                            f"{rule.source_schema}.{rule.source_table}")
@@ -45,6 +88,7 @@ def run(cfg: EngineConfig, changelog_dir: str, *, follow: bool = False,
         pipe = StreamingSyncPipeline(
             rule, list(rule.pk), cfg.sink_dir(rule),
             cfg.checkpoint_dir(rule))
+        pipes.append(pipe)
         if follow:
             pipe.start(spark, src, schema,
                        max_files_per_trigger=cfg.bulk_size,

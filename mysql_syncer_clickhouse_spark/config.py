@@ -48,6 +48,8 @@ class EngineConfig:
     source_addr: str | None = None
     source_user: str | None = None
     source_pass: str | None = None
+    # reference river/config.go:38 -- where to serve /stat (+ /stacks)
+    stat_addr: str | None = None
 
     @classmethod
     def from_dict(cls, cfg: dict) -> EngineConfig:
@@ -61,6 +63,7 @@ class EngineConfig:
             source_addr=cfg.get("source_addr"),
             source_user=cfg.get("source_user"),
             source_pass=cfg.get("source_pass"),
+            stat_addr=cfg.get("stat_addr"),
         )
 
     @classmethod

@@ -130,7 +130,16 @@ def continuous_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                         .alias("part_sum"))
                   .select("epoch", F.col("w.start").alias("win_start"),
                           "event_type", "part_n", "part_sum"))
-    replayed = partials.unionByName(partials.filter(F.col("epoch") == 1))
+    # replay epoch 1 by duplicating its rows in the SAME pass (explode
+    # over a 2-element array) -- a union with a filtered copy would
+    # recompute the aggregation subtree twice; the production path
+    # reads appended partials and never recomputes at all
+    replayed = (partials
+                .withColumn("__dup", F.explode(
+                    F.when(F.col("epoch") == 1,
+                           F.array(F.lit(0), F.lit(1)))
+                     .otherwise(F.array(F.lit(0)))))
+                .drop("__dup"))
     return merge_partials(replayed, ["event_type"])
 
 

@@ -37,7 +37,7 @@ def _thread_stacks() -> dict[str, list[str]]:
 class StatusServer:
     def __init__(self, metrics, port: int = 8080,
                  extra: dict | None = None,
-                 progress=None) -> None:
+                 progress=None, host: str = "127.0.0.1") -> None:
         """`extra` is static context (config echo); `progress` is an
         optional zero-arg callable evaluated PER REQUEST -- pass
         `lambda: query.lastProgress` to serve the live streaming-query
@@ -46,7 +46,7 @@ class StatusServer:
         self._metrics = metrics
         self._extra = extra or {}
         self._progress = progress
-        self._httpd = ThreadingHTTPServer(("127.0.0.1", port),
+        self._httpd = ThreadingHTTPServer((host, port),
                                           self._handler_cls())
         self._thread: threading.Thread | None = None
 

@@ -58,6 +58,30 @@ def test_cli_drain_and_compact(spark, tmp_path):
     assert len(state) == 1 and state[0]["es_title"] == "first-edited"
 
 
+def test_cli_stat_addr_serves_aggregated_stat(spark, tmp_path):
+    """river.toml's stat_addr (reference river/config.go:38) mounts the
+    /stat server for the whole run: op counts summed across rules and
+    the live max applied position."""
+    import json
+    import urllib.request
+
+    changelog = tmp_path / "changelog" / "app.items"
+    os.makedirs(changelog)
+    df = spark.createDataFrame(
+        ROWS, "seq long, op string, id long, title string, mydate long")
+    df.coalesce(1).write.mode("append").parquet(str(changelog))
+
+    cfg = EngineConfig.from_toml(TOML)
+    cfg.data_dir = str(tmp_path / "log")
+    cfg.stat_addr = "127.0.0.1:0"          # ephemeral port
+    out = run(cfg, str(tmp_path / "changelog"), spark=spark)
+    assert out[0]["stat"].startswith("http://127.0.0.1:")
+    with urllib.request.urlopen(out[0]["stat"], timeout=5) as r:
+        body = json.loads(r.read())
+    assert body["counts"] == {"insert": 2, "update": 1, "delete": 1}
+    assert body["position"]["applied_seq"] == 4
+
+
 def test_cli_follow_mode_tails_new_files(spark, tmp_path):
     """--follow starts a processingTime-trigger stream: rows landed
     AFTER startup must reach the sink without a restart (the binlog
