@@ -13,6 +13,8 @@ from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
 
 from mysql_syncer_clickhouse_spark.functions import transforms as X
+from mysql_syncer_clickhouse_spark.operators.multimodal import (
+    make_bmp_header, make_png_header, parse_image_header)
 
 LABELS = ("red", "green", "blue")
 
@@ -79,3 +81,46 @@ def test_unix_to_ts_roundtrip(spark, secs):
 def test_csv_to_list_splits(spark, csvs):
     got = _eval(spark, csvs, X.csv_to_list, "string")
     assert got == [c.split(",") for c in csvs]
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(
+    st.tuples(st.integers(1, 2 ** 20),          # binlog file index
+              st.integers(0, 2 ** 32 - 1),      # 32-bit position
+              st.integers(0, 255)),             # row within statement
+    min_size=2, max_size=40, unique=True))
+def test_binlog_seq_total_order_matches_lexicographic(spark, triples):
+    """seq must order exactly like (file, pos, row) lexicographically
+    and be unique for distinct triples -- the contract upsert's
+    max_by(struct, seq) depends on."""
+    from mysql_syncer_clickhouse_spark.sources.debezium import binlog_seq
+    df = spark.createDataFrame(
+        [(f"mysql-bin.{i:06d}", p, r) for i, p, r in triples],
+        "file string, pos long, row int")
+    seqs = [r["seq"] for r in
+            df.select(binlog_seq(F.col("file"), F.col("pos"),
+                                 F.col("row"))).collect()]
+    by_seq = sorted(range(len(triples)), key=lambda k: seqs[k])
+    by_tuple = sorted(range(len(triples)), key=lambda k: triples[k])
+    assert by_seq == by_tuple
+    assert len(set(seqs)) == len(triples)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(min_size=0, max_size=80))
+def test_image_header_parse_never_throws_on_garbage(payload):
+    """Fuzz the header parser: arbitrary bytes must yield None or a
+    well-typed (width, height, format) -- never an exception (crawl
+    payloads are hostile)."""
+    out = parse_image_header(payload)
+    if out is not None:
+        w, h, fmt = out
+        assert isinstance(w, int) and isinstance(h, int)
+        assert fmt in ("png", "bmp")
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.integers(1, 2 ** 20), st.integers(1, 2 ** 20))
+def test_image_header_roundtrip_any_dimensions(w, h):
+    assert parse_image_header(make_bmp_header(w, h)) == (w, h, "bmp")
+    assert parse_image_header(make_png_header(w, h)) == (w, h, "png")
