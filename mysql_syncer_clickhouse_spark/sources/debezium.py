@@ -86,6 +86,14 @@ def parse_debezium(lines: DataFrame, row_ddl: str,
     default wraps the payload in {"schema":..., "payload":...}).
     Unparseable lines are dropped (try-semantics), mirroring the
     reference's skip-and-log on decode errors.
+
+    PK-changing updates need no special casing here: the public
+    Debezium contract is that an UPDATE touching the primary key is
+    emitted as DELETE(old key) + tombstone + CREATE(new key), so the
+    row MOVES through the ordinary apply path (the reference's
+    river_test.go:318-320 scenario); Kafka tombstones (null payloads)
+    fall out via the null-row filter below. Asserted end-to-end in
+    tests/test_debezium.py.
     """
     env_ddl = envelope_ddl(row_ddl)
     raw = F.col(value_col)

@@ -133,6 +133,32 @@ def test_routing_columns(spark, dirs):
     assert got == {("app", "items"), ("app", "other")}
 
 
+def test_pk_change_moves_row_through_debezium_feed(spark, dirs):
+    """A PK-changing UPDATE arrives from Debezium pre-split --
+    DELETE(old key), a Kafka tombstone (null payload), CREATE(new key)
+    -- and must MOVE the row through the normal apply path
+    (river/river_test.go:318-320 analog). The tombstone line must be
+    ignored, not crash the parse."""
+    src, sink, ckpt = dirs
+    lines = [
+        _env("c", {"id": 3, "title": "third", "mydate": 1}, 10),
+        _env("c", {"id": 4, "title": "fourth", "mydate": 1}, 11),
+        # UPDATE id 3 -> 30, as the connector actually publishes it:
+        _env("d", {"id": 3, "title": None, "mydate": None}, 20),
+        "null",                                  # tombstone for key 3
+        _env("c", {"id": 30, "title": "third", "mydate": 1}, 21),
+    ]
+    _write_lines(src, "p.jsonl", lines)
+    rule = Rule(source_schema="app", source_table="items",
+                sink_schema="olap", sink_table="items_sink", pk=("id",))
+    pipe = StreamingSyncPipeline(rule, ["id"], sink, ckpt)
+    q = pipe.start_stream(read_debezium_stream(spark, src, ROW_DDL))
+    q.awaitTermination()
+    state = {r["id"]: r["title"]
+             for r in pipe.current_state(spark).collect()}
+    assert state == {4: "fourth", 30: "third"}   # 3 is gone, 30 present
+
+
 def test_kafka_reader_requires_connector(spark):
     """read_debezium_kafka builds the documented Kafka reader; without
     the spark-sql-kafka package (this sandbox) the source lookup fails
