@@ -122,14 +122,16 @@ def continuous_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     partials equals aggregating the raw events."""
     from ..streaming.continuous_agg import merge_partials
     ev = load_table(spark, sf_dir, "events")
+    # date_trunc == window("1 hour").start for a tumbling hour, and
+    # keeps win_start a plain column: the dedup inside merge_partials
+    # then reuses this aggregation's hash partitioning (subset of its
+    # keys) instead of re-shuffling -- 2 exchanges total, plan-asserted
     partials = (ev.groupBy((F.col("event_id") % 4).alias("epoch"),
-                           F.window("ts", "1 hour").alias("w"),
+                           F.date_trunc("hour", "ts").alias("win_start"),
                            "event_type")
                   .agg(F.count(F.lit(1)).alias("part_n"),
                        F.sum(F.col("value").cast("decimal(38,6)"))
-                        .alias("part_sum"))
-                  .select("epoch", F.col("w.start").alias("win_start"),
-                          "event_type", "part_n", "part_sum"))
+                        .alias("part_sum")))
     # replay epoch 1 by duplicating its rows in the SAME pass (explode
     # over a 2-element array) -- a union with a filtered copy would
     # recompute the aggregation subtree twice; the production path

@@ -125,6 +125,22 @@ def test_bucketed_join_no_shuffle(spark, sf_dir, tmp_path):
         spark.sql("DROP TABLE IF EXISTS orders_b")
 
 
+def test_continuous_agg_merge_two_shuffles(spark, sf_dir):
+    """partial agg + final merge = 2 exchanges; the replay-dedup in
+    between must REUSE the partial agg's partitioning (its keys are a
+    subset of the dedup keys), not add a third."""
+    from mysql_syncer_clickhouse_spark.queries import streaming_q
+    df = streaming_q.continuous_agg_merge(spark, sf_dir)
+    assert n_shuffles(df) == 2
+
+
+def test_debezium_parse_map_only(spark, sf_dir):
+    """Envelope parse is pure projection: one scan, zero shuffles."""
+    from mysql_syncer_clickhouse_spark.queries import cdc
+    df = cdc.cdc_debezium_parse(spark, sf_dir)
+    assert n_shuffles(df) == 0
+
+
 def test_approx_distinct_error_bound(spark, sf_dir):
     approx = {r["l_returnflag"]: r["approx_orders"]
               for r in relational.approx_distinct(spark, sf_dir).collect()}
