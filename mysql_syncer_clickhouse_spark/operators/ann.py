@@ -136,18 +136,33 @@ def kmeans_centroids(emb: DataFrame, k: int = 8, iters: int = 3,
     return cents
 
 
+def _centroid_literal(cents: DataFrame):
+    """Centroids as a literal array<struct<cid,cv>> expression. They
+    are k x dim BY CONSTRUCTION (bounded like the ANN query set), so
+    the collect here is the broadcast-variable analog, not driver-side
+    data flow."""
+    rows = sorted(cents.collect(), key=lambda r: r["cid"])
+    return F.array(*[
+        F.struct(F.lit(int(r["cid"])).alias("cid"),
+                 F.array(*[F.lit(float(x)) for x in r["cv"]]).alias("cv"))
+        for r in rows])
+
+
 def assign_to_centroids(vecs: DataFrame, cents: DataFrame) -> DataFrame:
-    """(id, v, cid): nearest centroid per vector (squared L2, id-break
-    ties). Centroids broadcast -- k x dim doubles, never a shuffle."""
-    d2 = F.aggregate(
-        F.zip_with("v", "cv", lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0), lambda acc, x: acc + x)
-    w = Window.partitionBy("id").orderBy("d2", "cid")
-    return (vecs.join(F.broadcast(cents))
-                .withColumn("d2", d2)
-                .withColumn("__rn", F.row_number().over(w))
-                .filter(F.col("__rn") == 1)
-                .select("id", "v", "cid"))
+    """(id, v, cid): nearest centroid per vector (squared L2, cid
+    breaks ties). The centroids travel as a literal array expression,
+    so assignment is a MAP-ONLY projection -- no join, no window, zero
+    shuffle -- which is what keeps each Lloyd's iteration at exactly
+    one keyed aggregation (the re-centering groupBy) at any corpus
+    size. The per-element arithmetic is the same zip_with/aggregate
+    chain as before, so distances are bit-identical."""
+    carr = _centroid_literal(cents)
+    best = F.array_min(F.transform(carr, lambda c: F.struct(
+        F.aggregate(F.zip_with(F.col("v"), c.getField("cv"),
+                               lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0), lambda acc, x: acc + x).alias("d2"),
+        c.getField("cid").alias("cid"))))
+    return vecs.select("id", "v", best.getField("cid").alias("cid"))
 
 
 def topk_kmeans_ivf(emb: DataFrame, queries: DataFrame, k: int = 5,
