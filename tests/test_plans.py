@@ -177,7 +177,9 @@ def test_results_identical_across_partitioning(spark, sf_dir):
     scores, unique tie-breaks). Run representative queries at 32 and 5
     shuffle partitions and compare rows exactly."""
     names = ["q1_pricing_summary", "window_topk_per_group",
-             "dedup_minhash_lsh", "ann_cosine_topk", "cdc_final_state"]
+             "dedup_minhash_lsh", "ann_cosine_topk", "cdc_final_state",
+             "continuous_agg_merge", "cdc_debezium_parse",
+             "ann_kmeans_ivf_recall"]
     from mysql_syncer_clickhouse_spark import queries as registry
     qs = registry.all_queries()
     base = spark.conf.get("spark.sql.shuffle.partitions")
