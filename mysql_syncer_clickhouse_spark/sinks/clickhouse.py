@@ -75,6 +75,9 @@ class ClickHouseHTTPSink:
     bulk_size: int = 10000
     user: str | None = None
     password: str | None = None
+    # columns the sink table is known to have (drift tracking);
+    # initialized lazily from `columns` or the first batch
+    _known_cols: set[str] | None = field(default=None, repr=False)
 
     def execute(self, sql: str) -> bytes:
         """Driver-side statement (DDL, ALTER on schema drift)."""
@@ -88,6 +91,33 @@ class ClickHouseHTTPSink:
         self.execute(ddl)
         return ddl
 
+    def ensure_columns(self, batch_df: DataFrame) -> list[str]:
+        """Schema-drift handling (the reference re-introspects the
+        source on OnTableChanged, river/sync.go:54-60): columns that
+        appear mid-stream are added to the sink with ALTER TABLE ADD
+        COLUMN before the batch INSERT. New columns default to
+        Nullable(String) -- the reference's fallback mapping -- unless
+        a (name, mysql_type, nullable) triple was provided up front.
+        Returns the DDL statements executed (for logging/tests)."""
+        if self._known_cols is None:
+            self._known_cols = ({c[0] for c in self.columns}
+                                if self.columns else set(batch_df.columns))
+        typed = {c[0]: (c[1], c[2]) for c in self.columns}
+        ddls = []
+        for c in batch_df.columns:
+            if c in self._known_cols:
+                continue
+            mtype, nullable = typed.get(c, ("text", True))
+            from ..functions.typemap import mysql_to_clickhouse_type
+            ddls.append(
+                f"ALTER TABLE `{self.database}`.`{self.table}` "
+                f"ADD COLUMN IF NOT EXISTS `{c}` "
+                f"{mysql_to_clickhouse_type(mtype, nullable)}")
+            self._known_cols.add(c)
+        for ddl in ddls:
+            self.execute(ddl)
+        return ddls
+
     def apply_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
         """foreachBatch target: INSERT the micro-batch as JSONEachRow
         chunks of bulk_size, posted per-partition from the executors.
@@ -95,6 +125,7 @@ class ClickHouseHTTPSink:
         within an epoch partitions post in parallel (the sink table's
         (pk, seq) dedup makes intra-epoch order irrelevant, exactly as
         with the parquet changelog sink)."""
+        self.ensure_columns(batch_df)
         cols = ", ".join(f"`{c}`" for c in batch_df.columns)
         insert_sql = (f"INSERT INTO `{self.database}`.`{self.table}` "
                       f"({cols}) FORMAT JSONEachRow")

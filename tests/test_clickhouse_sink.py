@@ -112,6 +112,33 @@ def test_stream_applies_ddl_then_epoch_ordered_bulk_inserts(spark, fake_ch,
     assert all(s > 3 for s in applied[first_epoch_end + 1:])
 
 
+def test_schema_drift_alters_before_insert(spark, fake_ch):
+    """A column appearing mid-stream (ADD COLUMN upstream) must emit
+    ALTER TABLE ADD COLUMN on the sink BEFORE that batch's INSERT --
+    the reference's OnTableChanged re-introspection analog. Unknown
+    columns default to Nullable(String), the reference's fallback."""
+    sink = _sink(fake_ch.url)
+    df1 = spark.createDataFrame(ROWS_PART1, SCHEMA_DDL).coalesce(1)
+    sink.apply_batch(df1, epoch_id=0)
+    df2 = (spark.createDataFrame(ROWS_PART2, SCHEMA_DDL)
+           .withColumn("note", __import__("pyspark").sql.functions.lit("x"))
+           .coalesce(1))
+    sink.apply_batch(df2, epoch_id=1)
+
+    queries = [q for q, _ in fake_ch.requests]
+    alter = [i for i, q in enumerate(queries) if q.startswith("ALTER")]
+    assert alter, queries
+    assert queries[alter[0]] == (
+        "ALTER TABLE `olap`.`items_sink` ADD COLUMN IF NOT EXISTS "
+        "`note` Nullable(String)")
+    # the ALTER lands after epoch-0 inserts and before epoch-1 inserts
+    note_inserts = [i for i, (q, _) in enumerate(fake_ch.requests)
+                    if "`note`" in q and q.startswith("INSERT")]
+    assert note_inserts and min(note_inserts) > alter[0]
+    assert all(i < alter[0] for i, (q, _) in enumerate(fake_ch.requests)
+               if q.startswith("INSERT") and "`note`" not in q)
+
+
 def test_bulk_size_chunks_inserts(spark, fake_ch):
     """bulk_size caps rows per INSERT request (the reference's
     bulk_size knob): 6 rows at bulk_size=2 -> 3+ INSERT posts, none
