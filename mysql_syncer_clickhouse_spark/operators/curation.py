@@ -1,0 +1,111 @@
+"""Corpus-curation operators for the training-data pipeline layer:
+benchmark decontamination, fixed-budget sequence packing, and
+deterministic stratified hash sampling.
+
+These extend the engine past the reference's sync surface the same way
+the dedup/ANN layers do (the reference delegates all query-time work to
+ClickHouse, README.md:44-56): operations every large-scale LLM
+training-data pipeline runs over the synced corpus. All three are pure
+Column-expression / built-in-operator plans -- zero Python UDFs -- and
+every hash is md5-derived (functions/text.portable_hash32) so each has
+an exact DuckDB oracle twin.
+
+Scale notes (100 TB stance):
+- decontamination joins on a DISTINCT n-gram hash key; the benchmark
+  side is an eval suite (bounded by contract -- MBs, not corpus-scale),
+  so AQE broadcasts it and the corpus side never shuffles. The per-doc
+  overlap count is one keyed aggregation.
+- packing is one window per stratum (a single hash-partitioned sort);
+  strata (source/shard) bound partition width, so no global sort and no
+  driver-side state.
+- sampling is map-only: a deterministic hash filter, no shuffle at all,
+  and reproducible across runs/partitionings by construction (the
+  replacement for `ORDER BY rand() LIMIT n`, which is neither).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+
+
+def benchmark_decontaminate(docs: DataFrame, bench: DataFrame, *,
+                            id_col: str = "doc_id",
+                            text_col: str = "text",
+                            n: int = 3) -> DataFrame:
+    """Count, per training document, the DISTINCT word n-grams it shares
+    with a benchmark/eval corpus: (id, n_overlap), n_overlap = 0 for
+    clean docs. Downstream filters `n_overlap >= k` (k=1 is the strict
+    n-gram-collision rule used in practice for 8..13-grams).
+
+    Both sides reduce to distinct 32-bit gram hashes BEFORE the join, so
+    the join key payload is 8 bytes/gram and the benchmark side is tiny;
+    the corpus side carries (id, hash) pairs into one keyed count.
+    """
+    bench_grams = (bench
+                   .select(F.explode(TX.word_ngrams(text_col, n)).alias("g"))
+                   .select(TX.portable_hash32(F.col("g")).alias("gh"))
+                   .distinct())
+    doc_grams = (docs
+                 .select(F.col(id_col).alias("id"),
+                         F.explode(TX.word_ngrams(text_col, n)).alias("g"))
+                 .select("id", TX.portable_hash32(F.col("g")).alias("gh"))
+                 .distinct())
+    overlap = (doc_grams.join(bench_grams, "gh")
+               .groupBy("id")
+               .agg(F.count(F.lit(1)).alias("n_overlap")))
+    return (docs.select(F.col(id_col).alias("id"))
+            .join(overlap, "id", "left")
+            .select("id",
+                    F.coalesce("n_overlap", F.lit(0)).alias("n_overlap")))
+
+
+def pack_sequences(docs: DataFrame, *,
+                   id_col: str = "doc_id",
+                   strata_col: str = "source",
+                   tokens: Column | None = None,
+                   budget: int = 200) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents are laid out in
+    deterministic (stratum, id) order and each is assigned the training
+    sequence its FIRST token lands in (seq_id = exclusive-cumulative
+    token count // budget). This is the streaming packing used to build
+    fixed-length LM batches; docs spanning a boundary continue into the
+    next sequence, which the seq of the following doc reflects.
+
+    Returns (stratum, id, n_tokens, seq_id). One window per stratum --
+    a single hash-partitioned sort, no global ordering.
+    """
+    if tokens is None:
+        tokens = TX.token_count_ws("text")
+    tokens = tokens.cast("long")
+    w = Window.partitionBy(strata_col).orderBy(id_col)
+    start = F.sum(tokens).over(w) - tokens  # exclusive running total
+    return docs.select(F.col(strata_col).alias("stratum"),
+                       F.col(id_col).alias("id"),
+                       tokens.alias("n_tokens"),
+                       F.floor(start / budget).alias("seq_id"))
+
+
+def hash_sample(docs: DataFrame, *,
+                id_col: str = "doc_id",
+                strata_col: str = "source",
+                pct: int = 20) -> DataFrame:
+    """Deterministic stratified sampling: keep a doc iff
+    portable_hash32(stratum ':' id) % 100 < pct. Map-only (no shuffle,
+    no RNG state), stable under re-runs, repartitioning, and incremental
+    appends -- the property `TABLESAMPLE`/`rand()` cannot give a
+    resumable 100 TB pipeline. Hashing the stratum into the key
+    decorrelates buckets across strata so each stratum independently
+    keeps ~pct%.
+
+    Returns (stratum, id, bucket) for kept docs.
+    """
+    key = F.concat_ws(":", F.col(strata_col),
+                      F.col(id_col).cast("string"))
+    bucket = TX.portable_hash32(key) % 100
+    return (docs.select(F.col(strata_col).alias("stratum"),
+                        F.col(id_col).alias("id"),
+                        bucket.alias("bucket"))
+            .filter(F.col("bucket") < pct))

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from ..functions import text as TX
 from ..functions.vectors import cosine
-from ..operators import ann, dedup, multimodal
+from ..operators import ann, curation, dedup, multimodal
 from ..sources.tables import load_table
 
 # ---------------------------------------------------------------------------
@@ -628,9 +628,11 @@ SELECT 'ngram', id_a, id_b, jaccard FROM ({_NGRAM_SQL})
 def text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The per-document text-analysis surface in one scan: token counts
     (whitespace + BPE-ish regex), quality signals (stopword ratio, avg
-    word length, composite score), and the language-ID heuristic --
+    word length, composite score), the language-ID heuristic, and the
+    document fingerprints (md5 + 32-bit portable hash) --
     column-for-column the same expressions as the standalone
-    text_token_count / text_quality_score / text_lang_id."""
+    text_token_count / text_quality_score / text_lang_id /
+    doc_fingerprint building blocks."""
     docs = _docs(spark, sf_dir)
     ws = TX.words("text")
     stop = TX.stopword_ratio("text")
@@ -654,7 +656,9 @@ def text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality.alias("quality"),
         F.col("lang").alias("lang_label"),
         F.round(ratio, 6).alias("en_signal"),
-        pred.alias("lang_pred"))
+        pred.alias("lang_pred"),
+        TX.fingerprint("text").alias("fp"),
+        TX.portable_hash32(F.col("text")).alias("fp32"))
 
 
 _TEXT_ANALYSIS_SQL = f"""
@@ -684,7 +688,9 @@ SELECT doc_id,
        ROUND(ratio, 6) AS en_signal,
        CASE WHEN ratio >= 0.05 THEN 'en'
             WHEN ratio > 0.0 THEN 'en-ish'
-            ELSE 'unk' END AS lang_pred
+            ELSE 'unk' END AS lang_pred,
+       md5(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS fp,
+       {_H32.format(x='text')} AS fp32
 FROM m
 """
 
@@ -734,6 +740,77 @@ FROM m
 """
 
 
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-curation surface (operators/curation.py) as one
+    checked query with three labelled parts over `documents`:
+
+    - 'decontam': per training doc (source <> 'src0'), the count of
+      distinct word 3-grams shared with the 'src0' benchmark split --
+      val = n_overlap (0 = clean).
+    - 'pack': concat-and-chunk sequence packing at a 200-token budget,
+      per-source streams ordered by doc_id -- val = seq_id.
+    - 'sample': deterministic 20% stratified hash sample --
+      val = hash bucket of each KEPT doc.
+    """
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("source") == "src0")
+    train = docs.filter(F.col("source") != "src0")
+    dec = curation.benchmark_decontaminate(train, bench, n=3).select(
+        F.lit("decontam").alias("part"),
+        F.col("id").alias("doc_id"),
+        F.col("n_overlap").cast("long").alias("val"))
+    pack = curation.pack_sequences(docs, budget=200).select(
+        F.lit("pack").alias("part"),
+        F.col("id").alias("doc_id"),
+        F.col("seq_id").cast("long").alias("val"))
+    samp = curation.hash_sample(docs, pct=20).select(
+        F.lit("sample").alias("part"),
+        F.col("id").alias("doc_id"),
+        F.col("bucket").cast("long").alias("val"))
+    return dec.unionByName(pack).unionByName(samp)
+
+
+_CURATION_SQL = f"""
+WITH g AS (
+  SELECT doc_id, source,
+         {_H32.format(x="array_to_string(w[i:i+2], ' ')")} AS gh
+  FROM (SELECT doc_id, source, w,
+               unnest(generate_series(1, greatest(len(w) - 2, 1))) AS i
+        FROM (SELECT doc_id, source, string_split(trim(text), ' ') AS w
+              FROM documents))
+), bench_g AS (
+  SELECT DISTINCT gh FROM g WHERE source = 'src0'
+), train_g AS (
+  SELECT DISTINCT doc_id, gh FROM g WHERE source <> 'src0'
+), overlap AS (
+  SELECT t.doc_id, COUNT(*) AS n_overlap
+  FROM train_g t JOIN bench_g b ON t.gh = b.gh
+  GROUP BY t.doc_id
+), decontam AS (
+  SELECT d.doc_id, COALESCE(o.n_overlap, 0) AS val
+  FROM documents d LEFT JOIN overlap o ON d.doc_id = o.doc_id
+  WHERE d.source <> 'src0'
+), pack AS (
+  SELECT doc_id,
+         (SUM(n) OVER (PARTITION BY source ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) - n) // 200 AS val
+  FROM (SELECT doc_id, source,
+               len(string_split(trim(text), ' ')) AS n
+        FROM documents)
+), samp AS (
+  SELECT doc_id, val FROM (
+    SELECT doc_id,
+           {_H32.format(x="source || ':' || CAST(doc_id AS VARCHAR)")}
+             % 100 AS val
+    FROM documents)
+  WHERE val < 20
+)
+SELECT 'decontam' AS part, doc_id, val FROM decontam
+UNION ALL SELECT 'pack', doc_id, val FROM pack
+UNION ALL SELECT 'sample', doc_id, val FROM samp
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -746,7 +823,7 @@ QUERIES = {
     "ann_kmeans_ivf_recall": ann_kmeans_ivf_recall,
     "text_analysis": text_analysis,
     "text_ngram_topk": text_ngram_topk,
-    "doc_fingerprint": doc_fingerprint,
+    "corpus_curation": corpus_curation,
     "multimodal_meta_features": multimodal_meta_features,
     "multimodal_frame_sample": multimodal_frame_sample,
 }
@@ -763,7 +840,7 @@ ORACLE = {
     "ann_kmeans_ivf_recall": _ANN_KMEANS_RECALL_SQL,
     "text_analysis": _TEXT_ANALYSIS_SQL,
     "text_ngram_topk": _NGRAM_TOPK_SQL,
-    "doc_fingerprint": _FP_SQL,
+    "corpus_curation": _CURATION_SQL,
     "multimodal_meta_features": _MM_META_FEATURES_SQL,
     "multimodal_frame_sample": _MM_FRAMES_SQL,
 }

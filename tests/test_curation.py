@@ -1,0 +1,99 @@
+"""Semantic unit tests for the corpus-curation operators
+(operators/curation.py): decontamination flags exactly the overlapping
+docs, packing restarts per stratum and respects the budget arithmetic,
+hash sampling is deterministic, partitioning-independent, and map-only.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from mysql_syncer_clickhouse_spark.operators import curation
+from mysql_syncer_clickhouse_spark.sources.tables import load_table
+
+
+def _docs_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+def test_decontaminate_flags_overlap_and_clears_disjoint(spark):
+    bench = _docs_df(spark, [(100, "bench", "alpha beta gamma delta")])
+    train = _docs_df(spark, [
+        # identical text -> every distinct 3-gram overlaps (2 of them)
+        (1, "train", "alpha beta gamma delta"),
+        # shares one 3-gram window
+        (2, "train", "zz alpha beta gamma yy"),
+        # disjoint vocabulary -> clean
+        (3, "train", "one two three four five"),
+    ])
+    got = {r["id"]: r["n_overlap"]
+           for r in curation.benchmark_decontaminate(train, bench).collect()}
+    assert got == {1: 2, 2: 1, 3: 0}
+
+
+def test_decontaminate_counts_distinct_grams_once(spark):
+    bench = _docs_df(spark, [(100, "bench", "a b c")])
+    # the overlapping 3-gram "a b c" appears twice in the train doc but
+    # must count once (distinct grams per doc)
+    train = _docs_df(spark, [(1, "train", "a b c x a b c")])
+    [row] = curation.benchmark_decontaminate(train, bench).collect()
+    assert row["n_overlap"] == 1
+
+
+def test_pack_sequences_budget_and_stratum_restart(spark):
+    rows = [
+        # stratum s1: token counts 3, 3, 3 with budget 5:
+        # starts 0, 3, 6 -> seqs 0, 0, 1
+        (1, "s1", "w w w"), (2, "s1", "w w w"), (3, "s1", "w w w"),
+        # stratum s2 restarts at 0 regardless of s1's running total
+        (4, "s2", "w w w w w w"), (5, "s2", "w"),
+    ]
+    out = curation.pack_sequences(_docs_df(spark, rows), budget=5)
+    got = {(r["stratum"], r["id"]): (r["n_tokens"], r["seq_id"])
+           for r in out.collect()}
+    assert got == {
+        ("s1", 1): (3, 0), ("s1", 2): (3, 0), ("s1", 3): (3, 1),
+        ("s2", 4): (6, 0), ("s2", 5): (1, 1),
+    }
+
+
+def test_pack_sequences_exact_boundary(spark):
+    # doc starting exactly at the budget boundary opens the next seq
+    rows = [(1, "s", "w w w w w"), (2, "s", "w")]
+    out = curation.pack_sequences(_docs_df(spark, rows), budget=5)
+    got = {r["id"]: r["seq_id"] for r in out.collect()}
+    assert got == {1: 0, 2: 1}
+
+
+def test_hash_sample_deterministic_and_partition_independent(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    a = set(r["id"] for r in curation.hash_sample(docs, pct=20).collect())
+    b = set(r["id"] for r in
+            curation.hash_sample(docs.repartition(7), pct=20).collect())
+    assert a == b
+    n = docs.count()
+    # md5 buckets are uniform; 20% +/- wide tolerance on small fixtures
+    assert 0.08 * n <= len(a) <= 0.35 * n
+    # monotone: a lower rate selects a subset of a higher rate
+    c = set(r["id"] for r in curation.hash_sample(docs, pct=10).collect())
+    assert c <= a
+
+
+def test_hash_sample_is_map_only(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    plan = (curation.hash_sample(docs, pct=20)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan, plan
+
+
+def test_decontaminate_returns_every_train_doc(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("source") == "src0")
+    train = docs.filter(F.col("source") != "src0")
+    out = curation.benchmark_decontaminate(train, bench)
+    assert out.count() == train.count()
+    # fixture vocab is tiny and shared -> the benchmark split must
+    # contaminate most training docs; sanity that counting works
+    assert out.filter(F.col("n_overlap") > 0).count() > 0
