@@ -88,6 +88,54 @@ def pack_sequences(docs: DataFrame, *,
                        F.floor(start / budget).alias("seq_id"))
 
 
+def mix_corpus(docs: DataFrame, shares: dict[str, float], *,
+               id_col: str = "doc_id",
+               strata_col: str = "source",
+               tokens: Column | None = None,
+               budget_tokens: int | None = None) -> DataFrame:
+    """Token-weighted corpus mixing: downsample each stratum so the kept
+    token mass approaches `shares` (stratum -> target fraction of the
+    total token budget). The keep rate for stratum s is
+    min(1, shares[s] * budget / available_tokens_s) -- strata cannot be
+    upsampled, mirroring the standard mixture-weights step.
+
+    budget_tokens defaults to the corpus total, i.e. shares express the
+    desired post-mix composition of (at most) the whole corpus.
+
+    Plan shape: one aggregation for per-stratum token totals (a
+    |strata|-row relation, broadcast into the corpus scan) + the same
+    map-only deterministic hash filter as hash_sample, at ppm
+    resolution. Docs, not tokens, are the sampling unit, so realized
+    mass tracks the target within one doc's tokens per stratum.
+
+    Returns kept docs as (stratum, id, n_tokens, keep_ppm).
+    """
+    if tokens is None:
+        tokens = TX.token_count_ws("text")
+    tokens = tokens.cast("long")
+    base = docs.select(F.col(strata_col).alias("stratum"),
+                       F.col(id_col).alias("id"),
+                       tokens.alias("n_tokens"))
+    totals = base.groupBy("stratum").agg(F.sum("n_tokens").alias("avail"))
+    if budget_tokens is None:
+        budget_tokens = base.agg(F.sum("n_tokens")).collect()[0][0] or 0
+    share_df = totals.sparkSession.createDataFrame(
+        list(shares.items()), "stratum string, share double")
+    rates = (totals.join(share_df, "stratum")
+             .select("stratum",
+                     F.least(
+                         F.lit(1_000_000),
+                         F.floor(F.lit(float(budget_tokens))
+                                 * F.col("share") * 1_000_000
+                                 / F.col("avail")).cast("long"))
+                     .alias("keep_ppm")))
+    key = F.concat_ws(":", F.col("stratum"), F.col("id").cast("string"))
+    bucket = TX.portable_hash32(key) % 1_000_000
+    return (base.join(F.broadcast(rates), "stratum")
+            .filter(bucket < F.col("keep_ppm"))
+            .select("stratum", "id", "n_tokens", "keep_ppm"))
+
+
 def hash_sample(docs: DataFrame, *,
                 id_col: str = "doc_id",
                 strata_col: str = "source",

@@ -88,6 +88,33 @@ def test_hash_sample_is_map_only(spark, sf_dir):
     assert "Exchange" not in plan, plan
 
 
+def test_mix_corpus_token_weighted_rates(spark):
+    rows = ([(i, "a", "w w w w w w w w w w") for i in range(10)]
+            + [(100 + i, "b", "w w w w w w w w w w") for i in range(10)])
+    docs = _docs_df(spark, rows)  # 100 tokens available per stratum
+    out = curation.mix_corpus(docs, {"a": 0.1, "b": 0.9})
+    rows_out = out.collect()
+    by_stratum = {}
+    for r in rows_out:
+        by_stratum.setdefault(r["stratum"], []).append(r)
+    # budget defaults to 200 total tokens: b targets 180 > available
+    # 100 -> capped at keep-all; a targets 20/100 -> 20% ppm rate
+    assert len(by_stratum["b"]) == 10
+    assert all(r["keep_ppm"] == 1_000_000 for r in by_stratum["b"])
+    assert all(r["keep_ppm"] == 200_000 for r in by_stratum.get("a", []))
+    assert len(by_stratum.get("a", [])) < 10
+    # deterministic under repartitioning
+    again = curation.mix_corpus(docs.repartition(5), {"a": 0.1, "b": 0.9})
+    assert {(r["stratum"], r["id"]) for r in again.collect()} == \
+           {(r["stratum"], r["id"]) for r in rows_out}
+
+
+def test_mix_corpus_drops_unweighted_strata(spark):
+    docs = _docs_df(spark, [(1, "a", "w w"), (2, "junk", "w w")])
+    out = curation.mix_corpus(docs, {"a": 1.0})
+    assert [r["stratum"] for r in out.collect()] == ["a"]
+
+
 def test_decontaminate_returns_every_train_doc(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     bench = docs.filter(F.col("source") == "src0")

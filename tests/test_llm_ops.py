@@ -226,3 +226,29 @@ def test_numpy_bruteforce_matches_jvm_reference(spark, sf_dir):
     got = {(r["query_id"], r["neighbor_id"])
            for r in ann.topk_bruteforce_np(emb, q, k=5).collect()}
     assert got == ref
+
+
+def test_quantize_int8_roundtrip_and_normalized_dot(spark, sf_dir):
+    from mysql_syncer_clickhouse_spark.functions import vectors as V
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    rt = emb.select(
+        "vec_id",
+        V.cosine(V.dequantize(V.quantize_int8("v")), F.col("v"), scale=6)
+         .alias("c"),
+        V.cosine(V.l2_normalize("v"), F.col("v"), scale=6).alias("cn"),
+        F.round(V.dot(V.l2_normalize("v"), V.l2_normalize("v")), 4)
+         .alias("unit"))
+    rows = rt.collect()
+    # int8 reconstruction stays within ~1e-3 cosine of the original
+    assert min(r["c"] for r in rows) >= 0.995
+    # l2_normalize preserves direction exactly and yields unit norm
+    assert all(r["cn"] >= 0.999999 for r in rows)
+    assert all(abs(r["unit"] - 1.0) <= 1e-4 for r in rows)
+    # zero vectors survive both paths without NaNs
+    zero = spark.range(1).select(
+        F.array(F.lit(0.0), F.lit(0.0)).alias("v"))
+    z = zero.select(V.quantize_int8("v").alias("q"),
+                    V.l2_normalize("v").alias("n")).collect()[0]
+    assert z["q"]["scale"] == 0.0 and list(z["q"]["q"]) == [0, 0]
+    assert list(z["n"]) == [0.0, 0.0]
