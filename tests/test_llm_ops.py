@@ -252,3 +252,14 @@ def test_quantize_int8_roundtrip_and_normalized_dot(spark, sf_dir):
                     V.l2_normalize("v").alias("n")).collect()[0]
     assert z["q"]["scale"] == 0.0 and list(z["q"]["q"]) == [0, 0]
     assert list(z["n"]) == [0.0, 0.0]
+
+
+def test_quantized_bruteforce_recall_vs_exact(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = ann.topk_bruteforce(emb, queries, k=5)
+    quant = ann.topk_bruteforce_quantized(emb, queries, k=5)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    q = {(r["query_id"], r["neighbor_id"]) for r in quant.collect()}
+    # int8 codes perturb cosine by ~1e-3; neighbor sets stay >=80% equal
+    assert len(e & q) >= 0.8 * len(e), (len(e & q), len(e))
