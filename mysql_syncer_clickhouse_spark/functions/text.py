@@ -85,3 +85,32 @@ def fingerprint(col: Column | str) -> Column:
     """Deterministic document fingerprint: md5 of the
     whitespace-normalized text."""
     return F.md5(F.regexp_replace(F.trim(_c(col)), r"\s+", " "))
+
+
+def dup_ngram_ratio(col: Column | str, n: int = 3) -> Column:
+    """Within-document repetition signal (Gopher-style quality rule):
+    1 - distinct_ngrams/total_ngrams. Boilerplate and looped text score
+    high; clean prose scores near 0. Pure array expressions, map-only."""
+    grams = word_ngrams(col, n)
+    return (1.0 - F.size(F.array_distinct(grams)).cast("double")
+            / F.size(grams))
+
+
+# Order matters: emails before phones (an email's digit runs must not be
+# half-redacted first), IPs before phones (dotted quads are digit runs).
+_PII_PATTERNS = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    (r"\+?\d[\d\s().-]{7,}\d", "<PHONE>"),
+)
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Best-effort PII scrub for training corpora: emails, IPv4s, and
+    phone-like digit runs replaced with typed placeholder tokens.
+    A chain of JVM regexp_replace calls -- map-only, codegen'd, no
+    Python in the path."""
+    out = _c(col)
+    for pat, token in _PII_PATTERNS:
+        out = F.regexp_replace(out, pat, token)
+    return out

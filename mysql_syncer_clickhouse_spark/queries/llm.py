@@ -658,7 +658,8 @@ def text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ratio, 6).alias("en_signal"),
         pred.alias("lang_pred"),
         TX.fingerprint("text").alias("fp"),
-        TX.portable_hash32(F.col("text")).alias("fp32"))
+        TX.portable_hash32(F.col("text")).alias("fp32"),
+        F.round(TX.dup_ngram_ratio("text", 3), 6).alias("dup_3gram_ratio"))
 
 
 _TEXT_ANALYSIS_SQL = f"""
@@ -673,7 +674,9 @@ WITH t AS (
            / len(w) AS awl,
          len(w) AS n,
          CAST(len(list_filter(w, x -> x IN ('the','a','of','and')))
-              AS DOUBLE) / len(w) AS ratio
+              AS DOUBLE) / len(w) AS ratio,
+         list_transform(generate_series(1, greatest(len(w) - 2, 1)),
+                        i -> array_to_string(w[i:i+2], ' ')) AS grams
   FROM t
 )
 SELECT doc_id,
@@ -690,7 +693,9 @@ SELECT doc_id,
             WHEN ratio > 0.0 THEN 'en-ish'
             ELSE 'unk' END AS lang_pred,
        md5(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS fp,
-       {_H32.format(x='text')} AS fp32
+       {_H32.format(x='text')} AS fp32,
+       ROUND(1 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 6)
+         AS dup_3gram_ratio
 FROM m
 """
 

@@ -124,3 +124,35 @@ def test_decontaminate_returns_every_train_doc(spark, sf_dir):
     # fixture vocab is tiny and shared -> the benchmark split must
     # contaminate most training docs; sanity that counting works
     assert out.filter(F.col("n_overlap") > 0).count() > 0
+
+
+def test_dup_ngram_ratio_bounds(spark):
+    from mysql_syncer_clickhouse_spark.functions import text as TX
+    df = spark.createDataFrame(
+        [(1, "a b c a b c a b c"),   # looped text -> high repetition
+         (2, "one two three four"),  # all distinct -> 0
+         (3, "w")],                  # shorter than n -> single gram, 0
+        "id long, text string")
+    got = {r["id"]: r["r"] for r in df.select(
+        "id", F.round(TX.dup_ngram_ratio("text", 3), 4).alias("r"))
+        .collect()}
+    assert got[2] == 0.0 and got[3] == 0.0
+    # 7 grams, 3 distinct ("a b c","b c a","c a b") -> 1 - 3/7
+    assert abs(got[1] - (1 - 3 / 7)) < 1e-3
+
+
+def test_redact_pii(spark):
+    from mysql_syncer_clickhouse_spark.functions import text as TX
+    df = spark.createDataFrame(
+        [(1, "mail bob.smith+x@example.co.uk now"),
+         (2, "server at 192.168.0.1 port 80"),
+         (3, "call +1 (415) 555-0199 today"),
+         (4, "clean text stays intact")],
+        "id long, text string")
+    got = {r["id"]: r["t"]
+           for r in df.select("id", TX.redact_pii("text").alias("t"))
+           .collect()}
+    assert got[1] == "mail <EMAIL> now"
+    assert got[2] == "server at <IP> port 80"
+    assert got[3] == "call <PHONE> today"
+    assert got[4] == "clean text stays intact"
