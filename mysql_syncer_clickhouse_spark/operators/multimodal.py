@@ -62,12 +62,55 @@ def make_png_header(width: int, height: int) -> bytes:
             + struct.pack(">I", zlib.crc32(chunk)))
 
 
+def make_jpeg_header(width: int, height: int) -> bytes:
+    """Minimal 33-byte JPEG: SOI + APP0/JFIF + an SOF0 frame header
+    (8-bit, 1 component). The APP0 segment before the SOF forces
+    `parse_image_header` to actually walk segments, as with any real
+    camera/web JPEG."""
+    app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    sof = struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0])
+    return (b"\xff\xd8"
+            + b"\xff\xe0" + struct.pack(">H", 2 + len(app0)) + app0
+            + b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof)
+
+
+def make_gif_header(width: int, height: int) -> bytes:
+    """Minimal 13-byte GIF89a logical screen descriptor."""
+    return (b"GIF89a" + struct.pack("<HH", width, height)
+            + bytes([0xF7, 0, 0]))
+
+
+def _parse_jpeg(payload: bytes) -> tuple[int, int, str] | None:
+    """Walk JPEG segments to the first SOFn frame header (markers
+    C0-CF excluding C4/C8/CC): height/width are big-endian at payload
+    offsets 1/3 past the precision byte. No codec needed -- this is
+    byte arithmetic, exactly like PNG/BMP."""
+    if payload[:2] != b"\xff\xd8":
+        return None
+    i = 2
+    while i + 4 <= len(payload):
+        if payload[i] != 0xFF:
+            return None
+        marker = payload[i + 1]
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD9:  # bare markers
+            i += 2
+            continue
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if i + 9 > len(payload):
+                return None
+            h, w = struct.unpack(">HH", payload[i + 5:i + 9])
+            return w, h, "jpeg"
+        i += 2 + struct.unpack(">H", payload[i + 2:i + 4])[0]
+    return None
+
+
 def parse_image_header(payload: bytes) -> tuple[int, int, str] | None:
-    """Pure-Python image metadata from fixed header offsets -- a REAL
-    decoder for the two formats whose headers need no codec library:
-    PNG (IHDR width/height, big-endian at bytes 16..23) and BMP
-    (int32 LE at 18/22; negative height = top-down, take abs).
-    Returns (width, height, format) or None if not an image."""
+    """Pure-Python image metadata from header bytes -- a REAL decoder
+    for the formats whose dimensions need no codec library: PNG (IHDR
+    width/height, big-endian at bytes 16..23), BMP (int32 LE at 18/22;
+    negative height = top-down, take abs), GIF (uint16 LE at 6/8), and
+    JPEG (segment walk to SOFn). Returns (width, height, format) or
+    None if not an image."""
     if payload[:8] == _PNG_SIG and len(payload) >= 24 \
             and payload[12:16] == b"IHDR":
         w, h = struct.unpack(">II", payload[16:24])
@@ -75,7 +118,10 @@ def parse_image_header(payload: bytes) -> tuple[int, int, str] | None:
     if payload[:2] == b"BM" and len(payload) >= 26:
         w, h = struct.unpack("<ii", payload[18:26])
         return abs(w), abs(h), "bmp"
-    return None
+    if payload[:6] in (b"GIF87a", b"GIF89a") and len(payload) >= 10:
+        w, h = struct.unpack("<HH", payload[6:10])
+        return w, h, "gif"
+    return _parse_jpeg(payload)
 
 
 def _fake_decode(payload: bytes) -> tuple[int, int, int, str]:
@@ -107,26 +153,91 @@ def _decode(payload: bytes) -> tuple[int, int, int, str]:
     return _fake_decode(payload)
 
 
+def make_wav_header(sample_rate: int, channels: int = 1,
+                    bits: int = 16, n_samples: int = 0) -> bytes:
+    """Minimal 44-byte RIFF/WAVE header (PCM fmt chunk + empty-bodied
+    data chunk declaring n_samples)."""
+    data_len = n_samples * channels * bits // 8
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate,
+                      sample_rate * channels * bits // 8,
+                      channels * bits // 8, bits)
+    return (b"RIFF" + struct.pack("<I", 36 + data_len) + b"WAVE"
+            + b"fmt " + struct.pack("<I", 16) + fmt
+            + b"data" + struct.pack("<I", data_len))
+
+
+def parse_wav_header(payload: bytes) \
+        -> tuple[int, int, int, int] | None:
+    """Pure-Python WAV metadata: walk RIFF chunks for `fmt ` (channels,
+    sample rate, bit depth) and `data` (byte length -> sample count).
+    Returns (sample_rate, channels, bits, n_samples) or None."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    i, fmt, data_len = 12, None, None
+    while i + 8 <= len(payload):
+        cid = payload[i:i + 4]
+        clen = struct.unpack("<I", payload[i + 4:i + 8])[0]
+        if cid == b"fmt " and i + 24 <= len(payload):
+            _, ch, rate, _, _, bits = struct.unpack(
+                "<HHIIHH", payload[i + 8:i + 24])
+            fmt = (rate, ch, bits)
+        elif cid == b"data":
+            data_len = clen
+        i += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if fmt is None:
+        return None
+    rate, ch, bits = fmt
+    frame = max(ch * bits // 8, 1)
+    return rate, ch, bits, (data_len or 0) // frame
+
+
+AUDIO_SCHEMA = ("doc_id long, sample_rate int, channels int, bits int, "
+                "n_samples long, duration_ms long")
+
+
+def decode_audio_meta(df: DataFrame) -> DataFrame:
+    """mapInPandas audio metadata decode via `parse_wav_header`;
+    non-WAV payloads yield NULL fields (same Arrow-batched plumbing as
+    the image decoder)."""
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                meta = parse_wav_header(bytes(payload))
+                if meta is None:
+                    rows.append((doc_id, None, None, None, None, None))
+                else:
+                    rate, ch, bits, n = meta
+                    rows.append((doc_id, rate, ch, bits, n,
+                                 n * 1000 // rate if rate else None))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "sample_rate", "channels", "bits",
+                "n_samples", "duration_ms"])
+
+    return df.mapInPandas(decode, AUDIO_SCHEMA)
+
+
 MIXED_SCHEMA = "doc_id long, payload binary"
 
 
 def with_mixed_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Fixture payload column exercising every decode path:
-    doc_id%3==0 -> a BMP header, ==1 -> a PNG header (both with
+    doc_id%5==0 -> BMP, ==1 -> PNG, ==2 -> JPEG, ==3 -> GIF (all with
     dimensions DERIVED FROM doc_id, so the downstream decode proves
-    the header parser round-trips), ==2 -> UTF-8 text (fake path).
+    each header parser round-trips), ==4 -> UTF-8 text (fake path).
     Arrow-batched like the decoders; one output row per input row."""
+    makers = (make_bmp_header, make_png_header,
+              make_jpeg_header, make_gif_header)
+
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
                 w = int(doc_id % 64 + 1)
                 h = int((doc_id * 7) % 48 + 1)
-                m = doc_id % 3
-                if m == 0:
-                    out.append(make_bmp_header(w, h))
-                elif m == 1:
-                    out.append(make_png_header(w, h))
+                m = int(doc_id % 5)
+                if m < 4:
+                    out.append(makers[m](w, h))
                 else:
                     out.append(str(text).encode("utf-8"))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": out})

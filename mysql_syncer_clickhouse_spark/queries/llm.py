@@ -702,12 +702,13 @@ FROM m
 
 def multimodal_meta_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload decode metadata + extracted feature vector, one
-    checked query. Payloads are MIXED by doc_id%3: real BMP and PNG
-    headers (dimensions derived from doc_id -- the decode proves the
-    pure-Python header parser round-trips) plus UTF-8 text (the fake
-    path). The feature vector is projected to scalar columns (f1..f4)
-    because the driver's hash cannot canonicalize raw array cells.
-    Frame sampling keeps its own entry (different fan-out shape)."""
+    checked query. Payloads are MIXED by doc_id%5: real BMP, PNG, JPEG
+    (segment-walked SOF), and GIF headers (dimensions derived from
+    doc_id -- the decode proves each pure-Python header parser
+    round-trips) plus UTF-8 text (the fake path). The feature vector is
+    projected to scalar columns (f1..f4) because the driver's hash
+    cannot canonicalize raw array cells. Frame sampling keeps its own
+    entry (different fan-out shape)."""
     docs = _docs(spark, sf_dir)
     payload = multimodal.with_mixed_payload(docs)
     meta = multimodal.decode_image_meta(payload)
@@ -720,23 +721,24 @@ def multimodal_meta_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # mirrors with_mixed_payload's synthesis arithmetic + the header-parse
-# round-trip: BMP headers are 54 bytes, PNG 33; image dims come from
-# doc_id, fake dims from the byte length (DuckDB strlen counts BYTES,
-# matching Spark's encode(text,'UTF-8') length).
+# round-trip: BMP headers are 54 bytes, PNG and JPEG 33, GIF 13; image
+# dims come from doc_id, fake dims from the byte length (DuckDB strlen
+# counts BYTES, matching Spark's encode(text,'UTF-8') length).
 _MM_META_FEATURES_SQL = """
 WITH m AS (
-  SELECT doc_id, CAST(doc_id % 3 AS INT) AS r,
-         CAST(CASE CAST(doc_id % 3 AS INT)
-              WHEN 0 THEN 54 WHEN 1 THEN 33
+  SELECT doc_id, CAST(doc_id % 5 AS INT) AS r,
+         CAST(CASE CAST(doc_id % 5 AS INT)
+              WHEN 0 THEN 54 WHEN 1 THEN 33 WHEN 2 THEN 33 WHEN 3 THEN 13
               ELSE strlen(text) END AS BIGINT) AS n_bytes
   FROM documents
 )
 SELECT doc_id, n_bytes,
-       CAST(CASE WHEN r IN (0, 1) THEN doc_id % 64 + 1
+       CAST(CASE WHEN r < 4 THEN doc_id % 64 + 1
                  ELSE n_bytes % 640 END AS INT) AS width,
-       CAST(CASE WHEN r IN (0, 1) THEN (doc_id * 7) % 48 + 1
+       CAST(CASE WHEN r < 4 THEN (doc_id * 7) % 48 + 1
                  ELSE (n_bytes * 7) % 480 END AS INT) AS height,
-       CASE r WHEN 0 THEN 'bmp' WHEN 1 THEN 'png' ELSE 'fake' END AS format,
+       CASE r WHEN 0 THEN 'bmp' WHEN 1 THEN 'png' WHEN 2 THEN 'jpeg'
+              WHEN 3 THEN 'gif' ELSE 'fake' END AS format,
        CAST(n_bytes * 1 % 997 AS DOUBLE) / 997.0 AS f1,
        CAST(n_bytes * 2 % 997 AS DOUBLE) / 997.0 AS f2,
        CAST(n_bytes * 3 % 997 AS DOUBLE) / 997.0 AS f3,

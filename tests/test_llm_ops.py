@@ -124,14 +124,19 @@ def test_kmeans_tol_early_exit_and_strict_overflow(spark):
 
 
 def test_image_header_parse_roundtrip():
-    """The pure-Python PNG/BMP header parser is REAL decoding: it must
+    """The pure-Python header parsers are REAL decoding: each must
     recover the exact dimensions written by the synthesizers, including
-    the top-down (negative height) BMP variant, and reject non-images."""
+    the top-down (negative height) BMP variant and the segment walk
+    past APP0 for JPEG, and reject non-images."""
     from mysql_syncer_clickhouse_spark.operators.multimodal import (
-        make_bmp_header, make_png_header, parse_image_header)
+        make_bmp_header, make_gif_header, make_jpeg_header,
+        make_png_header, parse_image_header)
     assert parse_image_header(make_bmp_header(640, 480)) == (640, 480, "bmp")
     assert parse_image_header(make_png_header(1920, 1080)) \
         == (1920, 1080, "png")
+    assert parse_image_header(make_jpeg_header(800, 600)) \
+        == (800, 600, "jpeg")
+    assert parse_image_header(make_gif_header(320, 200)) == (320, 200, "gif")
     # top-down BMP stores a negative height
     import struct
     topdown = bytearray(make_bmp_header(32, 16))
@@ -140,23 +145,52 @@ def test_image_header_parse_roundtrip():
     assert parse_image_header(b"plain text payload") is None
     assert parse_image_header(b"BM") is None          # truncated BMP
     assert parse_image_header(b"\x89PNG\r\n\x1a\n") is None  # truncated PNG
+    assert parse_image_header(b"\xff\xd8\xff\xe0\x00\x04") is None  # no SOF
+    assert parse_image_header(b"GIF89a\x01") is None  # truncated GIF
+
+
+def test_wav_header_parse_roundtrip():
+    from mysql_syncer_clickhouse_spark.operators.multimodal import (
+        make_wav_header, parse_wav_header)
+    hdr = make_wav_header(16000, channels=2, bits=16, n_samples=8000)
+    assert parse_wav_header(hdr) == (16000, 2, 16, 8000)
+    assert parse_wav_header(b"RIFF\x00\x00\x00\x00AVI ") is None
+    assert parse_wav_header(b"plain text") is None
+
+
+def test_decode_audio_meta(spark):
+    from mysql_syncer_clickhouse_spark.operators.multimodal import (
+        decode_audio_meta, make_wav_header)
+    rows = [(1, make_wav_header(44100, 2, 16, 44100)),
+            (2, make_wav_header(16000, 1, 16, 8000)),
+            (3, b"not audio at all")]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in decode_audio_meta(df).collect()}
+    assert (got[1]["sample_rate"], got[1]["channels"],
+            got[1]["n_samples"], got[1]["duration_ms"]) \
+        == (44100, 2, 44100, 1000)
+    assert got[2]["duration_ms"] == 500
+    assert got[3]["sample_rate"] is None and got[3]["duration_ms"] is None
 
 
 def test_mixed_payload_decodes_real_headers(spark, sf_dir):
-    """with_mixed_payload -> decode_image_meta round-trip: bmp/png rows
-    carry doc_id-derived dimensions (proving the header parse), text
-    rows the byte-length fake."""
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 9)
+    """with_mixed_payload -> decode_image_meta round-trip: bmp/png/
+    jpeg/gif rows carry doc_id-derived dimensions (proving each header
+    parse), text rows the byte-length fake."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 15)
     out = multimodal.decode_image_meta(
         multimodal.with_mixed_payload(docs)).collect()
-    assert len(out) == 9
+    assert len(out) == 15
+    formats = {0: "bmp", 1: "png", 2: "jpeg", 3: "gif"}
+    sizes = {0: 54, 1: 33, 2: 33, 3: 13}
     for r in out:
-        d = r["doc_id"]
-        if d % 3 == 2:
+        d, m = r["doc_id"], r["doc_id"] % 5
+        if m == 4:
             assert r["format"] == "fake"
         else:
-            assert r["format"] == ("bmp" if d % 3 == 0 else "png")
-            assert r["n_bytes"] == (54 if d % 3 == 0 else 33)
+            assert r["format"] == formats[m]
+            assert r["n_bytes"] == sizes[m]
             assert r["width"] == d % 64 + 1
             assert r["height"] == (d * 7) % 48 + 1
 
