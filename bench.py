@@ -53,6 +53,7 @@ HEADLINE = [
     "pipeline_clean_corpus",
     "ann_ivf_topk",
     "text_analysis",
+    "corpus_curation",
     # streaming operators in batch mode
     "stream_time_windows",
 ]

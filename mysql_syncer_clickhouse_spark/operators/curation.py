@@ -88,6 +88,46 @@ def pack_sequences(docs: DataFrame, *,
                        F.floor(start / budget).alias("seq_id"))
 
 
+def chunk_documents(docs: DataFrame, *,
+                    id_col: str = "doc_id",
+                    text_col: str = "text",
+                    size: int = 64,
+                    overlap: int = 16) -> DataFrame:
+    """Split documents into overlapping token-window chunks (the
+    context-window prep step for RAG indexing / long-doc training):
+    chunk i covers words [i*step, i*step + size) with step =
+    size - overlap, so consecutive chunks share `overlap` words and
+    every word lands in at least one chunk.
+
+    Pure array expressions with the fan-out INSIDE the row (sequence ->
+    transform -> explode), so the operator is map-only: no shuffle, and
+    chunk rows inherit the input partitioning.
+
+    Returns (id, chunk_idx, n_tokens, chunk_text).
+    """
+    if overlap >= size:
+        raise ValueError(f"overlap {overlap} must be < size {size}")
+    step = size - overlap
+    ws = TX.words(text_col)
+    n = F.size(ws)
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(overlap)).cast("double") / step), F.lit(1)
+    ).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_idx"),
+            F.least(F.lit(size), n - i * step).alias("n_tokens"),
+            F.concat_ws(" ", F.slice(ws, i * step + 1, size))
+             .alias("chunk_text")))
+    c = F.col("c")
+    return (docs.select(F.col(id_col).alias("id"),
+                        F.explode(chunks).alias("c"))
+            .select("id", c.getField("chunk_idx").alias("chunk_idx"),
+                    c.getField("n_tokens").alias("n_tokens"),
+                    c.getField("chunk_text").alias("chunk_text")))
+
+
 def mix_corpus(docs: DataFrame, shares: dict[str, float], *,
                id_col: str = "doc_id",
                strata_col: str = "source",

@@ -156,3 +156,78 @@ def test_redact_pii(spark):
     assert got[2] == "server at <IP> port 80"
     assert got[3] == "call <PHONE> today"
     assert got[4] == "clean text stays intact"
+
+
+def test_chunk_documents_overlap_and_coverage(spark):
+    words = [f"w{i}" for i in range(10)]
+    docs = _docs_df(spark, [(1, "s", " ".join(words))])
+    out = curation.chunk_documents(docs, size=4, overlap=1)
+    rows = sorted(out.collect(), key=lambda r: r["chunk_idx"])
+    # step=3, 10 words -> ceil((10-1)/3) = 3 chunks
+    assert [r["chunk_idx"] for r in rows] == [0, 1, 2]
+    texts = [r["chunk_text"].split(" ") for r in rows]
+    assert texts[0] == words[0:4]
+    assert texts[1] == words[3:7]
+    assert texts[2] == words[6:10]
+    assert [r["n_tokens"] for r in rows] == [4, 4, 4]
+    # consecutive chunks share exactly `overlap` words
+    assert texts[0][-1:] == texts[1][:1] and texts[1][-1:] == texts[2][:1]
+    # every word covered
+    assert set(words) == {w for t in texts for w in t}
+
+
+def test_chunk_documents_short_doc_single_chunk(spark):
+    docs = _docs_df(spark, [(1, "s", "a b")])
+    rows = curation.chunk_documents(docs, size=4, overlap=1).collect()
+    assert len(rows) == 1
+    assert rows[0]["chunk_idx"] == 0 and rows[0]["n_tokens"] == 2
+    assert rows[0]["chunk_text"] == "a b"
+
+
+def test_chunk_documents_map_only(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    plan = (curation.chunk_documents(docs)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan, plan
+
+
+def test_curation_chain_composes(spark, sf_dir):
+    """The real pipeline is the CHAIN: dedup-survivors -> decontaminate
+    -> mix to target shares -> pack into sequences -> chunk. Assert the
+    stages compose (ids flow through, filters only shrink, packing
+    covers every surviving doc)."""
+    from mysql_syncer_clickhouse_spark.functions import text as TX
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("source") == "src0")
+    train = docs.filter(F.col("source") != "src0")
+
+    dec = curation.benchmark_decontaminate(train, bench, n=3)
+    thr = 40  # fixture vocab is tiny; keep docs below heavy overlap
+    clean_ids = dec.filter(F.col("n_overlap") < thr).select("id")
+    clean = train.join(clean_ids,
+                       train["doc_id"] == clean_ids["id"]).drop("id")
+    n_clean = clean.count()
+    assert 0 < n_clean <= train.count()
+
+    shares = {f"src{i}": 1.0 / 19 for i in range(1, 20)}
+    mixed = curation.mix_corpus(clean, shares)
+    assert 0 < mixed.count() <= n_clean
+
+    kept = clean.join(mixed.select("id"),
+                      clean["doc_id"] == mixed["id"]).drop("id")
+    packed = curation.pack_sequences(kept, budget=200)
+    assert packed.count() == kept.count()
+    assert packed.filter(F.col("seq_id") < 0).count() == 0
+
+    chunks = curation.chunk_documents(kept, size=32, overlap=8)
+    assert chunks.count() >= kept.count()
+    # chunk token totals reconstruct each doc's length minus overlaps:
+    # sum(n_tokens) - overlap*(n_chunks-1) == doc token count
+    agg = (chunks.groupBy("id")
+           .agg(F.sum("n_tokens").alias("s"),
+                F.count(F.lit(1)).alias("c")))
+    doc_n = kept.select(F.col("doc_id").alias("id"),
+                        TX.token_count_ws("text").alias("n"))
+    bad = (agg.join(doc_n, "id")
+           .filter(F.col("s") - 8 * (F.col("c") - 1) != F.col("n")))
+    assert bad.count() == 0
