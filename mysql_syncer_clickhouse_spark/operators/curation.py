@@ -29,6 +29,22 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as TX
+from .dedup import _spread
+
+
+def _gram_hashes(df: DataFrame, id_col: str, text_col: str,
+                 n: int) -> DataFrame:
+    """(id, gh): distinct 32-bit hashes of the doc's word n-grams.
+    Doc rows are spread across cores BEFORE the explode (parallelism is
+    otherwise bound by input splits -- operators/dedup._spread
+    rationale), and grams are hashed AFTER the explode as a flat Column
+    expression: hashing inside the array via a transform() lambda runs
+    interpreted per element and measured 10x slower than the codegen'd
+    post-explode md5."""
+    return (_spread(df.select(F.col(id_col).alias("id"), text_col), "id")
+            .select("id", F.explode(TX.word_ngrams(text_col, n)).alias("g"))
+            .select("id", TX.portable_hash32(F.col("g")).alias("gh"))
+            .distinct())
 
 
 def benchmark_decontaminate(docs: DataFrame, bench: DataFrame, *,
@@ -44,15 +60,9 @@ def benchmark_decontaminate(docs: DataFrame, bench: DataFrame, *,
     the join key payload is 8 bytes/gram and the benchmark side is tiny;
     the corpus side carries (id, hash) pairs into one keyed count.
     """
-    bench_grams = (bench
-                   .select(F.explode(TX.word_ngrams(text_col, n)).alias("g"))
-                   .select(TX.portable_hash32(F.col("g")).alias("gh"))
-                   .distinct())
-    doc_grams = (docs
-                 .select(F.col(id_col).alias("id"),
-                         F.explode(TX.word_ngrams(text_col, n)).alias("g"))
-                 .select("id", TX.portable_hash32(F.col("g")).alias("gh"))
-                 .distinct())
+    bench_grams = (_gram_hashes(bench, id_col, text_col, n)
+                   .select("gh").distinct())
+    doc_grams = _gram_hashes(docs, id_col, text_col, n)
     overlap = (doc_grams.join(bench_grams, "gh")
                .groupBy("id")
                .agg(F.count(F.lit(1)).alias("n_overlap")))
