@@ -87,6 +87,21 @@ def fingerprint(col: Column | str) -> Column:
     return F.md5(F.regexp_replace(F.trim(_c(col)), r"\s+", " "))
 
 
+def quality_score(col: Column | str, scale: int = 6) -> Column:
+    """Composite document quality in [0,1]: 0.4 * length signal
+    (tokens/100 capped) + 0.3 * (1 - stopword ratio) + 0.3 * avg word
+    length signal (awl/10 capped). The shared definition behind
+    text_analysis, pipeline_clean_corpus, and the streaming corpus
+    ingest's quality gate."""
+    stop = stopword_ratio(col)
+    awl = avg_word_len(col)
+    n = token_count_ws(col)
+    return F.round(
+        F.lit(0.4) * F.least(n.cast("double") / 100.0, F.lit(1.0))
+        + F.lit(0.3) * (1.0 - stop)
+        + F.lit(0.3) * F.least(awl / 10.0, F.lit(1.0)), scale)
+
+
 def dup_ngram_ratio(col: Column | str, n: int = 3) -> Column:
     """Within-document repetition signal (Gopher-style quality rule):
     1 - distinct_ngrams/total_ngrams. Boilerplate and looped text score

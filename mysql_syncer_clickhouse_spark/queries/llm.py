@@ -361,14 +361,7 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup.minhash_dedup(corpus, "id", "text", threshold=0.5)
     kept = dedup.keep_canonical(corpus, pairs.select("id_a", "id_b"),
                                 id_col="id")
-    stop = TX.stopword_ratio("text")
-    n = TX.token_count_ws("text")
-    quality = F.round(
-        F.lit(0.4) * F.least(n.cast("double") / 100.0, F.lit(1.0))
-        + F.lit(0.3) * (1.0 - stop)
-        + F.lit(0.3) * F.least(TX.avg_word_len("text") / 10.0, F.lit(1.0)),
-        6)
-    return (kept.select("id", "source", quality.alias("q"))
+    return (kept.select("id", "source", TX.quality_score("text").alias("q"))
                 .filter(F.col("q") >= 0.5)
                 .groupBy("source")
                 .agg(F.count(F.lit(1)).alias("n_docs"),
@@ -432,17 +425,12 @@ FROM documents
 
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
-    stop = TX.stopword_ratio("text")
-    awl = TX.avg_word_len("text")
-    n = TX.token_count_ws("text")
-    quality = F.round(
-        F.lit(0.4) * F.least(n.cast("double") / 100.0, F.lit(1.0))
-        + F.lit(0.3) * (1.0 - stop)
-        + F.lit(0.3) * F.least(awl / 10.0, F.lit(1.0)), 6)
     return docs.select("doc_id",
-                       F.round(stop, 6).alias("stop_ratio"),
-                       F.round(awl, 6).alias("avg_word_len"),
-                       quality.alias("quality"))
+                       F.round(TX.stopword_ratio("text"), 6)
+                        .alias("stop_ratio"),
+                       F.round(TX.avg_word_len("text"), 6)
+                        .alias("avg_word_len"),
+                       TX.quality_score("text").alias("quality"))
 
 
 _QUALITY_SQL = f"""
@@ -644,10 +632,7 @@ def text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     stop = TX.stopword_ratio("text")
     awl = TX.avg_word_len("text")
     n = TX.token_count_ws("text")
-    quality = F.round(
-        F.lit(0.4) * F.least(n.cast("double") / 100.0, F.lit(1.0))
-        + F.lit(0.3) * (1.0 - stop)
-        + F.lit(0.3) * F.least(awl / 10.0, F.lit(1.0)), 6)
+    quality = TX.quality_score("text")
     en_hits = F.size(F.filter(ws, lambda w: w.isin("the", "a", "of", "and")))
     ratio = en_hits.cast("double") / F.size(ws)
     pred = (F.when(ratio >= 0.05, "en")
