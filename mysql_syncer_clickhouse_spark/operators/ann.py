@@ -201,6 +201,16 @@ def topk_kmeans_ivf(emb: DataFrame, queries: DataFrame, k: int = 5,
                    F.col(vec_col).cast("array<double>").alias("v")), cents) \
         .select(F.col("id").alias("neighbor_id"), F.col("v").alias("cv"),
                 "cid")
+    return _ivf_probe_and_score(corpus, cents, queries, k, nprobe,
+                                id_col, vec_col)
+
+
+def _ivf_probe_and_score(corpus: DataFrame, cents: DataFrame,
+                         queries: DataFrame, k: int, nprobe: int,
+                         id_col: str, vec_col: str) -> DataFrame:
+    """Shared IVF search: each query picks its nprobe nearest centroid
+    cells, then scores only those cells' inverted lists (the cid join
+    is the candidate bound; probes broadcast)."""
     qv = queries.select(F.col(id_col).alias("id"),
                         F.col(vec_col).cast("array<double>").alias("v"))
     wq = Window.partitionBy("id").orderBy("d2", "cid")
@@ -216,6 +226,41 @@ def topk_kmeans_ivf(emb: DataFrame, queries: DataFrame, k: int = 5,
                     .filter(F.col("query_id") != F.col("neighbor_id"))
                     .withColumn("score", cosine("qv", "cv")))
     return _ranked_topk(scored, k)
+
+
+def build_kmeans_ivf_index(emb: DataFrame, path: str, *,
+                           n_centroids: int = 8, iters: int = 3,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding") -> None:
+    """Persist the learned IVF index: centroids (k x dim parquet) +
+    inverted lists PARTITIONED BY cid. Build-once/query-many is the
+    production ANN lifecycle: at 100 TB the index build is the one
+    expensive pass, and the cid partitioning means a query probing
+    nprobe cells reads nprobe/n_centroids of the corpus from disk
+    (partition pruning), not just post-scan filtering."""
+    cents = kmeans_centroids(emb, k=n_centroids, iters=iters,
+                             id_col=id_col, vec_col=vec_col)
+    corpus = assign_to_centroids(
+        emb.select(F.col(id_col).alias("id"),
+                   F.col(vec_col).cast("array<double>").alias("v")), cents) \
+        .select(F.col("id").alias("neighbor_id"), F.col("v").alias("cv"),
+                "cid")
+    corpus.write.mode("overwrite").partitionBy("cid") \
+        .parquet(path.rstrip("/") + "/lists")
+    cents.write.mode("overwrite").parquet(path.rstrip("/") + "/centroids")
+
+
+def query_kmeans_ivf_index(spark, path: str, queries: DataFrame, *,
+                           k: int = 5, nprobe: int = 2,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding") -> DataFrame:
+    """Search a persisted IVF index (build_kmeans_ivf_index). Identical
+    results to the inline topk_kmeans_ivf for the same build
+    parameters (test-asserted)."""
+    cents = spark.read.parquet(path.rstrip("/") + "/centroids")
+    lists = spark.read.parquet(path.rstrip("/") + "/lists")
+    return _ivf_probe_and_score(lists, cents, queries, k, nprobe,
+                                id_col, vec_col)
 
 
 def topk_bruteforce_np(emb: DataFrame, queries: DataFrame, k: int = 5,

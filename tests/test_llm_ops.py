@@ -297,3 +297,25 @@ def test_quantized_bruteforce_recall_vs_exact(spark, sf_dir):
     q = {(r["query_id"], r["neighbor_id"]) for r in quant.collect()}
     # int8 codes perturb cosine by ~1e-3; neighbor sets stay >=80% equal
     assert len(e & q) >= 0.8 * len(e), (len(e & q), len(e))
+
+
+def test_persisted_ivf_index_matches_inline(spark, sf_dir, tmp_path):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    inline = ann.topk_kmeans_ivf(emb, queries, k=5, n_centroids=8,
+                                 nprobe=2)
+    path = str(tmp_path / "ivf")
+    ann.build_kmeans_ivf_index(emb, path, n_centroids=8)
+    stored = ann.query_kmeans_ivf_index(spark, path, queries, k=5,
+                                        nprobe=2)
+    a = {(r["query_id"], r["rk"], r["neighbor_id"], r["score"])
+         for r in inline.collect()}
+    b = {(r["query_id"], r["rk"], r["neighbor_id"], r["score"])
+         for r in stored.collect()}
+    assert a == b and len(a) > 0
+    # the on-disk layout IS the inverted-list structure: one
+    # directory per centroid cell
+    import os
+    cells = [d for d in os.listdir(path + "/lists")
+             if d.startswith("cid=")]
+    assert len(cells) == 8
