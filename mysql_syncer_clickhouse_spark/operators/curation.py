@@ -138,6 +138,21 @@ def chunk_documents(docs: DataFrame, *,
                     c.getField("chunk_text").alias("chunk_text")))
 
 
+def pack_manifest(packed: DataFrame) -> DataFrame:
+    """Collapse pack_sequences output into the per-sequence manifest a
+    training data loader consumes: (stratum, seq_id, docs = id-ordered
+    [(id, n_tokens)...], n_docs, total_tokens). One keyed aggregation;
+    the collect_list is bounded by budget/min_doc_tokens docs per
+    sequence, not corpus-scale. A doc spanning a boundary is listed in
+    the sequence its first token lands in (pack_sequences contract), so
+    consecutive manifests overlap by at most one doc."""
+    return (packed.groupBy("stratum", "seq_id")
+            .agg(F.sort_array(F.collect_list(
+                     F.struct("id", "n_tokens"))).alias("docs"),
+                 F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").alias("total_tokens")))
+
+
 def mix_corpus(docs: DataFrame, shares: dict[str, float], *,
                id_col: str = "doc_id",
                strata_col: str = "source",

@@ -231,3 +231,29 @@ def test_curation_chain_composes(spark, sf_dir):
     bad = (agg.join(doc_n, "id")
            .filter(F.col("s") - 8 * (F.col("c") - 1) != F.col("n")))
     assert bad.count() == 0
+
+
+def test_pack_manifest_reconstructs_streams(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    packed = curation.pack_sequences(docs, budget=200)
+    man = curation.pack_manifest(packed).collect()
+    # every doc appears in exactly one manifest row
+    total_docs = sum(r["n_docs"] for r in man)
+    assert total_docs == docs.count()
+    # token mass is conserved
+    from mysql_syncer_clickhouse_spark.functions import text as TX
+    corpus_tokens = docs.select(
+        F.sum(TX.token_count_ws("text")).alias("s")).collect()[0]["s"]
+    assert sum(r["total_tokens"] for r in man) == corpus_tokens
+    # docs within a manifest are id-ordered and contiguous per stratum:
+    # the max id of seq s is below the min id of seq s+1
+    by_stratum = {}
+    for r in man:
+        by_stratum.setdefault(r["stratum"], []).append(r)
+    for rows in by_stratum.values():
+        rows.sort(key=lambda r: r["seq_id"])
+        for a, b in zip(rows, rows[1:]):
+            ids_a = [d["id"] for d in a["docs"]]
+            ids_b = [d["id"] for d in b["docs"]]
+            assert ids_a == sorted(ids_a)
+            assert max(ids_a) < min(ids_b)
