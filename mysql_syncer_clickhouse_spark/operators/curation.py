@@ -201,6 +201,27 @@ def mix_corpus(docs: DataFrame, shares: dict[str, float], *,
             .select("stratum", "id", "n_tokens", "keep_ppm"))
 
 
+def shuffle_corpus(docs: DataFrame, *,
+                   id_col: str = "doc_id",
+                   seed: int = 0) -> DataFrame:
+    """Deterministic epoch shuffle: global training order =
+    md5(seed:id), realized as repartitionByRange + in-partition sort on
+    the key (a real distributed sort, not a single-partition window or
+    an orderBy the next operator would destroy). Reading partitions in
+    index order yields the full shuffled sequence; a new seed is a new
+    epoch permutation, and the same seed reproduces the same order on
+    any cluster/partitioning -- rand()-based shuffles are neither
+    resumable nor repartition-stable. Returns the input columns +
+    shuffle_key."""
+    key = TX.portable_hash32(
+        F.concat_ws(":", F.lit(str(seed)),
+                    F.col(id_col).cast("string")))
+    n = docs.sparkSession.sparkContext.defaultParallelism
+    return (docs.withColumn("shuffle_key", key)
+            .repartitionByRange(n, "shuffle_key", id_col)
+            .sortWithinPartitions("shuffle_key", id_col))
+
+
 def hash_sample(docs: DataFrame, *,
                 id_col: str = "doc_id",
                 strata_col: str = "source",

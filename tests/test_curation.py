@@ -257,3 +257,22 @@ def test_pack_manifest_reconstructs_streams(spark, sf_dir):
             ids_b = [d["id"] for d in b["docs"]]
             assert ids_a == sorted(ids_a)
             assert max(ids_a) < min(ids_b)
+
+
+def test_shuffle_corpus_deterministic_epochs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    def order(df):
+        # collect() concatenates range partitions in index order, and
+        # rows are sorted within each -> this IS the global order
+        return [r["id"] for r in
+                df.select(F.col("doc_id").alias("id"), "shuffle_key")
+                  .collect()]
+    e0 = order(curation.shuffle_corpus(docs, seed=0))
+    e0b = order(curation.shuffle_corpus(docs.repartition(13), seed=0))
+    e1 = order(curation.shuffle_corpus(docs, seed=1))
+    assert e0 == e0b                      # partitioning-independent
+    assert sorted(e0) == sorted(e1)       # permutations of the corpus
+    assert e0 != e1                       # different epoch order
+    ks = [r["shuffle_key"] for r in
+          curation.shuffle_corpus(docs, seed=0).collect()]
+    assert ks == sorted(ks)               # globally key-ordered
