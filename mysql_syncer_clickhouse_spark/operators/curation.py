@@ -89,7 +89,9 @@ def pack_sequences(docs: DataFrame, *,
     """
     if tokens is None:
         tokens = TX.token_count_ws("text")
-    tokens = tokens.cast("long")
+    # null text -> 0 tokens: the doc occupies no budget but keeps its
+    # slot in the stream (a null would poison the running sum)
+    tokens = F.coalesce(tokens.cast("long"), F.lit(0))
     w = Window.partitionBy(strata_col).orderBy(id_col)
     start = F.sum(tokens).over(w) - tokens  # exclusive running total
     return docs.select(F.col(strata_col).alias("stratum"),
@@ -111,12 +113,15 @@ def chunk_documents(docs: DataFrame, *,
 
     Pure array expressions with the fan-out INSIDE the row (sequence ->
     transform -> explode), so the operator is map-only: no shuffle, and
-    chunk rows inherit the input partitioning.
+    chunk rows inherit the input partitioning. Null-text docs are
+    dropped explicitly (they would otherwise emit one degenerate chunk
+    via greatest(NULL, 1)).
 
     Returns (id, chunk_idx, n_tokens, chunk_text).
     """
     if overlap >= size:
         raise ValueError(f"overlap {overlap} must be < size {size}")
+    docs = docs.filter(F.col(text_col).isNotNull())
     step = size - overlap
     ws = TX.words(text_col)
     n = F.size(ws)

@@ -276,3 +276,62 @@ def test_shuffle_corpus_deterministic_epochs(spark, sf_dir):
     ks = [r["shuffle_key"] for r in
           curation.shuffle_corpus(docs, seed=0).collect()]
     assert ks == sorted(ks)               # globally key-ordered
+
+
+def test_curation_null_and_empty_robustness(spark):
+    """Null-text and empty-input behavior is pinned, not accidental:
+    packing charges null docs 0 tokens, chunking/decontam drop them
+    (explode of a null gram array), empty inputs yield empty outputs
+    everywhere."""
+    rows = [(1, "s", "a b c"), (2, "s", None), (3, "s", "d e f")]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, text string")
+
+    packed = {r["id"]: (r["n_tokens"], r["seq_id"])
+              for r in curation.pack_sequences(docs, budget=4).collect()}
+    assert packed[2] == (0, 0)           # null doc: zero budget charge
+    assert packed[1] == (3, 0) and packed[3] == (3, 0)
+
+    assert {r["id"] for r in
+            curation.chunk_documents(docs, size=4, overlap=1).collect()} \
+        == {1, 3}                         # null-text docs drop
+
+    bench = spark.createDataFrame([(9, "b", "a b c")],
+                                  "doc_id long, source string, text string")
+    dec = {r["id"]: r["n_overlap"]
+           for r in curation.benchmark_decontaminate(docs, bench).collect()}
+    assert dec == {1: 1, 2: 0, 3: 0}      # null doc reported clean
+
+    empty = docs.filter(F.lit(False))
+    assert curation.pack_sequences(empty, budget=4).count() == 0
+    assert curation.chunk_documents(empty).count() == 0
+    assert curation.hash_sample(empty).count() == 0
+    assert curation.mix_corpus(empty, {"s": 1.0}).count() == 0
+    assert curation.shuffle_corpus(empty).count() == 0
+    assert curation.benchmark_decontaminate(empty, bench).count() == 0
+
+
+def test_redact_pii_idempotent_and_clean(spark):
+    """Redaction placeholders must not themselves look like PII, so a
+    second pass is a no-op (idempotence), and redacted text carries no
+    residual matches under an independent Python re check."""
+    import re as _re
+    from mysql_syncer_clickhouse_spark.functions import text as TX
+    samples = [
+        "a@b.co then 10.0.0.255 then +44 20 7946 0958 end",
+        "double a@b.co c@d.org and 1.2.3.4 5.6.7.8",
+        "edge: .a@b.c- 999.999.999.999 0000000000",
+        "no pii here at all",
+    ]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(samples)],
+                               "id long, text string")
+    once = {r["id"]: r["t"] for r in
+            df.select("id", TX.redact_pii("text").alias("t")).collect()}
+    twice = {r["id"]: r["t"] for r in
+             df.select("id", TX.redact_pii(TX.redact_pii("text"))
+                       .alias("t")).collect()}
+    assert once == twice
+    for t in once.values():
+        assert not _re.search(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", t)
+        assert not _re.search(r"\b(?:\d{1,3}\.){3}\d{1,3}\b", t)
+        assert not _re.search(r"\+?\d[\d\s().-]{7,}\d", t)
