@@ -101,6 +101,66 @@ def embedding_near_dups(emb: DataFrame, threshold: float = 0.98,
              .select("id_a", "id_b", "score"))
 
 
+def hyperplane_lsh_near_dups(emb: DataFrame, threshold: float = 0.98,
+                             n_planes: int = 16, n_bands: int = 4,
+                             seed: int = 42,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding") -> DataFrame:
+    """Near-duplicate vectors via random-hyperplane LSH (SimHash for
+    cosine): signature bit i = sign(v . r_i); vectors agreeing on a
+    whole band of n_planes/n_bands bits become join candidates, then
+    exact cosine verifies. P[bit match] = 1 - angle/pi, so near-dups
+    (cos >= 0.98 -> angle <= 11.5deg) agree per bit with p ~ 0.964 and
+    collide on some band with high probability, while unrelated vectors
+    rarely survive a whole band -- the content-blind analog of
+    embedding_near_dups' metadata blocking, and the honest scale path
+    when no blocking key exists.
+
+    The planes are seeded pseudo-random literals (k x dim, broadcast by
+    value); the candidate join is keyed on (band, band_bits), so cost
+    scales with collisions, never corpus^2. Same verify-on-candidates
+    contract as the text-side MinHash LSH."""
+    import random as _random
+    if n_planes % n_bands:
+        raise ValueError("n_planes must divide evenly into n_bands")
+    first = emb.select(vec_col).first()
+    if first is None:
+        return (emb.select(F.col(id_col).alias("id_a"))
+                .withColumn("id_b", F.col("id_a"))
+                .withColumn("score", F.lit(0.0)).limit(0))
+    dim = len(first[0])
+    rng = _random.Random(seed)
+    planes = [[rng.gauss(0.0, 1.0) for _ in range(dim)]
+              for _ in range(n_planes)]
+    v = F.col("v")
+    bits = [
+        (F.aggregate(F.zip_with(v, F.array(*[F.lit(x) for x in plane]),
+                                lambda a, b: a * b),
+                     F.lit(0.0), lambda acc, x: acc + x) >= 0).cast("int")
+        for plane in planes]
+    per_band = n_planes // n_bands
+    band_cols = [
+        F.concat_ws("", *[b.cast("string")
+                          for b in bits[i * per_band:(i + 1) * per_band]])
+        for i in range(n_bands)]
+    sigs = (emb.select(F.col(id_col).alias("id"),
+                       F.col(vec_col).cast("array<double>").alias("v"))
+            .select("id", "v",
+                    F.posexplode(F.array(*band_cols))
+                     .alias("band", "band_bits")))
+    a = sigs.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
+                    "band", "band_bits")
+    b = sigs.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
+                    "band", "band_bits")
+    cands = (a.join(b, ["band", "band_bits"])
+             .filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b", "va", "vb")
+             .dropDuplicates(["id_a", "id_b"]))
+    return (cands.withColumn("score", cosine("va", "vb"))
+                 .filter(F.col("score") >= threshold)
+                 .select("id_a", "id_b", "score"))
+
+
 def kmeans_centroids(emb: DataFrame, k: int = 8, iters: int = 3,
                      id_col: str = "vec_id",
                      vec_col: str = "embedding",

@@ -319,3 +319,34 @@ def test_persisted_ivf_index_matches_inline(spark, sf_dir, tmp_path):
     cells = [d for d in os.listdir(path + "/lists")
              if d.startswith("cid=")]
     assert len(cells) == 8
+
+
+def test_hyperplane_lsh_finds_planted_near_dups(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id",
+                      F.col("embedding").cast("array<double>").alias("v"))
+    # plant near-identical copies (tiny scale+shift -> cosine ~1)
+    copies = base.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("v", lambda x: x * F.lit(1.001) + F.lit(0.0005))
+         .alias("v"))
+    corpus = base.unionByName(copies)
+    planted = {(r["vec_id"], r["vec_id"] + 1000000)
+               for r in base.filter(F.col("vec_id") % 10 == 0).collect()}
+    pairs = ann.hyperplane_lsh_near_dups(
+        corpus, threshold=0.98, id_col="vec_id", vec_col="v")
+    found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    # banded hyperplane LSH recalls nearly all planted twins
+    assert len(found & planted) >= 0.9 * len(planted)
+    # every reported pair passed the exact verify
+    assert all(r["score"] >= 0.98 for r in pairs.collect())
+    # deterministic across runs and partitionings
+    again = {(r["id_a"], r["id_b"])
+             for r in ann.hyperplane_lsh_near_dups(
+                 corpus.repartition(7), threshold=0.98,
+                 id_col="vec_id", vec_col="v").collect()}
+    assert found == again
+    # empty corpus -> empty result, schema intact
+    assert ann.hyperplane_lsh_near_dups(
+        corpus.filter(F.lit(False)), id_col="vec_id",
+        vec_col="v").count() == 0
