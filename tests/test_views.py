@@ -50,3 +50,33 @@ def test_view_pushes_filters_into_scan(spark, tmp_path):
     # aggregation (pk is the grouping key, so pushdown is legal)
     assert "PushedFilters: [" in plan and "id" in plan.split(
         "PushedFilters")[1][:60], plan
+
+
+def test_view_survives_compaction(spark, tmp_path):
+    """compact() rewrites the changelog to folded inserts; the view
+    re-registered over the compacted sink serves the identical state."""
+    from mysql_syncer_clickhouse_spark.plans.rules import Rule
+    from mysql_syncer_clickhouse_spark.streaming.pipeline import (
+        StreamingSyncPipeline)
+    p = str(tmp_path / "sink")
+    _write(spark, p, [
+        (1, "insert", 1, "first", "c1"),
+        (2, "update", 1, "first-edited", "c1"),
+        (3, "insert", 2, "second", "c2"),
+        (4, "delete", 2, None, None),
+    ], "overwrite")
+    register_synced_table(spark, "cv_items", p, pk_cols=["id"])
+    before = {(r["id"], r["title"])
+              for r in spark.sql("SELECT id, title FROM cv_items").collect()}
+
+    pipe = StreamingSyncPipeline(
+        rule=Rule(source_schema="app", source_table="items",
+                  sink_schema="olap", sink_table="items", pk=("id",)),
+        pk_cols=["id"], sink_dir=p,
+        checkpoint_dir=str(tmp_path / "ckpt"))
+    pipe.compact(spark)
+
+    register_synced_table(spark, "cv_items", p, pk_cols=["id"])
+    after = {(r["id"], r["title"])
+             for r in spark.sql("SELECT id, title FROM cv_items").collect()}
+    assert before == after == {(1, "first-edited")}
