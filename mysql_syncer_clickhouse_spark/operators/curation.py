@@ -206,6 +206,31 @@ def mix_corpus(docs: DataFrame, shares: dict[str, float], *,
             .select("stratum", "id", "n_tokens", "keep_ppm"))
 
 
+def quality_percentile_filter(docs: DataFrame, *,
+                              keep_frac: float = 0.5,
+                              id_col: str = "doc_id",
+                              strata_col: str = "source",
+                              text_col: str = "text") -> DataFrame:
+    """Keep each stratum's top `keep_frac` fraction by quality score --
+    the adaptive alternative to a fixed threshold (a fixed cut keeps
+    nothing from weak sources and everything from strong ones; a
+    per-stratum percentile keeps the best of EACH). Thresholds come
+    from one percentile_approx aggregation over strata (a |strata|-row
+    relation, broadcast back); the filter itself is then map-side.
+
+    Returns (stratum, id, quality, thr) for kept docs.
+    """
+    if not 0.0 < keep_frac <= 1.0:
+        raise ValueError(f"keep_frac {keep_frac} must be in (0, 1]")
+    scored = docs.select(F.col(strata_col).alias("stratum"),
+                         F.col(id_col).alias("id"),
+                         TX.quality_score(text_col).alias("quality"))
+    thr = scored.groupBy("stratum").agg(
+        F.percentile_approx("quality", 1.0 - keep_frac).alias("thr"))
+    return (scored.join(F.broadcast(thr), "stratum")
+            .filter(F.col("quality") >= F.col("thr")))
+
+
 def shuffle_corpus(docs: DataFrame, *,
                    id_col: str = "doc_id",
                    seed: int = 0) -> DataFrame:
@@ -225,6 +250,24 @@ def shuffle_corpus(docs: DataFrame, *,
     return (docs.withColumn("shuffle_key", key)
             .repartitionByRange(n, "shuffle_key", id_col)
             .sortWithinPartitions("shuffle_key", id_col))
+
+
+def write_training_shards(docs: DataFrame, path: str, *,
+                          id_col: str = "doc_id",
+                          seed: int = 0,
+                          shards_per_part: int | None = None) -> None:
+    """Materialize the corpus in deterministic training order:
+    shuffle_corpus layout written to parquet, so a reader consuming
+    files in name order (and rows in file order) replays exactly the
+    epoch-`seed` permutation. Range partitioning makes shard sizes
+    even regardless of source skew; re-running with the same seed is
+    byte-stable, so a resumed training job sees the same stream."""
+    shuffled = shuffle_corpus(docs, id_col=id_col, seed=seed)
+    if shards_per_part is not None:
+        shuffled = shuffled.repartitionByRange(
+            shards_per_part, "shuffle_key", id_col) \
+            .sortWithinPartitions("shuffle_key", id_col)
+    shuffled.write.mode("overwrite").parquet(path)
 
 
 def hash_sample(docs: DataFrame, *,

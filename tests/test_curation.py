@@ -335,3 +335,48 @@ def test_redact_pii_idempotent_and_clean(spark):
         assert not _re.search(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", t)
         assert not _re.search(r"\b(?:\d{1,3}\.){3}\d{1,3}\b", t)
         assert not _re.search(r"\+?\d[\d\s().-]{7,}\d", t)
+
+
+def test_quality_percentile_filter_adapts_per_stratum(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = curation.quality_percentile_filter(docs, keep_frac=0.4)
+    rows = out.collect()
+    per_doc = {r["id"]: r for r in rows}
+    n_strata = docs.select("source").distinct().count()
+    per_stratum = {}
+    for r in rows:
+        per_stratum.setdefault(r["stratum"], []).append(r)
+    # every stratum keeps SOMETHING (the point vs a fixed threshold)
+    assert len(per_stratum) == n_strata
+    counts = {s: docs.filter(F.col("source") == s).count()
+              for s in per_stratum}
+    for s, kept in per_stratum.items():
+        # roughly the top 40%, with approx-percentile slack
+        assert 0.15 * counts[s] <= len(kept) <= 0.75 * counts[s]
+        assert all(r["quality"] >= r["thr"] for r in kept)
+    # deterministic
+    again = {r["id"] for r in curation.quality_percentile_filter(
+        docs.repartition(9), keep_frac=0.4).collect()}
+    assert set(per_doc) == again
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        curation.quality_percentile_filter(docs, keep_frac=0.0)
+
+
+def test_write_training_shards_replays_epoch_order(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents")
+    p = str(tmp_path / "shards")
+    curation.write_training_shards(docs, p, seed=3, shards_per_part=4)
+    import glob
+    files = sorted(glob.glob(p + "/part-*.parquet"))
+    assert len(files) == 4
+    # reading files in name order replays the epoch permutation
+    read_order = []
+    for f in files:
+        read_order += [r["doc_id"] for r in
+                       spark.read.parquet(f)
+                       .select("doc_id", "shuffle_key").collect()]
+    expect = [r["id"] for r in
+              curation.shuffle_corpus(docs, seed=3)
+              .select(F.col("doc_id").alias("id")).collect()]
+    assert read_order == expect
