@@ -206,6 +206,35 @@ def mix_corpus(docs: DataFrame, shares: dict[str, float], *,
             .select("stratum", "id", "n_tokens", "keep_ppm"))
 
 
+def hash_split(docs: DataFrame, fracs: dict[str, float], *,
+               id_col: str = "doc_id",
+               strata_col: str = "source") -> DataFrame:
+    """Deterministic train/val/test split: each doc's md5 bucket
+    (0..999999) falls into one contiguous range per split, sized by
+    `fracs` (must sum to ~1). Splits are disjoint and exhaustive BY
+    CONSTRUCTION (range partition of the bucket space), stable under
+    re-runs/repartitioning/appends, and stratified the same way
+    hash_sample is (the stratum feeds the hash key, decorrelating
+    buckets across strata). Map-only: adds a `split` column.
+    """
+    total = sum(fracs.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"fracs must sum to 1, got {total}")
+    key = F.concat_ws(":", F.col(strata_col),
+                      F.col(id_col).cast("string"))
+    bucket = TX.portable_hash32(key) % 1_000_000
+    expr = None
+    hi = 0
+    items = list(fracs.items())
+    for name, frac in items[:-1]:
+        hi += int(round(frac * 1_000_000))
+        cond = bucket < hi
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(last)
+    return docs.withColumn("split", expr)
+
+
 def quality_percentile_filter(docs: DataFrame, *,
                               keep_frac: float = 0.5,
                               id_col: str = "doc_id",

@@ -380,3 +380,32 @@ def test_write_training_shards_replays_epoch_order(spark, sf_dir, tmp_path):
               curation.shuffle_corpus(docs, seed=3)
               .select(F.col("doc_id").alias("id")).collect()]
     assert read_order == expect
+
+
+def test_hash_split_disjoint_exhaustive_stable(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = curation.hash_split(docs, {"train": 0.8, "val": 0.1,
+                                     "test": 0.1})
+    rows = out.select("doc_id", "split").collect()
+    assert len(rows) == docs.count()          # exhaustive
+    by = {}
+    for r in rows:
+        by.setdefault(r["split"], set()).add(r["doc_id"])
+    assert set(by) == {"train", "val", "test"}
+    assert sum(len(v) for v in by.values()) == len(rows)  # disjoint
+    n = len(rows)
+    assert 0.6 * n <= len(by["train"]) <= 0.95 * n
+    # stable under repartitioning
+    again = {r["doc_id"]: r["split"] for r in
+             curation.hash_split(docs.repartition(11),
+                                 {"train": 0.8, "val": 0.1, "test": 0.1})
+             .select("doc_id", "split").collect()}
+    assert again == {r["doc_id"]: r["split"] for r in rows}
+    # split assignment agrees with hash_sample's bucket arithmetic:
+    # a 10% sample is exactly some prefix range -- val boundary check
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        curation.hash_split(docs, {"a": 0.5, "b": 0.3})
+    # map-only plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
