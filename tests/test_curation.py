@@ -409,3 +409,19 @@ def test_hash_split_disjoint_exhaustive_stable(spark, sf_dir):
     # map-only plan
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_split_then_decontaminate_composition(spark, sf_dir):
+    """The canonical decontamination flow: hash_split the corpus, then
+    scrub train of anything overlapping the held-out test split."""
+    docs = load_table(spark, sf_dir, "documents")
+    split = curation.hash_split(docs, {"train": 0.9, "test": 0.1})
+    train = split.filter(F.col("split") == "train")
+    test = split.filter(F.col("split") == "test")
+    dec = curation.benchmark_decontaminate(train, test, n=3)
+    assert dec.count() == train.count()
+    clean = dec.filter(F.col("n_overlap") == 0)
+    # tiny shared fixture vocab -> most train docs collide with test
+    # grams, but the accounting is the point: clean + dirty == train
+    assert clean.count() + dec.filter(F.col("n_overlap") > 0).count() \
+        == train.count()
