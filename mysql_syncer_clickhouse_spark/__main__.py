@@ -108,17 +108,58 @@ def run(cfg: EngineConfig, changelog_dir: str, *, follow: bool = False,
     return results
 
 
+def run_curate(src: str, out: str, *, min_quality: float = 0.5,
+               seed: int = 0, spark=None) -> dict:
+    """Batch corpus curation end-to-end: exact dedup (canonical keeper
+    per fingerprint) -> PII redaction -> quality gate -> deterministic
+    epoch-shuffled training shards. The CLI face of the curation layer,
+    mirroring how the CDC face drains a changelog."""
+    from pyspark.sql import functions as F
+
+    from .functions import text as TX
+    from .operators import curation, dedup
+    spark = spark or get_spark("corpus-curate")
+    docs = spark.read.parquet(src)
+    n_in = docs.count()
+    canon = dedup.exact_duplicates(docs, "doc_id", "text") \
+        .select(F.col("canonical_id").alias("doc_id"))
+    cleaned = (docs.join(canon, "doc_id")
+               .withColumn("text", TX.redact_pii("text"))
+               .withColumn("quality", TX.quality_score("text"))
+               .filter(F.col("quality") >= min_quality))
+    curation.write_training_shards(cleaned, out, seed=seed)
+    n_out = spark.read.parquet(out).count()
+    return {"mode": "curate", "docs_in": n_in, "docs_out": n_out,
+            "min_quality": min_quality, "seed": seed, "sink": out}
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="mysql_syncer_clickhouse_spark")
-    ap.add_argument("--config", required=True,
-                    help="river.toml (reference-compatible)")
-    ap.add_argument("--changelog-dir", required=True,
+    ap.add_argument("--config", help="river.toml (reference-compatible)")
+    ap.add_argument("--changelog-dir",
                     help="root of per-table changelog parquet dirs")
     ap.add_argument("--follow", action="store_true",
                     help="keep tailing at flush_bulk_time cadence")
     ap.add_argument("--compact", action="store_true",
                     help="rewrite each sink to its merged state after draining")
+    ap.add_argument("--curate", metavar="DOCS_DIR",
+                    help="curation mode: parquet docs dir to clean "
+                         "(dedup + redact + quality gate + shards)")
+    ap.add_argument("--curate-out", metavar="OUT_DIR",
+                    help="output dir for curated training shards")
+    ap.add_argument("--min-quality", type=float, default=0.5)
+    ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args(argv)
+    if args.curate:
+        if not args.curate_out:
+            ap.error("--curate requires --curate-out")
+        print(json.dumps(run_curate(args.curate, args.curate_out,
+                                    min_quality=args.min_quality,
+                                    seed=args.seed)))
+        return 0
+    if not args.config or not args.changelog_dir:
+        ap.error("--config and --changelog-dir are required "
+                 "(or use --curate)")
     cfg = EngineConfig.from_toml(args.config)
     for line in run(cfg, args.changelog_dir,
                     follow=args.follow, compact=args.compact):

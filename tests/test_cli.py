@@ -122,3 +122,29 @@ def test_cli_follow_mode_tails_new_files(spark, tmp_path):
     finally:
         for q in spark.streams.active:
             q.stop()
+
+
+def test_cli_curate_mode(spark, tmp_path):
+    """--curate runs the batch curation chain: dedup -> redact ->
+    quality gate -> deterministic shards, printing one JSON summary."""
+    from mysql_syncer_clickhouse_spark.__main__ import run_curate
+    good = ("informative article with plenty of varied and reasonably "
+            "long words composed thoughtfully ") * 3
+    rows = [
+        (1, "web", good),
+        (2, "web", good),                    # exact dup -> dropped
+        (3, "web", "a a a a"),               # low quality -> dropped
+        (4, "web", "email x@y.org " + good),  # redacted, kept
+    ]
+    src = str(tmp_path / "docs")
+    out = str(tmp_path / "shards")
+    spark.createDataFrame(
+        rows, "doc_id long, source string, text string") \
+        .write.parquet(src)
+    summary = run_curate(src, out, min_quality=0.5, seed=1, spark=spark)
+    assert summary["docs_in"] == 4 and summary["docs_out"] == 2
+    kept = spark.read.parquet(out)
+    texts = {r["doc_id"]: r["text"] for r in kept.collect()}
+    assert set(texts) == {1, 4}
+    assert "<EMAIL>" in texts[4] and "x@y.org" not in texts[4]
+    assert "quality" in kept.columns and "shuffle_key" in kept.columns
