@@ -740,7 +740,7 @@ FROM m
 
 def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus-curation surface (operators/curation.py) as one
-    checked query with three labelled parts over `documents`:
+    checked query with five labelled parts over `documents`:
 
     - 'decontam': per training doc (source <> 'src0'), the count of
       distinct word 3-grams shared with the 'src0' benchmark split --
@@ -749,6 +749,12 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
       per-source streams ordered by doc_id -- val = seq_id.
     - 'sample': deterministic 20% stratified hash sample --
       val = hash bucket of each KEPT doc.
+    - 'split': 80/10/10 train/val/test assignment -- val = 0/1/2
+      (disjoint-exhaustive bucket ranges; oracle mirrors the range
+      arithmetic).
+    - 'chunk': overlapping chunking at size 32 / overlap 8, one row
+      per doc with val = the emitted chunk count (checks the fan-out
+      arithmetic through the real explode).
     """
     docs = _docs(spark, sf_dir)
     bench = docs.filter(F.col("source") == "src0")
@@ -765,7 +771,21 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("sample").alias("part"),
         F.col("id").alias("doc_id"),
         F.col("bucket").cast("long").alias("val"))
-    return dec.unionByName(pack).unionByName(samp)
+    spl = curation.hash_split(
+        docs, {"train": 0.8, "val": 0.1, "test": 0.1}).select(
+        F.lit("split").alias("part"),
+        "doc_id",
+        F.when(F.col("split") == "train", 0)
+         .when(F.col("split") == "val", 1)
+         .otherwise(2).cast("long").alias("val"))
+    chunks = (curation.chunk_documents(docs, size=32, overlap=8)
+              .groupBy("id")
+              .agg(F.count(F.lit(1)).alias("n"))
+              .select(F.lit("chunk").alias("part"),
+                      F.col("id").alias("doc_id"),
+                      F.col("n").cast("long").alias("val")))
+    return (dec.unionByName(pack).unionByName(samp)
+            .unionByName(spl).unionByName(chunks))
 
 
 _CURATION_SQL = f"""
@@ -802,10 +822,28 @@ WITH g AS (
              % 100 AS val
     FROM documents)
   WHERE val < 20
+), spl AS (
+  SELECT doc_id,
+         CASE WHEN b < 800000 THEN 0
+              WHEN b < 900000 THEN 1
+              ELSE 2 END AS val
+  FROM (SELECT doc_id,
+               {_H32.format(x="source || ':' || CAST(doc_id AS VARCHAR)")}
+                 % 1000000 AS b
+        FROM documents)
+), chunk AS (
+  -- chunk count = greatest(ceil((tokens - overlap) / step), 1),
+  -- size 32 / overlap 8 / step 24
+  SELECT doc_id,
+         GREATEST(CAST(CEIL((len(string_split(trim(text), ' ')) - 8)
+                            / 24.0) AS BIGINT), 1) AS val
+  FROM documents
 )
 SELECT 'decontam' AS part, doc_id, val FROM decontam
 UNION ALL SELECT 'pack', doc_id, val FROM pack
 UNION ALL SELECT 'sample', doc_id, val FROM samp
+UNION ALL SELECT 'split', doc_id, val FROM spl
+UNION ALL SELECT 'chunk', doc_id, val FROM chunk
 """
 
 
