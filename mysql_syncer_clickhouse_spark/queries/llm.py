@@ -755,6 +755,9 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     - 'chunk': overlapping chunking at size 32 / overlap 8, one row
       per doc with val = the emitted chunk count (checks the fan-out
       arithmetic through the real explode).
+    - 'mix': token-weighted mixing toward uniform 5% shares across the
+      20 sources -- val = keep_ppm of each KEPT doc (checks the
+      rate arithmetic AND the bucket filter).
     """
     docs = _docs(spark, sf_dir)
     bench = docs.filter(F.col("source") == "src0")
@@ -784,8 +787,13 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
               .select(F.lit("chunk").alias("part"),
                       F.col("id").alias("doc_id"),
                       F.col("n").cast("long").alias("val")))
+    mix = curation.mix_corpus(
+        docs, {f"src{i}": 0.05 for i in range(20)}).select(
+        F.lit("mix").alias("part"),
+        F.col("id").alias("doc_id"),
+        F.col("keep_ppm").cast("long").alias("val"))
     return (dec.unionByName(pack).unionByName(samp)
-            .unionByName(spl).unionByName(chunks))
+            .unionByName(spl).unionByName(chunks).unionByName(mix))
 
 
 _CURATION_SQL = f"""
@@ -838,12 +846,31 @@ WITH g AS (
          GREATEST(CAST(CEIL((len(string_split(trim(text), ' ')) - 8)
                             / 24.0) AS BIGINT), 1) AS val
   FROM documents
+), toks AS (
+  SELECT doc_id, source,
+         len(string_split(trim(text), ' ')) AS n,
+         {_H32.format(x="source || ':' || CAST(doc_id AS VARCHAR)")}
+           % 1000000 AS b
+  FROM documents
+), rates AS (
+  -- keep_ppm = least(1e6, floor(total * share * 1e6 / avail)),
+  -- double arithmetic in the SAME order as mix_corpus
+  SELECT source,
+         LEAST(1000000, CAST(FLOOR(
+           CAST((SELECT SUM(n) FROM toks) AS DOUBLE)
+           * 0.05 * 1000000 / SUM(n)) AS BIGINT)) AS keep_ppm
+  FROM toks GROUP BY source
+), mix AS (
+  SELECT t.doc_id, r.keep_ppm AS val
+  FROM toks t JOIN rates r ON t.source = r.source
+  WHERE t.b < r.keep_ppm
 )
 SELECT 'decontam' AS part, doc_id, val FROM decontam
 UNION ALL SELECT 'pack', doc_id, val FROM pack
 UNION ALL SELECT 'sample', doc_id, val FROM samp
 UNION ALL SELECT 'split', doc_id, val FROM spl
 UNION ALL SELECT 'chunk', doc_id, val FROM chunk
+UNION ALL SELECT 'mix', doc_id, val FROM mix
 """
 
 
