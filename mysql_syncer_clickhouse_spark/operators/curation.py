@@ -188,14 +188,21 @@ def mix_corpus(docs: DataFrame, shares: dict[str, float], *,
                        tokens.alias("n_tokens"))
     totals = base.groupBy("stratum").agg(F.sum("n_tokens").alias("avail"))
     if budget_tokens is None:
-        budget_tokens = base.agg(F.sum("n_tokens")).collect()[0][0] or 0
+        # corpus total as a lazy 1-row relation (cross join), not a
+        # driver-side collect -- keeps the whole operator one plan
+        budget = F.col("__budget").cast("double")
+        totals = totals.crossJoin(
+            base.agg(F.coalesce(F.sum("n_tokens"), F.lit(0))
+                     .alias("__budget")))
+    else:
+        budget = F.lit(float(budget_tokens))
     share_df = totals.sparkSession.createDataFrame(
         list(shares.items()), "stratum string, share double")
     rates = (totals.join(share_df, "stratum")
              .select("stratum",
                      F.least(
                          F.lit(1_000_000),
-                         F.floor(F.lit(float(budget_tokens))
+                         F.floor(budget
                                  * F.col("share") * 1_000_000
                                  / F.col("avail")).cast("long"))
                      .alias("keep_ppm")))
