@@ -196,6 +196,42 @@ def simhash_table(df: DataFrame, id_col: str, text_col: str,
                              .otherwise(F.lit(0))).alias("simhash")))
 
 
+def simhash_near_dups(df: DataFrame, id_col: str, text_col: str,
+                      max_hamming: int = 3, k: int = 8) -> DataFrame:
+    """Near-dup pairs from 32-bit SimHash fingerprints: candidates are
+    generated by the pigeonhole block trick -- split each fingerprint
+    into 4 bytes; any pair within hamming distance <= 3 must agree
+    EXACTLY on at least one byte (4 blocks, <= 3 differing bits), so
+    the self-join keys on (block_idx, block_value) and misses nothing.
+    Verification is bit_count(xor) <= max_hamming, JVM-codegen'd.
+
+    Candidate volume is bounded by byte-block collisions (256 buckets
+    per block on uniform fingerprints), never corpus^2 -- same shape as
+    the MinHash band join, trading its shingle-set verify for an O(1)
+    popcount. max_hamming > 3 would need wider/more blocks; guarded."""
+    if max_hamming > 3:
+        raise ValueError("byte-block candidates guarantee recall only "
+                         "for max_hamming <= 3 over 4 blocks")
+    sh = simhash_table(df, id_col, text_col, k=k)
+    blocks = sh.select(
+        "id", "simhash",
+        F.posexplode(F.array(*[
+            (F.floor(F.col("simhash") / F.lit(256 ** i)) % 256).cast("int")
+            for i in range(4)])).alias("blk", "blk_val"))
+    a = blocks.select(F.col("id").alias("id_a"),
+                      F.col("simhash").alias("sh_a"), "blk", "blk_val")
+    b = blocks.select(F.col("id").alias("id_b"),
+                      F.col("simhash").alias("sh_b"), "blk", "blk_val")
+    return (a.join(b, ["blk", "blk_val"])
+             .filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b", "sh_a", "sh_b")
+             .dropDuplicates(["id_a", "id_b"])
+             .withColumn("hamming", F.bit_count(
+                 F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+             .filter(F.col("hamming") <= max_hamming)
+             .select("id_a", "id_b", "hamming"))
+
+
 def ngram_jaccard_blocked(df: DataFrame, id_col: str, text_col: str,
                           block_cols: list[str], n: int = 3,
                           threshold: float = 0.3) -> DataFrame:

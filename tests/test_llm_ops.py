@@ -350,3 +350,34 @@ def test_hyperplane_lsh_finds_planted_near_dups(spark, sf_dir):
     assert ann.hyperplane_lsh_near_dups(
         corpus.filter(F.lit(False)), id_col="vec_id",
         vec_col="v").count() == 0
+
+
+def test_simhash_near_dups_pigeonhole_recall(spark, sf_dir):
+    """Exact copies (hamming 0) MUST pair; byte-block candidates plus
+    popcount verify -- and the pigeonhole guarantee is validated
+    against a brute-force hamming join on the same fingerprints."""
+    corpus = _corpus(spark, sf_dir)
+    pairs = dedup.simhash_near_dups(corpus, "id", "text", max_hamming=3)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    # planted exact copies: id + 2000000 (same text -> same simhash)
+    exact = {(r["id"], r["id"] + 2000000)
+             for r in corpus.filter(F.col("id") < 1000000)
+             .join(corpus.select((F.col("id") - 2000000).alias("id")),
+                   "id", "semi").collect()}
+    assert exact, "fixture should contain planted exact copies"
+    for p in exact:
+        assert p in got and got[p] == 0
+    # completeness vs brute force on fingerprints (no blocking)
+    sh = dedup.simhash_table(corpus, "id", "text")
+    brute = (sh.alias("a").join(sh.alias("b"),
+                                F.col("a.id") < F.col("b.id"))
+             .withColumn("h", F.bit_count(
+                 F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))))
+             .filter(F.col("h") <= 3)
+             .select(F.col("a.id").alias("id_a"),
+                     F.col("b.id").alias("id_b"), "h"))
+    bset = {(r["id_a"], r["id_b"]) for r in brute.collect()}
+    assert set(got) == bset  # pigeonhole blocking loses nothing
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        dedup.simhash_near_dups(corpus, "id", "text", max_hamming=4)
