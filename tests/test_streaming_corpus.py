@@ -96,3 +96,31 @@ def test_corpus_ingest_no_redact_keeps_text(spark, dirs):
     pipe.run_available(spark, dirs["src"], _schema(spark))
     [r] = pipe.corpus(spark).collect()
     assert "x@y.org" in r["text"]
+
+
+def test_corpus_metrics_served_over_stat(spark, dirs):
+    """The ingest pipeline's counters plug into the same /stat server
+    the CDC pipeline uses (duck-typed snapshot())."""
+    import json
+    import urllib.request
+    from mysql_syncer_clickhouse_spark.streaming.status import StatusServer
+    t0 = _ts(spark, "2026-01-01 10:00:00")
+    pipe = CorpusIngestPipeline(sink_dir=dirs["sink"],
+                                checkpoint_dir=dirs["ckpt"])
+    _write_part(spark, dirs["src"], [
+        (1, "web", GOOD, t0), (2, "web", LOW, t0)], "p1")
+    pipe.run_available(spark, dirs["src"], _schema(spark))
+    srv = StatusServer(pipe.metrics, port=0,
+                       extra={"pipeline": "corpus-ingest"}).start()
+    try:
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{srv.port}/stat", timeout=10) as r:
+            got = json.loads(r.read())
+        assert got["pipeline"] == "corpus-ingest"
+        # availableNow may add a trailing empty epoch; doc counters
+        # are the contract
+        assert got["counts"]["ingested"] == 2
+        assert got["counts"]["kept"] == 1
+        assert got["counts"]["epochs"] >= 1
+    finally:
+        srv.stop()
