@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import transforms as X
+from ..operators.layout import z_value
 from ..sources.tables import load_table
 
 _ENUM_LABELS = ("e1", "e2", "e3")
@@ -217,6 +218,11 @@ def t_builtins(spark, sf_dir):
         F.round(F.log(10.0, F.col("o_totalprice") + 1), 6)
          .alias("log_price"),
         F.floor(F.col("o_totalprice") / 1000).alias("price_k"),
+        # Morton z-value (operators/layout.z_value) over two bounded
+        # dims -- the multi-dim clustering key, oracle-checked as pure
+        # bit arithmetic
+        z_value([F.col("o_custkey") % 1024, F.col("o_orderkey") % 1024],
+                bits=10).alias("zval"),
     )
 
 
@@ -230,7 +236,10 @@ SELECT o_orderkey,
        CAST(DATE_TRUNC('quarter', o_orderdate) AS TIMESTAMP) AS qtr,
        ROUND(SQRT(ABS(o_totalprice)), 4) AS sqrt_price,
        ROUND(LOG(10, o_totalprice + 1), 6) AS log_price,
-       CAST(FLOOR(o_totalprice / 1000) AS BIGINT) AS price_k
+       CAST(FLOOR(o_totalprice / 1000) AS BIGINT) AS price_k,
+       (SELECT SUM((((o_custkey % 1024) >> i) & 1) * POWER(2, 2 * i)::BIGINT
+                 + (((o_orderkey % 1024) >> i) & 1) * POWER(2, 2 * i + 1)::BIGINT)
+        FROM generate_series(0, 9) t(i)) AS zval
 FROM orders
 """
 
