@@ -817,9 +817,13 @@ WITH g AS (
   FROM documents d LEFT JOIN overlap o ON d.doc_id = o.doc_id
   WHERE d.source <> 'src0'
 ), pack AS (
+  -- CAST the windowed SUM: DuckDB SUM(BIGINT) yields HUGEINT, which
+  -- UNION ALL then propagates to the whole val column -> float64 in
+  -- pandas -> hash mismatch vs Spark's int64 (CORRECTNESS_r03)
   SELECT doc_id,
-         (SUM(n) OVER (PARTITION BY source ORDER BY doc_id
-                       ROWS UNBOUNDED PRECEDING) - n) // 200 AS val
+         CAST((SUM(n) OVER (PARTITION BY source ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) - n) // 200
+              AS BIGINT) AS val
   FROM (SELECT doc_id, source,
                len(string_split(trim(text), ' ')) AS n
         FROM documents)

@@ -237,9 +237,11 @@ SELECT o_orderkey,
        ROUND(SQRT(ABS(o_totalprice)), 4) AS sqrt_price,
        ROUND(LOG(10, o_totalprice + 1), 6) AS log_price,
        CAST(FLOOR(o_totalprice / 1000) AS BIGINT) AS price_k,
-       (SELECT SUM((((o_custkey % 1024) >> i) & 1) * POWER(2, 2 * i)::BIGINT
+       -- CAST the SUM: DuckDB SUM(BIGINT) yields HUGEINT, which lands
+       -- as float64 in pandas and hash-mismatches Spark's int64
+       CAST((SELECT SUM((((o_custkey % 1024) >> i) & 1) * POWER(2, 2 * i)::BIGINT
                  + (((o_orderkey % 1024) >> i) & 1) * POWER(2, 2 * i + 1)::BIGINT)
-        FROM generate_series(0, 9) t(i)) AS zval
+        FROM generate_series(0, 9) t(i)) AS BIGINT) AS zval
 FROM orders
 """
 
