@@ -33,9 +33,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # TZ-naive); pin it here so queries are correct under ANY session,
     # not just the one session.py builds
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # the fixture's ts is parquet TIMESTAMP without isAdjustedToUTC;
+    # Spark 4 infers TIMESTAMP_NTZ for those by default, which rejects
+    # unix_millis / CAST(.. AS BIGINT). Read it as LTZ (stored micros
+    # taken as UTC instants — identical values to DuckDB's naive read
+    # under the UTC session TZ pinned above).
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events" and dict(df.dtypes).get("ts") == "timestamp_ntz":
+        # belt-and-suspenders if a caller read before the conf applied:
+        # under UTC session TZ this cast is value-identical to the LTZ read
+        df = df.withColumn("ts", F.col("ts").cast("timestamp_ltz"))
     return df
 
 

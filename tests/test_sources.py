@@ -35,3 +35,32 @@ def test_no_partition_column():
 def test_bounds_probe_is_single_row_pushdown():
     q = pk_bounds_query(CFG)
     assert "MIN(id)" in q and "MAX(id)" in q and "app.items" in q
+
+
+# --- fixture schema-drift guard (parquet loader contract) ---------------
+#
+# Round 4 lesson: the driver regenerated events.parquet with a plain
+# (not UTC-adjusted) TIMESTAMP, which Spark 4 infers as TIMESTAMP_NTZ by
+# default -- and NTZ rejects unix_millis / CAST(.. AS BIGINT), silently
+# breaking two registry queries. load_table() now pins the LTZ read;
+# this test pins the whole loader contract so the NEXT testdata drift
+# fails here first, not in the driver's correctness gate.
+
+def test_load_table_schema_contract(spark):
+    import os
+
+    from mysql_syncer_clickhouse_spark.sources.tables import (
+        TABLES, load_table)
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        if not os.path.isdir(sf):
+            continue
+        ev = dict(load_table(spark, sf, "events").dtypes)
+        assert ev["ts"] == "timestamp", ev  # LTZ, never ntz/bigint
+        o = dict(load_table(spark, sf, "orders").dtypes)
+        assert o["o_orderdate"].startswith("timestamp"), o
+        assert "ntz" not in o["o_orderdate"], o
+        emb = dict(load_table(spark, sf, "embeddings").dtypes)
+        assert emb["embedding"].startswith("array<"), emb
+        for t in TABLES:  # every table loads and has columns
+            assert load_table(spark, sf, t).columns
