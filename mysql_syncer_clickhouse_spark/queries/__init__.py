@@ -11,7 +11,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import cdc, llm, relational, scalar, streaming_q
+from . import cdc, llm, relational, scalar, streaming_q, tpch
 
 # Registry order is part of the correctness contract: the driver
 # evaluates at most the FIRST 50 entries of all_queries(). The total is
@@ -19,7 +19,7 @@ from . import cdc, llm, relational, scalar, streaming_q
 # registry queries" section) and the highest-value layers come first so
 # a future addition that overflows the window can only push out a
 # redundant relational variant, never an LLM/streaming/CDC component.
-_MODULES = [llm, streaming_q, cdc, scalar, relational]
+_MODULES = [llm, streaming_q, cdc, scalar, relational, tpch]
 _MAX_REGISTRY = 50
 
 

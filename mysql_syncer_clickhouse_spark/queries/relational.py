@@ -995,8 +995,8 @@ QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier": q5_local_supplier,
-    "q14_promo_revenue": q14_promo_revenue,
-    "q10_returned_items": q10_returned_items,
+    # q10/q14 moved into tpch.tpch_suite_a as parts 'q10'/'q14' (their
+    # DataFrame twins above remain for the broadcast-policy plan tests)
     "q18_large_orders": q18_large_orders,
     "join_outer_cross": join_outer_cross,
     "join_semi_anti": join_semi_anti,
@@ -1019,8 +1019,6 @@ ORACLE = {
     "q1_pricing_summary": _Q1_SQL,
     "q3_shipping_priority": _Q3_SQL,
     "q5_local_supplier": _Q5_SQL,
-    "q14_promo_revenue": _Q14_SQL,
-    "q10_returned_items": _Q10_SQL,
     "q18_large_orders": _Q18_SQL,
     "join_outer_cross": _OUTER_CROSS_SQL,
     "join_semi_anti": _SEMI_ANTI_SQL,

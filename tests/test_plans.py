@@ -194,3 +194,31 @@ def test_results_identical_across_partitioning(spark, sf_dir):
             assert results["32"][n] == results["5"][n], n
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", base)
+
+
+def test_tpch_suites_decorrelate_and_hash_join(spark, sf_dir):
+    """Every TPC-H suite part must plan as hash joins: the correlated
+    subqueries (q2 MIN, q17 AVG, q22 anti) and EXISTS/NOT EXISTS
+    (q4/q21) decorrelate to aggregate+join / semi / anti joins. A
+    CartesianProduct or BroadcastNestedLoopJoin anywhere is a 100x
+    scale-killer and fails the suite."""
+    from mysql_syncer_clickhouse_spark.queries import tpch
+    for fn in (tpch.tpch_suite_a, tpch.tpch_suite_b):
+        plan = formatted_plan(fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, fn.__name__
+        assert "BroadcastNestedLoopJoin" not in plan, fn.__name__
+
+
+def test_tpch_suites_all_parts_present():
+    """All 18 part labels must produce rows at the driver's check sf
+    (some highly selective parts are legitimately empty at sf0.001)."""
+    from tests.conftest import SF_SMALL  # noqa: F401  (doc anchor)
+    from mysql_syncer_clickhouse_spark.queries import tpch
+    from mysql_syncer_clickhouse_spark.session import get_spark
+    spark = get_spark("tests", cpus=8)
+    sf = "/root/testdata/sf0.01"
+    a = {r[0] for r in tpch.tpch_suite_a(spark, sf).select("part").distinct().collect()}
+    b = {r[0] for r in tpch.tpch_suite_b(spark, sf).select("part").distinct().collect()}
+    assert a == {"q2", "q4", "q6", "q7", "q8", "q9", "q10", "q14"}, a
+    assert b == {"q11", "q12", "q13", "q15", "q16", "q17", "q19",
+                 "q20", "q21", "q22"}, b
