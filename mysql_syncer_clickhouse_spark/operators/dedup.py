@@ -136,6 +136,13 @@ def jaccard_verify(candidates: DataFrame, hashed: DataFrame,
     candidate pairs and ~300 shingles/doc that is a 20M-row shuffle
     avoided; the ratio only grows with corpus size."""
     sets = hashed.groupBy("id").agg(F.collect_set("h32").alias("hs"))
+    return jaccard_verify_sets(candidates, sets, threshold)
+
+
+def jaccard_verify_sets(candidates: DataFrame, sets: DataFrame,
+                        threshold: float) -> DataFrame:
+    """jaccard_verify over pre-aggregated (id, hs: array<long>) sets --
+    the shared tail when a caller already has per-doc hash arrays."""
     return (candidates
             .join(sets.select(F.col("id").alias("id_a"),
                               F.col("hs").alias("hs_a")), "id_a")
@@ -155,23 +162,53 @@ def minhash_dedup(df: DataFrame, id_col: str, text_col: str,
     """End-to-end MinHash+LSH near-dup detection: shingle -> signature
     -> band buckets -> candidate pairs -> exact-Jaccard verify.
 
-    The shingle relation feeds several plan branches (signatures,
-    candidate join sides, verify); persist it so the explode + hash
-    scan runs once. MEMORY_AND_DISK spills rather than OOMs; a 100 TB
-    run would swap this for a parquet checkpoint of the shingle table,
-    which is the same plan shape. Spark's CacheManager dedups repeated
-    persists of an identical plan, so repeated calls on the same input
-    share one cache entry. No pre-distinct: every consumer is
-    set-semantic already (min is duplicate-insensitive, collect_set
-    dedups), so the distinct would be a pure extra shuffle."""
-    from pyspark import StorageLevel
+    Fused plan: the per-doc aggregation (all minhash mins AND the
+    exact hash set, each partial-aggregable before the doc-keyed
+    shuffle) is declared ONCE, and band signatures come from flat
+    column arithmetic over the wide row -- no (id, band) shuffle.
+    Compared to the unfused building blocks (minhash_signatures +
+    lsh_band_signatures + jaccard_verify, kept above for direct use
+    and tests) that drops two doc-grain shuffles.
+
+    Deliberately NO persist: Catalyst prunes the aggregate per branch
+    (the band branch aggregates only the 8 mins, each verify side only
+    collect_set), so the "redundant" branch recomputes are each
+    cheaper than one fused aggregation -- and caching the wide row
+    forces columnar (de)serialization of the hs arrays, which measured
+    2-4x SLOWER than recompute at sf0.1 (cold 1.8s unpersisted vs
+    2.2s persisting this relation vs 8.2s persisting raw shingles;
+    warm 1.4s vs 5.7s vs 2.0s). A 100 TB run that cannot afford three
+    corpus scans would parquet-checkpoint the per-doc relation and
+    read it back -- same plan shape, columnar on disk, no cache-read
+    penalty. No pre-distinct on shingles: min is duplicate-insensitive
+    and collect_set dedups, so a distinct would be a pure extra
+    shuffle. Results are row-identical to the unfused pipeline
+    (test-asserted)."""
     sh = (_spread(df, id_col)
           .select(F.col(id_col).alias("id"),
                   F.explode(char_shingles(text_col, k)).alias("shingle"))
-          .select("id", portable_hash32("shingle").alias("h32"))
-          .persist(StorageLevel.MEMORY_AND_DISK))
-    cands = lsh_candidate_pairs(lsh_band_signatures(minhash_signatures(sh)))
-    return jaccard_verify(cands, sh, threshold)
+          .select("id", portable_hash32("shingle").alias("h32")))
+    per_doc = sh.groupBy("id").agg(
+        F.collect_set("h32").alias("hs"),
+        *[F.min((F.lit(a) * F.col("h32") + F.lit(b))
+                % MINHASH_P).alias(f"mh{i}")
+          for i, (a, b) in enumerate(MINHASH_PARAMS)])
+
+    def band_sig(b: int):  # identical packing to lsh_band_signatures
+        sig = F.col(f"mh{b * BANDS_OF}") * _BAND_SHIFT
+        for j in range(1, BANDS_OF):
+            sig = sig + F.col(f"mh{b * BANDS_OF + j}")
+        return sig
+
+    n_bands = len(MINHASH_PARAMS) // BANDS_OF
+    bands = (per_doc.select("id", F.explode(F.array(*[
+                 F.struct(F.lit(b).alias("band"),
+                          band_sig(b).alias("band_sig"))
+                 for b in range(n_bands)])).alias("bs"))
+             .select("id", "bs.band", "bs.band_sig"))
+    cands = lsh_candidate_pairs(bands)
+    return jaccard_verify_sets(cands, per_doc.select("id", "hs"),
+                               threshold)
 
 
 def simhash_table(df: DataFrame, id_col: str, text_col: str,

@@ -381,3 +381,22 @@ def test_simhash_near_dups_pigeonhole_recall(spark, sf_dir):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         dedup.simhash_near_dups(corpus, "id", "text", max_hamming=4)
+
+
+def test_minhash_fused_matches_unfused_blocks(spark, sf_dir):
+    """minhash_dedup's fused single-aggregation plan must be
+    row-identical to composing the standalone building blocks."""
+    from pyspark.sql import functions as F
+    docs = _corpus(spark, sf_dir)
+    sh = (dedup._spread(docs, "id")
+          .select(F.col("id"),
+                  F.explode(dedup.char_shingles("text", 8))
+                   .alias("shingle"))
+          .select("id", dedup.portable_hash32("shingle").alias("h32")))
+    unfused = dedup.jaccard_verify(
+        dedup.lsh_candidate_pairs(
+            dedup.lsh_band_signatures(dedup.minhash_signatures(sh))),
+        sh, 0.5)
+    fused = dedup.minhash_dedup(docs, "id", "text", threshold=0.5)
+    assert sorted(map(tuple, fused.collect())) == \
+        sorted(map(tuple, unfused.collect()))
