@@ -44,6 +44,9 @@ HEADLINE = [
     "join_skew_salted",
     "join_asof",
     "join_range_binned",
+    # full TPC-H sweep (18 query shapes across the two suites)
+    "tpch_suite_a",
+    "tpch_suite_b",
     # CDC core (the reference's own operator surface)
     "cdc_final_state",
     "cdc_wildcard_fan_in",

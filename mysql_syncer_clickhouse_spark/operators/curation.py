@@ -72,6 +72,36 @@ def benchmark_decontaminate(docs: DataFrame, bench: DataFrame, *,
                     F.coalesce("n_overlap", F.lit(0)).alias("n_overlap")))
 
 
+def cross_doc_ngram_dup(docs: DataFrame, *,
+                        id_col: str = "doc_id",
+                        text_col: str = "text",
+                        n: int = 3,
+                        min_docs: int = 2) -> DataFrame:
+    """Per-document count of DISTINCT word n-grams that also appear in
+    at least (min_docs - 1) OTHER documents -- the n-gram-hash
+    approximation of exact-substring training-data dedup (the
+    suffix-array method of Lee et al., "Deduplicating Training Data
+    Makes Language Models Better", re-expressed as keyed aggregations;
+    practical pipelines filter or down-weight docs with a high
+    duplicated-span fraction). Returns (id, n_dup_grams); 0 = no span
+    shared with any other document.
+
+    Plan shape: distinct (id, gram-hash) pairs -> one gram-keyed count
+    (n_docs per gram) -> join back -> one doc-keyed count. Never
+    all-pairs: cost is |distinct grams|, and both aggregations combine
+    map-side. At 100 TB the gram-frequency relation is the only
+    corpus-scale intermediate; it shards cleanly on the hash key."""
+    g = _gram_hashes(docs, id_col, text_col, n)
+    freq = g.groupBy("gh").agg(F.count(F.lit(1)).alias("n_docs"))
+    dup = (g.join(freq.filter(F.col("n_docs") >= min_docs), "gh")
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("n_dup_grams")))
+    return (docs.select(F.col(id_col).alias("id"))
+            .join(dup, "id", "left")
+            .select("id", F.coalesce("n_dup_grams", F.lit(0))
+                            .alias("n_dup_grams")))
+
+
 def pack_sequences(docs: DataFrame, *,
                    id_col: str = "doc_id",
                    strata_col: str = "source",

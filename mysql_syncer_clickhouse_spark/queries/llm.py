@@ -758,6 +758,10 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     - 'mix': token-weighted mixing toward uniform 5% shares across the
       20 sources -- val = keep_ppm of each KEPT doc (checks the
       rate arithmetic AND the bucket filter).
+    - 'xdup': cross-document span duplication -- val = count of the
+      doc's distinct word 3-grams that appear in >=1 OTHER document
+      (the n-gram-hash approximation of exact-substring dedup;
+      operators/curation.cross_doc_ngram_dup).
     """
     docs = _docs(spark, sf_dir)
     bench = docs.filter(F.col("source") == "src0")
@@ -792,8 +796,13 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("mix").alias("part"),
         F.col("id").alias("doc_id"),
         F.col("keep_ppm").cast("long").alias("val"))
+    xdup = curation.cross_doc_ngram_dup(docs, n=3).select(
+        F.lit("xdup").alias("part"),
+        F.col("id").alias("doc_id"),
+        F.col("n_dup_grams").cast("long").alias("val"))
     return (dec.unionByName(pack).unionByName(samp)
-            .unionByName(spl).unionByName(chunks).unionByName(mix))
+            .unionByName(spl).unionByName(chunks).unionByName(mix)
+            .unionByName(xdup))
 
 
 _CURATION_SQL = f"""
@@ -868,6 +877,17 @@ WITH g AS (
   SELECT t.doc_id, r.keep_ppm AS val
   FROM toks t JOIN rates r ON t.source = r.source
   WHERE t.b < r.keep_ppm
+), xg AS (
+  SELECT DISTINCT doc_id, gh FROM g
+), gfreq AS (
+  SELECT gh FROM xg GROUP BY gh HAVING COUNT(*) >= 2
+), xdup AS (
+  SELECT d.doc_id, COALESCE(x.v, 0) AS val
+  FROM documents d LEFT JOIN (
+    SELECT xg.doc_id, COUNT(*) AS v
+    FROM xg JOIN gfreq ON xg.gh = gfreq.gh
+    GROUP BY xg.doc_id) x
+  ON d.doc_id = x.doc_id
 )
 SELECT 'decontam' AS part, doc_id, val FROM decontam
 UNION ALL SELECT 'pack', doc_id, val FROM pack
@@ -875,6 +895,7 @@ UNION ALL SELECT 'sample', doc_id, val FROM samp
 UNION ALL SELECT 'split', doc_id, val FROM spl
 UNION ALL SELECT 'chunk', doc_id, val FROM chunk
 UNION ALL SELECT 'mix', doc_id, val FROM mix
+UNION ALL SELECT 'xdup', doc_id, val FROM xdup
 """
 
 

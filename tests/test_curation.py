@@ -425,3 +425,33 @@ def test_split_then_decontaminate_composition(spark, sf_dir):
     # grams, but the accounting is the point: clean + dirty == train
     assert clean.count() + dec.filter(F.col("n_overlap") > 0).count() \
         == train.count()
+
+
+def test_cross_doc_ngram_dup_planted_spans(spark):
+    """Docs sharing a >=3-word span are flagged with the shared
+    distinct-gram count; unique docs report 0."""
+    rows = [
+        (1, "the quick brown fox jumps high"),      # shares span w/ 2
+        (2, "said the quick brown fox jumps"),      # shares span w/ 1
+        (3, "completely different words entirely here now"),
+        (4, "x y"),                                  # too short: no grams
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["id"]: r["n_dup_grams"]
+           for r in curation.cross_doc_ngram_dup(docs, n=3).collect()}
+    # shared 3-grams between 1 and 2: "the quick brown",
+    # "quick brown fox", "brown fox jumps" -> 3 each
+    assert out[1] == 3 and out[2] == 3
+    assert out[3] == 0
+    assert out[4] == 0
+    assert set(out) == {1, 2, 3, 4}  # every doc reported
+
+
+def test_cross_doc_ngram_dup_counts_repeated_gram_once(spark):
+    """A doc repeating the shared span internally still counts each
+    DISTINCT shared gram once (set semantics, like decontaminate)."""
+    rows = [(1, "a b c a b c"), (2, "z a b c z")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["id"]: r["n_dup_grams"]
+           for r in curation.cross_doc_ngram_dup(docs, n=3).collect()}
+    assert out[1] == 1 and out[2] == 1  # only "a b c" is shared
