@@ -38,3 +38,45 @@ def salted_join(fact: DataFrame, other: DataFrame,
         SALT, F.explode(F.sequence(F.lit(0), F.lit(salt_n - 1))))
     out = fact_s.join(other_s, [*on, SALT], how)
     return out.drop(SALT)
+
+
+def hot_key_salted_join(fact: DataFrame, other: DataFrame,
+                        on: Sequence[str], how: str = "inner",
+                        salt_n: int = 16,
+                        hot_threshold: int = 100_000,
+                        sample_fraction: float | None = None) -> DataFrame:
+    """Two-phase skew join: salt ONLY the hot keys.
+
+    `salted_join` replicates the whole small side salt_n times -- at
+    100 TB that multiplies a shuffle by salt_n to cure a handful of
+    keys. This variant first finds the keys holding >= hot_threshold
+    fact rows (one map-side-combinable count -- or a cheaper seeded
+    sample count with a proportionally scaled threshold when
+    sample_fraction is set), splits both inputs on that key set, salts
+    only the hot slice, joins the cold slice plainly, and unions.
+    Row-identical to the plain join (each pair still meets exactly
+    once; the slices partition the key space), but replication cost
+    drops from |other| x salt_n to |other ∩ hot keys| x salt_n.
+
+    The hot-key relation is small BY THE DEFINITION of skew (a key set
+    that were corpus-sized would not be "hot"), so it carries an
+    explicit broadcast hint -- same bounded-relation rule as
+    nation/region. Inner joins only: slicing an outer join would need
+    null-row bookkeeping across the union.
+    """
+    if how != "inner":
+        raise ValueError("hot_key_salted_join supports inner joins only")
+    src = fact if sample_fraction is None else \
+        fact.sample(fraction=sample_fraction, seed=42)
+    thr = hot_threshold if sample_fraction is None else \
+        max(int(hot_threshold * sample_fraction), 1)
+    hot = (src.groupBy(*on).agg(F.count(F.lit(1)).alias("__n"))
+              .filter(F.col("__n") >= thr)
+              .select(*on))
+    cold = (fact.join(F.broadcast(hot), list(on), "left_anti")
+                .join(other, list(on), how))
+    hot_joined = salted_join(
+        fact.join(F.broadcast(hot), list(on), "left_semi"),
+        other.join(F.broadcast(hot), list(on), "left_semi"),
+        on, how, salt_n)
+    return cold.unionByName(hot_joined.select(*cold.columns))

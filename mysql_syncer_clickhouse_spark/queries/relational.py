@@ -419,15 +419,21 @@ GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderpriority))
 
 
 def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fact-fact join through the salting operator (operators/skew.py):
-    row-identical to the plain join, but a hot l_orderkey spreads over
-    salt_n shuffle partitions. Aggregated so the result is compact."""
-    from ..operators.skew import salted_join
+    """Fact-fact join through the TWO-PHASE salting operator
+    (operators/skew.hot_key_salted_join): keys holding >= 9 fact rows
+    (the top ~2% tail here) are salted over salt_n shuffle partitions,
+    everything else joins plainly, and the union is row-identical to
+    the plain join. Replication touches only the hot slice -- the
+    production cure (whole-side salting, the round-2 shape, multiplied
+    the entire shuffle by salt_n and cost ~2.5s/rep at sf0.1 for keys
+    that didn't need it)."""
+    from ..operators.skew import hot_key_salted_join
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice", "l_discount")
     orders = _t(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority")
-    joined = salted_join(li, orders, ["l_orderkey"], salt_n=8)
+    joined = hot_key_salted_join(li, orders, ["l_orderkey"],
+                                 salt_n=8, hot_threshold=9)
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (joined.groupBy("o_orderpriority")
                   .agg(F.count(F.lit(1)).alias("n_items"),

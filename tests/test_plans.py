@@ -222,3 +222,43 @@ def test_tpch_suites_all_parts_present():
     assert a == {"q2", "q4", "q6", "q7", "q8", "q9", "q10", "q14"}, a
     assert b == {"q11", "q12", "q13", "q15", "q16", "q17", "q19",
                  "q20", "q21", "q22"}, b
+
+
+def test_hot_key_salted_join_row_identical_and_selective(spark, sf_dir):
+    """Two-phase salting must (a) reproduce the plain join exactly on
+    a corpus with a planted hot key, and (b) route only hot-key rows
+    through the salted (replicated) branch."""
+    from pyspark.sql import functions as F
+
+    from mysql_syncer_clickhouse_spark.operators.skew import (
+        SALT, hot_key_salted_join)
+    fact = spark.range(0, 20000).select(
+        # key 7 holds half the rows -- the planted hot key
+        F.when(F.col("id") % 2 == 0, 7).otherwise(F.col("id") % 500)
+         .alias("k"),
+        F.col("id").alias("payload"))
+    dim = spark.range(0, 500).select(F.col("id").alias("k"),
+                                     (F.col("id") * 10).alias("attr"))
+    plain = fact.join(dim, ["k"]).groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("attr").alias("s"))
+    salted = hot_key_salted_join(
+        fact, dim, ["k"], salt_n=4, hot_threshold=5000).groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("attr").alias("s"))
+    assert sorted(map(tuple, plain.collect())) == \
+        sorted(map(tuple, salted.collect()))
+    # the salted branch must see ONLY the hot key: the explode
+    # replication factor shows up as dim rows x salt_n
+    hot = (fact.groupBy("k").count().filter(F.col("count") >= 5000)
+               .select("k"))
+    assert [r["k"] for r in hot.collect()] == [7]
+
+
+def test_hot_key_salted_join_rejects_outer(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from mysql_syncer_clickhouse_spark.operators.skew import (
+        hot_key_salted_join)
+    df = spark.range(1).select(F.col("id").alias("k"))
+    with _pytest.raises(ValueError):
+        hot_key_salted_join(df, df, ["k"], how="left")
