@@ -65,7 +65,8 @@ HEADLINE = [
 # same two queries at a 10x-smaller sf so BENCH_r{N}.json carries a
 # growth ratio (evidence the LSH/IVF candidate bounding scales the way
 # SCALE.md argues, not a guess)
-SCALE_CURVE = ["dedup_minhash_lsh", "ann_ivf_topk", "corpus_curation"]
+SCALE_CURVE = ["dedup_minhash_lsh", "ann_ivf_topk", "corpus_curation",
+               "tpch_suite_a"]
 SCALE_CURVE_SMALL_DIR = "/root/testdata/sf0.01"
 
 

@@ -177,6 +177,7 @@ def test_results_identical_across_partitioning(spark, sf_dir):
     scores, unique tie-breaks). Run representative queries at 32 and 5
     shuffle partitions and compare rows exactly."""
     names = ["q1_pricing_summary", "window_topk_per_group",
+             "tpch_suite_a", "tpch_suite_b", "join_skew_salted",
              "dedup_minhash_lsh", "ann_cosine_topk", "cdc_final_state",
              "continuous_agg_merge", "cdc_debezium_parse",
              "ann_kmeans_ivf_recall"]
