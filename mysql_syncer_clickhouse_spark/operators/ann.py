@@ -482,25 +482,34 @@ def topk_pq_adc(codes_df: DataFrame, books: list[list[list[float]]],
     codebooks over m ints per row -- no vectors move; ranking reuses
     the exact-window tail with rounded scores + id tie-breaks, so
     results are deterministic under any partitioning."""
-    m = len(books)
-    d = len(books[0][0])
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"))
     joined = (codes_df.select(F.col("id").alias("neighbor_id"), "codes")
               .join(F.broadcast(q))
               .filter(F.col("query_id") != F.col("neighbor_id")))
+    return _ranked_topk(
+        joined.withColumn("score", _adc_score(books)), k)
+
+
+def _adc_score(books: list[list[list[float]]],
+               qv_col: str = "qv", codes_col: str = "codes"):
+    """The ADC scoring expression: sum over subspaces of
+    dot(query subvector, codebook centroid picked by the code).
+    Literal-codebook arithmetic -- map-only wherever it appears."""
+    m = len(books)
+    d = len(books[0][0])
     score = None
     for s in range(m):
         lut = F.array(*[F.array(*[F.lit(x) for x in cv])
                         for cv in books[s]])
-        cent = F.element_at(lut, F.col("codes")[s] + 1)
+        cent = F.element_at(lut, F.col(codes_col)[s] + 1)
         term = F.aggregate(
-            F.zip_with(F.slice(F.col("qv"), s * d + 1, d), cent,
+            F.zip_with(F.slice(F.col(qv_col), s * d + 1, d), cent,
                        lambda a, b: a * b),
             F.lit(0.0), lambda acc, x: acc + x)
         score = term if score is None else score + term
-    return _ranked_topk(joined.withColumn("score", F.round(score, 6)), k)
+    return F.round(score, 6)
 
 
 def topk_pq_rerank(emb: DataFrame, codes_df: DataFrame,
@@ -527,4 +536,69 @@ def topk_pq_rerank(emb: DataFrame, codes_df: DataFrame,
     scored = (c.join(F.broadcast(shortlist), "neighbor_id")
                .join(F.broadcast(q), "query_id")
                .withColumn("score", cosine("qv", "cv")))
+    return _ranked_topk(scored, k)
+
+
+def topk_ivf_pq(emb: DataFrame, queries: DataFrame, k: int = 5, *,
+                n_centroids: int = 8, nprobe: int = 2,
+                m: int = 16, ksub: int = 16, oversample: int = 10,
+                id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """The full IVF-PQ read path (the FAISS billion-scale recipe,
+    re-expressed as DataFrame ops): learned coarse cells prune the
+    corpus to each query's nprobe nearest cells, PQ codes score the
+    survivors by asymmetric distance (no vectors move through the
+    probe join -- m ints per row), and the exact cosine re-rank
+    touches only the |q| x k x oversample shortlist.
+
+    Divergence from classic IVF-PQ, documented: residual encoding
+    (coding v - centroid per cell) is skipped -- codes quantize the
+    L2-normalized vectors directly, so ONE global codebook set serves
+    every cell and the exact re-rank recovers the recall the residual
+    trick buys (recall >= 0.8 test-asserted; measured ~parity with
+    topk_pq_rerank on the fixture). At 100 TB the coded corpus is
+    cid-partitioned exactly like build_kmeans_ivf_index's lists --
+    probes prune at the scan, and the per-row payload is m bytes-ish
+    of codes instead of d floats."""
+    from ..functions.vectors import l2_normalize
+    norm = emb.select(F.col(id_col),
+                      l2_normalize(vec_col).alias(vec_col))
+    cents = kmeans_centroids(norm, k=n_centroids, iters=3,
+                             id_col=id_col, vec_col=vec_col)
+    books = pq_train_codebooks(norm, m=m, ksub=ksub,
+                               id_col=id_col, vec_col=vec_col)
+    assigned = assign_to_centroids(
+        norm.select(F.col(id_col).alias("id"),
+                    F.col(vec_col).cast("array<double>").alias("v")),
+        cents)
+    coded = (assigned.select("id", "cid")
+             .join(pq_encode(norm, books, id_col=id_col,
+                             vec_col=vec_col), "id"))
+
+    qv = queries.select(F.col(id_col).alias("query_id"),
+                        F.col(vec_col).cast("array<double>").alias("qv"))
+    wq = Window.partitionBy("query_id").orderBy("d2", "cid")
+    probes = (qv.join(F.broadcast(cents.withColumnRenamed("cv", "cv_c")))
+                .withColumn("d2", F.aggregate(
+                    F.zip_with("qv", "cv_c",
+                               lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0), lambda acc, x: acc + x))
+                .withColumn("__rn", F.row_number().over(wq))
+                .filter(F.col("__rn") <= nprobe)
+                .select("query_id", "qv", "cid"))
+    cand = (coded.join(F.broadcast(probes), "cid")
+                 .filter(F.col("query_id") != F.col("id")))
+    shortlist = _ranked_topk(
+        cand.select(F.col("id").alias("neighbor_id"), "query_id",
+                    F.col("qv"), "codes")
+            .withColumn("score", _adc_score(books)),
+        k * oversample).select("query_id", "neighbor_id")
+
+    q_exact = queries.select(F.col(id_col).alias("query_id"),
+                             F.col(vec_col).alias("qv"))
+    c_exact = emb.select(F.col(id_col).alias("neighbor_id"),
+                         F.col(vec_col).alias("cv"))
+    scored = (c_exact.join(F.broadcast(shortlist), "neighbor_id")
+                     .join(F.broadcast(q_exact), "query_id")
+                     .withColumn("score", cosine("qv", "cv")))
     return _ranked_topk(scored, k)

@@ -465,3 +465,21 @@ def test_pq_rerank_recovers_exact_neighbors(spark, sf_dir):
                        "neighbor_id")
                  .withColumn("true_score", cosine("qv", "cv")))
     assert joined.filter(F.col("score") != F.col("true_score")).count() == 0
+
+
+def test_ivf_pq_end_to_end_recall(spark, sf_dir):
+    """The composed IVF-PQ read path (coarse cells -> ADC over codes ->
+    exact re-rank) must recover most exact neighbors despite both
+    pruning stages (>= 0.6 macro recall at nprobe=2 on the fixture;
+    measured 0.86 at sf0.01)."""
+    from mysql_syncer_clickhouse_spark.operators import ann
+    emb = _emb(spark, sf_dir)
+    queries = emb.limit(10)
+    exact, got = {}, {}
+    for r in ann.topk_bruteforce(emb, queries, k=5).collect():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in ann.topk_ivf_pq(emb, queries, k=5, m=8, ksub=8).collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    macro = sum(len(got.get(q, set()) & exact[q]) / 5
+                for q in exact) / len(exact)
+    assert macro >= 0.6, macro
