@@ -150,3 +150,45 @@ def test_bulk_size_chunks_inserts(spark, fake_ch):
     rows_per_post = [len(b.strip().splitlines()) for b in bodies]
     assert sum(rows_per_post) == 6
     assert max(rows_per_post) <= 2
+
+
+def test_debezium_to_clickhouse_end_to_end(spark, fake_ch, tmp_path):
+    """The reference's whole purpose, composed in one test: a binlog
+    feed (Debezium JSON-lines) streams through parse -> foreachBatch ->
+    the ClickHouse HTTP sink. The fake server must see the auto-CREATE
+    first, then JSONEachRow inserts carrying every envelope with its
+    binlog-ordered seq."""
+    import json as _json
+    import os as _os
+
+    from mysql_syncer_clickhouse_spark.sources.debezium import (
+        read_debezium_stream)
+    from tests.test_debezium import LINES_P1, ROW_DDL, _write_lines
+
+    src = str(tmp_path / "dbz"); _os.makedirs(src)
+    _write_lines(src, "p1.jsonl", LINES_P1)
+    sink = ClickHouseHTTPSink(
+        url=fake_ch.url, database="olap", table="items_sink",
+        columns=[("seq", "bigint", False), ("ts", "timestamp", True),
+                 ("op", "varchar(8)", True), ("id", "bigint", False),
+                 ("title", "varchar(64)", True),
+                 ("mydate", "bigint", True)],
+        pk=("id",))
+    stream = read_debezium_stream(spark, src, ROW_DDL)
+    q = sink.attach(stream, str(tmp_path / "ckpt"))
+    q.awaitTermination()
+
+    queries = [r[0] for r in fake_ch.requests]
+    assert queries[0].startswith("CREATE TABLE"), queries[0]
+    assert "ReplacingMergeTree" in queries[0]
+    inserts = [(qr, body) for qr, body in fake_ch.requests
+               if qr.startswith("INSERT")]
+    rows = [_json.loads(line)
+            for _, body in inserts for line in body.strip().splitlines()]
+    assert len(rows) == 3                      # one row per envelope
+    by_id = {}
+    for r in sorted(rows, key=lambda r: r["seq"]):
+        by_id[r["id"]] = r                     # last-by-seq wins
+    assert by_id[1]["title"] == "first-edited"
+    assert by_id[2]["title"] == "second"
+    assert {r["op"] for r in rows} == {"insert", "update"}
