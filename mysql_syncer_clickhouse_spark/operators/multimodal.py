@@ -328,3 +328,111 @@ def extract_features(df: DataFrame, dim: int = 8) -> DataFrame:
             })
 
     return df.mapInPandas(extract, FEATURES_SCHEMA)
+
+
+# --- NetPBM (PPM/PGM): the format whose PIXELS decode codec-free ---------
+
+def make_ppm(width: int, height: int, seed: int = 0,
+             gray: bool = False) -> bytes:
+    """Deterministic NetPBM image: P6 (RGB) or P5 (grayscale) with
+    pixel values derived from coordinates + seed. Real, decodable
+    pixel data -- the fixture generator for the codec-free pixel
+    path."""
+    magic = b"P5" if gray else b"P6"
+    hdr = magic + f"\n{width} {height}\n255\n".encode()
+    px = bytearray()
+    for y in range(height):
+        for x in range(width):
+            if gray:
+                px.append((x * 3 + y * 7 + seed) % 256)
+            else:
+                px += bytes(((x * 3 + y * 7 + seed) % 256,
+                             (x * 5 + y * 11 + 2 * seed) % 256,
+                             (x * 13 + y * 17 + 3 * seed) % 256))
+    return hdr + bytes(px)
+
+
+def parse_ppm(payload: bytes) \
+        -> tuple[str, int, int, int, int] | None:
+    """Parse a NetPBM P5/P6 header (whitespace- and comment-tolerant
+    per the spec): returns (format, width, height, maxval,
+    pixel_offset) or None if not NetPBM."""
+    if payload[:2] not in (b"P5", b"P6"):
+        return None
+    fmt = "pgm" if payload[:2] == b"P5" else "ppm"
+    vals: list[int] = []
+    i = 2
+    while len(vals) < 3 and i < len(payload):
+        c = payload[i:i + 1]
+        if c == b"#":                       # comment to end of line
+            while i < len(payload) and payload[i:i + 1] != b"\n":
+                i += 1
+        elif c.isspace():
+            i += 1
+        elif c.isdigit():
+            j = i
+            while j < len(payload) and payload[j:j + 1].isdigit():
+                j += 1
+            vals.append(int(payload[i:j]))
+            i = j
+        else:
+            return None
+    if len(vals) < 3 or not payload[i:i + 1].isspace():
+        return None
+    w, h, maxval = vals
+    return fmt, w, h, maxval, i + 1         # single whitespace after maxval
+
+
+def decode_image_pixels(df: DataFrame) -> DataFrame:
+    """REAL pixel decoding, no codec library: NetPBM payloads (P6 RGB /
+    P5 grayscale) decode to per-image channel statistics -- mean R/G/B
+    and luma brightness computed from the actual pixel bytes.
+    Non-NetPBM payloads (PNG/JPEG need a codec this container lacks)
+    yield NULL stats with width/height from the header walk, so the
+    operator is total over mixed corpora. Same Arrow mapInPandas
+    plumbing as every other multimodal operator; arithmetic runs as one
+    numpy reduction per image, not per-pixel Python."""
+    import numpy as np
+
+    schema = ("doc_id long, format string, width int, height int, "
+              "mean_r double, mean_g double, mean_b double, "
+              "brightness double")
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in (
+                "doc_id", "format", "width", "height",
+                "mean_r", "mean_g", "mean_b", "brightness")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                payload = bytes(payload)
+                meta = parse_ppm(payload)
+                out["doc_id"].append(doc_id)
+                if meta is None:
+                    n, w, h, fmt = _decode(payload)
+                    out["format"].append(fmt)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    for k in ("mean_r", "mean_g", "mean_b", "brightness"):
+                        out[k].append(None)
+                    continue
+                fmt, w, h, _maxval, off = meta
+                ch = 1 if fmt == "pgm" else 3
+                px = np.frombuffer(payload, dtype=np.uint8,
+                                   count=w * h * ch, offset=off) \
+                       .reshape(h, w, ch).astype(np.float64)
+                means = px.mean(axis=(0, 1))
+                if ch == 1:
+                    r = g = b = float(means[0])
+                else:
+                    r, g, b = (float(x) for x in means)
+                out["format"].append(fmt)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["mean_r"].append(round(r, 6))
+                out["mean_g"].append(round(g, 6))
+                out["mean_b"].append(round(b, 6))
+                out["brightness"].append(
+                    round(0.299 * r + 0.587 * g + 0.114 * b, 6))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(decode, schema)

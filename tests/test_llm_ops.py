@@ -483,3 +483,42 @@ def test_ivf_pq_end_to_end_recall(spark, sf_dir):
     macro = sum(len(got.get(q, set()) & exact[q]) / 5
                 for q in exact) / len(exact)
     assert macro >= 0.6, macro
+
+
+def test_ppm_pixel_decode_exact_statistics(spark):
+    """NetPBM pixels decode for REAL (no codec library): the operator's
+    channel means must equal a pure-Python reference computed from the
+    same deterministic pixel bytes; P5 grayscale maps to equal
+    channels; non-NetPBM payloads yield NULL stats but keep header
+    dimensions."""
+    from mysql_syncer_clickhouse_spark.operators.multimodal import (
+        decode_image_pixels, make_bmp_header, make_ppm, parse_ppm)
+
+    w, h = 16, 12
+    ppm = make_ppm(w, h, seed=3)
+    fmt, pw, ph, maxval, off = parse_ppm(ppm)
+    assert (fmt, pw, ph, maxval) == ("ppm", w, h, 255)
+    exp_r = sum((x * 3 + y * 7 + 3) % 256
+                for y in range(h) for x in range(w)) / (w * h)
+    pgm = make_ppm(8, 8, seed=1, gray=True)
+    rows = [(1, bytearray(ppm)), (2, bytearray(pgm)),
+            (3, bytearray(make_bmp_header(64, 32)))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in decode_image_pixels(df).collect()}
+    assert out[1]["format"] == "ppm"
+    assert (out[1]["width"], out[1]["height"]) == (w, h)
+    assert abs(out[1]["mean_r"] - exp_r) < 1e-6
+    assert out[2]["format"] == "pgm"
+    assert out[2]["mean_r"] == out[2]["mean_g"] == out[2]["mean_b"]
+    assert out[3]["format"] == "bmp"
+    assert (out[3]["width"], out[3]["height"]) == (64, 32)
+    assert out[3]["mean_r"] is None and out[3]["brightness"] is None
+
+
+def test_ppm_header_tolerates_comments():
+    from mysql_syncer_clickhouse_spark.operators.multimodal import (
+        parse_ppm)
+    payload = b"P6 # comment\n# another\n 4\t5\n255\n" + bytes(60)
+    assert parse_ppm(payload) == ("ppm", 4, 5, 255, 32)
+    assert parse_ppm(b"JUNK") is None
+    assert parse_ppm(b"P6\n4 5\n") is None  # truncated header
