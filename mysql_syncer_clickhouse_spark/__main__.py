@@ -133,6 +133,25 @@ def run_curate(src: str, out: str, *, min_quality: float = 0.5,
             "min_quality": min_quality, "seed": seed, "sink": out}
 
 
+def run_query(name: str, sf_dir: str, limit: int) -> dict:
+    """Ad-hoc query mode: run any registry query by name against a
+    fixture/sync directory and return rows as JSON -- the CLI face of
+    the relational layer the reference delegates to clickhouse-client.
+    `--query list` enumerates the registry."""
+    from . import queries as registry
+    qs = registry.all_queries()
+    if name == "list":
+        return {"mode": "query", "available": sorted(qs)}
+    if name not in qs:
+        raise SystemExit(f"unknown query {name!r}; --query list shows all")
+    spark = get_spark("msc-query")
+    spark.sparkContext.setLogLevel("ERROR")
+    df = qs[name](spark, sf_dir)
+    rows = [r.asDict(recursive=True) for r in df.limit(limit).collect()]
+    return {"mode": "query", "query": name, "sf_dir": sf_dir,
+            "n_rows": len(rows), "rows": rows}
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="mysql_syncer_clickhouse_spark")
     ap.add_argument("--config", help="river.toml (reference-compatible)")
@@ -149,7 +168,17 @@ def main(argv: list[str] | None = None) -> int:
                     help="output dir for curated training shards")
     ap.add_argument("--min-quality", type=float, default=0.5)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--query", metavar="NAME",
+                    help="run one registry query ('list' to enumerate)")
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01",
+                    help="table directory for --query")
+    ap.add_argument("--limit", type=int, default=100,
+                    help="max rows printed by --query")
     args = ap.parse_args(argv)
+    if args.query:
+        out = run_query(args.query, args.sf_dir, args.limit)
+        print(json.dumps(out, default=str))
+        return 0
     if args.curate:
         if not args.curate_out:
             ap.error("--curate requires --curate-out")

@@ -148,3 +148,21 @@ def test_cli_curate_mode(spark, tmp_path):
     assert set(texts) == {1, 4}
     assert "<EMAIL>" in texts[4] and "x@y.org" not in texts[4]
     assert "quality" in kept.columns and "shuffle_key" in kept.columns
+
+
+def test_cli_query_mode(capsys):
+    """--query runs any registry entry and prints rows as one JSON
+    line; 'list' enumerates the registry."""
+    import json as _json
+
+    from mysql_syncer_clickhouse_spark.__main__ import main
+    assert main(["--query", "list"]) == 0
+    listing = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "q1_pricing_summary" in listing["available"]
+    assert len(listing["available"]) == 50
+
+    assert main(["--query", "q1_pricing_summary",
+                 "--sf-dir", "/root/testdata/sf0.001"]) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["n_rows"] == 6
+    assert {"l_returnflag", "sum_qty"} <= set(out["rows"][0])
