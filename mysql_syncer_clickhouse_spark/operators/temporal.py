@@ -82,3 +82,67 @@ def range_join_binned(left: DataFrame, right: DataFrame, key: str,
             .filter((F.col(right_ts) <= F.col(left_ts)) &
                     (F.col(right_ts) >= lo))
             .drop("__bin"))
+
+
+def fill_time_gaps(df: DataFrame, key_col: str, ts_col: str,
+                   value_col: str, step_seconds: int,
+                   how: str = "ffill") -> DataFrame:
+    """Regularize a per-key time series to a fixed step, filling the
+    gaps -- capability parity with the sink database's
+    `ORDER BY .. WITH FILL [INTERPOLATE]` (ClickHouse), which the
+    reference's users run over synced series.
+
+    Plan shape (scale stance): ONE aggregation finds each key's
+    [min, max] span; the dense grid is `sequence(min, max, interval)`
+    exploded FROM that 1-row-per-key relation (the fill never scans
+    the fact table twice); actual points left-join back on
+    (key, tick); then
+      how='ffill'  -> last(ignorenulls) window carries the previous
+                      observation forward (step function), or
+      how='interp' -> linear interpolation between the previous and
+                      next observations, from two mirrored
+                      last/first(ignorenulls) windows over the SAME
+                      (key x time) partitioning -- no extra shuffle.
+    Grid ticks are aligned to each key's own min (the WITH FILL FROM
+    analog). Points before a key's first observation stay NULL in
+    both modes (nothing to carry/anchor); trailing NULLs only in
+    'interp' when no later point exists. A source row whose value is
+    NULL counts as a gap, not an observation -- it gets filled like
+    any missing tick (and is_observed reports false for it).
+
+    Returns (key, tick, value, is_observed)."""
+    if how not in ("ffill", "interp"):
+        raise ValueError("how must be 'ffill' or 'interp'")
+    k, ts = F.col(key_col).alias("key"), F.col(ts_col)
+    pts = df.select(k, ts.alias("tick"),
+                    F.col(value_col).cast("double").alias("v"))
+    span = pts.groupBy("key").agg(F.min("tick").alias("lo"),
+                                  F.max("tick").alias("hi"))
+    grid = span.select(
+        "key", F.explode(F.sequence(
+            "lo", "hi",
+            F.expr(f"INTERVAL {int(step_seconds)} SECONDS"))).alias("tick"))
+    joined = grid.join(pts, ["key", "tick"], "left")
+    w_prev = (Window.partitionBy("key").orderBy("tick")
+              .rowsBetween(Window.unboundedPreceding, 0))
+    if how == "ffill":
+        filled = F.last("v", ignorenulls=True).over(w_prev)
+    else:
+        w_next = (Window.partitionBy("key").orderBy("tick")
+                  .rowsBetween(0, Window.unboundedFollowing))
+        pv = F.last("v", ignorenulls=True).over(w_prev)
+        nv = F.first("v", ignorenulls=True).over(w_next)
+        pt = F.last(F.when(F.col("v").isNotNull(), F.col("tick")),
+                    ignorenulls=True).over(w_prev)
+        nt = F.first(F.when(F.col("v").isNotNull(), F.col("tick")),
+                     ignorenulls=True).over(w_next)
+        frac = ((F.unix_timestamp("tick") - F.unix_timestamp(pt))
+                / F.when(F.unix_timestamp(nt) == F.unix_timestamp(pt),
+                         F.lit(None))
+                   .otherwise(F.unix_timestamp(nt) - F.unix_timestamp(pt)))
+        filled = (F.when(F.col("v").isNotNull(), F.col("v"))
+                   .when(pv.isNull() | nv.isNull(), pv)
+                   .otherwise(F.round(pv + (nv - pv) * frac, 6)))
+    return joined.select(
+        "key", "tick", filled.alias("value"),
+        F.col("v").isNotNull().alias("is_observed"))

@@ -263,3 +263,45 @@ def test_hot_key_salted_join_rejects_outer(spark):
     df = spark.range(1).select(F.col("id").alias("k"))
     with _pytest.raises(ValueError):
         hot_key_salted_join(df, df, ["k"], how="left")
+
+
+def test_fill_time_gaps_ffill_and_interp(spark):
+    """Gap filling (the ClickHouse WITH FILL / INTERPOLATE analog):
+    a 10s-step series with holes regularizes to the dense grid;
+    forward-fill carries the last observation, interpolation is exact
+    linear arithmetic between anchors; leading ticks stay NULL."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from mysql_syncer_clickhouse_spark.operators.temporal import (
+        fill_time_gaps)
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [("a", t0, None), ("a", t0 + dt.timedelta(seconds=10), 10.0),
+            ("a", t0 + dt.timedelta(seconds=40), 40.0),
+            ("b", t0, 5.0)]
+    df = spark.createDataFrame(rows, "key string, ts timestamp, v double")
+
+    ff = {(r["key"], r["tick"].second): r["value"]
+          for r in fill_time_gaps(df, "key", "ts", "v", 10,
+                                  how="ffill").collect()}
+    assert ff[("a", 0)] is None            # nothing before first obs
+    assert ff[("a", 10)] == 10.0
+    assert ff[("a", 20)] == 10.0 and ff[("a", 30)] == 10.0  # carried
+    assert ff[("a", 40)] == 40.0
+    assert ff[("b", 0)] == 5.0             # single-point key: 1 tick
+
+    ip = {(r["key"], r["tick"].second): r["value"]
+          for r in fill_time_gaps(df, "key", "ts", "v", 10,
+                                  how="interp").collect()}
+    assert ip[("a", 20)] == 20.0 and ip[("a", 30)] == 30.0  # linear
+    assert ip[("a", 0)] is None
+
+    out = fill_time_gaps(df, "key", "ts", "v", 10, how="ffill")
+    # the NULL-valued source row counts as a gap, not an observation
+    assert out.filter(F.col("is_observed")).count() == 3
+    assert out.count() == 6                # dense grid: 5 ticks a + 1 b
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        fill_time_gaps(df, "key", "ts", "v", 10, how="nearest")
