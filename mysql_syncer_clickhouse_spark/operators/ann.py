@@ -343,6 +343,29 @@ def build_kmeans_ivf_index(emb: DataFrame, path: str, *,
     cents.write.mode("overwrite").parquet(path.rstrip("/") + "/centroids")
 
 
+def append_to_kmeans_ivf_index(spark, path: str, new_emb: DataFrame, *,
+                               id_col: str = "vec_id",
+                               vec_col: str = "embedding") -> None:
+    """Incrementally extend a persisted IVF index WITHOUT retraining:
+    new vectors are assigned to the EXISTING (frozen) centroids -- a
+    map-only projection against the stored k x dim literal -- and
+    appended to the cid-partitioned inverted lists. This is the
+    production append path (nightly ingest into a standing index);
+    centroids drift is handled by a periodic full rebuild, not per
+    batch. Search results after append are identical to searching the
+    union under the same frozen centroids (test-asserted); appends
+    land in existing cid partitions, so partition pruning keeps
+    working."""
+    cents = spark.read.parquet(path.rstrip("/") + "/centroids")
+    rows = assign_to_centroids(
+        new_emb.select(F.col(id_col).alias("id"),
+                       F.col(vec_col).cast("array<double>").alias("v")),
+        cents)         .select(F.col("id").alias("neighbor_id"),
+                F.col("v").alias("cv"), "cid")
+    rows.write.mode("append").partitionBy("cid") \
+        .parquet(path.rstrip("/") + "/lists")
+
+
 def query_kmeans_ivf_index(spark, path: str, queries: DataFrame, *,
                            k: int = 5, nprobe: int = 2,
                            id_col: str = "vec_id",

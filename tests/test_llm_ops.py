@@ -522,3 +522,39 @@ def test_ppm_header_tolerates_comments():
     assert parse_ppm(payload) == ("ppm", 4, 5, 255, 32)
     assert parse_ppm(b"JUNK") is None
     assert parse_ppm(b"P6\n4 5\n") is None  # truncated header
+
+
+def test_ivf_index_incremental_append(spark, sf_dir, tmp_path):
+    """Appending new vectors to a persisted IVF index (frozen
+    centroids, no retrain) must yield search results identical to an
+    index holding the union from the start under the SAME centroids."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    first = emb.filter(F.col("vec_id") % 2 == 0)
+    second = emb.filter(F.col("vec_id") % 2 == 1)
+    queries = emb.filter(F.col("vec_id") < 10)
+
+    path = str(tmp_path / "ivf_inc")
+    ann.build_kmeans_ivf_index(first, path, n_centroids=8)
+    before = {(r["query_id"], r["neighbor_id"])
+              for r in ann.query_kmeans_ivf_index(
+                  spark, path, queries, k=5, nprobe=2).collect()}
+    ann.append_to_kmeans_ivf_index(spark, path, second)
+    after = ann.query_kmeans_ivf_index(spark, path, queries, k=5,
+                                       nprobe=2)
+    got = {(r["query_id"], r["rk"], r["neighbor_id"], r["score"])
+           for r in after.collect()}
+
+    # reference: same frozen centroids, union corpus, inline search
+    cents = spark.read.parquet(path + "/centroids")
+    union = ann.assign_to_centroids(
+        emb.select(F.col("vec_id").alias("id"),
+                   F.col("embedding").cast("array<double>").alias("v")),
+        cents).select(F.col("id").alias("neighbor_id"),
+                      F.col("v").alias("cv"), "cid")
+    want = {(r["query_id"], r["rk"], r["neighbor_id"], r["score"])
+            for r in ann._ivf_probe_and_score(
+                union, cents, queries, 5, 2,
+                "vec_id", "embedding").collect()}
+    assert got == want and len(got) > 0
+    # appended rows actually changed the results (not a no-op)
+    assert {(q, n) for q, _, n, _ in got} != before
