@@ -83,3 +83,27 @@ def test_hash_sample_rates_nest_and_match_reference(spark):
         if int(hashlib.md5(f"{src}:{doc_id}".encode())
                .hexdigest()[:8], 16) % 100 < 10}
     assert kept[10] == expect10
+
+
+def test_cross_doc_ngram_dup_matches_python_reference(spark):
+    """cross_doc_ngram_dup agrees exactly with a brute-force pure-
+    Python reference over a seeded random corpus (small vocab, so
+    cross-doc gram collisions are plentiful)."""
+    rows = [(doc_id, src, text) for doc_id, src, text in _rand_corpus(
+        n_strata=6, max_docs=8, seed=11)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, text string")
+    got = {r["id"]: r["n_dup_grams"]
+           for r in curation.cross_doc_ngram_dup(df, n=3).collect()}
+
+    def grams(text):
+        w = text.split()
+        return {tuple(w[i:i + 3]) for i in range(len(w) - 2)}
+
+    gsets = {doc_id: grams(text) for doc_id, _, text in rows}
+    expect = {}
+    for doc_id, gs in gsets.items():
+        others = set().union(*(g for d, g in gsets.items()
+                               if d != doc_id)) if len(gsets) > 1 else set()
+        expect[doc_id] = len(gs & others)
+    assert got == expect
