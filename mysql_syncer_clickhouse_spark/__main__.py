@@ -133,7 +133,8 @@ def run_curate(src: str, out: str, *, min_quality: float = 0.5,
             "min_quality": min_quality, "seed": seed, "sink": out}
 
 
-def run_query(name: str, sf_dir: str, limit: int) -> dict:
+def run_query(name: str, sf_dir: str, limit: int,
+              explain: bool = False) -> dict:
     """Ad-hoc query mode: run any registry query by name against a
     fixture/sync directory and return rows as JSON -- the CLI face of
     the relational layer the reference delegates to clickhouse-client.
@@ -147,6 +148,10 @@ def run_query(name: str, sf_dir: str, limit: int) -> dict:
     spark = get_spark("msc-query")
     spark.sparkContext.setLogLevel("ERROR")
     df = qs[name](spark, sf_dir)
+    if explain:
+        from .plans.explain import formatted_plan
+        return {"mode": "query", "query": name, "sf_dir": sf_dir,
+                "plan": formatted_plan(df)}
     rows = [r.asDict(recursive=True) for r in df.limit(limit).collect()]
     return {"mode": "query", "query": name, "sf_dir": sf_dir,
             "n_rows": len(rows), "rows": rows}
@@ -174,9 +179,13 @@ def main(argv: list[str] | None = None) -> int:
                     help="table directory for --query")
     ap.add_argument("--limit", type=int, default=100,
                     help="max rows printed by --query")
+    ap.add_argument("--explain", action="store_true",
+                    help="print the formatted physical plan instead "
+                         "of rows (with --query)")
     args = ap.parse_args(argv)
     if args.query:
-        out = run_query(args.query, args.sf_dir, args.limit)
+        out = run_query(args.query, args.sf_dir, args.limit,
+                        explain=args.explain)
         print(json.dumps(out, default=str))
         return 0
     if args.curate:

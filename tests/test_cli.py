@@ -166,3 +166,14 @@ def test_cli_query_mode(capsys):
     out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["n_rows"] == 6
     assert {"l_returnflag", "sum_qty"} <= set(out["rows"][0])
+
+
+def test_cli_query_explain(capsys):
+    import json as _json
+
+    from mysql_syncer_clickhouse_spark.__main__ import main
+    assert main(["--query", "q1_pricing_summary", "--explain",
+                 "--sf-dir", "/root/testdata/sf0.001"]) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "Physical Plan" in out["plan"]
+    assert "rows" not in out
