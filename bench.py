@@ -122,6 +122,21 @@ def main() -> None:
                 if small_cold > 0 else None,
             }
 
+    # CDC apply throughput -- the reference's primary axis (rows/sec
+    # synced). cdc_final_state drains the full events-derived changelog
+    # through dispatch + upsert dedup; rows/sec = changelog rows over
+    # its cache-cold wall time. Row count comes from the parquet footer
+    # (no extra Spark job).
+    cdc_rps = None
+    if "cdc_final_state" in cold_times and cold_times["cdc_final_state"]:
+        try:
+            import pyarrow.parquet as pq
+            n_ev = pq.ParquetFile(
+                os.path.join(sf_dir, "events.parquet")).metadata.num_rows
+            cdc_rps = round(n_ev / cold_times["cdc_final_state"])
+        except Exception:
+            pass
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "headline_query_wall_sec",
@@ -133,6 +148,8 @@ def main() -> None:
     }
     if curve:
         out["scale_curve_10x"] = curve
+    if cdc_rps:
+        out["cdc_apply_rows_per_sec"] = cdc_rps
     print(json.dumps(out))
     spark.stop()
 
