@@ -1042,3 +1042,30 @@ ORACLE = {
     "set_ops": _SET_OPS_SQL,
     "distinct_vs_approx": _DISTINCT_VS_APPROX_SQL,
 }
+
+
+def hierarchy_closure(nodes: DataFrame, max_depth: int = 32) -> DataFrame:
+    """Hierarchical query via Spark 4's recursive CTEs (SPARK-24497):
+    for an acyclic (id, parent) forest, returns (id, root, depth) by
+    walking from the roots -- the WITH RECURSIVE surface the sink DB
+    (ClickHouse >= 24.4, and every warehouse) serves for org charts /
+    BOM rollups / path queries.
+
+    Spark's recursion supports UNION ALL only (the analyzer rejects
+    UNION-distinct -- verified), so the input must be acyclic;
+    max_depth bounds the recursive leg against malformed input. Cyclic
+    graphs (near-dup clusters) use operators/dedup.duplicate_clusters'
+    iterative label propagation instead -- that one converges on any
+    graph. Each recursive step is one keyed join, shuffled like any
+    other; depth, not corpus size, bounds the iteration count."""
+    spark = nodes.sparkSession
+    nodes.createOrReplaceTempView("__hier_nodes")
+    return spark.sql(f"""
+      WITH RECURSIVE anc AS (
+        SELECT id, id AS root, 0 AS depth
+        FROM __hier_nodes WHERE parent IS NULL
+        UNION ALL
+        SELECT n.id, a.root, a.depth + 1
+        FROM __hier_nodes n JOIN anc a ON n.parent = a.id
+        WHERE a.depth < {int(max_depth)})
+      SELECT id, root, depth FROM anc""")

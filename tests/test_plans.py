@@ -305,3 +305,26 @@ def test_fill_time_gaps_ffill_and_interp(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         fill_time_gaps(df, "key", "ts", "v", 10, how="nearest")
+
+
+def test_hierarchy_closure_recursive_cte(spark):
+    """Spark 4 recursive CTE walks an acyclic forest to (id, root,
+    depth); agrees with the closed-form expectation, and max_depth
+    truncates a too-deep chain instead of running away."""
+    from mysql_syncer_clickhouse_spark.queries.relational import (
+        hierarchy_closure)
+    # forest: tree under 1 (1<-2<-4<-5, 1<-3) and isolated root 10
+    nodes = spark.createDataFrame(
+        [(1, None), (2, 1), (3, 1), (4, 2), (5, 4), (10, None)],
+        "id long, parent long")
+    got = {r["id"]: (r["root"], r["depth"])
+           for r in hierarchy_closure(nodes).collect()}
+    assert got == {1: (1, 0), 2: (1, 1), 3: (1, 1), 4: (1, 2),
+                   5: (1, 3), 10: (10, 0)}
+    # depth cap: a 6-deep chain capped at 2 yields only depths 0..2
+    chain = spark.createDataFrame(
+        [(i, None if i == 0 else i - 1) for i in range(6)],
+        "id long, parent long")
+    capped = hierarchy_closure(chain, max_depth=2)
+    assert {r["depth"] for r in capped.collect()} == {0, 1, 2}
+    assert capped.count() == 3
