@@ -81,6 +81,10 @@ class StreamingSyncPipeline:
     # at 100 TB a date-ish partition key keeps appends small, lets
     # compaction run per-partition, and gives readers partition pruning
     partition_cols: Sequence[str] = ()
+    # columnar sink format: "parquet" (default) or "orc" -- both
+    # Spark-native, same append/compact/dedup-on-read semantics; the
+    # reference's fixed ClickHouse target becomes a config choice here
+    sink_format: str = "parquet"
     metrics: SyncMetrics = field(default_factory=SyncMetrics)
 
     def _apply_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
@@ -100,10 +104,10 @@ class StreamingSyncPipeline:
                 F.sum((F.col(self.op_col) == o).cast("long")).alias(o)
                 for o in ("insert", "update", "delete")],
                 F.max(F.col(self.seq_col)).alias("__max_seq"))
-        writer = projected.write.mode("append")
+        writer = projected.write.mode("append").format(self.sink_format)
         if self.partition_cols:
             writer = writer.partitionBy(*self.partition_cols)
-        writer.parquet(self.sink_dir)
+        writer.save(self.sink_dir)
         observed = dict(obs.get)
         # position rides the same observation -- no second pass
         self.metrics.record_position(observed.pop("__max_seq", None),
@@ -149,7 +153,8 @@ class StreamingSyncPipeline:
         is taken and absent columns read as NULL, mirroring the
         reference's re-introspection on OnTableChanged
         (river/sync.go:54-60, river/river.go:166-180)."""
-        sink = spark.read.option("mergeSchema", "true").parquet(self.sink_dir)
+        sink = (spark.read.option("mergeSchema", "true")
+                .format(self.sink_format).load(self.sink_dir))
         return latest_state(sink, list(self._sink_pk()), self.seq_col,
                             self.op_col)
 
@@ -160,12 +165,12 @@ class StreamingSyncPipeline:
         state = self.current_state(spark).withColumn(
             self.op_col, F.lit("insert"))
         tmp = self.sink_dir.rstrip("/") + ".compact"
-        state.write.mode("overwrite").parquet(tmp)
-        back = spark.read.parquet(tmp)
-        writer = back.write.mode("overwrite")
+        state.write.mode("overwrite").format(self.sink_format).save(tmp)
+        back = spark.read.format(self.sink_format).load(tmp)
+        writer = back.write.mode("overwrite").format(self.sink_format)
         if self.partition_cols:
             writer = writer.partitionBy(*self.partition_cols)
-        writer.parquet(self.sink_dir)
+        writer.save(self.sink_dir)
 
     def _sink_pk(self) -> list[str]:
         """PK names after rule renames."""

@@ -366,3 +366,28 @@ def test_stateful_sessionize_with_event_time_timeout(spark, dirs):
            for r in spark.sql("SELECT * FROM sess_out").collect()}
     assert (1, "2024-01-01 00:00:00", 2, "gap") in got
     assert (1, "2024-01-01 02:00:00", 1, "timeout") in got
+
+
+def test_orc_sink_format_same_semantics(spark, dirs):
+    """sink_format='orc' drains, dedups, and compacts with semantics
+    identical to the default parquet sink (ORC is the other Spark-
+    native columnar format -- a config choice, not a code path)."""
+    src, sink, ckpt = dirs
+    _write_part(spark, src, ROWS_PART1 + ROWS_PART2, "p1")
+    pipe = StreamingSyncPipeline(_rule(), ["id"], sink, ckpt,
+                                 sink_format="orc")
+    pipe.run_available(spark, src, _schema(spark))
+    state = {r["id"]: r["es_title"]
+             for r in pipe.current_state(spark).collect()}
+    assert state == {1: "first-edited", 3: "third-edited"}
+    # the sink dir really is ORC
+    import glob
+    import os as _os
+    assert glob.glob(_os.path.join(sink, "*.orc"))
+    assert not glob.glob(_os.path.join(sink, "*.parquet"))
+    pipe.compact(spark)
+    after = {r["id"]: r["es_title"]
+             for r in pipe.current_state(spark).collect()}
+    assert after == state
+    raw = spark.read.format("orc").load(sink)
+    assert raw.count() == 2          # compacted to live rows only
