@@ -625,3 +625,91 @@ def topk_ivf_pq(emb: DataFrame, queries: DataFrame, k: int = 5, *,
                      .join(F.broadcast(q_exact), "query_id")
                      .withColumn("score", cosine("qv", "cv")))
     return _ranked_topk(scored, k)
+
+
+def semdedup(vecs: DataFrame, *, eps: float = 0.97, keep: str = "far",
+             cluster_col: str | None = None, n_centroids: int = 8,
+             id_col: str = "id", vec_col: str = "v",
+             quant: int = 1_000_000) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication = k-means clustering + within-cluster cosine pruning.
+    A document is dropped when a HIGHER-PRIORITY member of its cluster
+    sits within `eps` cosine similarity; priority is distance to the
+    cluster centroid direction -- keep="far" keeps the member farthest
+    from the centroid (the paper's best-performing policy: duplicates
+    collapse onto their most outlying representative, preserving
+    diversity), keep="near" keeps the closest.
+
+    Returns one row per input: (id, cid, csim, dup_of, kept) where
+    csim = cosine(vector, cluster centroid direction), dup_of = the
+    smallest-id higher-priority neighbor within eps (NULL when kept).
+    Like the reference SemDeDup implementation this is the ONE-SHOT
+    matrix rule, not iterative chaining: dup_of may itself be dropped;
+    kept rows are exactly those with no higher-priority neighbor
+    within eps.
+
+    Scale + determinism design:
+    - Clustering: pass `cluster_col` to use a precomputed assignment
+      (IVF cell, category, ...); otherwise `kmeans_centroids` +
+      map-only `assign_to_centroids`. At 100 TB, n_centroids grows
+      with the corpus so cluster sizes stay bounded -- the pairwise
+      step is a cid-keyed self-join over bounded buckets, never
+      corpus x corpus.
+    - Centroid direction: vectors are floor-quantized to integers
+      (x -> floor(x * quant)), and the centroid is their element-wise
+      integer SUM -- cosine is scale-invariant, so the sum IS the mean
+      direction without a division. Integer sums are exact and
+      order-free, making csim bit-identical across partitionings AND
+      engines (a double avg would drift in the last ulp with shuffle
+      order). Element-wise sum = one posexplode + (cid, pos)-keyed
+      aggregation, map-side combinable.
+    - All cosines go through functions/vectors.cosine (sequential
+      fold, rounded to 6), with id tie-breaks on equal priority, so
+      the kept set is deterministic everywhere. Zero vectors get NULL
+      csim and are always kept (NULL comparisons are false).
+    """
+    if keep not in ("far", "near"):
+        raise ValueError(f"keep must be 'far' or 'near', got {keep!r}")
+    if cluster_col is None:
+        cents = kmeans_centroids(vecs, k=n_centroids, id_col=id_col,
+                                 vec_col=vec_col)
+        assigned = assign_to_centroids(
+            vecs.select(F.col(id_col).alias("id"),
+                        F.col(vec_col).cast("array<double>").alias("v")),
+            cents)
+    else:
+        assigned = vecs.select(F.col(id_col).alias("id"),
+                               F.col(vec_col).cast("array<double>")
+                                .alias("v"),
+                               F.col(cluster_col).alias("cid"))
+    q = assigned.select(
+        "id", "cid",
+        F.transform("v", lambda x: F.floor(x * quant).cast("double"))
+         .alias("q"))
+
+    # centroid direction per cluster: element-wise exact integer sum
+    cent = (q.select("cid", F.posexplode("q").alias("pos", "x"))
+             .groupBy("cid", "pos")
+             .agg(F.sum(F.col("x").cast("long")).alias("s"))
+             .groupBy("cid")
+             .agg(F.transform(
+                 F.array_sort(F.collect_list(F.struct("pos", "s"))),
+                 lambda t: t.getField("s").cast("double")).alias("cv")))
+
+    scored = (q.join(cent, "cid")
+               .select("id", "cid", "q", cosine("q", "cv").alias("csim")))
+
+    better = (F.col("y_csim") < F.col("csim")) if keep == "far" \
+        else (F.col("y_csim") > F.col("csim"))
+    prio = better | ((F.col("y_csim") == F.col("csim"))
+                     & (F.col("y_id") < F.col("id")))
+    other = scored.select(F.col("id").alias("y_id"), "cid",
+                          F.col("q").alias("y_q"),
+                          F.col("csim").alias("y_csim"))
+    dup = (scored.join(other, "cid")
+                 .filter(prio & (cosine("q", "y_q") >= eps))
+                 .groupBy("id")
+                 .agg(F.min("y_id").alias("dup_of")))
+    return (scored.join(dup, "id", "left")
+                  .select("id", "cid", "csim", "dup_of",
+                          F.col("dup_of").isNull().alias("kept")))

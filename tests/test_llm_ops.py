@@ -558,3 +558,75 @@ def test_ivf_index_incremental_append(spark, sf_dir, tmp_path):
     assert got == want and len(got) > 0
     # appended rows actually changed the results (not a no-op)
     assert {(q, n) for q, _, n, _ in got} != before
+
+
+def test_semdedup_keeps_one_representative_per_group(spark):
+    """SemDeDup: planted duplicate groups collapse to one kept member;
+    keep='far' keeps the lowest-centroid-similarity member, keep='near'
+    the highest; dissimilar cluster-mates all survive."""
+    import math
+    rows = []
+    # cluster g=0: a duplicate trio (same direction, scaled/rotated a
+    # hair) + one orthogonal singleton
+    base = [1.0, 0.2, 0.0, 0.0]
+    rows.append((1, 0, base))
+    rows.append((2, 0, [x * 1.5 for x in base]))          # cos = 1.0
+    rows.append((3, 0, [1.0, 0.21, 0.01, 0.0]))           # cos ~ 0.9999
+    rows.append((4, 0, [0.0, 0.0, 1.0, 0.0]))             # orthogonal
+    # cluster g=1: two dissimilar vectors, nothing dropped
+    rows.append((5, 1, [0.0, 1.0, 0.0, 0.0]))
+    rows.append((6, 1, [0.0, 0.0, 0.0, 1.0]))
+    df = spark.createDataFrame(rows, "id long, g int, v array<double>")
+
+    out = ann.semdedup(df, eps=0.99, keep="far", cluster_col="g",
+                       id_col="id", vec_col="v")
+    res = {r["id"]: r.asDict() for r in out.collect()}
+    assert len(res) == 6 and all(r["cid"] in (0, 1) for r in res.values())
+    trio = [res[i] for i in (1, 2, 3)]
+    assert sum(r["kept"] for r in trio) == 1
+    # keep='far': the survivor has the group's minimum csim
+    survivor = next(r for r in trio if r["kept"])
+    assert survivor["csim"] == min(r["csim"] for r in trio)
+    for r in trio:
+        assert r["kept"] or r["dup_of"] in (1, 2, 3)
+    assert res[4]["kept"] and res[5]["kept"] and res[6]["kept"]
+
+    near = {r["id"]: r.asDict()
+            for r in ann.semdedup(df, eps=0.99, keep="near",
+                                  cluster_col="g", id_col="id",
+                                  vec_col="v").collect()}
+    surv_near = next(near[i] for i in (1, 2, 3) if near[i]["kept"])
+    assert surv_near["csim"] == max(near[i]["csim"] for i in (1, 2, 3))
+
+    # determinism across partitionings (integer centroid sums)
+    re = {r["id"]: r.asDict()
+          for r in ann.semdedup(df.repartition(7), eps=0.99, keep="far",
+                                cluster_col="g", id_col="id",
+                                vec_col="v").collect()}
+    assert re == res
+    assert math.isclose(res[2]["csim"], res[1]["csim"], abs_tol=1e-6)
+
+
+def test_semdedup_kmeans_path_partitions_corpus(spark, sf_dir):
+    """cluster_col=None: k-means assigns every vector, output covers
+    the corpus exactly once, and planted perturbed twins lose a member
+    while eps=1.01 (unreachable) keeps everything."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(F.col("vec_id").alias("id"),
+                      F.col("embedding").cast("array<double>").alias("v"))
+    twins = vecs.filter(F.col("id") % 10 == 0).select(
+        (F.col("id") + 1000000).alias("id"),
+        F.transform("v", lambda x: x * 1.001).alias("v"))
+    corpus = vecs.unionByName(twins)
+    n = corpus.count()
+    out = ann.semdedup(corpus, eps=0.995, keep="far", n_centroids=4,
+                       id_col="id", vec_col="v")
+    assert out.count() == n
+    dropped = out.filter(~F.col("kept")).count()
+    n_twins = twins.count()
+    # every twin pair shares a k-means cell (identical direction) so
+    # at least one of each pair is dropped
+    assert dropped >= n_twins
+    all_kept = ann.semdedup(corpus, eps=1.01, keep="far", n_centroids=4,
+                            id_col="id", vec_col="v")
+    assert all_kept.filter(~F.col("kept")).count() == 0
