@@ -231,10 +231,33 @@ WHERE CAST(n_inter AS DOUBLE) / (za.n + zb.n - n_inter) >= 0.3
 
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup surface, two labelled parts over the
+    synthesized vector corpus:
+
+    - 'pair': near-duplicate pairs via bucketed self-join, cosine >=
+      0.98 within (label, id%5) blocks (operators/ann.
+      embedding_near_dups) -- val = the pair's cosine.
+    - 'sem': SemDeDup (operators/ann.semdedup) with `label` standing
+      in for the k-means cell (a deterministic cluster assignment the
+      oracle can mirror; the learned-quantizer path is pytest-covered).
+      One row per DROPPED doc: id_a = the dropped id, id_b = its
+      smallest-id higher-priority neighbor within eps, val = the
+      dropped doc's cosine to the exact integer centroid direction.
+    """
     vecs = _vec_corpus(spark, sf_dir)
-    vecs = vecs.withColumn("blk", F.col("id") % 5)
-    return ann.embedding_near_dups(vecs, threshold=0.98, id_col="id",
-                                   vec_col="v", block_cols=("label", "blk"))
+    pairs = ann.embedding_near_dups(
+        vecs.withColumn("blk", F.col("id") % 5), threshold=0.98,
+        id_col="id", vec_col="v", block_cols=("label", "blk"))
+    pair_part = pairs.select(F.lit("pair").alias("part"), "id_a", "id_b",
+                             F.col("score").alias("val"))
+    sem = ann.semdedup(vecs, eps=0.98, keep="far", cluster_col="label",
+                       id_col="id", vec_col="v")
+    sem_part = (sem.filter(~F.col("kept"))
+                   .select(F.lit("sem").alias("part"),
+                           F.col("id").alias("id_a"),
+                           F.col("dup_of").alias("id_b"),
+                           F.col("csim").alias("val")))
+    return pair_part.unionByName(sem_part)
 
 
 _EMB_DEDUP_SQL = "WITH " + _VECS_SQL[_VECS_SQL.index("vecs"):] + f"""
@@ -244,7 +267,39 @@ _EMB_DEDUP_SQL = "WITH " + _VECS_SQL[_VECS_SQL.index("vecs"):] + f"""
   FROM vecs a JOIN vecs b
     ON a.label = b.label AND a.id % 5 = b.id % 5 AND a.id < b.id
 )
-SELECT id_a, id_b, score FROM scored WHERE score >= 0.98
+-- SemDeDup twin: floor-quantized vectors, exact integer centroid
+-- direction per label (cosine is scale-invariant so the element-wise
+-- SUM is the mean direction), priority = lower centroid-cosine
+-- (keep='far'), id tie-break
+, q AS (
+  SELECT id, label, list_transform(v, x -> floor(x * 1000000)) AS q
+  FROM vecs
+)
+, cent AS (
+  SELECT label, list(s ORDER BY i) AS cv
+  FROM (SELECT label, i, SUM(x)::DOUBLE AS s
+        FROM (SELECT label, unnest(q) AS x,
+                     generate_subscripts(q, 1) AS i
+              FROM q)
+        GROUP BY label, i)
+  GROUP BY label
+)
+, semsc AS (
+  SELECT q.id, q.label, q.q, {_cos_sql('q.q', 'cent.cv')} AS csim
+  FROM q JOIN cent ON q.label = cent.label
+)
+, dropped AS (
+  SELECT x.id AS id_a, MIN(y.id) AS id_b, x.csim AS val
+  FROM semsc x JOIN semsc y
+    ON x.label = y.label
+   AND (y.csim < x.csim OR (y.csim = x.csim AND y.id < x.id))
+   AND {_cos_sql('x.q', 'y.q')} >= 0.98
+  GROUP BY x.id, x.csim
+)
+SELECT 'pair' AS part, id_a, id_b, score AS val
+FROM scored WHERE score >= 0.98
+UNION ALL
+SELECT 'sem' AS part, id_a, id_b, val FROM dropped
 """
 
 
