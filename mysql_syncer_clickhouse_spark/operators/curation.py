@@ -357,3 +357,102 @@ def hash_sample(docs: DataFrame, *,
                         F.col(id_col).alias("id"),
                         bucket.alias("bucket"))
             .filter(F.col("bucket") < pct))
+
+
+def _bag_gram_buckets(df: DataFrame, id_col: str, text_col: str,
+                      n: int, buckets: int) -> DataFrame:
+    """(id, bucket): hashed word n-grams WITH multiplicity (bag
+    semantics -- DSIR models n-gram frequency, unlike the distinct-set
+    grams decontamination uses), feature-hashed into `buckets`."""
+    return (_spread(df.select(F.col(id_col).alias("id"), text_col), "id")
+            .select("id", F.explode(TX.word_ngrams(text_col, n)).alias("g"))
+            .select("id",
+                    (TX.portable_hash32(F.col("g")) % buckets)
+                    .alias("bucket")))
+
+
+def dsir_logratio_table(raw: DataFrame, target: DataFrame, *,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        n: int = 3, buckets: int = 4096) -> DataFrame:
+    """DSIR importance-weight model (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): add-one-smoothed
+    hashed bag-of-ngram distributions for the target and raw corpora,
+    reduced to one bounded table (bucket, lr_micro) where
+
+        lr_micro = round(1e6 * ln( p_target[b] / p_raw[b] ))
+                 = round(1e6 * ln( (ct+1)(Traw+B) / ((cr+1)(Ttgt+B)) ))
+
+    Integer MICRO-log-ratios are the repo's determinism convention:
+    per-doc scores become exact integer sums -- partition-order-free in
+    Spark and bit-identical in an oracle engine (a double log-prob sum
+    would drift in the last ulp with shuffle order). One ln per bucket
+    keeps libm exposure to a single rounded call.
+
+    Scale: both count relations are (bucket)-keyed aggregations with
+    map-side combine; the output is <= `buckets` rows by construction
+    -- a broadcast table no matter the corpus size (the totals window
+    below runs over that bounded table, not the corpus)."""
+    cr = (_bag_gram_buckets(raw, id_col, text_col, n, buckets)
+          .groupBy("bucket").agg(F.count(F.lit(1)).alias("cr")))
+    ct = (_bag_gram_buckets(target, id_col, text_col, n, buckets)
+          .groupBy("bucket").agg(F.count(F.lit(1)).alias("ct")))
+    w = Window.partitionBy()
+    both = (cr.join(ct, "bucket", "full")
+              .select("bucket",
+                      F.coalesce("cr", F.lit(0)).alias("cr"),
+                      F.coalesce("ct", F.lit(0)).alias("ct"))
+              .withColumn("t_raw", F.sum("cr").over(w))
+              .withColumn("t_tgt", F.sum("ct").over(w)))
+    num = (F.col("ct") + 1.0) * (F.col("t_raw") + F.lit(float(buckets)))
+    den = (F.col("cr") + 1.0) * (F.col("t_tgt") + F.lit(float(buckets)))
+    return both.select(
+        "bucket", F.round(F.log(num / den) * 1e6).cast("long")
+                   .alias("lr_micro"))
+
+
+def dsir_scores(docs: DataFrame, lr: DataFrame, *,
+                id_col: str = "doc_id", text_col: str = "text",
+                n: int = 3, buckets: int = 4096) -> DataFrame:
+    """(id, dsir_micro): per-document DSIR log importance weight in
+    micro-nats -- the exact integer sum of lr_micro over the doc's bag
+    of hashed n-grams. Higher = more target-like. The lr table is
+    bounded (<= buckets rows) so the join broadcasts; scoring is one
+    doc-keyed aggregation. Every doc emits >= 1 gram (word_ngrams
+    falls back to the whole text), so the output covers `docs`
+    exactly."""
+    g = _bag_gram_buckets(docs, id_col, text_col, n, buckets)
+    return (g.join(F.broadcast(lr), "bucket", "left")
+             .groupBy("id")
+             .agg(F.sum(F.coalesce("lr_micro", F.lit(0)))
+                   .alias("dsir_micro")))
+
+
+def dsir_resample(docs: DataFrame, target: DataFrame, *, k: int,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  n: int = 3, buckets: int = 4096,
+                  seed: str = "dsir") -> DataFrame:
+    """Importance RESAMPLING, the second half of DSIR: draw k docs
+    without replacement with probability proportional to their
+    importance weight, via the Gumbel top-k trick -- key = log-weight
+    + Gumbel(0,1) noise, take the k largest. The noise is derived from
+    a hash of (seed, id), not an RNG: resumable and reproducible
+    across runs/partitionings like hash_sample, and adding fresh seeds
+    draws fresh samples. Returns (id, dsir_micro, key) for the k
+    selected docs.
+
+    The global top-k is a sort-limit (Spark runs it as per-partition
+    top-k + a k-row merge, no full sort materialization)."""
+    raw = docs.join(target.select(F.col(id_col).alias("id")),
+                    docs[id_col] == F.col("id"), "left_anti")
+    lr = dsir_logratio_table(raw, target, id_col=id_col,
+                             text_col=text_col, n=n, buckets=buckets)
+    scores = dsir_scores(docs, lr, id_col=id_col, text_col=text_col,
+                         n=n, buckets=buckets)
+    u = (TX.portable_hash32(
+            F.concat_ws(":", F.lit(seed), F.col("id").cast("string")))
+         % 1_000_000 + 0.5) / 1e6
+    gumbel = -F.log(-F.log(u))
+    return (scores
+            .withColumn("key", F.col("dsir_micro") / 1e6 + gumbel)
+            .orderBy(F.col("key").desc(), F.col("id"))
+            .limit(k))

@@ -817,6 +817,11 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
       doc's distinct word 3-grams that appear in >=1 OTHER document
       (the n-gram-hash approximation of exact-substring dedup;
       operators/curation.cross_doc_ngram_dup).
+    - 'dsir': DSIR importance weighting (Xie et al. 2023) -- val = the
+      per-doc log importance weight in integer micro-nats under
+      add-one-smoothed hashed bag-of-trigram models, target = the
+      'src0' split, raw = the rest (operators/curation.dsir_scores;
+      the Gumbel-top-k resampling half is pytest-covered).
     """
     docs = _docs(spark, sf_dir)
     bench = docs.filter(F.col("source") == "src0")
@@ -855,9 +860,14 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("xdup").alias("part"),
         F.col("id").alias("doc_id"),
         F.col("n_dup_grams").cast("long").alias("val"))
+    lr = curation.dsir_logratio_table(train, bench, n=3)
+    dsir = curation.dsir_scores(train, lr, n=3).select(
+        F.lit("dsir").alias("part"),
+        F.col("id").alias("doc_id"),
+        F.col("dsir_micro").cast("long").alias("val"))
     return (dec.unionByName(pack).unionByName(samp)
             .unionByName(spl).unionByName(chunks).unionByName(mix)
-            .unionByName(xdup))
+            .unionByName(xdup).unionByName(dsir))
 
 
 _CURATION_SQL = f"""
@@ -943,6 +953,30 @@ WITH g AS (
     FROM xg JOIN gfreq ON xg.gh = gfreq.gh
     GROUP BY xg.doc_id) x
   ON d.doc_id = x.doc_id
+), dsb AS (
+  -- DSIR: bag (non-distinct) trigram hashes feature-hashed into 4096
+  -- buckets; integer micro-nat log-ratios so the per-doc sum is exact
+  SELECT doc_id, source, gh % 4096 AS bucket FROM g
+), dcr AS (
+  SELECT bucket, COUNT(*) AS cr FROM dsb
+  WHERE source <> 'src0' GROUP BY bucket
+), dct AS (
+  SELECT bucket, COUNT(*) AS ct FROM dsb
+  WHERE source = 'src0' GROUP BY bucket
+), dlr AS (
+  SELECT COALESCE(dcr.bucket, dct.bucket) AS bucket,
+         CAST(ROUND(ln(
+             (COALESCE(ct, 0) + 1.0)
+             * ((SELECT SUM(cr) FROM dcr) + 4096.0)
+           / ((COALESCE(cr, 0) + 1.0)
+              * ((SELECT SUM(ct) FROM dct) + 4096.0))
+         ) * 1000000) AS BIGINT) AS lr_micro
+  FROM dcr FULL JOIN dct ON dcr.bucket = dct.bucket
+), dsir AS (
+  SELECT b.doc_id, CAST(SUM(COALESCE(l.lr_micro, 0)) AS BIGINT) AS val
+  FROM dsb b LEFT JOIN dlr l ON b.bucket = l.bucket
+  WHERE b.source <> 'src0'
+  GROUP BY b.doc_id
 )
 SELECT 'decontam' AS part, doc_id, val FROM decontam
 UNION ALL SELECT 'pack', doc_id, val FROM pack
@@ -951,6 +985,7 @@ UNION ALL SELECT 'split', doc_id, val FROM spl
 UNION ALL SELECT 'chunk', doc_id, val FROM chunk
 UNION ALL SELECT 'mix', doc_id, val FROM mix
 UNION ALL SELECT 'xdup', doc_id, val FROM xdup
+UNION ALL SELECT 'dsir', doc_id, val FROM dsir
 """
 
 

@@ -455,3 +455,59 @@ def test_cross_doc_ngram_dup_counts_repeated_gram_once(spark):
     out = {r["id"]: r["n_dup_grams"]
            for r in curation.cross_doc_ngram_dup(docs, n=3).collect()}
     assert out[1] == 1 and out[2] == 1  # only "a b c" is shared
+
+
+def _dsir_fixture(spark):
+    """Target talks about kernels; raw is split between kernel-flavored
+    docs and cooking docs."""
+    target = spark.createDataFrame(
+        [(1000 + i, "tgt",
+          "the kernel scheduler preempts the kernel thread queue")
+         for i in range(5)],
+        "doc_id long, source string, text string")
+    raw = spark.createDataFrame(
+        [(1, "raw", "the kernel scheduler preempts the kernel thread"),
+         (2, "raw", "kernel thread queue the kernel scheduler preempts"),
+         (3, "raw", "whisk the eggs fold the flour bake the cake"),
+         (4, "raw", "simmer the broth season the stew taste the soup")],
+        "doc_id long, source string, text string")
+    return raw, target
+
+
+def test_dsir_scores_rank_target_like_docs_higher(spark):
+    raw, target = _dsir_fixture(spark)
+    lr = curation.dsir_logratio_table(raw, target, n=3)
+    scores = {r["id"]: r["dsir_micro"]
+              for r in curation.dsir_scores(raw, lr, n=3).collect()}
+    assert set(scores) == {1, 2, 3, 4}
+    # kernel docs beat cooking docs under a kernel-targeted model
+    assert min(scores[1], scores[2]) > max(scores[3], scores[4])
+    # deterministic across partitionings (integer micro-nat sums)
+    rescore = {r["id"]: r["dsir_micro"]
+               for r in curation.dsir_scores(
+                   raw.repartition(7), lr, n=3).collect()}
+    assert rescore == scores
+    # lr table is bounded by the bucket count
+    assert lr.count() <= 4096
+
+
+def test_dsir_resample_is_deterministic_and_weight_biased(spark):
+    raw, target = _dsir_fixture(spark)
+    docs = raw.unionByName(target)
+    pick = curation.dsir_resample(docs, target, k=4, n=3)
+    ids = sorted(r["id"] for r in pick.collect())
+    assert len(ids) == 4
+    again = sorted(r["id"] for r in
+                   curation.dsir_resample(docs.repartition(5), target,
+                                          k=4, n=3).collect())
+    assert again == ids  # hash-Gumbel, not an RNG
+    other = sorted(r["id"] for r in
+                   curation.dsir_resample(docs, target, k=4, n=3,
+                                          seed="other").collect())
+    assert len(other) == 4  # fresh seed draws a (possibly) new sample
+    # weight bias: with k=3 of the 4 raw-only... instead check the
+    # cooking docs (lowest weights) are never BOTH ahead of both
+    # kernel docs when k=2 over just the raw docs
+    top2 = sorted(r["id"] for r in
+                  curation.dsir_resample(raw, target, k=2, n=3).collect())
+    assert top2 != [3, 4]
