@@ -511,3 +511,69 @@ def test_dsir_resample_is_deterministic_and_weight_biased(spark):
     top2 = sorted(r["id"] for r in
                   curation.dsir_resample(raw, target, k=2, n=3).collect())
     assert top2 != [3, 4]
+
+
+def test_bpe_train_matches_pure_python_reference(spark):
+    """train_bpe replicates the classic Sennrich loop computed
+    independently in-process, including tie-breaks."""
+    from collections import Counter
+
+    from mysql_syncer_clickhouse_spark.operators import bpe
+
+    texts = ["low lower lowest low low",
+             "new newer newest new new newer",
+             "wide wider widest wide"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+
+    # independent reference: word freqs -> iterative best-pair merge
+    wf = Counter(w for t in texts for w in t.split())
+    vocab = {tuple(w): c for w, c in wf.items()}
+    expected = []
+    for _ in range(12):
+        pc = Counter()
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += c
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if pc[best] < 2:
+            break
+        expected.append(best)
+        merged = {}
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (i + 1 < len(syms)
+                        and (syms[i], syms[i + 1]) == best):
+                    out.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            merged[tuple(out)] = merged.get(tuple(out), 0) + c
+        vocab = merged
+
+    got = bpe.train_bpe(docs, num_merges=12)
+    assert got == expected
+    # determinism across partitionings
+    assert bpe.train_bpe(docs.repartition(5), num_merges=12) == expected
+
+
+def test_bpe_encode_partitions_words_and_counts(spark):
+    from mysql_syncer_clickhouse_spark.operators import bpe
+
+    docs = spark.createDataFrame(
+        [(1, "low lower lowest"), (2, "newest new"), (3, "")],
+        "doc_id long, text string")
+    merges = bpe.train_bpe(docs, num_merges=10)
+    enc = {r["id"]: r for r in bpe.bpe_encode(docs, merges).collect()}
+    assert set(enc) == {1, 2, 3}
+    for i, text in [(1, "low lower lowest"), (2, "newest new"), (3, "")]:
+        # tokens concatenate back to the words, in order
+        assert "".join(enc[i]["tokens"]) == text.replace(" ", "")
+        assert enc[i]["n_tokens"] == len(enc[i]["tokens"])
+    assert enc[3]["tokens"] == []
+    # merges actually compress: fewer tokens than characters
+    assert enc[1]["n_tokens"] < len("lowlowerlowest")
