@@ -456,3 +456,76 @@ def dsir_resample(docs: DataFrame, target: DataFrame, *, k: int,
             .withColumn("key", F.col("dsir_micro") / 1e6 + gumbel)
             .orderBy(F.col("key").desc(), F.col("id"))
             .limit(k))
+
+
+def gopher_repetition_signals(docs: DataFrame, *,
+                              id_col: str = "doc_id",
+                              text_col: str = "text",
+                              ns: tuple[int, ...] = (2, 3, 4)) -> DataFrame:
+    """The Gopher repetition filters (Rae et al. 2021, App. A) beyond
+    the map-only dup_ngram_ratio already in text_analysis:
+
+    - dup_line_frac:      (lines - distinct lines) / lines
+    - dup_line_char_frac: characters attributable to line repetition
+                          (occurrences beyond each line's first) /
+                          total characters
+    - top{n}gram_char_frac: characters covered by occurrences of the
+                          single most frequent word n-gram / total
+                          characters, for each n in `ns`
+
+    Practical pipelines drop docs above thresholds (e.g. 0.3 / 0.2 /
+    0.18-0.16). Computed as explode + (id, line|gram)-keyed counts --
+    the scale-right shape: a mode-per-document via array lambdas would
+    run O(grams^2) interpreted comparisons per row (SCALE.md §1), while
+    keyed counts combine map-side and shuffle 8-byte hashes. Ties on
+    the top gram break lexicographically; every fraction is 0 for
+    empty/whitespace docs."""
+    base = docs.select(F.col(id_col).alias("id"), F.col(text_col))
+    tot = base.select(
+        "id", F.greatest(F.length(text_col), F.lit(1)).alias("n_chars"))
+
+    line_counts = (_spread(base, "id")
+                   .select("id", F.explode(F.split(text_col, "\n"))
+                            .alias("line"))
+                   .filter(F.trim("line") != "")
+                   .groupBy("id", "line")
+                   .agg(F.count(F.lit(1)).alias("c")))
+    lines = (line_counts.groupBy("id").agg(
+        F.sum("c").alias("n_lines"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum((F.col("c") - 1) * F.length("line")).alias("dup_chars")))
+    line_sig = (lines.join(tot, "id")
+        .select("id",
+                ((F.col("n_lines") - F.col("n_distinct"))
+                 / F.col("n_lines")).alias("dup_line_frac"),
+                (F.col("dup_chars") / F.col("n_chars"))
+                 .alias("dup_line_char_frac")))
+
+    gram_rows = None
+    for n in ns:
+        g = (_spread(base, "id")
+             .select("id", F.lit(n).alias("n"),
+                     F.explode(TX.word_ngrams(text_col, n)).alias("g")))
+        gram_rows = g if gram_rows is None else gram_rows.unionByName(g)
+    gcount = (gram_rows.groupBy("id", "n", "g")
+                       .agg(F.count(F.lit(1)).alias("c")))
+    w = Window.partitionBy("id", "n").orderBy(F.col("c").desc(), "g")
+    top = (gcount.withColumn("rk", F.row_number().over(w))
+                 .filter(F.col("rk") == 1)
+                 .join(tot, "id")
+                 .select("id", "n",
+                         (F.col("c") * F.length("g") / F.col("n_chars"))
+                          .alias("frac")))
+    top_sig = top.groupBy("id").agg(*[
+        F.max(F.when(F.col("n") == n, F.col("frac"))).alias(
+            f"top{n}gram_char_frac") for n in ns])
+
+    return (docs.select(F.col(id_col).alias("id"))
+            .join(line_sig, "id", "left").join(top_sig, "id", "left")
+            .select("id",
+                    F.coalesce("dup_line_frac", F.lit(0.0))
+                     .alias("dup_line_frac"),
+                    F.coalesce("dup_line_char_frac", F.lit(0.0))
+                     .alias("dup_line_char_frac"),
+                    *[F.coalesce(f"top{n}gram_char_frac", F.lit(0.0))
+                       .alias(f"top{n}gram_char_frac") for n in ns]))

@@ -577,3 +577,58 @@ def test_bpe_encode_partitions_words_and_counts(spark):
     assert enc[3]["tokens"] == []
     # merges actually compress: fewer tokens than characters
     assert enc[1]["n_tokens"] < len("lowlowerlowest")
+
+
+def test_gopher_repetition_signals_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [(1, "spam spam spam spam"),
+         (2, "a b\nc d\na b\ne f"),
+         (3, "all words here are different ones"),
+         (4, "")],
+        "doc_id long, text string")
+    out = {r["id"]: r.asDict()
+           for r in curation.gopher_repetition_signals(docs).collect()}
+    # doc 2: 4 lines, 3 distinct -> dup_line_frac 1/4; the repeated
+    # "a b" contributes 3 chars of its 2nd occurrence over 15 chars
+    assert abs(out[2]["dup_line_frac"] - 0.25) < 1e-9
+    assert abs(out[2]["dup_line_char_frac"] - 3 / 15) < 1e-9
+    # doc 1: "spam spam" 2-gram occurs 3x, 9 chars each, text 19 chars
+    assert abs(out[1]["top2gram_char_frac"] - 3 * 9 / 19) < 1e-9
+    assert out[1]["dup_line_frac"] == 0.0  # single line
+    # doc 3: no repeated grams -> each top gram occurs once
+    assert out[3]["top2gram_char_frac"] < 0.5
+    assert out[3]["dup_line_char_frac"] == 0.0
+    # empty doc: all signals 0, row still present
+    assert all(out[4][k] == 0.0 for k in out[4] if k != "id")
+    # determinism across partitionings
+    re = {r["id"]: r.asDict()
+          for r in curation.gopher_repetition_signals(
+              docs.repartition(5)).collect()}
+    assert re == out
+
+
+def test_bpe_tokens_feed_sequence_packing(spark):
+    """Composition: pack_sequences' token budget can come from a REAL
+    trained subword vocabulary -- bpe_encode's n_tokens -- instead of
+    the whitespace approximation."""
+    from mysql_syncer_clickhouse_spark.operators import bpe
+
+    docs = spark.createDataFrame(
+        [(i, "s", "low lower lowest new newer newest " * 3)
+         for i in range(6)],
+        "doc_id long, source string, text string")
+    merges = bpe.train_bpe(docs, num_merges=20)
+    counts = bpe.bpe_encode(docs, merges).select(
+        F.col("id").alias("doc_id"), "n_tokens")
+    packed = curation.pack_sequences(
+        docs.join(counts, "doc_id"),
+        tokens=F.col("n_tokens"), budget=64)
+    rows = {r["id"]: r for r in packed.collect()}
+    assert len(rows) == 6
+    n = rows[0]["n_tokens"]
+    assert 0 < n < len("low lower lowest new newer newest ") * 3  # subword < chars
+    # identical docs -> identical counts; seq boundaries follow the
+    # exclusive running total of the REAL counts
+    for i in range(6):
+        assert rows[i]["n_tokens"] == n
+        assert rows[i]["seq_id"] == (i * n) // 64
