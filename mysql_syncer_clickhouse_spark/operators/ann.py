@@ -713,3 +713,59 @@ def semdedup(vecs: DataFrame, *, eps: float = 0.97, keep: str = "far",
     return (scored.join(dup, "id", "left")
                   .select("id", "cid", "csim", "dup_of",
                           F.col("dup_of").isNull().alias("kept")))
+
+
+def embedding_decontaminate(train: DataFrame, bench: DataFrame, *,
+                            threshold: float = 0.95,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding") -> DataFrame:
+    """Semantic decontamination: flag training vectors whose cosine to
+    ANY benchmark vector reaches `threshold` -- the embedding-space
+    complement of the n-gram-hash decontamination in
+    operators/curation.benchmark_decontaminate (paraphrased eval
+    leakage has no n-gram overlap but lands next to the benchmark in
+    embedding space). Returns (id, max_bench_sim, contaminated).
+
+    The benchmark side is an eval suite -- bounded by contract like
+    the ANN query set -- so it BROADCASTS against one corpus scan:
+    |train| x |bench| cosine evaluations as a map-side join, no
+    shuffle of the training corpus, no corpus x corpus product."""
+    t = train.select(F.col(id_col).alias("id"),
+                     F.col(vec_col).cast("array<double>").alias("tv"))
+    b = bench.select(F.col(vec_col).cast("array<double>").alias("bv"))
+    return (t.join(F.broadcast(b))
+             .groupBy("id")
+             .agg(F.max(cosine("tv", "bv")).alias("max_bench_sim"))
+             .select("id", "max_bench_sim",
+                     (F.col("max_bench_sim") >= threshold)
+                      .alias("contaminated")))
+
+
+def cluster_balanced_sample(emb: DataFrame, *, per_cluster: int,
+                            n_centroids: int = 8, seed: str = "cbs",
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding") -> DataFrame:
+    """Semantically balanced subsampling: k-means the corpus, then keep
+    `per_cluster` vectors from EACH cluster -- uniform coverage of the
+    embedding space instead of the head-heavy sample a global hash
+    filter gives (the cluster-balanced selection used alongside
+    SemDeDup-style pipelines to preserve tail topics). Selection
+    within a cluster is by md5 hash of (seed, id): deterministic,
+    resumable, partitioning-stable, like curation.hash_sample.
+    Returns (id, cid) for kept vectors; clusters smaller than
+    `per_cluster` keep everything. One keyed window after the map-only
+    assignment; at 100 TB n_centroids grows with the corpus so each
+    partition stays bounded."""
+    from ..functions.text import portable_hash32
+    cents = kmeans_centroids(emb, k=n_centroids, id_col=id_col,
+                             vec_col=vec_col)
+    assigned = assign_to_centroids(
+        emb.select(F.col(id_col).alias("id"),
+                   F.col(vec_col).cast("array<double>").alias("v")),
+        cents)
+    h = portable_hash32(F.concat_ws(":", F.lit(seed),
+                                    F.col("id").cast("string")))
+    w = Window.partitionBy("cid").orderBy(h.asc(), F.col("id").asc())
+    return (assigned.withColumn("rk", F.row_number().over(w))
+                    .filter(F.col("rk") <= per_cluster)
+                    .select("id", "cid"))

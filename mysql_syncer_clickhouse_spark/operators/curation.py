@@ -529,3 +529,99 @@ def gopher_repetition_signals(docs: DataFrame, *,
                      .alias("dup_line_char_frac"),
                     *[F.coalesce(f"top{n}gram_char_frac", F.lit(0.0))
                        .alias(f"top{n}gram_char_frac") for n in ns]))
+
+
+def lm_bigram_tables(target: DataFrame, *,
+                     id_col: str = "doc_id", text_col: str = "text",
+                     buckets: int = 65536,
+                     alpha: float = 0.1) -> tuple[DataFrame, DataFrame]:
+    """Hashed word-bigram language model from a target corpus -- the
+    CCNet recipe (Wenzek et al. 2020: score web text by the perplexity
+    of an LM trained on trusted text) with the 5-gram KenLM swapped
+    for an add-alpha bigram over feature-hashed words.
+
+    Returns (bigrams, unigrams):
+      bigrams:  (v, w, lp_micro)  lp_micro = round(1e6*ln p(w|v)) for
+                OBSERVED bigrams, p(w|v) = (c(v,w)+a)/(c(v)+aB)
+      unigrams: (v, fb_micro)     the same formula at c(v,w)=0 -- the
+                fallback for unseen continuations of a seen context.
+
+    Log-probs are rounded to integer micro-nats AT TABLE BUILD (one ln
+    per observed bigram / context), so document scores are exact
+    integer sums -- the DSIR determinism convention. The unigram table
+    is bounded by `buckets`; the bigram table is bounded by observed
+    pairs -- corpus-scale, so scoring JOINS on the hashed keys (keyed
+    shuffle, map-side combinable counts) rather than assuming a
+    broadcast."""
+    def word_buckets(df):
+        return (_spread(df.select(F.col(id_col).alias("id"), text_col),
+                        "id")
+                .select("id", F.posexplode(TX.words(text_col))
+                         .alias("pos", "w"))
+                .select("id", "pos",
+                        (TX.portable_hash32("w") % buckets).alias("b")))
+
+    toks = word_buckets(target)
+    nxt = toks.select("id", (F.col("pos") + 1).alias("pos"),
+                      F.col("b").alias("v"))
+    big = (toks.join(nxt, ["id", "pos"])
+               .groupBy("v", F.col("b").alias("w"))
+               .agg(F.count(F.lit(1)).alias("cvw")))
+    uni = big.groupBy("v").agg(F.sum("cvw").alias("cv"))
+    ab = alpha * buckets
+    bigrams = (big.join(uni, "v")
+                  .select("v", "w",
+                          F.round(F.log((F.col("cvw") + alpha)
+                                        / (F.col("cv") + ab)) * 1e6)
+                           .cast("long").alias("lp_micro")))
+    unigrams = uni.select(
+        "v", F.round(F.log(F.lit(alpha) / (F.col("cv") + ab)) * 1e6)
+              .cast("long").alias("fb_micro"))
+    return bigrams, unigrams
+
+
+def lm_perplexity(docs: DataFrame, bigrams: DataFrame,
+                  unigrams: DataFrame, *,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  buckets: int = 65536,
+                  alpha: float = 0.1) -> DataFrame:
+    """(id, n_bigrams, lp_sum_micro, ppl): score each document under
+    an lm_bigram_tables model. Unseen (context, word) falls back to
+    the context's fb_micro; an UNSEEN CONTEXT scores the uniform prior
+    ln(1/B) -- both precomputed integers, so lp_sum_micro is an exact
+    order-free sum. ppl = exp(-mean log-prob) is derived from the
+    integer sum in double (bit-identical everywhere). Lower ppl =
+    more target-like; CCNet keeps the low-perplexity head/middle.
+    Single-word docs have no bigram: n_bigrams=0 and NULL ppl."""
+    prior_micro = __import__("math").floor(
+        -__import__("math").log(buckets) * 1e6 + 0.5)
+    toks = (_spread(docs.select(F.col(id_col).alias("id"), text_col),
+                    "id")
+            .select("id", F.posexplode(TX.words(text_col))
+                     .alias("pos", "w"))
+            .select("id", "pos",
+                    (TX.portable_hash32("w") % buckets).alias("b")))
+    pairs = toks.join(
+        toks.select("id", (F.col("pos") + 1).alias("pos"),
+                    F.col("b").alias("v")), ["id", "pos"])
+    scored = (pairs
+              .join(bigrams, [pairs.v == bigrams.v, pairs.b == bigrams.w],
+                    "left")
+              .drop(bigrams.v)
+              .join(unigrams, pairs.v == unigrams.v, "left")
+              .select("id", F.coalesce("lp_micro", "fb_micro",
+                                       F.lit(int(prior_micro)))
+                             .alias("lp")))
+    agg = scored.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("lp").alias("lp_sum_micro"))
+    return (docs.select(F.col(id_col).alias("id"))
+            .join(agg, "id", "left")
+            .select("id",
+                    F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+                    F.coalesce("lp_sum_micro", F.lit(0))
+                     .alias("lp_sum_micro"),
+                    F.when(F.col("n_bigrams") > 0,
+                           F.exp(-F.col("lp_sum_micro") / 1e6
+                                 / F.col("n_bigrams")))
+                     .alias("ppl")))

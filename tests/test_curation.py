@@ -632,3 +632,33 @@ def test_bpe_tokens_feed_sequence_packing(spark):
     for i in range(6):
         assert rows[i]["n_tokens"] == n
         assert rows[i]["seq_id"] == (i * n) // 64
+
+
+def test_lm_perplexity_separates_in_domain_text(spark):
+    """CCNet-style filter: docs matching the LM's training corpus get
+    lower perplexity than off-domain docs; exact integer sums make the
+    scores partitioning-invariant."""
+    target = spark.createDataFrame(
+        [(100 + i, "t",
+          "the compiler emits bytecode and the runtime loads bytecode "
+          "while the compiler optimizes the runtime")
+         for i in range(4)],
+        "doc_id long, source string, text string")
+    big, uni = curation.lm_bigram_tables(target)
+    docs = spark.createDataFrame(
+        [(1, "d", "the compiler emits bytecode and the runtime"),
+         (2, "d", "purple monsoon tangerine oboe filament daydream"),
+         (3, "d", "single")],
+        "doc_id long, source string, text string")
+    out = {r["id"]: r.asDict()
+           for r in curation.lm_perplexity(docs, big, uni).collect()}
+    assert out[1]["ppl"] < out[2]["ppl"]
+    assert out[3]["n_bigrams"] == 0 and out[3]["ppl"] is None
+    assert out[1]["n_bigrams"] == 6
+    re = {r["id"]: r.asDict()
+          for r in curation.lm_perplexity(docs.repartition(7), big,
+                                          uni).collect()}
+    assert re == out
+    # every observed bigram outscores the unseen-context prior
+    assert out[1]["lp_sum_micro"] > 6 * round(-__import__("math")
+                                              .log(65536) * 1e6)

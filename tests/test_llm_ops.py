@@ -630,3 +630,38 @@ def test_semdedup_kmeans_path_partitions_corpus(spark, sf_dir):
     all_kept = ann.semdedup(corpus, eps=1.01, keep="far", n_centroids=4,
                             id_col="id", vec_col="v")
     assert all_kept.filter(~F.col("kept")).count() == 0
+
+
+def test_embedding_decontaminate_flags_planted_leaks(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("vec_id") < 5)
+    # train = the rest, plus paraphrase-analog leaks of the bench set
+    leaks = bench.select((F.col("vec_id") + 5000).alias("vec_id"),
+                         F.transform(F.col("embedding").cast("array<double>"),
+                                     lambda x: x * 1.003).alias("embedding"),
+                         "label")
+    train = emb.filter(F.col("vec_id") >= 5).unionByName(leaks)
+    out = {r["id"]: r for r in ann.embedding_decontaminate(
+        train, bench, threshold=0.999).collect()}
+    assert out, "no rows"
+    for i in range(5000, 5005):
+        assert out[i]["contaminated"], i  # scaled copies sit at cos~1
+    n_flagged = sum(r["contaminated"] for r in out.values())
+    assert n_flagged < len(out) * 0.5  # the bulk of train is clean
+    assert len(out) == train.count()
+
+
+def test_cluster_balanced_sample_covers_every_cluster(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    kept = ann.cluster_balanced_sample(emb, per_cluster=3, n_centroids=4)
+    rows = kept.collect()
+    from collections import Counter
+    by_cid = Counter(r["cid"] for r in rows)
+    assert set(by_cid) == {1, 2, 3, 4}      # every cluster represented
+    assert all(c <= 3 for c in by_cid.values())
+    # deterministic under repartitioning
+    again = sorted((r["id"], r["cid"]) for r in
+                   ann.cluster_balanced_sample(
+                       emb.repartition(7), per_cluster=3,
+                       n_centroids=4).collect())
+    assert again == sorted((r["id"], r["cid"]) for r in rows)
