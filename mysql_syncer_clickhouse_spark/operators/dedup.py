@@ -142,7 +142,13 @@ def jaccard_verify(candidates: DataFrame, hashed: DataFrame,
 def jaccard_verify_sets(candidates: DataFrame, sets: DataFrame,
                         threshold: float) -> DataFrame:
     """jaccard_verify over pre-aggregated (id, hs: array<long>) sets --
-    the shared tail when a caller already has per-doc hash arrays."""
+    the shared tail when a caller already has per-doc hash arrays.
+
+    Alongside Jaccard it reports max-containment |A∩B| / min(|A|,|B|):
+    a short document wholly embedded in a long one scores low Jaccard
+    (the union is dominated by the long doc) but containment ~1 --
+    the signal that catches subsumed/quoted documents, which pure
+    Jaccard dedup misses. Same intersect, zero extra cost."""
     return (candidates
             .join(sets.select(F.col("id").alias("id_a"),
                               F.col("hs").alias("hs_a")), "id_a")
@@ -153,8 +159,12 @@ def jaccard_verify_sets(candidates: DataFrame, sets: DataFrame,
                         F.round(F.col("n_inter").cast("double")
                                 / (F.size("hs_a") + F.size("hs_b")
                                    - F.col("n_inter")), 6))
+            .withColumn("containment",
+                        F.round(F.col("n_inter").cast("double")
+                                / F.least(F.size("hs_a"), F.size("hs_b")),
+                                6))
             .filter(F.col("jaccard") >= threshold)
-            .select("id_a", "id_b", "jaccard"))
+            .select("id_a", "id_b", "jaccard", "containment"))
 
 
 def minhash_dedup(df: DataFrame, id_col: str, text_col: str,

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from ..functions import text as TX
 from ..functions.vectors import cosine
-from ..operators import ann, curation, dedup, multimodal
+from ..operators import ann, curation, dedup, multimodal, sketch
 from ..sources.tables import load_table
 
 # ---------------------------------------------------------------------------
@@ -138,7 +138,9 @@ _MINHASH_CTES = _CORPUS + "," + _SHINGLES_SQL + f"""
 ), pairs AS (
   SELECT i.id_a, i.id_b,
          ROUND(CAST(n_inter AS DOUBLE) / (za.n + zb.n - n_inter), 6)
-           AS jaccard
+           AS jaccard,
+         ROUND(CAST(n_inter AS DOUBLE) / LEAST(za.n, zb.n), 6)
+           AS containment
   FROM inter i
   JOIN sizes za ON za.id = i.id_a
   JOIN sizes zb ON zb.id = i.id_b
@@ -146,7 +148,7 @@ _MINHASH_CTES = _CORPUS + "," + _SHINGLES_SQL + f"""
 )"""
 
 _MINHASH_SQL = _MINHASH_CTES + """
-SELECT id_a, id_b, jaccard FROM pairs
+SELECT id_a, id_b, jaccard, containment FROM pairs
 """
 
 
@@ -544,23 +546,53 @@ FROM m
 
 def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide most-frequent word 3-grams (contamination / boiler-
-    plate analysis): explode -> count -> top-k with deterministic
-    tie-break. Map-side partial counts collapse the explosion before
-    the shuffle, so the exchange carries distinct grams, not tokens."""
+    plate analysis), two labelled parts over ONE gram relation:
+
+    - 'exact': explode -> count -> top-20 with deterministic tie-break.
+      Map-side partial counts collapse the explosion before the
+      shuffle, so the exchange carries distinct grams, not tokens --
+      but still one row per DISTINCT gram, which at 100 TB of web text
+      is billions of rows.
+    - 'cms': the same 20 grams estimated from a count-min sketch
+      (operators/sketch.py) whose shuffle is capped at d*w rows no
+      matter the corpus size -- the bounded-memory heavy-hitter path.
+      md5-salted bucketing makes the estimates (including their
+      deterministic overcounts) bit-identical in the oracle."""
     docs = _docs(spark, sf_dir)
     grams = docs.select(
         F.explode(TX.word_ngrams("text", 3)).alias("gram"))
-    return (grams.groupBy("gram")
-                 .agg(F.count(F.lit(1)).alias("n"))
-                 .orderBy(F.col("n").desc(), F.col("gram").asc())
-                 .limit(20))
+    exact = (grams.groupBy("gram")
+                  .agg(F.count(F.lit(1)).alias("n"))
+                  .orderBy(F.col("n").desc(), F.col("gram").asc())
+                  .limit(20))
+    est = sketch.cms_estimate(sketch.cms_table(grams, "gram"),
+                              exact.select("gram"), "gram")
+    return (exact.select(F.lit("exact").alias("part"), "gram", "n")
+                 .unionByName(exact.join(est, "gram").select(
+                     F.lit("cms").alias("part"), "gram",
+                     F.col("est").alias("n"))))
 
 
-_NGRAM_TOPK_SQL = """
-SELECT array_to_string(w[i:i+2], ' ') AS gram, COUNT(*) AS n
-FROM (SELECT w, unnest(generate_series(1, greatest(len(w) - 2, 1))) AS i
-      FROM (SELECT string_split(trim(text), ' ') AS w FROM documents))
-GROUP BY 1 ORDER BY n DESC, gram ASC LIMIT 20
+_NGRAM_TOPK_SQL = f"""
+WITH grams AS (
+  SELECT array_to_string(w[i:i+2], ' ') AS gram
+  FROM (SELECT w, unnest(generate_series(1, greatest(len(w) - 2, 1))) AS i
+        FROM (SELECT string_split(trim(text), ' ') AS w FROM documents))
+), exact AS (
+  SELECT gram, COUNT(*) AS n FROM grams
+  GROUP BY 1 ORDER BY n DESC, gram ASC LIMIT 20
+), cms AS ({sketch.cms_sql("grams", "gram")}
+), est AS (
+  SELECT e.gram, MIN(COALESCE(c.cnt, 0)) AS n
+  FROM exact e
+  CROSS JOIN (VALUES (0), (1), (2), (3)) AS s(i)
+  LEFT JOIN cms c ON c.i = s.i AND c.bucket =
+    ('0x' || substr(md5('cms' || s.i || ':' || e.gram), 1, 8))::BIGINT % 2048
+  GROUP BY e.gram
+)
+SELECT 'exact' AS part, gram, n FROM exact
+UNION ALL
+SELECT 'cms', gram, n FROM est
 """
 
 

@@ -966,12 +966,19 @@ SELECT 'union_distinct', n_name FROM ({_UNION_SQL})
 
 
 def distinct_vs_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact COUNT(DISTINCT) surface plus a banded check of
-    approx_count_distinct (HLL++, rsd=0.02): the estimate itself is
-    engine-specific, so the checked value is `approx_ok` -- estimate
-    within 5% of the exact count -- which the oracle asserts as TRUE.
+    """Exact COUNT(DISTINCT) surface plus banded checks of the
+    approximate aggregates: approx_count_distinct (HLL++, rsd=0.02)
+    within 5% of the exact count, and approx_percentile (KLL-style
+    quantile summary, accuracy=10000) within 2% of the exact in-engine
+    median. The estimates themselves are engine-specific, so the
+    checked values are the booleans, which the oracle asserts as TRUE.
     This replaces round 1's oracle-less approx_distinct (the driver
-    has no rows-only mode; an oracle-less query records an err)."""
+    has no rows-only mode; an oracle-less query records an err).
+
+    The banded pair is the scale contract: at 100 TB the exact
+    distinct/percentile (a per-group shuffle of distinct keys / a full
+    sort) gives way to these one-pass mergeable summaries, and this row
+    keeps their error inside the advertised envelope."""
     li = _t(spark, sf_dir, "lineitem")
     agg = (li.groupBy("l_returnflag")
              .agg(F.countDistinct("l_partkey").alias("n_parts"),
@@ -979,11 +986,18 @@ def distinct_vs_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.count(F.lit(1)).alias("n_rows"),
                   F.countDistinct("l_orderkey").alias("n_orders"),
                   F.approx_count_distinct("l_orderkey", 0.02)
-                   .alias("approx_orders")))
+                   .alias("approx_orders"),
+                  F.expr("percentile(l_extendedprice, 0.5)")
+                   .alias("exact_p50"),
+                  F.expr("approx_percentile(l_extendedprice, 0.5, 10000)")
+                   .alias("approx_p50")))
     ok = (F.abs(F.col("approx_orders") - F.col("n_orders"))
           <= 0.05 * F.col("n_orders"))
+    p50_ok = (F.abs(F.col("approx_p50") - F.col("exact_p50"))
+              <= 0.02 * F.col("exact_p50"))
     return agg.select("l_returnflag", "n_parts", "n_supps", "n_rows",
-                      "n_orders", ok.alias("approx_ok"))
+                      "n_orders", ok.alias("approx_ok"),
+                      p50_ok.alias("approx_p50_ok"))
 
 
 _DISTINCT_VS_APPROX_SQL = """
@@ -992,7 +1006,8 @@ SELECT l_returnflag,
        COUNT(DISTINCT l_suppkey) AS n_supps,
        COUNT(*) AS n_rows,
        COUNT(DISTINCT l_orderkey) AS n_orders,
-       TRUE AS approx_ok
+       TRUE AS approx_ok,
+       TRUE AS approx_p50_ok
 FROM lineitem GROUP BY l_returnflag
 """
 

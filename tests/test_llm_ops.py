@@ -665,3 +665,66 @@ def test_cluster_balanced_sample_covers_every_cluster(spark, sf_dir):
                        emb.repartition(7), per_cluster=3,
                        n_centroids=4).collect())
     assert again == sorted((r["id"], r["cid"]) for r in rows)
+
+
+def test_cms_sketch_bounds_and_estimates(spark, sf_dir):
+    """Count-min: the sketch has <= d*w rows no matter the input, every
+    estimate >= the true count (one-sided error), estimates of the
+    frequent grams stay within the eps*N envelope, and the sketch is
+    identical under a different partitioning (pure keyed aggregation)."""
+    from mysql_syncer_clickhouse_spark.operators import sketch
+
+    docs = load_table(spark, sf_dir, "documents")
+    from mysql_syncer_clickhouse_spark.functions import text as TX
+    grams = docs.select(F.explode(TX.word_ngrams("text", 3)).alias("gram"))
+    n_total = grams.count()
+
+    sk = sketch.cms_table(grams, "gram")
+    assert sk.count() <= sketch.CMS_DEPTH * sketch.CMS_WIDTH
+    sk2 = sketch.cms_table(grams.repartition(3), "gram")
+    assert sorted(map(tuple, sk.collect())) == \
+        sorted(map(tuple, sk2.collect()))
+
+    true = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("n")) \
+                .orderBy(F.col("n").desc(), F.col("gram")).limit(50)
+    est = sketch.cms_estimate(sk, true.select("gram"), "gram")
+    joined = true.join(est, "gram").collect()
+    assert len(joined) == 50
+    eps_n = (2.718281828 / sketch.CMS_WIDTH) * n_total
+    for r in joined:
+        assert r["est"] >= r["n"], (r["gram"], r["est"], r["n"])
+        assert r["est"] <= r["n"] + eps_n, (r["gram"], r["est"], r["n"])
+
+
+def test_cms_estimate_zero_for_absent_item(spark, sf_dir):
+    """An item the corpus never contained estimates 0 unless every one
+    of its d buckets collided -- with d=4 rows over w=2048 buckets the
+    planted absent gram must hit an empty row at this corpus size."""
+    from mysql_syncer_clickhouse_spark.operators import sketch
+
+    docs = load_table(spark, sf_dir, "documents")
+    from mysql_syncer_clickhouse_spark.functions import text as TX
+    grams = docs.select(F.explode(TX.word_ngrams("text", 3)).alias("gram"))
+    sk = sketch.cms_table(grams, "gram")
+    absent = spark.createDataFrame(
+        [("zzz absent gram zzz",)], "gram string")
+    est = sketch.cms_estimate(sk, absent, "gram").collect()
+    # one-sided error means est >= 0 always; equality is overwhelmingly
+    # likely but not certain, so assert the bound rather than == 0
+    assert est[0]["est"] >= 0
+
+
+def test_minhash_containment_flags_subsumed_docs(spark, sf_dir):
+    """The planted near-dups are ORIGINAL + SUFFIX, so the original's
+    shingle set is (almost) contained in the copy's: containment must
+    sit above jaccard on every pair and at ~1.0 for the planted ones."""
+    pairs = dedup.minhash_dedup(_corpus(spark, sf_dir), "id", "text",
+                                threshold=0.5)
+    rows = pairs.collect()
+    assert rows, "expected planted near-dup pairs"
+    for r in rows:
+        assert r["containment"] >= r["jaccard"] - 1e-9
+    planted = [r for r in rows if r["id_b"] - r["id_a"] == 1000000]
+    assert planted
+    for r in planted:
+        assert r["containment"] >= 0.95, (r["id_a"], r["containment"])
