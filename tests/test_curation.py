@@ -662,3 +662,60 @@ def test_lm_perplexity_separates_in_domain_text(spark):
     # every observed bigram outscores the unseen-context prior
     assert out[1]["lp_sum_micro"] > 6 * round(-__import__("math")
                                               .log(65536) * 1e6)
+
+
+def test_quality_classifier_separates_and_is_deterministic(spark):
+    """GPT-3-style discriminative filter: train on labeled docs from
+    two obviously different vocabularies, check held-out docs from
+    each side separate cleanly, scores are bit-identical under a
+    different partitioning (integer micro-TF gradients), and the
+    keep-filter applies the decision."""
+    from mysql_syncer_clickhouse_spark.operators import classifier
+
+    good = "the compiler emits bytecode and the runtime loads modules "
+    bad = "click here buy now free offer winner prize claim today "
+    train = spark.createDataFrame(
+        [(i, good * 3, 1) for i in range(10)]
+        + [(100 + i, bad * 3, 0) for i in range(10)],
+        "id long, text string, y int")
+    w = classifier.train_quality_classifier(train, "id", "text", "y",
+                                            iters=8)
+
+    held = spark.createDataFrame(
+        [(1000, good * 2 + "with fresh suffix tokens"),
+         (1001, bad * 2 + "with fresh suffix tokens")],
+        "id long, text string")
+    scores = {r["id"]: r["score"]
+              for r in classifier.score_quality(held, w, "id",
+                                                "text").collect()}
+    assert scores[1000] > 0.7 > 0.3 > scores[1001], scores
+
+    re = {r["id"]: r["score"]
+          for r in classifier.score_quality(held.repartition(5), w, "id",
+                                            "text").collect()}
+    assert re == scores
+
+    w2 = classifier.train_quality_classifier(train.repartition(7), "id",
+                                             "text", "y", iters=8)
+    assert sorted(map(tuple, w.collect())) == sorted(map(tuple,
+                                                         w2.collect()))
+
+    kept = classifier.classifier_filter(held, w, "id", "text",
+                                        threshold=0.5)
+    assert [r["id"] for r in kept.collect()] == [1000]
+
+
+def test_quality_classifier_weight_table_bounded(spark):
+    """The model relation is <= n_features + 1 rows by construction --
+    the property that lets scoring broadcast it at any corpus size."""
+    from mysql_syncer_clickhouse_spark.operators import classifier
+
+    train = spark.createDataFrame(
+        [(1, "alpha beta gamma", 1), (2, "delta epsilon zeta", 0)],
+        "id long, text string, y int")
+    w = classifier.train_quality_classifier(train, "id", "text", "y",
+                                            n_features=64, iters=2)
+    assert w.count() == 65
+    feats = classifier.featurize(train, "id", "text", n_features=64)
+    assert feats.filter((F.col("feat") < 0) |
+                        (F.col("feat") >= 64)).count() == 0

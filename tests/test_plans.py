@@ -328,3 +328,15 @@ def test_hierarchy_closure_recursive_cte(spark):
     capped = hierarchy_closure(chain, max_depth=2)
     assert {r["depth"] for r in capped.collect()} == {0, 1, 2}
     assert capped.count() == 3
+
+
+def test_cms_sketch_join_broadcasts_and_no_cartesian(spark, sf_dir):
+    """text_ngram_topk's count-min path: the d*w-row sketch must reach
+    the estimate join as a broadcast (it is bounded by construction,
+    like nation/region), and nothing in the two-part plan may fall
+    back to a cartesian product."""
+    from mysql_syncer_clickhouse_spark.queries import llm
+    df = llm.text_ngram_topk(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
