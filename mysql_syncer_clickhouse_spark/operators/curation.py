@@ -625,3 +625,64 @@ def lm_perplexity(docs: DataFrame, bigrams: DataFrame,
                            F.exp(-F.col("lp_sum_micro") / 1e6
                                  / F.col("n_bigrams")))
                      .alias("ppl")))
+
+
+# span-packed (doc, block) key: blocks-per-doc bounded by 2^20 (a
+# 16M-word document at span 16 -- far past any real doc), so the key
+# packs exactly and MIN() picks the earliest occurrence in (doc, block)
+# order on any engine with plain integer arithmetic
+_SPAN_PK_LIM = 1 << 20
+
+
+def remove_duplicate_spans(docs: DataFrame, *,
+                           id_col: str = "doc_id",
+                           text_col: str = "text",
+                           span_words: int = 16) -> DataFrame:
+    """C4-style duplicate-span removal (Raffel et al. 2020 §2.2 dedup
+    rule, word-window adaptation): split each document into consecutive
+    `span_words`-word blocks, drop every block whose text occurs
+    anywhere else in the corpus EXCEPT its single canonical occurrence
+    (the minimum (doc, block) position), and reassemble the survivors.
+    Unlike cross_doc_ngram_dup (which only SCORES duplication), this
+    rewrites the text -- the boilerplate-stripping step itself.
+
+    Returns (id, text, n_removed_spans, n_spans).
+
+    Scale shape: one explode to block grain, ONE block-hash-keyed
+    aggregation for (count, canonical), one keyed join back, one
+    doc-keyed reassembly aggregation -- every shuffle is keyed on the
+    block hash or the doc id, never all-pairs. Blocks travel as 8-byte
+    md5-derived hashes (portable: the oracle reproduces the exact
+    keep/drop decisions, collisions and all). Reassembly sorts the
+    collected (block_idx, text) structs INSIDE the aggregate, so the
+    output is partitioning-independent."""
+    ws = TX.words(text_col)
+    n_blocks = F.greatest(F.ceil(F.size(ws) / F.lit(span_words)),
+                          F.lit(1)).cast("int")
+    block_arr = F.transform(
+        F.sequence(F.lit(0), n_blocks - 1),
+        lambda b: F.concat_ws(" ", F.slice(ws, b * span_words + 1,
+                                           span_words)))
+    blocks = (_spread(docs, id_col)
+              .select(F.col(id_col).alias("id"),
+                      F.posexplode(block_arr).alias("b", "block"))
+              .select("id", "b", "block",
+                      TX.portable_hash32("block").alias("h"),
+                      (F.col("id") * _SPAN_PK_LIM + F.col("b"))
+                      .alias("pk")))
+    stats = blocks.groupBy("h").agg(F.count(F.lit(1)).alias("cnt"),
+                                    F.min("pk").alias("winner"))
+    marked = (blocks.join(stats, "h")
+              .withColumn("keep", (F.col("cnt") == 1)
+                          | (F.col("pk") == F.col("winner"))))
+    return (marked.groupBy("id")
+            .agg(F.concat_ws(" ", F.transform(
+                     F.sort_array(F.collect_list(
+                         F.when(F.col("keep"),
+                                F.struct(F.col("b").alias("b"),
+                                         F.col("block").alias("block"))))),
+                     lambda s: s["block"])).alias(text_col),
+                 F.sum(F.when(~F.col("keep"), 1).otherwise(0))
+                  .cast("long").alias("n_removed_spans"),
+                 F.count(F.lit(1)).cast("long").alias("n_spans"))
+            .withColumnRenamed("id", id_col))

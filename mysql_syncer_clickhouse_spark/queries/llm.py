@@ -854,6 +854,12 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
       add-one-smoothed hashed bag-of-trigram models, target = the
       'src0' split, raw = the rest (operators/curation.dsir_scores;
       the Gumbel-top-k resampling half is pytest-covered).
+    - 'spanrm': C4-style duplicate-span REMOVAL -- val = the number of
+      16-word blocks stripped from each doc because their text occurs
+      elsewhere in the corpus and this doc is not the canonical
+      occurrence (operators/curation.remove_duplicate_spans; the
+      reassembled text itself is pytest-covered, the oracle mirrors
+      every keep/drop decision through the same md5 block hashes).
     """
     docs = _docs(spark, sf_dir)
     bench = docs.filter(F.col("source") == "src0")
@@ -897,9 +903,13 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("dsir").alias("part"),
         F.col("id").alias("doc_id"),
         F.col("dsir_micro").cast("long").alias("val"))
+    spanrm = curation.remove_duplicate_spans(docs, span_words=16).select(
+        F.lit("spanrm").alias("part"),
+        "doc_id",
+        F.col("n_removed_spans").alias("val"))
     return (dec.unionByName(pack).unionByName(samp)
             .unionByName(spl).unionByName(chunks).unionByName(mix)
-            .unionByName(xdup).unionByName(dsir))
+            .unionByName(xdup).unionByName(dsir).unionByName(spanrm))
 
 
 _CURATION_SQL = f"""
@@ -1009,6 +1019,27 @@ WITH g AS (
   FROM dsb b LEFT JOIN dlr l ON b.bucket = l.bucket
   WHERE b.source <> 'src0'
   GROUP BY b.doc_id
+), spans AS (
+  -- C4-style span removal: 16-word blocks, keep only the canonical
+  -- (min packed (doc, block)) occurrence of each duplicated block
+  SELECT doc_id, b,
+         {_H32.format(
+             x="array_to_string(w[b*16+1 : b*16+16], ' ')")} AS h,
+         doc_id * 1048576 + b AS pk
+  FROM (SELECT doc_id, w,
+               unnest(generate_series(
+                   0, GREATEST(CAST(CEIL(len(w) / 16.0) AS INT) - 1, 0)
+               )) AS b
+        FROM (SELECT doc_id, string_split(trim(text), ' ') AS w
+              FROM documents))
+), span_stats AS (
+  SELECT h, COUNT(*) AS cnt, MIN(pk) AS winner FROM spans GROUP BY h
+), spanrm AS (
+  SELECT s.doc_id,
+         CAST(SUM(CASE WHEN st.cnt > 1 AND s.pk <> st.winner
+                       THEN 1 ELSE 0 END) AS BIGINT) AS val
+  FROM spans s JOIN span_stats st ON s.h = st.h
+  GROUP BY s.doc_id
 )
 SELECT 'decontam' AS part, doc_id, val FROM decontam
 UNION ALL SELECT 'pack', doc_id, val FROM pack
@@ -1018,6 +1049,7 @@ UNION ALL SELECT 'chunk', doc_id, val FROM chunk
 UNION ALL SELECT 'mix', doc_id, val FROM mix
 UNION ALL SELECT 'xdup', doc_id, val FROM xdup
 UNION ALL SELECT 'dsir', doc_id, val FROM dsir
+UNION ALL SELECT 'spanrm', doc_id, val FROM spanrm
 """
 
 

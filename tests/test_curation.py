@@ -719,3 +719,43 @@ def test_quality_classifier_weight_table_bounded(spark):
     feats = classifier.featurize(train, "id", "text", n_features=64)
     assert feats.filter((F.col("feat") < 0) |
                         (F.col("feat") >= 64)).count() == 0
+
+
+def test_remove_duplicate_spans_keeps_canonical_only(spark):
+    """C4-style span removal: a block repeated across documents
+    survives only at its earliest (doc, block) position; unique text
+    is untouched; results are bit-identical under repartitioning."""
+    boiler = " ".join(f"b{i}" for i in range(16))
+    uniq = {d: " ".join(f"u{d}w{i}" for i in range(16)) for d in (1, 2, 3)}
+    docs = spark.createDataFrame(
+        [(1, uniq[1] + " " + boiler),        # boiler at (1, 1): canonical
+         (2, boiler + " " + uniq[2]),        # boiler at (2, 0): removed
+         (3, uniq[3])],                      # no duplication
+        "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict()
+           for r in curation.remove_duplicate_spans(
+               docs, span_words=16).collect()}
+    assert out[1]["n_removed_spans"] == 0
+    assert out[1]["text"] == uniq[1] + " " + boiler
+    assert out[2]["n_removed_spans"] == 1
+    assert out[2]["text"] == uniq[2]
+    assert out[3]["n_removed_spans"] == 0
+    assert out[3]["text"] == uniq[3]
+    assert {k: v["n_spans"] for k, v in out.items()} == {1: 2, 2: 2, 3: 1}
+
+    re = {r["doc_id"]: r.asDict()
+          for r in curation.remove_duplicate_spans(
+              docs.repartition(7), span_words=16).collect()}
+    assert re == out
+
+
+def test_remove_duplicate_spans_within_doc_and_order(spark):
+    """The same block repeated INSIDE one document also dedups to its
+    first occurrence, and reassembly preserves original block order."""
+    blk = " ".join(f"x{i}" for i in range(4))
+    mid = " ".join(f"m{i}" for i in range(4))
+    docs = spark.createDataFrame(
+        [(5, blk + " " + mid + " " + blk)], "doc_id long, text string")
+    out = curation.remove_duplicate_spans(docs, span_words=4).collect()[0]
+    assert out["n_removed_spans"] == 1
+    assert out["text"] == blk + " " + mid
