@@ -158,12 +158,28 @@ class StreamingSyncPipeline:
         return latest_state(sink, list(self._sink_pk()), self.seq_col,
                             self.op_col)
 
-    def compact(self, spark: SparkSession) -> None:
+    def compact(self, spark: SparkSession, *,
+                ttl_col: str | None = None,
+                ttl_expire_before=None) -> None:
         """Background-merge analog: rewrite the changelog sink down to
         its current materialized state (latest op wins, tombstones
-        drop). Run out-of-band, exactly like MergeTree merges."""
+        drop). Run out-of-band, exactly like MergeTree merges.
+
+        TTL analog (MergeTree `TTL col + INTERVAL n` evaluates exactly
+        at merge time, like this): pass `ttl_col` and
+        `ttl_expire_before` to also drop every live row whose ttl_col
+        is strictly older than the cutoff. The cutoff is an explicit
+        value, not wall-clock-at-run -- deterministic and replayable
+        (callers decide "now"). NULL ttl values never expire, matching
+        the sink DB's NULL-TTL behavior."""
         state = self.current_state(spark).withColumn(
             self.op_col, F.lit("insert"))
+        if ttl_col is not None:
+            if ttl_expire_before is None:
+                raise ValueError("ttl_col requires ttl_expire_before")
+            state = state.filter(
+                F.col(ttl_col).isNull()
+                | (F.col(ttl_col) >= F.lit(ttl_expire_before)))
         tmp = self.sink_dir.rstrip("/") + ".compact"
         state.write.mode("overwrite").format(self.sink_format).save(tmp)
         back = spark.read.format(self.sink_format).load(tmp)

@@ -391,3 +391,38 @@ def test_orc_sink_format_same_semantics(spark, dirs):
     assert after == state
     raw = spark.read.format("orc").load(sink)
     assert raw.count() == 2          # compacted to live rows only
+
+
+def test_compact_with_ttl_drops_expired_rows(spark, dirs):
+    """MergeTree-TTL analog: compacting with a ttl cutoff drops live
+    rows older than the cutoff (mydate < 100000 here), keeps newer and
+    NULL-ttl rows, and the dedup/tombstone semantics are unchanged."""
+    src, sink, ckpt = dirs
+    _write_part(spark, src, ROWS_PART1, "p1")
+    _write_part(spark, src, ROWS_PART2, "p2")
+    pipe = StreamingSyncPipeline(_rule(), ["id"], sink, ckpt)
+    pipe.run_available(spark, src, _schema(spark))
+    # live state pre-TTL: id1 (mydate 86400), id3 (172800); id2 deleted
+    pre = {r["id"] for r in pipe.current_state(spark).collect()}
+    assert pre == {1, 3}
+
+    pipe.compact(spark, ttl_col="mydate", ttl_expire_before=100000)
+    post = {r["id"] for r in pipe.current_state(spark).collect()}
+    assert post == {3}
+    assert spark.read.parquet(sink).count() == 1
+
+    with pytest.raises(ValueError):
+        pipe.compact(spark, ttl_col="mydate")
+
+
+def test_compact_ttl_keeps_null_ttl_rows(spark, dirs):
+    """NULL in the TTL column means 'never expires' (sink-DB NULL-TTL
+    semantics), so a NULL-dated live row survives any cutoff."""
+    src, sink, ckpt = dirs
+    rows = [(1, "insert", 1, "dated", 100),
+            (2, "insert", 2, "undated", None)]
+    _write_part(spark, src, rows, "p1")
+    pipe = StreamingSyncPipeline(_rule(), ["id"], sink, ckpt)
+    pipe.run_available(spark, src, _schema(spark))
+    pipe.compact(spark, ttl_col="mydate", ttl_expire_before=10**9)
+    assert {r["id"] for r in pipe.current_state(spark).collect()} == {2}
