@@ -383,11 +383,55 @@ def parse_ppm(payload: bytes) \
     return fmt, w, h, maxval, i + 1         # single whitespace after maxval
 
 
+def make_bmp(width: int, height: int, seed: int = 0) -> bytes:
+    """Deterministic COMPLETE bitmap: the 54-byte header of
+    `make_bmp_header` plus a real BI_RGB 24-bit pixel array (rows
+    4-byte padded, stored bottom-up per the spec) with values derived
+    from image coordinates + seed -- the fixture generator for the
+    codec-free BMP pixel path."""
+    stride = (width * 3 + 3) & ~3
+    px = bytearray()
+    for row in range(height):               # file rows are bottom-up
+        y = height - 1 - row                # image coordinate
+        line = bytearray()
+        for x in range(width):              # stored B, G, R
+            line += bytes(((x * 13 + y * 17 + 3 * seed) % 256,
+                           (x * 5 + y * 11 + 2 * seed) % 256,
+                           (x * 3 + y * 7 + seed) % 256))
+        px += line.ljust(stride, b"\0")
+    return (b"BM" + struct.pack("<IHHI", 54 + len(px), 0, 0, 54)
+            + struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24,
+                          0, len(px), 0, 0, 0, 0)
+            + bytes(px))
+
+
+def parse_bmp_pixels(payload: bytes) \
+        -> tuple[int, int, int, int] | None:
+    """(width, height, pixel_offset, row_stride) for an uncompressed
+    24-bit BMP whose pixel array is fully present; None for any other
+    BMP flavor (paletted/compressed/truncated), which then degrades to
+    the header-only path."""
+    if payload[:2] != b"BM" or len(payload) < 54:
+        return None
+    off = struct.unpack("<I", payload[10:14])[0]
+    w, h = struct.unpack("<ii", payload[18:26])
+    bpp = struct.unpack("<H", payload[28:30])[0]
+    compression = struct.unpack("<I", payload[30:34])[0]
+    w, h = abs(w), abs(h)
+    stride = (w * 3 + 3) & ~3
+    if bpp != 24 or compression != 0 or w == 0 or h == 0 \
+            or len(payload) < off + stride * h:
+        return None
+    return w, h, off, stride
+
+
 def decode_image_pixels(df: DataFrame) -> DataFrame:
     """REAL pixel decoding, no codec library: NetPBM payloads (P6 RGB /
-    P5 grayscale) decode to per-image channel statistics -- mean R/G/B
-    and luma brightness computed from the actual pixel bytes.
-    Non-NetPBM payloads (PNG/JPEG need a codec this container lacks)
+    P5 grayscale) and uncompressed 24-bit BMPs decode to per-image
+    channel statistics -- mean R/G/B and luma brightness computed from
+    the actual pixel bytes (BMP rows un-padded and BGR-swapped; means
+    are row-order invariant so bottom-up storage needs no flip).
+    Other payloads (PNG/JPEG need a codec this container lacks)
     yield NULL stats with width/height from the header walk, so the
     operator is total over mixed corpora. Same Arrow mapInPandas
     plumbing as every other multimodal operator; arithmetic runs as one
@@ -406,8 +450,10 @@ def decode_image_pixels(df: DataFrame) -> DataFrame:
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 payload = bytes(payload)
                 meta = parse_ppm(payload)
+                bmp = None if meta is not None else \
+                    parse_bmp_pixels(payload)
                 out["doc_id"].append(doc_id)
-                if meta is None:
+                if meta is None and bmp is None:
                     n, w, h, fmt = _decode(payload)
                     out["format"].append(fmt)
                     out["width"].append(w)
@@ -415,12 +461,23 @@ def decode_image_pixels(df: DataFrame) -> DataFrame:
                     for k in ("mean_r", "mean_g", "mean_b", "brightness"):
                         out[k].append(None)
                     continue
-                fmt, w, h, _maxval, off = meta
-                ch = 1 if fmt == "pgm" else 3
-                px = np.frombuffer(payload, dtype=np.uint8,
-                                   count=w * h * ch, offset=off) \
-                       .reshape(h, w, ch).astype(np.float64)
-                means = px.mean(axis=(0, 1))
+                if meta is not None:
+                    fmt, w, h, _maxval, off = meta
+                    ch = 1 if fmt == "pgm" else 3
+                    px = np.frombuffer(payload, dtype=np.uint8,
+                                       count=w * h * ch, offset=off) \
+                           .reshape(h, w, ch).astype(np.float64)
+                    means = px.mean(axis=(0, 1))
+                else:
+                    fmt = "bmp"
+                    w, h, off, stride = bmp
+                    rows = np.frombuffer(payload, dtype=np.uint8,
+                                         count=stride * h, offset=off) \
+                             .reshape(h, stride)
+                    px = rows[:, :w * 3].reshape(h, w, 3) \
+                             .astype(np.float64)
+                    means = px.mean(axis=(0, 1))[::-1]  # BGR -> RGB
+                    ch = 3
                 if ch == 1:
                     r = g = b = float(means[0])
                 else:

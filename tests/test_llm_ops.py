@@ -728,3 +728,37 @@ def test_minhash_containment_flags_subsumed_docs(spark, sf_dir):
     assert planted
     for r in planted:
         assert r["containment"] >= 0.95, (r["id_a"], r["containment"])
+
+
+def test_bmp_pixel_decode_exact_statistics(spark):
+    """Uncompressed 24-bit BMP pixels decode for REAL: channel means
+    equal the pure-Python reference over the SAME coordinate-derived
+    values (bottom-up rows + BGR byte order + 4-byte row padding all
+    handled), a header-only BMP still degrades to NULL stats, and a
+    full BMP equals the NetPBM image with identical pixel arithmetic."""
+    from mysql_syncer_clickhouse_spark.operators.multimodal import (
+        decode_image_pixels, make_bmp, make_bmp_header, make_ppm,
+        parse_bmp_pixels)
+
+    w, h = 10, 6      # stride 32 > 30: padding exercised
+    bmp = make_bmp(w, h, seed=3)
+    assert parse_bmp_pixels(bmp) == (w, h, 54, 32)
+    assert parse_bmp_pixels(make_bmp_header(w, h)) is None
+
+    rows = [(1, bytearray(bmp)), (2, bytearray(make_ppm(w, h, seed=3))),
+            (3, bytearray(make_bmp_header(9, 9)))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in decode_image_pixels(df).collect()}
+
+    exp_r = sum((x * 3 + y * 7 + 3) % 256
+                for y in range(h) for x in range(w)) / (w * h)
+    exp_g = sum((x * 5 + y * 11 + 6) % 256
+                for y in range(h) for x in range(w)) / (w * h)
+    assert out[1]["format"] == "bmp"
+    assert (out[1]["width"], out[1]["height"]) == (w, h)
+    assert abs(out[1]["mean_r"] - exp_r) < 1e-6
+    assert abs(out[1]["mean_g"] - exp_g) < 1e-6
+    # same seed/coordinate formula as make_ppm -> identical statistics
+    for k in ("mean_r", "mean_g", "mean_b", "brightness"):
+        assert out[1][k] == out[2][k], k
+    assert out[3]["mean_r"] is None and out[3]["width"] == 9
