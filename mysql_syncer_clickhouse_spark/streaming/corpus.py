@@ -54,6 +54,11 @@ class CorpusIngestPipeline:
     min_quality: float = 0.5
     watermark: str = "1 hour"
     redact: bool = True
+    # optional discriminative gate: a trained weight table from
+    # operators/classifier.train_quality_classifier; docs scoring under
+    # min_classifier_score drop alongside the heuristic quality gate
+    classifier_weights: DataFrame | None = None
+    min_classifier_score: float = 0.5
     metrics: CorpusMetrics = field(default_factory=CorpusMetrics)
 
     def curate_stream(self, stream: DataFrame) -> DataFrame:
@@ -67,16 +72,30 @@ class CorpusIngestPipeline:
                 .dropDuplicates(["fp"]))
 
     def _apply_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
-        """Quality gate + scored append; counters ride the write."""
+        """Quality gate(s) + scored append; counters ride the write.
+        With classifier weights configured, the per-epoch batch also
+        runs through score_quality (broadcast weight join -- the
+        bounded model relation makes this safe at any batch size) and
+        both gates must pass."""
         from pyspark.sql import Observation
+        if self.classifier_weights is not None:
+            from ..operators.classifier import score_quality
+            cls = (score_quality(batch_df, self.classifier_weights,
+                                 "doc_id", "text")
+                   .withColumnRenamed("id", "doc_id")
+                   .withColumnRenamed("score", "cls_score"))
+            batch_df = batch_df.join(cls, "doc_id")
+            keep = ((F.col("quality") >= self.min_quality)
+                    & (F.col("cls_score") >= self.min_classifier_score))
+        else:
+            keep = F.col("quality") >= self.min_quality
         obs = Observation()
         scored = (batch_df
                   .withColumn("quality", TX.quality_score("text"))
                   .observe(obs,
                            F.count(F.lit(1)).alias("ingested"),
-                           F.sum((F.col("quality") >= self.min_quality)
-                                 .cast("long")).alias("kept")))
-        (scored.filter(F.col("quality") >= self.min_quality)
+                           F.sum(keep.cast("long")).alias("kept")))
+        (scored.filter(keep)
                .write.mode("append").parquet(self.sink_dir))
         got = dict(obs.get)
         self.metrics.ingested += int(got.get("ingested") or 0)

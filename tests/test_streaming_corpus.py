@@ -124,3 +124,34 @@ def test_corpus_metrics_served_over_stat(spark, dirs):
         assert got["counts"]["epochs"] >= 1
     finally:
         srv.stop()
+
+
+def test_corpus_ingest_with_classifier_gate(spark, dirs):
+    """A trained discriminative classifier plugged into the streaming
+    ingest drops docs resembling the negative corpus even when the
+    heuristic quality gate would pass them; counters reflect both
+    gates."""
+    from mysql_syncer_clickhouse_spark.operators import classifier
+
+    spam = ("click here buy now free offer winner prize claim "
+            "instantly guaranteed reward bonus jackpot ") * 3
+    train = spark.createDataFrame(
+        [(i, GOOD + f" v{i}", 1) for i in range(8)]
+        + [(100 + i, spam + f" v{i}", 0) for i in range(8)],
+        "id long, text string, y int")
+    w = classifier.train_quality_classifier(train, "id", "text", "y",
+                                            iters=8)
+
+    t0 = _ts(spark, "2026-01-01 10:00:00")
+    pipe = CorpusIngestPipeline(sink_dir=dirs["sink"],
+                                checkpoint_dir=dirs["ckpt"],
+                                classifier_weights=w)
+    _write_part(spark, dirs["src"], [
+        (1, "web", GOOD + " fresh tail one", t0),
+        (2, "web", spam + " fresh tail two", t0),
+    ], "p1")
+    pipe.run_available(spark, dirs["src"], _schema(spark))
+
+    kept = {r["doc_id"] for r in pipe.corpus(spark).collect()}
+    assert kept == {1}
+    assert pipe.metrics.ingested == 2 and pipe.metrics.kept == 1
