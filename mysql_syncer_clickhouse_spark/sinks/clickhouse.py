@@ -40,11 +40,14 @@ from ..functions.typemap import clickhouse_create_table_ddl
 
 def _post(url: str, query: str, body: bytes = b"",
           user: str | None = None, password: str | None = None,
-          timeout: int = 60) -> bytes:
+          timeout: int = 60,
+          params: dict[str, str] | None = None) -> bytes:
     """One ClickHouse HTTP request: SQL in the query string, data (for
-    INSERT ... FORMAT ...) in the body. Module-level so executor-side
+    INSERT ... FORMAT ...) in the body, extra settings (e.g.
+    insert_deduplication_token) as additional query params -- the
+    public HTTP-settings mechanism. Module-level so executor-side
     closures pickle cleanly."""
-    q = urllib.parse.urlencode({"query": query})
+    q = urllib.parse.urlencode({"query": query, **(params or {})})
     req = urllib.request.Request(f"{url}/?{q}", data=body, method="POST")
     if user:
         req.add_header("X-ClickHouse-User", user)
@@ -75,6 +78,15 @@ class ClickHouseHTTPSink:
     bulk_size: int = 10000
     user: str | None = None
     password: str | None = None
+    # stamp each INSERT chunk with a deterministic
+    # insert_deduplication_token (db.table:epoch:partition:chunk) so a
+    # replayed epoch's identical chunks dedup SERVER-side (the public
+    # ClickHouse insert-dedup mechanism) instead of relying solely on
+    # the ReplacingMergeTree (pk, seq) collapse. Best-effort: the token
+    # repeats only when the replay reproduces the same partitioning
+    # (true for availableNow file replays); the (pk, seq) dedup remains
+    # the correctness backstop either way.
+    dedup_tokens: bool = False
     # columns the sink table is known to have (drift tracking);
     # initialized lazily from `columns` or the first batch
     _known_cols: set[str] | None = field(default=None, repr=False)
@@ -131,18 +143,34 @@ class ClickHouseHTTPSink:
                       f"({cols}) FORMAT JSONEachRow")
         url, user, password = self.url, self.user, self.password
         bulk = self.bulk_size
+        token_prefix = (f"{self.database}.{self.table}:{epoch_id}"
+                        if self.dedup_tokens else None)
 
         def send_partition(rows) -> None:
+            if token_prefix is not None:
+                from pyspark import TaskContext
+                ctx = TaskContext.get()
+                pid = ctx.partitionId() if ctx is not None else 0
+            chunk = 0
             buf: list[str] = []
+
+            def flush() -> None:
+                nonlocal chunk
+                params = (
+                    {"insert_deduplication_token":
+                     f"{token_prefix}:{pid}:{chunk}"}
+                    if token_prefix is not None else None)
+                _post(url, insert_sql, ("\n".join(buf) + "\n").encode(),
+                      user, password, params=params)
+                buf.clear()
+                chunk += 1
+
             for row in rows:
                 buf.append(_row_to_json(row))
                 if len(buf) >= bulk:
-                    _post(url, insert_sql,
-                          ("\n".join(buf) + "\n").encode(), user, password)
-                    buf.clear()
+                    flush()
             if buf:
-                _post(url, insert_sql,
-                      ("\n".join(buf) + "\n").encode(), user, password)
+                flush()
 
         batch_df.foreachPartition(send_partition)
 

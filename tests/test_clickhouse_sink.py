@@ -30,6 +30,9 @@ class _FakeClickHouse:
 
     def __init__(self) -> None:
         self.requests: list[tuple[str, str]] = []
+        # non-query settings per request (insert_deduplication_token
+        # etc.), index-aligned with `requests`
+        self.params: list[dict[str, str]] = []
         self._lock = threading.Lock()
         outer = self
 
@@ -37,10 +40,12 @@ class _FakeClickHouse:
             def do_POST(self):                   # noqa: N802
                 n = int(self.headers.get("Content-Length", 0))
                 body = self.rfile.read(n).decode()
-                query = parse_qs(urlparse(self.path).query).get(
-                    "query", [""])[0]
+                qs = parse_qs(urlparse(self.path).query)
+                query = qs.get("query", [""])[0]
                 with outer._lock:
                     outer.requests.append((query, body))
+                    outer.params.append({k: v[0] for k, v in qs.items()
+                                         if k != "query"})
                 self.send_response(200)
                 self.send_header("Content-Length", "0")
                 self.end_headers()
@@ -192,3 +197,36 @@ def test_debezium_to_clickhouse_end_to_end(spark, fake_ch, tmp_path):
     assert by_id[1]["title"] == "first-edited"
     assert by_id[2]["title"] == "second"
     assert {r["op"] for r in rows} == {"insert", "update"}
+
+
+def test_insert_dedup_tokens_stable_across_replay(spark, fake_ch):
+    """With dedup_tokens on, every INSERT chunk carries a deterministic
+    insert_deduplication_token and re-applying the same epoch reissues
+    the IDENTICAL token set -- the server-side exactly-once upgrade for
+    epoch replays (ReplacingMergeTree (pk,seq) stays the backstop)."""
+    sink = ClickHouseHTTPSink(url=fake_ch.url, database="olap",
+                              table="items_sink", columns=COLUMNS,
+                              pk=("id",), bulk_size=2, dedup_tokens=True)
+    df = spark.createDataFrame(ROWS_PART1, SCHEMA_DDL).repartition(2)
+    sink.apply_batch(df, epoch_id=7)
+    first = sorted(p["insert_deduplication_token"] for p in fake_ch.params
+                   if "insert_deduplication_token" in p)
+    assert first and all(t.startswith("olap.items_sink:7:")
+                         for t in first)
+    assert len(set(first)) == len(first)     # unique per chunk
+
+    n_before = len(fake_ch.params)
+    sink.apply_batch(df, epoch_id=7)         # replayed epoch
+    replay = sorted(p["insert_deduplication_token"]
+                    for p in fake_ch.params[n_before:]
+                    if "insert_deduplication_token" in p)
+    assert replay == first
+
+    # tokens off -> no setting attached
+    plain = ClickHouseHTTPSink(url=fake_ch.url, database="olap",
+                               table="items_sink", columns=COLUMNS,
+                               pk=("id",))
+    n = len(fake_ch.params)
+    plain.apply_batch(df, epoch_id=8)
+    assert all("insert_deduplication_token" not in p
+               for p in fake_ch.params[n:])
