@@ -1,0 +1,112 @@
+"""Behavioral event analytics: the sink DB's windowFunnel /
+sequenceCount surface (ClickHouse parametric aggregate functions for
+conversion analysis) over an events stream.
+
+Semantics (matching the public ClickHouse definitions):
+- window_funnel(window, cond1..condN): per user, the deepest step k
+  such that events matching cond1, cond2, ... condk occur in time
+  order with the WHOLE chain inside `window` seconds of its first
+  event. Chains may start at any cond1 event; the earliest viable
+  chain start is tracked per level (the standard greedy, which is
+  optimal for "max level reached").
+- sequence_count(cond1..condN): per user, the number of
+  NON-OVERLAPPING cond1 -> ... -> condN chains in time order
+  (a restart-on-match automaton; ClickHouse's sequenceCount with the
+  '.*' separators).
+
+Implementation: steps are classified JVM-side (one CASE expression --
+filters stay codegen'd and pushable), non-step events are dropped
+BEFORE the shuffle, then the per-user scan runs as ONE applyInPandas
+over user groups: the state machine is inherently sequential per user
+but embarrassingly parallel across users, which is exactly the shape
+applyInPandas distributes (same pattern as the streaming sessionizer,
+streaming/stateful.py). Events per user are bounded by app behavior,
+not corpus size -- the same per-user-memory contract ClickHouse's own
+implementation assumes. Results are partitioning-independent: groups
+are whole by construction and each group is sorted by (ts, tiebreak)
+before the scan (test-asserted).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _with_step(events: DataFrame, user_col: str, ts_col: str,
+               conds: Sequence[Column], tiebreak_col: str) -> DataFrame:
+    """(user, ts_s, tiebreak, step): first matching condition wins
+    (documented simplification of ClickHouse's multi-assign); events
+    matching no condition are filtered out before any shuffle."""
+    step = F.lit(None).cast("int")
+    for i in range(len(conds) - 1, -1, -1):
+        step = F.when(conds[i], F.lit(i + 1)).otherwise(step)
+    return (events.select(
+                F.col(user_col).alias("user"),
+                F.col(ts_col).cast("timestamp").cast("double").alias("ts_s"),
+                F.col(tiebreak_col).alias("tb"),
+                step.alias("step"))
+            .filter(F.col("step").isNotNull()))
+
+
+def window_funnel(events: DataFrame, user_col: str, ts_col: str,
+                  conds: Sequence[Column], window_s: float,
+                  tiebreak_col: str = "event_id") -> DataFrame:
+    """(user, level): deepest funnel step reached within the window.
+    Users with no step-1 event report level 0 only if they matched
+    some later step (users matching nothing are absent -- join back
+    against the user dimension for a dense funnel report)."""
+    n = len(conds)
+    stepped = _with_step(events, user_col, ts_col, conds, tiebreak_col)
+
+    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts_s", "tb"], kind="mergesort")
+        # start[k] = LATEST chain-start among chains that reached level
+        # k. Latest dominates: the window is measured from the chain
+        # start, so of two chains at the same level the later-started
+        # one is extendable by every event the earlier one is (the scan
+        # is in time order, so every tracked start is in the past).
+        start = [None] * (n + 1)
+        for ts, step in zip(pdf["ts_s"], pdf["step"]):
+            k = int(step)
+            if k == 1:
+                start[1] = ts                      # monotone: latest
+            elif start[k - 1] is not None \
+                    and ts - start[k - 1] <= window_s:
+                if start[k] is None or start[k - 1] > start[k]:
+                    start[k] = start[k - 1]
+        level = max((k for k in range(1, n + 1)
+                     if start[k] is not None), default=0)
+        return pd.DataFrame({"user": [pdf["user"].iloc[0]],
+                             "level": [level]})
+
+    return stepped.groupBy("user").applyInPandas(
+        scan, "user long, level int")
+
+
+def sequence_count(events: DataFrame, user_col: str, ts_col: str,
+                   conds: Sequence[Column],
+                   tiebreak_col: str = "event_id") -> DataFrame:
+    """(user, n_matches): non-overlapping cond1 -> ... -> condN chains
+    per user, in time order (restart-on-match automaton)."""
+    n = len(conds)
+    stepped = _with_step(events, user_col, ts_col, conds, tiebreak_col)
+
+    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts_s", "tb"], kind="mergesort")
+        state = 0
+        count = 0
+        for step in pdf["step"]:
+            if int(step) == state + 1:
+                state += 1
+                if state == n:
+                    count += 1
+                    state = 0
+        return pd.DataFrame({"user": [pdf["user"].iloc[0]],
+                             "n_matches": [count]})
+
+    return stepped.groupBy("user").applyInPandas(
+        scan, "user long, n_matches long")

@@ -1,0 +1,143 @@
+"""windowFunnel / sequenceCount parity (operators/funnel.py): exact
+agreement with a brute-force reference over randomized event streams,
+hand-computed fixtures for the window-edge cases, determinism under
+repartitioning."""
+
+from __future__ import annotations
+
+import itertools
+import random
+
+from pyspark.sql import functions as F
+
+from mysql_syncer_clickhouse_spark.operators.funnel import (
+    sequence_count, window_funnel)
+
+SCHEMA = "event_id long, user_id long, ts timestamp, event_type string"
+
+
+def _events(spark, rows):
+    df = spark.createDataFrame(
+        [(i, u, f"2026-01-01 00:00:{s:02d}", t)
+         for i, (u, s, t) in enumerate(rows)],
+        "event_id long, user_id long, ts_str string, event_type string")
+    return df.select("event_id", "user_id",
+                     F.col("ts_str").cast("timestamp").alias("ts"),
+                     "event_type")
+
+
+def _conds(steps):
+    return [F.col("event_type") == s for s in steps]
+
+
+def _brute_funnel(events, steps, window_s):
+    """Max k over ALL increasing chains matching steps[0..k-1] in time
+    order with last.ts - first.ts <= window (exponential, fixtures are
+    tiny)."""
+    best = 0
+    ev = sorted(events, key=lambda e: (e[1], e[0]))  # (ts, event_id)
+    for k in range(1, len(steps) + 1):
+        for chain in itertools.combinations(ev, k):
+            if [c[2] for c in chain] != steps[:k]:
+                continue
+            ts = [c[1] for c in chain]
+            if ts == sorted(ts) and ts[-1] - ts[0] <= window_s \
+                    and all(ts[i] < ts[i + 1] or
+                            (ts[i] == ts[i + 1]
+                             and chain[i][0] < chain[i + 1][0])
+                            for i in range(k - 1)):
+                best = max(best, k)
+    return best
+
+
+def test_window_funnel_prefers_late_chain_start(spark):
+    """A(t0) A(t50) B(t55): with window 20 the viable chain starts at
+    t50, not t0 -- tracking only the earliest start would miss it."""
+    ev = _events(spark, [(1, 0, "A"), (1, 50, "A"), (1, 55, "B")])
+    [r] = window_funnel(ev, "user_id", "ts", _conds(["A", "B"]),
+                        window_s=20).collect()
+    assert r["level"] == 2
+
+
+def test_window_funnel_window_excludes_late_step(spark):
+    ev = _events(spark, [(1, 0, "A"), (1, 30, "B"), (1, 59, "C")])
+    conds = _conds(["A", "B", "C"])
+    # whole chain must fit the window measured from the chain start
+    [r] = window_funnel(ev, "user_id", "ts", conds, window_s=59).collect()
+    assert r["level"] == 3
+    [r] = window_funnel(ev, "user_id", "ts", conds, window_s=40).collect()
+    assert r["level"] == 2
+
+
+def test_window_funnel_matches_bruteforce_randomized(spark):
+    rng = random.Random(7)
+    steps = ["A", "B", "C"]
+    rows = []
+    per_user = {}
+    for u in range(1, 9):
+        seq = [(u, rng.randrange(0, 60),
+                rng.choice(["A", "B", "C", "X"])) for _ in range(9)]
+        rows += seq
+    ev = _events(spark, rows)
+    # brute force wants (event_id, ts_seconds, type) per user; event_id
+    # is the row index (matching _events)
+    for u in range(1, 9):
+        per_user[u] = sorted(
+            ((i, s, t) for i, (uu, s, t) in enumerate(rows) if uu == u),
+            key=lambda t: (t[1], t[0]))
+    for window_s in (10, 25, 60):
+        got = {r["user"]: r["level"]
+               for r in window_funnel(ev, "user_id", "ts",
+                                      _conds(steps), window_s).collect()}
+        for u, evs in per_user.items():
+            expect = _brute_funnel(evs, steps, window_s)
+            assert got.get(u, 0) == expect, (u, window_s, evs)
+
+
+def test_window_funnel_deterministic_under_partitioning(spark):
+    rng = random.Random(3)
+    rows = [(u, rng.randrange(0, 60), rng.choice("ABCX"))
+            for u in range(1, 20) for _ in range(8)]
+    ev = _events(spark, rows)
+    conds = _conds(["A", "B", "C"])
+    a = sorted(map(tuple, window_funnel(
+        ev, "user_id", "ts", conds, 30).collect()))
+    b = sorted(map(tuple, window_funnel(
+        ev.repartition(7), "user_id", "ts", conds, 30).collect()))
+    assert a == b
+
+
+def test_sequence_count_non_overlapping(spark):
+    # A B A B A -> two complete A->B chains, the final A stays open
+    ev = _events(spark, [(1, 1, "A"), (1, 2, "B"), (1, 3, "A"),
+                         (1, 4, "B"), (1, 5, "A"),
+                         (2, 1, "B"), (2, 2, "B"),     # no A first
+                         (3, 1, "A"), (3, 2, "X"), (3, 3, "B")])
+    got = {r["user"]: r["n_matches"]
+           for r in sequence_count(ev, "user_id", "ts",
+                                   _conds(["A", "B"])).collect()}
+    assert got == {1: 2, 2: 0, 3: 1}
+
+
+def test_sequence_count_three_steps_restarts(spark):
+    # A B C A B C -> 2; interleaved junk ignored; missing middle -> no
+    ev = _events(spark, [(1, s, t) for s, t in enumerate(
+        ["A", "B", "C", "X", "A", "B", "C"])]
+        + [(2, s, t) for s, t in enumerate(["A", "C", "A", "C"])])
+    got = {r["user"]: r["n_matches"]
+           for r in sequence_count(ev, "user_id", "ts",
+                                   _conds(["A", "B", "C"])).collect()}
+    assert got == {1: 2, 2: 0}
+
+
+def test_funnel_on_fixture_events(spark, sf_dir):
+    """Smoke over the real events table: click -> view -> purchase
+    within an hour; levels are valid and the step-classifier kept the
+    filters JVM-side (no crash on the 60k-row fixture)."""
+    from mysql_syncer_clickhouse_spark.sources.tables import load_table
+    ev = load_table(spark, sf_dir, "events")
+    conds = [F.col("event_type") == t
+             for t in ("click", "view", "purchase")]
+    out = window_funnel(ev, "user_id", "ts", conds, window_s=3600)
+    rows = out.collect()
+    assert rows and all(0 <= r["level"] <= 3 for r in rows)
