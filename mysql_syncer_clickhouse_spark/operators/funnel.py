@@ -6,9 +6,9 @@ Semantics (matching the public ClickHouse definitions):
 - window_funnel(window, cond1..condN): per user, the deepest step k
   such that events matching cond1, cond2, ... condk occur in time
   order with the WHOLE chain inside `window` seconds of its first
-  event. Chains may start at any cond1 event; the earliest viable
-  chain start is tracked per level (the standard greedy, which is
-  optimal for "max level reached").
+  event. Chains may start at any cond1 event; the LATEST viable
+  chain start is tracked per level (dominant, and so optimal for
+  "max level reached" -- see the scan comment).
 - sequence_count(cond1..condN): per user, the number of
   NON-OVERLAPPING cond1 -> ... -> condN chains in time order
   (a restart-on-match automaton; ClickHouse's sequenceCount with the
@@ -110,3 +110,23 @@ def sequence_count(events: DataFrame, user_col: str, ts_col: str,
 
     return stepped.groupBy("user").applyInPandas(
         scan, "user long, n_matches long")
+
+
+def retention(events: DataFrame, user_col: str,
+              conds: Sequence[Column]) -> DataFrame:
+    """(user, r1..rN): the sink DB's retention() aggregate -- r1 is
+    whether cond1 ever held for the user, and each r_i (i > 1) is
+    whether cond1 AND cond_i both ever held (the classic
+    signed-up-on-day-0 x came-back-on-day-i matrix, one row per user).
+
+    Unlike the funnel this needs NO ordering or state: it is N boolean
+    MAX aggregates in ONE keyed groupBy -- pure JVM map-side-combined
+    aggregation, no Python anywhere."""
+    aggs = [F.max(conds[0].cast("int")).alias("c1")] + [
+        F.max(c.cast("int")).alias(f"c{i + 2}")
+        for i, c in enumerate(conds[1:])]
+    out = events.groupBy(F.col(user_col).alias("user")).agg(*aggs)
+    cols = [(F.col("c1") == 1).alias("r1")] + [
+        ((F.col("c1") == 1) & (F.col(f"c{i}") == 1)).alias(f"r{i}")
+        for i in range(2, len(conds) + 1)]
+    return out.select("user", *cols)

@@ -141,3 +141,25 @@ def test_funnel_on_fixture_events(spark, sf_dir):
     out = window_funnel(ev, "user_id", "ts", conds, window_s=3600)
     rows = out.collect()
     assert rows and all(0 <= r["level"] <= 3 for r in rows)
+
+
+def test_retention_gates_on_first_condition(spark):
+    from mysql_syncer_clickhouse_spark.operators.funnel import retention
+    ev = _events(spark, [(1, 1, "A"), (1, 2, "C"),
+                         (2, 1, "B"), (2, 2, "C"),   # no gate event
+                         (3, 1, "A")])
+    got = {r["user"]: (r["r1"], r["r2"], r["r3"])
+           for r in retention(ev, "user_id",
+                              _conds(["A", "B", "C"])).collect()}
+    assert got[1] == (True, False, True)
+    assert got[2] == (False, False, False)   # r_i gated on r1
+    assert got[3] == (True, False, False)
+
+
+def test_retention_is_pure_jvm_aggregation(spark):
+    from mysql_syncer_clickhouse_spark.operators.funnel import retention
+    ev = _events(spark, [(1, 1, "A"), (2, 2, "B")])
+    plan = (retention(ev, "user_id", _conds(["A", "B"]))
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "ArrowEvalPython" not in plan and "FlatMapGroups" not in plan
+    assert "HashAggregate" in plan
