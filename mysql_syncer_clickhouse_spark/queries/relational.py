@@ -852,10 +852,40 @@ SELECT 'anti', c_custkey, c_name FROM ({_ANTI_SQL})
 """
 
 
+def agg_histogram(spark: SparkSession, sf_dir: str,
+                  n_bins: int = 10) -> DataFrame:
+    """Equi-width histogram over l_extendedprice (the sink DB's
+    histogram() surface, fixed-bin form): bounds come from one 1-row
+    MIN/MAX aggregate broadcast against the scan (no driver action),
+    bin assignment is floor((x-lo)/width) clamped to the top bin, and
+    the result is one keyed count per bin -- two passes over the
+    column, both map-side-combined. The bin arithmetic is plain IEEE
+    double math evaluated in the same order on any engine, so the
+    oracle reproduces the exact assignment."""
+    li = _t(spark, sf_dir, "lineitem")
+    x = F.col("l_extendedprice").cast("double")
+    bounds = li.agg(F.min(x).alias("lo"), F.max(x).alias("hi"))
+    width = (F.col("hi") - F.col("lo")) / n_bins
+    return (li.select(x.alias("x"))
+            .crossJoin(F.broadcast(bounds))
+            .withColumn("bin", F.least(
+                F.floor((F.col("x") - F.col("lo")) / width),
+                F.lit(n_bins - 1)).cast("int"))
+            .groupBy("bin", "lo", "hi")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select("bin", "n",
+                    F.round(F.col("lo") + F.col("bin")
+                            * ((F.col("hi") - F.col("lo")) / n_bins),
+                            6).alias("bin_lo"),
+                    F.round(F.col("lo") + (F.col("bin") + 1)
+                            * ((F.col("hi") - F.col("lo")) / n_bins),
+                            6).alias("bin_hi")))
+
+
 def agg_grouping_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP + CUBE + GROUPING SETS + statistical aggregates
-    (percentile/corr/stddev), one checked query over aligned columns
-    (part, g1, g2, n, m1..m4)."""
+    (percentile/corr/stddev) + equi-width histogram, one checked query
+    over aligned columns (part, g1, g2, n, m1..m4)."""
     nd = F.lit(None).cast("double")
     rollup = agg_rollup(spark, sf_dir).select(
         F.lit("rollup").alias("part"),
@@ -884,7 +914,14 @@ def agg_grouping_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p95_price").alias("m2"),
         F.col("qty_price_corr").alias("m3"),
         F.col("disc_stddev").alias("m4"))
-    return rollup.unionByName(cube).unionByName(gsets).unionByName(pctl)
+    hist = agg_histogram(spark, sf_dir).select(
+        F.lit("hist").alias("part"),
+        F.col("bin").cast("string").alias("g1"),
+        F.lit(None).cast("string").alias("g2"),
+        "n", F.col("bin_lo").alias("m1"), F.col("bin_hi").alias("m2"),
+        nd.alias("m3"), nd.alias("m4"))
+    return (rollup.unionByName(cube).unionByName(gsets)
+            .unionByName(pctl).unionByName(hist))
 
 
 _GROUPING_STATS_SQL = f"""
@@ -904,6 +941,21 @@ UNION ALL
 SELECT 'pctl', l_returnflag, CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
        p50_price, p95_price, qty_price_corr, disc_stddev
 FROM ({_PERCENTILES_SQL})
+UNION ALL
+SELECT 'hist', CAST(bin AS VARCHAR), CAST(NULL AS VARCHAR), n,
+       ROUND(lo + bin * ((hi - lo) / 10), 6),
+       ROUND(lo + (bin + 1) * ((hi - lo) / 10), 6),
+       NULL, NULL
+FROM (
+  SELECT LEAST(CAST(FLOOR((x - lo) / ((hi - lo) / 10)) AS BIGINT), 9)
+           AS bin,
+         lo, hi, COUNT(*) AS n
+  FROM (SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem)
+  CROSS JOIN (SELECT MIN(CAST(l_extendedprice AS DOUBLE)) AS lo,
+                     MAX(CAST(l_extendedprice AS DOUBLE)) AS hi
+              FROM lineitem)
+  GROUP BY 1, 2, 3
+)
 """
 
 

@@ -42,10 +42,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    if name == "events" and dict(df.dtypes).get("ts") == "timestamp_ntz":
-        # belt-and-suspenders if a caller read before the conf applied:
-        # under UTC session TZ this cast is value-identical to the LTZ read
-        df = df.withColumn("ts", F.col("ts").cast("timestamp_ltz"))
+    # belt-and-suspenders if a caller read before the conf applied, and
+    # insurance against future fixture drift on OTHER tables/columns:
+    # under the UTC session TZ this cast is value-identical to the LTZ
+    # read, and LTZ is what unix_millis / CAST(.. AS BIGINT) accept
+    for col, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp_ltz"))
     return df
 
 
