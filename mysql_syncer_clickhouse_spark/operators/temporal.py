@@ -146,3 +146,41 @@ def fill_time_gaps(df: DataFrame, key_col: str, ts_col: str,
     return joined.select(
         "key", "tick", filled.alias("value"),
         F.col("v").isNotNull().alias("is_observed"))
+
+
+def exponential_moving_average(df: DataFrame, key_col: str, ts_col: str,
+                               value_col: str, alpha: float,
+                               out_col: str = "ema",
+                               tiebreak_col: str | None = None
+                               ) -> DataFrame:
+    """Per-key EMA over time order (the sink DB's
+    exponentialMovingAverage / the classic smoothing pass):
+    ema_t = alpha * x_t + (1 - alpha) * ema_{t-1}, seeded at the first
+    observation.
+
+    The recurrence is inherently sequential per key, so like the funnel
+    scan it runs as ONE applyInPandas over key groups -- but inside the
+    group it is pandas' vectorized C `ewm`, not a Python loop. A
+    closed-form window formulation exists (x_i weights (1-alpha)^(t-i))
+    but overflows double for series longer than a few thousand rows;
+    the grouped scan has no length limit. Sequential per key, parallel
+    across keys -- the same per-key-memory contract as every stateful
+    operator here. Adds `out_col`, preserves the input columns. Pass
+    `tiebreak_col` when equal timestamps are possible -- without it a
+    tie's scan order follows arrival order, which is not deterministic
+    across partitionings."""
+    if not 0 < alpha <= 1:
+        raise ValueError("alpha must be in (0, 1]")
+    cols = df.columns
+    out_fields = ", ".join(f"`{c}` {t}" for c, t in df.dtypes)
+    schema = f"{out_fields}, {out_col} double"
+    order = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+
+    def scan(pdf):
+        pdf = pdf.sort_values(order, kind="mergesort")
+        pdf[out_col] = (pdf[value_col].astype("float64")
+                        .ewm(alpha=alpha, adjust=False).mean())
+        return pdf
+
+    return (df.groupBy(key_col).applyInPandas(scan, schema)
+              .select(*cols, out_col))

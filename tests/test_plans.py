@@ -340,3 +340,31 @@ def test_cms_sketch_join_broadcasts_and_no_cartesian(spark, sf_dir):
     plan = formatted_plan(df)
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_exponential_moving_average_exact_and_deterministic(spark):
+    """EMA matches the hand recurrence exactly (pandas ewm adjust=False
+    IS the recurrence), seeds at the first sample, and is bit-identical
+    under repartitioning with a tiebreak."""
+    from mysql_syncer_clickhouse_spark.operators.temporal import (
+        exponential_moving_average)
+    rows = [(1, t, float(v)) for t, v in
+            enumerate([10, 20, 10, 40, 0, 30])] + [(2, 0, 7.0)]
+    df = spark.createDataFrame(rows, "key long, ts long, x double")
+    out = exponential_moving_average(df, "key", "ts", "x", alpha=0.5,
+                                     tiebreak_col="ts")
+    got = {(r["key"], r["ts"]): r["ema"] for r in out.collect()}
+    ema, expect = None, {}
+    for t, v in enumerate([10, 20, 10, 40, 0, 30]):
+        ema = v if ema is None else 0.5 * v + 0.5 * ema
+        expect[(1, t)] = ema
+    expect[(2, 0)] = 7.0
+    assert got == expect
+    re = {(r["key"], r["ts"]): r["ema"]
+          for r in exponential_moving_average(
+              df.repartition(5), "key", "ts", "x", alpha=0.5,
+              tiebreak_col="ts").collect()}
+    assert re == got
+    import pytest as _p
+    with _p.raises(ValueError):
+        exponential_moving_average(df, "key", "ts", "x", alpha=0.0)
