@@ -759,3 +759,54 @@ def test_remove_duplicate_spans_within_doc_and_order(spark):
     out = curation.remove_duplicate_spans(docs, span_words=4).collect()[0]
     assert out["n_removed_spans"] == 1
     assert out["text"] == blk + " " + mid
+
+
+def test_remove_duplicate_spans_matches_pure_python_randomized(spark):
+    """Randomized cross-check: the operator's keep/drop decisions and
+    reassembled text equal an independent pure-Python implementation
+    over corpora with planted shared blocks."""
+    import random
+
+    rng = random.Random(11)
+    span = 4
+    vocab = [f"w{i}" for i in range(12)]
+    shared = ["s0 s1 s2 s3", "t0 t1 t2 t3"]
+    docs = []
+    for d in range(1, 13):
+        blocks = []
+        for _ in range(rng.randrange(1, 5)):
+            if rng.random() < 0.4:
+                blocks.append(rng.choice(shared))
+            else:
+                blocks.append(" ".join(rng.choice(vocab)
+                                       for _ in range(span)))
+        docs.append((d, " ".join(blocks)))
+
+    # pure-Python reference (same block/winner semantics)
+    def blocks_of(text):
+        ws = text.split(" ")
+        return [" ".join(ws[i:i + span])
+                for i in range(0, max(len(ws), 1), span)]
+
+    stats = {}
+    for d, text in docs:
+        for b, blk in enumerate(blocks_of(text)):
+            cnt, win = stats.get(blk, (0, None))
+            pk = d * (1 << 20) + b
+            stats[blk] = (cnt + 1, pk if win is None else min(win, pk))
+    expect = {}
+    for d, text in docs:
+        kept, removed = [], 0
+        for b, blk in enumerate(blocks_of(text)):
+            cnt, win = stats[blk]
+            if cnt > 1 and d * (1 << 20) + b != win:
+                removed += 1
+            else:
+                kept.append(blk)
+        expect[d] = (" ".join(kept), removed)
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: (r["text"], r["n_removed_spans"])
+           for r in curation.remove_duplicate_spans(
+               df, span_words=span).collect()}
+    assert got == expect

@@ -163,3 +163,27 @@ def test_retention_is_pure_jvm_aggregation(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "ArrowEvalPython" not in plan and "FlatMapGroups" not in plan
     assert "HashAggregate" in plan
+
+
+def test_sequence_count_matches_automaton_randomized(spark):
+    """Randomized cross-check of the non-overlapping chain counter
+    against an independent pure-Python automaton."""
+    rng = random.Random(17)
+    steps = ["A", "B", "C"]
+    rows = [(u, rng.randrange(0, 60), rng.choice("ABCXX"))
+            for u in range(1, 15) for _ in range(10)]
+    ev = _events(spark, rows)
+    got = {r["user"]: r["n_matches"]
+           for r in sequence_count(ev, "user_id", "ts",
+                                   _conds(steps)).collect()}
+    for u in range(1, 15):
+        seq = sorted(((i, s, t) for i, (uu, s, t) in enumerate(rows)
+                      if uu == u), key=lambda x: (x[1], x[0]))
+        state = count = 0
+        for _, _, t in seq:
+            if t in steps and steps.index(t) == state:
+                state += 1
+                if state == len(steps):
+                    count += 1
+                    state = 0
+        assert got.get(u, 0) == count, u
