@@ -160,7 +160,8 @@ class StreamingSyncPipeline:
 
     def compact(self, spark: SparkSession, *,
                 ttl_col: str | None = None,
-                ttl_expire_before=None) -> None:
+                ttl_expire_before=None,
+                sort_by_pk: bool = True) -> None:
         """Background-merge analog: rewrite the changelog sink down to
         its current materialized state (latest op wins, tombstones
         drop). Run out-of-band, exactly like MergeTree merges.
@@ -171,7 +172,13 @@ class StreamingSyncPipeline:
         is strictly older than the cutoff. The cutoff is an explicit
         value, not wall-clock-at-run -- deterministic and replayable
         (callers decide "now"). NULL ttl values never expire, matching
-        the sink DB's NULL-TTL behavior."""
+        the sink DB's NULL-TTL behavior.
+
+        `sort_by_pk` (default on) lays the compacted files out
+        range-partitioned + sorted on the pk, like MergeTree parts
+        sorted by their ORDER BY key: each file covers a disjoint pk
+        range, so a pk-filtered read prunes to one file via parquet
+        min/max stats instead of scanning the table (✓test)."""
         state = self.current_state(spark).withColumn(
             self.op_col, F.lit("insert"))
         if ttl_col is not None:
@@ -180,8 +187,18 @@ class StreamingSyncPipeline:
             state = state.filter(
                 F.col(ttl_col).isNull()
                 | (F.col(ttl_col) >= F.lit(ttl_expire_before)))
+        pk = self._sink_pk()
+        if sort_by_pk:
+            # explicit partition count: an unnumbered range repartition
+            # gets AQE-coalesced to one partition on small states,
+            # which would fold every pk range into a single file
+            n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+            state = (state.repartitionByRange(n, *pk)
+                     .sortWithinPartitions(*pk))
         tmp = self.sink_dir.rstrip("/") + ".compact"
         state.write.mode("overwrite").format(self.sink_format).save(tmp)
+        # the tmp round-trip preserves the range layout: each tmp FILE
+        # holds one sorted pk range and is copied split-for-split
         back = spark.read.format(self.sink_format).load(tmp)
         writer = back.write.mode("overwrite").format(self.sink_format)
         if self.partition_cols:

@@ -426,3 +426,52 @@ def test_compact_ttl_keeps_null_ttl_rows(spark, dirs):
     pipe.run_available(spark, src, _schema(spark))
     pipe.compact(spark, ttl_col="mydate", ttl_expire_before=10**9)
     assert {r["id"] for r in pipe.current_state(spark).collect()} == {2}
+
+
+def test_compact_sorts_by_pk_for_file_pruning(spark, dirs, tmp_path):
+    """MergeTree parts are sorted by the ORDER BY key; compaction's
+    pk-range layout must let a pk-filtered scan prune to a file subset
+    via parquet min/max stats. Build a wide-id sink, compact with
+    enough shuffle partitions to split it, and compare files touched
+    by a point lookup against the file count."""
+    import glob
+
+    src, sink, ckpt = dirs
+    rows = [(i, "insert", i, f"t{i}", 86400) for i in range(1, 401)]
+    _write_part(spark, src, rows, "p1")
+    pipe = StreamingSyncPipeline(_rule(), ["id"], sink, ckpt)
+    pipe.run_available(spark, src, _schema(spark))
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        pipe.compact(spark)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+    files = glob.glob(sink + "/part-*.parquet")
+    assert len(files) >= 3
+
+    import pyarrow.parquet as pq
+    spans = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        # locate the id column by name in the parquet schema
+        names = [md.schema.column(i).name for i in range(md.num_columns)]
+        ci = names.index("id")
+        lo = min(md.row_group(g).column(ci).statistics.min
+                 for g in range(md.num_row_groups))
+        hi = max(md.row_group(g).column(ci).statistics.max
+                 for g in range(md.num_row_groups))
+        spans.append((lo, hi))
+    # disjoint pk ranges across files (range partitioning)
+    spans.sort()
+    overlapping = sum(1 for i in range(len(spans) - 1)
+                      if spans[i][1] >= spans[i + 1][0])
+    assert overlapping == 0, spans
+    # row order inside each file is sorted
+    first = spark.read.parquet(files[0]).select("id").collect()
+    ids = [r["id"] for r in first]
+    assert ids == sorted(ids)
+    # state unchanged by the sorted rewrite
+    assert pipe.current_state(spark).count() == 400
