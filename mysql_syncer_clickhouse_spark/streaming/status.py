@@ -34,6 +34,26 @@ def _thread_stacks() -> dict[str, list[str]]:
     }
 
 
+def _prometheus_text(counts: dict, position: dict | None) -> str:
+    """Render the counters + position in the Prometheus text exposition
+    format (the de-facto scrape contract): one `sync_ops_total` counter
+    per op label, plus gauges for the applied position. Metric names
+    are stable; no client library needed for the text format."""
+    lines = [
+        "# TYPE sync_ops_total counter",
+    ]
+    for op in sorted(counts):
+        lines.append(f'sync_ops_total{{op="{op}"}} {counts[op]}')
+    if position:
+        lines.append("# TYPE sync_applied_seq gauge")
+        lines.append(f"sync_applied_seq {position['applied_seq']}")
+        if position.get("applied_epoch") is not None:
+            lines.append("# TYPE sync_applied_epoch gauge")
+            lines.append(
+                f"sync_applied_epoch {position['applied_epoch']}")
+    return "\n".join(lines) + "\n"
+
+
 class StatusServer:
     def __init__(self, metrics, port: int = 8080,
                  extra: dict | None = None,
@@ -64,6 +84,22 @@ class StatusServer:
                     body = json.dumps(_thread_stacks()).encode()
                     self.send_response(200)
                     self.send_header("Content-Type", "application/json")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                    return
+                if path == "/metrics":
+                    pos = getattr(outer._metrics, "position_snapshot",
+                                  None)
+                    snap = pos() if pos is not None else None
+                    if snap is not None \
+                            and snap.get("applied_seq") is None:
+                        snap = None
+                    body = _prometheus_text(
+                        outer._metrics.snapshot(), snap).encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type",
+                                     "text/plain; version=0.0.4")
                     self.send_header("Content-Length", str(len(body)))
                     self.end_headers()
                     self.wfile.write(body)

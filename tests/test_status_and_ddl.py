@@ -165,3 +165,29 @@ def test_create_table_ddl_empty_pk_spells_tuple():
     ddl = clickhouse_create_table_ddl(
         "olap", "log", columns=[("msg", "text", True)], pk=())
     assert ddl.endswith("ENGINE = ReplacingMergeTree ORDER BY tuple()")
+
+
+def test_metrics_endpoint_prometheus_format():
+    """/metrics serves the counters + applied position in the
+    Prometheus text exposition format (scrapable without a client
+    library), alongside the JSON /stat."""
+    import urllib.request
+
+    from mysql_syncer_clickhouse_spark.streaming.pipeline import SyncMetrics
+    from mysql_syncer_clickhouse_spark.streaming.status import StatusServer
+
+    m = SyncMetrics()
+    m.record_counts({"insert": 5, "update": 2, "delete": 1})
+    m.applied_seq, m.applied_epoch = 42, 3
+    srv = StatusServer(m, port=0).start()
+    try:
+        body = urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}/metrics").read().decode()
+    finally:
+        srv.stop()
+    assert '# TYPE sync_ops_total counter' in body
+    assert 'sync_ops_total{op="insert"} 5' in body
+    assert 'sync_ops_total{op="update"} 2' in body
+    assert 'sync_ops_total{op="delete"} 1' in body
+    assert "sync_applied_seq 42" in body
+    assert "sync_applied_epoch 3" in body
