@@ -130,3 +130,21 @@ def retention(events: DataFrame, user_col: str,
         ((F.col("c1") == 1) & (F.col(f"c{i}") == 1)).alias(f"r{i}")
         for i in range(2, len(conds) + 1)]
     return out.select("user", *cols)
+
+
+def sum_maps(df: DataFrame, key_col: str, map_col: str,
+             out_col: str = "summed") -> DataFrame:
+    """The sink DB's sumMap aggregate: per key, merge map<k, num>
+    values by summing per map-key -- (a->1, b->2) + (a->3) =
+    (a->4, b->2). One explode to (key, mk, mv) grain, ONE keyed
+    aggregation (map-side combined), and the result map is rebuilt
+    from entries sorted by map-key inside the aggregate, so the
+    output is partitioning-independent. Pure JVM throughout."""
+    exploded = df.select(F.col(key_col).alias("key"),
+                         F.explode(F.col(map_col)).alias("mk", "mv"))
+    summed = (exploded.groupBy("key", "mk")
+              .agg(F.sum("mv").alias("mv")))
+    return (summed.groupBy("key")
+            .agg(F.map_from_entries(F.sort_array(F.collect_list(
+                F.struct("mk", "mv")))).alias(out_col))
+            .withColumnRenamed("key", key_col))

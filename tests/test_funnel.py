@@ -187,3 +187,19 @@ def test_sequence_count_matches_automaton_randomized(spark):
                     count += 1
                     state = 0
         assert got.get(u, 0) == count, u
+
+
+def test_sum_maps_merges_per_key(spark):
+    from mysql_syncer_clickhouse_spark.operators.funnel import sum_maps
+    df = spark.createDataFrame(
+        [(1, {"a": 1, "b": 2}), (1, {"a": 3}), (2, {"z": 5}), (1, {})],
+        "k long, m map<string, long>")
+    got = {r["k"]: r["summed"]
+           for r in sum_maps(df, "k", "m").collect()}
+    assert got == {1: {"a": 4, "b": 2}, 2: {"z": 5}}
+    re = {r["k"]: r["summed"]
+          for r in sum_maps(df.repartition(5), "k", "m").collect()}
+    assert re == got
+    plan = (sum_maps(df, "k", "m")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "ArrowEvalPython" not in plan
