@@ -109,3 +109,68 @@ def sessionize_with_timeout(events_stream: DataFrame,
                 stateStructType=SESS_STATE,
                 outputMode="append",
                 timeoutConf=GroupStateTimeout.EventTimeTimeout))
+
+
+FUNNEL_STATE = "starts array<double>, level int"
+FUNNEL_OUT = "user long, level int"
+
+
+def funnel_with_state(events_stream: DataFrame, conds, window_s: float,
+                      user_col: str = "user_id",
+                      ts_col: str = "ts",
+                      tiebreak_col: str = "event_id") -> DataFrame:
+    """Streaming windowFunnel (the incremental form of
+    operators/funnel.window_funnel): per-user funnel depth maintained
+    across micro-batches with explicit GroupState -- the per-level
+    latest-chain-start array IS the state, so memory per user is
+    O(n_steps) floats forever, not O(events).
+
+    Ordering contract: exact when each user's events arrive in event-
+    time order across batches (the binlog/append contract this engine's
+    sources provide; within a batch events are sorted). A step event
+    arriving BEFORE its predecessor reached the store cannot extend a
+    chain retroactively -- single-pass semantics; the sink DB avoids
+    this only by re-scanning stored history per query. The reported
+    level is monotone nondecreasing either way. Emits (user, level) in
+    update mode whenever a user's depth deepens."""
+    import math
+
+    from ..operators.funnel import _with_step
+
+    n = len(conds)
+    stepped = _with_step(events_stream, user_col, ts_col, conds,
+                         tiebreak_col)
+
+    def update(key: tuple, pdfs: Iterator[pd.DataFrame],
+               state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            raw, level = state.get
+            starts = [None if math.isnan(x) else x for x in raw]
+        else:
+            starts, level = [None] * (n + 1), 0
+        rows = []
+        for pdf in pdfs:
+            rows.extend(zip(pdf["ts_s"], pdf["tb"], pdf["step"]))
+        rows.sort(key=lambda r: (r[0], r[1]))
+        for ts, _, step in rows:                 # same greedy as batch
+            k = int(step)
+            if k == 1:
+                starts[1] = float(ts)
+            elif starts[k - 1] is not None \
+                    and ts - starts[k - 1] <= window_s:
+                if starts[k] is None or starts[k - 1] > starts[k]:
+                    starts[k] = starts[k - 1]
+        new_level = max((k for k in range(1, n + 1)
+                         if starts[k] is not None), default=0)
+        state.update((
+            [math.nan if x is None else x for x in starts], new_level))
+        if new_level > level:
+            yield pd.DataFrame({"user": [key[0]], "level": [new_level]})
+
+    return (stepped.groupBy("user")
+            .applyInPandasWithState(
+                update,
+                outputStructType=FUNNEL_OUT,
+                stateStructType=FUNNEL_STATE,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout))

@@ -475,3 +475,56 @@ def test_compact_sorts_by_pk_for_file_pruning(spark, dirs, tmp_path):
     assert ids == sorted(ids)
     # state unchanged by the sorted rewrite
     assert pipe.current_state(spark).count() == 400
+
+
+def test_streaming_funnel_accumulates_across_batches(spark, dirs):
+    """Streaming windowFunnel: a chain whose steps arrive in DIFFERENT
+    micro-batches must still complete (the per-level chain-start array
+    survives in the state store), and the final level per user equals
+    the batch operator over the full event set."""
+    from pyspark.sql import functions as F
+
+    from mysql_syncer_clickhouse_spark.operators.funnel import (
+        window_funnel)
+    from mysql_syncer_clickhouse_spark.streaming.stateful import (
+        funnel_with_state)
+
+    src, _, ckpt = dirs
+    ev_schema = "event_id long, user_id long, ts timestamp, event_type string"
+    p1 = [(1, 1, "2024-01-01 00:00:10", "A"),    # user 1: A in batch 1
+          (2, 2, "2024-01-01 00:00:10", "A"),
+          (3, 2, "2024-01-01 00:00:20", "B")]    # user 2: A,B batch 1
+    p2 = [(4, 1, "2024-01-01 00:00:30", "B"),    # user 1: B,C batch 2
+          (5, 1, "2024-01-01 00:00:40", "C"),
+          (6, 3, "2024-01-01 00:00:05", "B")]    # user 3: B only -> 0
+    def _mk(rows):
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, ts_s string, "
+                  "event_type string")
+        return df.withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    d1, d2 = _mk(p1), _mk(p2)
+    _write_part(spark, src, [tuple(r) for r in d1.collect()], "f1",
+                schema=d1.schema)
+    _write_part(spark, src, [tuple(r) for r in d2.collect()], "f2",
+                schema=d2.schema)
+
+    conds = [F.col("event_type") == s for s in ("A", "B", "C")]
+    stream = (spark.readStream.schema(
+                  spark.createDataFrame([], ev_schema).schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (funnel_with_state(stream, conds, window_s=120).writeStream
+         .outputMode("update").format("memory").queryName("funnel_s")
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    emitted = spark.sql("SELECT user, level FROM funnel_s").collect()
+    final = {}
+    for r in emitted:
+        final[r["user"]] = max(final.get(r["user"], 0), r["level"])
+    # batch reference over the union
+    batch = {r["user"]: r["level"]
+             for r in window_funnel(d1.unionByName(d2), "user_id", "ts",
+                                    conds, window_s=120).collect()}
+    assert final == {u: lv for u, lv in batch.items() if lv > 0}
+    assert final[1] == 3 and final[2] == 2 and 3 not in final

@@ -157,3 +157,39 @@ def test_delete_then_reinsert_same_pk(make_cl):
     ])
     st = _state(latest_state(cl, ["id"]))
     assert st == {7: ("v2", "c")}
+
+
+def test_latest_state_matches_dict_replay_randomized(spark):
+    """Property: for ANY changelog (random ops over a small pk space,
+    unique seq), latest_state equals a sequential dict replay --
+    inserts/updates set the row, deletes drop it, later seq wins.
+    Random composite keys + several shuffle layouts."""
+    import random
+
+    from mysql_syncer_clickhouse_spark.operators.upsert import latest_state
+
+    rng = random.Random(23)
+    for trial in range(5):
+        n = rng.randrange(20, 120)
+        rows = []
+        for seq in range(1, n + 1):
+            pk = (rng.randrange(0, 8), rng.choice("xyz"))
+            op = rng.choice(["insert", "update", "update", "delete"])
+            rows.append((seq, op, pk[0], pk[1],
+                         f"v{seq}" if op != "delete" else None))
+        df = spark.createDataFrame(
+            rows, "seq long, op string, k1 long, k2 string, val string")
+
+        state = {}
+        for seq, op, k1, k2, val in rows:        # replay in seq order
+            if op == "delete":
+                state.pop((k1, k2), None)
+            else:
+                state[(k1, k2)] = (seq, val)
+        expect = {k: v for k, v in state.items()}
+
+        got = {(r["k1"], r["k2"]): (r["seq"], r["val"])
+               for r in latest_state(
+                   df.repartition(rng.randrange(1, 7)),
+                   ["k1", "k2"]).collect()}
+        assert got == expect, f"trial {trial}"
