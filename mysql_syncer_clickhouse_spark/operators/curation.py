@@ -686,3 +686,90 @@ def remove_duplicate_spans(docs: DataFrame, *,
                   .cast("long").alias("n_removed_spans"),
                  F.count(F.lit(1)).cast("long").alias("n_spans"))
             .withColumnRenamed("id", id_col))
+
+
+def exact_substring_dup_extents(docs: DataFrame, *,
+                                id_col: str = "doc_id",
+                                text_col: str = "text",
+                                min_tokens: int = 16) -> DataFrame:
+    """Exact substring-duplication extents (the exact form of Lee et
+    al. 2021's dedup rule, token grain): a duplicated substring of
+    >= min_tokens tokens exists iff some min_tokens-gram (stride 1)
+    occurs >= 2 times corpus-wide -- so every duplicated gram start
+    marks [pos, pos+min_tokens) and per-doc overlapping marks merge
+    into maximal extents. Returns (id, start_tok, end_tok) with
+    end exclusive. Within-doc repeats count (self-plagiarism dedups
+    too), unlike the n-gram-hash APPROXIMATION in cross_doc_ngram_dup
+    which only scores cross-doc overlap.
+
+    Shape: stride-1 gram explode -> ONE gram-hash-keyed count -> join
+    back -> per-doc interval merge done ENTIRELY with window functions
+    (running max of preceding extent ends -> new-interval flag ->
+    cumulative interval id -> one keyed agg). No Python, no all-pairs;
+    the dominant shuffle carries 8-byte gram hashes."""
+    L = min_tokens
+    ws = TX.words(text_col)
+    n_grams = F.greatest(F.size(ws) - (L - 1), F.lit(1))
+    grams = (_spread(docs, id_col)
+             .select(F.col(id_col).alias("id"),
+                     F.posexplode(F.transform(
+                         F.sequence(F.lit(0), n_grams - 1),
+                         lambda p: F.concat_ws(
+                             " ", F.slice(ws, p + 1, L))))
+                      .alias("pos", "gram"))
+             .select("id", "pos", TX.portable_hash32("gram").alias("h")))
+    dup = grams.groupBy("h").agg(F.count(F.lit(1)).alias("cnt")) \
+               .filter(F.col("cnt") >= 2).select("h")
+    marks = (grams.join(dup, "h")
+             .select("id", "pos", (F.col("pos") + L).alias("end")))
+    w = Window.partitionBy("id").orderBy("pos")
+    run_end = F.max("end").over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    new_iv = F.when(run_end.isNull() | (F.col("pos") > run_end), 1) \
+              .otherwise(0)
+    iv = (marks.withColumn("iv", F.sum(new_iv).over(
+              w.rowsBetween(Window.unboundedPreceding, 0))))
+    return (iv.groupBy("id", "iv")
+            .agg(F.min("pos").alias("start_tok"),
+                 F.max("end").alias("end_tok"))
+            .select(F.col("id").alias(id_col), "start_tok", "end_tok"))
+
+
+def strip_duplicated_substrings(docs: DataFrame, *,
+                                id_col: str = "doc_id",
+                                text_col: str = "text",
+                                min_tokens: int = 16) -> DataFrame:
+    """Remove EVERY occurrence of corpus-duplicated >= min_tokens-token
+    substrings (the conservative all-copies variant; the keep-one-
+    canonical policy lives in remove_duplicate_spans at block grain).
+    Returns (id, text, n_removed_tokens, n_tokens).
+
+    Covered token positions come from exploding each extent (output
+    volume = duplicated tokens, not grams), tokens anti-join-drop on
+    (id, pos), and the survivors reassemble in order inside a doc-keyed
+    aggregate, exactly like remove_duplicate_spans."""
+    extents = exact_substring_dup_extents(
+        docs, id_col=id_col, text_col=text_col, min_tokens=min_tokens)
+    covered = extents.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.sequence(F.col("start_tok"),
+                             F.col("end_tok") - 1)).alias("pos"))
+    toks = (docs.select(F.col(id_col).alias("id"),
+                        F.posexplode(TX.words(text_col))
+                         .alias("pos", "tok")))
+    kept = toks.join(covered, ["id", "pos"], "left_anti")
+    n_tok = docs.select(F.col(id_col).alias("id"),
+                        F.size(TX.words(text_col)).alias("n_tokens"))
+    return (kept.groupBy("id")
+            .agg(F.concat_ws(" ", F.transform(
+                     F.sort_array(F.collect_list(
+                         F.struct(F.col("pos"), F.col("tok")))),
+                     lambda s: s["tok"])).alias(text_col),
+                 F.count(F.lit(1)).alias("n_kept"))
+            .join(n_tok, "id", "right")
+            .select(F.col("id").alias(id_col),
+                    F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
+                    (F.col("n_tokens")
+                     - F.coalesce("n_kept", F.lit(0)))
+                    .cast("long").alias("n_removed_tokens"),
+                    F.col("n_tokens").cast("long")))

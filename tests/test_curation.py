@@ -810,3 +810,58 @@ def test_remove_duplicate_spans_matches_pure_python_randomized(spark):
            for r in curation.remove_duplicate_spans(
                df, span_words=span).collect()}
     assert got == expect
+
+
+def test_exact_substring_extents_and_strip(spark):
+    """A 12-token substring shared by two docs at different offsets:
+    with min_tokens=8 the marked extents must cover exactly the shared
+    window in BOTH docs (all-copies removal), merged across overlapping
+    grams; unique text survives; within-doc repeats dedup too."""
+    shared = " ".join(f"s{i}" for i in range(12))
+    u = lambda d, n: " ".join(f"u{d}w{i}" for i in range(n))
+    docs = spark.createDataFrame(
+        [(1, u(1, 5) + " " + shared + " " + u(1, 3)),
+         (2, shared + " " + u(2, 6)),
+         (3, u(3, 10)),
+         (4, " ".join(["r0 r1 r2 r3 r4 r5 r6 r7"] * 2))],  # self-repeat
+        "doc_id long, text string")
+    ext = {r["doc_id"]: (r["start_tok"], r["end_tok"])
+           for r in curation.exact_substring_dup_extents(
+               docs, min_tokens=8).collect()}
+    assert ext[1] == (5, 17)          # tokens 5..16 = the shared 12
+    assert ext[2] == (0, 12)
+    assert 3 not in ext
+    assert ext[4] == (0, 16)          # whole doc is one repeated block
+
+    out = {r["doc_id"]: r.asDict()
+           for r in curation.strip_duplicated_substrings(
+               docs, min_tokens=8).collect()}
+    assert out[1]["text"] == u(1, 5) + " " + u(1, 3)
+    assert out[1]["n_removed_tokens"] == 12
+    assert out[2]["text"] == u(2, 6)
+    assert out[3]["text"] == u(3, 10)
+    assert out[3]["n_removed_tokens"] == 0
+    assert out[4]["text"] == "" and out[4]["n_removed_tokens"] == 16
+
+    re = {r["doc_id"]: r.asDict()
+          for r in curation.strip_duplicated_substrings(
+              docs.repartition(7), min_tokens=8).collect()}
+    assert re == out
+
+
+def test_exact_substring_extents_merge_adjacent_regions(spark):
+    """Two duplicated regions separated by a gap shorter than nothing
+    -- i.e. overlapping mark windows -- merge into ONE extent; disjoint
+    regions stay separate."""
+    blk_a = " ".join(f"a{i}" for i in range(8))
+    blk_b = " ".join(f"b{i}" for i in range(8))
+    mid = " ".join(f"m{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [(1, blk_a + " " + mid + " " + blk_b),
+         (2, blk_a), (3, blk_b)],
+        "doc_id long, text string")
+    ext = sorted((r["doc_id"], r["start_tok"], r["end_tok"])
+                 for r in curation.exact_substring_dup_extents(
+                     docs, min_tokens=8).collect())
+    assert (1, 0, 8) in ext and (1, 18, 26) in ext     # disjoint
+    assert (2, 0, 8) in ext and (3, 0, 8) in ext
