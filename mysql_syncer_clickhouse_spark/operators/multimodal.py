@@ -493,3 +493,67 @@ def decode_image_pixels(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.mapInPandas(decode, schema)
+
+
+def make_wav(sample_rate: int, samples: list[int],
+             channels: int = 1) -> bytes:
+    """Complete 16-bit PCM WAV: header + real sample data (interleaved
+    little-endian int16) -- the fixture generator for the codec-free
+    audio sample path."""
+    body = struct.pack(f"<{len(samples)}h", *samples)
+    return make_wav_header(sample_rate, channels, 16,
+                           len(samples) // channels) + body
+
+
+def decode_audio_samples(df: DataFrame) -> DataFrame:
+    """REAL sample decoding for 16-bit PCM WAV, no codec library: the
+    RIFF walk locates the data chunk, samples load as one numpy int16
+    view, and per-clip statistics (mean, RMS, peak amplitude) come from
+    one vectorized reduction per clip inside the Arrow batch -- the
+    audio twin of decode_image_pixels. Non-WAV / non-16-bit payloads
+    degrade to NULL stats with header metadata where parseable."""
+    import numpy as np
+
+    schema = ("doc_id long, sample_rate int, channels int, "
+              "n_samples long, mean_amp double, rms double, peak int")
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in (
+                "doc_id", "sample_rate", "channels", "n_samples",
+                "mean_amp", "rms", "peak")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                payload = bytes(payload)
+                meta = parse_wav_header(payload)
+                out["doc_id"].append(doc_id)
+                if meta is None:
+                    for k in ("sample_rate", "channels", "n_samples",
+                              "mean_amp", "rms", "peak"):
+                        out[k].append(None)
+                    continue
+                rate, ch, bits, n = meta
+                out["sample_rate"].append(rate)
+                out["channels"].append(ch)
+                out["n_samples"].append(n)
+                # locate the data chunk for the sample bytes
+                i, data = 12, None
+                while i + 8 <= len(payload):
+                    cid = payload[i:i + 4]
+                    clen = struct.unpack("<I", payload[i + 4:i + 8])[0]
+                    if cid == b"data":
+                        data = payload[i + 8:i + 8 + clen]
+                        break
+                    i += 8 + clen + (clen & 1)
+                if bits != 16 or not data or len(data) < 2:
+                    for k in ("mean_amp", "rms", "peak"):
+                        out[k].append(None)
+                    continue
+                x = np.frombuffer(data, dtype="<i2",
+                                  count=len(data) // 2).astype(np.float64)
+                out["mean_amp"].append(round(float(x.mean()), 6))
+                out["rms"].append(
+                    round(float(np.sqrt((x * x).mean())), 6))
+                out["peak"].append(int(np.abs(x).max()))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(decode, schema)

@@ -762,3 +762,28 @@ def test_bmp_pixel_decode_exact_statistics(spark):
     for k in ("mean_r", "mean_g", "mean_b", "brightness"):
         assert out[1][k] == out[2][k], k
     assert out[3]["mean_r"] is None and out[3]["width"] == 9
+
+
+def test_wav_sample_decode_exact_statistics(spark):
+    """16-bit PCM samples decode for REAL: mean/RMS/peak equal the
+    hand-computed values; a header-only WAV (no data bytes) and a
+    non-WAV payload degrade to NULL stats."""
+    from mysql_syncer_clickhouse_spark.operators.multimodal import (
+        decode_audio_samples, make_wav, make_wav_header)
+
+    samples = [0, 100, -100, 200, -200, 300]
+    rows = [(1, bytearray(make_wav(8000, samples))),
+            (2, bytearray(make_wav_header(16000, 2, 16, 0))),
+            (3, bytearray(b"not audio at all"))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in decode_audio_samples(df).collect()}
+
+    import math
+    n = len(samples)
+    assert out[1]["sample_rate"] == 8000 and out[1]["n_samples"] == n
+    assert abs(out[1]["mean_amp"] - sum(samples) / n) < 1e-6
+    assert abs(out[1]["rms"]
+               - math.sqrt(sum(s * s for s in samples) / n)) < 1e-6
+    assert out[1]["peak"] == 300
+    assert out[2]["sample_rate"] == 16000 and out[2]["rms"] is None
+    assert out[3]["sample_rate"] is None and out[3]["peak"] is None
