@@ -13,6 +13,11 @@ Semantics (matching the public ClickHouse definitions):
   NON-OVERLAPPING cond1 -> ... -> condN chains in time order
   (a restart-on-match automaton; ClickHouse's sequenceCount with the
   '.*' separators).
+- sequence_match(pattern, cond1..condN): the full sequenceMatch
+  pattern grammar -- (?N) conditions (reusable), strict adjacency
+  between bare neighbors, `.*` any-gap separators, and (?t op secs)
+  time constraints between matched events; events matching no
+  condition are invisible to the pattern.
 
 Implementation: steps are classified JVM-side (one CASE expression --
 filters stay codegen'd and pushable), non-step events are dropped
@@ -29,6 +34,7 @@ before the scan (test-asserted).
 
 from __future__ import annotations
 
+import re
 from collections.abc import Sequence
 
 import pandas as pd
@@ -110,6 +116,128 @@ def sequence_count(events: DataFrame, user_col: str, ts_col: str,
 
     return stepped.groupBy("user").applyInPandas(
         scan, "user long, n_matches long")
+
+
+# sequenceMatch pattern tokens: (?N) condition, (?t op secs) time
+# constraint, .* any-gap separator
+_PAT_TOKEN = re.compile(
+    r"\(\?(\d+)\)|\(\?t\s*(<=|>=|==|<|>)\s*(\d+(?:\.\d+)?)\)|\.\*")
+
+_T_OPS = {
+    "<": lambda d, s: d < s, "<=": lambda d, s: d <= s,
+    ">": lambda d, s: d > s, ">=": lambda d, s: d >= s,
+    "==": lambda d, s: d == s,
+}
+
+
+def parse_sequence_pattern(pattern: str) -> list[dict]:
+    """Parse the ClickHouse sequenceMatch pattern grammar into items:
+    [{cond: int (1-based), adjacent: bool, tcons: [(op, secs), ...]}].
+    `adjacent` means NO separator stood between this condition and the
+    previous one -- per the public semantics the two events must then
+    be consecutive in the condition-matching subsequence; `.*` or any
+    `(?t op n)` separator lifts adjacency (an arbitrary number of
+    events may lie between), with the time constraints applied between
+    the two matched events."""
+    items: list[dict] = []
+    adjacent = True
+    tcons: list[tuple[str, float]] = []
+    pos = 0
+    for m in _PAT_TOKEN.finditer(pattern):
+        if m.start() != pos:
+            raise ValueError(f"bad pattern at {pos}: {pattern!r}")
+        pos = m.end()
+        if m.group(1) is not None:
+            items.append({"cond": int(m.group(1)), "adjacent": adjacent,
+                          "tcons": tcons})
+            adjacent, tcons = True, []
+        elif m.group(2) is not None:
+            adjacent = False
+            tcons = tcons + [(m.group(2), float(m.group(3)))]
+        else:                                   # .*
+            adjacent = False
+    if pos != len(pattern):
+        raise ValueError(f"bad pattern at {pos}: {pattern!r}")
+    if not items:
+        raise ValueError("pattern has no (?N) conditions")
+    if items[0]["tcons"]:
+        raise ValueError("time constraint before the first condition")
+    return items
+
+
+def _match_sequence(ts: list[float], masks: list[int],
+                    items: list[dict]) -> bool:
+    """DP subsequence match over the condition-matching events of one
+    user (events matching NO condition were dropped upstream -- they
+    are invisible to the pattern, per the public semantics).
+    ends[j] = all event indices where item j can end; O(items x
+    events^2) worst case, bounded by per-user event counts."""
+    n = len(ts)
+    ends: list[int] = [i for i in range(n)
+                       if masks[i] >> (items[0]["cond"] - 1) & 1]
+    for item in items[1:]:
+        bit = item["cond"] - 1
+        nxt: list[int] = []
+        if item["adjacent"]:
+            prev = set(ends)
+            nxt = [i for i in range(1, n)
+                   if masks[i] >> bit & 1 and i - 1 in prev]
+        else:
+            for i in range(n):
+                if not masks[i] >> bit & 1:
+                    continue
+                for p in ends:
+                    if p >= i:
+                        break
+                    if all(_T_OPS[op](ts[i] - ts[p], s)
+                           for op, s in item["tcons"]):
+                        nxt.append(i)
+                        break
+        if not nxt:
+            return False
+        ends = nxt
+    return True
+
+
+def sequence_match(events: DataFrame, user_col: str, ts_col: str,
+                   pattern: str, conds: Sequence[Column],
+                   tiebreak_col: str = "event_id") -> DataFrame:
+    """(user, matched): the sink DB's sequenceMatch(pattern)(ts,
+    cond1..condN) parametric aggregate. Unlike the funnel's
+    first-match-wins step column, each event carries a BITMASK of every
+    condition it matches (pattern items may reuse conditions), computed
+    as one flat JVM sum-of-whens; events matching no condition are
+    dropped before the shuffle -- exactly the events the public
+    semantics ignores. One applyInPandas scan per user (sequential per
+    user, parallel across users -- the funnel contract). Users with no
+    condition-matching events are absent from the result (join against
+    the user dimension for a dense report)."""
+    items = parse_sequence_pattern(pattern)
+    n_conds = len(conds)
+    for it in items:
+        if not 1 <= it["cond"] <= n_conds:
+            raise ValueError(f"pattern references cond {it['cond']} "
+                             f"but only {n_conds} supplied")
+    mask = F.lit(0)
+    for i, c in enumerate(conds):
+        mask = mask + F.when(c, F.lit(1 << i)).otherwise(0)
+    stepped = (events.select(
+                   F.col(user_col).alias("user"),
+                   F.col(ts_col).cast("timestamp").cast("double")
+                    .alias("ts_s"),
+                   F.col(tiebreak_col).alias("tb"),
+                   mask.alias("mask"))
+               .filter(F.col("mask") != 0))
+
+    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts_s", "tb"], kind="mergesort")
+        ok = _match_sequence(list(pdf["ts_s"]),
+                             [int(m) for m in pdf["mask"]], items)
+        return pd.DataFrame({"user": [pdf["user"].iloc[0]],
+                             "matched": [ok]})
+
+    return stepped.groupBy("user").applyInPandas(
+        scan, "user long, matched boolean")
 
 
 def retention(events: DataFrame, user_col: str,
