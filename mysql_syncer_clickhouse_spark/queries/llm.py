@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from ..functions import text as TX
 from ..functions.vectors import cosine
-from ..operators import ann, curation, dedup, multimodal, sketch
+from ..operators import ann, bloom, curation, dedup, multimodal, sketch
 from ..sources.tables import load_table
 
 # ---------------------------------------------------------------------------
@@ -860,6 +860,11 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
       occurrence (operators/curation.remove_duplicate_spans; the
       reassembled text itself is pytest-covered, the oracle mirrors
       every keep/drop decision through the same md5 block hashes).
+    - 'bloom': cross-snapshot Bloom screening (operators/bloom.py) --
+      a bounded m-bit filter over the even-doc_id half's text
+      fingerprints probes the odd half; val = might_contain (the
+      no-false-negative / deterministic-false-positive arithmetic is
+      mirrored bit-for-bit by the oracle).
     """
     docs = _docs(spark, sf_dir)
     bench = docs.filter(F.col("source") == "src0")
@@ -907,9 +912,23 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("spanrm").alias("part"),
         "doc_id",
         F.col("n_removed_spans").alias("val"))
+    # 'bloom': cross-snapshot screening -- a Bloom filter built over
+    # the even-doc_id half's text fingerprints probes the odd half;
+    # val = 1 iff the doc might have been seen before (planted
+    # duplicate texts flag true; the rare false positive is
+    # deterministic md5 arithmetic, mirrored by the oracle exactly)
+    seen = (docs.filter(F.col("doc_id") % 2 == 0)
+                .select(F.md5("text").alias("fp")))
+    probe = (docs.filter(F.col("doc_id") % 2 == 1)
+                 .withColumn("fp", F.md5("text")))
+    blm = (bloom.bloom_might_contain(
+               probe, "fp", bloom.bloom_build(seen, "fp"))
+           .select(F.lit("bloom").alias("part"), "doc_id",
+                   F.col("might_contain").cast("long").alias("val")))
     return (dec.unionByName(pack).unionByName(samp)
             .unionByName(spl).unionByName(chunks).unionByName(mix)
-            .unionByName(xdup).unionByName(dsir).unionByName(spanrm))
+            .unionByName(xdup).unionByName(dsir).unionByName(spanrm)
+            .unionByName(blm))
 
 
 _CURATION_SQL = f"""
@@ -1040,6 +1059,23 @@ WITH g AS (
                        THEN 1 ELSE 0 END) AS BIGINT) AS val
   FROM spans s JOIN span_stats st ON s.h = st.h
   GROUP BY s.doc_id
+), bloomf AS (
+  {bloom.bloom_sql(
+      "(SELECT md5(text) AS fp FROM documents WHERE doc_id % 2 = 0) prev",
+      "fp")}
+), bpos AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('bf' || s.i || ':' || md5(text)), 1, 8))::BIGINT
+           % 65536 AS pos
+  FROM documents CROSS JOIN (VALUES (0), (1), (2), (3)) AS s(i)
+  WHERE doc_id % 2 = 1
+), bloomp AS (
+  SELECT p.doc_id,
+         CAST(CASE WHEN BOOL_AND(
+               (COALESCE(f.bits, 0) & (1::BIGINT << (p.pos % 32)::INT)) <> 0)
+              THEN 1 ELSE 0 END AS BIGINT) AS val
+  FROM bpos p LEFT JOIN bloomf f ON p.pos // 32 = f.word
+  GROUP BY p.doc_id
 )
 SELECT 'decontam' AS part, doc_id, val FROM decontam
 UNION ALL SELECT 'pack', doc_id, val FROM pack
@@ -1050,6 +1086,7 @@ UNION ALL SELECT 'mix', doc_id, val FROM mix
 UNION ALL SELECT 'xdup', doc_id, val FROM xdup
 UNION ALL SELECT 'dsir', doc_id, val FROM dsir
 UNION ALL SELECT 'spanrm', doc_id, val FROM spanrm
+UNION ALL SELECT 'bloom', doc_id, val FROM bloomp
 """
 
 
