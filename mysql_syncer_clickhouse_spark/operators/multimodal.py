@@ -557,3 +557,136 @@ def decode_audio_samples(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.mapInPandas(decode, schema)
+
+
+def _gray_pixels(payload: bytes):
+    """Decode a NetPBM (P5/P6) or uncompressed 24-bit BMP payload to a
+    float64 grayscale matrix (ITU-R 601 luma), or None when the format
+    needs a codec this container lacks."""
+    import numpy as np
+
+    meta = parse_ppm(payload)
+    if meta is not None:
+        fmt, w, h, _maxval, off = meta
+        ch = 1 if fmt == "pgm" else 3
+        px = np.frombuffer(payload, dtype=np.uint8,
+                           count=w * h * ch, offset=off) \
+               .reshape(h, w, ch).astype(np.float64)
+        if ch == 1:
+            return px[:, :, 0]
+        return 0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] \
+            + 0.114 * px[:, :, 2]
+    bmp = parse_bmp_pixels(payload)
+    if bmp is not None:
+        w, h, off, stride = bmp
+        rows = np.frombuffer(payload, dtype=np.uint8,
+                             count=stride * h, offset=off).reshape(h, stride)
+        px = rows[:, :w * 3].reshape(h, w, 3).astype(np.float64)
+        # stored bottom-up, BGR; flip rows so spatially-sensitive
+        # consumers (the DCT) see the image the right way up
+        px = px[::-1]
+        return 0.299 * px[:, :, 2] + 0.587 * px[:, :, 1] \
+            + 0.114 * px[:, :, 0]
+    return None
+
+
+def _dct_matrix(n: int):
+    """Orthonormal DCT-II basis (the JPEG/pHash transform), built from
+    first principles -- no scipy in this container."""
+    import numpy as np
+
+    k = np.arange(n).reshape(-1, 1).astype(np.float64)
+    x = np.arange(n).reshape(1, -1).astype(np.float64)
+    d = np.sqrt(2.0 / n) * np.cos(np.pi * (2 * x + 1) * k / (2 * n))
+    d[0] /= np.sqrt(2.0)
+    return d
+
+
+def phash64(gray, hash_size: int = 8, highfreq_factor: int = 4) -> int:
+    """64-bit perceptual hash of one grayscale matrix: block-mean
+    downsample to (hash_size*highfreq_factor)^2, 2-D DCT, keep the
+    top-left hash_size^2 low-frequency block, threshold each
+    coefficient against the median of the non-DC coefficients. Robust
+    to brightness shifts (only the DC coefficient moves) and to
+    high-frequency noise (discarded by the low-pass crop)."""
+    import numpy as np
+
+    size = hash_size * highfreq_factor
+    h, w = gray.shape
+    # block-mean resample: every source pixel contributes to exactly
+    # one target cell ((y*size)//h, (x*size)//w) -- deterministic,
+    # vectorized, no interpolation kernel to disagree about
+    yy = (np.arange(h) * size) // h
+    xx = (np.arange(w) * size) // w
+    cell = (yy.reshape(-1, 1) * size + xx.reshape(1, -1)).ravel()
+    sums = np.bincount(cell, weights=gray.ravel(), minlength=size * size)
+    cnts = np.bincount(cell, minlength=size * size)
+    small = (sums / np.maximum(cnts, 1)).reshape(size, size)
+    d = _dct_matrix(size)
+    coeffs = (d @ small @ d.T)[:hash_size, :hash_size].ravel()
+    med = float(np.median(coeffs[1:]))
+    bits = coeffs > med
+    word = np.uint64(0)
+    for i, b in enumerate(bits):
+        if b:
+            word |= np.uint64(1) << np.uint64(i)
+    return int(word.view(np.int64))
+
+
+def phash_images(df: DataFrame, hash_size: int = 8,
+                 highfreq_factor: int = 4) -> DataFrame:
+    """(doc_id, phash): 64-bit perceptual hash per image payload, NULL
+    for payloads whose pixels need a codec (PNG/JPEG/GIF headers still
+    parse, their pixels don't). Same Arrow mapInPandas plumbing as
+    decode_image_pixels; the DCT is one small matmul per image."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                gray = _gray_pixels(bytes(payload))
+                ids.append(doc_id)
+                hashes.append(None if gray is None
+                              else phash64(gray, hash_size,
+                                           highfreq_factor))
+            yield pd.DataFrame({"doc_id": ids, "phash": hashes})
+
+    return df.mapInPandas(run, "doc_id long, phash long")
+
+
+def phash_near_dups(hashed: DataFrame, max_hamming: int = 7) -> DataFrame:
+    """(id_a, id_b, hamming): image near-dup pairs from 64-bit
+    perceptual hashes -- the content-addressed image dedup a training
+    pipeline runs before CLIP-style embedding dedup.
+
+    Candidates come from the pigeonhole block trick (the SimHash
+    pattern, operators/dedup.simhash_near_dups, widened to 64 bits):
+    split each hash into max_hamming+1 contiguous bit blocks; any pair
+    within the distance budget must agree exactly on >= 1 block, so the
+    self-join keys on (block_idx, block_value) and misses nothing.
+    Verification is bit_count(xor) <= max_hamming, JVM-codegen'd.
+    Block collisions bound candidate volume -- never corpus^2."""
+    n_blocks = max_hamming + 1
+    widths = [(64 // n_blocks) + (1 if i < 64 % n_blocks else 0)
+              for i in range(n_blocks)]
+    starts = [sum(widths[:i]) for i in range(n_blocks)]
+    sh = hashed.filter(F.col("phash").isNotNull())
+    blocks = sh.select(
+        "doc_id", "phash",
+        F.posexplode(F.array(*[
+            F.call_function(
+                "shiftrightunsigned", F.col("phash"), F.lit(starts[i]))
+             .bitwiseAND(F.lit((1 << widths[i]) - 1))
+            for i in range(n_blocks)])).alias("blk", "blk_val"))
+    a = blocks.select(F.col("doc_id").alias("id_a"),
+                      F.col("phash").alias("ph_a"), "blk", "blk_val")
+    b = blocks.select(F.col("doc_id").alias("id_b"),
+                      F.col("phash").alias("ph_b"), "blk", "blk_val")
+    return (a.join(b, ["blk", "blk_val"])
+             .filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b", "ph_a", "ph_b")
+             .dropDuplicates(["id_a", "id_b"])
+             .withColumn("hamming", F.bit_count(
+                 F.col("ph_a").bitwiseXOR(F.col("ph_b"))))
+             .filter(F.col("hamming") <= max_hamming)
+             .select("id_a", "id_b", "hamming"))

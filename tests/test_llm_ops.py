@@ -787,3 +787,96 @@ def test_wav_sample_decode_exact_statistics(spark):
     assert out[1]["peak"] == 300
     assert out[2]["sample_rate"] == 16000 and out[2]["rms"] is None
     assert out[3]["sample_rate"] is None and out[3]["peak"] is None
+
+
+def test_phash_brightness_invariance_and_blocking(spark):
+    """Perceptual hashing over REAL decoded pixels: a globally
+    brightness-shifted copy moves only the DC coefficient, so its
+    pHash is within hamming 1 of the original; an unrelated image is
+    far away; the pigeonhole-blocked pair generation finds exactly the
+    near pair."""
+    import numpy as np
+
+    from mysql_syncer_clickhouse_spark.operators.multimodal import (
+        _gray_pixels, make_ppm, parse_ppm, phash64, phash_images,
+        phash_near_dups)
+
+    w, h = 40, 30
+    base = make_ppm(w, h, seed=3)
+    # +6 brightness on every channel byte, clipped below 250 to avoid
+    # wrap -- the pixel region starts after the header
+    fmt, pw, ph, maxval, off = parse_ppm(base)
+    px = bytearray(base)
+    for i in range(off, len(px)):
+        px[i] = min(px[i] + 6, 255) if px[i] < 250 else px[i]
+    shifted = bytes(px)
+    other = make_ppm(w, h, seed=99)
+
+    df = spark.createDataFrame(
+        [(1, bytearray(base)), (2, bytearray(shifted)),
+         (3, bytearray(other)), (4, bytearray(b"\x89PNG\r\n\x1a\n"))],
+        "doc_id long, payload binary")
+    hashed = phash_images(df)
+    out = {r["doc_id"]: r["phash"] for r in hashed.collect()}
+    assert out[4] is None                      # codec-needing payload
+    d12 = bin((out[1] ^ out[2]) & (2**64 - 1)).count("1")
+    d13 = bin((out[1] ^ out[3]) & (2**64 - 1)).count("1")
+    assert d12 <= 1
+    assert d13 > 7
+
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in phash_near_dups(hashed, max_hamming=7).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == d12
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+    # operator output equals the pure-Python composition exactly
+    assert out[1] == phash64(_gray_pixels(base))
+    g = _gray_pixels(base)
+    assert isinstance(g, np.ndarray) and g.shape == (h, w)
+
+
+def test_phash_bmp_agrees_with_ppm_same_pixels(spark):
+    """make_bmp and make_ppm derive pixels from the same coordinate
+    formula, so the two containers must produce the IDENTICAL pHash
+    (the BMP path un-pads, BGR-swaps, and re-flips its bottom-up
+    rows)."""
+    from mysql_syncer_clickhouse_spark.operators.multimodal import (
+        make_bmp, make_ppm, phash_images)
+
+    w, h = 24, 17                      # odd width exercises row padding
+    df = spark.createDataFrame(
+        [(1, bytearray(make_ppm(w, h, seed=5))),
+         (2, bytearray(make_bmp(w, h, seed=5)))],
+        "doc_id long, payload binary")
+    out = {r["doc_id"]: r["phash"] for r in phash_images(df).collect()}
+    assert out[1] == out[2]
+
+
+def test_phash_pigeonhole_recall_lossless(spark):
+    """Every pair within the hamming budget surfaces through the
+    blocked join -- compare against the all-pairs brute force on a
+    small corpus of perturbed variants."""
+    import itertools
+
+    from mysql_syncer_clickhouse_spark.operators.multimodal import (
+        make_ppm, phash_images, phash_near_dups)
+
+    rows = []
+    did = 0
+    for seed in (1, 2, 3):
+        for bump in (0, 4, 8):
+            px = bytearray(make_ppm(20, 20, seed=seed))
+            for i in range(13, len(px)):
+                px[i] = min(px[i] + bump, 255) if px[i] < 240 else px[i]
+            rows.append((did, bytearray(bytes(px))))
+            did += 1
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    hashed = phash_images(df).cache()
+    hs = {r["doc_id"]: r["phash"] for r in hashed.collect()}
+    brute = {(a, b): bin((hs[a] ^ hs[b]) & (2**64 - 1)).count("1")
+             for a, b in itertools.combinations(sorted(hs), 2)
+             if bin((hs[a] ^ hs[b]) & (2**64 - 1)).count("1") <= 7}
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in phash_near_dups(hashed, max_hamming=7).collect()}
+    assert got == brute
+    hashed.unpersist()
