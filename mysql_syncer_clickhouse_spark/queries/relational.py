@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.numeric import davg, dsum, sql_davg, sql_dsum
+from ..operators import bitmap
 from ..sources.tables import load_table
 
 _DEC = "decimal(38,6)"
@@ -1047,9 +1048,18 @@ def distinct_vs_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
           <= 0.05 * F.col("n_orders"))
     p50_ok = (F.abs(F.col("approx_p50") - F.col("exact_p50"))
               <= 0.02 * F.col("exact_p50"))
-    return agg.select("l_returnflag", "n_parts", "n_supps", "n_rows",
-                      "n_orders", ok.alias("approx_ok"),
-                      p50_ok.alias("approx_p50_ok"))
+    # the third mergeable-summary path: groupBitmap (operators/
+    # bitmap.py). Exact BY construction, so the checked value is the
+    # cardinality itself (== COUNT(DISTINCT) in the oracle), computed
+    # through the real sparse-bitmap plan -- bit_or agg + popcount sum
+    bm = bitmap.bitmap_cardinality(
+        bitmap.bitmap_agg(li, ["l_returnflag"], "l_orderkey"),
+        ["l_returnflag"])
+    return (agg.join(bm, "l_returnflag")
+               .select("l_returnflag", "n_parts", "n_supps", "n_rows",
+                       "n_orders", ok.alias("approx_ok"),
+                       p50_ok.alias("approx_p50_ok"),
+                       F.col("cardinality").alias("n_orders_bitmap")))
 
 
 _DISTINCT_VS_APPROX_SQL = """
@@ -1059,7 +1069,8 @@ SELECT l_returnflag,
        COUNT(*) AS n_rows,
        COUNT(DISTINCT l_orderkey) AS n_orders,
        TRUE AS approx_ok,
-       TRUE AS approx_p50_ok
+       TRUE AS approx_p50_ok,
+       COUNT(DISTINCT l_orderkey) AS n_orders_bitmap
 FROM lineitem GROUP BY l_returnflag
 """
 
