@@ -80,3 +80,99 @@ def cms_sql(grams_rel: str, item_expr: str,
   FROM {grams_rel} CROSS JOIN (VALUES {", ".join(f"({i})" for i in range(d))}) AS s(i)
   GROUP BY 1, 2
 """
+
+
+# --- SpaceSaving topK (the sink DB's topK aggregate) --------------------
+#
+# Count-min (above) answers "how often does THIS item occur"; topK
+# answers "which items occur most" without shuffling the distinct-item
+# table: each partition keeps a capacity-C SpaceSaving summary (Metwally
+# et al. 2005) whose memory is C counters REGARDLESS of how many
+# distinct items stream through it, then the <= n_partitions * C
+# surviving counters merge in one keyed aggregation. Every reported
+# count carries [lower, upper] bounds; the classic guarantee survives
+# the merge: any item whose true count exceeds the k-th largest upper
+# bound is IN the result (test-asserted). The price of bounded memory
+# is order-dependence -- counts depend on arrival order within each
+# partition, so unlike every md5-derived operator in this module the
+# estimates are not partitioning-deterministic (the bounds always hold;
+# only where inside the bounds moves). ClickHouse's topK has the same
+# property.
+
+TOPK_LOAD_FACTOR = 3        # C = k * load_factor, the public default
+
+
+def space_saving_partials(df: DataFrame, item_col: str,
+                          capacity: int) -> DataFrame:
+    """Per-partition SpaceSaving summaries: (item, cnt, err, pmin).
+    `cnt` is the summary's (over)estimate, `err` its max overcount,
+    and `pmin` the partition summary's min counter -- the upper bound
+    on ANY item the partition evicted, needed by the merge. State is
+    `capacity` counters per partition, streamed over Arrow batches."""
+    import pandas as pd
+
+    def summarize(batches):
+        counters: dict = {}
+        errors: dict = {}
+        for pdf in batches:
+            for item in pdf["item"]:
+                if item is None:
+                    continue
+                if item in counters:
+                    counters[item] += 1
+                elif len(counters) < capacity:
+                    counters[item] = 1
+                    errors[item] = 0
+                else:                     # evict the min counter
+                    victim = min(counters, key=lambda i: (counters[i],
+                                                          str(i)))
+                    vcnt = counters.pop(victim)
+                    errors.pop(victim)
+                    counters[item] = vcnt + 1
+                    errors[item] = vcnt
+        pmin = min(counters.values()) if len(counters) >= capacity else 0
+        yield pd.DataFrame({
+            "item": list(counters),
+            "cnt": [counters[i] for i in counters],
+            "err": [errors[i] for i in counters],
+            "pmin": [pmin] * len(counters)})
+
+    return df.select(F.col(item_col).cast("string").alias("item")) \
+             .mapInPandas(summarize,
+                          "item string, cnt long, err long, pmin long")
+
+
+def topk_space_saving(df: DataFrame, item_col: str, k: int,
+                      load_factor: int = TOPK_LOAD_FACTOR) -> DataFrame:
+    """(item, est, lower, upper): the k highest-frequency items by
+    merged upper bound.
+
+    Merge math: a partition that didn't report an item may still have
+    seen it up to `pmin` times, so
+      upper(item) = sum(cnt_p for reporting p) + sum(pmin_p for silent p)
+                  = sum(cnt_p - pmin_p) + TOTAL_PMIN
+      lower(item) = sum(cnt_p - err_p)
+    TOTAL_PMIN is one tiny aggregate over the <= n_partitions summary
+    rows, broadcast back as a literal-sized cross join. Top-k selection
+    is by upper bound with an item tie-break (deterministic GIVEN the
+    summaries)."""
+    partials = space_saving_partials(df, item_col,
+                                     capacity=k * load_factor)
+    merged = (partials.groupBy("item")
+              .agg(F.sum(F.col("cnt") - F.col("pmin")).alias("adj"),
+                   F.sum(F.col("cnt") - F.col("err")).alias("lower")))
+    const = (partials.select("pmin",
+                             F.spark_partition_id().alias("pid")))
+    # NOTE: spark_partition_id() here reflects the post-summary
+    # partitioning (1 summary per input partition, no shuffle between),
+    # so distinct (pid, pmin) rows recover each partition's pmin
+    tot = (const.distinct()
+           .agg(F.coalesce(F.sum("pmin"), F.lit(0))
+                 .alias("total_pmin")))
+    out = (merged.crossJoin(F.broadcast(tot))
+           .select("item",
+                   (F.col("adj") + F.col("total_pmin")).alias("upper"),
+                   F.greatest("lower", F.lit(0)).alias("lower"))
+           .withColumn("est", F.col("upper")))
+    return (out.orderBy(F.desc("upper"), "item").limit(k)
+               .select("item", "est", "lower", "upper"))

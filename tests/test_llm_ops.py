@@ -880,3 +880,51 @@ def test_phash_pigeonhole_recall_lossless(spark):
            for r in phash_near_dups(hashed, max_hamming=7).collect()}
     assert got == brute
     hashed.unpersist()
+
+
+def test_topk_space_saving_guarantees(spark):
+    """SpaceSaving topK: reported bounds bracket true counts, planted
+    heavy hitters always surface, and the state stays bounded."""
+    import random
+
+    from mysql_syncer_clickhouse_spark.operators.sketch import (
+        space_saving_partials, topk_space_saving)
+
+    rng = random.Random(5)
+    # 3 heavy items (600/400/300) over a 400-item noise floor (<= ~15)
+    rows = (["hot_a"] * 600 + ["hot_b"] * 400 + ["hot_c"] * 300
+            + [f"n{rng.randrange(400)}" for _ in range(3000)])
+    rng.shuffle(rows)
+    true = {}
+    for it in rows:
+        true[it] = true.get(it, 0) + 1
+    df = spark.createDataFrame([(r,) for r in rows], "item string") \
+              .repartition(8)
+
+    k = 10
+    got = topk_space_saving(df, "item", k=k).collect()
+    assert len(got) == k
+    by_item = {r["item"]: r for r in got}
+    for hot in ("hot_a", "hot_b", "hot_c"):
+        assert hot in by_item
+        r = by_item[hot]
+        assert r["lower"] <= true[hot] <= r["upper"]
+    # state bound: <= n_partitions * capacity summary rows
+    partials = space_saving_partials(df, "item", capacity=k * 3)
+    assert partials.count() <= 8 * k * 3
+
+
+def test_topk_space_saving_exact_when_capacity_suffices(spark):
+    """With capacity >= distinct items nothing is ever evicted: est =
+    exact counts, zero error, regardless of partitioning."""
+    from mysql_syncer_clickhouse_spark.operators.sketch import (
+        topk_space_saving)
+
+    rows = ["a"] * 5 + ["b"] * 3 + ["c"] * 2 + ["d"]
+    df = spark.createDataFrame([(r,) for r in rows], "item string")
+    for parts in (1, 4):
+        got = {r["item"]: r for r in topk_space_saving(
+            df.repartition(parts), "item", k=4).collect()}
+        assert {i: r["est"] for i, r in got.items()} \
+            == {"a": 5, "b": 3, "c": 2, "d": 1}
+        assert all(r["lower"] == r["upper"] for r in got.values())
