@@ -655,9 +655,21 @@ def phash_images(df: DataFrame, hash_size: int = 8,
 
 
 def phash_near_dups(hashed: DataFrame, max_hamming: int = 7) -> DataFrame:
-    """(id_a, id_b, hamming): image near-dup pairs from 64-bit
-    perceptual hashes -- the content-addressed image dedup a training
-    pipeline runs before CLIP-style embedding dedup.
+    """Image near-dup pairs from phash_images output -- the
+    content-addressed image dedup a training pipeline runs before
+    CLIP-style embedding dedup."""
+    return hash_near_dups(hashed, "phash", max_hamming)
+
+
+def audio_near_dups(hashed: DataFrame, max_hamming: int = 7) -> DataFrame:
+    """Audio near-dup pairs from audio_fingerprints output."""
+    return hash_near_dups(hashed, "afp", max_hamming)
+
+
+def hash_near_dups(hashed: DataFrame, hash_col: str,
+                   max_hamming: int = 7) -> DataFrame:
+    """(id_a, id_b, hamming): near-dup pairs from any 64-bit content
+    hash column (perceptual image hash, audio fingerprint).
 
     Candidates come from the pigeonhole block trick (the SimHash
     pattern, operators/dedup.simhash_near_dups, widened to 64 bits):
@@ -670,18 +682,18 @@ def phash_near_dups(hashed: DataFrame, max_hamming: int = 7) -> DataFrame:
     widths = [(64 // n_blocks) + (1 if i < 64 % n_blocks else 0)
               for i in range(n_blocks)]
     starts = [sum(widths[:i]) for i in range(n_blocks)]
-    sh = hashed.filter(F.col("phash").isNotNull())
+    sh = hashed.filter(F.col(hash_col).isNotNull())
     blocks = sh.select(
-        "doc_id", "phash",
+        "doc_id", F.col(hash_col).alias("h64"),
         F.posexplode(F.array(*[
             F.call_function(
-                "shiftrightunsigned", F.col("phash"), F.lit(starts[i]))
+                "shiftrightunsigned", F.col(hash_col), F.lit(starts[i]))
              .bitwiseAND(F.lit((1 << widths[i]) - 1))
             for i in range(n_blocks)])).alias("blk", "blk_val"))
     a = blocks.select(F.col("doc_id").alias("id_a"),
-                      F.col("phash").alias("ph_a"), "blk", "blk_val")
+                      F.col("h64").alias("ph_a"), "blk", "blk_val")
     b = blocks.select(F.col("doc_id").alias("id_b"),
-                      F.col("phash").alias("ph_b"), "blk", "blk_val")
+                      F.col("h64").alias("ph_b"), "blk", "blk_val")
     return (a.join(b, ["blk", "blk_val"])
              .filter(F.col("id_a") < F.col("id_b"))
              .select("id_a", "id_b", "ph_a", "ph_b")
@@ -690,3 +702,71 @@ def phash_near_dups(hashed: DataFrame, max_hamming: int = 7) -> DataFrame:
                  F.col("ph_a").bitwiseXOR(F.col("ph_b"))))
              .filter(F.col("hamming") <= max_hamming)
              .select("id_a", "id_b", "hamming"))
+
+
+def _pcm16_samples(payload: bytes):
+    """Mono-folded float64 sample vector of a 16-bit PCM WAV payload
+    (channels averaged), or None when undecodable."""
+    import numpy as np
+
+    meta = parse_wav_header(payload)
+    if meta is None:
+        return None
+    _rate, ch, bits, _n = meta
+    i, data = 12, None
+    while i + 8 <= len(payload):
+        cid = payload[i:i + 4]
+        clen = struct.unpack("<I", payload[i + 4:i + 8])[0]
+        if cid == b"data":
+            data = payload[i + 8:i + 8 + clen]
+            break
+        i += 8 + clen + (clen & 1)
+    if bits != 16 or not data or len(data) < 2:
+        return None
+    x = np.frombuffer(data, dtype="<i2",
+                      count=len(data) // 2).astype(np.float64)
+    if ch > 1 and len(x) >= ch:
+        x = x[:len(x) - len(x) % ch].reshape(-1, ch).mean(axis=1)
+    return x
+
+
+def audio_fingerprint64(samples) -> int | None:
+    """64-bit energy-delta fingerprint (the Haitsma-Kalker shape
+    without the codec-needing spectral front-end): split the clip into
+    65 equal frames, bit i = frame (i+1) energy > frame i energy.
+    Invariant to global gain (both energies scale together) and to the
+    clip's absolute level; robust to small noise (only near-tie frame
+    pairs can flip). Needs >= 65 samples to frame."""
+    import numpy as np
+
+    n = len(samples) if samples is not None else 0
+    frames = 65
+    if n < frames:
+        return None
+    edges = (np.arange(frames + 1) * n) // frames
+    sq = np.concatenate(([0.0], np.cumsum(np.square(samples))))
+    energy = (sq[edges[1:]] - sq[edges[:-1]]) \
+        / np.maximum(edges[1:] - edges[:-1], 1)
+    word = np.uint64(0)
+    for i in range(64):
+        if energy[i + 1] > energy[i]:
+            word |= np.uint64(1) << np.uint64(i)
+    return int(word.view(np.int64))
+
+
+def audio_fingerprints(df: DataFrame) -> DataFrame:
+    """(doc_id, afp): 64-bit audio fingerprint per WAV payload, NULL
+    for payloads needing a codec. Arrow mapInPandas like every
+    multimodal operator; pairs feed hash_near_dups (the shared
+    pigeonhole blocking) for content-based audio dedup."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fps = [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                x = _pcm16_samples(bytes(payload))
+                ids.append(doc_id)
+                fps.append(None if x is None else audio_fingerprint64(x))
+            yield pd.DataFrame({"doc_id": ids, "afp": fps})
+
+    return df.mapInPandas(run, "doc_id long, afp long")

@@ -928,3 +928,59 @@ def test_topk_space_saving_exact_when_capacity_suffices(spark):
         assert {i: r["est"] for i, r in got.items()} \
             == {"a": 5, "b": 3, "c": 2, "d": 1}
         assert all(r["lower"] == r["upper"] for r in got.values())
+
+
+def test_audio_fingerprint_gain_invariance_and_pairs(spark):
+    """The energy-delta audio fingerprint is exactly gain-invariant
+    (halving every sample scales all frame energies together), a small
+    additive perturbation stays within a small hamming distance, and
+    an unrelated clip lands far away; the shared pigeonhole pairing
+    finds the near pair."""
+    from mysql_syncer_clickhouse_spark.operators.multimodal import (
+        audio_fingerprint64, audio_fingerprints, audio_near_dups,
+        make_wav, _pcm16_samples)
+
+    def sig(seed, n=2000):
+        # deterministic pseudo-random walk with even values (exact /2)
+        x, out = seed, []
+        for _ in range(n):
+            x = (x * 1103515245 + 12345) % (1 << 31)
+            out.append(((x >> 16) % 2000 - 1000) * 2)
+        return out
+
+    base = sig(3)
+    half = [v // 2 for v in base]            # exact: all values even
+    wobble = [v + (3 if i % 97 == 0 else 0) for i, v in enumerate(base)]
+    other = sig(1234)
+    rows = [(1, bytearray(make_wav(8000, base))),
+            (2, bytearray(make_wav(8000, half))),
+            (3, bytearray(make_wav(8000, wobble))),
+            (4, bytearray(make_wav(8000, other))),
+            (5, bytearray(b"not audio at all"))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: r["afp"]
+           for r in audio_fingerprints(df).collect()}
+    assert out[5] is None
+    assert out[1] == out[2]                  # gain invariance, exact
+    d13 = bin((out[1] ^ out[3]) & (2**64 - 1)).count("1")
+    d14 = bin((out[1] ^ out[4]) & (2**64 - 1)).count("1")
+    assert d13 <= 4
+    assert d14 > 7
+
+    hashed = audio_fingerprints(df)
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in audio_near_dups(hashed, max_hamming=7).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 0
+    assert (1, 3) in pairs
+    assert (1, 4) not in pairs
+
+    # operator output equals the pure-Python composition
+    assert out[1] == audio_fingerprint64(
+        _pcm16_samples(make_wav(8000, base)))
+
+
+def test_audio_fingerprint_short_clip_null(spark):
+    from mysql_syncer_clickhouse_spark.operators.multimodal import (
+        audio_fingerprint64, make_wav, _pcm16_samples)
+    assert audio_fingerprint64(
+        _pcm16_samples(make_wav(8000, [1, 2, 3]))) is None
