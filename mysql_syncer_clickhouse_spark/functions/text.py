@@ -133,3 +133,50 @@ def redact_pii(col: Column | str) -> Column:
     for pat, token in _PII_PATTERNS:
         out = F.regexp_replace(out, pat, token)
     return out
+
+
+def canonical_text(col: Column | str) -> Column:
+    """Dedup canonicalization: lowercase, punctuation -> space,
+    whitespace collapsed, trimmed. The standard pre-fingerprint
+    normalization (C4/CCNet-style pipelines hash THIS, not the raw
+    text, so case/punctuation variants of one document collide).
+    Flat codegen expressions only."""
+    c = F.lower(_c(col))
+    c = F.regexp_replace(c, "[^a-z0-9]+", " ")
+    return F.trim(c)
+
+
+def canonical_fingerprint(col: Column | str) -> Column:
+    """md5 of the canonical form -- the exact-dedup key for noisy
+    web text."""
+    return F.md5(canonical_text(col))
+
+
+def normalize_url(col: Column | str) -> Column:
+    """URL canonicalization for crawl dedup: lowercase scheme+host,
+    strip the fragment, drop default ports, drop tracking parameters
+    (utm_*, fbclid, gclid, msclkid), sort surviving query params so
+    order variants collide, and strip a trailing slash from the path.
+    All flat expressions + one small array filter/sort (cheap
+    arithmetic on short arrays -- the lambda-cost rule in SCALE.md
+    applies to heavy functions, not comparisons)."""
+    u = F.regexp_replace(_c(col), "#.*$", "")          # fragment
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    hostport = F.lower(F.regexp_extract(rest, r"^([^/?]*)", 1))
+    host = F.when((scheme == "http") & hostport.endswith(":80"),
+                  F.substring(hostport, 1, F.length(hostport) - 3)) \
+            .when((scheme == "https") & hostport.endswith(":443"),
+                  F.substring(hostport, 1, F.length(hostport) - 4)) \
+            .otherwise(hostport)
+    pathq = F.regexp_replace(rest, r"^[^/?]*", "")
+    path = F.regexp_extract(pathq, r"^([^?]*)", 1)
+    path = F.regexp_replace(path, "/$", "")
+    query = F.regexp_extract(pathq, r"\?(.*)$", 1)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike("^(utm_[^=]*|fbclid|gclid|msclkid)(=|$)"))
+    qnorm = F.array_join(F.sort_array(params), "&")
+    return F.concat(
+        scheme, F.lit("://"), host, path,
+        F.when(qnorm != "", F.concat(F.lit("?"), qnorm)).otherwise(F.lit("")))

@@ -865,3 +865,45 @@ def test_exact_substring_extents_merge_adjacent_regions(spark):
                      docs, min_tokens=8).collect())
     assert (1, 0, 8) in ext and (1, 18, 26) in ext     # disjoint
     assert (2, 0, 8) in ext and (3, 0, 8) in ext
+
+
+def test_canonical_text_and_fingerprint(spark):
+    """Case/punctuation/whitespace variants of one document collide on
+    the canonical fingerprint; genuinely different text does not."""
+    from mysql_syncer_clickhouse_spark.functions import text as TX
+    rows = [(1, "Hello, World! 42"), (2, "  hello   world  42 "),
+            (3, "HELLO world... 42"), (4, "hello world 43")]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {r["id"]: (r["c"], r["fp"]) for r in df.select(
+        "id", TX.canonical_text("text").alias("c"),
+        TX.canonical_fingerprint("text").alias("fp")).collect()}
+    assert out[1][0] == out[2][0] == out[3][0] == "hello world 42"
+    assert out[1][1] == out[2][1] == out[3][1]
+    assert out[4][1] != out[1][1]
+
+
+def test_normalize_url(spark):
+    """Crawl-dedup URL canonicalization: scheme/host case, default
+    ports, fragments, tracking params, param order, trailing slash."""
+    from mysql_syncer_clickhouse_spark.functions import text as TX
+    cases = [
+        ("HTTP://Example.COM:80/Path/?b=2&utm_source=x&a=1#frag",
+         "http://example.com/Path?a=1&b=2"),
+        ("https://example.com:443/", "https://example.com"),
+        ("https://example.com/p?fbclid=abc&gclid=1&msclkid=2",
+         "https://example.com/p"),
+        ("https://example.com/p?a=1&a=0",
+         "https://example.com/p?a=0&a=1"),
+        ("http://example.com:8080/x/", "http://example.com:8080/x"),
+        ("https://example.com/p?utm_campaign=spring&keep=1",
+         "https://example.com/p?keep=1"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r[0] for r in df.select(TX.normalize_url("url")).collect()]
+    assert got == [w for _, w in cases]
+    # variants of the same logical URL all collide
+    variants = ["https://A.example.com/x?b=1&a=2",
+                "HTTPS://a.EXAMPLE.com:443/x/?a=2&b=1&utm_source=t#top"]
+    vdf = spark.createDataFrame([(u,) for u in variants], "url string")
+    vs = {r[0] for r in vdf.select(TX.normalize_url("url")).collect()}
+    assert len(vs) == 1

@@ -528,3 +528,100 @@ def test_streaming_funnel_accumulates_across_batches(spark, dirs):
                                     conds, window_s=120).collect()}
     assert final == {u: lv for u, lv in batch.items() if lv > 0}
     assert final[1] == 3 and final[2] == 2 and 3 not in final
+
+
+def test_distinct_continuous_aggregate_exact_and_replay_safe(spark, dirs):
+    """Bitmap-distinct continuous aggregate: incremental drains
+    accumulate to exactly the direct COUNT(DISTINCT), a replayed epoch
+    changes nothing WITHOUT any dedup (OR idempotence), and compaction
+    shrinks state while preserving every answer."""
+    from mysql_syncer_clickhouse_spark.streaming.continuous_agg import (
+        DistinctContinuousAggregate)
+    src, sink, ckpt = dirs
+    # user 7 clicks in both epochs within the same hour: distinct
+    # must count it once; user 9 spans two windows: once per window
+    rows1 = [(1, "2024-01-01 00:10:00", "click", 7),
+             (2, "2024-01-01 00:40:00", "click", 8),
+             (3, "2024-01-01 00:50:00", "buy", 7)]
+    rows2 = [(4, "2024-01-01 00:55:00", "click", 7),
+             (5, "2024-01-01 01:05:00", "click", 9),
+             (6, "2024-01-01 00:20:00", "click", 9)]
+    ddl = "event_id long, ts_s string, event_type string, user_id long"
+
+    def to_df(rows):
+        return spark.createDataFrame(rows, ddl) \
+            .withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+
+    agg = DistinctContinuousAggregate("ts", "1 hour", ["event_type"],
+                                      "user_id", sink, ckpt)
+    d1 = to_df(rows1)
+    _write_part(spark, src, [tuple(r) for r in d1.collect()], "p1",
+                schema=d1.schema)
+    agg.start(spark, src, d1.schema).awaitTermination()
+    d2 = to_df(rows2)
+    _write_part(spark, src, [tuple(r) for r in d2.collect()], "p2",
+                schema=d2.schema)
+    agg.start(spark, src, d1.schema).awaitTermination()
+
+    def snap():
+        return {(str(r["win_start"]), r["event_type"], r["n_distinct"])
+                for r in agg.read(spark).collect()}
+    expect = {("2024-01-01 00:00:00", "click", 3),   # users 7, 8, 9
+              ("2024-01-01 00:00:00", "buy", 1),     # user 7
+              ("2024-01-01 01:00:00", "click", 1)}   # user 9
+    assert snap() == expect
+
+    # replay epoch 0's partials verbatim: OR is idempotent, no dedup
+    # machinery involved
+    part0 = spark.read.parquet(sink).filter(F.col("epoch") == 0)
+    part0.write.mode("append").parquet(sink)
+    assert snap() == expect
+
+    n_before = spark.read.parquet(sink).count()
+    agg.compact(spark)
+    assert snap() == expect
+    assert spark.read.parquet(sink).count() <= n_before
+
+
+def test_hll_continuous_aggregate_banded_and_replay_safe(spark, dirs):
+    """HLL (uniqState/uniqMerge-style) continuous aggregate: the
+    merged estimate lands within the sketch's error band of the true
+    distinct count, replayed epochs change nothing (union idempotence),
+    and compaction preserves estimates exactly (same sketch inputs)."""
+    from mysql_syncer_clickhouse_spark.streaming.continuous_agg import (
+        HllContinuousAggregate)
+    src, sink, ckpt = dirs
+    ddl = "event_id long, ts_s string, event_type string, user_id long"
+
+    def to_df(rows):
+        return spark.createDataFrame(rows, ddl) \
+            .withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+
+    # 300 distinct users split across two epochs with a 100-user overlap
+    rows1 = [(i, "2024-01-01 00:10:00", "click", i) for i in range(200)]
+    rows2 = [(1000 + i, "2024-01-01 00:40:00", "click", 100 + i)
+             for i in range(200)]
+    agg = HllContinuousAggregate("ts", "1 hour", ["event_type"],
+                                 "user_id", sink, ckpt)
+    d1 = to_df(rows1)
+    _write_part(spark, src, [tuple(r) for r in d1.collect()], "p1",
+                schema=d1.schema)
+    agg.start(spark, src, d1.schema).awaitTermination()
+    d2 = to_df(rows2)
+    _write_part(spark, src, [tuple(r) for r in d2.collect()], "p2",
+                schema=d2.schema)
+    agg.start(spark, src, d1.schema).awaitTermination()
+
+    def est():
+        [r] = agg.read(spark).collect()
+        return r["n_distinct_approx"]
+    e1 = est()
+    assert abs(e1 - 300) <= 0.05 * 300     # ~1.6% expected at lgk=12
+
+    part0 = spark.read.parquet(sink).filter(F.col("epoch") == 0)
+    part0.write.mode("append").parquet(sink)
+    assert est() == e1                     # replay: identical estimate
+
+    agg.compact(spark)
+    assert est() == e1
+    assert spark.read.parquet(sink).count() == 1
