@@ -180,3 +180,43 @@ def normalize_url(col: Column | str) -> Column:
     return F.concat(
         scheme, F.lit("://"), host, path,
         F.when(qnorm != "", F.concat(F.lit("?"), qnorm)).otherwise(F.lit("")))
+
+
+# compact stopword tables for the multi-language heuristic: high-
+# frequency function words, disjoint enough that the argmax separates
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "in", "that", "with"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit"),
+    "fr": ("le", "la", "les", "et", "est", "dans", "pas", "une"),
+    "es": ("el", "los", "las", "es", "en", "que", "una", "por"),
+}
+
+
+def language_scores(col: Column | str,
+                    tables: dict[str, tuple[str, ...]] | None = None) \
+        -> dict[str, Column]:
+    """Per-language stopword-hit ratio columns (0..1), one cheap array
+    filter per language over ONE shared tokenization."""
+    tables = tables or LANG_STOPWORDS
+    ws = words(F.lower(_c(col)))
+    n = F.greatest(F.size(ws), F.lit(1))
+    return {lang: (F.size(F.filter(ws, lambda w: w.isin(*sw)))
+                   .cast("double") / n)
+            for lang, sw in tables.items()}
+
+
+def language_id(col: Column | str, min_signal: float = 0.05,
+                tables: dict[str, tuple[str, ...]] | None = None) \
+        -> Column:
+    """Multi-language ID: argmax of the per-language stopword ratios,
+    'unk' when even the best ratio is under `min_signal` (word salad /
+    out-of-table languages). Ties break alphabetically (deterministic).
+    The classic n-gram-free heuristic -- one flat expression, no UDF;
+    the checked registry entry keeps the simpler en/unk form
+    (text_analysis), this is the operational multi-language surface."""
+    scores = language_scores(col, tables)
+    best = F.greatest(*scores.values())
+    pred = F.lit("unk")
+    for lang in sorted(scores, reverse=True):
+        pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
+    return F.when(best >= F.lit(min_signal), pred).otherwise(F.lit("unk"))

@@ -260,19 +260,29 @@ def retention(events: DataFrame, user_col: str,
     return out.select("user", *cols)
 
 
-def sum_maps(df: DataFrame, key_col: str, map_col: str,
-             out_col: str = "summed") -> DataFrame:
-    """The sink DB's sumMap aggregate: per key, merge map<k, num>
-    values by summing per map-key -- (a->1, b->2) + (a->3) =
-    (a->4, b->2). One explode to (key, mk, mv) grain, ONE keyed
-    aggregation (map-side combined), and the result map is rebuilt
-    from entries sorted by map-key inside the aggregate, so the
-    output is partitioning-independent. Pure JVM throughout."""
+def merge_maps(df: DataFrame, key_col: str, map_col: str,
+               how: str = "sum", out_col: str = "summed") -> DataFrame:
+    """The sink DB's sumMap / maxMap / minMap aggregates: per key,
+    merge map<k, num> values per map-key with the chosen reducer --
+    sumMap: (a->1, b->2) + (a->3) = (a->4, b->2). One explode to
+    (key, mk, mv) grain, ONE keyed aggregation (map-side combined),
+    and the result map is rebuilt from entries sorted by map-key
+    inside the aggregate, so the output is partitioning-independent.
+    Pure JVM throughout."""
+    reducers = {"sum": F.sum, "max": F.max, "min": F.min}
+    if how not in reducers:
+        raise ValueError(f"how must be one of {sorted(reducers)}")
     exploded = df.select(F.col(key_col).alias("key"),
                          F.explode(F.col(map_col)).alias("mk", "mv"))
     summed = (exploded.groupBy("key", "mk")
-              .agg(F.sum("mv").alias("mv")))
+              .agg(reducers[how]("mv").alias("mv")))
     return (summed.groupBy("key")
             .agg(F.map_from_entries(F.sort_array(F.collect_list(
                 F.struct("mk", "mv")))).alias(out_col))
             .withColumnRenamed("key", key_col))
+
+
+def sum_maps(df: DataFrame, key_col: str, map_col: str,
+             out_col: str = "summed") -> DataFrame:
+    """sumMap -- see merge_maps."""
+    return merge_maps(df, key_col, map_col, "sum", out_col)

@@ -907,3 +907,19 @@ def test_normalize_url(spark):
     vdf = spark.createDataFrame([(u,) for u in variants], "url string")
     vs = {r[0] for r in vdf.select(TX.normalize_url("url")).collect()}
     assert len(vs) == 1
+
+
+def test_language_id_multilang(spark):
+    from mysql_syncer_clickhouse_spark.functions import text as TX
+    rows = [
+        (1, "the cat and the dog sat in that house with pride"),
+        (2, "der Hund und die Katze ist nicht mit der Maus"),
+        (3, "le chat et la souris est dans les champs pas une fois"),
+        (4, "el perro y los gatos es que una casa en la que por"),
+        (5, "zxq vbn qwrt plm asdf ghjk"),          # word salad
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r["id"]: r["lang"] for r in
+           df.select("id", TX.language_id("text").alias("lang"))
+             .collect()}
+    assert got == {1: "en", 2: "de", 3: "fr", 4: "es", 5: "unk"}

@@ -342,3 +342,19 @@ def test_sequence_match_deterministic_under_partitioning(spark):
     b = sorted(map(tuple, sequence_match(
         ev.repartition(17), "user_id", "ts", pat, conds).collect()))
     assert a == b
+
+
+def test_merge_maps_max_min(spark):
+    from mysql_syncer_clickhouse_spark.operators.funnel import merge_maps
+    df = spark.createDataFrame(
+        [(1, {"a": 1, "b": 5}), (1, {"a": 3}), (2, {"c": 2})],
+        "k long, m map<string,long>")
+    mx = {r["k"]: dict(r["summed"])
+          for r in merge_maps(df, "k", "m", "max").collect()}
+    mn = {r["k"]: dict(r["summed"])
+          for r in merge_maps(df, "k", "m", "min").collect()}
+    assert mx == {1: {"a": 3, "b": 5}, 2: {"c": 2}}
+    assert mn == {1: {"a": 1, "b": 5}, 2: {"c": 2}}
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        merge_maps(df, "k", "m", "avg")

@@ -984,3 +984,20 @@ def test_audio_fingerprint_short_clip_null(spark):
         audio_fingerprint64, make_wav, _pcm16_samples)
     assert audio_fingerprint64(
         _pcm16_samples(make_wav(8000, [1, 2, 3]))) is None
+
+
+def test_topk_weighted_space_saving(spark):
+    """topKWeighted: rows increment by their weight; a low-frequency
+    high-weight item outranks frequent unit-weight noise, and exact
+    when capacity suffices."""
+    from mysql_syncer_clickhouse_spark.operators.sketch import (
+        topk_space_saving)
+
+    rows = [("whale", 500), ("whale", 500)] \
+        + [(f"krill{i % 5}", 1) for i in range(50)]
+    df = spark.createDataFrame(rows, "item string, w long")
+    got = topk_space_saving(df, "item", k=3, weight_col="w").collect()
+    assert got[0]["item"] == "whale"
+    by = {r["item"]: r for r in got}
+    assert by["whale"]["est"] == 1000
+    assert by["whale"]["lower"] == by["whale"]["upper"] == 1000
