@@ -103,32 +103,39 @@ TOPK_LOAD_FACTOR = 3        # C = k * load_factor, the public default
 
 
 def space_saving_partials(df: DataFrame, item_col: str,
-                          capacity: int) -> DataFrame:
+                          capacity: int,
+                          weight_col: str | None = None) -> DataFrame:
     """Per-partition SpaceSaving summaries: (item, cnt, err, pmin).
     `cnt` is the summary's (over)estimate, `err` its max overcount,
     and `pmin` the partition summary's min counter -- the upper bound
     on ANY item the partition evicted, needed by the merge. State is
-    `capacity` counters per partition, streamed over Arrow batches."""
+    `capacity` counters per partition, streamed over Arrow batches.
+    With `weight_col` each row increments by its (non-negative) weight
+    instead of 1 -- the topKWeighted variant; the eviction/bound math
+    is weight-agnostic (Metwally's proof only needs additivity)."""
     import pandas as pd
 
     def summarize(batches):
         counters: dict = {}
         errors: dict = {}
         for pdf in batches:
-            for item in pdf["item"]:
+            weights = pdf["w"] if weight_col is not None \
+                else [1] * len(pdf)
+            for item, w in zip(pdf["item"], weights):
                 if item is None:
                     continue
+                w = int(w) if w is not None else 0
                 if item in counters:
-                    counters[item] += 1
+                    counters[item] += w
                 elif len(counters) < capacity:
-                    counters[item] = 1
+                    counters[item] = w
                     errors[item] = 0
                 else:                     # evict the min counter
                     victim = min(counters, key=lambda i: (counters[i],
                                                           str(i)))
                     vcnt = counters.pop(victim)
                     errors.pop(victim)
-                    counters[item] = vcnt + 1
+                    counters[item] = vcnt + w
                     errors[item] = vcnt
         pmin = min(counters.values()) if len(counters) >= capacity else 0
         yield pd.DataFrame({
@@ -137,13 +144,16 @@ def space_saving_partials(df: DataFrame, item_col: str,
             "err": [errors[i] for i in counters],
             "pmin": [pmin] * len(counters)})
 
-    return df.select(F.col(item_col).cast("string").alias("item")) \
-             .mapInPandas(summarize,
-                          "item string, cnt long, err long, pmin long")
+    cols = [F.col(item_col).cast("string").alias("item")]
+    if weight_col is not None:
+        cols.append(F.col(weight_col).cast("long").alias("w"))
+    return df.select(*cols).mapInPandas(
+        summarize, "item string, cnt long, err long, pmin long")
 
 
 def topk_space_saving(df: DataFrame, item_col: str, k: int,
-                      load_factor: int = TOPK_LOAD_FACTOR) -> DataFrame:
+                      load_factor: int = TOPK_LOAD_FACTOR,
+                      weight_col: str | None = None) -> DataFrame:
     """(item, est, lower, upper): the k highest-frequency items by
     merged upper bound.
 
@@ -157,7 +167,8 @@ def topk_space_saving(df: DataFrame, item_col: str, k: int,
     is by upper bound with an item tie-break (deterministic GIVEN the
     summaries)."""
     partials = space_saving_partials(df, item_col,
-                                     capacity=k * load_factor)
+                                     capacity=k * load_factor,
+                                     weight_col=weight_col)
     merged = (partials.groupBy("item")
               .agg(F.sum(F.col("cnt") - F.col("pmin")).alias("adj"),
                    F.sum(F.col("cnt") - F.col("err")).alias("lower")))
