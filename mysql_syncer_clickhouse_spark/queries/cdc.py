@@ -177,11 +177,37 @@ SELECT seq, ts, op, pk, value, NULL AS props FROM changelog WHERE pk % 3 = 2
 # --- A1: stat counters ---------------------------------------------------
 
 def cdc_op_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-op sync counters (the reference's insert/update/delete
+    stat surface) plus one behavioral-analytics row checked through
+    the REAL sequence_match scan (operators/funnel.py):
+    'seq_click_purchase' = users with a click followed (in (ts,
+    event_id) order, any gap) by a purchase -- the '(?1).*(?2)'
+    pattern, whose existence form the oracle mirrors as an ordered
+    EXISTS pair."""
+    from ..operators.funnel import sequence_match
     cl = derive_changelog_from_events(spark, sf_dir)
-    return cl.groupBy("op").agg(F.count(F.lit(1)).alias("n"))
+    ops = cl.groupBy("op").agg(F.count(F.lit(1)).alias("n"))
+    ev = load_table(spark, sf_dir, "events")
+    seq = sequence_match(
+        ev, "user_id", "ts", "(?1).*(?2)",
+        [F.col("event_type") == "click", F.col("event_type") == "purchase"])
+    matched = (seq.filter("matched")
+                  .agg(F.count(F.lit(1)).alias("n"))
+                  .select(F.lit("seq_click_purchase").alias("op"), "n"))
+    return ops.unionByName(matched)
 
 
-_COUNTERS_SQL = _CL + "SELECT op, COUNT(*) AS n FROM changelog GROUP BY op"
+_COUNTERS_SQL = _CL + """
+SELECT op, COUNT(*) AS n FROM changelog GROUP BY op
+UNION ALL
+SELECT 'seq_click_purchase' AS op, COUNT(*) AS n FROM (
+  SELECT e1.user_id
+  FROM events e1 JOIN events e2
+    ON e1.user_id = e2.user_id
+   AND (e1.ts < e2.ts OR (e1.ts = e2.ts AND e1.event_id < e2.event_id))
+  WHERE e1.event_type = 'click' AND e2.event_type = 'purchase'
+  GROUP BY e1.user_id)
+"""
 
 
 # --- S2b: Debezium envelope parse (checked in batch) --------------------
