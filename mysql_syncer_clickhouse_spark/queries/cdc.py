@@ -184,17 +184,25 @@ def cdc_op_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     event_id) order, any gap) by a purchase -- the '(?1).*(?2)'
     pattern, whose existence form the oracle mirrors as an ordered
     EXISTS pair."""
-    from ..operators.funnel import sequence_match
+    from ..operators.funnel import sequence_match, window_funnel
     cl = derive_changelog_from_events(spark, sf_dir)
     ops = cl.groupBy("op").agg(F.count(F.lit(1)).alias("n"))
     ev = load_table(spark, sf_dir, "events")
-    seq = sequence_match(
-        ev, "user_id", "ts", "(?1).*(?2)",
-        [F.col("event_type") == "click", F.col("event_type") == "purchase"])
+    conds = [F.col("event_type") == "click",
+             F.col("event_type") == "purchase"]
+    seq = sequence_match(ev, "user_id", "ts", "(?1).*(?2)", conds)
     matched = (seq.filter("matched")
                   .agg(F.count(F.lit(1)).alias("n"))
                   .select(F.lit("seq_click_purchase").alias("op"), "n"))
-    return ops.unionByName(matched)
+    # 'funnel_l2_1800s': users whose 2-step funnel completes within
+    # 1800 s of the chain start, through the REAL window_funnel scan;
+    # for 2 steps "level >= 2" == EXISTS an ordered pair within the
+    # window, which is what the oracle states
+    fl = (window_funnel(ev, "user_id", "ts", conds, window_s=1800)
+          .filter(F.col("level") >= 2)
+          .agg(F.count(F.lit(1)).alias("n"))
+          .select(F.lit("funnel_l2_1800s").alias("op"), "n"))
+    return ops.unionByName(matched).unionByName(fl)
 
 
 _COUNTERS_SQL = _CL + """
@@ -205,6 +213,15 @@ SELECT 'seq_click_purchase' AS op, COUNT(*) AS n FROM (
   FROM events e1 JOIN events e2
     ON e1.user_id = e2.user_id
    AND (e1.ts < e2.ts OR (e1.ts = e2.ts AND e1.event_id < e2.event_id))
+  WHERE e1.event_type = 'click' AND e2.event_type = 'purchase'
+  GROUP BY e1.user_id)
+UNION ALL
+SELECT 'funnel_l2_1800s' AS op, COUNT(*) AS n FROM (
+  SELECT e1.user_id
+  FROM events e1 JOIN events e2
+    ON e1.user_id = e2.user_id
+   AND (e1.ts < e2.ts OR (e1.ts = e2.ts AND e1.event_id < e2.event_id))
+   AND epoch(e2.ts) - epoch(e1.ts) <= 1800
   WHERE e1.event_type = 'click' AND e2.event_type = 'purchase'
   GROUP BY e1.user_id)
 """
