@@ -184,7 +184,7 @@ def cdc_op_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     event_id) order, any gap) by a purchase -- the '(?1).*(?2)'
     pattern, whose existence form the oracle mirrors as an ordered
     EXISTS pair."""
-    from ..operators.funnel import sequence_match, window_funnel
+    from ..operators.funnel import retention, sequence_match, window_funnel
     cl = derive_changelog_from_events(spark, sf_dir)
     ops = cl.groupBy("op").agg(F.count(F.lit(1)).alias("n"))
     ev = load_table(spark, sf_dir, "events")
@@ -202,7 +202,15 @@ def cdc_op_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
           .filter(F.col("level") >= 2)
           .agg(F.count(F.lit(1)).alias("n"))
           .select(F.lit("funnel_l2_1800s").alias("op"), "n"))
-    return ops.unionByName(matched).unionByName(fl)
+    # 'retention_r2': the retention() aggregate's r2 column (did
+    # cond1 AND cond2 ever hold) counted over users -- order-free, so
+    # the oracle is a per-user bool_and of two bool_ors
+    rt = (retention(ev, "user_id", conds)
+          .filter(F.col("r2"))
+          .agg(F.count(F.lit(1)).alias("n"))
+          .select(F.lit("retention_r2").alias("op"), "n"))
+    return (ops.unionByName(matched).unionByName(fl)
+               .unionByName(rt))
 
 
 _COUNTERS_SQL = _CL + """
@@ -224,6 +232,12 @@ SELECT 'funnel_l2_1800s' AS op, COUNT(*) AS n FROM (
    AND epoch(e2.ts) - epoch(e1.ts) <= 1800
   WHERE e1.event_type = 'click' AND e2.event_type = 'purchase'
   GROUP BY e1.user_id)
+UNION ALL
+SELECT 'retention_r2' AS op, COUNT(*) AS n FROM (
+  SELECT user_id
+  FROM events
+  GROUP BY user_id
+  HAVING bool_or(event_type = 'click') AND bool_or(event_type = 'purchase'))
 """
 
 
