@@ -119,12 +119,18 @@ def space_saving_partials(df: DataFrame, item_col: str,
         counters: dict = {}
         errors: dict = {}
         for pdf in batches:
-            weights = pdf["w"] if weight_col is not None \
-                else [1] * len(pdf)
-            for item, w in zip(pdf["item"], weights):
-                if item is None:
-                    continue
-                w = int(w) if w is not None else 0
+            # pre-aggregate the Arrow batch in pandas C code first:
+            # the Python update loop then runs once per DISTINCT item
+            # per batch, not once per row -- the SpaceSaving bounds
+            # hold for any arrival order/grouping (additivity is all
+            # Metwally's proof uses)
+            if weight_col is not None:
+                agg = pdf.dropna(subset=["item"]) \
+                         .groupby("item", sort=False)["w"].sum()
+            else:
+                agg = pdf["item"].value_counts(sort=False)
+            for item, w in agg.items():
+                w = int(w)
                 if item in counters:
                     counters[item] += w
                 elif len(counters) < capacity:
