@@ -209,8 +209,18 @@ def cdc_op_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
           .filter(F.col("r2"))
           .agg(F.count(F.lit(1)).alias("n"))
           .select(F.lit("retention_r2").alias("op"), "n"))
+    # 'topk_<event_type>': the SpaceSaving topK aggregate through its
+    # real mapInPandas summaries + bounded merge. The fixture has 5
+    # event types < capacity k*3, so nothing is ever evicted and the
+    # order-dependent sketch degenerates to EXACT counts -- which is
+    # precisely what makes it oracle-checkable (the general case is
+    # bound-tested in pytest)
+    from ..operators.sketch import topk_space_saving
+    tk = (topk_space_saving(ev, "event_type", k=3)
+          .select(F.concat(F.lit("topk_"), F.col("item")).alias("op"),
+                  F.col("est").alias("n")))
     return (ops.unionByName(matched).unionByName(fl)
-               .unionByName(rt))
+               .unionByName(rt).unionByName(tk))
 
 
 _COUNTERS_SQL = _CL + """
@@ -238,6 +248,11 @@ SELECT 'retention_r2' AS op, COUNT(*) AS n FROM (
   FROM events
   GROUP BY user_id
   HAVING bool_or(event_type = 'click') AND bool_or(event_type = 'purchase'))
+UNION ALL
+SELECT op, n FROM (
+  SELECT 'topk_' || event_type AS op, COUNT(*) AS n
+  FROM events GROUP BY event_type
+  ORDER BY n DESC, op ASC LIMIT 3)
 """
 
 

@@ -28,7 +28,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import functions as F
 
-from mysql_syncer_clickhouse_spark.operators import curation, dedup
+from mysql_syncer_clickhouse_spark.operators import (bitmap, bloom,
+                                                     curation, dedup)
 from mysql_syncer_clickhouse_spark.functions.numeric import davg, dsum
 from mysql_syncer_clickhouse_spark.session import get_spark
 from mysql_syncer_clickhouse_spark.sources.tables import load_table
@@ -100,6 +101,17 @@ def main() -> None:
             curation.dsir_logratio_table(
                 d.filter(F.col("source") != "src0"),
                 d.filter(F.col("source") == "src0"), n=3), n=3),
+        # round-5 additions: the bounded-state screens -- bloom state
+        # is m/32 words at ANY corpus size, bitmap words scale with
+        # distinct values (not rows), so both should grow ~linearly
+        # in scan cost only
+        "bloom_screen": lambda d: bloom.bloom_screen_new(
+            d.filter(F.col("doc_id") % 2 == 1)
+             .withColumn("fp", F.md5("text")),
+            d.filter(F.col("doc_id") % 2 == 0)
+             .select(F.md5("text").alias("fp")), "fp"),
+        "bitmap_distinct": lambda d: bitmap.bitmap_cardinality(
+            bitmap.bitmap_agg(d, ["source"], "doc_id"), ["source"]),
     }
     out: dict[str, dict[str, float]] = {}
     for name, fn in cases.items():
