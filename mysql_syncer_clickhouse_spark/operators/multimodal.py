@@ -770,3 +770,76 @@ def audio_fingerprints(df: DataFrame) -> DataFrame:
             yield pd.DataFrame({"doc_id": ids, "afp": fps})
 
     return df.mapInPandas(run, "doc_id long, afp long")
+
+
+def make_avi_header(width: int, height: int, fps: int = 25,
+                    n_frames: int = 100) -> bytes:
+    """Minimal RIFF AVI: LIST hdrl containing a spec-shaped 56-byte
+    avih main header (microseconds/frame, total frames, dimensions).
+    Header-only like make_wav_header -- enough for every metadata
+    consumer; frame payloads would follow in the movi list."""
+    us_per_frame = 1_000_000 // fps
+    avih = struct.pack("<14I", us_per_frame, 0, 0, 0, n_frames, 0,
+                       1, 0, width, height, 0, 0, 0, 0)
+    hdrl = b"hdrl" + b"avih" + struct.pack("<I", len(avih)) + avih
+    lst = b"LIST" + struct.pack("<I", len(hdrl)) + hdrl
+    body = b"AVI " + lst
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def parse_avi_header(payload: bytes) \
+        -> tuple[int, int, int, int] | None:
+    """(width, height, fps, n_frames) from the avih main header, or
+    None if not an AVI. Same RIFF chunk walk as parse_wav_header."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI " \
+            or len(payload) < 12:
+        return None
+    i = 12
+    while i + 8 <= len(payload):
+        cid = payload[i:i + 4]
+        clen = struct.unpack("<I", payload[i + 4:i + 8])[0]
+        if cid == b"LIST" and payload[i + 8:i + 12] == b"hdrl":
+            i += 12                      # descend into the list
+            continue
+        if cid == b"avih" and clen >= 40 and i + 8 + 40 <= len(payload):
+            vals = struct.unpack("<10I", payload[i + 8:i + 48])
+            us_per_frame, n_frames = vals[0], vals[4]
+            width, height = vals[8], vals[9]
+            fps = round(1_000_000 / us_per_frame) if us_per_frame else 0
+            return width, height, fps, n_frames
+        i += 8 + clen + (clen & 1)
+    return None
+
+
+def decode_video_meta(df: DataFrame) -> DataFrame:
+    """REAL video-container metadata, no codec: AVI payloads decode to
+    (width, height, fps, n_frames, duration_s) via the RIFF walk --
+    the video twin of decode_audio_meta. Frame-accurate pixel access
+    genuinely needs a codec this container lacks (documented trade;
+    sample_frames covers the plumbing with synthesized frames)."""
+    schema = ("doc_id long, width int, height int, fps int, "
+              "n_frames long, duration_s double")
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in (
+                "doc_id", "width", "height", "fps", "n_frames",
+                "duration_s")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                meta = parse_avi_header(bytes(payload))
+                out["doc_id"].append(doc_id)
+                if meta is None:
+                    for k in ("width", "height", "fps", "n_frames",
+                              "duration_s"):
+                        out[k].append(None)
+                    continue
+                w, h, fps, n = meta
+                out["width"].append(w)
+                out["height"].append(h)
+                out["fps"].append(fps)
+                out["n_frames"].append(n)
+                out["duration_s"].append(
+                    round(n / fps, 6) if fps else None)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(decode, schema)

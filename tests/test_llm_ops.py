@@ -1001,3 +1001,27 @@ def test_topk_weighted_space_saving(spark):
     by = {r["item"]: r for r in got}
     assert by["whale"]["est"] == 1000
     assert by["whale"]["lower"] == by["whale"]["upper"] == 1000
+
+
+def test_avi_header_roundtrip_and_video_meta(spark):
+    """AVI container metadata decodes for REAL (RIFF chunk walk, no
+    codec): dimensions/fps/frame count round-trip through the
+    synthesizer, and non-AVI payloads degrade to NULLs."""
+    from mysql_syncer_clickhouse_spark.operators.multimodal import (
+        decode_video_meta, make_avi_header, make_wav_header,
+        parse_avi_header)
+
+    hdr = make_avi_header(640, 480, fps=25, n_frames=250)
+    assert parse_avi_header(hdr) == (640, 480, 25, 250)
+    assert parse_avi_header(b"RIFF\x00\x00\x00\x00WAVE") is None
+    assert parse_avi_header(b"plain text") is None
+
+    rows = [(1, bytearray(make_avi_header(1920, 1080, 30, 900))),
+            (2, bytearray(make_wav_header(8000))),
+            (3, bytearray(b"not media"))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in decode_video_meta(df).collect()}
+    assert (out[1]["width"], out[1]["height"], out[1]["fps"],
+            out[1]["n_frames"]) == (1920, 1080, 30, 900)
+    assert out[1]["duration_s"] == 30.0
+    assert out[2]["width"] is None and out[3]["width"] is None
