@@ -589,11 +589,17 @@ SELECT c_mktsegment, rk, o_orderkey, o_totalprice FROM (
 
 def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running revenue per supplier in ship order (exact decimal
-    accumulation -> identical under any partitioning)."""
+    accumulation -> identical under any partitioning). The order key
+    ends in l_extendedprice because the fixture contains duplicate
+    (shipdate, orderkey, linenumber) rows at sf0.1 -- with the price
+    in the key the ordering is total up to fully-identical rows,
+    whose running values are order-invariant anyway (caught by the
+    round-5 sf0.1 parity sweep; sf0.01 has no such duplicates)."""
     li = _t(spark, sf_dir, "lineitem")
     w = (Window.partitionBy("l_suppkey")
          .orderBy(F.col("l_shipdate").asc(), F.col("l_orderkey").asc(),
-                  F.col("l_linenumber").asc())
+                  F.col("l_linenumber").asc(),
+                  F.col("l_extendedprice").asc())
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     running = F.sum(F.col("l_extendedprice").cast(_DEC)).over(w)
     return li.select(
@@ -605,7 +611,8 @@ _RUNNING_SQL = """
 SELECT l_suppkey, l_orderkey, l_linenumber,
        CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(38,6)))
          OVER (PARTITION BY l_suppkey
-               ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
+               ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC,
+                        l_extendedprice ASC
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
          AS DOUBLE) AS running_rev
 FROM lineitem
