@@ -47,9 +47,13 @@ HEADLINE = [
     # full TPC-H sweep (18 query shapes across the two suites)
     "tpch_suite_a",
     "tpch_suite_b",
-    # CDC core (the reference's own operator surface)
+    # CDC core (the reference's own operator surface) + the analytics
+    # counter rows (sequenceMatch/windowFunnel/retention/topK scans)
     "cdc_final_state",
     "cdc_wildcard_fan_in",
+    "cdc_op_counters",
+    # mergeable-summary surface (bitmap + HLL + approx percentile)
+    "distinct_vs_approx",
     # LLM-data-pipeline layer (scale path variants)
     "dedup_exact",
     "dedup_minhash_lsh",
