@@ -161,7 +161,9 @@ class StreamingSyncPipeline:
     def compact(self, spark: SparkSession, *,
                 ttl_col: str | None = None,
                 ttl_expire_before=None,
-                sort_by_pk: bool = True) -> None:
+                sort_by_pk: bool = True,
+                ttl_rollup_group: list[str] | None = None,
+                ttl_rollup_set: dict[str, str] | None = None) -> None:
         """Background-merge analog: rewrite the changelog sink down to
         its current materialized state (latest op wins, tombstones
         drop). Run out-of-band, exactly like MergeTree merges.
@@ -184,9 +186,58 @@ class StreamingSyncPipeline:
         if ttl_col is not None:
             if ttl_expire_before is None:
                 raise ValueError("ttl_col requires ttl_expire_before")
-            state = state.filter(
-                F.col(ttl_col).isNull()
-                | (F.col(ttl_col) >= F.lit(ttl_expire_before)))
+            if ttl_rollup_group:
+                # TTL ... GROUP BY analog (MergeTree `TTL expr GROUP BY
+                # k SET v = agg(v)`): expired rows are AGGREGATED into
+                # one coarser row per group instead of dropped -- the
+                # tiered-downsampling pattern (raw recent data, rolled
+                # old data, one table). The group must be a prefix of
+                # the sink pk, exactly the sink DB's rule (the rolled
+                # row must still be addressable by the table's ORDER
+                # BY). Reducers: ttl_rollup_set maps column -> sum/max/
+                # min/count; unlisted columns take min (a deterministic
+                # stand-in for the sink DB's any()); the ttl column
+                # takes max so the rolled row re-expires relative to
+                # its newest member. Deterministic end to end -- every
+                # reducer is order-free.
+                pk = self._sink_pk()
+                if list(ttl_rollup_group) != list(pk[:len(
+                        ttl_rollup_group)]):
+                    raise ValueError(
+                        f"ttl_rollup_group {ttl_rollup_group} must be "
+                        f"a prefix of the sink pk {pk}")
+                reducers = {"sum": F.sum, "max": F.max, "min": F.min,
+                            "count": F.count}
+                sets = ttl_rollup_set or {}
+                bad = [c for c, r in sets.items()
+                       if r not in reducers]
+                if bad:
+                    raise ValueError(f"unknown reducer for {bad}")
+                live = state.filter(
+                    F.col(ttl_col).isNull()
+                    | (F.col(ttl_col) >= F.lit(ttl_expire_before)))
+                expired = state.filter(
+                    F.col(ttl_col).isNotNull()
+                    & (F.col(ttl_col) < F.lit(ttl_expire_before)))
+                aggs = []
+                for c in state.columns:
+                    if c in ttl_rollup_group:
+                        continue
+                    if c == self.op_col:
+                        aggs.append(F.min(c).alias(c))   # all 'insert'
+                    elif c in sets:
+                        aggs.append(reducers[sets[c]](c).alias(c))
+                    elif c == ttl_col or c == self.seq_col:
+                        aggs.append(F.max(c).alias(c))
+                    else:
+                        aggs.append(F.min(c).alias(c))
+                rolled = expired.groupBy(*ttl_rollup_group).agg(*aggs) \
+                                .select(*state.columns)
+                state = live.unionByName(rolled)
+            else:
+                state = state.filter(
+                    F.col(ttl_col).isNull()
+                    | (F.col(ttl_col) >= F.lit(ttl_expire_before)))
         pk = self._sink_pk()
         if sort_by_pk:
             # explicit partition count: an unnumbered range repartition

@@ -625,3 +625,50 @@ def test_hll_continuous_aggregate_banded_and_replay_safe(spark, dirs):
     agg.compact(spark)
     assert est() == e1
     assert spark.read.parquet(sink).count() == 1
+
+
+def test_compact_ttl_group_by_rollup(spark, dirs):
+    """TTL ... GROUP BY analog: expired rows AGGREGATE into one row
+    per group (a pk prefix) instead of dropping -- raw recent rows +
+    rolled-up old rows in one table. SET reducers apply per column,
+    the ttl column takes max (re-expires relative to the newest
+    member), and fresh/NULL-ttl rows stay raw."""
+    src, sink, ckpt = dirs
+    schema = "seq long, op string, grp long, id long, title string, mydate long"
+    rows = [
+        (1, "insert", 1, 1, "old-a", 100),    # expired, grp 1
+        (2, "insert", 1, 2, "old-b", 200),    # expired, grp 1
+        (3, "insert", 1, 3, "fresh", 9999),   # fresh, stays raw
+        (4, "insert", 2, 4, "old-c", 300),    # expired, grp 2
+        (5, "insert", 2, 5, None, None),      # NULL ttl, stays raw
+    ]
+    _write_part(spark, src, rows, "p1", schema=schema)
+    rule = Rule(source_schema="app", source_table="items",
+                sink_schema="olap", sink_table="items_sink",
+                pk=("grp", "id"))
+    pipe = StreamingSyncPipeline(rule, ["grp", "id"], sink, ckpt)
+    pipe.run_available(
+        spark, src, spark.createDataFrame([], schema).schema)
+
+    pipe.compact(spark, ttl_col="mydate", ttl_expire_before=1000,
+                 ttl_rollup_group=["grp"],
+                 ttl_rollup_set={"mydate": "max"})
+    got = {(r["grp"], r["id"]): (r["title"], r["mydate"])
+           for r in pipe.current_state(spark).collect()}
+    # grp 1: two expired rows rolled to one (min id/title, max ttl);
+    # the fresh row survives raw
+    assert got[(1, 1)] == ("old-a", 200)
+    assert got[(1, 3)] == ("fresh", 9999)
+    assert (1, 2) not in got
+    # grp 2: single expired row rolls to itself; NULL-ttl row raw
+    assert got[(2, 4)] == ("old-c", 300)
+    assert got[(2, 5)] == (None, None)
+
+    # rollup group must be a pk prefix; bad reducers rejected
+    with pytest.raises(ValueError, match="prefix"):
+        pipe.compact(spark, ttl_col="mydate", ttl_expire_before=1000,
+                     ttl_rollup_group=["id"])
+    with pytest.raises(ValueError, match="reducer"):
+        pipe.compact(spark, ttl_col="mydate", ttl_expire_before=1000,
+                     ttl_rollup_group=["grp"],
+                     ttl_rollup_set={"mydate": "avg"})
