@@ -368,3 +368,27 @@ def test_exponential_moving_average_exact_and_deterministic(spark):
     import pytest as _p
     with _p.raises(ValueError):
         exponential_moving_average(df, "key", "ts", "x", alpha=0.0)
+
+
+def test_dynamic_partition_pruning_on_partitioned_sink(spark, tmp_path):
+    """At 100 TB the fact side is hive-partitioned (the CDC sink's
+    layout); a selective dim filter must prune fact PARTITIONS at
+    runtime via dynamic partition pruning, not scan-then-filter --
+    the physical plan carries a dynamicpruning subquery inside the
+    scan's PartitionFilters."""
+    from pyspark.sql import functions as F
+
+    fact = spark.range(0, 10000).select(
+        "id", (F.col("id") % 20).alias("pcol"),
+        (F.col("id") * 2).alias("v"))
+    path = str(tmp_path / "dpp_fact")
+    fact.write.mode("overwrite").partitionBy("pcol").parquet(path)
+    dim = spark.createDataFrame(
+        [(i, "hot" if i == 3 else "cold") for i in range(20)],
+        "pcol long, attr string")
+    j = (spark.read.parquet(path)
+         .join(dim.filter(F.col("attr") == "hot"), "pcol"))
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan
+    # and the pruning actually executes: only partition 3 rows remain
+    assert j.count() == 500
