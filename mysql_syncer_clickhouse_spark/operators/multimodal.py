@@ -196,20 +196,28 @@ AUDIO_SCHEMA = ("doc_id long, sample_rate int, channels int, bits int, "
 
 
 def decode_audio_meta(df: DataFrame) -> DataFrame:
-    """mapInPandas audio metadata decode via `parse_wav_header`;
-    non-WAV payloads yield NULL fields (same Arrow-batched plumbing as
-    the image decoder)."""
+    """mapInPandas audio metadata decode via `parse_wav_header`, with
+    `parse_mp3_header` as the compressed-format fallback (MPEG frame
+    headers carry rate/channels codec-free; sample count needs a
+    decoder, so it stays NULL for MP3). Other payloads yield NULL
+    fields (same Arrow-batched plumbing as the image decoder)."""
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                meta = parse_wav_header(bytes(payload))
-                if meta is None:
-                    rows.append((doc_id, None, None, None, None, None))
-                else:
+                payload = bytes(payload)
+                meta = parse_wav_header(payload)
+                if meta is not None:
                     rate, ch, bits, n = meta
                     rows.append((doc_id, rate, ch, bits, n,
                                  n * 1000 // rate if rate else None))
+                    continue
+                mp3 = parse_mp3_header(payload)
+                if mp3 is not None:
+                    rate, ch, _bitrate, _ver = mp3
+                    rows.append((doc_id, rate, ch, None, None, None))
+                else:
+                    rows.append((doc_id, None, None, None, None, None))
             yield pd.DataFrame(rows, columns=[
                 "doc_id", "sample_rate", "channels", "bits",
                 "n_samples", "duration_ms"])
@@ -843,3 +851,77 @@ def decode_video_meta(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.mapInPandas(decode, schema)
+
+
+# MPEG audio frame header tables (MPEG-1/2, Layers I-III): bitrate in
+# kbps by [version_key][layer][index], sample rate by [version][index]
+_MP3_BITRATES = {
+    ("v1", 3): (0, 32, 64, 96, 128, 160, 192, 224,
+                256, 288, 320, 352, 384, 416, 448),
+    ("v1", 2): (0, 32, 48, 56, 64, 80, 96, 112,
+                128, 160, 192, 224, 256, 320, 384),
+    ("v1", 1): (0, 32, 40, 48, 56, 64, 80, 96,
+                112, 128, 160, 192, 224, 256, 320),
+    ("v2", 3): (0, 32, 48, 56, 64, 80, 96, 112,
+                128, 144, 160, 176, 192, 224, 256),
+    ("v2", 2): (0, 8, 16, 24, 32, 40, 48, 56,
+                64, 80, 96, 112, 128, 144, 160),
+    ("v2", 1): (0, 8, 16, 24, 32, 40, 48, 56,
+                64, 80, 96, 112, 128, 144, 160),
+}
+_MP3_RATES = {"v1": (44100, 48000, 32000),
+              "v2": (22050, 24000, 16000),
+              "v2.5": (11025, 12000, 8000)}
+
+
+def make_mp3_header(bitrate_kbps: int = 128, sample_rate: int = 44100,
+                    stereo: bool = True, id3_size: int = 0) -> bytes:
+    """Minimal MP3: optional ID3v2 tag shell + one MPEG-1 Layer III
+    frame header (the first 4 bytes every real MP3 decoder syncs on)."""
+    br_idx = _MP3_BITRATES[("v1", 3)].index(bitrate_kbps)
+    sr_idx = _MP3_RATES["v1"].index(sample_rate)
+    b0 = 0xFF
+    b1 = 0xE0 | 0x18 | 0x02          # sync + MPEG1 (11) + layer III (01)
+    b2 = (br_idx << 4) | (sr_idx << 2)
+    b3 = 0x00 if stereo else 0xC0    # channel mode bits 6-7
+    hdr = bytes([b0, b1, b2, b3])
+    if id3_size:
+        tag = (b"ID3" + bytes([4, 0, 0])
+               + bytes([(id3_size >> 21) & 0x7F, (id3_size >> 14) & 0x7F,
+                        (id3_size >> 7) & 0x7F, id3_size & 0x7F])
+               + b"\0" * id3_size)
+        return tag + hdr
+    return hdr
+
+
+def parse_mp3_header(payload: bytes) \
+        -> tuple[int, int, int, str] | None:
+    """(sample_rate, channels, bitrate_kbps, version) from the first
+    MPEG audio frame header, skipping a leading ID3v2 tag (syncsafe
+    size). Pure byte arithmetic -- the codec-free metadata every MP3
+    ships in its first 4 audio bytes. None when not MPEG audio."""
+    i = 0
+    if payload[:3] == b"ID3" and len(payload) >= 10:
+        size = ((payload[6] & 0x7F) << 21 | (payload[7] & 0x7F) << 14
+                | (payload[8] & 0x7F) << 7 | (payload[9] & 0x7F))
+        i = 10 + size
+    if len(payload) < i + 4:
+        return None
+    b0, b1, b2, b3 = payload[i:i + 4]
+    if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+        return None
+    ver_bits = (b1 >> 3) & 0x3
+    layer_bits = (b1 >> 1) & 0x3
+    if ver_bits == 1 or layer_bits == 0:
+        return None                       # reserved
+    version = {0: "v2.5", 2: "v2", 3: "v1"}[ver_bits]
+    layer = {1: 3, 2: 2, 3: 1}[layer_bits]
+    br_idx = (b2 >> 4) & 0xF
+    sr_idx = (b2 >> 2) & 0x3
+    if br_idx in (0, 15) or sr_idx == 3:
+        return None                       # free/bad bitrate, bad rate
+    br_key = "v1" if version == "v1" else "v2"
+    bitrate = _MP3_BITRATES[(br_key, layer)][br_idx]
+    rate = _MP3_RATES[version][sr_idx]
+    channels = 1 if (b3 >> 6) == 3 else 2
+    return rate, channels, bitrate, f"mpeg{version}-layer{layer}"

@@ -1025,3 +1025,31 @@ def test_avi_header_roundtrip_and_video_meta(spark):
             out[1]["n_frames"]) == (1920, 1080, 30, 900)
     assert out[1]["duration_s"] == 30.0
     assert out[2]["width"] is None and out[3]["width"] is None
+
+
+def test_mp3_header_parse_and_audio_meta_fallback(spark):
+    """MPEG frame headers decode codec-free: bitrate/rate/channel
+    tables round-trip through the synthesizer (ID3v2 tags skipped via
+    the syncsafe size), and decode_audio_meta falls back to the MP3
+    parse for non-WAV audio."""
+    from mysql_syncer_clickhouse_spark.operators.multimodal import (
+        decode_audio_meta, make_mp3_header, make_wav_header,
+        parse_mp3_header)
+
+    assert parse_mp3_header(make_mp3_header(192, 48000)) \
+        == (48000, 2, 192, "mpegv1-layer3")
+    assert parse_mp3_header(
+        make_mp3_header(64, 32000, stereo=False, id3_size=77)) \
+        == (32000, 1, 64, "mpegv1-layer3")
+    assert parse_mp3_header(b"\xff\xfb\x00\x00") is None   # free bitrate
+    assert parse_mp3_header(b"not audio") is None
+
+    rows = [(1, bytearray(make_wav_header(16000, 1, 16, 8000))),
+            (2, bytearray(make_mp3_header(128, 44100))),
+            (3, bytearray(b"opaque"))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in decode_audio_meta(df).collect()}
+    assert out[1]["sample_rate"] == 16000 and out[1]["n_samples"] == 8000
+    assert out[2]["sample_rate"] == 44100 and out[2]["channels"] == 2
+    assert out[2]["n_samples"] is None
+    assert out[3]["sample_rate"] is None
