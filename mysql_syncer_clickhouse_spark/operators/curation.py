@@ -773,3 +773,53 @@ def strip_duplicated_substrings(docs: DataFrame, *,
                      - F.coalesce("n_kept", F.lit(0)))
                     .cast("long").alias("n_removed_tokens"),
                     F.col("n_tokens").cast("long")))
+
+
+def fuzzy_decontaminate(docs: DataFrame, bench: DataFrame, *,
+                        id_col: str = "doc_id",
+                        text_col: str = "text",
+                        threshold: float = 0.5) -> DataFrame:
+    """MinHash-LSH decontamination: flag training docs that are NEAR
+    duplicates of benchmark items -- paraphrased/reformatted eval
+    leakage that exact n-gram overlap (benchmark_decontaminate)
+    under-counts. (id, bench_id, jaccard, containment), one row per
+    contaminated (train, bench) pair passing the exact-Jaccard verify.
+
+    Same scale shape as dedup.minhash_dedup, but the band join is
+    train x bench instead of a self-join: candidates are bounded by
+    cross-side band collisions (the benchmark side is an eval suite --
+    bounded by contract), never |docs| x |bench|. Containment is the
+    decisive signal here: a short benchmark item quoted inside a long
+    training doc scores low Jaccard but containment ~1."""
+    from . import dedup
+
+    t = dedup.hashed_shingle_set(docs, id_col, text_col)
+    b = dedup.hashed_shingle_set(bench, id_col, text_col)
+    t_bands = dedup.lsh_band_signatures(dedup.minhash_signatures(t))
+    b_bands = dedup.lsh_band_signatures(dedup.minhash_signatures(b))
+    cands = (t_bands.join(
+                 b_bands.select(F.col("id").alias("bench_id"),
+                                "band", "band_sig"),
+                 ["band", "band_sig"])
+             .select(F.col("id").alias("id_a"),
+                     F.col("bench_id").alias("id_b"))
+             .distinct())
+    # per-side set tables (NOT a union: train and bench id spaces may
+    # overlap numerically -- they are different tables)
+    t_sets = t.groupBy("id").agg(F.collect_set("h32").alias("hs_a")) \
+              .withColumnRenamed("id", "id_a")
+    b_sets = b.groupBy("id").agg(F.collect_set("h32").alias("hs_b")) \
+              .withColumnRenamed("id", "id_b")
+    n_inter = F.size(F.array_intersect("hs_a", "hs_b"))
+    jac = (n_inter.cast("double")
+           / (F.size("hs_a") + F.size("hs_b") - n_inter))
+    cont = (n_inter.cast("double")
+            / F.least(F.size("hs_a"), F.size("hs_b")))
+    return (cands.join(t_sets, "id_a").join(b_sets, "id_b")
+            .withColumn("jaccard", F.round(jac, 6))
+            .withColumn("containment", F.round(cont, 6))
+            .filter((F.col("jaccard") >= threshold)
+                    | (F.col("containment") >= threshold))
+            .select(F.col("id_a").alias("id"),
+                    F.col("id_b").alias("bench_id"),
+                    "jaccard", "containment"))

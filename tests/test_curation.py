@@ -923,3 +923,27 @@ def test_language_id_multilang(spark):
            df.select("id", TX.language_id("text").alias("lang"))
              .collect()}
     assert got == {1: "en", 2: "de", 3: "fr", 4: "es", 5: "unk"}
+
+
+def test_fuzzy_decontaminate_catches_paraphrased_leakage(spark):
+    """MinHash decontamination flags a training doc that near-copies a
+    benchmark item (small edit) AND one that quotes it inside a longer
+    doc (containment catches what Jaccard misses); clean docs pass.
+    Overlapping train/bench id spaces must not cross-contaminate."""
+    bench_text = ("the quick brown fox jumps over the lazy dog while "
+                  "seventeen sailors navigate the harbor ") * 3
+    other = ("completely different material about lattice quantum "
+             "chromodynamics simulations and gauge fields ") * 3
+    bench = _docs_df(spark, [(1, "bench", bench_text)])
+    train = _docs_df(spark, [
+        (1, "train", bench_text + "tiny edit"),          # near-copy
+        (2, "train", other + bench_text + other),        # quoted inside
+        (3, "train", other),                             # clean
+    ])
+    got = {r["id"]: r for r in curation.fuzzy_decontaminate(
+        train, bench, threshold=0.5).collect()}
+    assert 1 in got and got[1]["jaccard"] >= 0.5
+    assert 2 in got and got[2]["containment"] >= 0.5 \
+        and got[2]["jaccard"] < 0.5
+    assert 3 not in got
+    assert all(r["bench_id"] == 1 for r in got.values())
