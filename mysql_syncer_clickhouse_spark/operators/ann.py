@@ -769,3 +769,96 @@ def cluster_balanced_sample(emb: DataFrame, *, per_cluster: int,
     return (assigned.withColumn("rk", F.row_number().over(w))
                     .filter(F.col("rk") <= per_cluster)
                     .select("id", "cid"))
+
+
+def pca_fit(emb: DataFrame, vec_col: str = "embedding",
+            k: int = 2) -> dict:
+    """Distributed PCA fit: {mean, components (k x d), eigvals}.
+
+    The d x d second-moment matrix is computed as ONE mapInPandas pass
+    emitting a single (count, sum-vector, gram-matrix) partial row per
+    partition -- dense linear algebra on the numpy path (one BLAS
+    matmul per Arrow batch), never a d^2-per-row explode -- and the
+    <= n_partitions partial rows fold on the driver (the bounded-model
+    pattern shared with k-means/BPE/the quality classifier). The
+    eigendecomposition runs on the driver's d x d covariance: O(d^3)
+    once, independent of corpus size. Like the numpy top-k variant,
+    partial sums are float adds, so results agree across partitionings
+    to last-ulp tolerance (documented; the md5-determinism convention
+    applies to hash-derived operators, not dense algebra)."""
+    import numpy as np
+    import pandas as pd
+
+    def partials(batches):
+        n, s, g = 0, None, None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.stack([np.asarray(x, dtype=np.float64)
+                          for x in pdf[vec_col]])
+            n += v.shape[0]
+            s = v.sum(axis=0) if s is None else s + v.sum(axis=0)
+            gg = v.T @ v
+            g = gg if g is None else g + gg
+        if n == 0:
+            return
+        yield pd.DataFrame({"n": [n], "s": [s.tolist()],
+                            "g": [g.ravel().tolist()]})
+
+    rows = (emb.select(vec_col)
+            .mapInPandas(partials,
+                         "n long, s array<double>, g array<double>")
+            .collect())                      # <= n_partitions rows
+    n = sum(r["n"] for r in rows)
+    d = len(rows[0]["s"])
+    s = np.sum([np.array(r["s"]) for r in rows], axis=0)
+    g = np.sum([np.array(r["g"]).reshape(d, d) for r in rows], axis=0)
+    mean = s / n
+    cov = g / n - np.outer(mean, mean)
+    eigvals, eigvecs = np.linalg.eigh(cov)   # ascending
+    order = np.argsort(eigvals)[::-1][:k]
+    comps = eigvecs[:, order].T              # k x d
+    # sign convention: make each component's largest-|x| entry positive
+    for i in range(comps.shape[0]):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return {"mean": mean.tolist(),
+            "components": comps.tolist(),
+            "eigvals": eigvals[order].tolist()}
+
+
+def pca_project(emb: DataFrame, model: dict, vec_col: str = "embedding",
+                out_col: str = "pca", whiten: bool = False,
+                eps: float = 1e-9) -> DataFrame:
+    """Map-only projection onto the fitted components (optionally
+    whitened: each component divided by sqrt(eigval) so projected
+    variance is ~1 -- the standard preprocessing before cosine/
+    euclidean embedding dedup). One Arrow-batched matmul per batch;
+    the k x d model travels as a closure constant (bounded by
+    construction, the broadcast-analog)."""
+    import numpy as np
+    import pandas as pd
+
+    mean = np.array(model["mean"], dtype=np.float64)
+    comps = np.array(model["components"], dtype=np.float64)
+    if whiten:
+        scale = np.sqrt(np.maximum(np.array(model["eigvals"]), eps))
+        comps = comps / scale[:, None]
+    cols = emb.columns
+
+    def project(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.stack([np.asarray(x, dtype=np.float64)
+                          for x in pdf[vec_col]])
+            proj = (v - mean) @ comps.T
+            out = pdf.copy()
+            out[out_col] = [p.tolist() for p in proj]
+            yield out
+
+    schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in emb.schema]
+        + [f"{out_col} array<double>"])
+    return emb.mapInPandas(project, schema)

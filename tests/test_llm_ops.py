@@ -1053,3 +1053,48 @@ def test_mp3_header_parse_and_audio_meta_fallback(spark):
     assert out[2]["sample_rate"] == 44100 and out[2]["channels"] == 2
     assert out[2]["n_samples"] is None
     assert out[3]["sample_rate"] is None
+
+
+def test_pca_fit_matches_local_numpy(spark):
+    """Distributed PCA (partition Gram partials + driver eigh) agrees
+    with a plain local numpy PCA on the same data -- components up to
+    sign already normalized by the fixed sign convention -- and is
+    stable across partitionings to float tolerance."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    # anisotropic cloud: strong direction (3,1,0,0)/sqrt10, weak noise
+    base = rng.normal(size=(500, 1)) @ np.array([[3.0, 1.0, 0.0, 0.0]])
+    data = base + 0.1 * rng.normal(size=(500, 4)) + [1.0, 2.0, 3.0, 4.0]
+    rows = [(i, data[i].tolist()) for i in range(500)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    model = ann.pca_fit(emb, k=2)
+    assert np.allclose(model["mean"], data.mean(axis=0), atol=1e-9)
+    cov = np.cov(data.T, bias=True)
+    w, v = np.linalg.eigh(cov)
+    top = v[:, np.argsort(w)[::-1][:2]].T
+    for got, want in zip(np.array(model["components"]), top):
+        if np.dot(got, want) < 0:
+            want = -want
+        assert np.allclose(got, want, atol=1e-6)
+
+    model2 = ann.pca_fit(emb.repartition(13), k=2)
+    assert np.allclose(model["components"], model2["components"],
+                       atol=1e-9)
+
+
+def test_pca_project_whitens_variance(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    data = rng.normal(size=(400, 3)) * [10.0, 2.0, 0.5]
+    emb = spark.createDataFrame(
+        [(i, data[i].tolist()) for i in range(400)],
+        "vec_id long, embedding array<double>")
+    model = ann.pca_fit(emb, k=3)
+    out = ann.pca_project(emb, model, whiten=True)
+    proj = np.stack([r["pca"] for r in out.collect()])
+    var = proj.var(axis=0)
+    assert np.allclose(var, 1.0, atol=0.05)
+    assert set(out.columns) == {"vec_id", "embedding", "pca"}
