@@ -823,3 +823,21 @@ def fuzzy_decontaminate(docs: DataFrame, bench: DataFrame, *,
             .select(F.col("id_a").alias("id"),
                     F.col("id_b").alias("bench_id"),
                     "jaccard", "containment"))
+
+
+def temperature_weights(docs: DataFrame, *, alpha: float = 0.7,
+                        stratum_col: str = "source",
+                        text_col: str = "text") -> dict[str, float]:
+    """Temperature-scaled mixture shares from observed stratum sizes:
+    w_s ∝ (tokens_s)^alpha, normalized to sum 1 -- the multilingual /
+    multi-source sampling recipe (alpha=1 keeps natural proportions,
+    alpha=0 is uniform, 0<alpha<1 up-weights low-resource strata).
+    One bounded aggregation (|strata| rows, the mix_corpus rate-table
+    contract) collected to feed mix_corpus's share dict."""
+    from ..functions.text import token_count_ws
+    rows = (docs.groupBy(stratum_col)
+                .agg(F.sum(token_count_ws(text_col)).alias("n"))
+                .collect())
+    scaled = {r[stratum_col]: float(r["n"]) ** alpha for r in rows}
+    total = sum(scaled.values()) or 1.0
+    return {k: v / total for k, v in sorted(scaled.items())}

@@ -947,3 +947,21 @@ def test_fuzzy_decontaminate_catches_paraphrased_leakage(spark):
         and got[2]["jaccard"] < 0.5
     assert 3 not in got
     assert all(r["bench_id"] == 1 for r in got.values())
+
+
+def test_temperature_weights_limits_and_flattening(spark):
+    """alpha=1 reproduces natural token proportions, alpha=0 is
+    uniform, and 0<alpha<1 strictly raises the low-resource share."""
+    docs = _docs_df(spark, (
+        [(i, "big", " ".join(["w"] * 90)) for i in range(10)]  # 900 tok
+        + [(100, "small", " ".join(["w"] * 100))]))            # 100 tok
+    w1 = curation.temperature_weights(docs, alpha=1.0)
+    assert abs(w1["big"] - 0.9) < 1e-9 and abs(w1["small"] - 0.1) < 1e-9
+    w0 = curation.temperature_weights(docs, alpha=0.0)
+    assert abs(w0["big"] - 0.5) < 1e-9
+    wh = curation.temperature_weights(docs, alpha=0.5)
+    assert 0.1 < wh["small"] < 0.5
+    assert abs(sum(wh.values()) - 1.0) < 1e-9
+    # feeds mix_corpus directly
+    out = curation.mix_corpus(docs, wh)
+    assert out.count() > 0
