@@ -29,32 +29,70 @@ from pyspark.sql import functions as F
 def asof_join(left: DataFrame, right: DataFrame,
               key: str | Sequence[str],
               left_ts: str, right_ts: str, value_cols: list[str],
-              suffix: str = "_asof") -> DataFrame:
+              suffix: str = "_asof",
+              direction: str = "backward",
+              allow_exact_matches: bool = True,
+              tolerance: float | None = None) -> DataFrame:
     """For each left row, attach the right row's value_cols from the
-    latest right event with right_ts <= left_ts (per key; composite
-    keys accepted). Right-side ties on (key, ts) must be pre-deduped
-    by the caller so the result is deterministic."""
+    nearest right event per key (composite keys accepted):
+    `direction` "backward" = latest right_ts <= left_ts (the classic
+    ASOF), "forward" = earliest right_ts >= left_ts;
+    `allow_exact_matches=False` makes the comparison strict (< / >,
+    the sink DB's ASOF operator variants); `tolerance` (seconds, or
+    the ts columns' native numeric unit) NULLs the match when the gap
+    exceeds it -- the pandas merge_asof surface, distributed.
+
+    One union + ONE keyed window in every variant: direction flips the
+    window's sort, strictness flips which side sorts first at equal
+    ts (the left row then fills before seeing the tied right row).
+    Right-side ties on (key, ts) must be pre-deduped by the caller so
+    the result is deterministic."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward/forward: "
+                         f"{direction!r}")
     keys = [key] if isinstance(key, str) else list(key)
-    side = "__side"          # right=0 sorts before left=1 at equal ts
+    side = "__side"
+    # inclusive: right sorts before left at equal ts (tie matches);
+    # strict: left first (tie invisible to the fill)
+    r_side, l_side = (0, 1) if allow_exact_matches else (1, 0)
     out_vals = [f"{c}{suffix}" for c in value_cols]
     l_tag = left.select(
         *[F.col(k) for k in keys],
-        F.col(left_ts).alias("__ts"), F.lit(1).alias(side),
+        F.col(left_ts).alias("__ts"), F.lit(l_side).alias(side),
+        F.lit(True).alias("__is_left"),
         F.struct(*[F.col(c) for c in left.columns]).alias("__row"),
+        F.lit(None).cast("double").alias("__mts"),
         *[F.lit(None).cast(dict(right.dtypes)[c]).alias(o)
           for c, o in zip(value_cols, out_vals)])
     r_tag = right.select(
         *[F.col(k) for k in keys],
-        F.col(right_ts).alias("__ts"), F.lit(0).alias(side),
+        F.col(right_ts).alias("__ts"), F.lit(r_side).alias(side),
+        F.lit(False).alias("__is_left"),
         F.lit(None).cast(l_tag.schema["__row"].dataType).alias("__row"),
+        F.col(right_ts).cast("timestamp").cast("double")
+         .alias("__mts"),
         *[F.col(c).alias(o) for c, o in zip(value_cols, out_vals)])
-    w = (Window.partitionBy(*keys).orderBy("__ts", side)
+    order = [F.col("__ts").asc(), F.col(side).asc()] \
+        if direction == "backward" \
+        else [F.col("__ts").desc(), F.col(side).asc()]
+    w = (Window.partitionBy(*keys).orderBy(*order)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    fills = [F.last(o, ignorenulls=True).over(w).alias(o)
+             for o in out_vals]
     filled = l_tag.unionByName(r_tag).select(
-        F.col(side), F.col("__row"),
-        *[F.last(o, ignorenulls=True).over(w).alias(o) for o in out_vals])
-    return (filled.filter(F.col(side) == 1)
-                  .select("__row.*", *out_vals))
+        F.col("__is_left"), F.col("__row"), F.col("__ts"),
+        F.last("__mts", ignorenulls=True).over(w).alias("__mts"),
+        *fills)
+    out = filled.filter(F.col("__is_left"))
+    if tolerance is not None:
+        gap = F.abs(F.col("__ts").cast("timestamp").cast("double")
+                    - F.col("__mts"))
+        ok = F.col("__mts").isNotNull() & (gap <= F.lit(tolerance))
+        out = out.select(
+            "__row",
+            *[F.when(ok, F.col(o)).otherwise(F.lit(None)).alias(o)
+              for o in out_vals])
+    return out.select("__row.*", *out_vals)
 
 
 def range_join_binned(left: DataFrame, right: DataFrame, key: str,

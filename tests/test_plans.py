@@ -392,3 +392,45 @@ def test_dynamic_partition_pruning_on_partitioned_sink(spark, tmp_path):
     assert "dynamicpruning" in plan
     # and the pruning actually executes: only partition 3 rows remain
     assert j.count() == 500
+
+
+def test_asof_join_directions_match_pandas_merge_asof(spark):
+    """The direction/strictness/tolerance variants agree with pandas
+    merge_asof on randomized per-key event streams (unique timestamps
+    per side/key keep both references deterministic)."""
+    import random
+
+    import pandas as pd
+
+    from mysql_syncer_clickhouse_spark.operators.temporal import asof_join
+
+    rng = random.Random(9)
+    lrows, rrows = [], []
+    for g in range(4):
+        lts = rng.sample(range(0, 200), 25)
+        rts = rng.sample(range(0, 200), 15)
+        lrows += [(g, float(t)) for t in lts]
+        rrows += [(g, float(t), float(g * 1000 + t)) for t in rts]
+    left = spark.createDataFrame(lrows, "grp int, ts double")
+    right = spark.createDataFrame(rrows, "grp int, rts double, px double")
+    lpd = pd.DataFrame(lrows, columns=["grp", "ts"])
+    rpd = pd.DataFrame(rrows, columns=["grp", "rts", "px"])
+
+    for direction in ("backward", "forward"):
+        for exact in (True, False):
+            for tol in (None, 30.0):
+                got = {(r["grp"], r["ts"]): r["px_asof"]
+                       for r in asof_join(
+                           left, right, "grp", "ts", "rts", ["px"],
+                           direction=direction,
+                           allow_exact_matches=exact,
+                           tolerance=tol).collect()}
+                ref = pd.merge_asof(
+                    lpd.sort_values("ts"), rpd.sort_values("rts"),
+                    left_on="ts", right_on="rts", by="grp",
+                    direction=direction, allow_exact_matches=exact,
+                    tolerance=tol)
+                want = {(r.grp, r.ts):
+                        (None if pd.isna(r.px) else r.px)
+                        for r in ref.itertuples()}
+                assert got == want, (direction, exact, tol)
