@@ -925,10 +925,20 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
                probe, "fp", bloom.bloom_build(seen, "fp"))
            .select(F.lit("bloom").alias("part"), "doc_id",
                    F.col("might_contain").cast("long").alias("val")))
+    # 'fuzzy': MinHash-LSH fuzzy decontamination through the real
+    # train x bench band join + Jaccard/containment verify -- val =
+    # the number of 'src0' benchmark items each flagged training doc
+    # near-duplicates (only flagged docs appear; the oracle replays
+    # the identical md5 minhash chain)
+    fz = (curation.fuzzy_decontaminate(train, bench, threshold=0.5)
+          .groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+          .select(F.lit("fuzzy").alias("part"),
+                  F.col("id").alias("doc_id"),
+                  F.col("n").cast("long").alias("val")))
     return (dec.unionByName(pack).unionByName(samp)
             .unionByName(spl).unionByName(chunks).unionByName(mix)
             .unionByName(xdup).unionByName(dsir).unionByName(spanrm)
-            .unionByName(blm))
+            .unionByName(blm).unionByName(fz))
 
 
 _CURATION_SQL = f"""
@@ -1076,6 +1086,42 @@ WITH g AS (
               THEN 1 ELSE 0 END AS BIGINT) AS val
   FROM bpos p LEFT JOIN bloomf f ON p.pos // 32 = f.word
   GROUP BY p.doc_id
+), fz_sh AS (
+  SELECT DISTINCT doc_id AS id, source,
+         {_H32.format(x="substr(text, p, 8)")} AS h32
+  FROM (SELECT doc_id, source, text,
+               unnest(generate_series(1, greatest(len(text) - 7, 1))) AS p
+        FROM documents)
+), fz_sig AS (
+  SELECT id, source, i, MIN((a * h32 + b) % {dedup.MINHASH_P}) AS mh
+  FROM fz_sh CROSS JOIN {_PARAMS_SQL}
+  GROUP BY id, source, i
+), fz_band AS (
+  SELECT id, source, i // {dedup.BANDS_OF} AS band,
+         SUM(CASE WHEN i % {dedup.BANDS_OF} = 0
+                  THEN mh * {dedup._BAND_SHIFT} ELSE mh END) AS band_sig
+  FROM fz_sig GROUP BY id, source, i // {dedup.BANDS_OF}
+), fz_cand AS (
+  SELECT DISTINCT t.id AS id_a, b.id AS id_b
+  FROM fz_band t JOIN fz_band b
+    ON t.band = b.band AND t.band_sig = b.band_sig
+  WHERE t.source <> 'src0' AND b.source = 'src0'
+), fz_sizes AS (
+  SELECT id, COUNT(*) AS n FROM fz_sh GROUP BY id
+), fz_pairs AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS ni, MIN(za.n) AS na, MIN(zb.n) AS nb
+  FROM fz_cand c
+  JOIN fz_sh sa ON sa.id = c.id_a
+  JOIN fz_sh sb ON sb.id = c.id_b AND sb.h32 = sa.h32
+  JOIN fz_sizes za ON za.id = c.id_a
+  JOIN fz_sizes zb ON zb.id = c.id_b
+  GROUP BY c.id_a, c.id_b
+), fuzzy AS (
+  SELECT id_a AS doc_id, CAST(COUNT(*) AS BIGINT) AS val
+  FROM fz_pairs
+  WHERE ROUND(CAST(ni AS DOUBLE) / (na + nb - ni), 6) >= 0.5
+     OR ROUND(CAST(ni AS DOUBLE) / LEAST(na, nb), 6) >= 0.5
+  GROUP BY id_a
 )
 SELECT 'decontam' AS part, doc_id, val FROM decontam
 UNION ALL SELECT 'pack', doc_id, val FROM pack
@@ -1087,6 +1133,7 @@ UNION ALL SELECT 'xdup', doc_id, val FROM xdup
 UNION ALL SELECT 'dsir', doc_id, val FROM dsir
 UNION ALL SELECT 'spanrm', doc_id, val FROM spanrm
 UNION ALL SELECT 'bloom', doc_id, val FROM bloomp
+UNION ALL SELECT 'fuzzy', doc_id, val FROM fuzzy
 """
 
 
