@@ -116,3 +116,15 @@ def bitmap_contains(bm: DataFrame, value: int,
               .select(*group_cols,
                       (F.col("bits").bitwiseAND(F.lit(1 << bit)) != 0)
                       .alias("contains")))
+
+
+def bitmap_andnot(a: DataFrame, b: DataFrame,
+                  group_cols: Sequence[str] = ()) -> DataFrame:
+    """bitmapAndnot: set difference a \\ b -- left-outer word join +
+    a & ~b (absent b-words subtract nothing), dropping words that
+    cancel to zero."""
+    return _merge(
+        a, b, group_cols,
+        F.col("bits_a").bitwiseAND(
+            F.bitwise_not(F.coalesce(F.col("bits_b"), F.lit(0)))),
+        "left")

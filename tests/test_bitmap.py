@@ -9,8 +9,8 @@ import random
 from pyspark.sql import functions as F
 
 from mysql_syncer_clickhouse_spark.operators.bitmap import (
-    bitmap_agg, bitmap_and, bitmap_cardinality, bitmap_contains,
-    bitmap_or, bitmap_xor)
+    bitmap_agg, bitmap_and, bitmap_andnot, bitmap_cardinality,
+    bitmap_contains, bitmap_or, bitmap_xor)
 
 
 def _df(spark, rows):
@@ -48,6 +48,8 @@ def test_set_algebra_matches_python_sets(spark):
     assert _card(bitmap_and(a, b, ["g"]))["x"] == len(sa & sb)
     assert _card(bitmap_or(a, b, ["g"]))["x"] == len(sa | sb)
     assert _card(bitmap_xor(a, b, ["g"]))["x"] == len(sa ^ sb)
+    assert _card(bitmap_andnot(a, b, ["g"]))["x"] == len(sa - sb)
+    assert _card(bitmap_andnot(b, a, ["g"]))["x"] == len(sb - sa)
 
 
 def test_negative_values_roundtrip_injectively(spark):
