@@ -214,6 +214,10 @@ def sequence_match(events: DataFrame, user_col: str, ts_col: str,
     the user dimension for a dense report)."""
     items = parse_sequence_pattern(pattern)
     n_conds = len(conds)
+    if n_conds > 62:
+        raise ValueError("condition bitmask is a long: at most 62 "
+                         "conditions supported (the public aggregate "
+                         "caps at 32)")
     for it in items:
         if not 1 <= it["cond"] <= n_conds:
             raise ValueError(f"pattern references cond {it['cond']} "
