@@ -199,6 +199,89 @@ def _match_sequence(ts: list[float], masks: list[int],
     return True
 
 
+def _earliest_match_end(ts: list[float], masks: list[int],
+                        items: list[dict], start: int) -> int | None:
+    """Index where the EARLIEST match of `items` beginning at or after
+    event `start` ends, or None. Same set-DP as _match_sequence, but
+    tracking ends lets the caller scan non-overlapping matches:
+    min(ends) is the earliest possible end because the DP keeps every
+    feasible end per item."""
+    n = len(ts)
+    ends = [i for i in range(start, n)
+            if masks[i] >> (items[0]["cond"] - 1) & 1]
+    for item in items[1:]:
+        bit = item["cond"] - 1
+        nxt: list[int] = []
+        if item["adjacent"]:
+            prev = set(ends)
+            nxt = [i for i in range(start + 1, n)
+                   if masks[i] >> bit & 1 and i - 1 in prev]
+        else:
+            for i in range(start, n):
+                if not masks[i] >> bit & 1:
+                    continue
+                for p in ends:
+                    if p >= i:
+                        break
+                    if all(_T_OPS[op](ts[i] - ts[p], s)
+                           for op, s in item["tcons"]):
+                        nxt.append(i)
+                        break
+        if not nxt:
+            return None
+        ends = nxt
+    return min(ends)
+
+
+def sequence_count_pattern(events: DataFrame, user_col: str,
+                           ts_col: str, pattern: str,
+                           conds: Sequence[Column],
+                           tiebreak_col: str = "event_id") -> DataFrame:
+    """(user, n_matches): the sink DB's sequenceCount(pattern)(...)
+    parametric aggregate -- the NUMBER of non-overlapping matches of
+    the full pattern grammar per user, scanned greedily left to right
+    (each counted match consumes through its earliest possible end,
+    maximizing the count -- the public semantics). The chain-only
+    sequence_count above stays as the fast special case of
+    '(?1)(?2)...' with restart-on-match."""
+    items = parse_sequence_pattern(pattern)
+    n_conds = len(conds)
+    if n_conds > 62:
+        raise ValueError("condition bitmask is a long: at most 62 "
+                         "conditions supported")
+    for it in items:
+        if not 1 <= it["cond"] <= n_conds:
+            raise ValueError(f"pattern references cond {it['cond']} "
+                             f"but only {n_conds} supplied")
+    mask = F.lit(0)
+    for i, c in enumerate(conds):
+        mask = mask + F.when(c, F.lit(1 << i)).otherwise(0)
+    stepped = (events.select(
+                   F.col(user_col).alias("user"),
+                   F.col(ts_col).cast("timestamp").cast("double")
+                    .alias("ts_s"),
+                   F.col(tiebreak_col).alias("tb"),
+                   mask.alias("mask"))
+               .filter(F.col("mask") != 0))
+
+    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts_s", "tb"], kind="mergesort")
+        ts = list(pdf["ts_s"])
+        masks = [int(m) for m in pdf["mask"]]
+        count, pos = 0, 0
+        while pos < len(ts):
+            end = _earliest_match_end(ts, masks, items, pos)
+            if end is None:
+                break
+            count += 1
+            pos = end + 1
+        return pd.DataFrame({"user": [pdf["user"].iloc[0]],
+                             "n_matches": [count]})
+
+    return stepped.groupBy("user").applyInPandas(
+        scan, "user long, n_matches long")
+
+
 def sequence_match(events: DataFrame, user_col: str, ts_col: str,
                    pattern: str, conds: Sequence[Column],
                    tiebreak_col: str = "event_id") -> DataFrame:

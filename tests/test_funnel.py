@@ -358,3 +358,48 @@ def test_merge_maps_max_min(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         merge_maps(df, "k", "m", "avg")
+
+
+def test_sequence_count_pattern_nonoverlapping_greedy(spark):
+    from mysql_syncer_clickhouse_spark.operators.funnel import (
+        sequence_count_pattern)
+    # A B A B -> two non-overlapping (?1).*(?2) matches
+    ev = _events(spark, [(1, 0, "A"), (1, 1, "B"),
+                         (1, 2, "A"), (1, 3, "B")])
+    [r] = sequence_count_pattern(ev, "user_id", "ts", "(?1).*(?2)",
+                                 _conds(["A", "B"])).collect()
+    assert r["n_matches"] == 2
+    # strict adjacency: A X B has the visible X between -> 0; A B -> 1
+    ev2 = _events(spark, [(1, 0, "A"), (1, 1, "X"), (1, 2, "B"),
+                          (2, 0, "A"), (2, 1, "B")])
+    got = {r["user"]: r["n_matches"]
+           for r in sequence_count_pattern(
+               ev2, "user_id", "ts", "(?1)(?2)",
+               _conds(["A", "B", "X"])).collect()}
+    assert got == {1: 0, 2: 1}
+    # time constraint: only the close pair counts
+    ev3 = _events(spark, [(1, 0, "A"), (1, 2, "B"),
+                          (1, 10, "A"), (1, 50, "B")])
+    [r] = sequence_count_pattern(ev3, "user_id", "ts",
+                                 "(?1)(?t<5)(?2)",
+                                 _conds(["A", "B"])).collect()
+    assert r["n_matches"] == 1
+
+
+def test_sequence_count_pattern_agrees_with_chain_automaton(spark):
+    """For '.*'-separated chains over disjoint conditions the greedy
+    earliest-end scan must equal the restart-on-match automaton of the
+    plain sequence_count."""
+    from mysql_syncer_clickhouse_spark.operators.funnel import (
+        sequence_count, sequence_count_pattern)
+    rng = random.Random(13)
+    rows = [(u, rng.randrange(0, 40), rng.choice(["A", "B", "C", "X"]))
+            for u in range(15) for _ in range(12)]
+    ev = _events(spark, rows)
+    conds = _conds(["A", "B", "C"])
+    plain = {r["user"]: r["n_matches"] for r in sequence_count(
+        ev, "user_id", "ts", conds).collect()}
+    patt = {r["user"]: r["n_matches"] for r in sequence_count_pattern(
+        ev, "user_id", "ts", "(?1).*(?2).*(?3)", conds).collect()}
+    for u in patt:
+        assert patt[u] == plain.get(u, 0), u
