@@ -778,9 +778,12 @@ def pca_fit(emb: DataFrame, vec_col: str = "embedding",
     The d x d second-moment matrix is computed as ONE mapInPandas pass
     emitting a single (count, sum-vector, gram-matrix) partial row per
     partition -- dense linear algebra on the numpy path (one BLAS
-    matmul per Arrow batch), never a d^2-per-row explode -- and the
-    <= n_partitions partial rows fold on the driver (the bounded-model
-    pattern shared with k-means/BPE/the quality classifier). The
+    matmul per Arrow batch), never a d^2-per-row explode -- then the
+    partials element-sum IN SPARK (two keyed aggregations over the
+    exploded entries) so exactly d + d^2 values reach the driver
+    regardless of cluster width (collecting raw partials would ship
+    n_partitions x d^2 -- gigabytes at 1000 executors). The driver
+    keeps only the model fold (the k-means/BPE/classifier pattern). The
     eigendecomposition runs on the driver's d x d covariance: O(d^3)
     once, independent of corpus size. Like the numpy top-k variant,
     partial sums are float adds, so results agree across partitionings
@@ -805,14 +808,26 @@ def pca_fit(emb: DataFrame, vec_col: str = "embedding",
         yield pd.DataFrame({"n": [n], "s": [s.tolist()],
                             "g": [g.ravel().tolist()]})
 
-    rows = (emb.select(vec_col)
-            .mapInPandas(partials,
-                         "n long, s array<double>, g array<double>")
-            .collect())                      # <= n_partitions rows
-    n = sum(r["n"] for r in rows)
-    d = len(rows[0]["s"])
-    s = np.sum([np.array(r["s"]) for r in rows], axis=0)
-    g = np.sum([np.array(r["g"]).reshape(d, d) for r in rows], axis=0)
+    part = emb.select(vec_col).mapInPandas(
+        partials, "n long, s array<double>, g array<double>")
+    part = part.localCheckpoint(eager=True)  # 1 row/partition, reused 3x
+    # reduce the partials IN SPARK before anything reaches the driver:
+    # collecting raw partials would ship n_partitions x d^2 doubles
+    # (gigabytes at 1000 executors x d=1024); two keyed element sums
+    # bring exactly d + d^2 values back -- the model itself
+    n = part.agg(F.sum("n")).collect()[0][0]
+    s_rows = (part.select(F.posexplode("s").alias("i", "v"))
+                  .groupBy("i").agg(F.sum("v").alias("v")).collect())
+    g_rows = (part.select(F.posexplode("g").alias("i", "v"))
+                  .groupBy("i").agg(F.sum("v").alias("v")).collect())
+    d = len(s_rows)
+    s = np.zeros(d)
+    for r in s_rows:
+        s[r["i"]] = r["v"]
+    g = np.zeros(d * d)
+    for r in g_rows:
+        g[r["i"]] = r["v"]
+    g = g.reshape(d, d)
     mean = s / n
     cov = g / n - np.outer(mean, mean)
     eigvals, eigvecs = np.linalg.eigh(cov)   # ascending
