@@ -199,7 +199,13 @@ class StreamingSyncPipeline:
                 # stand-in for the sink DB's any()); the ttl column
                 # takes max so the rolled row re-expires relative to
                 # its newest member. Deterministic end to end -- every
-                # reducer is order-free.
+                # reducer is order-free. Note the rolled row's full pk
+                # (group prefix + min of the remaining pk columns)
+                # competes with any live row of the same pk by seq at
+                # the next dedup-on-read, exactly like a MergeTree
+                # part merge -- choose group keys whose rolled pk
+                # space is disjoint from live rows (e.g. a date
+                # bucket) to avoid that overlap.
                 pk = self._sink_pk()
                 if list(ttl_rollup_group) != list(pk[:len(
                         ttl_rollup_group)]):
