@@ -110,3 +110,30 @@ def uint64_normalize(col: Column | str) -> Column:
     """UInt64-safe normalization: DECIMAL(20,0) holds the full range
     (SURVEY.md §1.2 risk #5)."""
     return _c(col).cast("decimal(20,0)")
+
+
+def dict_get(df, dictionary, key_col: str, attr_cols,
+             default: dict | None = None, dict_key: str | None = None):
+    """The sink DB's dictGet / dictGetOrDefault surface: enrich rows
+    with attributes looked up from a dimension dictionary by key.
+    `dictionary` is a bounded-by-contract relation (the external-dict
+    analog), so the lookup is a BROADCAST left join -- map-only, zero
+    shuffles on the fact side, the dictionary cached on every executor
+    exactly like the sink DB pins dictionaries in memory. Missing keys
+    take `default[attr]` (or NULL), mirroring dictGetOrDefault.
+
+    attr_cols: list of dictionary attribute columns to attach;
+    dict_key: the dictionary's key column when named differently."""
+    from pyspark.sql import functions as F
+    dict_key = dict_key or key_col
+    attrs = list(attr_cols)
+    d = dictionary.select(F.col(dict_key).alias("__dk"),
+                          *[F.col(a).alias(f"__dv_{a}") for a in attrs])
+    out = df.join(F.broadcast(d), F.col(key_col) == F.col("__dk"),
+                  "left")
+    for a in attrs:
+        v = F.col(f"__dv_{a}")
+        if default and a in default:
+            v = F.coalesce(v, F.lit(default[a]))
+        out = out.withColumn(a, v)
+    return out.drop("__dk", *[f"__dv_{a}" for a in attrs])

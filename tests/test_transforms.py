@@ -79,3 +79,22 @@ def test_uint64_normalize_no_truncation(spark):
 def test_uint32_range_survives(spark):
     # ip = 3748168280 (river/river_test.go:333-334)
     assert _one(spark, X.int_normalize(F.lit(3748168280))) == 3748168280
+
+
+def test_dict_get_broadcast_lookup(spark):
+    """dictGet analog: broadcast dictionary join with per-attribute
+    defaults for missing keys; the plan carries no shuffle on the fact
+    side (broadcast hash join)."""
+    from mysql_syncer_clickhouse_spark.functions.transforms import dict_get
+    fact = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 99)], "id long, nation_id long")
+    dim = spark.createDataFrame(
+        [(10, "DE", "EU"), (20, "US", "NA")],
+        "nid long, code string, region string")
+    out = dict_get(fact, dim, "nation_id", ["code", "region"],
+                   default={"code": "??"}, dict_key="nid")
+    got = {r["id"]: (r["code"], r["region"]) for r in out.collect()}
+    assert got == {1: ("DE", "EU"), 2: ("US", "NA"), 3: ("??", None)}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
