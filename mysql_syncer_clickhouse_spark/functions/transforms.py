@@ -137,3 +137,14 @@ def dict_get(df, dictionary, key_col: str, attr_cols,
             v = F.coalesce(v, F.lit(default[a]))
         out = out.withColumn(a, v)
     return out.drop("__dk", *[f"__dv_{a}" for a in attrs])
+
+
+def uniq_up_to(value_col, n: int):
+    """The sink DB's uniqUpTo(N) aggregate: the exact distinct count
+    while it is <= N, else N+1 ("more than N"). Used where the answer
+    "many" is as good as the number (e.g. cardinality guards) -- the
+    expression keeps Spark's partial-aggregated distinct but callers
+    can swap in approx/bitmap paths past the cap. Returns an aggregate
+    Column for groupBy().agg()."""
+    from pyspark.sql import functions as F
+    return F.least(F.countDistinct(value_col), F.lit(n + 1))

@@ -98,3 +98,14 @@ def test_dict_get_broadcast_lookup(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_uniq_up_to(spark):
+    from mysql_syncer_clickhouse_spark.functions.transforms import (
+        uniq_up_to)
+    df = spark.createDataFrame(
+        [("a", i % 3) for i in range(30)] + [("b", i) for i in range(30)],
+        "g string, v long")
+    got = {r["g"]: r["u"] for r in
+           df.groupBy("g").agg(uniq_up_to("v", 5).alias("u")).collect()}
+    assert got == {"a": 3, "b": 6}   # exact under cap, N+1 over it
