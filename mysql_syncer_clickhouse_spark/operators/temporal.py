@@ -222,3 +222,23 @@ def exponential_moving_average(df: DataFrame, key_col: str, ts_col: str,
 
     return (df.groupBy(key_col).applyInPandas(scan, schema)
               .select(*cols, out_col))
+
+
+def delta_sum(df: DataFrame, key_col: str, ts_col: str,
+              value_col: str,
+              tiebreak_col: str | None = None) -> DataFrame:
+    """(key, delta_sum): the sink DB's deltaSum aggregate -- the sum
+    of POSITIVE successive differences in (ts, tiebreak) order, the
+    standard reading of monotonically-increasing counters that
+    occasionally reset (a reset's negative delta is skipped instead of
+    poisoning the total). One keyed window (lag) + one keyed sum that
+    share the partitioning -- a single exchange."""
+    order = [F.col(ts_col).asc()]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).asc())
+    w = Window.partitionBy(key_col).orderBy(*order)
+    diff = F.col(value_col) - F.lag(value_col, 1).over(w)
+    return (df.withColumn("__d", diff)
+              .groupBy(F.col(key_col).alias("key"))
+              .agg(F.sum(F.greatest(F.col("__d"), F.lit(0)))
+                    .alias("delta_sum")))

@@ -434,3 +434,22 @@ def test_asof_join_directions_match_pandas_merge_asof(spark):
                         (None if pd.isna(r.px) else r.px)
                         for r in ref.itertuples()}
                 assert got == want, (direction, exact, tol)
+
+
+def test_delta_sum_skips_counter_resets(spark):
+    from pyspark.sql import functions as F
+
+    from mysql_syncer_clickhouse_spark.operators.temporal import delta_sum
+
+    rows = [("c", 0, 1.0), ("c", 1, 3.0), ("c", 2, 2.0), ("c", 3, 5.0),
+            ("d", 0, 10.0), ("d", 1, 10.0)]
+    df = spark.createDataFrame(rows, "k string, ts long, v double")
+    got = {r["key"]: r["delta_sum"]
+           for r in delta_sum(df, "k", "ts", "v").collect()}
+    # c: deltas +2, -1 (reset, skipped), +3 -> 5; d: flat -> 0
+    assert got == {"c": 5.0, "d": 0.0}
+    # deterministic under repartitioning
+    again = {r["key"]: r["delta_sum"]
+             for r in delta_sum(df.repartition(7), "k", "ts", "v")
+             .collect()}
+    assert again == got
