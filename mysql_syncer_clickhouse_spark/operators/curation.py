@@ -778,7 +778,8 @@ def strip_duplicated_substrings(docs: DataFrame, *,
 def fuzzy_decontaminate(docs: DataFrame, bench: DataFrame, *,
                         id_col: str = "doc_id",
                         text_col: str = "text",
-                        threshold: float = 0.5) -> DataFrame:
+                        threshold: float = 0.5,
+                        bucket_cap: int | None = 64) -> DataFrame:
     """MinHash-LSH decontamination: flag training docs that are NEAR
     duplicates of benchmark items -- paraphrased/reformatted eval
     leakage that exact n-gram overlap (benchmark_decontaminate)
@@ -788,15 +789,28 @@ def fuzzy_decontaminate(docs: DataFrame, bench: DataFrame, *,
     Same scale shape as dedup.minhash_dedup, but the band join is
     train x bench instead of a self-join: candidates are bounded by
     cross-side band collisions (the benchmark side is an eval suite --
-    bounded by contract), never |docs| x |bench|. Containment is the
-    decisive signal here: a short benchmark item quoted inside a long
-    training doc scores low Jaccard but containment ~1."""
+    bounded by contract), never |docs| x |bench|. And the same scale
+    armor: byte-identical texts on EACH side collapse to one
+    representative before banding (a million-copy boilerplate family
+    is one band row), the corpus-side buckets are bounded by
+    `bucket_cap` (observe-metric accounted -- no silent recall loss),
+    and member-level pairs are reconstructed exactly afterwards
+    (identical text => identical shingle set => identical verify
+    values). Containment is the decisive signal here: a short
+    benchmark item quoted inside a long training doc scores low
+    Jaccard but containment ~1."""
     from . import dedup
 
-    t = dedup.hashed_shingle_set(docs, id_col, text_col)
-    b = dedup.hashed_shingle_set(bench, id_col, text_col)
+    t_reps, t_members = dedup.collapse_exact_texts(docs, id_col, text_col)
+    b_reps, b_members = dedup.collapse_exact_texts(bench, id_col, text_col)
+    t = dedup.hashed_shingle_set(t_reps, "id", "text")
+    b = dedup.hashed_shingle_set(b_reps, "id", "text")
     t_bands = dedup.lsh_band_signatures(dedup.minhash_signatures(t))
     b_bands = dedup.lsh_band_signatures(dedup.minhash_signatures(b))
+    if bucket_cap is not None:
+        # the corpus side is the unbounded one; the bench side is an
+        # eval suite, bounded by contract
+        t_bands = dedup.cap_band_buckets(t_bands, bucket_cap)
     cands = (t_bands.join(
                  b_bands.select(F.col("id").alias("bench_id"),
                                 "band", "band_sig"),
@@ -815,13 +829,23 @@ def fuzzy_decontaminate(docs: DataFrame, bench: DataFrame, *,
            / (F.size("hs_a") + F.size("hs_b") - n_inter))
     cont = (n_inter.cast("double")
             / F.least(F.size("hs_a"), F.size("hs_b")))
-    return (cands.join(t_sets, "id_a").join(b_sets, "id_b")
-            .withColumn("jaccard", F.round(jac, 6))
-            .withColumn("containment", F.round(cont, 6))
-            .filter((F.col("jaccard") >= threshold)
-                    | (F.col("containment") >= threshold))
-            .select(F.col("id_a").alias("id"),
-                    F.col("id_b").alias("bench_id"),
+    rep_pairs = (cands.join(t_sets, "id_a").join(b_sets, "id_b")
+                 .withColumn("jaccard", F.round(jac, 6))
+                 .withColumn("containment", F.round(cont, 6))
+                 .filter((F.col("jaccard") >= threshold)
+                         | (F.col("containment") >= threshold))
+                 .select("id_a", "id_b", "jaccard", "containment"))
+    # expand both sides back to member grain: each rep-level hit fans
+    # out to every (train member, bench member) pair with the rep's
+    # exact verify values; no least/greatest reorder here -- the two
+    # sides are different id spaces, the pair is (train, bench) typed
+    return (rep_pairs
+            .join(t_members.select(F.col("rep_id").alias("id_a"),
+                                   F.col("id").alias("__m_id")), "id_a")
+            .join(b_members.select(F.col("rep_id").alias("id_b"),
+                                   F.col("id").alias("__m_bench")), "id_b")
+            .select(F.col("__m_id").alias("id"),
+                    F.col("__m_bench").alias("bench_id"),
                     "jaccard", "containment"))
 
 

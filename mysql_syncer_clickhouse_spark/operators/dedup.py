@@ -112,15 +112,106 @@ def lsh_band_signatures(sigs: DataFrame) -> DataFrame:
                 .agg(F.sum(packed).alias("band_sig")))
 
 
-def lsh_candidate_pairs(bands: DataFrame) -> DataFrame:
+# unique suffix per observe() node: Spark rejects two observations with
+# the same name inside one plan (e.g. a union of two minhash_dedup runs)
+_OBS_COUNTER = [0]
+
+
+def lsh_candidate_pairs(bands: DataFrame,
+                        bucket_cap: int | None = None) -> DataFrame:
     """Distinct id pairs sharing at least one band bucket. The join is
-    keyed on (band, band_sig) -- collision buckets, not a cross join."""
+    keyed on (band, band_sig) -- collision buckets, not a cross join.
+
+    `bucket_cap` bounds the per-bucket fan-out: each (band, band_sig)
+    bucket keeps only its `bucket_cap` smallest ids before the
+    self-join, so a bucket of N rows emits O(min(N, cap)^2) candidate
+    pairs instead of O(N^2). Without it a mass-duplicated document
+    family (million-copy boilerplate -- the common case in web corpora)
+    lands in the same bucket in EVERY band and the join explodes; the
+    cap turns that into a bounded, AQE-splittable equi-join. Docs
+    beyond the cap lose only THIS bucket's candidates (other bands
+    still pair them); callers that first collapse exact-identical
+    texts (minhash_dedup) only hit the cap on genuinely distinct
+    near-dup floods. Dropped-row counts are exposed two ways, per the
+    no-silent-caps rule: a named observe() metric
+    ('lsh_bucket_cap_<n>': rows_dropped, max_bucket_size) costing no
+    extra job, and the explicit lsh_bucket_audit() relation."""
+    if bucket_cap is not None:
+        bands = cap_band_buckets(bands, bucket_cap)
     a = bands.select(F.col("id").alias("id_a"), "band", "band_sig")
     b = bands.select(F.col("id").alias("id_b"), "band", "band_sig")
     return (a.join(b, ["band", "band_sig"])
              .filter(F.col("id_a") < F.col("id_b"))
              .select("id_a", "id_b")
              .distinct())
+
+
+def cap_band_buckets(bands: DataFrame, bucket_cap: int) -> DataFrame:
+    """Keep each (band, band_sig) bucket's `bucket_cap` smallest ids,
+    with the dropped-row count exposed as a named observe() metric
+    (zero extra jobs). One window shuffle on the join key itself --
+    the hot bucket runs through ONE linear window task instead of an
+    O(N^2) join explosion. Shared by lsh_candidate_pairs (self-join)
+    and fuzzy_decontaminate (cross-join)."""
+    if bucket_cap < 2:
+        raise ValueError("bucket_cap must be >= 2 (a 1-row bucket "
+                         "emits no pairs at all)")
+    w = Window.partitionBy("band", "band_sig").orderBy("id")
+    _OBS_COUNTER[0] += 1
+    ranked = (bands.withColumn("__rn", F.row_number().over(w))
+              .observe(f"lsh_bucket_cap_{_OBS_COUNTER[0]}",
+                       F.sum(F.when(F.col("__rn") > bucket_cap, 1)
+                              .otherwise(0)).alias("rows_dropped"),
+                       F.max("__rn").alias("max_bucket_size")))
+    return ranked.filter(F.col("__rn") <= bucket_cap).drop("__rn")
+
+
+def lsh_bucket_audit(bands: DataFrame, bucket_cap: int) -> DataFrame:
+    """One-row accounting of what a bucket_cap would drop from a
+    (id, band, band_sig) relation: (n_buckets_over_cap, n_rows_dropped,
+    max_bucket_size). The explicit audit pair to lsh_candidate_pairs's
+    free observe() metric -- run it when a capped dedup pass must
+    REPORT its recall concession (one keyed count, corpus-scale safe)."""
+    sizes = bands.groupBy("band", "band_sig").agg(
+        F.count(F.lit(1)).alias("n"))
+    return sizes.agg(
+        F.count(F.when(F.col("n") > bucket_cap, 1))
+         .alias("n_buckets_over_cap"),
+        F.coalesce(F.sum(F.when(F.col("n") > bucket_cap,
+                                F.col("n") - bucket_cap)),
+                   F.lit(0)).alias("n_rows_dropped"),
+        F.coalesce(F.max("n"), F.lit(0)).alias("max_bucket_size"))
+
+
+def collapse_exact_texts(df: DataFrame, id_col: str,
+                         text_col: str) -> tuple[DataFrame, DataFrame]:
+    """Collapse byte-identical texts to one representative:
+    (reps: (id, text) -- the min-id doc of each distinct raw text;
+    members: (id, rep_id) -- every doc mapped to its representative).
+
+    The load-bearing pre-step for LSH at scale: a million-copy
+    boilerplate family shares ALL band signatures, so without collapse
+    it puts N rows in the same bucket in every band and the candidate
+    join emits O(N^2 x bands) pairs. Collapsed, the family is ONE band
+    row; member-level results are reconstructed exactly afterwards
+    (identical raw text => identical shingle set => identical minhashes
+    and Jaccard, so every member inherits its rep's matches verbatim).
+    Keyed on md5 of the RAW text -- not the whitespace-normalized
+    fingerprint() -- because shingling consumes the raw text and two
+    docs differing only in whitespace have different shingle sets.
+
+    One window shuffle on the text hash; reps and members share it.
+    A 100 TB run would parquet-checkpoint `members` before fan-out
+    reuse (same note as minhash_dedup's per-doc relation)."""
+    base = df.select(F.col(id_col).alias("id"),
+                     F.col(text_col).alias("text"),
+                     F.md5(text_col).alias("__tfp"))
+    tagged = base.withColumn(
+        "rep_id", F.min("id").over(Window.partitionBy("__tfp")))
+    reps = (tagged.filter(F.col("id") == F.col("rep_id"))
+                  .select("id", "text"))
+    members = tagged.select("id", "rep_id")
+    return reps, members
 
 
 def jaccard_verify(candidates: DataFrame, hashed: DataFrame,
@@ -168,9 +259,28 @@ def jaccard_verify_sets(candidates: DataFrame, sets: DataFrame,
 
 
 def minhash_dedup(df: DataFrame, id_col: str, text_col: str,
-                  k: int = 8, threshold: float = 0.5) -> DataFrame:
-    """End-to-end MinHash+LSH near-dup detection: shingle -> signature
-    -> band buckets -> candidate pairs -> exact-Jaccard verify.
+                  k: int = 8, threshold: float = 0.5,
+                  bucket_cap: int | None = 64) -> DataFrame:
+    """End-to-end MinHash+LSH near-dup detection: collapse exact
+    texts -> shingle -> signature -> band buckets -> candidate pairs
+    -> exact-Jaccard verify -> expand back to member grain.
+
+    Scale armor (the 100 TB boilerplate case): byte-identical texts
+    are collapsed to one representative FIRST (collapse_exact_texts),
+    so a mass-duplicated family contributes one band row instead of
+    flooding every bucket; any remaining hot bucket of genuinely
+    distinct near-dups is bounded by `bucket_cap` (observe-metric +
+    lsh_bucket_audit accounting -- no silent recall loss). Member
+    pairs are reconstructed exactly: within a family every pair is a
+    (1.0, 1.0) duplicate, and a rep-level match expands to all member
+    cross pairs with the rep's jaccard (identical text => identical
+    shingle set, so the values are equal BY CONSTRUCTION, not
+    approximately). Output is row-identical to the uncollapsed
+    pipeline (test-asserted); only the candidate join shrinks. NOTE:
+    the expanded pair LIST for an N-copy family is inherently
+    O(N^2) rows -- pure dedup consumers should take keep_canonical /
+    duplicate_clusters on the REP pairs plus the members map instead
+    of materializing member pairs (see keep_canonical).
 
     Fused plan: the per-doc aggregation (all minhash mins AND the
     exact hash set, each partial-aggregable before the doc-keyed
@@ -194,9 +304,10 @@ def minhash_dedup(df: DataFrame, id_col: str, text_col: str,
     and collect_set dedups, so a distinct would be a pure extra
     shuffle. Results are row-identical to the unfused pipeline
     (test-asserted)."""
-    sh = (_spread(df, id_col)
-          .select(F.col(id_col).alias("id"),
-                  F.explode(char_shingles(text_col, k)).alias("shingle"))
+    reps, members = collapse_exact_texts(df, id_col, text_col)
+    sh = (_spread(reps, "id")
+          .select("id",
+                  F.explode(char_shingles("text", k)).alias("shingle"))
           .select("id", portable_hash32("shingle").alias("h32")))
     per_doc = sh.groupBy("id").agg(
         F.collect_set("h32").alias("hs"),
@@ -216,9 +327,46 @@ def minhash_dedup(df: DataFrame, id_col: str, text_col: str,
                           band_sig(b).alias("band_sig"))
                  for b in range(n_bands)])).alias("bs"))
              .select("id", "bs.band", "bs.band_sig"))
-    cands = lsh_candidate_pairs(bands)
-    return jaccard_verify_sets(cands, per_doc.select("id", "hs"),
-                               threshold)
+    cands = lsh_candidate_pairs(bands, bucket_cap=bucket_cap)
+    rep_pairs = jaccard_verify_sets(cands, per_doc.select("id", "hs"),
+                                    threshold)
+    return expand_rep_pairs(rep_pairs, members, threshold)
+
+
+def expand_rep_pairs(rep_pairs: DataFrame, members: DataFrame,
+                     threshold: float) -> DataFrame:
+    """Reconstruct member-grain (id_a, id_b, jaccard, containment)
+    pairs from representative-grain verified pairs + the (id, rep_id)
+    members map of collapse_exact_texts:
+
+    - intra-family: every pair inside an exact-duplicate family is a
+      (1.0, 1.0) near-dup (identical text), subject to the same
+      threshold filter;
+    - cross-family: each rep-level match fans out to all member cross
+      pairs, carrying the rep's exact jaccard/containment (equal for
+      every member pair because the shingle sets are identical).
+
+    Pairs are re-ordered with least/greatest so id_a < id_b holds at
+    member grain (families interleave numerically); families are
+    disjoint, so no pair is emitted twice. All joins are keyed on
+    rep ids -- never corpus x corpus."""
+    intra = (members.select("rep_id", F.col("id").alias("id_a"))
+             .join(members.select("rep_id", F.col("id").alias("id_b")),
+                   "rep_id")
+             .filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b",
+                     F.lit(1.0).alias("jaccard"),
+                     F.lit(1.0).alias("containment"))
+             .filter(F.lit(1.0 >= threshold)))
+    cross = (rep_pairs
+             .join(members.select(F.col("rep_id").alias("id_a"),
+                                  F.col("id").alias("__ma")), "id_a")
+             .join(members.select(F.col("rep_id").alias("id_b"),
+                                  F.col("id").alias("__mb")), "id_b")
+             .select(F.least("__ma", "__mb").alias("id_a"),
+                     F.greatest("__ma", "__mb").alias("id_b"),
+                     "jaccard", "containment"))
+    return cross.unionByName(intra)
 
 
 def simhash_table(df: DataFrame, id_col: str, text_col: str,
