@@ -175,6 +175,16 @@ def topk_space_saving(df: DataFrame, item_col: str, k: int,
     partials = space_saving_partials(df, item_col,
                                      capacity=k * load_factor,
                                      weight_col=weight_col)
+    # PIN the summaries before the two reuses below: the summary rows
+    # are order-dependent (SpaceSaving eviction depends on arrival
+    # order), and `merged` and `tot` would otherwise evaluate the
+    # mapInPandas twice -- a task retry or upstream reorder between
+    # those evaluations could yield pmin values that disagree with the
+    # cnt/err rows summed into `merged`, silently breaking the
+    # [lower, upper] bound guarantee. localCheckpoint materializes ONE
+    # consistent snapshot (<= capacity rows per partition -- tiny);
+    # same pattern as pca_fit's reused partials.
+    partials = partials.localCheckpoint(eager=True)
     merged = (partials.groupBy("item")
               .agg(F.sum(F.col("cnt") - F.col("pmin")).alias("adj"),
                    F.sum(F.col("cnt") - F.col("err")).alias("lower")))

@@ -178,30 +178,40 @@ SELECT seq, ts, op, pk, value, NULL AS props FROM changelog WHERE pk % 3 = 2
 
 def cdc_op_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-op sync counters (the reference's insert/update/delete
-    stat surface) plus one behavioral-analytics row checked through
-    the REAL sequence_match scan (operators/funnel.py):
-    'seq_click_purchase' = users with a click followed (in (ts,
-    event_id) order, any gap) by a purchase -- the '(?1).*(?2)'
-    pattern, whose existence form the oracle mirrors as an ordered
-    EXISTS pair."""
-    from ..operators.funnel import retention, sequence_match, window_funnel
+    stat surface) plus behavioral-analytics rows checked through the
+    REAL operator cores (operators/funnel.py): 'seq_click_purchase' =
+    users with a click followed (in (ts, event_id) order, any gap) by
+    a purchase -- the '(?1).*(?2)' sequenceMatch pattern, whose
+    existence form the oracle mirrors as an ordered EXISTS pair."""
+    from ..operators.funnel import retention, sequence_and_funnel
     cl = derive_changelog_from_events(spark, sf_dir)
     ops = cl.groupBy("op").agg(F.count(F.lit(1)).alias("n"))
     ev = load_table(spark, sf_dir, "events")
     conds = [F.col("event_type") == "click",
              F.col("event_type") == "purchase"]
-    seq = sequence_match(ev, "user_id", "ts", "(?1).*(?2)", conds)
-    matched = (seq.filter("matched")
-                  .agg(F.count(F.lit(1)).alias("n"))
-                  .select(F.lit("seq_click_purchase").alias("op"), "n"))
-    # 'funnel_l2_1800s': users whose 2-step funnel completes within
-    # 1800 s of the chain start, through the REAL window_funnel scan;
-    # for 2 steps "level >= 2" == EXISTS an ordered pair within the
-    # window, which is what the oracle states
-    fl = (window_funnel(ev, "user_id", "ts", conds, window_s=1800)
-          .filter(F.col("level") >= 2)
-          .agg(F.count(F.lit(1)).alias("n"))
-          .select(F.lit("funnel_l2_1800s").alias("op"), "n"))
+    # 'seq_click_purchase' + 'funnel_l2_1800s' from ONE fused scan
+    # (sequence_and_funnel runs the same _match_sequence /
+    # _funnel_level cores as the standalone operators): one events
+    # pass, one per-user shuffle, one applyInPandas -- r5's entry ran
+    # two separate scans + shuffles for the same two rows. The two
+    # counts reduce in one aggregation and unpack via a 2-element
+    # explode. 'funnel_l2_1800s' = users whose 2-step funnel completes
+    # within 1800 s of the chain start; for 2 steps "level >= 2" ==
+    # EXISTS an ordered pair within the window, which the oracle states
+    fm = sequence_and_funnel(ev, "user_id", "ts", "(?1).*(?2)", conds,
+                             window_s=1800)
+    two = (fm.agg(F.coalesce(F.sum(F.when(F.col("matched"), 1)
+                                    .otherwise(0)), F.lit(0))
+                   .alias("n_matched"),
+                  F.coalesce(F.sum(F.when(F.col("level") >= 2, 1)
+                                    .otherwise(0)), F.lit(0))
+                   .alias("n_l2"))
+           .select(F.explode(F.array(
+               F.struct(F.lit("seq_click_purchase").alias("op"),
+                        F.col("n_matched").alias("n")),
+               F.struct(F.lit("funnel_l2_1800s").alias("op"),
+                        F.col("n_l2").alias("n")))).alias("s"))
+           .select("s.op", "s.n"))
     # 'retention_r2': the retention() aggregate's r2 column (did
     # cond1 AND cond2 ever hold) counted over users -- order-free, so
     # the oracle is a per-user bool_and of two bool_ors
@@ -219,8 +229,7 @@ def cdc_op_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     tk = (topk_space_saving(ev, "event_type", k=3)
           .select(F.concat(F.lit("topk_"), F.col("item")).alias("op"),
                   F.col("est").alias("n")))
-    return (ops.unionByName(matched).unionByName(fl)
-               .unionByName(rt).unionByName(tk))
+    return ops.unionByName(two).unionByName(rt).unionByName(tk)
 
 
 _COUNTERS_SQL = _CL + """

@@ -403,3 +403,30 @@ def test_sequence_count_pattern_agrees_with_chain_automaton(spark):
         ev, "user_id", "ts", "(?1).*(?2).*(?3)", conds).collect()}
     for u in patt:
         assert patt[u] == plain.get(u, 0), u
+
+
+def test_sequence_and_funnel_matches_standalone_ops(spark, sf_dir):
+    """The fused one-scan operator must agree row-for-row with
+    sequence_match and window_funnel run separately, on the real
+    fixture events (cdc_op_counters' exact workload)."""
+    from mysql_syncer_clickhouse_spark.operators.funnel import (
+        sequence_and_funnel)
+    from mysql_syncer_clickhouse_spark.sources.tables import load_table
+    ev = load_table(spark, sf_dir, "events")
+    conds = [F.col("event_type") == "click",
+             F.col("event_type") == "purchase"]
+    from mysql_syncer_clickhouse_spark.operators.funnel import (
+        sequence_match)
+    fused = {r["user"]: (r["matched"], r["level"])
+             for r in sequence_and_funnel(
+                 ev, "user_id", "ts", "(?1).*(?2)", conds,
+                 window_s=1800).collect()}
+    sm = {r["user"]: r["matched"]
+          for r in sequence_match(ev, "user_id", "ts", "(?1).*(?2)",
+                                  conds).collect()}
+    wf = {r["user"]: r["level"]
+          for r in window_funnel(ev, "user_id", "ts", conds,
+                                 window_s=1800).collect()}
+    assert set(fused) == set(sm) == set(wf)
+    for u, (m, lv) in fused.items():
+        assert m == sm[u] and lv == wf[u], u
