@@ -50,7 +50,9 @@ def _gram_hashes(df: DataFrame, id_col: str, text_col: str,
 def benchmark_decontaminate(docs: DataFrame, bench: DataFrame, *,
                             id_col: str = "doc_id",
                             text_col: str = "text",
-                            n: int = 3) -> DataFrame:
+                            n: int = 3,
+                            doc_grams: DataFrame | None = None,
+                            bench_grams: DataFrame | None = None) -> DataFrame:
     """Count, per training document, the DISTINCT word n-grams it shares
     with a benchmark/eval corpus: (id, n_overlap), n_overlap = 0 for
     clean docs. Downstream filters `n_overlap >= k` (k=1 is the strict
@@ -59,10 +61,19 @@ def benchmark_decontaminate(docs: DataFrame, bench: DataFrame, *,
     Both sides reduce to distinct 32-bit gram hashes BEFORE the join, so
     the join key payload is 8 bytes/gram and the benchmark side is tiny;
     the corpus side carries (id, hash) pairs into one keyed count.
+
+    `doc_grams` (distinct (id, gh) for `docs`) / `bench_grams`
+    (distinct (gh)) accept a PRE-TOKENIZED relation so a multi-part
+    pipeline tokenizes the corpus once and shares it (the one-pass-
+    tokenize contract, SCALE.md) -- at 100 TB each redundant
+    tokenization is a full corpus pass. Values must be
+    portable_hash32 of the word n-grams (what _gram_hashes emits).
     """
-    bench_grams = (_gram_hashes(bench, id_col, text_col, n)
-                   .select("gh").distinct())
-    doc_grams = _gram_hashes(docs, id_col, text_col, n)
+    if bench_grams is None:
+        bench_grams = (_gram_hashes(bench, id_col, text_col, n)
+                       .select("gh").distinct())
+    if doc_grams is None:
+        doc_grams = _gram_hashes(docs, id_col, text_col, n)
     overlap = (doc_grams.join(bench_grams, "gh")
                .groupBy("id")
                .agg(F.count(F.lit(1)).alias("n_overlap")))
@@ -76,7 +87,8 @@ def cross_doc_ngram_dup(docs: DataFrame, *,
                         id_col: str = "doc_id",
                         text_col: str = "text",
                         n: int = 3,
-                        min_docs: int = 2) -> DataFrame:
+                        min_docs: int = 2,
+                        grams: DataFrame | None = None) -> DataFrame:
     """Per-document count of DISTINCT word n-grams that also appear in
     at least (min_docs - 1) OTHER documents -- the n-gram-hash
     approximation of exact-substring training-data dedup (the
@@ -90,8 +102,11 @@ def cross_doc_ngram_dup(docs: DataFrame, *,
     (n_docs per gram) -> join back -> one doc-keyed count. Never
     all-pairs: cost is |distinct grams|, and both aggregations combine
     map-side. At 100 TB the gram-frequency relation is the only
-    corpus-scale intermediate; it shards cleanly on the hash key."""
-    g = _gram_hashes(docs, id_col, text_col, n)
+    corpus-scale intermediate; it shards cleanly on the hash key.
+    `grams` accepts a pre-tokenized distinct (id, gh) relation (the
+    one-pass-tokenize contract -- see benchmark_decontaminate)."""
+    g = grams if grams is not None \
+        else _gram_hashes(docs, id_col, text_col, n)
     freq = g.groupBy("gh").agg(F.count(F.lit(1)).alias("n_docs"))
     dup = (g.join(freq.filter(F.col("n_docs") >= min_docs), "gh")
             .groupBy("id")
@@ -219,11 +234,15 @@ def mix_corpus(docs: DataFrame, shares: dict[str, float], *,
     totals = base.groupBy("stratum").agg(F.sum("n_tokens").alias("avail"))
     if budget_tokens is None:
         # corpus total as a lazy 1-row relation (cross join), not a
-        # driver-side collect -- keeps the whole operator one plan
+        # driver-side collect -- keeps the whole operator one plan.
+        # Derived from the |strata|-row totals (sum of per-stratum
+        # sums == corpus sum exactly), NOT from another full corpus
+        # aggregation -- that second pass re-tokenized the whole
+        # corpus for one number
         budget = F.col("__budget").cast("double")
         totals = totals.crossJoin(
-            base.agg(F.coalesce(F.sum("n_tokens"), F.lit(0))
-                     .alias("__budget")))
+            totals.agg(F.coalesce(F.sum("avail"), F.lit(0))
+                       .alias("__budget")))
     else:
         budget = F.lit(float(budget_tokens))
     share_df = totals.sparkSession.createDataFrame(
@@ -373,7 +392,9 @@ def _bag_gram_buckets(df: DataFrame, id_col: str, text_col: str,
 
 def dsir_logratio_table(raw: DataFrame, target: DataFrame, *,
                         id_col: str = "doc_id", text_col: str = "text",
-                        n: int = 3, buckets: int = 4096) -> DataFrame:
+                        n: int = 3, buckets: int = 4096,
+                        raw_buckets: DataFrame | None = None,
+                        target_buckets: DataFrame | None = None) -> DataFrame:
     """DSIR importance-weight model (Xie et al. 2023, "Data Selection
     for Language Models via Importance Resampling"): add-one-smoothed
     hashed bag-of-ngram distributions for the target and raw corpora,
@@ -391,11 +412,20 @@ def dsir_logratio_table(raw: DataFrame, target: DataFrame, *,
     Scale: both count relations are (bucket)-keyed aggregations with
     map-side combine; the output is <= `buckets` rows by construction
     -- a broadcast table no matter the corpus size (the totals window
-    below runs over that bounded table, not the corpus)."""
-    cr = (_bag_gram_buckets(raw, id_col, text_col, n, buckets)
-          .groupBy("bucket").agg(F.count(F.lit(1)).alias("cr")))
-    ct = (_bag_gram_buckets(target, id_col, text_col, n, buckets)
-          .groupBy("bucket").agg(F.count(F.lit(1)).alias("ct")))
+    below runs over that bounded table, not the corpus).
+
+    `raw_buckets` / `target_buckets` accept pre-tokenized (id, bucket)
+    BAG relations (what _bag_gram_buckets emits -- multiplicity kept)
+    so a multi-part pipeline tokenizes once (SCALE.md's one-pass-
+    tokenize contract)."""
+    if raw_buckets is None:
+        raw_buckets = _bag_gram_buckets(raw, id_col, text_col, n, buckets)
+    if target_buckets is None:
+        target_buckets = _bag_gram_buckets(target, id_col, text_col, n,
+                                           buckets)
+    cr = raw_buckets.groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
+    ct = (target_buckets.groupBy("bucket")
+          .agg(F.count(F.lit(1)).alias("ct")))
     w = Window.partitionBy()
     both = (cr.join(ct, "bucket", "full")
               .select("bucket",
@@ -412,15 +442,18 @@ def dsir_logratio_table(raw: DataFrame, target: DataFrame, *,
 
 def dsir_scores(docs: DataFrame, lr: DataFrame, *,
                 id_col: str = "doc_id", text_col: str = "text",
-                n: int = 3, buckets: int = 4096) -> DataFrame:
+                n: int = 3, buckets: int = 4096,
+                doc_buckets: DataFrame | None = None) -> DataFrame:
     """(id, dsir_micro): per-document DSIR log importance weight in
     micro-nats -- the exact integer sum of lr_micro over the doc's bag
     of hashed n-grams. Higher = more target-like. The lr table is
     bounded (<= buckets rows) so the join broadcasts; scoring is one
     doc-keyed aggregation. Every doc emits >= 1 gram (word_ngrams
     falls back to the whole text), so the output covers `docs`
-    exactly."""
-    g = _bag_gram_buckets(docs, id_col, text_col, n, buckets)
+    exactly. `doc_buckets` accepts the pre-tokenized (id, bucket) bag
+    relation (one-pass-tokenize contract)."""
+    g = doc_buckets if doc_buckets is not None \
+        else _bag_gram_buckets(docs, id_col, text_col, n, buckets)
     return (g.join(F.broadcast(lr), "bucket", "left")
              .groupBy("id")
              .agg(F.sum(F.coalesce("lr_micro", F.lit(0)))
@@ -803,10 +836,14 @@ def fuzzy_decontaminate(docs: DataFrame, bench: DataFrame, *,
 
     t_reps, t_members = dedup.collapse_exact_texts(docs, id_col, text_col)
     b_reps, b_members = dedup.collapse_exact_texts(bench, id_col, text_col)
-    t = dedup.hashed_shingle_set(t_reps, "id", "text")
-    b = dedup.hashed_shingle_set(b_reps, "id", "text")
-    t_bands = dedup.lsh_band_signatures(dedup.minhash_signatures(t))
-    b_bands = dedup.lsh_band_signatures(dedup.minhash_signatures(b))
+    # fused per-side profile: shingle set + minhash mins in ONE
+    # doc-keyed aggregation per side, bands via flat arithmetic --
+    # the same fused plan as minhash_dedup (was the unfused distinct
+    # -> signature -> band chain: 3 extra shuffles per side)
+    t_prof = dedup.fused_doc_profile(t_reps)
+    b_prof = dedup.fused_doc_profile(b_reps)
+    t_bands = dedup.fused_band_rows(t_prof)
+    b_bands = dedup.fused_band_rows(b_prof)
     if bucket_cap is not None:
         # the corpus side is the unbounded one; the bench side is an
         # eval suite, bounded by contract
@@ -820,10 +857,10 @@ def fuzzy_decontaminate(docs: DataFrame, bench: DataFrame, *,
              .distinct())
     # per-side set tables (NOT a union: train and bench id spaces may
     # overlap numerically -- they are different tables)
-    t_sets = t.groupBy("id").agg(F.collect_set("h32").alias("hs_a")) \
-              .withColumnRenamed("id", "id_a")
-    b_sets = b.groupBy("id").agg(F.collect_set("h32").alias("hs_b")) \
-              .withColumnRenamed("id", "id_b")
+    t_sets = t_prof.select(F.col("id").alias("id_a"),
+                           F.col("hs").alias("hs_a"))
+    b_sets = b_prof.select(F.col("id").alias("id_b"),
+                           F.col("hs").alias("hs_b"))
     n_inter = F.size(F.array_intersect("hs_a", "hs_b"))
     jac = (n_inter.cast("double")
            / (F.size("hs_a") + F.size("hs_b") - n_inter))

@@ -305,32 +305,49 @@ def minhash_dedup(df: DataFrame, id_col: str, text_col: str,
     shuffle. Results are row-identical to the unfused pipeline
     (test-asserted)."""
     reps, members = collapse_exact_texts(df, id_col, text_col)
-    sh = (_spread(reps, "id")
+    per_doc = fused_doc_profile(reps, k)
+    bands = fused_band_rows(per_doc)
+    cands = lsh_candidate_pairs(bands, bucket_cap=bucket_cap)
+    rep_pairs = jaccard_verify_sets(cands, per_doc.select("id", "hs"),
+                                    threshold)
+    return expand_rep_pairs(rep_pairs, members, threshold)
+
+
+def fused_doc_profile(docs: DataFrame, k: int = 8) -> DataFrame:
+    """(id, hs, mh0..mh7): the exact shingle-hash SET and all minhash
+    mins of each document in ONE groupBy(id) aggregation (every
+    aggregate partial-combines map-side before the single doc-keyed
+    shuffle). This is the fused core minhash_dedup's docstring argues
+    for; extracted so fuzzy_decontaminate shares it per side instead
+    of running the unfused distinct -> signature -> band chain (three
+    extra doc-grain shuffles per side). Input contract: (id, text)."""
+    sh = (_spread(docs, "id")
           .select("id",
                   F.explode(char_shingles("text", k)).alias("shingle"))
           .select("id", portable_hash32("shingle").alias("h32")))
-    per_doc = sh.groupBy("id").agg(
+    return sh.groupBy("id").agg(
         F.collect_set("h32").alias("hs"),
         *[F.min((F.lit(a) * F.col("h32") + F.lit(b))
                 % MINHASH_P).alias(f"mh{i}")
           for i, (a, b) in enumerate(MINHASH_PARAMS)])
 
-    def band_sig(b: int):  # identical packing to lsh_band_signatures
+
+def fused_band_rows(per_doc: DataFrame) -> DataFrame:
+    """(id, band, band_sig) from the fused wide row: flat column
+    arithmetic (identical packing to lsh_band_signatures -- test-
+    asserted via the fused/unfused equality), no (id, band) shuffle."""
+    def band_sig(b: int):
         sig = F.col(f"mh{b * BANDS_OF}") * _BAND_SHIFT
         for j in range(1, BANDS_OF):
             sig = sig + F.col(f"mh{b * BANDS_OF + j}")
         return sig
 
     n_bands = len(MINHASH_PARAMS) // BANDS_OF
-    bands = (per_doc.select("id", F.explode(F.array(*[
-                 F.struct(F.lit(b).alias("band"),
-                          band_sig(b).alias("band_sig"))
-                 for b in range(n_bands)])).alias("bs"))
-             .select("id", "bs.band", "bs.band_sig"))
-    cands = lsh_candidate_pairs(bands, bucket_cap=bucket_cap)
-    rep_pairs = jaccard_verify_sets(cands, per_doc.select("id", "hs"),
-                                    threshold)
-    return expand_rep_pairs(rep_pairs, members, threshold)
+    return (per_doc.select("id", F.explode(F.array(*[
+                F.struct(F.lit(b).alias("band"),
+                         band_sig(b).alias("band_sig"))
+                for b in range(n_bands)])).alias("bs"))
+            .select("id", "bs.band", "bs.band_sig"))
 
 
 def expand_rep_pairs(rep_pairs: DataFrame, members: DataFrame,

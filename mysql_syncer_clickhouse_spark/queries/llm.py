@@ -869,7 +869,29 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     bench = docs.filter(F.col("source") == "src0")
     train = docs.filter(F.col("source") != "src0")
-    dec = curation.benchmark_decontaminate(train, bench, n=3).select(
+    # ONE-PASS TOKENIZE (SCALE.md contract): the word-trigram explode
+    # + hash is the dominant cost shared by decontam, xdup, and dsir
+    # (which previously tokenized the corpus FIVE times between them:
+    # train+bench, all-docs, raw+target). Compute the (id, source, gh)
+    # BAG relation once, localCheckpoint it (compact: three fixed-width
+    # columns, post-explode), and derive every consumer's shape from
+    # it: distinct sets for the decontam/xdup joins, % buckets for the
+    # DSIR bag models. A 100 TB run would parquet-checkpoint the same
+    # relation. Hashes are portable_hash32 in all three consumers, so
+    # the derivations are exact, not approximations.
+    tri = (dedup._spread(docs.select("doc_id", "source", "text"),
+                         "doc_id")
+           .select(F.col("doc_id").alias("id"), "source",
+                   F.explode(TX.word_ngrams("text", 3)).alias("g"))
+           .select("id", "source", TX.portable_hash32("g").alias("gh"))
+           .localCheckpoint(eager=False))
+    tri_train = tri.filter(F.col("source") != "src0")
+    bench_gh = (tri.filter(F.col("source") == "src0")
+                .select("gh").distinct())
+    dec = curation.benchmark_decontaminate(
+        train, bench, n=3,
+        doc_grams=tri_train.select("id", "gh").distinct(),
+        bench_grams=bench_gh).select(
         F.lit("decontam").alias("part"),
         F.col("id").alias("doc_id"),
         F.col("n_overlap").cast("long").alias("val"))
@@ -899,12 +921,21 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("mix").alias("part"),
         F.col("id").alias("doc_id"),
         F.col("keep_ppm").cast("long").alias("val"))
-    xdup = curation.cross_doc_ngram_dup(docs, n=3).select(
+    xdup = curation.cross_doc_ngram_dup(
+        docs, n=3, grams=tri.select("id", "gh").distinct()).select(
         F.lit("xdup").alias("part"),
         F.col("id").alias("doc_id"),
         F.col("n_dup_grams").cast("long").alias("val"))
-    lr = curation.dsir_logratio_table(train, bench, n=3)
-    dsir = curation.dsir_scores(train, lr, n=3).select(
+    train_buckets = tri_train.select(
+        "id", (F.col("gh") % 4096).alias("bucket"))
+    lr = curation.dsir_logratio_table(
+        train, bench, n=3,
+        raw_buckets=train_buckets,
+        target_buckets=tri.filter(F.col("source") == "src0")
+                          .select("id", (F.col("gh") % 4096)
+                                  .alias("bucket")))
+    dsir = curation.dsir_scores(train, lr, n=3,
+                                doc_buckets=train_buckets).select(
         F.lit("dsir").alias("part"),
         F.col("id").alias("doc_id"),
         F.col("dsir_micro").cast("long").alias("val"))
