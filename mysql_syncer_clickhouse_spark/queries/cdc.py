@@ -282,7 +282,15 @@ def cdc_debezium_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
            .when(F.col("event_type") == "view", "r")
            .when(F.col("event_type") == "purchase", "u")
            .otherwise("d"))
+    # updates ('u') carry the paired OLD row image, as the binlog does
+    # (reference river/sync.go:84-102 consumes (old, new) update
+    # pairs); before.val = value - 2.5 is the synthetic prior value
+    before = F.when(
+        op == "u",
+        F.struct(F.col("user_id").alias("id"),
+                 (F.col("value") - 2.5).alias("val")))
     env = F.to_json(F.struct(
+        before.alias("before"),
         F.struct(F.col("user_id").alias("id"),
                  F.col("value").alias("val")).alias("after"),
         F.struct(F.lit("app").alias("db"), F.lit("events").alias("table"),
@@ -292,8 +300,12 @@ def cdc_debezium_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.unix_millis("ts").alias("ts_ms")).alias("source"),
         op.alias("op"),
         F.unix_millis("ts").alias("ts_ms")))
-    out = parse_debezium(ev.select(env.alias("value")), "id long, val double")
-    return out.select("seq", "ts", "op", "id", "val")
+    out = parse_debezium(ev.select(env.alias("value")),
+                         "id long, val double", with_before=True)
+    # R2 update pairing, checked: before_val is the paired old image
+    # for updates and NULL otherwise (the oracle restates the
+    # synthesis arithmetic independently)
+    return out.select("seq", "ts", "op", "id", "val", "before_val")
 
 
 # seq = file_idx(7) << 40 | pos(event_id) << 8 | row(event_id % 3)
@@ -304,7 +316,8 @@ SELECT 7 * 1099511627776 + event_id * 256 + event_id % 3 AS seq,
                        WHEN 'view' THEN 'insert'
                        WHEN 'purchase' THEN 'update'
                        ELSE 'delete' END AS op,
-       user_id AS id, value AS val
+       user_id AS id, value AS val,
+       CASE WHEN event_type = 'purchase' THEN value - 2.5 END AS before_val
 FROM events
 """
 

@@ -283,11 +283,33 @@ FROM events
 # hypothesis suite exercise them directly).
 # ---------------------------------------------------------------------------
 
+# S6 type-map cases: representative MySQL column types covering every
+# branch of mysql_to_clickhouse_type (unsigned widening, year, the
+# DateTime64(n) precision carry, the M>18 decimal String fallback,
+# bit, enum default). The query applies the REAL function to each and
+# the oracle restates the expected strings from the reference's
+# documented mapping (README.md:165-266) -- an independent check, not
+# an echo.
+_TYPEMAP_CASES = (
+    "bigint unsigned", "tinyint", "mediumint unsigned", "year",
+    "datetime(3)", "timestamp", "decimal(20,4)", "decimal(12,2)",
+    "bit(5)", "enum('a','b')",
+)
+
+
 def t_mysql_scalars(spark, sf_dir):
     """F1 enum + F2 set + F3 bit + F6/F9 zero-date guards + F8 unix->ts
-    + F5 json (path + typed struct) in one scan of `events`: each
-    column is the same expression as its standalone query."""
+    + F5 json (path + typed struct) + the S6 MySQL->ClickHouse type map
+    in one scan of `events`: each column is the same expression as its
+    standalone query; `ch_type` runs mysql_to_clickhouse_type (the
+    sink auto-DDL mapper) over the _TYPEMAP_CASES row by row."""
+    from ..functions.typemap import mysql_to_clickhouse_type
     ev = _events(spark, sf_dir)
+    ch_types = F.array(*[F.lit(mysql_to_clickhouse_type(c))
+                         for c in _TYPEMAP_CASES])
+    ch_type = F.element_at(
+        ch_types, (F.col("event_id") % len(_TYPEMAP_CASES))
+        .cast("int") + 1)
     idx = (F.col("event_id") % 5).cast("int")
     mask = F.col("event_id") % 8
     bit_raw = F.when(F.col("event_id") % 2 == 1, F.char(F.lit(1))) \
@@ -310,6 +332,7 @@ def t_mysql_scalars(spark, sf_dir):
         X.unix_to_ts(secs).alias("t"),
         X.json_get("props", "$.k").cast("int").alias("k"),
         F.isnotnull(parsed).alias("valid_json"),
+        ch_type.alias("ch_type"),
     )
 
 
@@ -334,7 +357,19 @@ SELECT event_id,
          '%Y-%m-%d %H:%M:%S') AS dt,
        CAST(to_timestamp(1700000000 + event_id * 3600) AS TIMESTAMP) AS t,
        CAST(props->>'$.k' AS INT) AS k,
-       (json_valid(props)) AS valid_json
+       (json_valid(props)) AS valid_json,
+       CASE (event_id % 10)
+         WHEN 0 THEN 'UInt64'        -- bigint unsigned
+         WHEN 1 THEN 'Int8'          -- tinyint
+         WHEN 2 THEN 'UInt32'        -- mediumint unsigned
+         WHEN 3 THEN 'Int16'         -- year
+         WHEN 4 THEN 'DateTime64(3)' -- datetime(3)
+         WHEN 5 THEN 'DateTime'      -- timestamp
+         WHEN 6 THEN 'String'        -- decimal(20,4): M>18 fallback
+         WHEN 7 THEN 'Decimal(12,2)' -- decimal(12,2)
+         WHEN 8 THEN 'Int64'         -- bit(5)
+         ELSE 'String'               -- enum default
+       END AS ch_type
 FROM events
 """
 

@@ -77,7 +77,8 @@ def binlog_seq(file_col: F.Column, pos_col: F.Column,
 
 def parse_debezium(lines: DataFrame, row_ddl: str,
                    value_col: str = "value", *,
-                   with_routing: bool = False) -> DataFrame:
+                   with_routing: bool = False,
+                   with_before: bool = False) -> DataFrame:
     """Parse a column of Debezium JSON envelopes (one per row) into the
     normalized changelog schema. Works identically on a batch or
     streaming DataFrame (pure column expressions).
@@ -94,6 +95,13 @@ def parse_debezium(lines: DataFrame, row_ddl: str,
     river_test.go:318-320 scenario); Kafka tombstones (null payloads)
     fall out via the null-row filter below. Asserted end-to-end in
     tests/test_debezium.py.
+
+    `with_before=True` additionally emits the paired OLD row image as
+    `before_<col>` columns (non-null exactly for updates; the
+    reference consumes the binlog's paired (old, new) update rows,
+    river/sync.go:84-102) -- the changed-column diff (operators/
+    upsert.fill_partial_updates' input contract) and audit sinks read
+    it; plain apply paths leave it off and carry only the new image.
     """
     env_ddl = envelope_ddl(row_ddl)
     raw = F.col(value_col)
@@ -117,6 +125,13 @@ def parse_debezium(lines: DataFrame, row_ddl: str,
     routing = ([F.col("src").getField("db").alias("src_db"),
                 F.col("src").getField("table").alias("src_table")]
                if with_routing else [])
+    # paired old image: only updates carry one (deletes' before IS the
+    # row image above; inserts have none) -- NULL columns otherwise
+    before = (F.when(F.col("op") == "update",
+                     F.col("e").getField("before"))
+              if with_before else None)
+    before_cols = ([before.getField(c).alias(f"before_{c}")
+                    for c in row_fields] if with_before else [])
     return (lines
             .select(env.alias("e"), op_expr.alias("op"), row.alias("row"),
                     src.alias("src"))
@@ -130,7 +145,8 @@ def parse_debezium(lines: DataFrame, row_ddl: str,
                                F.col("e").getField("ts_ms"))).alias("ts"),
                 "op",
                 *routing,
-                *[F.col("row").getField(c).alias(c) for c in row_fields]))
+                *[F.col("row").getField(c).alias(c) for c in row_fields],
+                *before_cols))
 
 
 def read_debezium_stream(spark: SparkSession, source_dir: str,

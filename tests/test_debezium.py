@@ -197,3 +197,26 @@ def test_stream_e2e_through_pipeline(spark, dirs):
     sink_df = spark.read.parquet(sink)
     assert sink_df.count() == 6
     assert sink_df.select("seq").distinct().count() == 6
+
+
+def test_with_before_pairs_update_images(spark):
+    """with_before=True: updates carry the paired old row image as
+    before_<col>; inserts and deletes carry NULLs (a delete's before
+    IS its row image, not a pair)."""
+    lines = [
+        _env("c", {"id": 1, "title": "new", "mydate": 1}, 10),
+        _env("u", {"id": 1, "title": "edited", "mydate": 2}, 20,
+             before={"id": 1, "title": "new", "mydate": 1}),
+        _env("d", {"id": 1, "title": None, "mydate": None}, 30),
+    ]
+    df = spark.createDataFrame([(l,) for l in lines], "value string")
+    out = {r["op"]: r for r in
+           parse_debezium(df, ROW_DDL, with_before=True).collect()}
+    assert out["update"]["before_title"] == "new"
+    assert out["update"]["before_mydate"] == 1
+    assert out["update"]["title"] == "edited"
+    assert out["insert"]["before_title"] is None
+    assert out["delete"]["before_title"] is None
+    # default stays image-only: no before_* columns
+    cols = parse_debezium(df, ROW_DDL).columns
+    assert not [c for c in cols if c.startswith("before_")]
