@@ -80,21 +80,33 @@ def _noop_write(df) -> float:
     return time.perf_counter() - t0
 
 
-def _time_query(spark, fn, sf_dir: str, reps: int) -> tuple[float, float]:
-    """(cold_first, min_warm): warmup, clear caches, time rep 1 cold,
-    then min of reps-1 warm executions."""
+def _time_query(spark, fn, sf_dir: str,
+                reps: int) -> tuple[float, float, float]:
+    """(cold_first, min_warm, load1_before): warmup, clear caches, time
+    rep 1 cold, then min of reps-1 warm executions. load1_before is
+    the 1-min loadavg sampled BEFORE the cold rep -- the run-quality
+    signal (BASELINE.md documents ~2x run-to-run variance from
+    concurrent JVMs on this VM; r4's polluted minhash number cost a
+    round of misdiagnosis). NOTE it includes the decaying tail of our
+    OWN previous query, so judge per-run contamination by the
+    session-START load (sampled before any Spark work) and treat
+    per-query spikes as corroboration, not proof."""
     df = fn(spark, sf_dir)
     _noop_write(df)                       # warm JVM/codegen, not timed
     spark.catalog.clearCache()            # drop persisted relations
+    load1 = os.getloadavg()[0]
     cold = _noop_write(df)
     warm = min((_noop_write(df) for _ in range(max(reps - 1, 1))),
                default=cold)
-    return round(cold, 3), round(warm, 3)
+    return round(cold, 3), round(warm, 3), round(load1, 2)
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # sampled BEFORE any Spark work: external load only -- the one
+    # uncontaminated contention signal this process can take
+    load_start = round(os.getloadavg()[0], 2)
     spark = get_spark("bench", cpus=cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -104,8 +116,9 @@ def main() -> None:
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     cold_times: dict[str, float] = {}
     warm_times: dict[str, float] = {}
+    loads: dict[str, float] = {}
     for name in names:
-        cold_times[name], warm_times[name] = _time_query(
+        cold_times[name], warm_times[name], loads[name] = _time_query(
             spark, all_q[name], sf_dir, reps)
 
     curve: dict[str, dict[str, float]] = {}
@@ -154,6 +167,20 @@ def main() -> None:
         out["scale_curve_10x"] = curve
     if cdc_rps:
         out["cdc_apply_rows_per_sec"] = cdc_rps
+    # run-quality verdict: a bench started on a loaded VM is polluted
+    # wholesale (external JVMs inflate cold numbers up to ~4x --
+    # BASELINE.md forensics); per-query cold >> warm spread is the
+    # secondary suspect signal (cache-cold recompute alone rarely
+    # exceeds ~3x at these sfs)
+    suspects = sorted(n for n in cold_times
+                      if warm_times[n] > 0
+                      and cold_times[n] > 4 * warm_times[n])
+    out["run_quality"] = {
+        "load1_at_start": load_start,
+        "load1_before_query": loads,
+        "verdict": "polluted" if load_start > cpus / 4 else "clean",
+        "suspect_queries": suspects,
+    }
     print(json.dumps(out))
     spark.stop()
 
