@@ -135,3 +135,21 @@ def bloom_sql(items_rel: str, item_expr: str,
   )
   GROUP BY 1
 """
+
+
+def bloom_probe_sql(select_cols: str, items_rel: str, item_expr: str,
+                    where: str = "",
+                    m: int = BLOOM_BITS, k: int = BLOOM_K) -> str:
+    """DuckDB twin of the PROBE side (bloom_might_contain's k salted
+    positions) as a CTE body: `(select_cols, pos)` -- one row per
+    (item, hash i). Generated from the SAME m/k constants as
+    bloom_sql, so changing BLOOM_BITS/BLOOM_K can never desync the
+    build and probe oracles (ADVICE r5)."""
+    vals = ", ".join(f"({i})" for i in range(k))
+    where_clause = f"\n  WHERE {where}" if where else ""
+    return f"""
+  SELECT {select_cols},
+         ('0x' || substr(md5('bf' || s.i || ':' || {item_expr}), 1, 8))::BIGINT
+           % {m} AS pos
+  FROM {items_rel} CROSS JOIN (VALUES {vals}) AS s(i){where_clause}
+"""

@@ -253,6 +253,29 @@ def with_mixed_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.select("doc_id", text_col).mapInPandas(synth, MIXED_SCHEMA)
 
 
+def with_pixel_payload(docs: DataFrame) -> DataFrame:
+    """Fixture payload column with COMPLETE, decodable pixel data:
+    doc_id%3==0 -> 24-bit BMP (padded bottom-up rows), ==1 -> P6 PPM,
+    ==2 -> LZW-compressed GIF. Dimensions and seed derive from doc_id
+    (w = id%13+4, h = id*3%11+4, seed = id%256), so a SQL oracle can
+    recompute every channel sum from the shared coordinate formulas
+    -- the driver-checkable counterpart of with_mixed_payload's
+    header-only fixtures."""
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                w = int(doc_id % 13 + 4)
+                h = int((doc_id * 3) % 11 + 4)
+                seed = int(doc_id % 256)
+                m = int(doc_id % 3)
+                maker = (make_bmp, make_ppm, make_gif)[m]
+                out.append(maker(w, h, seed))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": out})
+
+    return docs.select("doc_id").mapInPandas(synth, MIXED_SCHEMA)
+
+
 def decode_image_meta(df: DataFrame) -> DataFrame:
     """mapInPandas decode: per Arrow batch, extract (n_bytes, width,
     height, format) from the binary payload via `_decode` (PIL when
@@ -433,9 +456,205 @@ def parse_bmp_pixels(payload: bytes) \
     return w, h, off, stride
 
 
+def _gif_palette():
+    """The deterministic 256-entry global color table make_gif writes:
+    palette[i] = (i, (i*7+31)%256, (i*13+77)%256)."""
+    return [(i, (i * 7 + 31) % 256, (i * 13 + 77) % 256)
+            for i in range(256)]
+
+
+def _lzw_encode_gif(indices, min_code_size: int) -> bytes:
+    """GIF-variant LZW encoder (LSB-first variable-width codes,
+    9..12 bits for an 8-bit palette): clear code first, dictionary
+    grows per emitted code, code width bumps when the next free code
+    would not fit, growth STOPS at 4096 (deferred-clear style --
+    _lzw_decode_gif mirrors this exactly). Pure Python, ~30 lines:
+    the fixture generator for the codec-free compressed-pixel path."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    code_size = min_code_size + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += code_size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    prefix = bytes([indices[0]])
+    for c in indices[1:]:
+        nxt = prefix + bytes([c])
+        if nxt in table:
+            prefix = nxt
+            continue
+        emit(table[prefix])
+        if next_code < 4096:
+            table[nxt] = next_code
+            next_code += 1
+            if next_code == (1 << code_size) + 1 and code_size < 12:
+                code_size += 1
+        prefix = bytes([c])
+    emit(table[prefix])
+    emit(eoi)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode_gif(data: bytes, min_code_size: int) -> list[int]:
+    """GIF-variant LZW decoder: variable-width LSB-first codes, clear/
+    EOI handling, the KwKwK self-referential case (code == next free
+    slot), width bump when the table reaches the current code-space
+    size, table frozen at 4096 until a clear code. Raises ValueError
+    on a corrupt stream (caller degrades to the header-only path)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    acc = nbits = pos = 0
+
+    def fresh():
+        return [bytes([i]) for i in range(clear)] + [b"", b""]
+
+    table = fresh()
+    code_size = min_code_size + 1
+    prev: bytes | None = None
+    out = bytearray()
+    while True:
+        while nbits < code_size:
+            if pos >= len(data):
+                raise ValueError("LZW stream truncated (no EOI)")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        nbits -= code_size
+        if code == clear:
+            table = fresh()
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            return list(out)
+        if prev is None:                      # first code after clear
+            if code >= clear:
+                raise ValueError("first LZW code is not a literal")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):              # KwKwK
+            entry = prev + prev[:1]
+        else:
+            raise ValueError(f"LZW code {code} beyond table")
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << code_size) and code_size < 12:
+                code_size += 1
+        prev = entry
+
+
+def make_gif(width: int, height: int, seed: int = 0) -> bytes:
+    """Deterministic COMPLETE GIF89a: global 256-color table
+    (_gif_palette), one non-interlaced image, REAL LZW-compressed
+    index stream (min code size 8). Index at (x, y) is
+    (x*3 + y*7 + seed) % 256 -- the same coordinate formula family as
+    make_ppm/make_bmp, so cross-format fixtures stay comparable."""
+    pal = _gif_palette()
+    gct = b"".join(bytes(c) for c in pal)
+    indices = [(x * 3 + y * 7 + seed) % 256
+               for y in range(height) for x in range(width)]
+    lzw = _lzw_encode_gif(indices, 8)
+    blocks = bytearray()
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i:i + 255]
+        blocks += bytes([len(chunk)]) + chunk
+    blocks += b"\0"
+    return (b"GIF89a" + struct.pack("<HH", width, height)
+            + bytes([0xF7, 0, 0]) + gct
+            + b"," + struct.pack("<HHHH", 0, 0, width, height)
+            + bytes([0]) + bytes([8]) + bytes(blocks) + b";")
+
+
+def parse_gif_pixels(payload: bytes):
+    """Decode the FIRST image of a GIF87a/89a payload to an RGB uint8
+    array -- a real pure-Python pixel path for a COMPRESSED format (no
+    codec library): walks the logical screen descriptor + global color
+    table, skips extension blocks, reads the image descriptor (local
+    table honored), inflates the LZW sub-blocks with _lzw_decode_gif,
+    and maps indices through the palette. Returns (width, height,
+    ndarray[h, w, 3]) or None for anything it cannot decode exactly
+    (interlaced, truncated, no color table) -- callers then degrade to
+    the header-only metadata path."""
+    import numpy as np
+
+    try:
+        if payload[:6] not in (b"GIF87a", b"GIF89a") or len(payload) < 14:
+            return None
+        flags = payload[10]
+        pos = 13
+        palette = None
+        if flags & 0x80:
+            n = 2 << (flags & 0x07)
+            palette = np.frombuffer(
+                payload, dtype=np.uint8, count=3 * n, offset=pos) \
+                .reshape(n, 3)
+            pos += 3 * n
+        while pos < len(payload):
+            block = payload[pos]
+            pos += 1
+            if block == 0x3B:                 # trailer
+                return None
+            if block == 0x21:                 # extension: label + subblocks
+                pos += 1
+                while payload[pos]:
+                    pos += 1 + payload[pos]
+                pos += 1
+                continue
+            if block != 0x2C:                 # not an image descriptor
+                return None
+            _l, _t, iw, ih = struct.unpack("<HHHH", payload[pos:pos + 8])
+            iflags = payload[pos + 8]
+            pos += 9
+            if iflags & 0x40:                 # interlaced: not supported
+                return None
+            if iflags & 0x80:                 # local color table wins
+                n = 2 << (iflags & 0x07)
+                palette = np.frombuffer(
+                    payload, dtype=np.uint8, count=3 * n, offset=pos) \
+                    .reshape(n, 3)
+                pos += 3 * n
+            if palette is None:
+                return None
+            mcs = payload[pos]
+            pos += 1
+            data = bytearray()
+            while payload[pos]:
+                ln = payload[pos]
+                data += payload[pos + 1:pos + 1 + ln]
+                pos += 1 + ln
+            idx = np.array(_lzw_decode_gif(bytes(data), mcs),
+                           dtype=np.int64)
+            if idx.size != iw * ih or iw == 0 or ih == 0 \
+                    or int(idx.max(initial=0)) >= len(palette):
+                return None
+            return iw, ih, palette[idx.reshape(ih, iw)]
+    except (IndexError, ValueError, struct.error):
+        return None
+    return None
+
+
 def decode_image_pixels(df: DataFrame) -> DataFrame:
     """REAL pixel decoding, no codec library: NetPBM payloads (P6 RGB /
-    P5 grayscale) and uncompressed 24-bit BMPs decode to per-image
+    P5 grayscale), uncompressed 24-bit BMPs, and LZW-COMPRESSED GIFs
+    (parse_gif_pixels -- a from-scratch decoder, so one genuinely
+    compressed format has a real pixel path) decode to per-image
     channel statistics -- mean R/G/B and luma brightness computed from
     the actual pixel bytes (BMP rows un-padded and BGR-swapped; means
     are row-order invariant so bottom-up storage needs no flip).
@@ -460,8 +679,10 @@ def decode_image_pixels(df: DataFrame) -> DataFrame:
                 meta = parse_ppm(payload)
                 bmp = None if meta is not None else \
                     parse_bmp_pixels(payload)
+                gif = None if meta is not None or bmp is not None \
+                    else parse_gif_pixels(payload)
                 out["doc_id"].append(doc_id)
-                if meta is None and bmp is None:
+                if meta is None and bmp is None and gif is None:
                     n, w, h, fmt = _decode(payload)
                     out["format"].append(fmt)
                     out["width"].append(w)
@@ -476,6 +697,11 @@ def decode_image_pixels(df: DataFrame) -> DataFrame:
                                        count=w * h * ch, offset=off) \
                            .reshape(h, w, ch).astype(np.float64)
                     means = px.mean(axis=(0, 1))
+                elif gif is not None:
+                    fmt = "gif"
+                    w, h, rgb = gif
+                    means = rgb.astype(np.float64).mean(axis=(0, 1))
+                    ch = 3
                 else:
                     fmt = "bmp"
                     w, h, off, stride = bmp
@@ -568,9 +794,9 @@ def decode_audio_samples(df: DataFrame) -> DataFrame:
 
 
 def _gray_pixels(payload: bytes):
-    """Decode a NetPBM (P5/P6) or uncompressed 24-bit BMP payload to a
-    float64 grayscale matrix (ITU-R 601 luma), or None when the format
-    needs a codec this container lacks."""
+    """Decode a NetPBM (P5/P6), uncompressed 24-bit BMP, or LZW GIF
+    payload to a float64 grayscale matrix (ITU-R 601 luma), or None
+    when the format needs a codec this container lacks."""
     import numpy as np
 
     meta = parse_ppm(payload)
@@ -595,6 +821,12 @@ def _gray_pixels(payload: bytes):
         px = px[::-1]
         return 0.299 * px[:, :, 2] + 0.587 * px[:, :, 1] \
             + 0.114 * px[:, :, 0]
+    gif = parse_gif_pixels(payload)
+    if gif is not None:
+        _w, _h, rgb = gif
+        px = rgb.astype(np.float64)
+        return 0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] \
+            + 0.114 * px[:, :, 2]
     return None
 
 
@@ -644,8 +876,9 @@ def phash64(gray, hash_size: int = 8, highfreq_factor: int = 4) -> int:
 def phash_images(df: DataFrame, hash_size: int = 8,
                  highfreq_factor: int = 4) -> DataFrame:
     """(doc_id, phash): 64-bit perceptual hash per image payload, NULL
-    for payloads whose pixels need a codec (PNG/JPEG/GIF headers still
-    parse, their pixels don't). Same Arrow mapInPandas plumbing as
+    for payloads whose pixels need a codec (PNG/JPEG headers still
+    parse, their pixels don't; GIF pixels decode via the pure-Python
+    LZW path). Same Arrow mapInPandas plumbing as
     decode_image_pixels; the DCT is one small matmul per image."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

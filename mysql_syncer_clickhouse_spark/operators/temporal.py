@@ -46,7 +46,13 @@ def asof_join(left: DataFrame, right: DataFrame,
     window's sort, strictness flips which side sorts first at equal
     ts (the left row then fills before seeing the tied right row).
     Right-side ties on (key, ts) must be pre-deduped by the caller so
-    the result is deterministic."""
+    the result is deterministic.
+
+    The fill carries the WHOLE matched right row as one struct (its
+    timestamp plus every value column together), so a NULL value in
+    the nearest right row stays NULL in the output -- exact
+    pandas.merge_asof semantics -- rather than falling back to an
+    older row's value validated against the newer row's timestamp."""
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward/forward: "
                          f"{direction!r}")
@@ -56,43 +62,46 @@ def asof_join(left: DataFrame, right: DataFrame,
     # strict: left first (tie invisible to the fill)
     r_side, l_side = (0, 1) if allow_exact_matches else (1, 0)
     out_vals = [f"{c}{suffix}" for c in value_cols]
+    # the matched right row travels as ONE struct so value + ts always
+    # come from the SAME row (NULL values do not fall back to older rows)
+    rtypes = dict(right.dtypes)
+    match_t = "struct<__mts:double," + ",".join(
+        f"{o}:{rtypes[c]}" for c, o in zip(value_cols, out_vals)) + ">"
     l_tag = left.select(
         *[F.col(k) for k in keys],
         F.col(left_ts).alias("__ts"), F.lit(l_side).alias(side),
         F.lit(True).alias("__is_left"),
         F.struct(*[F.col(c) for c in left.columns]).alias("__row"),
-        F.lit(None).cast("double").alias("__mts"),
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(o)
-          for c, o in zip(value_cols, out_vals)])
+        F.lit(None).cast(match_t).alias("__rmatch"))
     r_tag = right.select(
         *[F.col(k) for k in keys],
         F.col(right_ts).alias("__ts"), F.lit(r_side).alias(side),
         F.lit(False).alias("__is_left"),
         F.lit(None).cast(l_tag.schema["__row"].dataType).alias("__row"),
-        F.col(right_ts).cast("timestamp").cast("double")
-         .alias("__mts"),
-        *[F.col(c).alias(o) for c, o in zip(value_cols, out_vals)])
+        F.struct(
+            F.col(right_ts).cast("timestamp").cast("double")
+             .alias("__mts"),
+            *[F.col(c).alias(o)
+              for c, o in zip(value_cols, out_vals)]).alias("__rmatch"))
     order = [F.col("__ts").asc(), F.col(side).asc()] \
         if direction == "backward" \
         else [F.col("__ts").desc(), F.col(side).asc()]
     w = (Window.partitionBy(*keys).orderBy(*order)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    fills = [F.last(o, ignorenulls=True).over(w).alias(o)
-             for o in out_vals]
     filled = l_tag.unionByName(r_tag).select(
         F.col("__is_left"), F.col("__row"), F.col("__ts"),
-        F.last("__mts", ignorenulls=True).over(w).alias("__mts"),
-        *fills)
+        F.last("__rmatch", ignorenulls=True).over(w).alias("__m"))
     out = filled.filter(F.col("__is_left"))
     if tolerance is not None:
         gap = F.abs(F.col("__ts").cast("timestamp").cast("double")
-                    - F.col("__mts"))
-        ok = F.col("__mts").isNotNull() & (gap <= F.lit(tolerance))
+                    - F.col("__m.__mts"))
+        ok = F.col("__m.__mts").isNotNull() & (gap <= F.lit(tolerance))
         out = out.select(
             "__row",
-            *[F.when(ok, F.col(o)).otherwise(F.lit(None)).alias(o)
-              for o in out_vals])
-    return out.select("__row.*", *out_vals)
+            F.when(ok, F.col("__m")).otherwise(F.lit(None)).alias("__m"))
+    return out.select(
+        "__row.*",
+        *[F.col(f"__m.{o}").alias(o) for o in out_vals])
 
 
 def range_join_binned(left: DataFrame, right: DataFrame, key: str,

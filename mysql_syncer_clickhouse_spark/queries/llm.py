@@ -786,22 +786,47 @@ def multimodal_meta_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-trips) plus UTF-8 text (the fake path). The feature vector is
     projected to scalar columns (f1..f4) because the driver's hash
     cannot canonicalize raw array cells. Frame sampling keeps its own
-    entry (different fan-out shape)."""
+    entry (different fan-out shape).
+
+    The px_* / sum_* columns drive REAL pixel decoding through the
+    driver gate: a second payload (with_pixel_payload) carries
+    complete BMP / P6 PPM / LZW-compressed GIF images whose pixels
+    derive from doc_id coordinate formulas, decode_image_pixels
+    inflates them (the GIF path runs the from-scratch LZW decoder of
+    operators/multimodal.py), and the oracle recomputes every
+    per-channel SUM analytically from the same formulas. Sums, not
+    means: sum = round(mean_6dp * w * h) is exactly integer-
+    recoverable (rounding error < 5e-7 * w * h << 0.5), so the hash
+    compare is float-safe."""
     docs = _docs(spark, sf_dir)
     payload = multimodal.with_mixed_payload(docs)
     meta = multimodal.decode_image_meta(payload)
     feats = multimodal.extract_features(payload, dim=4)
+    px = multimodal.decode_image_pixels(
+        multimodal.with_pixel_payload(docs))
+    wh = F.col("width") * F.col("height")
+    px = px.select(
+        "doc_id", F.col("format").alias("px_format"),
+        F.col("width").alias("px_w"), F.col("height").alias("px_h"),
+        *[F.round(F.col(f"mean_{c}") * wh).cast("long").alias(f"sum_{c}")
+          for c in ("r", "g", "b")])
     f = F.col("features")
-    return (meta.join(feats, "doc_id")
+    return (meta.join(feats, "doc_id").join(px, "doc_id")
                 .select("doc_id", "n_bytes", "width", "height", "format",
                         F.get(f, 0).alias("f1"), F.get(f, 1).alias("f2"),
-                        F.get(f, 2).alias("f3"), F.get(f, 3).alias("f4")))
+                        F.get(f, 2).alias("f3"), F.get(f, 3).alias("f4"),
+                        "px_format", "px_w", "px_h",
+                        "sum_r", "sum_g", "sum_b"))
 
 
 # mirrors with_mixed_payload's synthesis arithmetic + the header-parse
 # round-trip: BMP headers are 54 bytes, PNG and JPEG 33, GIF 13; image
 # dims come from doc_id, fake dims from the byte length (DuckDB strlen
 # counts BYTES, matching Spark's encode(text,'UTF-8') length).
+# The px CTEs recompute with_pixel_payload's per-channel sums from the
+# shared coordinate formulas (BMP/PPM: direct RGB; GIF: palette-mapped
+# index), so the REAL pixel decode -- including the LZW inflate -- is
+# checked value-for-value.
 _MM_META_FEATURES_SQL = """
 WITH m AS (
   SELECT doc_id, CAST(doc_id % 5 AS INT) AS r,
@@ -809,6 +834,29 @@ WITH m AS (
               WHEN 0 THEN 54 WHEN 1 THEN 33 WHEN 2 THEN 33 WHEN 3 THEN 13
               ELSE strlen(text) END AS BIGINT) AS n_bytes
   FROM documents
+), pxx AS (
+  SELECT doc_id, pm, s, w, h, y, unnest(generate_series(0, w - 1)) AS x
+  FROM (SELECT doc_id, CAST(doc_id % 3 AS INT) AS pm, doc_id % 256 AS s,
+               doc_id % 13 + 4 AS w, (doc_id * 3) % 11 + 4 AS h,
+               unnest(generate_series(0, (doc_id * 3) % 11 + 3)) AS y
+        FROM documents)
+), pxv AS (
+  SELECT doc_id, pm, w, h,
+         (x * 3 + y * 7 + s) % 256 AS idx,
+         (x * 5 + y * 11 + 2 * s) % 256 AS g0,
+         (x * 13 + y * 17 + 3 * s) % 256 AS b0
+  FROM pxx
+), pxs AS (
+  SELECT doc_id,
+         CASE pm WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm'
+                 ELSE 'gif' END AS px_format,
+         CAST(MAX(w) AS INT) AS px_w, CAST(MAX(h) AS INT) AS px_h,
+         CAST(SUM(idx) AS BIGINT) AS sum_r,
+         CAST(SUM(CASE WHEN pm = 2 THEN (idx * 7 + 31) % 256
+                       ELSE g0 END) AS BIGINT) AS sum_g,
+         CAST(SUM(CASE WHEN pm = 2 THEN (idx * 13 + 77) % 256
+                       ELSE b0 END) AS BIGINT) AS sum_b
+  FROM pxv GROUP BY doc_id, pm
 )
 SELECT doc_id, n_bytes,
        CAST(CASE WHEN r < 4 THEN doc_id % 64 + 1
@@ -820,8 +868,9 @@ SELECT doc_id, n_bytes,
        CAST(n_bytes * 1 % 997 AS DOUBLE) / 997.0 AS f1,
        CAST(n_bytes * 2 % 997 AS DOUBLE) / 997.0 AS f2,
        CAST(n_bytes * 3 % 997 AS DOUBLE) / 997.0 AS f3,
-       CAST(n_bytes * 4 % 997 AS DOUBLE) / 997.0 AS f4
-FROM m
+       CAST(n_bytes * 4 % 997 AS DOUBLE) / 997.0 AS f4,
+       px_format, px_w, px_h, sum_r, sum_g, sum_b
+FROM m JOIN pxs USING (doc_id)
 """
 
 
@@ -1105,11 +1154,8 @@ WITH g AS (
       "(SELECT md5(text) AS fp FROM documents WHERE doc_id % 2 = 0) prev",
       "fp")}
 ), bpos AS (
-  SELECT doc_id,
-         ('0x' || substr(md5('bf' || s.i || ':' || md5(text)), 1, 8))::BIGINT
-           % 65536 AS pos
-  FROM documents CROSS JOIN (VALUES (0), (1), (2), (3)) AS s(i)
-  WHERE doc_id % 2 = 1
+  {bloom.bloom_probe_sql("doc_id", "documents", "md5(text)",
+                         where="doc_id % 2 = 1")}
 ), bloomp AS (
   SELECT p.doc_id,
          CAST(CASE WHEN BOOL_AND(

@@ -27,6 +27,15 @@ the same words). Compaction: any prefix of epochs may be OR-merged
 into a single epoch's rows offline without changing any future answer
 -- same merge-on-read contract as streaming/continuous_agg.py.
 
+SINK-side caveat (the replay claim covers the DECISION, not the
+sink): parquet `mode("append")` is not idempotent, so a replayed
+epoch appends the same kept docs a second time. The screening state
+guarantees those rows are identical, so readers recover exactness
+with a dedup-on-read by doc_id (`dropDuplicates(["doc_id"])`) --
+same documented limitation as the other ingest pipelines. An
+exactly-once sink would tag rows with `epoch` and overwrite that
+epoch's partition instead.
+
 No false negatives means NO previously-ingested duplicate ever
 re-enters; the FP rate (genuinely-new docs sacrificed) is
 (1 - e^(-k*n/m))^k -- size m for the crawl's lifetime cardinality.

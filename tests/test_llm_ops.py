@@ -764,6 +764,80 @@ def test_bmp_pixel_decode_exact_statistics(spark):
     assert out[3]["mean_r"] is None and out[3]["width"] == 9
 
 
+def test_gif_lzw_round_trip_and_table_freeze():
+    """The from-scratch GIF LZW pair: encode->decode is the identity
+    on (a) a coordinate-patterned image stream, (b) an md5-derived
+    pseudo-random stream long enough to fill the 4096-entry table and
+    exercise the frozen-table (deferred clear) path, and (c) the
+    KwKwK self-referential case; a truncated stream raises (the
+    caller's header-only degrade path)."""
+    import hashlib
+
+    import pytest
+
+    from mysql_syncer_clickhouse_spark.operators.multimodal import (
+        _lzw_decode_gif, _lzw_encode_gif)
+
+    patterned = [(x * 3 + y * 7 + 5) % 256
+                 for y in range(40) for x in range(40)]
+    assert _lzw_decode_gif(_lzw_encode_gif(patterned, 8), 8) == patterned
+
+    rand = []
+    for i in range(1200):   # ~19k bytes of incompressible input
+        rand += list(hashlib.md5(f"lzw{i}".encode()).digest())
+    enc = _lzw_encode_gif(rand, 8)
+    assert _lzw_decode_gif(enc, 8) == rand
+    assert len(enc) > 4096 * 12 // 8   # table really filled to 12-bit
+
+    kwkwk = [1, 1, 1, 1, 1, 1, 1]      # forces code == next free slot
+    assert _lzw_decode_gif(_lzw_encode_gif(kwkwk, 8), 8) == kwkwk
+
+    with pytest.raises(ValueError):
+        _lzw_decode_gif(enc[:10], 8)
+
+
+def test_gif_pixel_decode_exact_statistics(spark):
+    """A COMPRESSED format decodes for real, no codec library: channel
+    means of make_gif equal the pure-Python reference computed from
+    the palette + index formula; the 13-byte header-only GIF degrades
+    to NULL stats with header dimensions; and the grayscale path gives
+    GIF the same pHash as a PPM with identical RGB pixels."""
+    from mysql_syncer_clickhouse_spark.operators.multimodal import (
+        _gif_palette, decode_image_pixels, make_gif, make_gif_header,
+        parse_gif_pixels, phash_images)
+
+    w, h, seed = 12, 9, 4
+    gif = make_gif(w, h, seed=seed)
+    parsed = parse_gif_pixels(gif)
+    assert parsed is not None and (parsed[0], parsed[1]) == (w, h)
+    assert parse_gif_pixels(make_gif_header(7, 5)) is None
+
+    pal = _gif_palette()
+    px = [pal[(x * 3 + y * 7 + seed) % 256]
+          for y in range(h) for x in range(w)]
+    exp = [sum(p[c] for p in px) / (w * h) for c in range(3)]
+
+    # a P6 PPM with the SAME RGB pixels (palette-mapped, not the
+    # make_ppm formula): identical stats and identical pHash
+    ppm = (b"P6" + f"\n{w} {h}\n255\n".encode()
+           + b"".join(bytes(p) for p in px))
+    rows = [(1, bytearray(gif)), (2, bytearray(make_gif_header(7, 5))),
+            (3, bytearray(ppm))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in decode_image_pixels(df).collect()}
+
+    assert out[1]["format"] == "gif"
+    assert (out[1]["width"], out[1]["height"]) == (w, h)
+    for k, e in zip(("mean_r", "mean_g", "mean_b"), exp):
+        assert abs(out[1][k] - e) < 1e-6, k
+        assert out[1][k] == out[3][k], k
+    assert out[2]["mean_r"] is None and out[2]["width"] == 7
+
+    ph = {r["doc_id"]: r["phash"] for r in phash_images(df).collect()}
+    assert ph[1] is not None and ph[1] == ph[3]
+    assert ph[2] is None
+
+
 def test_wav_sample_decode_exact_statistics(spark):
     """16-bit PCM samples decode for REAL: mean/RMS/peak equal the
     hand-computed values; a header-only WAV (no data bytes) and a

@@ -436,6 +436,34 @@ def test_asof_join_directions_match_pandas_merge_asof(spark):
                 assert got == want, (direction, exact, tol)
 
 
+def test_asof_join_null_right_value_stays_null(spark):
+    """ADVICE r5: when the NEAREST right row carries a NULL value
+    column, merge_asof returns that row's NaN -- it does NOT fall back
+    to an older row's value. The struct-based fill must match."""
+    import pandas as pd
+
+    from mysql_syncer_clickhouse_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 5.0), (1, 15.0), (1, 25.0)], "grp int, ts double")
+    right = spark.createDataFrame(
+        [(1, 2.0, 100.0), (1, 12.0, None), (1, 22.0, 300.0)],
+        "grp int, rts double, px double")
+    got = {r["ts"]: r["px_asof"]
+           for r in asof_join(left, right, "grp", "ts", "rts",
+                              ["px"]).collect()}
+    # ts=15 matches rts=12 whose px is NULL -> NULL, not 100.0
+    assert got == {5.0: 100.0, 15.0: None, 25.0: 300.0}
+    ref = pd.merge_asof(
+        pd.DataFrame({"grp": [1, 1, 1], "ts": [5.0, 15.0, 25.0]}),
+        pd.DataFrame({"grp": [1, 1, 1], "rts": [2.0, 12.0, 22.0],
+                      "px": [100.0, None, 300.0]}),
+        left_on="ts", right_on="rts", by="grp")
+    want = {r.ts: (None if pd.isna(r.px) else r.px)
+            for r in ref.itertuples()}
+    assert got == want
+
+
 def test_delta_sum_skips_counter_resets(spark):
     from pyspark.sql import functions as F
 
