@@ -8,7 +8,11 @@ Semantics (matching the public ClickHouse definitions):
   order with the WHOLE chain inside `window` seconds of its first
   event. Chains may start at any cond1 event; the LATEST viable
   chain start is tracked per level (dominant, and so optimal for
-  "max level reached" -- see the scan comment).
+  "max level reached" -- see the scan comment). The `modes`
+  modifiers match ClickHouse's: strict_dedup (a repeated-condition
+  event stops the scan), strict_order (an intervening foreign or
+  out-of-order event stops it), strict_increase (chain timestamps
+  must strictly increase).
 - sequence_count(cond1..condN): per user, the number of
   NON-OVERLAPPING cond1 -> ... -> condN chains in time order
   (a restart-on-match automaton; ClickHouse's sequenceCount with the
@@ -58,20 +62,26 @@ def _pin_user_parallelism(stepped: DataFrame) -> DataFrame:
 
 
 def _with_step(events: DataFrame, user_col: str, ts_col: str,
-               conds: Sequence[Column], tiebreak_col: str) -> DataFrame:
+               conds: Sequence[Column], tiebreak_col: str,
+               keep_others: bool = False) -> DataFrame:
     """(user, ts_s, tiebreak, step): first matching condition wins
     (documented simplification of ClickHouse's multi-assign); events
-    matching no condition are filtered out before any shuffle."""
+    matching no condition are filtered out before any shuffle --
+    except under `keep_others` (strict_order needs them as chain
+    breakers), where they survive as step 0."""
     step = F.lit(None).cast("int")
     for i in range(len(conds) - 1, -1, -1):
         step = F.when(conds[i], F.lit(i + 1)).otherwise(step)
-    return _pin_user_parallelism(
-        events.select(
-                F.col(user_col).alias("user"),
-                F.col(ts_col).cast("timestamp").cast("double").alias("ts_s"),
-                F.col(tiebreak_col).alias("tb"),
-                step.alias("step"))
-              .filter(F.col("step").isNotNull()))
+    tagged = events.select(
+        F.col(user_col).alias("user"),
+        F.col(ts_col).cast("timestamp").cast("double").alias("ts_s"),
+        F.col(tiebreak_col).alias("tb"),
+        step.alias("step"))
+    if keep_others:
+        tagged = tagged.fillna({"step": 0})
+    else:
+        tagged = tagged.filter(F.col("step").isNotNull())
+    return _pin_user_parallelism(tagged)
 
 
 def _funnel_level(ts: np.ndarray, step: np.ndarray, n: int,
@@ -110,21 +120,86 @@ def _funnel_level(ts: np.ndarray, step: np.ndarray, n: int,
     return level
 
 
+_FUNNEL_MODES = ("strict_dedup", "strict_order", "strict_increase")
+
+
+def _funnel_level_modes(ts, step, n: int, window_s: float,
+                        dedup: bool, order: bool,
+                        increase: bool) -> int:
+    """windowFunnel scan with ClickHouse's mode flags, per the public
+    algorithm (AggregateFunctionWindowFunnel): per level keep the
+    latest-start chain as (start_ts, last_ts); a step-1 event always
+    restarts level 1; `strict_dedup` STOPS the scan on an event whose
+    condition already holds in the state (reporting the deepest level
+    so far -- documented simplification of ClickHouse's quirk of
+    returning the previous event's condition number); `strict_order`
+    stops it when, after a chain has started, an event arrives that
+    matches no condition (step 0) or a condition whose predecessor
+    level is unreached; `strict_increase` extends a chain only when
+    the timestamp strictly exceeds the previous level's last event.
+    Sequential per user by nature (each decision depends on the
+    running state); bounded by the per-user-events contract."""
+    state: list[tuple[float, float] | None] = [None] * n
+    first_event = False
+    for t, s in zip(ts, step):
+        if s == 0:                       # matches no condition
+            if order and first_event:
+                break
+            continue
+        i = int(s) - 1
+        if i == 0:
+            state[0] = (t, t)
+            first_event = True
+        elif dedup and state[i] is not None:
+            break
+        elif order and first_event and state[i - 1] is None:
+            break
+        elif state[i - 1] is not None:
+            start, last = state[i - 1]
+            ok = t - start <= window_s
+            if increase:
+                ok = ok and last < t
+            if ok:
+                state[i] = (start, t)
+                if i + 1 == n:
+                    return n
+    for k in range(n, 0, -1):
+        if state[k - 1] is not None:
+            return k
+    return 0
+
+
 def window_funnel(events: DataFrame, user_col: str, ts_col: str,
                   conds: Sequence[Column], window_s: float,
-                  tiebreak_col: str = "event_id") -> DataFrame:
+                  tiebreak_col: str = "event_id",
+                  modes: Sequence[str] = ()) -> DataFrame:
     """(user, level): deepest funnel step reached within the window.
     Users with no step-1 event report level 0 only if they matched
     some later step (users matching nothing are absent -- join back
-    against the user dimension for a dense funnel report)."""
+    against the user dimension for a dense funnel report).
+
+    `modes` takes any subset of ClickHouse windowFunnel's modifiers
+    {'strict_dedup', 'strict_order', 'strict_increase'}; with modes
+    the scan runs the stateful reference algorithm (strict_order also
+    keeps non-matching events in the stream as chain breakers), while
+    the default path stays the vectorized prefix-max."""
     n = len(conds)
-    stepped = _with_step(events, user_col, ts_col, conds, tiebreak_col)
+    bad = set(modes) - set(_FUNNEL_MODES)
+    if bad:
+        raise ValueError(f"unknown windowFunnel modes: {sorted(bad)}")
+    dedup, order, increase = (m in modes for m in _FUNNEL_MODES)
+    stepped = _with_step(events, user_col, ts_col, conds, tiebreak_col,
+                         keep_others=order)
 
     def scan(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["ts_s", "tb"], kind="mergesort")
-        level = _funnel_level(pdf["ts_s"].to_numpy(dtype=np.float64),
-                              pdf["step"].to_numpy(dtype=np.int64),
-                              n, window_s)
+        ts = pdf["ts_s"].to_numpy(dtype=np.float64)
+        st = pdf["step"].to_numpy(dtype=np.int64)
+        if modes:
+            level = _funnel_level_modes(ts, st, n, window_s,
+                                        dedup, order, increase)
+        else:
+            level = _funnel_level(ts, st, n, window_s)
         return pd.DataFrame({"user": [pdf["user"].iloc[0]],
                              "level": [level]})
 

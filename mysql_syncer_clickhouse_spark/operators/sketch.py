@@ -203,3 +203,132 @@ def topk_space_saving(df: DataFrame, item_col: str, k: int,
            .withColumn("est", F.col("upper")))
     return (out.orderBy(F.desc("upper"), "item").limit(k)
                .select("item", "est", "lower", "upper"))
+
+
+# ---------------------------------------------------------------------------
+# theta-style mergeable distinct sketch (ClickHouse uniqTheta analog;
+# reference users run uniqTheta/uniqCombined over synced tables)
+# ---------------------------------------------------------------------------
+
+THETA_K = 1024          # buckets (power of two; ~1/sqrt(K) = 3% error)
+THETA_HASH_BITS = 60    # 15 md5 hex chars: fits a signed long everywhere
+THETA_SALT = "th:"
+
+
+def _theta_hash(item: Column) -> Column:
+    """Salted md5-derived 60-bit hash as long -- 15 hex chars so the
+    value fits a signed 64-bit integer in every engine (32 bits would
+    saturate at 100 TB distinct counts; 16 chars would overflow)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(THETA_SALT),
+                                   item.cast("string"))), 1, 15),
+        16, 10).cast("long")
+
+
+def theta_sketch(df: DataFrame, group_cols: list[str], item_col: str,
+                 k: int = THETA_K) -> DataFrame:
+    """(group_cols..., bucket, vmin): the bucketed-min KMV sketch
+    ("stochastic averaging" k-mins, the mergeable-state shape behind
+    ClickHouse uniqTheta / DataSketches theta). bucket = h % k (low
+    10 bits), vmin = MIN(h // k) (the independent high 50 bits).
+
+    100 TB plan shape: ONE plain min-aggregate -- duplicates never
+    matter to MIN, so there is no distinct pre-shuffle; map-side
+    partial aggregation bounds every exchange at <= k rows per group
+    per task, and the finished sketch is <= k rows per group forever.
+    Sketches merge by elementwise min (theta_union), so states are
+    replay-idempotent and cross-snapshot combinable like the other
+    merge-on-read summaries. Hashes are portable md5 arithmetic, so
+    the state -- not just the estimate -- is oracle-checkable in SQL."""
+    if k & (k - 1):
+        raise ValueError(f"k must be a power of two: {k}")
+    h = _theta_hash(F.col(item_col))
+    # h is non-negative, k a power of two: shiftright IS h // k and
+    # stays exact above 2^53 where a double division would not
+    vmin = F.shiftright(h, k.bit_length() - 1)
+    return (df.groupBy(*group_cols, (h % k).cast("int").alias("bucket"))
+              .agg(F.min(vmin).alias("vmin")))
+
+
+def theta_union(a: DataFrame, b: DataFrame,
+                group_cols: list[str]) -> DataFrame:
+    """Union of two sketches = elementwise min per (group, bucket):
+    the union's sketch is EXACTLY the sketch of the unioned input, so
+    unions are lossless at sketch grain and never rescan the data."""
+    return (a.unionByName(b)
+             .groupBy(*group_cols, "bucket")
+             .agg(F.min("vmin").alias("vmin")))
+
+
+def theta_estimate(sketch: DataFrame, group_cols: list[str],
+                   k: int = THETA_K) -> DataFrame:
+    """(group_cols..., nonempty, sum_vmin, est): distinct-count
+    estimate per group from the sketch alone.
+
+    Estimator: U_i = (vmin_i + 1) / 2^50 for the k-th of each bucket
+    (empty buckets contribute U = 1), n_est = k*(k-1) / sum(U_i) --
+    the order-statistics estimator (Lumbroso 2010) under stochastic
+    averaging; when >= 30% of buckets are empty the linear-counting
+    form k * ln(k / empty) is used instead (small-n regime, same
+    switch HLL implementations make). `nonempty` and `sum_vmin` are
+    pure integers -- the engine-portable part the oracle checks
+    exactly; `est` involves ln only in the small-n branch."""
+    vspace = float(1 << (THETA_HASH_BITS - (k.bit_length() - 1)))
+    agg = sketch.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("nonempty"),
+        F.sum("vmin").alias("sum_vmin"))
+    u_sum = ((F.col("sum_vmin").cast("double")
+              + F.col("nonempty").cast("double")) / F.lit(vspace)
+             + (F.lit(float(k)) - F.col("nonempty").cast("double")))
+    empty = F.lit(float(k)) - F.col("nonempty").cast("double")
+    lc = F.lit(float(k)) * F.log(F.lit(float(k)) / empty)
+    osd = F.lit(float(k * (k - 1))) / u_sum
+    est = F.when(empty >= F.lit(0.3 * k), lc).otherwise(osd)
+    return agg.select(*group_cols, "nonempty", "sum_vmin",
+                      F.floor(est).cast("long").alias("est"))
+
+
+def theta_intersect_estimate(a: DataFrame, b: DataFrame,
+                             group_cols: list[str],
+                             k: int = THETA_K) -> DataFrame:
+    """|A n B| and |A \\ B| estimates per group by inclusion-exclusion
+    over three sketch estimates (A, B, A u B) -- the uniqTheta
+    intersect/not surface. All inputs are finished sketches; nothing
+    rescans data. Negative I-E noise clamps to 0."""
+    ea = theta_estimate(a, group_cols, k).select(
+        *group_cols, F.col("est").alias("est_a"))
+    eb = theta_estimate(b, group_cols, k).select(
+        *group_cols, F.col("est").alias("est_b"))
+    eu = theta_estimate(theta_union(a, b, group_cols),
+                        group_cols, k).select(
+        *group_cols, F.col("est").alias("est_union"))
+    both = ea.join(eb, group_cols).join(eu, group_cols)
+    inter = F.greatest(
+        F.col("est_a") + F.col("est_b") - F.col("est_union"), F.lit(0))
+    return both.select(*group_cols, "est_a", "est_b", "est_union",
+                       inter.alias("est_intersect"),
+                       F.greatest(F.col("est_union") - F.col("est_b"),
+                                  F.lit(0)).alias("est_a_not_b"))
+
+
+def theta_sql(items_rel: str, item_expr: str, group_expr: str,
+              k: int = THETA_K) -> str:
+    """DuckDB twin of theta_sketch + the integer half of
+    theta_estimate as a CTE body: (grp, nonempty, sum_vmin) with the
+    identical salted 60-bit hash split -- generated from the same
+    constants so the Spark state and the oracle can never desync."""
+    return f"""
+  SELECT {group_expr} AS grp,
+         COUNT(*) AS nonempty,
+         CAST(SUM(vmin) AS BIGINT) AS sum_vmin
+  FROM (
+    SELECT {group_expr}, h % {k} AS bucket, MIN(h // {k}) AS vmin
+    FROM (SELECT *,
+                 ('0x' || substr(md5('{THETA_SALT}' ||
+                                     CAST({item_expr} AS VARCHAR)),
+                                 1, 15))::BIGINT AS h
+          FROM {items_rel})
+    GROUP BY 1, 2
+  )
+  GROUP BY 1
+"""

@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.numeric import davg, dsum, sql_davg, sql_dsum
-from ..operators import bitmap
+from ..operators import bitmap, sketch
 from ..sources.tables import load_table
 
 _DEC = "decimal(38,6)"
@@ -1038,7 +1038,13 @@ def distinct_vs_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     The banded pair is the scale contract: at 100 TB the exact
     distinct/percentile (a per-group shuffle of distinct keys / a full
     sort) gives way to these one-pass mergeable summaries, and this row
-    keeps their error inside the advertised envelope."""
+    keeps their error inside the advertised envelope.
+
+    Round 6 adds the fourth mergeable-summary path: the theta/KMV
+    bucketed-min distinct sketch (uniqTheta analog) -- theta_nonempty
+    and theta_sum_vmin are the sketch state's integer projection,
+    checked EXACTLY against the oracle (portable md5 arithmetic),
+    theta_ok bands the estimate at 10%."""
     li = _t(spark, sf_dir, "lineitem")
     # THREE aggregations joined on the tiny group key, not one: mixing
     # n count-distincts with percentile aggregates in a single groupBy
@@ -1072,14 +1078,30 @@ def distinct_vs_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     bm = bitmap.bitmap_cardinality(
         bitmap.bitmap_agg(li, ["l_returnflag"], "l_orderkey"),
         ["l_returnflag"])
-    return (agg.join(bm, "l_returnflag")
-               .select("l_returnflag", "n_parts", "n_supps", "n_rows",
+    # the fourth mergeable-summary path: the theta/KMV distinct sketch
+    # (operators/sketch.theta_sketch, ClickHouse uniqTheta analog).
+    # Its STATE is portable md5 arithmetic, so the integer half
+    # (nonempty buckets, sum of bucket minima) is hash-checked exactly
+    # against the oracle; the estimate itself is banded like the HLL.
+    th = sketch.theta_estimate(
+        sketch.theta_sketch(li, ["l_returnflag"], "l_orderkey"),
+        ["l_returnflag"])
+    out = (agg.join(bm, "l_returnflag").join(th, "l_returnflag"))
+    theta_ok = (F.abs(F.col("est") - F.col("n_orders"))
+                <= 0.1 * F.col("n_orders"))
+    return (out.select("l_returnflag", "n_parts", "n_supps", "n_rows",
                        "n_orders", ok.alias("approx_ok"),
                        p50_ok.alias("approx_p50_ok"),
-                       F.col("cardinality").alias("n_orders_bitmap")))
+                       F.col("cardinality").alias("n_orders_bitmap"),
+                       F.col("nonempty").alias("theta_nonempty"),
+                       F.col("sum_vmin").alias("theta_sum_vmin"),
+                       theta_ok.alias("theta_ok")))
 
 
-_DISTINCT_VS_APPROX_SQL = """
+_DISTINCT_VS_APPROX_SQL = f"""
+WITH th AS (
+  {sketch.theta_sql("lineitem", "l_orderkey", "l_returnflag")}
+)
 SELECT l_returnflag,
        COUNT(DISTINCT l_partkey) AS n_parts,
        COUNT(DISTINCT l_suppkey) AS n_supps,
@@ -1087,8 +1109,12 @@ SELECT l_returnflag,
        COUNT(DISTINCT l_orderkey) AS n_orders,
        TRUE AS approx_ok,
        TRUE AS approx_p50_ok,
-       COUNT(DISTINCT l_orderkey) AS n_orders_bitmap
-FROM lineitem GROUP BY l_returnflag
+       COUNT(DISTINCT l_orderkey) AS n_orders_bitmap,
+       MAX(th.nonempty) AS theta_nonempty,
+       MAX(th.sum_vmin) AS theta_sum_vmin,
+       TRUE AS theta_ok
+FROM lineitem JOIN th ON th.grp = l_returnflag
+GROUP BY l_returnflag
 """
 
 

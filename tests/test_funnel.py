@@ -11,7 +11,7 @@ import random
 from pyspark.sql import functions as F
 
 from mysql_syncer_clickhouse_spark.operators.funnel import (
-    sequence_count, window_funnel)
+    _FUNNEL_MODES, sequence_count, window_funnel)
 
 SCHEMA = "event_id long, user_id long, ts timestamp, event_type string"
 
@@ -430,3 +430,91 @@ def test_sequence_and_funnel_matches_standalone_ops(spark, sf_dir):
     assert set(fused) == set(sm) == set(wf)
     for u, (m, lv) in fused.items():
         assert m == sm[u] and lv == wf[u], u
+
+
+def test_window_funnel_strict_order_doc_example(spark):
+    """The ClickHouse docs example: A->B->D->C stops A->B->C at D
+    under strict_order (level 2); the base mode sees through D
+    (level 3). A foreign event BEFORE the chain starts is ignored."""
+    ev = _events(spark, [(1, 1, "A"), (1, 2, "B"), (1, 3, "D"),
+                         (1, 4, "C"),
+                         (2, 0, "X"), (2, 1, "A"), (2, 2, "B"),
+                         (2, 3, "C")])
+    conds = _conds(["A", "B", "C"])
+    base = {r["user"]: r["level"]
+            for r in window_funnel(ev, "user_id", "ts", conds,
+                                   60).collect()}
+    strict = {r["user"]: r["level"]
+              for r in window_funnel(ev, "user_id", "ts", conds, 60,
+                                     modes=["strict_order"]).collect()}
+    assert base == {1: 3, 2: 3}
+    assert strict == {1: 2, 2: 3}
+
+
+def test_window_funnel_strict_dedup_stops_on_repeat(spark):
+    """A second event matching an already-held condition interrupts
+    the scan: A B B C reports level 2 under strict_dedup, 3 base.
+    Repeated A events are chain RESTARTS, never dedup breaks."""
+    ev = _events(spark, [(1, 1, "A"), (1, 2, "B"), (1, 3, "B"),
+                         (1, 4, "C"),
+                         (2, 1, "A"), (2, 2, "A"), (2, 3, "B"),
+                         (2, 4, "C")])
+    conds = _conds(["A", "B", "C"])
+    strict = {r["user"]: r["level"]
+              for r in window_funnel(ev, "user_id", "ts", conds, 60,
+                                     modes=["strict_dedup"]).collect()}
+    assert strict == {1: 2, 2: 3}
+
+
+def test_window_funnel_strict_increase_rejects_equal_ts(spark):
+    """Same-timestamp steps extend a chain in base mode (tiebreak
+    order) but not under strict_increase."""
+    ev = _events(spark, [(1, 1, "A"), (1, 1, "B"), (1, 2, "C")])
+    conds = _conds(["A", "B", "C"])
+    base = window_funnel(ev, "user_id", "ts", conds, 60).collect()
+    strict = window_funnel(ev, "user_id", "ts", conds, 60,
+                           modes=["strict_increase"]).collect()
+    assert base[0]["level"] == 3
+    assert strict[0]["level"] == 1
+
+
+def test_window_funnel_modes_never_exceed_base(spark):
+    """Every strict mode only removes chains, so on randomized streams
+    the moded level is <= the base level, and with no foreign events,
+    no repeats, and strictly increasing timestamps all modes agree
+    with base exactly."""
+    rng = random.Random(11)
+    rows = []
+    for u in range(1, 9):
+        rows += [(u, rng.randrange(0, 60), rng.choice("ABCX"))
+                 for _ in range(9)]
+    ev = _events(spark, rows)
+    conds = _conds(["A", "B", "C"])
+    base = {r["user"]: r["level"]
+            for r in window_funnel(ev, "user_id", "ts", conds,
+                                   30).collect()}
+    for mode in ("strict_dedup", "strict_order", "strict_increase"):
+        got = {r["user"]: r["level"]
+               for r in window_funnel(ev, "user_id", "ts", conds, 30,
+                                      modes=[mode]).collect()}
+        for u, lvl in got.items():
+            assert lvl <= base.get(u, 0), (mode, u)
+
+    clean = _events(spark, [(1, 1, "A"), (1, 2, "B"), (1, 3, "C"),
+                            (2, 5, "A"), (2, 6, "B")])
+    want = {r["user"]: r["level"]
+            for r in window_funnel(clean, "user_id", "ts", conds,
+                                   30).collect()}
+    got = {r["user"]: r["level"]
+           for r in window_funnel(
+               clean, "user_id", "ts", conds, 30,
+               modes=list(_FUNNEL_MODES)).collect()}
+    assert got == want == {1: 3, 2: 2}
+
+
+def test_window_funnel_unknown_mode_raises(spark):
+    ev = _events(spark, [(1, 1, "A")])
+    import pytest
+    with pytest.raises(ValueError):
+        window_funnel(ev, "user_id", "ts", _conds(["A"]), 60,
+                      modes=["strictly_wrong"])
