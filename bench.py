@@ -129,7 +129,7 @@ def main() -> None:
         for name in SCALE_CURVE:
             if name not in all_q:
                 continue
-            small_cold, _ = _time_query(
+            small_cold, _, _ = _time_query(
                 spark, all_q[name], SCALE_CURVE_SMALL_DIR, reps)
             curve[name] = {
                 "sf0.01_sec": small_cold,

@@ -836,6 +836,12 @@ def fuzzy_decontaminate(docs: DataFrame, bench: DataFrame, *,
 
     t_reps, t_members = dedup.collapse_exact_texts(docs, id_col, text_col)
     b_reps, b_members = dedup.collapse_exact_texts(bench, id_col, text_col)
+    # pin the (id, rep_id) maps before fan-out reuse -- every later
+    # reference would otherwise re-run the corpus-wide collapse
+    # aggregation (same measured trap as minhash_dedup; two longs per
+    # doc, the cheapest materialization)
+    t_members = t_members.localCheckpoint(eager=True)
+    b_members = b_members.localCheckpoint(eager=True)
     # fused per-side profile: shingle set + minhash mins in ONE
     # doc-keyed aggregation per side, bands via flat arithmetic --
     # the same fused plan as minhash_dedup (was the unfused distinct
@@ -855,6 +861,10 @@ def fuzzy_decontaminate(docs: DataFrame, bench: DataFrame, *,
              .select(F.col("id").alias("id_a"),
                      F.col("bench_id").alias("id_b"))
              .distinct())
+    # spread the byte-tiny pairs before the array_intersect verify --
+    # AQE would otherwise coalesce them to one task (dedup.
+    # jaccard_verify_sets documents the measured trap)
+    cands = dedup._spread(cands, "id_a")
     # per-side set tables (NOT a union: train and bench id spaces may
     # overlap numerically -- they are different tables)
     t_sets = t_prof.select(F.col("id").alias("id_a"),

@@ -200,17 +200,25 @@ def collapse_exact_texts(df: DataFrame, id_col: str,
     fingerprint() -- because shingling consumes the raw text and two
     docs differing only in whitespace have different shingle sets.
 
-    One window shuffle on the text hash; reps and members share it.
-    A 100 TB run would parquet-checkpoint `members` before fan-out
-    reuse (same note as minhash_dedup's per-doc relation)."""
+    Plan shape: a partial-aggregable groupBy on the text hash (NOT a
+    window over it -- a window would shuffle the full text column for
+    every row, where the groupBy's map-side combine collapses each
+    partition's identical texts before the exchange, which is the
+    whole point in the boilerplate case), carrying one text per group
+    (min_by id, deterministic); `members` re-keys ids to reps via an
+    (id, hash) join that moves no text. A 100 TB run would
+    parquet-checkpoint `members` before fan-out reuse (same note as
+    minhash_dedup's per-doc relation)."""
     base = df.select(F.col(id_col).alias("id"),
                      F.col(text_col).alias("text"),
                      F.md5(text_col).alias("__tfp"))
-    tagged = base.withColumn(
-        "rep_id", F.min("id").over(Window.partitionBy("__tfp")))
-    reps = (tagged.filter(F.col("id") == F.col("rep_id"))
-                  .select("id", "text"))
-    members = tagged.select("id", "rep_id")
+    rep = base.groupBy("__tfp").agg(
+        F.min("id").alias("rep_id"),
+        F.min_by("text", "id").alias("text"))
+    reps = rep.select(F.col("rep_id").alias("id"), "text")
+    members = (base.select("id", "__tfp")
+               .join(rep.select("__tfp", "rep_id"), "__tfp")
+               .select("id", "rep_id"))
     return reps, members
 
 
@@ -239,7 +247,17 @@ def jaccard_verify_sets(candidates: DataFrame, sets: DataFrame,
     a short document wholly embedded in a long one scores low Jaccard
     (the union is dominated by the long doc) but containment ~1 --
     the signal that catches subsumed/quoted documents, which pure
-    Jaccard dedup misses. Same intersect, zero extra cost."""
+    Jaccard dedup misses. Same intersect, zero extra cost.
+
+    The candidate pairs are SPREAD across cores first: they are
+    byte-tiny (two longs) but each carries an array_intersect over
+    ~hundreds-of-element hash sets, and AQE -- which sizes partitions
+    by bytes -- otherwise coalesces them to ONE task and serializes
+    the whole verify (measured 2.8 s -> 0.6 s at sf0.1 when the
+    bucket-cap's WindowGroupLimit stats triggered exactly that; same
+    byte-blind-AQE trap operators/funnel._pin_user_parallelism
+    documents)."""
+    candidates = _spread(candidates, "id_a")
     return (candidates
             .join(sets.select(F.col("id").alias("id_a"),
                               F.col("hs").alias("hs_a")), "id_a")
@@ -305,6 +323,16 @@ def minhash_dedup(df: DataFrame, id_col: str, text_col: str,
     shuffle. Results are row-identical to the unfused pipeline
     (test-asserted)."""
     reps, members = collapse_exact_texts(df, id_col, text_col)
+    # PIN members before its fan-out reuse: expand_rep_pairs references
+    # it four times (intra self-join + two cross sides) and per_doc's
+    # branches re-derive reps three more -- without pinning, EVERY
+    # reference re-runs the corpus-wide collapse aggregation (measured
+    # 3.6 s -> 1.0 s at sf0.1). members is two longs per doc, the
+    # cheapest possible materialization; reps deliberately stays lazy
+    # (pinning the TEXT column would hold the distinct corpus in
+    # executor memory -- the 100 TB version parquet-checkpoints it
+    # instead, per the docstring note).
+    members = members.localCheckpoint(eager=True)
     per_doc = fused_doc_profile(reps, k)
     bands = fused_band_rows(per_doc)
     cands = lsh_candidate_pairs(bands, bucket_cap=bucket_cap)

@@ -258,3 +258,83 @@ class HllContinuousAggregate:
         state.write.mode("overwrite").parquet(tmp)
         spark.read.parquet(tmp).write.mode("overwrite") \
             .parquet(self.sink_dir)
+
+
+def merge_theta_partials(partials: DataFrame,
+                         key_cols: Sequence[str]) -> DataFrame:
+    """Merge-on-read for theta/KMV partials: elementwise-min the
+    per-epoch (bucket, vmin) rows, then estimate. Min is idempotent
+    and associative, so replayed epochs and compactions re-merge to
+    the identical sketch -- the same no-dedup-machinery contract as
+    the bitmap and HLL reducers."""
+    from ..operators.sketch import theta_estimate
+    merged = (partials.groupBy("win_start", *key_cols, "bucket")
+              .agg(F.min("vmin").alias("vmin")))
+    return (theta_estimate(merged, ["win_start", *key_cols])
+            .select("win_start", *key_cols,
+                    F.col("est").alias("n_distinct_approx")))
+
+
+@dataclass
+class ThetaContinuousAggregate:
+    """Approximate COUNT(DISTINCT) continuous aggregate on the
+    repo-owned theta/KMV sketch (operators/sketch.py) -- the third
+    point in the uniqState/uniqMerge family next to the exact bitmap
+    (state ~ |distinct|/32) and Spark's binary HLL (opaque state):
+    state is <= k integer ROWS per (bucket, keys) forever, merge is a
+    plain MIN, and -- uniquely among the three -- the state is
+    engine-portable md5 arithmetic, so a non-Spark reader (or the
+    DuckDB oracle) can audit or continue the aggregate bit-for-bit.
+
+    Same append-only replay contract: elementwise min is idempotent
+    and associative, so replays and compactions never change an
+    estimate's inputs."""
+    ts_col: str
+    window_duration: str
+    key_cols: Sequence[str]
+    value_col: str
+    sink_dir: str
+    checkpoint_dir: str
+    k: int = 1024
+
+    def _partials(self, batch_df: DataFrame, epoch_id: int) -> DataFrame:
+        from ..operators.sketch import theta_sketch
+        windowed = (batch_df
+                    .withColumn("__w", F.window(self.ts_col,
+                                                self.window_duration))
+                    .withColumn("win_start", F.col("__w.start")))
+        return (theta_sketch(windowed, ["win_start", *self.key_cols],
+                             self.value_col, k=self.k)
+                .withColumn("epoch", F.lit(epoch_id)))
+
+    def _apply_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        self._partials(batch_df, epoch_id) \
+            .write.mode("append").parquet(self.sink_dir)
+
+    def start(self, spark: SparkSession, source_dir: str,
+              schema: StructType, *,
+              max_files_per_trigger: int = 4) -> StreamingQuery:
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", max_files_per_trigger)
+                  .parquet(source_dir))
+        return (stream.writeStream
+                .foreachBatch(self._apply_batch)
+                .option("checkpointLocation", self.checkpoint_dir)
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .start())
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        return merge_theta_partials(spark.read.parquet(self.sink_dir),
+                                    self.key_cols)
+
+    def compact(self, spark: SparkSession) -> None:
+        """Min-merge all partials per bucket into one row (epoch -1)."""
+        state = (spark.read.parquet(self.sink_dir)
+                 .groupBy("win_start", *self.key_cols, "bucket")
+                 .agg(F.min("vmin").alias("vmin"))
+                 .withColumn("epoch", F.lit(-1)))
+        tmp = self.sink_dir.rstrip("/") + ".compact"
+        state.write.mode("overwrite").parquet(tmp)
+        spark.read.parquet(tmp).write.mode("overwrite") \
+            .parquet(self.sink_dir)

@@ -672,3 +672,60 @@ def test_compact_ttl_group_by_rollup(spark, dirs):
         pipe.compact(spark, ttl_col="mydate", ttl_expire_before=1000,
                      ttl_rollup_group=["grp"],
                      ttl_rollup_set={"mydate": "avg"})
+
+
+def test_theta_continuous_aggregate_banded_portable_and_replay_safe(
+        spark, dirs):
+    """Theta/KMV continuous aggregate (the engine-portable third point
+    in the uniqState family): merged estimate inside the band, replay
+    changes nothing (min idempotence), compaction preserves estimates
+    exactly, AND -- the property bitmap/HLL can't offer -- the merged
+    state equals what a from-scratch batch sketch of the full input
+    computes, so a non-Spark reader could continue the aggregate."""
+    from mysql_syncer_clickhouse_spark.operators.sketch import theta_sketch
+    from mysql_syncer_clickhouse_spark.streaming.continuous_agg import (
+        ThetaContinuousAggregate)
+    src, sink, ckpt = dirs
+    ddl = "event_id long, ts_s string, event_type string, user_id long"
+
+    def to_df(rows):
+        return spark.createDataFrame(rows, ddl) \
+            .withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+
+    rows1 = [(i, "2024-01-01 00:10:00", "click", i) for i in range(200)]
+    rows2 = [(1000 + i, "2024-01-01 00:40:00", "click", 100 + i)
+             for i in range(200)]
+    agg = ThetaContinuousAggregate("ts", "1 hour", ["event_type"],
+                                   "user_id", sink, ckpt)
+    d1 = to_df(rows1)
+    _write_part(spark, src, [tuple(r) for r in d1.collect()], "p1",
+                schema=d1.schema)
+    agg.start(spark, src, d1.schema).awaitTermination()
+    d2 = to_df(rows2)
+    _write_part(spark, src, [tuple(r) for r in d2.collect()], "p2",
+                schema=d2.schema)
+    agg.start(spark, src, d1.schema).awaitTermination()
+
+    def est():
+        [r] = agg.read(spark).collect()
+        return r["n_distinct_approx"]
+    e1 = est()
+    assert abs(e1 - 300) <= 0.15 * 300     # small-n linear counting
+
+    part0 = spark.read.parquet(sink).filter(F.col("epoch") == 0)
+    part0.write.mode("append").parquet(sink)
+    assert est() == e1                     # replay: identical estimate
+
+    agg.compact(spark)
+    assert est() == e1
+    # state portability: the compacted state == a from-scratch batch
+    # sketch over ALL events (merge is lossless at sketch grain)
+    full = to_df(rows1 + rows2).withColumn(
+        "win_start", F.window("ts", "1 hour")["start"])
+    batch = sorted(
+        (r["bucket"], r["vmin"]) for r in theta_sketch(
+            full, ["win_start", "event_type"], "user_id").collect())
+    state = sorted(
+        (r["bucket"], r["vmin"])
+        for r in spark.read.parquet(sink).collect())
+    assert batch == state
