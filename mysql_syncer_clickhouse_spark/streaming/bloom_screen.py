@@ -27,14 +27,12 @@ the same words). Compaction: any prefix of epochs may be OR-merged
 into a single epoch's rows offline without changing any future answer
 -- same merge-on-read contract as streaming/continuous_agg.py.
 
-SINK-side caveat (the replay claim covers the DECISION, not the
-sink): parquet `mode("append")` is not idempotent, so a replayed
-epoch appends the same kept docs a second time. The screening state
-guarantees those rows are identical, so readers recover exactness
-with a dedup-on-read by doc_id (`dropDuplicates(["doc_id"])`) --
-same documented limitation as the other ingest pipelines. An
-exactly-once sink would tag rows with `epoch` and overwrite that
-epoch's partition instead.
+The sink itself is EXACTLY-ONCE under replay (round 6): kept docs
+are written epoch-partitioned with dynamic partition overwrite, so a
+replayed epoch -- which keeps the identical docs, per the screening
+contract above -- REPLACES its own partition instead of appending a
+duplicate copy. No dedup-on-read needed; same upgrade applied to the
+corpus-gate and near-dup ingest pipelines.
 
 No false negatives means NO previously-ingested duplicate ever
 re-enters; the FP rate (genuinely-new docs sacrificed) is
@@ -113,7 +111,10 @@ class BloomIngestPipeline:
                     .drop("might_contain"))
         kept = kept.localCheckpoint(eager=True)
 
-        kept.drop("fp").write.mode("append").parquet(self.sink_dir)
+        (kept.drop("fp").withColumn("epoch", F.lit(epoch_id))
+             .write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("epoch").parquet(self.sink_dir))
         (bloom.bloom_build(kept, "fp", m=self.m_bits, k=self.k_hashes)
               .withColumn("epoch", F.lit(epoch_id))
               .write.mode("append").parquet(self.state_dir))

@@ -16,9 +16,12 @@ micro-batch with streaming state where cross-batch memory is needed:
   so ingested/kept counts ride the write job (no second pass), exactly
   like the CDC pipeline's op counters (streaming/pipeline.SyncMetrics).
 
-Same checkpoint contract as the CDC pipeline: sink append happens
-before the epoch commits, so a crash replays the epoch and the
-replayed rows dedup away (doc_id-keyed downstream, fp-keyed in-stream).
+Same checkpoint contract as the CDC pipeline: the sink write happens
+before the epoch commits, so a crash replays the epoch -- and the
+sink is exactly-once under that replay (round 6): the deterministic
+gate keeps identical rows, and the epoch-partitioned dynamic
+overwrite REPLACES the epoch's partition instead of appending a
+duplicate copy.
 """
 
 from __future__ import annotations
@@ -95,8 +98,14 @@ class CorpusIngestPipeline:
                   .observe(obs,
                            F.count(F.lit(1)).alias("ingested"),
                            F.sum(keep.cast("long")).alias("kept")))
-        (scored.filter(keep)
-               .write.mode("append").parquet(self.sink_dir))
+        # epoch-partitioned dynamic overwrite: a replayed epoch (which
+        # keeps identical rows -- the gate is deterministic) REPLACES
+        # its own partition instead of appending duplicates, making the
+        # sink exactly-once with no dedup-on-read
+        (scored.filter(keep).withColumn("epoch", F.lit(epoch_id))
+               .write.mode("overwrite")
+               .option("partitionOverwriteMode", "dynamic")
+               .partitionBy("epoch").parquet(self.sink_dir))
         got = dict(obs.get)
         self.metrics.ingested += int(got.get("ingested") or 0)
         self.metrics.kept += int(got.get("kept") or 0)

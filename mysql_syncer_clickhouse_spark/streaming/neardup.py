@@ -24,9 +24,12 @@ cluster transitively, like duplicate_clusters. A doc never collides
 with itself: state rows carry the creating rep_id and the screen
 ignores self-hits, which ALSO makes epoch replays after a crash safe
 -- a replayed batch re-screens against bands it appended in the failed
-attempt and keeps exactly the docs it kept before (the duplicate sink/
-state appends dedup away doc_id- and bucket-keyed downstream, the same
-replay contract as streaming/pipeline.py).
+attempt and keeps exactly the docs it kept before. The sink is
+exactly-once under that replay (round 6): kept docs write
+epoch-partitioned with dynamic overwrite, replacing the epoch's own
+partition; the duplicate STATE appends still dedup away bucket-keyed
+(one representative per bucket -- idempotent), the same replay
+contract as streaming/pipeline.py.
 
 Scale: state grows O(kept docs x n_bands) 24-byte rows -- parquet on
 disk, joined by (band, band_sig) key; at 100 TB it shards on the band
@@ -115,7 +118,13 @@ class NearDupIngestPipeline:
         kept = batch_df.join(
             dropped.withColumnRenamed("id", "doc_id"), "doc_id",
             "left_anti")
-        kept.write.mode("append").parquet(self.sink_dir)
+        # epoch-partitioned dynamic overwrite: a replayed epoch keeps
+        # the identical docs (the probe excludes same-epoch state), so
+        # overwriting its own partition makes the sink exactly-once
+        (kept.withColumn("epoch", F.lit(epoch_id))
+             .write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("epoch").parquet(self.sink_dir))
         (bands.join(dropped, "id", "left_anti")
               .select("band", "band_sig", F.col("id").alias("rep_id"))
               .write.mode("append").parquet(self.state_dir))

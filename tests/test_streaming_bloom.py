@@ -98,8 +98,9 @@ def test_bloom_screen_survives_restart_horizon_free(spark, dirs):
 def test_bloom_replay_keeps_same_docs(spark, dirs):
     """Crash-after-state-append replay: the probe excludes the current
     epoch's state rows, so re-running the SAME epoch keeps the same
-    docs; the duplicated sink/state appends dedup away downstream
-    (doc_id-keyed) and via idempotent OR."""
+    docs; the sink is exactly-once (epoch-partitioned dynamic
+    overwrite replaces the replayed partition) and the duplicated
+    STATE appends dedup away via idempotent OR."""
     t0 = _ts(spark, "2026-01-01 10:00:00")
     pipe = _pipe(dirs)
     batch = spark.createDataFrame(
@@ -107,9 +108,9 @@ def test_bloom_replay_keeps_same_docs(spark, dirs):
         SCHEMA_DDL)
     pipe._apply_batch(batch, 0)
     pipe._apply_batch(batch, 0)          # replay of the SAME epoch
-    kept = (spark.read.parquet(dirs["sink"])
-            .select("doc_id").distinct())
-    assert {r["doc_id"] for r in kept.collect()} == {1, 2}
+    sink = spark.read.parquet(dirs["sink"])
+    assert {r["doc_id"] for r in sink.collect()} == {1, 2}
+    assert sink.count() == 2             # exactly-once: no dup rows
     # a later epoch still drops both
     pipe._apply_batch(batch, 1)
     kept2 = (spark.read.parquet(dirs["sink"])

@@ -109,9 +109,10 @@ def test_neardup_screen_survives_restart(spark, dirs):
 def test_neardup_replay_does_not_self_collide(spark, dirs):
     """Simulated crash-after-state-append: re-running _apply_batch for
     the same epoch must keep the same docs (state rows created by the
-    doc itself are ignored), so replays only duplicate appends --
-    which doc_id-keyed downstream dedup removes -- rather than
-    flipping keep decisions."""
+    doc itself are ignored), and the epoch-partitioned dynamic
+    overwrite makes the SINK exactly-once -- the replay replaces its
+    own partition, so no duplicate rows exist even before any
+    downstream dedup."""
     t0 = _ts(spark, "2026-01-01 10:00:00")
     pipe = _pipe(dirs)
     batch = spark.createDataFrame(
@@ -119,7 +120,8 @@ def test_neardup_replay_does_not_self_collide(spark, dirs):
     pipe._apply_batch(batch, 0)
     pipe._apply_batch(batch, 0)  # replay of the SAME epoch
     out = pipe.corpus(spark)
-    # both docs kept in both attempts; duplicate appends, no drops
+    # both docs kept in both attempts; the replay overwrote its own
+    # epoch partition, so the sink holds exactly one copy of each
     assert out.select("doc_id").distinct().count() == 2
-    assert out.count() == 4
+    assert out.count() == 2
     assert pipe.metrics.dropped_neardup == 0
