@@ -562,6 +562,60 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def quantile_exact_weighted(df: DataFrame, group_cols: list[str],
+                            value_col: str, weight_col: str,
+                            levels: list[float]) -> DataFrame:
+    """ClickHouse quantileExactWeighted(level)(x, w): the smallest x
+    whose cumulative weight reaches level * total_weight -- each x
+    effectively repeated w times, computed without materializing the
+    repetition. One keyed window (cumulative + total weight over the
+    value sort) + one aggregation on the same key (reuses the window's
+    partitioning): min(x WHERE cum >= level * tot) per level. The
+    result is order-independent for tied x values (the tie block's
+    LAST row carries the full block weight whatever the peer order,
+    and min() collapses the block to one x), so it is deterministic
+    across engines and partitionings. Output columns: wp<level*100>."""
+    w_ord = (Window.partitionBy(*group_cols).orderBy(value_col)
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w_all = Window.partitionBy(*group_cols)
+    base = df.select(
+        *group_cols,
+        F.col(value_col).cast("double").alias("__x"),
+        F.sum(weight_col).over(w_ord).alias("__cum"),
+        F.sum(weight_col).over(w_all).alias("__tot"))
+    return base.groupBy(*group_cols).agg(
+        *[F.min(F.when(F.col("__cum") >= F.lit(lv) * F.col("__tot"),
+                       F.col("__x"))).alias(f"wp{round(lv * 100)}")
+          for lv in levels])
+
+
+def agg_weighted_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """quantileExactWeighted surface: quantity-weighted exact price
+    percentiles per return flag (each price weighted by the line's
+    quantity -- the 'typical unit price' a plain percentile
+    misstates). Values are INPUT values, not interpolations, so the
+    oracle hash-matches with no rounding."""
+    li = _t(spark, sf_dir, "lineitem")
+    return quantile_exact_weighted(
+        li, ["l_returnflag"], "l_extendedprice", "l_quantity",
+        [0.5, 0.9])
+
+
+_WEIGHTED_PCTL_SQL = """
+SELECT l_returnflag,
+       MIN(CASE WHEN cum >= 0.5 * tot THEN px END) AS wp50,
+       MIN(CASE WHEN cum >= 0.9 * tot THEN px END) AS wp90
+FROM (
+  SELECT l_returnflag, CAST(l_extendedprice AS DOUBLE) AS px,
+         SUM(l_quantity) OVER (PARTITION BY l_returnflag
+                               ORDER BY l_extendedprice
+                               ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(l_quantity) OVER (PARTITION BY l_returnflag) AS tot
+  FROM lineitem)
+GROUP BY l_returnflag
+"""
+
+
 # --- window functions -----------------------------------------------------
 
 def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -892,8 +946,9 @@ def agg_histogram(spark: SparkSession, sf_dir: str,
 
 def agg_grouping_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP + CUBE + GROUPING SETS + statistical aggregates
-    (percentile/corr/stddev) + equi-width histogram, one checked query
-    over aligned columns (part, g1, g2, n, m1..m4)."""
+    (percentile/corr/stddev) + equi-width histogram + (round 6)
+    quantileExactWeighted, one checked query over aligned columns
+    (part, g1, g2, n, m1..m4)."""
     nd = F.lit(None).cast("double")
     rollup = agg_rollup(spark, sf_dir).select(
         F.lit("rollup").alias("part"),
@@ -928,8 +983,15 @@ def agg_grouping_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias("g2"),
         "n", F.col("bin_lo").alias("m1"), F.col("bin_hi").alias("m2"),
         nd.alias("m3"), nd.alias("m4"))
+    wpctl = agg_weighted_percentiles(spark, sf_dir).select(
+        F.lit("wpctl").alias("part"),
+        F.col("l_returnflag").alias("g1"),
+        F.lit(None).cast("string").alias("g2"),
+        F.lit(None).cast("long").alias("n"),
+        F.col("wp50").alias("m1"), F.col("wp90").alias("m2"),
+        nd.alias("m3"), nd.alias("m4"))
     return (rollup.unionByName(cube).unionByName(gsets)
-            .unionByName(pctl).unionByName(hist))
+            .unionByName(pctl).unionByName(hist).unionByName(wpctl))
 
 
 _GROUPING_STATS_SQL = f"""
@@ -964,6 +1026,10 @@ FROM (
               FROM lineitem)
   GROUP BY 1, 2, 3
 )
+UNION ALL
+SELECT 'wpctl', l_returnflag, CAST(NULL AS VARCHAR),
+       CAST(NULL AS BIGINT), wp50, wp90, NULL, NULL
+FROM ({_WEIGHTED_PCTL_SQL})
 """
 
 

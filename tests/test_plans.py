@@ -506,3 +506,35 @@ def test_lsh_band_join_equi_and_capped(spark, sf_dir):
     widest = (capped.groupBy("band", "band_sig").count()
               .agg(relational.F.max("count")).first()[0])
     assert widest <= 64
+
+
+def test_quantile_exact_weighted_matches_repetition(spark):
+    """quantileExactWeighted semantics: equal to the exact unweighted
+    quantile over the weight-EXPANDED multiset (each x repeated w
+    times, 'smallest x whose cumulative weight reaches level*total'),
+    on a hand-computed fixture and under repartitioning."""
+    from pyspark.sql import functions as F
+
+    from mysql_syncer_clickhouse_spark.queries.relational import (
+        quantile_exact_weighted)
+
+    rows = [("a", 10.0, 1), ("a", 20.0, 8), ("a", 30.0, 1),
+            ("b", 1.0, 5), ("b", 2.0, 1), ("b", 100.0, 4)]
+    df = spark.createDataFrame(rows, "g string, x double, w int")
+    got = {r["g"]: (r["wp50"], r["wp90"])
+           for r in quantile_exact_weighted(
+               df, ["g"], "x", "w", [0.5, 0.9]).collect()}
+    # a: expanded = [10, 20*8, 30]; 50% of 10 = 5th -> 20; 90% -> 20
+    # b: expanded = [1*5, 2, 100*4]; 50% of 10 = 5th -> 1; 90% -> 100
+    assert got == {"a": (20.0, 20.0), "b": (1.0, 100.0)}
+
+    # brute force over the expanded multiset, any level
+    import math
+    for g, lv in (("a", 0.3), ("b", 0.75)):
+        expanded = sorted(x for gg, x, w in rows if gg == g
+                          for _ in range(w))
+        want = expanded[math.ceil(lv * len(expanded)) - 1]
+        r = quantile_exact_weighted(
+            df.filter(F.col("g") == g).repartition(5),
+            ["g"], "x", "w", [lv]).collect()[0]
+        assert r[f"wp{round(lv * 100)}"] == want, (g, lv)
