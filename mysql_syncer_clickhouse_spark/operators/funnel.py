@@ -22,6 +22,11 @@ Semantics (matching the public ClickHouse definitions):
   between bare neighbors, `.*` any-gap separators, and (?t op secs)
   time constraints between matched events; events matching no
   condition are invisible to the pattern.
+- sequence_next_node(direction, base)(ts, value, cond1..condN): the
+  value of the event ADJACENT to a matched chain of consecutive
+  events -- "what did users do right after (or before) this exact
+  sequence"; non-matching events occupy stream positions and can be
+  the answer, unlike every other scan here.
 
 Implementation: steps are classified JVM-side (one CASE expression --
 filters stay codegen'd and pushable), non-step events are dropped
@@ -540,3 +545,87 @@ def sum_maps(df: DataFrame, key_col: str, map_col: str,
              out_col: str = "summed") -> DataFrame:
     """sumMap -- see merge_maps."""
     return merge_maps(df, key_col, map_col, "sum", out_col)
+
+
+def sequence_next_node(events: DataFrame, user_col: str, ts_col: str,
+                       value_col: str, conds: Sequence[Column],
+                       direction: str = "forward",
+                       base: str = "first_match",
+                       tiebreak_col: str = "event_id") -> DataFrame:
+    """(user, next_value): the sink DB's sequenceNextNode(direction,
+    base)(ts, value, cond1..condN) -- the value of the event ADJACENT
+    to a matched chain of consecutive events, per user. The chain is
+    stream-adjacent (every event counts as a position, matching or
+    not), unlike windowFunnel's any-gap chains.
+
+    direction 'forward' walks the (ts, tiebreak)-sorted stream and
+    returns the event just AFTER the chain; 'backward' walks the
+    REVERSED stream -- conds are matched in the listed order along
+    that reversed walk -- and returns the event chronologically just
+    BEFORE the chain. base: 'head' anchors the chain at the walk's
+    first event ('tail' is its alias for the backward walk),
+    'first_match' / 'last_match' at the first / last occurrence along
+    the walk. next_value is NULL when the anchor matches but the walk
+    ends at the chain (no adjacent event); users with no match are
+    absent.
+
+    Same execution shape as sequence_match: per-event condition
+    bitmask built JVM-side, one applyInPandas scan per user (numpy
+    shift-and-AND finds every chain start -- no Python per-event
+    loop), parallel across users. Unlike the other scans, events
+    matching NO condition are kept: they occupy stream positions and
+    can be the returned neighbor."""
+    if direction not in ("forward", "backward"):
+        raise ValueError(f"direction must be forward/backward: "
+                         f"{direction!r}")
+    if base not in ("head", "tail", "first_match", "last_match"):
+        raise ValueError(f"base must be head/tail/first_match/"
+                         f"last_match: {base!r}")
+    n = len(conds)
+    if n > 62:
+        raise ValueError("condition bitmask is a long: at most 62 "
+                         "conditions supported")
+    mask = F.lit(0)
+    for i, c in enumerate(conds):
+        mask = mask + F.when(c, F.lit(1 << i)).otherwise(0)
+    stepped = _pin_user_parallelism(
+        events.select(
+            F.col(user_col).alias("user"),
+            F.col(ts_col).cast("timestamp").cast("double").alias("ts_s"),
+            F.col(tiebreak_col).alias("tb"),
+            F.col(value_col).cast("string").alias("val"),
+            mask.alias("mask")))
+
+    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts_s", "tb"], kind="mergesort")
+        masks = pdf["mask"].to_numpy(dtype=np.int64)
+        vals = pdf["val"].to_numpy(dtype=object)
+        if direction == "backward":
+            masks, vals = masks[::-1], vals[::-1]
+        ln = len(masks)
+        if ln < n:
+            return pd.DataFrame({"user": pd.Series([], dtype="int64"),
+                                 "next_value": pd.Series([], dtype=object)})
+        # start[i] == True iff conds 1..n match at stream positions
+        # i..i+n-1 (shift-and-AND, no per-event loop)
+        start = ((masks[:ln - n + 1] >> 0) & 1).astype(bool)
+        for j in range(1, n):
+            start &= ((masks[j:ln - n + 1 + j] >> j) & 1).astype(bool)
+        idxs = np.flatnonzero(start)
+        if base in ("head", "tail"):
+            idxs = idxs[:1] if idxs.size and idxs[0] == 0 \
+                else np.array([], dtype=np.int64)
+        anchor = None
+        if idxs.size:
+            anchor = int(idxs[0]) if base != "last_match" \
+                else int(idxs[-1])
+        if anchor is None:
+            return pd.DataFrame({"user": pd.Series([], dtype="int64"),
+                                 "next_value": pd.Series([], dtype=object)})
+        nxt = anchor + n
+        val = vals[nxt] if nxt < ln else None
+        return pd.DataFrame({"user": [pdf["user"].iloc[0]],
+                             "next_value": [val]})
+
+    return stepped.groupBy("user").applyInPandas(
+        scan, "user long, next_value string")

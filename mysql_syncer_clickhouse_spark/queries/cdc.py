@@ -229,7 +229,21 @@ def cdc_op_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     tk = (topk_space_saving(ev, "event_type", k=3)
           .select(F.concat(F.lit("topk_"), F.col("item")).alias("op"),
                   F.col("est").alias("n")))
-    return ops.unionByName(two).unionByName(rt).unionByName(tk)
+    # 'nextnode_<type>': sequenceNextNode(forward, first_match) through
+    # the real adjacency scan -- users counted by WHAT THEY DID right
+    # after their first stream-adjacent click->view pair; the oracle
+    # restates it with row_number windows (rn, rn+1 adjacency, value
+    # at first_rn + 2)
+    from ..operators.funnel import sequence_next_node
+    nn = (sequence_next_node(ev, "user_id", "ts", "event_type",
+                             [F.col("event_type") == "click",
+                              F.col("event_type") == "view"])
+          .filter(F.col("next_value").isNotNull())
+          .groupBy("next_value").agg(F.count(F.lit(1)).alias("n"))
+          .select(F.concat(F.lit("nextnode_"), F.col("next_value"))
+                   .alias("op"), "n"))
+    return (ops.unionByName(two).unionByName(rt).unionByName(tk)
+               .unionByName(nn))
 
 
 _COUNTERS_SQL = _CL + """
@@ -262,6 +276,26 @@ SELECT op, n FROM (
   SELECT 'topk_' || event_type AS op, COUNT(*) AS n
   FROM events GROUP BY event_type
   ORDER BY n DESC, op ASC LIMIT 3)
+UNION ALL
+SELECT 'nextnode_' || o3.event_type AS op, COUNT(*) AS n FROM (
+  SELECT o1.user_id, MIN(o1.rn) AS first_rn
+  FROM (SELECT user_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events) o1
+  JOIN (SELECT user_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events) o2
+    ON o1.user_id = o2.user_id AND o2.rn = o1.rn + 1
+  WHERE o1.event_type = 'click' AND o2.event_type = 'view'
+  GROUP BY o1.user_id) m
+JOIN (SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events) o3
+  ON o3.user_id = m.user_id AND o3.rn = m.first_rn + 2
+GROUP BY o3.event_type
 """
 
 

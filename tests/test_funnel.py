@@ -518,3 +518,58 @@ def test_window_funnel_unknown_mode_raises(spark):
     with pytest.raises(ValueError):
         window_funnel(ev, "user_id", "ts", _conds(["A"]), 60,
                       modes=["strictly_wrong"])
+
+
+def _snn(spark, rows, conds, **kw):
+    from mysql_syncer_clickhouse_spark.operators.funnel import (
+        sequence_next_node)
+    ev = _events(spark, rows)
+    return {r["user"]: r["next_value"]
+            for r in sequence_next_node(
+                ev, "user_id", "ts", "event_type",
+                _conds(conds), **kw).collect()}
+
+
+def test_sequence_next_node_forward_bases(spark):
+    """sequenceNextNode forward: the value just after the first
+    stream-ADJACENT chain (gap events break adjacency, unlike
+    windowFunnel), per base."""
+    rows = [(1, 0, "A"), (1, 1, "B"), (1, 2, "C"),      # A B C ...
+            (1, 3, "A"), (1, 4, "B"), (1, 5, "D"),      # ... A B D
+            (2, 0, "A"), (2, 1, "X"), (2, 2, "B"),      # A X B: no adj
+            (3, 0, "X"), (3, 1, "A"), (3, 2, "B")]      # chain at end
+    got = _snn(spark, rows, ["A", "B"])                 # first_match
+    assert got == {1: "C", 3: None}                     # 2 absent
+    got = _snn(spark, rows, ["A", "B"], base="last_match")
+    assert got == {1: "D", 3: None}
+    got = _snn(spark, rows, ["A", "B"], base="head")
+    assert got == {1: "C"}                              # 3's A not at head
+
+
+def test_sequence_next_node_backward(spark):
+    """backward walks the reversed stream: conds in the listed order
+    along that walk, returning the event chronologically BEFORE the
+    chain ('what did the user do just before Basket->Home?')."""
+    rows = [(1, 0, "S"), (1, 1, "Basket"), (1, 2, "Home"),
+            (2, 0, "Basket"), (2, 1, "Home")]
+    # reversed walk: Home, Basket, ... -> next = S
+    got = _snn(spark, rows, ["Home", "Basket"],
+               direction="backward", base="tail")
+    assert got == {1: "S", 2: None}
+
+
+def test_sequence_next_node_deterministic_and_validated(spark):
+    import pytest
+
+    from mysql_syncer_clickhouse_spark.operators.funnel import (
+        sequence_next_node)
+    rows = [(1, 0, "A"), (1, 0, "B"), (1, 1, "C")]   # ts tie: event_id
+    got = _snn(spark, rows, ["A", "B"])
+    assert got == {1: "C"}
+    ev = _events(spark, rows)
+    with pytest.raises(ValueError):
+        sequence_next_node(ev, "user_id", "ts", "event_type",
+                           _conds(["A"]), direction="sideways")
+    with pytest.raises(ValueError):
+        sequence_next_node(ev, "user_id", "ts", "event_type",
+                           _conds(["A"]), base="mid_match")
