@@ -562,6 +562,100 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def categorical_association(df: DataFrame, x_col: str,
+                            y_col: str) -> DataFrame:
+    """ClickHouse's categorical-association aggregates -- cramersV,
+    theilsU, contingency -- from ONE contingency-table pass: everything
+    downstream of `groupBy(x, y).count()` operates on a relation
+    bounded by k1*k2 category pairs, never row volume (the 100 TB
+    shape: one partial-aggregable count, then literal-sized joins).
+
+    Returns one row: (cramers_v, theils_u, contingency_coef).
+    - cramersV = sqrt((chi2/n) / min(k1-1, k2-1))
+    - theilsU  = U(x|y) = (H(x) - H(x|y)) / H(x)  (natural log)
+    - contingency = sqrt(chi2 / (chi2 + n))
+    All three round to 6 decimals -- the same oracle-parity convention
+    as corr/stddev (both engines do the identical IEEE arithmetic on
+    the identical rational inputs)."""
+    ct = (df.groupBy(F.col(x_col).alias("x"), F.col(y_col).alias("y"))
+            .agg(F.count(F.lit(1)).alias("nxy")))
+    rx = ct.groupBy("x").agg(F.sum("nxy").alias("nx"))
+    cy = ct.groupBy("y").agg(F.sum("nxy").alias("ny"))
+    tot = ct.agg(F.sum("nxy").alias("n"),
+                 F.countDistinct("x").alias("k1"),
+                 F.countDistinct("y").alias("k2"))
+    full = (ct.join(rx, "x").join(cy, "y")
+              .crossJoin(F.broadcast(tot)))
+    # double BEFORE the product: an integer nx*ny overflows a long at
+    # 100 TB row counts (ANSI error); both engines round identically
+    e = F.col("nx").cast("double") * F.col("ny") / F.col("n")
+    # ZERO cells are absent from the groupBy but still contribute e to
+    # chi2: sum_all (o-e)^2/e == sum_observed ((o-e)^2/e - e) + n
+    # (because sum_all e = n and a zero cell's term IS e)
+    chi2_c = (F.col("nxy") - e) * (F.col("nxy") - e) / e - e
+    # H(x|y) = -sum_xy p_xy ln(p_xy / p_y); H(x) = -sum_x p_x ln p_x
+    p_xy = F.col("nxy") / F.col("n")
+    hxy_c = -p_xy * F.log(F.col("nxy") / F.col("ny"))
+    agg = full.agg(
+        (F.sum(chi2_c) + F.first("n")).alias("chi2"),
+        F.sum(hxy_c).alias("h_x_given_y"),
+        F.first("n").alias("n"), F.first("k1").alias("k1"),
+        F.first("k2").alias("k2"))
+    hx = (rx.crossJoin(F.broadcast(tot))
+            .agg(F.sum(-(F.col("nx") / F.col("n"))
+                       * F.log(F.col("nx") / F.col("n"))).alias("h_x")))
+    out = agg.crossJoin(F.broadcast(hx))
+    denom = F.least(F.col("k1") - 1, F.col("k2") - 1)
+    return out.select(
+        F.round(F.sqrt(F.col("chi2") / F.col("n") / denom), 6)
+         .alias("cramers_v"),
+        F.round((F.col("h_x") - F.col("h_x_given_y")) / F.col("h_x"), 6)
+         .alias("theils_u"),
+        F.round(F.sqrt(F.col("chi2") / (F.col("chi2") + F.col("n"))), 6)
+         .alias("contingency_coef"))
+
+
+def agg_association(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cramersV / theilsU / contingency over the (l_returnflag,
+    l_linestatus) pair -- the sink DB's categorical-dependence
+    surface."""
+    li = _t(spark, sf_dir, "lineitem")
+    return categorical_association(li, "l_returnflag", "l_linestatus")
+
+
+_ASSOCIATION_SQL = """
+WITH ct AS (
+  SELECT l_returnflag AS x, l_linestatus AS y, COUNT(*) AS nxy
+  FROM lineitem GROUP BY 1, 2
+), rx AS (SELECT x, SUM(nxy) AS nx FROM ct GROUP BY x),
+cy AS (SELECT y, SUM(nxy) AS ny FROM ct GROUP BY y),
+tot AS (SELECT CAST(SUM(nxy) AS DOUBLE) AS n,
+               COUNT(DISTINCT x) AS k1, COUNT(DISTINCT y) AS k2
+        FROM ct),
+joined AS (
+  SELECT ct.nxy, rx.nx, cy.ny, tot.n, tot.k1, tot.k2
+  FROM ct JOIN rx USING (x) JOIN cy USING (y) CROSS JOIN tot
+), agg AS (
+  -- zero cells are absent from ct but contribute e to chi2:
+  -- sum_all (o-e)^2/e = sum_observed ((o-e)^2/e - e) + n
+  SELECT SUM((nxy - CAST(nx AS DOUBLE) * ny / n)
+             * (nxy - CAST(nx AS DOUBLE) * ny / n)
+             / (CAST(nx AS DOUBLE) * ny / n)
+             - CAST(nx AS DOUBLE) * ny / n) + MIN(n) AS chi2,
+         SUM(-(nxy / n) * LN(nxy / ny)) AS h_x_given_y,
+         MIN(n) AS n, MIN(k1) AS k1, MIN(k2) AS k2
+  FROM joined
+), hx AS (
+  SELECT SUM(-(rx.nx / tot.n) * LN(rx.nx / tot.n)) AS h_x
+  FROM rx CROSS JOIN tot
+)
+SELECT ROUND(SQRT(chi2 / n / LEAST(k1 - 1, k2 - 1)), 6) AS cramers_v,
+       ROUND((h_x - h_x_given_y) / h_x, 6) AS theils_u,
+       ROUND(SQRT(chi2 / (chi2 + n)), 6) AS contingency_coef
+FROM agg CROSS JOIN hx
+"""
+
+
 def quantile_exact_weighted(df: DataFrame, group_cols: list[str],
                             value_col: str, weight_col: str,
                             levels: list[float]) -> DataFrame:
@@ -947,8 +1041,9 @@ def agg_histogram(spark: SparkSession, sf_dir: str,
 def agg_grouping_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP + CUBE + GROUPING SETS + statistical aggregates
     (percentile/corr/stddev) + equi-width histogram + (round 6)
-    quantileExactWeighted, one checked query over aligned columns
-    (part, g1, g2, n, m1..m4)."""
+    quantileExactWeighted and the categorical-association trio
+    (cramersV/theilsU/contingency), one checked query over aligned
+    columns (part, g1, g2, n, m1..m4)."""
     nd = F.lit(None).cast("double")
     rollup = agg_rollup(spark, sf_dir).select(
         F.lit("rollup").alias("part"),
@@ -990,8 +1085,17 @@ def agg_grouping_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("n"),
         F.col("wp50").alias("m1"), F.col("wp90").alias("m2"),
         nd.alias("m3"), nd.alias("m4"))
+    assoc = agg_association(spark, sf_dir).select(
+        F.lit("assoc").alias("part"),
+        F.lit("l_returnflag").alias("g1"),
+        F.lit("l_linestatus").alias("g2"),
+        F.lit(None).cast("long").alias("n"),
+        F.col("cramers_v").alias("m1"),
+        F.col("theils_u").alias("m2"),
+        F.col("contingency_coef").alias("m3"), nd.alias("m4"))
     return (rollup.unionByName(cube).unionByName(gsets)
-            .unionByName(pctl).unionByName(hist).unionByName(wpctl))
+            .unionByName(pctl).unionByName(hist).unionByName(wpctl)
+            .unionByName(assoc))
 
 
 _GROUPING_STATS_SQL = f"""
@@ -1030,6 +1134,10 @@ UNION ALL
 SELECT 'wpctl', l_returnflag, CAST(NULL AS VARCHAR),
        CAST(NULL AS BIGINT), wp50, wp90, NULL, NULL
 FROM ({_WEIGHTED_PCTL_SQL})
+UNION ALL
+SELECT 'assoc', 'l_returnflag', 'l_linestatus', CAST(NULL AS BIGINT),
+       cramers_v, theils_u, contingency_coef, NULL
+FROM ({_ASSOCIATION_SQL})
 """
 
 

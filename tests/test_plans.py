@@ -538,3 +538,41 @@ def test_quantile_exact_weighted_matches_repetition(spark):
             df.filter(F.col("g") == g).repartition(5),
             ["g"], "x", "w", [lv]).collect()[0]
         assert r[f"wp{round(lv * 100)}"] == want, (g, lv)
+
+
+def test_categorical_association_known_values(spark):
+    """cramersV / theilsU / contingency on constructed tables:
+    perfect dependence -> 1/1, independence -> 0/0, and an
+    intermediate case equal to the hand-computed chi2/entropy
+    arithmetic."""
+    import math
+
+    from mysql_syncer_clickhouse_spark.queries.relational import (
+        categorical_association)
+
+    perfect = spark.createDataFrame(
+        [("a", "x")] * 5 + [("b", "y")] * 5, "u string, v string")
+    r = categorical_association(perfect, "u", "v").collect()[0]
+    assert r["cramers_v"] == 1.0 and r["theils_u"] == 1.0
+
+    indep = spark.createDataFrame(
+        [(u, v) for u in "ab" for v in "xy" for _ in range(4)],
+        "u string, v string")
+    r = categorical_association(indep, "u", "v").collect()[0]
+    assert r["cramers_v"] == 0.0 and r["theils_u"] == 0.0
+
+    # hand-computed 2x2: ct = [[3, 1], [1, 3]], n=8
+    mixed = spark.createDataFrame(
+        [("a", "x")] * 3 + [("a", "y")] + [("b", "x")]
+        + [("b", "y")] * 3, "u string, v string")
+    r = categorical_association(mixed, "u", "v").collect()[0]
+    chi2 = sum((o - 2.0) ** 2 / 2.0 for o in (3, 1, 1, 3))
+    assert r["cramers_v"] == round(math.sqrt(chi2 / 8 / 1), 6)
+    assert r["contingency_coef"] == round(
+        math.sqrt(chi2 / (chi2 + 8)), 6)
+    h_x = -2 * 0.5 * math.log(0.5)
+    h_xy = -4 * (1 / 8) * math.log((1 / 8) / (4 / 8)) \
+        - 0 if False else (
+        -(3 / 8) * math.log((3 / 8) / (4 / 8)) * 2
+        - (1 / 8) * math.log((1 / 8) / (4 / 8)) * 2)
+    assert abs(r["theils_u"] - round((h_x - h_xy) / h_x, 6)) <= 1e-6
