@@ -656,6 +656,76 @@ FROM agg CROSS JOIN hx
 """
 
 
+def two_sample_t_tests(df: DataFrame, value_col: str,
+                       group_col: str, group_a, group_b) -> DataFrame:
+    """ClickHouse's welchTTest / studentTTest statistics for two
+    samples split by a categorical column: one row (welch_t, welch_df,
+    student_t, student_df). Entirely downstream of ONE two-row
+    aggregation (per-group mean/var/count) -- the 100 TB shape; the
+    t and df formulas are closed-form, so no p-value special function
+    is needed (the sink DB reports (t, p); the t values agree and p is
+    a pure function of (t, df)). Rounded to 6 like corr/stddev."""
+    x = F.col(value_col).cast("double")
+    stats = df.filter(F.col(group_col).isin(group_a, group_b)).agg(
+        F.avg(F.when(F.col(group_col) == group_a, x)).alias("m1"),
+        F.var_samp(F.when(F.col(group_col) == group_a, x)).alias("v1"),
+        F.count(F.when(F.col(group_col) == group_a, x)).alias("n1"),
+        F.avg(F.when(F.col(group_col) == group_b, x)).alias("m2"),
+        F.var_samp(F.when(F.col(group_col) == group_b, x)).alias("v2"),
+        F.count(F.when(F.col(group_col) == group_b, x)).alias("n2"))
+    se1 = F.col("v1") / F.col("n1")
+    se2 = F.col("v2") / F.col("n2")
+    welch_t = (F.col("m1") - F.col("m2")) / F.sqrt(se1 + se2)
+    welch_df = ((se1 + se2) * (se1 + se2)
+                / (se1 * se1 / (F.col("n1") - 1)
+                   + se2 * se2 / (F.col("n2") - 1)))
+    sp2 = (((F.col("n1") - 1) * F.col("v1")
+            + (F.col("n2") - 1) * F.col("v2"))
+           / (F.col("n1") + F.col("n2") - 2))
+    student_t = ((F.col("m1") - F.col("m2"))
+                 / F.sqrt(sp2 * (1.0 / F.col("n1") + 1.0 / F.col("n2"))))
+    return stats.select(
+        F.round(welch_t, 6).alias("welch_t"),
+        F.round(welch_df, 6).alias("welch_df"),
+        F.round(student_t, 6).alias("student_t"),
+        (F.col("n1") + F.col("n2") - 2).cast("double")
+         .alias("student_df"))
+
+
+def agg_t_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """welchTTest/studentTTest surface: does extended price differ
+    between the 'O' and 'F' line statuses."""
+    li = _t(spark, sf_dir, "lineitem")
+    return two_sample_t_tests(li, "l_extendedprice",
+                              "l_linestatus", "O", "F")
+
+
+_T_TESTS_SQL = """
+WITH s AS (
+  SELECT AVG(CASE WHEN l_linestatus = 'O'
+             THEN CAST(l_extendedprice AS DOUBLE) END) AS m1,
+         VAR_SAMP(CASE WHEN l_linestatus = 'O'
+                  THEN CAST(l_extendedprice AS DOUBLE) END) AS v1,
+         COUNT(CASE WHEN l_linestatus = 'O' THEN 1 END) AS n1,
+         AVG(CASE WHEN l_linestatus = 'F'
+             THEN CAST(l_extendedprice AS DOUBLE) END) AS m2,
+         VAR_SAMP(CASE WHEN l_linestatus = 'F'
+                  THEN CAST(l_extendedprice AS DOUBLE) END) AS v2,
+         COUNT(CASE WHEN l_linestatus = 'F' THEN 1 END) AS n2
+  FROM lineitem WHERE l_linestatus IN ('O', 'F')
+)
+SELECT ROUND((m1 - m2) / SQRT(v1 / n1 + v2 / n2), 6) AS welch_t,
+       ROUND((v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2)
+             / ((v1 / n1) * (v1 / n1) / (n1 - 1)
+                + (v2 / n2) * (v2 / n2) / (n2 - 1)), 6) AS welch_df,
+       ROUND((m1 - m2) / SQRT(((n1 - 1) * v1 + (n2 - 1) * v2)
+                              / (n1 + n2 - 2)
+                              * (1.0 / n1 + 1.0 / n2)), 6) AS student_t,
+       CAST(n1 + n2 - 2 AS DOUBLE) AS student_df
+FROM s
+"""
+
+
 def quantile_exact_weighted(df: DataFrame, group_cols: list[str],
                             value_col: str, weight_col: str,
                             levels: list[float]) -> DataFrame:
@@ -1093,9 +1163,17 @@ def agg_grouping_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cramers_v").alias("m1"),
         F.col("theils_u").alias("m2"),
         F.col("contingency_coef").alias("m3"), nd.alias("m4"))
+    ttest = agg_t_tests(spark, sf_dir).select(
+        F.lit("ttest").alias("part"),
+        F.lit("l_extendedprice").alias("g1"),
+        F.lit("O_vs_F").alias("g2"),
+        F.lit(None).cast("long").alias("n"),
+        F.col("welch_t").alias("m1"), F.col("welch_df").alias("m2"),
+        F.col("student_t").alias("m3"),
+        F.col("student_df").alias("m4"))
     return (rollup.unionByName(cube).unionByName(gsets)
             .unionByName(pctl).unionByName(hist).unionByName(wpctl)
-            .unionByName(assoc))
+            .unionByName(assoc).unionByName(ttest))
 
 
 _GROUPING_STATS_SQL = f"""
@@ -1138,6 +1216,10 @@ UNION ALL
 SELECT 'assoc', 'l_returnflag', 'l_linestatus', CAST(NULL AS BIGINT),
        cramers_v, theils_u, contingency_coef, NULL
 FROM ({_ASSOCIATION_SQL})
+UNION ALL
+SELECT 'ttest', 'l_extendedprice', 'O_vs_F', CAST(NULL AS BIGINT),
+       welch_t, welch_df, student_t, student_df
+FROM ({_T_TESTS_SQL})
 """
 
 

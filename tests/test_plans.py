@@ -576,3 +576,32 @@ def test_categorical_association_known_values(spark):
         -(3 / 8) * math.log((3 / 8) / (4 / 8)) * 2
         - (1 / 8) * math.log((1 / 8) / (4 / 8)) * 2)
     assert abs(r["theils_u"] - round((h_x - h_xy) / h_x, 6)) <= 1e-6
+
+
+def test_two_sample_t_tests_match_reference(spark):
+    """welch/student t statistics equal a from-scratch statistics-
+    module reference on a small two-sample fixture."""
+    import statistics
+
+    from mysql_syncer_clickhouse_spark.queries.relational import (
+        two_sample_t_tests)
+
+    a = [10.0, 12.0, 9.5, 11.0, 13.0]
+    b = [8.0, 9.0, 7.5, 10.0]
+    rows = [("g1", v) for v in a] + [("g2", v) for v in b]
+    df = spark.createDataFrame(rows, "g string, x double")
+    r = two_sample_t_tests(df, "x", "g", "g1", "g2").collect()[0]
+
+    m1, m2 = statistics.fmean(a), statistics.fmean(b)
+    v1, v2 = statistics.variance(a), statistics.variance(b)
+    n1, n2 = len(a), len(b)
+    se = v1 / n1 + v2 / n2
+    welch_t = (m1 - m2) / se ** 0.5
+    welch_df = se * se / ((v1 / n1) ** 2 / (n1 - 1)
+                          + (v2 / n2) ** 2 / (n2 - 1))
+    sp2 = ((n1 - 1) * v1 + (n2 - 1) * v2) / (n1 + n2 - 2)
+    student_t = (m1 - m2) / (sp2 * (1 / n1 + 1 / n2)) ** 0.5
+    assert abs(r["welch_t"] - welch_t) < 1e-6
+    assert abs(r["welch_df"] - welch_df) < 1e-6
+    assert abs(r["student_t"] - student_t) < 1e-6
+    assert r["student_df"] == n1 + n2 - 2
