@@ -726,6 +726,85 @@ FROM s
 """
 
 
+def mann_whitney_u(df: DataFrame, value_col: str,
+                   group_col: str, group_a, group_b) -> DataFrame:
+    """ClickHouse's mannWhitneyUTest statistics: (u1, u2, z) for two
+    samples, average ranks for ties, tie-corrected normal
+    approximation (p is a pure function of z).
+
+    Plan shape: ONE aggregation to per-distinct-VALUE counts (bounded
+    by value cardinality, never row volume), one ordered window over
+    those counts for cumulative ranks, one closing aggregate. The
+    rank window is a single global sort over DISTINCT values -- fine
+    for the categorical/discretized measures rank tests are used on;
+    a continuous 100 TB column should be binned first (the test is
+    rank-based, so binning = the resolution knob)."""
+    x = F.col(value_col).cast("double")
+    vals = (df.filter(F.col(group_col).isin(group_a, group_b))
+              .groupBy(x.alias("v"))
+              .agg(F.count(F.lit(1)).alias("n_all"),
+                   F.count(F.when(F.col(group_col) == group_a, 1))
+                    .alias("n_a")))
+    w = (Window.orderBy("v")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    ranked = vals.select(
+        "n_all", "n_a",
+        (F.sum("n_all").over(w) - F.col("n_all")
+         + (F.col("n_all") + 1) / 2.0).alias("avg_rank"))
+    agg = ranked.agg(
+        F.sum(F.col("n_a") * F.col("avg_rank")).alias("r1"),
+        F.sum("n_a").alias("n1"),
+        F.sum("n_all").alias("n"),
+        F.sum(F.col("n_all") * F.col("n_all") * F.col("n_all")
+              - F.col("n_all")).alias("tie3"))
+    n1 = F.col("n1").cast("double")
+    n2 = (F.col("n") - F.col("n1")).cast("double")
+    n = F.col("n").cast("double")
+    u1 = F.col("r1") - n1 * (n1 + 1) / 2
+    u2 = n1 * n2 - u1
+    sigma = F.sqrt(n1 * n2 / 12.0
+                   * ((n + 1) - F.col("tie3") / (n * (n - 1))))
+    z = (u1 - n1 * n2 / 2) / sigma
+    return agg.select(F.round(u1, 6).alias("u1"),
+                      F.round(u2, 6).alias("u2"),
+                      F.round(z, 6).alias("z"))
+
+
+def agg_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mannWhitneyUTest surface: rank-compare l_quantity (discrete
+    1..50 -- exactly the tied-rank case the correction exists for)
+    between the 'O' and 'F' line statuses."""
+    li = _t(spark, sf_dir, "lineitem")
+    return mann_whitney_u(li, "l_quantity", "l_linestatus", "O", "F")
+
+
+_MANN_WHITNEY_SQL = """
+WITH vals AS (
+  SELECT CAST(l_quantity AS DOUBLE) AS v, COUNT(*) AS n_all,
+         COUNT(CASE WHEN l_linestatus = 'O' THEN 1 END) AS n_a
+  FROM lineitem WHERE l_linestatus IN ('O', 'F')
+  GROUP BY 1
+), ranked AS (
+  SELECT n_all, n_a,
+         SUM(n_all) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+           - n_all + (n_all + 1) / 2.0 AS avg_rank
+  FROM vals
+), agg AS (
+  SELECT SUM(n_a * avg_rank) AS r1,
+         CAST(SUM(n_a) AS DOUBLE) AS n1,
+         CAST(SUM(n_all) AS DOUBLE) AS n,
+         CAST(SUM(n_all * n_all * n_all - n_all) AS DOUBLE) AS tie3
+  FROM ranked
+)
+SELECT ROUND(r1 - n1 * (n1 + 1) / 2, 6) AS u1,
+       ROUND(n1 * (n - n1) - (r1 - n1 * (n1 + 1) / 2), 6) AS u2,
+       ROUND((r1 - n1 * (n1 + 1) / 2 - n1 * (n - n1) / 2)
+             / SQRT(n1 * (n - n1) / 12.0
+                    * ((n + 1) - tie3 / (n * (n - 1)))), 6) AS z
+FROM agg
+"""
+
+
 def quantile_exact_weighted(df: DataFrame, group_cols: list[str],
                             value_col: str, weight_col: str,
                             levels: list[float]) -> DataFrame:
@@ -1171,9 +1250,16 @@ def agg_grouping_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("welch_t").alias("m1"), F.col("welch_df").alias("m2"),
         F.col("student_t").alias("m3"),
         F.col("student_df").alias("m4"))
+    mwu = agg_mann_whitney(spark, sf_dir).select(
+        F.lit("mwu").alias("part"),
+        F.lit("l_quantity").alias("g1"),
+        F.lit("O_vs_F").alias("g2"),
+        F.lit(None).cast("long").alias("n"),
+        F.col("u1").alias("m1"), F.col("u2").alias("m2"),
+        F.col("z").alias("m3"), nd.alias("m4"))
     return (rollup.unionByName(cube).unionByName(gsets)
             .unionByName(pctl).unionByName(hist).unionByName(wpctl)
-            .unionByName(assoc).unionByName(ttest))
+            .unionByName(assoc).unionByName(ttest).unionByName(mwu))
 
 
 _GROUPING_STATS_SQL = f"""
@@ -1220,6 +1306,10 @@ UNION ALL
 SELECT 'ttest', 'l_extendedprice', 'O_vs_F', CAST(NULL AS BIGINT),
        welch_t, welch_df, student_t, student_df
 FROM ({_T_TESTS_SQL})
+UNION ALL
+SELECT 'mwu', 'l_quantity', 'O_vs_F', CAST(NULL AS BIGINT),
+       u1, u2, z, NULL
+FROM ({_MANN_WHITNEY_SQL})
 """
 
 

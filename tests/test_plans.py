@@ -605,3 +605,32 @@ def test_two_sample_t_tests_match_reference(spark):
     assert abs(r["welch_df"] - welch_df) < 1e-6
     assert abs(r["student_t"] - student_t) < 1e-6
     assert r["student_df"] == n1 + n2 - 2
+
+
+def test_mann_whitney_u_matches_reference(spark):
+    """U and tie-corrected z equal a from-scratch rank reference
+    (average ranks for ties) on a small two-sample fixture."""
+    from mysql_syncer_clickhouse_spark.queries.relational import (
+        mann_whitney_u)
+
+    a = [1.0, 2.0, 2.0, 5.0, 7.0]
+    b = [2.0, 3.0, 6.0, 6.0]
+    rows = [("g1", v) for v in a] + [("g2", v) for v in b]
+    df = spark.createDataFrame(rows, "g string, x double")
+    r = mann_whitney_u(df, "x", "g", "g1", "g2").collect()[0]
+
+    allv = sorted(a + b)
+    def avg_rank(v):
+        idxs = [i + 1 for i, x in enumerate(allv) if x == v]
+        return sum(idxs) / len(idxs)
+    r1 = sum(avg_rank(v) for v in a)
+    n1, n2, n = len(a), len(b), len(a) + len(b)
+    u1 = r1 - n1 * (n1 + 1) / 2
+    u2 = n1 * n2 - u1
+    from collections import Counter
+    tie3 = sum(c ** 3 - c for c in Counter(allv).values())
+    sigma = (n1 * n2 / 12 * ((n + 1) - tie3 / (n * (n - 1)))) ** 0.5
+    z = (u1 - n1 * n2 / 2) / sigma
+    assert abs(r["u1"] - u1) < 1e-6
+    assert abs(r["u2"] - u2) < 1e-6
+    assert abs(r["z"] - z) < 1e-6
