@@ -251,3 +251,67 @@ def delta_sum(df: DataFrame, key_col: str, ts_col: str,
               .groupBy(F.col(key_col).alias("key"))
               .agg(F.sum(F.greatest(F.col("__d"), F.lit(0)))
                     .alias("delta_sum")))
+
+
+def lttb_downsample(df: DataFrame, key_col: str, ts_col: str,
+                    value_col: str, n_out: int,
+                    tiebreak_col: str | None = None) -> DataFrame:
+    """Per-key largest-triangle-three-buckets downsampling
+    (Steinarsson 2013; the sink DB's largestTriangleThreeBuckets
+    aggregate): reduce each series to `n_out` points that preserve
+    its visual shape -- first and last points always kept, interior
+    points chosen one per bucket to maximize the triangle area with
+    the previously selected point and the NEXT bucket's centroid.
+
+    The selection is inherently sequential per series (each choice
+    depends on the previous selected point), so it runs as ONE
+    applyInPandas over key groups -- numpy area arithmetic inside,
+    parallel across keys, the per-key-memory contract of every scan
+    here. Output: (key, ts, value, idx) with idx the 0-based output
+    position (total ordering of the downsampled series)."""
+    import numpy as np
+
+    if n_out < 2:
+        raise ValueError("n_out must be >= 2 (endpoints are kept)")
+    order = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+    kt = dict(df.dtypes)[key_col]
+    schema = (f"`{key_col}` {kt}, `{ts_col}` double, "
+              f"`{value_col}` double, idx int")
+
+    def scan(pdf):
+        pdf = pdf.sort_values(order, kind="mergesort")
+        x = (pdf[ts_col].astype("int64").to_numpy().astype("float64")
+             if str(pdf[ts_col].dtype).startswith("datetime")
+             else pdf[ts_col].to_numpy(dtype="float64"))
+        y = pdf[value_col].to_numpy(dtype="float64")
+        ln = len(x)
+        if ln <= n_out:
+            sel = list(range(ln))
+        else:
+            # n_out-2 interior buckets over points 1..ln-2
+            edges = [1 + (ln - 2) * i // (n_out - 2)
+                     for i in range(n_out - 1)]
+            sel = [0]
+            prev = 0
+            for b in range(n_out - 2):
+                lo, hi = edges[b], edges[b + 1]
+                nlo, nhi = (edges[b + 1],
+                            edges[b + 2] if b + 2 < len(edges) else ln)
+                if nhi <= nlo:
+                    nlo, nhi = ln - 1, ln
+                cx, cy = x[nlo:nhi].mean(), y[nlo:nhi].mean()
+                area = np.abs(
+                    (x[prev] - cx) * (y[lo:hi] - y[prev])
+                    - (x[prev] - x[lo:hi]) * (cy - y[prev]))
+                prev = lo + int(area.argmax())
+                sel.append(prev)
+            sel.append(ln - 1)
+        key = pdf[key_col].iloc[0]
+        import pandas as pd
+        return pd.DataFrame({
+            key_col: [key] * len(sel),
+            ts_col: [float(x[i]) for i in sel],
+            value_col: [float(y[i]) for i in sel],
+            "idx": list(range(len(sel)))})
+
+    return df.groupBy(key_col).applyInPandas(scan, schema)

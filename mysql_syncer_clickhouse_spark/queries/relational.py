@@ -805,6 +805,76 @@ FROM agg
 """
 
 
+def kolmogorov_smirnov(df: DataFrame, value_col: str,
+                       group_col: str, group_a, group_b) -> DataFrame:
+    """ClickHouse's kolmogorovSmirnovTest statistic for two samples:
+    D = max |ECDF_a(x) - ECDF_b(x)| plus the scaled statistic
+    sqrt(n1*n2/(n1+n2)) * D (p is a pure function of it). Same
+    bounded shape as mann_whitney_u: one per-distinct-VALUE count
+    aggregation, one ordered window over that bounded relation, one
+    closing max -- never a row-volume sort. Every candidate D is
+    |c1/n1 - c2/n2| on exact integers, so the max is deterministic
+    across engines with no rounding games (still rounded to 6 for the
+    hash convention)."""
+    x = F.col(value_col).cast("double")
+    vals = (df.filter(F.col(group_col).isin(group_a, group_b))
+              .groupBy(x.alias("v"))
+              .agg(F.count(F.when(F.col(group_col) == group_a, 1))
+                    .alias("c1"),
+                   F.count(F.when(F.col(group_col) == group_b, 1))
+                    .alias("c2")))
+    w = (Window.orderBy("v")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wa = Window.rowsBetween(Window.unboundedPreceding,
+                            Window.unboundedFollowing)
+    cum = vals.select(
+        F.sum("c1").over(w).alias("k1"),
+        F.sum("c2").over(w).alias("k2"),
+        F.sum("c1").over(wa).alias("n1"),
+        F.sum("c2").over(wa).alias("n2"))
+    diff = F.abs(F.col("k1") / F.col("n1") - F.col("k2") / F.col("n2"))
+    agg = cum.agg(F.max(diff).alias("d"),
+                  F.first("n1").alias("n1"), F.first("n2").alias("n2"))
+    scale = F.sqrt(F.col("n1") * F.col("n2").cast("double")
+                   / (F.col("n1") + F.col("n2")))
+    return agg.select(
+        F.round(F.col("d"), 6).alias("d_stat"),
+        F.round(scale * F.col("d"), 6).alias("d_scaled"))
+
+
+def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kolmogorovSmirnovTest surface: compare the l_quantity
+    distribution between 'O' and 'F' line statuses."""
+    li = _t(spark, sf_dir, "lineitem")
+    return kolmogorov_smirnov(li, "l_quantity", "l_linestatus",
+                              "O", "F")
+
+
+_KS_SQL = """
+WITH vals AS (
+  SELECT CAST(l_quantity AS DOUBLE) AS v,
+         COUNT(CASE WHEN l_linestatus = 'O' THEN 1 END) AS c1,
+         COUNT(CASE WHEN l_linestatus = 'F' THEN 1 END) AS c2
+  FROM lineitem WHERE l_linestatus IN ('O', 'F')
+  GROUP BY 1
+), cum AS (
+  SELECT SUM(c1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS k1,
+         SUM(c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS k2,
+         SUM(c1) OVER () AS n1, SUM(c2) OVER () AS n2
+  FROM vals
+), agg AS (
+  SELECT MAX(ABS(k1 / CAST(n1 AS DOUBLE) - k2 / CAST(n2 AS DOUBLE)))
+           AS d,
+         MIN(n1) AS n1, MIN(n2) AS n2
+  FROM cum
+)
+SELECT ROUND(d, 6) AS d_stat,
+       ROUND(SQRT(n1 * CAST(n2 AS DOUBLE) / (n1 + n2)) * d, 6)
+         AS d_scaled
+FROM agg
+"""
+
+
 def quantile_exact_weighted(df: DataFrame, group_cols: list[str],
                             value_col: str, weight_col: str,
                             levels: list[float]) -> DataFrame:
@@ -1257,9 +1327,17 @@ def agg_grouping_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("n"),
         F.col("u1").alias("m1"), F.col("u2").alias("m2"),
         F.col("z").alias("m3"), nd.alias("m4"))
+    ks = agg_ks_test(spark, sf_dir).select(
+        F.lit("ks").alias("part"),
+        F.lit("l_quantity").alias("g1"),
+        F.lit("O_vs_F").alias("g2"),
+        F.lit(None).cast("long").alias("n"),
+        F.col("d_stat").alias("m1"), F.col("d_scaled").alias("m2"),
+        nd.alias("m3"), nd.alias("m4"))
     return (rollup.unionByName(cube).unionByName(gsets)
             .unionByName(pctl).unionByName(hist).unionByName(wpctl)
-            .unionByName(assoc).unionByName(ttest).unionByName(mwu))
+            .unionByName(assoc).unionByName(ttest).unionByName(mwu)
+            .unionByName(ks))
 
 
 _GROUPING_STATS_SQL = f"""
@@ -1310,6 +1388,10 @@ UNION ALL
 SELECT 'mwu', 'l_quantity', 'O_vs_F', CAST(NULL AS BIGINT),
        u1, u2, z, NULL
 FROM ({_MANN_WHITNEY_SQL})
+UNION ALL
+SELECT 'ks', 'l_quantity', 'O_vs_F', CAST(NULL AS BIGINT),
+       d_stat, d_scaled, NULL, NULL
+FROM ({_KS_SQL})
 """
 
 

@@ -634,3 +634,86 @@ def test_mann_whitney_u_matches_reference(spark):
     assert abs(r["u1"] - u1) < 1e-6
     assert abs(r["u2"] - u2) < 1e-6
     assert abs(r["z"] - z) < 1e-6
+
+
+def test_lttb_downsample_matches_reference(spark):
+    """LTTB: endpoints always kept, short series pass through, spikes
+    survive (the point with the largest triangle area wins its
+    bucket), and the selection equals a from-scratch reference
+    implementation -- identically under repartitioning."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from mysql_syncer_clickhouse_spark.operators.temporal import (
+        lttb_downsample)
+
+    n = 100
+    ys = [math.sin(i / 7.0) for i in range(n)]
+    ys[40] = 25.0                      # spike must survive
+    rows = [("s", float(i), ys[i]) for i in range(n)]
+    df = spark.createDataFrame(rows, "k string, t double, v double")
+
+    def ref_lttb(x, y, n_out):
+        ln = len(x)
+        edges = [1 + (ln - 2) * i // (n_out - 2) for i in range(n_out - 1)]
+        sel, prev = [0], 0
+        for b in range(n_out - 2):
+            lo, hi = edges[b], edges[b + 1]
+            nlo = edges[b + 1]
+            nhi = edges[b + 2] if b + 2 < len(edges) else ln
+            if nhi <= nlo:
+                nlo, nhi = ln - 1, ln
+            cx = sum(x[nlo:nhi]) / (nhi - nlo)
+            cy = sum(y[nlo:nhi]) / (nhi - nlo)
+            best, barea = lo, -1.0
+            for i in range(lo, hi):
+                area = abs((x[prev] - cx) * (y[i] - y[prev])
+                           - (x[prev] - x[i]) * (cy - y[prev]))
+                if area > barea:
+                    best, barea = i, area
+            sel.append(best)
+            prev = best
+        sel.append(ln - 1)
+        return sel
+
+    for n_out in (10, 23):
+        got = [(r["t"], r["v"]) for r in
+               lttb_downsample(df.repartition(7), "k", "t", "v",
+                               n_out).orderBy("idx").collect()]
+        want = [(float(i), ys[i])
+                for i in ref_lttb([float(i) for i in range(n)], ys,
+                                  n_out)]
+        assert got == want, n_out
+        assert got[0][0] == 0.0 and got[-1][0] == float(n - 1)
+        assert any(v == 25.0 for _, v in got)   # spike kept
+
+    short = lttb_downsample(df.limit(5), "k", "t", "v", 10).collect()
+    assert len(short) == 5             # <= n_out passes through
+
+
+def test_kolmogorov_smirnov_matches_reference(spark):
+    """D equals the from-scratch ECDF max-difference on a fixture with
+    ties, and identical samples give D = 0."""
+    from mysql_syncer_clickhouse_spark.queries.relational import (
+        kolmogorov_smirnov)
+
+    a = [1.0, 2.0, 2.0, 3.0, 5.0]
+    b = [2.0, 4.0, 4.0, 6.0]
+    rows = [("g1", v) for v in a] + [("g2", v) for v in b]
+    df = spark.createDataFrame(rows, "g string, x double")
+    r = kolmogorov_smirnov(df, "x", "g", "g1", "g2").collect()[0]
+
+    allv = sorted(set(a + b))
+    d = max(abs(sum(v <= t for v in a) / len(a)
+                - sum(v <= t for v in b) / len(b)) for t in allv)
+    assert abs(r["d_stat"] - d) < 1e-6
+    n1, n2 = len(a), len(b)
+    assert abs(r["d_scaled"]
+               - (n1 * n2 / (n1 + n2)) ** 0.5 * d) < 1e-6
+
+    same = spark.createDataFrame(
+        [("g1", v) for v in a] + [("g2", v) for v in a],
+        "g string, x double")
+    r0 = kolmogorov_smirnov(same, "x", "g", "g1", "g2").collect()[0]
+    assert r0["d_stat"] == 0.0
