@@ -255,12 +255,13 @@ def with_mixed_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 def with_pixel_payload(docs: DataFrame) -> DataFrame:
     """Fixture payload column with COMPLETE, decodable pixel data:
-    doc_id%3==0 -> 24-bit BMP (padded bottom-up rows), ==1 -> P6 PPM,
-    ==2 -> LZW-compressed GIF. Dimensions and seed derive from doc_id
-    (w = id%13+4, h = id*3%11+4, seed = id%256), so a SQL oracle can
-    recompute every channel sum from the shared coordinate formulas
-    -- the driver-checkable counterpart of with_mixed_payload's
-    header-only fixtures."""
+    doc_id%4==0 -> 24-bit BMP (padded bottom-up rows), ==1 -> P6 PPM,
+    ==2 -> LZW-compressed GIF, ==3 -> zlib-deflated PNG (row filters
+    cycling through all five types). Dimensions and seed derive from
+    doc_id (w = id%13+4, h = id*3%11+4, seed = id%256), so a SQL
+    oracle can recompute every channel sum from the shared coordinate
+    formulas -- the driver-checkable counterpart of
+    with_mixed_payload's header-only fixtures."""
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
@@ -268,8 +269,8 @@ def with_pixel_payload(docs: DataFrame) -> DataFrame:
                 w = int(doc_id % 13 + 4)
                 h = int((doc_id * 3) % 11 + 4)
                 seed = int(doc_id % 256)
-                m = int(doc_id % 3)
-                maker = (make_bmp, make_ppm, make_gif)[m]
+                m = int(doc_id % 4)
+                maker = (make_bmp, make_ppm, make_gif, make_png)[m]
                 out.append(maker(w, h, seed))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": out})
 
@@ -650,6 +651,156 @@ def parse_gif_pixels(payload: bytes):
     return None
 
 
+def make_png(width: int, height: int, seed: int = 0) -> bytes:
+    """Deterministic COMPLETE PNG: 8-bit RGB (color type 2), one IDAT
+    with zlib-compressed scanlines, CRC32-correct chunks -- all from
+    the stdlib (zlib ships with Python; no codec library). Pixels use
+    the shared coordinate formulas (same as make_ppm/make_bmp). Each
+    row's filter type cycles row % 5, so a decoder must implement ALL
+    five PNG filters (None/Sub/Up/Average/Paeth) to round-trip this
+    fixture -- that is the point."""
+    import zlib
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body)))
+
+    def px(x, y):
+        return ((x * 3 + y * 7 + seed) % 256,
+                (x * 5 + y * 11 + 2 * seed) % 256,
+                (x * 13 + y * 17 + 3 * seed) % 256)
+
+    raw_rows = [bytes(b for x in range(width) for b in px(x, y))
+                for y in range(height)]
+    bpp = 3
+    out = bytearray()
+    prev = bytes(width * bpp)
+    for y, row in enumerate(raw_rows):
+        ft = y % 5
+        out.append(ft)
+        if ft == 0:                           # None
+            out += row
+        elif ft == 1:                         # Sub
+            out += bytes((row[i] - (row[i - bpp] if i >= bpp else 0))
+                         % 256 for i in range(len(row)))
+        elif ft == 2:                         # Up
+            out += bytes((row[i] - prev[i]) % 256
+                         for i in range(len(row)))
+        elif ft == 3:                         # Average
+            out += bytes((row[i] - ((row[i - bpp] if i >= bpp else 0)
+                                    + prev[i]) // 2) % 256
+                         for i in range(len(row)))
+        else:                                 # Paeth
+            def paeth(a, b, c):
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                if pa <= pb and pa <= pc:
+                    return a
+                return b if pb <= pc else c
+            out += bytes((row[i] - paeth(
+                row[i - bpp] if i >= bpp else 0, prev[i],
+                prev[i - bpp] if i >= bpp else 0)) % 256
+                for i in range(len(row)))
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(out)))
+            + chunk(b"IEND", b""))
+
+
+def parse_png_pixels(payload: bytes):
+    """Decode a PNG payload to an RGB uint8 array with NO codec
+    library: chunk walk, stdlib-zlib inflate of the concatenated
+    IDATs, then scanline de-filtering for all five PNG filter types
+    (None/Sub/Up/Average/Paeth -- the Paeth predictor implemented per
+    the spec). Supports the common non-interlaced 8-bit layouts:
+    grayscale (0), RGB (2), gray+alpha (4), RGBA (6) -- alpha is
+    dropped, gray broadcast to RGB. Returns (width, height,
+    ndarray[h, w, 3]) or None for anything else (paletted, 16-bit,
+    interlaced, truncated), which degrades to the header-only path."""
+    import zlib
+
+    import numpy as np
+
+    try:
+        if payload[:8] != b"\x89PNG\r\n\x1a\n":
+            return None
+        pos = 8
+        w = h = None
+        channels = 0
+        idat = bytearray()
+        while pos + 8 <= len(payload):
+            ln = struct.unpack(">I", payload[pos:pos + 4])[0]
+            tag = payload[pos + 4:pos + 8]
+            body = payload[pos + 8:pos + 8 + ln]
+            if len(body) < ln:
+                return None
+            pos += 12 + ln                    # incl. CRC
+            if tag == b"IHDR":
+                w, h, depth, ctype, comp, filt, ilace = \
+                    struct.unpack(">IIBBBBB", body)
+                if depth != 8 or comp != 0 or filt != 0 or ilace != 0:
+                    return None
+                channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype, 0)
+                if channels == 0:
+                    return None
+            elif tag == b"IDAT":
+                idat += body
+            elif tag == b"IEND":
+                break
+        if not w or not h or not idat:
+            return None
+        raw = zlib.decompress(bytes(idat))
+        stride = w * channels
+        if len(raw) != h * (stride + 1):
+            return None
+        bpp = channels
+        img = np.zeros((h, stride), dtype=np.int64)
+        prev = np.zeros(stride, dtype=np.int64)
+        for y in range(h):
+            line = np.frombuffer(raw, dtype=np.uint8,
+                                 count=stride,
+                                 offset=y * (stride + 1) + 1) \
+                     .astype(np.int64)
+            ft = raw[y * (stride + 1)]
+            if ft == 0:
+                row = line
+            elif ft == 2:                     # Up: vectorized
+                row = (line + prev) % 256
+            elif ft in (1, 3, 4):
+                row = np.empty(stride, dtype=np.int64)
+                for i in range(stride):
+                    a = row[i - bpp] if i >= bpp else 0
+                    b = prev[i]
+                    c = prev[i - bpp] if i >= bpp else 0
+                    if ft == 1:
+                        pred = a
+                    elif ft == 3:
+                        pred = (a + b) // 2
+                    else:
+                        p = a + b - c
+                        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                        pred = a if pa <= pb and pa <= pc \
+                            else (b if pb <= pc else c)
+                    row[i] = (line[i] + pred) % 256
+            else:
+                return None
+            img[y] = row
+            prev = row
+        px = img.reshape(h, w, channels).astype(np.uint8)
+        if channels == 1:
+            rgb = np.repeat(px, 3, axis=2)
+        elif channels == 2:
+            rgb = np.repeat(px[:, :, :1], 3, axis=2)
+        elif channels == 3:
+            rgb = px
+        else:
+            rgb = px[:, :, :3]
+        return w, h, rgb
+    except (IndexError, ValueError, struct.error, zlib.error):
+        return None
+
+
 def decode_image_pixels(df: DataFrame) -> DataFrame:
     """REAL pixel decoding, no codec library: NetPBM payloads (P6 RGB /
     P5 grayscale), uncompressed 24-bit BMPs, and LZW-COMPRESSED GIFs
@@ -681,8 +832,11 @@ def decode_image_pixels(df: DataFrame) -> DataFrame:
                     parse_bmp_pixels(payload)
                 gif = None if meta is not None or bmp is not None \
                     else parse_gif_pixels(payload)
+                png = None if meta is not None or bmp is not None \
+                    or gif is not None else parse_png_pixels(payload)
                 out["doc_id"].append(doc_id)
-                if meta is None and bmp is None and gif is None:
+                if meta is None and bmp is None and gif is None \
+                        and png is None:
                     n, w, h, fmt = _decode(payload)
                     out["format"].append(fmt)
                     out["width"].append(w)
@@ -697,9 +851,9 @@ def decode_image_pixels(df: DataFrame) -> DataFrame:
                                        count=w * h * ch, offset=off) \
                            .reshape(h, w, ch).astype(np.float64)
                     means = px.mean(axis=(0, 1))
-                elif gif is not None:
-                    fmt = "gif"
-                    w, h, rgb = gif
+                elif gif is not None or png is not None:
+                    fmt = "gif" if gif is not None else "png"
+                    w, h, rgb = gif if gif is not None else png
                     means = rgb.astype(np.float64).mean(axis=(0, 1))
                     ch = 3
                 else:
@@ -822,6 +976,8 @@ def _gray_pixels(payload: bytes):
         return 0.299 * px[:, :, 2] + 0.587 * px[:, :, 1] \
             + 0.114 * px[:, :, 0]
     gif = parse_gif_pixels(payload)
+    if gif is None:
+        gif = parse_png_pixels(payload)
     if gif is not None:
         _w, _h, rgb = gif
         px = rgb.astype(np.float64)

@@ -790,11 +790,13 @@ def multimodal_meta_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The px_* / sum_* columns drive REAL pixel decoding through the
     driver gate: a second payload (with_pixel_payload) carries
-    complete BMP / P6 PPM / LZW-compressed GIF images whose pixels
-    derive from doc_id coordinate formulas, decode_image_pixels
-    inflates them (the GIF path runs the from-scratch LZW decoder of
-    operators/multimodal.py), and the oracle recomputes every
-    per-channel SUM analytically from the same formulas. Sums, not
+    complete BMP / P6 PPM / LZW-compressed GIF / zlib-deflated PNG
+    images whose pixels derive from doc_id coordinate formulas,
+    decode_image_pixels inflates them (GIF through the from-scratch
+    LZW decoder, PNG through stdlib-zlib + all-five-filter scanline
+    reconstruction -- operators/multimodal.py), and the oracle
+    recomputes every per-channel SUM analytically from the same
+    formulas. Sums, not
     means: sum = round(mean_6dp * w * h) is exactly integer-
     recoverable (rounding error < 5e-7 * w * h << 0.5), so the hash
     compare is float-safe."""
@@ -836,7 +838,7 @@ WITH m AS (
   FROM documents
 ), pxx AS (
   SELECT doc_id, pm, s, w, h, y, unnest(generate_series(0, w - 1)) AS x
-  FROM (SELECT doc_id, CAST(doc_id % 3 AS INT) AS pm, doc_id % 256 AS s,
+  FROM (SELECT doc_id, CAST(doc_id % 4 AS INT) AS pm, doc_id % 256 AS s,
                doc_id % 13 + 4 AS w, (doc_id * 3) % 11 + 4 AS h,
                unnest(generate_series(0, (doc_id * 3) % 11 + 3)) AS y
         FROM documents)
@@ -849,7 +851,7 @@ WITH m AS (
 ), pxs AS (
   SELECT doc_id,
          CASE pm WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm'
-                 ELSE 'gif' END AS px_format,
+                 WHEN 2 THEN 'gif' ELSE 'png' END AS px_format,
          CAST(MAX(w) AS INT) AS px_w, CAST(MAX(h) AS INT) AS px_h,
          CAST(SUM(idx) AS BIGINT) AS sum_r,
          CAST(SUM(CASE WHEN pm = 2 THEN (idx * 7 + 31) % 256

@@ -1249,3 +1249,43 @@ def test_fuzzy_decontaminate_collapse_preserves_members(spark):
     # all 5 identical train docs x both identical bench items
     assert got == {(i, b) for i in range(5) for b in (1, 2)}
     assert out.filter(F.col("jaccard") != 1.0).count() == 0
+
+
+def test_png_pixel_decode_exact_statistics(spark):
+    """PNG decodes for real with stdlib zlib only: make_png cycles the
+    row filter through all five types (None/Sub/Up/Average/Paeth), so
+    a full de-filter implementation is required to round-trip; channel
+    means equal the coordinate-formula reference, a PPM with identical
+    pixels produces identical stats AND pHash, and the header-only PNG
+    degrades to NULL stats."""
+    import numpy as np
+
+    from mysql_syncer_clickhouse_spark.operators.multimodal import (
+        decode_image_pixels, make_png, make_png_header, make_ppm,
+        parse_png_pixels, phash_images)
+
+    w, h, seed = 11, 10, 6          # h = 10 > 5: every filter used
+    png = make_png(w, h, seed=seed)
+    parsed = parse_png_pixels(png)
+    assert parsed is not None and (parsed[0], parsed[1]) == (w, h)
+    assert parse_png_pixels(make_png_header(7, 5)) is None
+
+    want = np.array([[( (x*3+y*7+seed) % 256,
+                        (x*5+y*11+2*seed) % 256,
+                        (x*13+y*17+3*seed) % 256)
+                      for x in range(w)] for y in range(h)],
+                    dtype=np.uint8)
+    assert (parsed[2] == want).all()   # exact pixel round-trip
+
+    rows = [(1, bytearray(png)),
+            (2, bytearray(make_ppm(w, h, seed=seed))),
+            (3, bytearray(make_png_header(7, 5)))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in decode_image_pixels(df).collect()}
+    assert out[1]["format"] == "png"
+    for k in ("mean_r", "mean_g", "mean_b", "brightness"):
+        assert out[1][k] == out[2][k], k
+    assert out[3]["mean_r"] is None and out[3]["width"] == 7
+
+    ph = {r["doc_id"]: r["phash"] for r in phash_images(df).collect()}
+    assert ph[1] is not None and ph[1] == ph[2]
