@@ -801,19 +801,49 @@ def parse_png_pixels(payload: bytes):
         return None
 
 
+def make_jpeg(width: int, height: int, seed: int = 0,
+              quality: int = 90) -> bytes:
+    """Deterministic COMPLETE baseline JPEG over the shared coordinate
+    formulas (operators/jpegcodec.encode_baseline_jpeg, 4:4:4, Annex K
+    tables). Lossy by design -- the GIF/PNG fixtures stay the
+    exact-oracle pair; this one is for tolerance/pHash checks."""
+    import numpy as np
+
+    from .jpegcodec import encode_baseline_jpeg
+    rgb = np.empty((height, width, 3), dtype=np.uint8)
+    ys, xs = np.mgrid[0:height, 0:width]
+    rgb[:, :, 0] = (xs * 3 + ys * 7 + seed) % 256
+    rgb[:, :, 1] = (xs * 5 + ys * 11 + 2 * seed) % 256
+    rgb[:, :, 2] = (xs * 13 + ys * 17 + 3 * seed) % 256
+    return encode_baseline_jpeg(rgb, quality=quality)
+
+
+def parse_jpeg_pixels(payload: bytes):
+    """(width, height, rgb uint8) for a baseline sequential JPEG via
+    the from-scratch Huffman+IDCT decoder (operators/jpegcodec.py);
+    None for progressive/arithmetic/12-bit/truncated payloads, which
+    degrade to the header-only metadata path."""
+    if payload[:2] != b"\xff\xd8":
+        return None
+    from .jpegcodec import decode_baseline_jpeg
+    return decode_baseline_jpeg(payload)
+
+
 def decode_image_pixels(df: DataFrame) -> DataFrame:
     """REAL pixel decoding, no codec library: NetPBM payloads (P6 RGB /
-    P5 grayscale), uncompressed 24-bit BMPs, and LZW-COMPRESSED GIFs
-    (parse_gif_pixels -- a from-scratch decoder, so one genuinely
-    compressed format has a real pixel path) decode to per-image
-    channel statistics -- mean R/G/B and luma brightness computed from
-    the actual pixel bytes (BMP rows un-padded and BGR-swapped; means
-    are row-order invariant so bottom-up storage needs no flip).
-    Other payloads (PNG/JPEG need a codec this container lacks)
-    yield NULL stats with width/height from the header walk, so the
-    operator is total over mixed corpora. Same Arrow mapInPandas
-    plumbing as every other multimodal operator; arithmetic runs as one
-    numpy reduction per image, not per-pixel Python."""
+    P5 grayscale), uncompressed 24-bit BMPs, LZW-COMPRESSED GIFs
+    (parse_gif_pixels -- a from-scratch decoder), zlib-deflated PNGs
+    (stdlib inflate + all five scanline filters), and baseline JPEGs
+    (from-scratch Huffman + IDCT, operators/jpegcodec.py) decode to
+    per-image channel statistics -- mean R/G/B and luma brightness
+    computed from the actual pixel bytes (BMP rows un-padded and
+    BGR-swapped; means are row-order invariant so bottom-up storage
+    needs no flip). Unsupported layouts (progressive JPEG, paletted
+    PNG, interlaced GIF, ...) yield NULL stats with width/height from
+    the header walk, so the operator is total over mixed corpora.
+    Same Arrow mapInPandas plumbing as every other multimodal
+    operator; arithmetic runs as one numpy reduction per image, not
+    per-pixel Python."""
     import numpy as np
 
     schema = ("doc_id long, format string, width int, height int, "
@@ -830,13 +860,18 @@ def decode_image_pixels(df: DataFrame) -> DataFrame:
                 meta = parse_ppm(payload)
                 bmp = None if meta is not None else \
                     parse_bmp_pixels(payload)
-                gif = None if meta is not None or bmp is not None \
-                    else parse_gif_pixels(payload)
-                png = None if meta is not None or bmp is not None \
-                    or gif is not None else parse_png_pixels(payload)
+                decoded = None              # (fmt, (w, h, rgb))
+                if meta is None and bmp is None:
+                    for fmt_name, parser in (
+                            ("gif", parse_gif_pixels),
+                            ("png", parse_png_pixels),
+                            ("jpeg", parse_jpeg_pixels)):
+                        got = parser(payload)
+                        if got is not None:
+                            decoded = (fmt_name, got)
+                            break
                 out["doc_id"].append(doc_id)
-                if meta is None and bmp is None and gif is None \
-                        and png is None:
+                if meta is None and bmp is None and decoded is None:
                     n, w, h, fmt = _decode(payload)
                     out["format"].append(fmt)
                     out["width"].append(w)
@@ -851,9 +886,8 @@ def decode_image_pixels(df: DataFrame) -> DataFrame:
                                        count=w * h * ch, offset=off) \
                            .reshape(h, w, ch).astype(np.float64)
                     means = px.mean(axis=(0, 1))
-                elif gif is not None or png is not None:
-                    fmt = "gif" if gif is not None else "png"
-                    w, h, rgb = gif if gif is not None else png
+                elif decoded is not None:
+                    fmt, (w, h, rgb) = decoded
                     means = rgb.astype(np.float64).mean(axis=(0, 1))
                     ch = 3
                 else:
@@ -975,14 +1009,14 @@ def _gray_pixels(payload: bytes):
         px = px[::-1]
         return 0.299 * px[:, :, 2] + 0.587 * px[:, :, 1] \
             + 0.114 * px[:, :, 0]
-    gif = parse_gif_pixels(payload)
-    if gif is None:
-        gif = parse_png_pixels(payload)
-    if gif is not None:
-        _w, _h, rgb = gif
-        px = rgb.astype(np.float64)
-        return 0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] \
-            + 0.114 * px[:, :, 2]
+    for parser in (parse_gif_pixels, parse_png_pixels,
+                   parse_jpeg_pixels):
+        got = parser(payload)
+        if got is not None:
+            _w, _h, rgb = got
+            px = rgb.astype(np.float64)
+            return 0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] \
+                + 0.114 * px[:, :, 2]
     return None
 
 

@@ -1289,3 +1289,58 @@ def test_png_pixel_decode_exact_statistics(spark):
 
     ph = {r["doc_id"]: r["phash"] for r in phash_images(df).collect()}
     assert ph[1] is not None and ph[1] == ph[2]
+
+
+def test_jpeg_codec_round_trip_and_phash(spark):
+    """Baseline JPEG decodes for real with no codec library: the
+    from-scratch Huffman+IDCT decoder recovers the encoder's input
+    within quantization tolerance (JPEG is lossy BY DESIGN, so the
+    check is a bound, unlike GIF/PNG's exact ones); a SMOOTH image
+    round-trips nearly losslessly; pHash -- whose whole point is
+    robustness to compression -- lands within a small hamming distance
+    of the lossless PPM twin; header-only JPEGs degrade to NULL
+    stats."""
+    import numpy as np
+
+    from mysql_syncer_clickhouse_spark.operators.jpegcodec import (
+        decode_baseline_jpeg, encode_baseline_jpeg)
+    from mysql_syncer_clickhouse_spark.operators.multimodal import (
+        decode_image_pixels, make_jpeg, make_jpeg_header, make_ppm,
+        phash64, _gray_pixels)
+
+    w, h, seed = 21, 18, 9
+    jpg = make_jpeg(w, h, seed=seed)
+    dec = decode_baseline_jpeg(jpg)
+    assert dec is not None and (dec[0], dec[1]) == (w, h)
+    want = np.empty((h, w, 3), dtype=np.uint8)
+    ys, xs = np.mgrid[0:h, 0:w]
+    want[:, :, 0] = (xs * 3 + ys * 7 + seed) % 256
+    want[:, :, 1] = (xs * 5 + ys * 11 + 2 * seed) % 256
+    want[:, :, 2] = (xs * 13 + ys * 17 + 3 * seed) % 256
+    err = np.abs(dec[2].astype(float) - want.astype(float))
+    # the mod-256 sawtooth fixture is adversarially high-frequency;
+    # q90 quantization error stays bounded even there
+    assert err.mean() < 8 and err.max() < 64
+
+    # smooth gradient: near-lossless at q90
+    smooth = np.empty((16, 16, 3), dtype=np.uint8)
+    ys2, xs2 = np.mgrid[0:16, 0:16]
+    for c in range(3):
+        smooth[:, :, c] = (4 * xs2 + 3 * ys2 + 10 * c).astype(np.uint8)
+    d2 = decode_baseline_jpeg(encode_baseline_jpeg(smooth, 90))
+    assert np.abs(d2[2].astype(float)
+                  - smooth.astype(float)).mean() < 2.0
+
+    # pHash stability across the lossy boundary
+    ppm = make_ppm(w, h, seed=seed)
+    ph_ppm = phash64(_gray_pixels(bytearray(ppm)))
+    ph_jpg = phash64(_gray_pixels(bytearray(jpg)))
+    assert bin(ph_ppm ^ ph_jpg).count("1") <= 8
+
+    rows = [(1, bytearray(jpg)), (2, bytearray(make_jpeg_header(9, 7)))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in decode_image_pixels(df).collect()}
+    assert out[1]["format"] == "jpeg"
+    assert (out[1]["width"], out[1]["height"]) == (w, h)
+    assert abs(out[1]["mean_r"] - want[:, :, 0].mean()) < 8
+    assert out[2]["mean_r"] is None and out[2]["width"] == 9
