@@ -927,13 +927,95 @@ def make_wav(sample_rate: int, samples: list[int],
                            len(samples) // channels) + body
 
 
+def _wav_with_fmt(tag: int, sample_rate: int, bits: int,
+                  data: bytes, extra: bytes = b"") -> bytes:
+    """RIFF/WAVE wrapper with an arbitrary fmt tag (mono)."""
+    fmt = struct.pack("<HHIIHH", tag, 1, sample_rate,
+                      sample_rate * max(bits, 8) // 8,
+                      max(bits // 8, 1), bits) + extra
+    return (b"RIFF" + struct.pack("<I", 28 + len(fmt) + len(data))
+            + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+
+
+def make_wav_g711(sample_rate: int, samples: list[int],
+                  law: str = "mu") -> bytes:
+    """Complete G.711 WAV (mono): format tag 7 (mu-law) or 6 (A-law),
+    8-bit companded codes encoded by operators/audiocodec.py."""
+    from .audiocodec import alaw_encode, mulaw_encode
+    enc = mulaw_encode if law == "mu" else alaw_encode
+    data = bytes(enc(int(s)) for s in samples)
+    return _wav_with_fmt(7 if law == "mu" else 6, sample_rate, 8, data)
+
+
+def make_wav_adpcm(sample_rate: int, samples: list[int],
+                   block_samples: int = 505) -> bytes:
+    """Complete IMA ADPCM WAV (mono, format tag 0x11): 4-bit
+    predictive nibbles in standard blocks, samplesPerBlock carried in
+    the fmt extension."""
+    from .audiocodec import ima_adpcm_encode
+    data = ima_adpcm_encode(samples, block_samples)
+    extra = struct.pack("<HH", 2, block_samples)   # cbSize, spb
+    return _wav_with_fmt(0x11, sample_rate, 4, data, extra)
+
+
+def _wav_samples(payload: bytes):
+    """(rate, channels, float64 mono samples) for a WAV payload across
+    the supported format tags -- 1 (16-bit PCM, channel-folded),
+    7 (G.711 mu-law), 6 (G.711 A-law), 0x11 (IMA ADPCM mono) -- or
+    None when undecodable. G.711 decodes as one numpy table take();
+    ADPCM runs the sequential per-block predictor loop
+    (operators/audiocodec.py)."""
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    i, fmt, data, extra = 12, None, None, b""
+    while i + 8 <= len(payload):
+        cid = payload[i:i + 4]
+        clen = struct.unpack("<I", payload[i + 4:i + 8])[0]
+        if cid == b"fmt " and i + 24 <= len(payload):
+            tag, ch, rate, _, _, bits = struct.unpack(
+                "<HHIIHH", payload[i + 8:i + 24])
+            extra = payload[i + 24:i + 8 + clen]
+            fmt = (tag, rate, ch, bits)
+        elif cid == b"data":
+            data = payload[i + 8:i + 8 + clen]
+        i += 8 + clen + (clen & 1)
+    if fmt is None or not data:
+        return None
+    tag, rate, ch, bits = fmt
+    if tag == 1 and bits == 16 and len(data) >= 2:
+        x = np.frombuffer(data, dtype="<i2",
+                          count=len(data) // 2).astype(np.float64)
+        if ch > 1 and len(x) >= ch:
+            x = x[:len(x) - len(x) % ch].reshape(-1, ch).mean(axis=1)
+        return rate, ch, x
+    if tag in (6, 7) and bits == 8 and ch == 1:
+        from .audiocodec import alaw_table, mulaw_table
+        table = np.array(mulaw_table() if tag == 7 else alaw_table(),
+                         dtype=np.float64)
+        codes = np.frombuffer(data, dtype=np.uint8)
+        return rate, 1, table[codes]
+    if tag == 0x11 and ch == 1:
+        from .audiocodec import ima_adpcm_decode
+        spb = struct.unpack("<H", extra[2:4])[0] if len(extra) >= 4 \
+            else 505
+        return rate, 1, np.array(ima_adpcm_decode(data, spb),
+                                 dtype=np.float64)
+    return None
+
+
 def decode_audio_samples(df: DataFrame) -> DataFrame:
-    """REAL sample decoding for 16-bit PCM WAV, no codec library: the
-    RIFF walk locates the data chunk, samples load as one numpy int16
-    view, and per-clip statistics (mean, RMS, peak amplitude) come from
-    one vectorized reduction per clip inside the Arrow batch -- the
-    audio twin of decode_image_pixels. Non-WAV / non-16-bit payloads
-    degrade to NULL stats with header metadata where parseable."""
+    """REAL sample decoding for WAV payloads, no codec library: 16-bit
+    PCM (numpy int16 view, channels folded to mono), G.711 mu-law and
+    A-law (one 256-entry table take per clip), and IMA ADPCM (the
+    4-bit predictive block loop) -- operators/audiocodec.py supplies
+    the compressed decoders. Per-clip statistics (mean, RMS, peak
+    amplitude) are one vectorized reduction per clip inside the Arrow
+    batch -- the audio twin of decode_image_pixels. Unsupported
+    formats degrade to NULL stats with header metadata where
+    parseable."""
     import numpy as np
 
     schema = ("doc_id long, sample_rate int, channels int, "
@@ -954,24 +1036,16 @@ def decode_audio_samples(df: DataFrame) -> DataFrame:
                         out[k].append(None)
                     continue
                 rate, ch, bits, n = meta
+                dec = _wav_samples(payload)
                 out["sample_rate"].append(rate)
                 out["channels"].append(ch)
-                out["n_samples"].append(n)
-                # locate the data chunk for the sample bytes
-                i, data = 12, None
-                while i + 8 <= len(payload):
-                    cid = payload[i:i + 4]
-                    clen = struct.unpack("<I", payload[i + 4:i + 8])[0]
-                    if cid == b"data":
-                        data = payload[i + 8:i + 8 + clen]
-                        break
-                    i += 8 + clen + (clen & 1)
-                if bits != 16 or not data or len(data) < 2:
+                if dec is None or len(dec[2]) == 0:
+                    out["n_samples"].append(n)
                     for k in ("mean_amp", "rms", "peak"):
                         out[k].append(None)
                     continue
-                x = np.frombuffer(data, dtype="<i2",
-                                  count=len(data) // 2).astype(np.float64)
+                x = dec[2]
+                out["n_samples"].append(len(x))
                 out["mean_amp"].append(round(float(x.mean()), 6))
                 out["rms"].append(
                     round(float(np.sqrt((x * x).mean())), 6))
@@ -1136,29 +1210,12 @@ def hash_near_dups(hashed: DataFrame, hash_col: str,
 
 
 def _pcm16_samples(payload: bytes):
-    """Mono-folded float64 sample vector of a 16-bit PCM WAV payload
-    (channels averaged), or None when undecodable."""
-    import numpy as np
-
-    meta = parse_wav_header(payload)
-    if meta is None:
-        return None
-    _rate, ch, bits, _n = meta
-    i, data = 12, None
-    while i + 8 <= len(payload):
-        cid = payload[i:i + 4]
-        clen = struct.unpack("<I", payload[i + 4:i + 8])[0]
-        if cid == b"data":
-            data = payload[i + 8:i + 8 + clen]
-            break
-        i += 8 + clen + (clen & 1)
-    if bits != 16 or not data or len(data) < 2:
-        return None
-    x = np.frombuffer(data, dtype="<i2",
-                      count=len(data) // 2).astype(np.float64)
-    if ch > 1 and len(x) >= ch:
-        x = x[:len(x) - len(x) % ch].reshape(-1, ch).mean(axis=1)
-    return x
+    """Mono-folded float64 sample vector of a WAV payload across the
+    supported format tags (16-bit PCM, G.711 mu/A-law, IMA ADPCM --
+    _wav_samples), or None when undecodable. Keeps its historical name
+    as the fingerprinting entry point."""
+    dec = _wav_samples(payload)
+    return None if dec is None or len(dec[2]) == 0 else dec[2]
 
 
 def audio_fingerprint64(samples) -> int | None:
@@ -1348,3 +1405,99 @@ def parse_mp3_header(payload: bytes) \
     rate = _MP3_RATES[version][sr_idx]
     channels = 1 if (b3 >> 6) == 3 else 2
     return rate, channels, bitrate, f"mpeg{version}-layer{layer}"
+
+
+def make_mjpeg_avi(width: int, height: int, n_frames: int = 4,
+                   fps: int = 25, seed: int = 0) -> bytes:
+    """COMPLETE Motion-JPEG AVI: the make_avi_header hdrl list plus a
+    movi LIST of '00dc' chunks, each a REAL baseline JPEG frame
+    (make_jpeg with seed+frame_idx, so every frame's expected pixels
+    are formula-derived). MJPEG is the one video codec a from-scratch
+    JPEG decoder unlocks -- each frame is independent, so decode is
+    embarrassingly frame-parallel and frame-ACCURATE by construction
+    (no inter-frame state)."""
+    us_per_frame = 1_000_000 // fps
+    avih = struct.pack("<14I", us_per_frame, 0, 0, 0, n_frames, 0,
+                       1, 0, width, height, 0, 0, 0, 0)
+    hdrl = b"hdrl" + b"avih" + struct.pack("<I", len(avih)) + avih
+    hdr_lst = b"LIST" + struct.pack("<I", len(hdrl)) + hdrl
+    movi = b"movi"
+    for f in range(n_frames):
+        frame = make_jpeg(width, height, seed=seed + f)
+        movi += b"00dc" + struct.pack("<I", len(frame)) + frame
+        if len(frame) & 1:
+            movi += b"\0"
+    movi_lst = b"LIST" + struct.pack("<I", len(movi)) + movi
+    body = b"AVI " + hdr_lst + movi_lst
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def parse_mjpeg_frames(payload: bytes):
+    """Extract the raw JPEG bytes of every '00dc'/'01dc' video chunk
+    in an AVI movi list (frame-accurate by index). Returns a list of
+    bytes, or None if the payload is not an AVI / has no movi list."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        return None
+    frames = []
+    i = 12
+    while i + 8 <= len(payload):
+        cid = payload[i:i + 4]
+        clen = struct.unpack("<I", payload[i + 4:i + 8])[0]
+        if cid == b"LIST" and payload[i + 8:i + 12] == b"movi":
+            j = i + 12
+            end = i + 8 + clen
+            while j + 8 <= min(end, len(payload)):
+                fid = payload[j:j + 4]
+                flen = struct.unpack("<I", payload[j + 4:j + 8])[0]
+                if fid[2:4] == b"dc":
+                    frames.append(payload[j + 8:j + 8 + flen])
+                j += 8 + flen + (flen & 1)
+            return frames or None
+        i += 8 + clen + (clen & 1)
+    return None
+
+
+def decode_video_frames(df: DataFrame,
+                        frame_stride: int = 1) -> DataFrame:
+    """REAL per-frame video pixel statistics, no codec library: for
+    each MJPEG-AVI payload, decode every `frame_stride`-th frame
+    through the from-scratch JPEG decoder and emit (doc_id, frame_idx,
+    width, height, mean_r, mean_g, mean_b) -- the video twin of
+    decode_image_pixels. Non-MJPEG/undecodable payloads produce no
+    rows (join back against decode_video_meta for a dense report).
+    Same Arrow mapInPandas plumbing; each frame is one numpy
+    reduction. Frame-accurate by construction: MJPEG frames are
+    independent, so seeking = list indexing -- the documented
+    'needs ffmpeg' gap closes for this container+codec."""
+    import numpy as np
+
+    from .jpegcodec import decode_baseline_jpeg
+
+    schema = ("doc_id long, frame_idx int, width int, height int, "
+              "mean_r double, mean_g double, mean_b double")
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in (
+                "doc_id", "frame_idx", "width", "height",
+                "mean_r", "mean_g", "mean_b")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                frames = parse_mjpeg_frames(bytes(payload))
+                if not frames:
+                    continue
+                for idx in range(0, len(frames), frame_stride):
+                    dec = decode_baseline_jpeg(frames[idx])
+                    if dec is None:
+                        continue
+                    w, h, rgb = dec
+                    means = rgb.astype(np.float64).mean(axis=(0, 1))
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(idx)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["mean_r"].append(round(float(means[0]), 6))
+                    out["mean_g"].append(round(float(means[1]), 6))
+                    out["mean_b"].append(round(float(means[2]), 6))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(decode, schema)

@@ -1344,3 +1344,88 @@ def test_jpeg_codec_round_trip_and_phash(spark):
     assert (out[1]["width"], out[1]["height"]) == (w, h)
     assert abs(out[1]["mean_r"] - want[:, :, 0].mean()) < 8
     assert out[2]["mean_r"] is None and out[2]["width"] == 9
+
+
+def test_mjpeg_avi_frame_decode(spark):
+    """VIDEO pixels decode for real: an MJPEG AVI's frames extract by
+    index (frame-accurate -- MJPEG frames are independent) and decode
+    through the from-scratch JPEG path; per-frame means track each
+    frame's formula pixels within quantization tolerance, the metadata
+    walk still works on the same payload, and header-only AVIs /
+    non-AVIs produce no frame rows."""
+    import numpy as np
+
+    from mysql_syncer_clickhouse_spark.operators.multimodal import (
+        decode_video_frames, decode_video_meta, make_avi_header,
+        make_mjpeg_avi, parse_avi_header, parse_mjpeg_frames)
+
+    w, h, n, seed = 16, 12, 4, 3
+    avi = make_mjpeg_avi(w, h, n_frames=n, seed=seed)
+    assert parse_avi_header(avi) == (w, h, 25, n)
+    assert len(parse_mjpeg_frames(avi)) == n
+    assert parse_mjpeg_frames(make_avi_header(8, 8)) is None
+
+    rows = [(1, bytearray(avi)),
+            (2, bytearray(make_avi_header(8, 8))),
+            (3, bytearray(b"not a video"))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = decode_video_frames(df).collect()
+    assert {r["doc_id"] for r in out} == {1}
+    assert sorted(r["frame_idx"] for r in out) == list(range(n))
+    for r in out:
+        assert (r["width"], r["height"]) == (w, h)
+        f = r["frame_idx"]
+        ys, xs = np.mgrid[0:h, 0:w]
+        want_r = ((xs * 3 + ys * 7 + seed + f) % 256).mean()
+        assert abs(r["mean_r"] - want_r) < 8, f
+
+    strided = decode_video_frames(df, frame_stride=2).collect()
+    assert sorted(r["frame_idx"] for r in strided) == [0, 2]
+
+    meta = {r["doc_id"]: r for r in decode_video_meta(df).collect()}
+    assert meta[1]["n_frames"] == n and meta[1]["width"] == w
+
+
+def test_compressed_audio_sample_decode(spark):
+    """Compressed WAV samples decode for real: G.711 mu-law / A-law
+    reconstruct within the segment quantization bound (half a step,
+    <= 512 at full scale), IMA ADPCM tracks a smooth signal, the
+    per-clip statistics flow through decode_audio_samples with the
+    right sample counts, and the gain-invariant audio fingerprint
+    matches the PCM original across the companding boundary."""
+    import math
+
+    from mysql_syncer_clickhouse_spark.operators.audiocodec import (
+        alaw_decode, alaw_encode, ima_adpcm_decode, ima_adpcm_encode,
+        mulaw_decode, mulaw_encode)
+    from mysql_syncer_clickhouse_spark.operators.multimodal import (
+        audio_fingerprint64, _pcm16_samples, decode_audio_samples,
+        make_wav, make_wav_adpcm, make_wav_g711)
+
+    for x in (-32768, -5000, -1, 0, 1, 255, 256, 1000, 32767):
+        assert abs(mulaw_decode(mulaw_encode(x))
+                   - max(-32635, min(32635, x))) <= 512, x
+        assert abs(alaw_decode(alaw_encode(x)) - x) <= 512, x
+
+    sig = [int(8000 * math.sin(i / 20)) for i in range(1200)]
+    dec = ima_adpcm_decode(ima_adpcm_encode(sig))
+    assert len(dec) == len(sig) + 1          # +1 pad nibble sample
+    err = [abs(a - b) for a, b in zip(dec, sig)]
+    assert sum(err) / len(err) < 100
+
+    rows = [(1, bytearray(make_wav(8000, sig))),
+            (2, bytearray(make_wav_g711(8000, sig, law="mu"))),
+            (3, bytearray(make_wav_g711(8000, sig, law="a"))),
+            (4, bytearray(make_wav_adpcm(8000, sig)))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in decode_audio_samples(df).collect()}
+    ref_rms = math.sqrt(sum(s * s for s in sig) / len(sig))
+    for d in (1, 2, 3, 4):
+        assert out[d]["rms"] is not None, d
+        assert abs(out[d]["rms"] - ref_rms) / ref_rms < 0.02, d
+    assert out[2]["n_samples"] == len(sig)
+
+    fp_pcm = audio_fingerprint64(_pcm16_samples(bytes(rows[0][1])))
+    for d in (1, 2, 3):
+        fp = audio_fingerprint64(_pcm16_samples(bytes(rows[d][1])))
+        assert bin(fp_pcm ^ fp).count("1") <= 4, d
