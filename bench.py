@@ -52,8 +52,13 @@ HEADLINE = [
     "cdc_final_state",
     "cdc_wildcard_fan_in",
     "cdc_op_counters",
-    # mergeable-summary surface (bitmap + HLL + approx percentile)
+    # mergeable-summary surface (bitmap + HLL + theta + approx pctl)
     "distinct_vs_approx",
+    # statistical aggregates: grouping sets + percentiles + histogram
+    # + weighted quantiles + association/t/U/KS tests (round 6)
+    "agg_grouping_stats",
+    # multimodal decode incl. the GIF-LZW/PNG-inflate pixel paths
+    "multimodal_meta_features",
     # LLM-data-pipeline layer (scale path variants)
     "dedup_exact",
     "dedup_minhash_lsh",

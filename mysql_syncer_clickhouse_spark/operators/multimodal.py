@@ -1029,6 +1029,9 @@ def decode_audio_samples(df: DataFrame) -> DataFrame:
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 payload = bytes(payload)
                 meta = parse_wav_header(payload)
+                if meta is None:
+                    from .flaccodec import flac_streaminfo
+                    meta = flac_streaminfo(payload)
                 out["doc_id"].append(doc_id)
                 if meta is None:
                     for k in ("sample_rate", "channels", "n_samples",
@@ -1036,7 +1039,7 @@ def decode_audio_samples(df: DataFrame) -> DataFrame:
                         out[k].append(None)
                     continue
                 rate, ch, bits, n = meta
-                dec = _wav_samples(payload)
+                dec = _any_audio_samples(payload)
                 out["sample_rate"].append(rate)
                 out["channels"].append(ch)
                 if dec is None or len(dec[2]) == 0:
@@ -1211,10 +1214,10 @@ def hash_near_dups(hashed: DataFrame, hash_col: str,
 
 def _pcm16_samples(payload: bytes):
     """Mono-folded float64 sample vector of a WAV payload across the
-    supported format tags (16-bit PCM, G.711 mu/A-law, IMA ADPCM --
-    _wav_samples), or None when undecodable. Keeps its historical name
-    as the fingerprinting entry point."""
-    dec = _wav_samples(payload)
+    supported format tags (16-bit PCM, G.711 mu/A-law, IMA ADPCM) or
+    a FLAC payload (_any_audio_samples), or None when undecodable.
+    Keeps its historical name as the fingerprinting entry point."""
+    dec = _any_audio_samples(payload)
     return None if dec is None or len(dec[2]) == 0 else dec[2]
 
 
@@ -1501,3 +1504,74 @@ def decode_video_frames(df: DataFrame,
             yield pd.DataFrame(out)
 
     return df.mapInPandas(decode, schema)
+
+
+def make_flac(sample_rate: int, samples: list[int]) -> bytes:
+    """Complete FLAC clip (mono 16-bit, FIXED predictors + Rice --
+    operators/flaccodec.py): the LOSSLESS compressed-audio fixture,
+    exact round-trip by construction."""
+    from .flaccodec import encode_flac
+    return encode_flac(samples, sample_rate)
+
+
+def _any_audio_samples(payload: bytes):
+    """(rate, channels, float64 mono samples) for WAV (PCM/G.711/
+    ADPCM via _wav_samples) or FLAC payloads, else None."""
+    import numpy as np
+
+    got = _wav_samples(payload)
+    if got is not None:
+        return got
+    from .flaccodec import decode_flac
+    fl = decode_flac(payload)
+    if fl is None:
+        return None
+    rate, ch, samples = fl
+    x = np.array(samples, dtype=np.float64)
+    if ch > 1 and len(x) >= ch:
+        x = x[:len(x) - len(x) % ch].reshape(-1, ch).mean(axis=1)
+    return rate, ch, x
+
+
+def audio_roundtrip_sums(docs: DataFrame) -> DataFrame:
+    """Driver-checkable audio decode: per doc, synthesize a formula
+    sample stream (s_i = (doc_id*31 + i*17) % 4096 - 2048, n =
+    doc_id % 50 + 20), containerize it as 16-bit PCM WAV (even
+    doc_id) or FLAC (odd doc_id -- the from-scratch lossless codec),
+    decode it back through the REAL sample path, and emit exact
+    integer aggregates (n, sum, sum of abs). Both containers are
+    lossless, so an oracle that recomputes the sums analytically from
+    the formula proves the full encode -> container -> decode chain
+    value-for-value -- the audio twin of with_pixel_payload."""
+    import numpy as np
+
+    schema = ("doc_id long, aud_fmt string, aud_n long, "
+              "aud_sum long, aud_abs long")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in (
+                "doc_id", "aud_fmt", "aud_n", "aud_sum", "aud_abs")}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                n = doc_id % 50 + 20
+                sig = [((doc_id * 31 + i * 17) % 4096) - 2048
+                       for i in range(n)]
+                if doc_id % 2 == 0:
+                    payload = make_wav(8000, sig)
+                    fmt = "pcm"
+                else:
+                    payload = make_flac(8000, sig)
+                    fmt = "flac"
+                dec = _any_audio_samples(payload)
+                x = np.array([], dtype=np.float64) if dec is None \
+                    else dec[2]
+                out["doc_id"].append(doc_id)
+                out["aud_fmt"].append(fmt)
+                out["aud_n"].append(int(len(x)))
+                out["aud_sum"].append(int(round(float(x.sum()))))
+                out["aud_abs"].append(
+                    int(round(float(np.abs(x).sum()))))
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id").mapInPandas(run, schema)

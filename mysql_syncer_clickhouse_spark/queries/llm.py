@@ -812,13 +812,20 @@ def multimodal_meta_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("width").alias("px_w"), F.col("height").alias("px_h"),
         *[F.round(F.col(f"mean_{c}") * wh).cast("long").alias(f"sum_{c}")
           for c in ("r", "g", "b")])
+    # aud_* columns: the LOSSLESS audio round-trip (16-bit PCM WAV and
+    # the from-scratch FLAC codec) decoded back through the real
+    # sample path; the oracle recomputes the exact integer sums from
+    # the sample formula (multimodal.audio_roundtrip_sums)
+    aud = multimodal.audio_roundtrip_sums(docs)
     f = F.col("features")
     return (meta.join(feats, "doc_id").join(px, "doc_id")
+                .join(aud, "doc_id")
                 .select("doc_id", "n_bytes", "width", "height", "format",
                         F.get(f, 0).alias("f1"), F.get(f, 1).alias("f2"),
                         F.get(f, 2).alias("f3"), F.get(f, 3).alias("f4"),
                         "px_format", "px_w", "px_h",
-                        "sum_r", "sum_g", "sum_b"))
+                        "sum_r", "sum_g", "sum_b",
+                        "aud_fmt", "aud_n", "aud_sum", "aud_abs"))
 
 
 # mirrors with_mixed_payload's synthesis arithmetic + the header-parse
@@ -859,6 +866,18 @@ WITH m AS (
          CAST(SUM(CASE WHEN pm = 2 THEN (idx * 13 + 77) % 256
                        ELSE b0 END) AS BIGINT) AS sum_b
   FROM pxv GROUP BY doc_id, pm
+), audv AS (
+  SELECT doc_id, ((doc_id * 31 + i * 17) % 4096) - 2048 AS s
+  FROM (SELECT doc_id,
+               unnest(generate_series(0, doc_id % 50 + 19)) AS i
+        FROM documents)
+), auds AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN 'pcm' ELSE 'flac' END AS aud_fmt,
+         COUNT(*) AS aud_n,
+         CAST(SUM(s) AS BIGINT) AS aud_sum,
+         CAST(SUM(ABS(s)) AS BIGINT) AS aud_abs
+  FROM audv GROUP BY doc_id
 )
 SELECT doc_id, n_bytes,
        CAST(CASE WHEN r < 4 THEN doc_id % 64 + 1
@@ -871,8 +890,9 @@ SELECT doc_id, n_bytes,
        CAST(n_bytes * 2 % 997 AS DOUBLE) / 997.0 AS f2,
        CAST(n_bytes * 3 % 997 AS DOUBLE) / 997.0 AS f3,
        CAST(n_bytes * 4 % 997 AS DOUBLE) / 997.0 AS f4,
-       px_format, px_w, px_h, sum_r, sum_g, sum_b
-FROM m JOIN pxs USING (doc_id)
+       px_format, px_w, px_h, sum_r, sum_g, sum_b,
+       aud_fmt, aud_n, aud_sum, aud_abs
+FROM m JOIN pxs USING (doc_id) JOIN auds USING (doc_id)
 """
 
 

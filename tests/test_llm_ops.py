@@ -1429,3 +1429,47 @@ def test_compressed_audio_sample_decode(spark):
     for d in (1, 2, 3):
         fp = audio_fingerprint64(_pcm16_samples(bytes(rows[d][1])))
         assert bin(fp_pcm ^ fp).count("1") <= 4, d
+
+
+def test_flac_lossless_round_trip_and_samples(spark):
+    """FLAC decodes EXACTLY (lossless by construction, unlike G.711/
+    ADPCM's bounds): encode->decode is the identity on sine, noise,
+    full-scale extremes, multi-block clips, and short clips; the
+    STREAMINFO metadata round-trips; decode_audio_samples computes
+    exact statistics over FLAC payloads; and the audio fingerprint of
+    a FLAC clip EQUALS the PCM original (bit-identical samples)."""
+    import math
+    import random
+
+    from mysql_syncer_clickhouse_spark.operators.flaccodec import (
+        decode_flac, encode_flac, flac_streaminfo)
+    from mysql_syncer_clickhouse_spark.operators.multimodal import (
+        _pcm16_samples, audio_fingerprint64, decode_audio_samples,
+        make_flac, make_wav)
+
+    rng = random.Random(11)
+    cases = [
+        [int(8000 * math.sin(i / 20)) for i in range(9000)],  # 3 blocks
+        [rng.randint(-32768, 32767) for _ in range(1000)],
+        [32767, -32768] * 50,
+        [7],
+    ]
+    for sig in cases:
+        enc = encode_flac(sig, 8000)
+        dec = decode_flac(enc)
+        assert dec is not None and dec[2] == sig
+        assert flac_streaminfo(enc) == (8000, 1, 16, len(sig))
+    assert decode_flac(b"not flac") is None
+
+    sig = cases[0][:1200]
+    rows = [(1, bytearray(make_wav(8000, sig))),
+            (2, bytearray(make_flac(8000, sig)))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in decode_audio_samples(df).collect()}
+    assert out[2]["n_samples"] == len(sig)
+    for k in ("mean_amp", "rms", "peak"):
+        assert out[1][k] == out[2][k], k     # lossless: EXACT equality
+
+    fp_pcm = audio_fingerprint64(_pcm16_samples(bytes(rows[0][1])))
+    fp_flac = audio_fingerprint64(_pcm16_samples(bytes(rows[1][1])))
+    assert fp_pcm == fp_flac
