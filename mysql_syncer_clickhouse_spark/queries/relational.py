@@ -875,6 +875,91 @@ FROM agg
 """
 
 
+def simple_linear_regression(df: DataFrame, group_cols: list[str],
+                             x_col: str, y_col: str,
+                             tiebreak_col: str) -> DataFrame:
+    """ClickHouse's simpleLinearRegression + boundingRatio per group:
+    slope/intercept from EXACT decimal sums (sum-xy / sum-x / sum-y /
+    sum-x2 accumulate losslessly, only the two closing divisions are
+    floating point -- identical IEEE ops in any engine), and
+    boundingRatio = (y at max x - y at min x) / (max x - min x) with
+    a total (x, tiebreak) key so ties resolve deterministically.
+    One aggregation, group-bounded output."""
+    dec = "decimal(38,6)"
+    x = F.col(x_col).cast(dec)
+    y = F.col(y_col).cast(dec)
+    # scalar total key: x then tiebreak (tiebreak < 1e12 by contract)
+    key = (F.col(x_col).cast("double") * F.lit(1e12)
+           + F.col(tiebreak_col).cast("double"))
+    agg = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"), F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"), F.sum(x * x).alias("sxx"),
+        F.max_by(F.col(y_col).cast("double"), key).alias("y_hi"),
+        F.min_by(F.col(y_col).cast("double"), key).alias("y_lo"),
+        F.max(F.col(x_col).cast("double")).alias("x_hi"),
+        F.min(F.col(x_col).cast("double")).alias("x_lo"))
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    slope = ((n * F.col("sxy").cast("double") - sx * sy)
+             / (n * F.col("sxx").cast("double") - sx * sx))
+    intercept = (sy - slope * sx) / n
+    bratio = ((F.col("y_hi") - F.col("y_lo"))
+              / (F.col("x_hi") - F.col("x_lo")))
+    return agg.select(*group_cols,
+                      F.round(slope, 6).alias("slope"),
+                      F.round(intercept, 6).alias("intercept"),
+                      F.round(bratio, 6).alias("bounding_ratio"))
+
+
+def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """simpleLinearRegression + boundingRatio surface: price vs
+    quantity per return flag."""
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "__tb", F.col("l_orderkey") * 8 + F.col("l_linenumber"))
+    return simple_linear_regression(
+        li, ["l_returnflag"], "l_quantity", "l_extendedprice", "__tb")
+
+
+_REGRESSION_SQL = """
+WITH s AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         SUM(CAST(l_quantity AS DECIMAL(38,6))) AS sx,
+         SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS sy,
+         SUM(CAST(l_quantity AS DECIMAL(38,6))
+             * CAST(l_extendedprice AS DECIMAL(38,6))) AS sxy,
+         SUM(CAST(l_quantity AS DECIMAL(38,6))
+             * CAST(l_quantity AS DECIMAL(38,6))) AS sxx,
+         arg_max(CAST(l_extendedprice AS DOUBLE),
+                 CAST(l_quantity AS DOUBLE) * 1e12
+                 + (l_orderkey * 8 + l_linenumber)) AS y_hi,
+         arg_min(CAST(l_extendedprice AS DOUBLE),
+                 CAST(l_quantity AS DOUBLE) * 1e12
+                 + (l_orderkey * 8 + l_linenumber)) AS y_lo,
+         MAX(CAST(l_quantity AS DOUBLE)) AS x_hi,
+         MIN(CAST(l_quantity AS DOUBLE)) AS x_lo
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+         AS slope,
+       ROUND((CAST(sy AS DOUBLE)
+              - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6)
+         AS intercept,
+       ROUND((y_hi - y_lo) / (x_hi - x_lo), 6) AS bounding_ratio
+FROM s
+"""
+
+
 def quantile_exact_weighted(df: DataFrame, group_cols: list[str],
                             value_col: str, weight_col: str,
                             levels: list[float]) -> DataFrame:
@@ -1334,10 +1419,17 @@ def agg_grouping_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("n"),
         F.col("d_stat").alias("m1"), F.col("d_scaled").alias("m2"),
         nd.alias("m3"), nd.alias("m4"))
+    reg = agg_regression(spark, sf_dir).select(
+        F.lit("reg").alias("part"),
+        F.col("l_returnflag").alias("g1"),
+        F.lit("qty_vs_price").alias("g2"),
+        F.lit(None).cast("long").alias("n"),
+        F.col("slope").alias("m1"), F.col("intercept").alias("m2"),
+        F.col("bounding_ratio").alias("m3"), nd.alias("m4"))
     return (rollup.unionByName(cube).unionByName(gsets)
             .unionByName(pctl).unionByName(hist).unionByName(wpctl)
             .unionByName(assoc).unionByName(ttest).unionByName(mwu)
-            .unionByName(ks))
+            .unionByName(ks).unionByName(reg))
 
 
 _GROUPING_STATS_SQL = f"""
@@ -1392,6 +1484,10 @@ UNION ALL
 SELECT 'ks', 'l_quantity', 'O_vs_F', CAST(NULL AS BIGINT),
        d_stat, d_scaled, NULL, NULL
 FROM ({_KS_SQL})
+UNION ALL
+SELECT 'reg', l_returnflag, 'qty_vs_price', CAST(NULL AS BIGINT),
+       slope, intercept, bounding_ratio, NULL
+FROM ({_REGRESSION_SQL})
 """
 
 

@@ -717,3 +717,38 @@ def test_kolmogorov_smirnov_matches_reference(spark):
         "g string, x double")
     r0 = kolmogorov_smirnov(same, "x", "g", "g1", "g2").collect()[0]
     assert r0["d_stat"] == 0.0
+
+
+def test_simple_linear_regression_known_fit(spark):
+    """slope/intercept equal the least-squares closed form on a known
+    noisy-line fixture (and exactly on a perfect line), boundingRatio
+    equals the endpoint slope with deterministic tie resolution."""
+    from mysql_syncer_clickhouse_spark.queries.relational import (
+        simple_linear_regression)
+
+    rows = [("g", float(x), 3.0 * x + 7.0, x) for x in range(1, 11)]
+    df = spark.createDataFrame(rows, "g string, x double, y double, tb long")
+    r = simple_linear_regression(df, ["g"], "x", "y", "tb").collect()[0]
+    assert r["slope"] == 3.0 and r["intercept"] == 7.0
+    assert r["bounding_ratio"] == 3.0
+
+    # noisy: compare against the closed-form least squares
+    ys = [3.0 * x + 7.0 + ((x * 37) % 5 - 2) for x in range(1, 11)]
+    rows = [("g", float(x), ys[x - 1], x) for x in range(1, 11)]
+    df = spark.createDataFrame(rows, "g string, x double, y double, tb long")
+    r = simple_linear_regression(df, ["g"], "x", "y", "tb").collect()[0]
+    n = 10
+    sx = sum(range(1, 11)); sy = sum(ys)
+    sxy = sum(x * y for x, y in zip(range(1, 11), ys))
+    sxx = sum(x * x for x in range(1, 11))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    inter = (sy - slope * sx) / n
+    assert abs(r["slope"] - slope) < 1e-6
+    assert abs(r["intercept"] - inter) < 1e-6
+
+    # tie at max x: the higher tiebreak wins on both engines
+    rows = [("g", 1.0, 10.0, 1), ("g", 5.0, 50.0, 2),
+            ("g", 5.0, 99.0, 3)]
+    df = spark.createDataFrame(rows, "g string, x double, y double, tb long")
+    r = simple_linear_regression(df, ["g"], "x", "y", "tb").collect()[0]
+    assert r["bounding_ratio"] == round((99.0 - 10.0) / 4.0, 6)
