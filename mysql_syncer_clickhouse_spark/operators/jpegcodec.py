@@ -185,8 +185,14 @@ def _mag_bits(v: int, cat: int) -> int:
     return v if v >= 0 else v + (1 << cat) - 1
 
 
-def encode_baseline_jpeg(rgb, quality: int = 90) -> bytes:
-    """rgb: ndarray[h, w, 3] uint8 -> baseline JFIF 4:4:4 bytes."""
+def encode_baseline_jpeg(rgb, quality: int = 90,
+                         subsample: bool = False,
+                         restart_interval: int = 0) -> bytes:
+    """rgb: ndarray[h, w, 3] uint8 -> baseline JFIF bytes.
+    subsample=True emits 4:2:0 (Y at 2x2 sampling, chroma averaged
+    over 2x2 pixel blocks); restart_interval=N writes a DRI segment
+    and RSTn markers every N MCUs with predictor resets -- both exist
+    to exercise the decoder's full MCU/restart machinery."""
     import numpy as np
 
     h, w = rgb.shape[:2]
@@ -202,14 +208,31 @@ def encode_baseline_jpeg(rgb, quality: int = 90) -> bytes:
         .reshape(8, 8)
     A = _dct_mat()
 
-    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
-    planes = []
-    for p in (y, cb, cr):
+    def pad_to(p, ph, pw):
         pad = np.empty((ph, pw))
-        pad[:h, :w] = p
-        pad[h:, :w] = p[h - 1:h, :]
-        pad[:, w:] = pad[:, w - 1:w]
-        planes.append(pad - 128.0)
+        hh, ww = p.shape
+        pad[:hh, :ww] = p
+        pad[hh:, :ww] = p[hh - 1:hh, :]
+        pad[:, ww:] = pad[:, ww - 1:ww]
+        return pad - 128.0
+
+    if subsample:
+        eh, ew = -(-h // 2) * 2, -(-w // 2) * 2
+        cbp = pad_to(cb, eh, ew) + 128.0
+        crp = pad_to(cr, eh, ew) + 128.0
+        cb2 = cbp.reshape(eh // 2, 2, ew // 2, 2).mean(axis=(1, 3))
+        cr2 = crp.reshape(eh // 2, 2, ew // 2, 2).mean(axis=(1, 3))
+        comps = [(y, 2, 2, qy, 0), (cb2, 1, 1, qc, 1),
+                 (cr2, 1, 1, qc, 1)]
+    else:
+        comps = [(y, 1, 1, qy, 0), (cb, 1, 1, qc, 1),
+                 (cr, 1, 1, qc, 1)]
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    planes = [(pad_to(p, mcuy * cv * 8, mcux * ch * 8), ch, cv, q, t)
+              for p, ch, cv, q, t in comps]
 
     dc_t = (_huff_encode_table(*K_DC_LUMA),
             _huff_encode_table(*K_DC_CHROMA))
@@ -217,43 +240,55 @@ def encode_baseline_jpeg(rgb, quality: int = 90) -> bytes:
             _huff_encode_table(*K_AC_CHROMA))
     bw = _BitWriter()
     pred = [0, 0, 0]
-    for by in range(0, ph, 8):
-        for bx in range(0, pw, 8):
-            for ci, plane in enumerate(planes):
-                t = 0 if ci == 0 else 1
-                q = qy if ci == 0 else qc
-                blk = plane[by:by + 8, bx:bx + 8]
-                coef = A @ blk @ A.T
-                quant = np.rint(coef / q).astype(np.int64)
-                zz = quant.reshape(64)[ZIGZAG]
-                diff = int(zz[0]) - pred[ci]
-                pred[ci] = int(zz[0])
-                cat = _category(diff)
-                code, ln = dc_t[t][cat]
+
+    def put_block(plane, by, bx, q, t, ci):
+        blk = plane[by:by + 8, bx:bx + 8]
+        coef = A @ blk @ A.T
+        quant = np.rint(coef / q).astype(np.int64)
+        zz = quant.reshape(64)[ZIGZAG]
+        diff = int(zz[0]) - pred[ci]
+        pred[ci] = int(zz[0])
+        cat = _category(diff)
+        code, ln = dc_t[t][cat]
+        bw.put(code, ln)
+        if cat:
+            bw.put(_mag_bits(diff, cat), cat)
+        run = 0
+        last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+        for i in range(1, 64):
+            v = int(zz[i])
+            if i > last_nz:
+                code, ln = ac_t[t][0x00]             # EOB
                 bw.put(code, ln)
-                if cat:
-                    bw.put(_mag_bits(diff, cat), cat)
-                run = 0
-                last_nz = max((i for i in range(1, 64) if zz[i]),
-                              default=0)
-                for i in range(1, 64):
-                    v = int(zz[i])
-                    if i > last_nz:
-                        code, ln = ac_t[t][0x00]     # EOB
-                        bw.put(code, ln)
-                        break
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        code, ln = ac_t[t][0xF0]     # ZRL
-                        bw.put(code, ln)
-                        run -= 16
-                    cat = _category(v)
-                    code, ln = ac_t[t][(run << 4) | cat]
-                    bw.put(code, ln)
-                    bw.put(_mag_bits(v, cat), cat)
-                    run = 0
+                break
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac_t[t][0xF0]             # ZRL
+                bw.put(code, ln)
+                run -= 16
+            cat = _category(v)
+            code, ln = ac_t[t][(run << 4) | cat]
+            bw.put(code, ln)
+            bw.put(_mag_bits(v, cat), cat)
+            run = 0
+
+    n_mcu = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and n_mcu \
+                    and n_mcu % restart_interval == 0:
+                bw.flush()
+                bw.out += bytes([0xFF, 0xD0 + ((n_mcu
+                                 // restart_interval - 1) % 8)])
+                pred[:] = [0, 0, 0]
+            n_mcu += 1
+            for ci, (plane, ch, cv, q, t) in enumerate(planes):
+                for vy in range(cv):
+                    for vx in range(ch):
+                        put_block(plane, (my * cv + vy) * 8,
+                                  (mx * ch + vx) * 8, q, t, ci)
     bw.flush()
 
     def seg(marker, body):
@@ -267,15 +302,18 @@ def encode_baseline_jpeg(rgb, quality: int = 90) -> bytes:
         return seg(b"\xff\xc4", bytes([(cls << 4) | tid])
                    + bytes(bits) + bytes(vals))
 
+    hv_y = (comps[0][1] << 4) | comps[0][2]
     sof = seg(b"\xff\xc0", struct.pack(">BHHB", 8, h, w, 3)
-              + bytes([1, 0x11, 0]) + bytes([2, 0x11, 1])
+              + bytes([1, hv_y, 0]) + bytes([2, 0x11, 1])
               + bytes([3, 0x11, 1]))
     sos = seg(b"\xff\xda", bytes([3, 1, 0x00, 2, 0x11, 3, 0x11,
                                   0, 63, 0]))
+    dri = seg(b"\xff\xdd", struct.pack(">H", restart_interval)) \
+        if restart_interval else b""
     return (b"\xff\xd8" + dqt(0, qy) + dqt(1, qc)
             + dht(0, 0, *K_DC_LUMA) + dht(1, 0, *K_AC_LUMA)
             + dht(0, 1, *K_DC_CHROMA) + dht(1, 1, *K_AC_CHROMA)
-            + sof + sos + bytes(bw.out) + b"\xff\xd9")
+            + dri + sof + sos + bytes(bw.out) + b"\xff\xd9")
 
 
 class _BitReader:
@@ -297,9 +335,9 @@ class _BitReader:
                 nxt = self.d[self.pos] if self.pos < len(self.d) else 0
                 if nxt == 0x00:
                     self.pos += 1               # stuffed byte
-                elif 0xD0 <= nxt <= 0xD7:       # RSTn inside scan
-                    raise _Restart()
                 else:
+                    # a marker: the scan was pre-split on restarts, so
+                    # anything else means end-of-segment -- pad
                     self.acc = (self.acc << 8) | 0xFF
                     self.n += 8
                     continue
@@ -321,20 +359,6 @@ class _BitReader:
         v = (self.acc >> (self.n - k)) & ((1 << k) - 1)
         self.skip(k)
         return v
-
-    def align_restart(self):
-        """Consume the RSTn marker at the current byte position."""
-        self.acc = 0
-        self.n = 0
-        while self.pos < len(self.d) and self.d[self.pos] != 0xFF:
-            self.pos += 1
-        if self.pos + 1 < len(self.d) \
-                and 0xD0 <= self.d[self.pos + 1] <= 0xD7:
-            self.pos += 2
-
-
-class _Restart(Exception):
-    pass
 
 
 def _huff_read(br: _BitReader, table) -> int:
@@ -436,16 +460,36 @@ def decode_baseline_jpeg(payload: bytes):
             planes.append(np.zeros((mcuy * c["v"] * 8,
                                     mcux * c["h"] * 8)))
         order = {cid: i for i, (cid, _, _) in enumerate(scan_comps)}
-        br = _BitReader(payload[scan_start:])
+        # pre-split the entropy stream on restart markers: each
+        # segment decodes with a fresh bit reader and reset DC
+        # predictors -- no mid-stream marker handling (stuffed 0xFF is
+        # always followed by 0x00, so a 0xFF D0..D7 pair IS a marker)
+        data = payload[scan_start:]
+        segs = []
+        cur = i2 = 0
+        while i2 + 1 < len(data):
+            if data[i2] == 0xFF and 0xD0 <= data[i2 + 1] <= 0xD7:
+                segs.append(data[cur:i2])
+                cur = i2 = i2 + 2
+            elif data[i2] == 0xFF and data[i2 + 1] == 0xD9:
+                break
+            else:
+                i2 += 1
+        segs.append(data[cur:])
+        seg_idx = 0
+        br = _BitReader(segs[0])
         pred = [0] * len(comps)
         n_mcu = 0
         for my in range(mcuy):
             for mx in range(mcux):
                 if ri and n_mcu and n_mcu % ri == 0:
-                    br.align_restart()
+                    seg_idx += 1
+                    if seg_idx >= len(segs):
+                        return None
+                    br = _BitReader(segs[seg_idx])
                     pred = [0] * len(comps)
                 n_mcu += 1
-                try:
+                if True:
                     for ci, c in enumerate(comps):
                         _, td, ta = scan_comps[order[c["id"]]]
                         for vy in range(c["v"]):
@@ -478,9 +522,6 @@ def decode_baseline_jpeg(payload: bytes):
                                 px_ = (mx * c["h"] + vx) * 8
                                 planes[ci][py:py + 8,
                                            px_:px_ + 8] = pix
-                except _Restart:
-                    br.align_restart()
-                    pred = [0] * len(comps)
         out = []
         for ci, c in enumerate(comps):
             p = planes[ci]

@@ -1473,3 +1473,115 @@ def test_flac_lossless_round_trip_and_samples(spark):
     fp_pcm = audio_fingerprint64(_pcm16_samples(bytes(rows[0][1])))
     fp_flac = audio_fingerprint64(_pcm16_samples(bytes(rows[1][1])))
     assert fp_pcm == fp_flac
+
+
+def test_flac_decoder_constant_partitions_escape(spark):
+    """Decoder paths the subset encoder never emits, exercised with
+    hand-built spec-shaped bitstreams: a CONSTANT subframe, Rice
+    partition order 1 (two partitions with different parameters), and
+    an ESCAPED (raw 5-bit) partition."""
+    from mysql_syncer_clickhouse_spark.operators.flaccodec import (
+        _BW, _crc8, _utf8_number, decode_flac, encode_flac)
+    import struct as st
+
+    def streaminfo(n_total):
+        base = encode_flac([0] * 1, 8000)   # reuse the encoder's header
+        # patch total-samples (bytes 8+4+10..17 of the STREAMINFO body)
+        b = bytearray(base[:4 + 4 + 34])
+        off = 4 + 4                          # fLaC + block header
+        b[off + 13] = (b[off + 13] & 0xF0) | ((n_total >> 32) & 0xF)
+        st.pack_into(">I", b, off + 14, n_total & 0xFFFFFFFF)
+        return bytes(b)
+
+    def frame_header(n):
+        hdr = _BW()
+        hdr.put(0x3FFE, 14); hdr.put(0, 1); hdr.put(0, 1)
+        hdr.put(0b0111, 4); hdr.put(0b0000, 4)
+        hdr.put(0, 4); hdr.put(0b100, 3); hdr.put(0, 1)
+        head = bytes(hdr.out) + _utf8_number(0) + st.pack(">H", n - 1)
+        return head + bytes([_crc8(head)])
+
+    # (a) CONSTANT subframe: 6 samples, all -5
+    n = 6
+    bw = _BW()
+    for b in frame_header(n):
+        bw.put(b, 8)
+    bw.put(0, 1); bw.put(0, 6); bw.put(0, 1)     # type 0 = CONSTANT
+    bw.put((-5) & 0xFFFF, 16)
+    bw.align()
+    payload = streaminfo(n) + bytes(bw.out) + b"\0\0"
+    dec = decode_flac(payload)
+    assert dec is not None and dec[2] == [-5] * n
+
+    # (b) FIXED order 0, partition order 1: n=8 -> two partitions of 4
+    n = 8
+    vals = [1, -2, 3, -4, 60, -70, 80, -90]
+    bw = _BW()
+    for b in frame_header(n):
+        bw.put(b, 8)
+    bw.put(0, 1); bw.put(0b001000, 6); bw.put(0, 1)  # FIXED order 0
+    bw.put(0, 2)                                     # Rice method 0
+    bw.put(1, 4)                                     # partition order 1
+    for part, param in ((vals[:4], 3), (vals[4:], 7)):
+        bw.put(param, 4)
+        for r in part:
+            z = (r << 1) if r >= 0 else ((-r) << 1) - 1
+            bw.unary(z >> param)
+            bw.put(z & ((1 << param) - 1), param)
+    bw.align()
+    payload = streaminfo(n) + bytes(bw.out) + b"\0\0"
+    dec = decode_flac(payload)
+    assert dec is not None and dec[2] == vals
+
+    # (c) ESCAPED partition: param 15 -> 5-bit raw residuals
+    n = 4
+    vals = [3, -3, 7, -8]
+    bw = _BW()
+    for b in frame_header(n):
+        bw.put(b, 8)
+    bw.put(0, 1); bw.put(0b001000, 6); bw.put(0, 1)
+    bw.put(0, 2)
+    bw.put(0, 4)                                     # porder 0
+    bw.put(15, 4)                                    # escape
+    bw.put(5, 5)                                     # raw bit width
+    for r in vals:
+        bw.put(r & 0x1F, 5)
+    bw.align()
+    payload = streaminfo(n) + bytes(bw.out) + b"\0\0"
+    dec = decode_flac(payload)
+    assert dec is not None and dec[2] == vals
+
+
+def test_jpeg_subsample_and_restart_paths(spark):
+    """The decoder's full MCU machinery: 4:2:0 subsampled scans
+    (2x2-sampled Y, averaged chroma, repeat-upsample on decode) and
+    restart markers (DRI + RSTn with predictor resets, decoded by
+    pre-splitting the entropy stream). Restart-coded images decode
+    IDENTICALLY to their unrestarted twins; 4:2:0 keeps luma close on
+    a smooth image while chroma carries the subsampling loss."""
+    import numpy as np
+
+    from mysql_syncer_clickhouse_spark.operators.jpegcodec import (
+        decode_baseline_jpeg, encode_baseline_jpeg)
+
+    h, w = 24, 20
+    smooth = np.empty((h, w, 3), dtype=np.uint8)
+    ys, xs = np.mgrid[0:h, 0:w]
+    for c in range(3):
+        smooth[:, :, c] = (3 * xs + 2 * ys + 30 * c).astype(np.uint8)
+
+    base = decode_baseline_jpeg(encode_baseline_jpeg(smooth, 90))[2]
+    for ri in (1, 3):
+        r = decode_baseline_jpeg(
+            encode_baseline_jpeg(smooth, 90, restart_interval=ri))
+        assert r is not None and (r[2] == base).all(), ri
+
+    sub = decode_baseline_jpeg(
+        encode_baseline_jpeg(smooth, 90, subsample=True))
+    assert sub is not None and (sub[0], sub[1]) == (w, h)
+    err = np.abs(sub[2].astype(float) - smooth.astype(float))
+    assert err.mean() < 6.0
+
+    both = decode_baseline_jpeg(encode_baseline_jpeg(
+        smooth, 90, subsample=True, restart_interval=2))
+    assert (both[2] == sub[2]).all()
