@@ -132,8 +132,14 @@ def ima_adpcm_encode(samples, block_samples: int = 505) -> bytes:
     return bytes(out)
 
 
-def ima_adpcm_decode(data: bytes, block_samples: int = 505):
-    """IMA ADPCM blocks -> list[int] int16 samples (mono)."""
+def ima_adpcm_decode(data: bytes, block_samples: int = 505,
+                     total_samples: int | None = None):
+    """IMA ADPCM blocks -> list[int] int16 samples (mono). A final
+    partial block pads its nibble stream to a whole byte, so the true
+    sample count is NOT recoverable from the bytes alone -- pass
+    `total_samples` (the WAV `fact` chunk value, which
+    make_wav_adpcm writes) to trim the decode exactly; without it the
+    final block may carry one trailing pad sample."""
     block_bytes = 4 + (block_samples - 1 + 1) // 2
     out = []
     pos = 0
@@ -143,13 +149,8 @@ def ima_adpcm_decode(data: bytes, block_samples: int = 505):
         out.append(pred)
         body = data[pos + 4:pos + block_bytes]
         pos += block_bytes
-        n_nib = (block_samples - 1) if pos <= len(data) \
-            else len(body) * 2
-        count = 0
         for b in body:
             for n in (b & 0x0F, b >> 4):
-                if count >= n_nib:
-                    break
                 step = IMA_STEPS[idx]
                 d = step >> 3
                 if n & 4:
@@ -162,5 +163,6 @@ def ima_adpcm_decode(data: bytes, block_samples: int = 505):
                 pred = max(-32768, min(32767, pred))
                 idx = max(0, min(88, idx + IMA_INDEX[n]))
                 out.append(pred)
-                count += 1
+    if total_samples is not None:
+        out = out[:total_samples]
     return out

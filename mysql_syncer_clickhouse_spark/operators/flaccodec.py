@@ -131,7 +131,7 @@ def _utf8_number(n: int) -> bytes:
     out = []
     bits = n.bit_length()
     nbytes = 2
-    while bits > 5 - nbytes + 6 * (nbytes - 1) and nbytes < 7:
+    while bits > (7 - nbytes) + 6 * (nbytes - 1) and nbytes < 7:
         nbytes += 1
     lead = (0xFF << (8 - nbytes)) & 0xFF
     shift = 6 * (nbytes - 1)
@@ -261,9 +261,14 @@ def decode_flac(payload: bytes):
         if rate is None or bits not in (8, 16) or channels < 1:
             return None
         out = []
-        while pos + 2 < len(payload) and len(out) < n_total * channels:
+        while pos + 2 < len(payload) \
+                and (n_total == 0 or len(out) < n_total * channels):
             br = _BR(payload, pos)
             if br.get(14) != 0x3FFE:
+                # total-samples 0 = "unknown" (streaming encoder):
+                # frames simply run out at end of data
+                if n_total == 0 and out:
+                    break
                 return None
             br.get(2)                    # reserved + blocking strategy
             bs_code = br.get(4)

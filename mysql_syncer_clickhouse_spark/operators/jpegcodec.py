@@ -396,9 +396,15 @@ def decode_baseline_jpeg(payload: bytes):
         while pos + 4 <= len(payload):
             if payload[pos] != 0xFF:
                 return None
+            # spec-legal 0xFF fill bytes may precede any marker
+            while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+                pos += 1
             m = payload[pos + 1]
             if m == 0xD9:
                 break
+            if m == 0x01 or 0xD0 <= m <= 0xD7:   # standalone markers
+                pos += 2
+                continue
             ln = struct.unpack(">H", payload[pos + 2:pos + 4])[0]
             body = payload[pos + 4:pos + 2 + ln]
             pos += 2 + ln

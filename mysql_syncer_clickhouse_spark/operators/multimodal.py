@@ -767,15 +767,20 @@ def parse_png_pixels(payload: bytes):
                 row = line
             elif ft == 2:                     # Up: vectorized
                 row = (line + prev) % 256
-            elif ft in (1, 3, 4):
+            elif ft == 1:                     # Sub: per-lane cumsum
+                row = (line.reshape(-1, bpp).cumsum(axis=0)
+                       % 256).reshape(stride)
+            elif ft in (3, 4):
+                # Average/Paeth predict from BOTH the left and upper
+                # neighbors -- a true sequential dependency along x;
+                # loop per byte (bounded by the image row, the
+                # per-item multimodal contract)
                 row = np.empty(stride, dtype=np.int64)
                 for i in range(stride):
                     a = row[i - bpp] if i >= bpp else 0
                     b = prev[i]
                     c = prev[i - bpp] if i >= bpp else 0
-                    if ft == 1:
-                        pred = a
-                    elif ft == 3:
+                    if ft == 3:
                         pred = (a + b) // 2
                     else:
                         p = a + b - c
@@ -928,14 +933,21 @@ def make_wav(sample_rate: int, samples: list[int],
 
 
 def _wav_with_fmt(tag: int, sample_rate: int, bits: int,
-                  data: bytes, extra: bytes = b"") -> bytes:
-    """RIFF/WAVE wrapper with an arbitrary fmt tag (mono)."""
+                  data: bytes, extra: bytes = b"",
+                  n_samples: int | None = None) -> bytes:
+    """RIFF/WAVE wrapper with an arbitrary fmt tag (mono). For
+    compressed tags pass `n_samples` to emit the standard `fact`
+    chunk (the true decoded sample count -- the spec's answer to
+    padded final blocks)."""
     fmt = struct.pack("<HHIIHH", tag, 1, sample_rate,
                       sample_rate * max(bits, 8) // 8,
                       max(bits // 8, 1), bits) + extra
-    return (b"RIFF" + struct.pack("<I", 28 + len(fmt) + len(data))
-            + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    fact = b"" if n_samples is None else \
+        b"fact" + struct.pack("<I", 4) + struct.pack("<I", n_samples)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + fact
             + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 def make_wav_g711(sample_rate: int, samples: list[int],
@@ -956,7 +968,8 @@ def make_wav_adpcm(sample_rate: int, samples: list[int],
     from .audiocodec import ima_adpcm_encode
     data = ima_adpcm_encode(samples, block_samples)
     extra = struct.pack("<HH", 2, block_samples)   # cbSize, spb
-    return _wav_with_fmt(0x11, sample_rate, 4, data, extra)
+    return _wav_with_fmt(0x11, sample_rate, 4, data, extra,
+                         n_samples=len(samples))
 
 
 def _wav_samples(payload: bytes):
@@ -970,7 +983,7 @@ def _wav_samples(payload: bytes):
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         return None
-    i, fmt, data, extra = 12, None, None, b""
+    i, fmt, data, extra, fact_n = 12, None, None, b"", None
     while i + 8 <= len(payload):
         cid = payload[i:i + 4]
         clen = struct.unpack("<I", payload[i + 4:i + 8])[0]
@@ -979,6 +992,8 @@ def _wav_samples(payload: bytes):
                 "<HHIIHH", payload[i + 8:i + 24])
             extra = payload[i + 24:i + 8 + clen]
             fmt = (tag, rate, ch, bits)
+        elif cid == b"fact" and clen >= 4:
+            fact_n = struct.unpack("<I", payload[i + 8:i + 12])[0]
         elif cid == b"data":
             data = payload[i + 8:i + 8 + clen]
         i += 8 + clen + (clen & 1)
@@ -1001,8 +1016,9 @@ def _wav_samples(payload: bytes):
         from .audiocodec import ima_adpcm_decode
         spb = struct.unpack("<H", extra[2:4])[0] if len(extra) >= 4 \
             else 505
-        return rate, 1, np.array(ima_adpcm_decode(data, spb),
-                                 dtype=np.float64)
+        return rate, 1, np.array(
+            ima_adpcm_decode(data, spb, total_samples=fact_n),
+            dtype=np.float64)
     return None
 
 

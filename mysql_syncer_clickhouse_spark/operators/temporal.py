@@ -280,13 +280,18 @@ def lttb_downsample(df: DataFrame, key_col: str, ts_col: str,
 
     def scan(pdf):
         pdf = pdf.sort_values(order, kind="mergesort")
-        x = (pdf[ts_col].astype("int64").to_numpy().astype("float64")
+        # datetime ts -> SECONDS since epoch (the repo-wide ts_s
+        # convention); ns-as-float64 would lose precision past 2^53
+        x = (pdf[ts_col].astype("int64").to_numpy()
+             .astype("float64") / 1e9
              if str(pdf[ts_col].dtype).startswith("datetime")
              else pdf[ts_col].to_numpy(dtype="float64"))
         y = pdf[value_col].to_numpy(dtype="float64")
         ln = len(x)
         if ln <= n_out:
             sel = list(range(ln))
+        elif n_out == 2:
+            sel = [0, ln - 1]            # endpoints only, no buckets
         else:
             # n_out-2 interior buckets over points 1..ln-2
             edges = [1 + (ln - 2) * i // (n_out - 2)

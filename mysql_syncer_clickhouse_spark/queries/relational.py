@@ -960,6 +960,66 @@ FROM s
 """
 
 
+def agg_rank_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U and Kolmogorov-Smirnov over the SAME split from
+    ONE lineitem scan: both tests consume per-distinct-value counts of
+    the identical (l_quantity, O-vs-F) relation, so the shared
+    aggregation + cumulative window computes once and the two part
+    rows unpack from a 2-element explode -- the fused-scan pattern
+    (cf. cdc_op_counters), replacing two separate full scans. The
+    standalone mann_whitney_u / kolmogorov_smirnov operators remain
+    as building blocks."""
+    li = _t(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("double")
+    vals = (li.filter(F.col("l_linestatus").isin("O", "F"))
+              .groupBy(x.alias("v"))
+              .agg(F.count(F.when(F.col("l_linestatus") == "O", 1))
+                    .alias("c1"),
+                   F.count(F.when(F.col("l_linestatus") == "F", 1))
+                    .alias("c2")))
+    w = (Window.orderBy("v")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wa = Window.rowsBetween(Window.unboundedPreceding,
+                            Window.unboundedFollowing)
+    n_all = F.col("c1") + F.col("c2")
+    cum = vals.select(
+        "c1", "c2",
+        (F.sum(n_all).over(w) - n_all + (n_all + 1) / 2.0)
+        .alias("avg_rank"),
+        F.sum("c1").over(w).alias("k1"),
+        F.sum("c2").over(w).alias("k2"),
+        F.sum("c1").over(wa).alias("na"),
+        F.sum("c2").over(wa).alias("nb"))
+    agg = cum.agg(
+        F.sum(F.col("c1") * F.col("avg_rank")).alias("r1"),
+        F.first("na").alias("na"), F.first("nb").alias("nb"),
+        F.sum((F.col("c1") + F.col("c2")) * (F.col("c1") + F.col("c2"))
+              * (F.col("c1") + F.col("c2"))
+              - (F.col("c1") + F.col("c2"))).alias("tie3"),
+        F.max(F.abs(F.col("k1") / F.col("na")
+                    - F.col("k2") / F.col("nb"))).alias("d"))
+    n1 = F.col("na").cast("double")
+    n2 = F.col("nb").cast("double")
+    n = n1 + n2
+    u1 = F.col("r1") - n1 * (n1 + 1) / 2
+    u2 = n1 * n2 - u1
+    sigma = F.sqrt(n1 * n2 / 12.0
+                   * ((n + 1) - F.col("tie3") / (n * (n - 1))))
+    z = (u1 - n1 * n2 / 2) / sigma
+    scale = F.sqrt(n1 * n2 / n)
+    return (agg.select(F.explode(F.array(
+        F.struct(F.lit("mwu").alias("part"),
+                 F.round(u1, 6).alias("m1"),
+                 F.round(u2, 6).alias("m2"),
+                 F.round(z, 6).alias("m3")),
+        F.struct(F.lit("ks").alias("part"),
+                 F.round(F.col("d"), 6).alias("m1"),
+                 F.round(scale * F.col("d"), 6).alias("m2"),
+                 F.lit(None).cast("double").alias("m3"))))
+        .alias("s"))
+        .select("s.part", "s.m1", "s.m2", "s.m3"))
+
+
 def quantile_exact_weighted(df: DataFrame, group_cols: list[str],
                             value_col: str, weight_col: str,
                             levels: list[float]) -> DataFrame:
@@ -1405,20 +1465,12 @@ def agg_grouping_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("welch_t").alias("m1"), F.col("welch_df").alias("m2"),
         F.col("student_t").alias("m3"),
         F.col("student_df").alias("m4"))
-    mwu = agg_mann_whitney(spark, sf_dir).select(
-        F.lit("mwu").alias("part"),
+    rank2 = agg_rank_tests(spark, sf_dir).select(
+        "part",
         F.lit("l_quantity").alias("g1"),
         F.lit("O_vs_F").alias("g2"),
         F.lit(None).cast("long").alias("n"),
-        F.col("u1").alias("m1"), F.col("u2").alias("m2"),
-        F.col("z").alias("m3"), nd.alias("m4"))
-    ks = agg_ks_test(spark, sf_dir).select(
-        F.lit("ks").alias("part"),
-        F.lit("l_quantity").alias("g1"),
-        F.lit("O_vs_F").alias("g2"),
-        F.lit(None).cast("long").alias("n"),
-        F.col("d_stat").alias("m1"), F.col("d_scaled").alias("m2"),
-        nd.alias("m3"), nd.alias("m4"))
+        "m1", "m2", "m3", nd.alias("m4"))
     reg = agg_regression(spark, sf_dir).select(
         F.lit("reg").alias("part"),
         F.col("l_returnflag").alias("g1"),
@@ -1428,8 +1480,8 @@ def agg_grouping_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bounding_ratio").alias("m3"), nd.alias("m4"))
     return (rollup.unionByName(cube).unionByName(gsets)
             .unionByName(pctl).unionByName(hist).unionByName(wpctl)
-            .unionByName(assoc).unionByName(ttest).unionByName(mwu)
-            .unionByName(ks).unionByName(reg))
+            .unionByName(assoc).unionByName(ttest)
+            .unionByName(rank2).unionByName(reg))
 
 
 _GROUPING_STATS_SQL = f"""

@@ -1408,8 +1408,9 @@ def test_compressed_audio_sample_decode(spark):
         assert abs(alaw_decode(alaw_encode(x)) - x) <= 512, x
 
     sig = [int(8000 * math.sin(i / 20)) for i in range(1200)]
-    dec = ima_adpcm_decode(ima_adpcm_encode(sig))
-    assert len(dec) == len(sig) + 1          # +1 pad nibble sample
+    dec = ima_adpcm_decode(ima_adpcm_encode(sig),
+                           total_samples=len(sig))
+    assert len(dec) == len(sig)              # fact-trimmed: exact
     err = [abs(a - b) for a, b in zip(dec, sig)]
     assert sum(err) / len(err) < 100
 
@@ -1424,6 +1425,7 @@ def test_compressed_audio_sample_decode(spark):
         assert out[d]["rms"] is not None, d
         assert abs(out[d]["rms"] - ref_rms) / ref_rms < 0.02, d
     assert out[2]["n_samples"] == len(sig)
+    assert out[4]["n_samples"] == len(sig)   # fact chunk trims ADPCM
 
     fp_pcm = audio_fingerprint64(_pcm16_samples(bytes(rows[0][1])))
     for d in (1, 2, 3):
@@ -1585,3 +1587,38 @@ def test_jpeg_subsample_and_restart_paths(spark):
     both = decode_baseline_jpeg(encode_baseline_jpeg(
         smooth, 90, subsample=True, restart_interval=2))
     assert (both[2] == sub[2]).all()
+
+
+def test_codec_review_regressions(spark):
+    """Review fixes pinned: FLAC streams with total_samples=0
+    ('unknown', streaming encoders) decode fully; FLAC frame numbers
+    use minimal UTF-8-style coding at every byte-length boundary;
+    JPEG payloads with spec-legal 0xFF fill bytes still decode."""
+    import struct as st
+
+    import numpy as np
+
+    from mysql_syncer_clickhouse_spark.operators.flaccodec import (
+        _BR, _read_utf8_number, _utf8_number, decode_flac, encode_flac)
+    from mysql_syncer_clickhouse_spark.operators.jpegcodec import (
+        decode_baseline_jpeg, encode_baseline_jpeg)
+
+    sig = [i % 100 - 50 for i in range(600)]
+    payload = bytearray(encode_flac(sig, 8000))
+    off = 4 + 4
+    payload[off + 13] &= 0xF0
+    st.pack_into(">I", payload, off + 14, 0)      # total: unknown
+    dec = decode_flac(bytes(payload))
+    assert dec is not None and dec[2] == sig
+
+    for n, want_len in ((127, 1), (128, 2), (2047, 2), (2048, 3),
+                        (65535, 3), (65536, 4)):
+        enc = _utf8_number(n)
+        assert len(enc) == want_len, n            # minimal coding
+        assert _read_utf8_number(_BR(enc)) == n
+
+    rgb = np.arange(8 * 8 * 3, dtype=np.uint8).reshape(8, 8, 3)
+    enc = encode_baseline_jpeg(rgb, 90)
+    filled = enc[:2] + b"\xff\xff\xff" + enc[2:]
+    d = decode_baseline_jpeg(filled)
+    assert d is not None and (d[0], d[1]) == (8, 8)

@@ -752,3 +752,22 @@ def test_simple_linear_regression_known_fit(spark):
     df = spark.createDataFrame(rows, "g string, x double, y double, tb long")
     r = simple_linear_regression(df, ["g"], "x", "y", "tb").collect()[0]
     assert r["bounding_ratio"] == round((99.0 - 10.0) / 4.0, 6)
+
+
+def test_lttb_n_out_two_and_timestamp_units(spark):
+    """Review fixes: n_out=2 returns exactly the endpoints (no
+    ZeroDivisionError), and datetime ts columns come back as SECONDS
+    since epoch (the repo-wide ts_s convention, precision-safe)."""
+    from pyspark.sql import functions as F
+
+    from mysql_syncer_clickhouse_spark.operators.temporal import (
+        lttb_downsample)
+
+    rows = [("s", f"2026-01-01 00:00:{i:02d}", float(i))
+            for i in range(30)]
+    df = (spark.createDataFrame(rows, "k string, t string, v double")
+          .withColumn("ts", F.to_timestamp("t")).drop("t"))
+    out = lttb_downsample(df, "k", "ts", "v", 2).orderBy("idx").collect()
+    assert len(out) == 2 and out[0]["v"] == 0.0 and out[1]["v"] == 29.0
+    # seconds since epoch: gap between endpoints is 29 s exactly
+    assert out[1]["ts"] - out[0]["ts"] == 29.0
