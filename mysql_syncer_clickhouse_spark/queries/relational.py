@@ -570,11 +570,14 @@ def categorical_association(df: DataFrame, x_col: str,
     bounded by k1*k2 category pairs, never row volume (the 100 TB
     shape: one partial-aggregable count, then literal-sized joins).
 
-    Returns one row: (cramers_v, theils_u, contingency_coef).
+    Returns one row: (cramers_v, theils_u, contingency_coef,
+    entropy_x).
     - cramersV = sqrt((chi2/n) / min(k1-1, k2-1))
     - theilsU  = U(x|y) = (H(x) - H(x|y)) / H(x)  (natural log)
     - contingency = sqrt(chi2 / (chi2 + n))
-    All three round to 6 decimals -- the same oracle-parity convention
+    - entropy_x = H(x), the sink DB's entropy() aggregate (already an
+      intermediate of theilsU -- exposed for free)
+    All round to 6 decimals -- the same oracle-parity convention
     as corr/stddev (both engines do the identical IEEE arithmetic on
     the identical rational inputs)."""
     ct = (df.groupBy(F.col(x_col).alias("x"), F.col(y_col).alias("y"))
@@ -612,7 +615,8 @@ def categorical_association(df: DataFrame, x_col: str,
         F.round((F.col("h_x") - F.col("h_x_given_y")) / F.col("h_x"), 6)
          .alias("theils_u"),
         F.round(F.sqrt(F.col("chi2") / (F.col("chi2") + F.col("n"))), 6)
-         .alias("contingency_coef"))
+         .alias("contingency_coef"),
+        F.round(F.col("h_x"), 6).alias("entropy_x"))
 
 
 def agg_association(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -651,7 +655,8 @@ joined AS (
 )
 SELECT ROUND(SQRT(chi2 / n / LEAST(k1 - 1, k2 - 1)), 6) AS cramers_v,
        ROUND((h_x - h_x_given_y) / h_x, 6) AS theils_u,
-       ROUND(SQRT(chi2 / (chi2 + n)), 6) AS contingency_coef
+       ROUND(SQRT(chi2 / (chi2 + n)), 6) AS contingency_coef,
+       ROUND(h_x, 6) AS entropy_x
 FROM agg CROSS JOIN hx
 """
 
@@ -957,6 +962,86 @@ SELECT l_returnflag,
          AS intercept,
        ROUND((y_hi - y_lo) / (x_hi - x_lo), 6) AS bounding_ratio
 FROM s
+"""
+
+
+def agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse's skewPop / kurtPop per return flag, computed from
+    EXACT decimal power sums (sum-x ... sum-x^4 accumulate
+    losslessly; only the closing moment arithmetic is floating point,
+    identical IEEE ops in any engine -- the same determinism recipe
+    as simple_linear_regression, chosen over the built-in
+    skewness/kurtosis whose sample-vs-population conventions differ
+    between engines).
+
+      m_k = sum((x - mean)^k)/n expanded in power sums;
+      skewPop = m3 / m2^1.5;  kurtPop = m4 / m2^2."""
+    li = _t(spark, sf_dir, "lineitem")
+    # NARROW multiplicands: decimal(9,2) holds the 2-dp price exactly,
+    # and 9+9(+9+9) digit products grow to decimal(36,8) -- x^4 sums
+    # stay exact inside 38 digits in BOTH engines (a 38,6 operand
+    # would overflow DuckDB's scale-growing multiply)
+    x = F.col("l_extendedprice").cast("decimal(9,2)")
+    # explicit widening at each step: every intermediate fits its
+    # target exactly, and both engines take the identical cast chain
+    # (DuckDB's int64-backed DECIMAL(18) would otherwise overflow
+    # mid-product; Spark's auto-widening would round x^4 to scale 7)
+    x2 = (x * x).cast("decimal(20,4)")
+    x3 = (x2 * x).cast("decimal(30,6)")
+    x4 = (x3 * x).cast("decimal(38,8)")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("s1"),
+        F.sum(x2).alias("s2"),
+        F.sum(x3).alias("s3"),
+        F.sum(x4).alias("s4"))
+    n = F.col("n").cast("double")
+    s1 = F.col("s1").cast("double")
+    s2 = F.col("s2").cast("double")
+    s3 = F.col("s3").cast("double")
+    s4 = F.col("s4").cast("double")
+    mu = s1 / n
+    m2 = s2 / n - mu * mu
+    m3 = s3 / n - 3 * mu * s2 / n + 2 * mu * mu * mu
+    m4 = (s4 / n - 4 * mu * s3 / n + 6 * mu * mu * s2 / n
+          - 3 * mu * mu * mu * mu)
+    return agg.select(
+        "l_returnflag",
+        F.round(m3 / F.sqrt(m2 * m2 * m2), 6).alias("skew_pop"),
+        F.round(m4 / (m2 * m2), 6).alias("kurt_pop"))
+
+
+_MOMENTS_SQL = """
+WITH s AS (
+  SELECT l_returnflag, COUNT(*) AS n,
+         SUM(x) AS s1, SUM(x2) AS s2, SUM(x3) AS s3, SUM(x4) AS s4
+  FROM (
+    SELECT l_returnflag, x, x2, x3,
+           CAST(x3 * x AS DECIMAL(38,8)) AS x4
+    FROM (
+      SELECT l_returnflag, x, x2, CAST(x2 * x AS DECIMAL(30,6)) AS x3
+      FROM (
+        SELECT l_returnflag, x, CAST(x * x AS DECIMAL(20,4)) AS x2
+        FROM (SELECT l_returnflag,
+                     CAST(l_extendedprice AS DECIMAL(9,2)) AS x
+              FROM lineitem))))
+  GROUP BY l_returnflag
+), m AS (
+  SELECT l_returnflag,
+         CAST(s1 AS DOUBLE) / n AS mu,
+         CAST(s2 AS DOUBLE) / n AS e2,
+         CAST(s3 AS DOUBLE) / n AS e3,
+         CAST(s4 AS DOUBLE) / n AS e4
+  FROM (SELECT l_returnflag, CAST(n AS DOUBLE) AS n,
+               s1, s2, s3, s4 FROM s)
+)
+SELECT l_returnflag,
+       ROUND((e3 - 3 * mu * e2 + 2 * mu * mu * mu)
+             / SQRT(POWER(e2 - mu * mu, 3)), 6) AS skew_pop,
+       ROUND((e4 - 4 * mu * e3 + 6 * mu * mu * e2
+              - 3 * mu * mu * mu * mu)
+             / ((e2 - mu * mu) * (e2 - mu * mu)), 6) AS kurt_pop
+FROM m
 """
 
 
@@ -1456,7 +1541,8 @@ def agg_grouping_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("n"),
         F.col("cramers_v").alias("m1"),
         F.col("theils_u").alias("m2"),
-        F.col("contingency_coef").alias("m3"), nd.alias("m4"))
+        F.col("contingency_coef").alias("m3"),
+        F.col("entropy_x").alias("m4"))
     ttest = agg_t_tests(spark, sf_dir).select(
         F.lit("ttest").alias("part"),
         F.lit("l_extendedprice").alias("g1"),
@@ -1471,6 +1557,13 @@ def agg_grouping_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("O_vs_F").alias("g2"),
         F.lit(None).cast("long").alias("n"),
         "m1", "m2", "m3", nd.alias("m4"))
+    mom = agg_moments(spark, sf_dir).select(
+        F.lit("moments").alias("part"),
+        F.col("l_returnflag").alias("g1"),
+        F.lit("l_extendedprice").alias("g2"),
+        F.lit(None).cast("long").alias("n"),
+        F.col("skew_pop").alias("m1"), F.col("kurt_pop").alias("m2"),
+        nd.alias("m3"), nd.alias("m4"))
     reg = agg_regression(spark, sf_dir).select(
         F.lit("reg").alias("part"),
         F.col("l_returnflag").alias("g1"),
@@ -1481,7 +1574,8 @@ def agg_grouping_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (rollup.unionByName(cube).unionByName(gsets)
             .unionByName(pctl).unionByName(hist).unionByName(wpctl)
             .unionByName(assoc).unionByName(ttest)
-            .unionByName(rank2).unionByName(reg))
+            .unionByName(rank2).unionByName(reg)
+            .unionByName(mom))
 
 
 _GROUPING_STATS_SQL = f"""
@@ -1522,7 +1616,7 @@ SELECT 'wpctl', l_returnflag, CAST(NULL AS VARCHAR),
 FROM ({_WEIGHTED_PCTL_SQL})
 UNION ALL
 SELECT 'assoc', 'l_returnflag', 'l_linestatus', CAST(NULL AS BIGINT),
-       cramers_v, theils_u, contingency_coef, NULL
+       cramers_v, theils_u, contingency_coef, entropy_x
 FROM ({_ASSOCIATION_SQL})
 UNION ALL
 SELECT 'ttest', 'l_extendedprice', 'O_vs_F', CAST(NULL AS BIGINT),
@@ -1540,6 +1634,10 @@ UNION ALL
 SELECT 'reg', l_returnflag, 'qty_vs_price', CAST(NULL AS BIGINT),
        slope, intercept, bounding_ratio, NULL
 FROM ({_REGRESSION_SQL})
+UNION ALL
+SELECT 'moments', l_returnflag, 'l_extendedprice', CAST(NULL AS BIGINT),
+       skew_pop, kurt_pop, NULL, NULL
+FROM ({_MOMENTS_SQL})
 """
 
 
