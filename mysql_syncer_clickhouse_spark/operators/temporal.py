@@ -320,3 +320,41 @@ def lttb_downsample(df: DataFrame, key_col: str, ts_col: str,
             "idx": list(range(len(sel)))})
 
     return df.groupBy(key_col).applyInPandas(scan, schema)
+
+
+def exponential_time_decayed_avg(df: DataFrame, key_col: str,
+                                 ts_col: str, value_col: str,
+                                 halflife_s: float,
+                                 out_col: str = "decayed_avg",
+                                 tiebreak_col: str | None = None
+                                 ) -> DataFrame:
+    """Per-key TIME-decayed running average (the sink DB's
+    exponentialTimeDecayedAvg): each observation's weight halves
+    every `halflife_s` SECONDS of wall-clock gap --
+      avg_i = sum_j<=i x_j * 2^-((t_i - t_j)/halflife)
+            / sum_j<=i       2^-((t_i - t_j)/halflife)
+    -- unlike exponential_moving_average, whose decay is per ROW and
+    blind to irregular spacing. Same execution shape: one
+    applyInPandas per key, pandas' C-implemented time-aware
+    `ewm(halflife, times)` inside (no Python loop), parallel across
+    keys. Adds `out_col`, preserves the input columns."""
+    if halflife_s <= 0:
+        raise ValueError("halflife_s must be positive")
+    cols = df.columns
+    out_fields = ", ".join(f"`{c}` {t}" for c, t in df.dtypes)
+    schema = f"{out_fields}, {out_col} double"
+    order = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+
+    def scan(pdf):
+        import pandas as pd
+        pdf = pdf.sort_values(order, kind="mergesort")
+        ts = pdf[ts_col]
+        if not str(ts.dtype).startswith("datetime"):
+            ts = pd.to_datetime(ts, unit="s")
+        pdf[out_col] = (pdf[value_col].astype("float64")
+                        .ewm(halflife=pd.Timedelta(seconds=halflife_s),
+                             times=ts).mean())
+        return pdf
+
+    return (df.groupBy(key_col).applyInPandas(scan, schema)
+              .select(*cols, out_col))

@@ -808,3 +808,34 @@ def test_moments_match_reference(spark):
         r = agg_moments(spark, td).collect()[0]
     assert abs(r["skew_pop"] - want_skew) <= 1e-6
     assert abs(r["kurt_pop"] - want_kurt) <= 1e-6
+
+
+def test_exponential_time_decayed_avg(spark):
+    """Time-gap decay (exponentialTimeDecayedAvg): weights halve per
+    halflife SECOND of gap, matching a brute-force reference on an
+    IRREGULARLY spaced series -- where the per-row EMA, blind to
+    spacing, disagrees."""
+    from pyspark.sql import functions as F
+
+    from mysql_syncer_clickhouse_spark.operators.temporal import (
+        exponential_time_decayed_avg)
+
+    # irregular gaps: 0, 1, 10 seconds
+    rows = [("k", 0.0, 10.0), ("k", 1.0, 20.0), ("k", 11.0, 50.0)]
+    df = spark.createDataFrame(rows, "g string, t double, v double")
+    out = {r["t"]: r["decayed_avg"]
+           for r in exponential_time_decayed_avg(
+               df, "g", "t", "v", halflife_s=2.0).collect()}
+
+    def brute(i):
+        ws = [2.0 ** (-(rows[i][1] - rows[j][1]) / 2.0)
+              for j in range(i + 1)]
+        xs = [rows[j][2] for j in range(i + 1)]
+        return sum(w * x for w, x in zip(ws, xs)) / sum(ws)
+
+    for i, (_, t, _) in enumerate(rows):
+        assert abs(out[t] - brute(i)) < 1e-9, t
+
+    import pytest
+    with pytest.raises(ValueError):
+        exponential_time_decayed_avg(df, "g", "t", "v", halflife_s=0)
