@@ -263,6 +263,7 @@ def decode_flac(payload: bytes):
         out = []
         while pos + 2 < len(payload) \
                 and (n_total == 0 or len(out) < n_total * channels):
+            frame_start = pos
             br = _BR(payload, pos)
             if br.get(14) != 0x3FFE:
                 # total-samples 0 = "unknown" (streaming encoder):
@@ -272,8 +273,8 @@ def decode_flac(payload: bytes):
                 return None
             br.get(2)                    # reserved + blocking strategy
             bs_code = br.get(4)
-            br.get(4)                    # rate code (STREAMINFO rules)
-            ch_code = br.get(4)
+            rate_code = br.get(4)        # 0/1-B: STREAMINFO or inline;
+            ch_code = br.get(4)          # C-E: value at end of header
             br.get(3)                    # sample-size code
             br.get(1)
             _read_utf8_number(br)
@@ -287,6 +288,17 @@ def decode_flac(payload: bytes):
                 n = 256 << (bs_code - 8)
             else:
                 return None
+            # end-of-header sample-rate bytes for codes 0xC-0xE (8-bit
+            # kHz / 16-bit Hz / 16-bit daHz): must be CONSUMED even
+            # though the decode rate comes from STREAMINFO -- skipping
+            # them desyncs the bitstream for spec-valid externally
+            # encoded files at uncommon rates. 0xF is invalid.
+            if rate_code == 0xF:
+                return None
+            if rate_code == 0xC:
+                br.get(8)
+            elif rate_code in (0xD, 0xE):
+                br.get(16)
             br.get(8)                    # header CRC
             if ch_code > 7:
                 return None              # decorrelated stereo: skip
@@ -352,6 +364,14 @@ def decode_flac(payload: bytes):
                     ch = [v << wasted for v in ch]
                 chans.append(ch)
             br.align()
+            # verify the frame CRC-16 (over header + subframes): a
+            # corrupt or desynced frame returns the documented None
+            # instead of silently wrong sample statistics
+            if br.byte + 2 > len(payload) \
+                    or _crc16(payload[frame_start:br.byte]) \
+                    != int.from_bytes(payload[br.byte:br.byte + 2],
+                                      "big"):
+                return None
             pos = br.byte + 2            # frame CRC16
             if channels == 1:
                 out += chans[0]

@@ -140,7 +140,13 @@ def _funnel_level_modes(ts, step, n: int, window_s: float,
     returning the previous event's condition number); `strict_order`
     stops it when, after a chain has started, an event arrives that
     matches no condition (step 0) or a condition whose predecessor
-    level is unreached; `strict_increase` extends a chain only when
+    level is unreached -- the first_event guard on BOTH branches
+    matches the current upstream algorithm (the step-0 branch
+    `if (strict_order && event_idx == -1) { if (first_event) break;
+    else continue; }` and the unreached-predecessor branch
+    `strict_order && first_event && !events_timestamp[event_idx - 1]`
+    both ignore pre-chain events, so a B,A,B,C stream reaches level 3
+    in both engines); `strict_increase` extends a chain only when
     the timestamp strictly exceeds the previous level's last event.
     Sequential per user by nature (each decision depends on the
     running state); bounded by the per-user-events contract."""
@@ -200,6 +206,14 @@ def window_funnel(events: DataFrame, user_col: str, ts_col: str,
         pdf = pdf.sort_values(["ts_s", "tb"], kind="mergesort")
         ts = pdf["ts_s"].to_numpy(dtype=np.float64)
         st = pdf["step"].to_numpy(dtype=np.int64)
+        # strict_order keeps step-0 events in the stream as chain
+        # breakers, which would otherwise surface users ALL of whose
+        # events match nothing as (user, 0) rows -- the documented
+        # contract (users matching nothing are absent) holds in every
+        # mode
+        if order and not (st > 0).any():
+            return pd.DataFrame({"user": pd.Series([], dtype=object),
+                                 "level": pd.Series([], dtype="int32")})
         if modes:
             level = _funnel_level_modes(ts, st, n, window_s,
                                         dedup, order, increase)
@@ -585,6 +599,15 @@ def sequence_next_node(events: DataFrame, user_col: str, ts_col: str,
     if n > 62:
         raise ValueError("condition bitmask is a long: at most 62 "
                          "conditions supported")
+    # the output schema carries the INPUT's user type (same recipe as
+    # lttb_downsample's key column) -- a hard-coded `user long` would
+    # fail any caller with a string/UUID user column at runtime
+    user_type = dict(events.dtypes)[user_col]
+
+    def _empty() -> pd.DataFrame:
+        return pd.DataFrame({"user": pd.Series([], dtype=object),
+                             "next_value": pd.Series([], dtype=object)})
+
     mask = F.lit(0)
     for i, c in enumerate(conds):
         mask = mask + F.when(c, F.lit(1 << i)).otherwise(0)
@@ -604,8 +627,7 @@ def sequence_next_node(events: DataFrame, user_col: str, ts_col: str,
             masks, vals = masks[::-1], vals[::-1]
         ln = len(masks)
         if ln < n:
-            return pd.DataFrame({"user": pd.Series([], dtype="int64"),
-                                 "next_value": pd.Series([], dtype=object)})
+            return _empty()
         # start[i] == True iff conds 1..n match at stream positions
         # i..i+n-1 (shift-and-AND, no per-event loop)
         start = ((masks[:ln - n + 1] >> 0) & 1).astype(bool)
@@ -620,12 +642,11 @@ def sequence_next_node(events: DataFrame, user_col: str, ts_col: str,
             anchor = int(idxs[0]) if base != "last_match" \
                 else int(idxs[-1])
         if anchor is None:
-            return pd.DataFrame({"user": pd.Series([], dtype="int64"),
-                                 "next_value": pd.Series([], dtype=object)})
+            return _empty()
         nxt = anchor + n
         val = vals[nxt] if nxt < ln else None
         return pd.DataFrame({"user": [pdf["user"].iloc[0]],
                              "next_value": [val]})
 
     return stepped.groupBy("user").applyInPandas(
-        scan, "user long, next_value string")
+        scan, f"user {user_type}, next_value string")

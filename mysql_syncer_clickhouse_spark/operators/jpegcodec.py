@@ -322,12 +322,14 @@ class _BitReader:
         self.pos = 0
         self.acc = 0
         self.n = 0
+        self.fake = 0      # pad bits appended after real data ran out
 
     def _fill(self):
         while self.n <= 24:
             if self.pos >= len(self.d):
                 self.acc = (self.acc << 8) | 0xFF   # pad past end
                 self.n += 8
+                self.fake += 8
                 continue
             b = self.d[self.pos]
             self.pos += 1
@@ -337,12 +339,23 @@ class _BitReader:
                     self.pos += 1               # stuffed byte
                 else:
                     # a marker: the scan was pre-split on restarts, so
-                    # anything else means end-of-segment -- pad
+                    # anything else means end-of-segment -- pad (pos
+                    # stays on the marker, so every later fill pads
+                    # too: pad bits are always the stream's tail)
+                    self.pos -= 1
                     self.acc = (self.acc << 8) | 0xFF
                     self.n += 8
+                    self.fake += 8
                     continue
             self.acc = (self.acc << 8) | b
             self.n += 8
+
+    def overrun(self) -> bool:
+        """True when decode CONSUMED pad bits, i.e. real data ran out
+        mid-scan (pads are terminal, so consumed-fake <=> fake > the
+        unconsumed remainder). A valid stream's final-MCU peek may
+        PREFETCH pads without consuming them -- that stays False."""
+        return self.fake > self.n
 
     def peek16(self) -> int:
         self._fill()
@@ -367,7 +380,10 @@ def _huff_read(br: _BitReader, table) -> int:
     v16 = br.peek16()
     for ln in range(1, 17):
         code = v16 >> (16 - ln)
-        if counts[ln - 1] and code - first_code[ln] < counts[ln - 1]:
+        # BOTH bounds: without the lower one a corrupt/truncated code
+        # below first_code[ln] would index vals[] with a negative
+        # offset and decode garbage instead of raising
+        if counts[ln - 1] and 0 <= code - first_code[ln] < counts[ln - 1]:
             br.skip(ln)
             return vals[first_idx[ln] + code - first_code[ln]]
     raise ValueError("bad Huffman code")
@@ -528,6 +544,8 @@ def decode_baseline_jpeg(payload: bytes):
                                 px_ = (mx * c["h"] + vx) * 8
                                 planes[ci][py:py + 8,
                                            px_:px_ + 8] = pix
+                if br.overrun():
+                    return None      # truncated scan: data ran out
         out = []
         for ci, c in enumerate(comps):
             p = planes[ci]

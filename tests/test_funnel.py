@@ -573,3 +573,51 @@ def test_sequence_next_node_deterministic_and_validated(spark):
     with pytest.raises(ValueError):
         sequence_next_node(ev, "user_id", "ts", "event_type",
                            _conds(["A"]), base="mid_match")
+
+
+def test_window_funnel_strict_order_drops_all_foreign_users(spark):
+    """strict_order keeps step-0 events as chain breakers, but a user
+    ALL of whose events match nothing must stay absent (the documented
+    contract for every mode), not surface as (user, 0)."""
+    ev = _events(spark, [(1, 1, "A"), (1, 2, "B"),
+                         (2, 1, "X"), (2, 2, "Y")])
+    conds = _conds(["A", "B", "C"])
+    strict = {r["user"]: r["level"]
+              for r in window_funnel(ev, "user_id", "ts", conds, 60,
+                                     modes=["strict_order"]).collect()}
+    assert strict == {1: 2}
+
+
+def test_window_funnel_strict_order_ignores_prechain_events(spark):
+    """Pre-chain events never break under strict_order (upstream's
+    first_event guard on BOTH branches): B,A,B,C reaches level 3 --
+    the pre-chain B (predecessor unreached) is ignored, matching the
+    current AggregateFunctionWindowFunnel algorithm."""
+    ev = _events(spark, [(1, 1, "B"), (1, 2, "A"), (1, 3, "B"),
+                         (1, 4, "C")])
+    conds = _conds(["A", "B", "C"])
+    strict = {r["user"]: r["level"]
+              for r in window_funnel(ev, "user_id", "ts", conds, 60,
+                                     modes=["strict_order"]).collect()}
+    assert strict == {1: 3}
+
+
+def test_sequence_next_node_string_user_column(spark):
+    """The applyInPandas output schema derives the user type from the
+    input -- a string user column works end-to-end (was hard-coded
+    `user long`)."""
+    from mysql_syncer_clickhouse_spark.operators.funnel import (
+        sequence_next_node)
+    df = spark.createDataFrame(
+        [(1, "alice", "2026-01-01 00:00:01", "A"),
+         (2, "alice", "2026-01-01 00:00:02", "B"),
+         (3, "alice", "2026-01-01 00:00:03", "C"),
+         (4, "bob", "2026-01-01 00:00:01", "X")],
+        "event_id long, user_id string, ts_str string, event_type string"
+    ).select("event_id", "user_id",
+             F.col("ts_str").cast("timestamp").alias("ts"), "event_type")
+    out = sequence_next_node(df, "user_id", "ts", "event_type",
+                             _conds(["A", "B"]))
+    assert dict(out.dtypes)["user"] == "string"
+    assert {r["user"]: r["next_value"] for r in out.collect()} \
+        == {"alice": "C"}

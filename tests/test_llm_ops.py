@@ -1483,7 +1483,7 @@ def test_flac_decoder_constant_partitions_escape(spark):
     partition order 1 (two partitions with different parameters), and
     an ESCAPED (raw 5-bit) partition."""
     from mysql_syncer_clickhouse_spark.operators.flaccodec import (
-        _BW, _crc8, _utf8_number, decode_flac, encode_flac)
+        _BW, _crc8, _crc16, _utf8_number, decode_flac, encode_flac)
     import struct as st
 
     def streaminfo(n_total):
@@ -1511,7 +1511,8 @@ def test_flac_decoder_constant_partitions_escape(spark):
     bw.put(0, 1); bw.put(0, 6); bw.put(0, 1)     # type 0 = CONSTANT
     bw.put((-5) & 0xFFFF, 16)
     bw.align()
-    payload = streaminfo(n) + bytes(bw.out) + b"\0\0"
+    frame = bytes(bw.out)
+    payload = streaminfo(n) + frame + st.pack(">H", _crc16(frame))
     dec = decode_flac(payload)
     assert dec is not None and dec[2] == [-5] * n
 
@@ -1531,7 +1532,8 @@ def test_flac_decoder_constant_partitions_escape(spark):
             bw.unary(z >> param)
             bw.put(z & ((1 << param) - 1), param)
     bw.align()
-    payload = streaminfo(n) + bytes(bw.out) + b"\0\0"
+    frame = bytes(bw.out)
+    payload = streaminfo(n) + frame + st.pack(">H", _crc16(frame))
     dec = decode_flac(payload)
     assert dec is not None and dec[2] == vals
 
@@ -1549,7 +1551,8 @@ def test_flac_decoder_constant_partitions_escape(spark):
     for r in vals:
         bw.put(r & 0x1F, 5)
     bw.align()
-    payload = streaminfo(n) + bytes(bw.out) + b"\0\0"
+    frame = bytes(bw.out)
+    payload = streaminfo(n) + frame + st.pack(">H", _crc16(frame))
     dec = decode_flac(payload)
     assert dec is not None and dec[2] == vals
 
@@ -1622,3 +1625,71 @@ def test_codec_review_regressions(spark):
     filled = enc[:2] + b"\xff\xff\xff" + enc[2:]
     d = decode_baseline_jpeg(filled)
     assert d is not None and (d[0], d[1]) == (8, 8)
+
+
+def test_flac_decoder_frame_rate_codes_and_crc(spark):
+    """Frame-header sample-rate codes 0xC-0xE store the rate at the END
+    of the header -- those bytes must be consumed (skipping them
+    desyncs the bitstream); and a corrupted frame fails its CRC-16 and
+    returns the documented None instead of wrong samples."""
+    import struct as st
+
+    from mysql_syncer_clickhouse_spark.operators.flaccodec import (
+        _BW, _crc8, _crc16, _utf8_number, decode_flac, encode_flac)
+
+    def streaminfo(n_total):
+        base = encode_flac([0] * 1, 8000)
+        b = bytearray(base[:4 + 4 + 34])
+        off = 4 + 4
+        b[off + 13] = (b[off + 13] & 0xF0) | ((n_total >> 32) & 0xF)
+        st.pack_into(">I", b, off + 14, n_total & 0xFFFFFFFF)
+        return bytes(b)
+
+    # CONSTANT frame with rate code 0xC (8-bit kHz value at header end)
+    n = 5
+    for rate_code, end_bytes in ((0xC, bytes([8])),
+                                 (0xD, st.pack(">H", 8000)),
+                                 (0xE, st.pack(">H", 800))):
+        hdr = _BW()
+        hdr.put(0x3FFE, 14); hdr.put(0, 1); hdr.put(0, 1)
+        hdr.put(0b0111, 4)                     # blocksize: 16-bit at end
+        hdr.put(rate_code, 4)
+        hdr.put(0, 4); hdr.put(0b100, 3); hdr.put(0, 1)
+        head = bytes(hdr.out) + _utf8_number(0) + st.pack(">H", n - 1) \
+            + end_bytes
+        head += bytes([_crc8(head)])
+        bw = _BW()
+        for b in head:
+            bw.put(b, 8)
+        bw.put(0, 1); bw.put(0, 6); bw.put(0, 1)   # CONSTANT subframe
+        bw.put((7) & 0xFFFF, 16)
+        bw.align()
+        frame = bytes(bw.out)
+        payload = streaminfo(n) + frame + st.pack(">H", _crc16(frame))
+        dec = decode_flac(payload)
+        assert dec is not None and dec[2] == [7] * n, hex(rate_code)
+
+    # corrupt one byte inside an encoder-produced frame: CRC-16 catches
+    # it -> clean None (never silently wrong samples)
+    good = encode_flac(list(range(-50, 50)) * 3, 8000)
+    assert decode_flac(good) is not None
+    bad = bytearray(good)
+    bad[-10] ^= 0x55
+    assert decode_flac(bytes(bad)) is None
+
+
+def test_jpeg_truncated_scan_returns_none(spark):
+    """A baseline JPEG cut off mid-scan must return None (the module
+    contract), not garbage pixels from the 0xFF bit-padding."""
+    import numpy as np
+
+    from mysql_syncer_clickhouse_spark.operators.jpegcodec import (
+        decode_baseline_jpeg, encode_baseline_jpeg)
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    enc = encode_baseline_jpeg(img, 90)
+    assert decode_baseline_jpeg(enc) is not None
+    # cut 60% of the entropy-coded data (keep all headers: SOS is
+    # well before this point for a 32x32 noise image)
+    cut = len(enc) - (len(enc) - enc.find(b"\xff\xda")) * 6 // 10
+    assert decode_baseline_jpeg(enc[:cut]) is None
