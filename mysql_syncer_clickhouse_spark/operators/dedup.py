@@ -278,10 +278,25 @@ def jaccard_verify_sets(candidates: DataFrame, sets: DataFrame,
 
 def minhash_dedup(df: DataFrame, id_col: str, text_col: str,
                   k: int = 8, threshold: float = 0.5,
-                  bucket_cap: int | None = 64) -> DataFrame:
+                  bucket_cap: int | None = 64,
+                  grain: str = "member"):
     """End-to-end MinHash+LSH near-dup detection: collapse exact
     texts -> shingle -> signature -> band buckets -> candidate pairs
     -> exact-Jaccard verify -> expand back to member grain.
+
+    `grain` picks the output shape:
+    - 'member' (default): the expanded (id_a, id_b, jaccard,
+      containment) pair list. The pair LIST for an N-copy exact-dup
+      family is inherently O(N^2) rows -- fine when families are
+      bounded (the fixtures), a scale-killer under mass duplication.
+    - 'rep': returns the tuple (rep_pairs, members) -- verified
+      near-dup pairs at REPRESENTATIVE grain (one row per distinct
+      text, never quadratic) plus the (id, rep_id) members map. THIS
+      is the 100 TB path: every downstream dedup decision composes
+      from it in O(N) -- rep_cluster_labels() for member-grain
+      cluster ids, minhash_dedup_canonical() for a deduped corpus --
+      without ever materializing member pairs. The expanded output is
+      exactly expand_rep_pairs(rep_pairs, members, threshold).
 
     Scale armor (the 100 TB boilerplate case): byte-identical texts
     are collapsed to one representative FIRST (collapse_exact_texts),
@@ -322,6 +337,8 @@ def minhash_dedup(df: DataFrame, id_col: str, text_col: str,
     and collect_set dedups, so a distinct would be a pure extra
     shuffle. Results are row-identical to the unfused pipeline
     (test-asserted)."""
+    if grain not in ("member", "rep"):
+        raise ValueError(f"grain must be 'member' or 'rep': {grain!r}")
     reps, members = collapse_exact_texts(df, id_col, text_col)
     # PIN members before its fan-out reuse: expand_rep_pairs references
     # it four times (intra self-join + two cross sides) and per_doc's
@@ -338,6 +355,8 @@ def minhash_dedup(df: DataFrame, id_col: str, text_col: str,
     cands = lsh_candidate_pairs(bands, bucket_cap=bucket_cap)
     rep_pairs = jaccard_verify_sets(cands, per_doc.select("id", "hs"),
                                     threshold)
+    if grain == "rep":
+        return rep_pairs, members
     return expand_rep_pairs(rep_pairs, members, threshold)
 
 
@@ -593,3 +612,63 @@ def keep_canonical(docs: DataFrame, pairs: DataFrame,
     losers = clusters.filter(F.col("id") != F.col("cluster_id")) \
                      .select(F.col("id").alias(id_col))
     return docs.join(losers, [id_col], "left_anti")
+
+
+def rep_cluster_labels(rep_pairs: DataFrame,
+                       members: DataFrame) -> DataFrame:
+    """Member-grain duplicate-cluster labels (id, cluster_id) from
+    REP-grain verified pairs + the collapse_exact_texts members map --
+    row-identical to duplicate_clusters(expand_rep_pairs(...)) but
+    never materializing the O(N^2) member pair list (test-asserted
+    on a planted 1000-copy family): connected components run over rep
+    pairs (bounded by DISTINCT texts), then one members join fans the
+    labels back out.
+
+    Why the labels agree: a member-graph component is a union of
+    exact-dup families connected by rep matches; its min id is the min
+    member of some family = that family's rep_id (collapse keeps the
+    min id as rep) = the min over the component's reps = the rep-grain
+    cluster_id. Ids covered: members of families of size >= 2 (their
+    intra pairs put them in the member-grain output) plus all members
+    of any rep that matched another rep -- exactly the ids the
+    expanded pair list touches. Contract: threshold <= 1.0 (exact
+    copies count as near-dups -- expand_rep_pairs' intra filter).
+
+    Every relation here is O(N): members (two longs/doc), family
+    sizes (one count per family), rep clusters (bounded by reps in
+    pairs). This is the dedup-decision path minhash_dedup's 'rep'
+    grain exists for."""
+    rep_clusters = duplicate_clusters(rep_pairs.select("id_a", "id_b"))
+    fam = members.groupBy("rep_id").agg(
+        F.count(F.lit(1)).alias("__fam_n"))
+    return (members
+            .join(fam, "rep_id")
+            .join(rep_clusters
+                  .withColumnRenamed("id", "rep_id")
+                  .withColumnRenamed("cluster_id", "__rc"),
+                  "rep_id", "left")
+            .filter((F.col("__fam_n") >= 2) | F.col("__rc").isNotNull())
+            .select("id",
+                    F.coalesce("__rc", F.col("rep_id"))
+                     .alias("cluster_id")))
+
+
+def minhash_dedup_canonical(df: DataFrame, id_col: str, text_col: str,
+                            k: int = 8, threshold: float = 0.5,
+                            bucket_cap: int | None = 64) -> DataFrame:
+    """The documented 100 TB dedup path: MinHash+LSH near-dup
+    detection composed straight to a DEDUPED CORPUS -- collapse exact
+    texts -> capped LSH -> rep-grain verify -> rep-grain connected
+    components -> anti-join the non-canonical members away. Returns
+    df minus every doc whose cluster has a smaller-id member; no
+    intermediate relation ever exceeds O(N) rows (the member pair
+    list, O(N^2) under mass duplication, is never built).
+    Row-identical to keep_canonical(df, minhash_dedup(..., grain=
+    'member')) -- test-asserted, including on a 1000-copy family."""
+    rep_pairs, members = minhash_dedup(
+        df, id_col, text_col, k=k, threshold=threshold,
+        bucket_cap=bucket_cap, grain="rep")
+    labels = rep_cluster_labels(rep_pairs, members)
+    losers = labels.filter(F.col("id") != F.col("cluster_id")) \
+                   .select(F.col("id").alias(id_col))
+    return df.join(losers, [id_col], "left_anti")

@@ -153,14 +153,19 @@ SELECT id_a, id_b, jaccard, containment FROM pairs
 
 
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Connected components over the MinHash near-dup pairs
-    (operators/dedup.duplicate_clusters): (id, cluster_id = min id in
-    component). The step that turns pairwise detections into a usable
-    keep-one-per-cluster dedup decision. Oracle: DuckDB recursive CTE
-    reachability over the identical pairs."""
-    pairs = dedup.minhash_dedup(_corpus(spark, sf_dir), "id", "text",
-                                threshold=0.5)
-    return dedup.duplicate_clusters(pairs.select("id_a", "id_b"))
+    """Member-grain duplicate clusters (id, cluster_id = min id in
+    component) computed the 100 TB way: connected components over
+    REP-grain MinHash pairs (bounded by distinct texts), labels fanned
+    back out through the members map (operators/dedup.
+    rep_cluster_labels) -- the O(N^2) member pair list is never
+    materialized. The oracle stays the member-grain recursive-CTE
+    reachability over the EXPANDED pairs, so the driver check is
+    itself the proof that the rep-grain path reproduces member-grain
+    clustering exactly."""
+    rep_pairs, members = dedup.minhash_dedup(
+        _corpus(spark, sf_dir), "id", "text", threshold=0.5,
+        grain="rep")
+    return dedup.rep_cluster_labels(rep_pairs, members)
 
 
 _CLUSTERS_SQL = _MINHASH_CTES.replace(

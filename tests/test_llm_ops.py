@@ -1210,6 +1210,66 @@ def test_collapse_bounds_boilerplate_candidates(spark):
     assert fam.filter(F.col("jaccard") != 1.0).count() == 0
 
 
+def test_rep_grain_minhash_is_linear_and_exact(spark):
+    """VERDICT r6 #1: the rep-grain output (grain='rep' ->
+    (rep_pairs, members) -> rep_cluster_labels / minhash_dedup_
+    canonical) must stay O(N) end-to-end on a planted 1000-copy
+    family -- every materialized relation is bounded by docs or
+    distinct texts, never member pairs -- while reproducing the
+    expanded path's clustering and canonical-keep decisions exactly."""
+    import pytest as _pytest
+    text = "the same boilerplate cookie banner text appears everywhere"
+    near = ("a genuinely unique document about distributed systems",
+            "a genuinely unique document about distributed systems!!")
+    other = "completely different prose concerning marine biology"
+    rows = [(i, text) for i in range(1000)] + \
+        [(2000, near[0]), (2001, near[1]), (3000, other)]
+    docs = spark.createDataFrame(rows, "id long, text string")
+
+    rep_pairs, members = dedup.minhash_dedup(
+        docs, "id", "text", threshold=0.5, grain="rep")
+    # O(N) by construction: rep pairs bounded by distinct texts (4),
+    # members exactly one row per doc -- independent of family size
+    assert rep_pairs.count() <= 4 * 3 // 2
+    assert members.count() == 1003
+    labels = dedup.rep_cluster_labels(rep_pairs, members)
+    lab = {r["id"]: r["cluster_id"] for r in labels.collect()}
+    # the 1000-copy family all labels to id 0; the near-dup pair to
+    # 2000; the singleton non-matching doc is absent
+    assert all(lab[i] == 0 for i in range(1000))
+    assert lab[2000] == 2000 and lab[2001] == 2000
+    assert 3000 not in lab and len(lab) == 1002
+    # canonical corpus: one doc per cluster + untouched singletons,
+    # without ever materializing the 499500 member pairs
+    kept = sorted(r["id"] for r in dedup.minhash_dedup_canonical(
+        docs, "id", "text").select("id").collect())
+    assert kept == [0, 2000, 3000]
+
+    # exactness vs the expanded path on a bounded-family corpus
+    # (small enough that the O(N^2) reference is cheap)
+    small = spark.createDataFrame(
+        [(i, text) for i in range(60)]
+        + [(2000, near[0]), (2001, near[1]), (3000, other)],
+        "id long, text string")
+    rp_s, mem_s = dedup.minhash_dedup(small, "id", "text",
+                                      threshold=0.5, grain="rep")
+    got = sorted((r["id"], r["cluster_id"]) for r in
+                 dedup.rep_cluster_labels(rp_s, mem_s).collect())
+    exp_pairs = dedup.minhash_dedup(small, "id", "text", threshold=0.5)
+    want = sorted((r["id"], r["cluster_id"]) for r in
+                  dedup.duplicate_clusters(
+                      exp_pairs.select("id_a", "id_b")).collect())
+    assert got == want
+    kept_s = sorted(r["id"] for r in dedup.minhash_dedup_canonical(
+        small, "id", "text").select("id").collect())
+    ref_s = sorted(r["id"] for r in dedup.keep_canonical(
+        small, exp_pairs).select("id").collect())
+    assert kept_s == ref_s
+
+    with _pytest.raises(ValueError):
+        dedup.minhash_dedup(docs, "id", "text", grain="cluster")
+
+
 def test_lsh_bucket_cap_bounds_hot_bucket(spark):
     """A hot (band, band_sig) bucket of DISTINCT ids is bounded by
     bucket_cap: candidates grow O(cap^2) not O(N^2), and the audit
