@@ -242,8 +242,30 @@ def cdc_op_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
           .groupBy("next_value").agg(F.count(F.lit(1)).alias("n"))
           .select(F.concat(F.lit("nextnode_"), F.col("next_value"))
                    .alias("op"), "n"))
+    # 'tfilter_<schema.table>': the S3 table include-filter (the canal
+    # regex analog, plans/rules.RuleSet.table_regexes) applied the
+    # distributed way -- `rlike` over a stream of derived table names,
+    # anchored to mirror RuleSet.match's re.fullmatch. Driver-checked
+    # against DuckDB's regexp_full_match on the identical names; the
+    # filter DECISION (n=1 include / 0 drop) is the checked value.
+    from ..plans.rules import Rule, RuleSet
+    rs = RuleSet([Rule(source_schema="app",
+                       source_table=r"events_\d+",
+                       sink_schema="olap", sink_table="events")])
+    pat = "^(?:" + "|".join(rs.table_regexes()) + ")$"
+    names = (ev.select(F.concat(
+                 F.when(F.col("user_id") % 3 == 0, F.lit("app"))
+                  .otherwise(F.lit("other")),
+                 F.lit("."),
+                 F.when(F.col("user_id") % 2 == 0, F.lit("events_"))
+                  .otherwise(F.lit("audit_")),
+                 (F.col("user_id") % 7).cast("string")).alias("tbl"))
+             .distinct())
+    tf = names.select(
+        F.concat(F.lit("tfilter_"), F.col("tbl")).alias("op"),
+        F.col("tbl").rlike(pat).cast("long").alias("n"))
     return (ops.unionByName(two).unionByName(rt).unionByName(tk)
-               .unionByName(nn))
+               .unionByName(nn).unionByName(tf))
 
 
 _COUNTERS_SQL = _CL + """
@@ -296,6 +318,16 @@ JOIN (SELECT user_id, event_type,
       FROM events) o3
   ON o3.user_id = m.user_id AND o3.rn = m.first_rn + 2
 GROUP BY o3.event_type
+UNION ALL
+SELECT 'tfilter_' || tbl AS op,
+       CAST(regexp_full_match(tbl, 'app\\.events_\\d+') AS BIGINT) AS n
+FROM (
+  SELECT DISTINCT
+         (CASE WHEN user_id % 3 = 0 THEN 'app' ELSE 'other' END)
+         || '.'
+         || (CASE WHEN user_id % 2 = 0 THEN 'events_' ELSE 'audit_' END)
+         || CAST(user_id % 7 AS VARCHAR) AS tbl
+  FROM events)
 """
 
 

@@ -1790,6 +1790,29 @@ def agg_grouping_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                      "n", F.col("sum_price").alias("m1"),
                      nd.alias("m2"), nd.alias("m3"), nd.alias("m4")))
 
+    # 'hier': the recursive-CTE hierarchy closure (hierarchy_closure)
+    # promoted to a driver-checked part -- a region -> nation ->
+    # customer forest (offset ids keep the key spaces disjoint),
+    # (id, root, depth) checked against DuckDB's WITH RECURSIVE
+    # reachability. Dimension-table sized; depth bounds the recursion.
+    reg_t = _t(spark, sf_dir, "region").select(
+        F.col("r_regionkey").cast("long").alias("id"),
+        F.lit(None).cast("long").alias("parent"))
+    nat_t = _t(spark, sf_dir, "nation").select(
+        (F.col("n_nationkey") + 100).cast("long").alias("id"),
+        F.col("n_regionkey").cast("long").alias("parent"))
+    cus_t = _t(spark, sf_dir, "customer").select(
+        (F.col("c_custkey") + 1000).cast("long").alias("id"),
+        (F.col("c_nationkey") + 100).cast("long").alias("parent"))
+    hier = (hierarchy_closure(
+                reg_t.unionByName(nat_t).unionByName(cus_t))
+            .select(F.lit("hier").alias("part"),
+                    F.col("id").cast("string").alias("g1"),
+                    F.col("root").cast("string").alias("g2"),
+                    F.col("depth").cast("long").alias("n"),
+                    nd.alias("m1"), nd.alias("m2"),
+                    nd.alias("m3"), nd.alias("m4")))
+
     # own-scan parts: window shape / distinct-value grain
     wpctl = agg_weighted_percentiles(spark, sf_dir).select(
         F.lit("wpctl").alias("part"),
@@ -1809,7 +1832,7 @@ def agg_grouping_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionByName(pctl).unionByName(hist).unionByName(wpctl)
             .unionByName(assoc).unionByName(ttest)
             .unionByName(rank2).unionByName(reg)
-            .unionByName(mom))
+            .unionByName(mom).unionByName(hier))
 
 
 _GROUPING_STATS_SQL = f"""
@@ -1937,6 +1960,28 @@ UNION ALL
 SELECT 'moments', l_returnflag, 'l_extendedprice', CAST(NULL AS BIGINT),
        skew_pop, kurt_pop, NULL, NULL
 FROM ({_MOMENTS_SQL})
+UNION ALL
+SELECT 'hier', CAST(id AS VARCHAR), CAST(root AS VARCHAR),
+       CAST(depth AS BIGINT), NULL, NULL, NULL, NULL
+FROM (
+  WITH RECURSIVE hnodes AS (
+    SELECT CAST(r_regionkey AS BIGINT) AS id,
+           CAST(NULL AS BIGINT) AS parent FROM region
+    UNION ALL
+    SELECT CAST(n_nationkey + 100 AS BIGINT),
+           CAST(n_regionkey AS BIGINT) FROM nation
+    UNION ALL
+    SELECT CAST(c_custkey + 1000 AS BIGINT),
+           CAST(c_nationkey + 100 AS BIGINT) FROM customer
+  ), anc AS (
+    SELECT id, id AS root, 0 AS depth FROM hnodes WHERE parent IS NULL
+    UNION ALL
+    SELECT n.id, a.root, a.depth + 1
+    FROM hnodes n JOIN anc a ON n.parent = a.id
+    WHERE a.depth < 32
+  )
+  SELECT id, root, depth FROM anc
+)
 """
 
 
