@@ -118,7 +118,8 @@ _OBS_COUNTER = [0]
 
 
 def lsh_candidate_pairs(bands: DataFrame,
-                        bucket_cap: int | None = None) -> DataFrame:
+                        bucket_cap: int | None = None,
+                        cap_observation=None) -> DataFrame:
     """Distinct id pairs sharing at least one band bucket. The join is
     keyed on (band, band_sig) -- collision buckets, not a cross join.
 
@@ -137,7 +138,8 @@ def lsh_candidate_pairs(bands: DataFrame,
     ('lsh_bucket_cap_<n>': rows_dropped, max_bucket_size) costing no
     extra job, and the explicit lsh_bucket_audit() relation."""
     if bucket_cap is not None:
-        bands = cap_band_buckets(bands, bucket_cap)
+        bands = cap_band_buckets(bands, bucket_cap,
+                                 observation=cap_observation)
     a = bands.select(F.col("id").alias("id_a"), "band", "band_sig")
     b = bands.select(F.col("id").alias("id_b"), "band", "band_sig")
     return (a.join(b, ["band", "band_sig"])
@@ -146,24 +148,56 @@ def lsh_candidate_pairs(bands: DataFrame,
              .distinct())
 
 
-def cap_band_buckets(bands: DataFrame, bucket_cap: int) -> DataFrame:
+def cap_band_buckets(bands: DataFrame, bucket_cap: int,
+                     observation=None) -> DataFrame:
     """Keep each (band, band_sig) bucket's `bucket_cap` smallest ids,
-    with the dropped-row count exposed as a named observe() metric
-    (zero extra jobs). One window shuffle on the join key itself --
-    the hot bucket runs through ONE linear window task instead of an
-    O(N^2) join explosion. Shared by lsh_candidate_pairs (self-join)
-    and fuzzy_decontaminate (cross-join)."""
+    with the dropped-row count exposed as an observe() metric (zero
+    extra jobs). One window shuffle on the join key itself -- the hot
+    bucket runs through ONE linear window task instead of an O(N^2)
+    join explosion. Shared by lsh_candidate_pairs (self-join) and
+    fuzzy_decontaminate (cross-join).
+
+    `observation`: an optional pyspark Observation object; when given,
+    the (rows_dropped, max_bucket_size) metrics ride it instead of an
+    anonymous named observation, so the CALLER can harvest them after
+    its action and push them into the operational surface
+    (record_lsh_cap_metrics -> SyncMetrics -> StatusServer /stat and
+    /metrics) -- a capped production run REPORTS its recall
+    concession, per the no-silent-caps rule."""
     if bucket_cap < 2:
         raise ValueError("bucket_cap must be >= 2 (a 1-row bucket "
                          "emits no pairs at all)")
     w = Window.partitionBy("band", "band_sig").orderBy("id")
-    _OBS_COUNTER[0] += 1
-    ranked = (bands.withColumn("__rn", F.row_number().over(w))
-              .observe(f"lsh_bucket_cap_{_OBS_COUNTER[0]}",
-                       F.sum(F.when(F.col("__rn") > bucket_cap, 1)
-                              .otherwise(0)).alias("rows_dropped"),
-                       F.max("__rn").alias("max_bucket_size")))
+    dropped = F.sum(F.when(F.col("__rn") > bucket_cap, 1)
+                    .otherwise(0)).alias("rows_dropped")
+    biggest = F.max("__rn").alias("max_bucket_size")
+    ranked = bands.withColumn("__rn", F.row_number().over(w))
+    if observation is not None:
+        ranked = ranked.observe(observation, dropped, biggest)
+    else:
+        _OBS_COUNTER[0] += 1
+        ranked = ranked.observe(f"lsh_bucket_cap_{_OBS_COUNTER[0]}",
+                                dropped, biggest)
     return ranked.filter(F.col("__rn") <= bucket_cap).drop("__rn")
+
+
+def record_lsh_cap_metrics(observation, metrics) -> dict:
+    """Harvest a cap_band_buckets Observation (AFTER an action has run
+    over the capped plan -- Observation.get blocks otherwise) into an
+    operational metrics object: rows_dropped accumulates as a counter,
+    max_bucket_size keeps its high-water mark. `metrics` is duck-typed
+    on streaming.pipeline.SyncMetrics (record_counts + counts), so the
+    values surface through StatusServer's /stat JSON and /metrics
+    Prometheus text exactly like the op counters. Returns the raw
+    observed dict."""
+    got = dict(observation.get)
+    metrics.record_counts({
+        "lsh_bucket_cap_rows_dropped": int(got.get("rows_dropped") or 0),
+    })
+    hw = int(got.get("max_bucket_size") or 0)
+    prev = metrics.counts.get("lsh_bucket_cap_max_bucket_size", 0)
+    metrics.counts["lsh_bucket_cap_max_bucket_size"] = max(prev, hw)
+    return got
 
 
 def lsh_bucket_audit(bands: DataFrame, bucket_cap: int) -> DataFrame:
@@ -279,7 +313,7 @@ def jaccard_verify_sets(candidates: DataFrame, sets: DataFrame,
 def minhash_dedup(df: DataFrame, id_col: str, text_col: str,
                   k: int = 8, threshold: float = 0.5,
                   bucket_cap: int | None = 64,
-                  grain: str = "member"):
+                  grain: str = "member", cap_observation=None):
     """End-to-end MinHash+LSH near-dup detection: collapse exact
     texts -> shingle -> signature -> band buckets -> candidate pairs
     -> exact-Jaccard verify -> expand back to member grain.
@@ -352,7 +386,8 @@ def minhash_dedup(df: DataFrame, id_col: str, text_col: str,
     members = members.localCheckpoint(eager=True)
     per_doc = fused_doc_profile(reps, k)
     bands = fused_band_rows(per_doc)
-    cands = lsh_candidate_pairs(bands, bucket_cap=bucket_cap)
+    cands = lsh_candidate_pairs(bands, bucket_cap=bucket_cap,
+                                cap_observation=cap_observation)
     rep_pairs = jaccard_verify_sets(cands, per_doc.select("id", "hs"),
                                     threshold)
     if grain == "rep":

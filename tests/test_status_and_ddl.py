@@ -191,3 +191,48 @@ def test_metrics_endpoint_prometheus_format():
     assert 'sync_ops_total{op="delete"} 1' in body
     assert "sync_applied_seq 42" in body
     assert "sync_applied_epoch 3" in body
+
+
+def test_lsh_cap_metrics_surface_on_stat_endpoint(spark):
+    """VERDICT r6 #6: a capped LSH run REPORTS its recall concession
+    operationally -- the cap's observe() metrics harvest into
+    SyncMetrics and appear on /stat (JSON) and /metrics (Prometheus)
+    exactly like the op counters."""
+    from pyspark.sql import Observation
+
+    from mysql_syncer_clickhouse_spark.operators import dedup
+
+    # planted hot bucket: 500 ids in one (band, band_sig) bucket
+    rows = [(i, 0, 42) for i in range(500)] + [(600, 1, 99), (601, 1, 99)]
+    bands = spark.createDataFrame(rows, "id long, band int, band_sig long")
+    obs = Observation()
+    capped = dedup.lsh_candidate_pairs(bands, bucket_cap=50,
+                                       cap_observation=obs)
+    assert capped.count() == 50 * 49 // 2 + 1   # the action obs rides
+
+    m = SyncMetrics()
+    got = dedup.record_lsh_cap_metrics(obs, m)
+    assert got["rows_dropped"] == 450 and got["max_bucket_size"] == 500
+
+    srv = StatusServer(m, port=0).start()
+    try:
+        stat = json.loads(urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}/stat", timeout=5).read())
+        assert stat["counts"]["lsh_bucket_cap_rows_dropped"] == 450
+        assert stat["counts"]["lsh_bucket_cap_max_bucket_size"] == 500
+        prom = urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}/metrics", timeout=5
+        ).read().decode()
+        assert 'sync_ops_total{op="lsh_bucket_cap_rows_dropped"} 450' \
+            in prom
+    finally:
+        srv.stop()
+
+    # a second capped run ACCUMULATES drops and keeps the high-water
+    # bucket size
+    obs2 = Observation()
+    dedup.lsh_candidate_pairs(bands, bucket_cap=100,
+                              cap_observation=obs2).count()
+    dedup.record_lsh_cap_metrics(obs2, m)
+    assert m.counts["lsh_bucket_cap_rows_dropped"] == 450 + 400
+    assert m.counts["lsh_bucket_cap_max_bucket_size"] == 500
