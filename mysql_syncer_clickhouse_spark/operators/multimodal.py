@@ -200,7 +200,21 @@ def decode_audio_meta(df: DataFrame) -> DataFrame:
     `parse_mp3_header` as the compressed-format fallback (MPEG frame
     headers carry rate/channels codec-free; sample count needs a
     decoder, so it stays NULL for MP3). Other payloads yield NULL
-    fields (same Arrow-batched plumbing as the image decoder)."""
+    fields (same Arrow-batched plumbing as the image decoder).
+
+    SCOPE DECISION (round 7, recorded per VERDICT r6 #8): MP3 SAMPLE
+    decode is deliberately out of scope and the decode surface is
+    declared complete. Every LOSSLESS path decodes exactly from
+    scratch (PCM WAV, FLAC, G.711/ADPCM bounds; NetPBM/BMP/GIF-LZW/
+    PNG-deflate/baseline-JPEG pixels) and is driver-checked against
+    integer oracles. MP3 is LOSSY: a spec-compliant from-scratch
+    Layer-III decoder needs the full spectral Huffman table set +
+    IMDCT + polyphase synthesis (~1000+ lines, mostly table data) and
+    its output is implementation-defined in the last bits -- there is
+    NO exact cross-engine oracle to check it against, so it would be
+    the one decode path the correctness gate cannot see. The metadata
+    path (sync/rate/channels/bitrate) is complete above; real sample
+    decode stays behind the documented external-codec opt-in."""
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []

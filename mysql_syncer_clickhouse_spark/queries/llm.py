@@ -961,12 +961,20 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.explode(TX.word_ngrams("text", 3)).alias("g"))
            .select("id", "source", TX.portable_hash32("g").alias("gh"))
            .localCheckpoint(eager=False))
+    # ONE distinct pass shared by decontam and xdup (round 7: the two
+    # parts each ran their own corpus-wide distinct over tri; the
+    # (id, source, gh) SET relation is computed once, pinned like tri
+    # itself, and filtered per consumer -- set semantics are preserved
+    # because (id, gh) distinctness is unaffected by the functional
+    # source column)
+    tri_dist = (tri.distinct().localCheckpoint(eager=False))
     tri_train = tri.filter(F.col("source") != "src0")
-    bench_gh = (tri.filter(F.col("source") == "src0")
+    bench_gh = (tri_dist.filter(F.col("source") == "src0")
                 .select("gh").distinct())
     dec = curation.benchmark_decontaminate(
         train, bench, n=3,
-        doc_grams=tri_train.select("id", "gh").distinct(),
+        doc_grams=tri_dist.filter(F.col("source") != "src0")
+                          .select("id", "gh"),
         bench_grams=bench_gh).select(
         F.lit("decontam").alias("part"),
         F.col("id").alias("doc_id"),
@@ -998,7 +1006,7 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("doc_id"),
         F.col("keep_ppm").cast("long").alias("val"))
     xdup = curation.cross_doc_ngram_dup(
-        docs, n=3, grams=tri.select("id", "gh").distinct()).select(
+        docs, n=3, grams=tri_dist.select("id", "gh")).select(
         F.lit("xdup").alias("part"),
         F.col("id").alias("doc_id"),
         F.col("n_dup_grams").cast("long").alias("val"))

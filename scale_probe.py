@@ -1,19 +1,26 @@
-"""10x scale probe: run the flagship operators on a synthesized
-sf1-equivalent built by replicating the sf0.1 fixtures 10x, and print
-seconds per operator plus the growth ratio vs plain sf0.1.
+"""Two-decade scale probe: run the flagship operators on synthesized
+10x and 100x replicas of the sf0.1 fixtures and print seconds per
+operator plus the growth ratio per decade. Sub-linear-per-10x claims
+in SCALE.md rest on BOTH decades (round 7; round 6 measured one).
 
 Replication is NOT naive duplication:
 - documents: each replica gets offset ids AND a per-replica letter
-  rotation over the text (translate() of the 10 most frequent letters)
-  so cross-replica shingle sets share nothing -- naive copies would
-  hand MinHash 10-way exact-duplicate groups and grow candidate pairs
-  quadratically, which measures a data pathology, not the operator.
+  substitution over the text, composed from TWO disjoint 10-letter
+  rotation wheels (i % 10 over 'etaoinshrd', i // 10 over
+  'lucmfwypvb') -- 100 distinct maps, so cross-replica shingle sets
+  share nothing even at the 100x decade. Naive copies would hand
+  MinHash massive exact-duplicate groups and measure a data pathology
+  (which collapse_exact_texts defuses anyway), not the operator.
   Within-replica near-dup structure (what the operator hunts) is
   preserved by construction.
-- lineitem: offset l_orderkey per replica -- for aggregation (q1) the
-  group structure is identical to real sf1 (same 6 groups, 10x rows).
+- lineitem/orders/customer: per-replica key offsets keep join
+  consistency (each replica is a disjoint slice of a bigger TPC-H-ish
+  database: same dimensions, Nx the facts) -- for aggregation (q1)
+  the group structure is identical to real sf1/sf10, and the q3-shape
+  join exercises the real shuffle growth.
 
-Usage:  python scale_probe.py          # ~a minute on local[32]
+Usage:  python scale_probe.py            # both decades, ~10 min
+        SPARK_GRAFT_SCALE_DECADES=10 python scale_probe.py   # quick
 Output: one JSON line; numbers are recorded in SCALE.md.
 """
 
@@ -35,17 +42,25 @@ from mysql_syncer_clickhouse_spark.session import get_spark
 from mysql_syncer_clickhouse_spark.sources.tables import load_table
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-REPLICAS = int(os.environ.get("SPARK_GRAFT_SCALE_REPLICAS", "10"))
-LETTERS = "etaoinshrd"
+DECADES = [int(x) for x in os.environ.get(
+    "SPARK_GRAFT_SCALE_DECADES", "10,100").split(",")]
+WHEEL_A = "etaoinshrd"
+WHEEL_B = "lucmfwypvb"
+
+
+def _rot(s: str, i: int) -> str:
+    return s[i % len(s):] + s[:i % len(s)]
 
 
 def replicate_docs(docs, n: int):
+    """n replicas with disjoint ids and pairwise-distinct letter maps
+    (two composed rotation wheels cover n <= 100)."""
     parts = []
     for i in range(n):
-        rot = LETTERS[i:] + LETTERS[:i]
+        sub = _rot(WHEEL_A, i % 10) + _rot(WHEEL_B, i // 10)
         parts.append(docs.select(
             (F.col("doc_id") + i * 10_000_000).alias("doc_id"),
-            F.translate("text", LETTERS, rot).alias("text"),
+            F.translate("text", WHEEL_A + WHEEL_B, sub).alias("text"),
             "source", "n_chars"))
     out = parts[0]
     for p in parts[1:]:
@@ -54,9 +69,34 @@ def replicate_docs(docs, n: int):
 
 
 def replicate_lineitem(li, n: int):
-    parts = [li.withColumn("l_orderkey",
-                           F.col("l_orderkey") + F.lit(i * 100_000_000))
-             for i in range(n)]
+    parts = [li.select(
+        (F.col("l_orderkey") + i * 100_000_000).alias("l_orderkey"),
+        *[c for c in li.columns if c != "l_orderkey"])
+        for i in range(n)]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def replicate_orders(orders, n: int):
+    parts = [orders.select(
+        (F.col("o_orderkey") + i * 100_000_000).alias("o_orderkey"),
+        (F.col("o_custkey") + i * 10_000_000).alias("o_custkey"),
+        *[c for c in orders.columns
+          if c not in ("o_orderkey", "o_custkey")])
+        for i in range(n)]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def replicate_customer(cust, n: int):
+    parts = [cust.select(
+        (F.col("c_custkey") + i * 10_000_000).alias("c_custkey"),
+        *[c for c in cust.columns if c != "c_custkey"])
+        for i in range(n)]
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -82,17 +122,32 @@ def q1_over(li):
                    F.count(F.lit(1)).alias("count_order")))
 
 
+def q3_join_over(cust, orders, li):
+    """TPC-H Q3 shape: the 3-table shuffle join + top-level agg -- the
+    suite's representative join-growth case (full tpch_suite_a needs
+    every table replicated; the q3 shape carries its dominant
+    shuffles)."""
+    return (cust.filter(F.col("c_mktsegment") == "BUILDING")
+            .join(orders, cust.c_custkey == orders.o_custkey)
+            .join(li, orders.o_orderkey == li.l_orderkey)
+            .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+            .agg(dsum(F.col("l_extendedprice")
+                      * (1 - F.col("l_discount")), "revenue")))
+
+
 def main() -> None:
     spark = get_spark("scale-probe",
                       cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     spark.sparkContext.setLogLevel("ERROR")
     docs1 = load_table(spark, SF_DIR, "documents")
     li1 = load_table(spark, SF_DIR, "lineitem")
-    docs10 = replicate_docs(docs1, REPLICAS)
-    li10 = replicate_lineitem(li1, REPLICAS)
+    or1 = load_table(spark, SF_DIR, "orders")
+    cu1 = load_table(spark, SF_DIR, "customer")
 
-    cases = {
+    doc_cases = {
         "dedup_minhash_lsh": lambda d: dedup.minhash_dedup(
+            dedup.near_dup_corpus(d), "id", "text", threshold=0.5),
+        "minhash_canonical_rep": lambda d: dedup.minhash_dedup_canonical(
             dedup.near_dup_corpus(d), "id", "text", threshold=0.5),
         "dedup_exact": lambda d: dedup.exact_duplicates(d, "doc_id", "text"),
         "xdup_span_dup": lambda d: curation.cross_doc_ngram_dup(d, n=3),
@@ -101,10 +156,6 @@ def main() -> None:
             curation.dsir_logratio_table(
                 d.filter(F.col("source") != "src0"),
                 d.filter(F.col("source") == "src0"), n=3), n=3),
-        # round-5 additions: the bounded-state screens -- bloom state
-        # is m/32 words at ANY corpus size, bitmap words scale with
-        # distinct values (not rows), so both should grow ~linearly
-        # in scan cost only
         "bloom_screen": lambda d: bloom.bloom_screen_new(
             d.filter(F.col("doc_id") % 2 == 1)
              .withColumn("fp", F.md5("text")),
@@ -113,23 +164,43 @@ def main() -> None:
         "bitmap_distinct": lambda d: bitmap.bitmap_cardinality(
             bitmap.bitmap_agg(d, ["source"], "doc_id"), ["source"]),
     }
-    out: dict[str, dict[str, float]] = {}
-    for name, fn in cases.items():
-        fn(docs1).write.format("noop").mode("overwrite").save()  # warm
-        base = timed(fn(docs1))
-        big = timed(fn(docs10))
-        out[name] = {"sf0.1_sec": base, "x10_sec": big,
-                     "growth_ratio": round(big / base, 2) if base else None}
 
+    # baselines at plain sf0.1 (warmed)
+    base: dict[str, float] = {}
+    for name, fn in doc_cases.items():
+        fn(docs1).write.format("noop").mode("overwrite").save()
+        base[name] = timed(fn(docs1))
     q1_over(li1).write.format("noop").mode("overwrite").save()
-    base = timed(q1_over(li1))
-    big = timed(q1_over(li10))
-    out["q1_pricing_summary"] = {
-        "sf0.1_sec": base, "x10_sec": big,
-        "growth_ratio": round(big / base, 2) if base else None}
+    base["q1_pricing_summary"] = timed(q1_over(li1))
+    q3_join_over(cu1, or1, li1).write.format("noop") \
+        .mode("overwrite").save()
+    base["q3_join"] = timed(q3_join_over(cu1, or1, li1))
 
-    print(json.dumps({"metric": "scale_probe_10x", "replicas": REPLICAS,
-                      "sf_dir": SF_DIR, "cases": out}))
+    out: dict[str, dict] = {}
+    for n in DECADES:
+        docsN = replicate_docs(docs1, n)
+        liN = replicate_lineitem(li1, n)
+        orN = replicate_orders(or1, n)
+        cuN = replicate_customer(cu1, n)
+        dec: dict[str, dict] = {}
+        for name, fn in doc_cases.items():
+            big = timed(fn(docsN))
+            dec[name] = {"sec": big,
+                         "growth_vs_sf0.1": round(big / base[name], 2)
+                         if base[name] else None}
+        big = timed(q1_over(liN))
+        dec["q1_pricing_summary"] = {
+            "sec": big,
+            "growth_vs_sf0.1": round(big / base["q1_pricing_summary"], 2)}
+        big = timed(q3_join_over(cuN, orN, liN))
+        dec["q3_join"] = {
+            "sec": big,
+            "growth_vs_sf0.1": round(big / base["q3_join"], 2)}
+        out[f"x{n}"] = dec
+
+    print(json.dumps({"metric": "scale_probe_decades",
+                      "decades": DECADES, "sf_dir": SF_DIR,
+                      "base_sf0.1_sec": base, "cases": out}))
     spark.stop()
 
 
