@@ -1,0 +1,747 @@
+"""MySQL binlog (v4) file decoder -- the replication-log format itself.
+
+The reference tails the binlog as a pseudo-replica through go-mysql's
+canal (reference river/river.go:102-123, river/sync.go:72-102): the
+server streams it binlog EVENTS -- TABLE_MAP + WRITE/UPDATE/DELETE_ROWS
+-- and canal decodes row images into typed values. This module
+implements that decode layer from the public binlog v4 on-disk/wire
+format (the file format and the replication stream carry the same
+events; a file begins with the 4-byte magic and a
+FORMAT_DESCRIPTION_EVENT): event framing, CRC32 checksums, TABLE_MAP
+column metadata, row-image bitmaps, and per-type value decoding
+(ints, NEWDECIMAL, VARCHAR/STRING/ENUM/SET/BIT, BLOB, DATE/DATETIME2/
+TIMESTAMP2/TIME2/YEAR, FLOAT/DOUBLE, binary JSON) -- all from scratch,
+stdlib only, the same decode surface canal's row parser covers.
+
+What is deliberately NOT here: the replication-protocol HANDSHAKE
+(COM_REGISTER_SLAVE / COM_BINLOG_DUMP) that asks a live server to
+stream these bytes -- there is no live MySQL in this sandbox. Given
+any byte source that yields binlog bytes (a file, a relay log, a
+socket reader's buffer), `iter_binlog_events` decodes it; the Spark
+readers below consume binlog FILES, the standard offline form
+(mysqlbinlog's input) and the natural distributed unit.
+
+Scale shape: one binlog file = one task (`binaryFile` source +
+mapInPandas; a file must be decoded sequentially because TABLE_MAP
+state precedes its row events -- same constraint every consumer has,
+including the reference's single replication stream). Parallelism
+comes from the file axis (a day of 1 GiB binlogs = hundreds of
+independent tasks) and everything downstream of the envelope is
+ordinary Catalyst (from_json projection, the existing upsert path).
+Row values are emitted as a JSON envelope so one fixed schema covers
+every table; `binlog_to_changelog` projects a chosen table into the
+normalized changelog shape (seq, ts, op, cols...) shared with the
+Debezium source -- the apply path cannot tell them apart.
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import struct
+import zlib
+from collections.abc import Iterator
+from dataclasses import dataclass, field
+from decimal import Decimal
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+BINLOG_MAGIC = b"\xfebin"
+
+# event type codes (public libbinlogevents enum)
+QUERY_EVENT = 2
+ROTATE_EVENT = 4
+FORMAT_DESCRIPTION_EVENT = 15
+XID_EVENT = 16
+TABLE_MAP_EVENT = 19
+WRITE_ROWS_EVENT_V1 = 23
+UPDATE_ROWS_EVENT_V1 = 24
+DELETE_ROWS_EVENT_V1 = 25
+GTID_LOG_EVENT = 33
+ANONYMOUS_GTID_LOG_EVENT = 34
+PREVIOUS_GTIDS_LOG_EVENT = 35
+WRITE_ROWS_EVENT = 30
+UPDATE_ROWS_EVENT = 31
+DELETE_ROWS_EVENT = 32
+
+# column type codes (public enum_field_types)
+T_DECIMAL, T_TINY, T_SHORT, T_LONG, T_FLOAT, T_DOUBLE = 0, 1, 2, 3, 4, 5
+T_NULL, T_TIMESTAMP, T_LONGLONG, T_INT24, T_DATE, T_TIME = 6, 7, 8, 9, 10, 11
+T_DATETIME, T_YEAR = 12, 13
+T_VARCHAR, T_BIT = 15, 16
+T_TIMESTAMP2, T_DATETIME2, T_TIME2 = 17, 18, 19
+T_JSON, T_NEWDECIMAL, T_ENUM, T_SET = 245, 246, 247, 248
+T_TINY_BLOB, T_MEDIUM_BLOB, T_LONG_BLOB, T_BLOB = 249, 250, 251, 252
+T_VAR_STRING, T_STRING, T_GEOMETRY = 253, 254, 255
+
+_HEADER_LEN = 19
+# NEWDECIMAL: bytes needed for 0..9 leftover decimal digits
+_DIG2BYTES = [0, 1, 1, 2, 2, 3, 3, 4, 4, 4]
+
+
+class BinlogError(ValueError):
+    pass
+
+
+class _Reader:
+    """Little cursor over bytes with the binlog primitive reads."""
+
+    __slots__ = ("b", "i")
+
+    def __init__(self, b: bytes, i: int = 0):
+        self.b, self.i = b, i
+
+    def remaining(self) -> int:
+        return len(self.b) - self.i
+
+    def bytes(self, n: int) -> bytes:
+        if self.i + n > len(self.b):
+            raise BinlogError("truncated event body")
+        out = self.b[self.i:self.i + n]
+        self.i += n
+        return out
+
+    def u8(self) -> int:
+        return self.bytes(1)[0]
+
+    def u16(self) -> int:
+        return struct.unpack_from("<H", self.bytes(2))[0]
+
+    def u24(self) -> int:
+        b = self.bytes(3)
+        return b[0] | b[1] << 8 | b[2] << 16
+
+    def u32(self) -> int:
+        return struct.unpack_from("<I", self.bytes(4))[0]
+
+    def u48(self) -> int:
+        b = self.bytes(6)
+        return (b[0] | b[1] << 8 | b[2] << 16 | b[3] << 24
+                | b[4] << 32 | b[5] << 40)
+
+    def u64(self) -> int:
+        return struct.unpack_from("<Q", self.bytes(8))[0]
+
+    def lenenc(self) -> int:
+        """length-encoded integer (public wire primitive)."""
+        first = self.u8()
+        if first < 0xFB:
+            return first
+        if first == 0xFC:
+            return self.u16()
+        if first == 0xFD:
+            return self.u24()
+        if first == 0xFE:
+            return self.u64()
+        raise BinlogError(f"bad lenenc prefix {first:#x}")
+
+    def be(self, n: int) -> int:
+        return int.from_bytes(self.bytes(n), "big")
+
+
+@dataclass
+class TableMap:
+    """Decoded TABLE_MAP_EVENT: the schema row events are applied with."""
+    table_id: int
+    schema: str
+    table: str
+    col_types: list[int]
+    col_meta: list[int]
+    null_bitmap: bytes
+    # from optional metadata (binlog_row_metadata >= MINIMAL, MySQL 8):
+    # bit i set => i-th NUMERIC column is unsigned
+    signedness: list[bool] = field(default_factory=list)
+    col_names: list[str] = field(default_factory=list)
+
+    def unsigned(self, col_idx: int) -> bool:
+        """Signedness of a numeric column. The classic binlog does NOT
+        carry it (canal reads it from the live table schema,
+        river/sync.go:243-276); MySQL 8's SIGNEDNESS optional-metadata
+        TLV does, and we honor it when present."""
+        if not self.signedness:
+            return False
+        n = -1
+        for i, t in enumerate(self.col_types):
+            if t in (T_TINY, T_SHORT, T_INT24, T_LONG, T_LONGLONG,
+                     T_FLOAT, T_DOUBLE, T_NEWDECIMAL, T_DECIMAL):
+                n += 1
+            if i == col_idx:
+                return n >= 0 and n < len(self.signedness) \
+                    and self.signedness[n]
+        return False
+
+
+@dataclass
+class BinlogEvent:
+    """One decoded event. `rows` is populated for row events:
+    - insert: [{'after': {...}}, ...]
+    - delete: [{'before': {...}}, ...]
+    - update: [{'before': {...}, 'after': {...}}, ...]
+    Column keys are names when the TABLE_MAP carried them (MySQL 8
+    binlog_row_metadata=FULL), else positional '@0', '@1', ... (the
+    classic binlog omits names -- same contract mysqlbinlog prints)."""
+    type_code: int
+    timestamp: int
+    server_id: int
+    log_pos: int
+    op: str | None = None          # insert/update/delete for row events
+    schema: str | None = None
+    table: str | None = None
+    rows: list[dict] = field(default_factory=list)
+    query: str | None = None       # QUERY_EVENT text (DDL, BEGIN)
+    next_file: str | None = None   # ROTATE_EVENT
+    xid: int | None = None
+
+
+def _decode_packed_meta(col_types: list[int], meta: bytes) -> list[int]:
+    """Per-column metadata: the TABLE_MAP packs a variable number of
+    bytes per column depending on its type (public table-map layout)."""
+    r = _Reader(meta)
+    out: list[int] = []
+    for t in col_types:
+        if t in (T_FLOAT, T_DOUBLE, T_BLOB, T_TINY_BLOB, T_MEDIUM_BLOB,
+                 T_LONG_BLOB, T_JSON, T_GEOMETRY):
+            out.append(r.u8())
+        elif t in (T_VARCHAR, T_VAR_STRING, T_BIT, T_NEWDECIMAL, T_DECIMAL):
+            out.append(r.u16())
+        elif t in (T_STRING, T_ENUM, T_SET):
+            # two bytes: real type + length, packed (public quirk: the
+            # upper length bits hide in byte0's 0x30 mask, inverted)
+            b0, b1 = r.u8(), r.u8()
+            out.append(b0 << 8 | b1)
+        elif t in (T_TIMESTAMP2, T_DATETIME2, T_TIME2):
+            out.append(r.u8())
+        else:
+            out.append(0)
+    return out
+
+
+def _string_real_type_len(meta: int) -> tuple[int, int]:
+    """Unpack MYSQL_TYPE_STRING's 2-byte metadata into (real_type, max_len)."""
+    b0, b1 = meta >> 8, meta & 0xFF
+    if b0 in (T_ENUM, T_SET):
+        return b0, b1
+    if b0 == 0:
+        return T_STRING, b1
+    # CHAR(n): length's high bits are folded into b0 (xor 0x30 trick)
+    return T_STRING, (((b0 & 0x30) ^ 0x30) << 4) | b1
+
+
+def _decimal_bin_size(precision: int, scale: int) -> int:
+    intg = precision - scale
+    return (intg // 9) * 4 + _DIG2BYTES[intg % 9] \
+        + (scale // 9) * 4 + _DIG2BYTES[scale % 9]
+
+
+def _decode_newdecimal(raw: bytes, precision: int, scale: int) -> Decimal:
+    """NEWDECIMAL: sign-flipped big-endian 9-digit groups (public
+    my_decimal binary format; same layout the server stores)."""
+    positive = bool(raw[0] & 0x80)
+    b = bytearray(raw)
+    b[0] ^= 0x80
+    if not positive:
+        b = bytearray(x ^ 0xFF for x in b)
+    r = _Reader(bytes(b))
+    intg = precision - scale
+    digits = ""
+    first = intg % 9
+    if first:
+        digits += str(r.be(_DIG2BYTES[first]))
+    for _ in range(intg // 9):
+        digits += str(r.be(4)).zfill(9)
+    digits = digits.lstrip("0") or "0"
+    frac = ""
+    for _ in range(scale // 9):
+        frac += str(r.be(4)).zfill(9)
+    last = scale % 9
+    if last:
+        frac += str(r.be(_DIG2BYTES[last])).zfill(last)
+    s = digits + ("." + frac if frac else "")
+    return Decimal(("" if positive else "-") + s)
+
+
+def _frac_micro(r: _Reader, fsp: int) -> int:
+    """Fractional seconds: ceil(fsp/2) big-endian bytes scaled to micros."""
+    n = (fsp + 1) // 2
+    if n == 0:
+        return 0
+    v = r.be(n)
+    return v * 10 ** (6 - 2 * n)
+
+
+def _decode_datetime2(r: _Reader, fsp: int) -> datetime.datetime | None:
+    # 5 bytes big-endian: sign(1) year_month(17) day(5) hour(5) min(6) sec(6)
+    v = r.be(5)
+    micro = _frac_micro(r, fsp)
+    ym = (v >> 22) & 0x1FFFF
+    year, month = ym // 13, ym % 13
+    day = (v >> 17) & 0x1F
+    hour, minute, sec = (v >> 12) & 0x1F, (v >> 6) & 0x3F, v & 0x3F
+    if year == 0 or month == 0 or day == 0:
+        return None  # zero-date -> NULL (the sink guard's contract)
+    return datetime.datetime(year, month, day, hour, minute, sec, micro)
+
+
+def _decode_time2(r: _Reader, fsp: int) -> datetime.timedelta:
+    # 3 bytes big-endian, biased at 0x800000
+    v = r.be(3)
+    micro = _frac_micro(r, fsp)
+    neg = not (v & 0x800000)
+    if neg:
+        v = 0x1000000 - v
+    hour, minute, sec = (v >> 12) & 0x3FF, (v >> 6) & 0x3F, v & 0x3F
+    td = datetime.timedelta(hours=hour, minutes=minute, seconds=sec,
+                            microseconds=micro)
+    return -td if neg else td
+
+
+def _decode_json_value(b: bytes) -> Any:
+    """MySQL binary JSON (the public JSONB-like format): type byte +
+    small/large objects/arrays with offset tables, inlined small
+    scalars, 7-bit varint string lengths."""
+    if not b:
+        return None
+
+    def var_len(buf: bytes, i: int) -> tuple[int, int]:
+        ln, shift = 0, 0
+        while True:
+            x = buf[i]
+            i += 1
+            ln |= (x & 0x7F) << shift
+            if not x & 0x80:
+                return ln, i
+            shift += 7
+
+    def value(t: int, buf: bytes) -> Any:
+        if t in (0x00, 0x01, 0x02, 0x03):  # object/array, small/large
+            large = t in (0x01, 0x03)
+            w = 4 if large else 2
+            rd = (lambda i: int.from_bytes(buf[i:i + w], "little"))
+            count, i = rd(0), w
+            i += w  # total size
+            is_obj = t in (0x00, 0x01)
+            keys = []
+            if is_obj:
+                for k in range(count):
+                    ko = rd(i)
+                    klen = int.from_bytes(buf[i + w:i + w + 2], "little")
+                    keys.append(buf[ko:ko + klen].decode("utf-8"))
+                    i += w + 2
+            vals = []
+            for _ in range(count):
+                vt = buf[i]
+                inlined = vt in (0x04, 0x05, 0x06) or \
+                    (large and vt in (0x07, 0x08))
+                if inlined:
+                    raw = buf[i + 1:i + 1 + w]
+                    if vt == 0x04:
+                        lit = raw[0]
+                        vals.append(None if lit == 0 else lit == 1)
+                    elif vt == 0x05:
+                        vals.append(int.from_bytes(raw[:2], "little",
+                                                   signed=True))
+                    elif vt == 0x06:
+                        vals.append(int.from_bytes(raw[:2], "little"))
+                    elif vt == 0x07:
+                        vals.append(int.from_bytes(raw[:4], "little",
+                                                   signed=True))
+                    else:
+                        vals.append(int.from_bytes(raw[:4], "little"))
+                else:
+                    # the type byte lives in the ENTRY; the offset
+                    # points straight at the value's data
+                    off = rd(i + 1)
+                    vals.append(value(vt, buf[off:]))
+                i += 1 + w
+            return dict(zip(keys, vals)) if is_obj else vals
+        if t == 0x04:
+            lit = buf[0]
+            return None if lit == 0 else lit == 1
+        if t == 0x05:
+            return int.from_bytes(buf[:2], "little", signed=True)
+        if t == 0x06:
+            return int.from_bytes(buf[:2], "little")
+        if t == 0x07:
+            return int.from_bytes(buf[:4], "little", signed=True)
+        if t == 0x08:
+            return int.from_bytes(buf[:4], "little")
+        if t == 0x09:
+            return int.from_bytes(buf[:8], "little", signed=True)
+        if t == 0x0A:
+            return int.from_bytes(buf[:8], "little")
+        if t == 0x0B:
+            return struct.unpack("<d", buf[:8])[0]
+        if t == 0x0C:
+            ln, i = var_len(buf, 0)
+            return buf[i:i + ln].decode("utf-8")
+        if t == 0x0F:  # opaque: (type u8, varlen, bytes) -- surface hex
+            ln, i = var_len(buf, 1)
+            return {"_opaque_type": buf[0],
+                    "_hex": buf[i:i + ln].hex()}
+        raise BinlogError(f"unknown binary-JSON type {t:#x}")
+
+    return value(b[0], b[1:])
+
+
+def _decode_value(r: _Reader, t: int, meta: int, unsigned: bool) -> Any:
+    """One column value from a row image (public row-event encoding)."""
+    if t == T_TINY:
+        v = r.u8()
+        return v if unsigned else (v - 256 if v >= 128 else v)
+    if t == T_SHORT:
+        v = r.u16()
+        return v if unsigned else (v - 65536 if v >= 32768 else v)
+    if t == T_INT24:
+        v = r.u24()
+        return v if unsigned else (v - (1 << 24) if v >= (1 << 23) else v)
+    if t == T_LONG:
+        v = r.u32()
+        return v if unsigned else struct.unpack("<i", struct.pack("<I", v))[0]
+    if t == T_LONGLONG:
+        v = r.u64()
+        return v if unsigned else struct.unpack("<q", struct.pack("<Q", v))[0]
+    if t == T_FLOAT:
+        return struct.unpack("<f", r.bytes(4))[0]
+    if t == T_DOUBLE:
+        return struct.unpack("<d", r.bytes(8))[0]
+    if t == T_NEWDECIMAL:
+        # metadata order is (precision, scale) as two u8s -> LE u16
+        precision, scale = meta & 0xFF, (meta >> 8) & 0xFF
+        return _decode_newdecimal(
+            r.bytes(_decimal_bin_size(precision, scale)), precision, scale)
+    if t == T_VARCHAR or t == T_VAR_STRING:
+        n = r.u16() if meta > 255 else r.u8()
+        return r.bytes(n).decode("utf-8", "replace")
+    if t in (T_STRING, T_ENUM, T_SET):
+        real, length = (_string_real_type_len(meta)
+                        if t == T_STRING else (t, meta & 0xFF))
+        if real == T_ENUM:
+            return r.be(1) if length == 1 else r.u16()  # 1-based index
+        if real == T_SET:
+            return int.from_bytes(r.bytes(length), "little")  # bitmask
+        n = r.u16() if length > 255 else r.u8()
+        return r.bytes(n).decode("utf-8", "replace")
+    if t in (T_BLOB, T_TINY_BLOB, T_MEDIUM_BLOB, T_LONG_BLOB, T_GEOMETRY):
+        n = int.from_bytes(r.bytes(meta), "little")
+        return r.bytes(n)
+    if t == T_JSON:
+        n = int.from_bytes(r.bytes(meta), "little")
+        return _decode_json_value(r.bytes(n))
+    if t == T_DATE:
+        v = r.u24()
+        day, month, year = v & 0x1F, (v >> 5) & 0x0F, v >> 9
+        if year == 0 or month == 0 or day == 0:
+            return None
+        return datetime.date(year, month, day)
+    if t == T_DATETIME2:
+        return _decode_datetime2(r, meta)
+    if t == T_TIMESTAMP2:
+        secs = r.be(4)
+        micro = _frac_micro(r, meta)
+        if secs == 0:
+            return None  # zero-timestamp
+        return datetime.datetime.fromtimestamp(
+            secs, tz=datetime.timezone.utc).replace(tzinfo=None) \
+            + datetime.timedelta(microseconds=micro)
+    if t == T_TIME2:
+        return _decode_time2(r, meta)
+    if t == T_YEAR:
+        v = r.u8()
+        return 0 if v == 0 else 1900 + v
+    if t == T_BIT:
+        nbits = (meta >> 8) * 8 + (meta & 0xFF)
+        return int.from_bytes(r.bytes((nbits + 7) // 8), "big")
+    raise BinlogError(f"unsupported column type {t}")
+
+
+def _bit(bm: bytes, i: int) -> bool:
+    return bool(bm[i // 8] & (1 << (i % 8)))
+
+
+def _decode_row_image(r: _Reader, tm: TableMap,
+                      present: bytes) -> dict[str, Any]:
+    present_idx = [i for i in range(len(tm.col_types))
+                   if _bit(present, i)]
+    null_bm = r.bytes((len(present_idx) + 7) // 8)
+    out: dict[str, Any] = {}
+    for j, i in enumerate(present_idx):
+        name = (tm.col_names[i] if i < len(tm.col_names)
+                else f"@{i}")
+        if _bit(null_bm, j):
+            out[name] = None
+        else:
+            out[name] = _decode_value(r, tm.col_types[i], tm.col_meta[i],
+                                      tm.unsigned(i))
+    return out
+
+
+def _parse_table_map(body: _Reader) -> TableMap:
+    table_id = body.u48()
+    body.u16()  # flags
+    schema = body.bytes(body.u8()).decode()
+    body.u8()   # trailing 0
+    table = body.bytes(body.u8()).decode()
+    body.u8()   # trailing 0
+    n = body.lenenc()
+    col_types = list(body.bytes(n))
+    meta_len = body.lenenc()
+    col_meta = _decode_packed_meta(col_types, body.bytes(meta_len))
+    null_bm = body.bytes((n + 7) // 8)
+    tm = TableMap(table_id, schema, table, col_types, col_meta, null_bm)
+    # optional metadata TLVs (MySQL 8 binlog_row_metadata): 1=SIGNEDNESS
+    # (bitmap over numeric columns, MSB-first), 4=COLUMN_NAME
+    while body.remaining() >= 2:
+        t = body.u8()
+        ln = body.lenenc()
+        val = body.bytes(ln)
+        if t == 1:
+            bits = []
+            for i, byte in enumerate(val):
+                for k in range(8):
+                    bits.append(bool(byte & (0x80 >> k)))
+            tm.signedness = bits
+        elif t == 4:
+            rr = _Reader(val)
+            names = []
+            while rr.remaining():
+                names.append(rr.bytes(rr.lenenc()).decode())
+            tm.col_names = names
+    return tm
+
+
+def iter_binlog_events(data: bytes, *,
+                       verify_checksum: bool = True) -> Iterator[BinlogEvent]:
+    """Decode a binlog byte stream (file contents including the magic,
+    or a raw event stream without it) into BinlogEvents. TABLE_MAP
+    state is tracked internally, exactly as a replica must."""
+    pos = 4 if data[:4] == BINLOG_MAGIC else 0
+    checksummed = False
+    tables: dict[int, TableMap] = {}
+    while pos + _HEADER_LEN <= len(data):
+        ts, tc, sid, size, log_pos, _flags = struct.unpack_from(
+            "<IBIIIH", data, pos)
+        if size < _HEADER_LEN or pos + size > len(data):
+            raise BinlogError(f"truncated event at {pos}")
+        body_b = data[pos + _HEADER_LEN:pos + size]
+        if tc == FORMAT_DESCRIPTION_EVENT:
+            # binlog_version(2) server_version(50) ts(4) header_len(1)
+            # + post-header array [+ checksum_alg(1) + crc32(4)]
+            ver = body_b[2:52].split(b"\x00")[0].decode()
+            parts = tuple(int("".join(ch for ch in p if ch.isdigit()) or 0)
+                          for p in ver.split(".")[:3])
+            if parts >= (5, 6, 1):
+                alg = body_b[-5]
+                checksummed = alg == 1
+                if alg not in (0, 1):
+                    raise BinlogError(f"unsupported checksum alg {alg}")
+        ev_crc_ok = True
+        if checksummed:
+            want = struct.unpack("<I", body_b[-4:])[0]
+            got = zlib.crc32(data[pos:pos + size - 4])
+            ev_crc_ok = want == got
+            if verify_checksum and not ev_crc_ok:
+                raise BinlogError(
+                    f"CRC32 mismatch at {pos} (event type {tc})")
+            body_b = body_b[:-4]
+        body = _Reader(body_b)
+        ev = BinlogEvent(tc, ts, sid, log_pos)
+        if tc == TABLE_MAP_EVENT:
+            tm = _parse_table_map(body)
+            tables[tm.table_id] = tm
+        elif tc in (WRITE_ROWS_EVENT, UPDATE_ROWS_EVENT, DELETE_ROWS_EVENT,
+                    WRITE_ROWS_EVENT_V1, UPDATE_ROWS_EVENT_V1,
+                    DELETE_ROWS_EVENT_V1):
+            table_id = body.u48()
+            body.u16()  # flags
+            if tc in (WRITE_ROWS_EVENT, UPDATE_ROWS_EVENT,
+                      DELETE_ROWS_EVENT):
+                extra = body.u16()
+                if extra > 2:
+                    body.bytes(extra - 2)
+            tm = tables.get(table_id)
+            if tm is None:
+                raise BinlogError(f"row event before TABLE_MAP "
+                                  f"(table id {table_id})")
+            ncols = body.lenenc()
+            bm_len = (ncols + 7) // 8
+            present1 = body.bytes(bm_len)
+            is_update = tc in (UPDATE_ROWS_EVENT, UPDATE_ROWS_EVENT_V1)
+            present2 = body.bytes(bm_len) if is_update else present1
+            ev.schema, ev.table = tm.schema, tm.table
+            ev.op = ("insert" if tc in (WRITE_ROWS_EVENT,
+                                        WRITE_ROWS_EVENT_V1)
+                     else "delete" if tc in (DELETE_ROWS_EVENT,
+                                             DELETE_ROWS_EVENT_V1)
+                     else "update")
+            while body.remaining() > 0:
+                if is_update:
+                    before = _decode_row_image(body, tm, present1)
+                    after = _decode_row_image(body, tm, present2)
+                    ev.rows.append({"before": before, "after": after})
+                elif ev.op == "insert":
+                    ev.rows.append(
+                        {"after": _decode_row_image(body, tm, present1)})
+                else:
+                    ev.rows.append(
+                        {"before": _decode_row_image(body, tm, present1)})
+        elif tc == QUERY_EVENT:
+            body.u32()  # thread id
+            body.u32()  # exec time
+            schema_len = body.u8()
+            body.u16()  # error code
+            status_len = body.u16()
+            body.bytes(status_len)
+            ev.schema = body.bytes(schema_len).decode()
+            body.u8()   # trailing 0
+            ev.query = body.bytes(body.remaining()).decode("utf-8",
+                                                           "replace")
+        elif tc == ROTATE_EVENT:
+            body.u64()  # first position in next file
+            ev.next_file = body.bytes(body.remaining()).decode()
+        elif tc == XID_EVENT:
+            ev.xid = body.u64()
+        # GTID / PREVIOUS_GTIDS / others: framing-only skip
+        yield ev
+        pos += size
+
+
+def _json_default(v: Any) -> Any:
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, Decimal):
+        return str(v)
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat(sep=" ") if isinstance(v, datetime.datetime) \
+            else v.isoformat()
+    if isinstance(v, datetime.timedelta):
+        total = v.total_seconds()
+        sign = "-" if total < 0 else ""
+        total = abs(total)
+        h, rem = divmod(int(total), 3600)
+        m, s = divmod(rem, 60)
+        micro = round((total - int(total)) * 1e6)
+        frac = f".{micro:06d}".rstrip("0") if micro else ""
+        return f"{sign}{h:02d}:{m:02d}:{s:02d}{frac}"
+    raise TypeError(type(v).__name__)
+
+
+# envelope schema shared by the file readers: one fixed shape for all
+# tables (rows as JSON), projected per-table by binlog_to_changelog
+ENVELOPE_DDL = ("file string, pos long, server_id long, ts timestamp, "
+                "op string, db string, `table` string, row_in_event int, "
+                "before string, after string")
+
+
+def decode_binlog_file_bytes(file_name: str, data: bytes, *,
+                             verify_checksum: bool = True) -> list[dict]:
+    """File bytes -> envelope dicts (one per row image). `pos` is the
+    event's end position (header log_pos) -- the same monotone position
+    the reference checkpoints in master.info (river/master.go:17-25)."""
+    out: list[dict] = []
+    for ev in iter_binlog_events(data, verify_checksum=verify_checksum):
+        if not ev.rows:
+            continue
+        for i, row in enumerate(ev.rows):
+            out.append({
+                "file": file_name, "pos": ev.log_pos,
+                "server_id": ev.server_id,
+                "ts": datetime.datetime.fromtimestamp(
+                    ev.timestamp, tz=datetime.timezone.utc
+                ).replace(tzinfo=None),
+                "op": ev.op, "db": ev.schema, "table": ev.table,
+                "row_in_event": i,
+                "before": (json.dumps(row["before"],
+                                      default=_json_default)
+                           if "before" in row else None),
+                "after": (json.dumps(row["after"], default=_json_default)
+                          if "after" in row else None),
+            })
+    return out
+
+
+def read_binlog_files(spark: SparkSession, path: str, *,
+                      streaming: bool = False,
+                      max_files_per_trigger: int = 4) -> DataFrame:
+    """Decode a directory of binlog files into the envelope DataFrame.
+
+    One file = one decode task (binaryFile source + mapInPandas):
+    TABLE_MAP state makes a single file inherently sequential, so the
+    file axis IS the parallelism -- with per-file sizes capped by the
+    server's max_binlog_size this is the same bounded-task shape as
+    any log-shipping source. Decode is stdlib-Python per file but
+    Arrow-batched on the way out; everything downstream is Catalyst.
+    """
+    import pandas as pd
+
+    reader = (spark.readStream if streaming else spark.read)
+    r = reader.format("binaryFile").option("pathGlobFilter", "*")
+    if streaming:
+        # streaming file sources need the schema up front (binaryFile's
+        # is fixed by the format)
+        r = (r.option("maxFilesPerTrigger", max_files_per_trigger)
+             .schema("path string, modificationTime timestamp, "
+                     "length long, content binary"))
+    raw = r.load(path)
+
+    def decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        cols = ["file", "pos", "server_id", "ts", "op", "db", "table",
+                "row_in_event", "before", "after"]
+        for pdf in batches:
+            rows: list[dict] = []
+            for p, content in zip(pdf["path"], pdf["content"]):
+                name = str(p).rsplit("/", 1)[-1]
+                rows.extend(decode_binlog_file_bytes(name, bytes(content)))
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
+            else:
+                # empty frame needs real dtypes for Arrow conversion
+                yield pd.DataFrame({
+                    "file": pd.Series(dtype="object"),
+                    "pos": pd.Series(dtype="int64"),
+                    "server_id": pd.Series(dtype="int64"),
+                    "ts": pd.Series(dtype="datetime64[ns]"),
+                    "op": pd.Series(dtype="object"),
+                    "db": pd.Series(dtype="object"),
+                    "table": pd.Series(dtype="object"),
+                    "row_in_event": pd.Series(dtype="int32"),
+                    "before": pd.Series(dtype="object"),
+                    "after": pd.Series(dtype="object")})
+
+    return (raw.select("path", "content")
+            .mapInPandas(decode, schema=ENVELOPE_DDL))
+
+
+def binlog_to_changelog(env: DataFrame, row_ddl: str, *,
+                        db: str | None = None,
+                        table: str | None = None,
+                        with_before: bool = False) -> DataFrame:
+    """Project one table's envelope rows into the normalized changelog
+    (seq, ts, op, cols...) -- the same output contract as
+    debezium.parse_debezium, so the existing apply path
+    (streaming/pipeline.py + operators/upsert.py) consumes binlog files
+    without modification. seq = (binlog file index, position, row) via
+    debezium.binlog_seq: the reference's master.info total order."""
+    from pyspark.sql.types import StructType
+
+    from .debezium import binlog_seq
+
+    out = env
+    if db is not None:
+        out = out.filter(F.col("db") == db)
+    if table is not None:
+        out = out.filter(F.col("table") == table)
+    row_fields = StructType.fromDDL(row_ddl).fieldNames()
+    image = F.from_json(
+        F.coalesce(F.col("after"), F.col("before")), row_ddl)
+    before = F.when(F.col("op") == "update",
+                    F.from_json(F.col("before"), row_ddl))
+    before_cols = ([before.getField(c).alias(f"before_{c}")
+                    for c in row_fields] if with_before else [])
+    return out.select(
+        binlog_seq(F.col("file"), F.col("pos"), F.col("row_in_event")),
+        F.col("ts"),
+        F.col("op"),
+        *[image.getField(c).alias(c) for c in row_fields],
+        *before_cols)
