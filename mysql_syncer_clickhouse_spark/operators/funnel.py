@@ -199,6 +199,9 @@ def window_funnel(events: DataFrame, user_col: str, ts_col: str,
     if bad:
         raise ValueError(f"unknown windowFunnel modes: {sorted(bad)}")
     dedup, order, increase = (m in modes for m in _FUNNEL_MODES)
+    # output carries the INPUT's user type (sequence_next_node's
+    # recipe) -- hard-coding `user long` fails string/UUID user columns
+    user_type = dict(events.dtypes)[user_col]
     stepped = _with_step(events, user_col, ts_col, conds, tiebreak_col,
                          keep_others=order)
 
@@ -223,7 +226,7 @@ def window_funnel(events: DataFrame, user_col: str, ts_col: str,
                              "level": [level]})
 
     return stepped.groupBy("user").applyInPandas(
-        scan, "user long, level int")
+        scan, f"user {user_type}, level int")
 
 
 def sequence_count(events: DataFrame, user_col: str, ts_col: str,
@@ -232,6 +235,7 @@ def sequence_count(events: DataFrame, user_col: str, ts_col: str,
     """(user, n_matches): non-overlapping cond1 -> ... -> condN chains
     per user, in time order (restart-on-match automaton)."""
     n = len(conds)
+    user_type = dict(events.dtypes)[user_col]
     stepped = _with_step(events, user_col, ts_col, conds, tiebreak_col)
 
     def scan(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -248,7 +252,7 @@ def sequence_count(events: DataFrame, user_col: str, ts_col: str,
                              "n_matches": [count]})
 
     return stepped.groupBy("user").applyInPandas(
-        scan, "user long, n_matches long")
+        scan, f"user {user_type}, n_matches long")
 
 
 # sequenceMatch pattern tokens: (?N) condition, (?t op secs) time
@@ -386,6 +390,7 @@ def sequence_count_pattern(events: DataFrame, user_col: str,
         if not 1 <= it["cond"] <= n_conds:
             raise ValueError(f"pattern references cond {it['cond']} "
                              f"but only {n_conds} supplied")
+    user_type = dict(events.dtypes)[user_col]
     mask = F.lit(0)
     for i, c in enumerate(conds):
         mask = mask + F.when(c, F.lit(1 << i)).otherwise(0)
@@ -413,7 +418,7 @@ def sequence_count_pattern(events: DataFrame, user_col: str,
                              "n_matches": [count]})
 
     return stepped.groupBy("user").applyInPandas(
-        scan, "user long, n_matches long")
+        scan, f"user {user_type}, n_matches long")
 
 
 def sequence_match(events: DataFrame, user_col: str, ts_col: str,
@@ -439,6 +444,7 @@ def sequence_match(events: DataFrame, user_col: str, ts_col: str,
         if not 1 <= it["cond"] <= n_conds:
             raise ValueError(f"pattern references cond {it['cond']} "
                              f"but only {n_conds} supplied")
+    user_type = dict(events.dtypes)[user_col]
     mask = F.lit(0)
     for i, c in enumerate(conds):
         mask = mask + F.when(c, F.lit(1 << i)).otherwise(0)
@@ -459,7 +465,7 @@ def sequence_match(events: DataFrame, user_col: str, ts_col: str,
                              "matched": [ok]})
 
     return stepped.groupBy("user").applyInPandas(
-        scan, "user long, matched boolean")
+        scan, f"user {user_type}, matched boolean")
 
 
 def sequence_and_funnel(events: DataFrame, user_col: str, ts_col: str,
@@ -484,6 +490,7 @@ def sequence_and_funnel(events: DataFrame, user_col: str, ts_col: str,
         if not 1 <= it["cond"] <= n_conds:
             raise ValueError(f"pattern references cond {it['cond']} "
                              f"but only {n_conds} supplied")
+    user_type = dict(events.dtypes)[user_col]
     mask = F.lit(0)
     for i, c in enumerate(conds):
         mask = mask + F.when(c, F.lit(1 << i)).otherwise(0)
@@ -510,7 +517,7 @@ def sequence_and_funnel(events: DataFrame, user_col: str, ts_col: str,
                              "matched": [ok], "level": [level]})
 
     return stepped.groupBy("user").applyInPandas(
-        scan, "user long, matched boolean, level int")
+        scan, f"user {user_type}, matched boolean, level int")
 
 
 def retention(events: DataFrame, user_col: str,

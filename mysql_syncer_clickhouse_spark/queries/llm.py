@@ -418,11 +418,17 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     components -> keep canonical members only -> quality-score the
     survivors -> per-source stats. Every stage is the same operator the
     standalone queries check individually; this query checks that they
-    COMPOSE (the real 100 TB workload is this chain, not single ops)."""
+    COMPOSE (the real 100 TB workload is this chain, not single ops).
+
+    The dedup stage is minhash_dedup_canonical -- the rep-grain path
+    whose every intermediate stays O(N) (member pairs, O(N^2) under
+    mass duplication, are never materialized). Row-identical to the
+    member-grain minhash_dedup + keep_canonical composition
+    (test-asserted incl. a planted 1000-copy family), so the
+    recursive-CTE oracle below is unchanged."""
     corpus = dedup.near_dup_corpus(_docs(spark, sf_dir))
-    pairs = dedup.minhash_dedup(corpus, "id", "text", threshold=0.5)
-    kept = dedup.keep_canonical(corpus, pairs.select("id_a", "id_b"),
-                                id_col="id")
+    kept = dedup.minhash_dedup_canonical(corpus, "id", "text",
+                                         threshold=0.5)
     return (kept.select("id", "source", TX.quality_score("text").alias("q"))
                 .filter(F.col("q") >= 0.5)
                 .groupBy("source")

@@ -285,13 +285,22 @@ def _decode_datetime2(r: _Reader, fsp: int) -> datetime.datetime | None:
 
 
 def _decode_time2(r: _Reader, fsp: int) -> datetime.timedelta:
-    # 3 bytes big-endian, biased at 0x800000
-    v = r.be(3)
-    micro = _frac_micro(r, fsp)
-    neg = not (v & 0x800000)
+    # The whole 3+ceil(fsp/2) bytes are ONE big-endian two's-complement
+    # number biased at 0x800000<<(8*frac_bytes): a negative TIME negates
+    # the packed (int<<frac) value as a unit, so the fraction bytes are
+    # NOT an independent unsigned field (e.g. -00:00:01.50 at fsp=2 is
+    # 7F FF FE CE -- reading the fraction byte alone would yield 0xCE
+    # "hundredths" and a wrong sign-split).
+    frac_bytes = (fsp + 1) // 2
+    v = r.be(3 + frac_bytes) - (0x800000 << (8 * frac_bytes))
+    neg = v < 0
     if neg:
-        v = 0x1000000 - v
-    hour, minute, sec = (v >> 12) & 0x3FF, (v >> 6) & 0x3F, v & 0x3F
+        v = -v
+    frac = v & ((1 << (8 * frac_bytes)) - 1) if frac_bytes else 0
+    packed = v >> (8 * frac_bytes)
+    micro = frac * 10 ** (6 - 2 * frac_bytes) if frac_bytes else 0
+    hour, minute, sec = (packed >> 12) & 0x3FF, (packed >> 6) & 0x3F, \
+        packed & 0x3F
     td = datetime.timedelta(hours=hour, minutes=minute, seconds=sec,
                             microseconds=micro)
     return -td if neg else td
@@ -512,17 +521,29 @@ def _parse_table_map(body: _Reader) -> TableMap:
 
 
 def iter_binlog_events(data: bytes, *,
-                       verify_checksum: bool = True) -> Iterator[BinlogEvent]:
+                       verify_checksum: bool = True,
+                       tolerate_truncation: bool = False,
+                       ) -> Iterator[BinlogEvent]:
     """Decode a binlog byte stream (file contents including the magic,
     or a raw event stream without it) into BinlogEvents. TABLE_MAP
-    state is tracked internally, exactly as a replica must."""
+    state is tracked internally, exactly as a replica must.
+
+    `tolerate_truncation=True` stops cleanly at the last COMPLETE event
+    instead of raising -- an actively-written or partially-shipped file
+    yields its complete prefix (the server appends whole events, so the
+    prefix is consistent). A size field SMALLER than the header is
+    corruption, not truncation, and always raises."""
     pos = 4 if data[:4] == BINLOG_MAGIC else 0
     checksummed = False
     tables: dict[int, TableMap] = {}
     while pos + _HEADER_LEN <= len(data):
         ts, tc, sid, size, log_pos, _flags = struct.unpack_from(
             "<IBIIIH", data, pos)
-        if size < _HEADER_LEN or pos + size > len(data):
+        if size < _HEADER_LEN:
+            raise BinlogError(f"corrupt event size {size} at {pos}")
+        if pos + size > len(data):
+            if tolerate_truncation:
+                return
             raise BinlogError(f"truncated event at {pos}")
         body_b = data[pos + _HEADER_LEN:pos + size]
         if tc == FORMAT_DESCRIPTION_EVENT:
@@ -635,12 +656,15 @@ ENVELOPE_DDL = ("file string, pos long, server_id long, ts timestamp, "
 
 
 def decode_binlog_file_bytes(file_name: str, data: bytes, *,
-                             verify_checksum: bool = True) -> list[dict]:
+                             verify_checksum: bool = True,
+                             tolerate_truncation: bool = False,
+                             ) -> list[dict]:
     """File bytes -> envelope dicts (one per row image). `pos` is the
     event's end position (header log_pos) -- the same monotone position
     the reference checkpoints in master.info (river/master.go:17-25)."""
     out: list[dict] = []
-    for ev in iter_binlog_events(data, verify_checksum=verify_checksum):
+    for ev in iter_binlog_events(data, verify_checksum=verify_checksum,
+                                 tolerate_truncation=tolerate_truncation):
         if not ev.rows:
             continue
         for i, row in enumerate(ev.rows):
@@ -661,9 +685,14 @@ def decode_binlog_file_bytes(file_name: str, data: bytes, *,
     return out
 
 
+_BINLOG_NAME_RE = r"\.\d+$"
+
+
 def read_binlog_files(spark: SparkSession, path: str, *,
                       streaming: bool = False,
-                      max_files_per_trigger: int = 4) -> DataFrame:
+                      max_files_per_trigger: int = 4,
+                      tolerate_truncation: bool = True,
+                      strict_names: bool = True) -> DataFrame:
     """Decode a directory of binlog files into the envelope DataFrame.
 
     One file = one decode task (binaryFile source + mapInPandas):
@@ -672,7 +701,24 @@ def read_binlog_files(spark: SparkSession, path: str, *,
     server's max_binlog_size this is the same bounded-task shape as
     any log-shipping source. Decode is stdlib-Python per file but
     Arrow-batched on the way out; everything downstream is Catalyst.
+
+    `tolerate_truncation` defaults True HERE (unlike the byte-level
+    API): a directory being tailed normally contains one actively
+    written final file, and losing every complete event in it because
+    the tail is mid-append would be wrong for exactly the live case
+    this reader exists for.
+
+    `strict_names=True` enforces what `debezium.binlog_seq` needs for a
+    total order: every basename carries a numeric suffix
+    (mysql-bin.000042), and no two files share a basename (identically
+    named files in different subdirectories would collapse into one seq
+    space). Checked per-file in every mode, plus a driver-side
+    duplicate scan in batch mode (path-only projection -- binaryFile
+    prunes `content`, so this lists files without reading them;
+    streaming mode cannot pre-enumerate and relies on the shape check).
     """
+    import re
+
     import pandas as pd
 
     reader = (spark.readStream if streaming else spark.read)
@@ -685,6 +731,21 @@ def read_binlog_files(spark: SparkSession, path: str, *,
                      "length long, content binary"))
     raw = r.load(path)
 
+    if strict_names and not streaming:
+        seen: dict[str, str] = {}
+        for row in raw.select("path").collect():  # bounded: file listing
+            base = str(row["path"]).rsplit("/", 1)[-1]
+            if not re.search(_BINLOG_NAME_RE, base):
+                raise BinlogError(
+                    f"binlog file name {base!r} lacks the numeric suffix "
+                    f"binlog_seq keys on (expected mysql-bin.NNNNNN)")
+            if base in seen and seen[base] != str(row["path"]):
+                raise BinlogError(
+                    f"duplicate binlog basename {base!r} "
+                    f"({seen[base]} vs {row['path']}): identically named "
+                    f"files would collapse into one seq space")
+            seen[base] = str(row["path"])
+
     def decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         cols = ["file", "pos", "server_id", "ts", "op", "db", "table",
                 "row_in_event", "before", "after"]
@@ -692,7 +753,13 @@ def read_binlog_files(spark: SparkSession, path: str, *,
             rows: list[dict] = []
             for p, content in zip(pdf["path"], pdf["content"]):
                 name = str(p).rsplit("/", 1)[-1]
-                rows.extend(decode_binlog_file_bytes(name, bytes(content)))
+                if strict_names and not re.search(_BINLOG_NAME_RE, name):
+                    raise BinlogError(
+                        f"binlog file name {name!r} lacks the numeric "
+                        f"suffix binlog_seq keys on")
+                rows.extend(decode_binlog_file_bytes(
+                    name, bytes(content),
+                    tolerate_truncation=tolerate_truncation))
             if rows:
                 yield pd.DataFrame(rows, columns=cols)
             else:

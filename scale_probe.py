@@ -7,12 +7,16 @@ Replication is NOT naive duplication:
 - documents: each replica gets offset ids AND a per-replica letter
   substitution over the text, composed from TWO disjoint 10-letter
   rotation wheels (i % 10 over 'etaoinshrd', i // 10 over
-  'lucmfwypvb') -- 100 distinct maps, so cross-replica shingle sets
-  share nothing even at the 100x decade. Naive copies would hand
-  MinHash massive exact-duplicate groups and measure a data pathology
-  (which collapse_exact_texts defuses anyway), not the operator.
-  Within-replica near-dup structure (what the operator hunts) is
-  preserved by construction.
+  'lucmfwypvb') -- 100 PAIRWISE-DISTINCT maps, so no two replicas are
+  exact copies and cross-replica shingle overlap drops to the residue
+  of shingles untouched by the differing wheel (replicas sharing
+  i % 10 keep the same wheel-A map, so shingles made only of wheel-A
+  letters plus the six unmapped letters/digits/punctuation still
+  collide -- a small inflation of cross-replica candidates, not
+  isolation). Naive copies would hand MinHash massive exact-duplicate
+  groups and measure a data pathology (which collapse_exact_texts
+  defuses anyway), not the operator. Within-replica near-dup
+  structure (what the operator hunts) is preserved by construction.
 - lineitem/orders/customer: per-replica key offsets keep join
   consistency (each replica is a disjoint slice of a bigger TPC-H-ish
   database: same dimensions, Nx the facts) -- for aggregation (q1)
@@ -54,7 +58,8 @@ def _rot(s: str, i: int) -> str:
 
 def replicate_docs(docs, n: int):
     """n replicas with disjoint ids and pairwise-distinct letter maps
-    (two composed rotation wheels cover n <= 100)."""
+    (two composed rotation wheels cover n <= 100; see module docstring
+    for the residual cross-replica overlap this leaves)."""
     parts = []
     for i in range(n):
         sub = _rot(WHEEL_A, i % 10) + _rot(WHEEL_B, i // 10)

@@ -211,10 +211,17 @@ def e_timestamp2(secs, micro=0, fsp=0):
     return out
 
 
-def e_time2(h, mi, s, neg=False):
-    x = h << 12 | mi << 6 | s
-    v = 0x800000 - x if neg else 0x800000 + x
-    return v.to_bytes(3, "big")
+def e_time2(h, mi, s, neg=False, micro=0, fsp=0):
+    # one big-endian two's-complement number over 3+ceil(fsp/2) bytes,
+    # biased at 0x800000<<(8*frac_bytes) -- negation applies to the
+    # WHOLE packed (int<<frac) value, matching the server's encoder
+    fb = (fsp + 1) // 2
+    x = (h << 12 | mi << 6 | s) << (8 * fb)
+    if fb:
+        x |= micro // 10 ** (6 - 2 * fb)
+    bias = 0x800000 << (8 * fb)
+    v = bias - x if neg else bias + x
+    return v.to_bytes(3 + fb, "big")
 
 
 def e_json_obj(obj) -> bytes:
@@ -295,6 +302,30 @@ def test_golden_date_bits():
     r = B._Reader(bytes.fromhex("6fd00f"))  # 2024-03-15 hand-packed
     assert B._decode_value(r, B.T_DATE, 0, False) == \
         datetime.date(2024, 3, 15)
+
+
+def test_golden_time2_negative_with_fraction():
+    # ADVICE r7: -00:00:01.50 at fsp=2 is the two's-complement of the
+    # WHOLE (int<<frac) packed value -> bytes 7F FF FE CE. A decoder
+    # that sign-splits the 3-byte int part and reads the fraction byte
+    # unsigned gets the fraction (and micro range) wrong.
+    r = B._Reader(bytes.fromhex("7ffffece"))
+    td = B._decode_time2(r, 2)
+    assert td == -datetime.timedelta(seconds=1, microseconds=500000)
+    # encoder round-trip at fsp=2 and fsp=6, both signs
+    for neg in (False, True):
+        for h, mi, s, micro, fsp in [(0, 0, 1, 500000, 2),
+                                     (101, 2, 3, 123456, 6),
+                                     (0, 0, 0, 10000, 2),
+                                     (5, 59, 59, 999999, 6)]:
+            raw = e_time2(h, mi, s, neg=neg, micro=micro, fsp=fsp)
+            got = B._decode_time2(B._Reader(raw), fsp)
+            want = datetime.timedelta(hours=h, minutes=mi, seconds=s,
+                                      microseconds=micro)
+            assert got == (-want if neg else want), (neg, h, mi, s, micro)
+    # fsp=0 negative unchanged by the fix
+    assert B._decode_time2(B._Reader(e_time2(101, 2, 3, neg=True)), 0) == \
+        -datetime.timedelta(hours=101, minutes=2, seconds=3)
 
 
 def test_golden_binary_json_small_object():
@@ -482,6 +513,30 @@ def test_truncated_event_raises():
         list(B.iter_binlog_events(enc.bytes()[:-3]))
 
 
+def test_truncated_event_tolerant_mode_yields_prefix():
+    # ADVICE r7: an actively-written file should yield its complete
+    # prefix under tolerate_truncation instead of failing wholesale.
+    enc = Enc()
+    cols = [("id", B.T_LONG, b"", False)]
+    enc.table_map(5, "app", "kv", cols)
+    enc.rows(B.WRITE_ROWS_EVENT, 5, 1, [[e_i32(42)]])
+    enc.query("BEGIN")  # the event that will be cut mid-body
+    data = enc.bytes()[:-3]
+    evs = list(B.iter_binlog_events(data, tolerate_truncation=True))
+    # FDE + TABLE_MAP + WRITE complete; the cut QUERY is dropped
+    assert [e.type_code for e in evs][-1] == B.WRITE_ROWS_EVENT
+    assert evs[-1].rows[0]["after"] == {"id": 42}
+    rows = B.decode_binlog_file_bytes("mysql-bin.000009", data,
+                                      tolerate_truncation=True)
+    assert len(rows) == 1 and json.loads(rows[0]["after"]) == {"id": 42}
+    # a corrupt size field is NOT truncation: still raises in both modes
+    hdr_at = 4  # FDE header starts right after magic
+    corrupt = bytearray(enc.bytes())
+    corrupt[hdr_at + 9:hdr_at + 13] = (5).to_bytes(4, "little")  # size<19
+    with pytest.raises(B.BinlogError, match="corrupt"):
+        list(B.iter_binlog_events(bytes(corrupt), tolerate_truncation=True))
+
+
 # ------------------------------------------------------------ spark e2e
 
 
@@ -545,6 +600,54 @@ def test_read_binlog_files_envelope(spark, binlog_dir):
     dele = [r for r in env if r["op"] == "delete"][0]
     assert dele["after"] is None
     assert json.loads(dele["before"])["id"] == 2
+
+
+def test_read_binlog_files_rejects_unnumbered_names(spark, tmp_path):
+    # ADVICE r7: names without a numeric suffix would all key seq=0
+    d = tmp_path / "bad"
+    d.mkdir()
+    (d / "mysql-bin.backup").write_bytes(_items_file(1, [
+        ("insert", [(1, "x", 1)])]))
+    with pytest.raises(B.BinlogError, match="numeric suffix"):
+        B.read_binlog_files(spark, str(d)).collect()
+    # opt-out keeps the old permissive behavior
+    env = B.read_binlog_files(spark, str(d), strict_names=False).collect()
+    assert len(env) == 1
+
+
+def test_read_binlog_files_rejects_duplicate_basenames(spark, tmp_path):
+    # identically named files in different subdirs collapse into one
+    # seq space -- refuse rather than silently interleave
+    d = tmp_path / "multi"
+    (d / "a").mkdir(parents=True)
+    (d / "b").mkdir()
+    payload = _items_file(1, [("insert", [(1, "x", 1)])])
+    (d / "a" / "mysql-bin.000001").write_bytes(payload)
+    (d / "b" / "mysql-bin.000001").write_bytes(payload)
+    with pytest.raises(B.BinlogError, match="duplicate binlog basename"):
+        B.read_binlog_files(
+            spark, str(d / "*" / "mysql-bin.*")).collect()
+
+
+def test_read_binlog_files_tolerates_truncated_tail(spark, tmp_path):
+    # the file reader defaults tolerant: an actively-written final file
+    # contributes its complete prefix instead of failing the batch
+    d = tmp_path / "live"
+    d.mkdir()
+    (d / "mysql-bin.000001").write_bytes(
+        _items_file(1, [("insert", [(1, "x", 1)])]))
+    full = _items_file(2, [("insert", [(2, "y", 2)]),
+                           ("insert", [(3, "z", 3)])])
+    # truncate INTO the second WRITE event's body (its end pos - 3)
+    second_write_end = [e.log_pos for e in B.iter_binlog_events(full)
+                        if e.rows][-1]
+    (d / "mysql-bin.000002").write_bytes(full[:second_write_end - 3])
+    env = B.read_binlog_files(spark, str(d)).collect()
+    got = {json.loads(r["after"])["id"] for r in env}
+    assert got == {1, 2}  # the cut trailing insert (and XID) dropped
+    with pytest.raises(Exception, match="truncated"):
+        B.read_binlog_files(spark, str(d),
+                            tolerate_truncation=False).collect()
 
 
 def test_binlog_to_changelog_final_state(spark, binlog_dir):

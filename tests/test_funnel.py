@@ -621,3 +621,51 @@ def test_sequence_next_node_string_user_column(spark):
     assert dict(out.dtypes)["user"] == "string"
     assert {r["user"]: r["next_value"] for r in out.collect()} \
         == {"alice": "C"}
+
+
+def test_all_funnel_scanners_accept_string_user_column(spark):
+    """ADVICE r7: sequence_next_node derived the user type but the
+    sibling scanners still hard-coded `user long` -- every
+    applyInPandas funnel operator must carry the input's user type."""
+    from mysql_syncer_clickhouse_spark.operators.funnel import (
+        sequence_and_funnel, sequence_count, sequence_count_pattern,
+        sequence_match, window_funnel)
+    df = spark.createDataFrame(
+        [(1, "alice", "2026-01-01 00:00:01", "A"),
+         (2, "alice", "2026-01-01 00:00:02", "B"),
+         (3, "alice", "2026-01-01 00:00:03", "A"),
+         (4, "alice", "2026-01-01 00:00:04", "B"),
+         (5, "bob", "2026-01-01 00:00:01", "A")],
+        "event_id long, user_id string, ts_str string, event_type string"
+    ).select("event_id", "user_id",
+             F.col("ts_str").cast("timestamp").alias("ts"), "event_type")
+    conds = _conds(["A", "B"])
+
+    wf = window_funnel(df, "user_id", "ts", conds, 60)
+    assert dict(wf.dtypes)["user"] == "string"
+    assert {r["user"]: r["level"] for r in wf.collect()} == \
+        {"alice": 2, "bob": 1}
+    wf_m = window_funnel(df, "user_id", "ts", conds, 60,
+                         modes=["strict_dedup"])
+    assert dict(wf_m.dtypes)["user"] == "string"
+
+    sc = sequence_count(df, "user_id", "ts", conds)
+    assert dict(sc.dtypes)["user"] == "string"
+    assert {r["user"]: r["n_matches"] for r in sc.collect()} == \
+        {"alice": 2, "bob": 0}
+
+    scp = sequence_count_pattern(df, "user_id", "ts", "(?1)(?2)", conds)
+    assert dict(scp.dtypes)["user"] == "string"
+    assert {r["user"]: r["n_matches"] for r in scp.collect()} == \
+        {"alice": 2, "bob": 0}
+
+    sm = sequence_match(df, "user_id", "ts", "(?1).*(?2)", conds)
+    assert dict(sm.dtypes)["user"] == "string"
+    assert {r["user"]: r["matched"] for r in sm.collect()} == \
+        {"alice": True, "bob": False}
+
+    saf = sequence_and_funnel(df, "user_id", "ts", "(?1)(?2)", conds, 60)
+    assert dict(saf.dtypes)["user"] == "string"
+    assert {r["user"]: (r["matched"], r["level"])
+            for r in saf.collect()} == \
+        {"alice": (True, 2), "bob": (False, 1)}
