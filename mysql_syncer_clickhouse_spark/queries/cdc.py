@@ -22,16 +22,96 @@ _CL = f"WITH changelog AS ({CHANGELOG_SQL})"
 
 # --- P6: upsert-by-dedup (ReplacingMergeTree analog) --------------------
 
+def _binlog_roundtrip_final_state(cl: DataFrame) -> DataFrame:
+    """Drive a deterministic changelog slice through REAL binlog v4
+    BYTES and back: encode each 4096-seq range of events into one
+    binlog file (sources/binlog_writer -- framing, CRC32, TABLE_MAP
+    TLVs, row images, DATETIME2(6)/DOUBLE/VARCHAR codecs), decode with
+    the from-scratch decoder (sources/binlog.py), project through
+    binlog_to_changelog, and final-state it. The oracle computes the
+    same slice's final state straight from SQL, so any encode/decode
+    asymmetry in the format layer breaks the driver's value hash --
+    this is the CORRECTNESS row for SURVEY §2.1 S2c (the reference
+    consumes the same events via canal, river/sync.go:72-102).
+
+    Scale shape: one binlog file per contiguous seq range = one task on
+    each side (the file axis is the parallelism, exactly
+    read_binlog_files' contract); binlog_seq(file, pos, row) is
+    monotone in the original seq by construction (ranges ascend, and
+    events are appended in seq order within a file), so latest_state
+    picks the same winners the oracle does."""
+    import pandas as pd
+
+    from ..sources.binlog import binlog_to_changelog, decode_binary_column
+    from ..sources.binlog_writer import BinlogColumn, BinlogFileWriter
+
+    cols = [BinlogColumn.bigint("oseq"),
+            BinlogColumn.datetime2("ots", 6),
+            BinlogColumn.bigint("opk"),
+            BinlogColumn.double("value"),
+            BinlogColumn.varchar("props", 8192)]
+
+    def enc(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("seq")
+        no = int(pdf["file_no"].iloc[0])
+        w = BinlogFileWriter("app", "events_cdc", cols, table_id=11)
+        for r in pdf.itertuples(index=False):
+            ts = (r.ts.to_pydatetime()
+                  if hasattr(r.ts, "to_pydatetime") else r.ts)
+            img = [int(r.seq), ts, int(r.pk),
+                   None if pd.isna(r.value) else float(r.value),
+                   None if r.props is None else str(r.props)]
+            if r.op == "insert":
+                w.insert([img])
+            elif r.op == "update":
+                w.update([(img, img)])
+            else:
+                w.delete([img])
+        return pd.DataFrame({"file": [f"mysql-bin.{no:06d}"],
+                             "content": [w.to_bytes()]})
+
+    files = (cl.withColumn("file_no",
+                           F.floor(F.col("seq") / F.lit(4096))
+                            .cast("long"))
+               .groupBy("file_no")
+               .applyInPandas(enc, "file string, content binary"))
+    env = decode_binary_column(files)
+    bcl = binlog_to_changelog(
+        env, "oseq long, ots timestamp, opk long, value double, "
+             "props string", db="app", table="events_cdc")
+    final = latest_state(bcl, ["opk"])
+    return final.select(F.col("oseq").alias("seq"),
+                        F.col("ots").alias("ts"),
+                        F.col("opk").alias("pk"), "value", "props")
+
+
 def cdc_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two labelled parts over one derived changelog: 'events' is the
+    plain upsert-by-dedup final state; 'binlog' drives a deterministic
+    quarter of the keys (pk % 4 = 0 -- a FORMAT-fidelity check, not a
+    throughput path) through real binlog v4 bytes and must land on the
+    oracle's identical final state."""
     cl = derive_changelog_from_events(spark, sf_dir)
-    return latest_state(cl, ["pk"])
+    ev = (latest_state(cl, ["pk"])
+          .select(F.lit("events").alias("part"),
+                  "seq", "ts", "pk", "value", "props"))
+    bl = (_binlog_roundtrip_final_state(cl.filter(F.col("pk") % 4 == 0))
+          .select(F.lit("binlog").alias("part"),
+                  "seq", "ts", "pk", "value", "props"))
+    return ev.unionByName(bl)
 
 
 _FINAL_STATE_SQL = _CL + """
-SELECT seq, ts, pk, value, props FROM (
-  SELECT *, ROW_NUMBER() OVER (PARTITION BY pk ORDER BY seq DESC) AS rn
-  FROM changelog
-) WHERE rn = 1 AND op <> 'delete'
+, final AS (
+  SELECT seq, ts, pk, value, props FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY pk ORDER BY seq DESC) AS rn
+    FROM changelog
+  ) WHERE rn = 1 AND op <> 'delete'
+)
+SELECT 'events' AS part, seq, ts, pk, value, props FROM final
+UNION ALL
+SELECT 'binlog' AS part, seq, ts, pk, value, props FROM final
+WHERE pk % 4 = 0
 """
 
 

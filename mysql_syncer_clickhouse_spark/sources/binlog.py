@@ -719,8 +719,6 @@ def read_binlog_files(spark: SparkSession, path: str, *,
     """
     import re
 
-    import pandas as pd
-
     reader = (spark.readStream if streaming else spark.read)
     r = reader.format("binaryFile").option("pathGlobFilter", "*")
     if streaming:
@@ -746,13 +744,34 @@ def read_binlog_files(spark: SparkSession, path: str, *,
                     f"files would collapse into one seq space")
             seen[base] = str(row["path"])
 
+    return decode_binary_column(
+        raw.select(F.element_at(F.split("path", "/"), -1).alias("file"),
+                   "content"),
+        tolerate_truncation=tolerate_truncation,
+        strict_names=strict_names)
+
+
+def decode_binary_column(df: DataFrame, *,
+                         file_col: str = "file",
+                         content_col: str = "content",
+                         tolerate_truncation: bool = False,
+                         strict_names: bool = True) -> DataFrame:
+    """(file name, binlog bytes) rows -> the envelope DataFrame. The
+    in-plan form of read_binlog_files: same one-file-one-decode
+    mapInPandas shape, but the bytes come from a binary COLUMN --
+    round-trip checks against binlog_writer, binlog chunks shipped
+    through Kafka/parquet, relay-log excerpts."""
+    import re
+
+    import pandas as pd
+
     def decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         cols = ["file", "pos", "server_id", "ts", "op", "db", "table",
                 "row_in_event", "before", "after"]
         for pdf in batches:
             rows: list[dict] = []
-            for p, content in zip(pdf["path"], pdf["content"]):
-                name = str(p).rsplit("/", 1)[-1]
+            for name, content in zip(pdf[file_col], pdf[content_col]):
+                name = str(name)
                 if strict_names and not re.search(_BINLOG_NAME_RE, name):
                     raise BinlogError(
                         f"binlog file name {name!r} lacks the numeric "
@@ -776,7 +795,8 @@ def read_binlog_files(spark: SparkSession, path: str, *,
                     "before": pd.Series(dtype="object"),
                     "after": pd.Series(dtype="object")})
 
-    return (raw.select("path", "content")
+    return (df.select(F.col(file_col).alias(file_col),
+                      F.col(content_col).alias(content_col))
             .mapInPandas(decode, schema=ENVELOPE_DDL))
 
 
