@@ -4,6 +4,8 @@ daemon (main.go:25-106), Spark-native.
     python -m mysql_syncer_clickhouse_spark \
         --config etc/river.toml --changelog-dir /data/changelog \
         [--follow] [--compact]
+    python -m mysql_syncer_clickhouse_spark \
+        --config etc/river.toml --binlog-dir /var/lib/mysql-binlogs
 
 Reads the SAME river.toml an existing deployment already has. Each
 [[rule]] becomes one StreamingSyncPipeline: readStream over the rule's
@@ -108,6 +110,81 @@ def run(cfg: EngineConfig, changelog_dir: str, *, follow: bool = False,
     return results
 
 
+def _infer_row_ddl(env_batch, db: str, table: str) -> str | None:
+    """Row schema for one table from a sampled row image (ONE bounded
+    collect: a single JSON string). The reference introspects live
+    MySQL (river/river.go:166-180); with only binlog FILES the image
+    itself is the source of truth. schema_of_json types numbers as
+    BIGINT/DOUBLE and everything else (incl. the envelope's temporal/
+    decimal renderings) as STRING -- a documented degrade vs a live
+    information_schema; columns NULL in the sampled image come back
+    STRING too."""
+    from pyspark.sql import functions as F
+    sample = (env_batch
+              .filter((F.col("db") == db) & (F.col("table") == table))
+              .select(F.coalesce("after", "before").alias("img"))
+              .filter(F.col("img").isNotNull())
+              .limit(1).collect())
+    if not sample:
+        return None
+    row = env_batch.sparkSession.range(1).select(
+        F.schema_of_json(F.lit(sample[0]["img"])).alias("s")).collect()
+    return row[0]["s"]
+
+
+def run_binlog(cfg: EngineConfig, binlog_dir: str, *,
+               follow: bool = False, compact: bool = False,
+               spark=None) -> list[dict]:
+    """--binlog-dir mode: drain MySQL binlog FILES through the same
+    rules/apply path as the changelog mode -- the reference's own
+    topology (main.go:25-106: one replication stream fanned out by
+    [[rule]]s). sources/binlog.py decodes the v4 format (one file =
+    one task); each rule projects its table out of the shared envelope
+    stream, so N rules share ONE decode pass per micro-batch per
+    distinct source checkpoint. Exact-match rules only (a wildcard
+    rule needs live introspection to enumerate tables)."""
+    from .sources.binlog import binlog_to_changelog, read_binlog_files
+    spark = spark or get_spark("mysql-syncer-clickhouse-spark",
+                               cpus=cfg.threads)
+    results: list[dict] = []
+    pipes: list[StreamingSyncPipeline] = []
+    if cfg.stat_addr:
+        srv = _start_stat_server(cfg.stat_addr, pipes)
+        results.append(
+            {"stat":
+             f"http://{srv._httpd.server_address[0]}:{srv.port}/stat"})
+    env_batch = read_binlog_files(spark, binlog_dir)
+    for rule in cfg.rules.rules:
+        if not rule.pk and cfg.skip_no_pk_table:
+            continue
+        ddl = _infer_row_ddl(env_batch, rule.source_schema,
+                             rule.source_table)
+        if ddl is None:        # table absent from the binlogs so far
+            continue
+        env = read_binlog_files(spark, binlog_dir, streaming=True,
+                                max_files_per_trigger=cfg.bulk_size)
+        cl = binlog_to_changelog(env, ddl, db=rule.source_schema,
+                                 table=rule.source_table)
+        pipe = StreamingSyncPipeline(
+            rule, list(rule.pk), cfg.sink_dir(rule),
+            cfg.checkpoint_dir(rule))
+        pipes.append(pipe)
+        q = pipe.start_stream(cl, **cfg.trigger_kwargs(follow=follow))
+        if follow:
+            results.append({"rule": rule.key, "mode": "following"})
+            continue
+        q.awaitTermination()
+        if compact:
+            pipe.compact(spark)
+        results.append({
+            "rule": rule.key,
+            "sink": cfg.sink_dir(rule),
+            "rows": pipe.current_state(spark).count(),
+            "ops": pipe.metrics.snapshot(),
+        })
+    return results
+
+
 def run_curate(src: str, out: str, *, min_quality: float = 0.5,
                seed: int = 0, spark=None) -> dict:
     """Batch corpus curation end-to-end: exact dedup (canonical keeper
@@ -162,6 +239,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--config", help="river.toml (reference-compatible)")
     ap.add_argument("--changelog-dir",
                     help="root of per-table changelog parquet dirs")
+    ap.add_argument("--binlog-dir",
+                    help="directory of MySQL binlog files (mysql-bin.N)"
+                         " to drain instead of a parquet changelog")
     ap.add_argument("--follow", action="store_true",
                     help="keep tailing at flush_bulk_time cadence")
     ap.add_argument("--compact", action="store_true",
@@ -195,12 +275,19 @@ def main(argv: list[str] | None = None) -> int:
                                     min_quality=args.min_quality,
                                     seed=args.seed)))
         return 0
-    if not args.config or not args.changelog_dir:
-        ap.error("--config and --changelog-dir are required "
-                 "(or use --curate)")
+    if args.changelog_dir and args.binlog_dir:
+        ap.error("--changelog-dir and --binlog-dir are exclusive")
+    if not args.config or not (args.changelog_dir or args.binlog_dir):
+        ap.error("--config and one of --changelog-dir/--binlog-dir are "
+                 "required (or use --curate / --query)")
     cfg = EngineConfig.from_toml(args.config)
-    for line in run(cfg, args.changelog_dir,
-                    follow=args.follow, compact=args.compact):
+    if args.binlog_dir:
+        lines = run_binlog(cfg, args.binlog_dir,
+                           follow=args.follow, compact=args.compact)
+    else:
+        lines = run(cfg, args.changelog_dir,
+                    follow=args.follow, compact=args.compact)
+    for line in lines:
         print(json.dumps(line))
     return 0
 

@@ -124,6 +124,47 @@ def test_cli_follow_mode_tails_new_files(spark, tmp_path):
             q.stop()
 
 
+def test_cli_binlog_dir_drains_binlog_files(spark, tmp_path):
+    """--binlog-dir: real binlog v4 FILES drain through the same
+    rules/apply path (projection + rename + upsert + tombstones) as
+    the parquet changelog -- the reference's own topology."""
+    from mysql_syncer_clickhouse_spark.__main__ import run_binlog
+    from mysql_syncer_clickhouse_spark.sources.binlog_writer import (
+        BinlogColumn, BinlogFileWriter)
+
+    cols = [BinlogColumn.bigint("id"),
+            BinlogColumn.varchar("title", 80),
+            BinlogColumn.bigint("mydate")]
+    d = tmp_path / "binlogs"
+    d.mkdir()
+    w1 = BinlogFileWriter("app", "items", cols, table_id=11)
+    w1.insert([[1, "first", 86400], [2, "second", 86400]])
+    w1.update([([1, "first", 86400], [1, "first-edited", 86400])])
+    (d / "mysql-bin.000001").write_bytes(w1.to_bytes())
+    w2 = BinlogFileWriter("app", "items", cols, table_id=11)
+    w2.delete([[2, "second", 86400]])
+    # a foreign table the rule must NOT route
+    other = BinlogFileWriter("app", "ignored",
+                             [BinlogColumn.bigint("id")], table_id=12)
+    other.insert([[99]])
+    (d / "mysql-bin.000002").write_bytes(w2.to_bytes())
+    (d / "mysql-bin.000003").write_bytes(other.to_bytes())
+
+    cfg = EngineConfig.from_toml(TOML)
+    cfg.data_dir = str(tmp_path / "log")
+    out = run_binlog(cfg, str(d), spark=spark)
+    assert out == [{
+        "rule": "app:items",
+        "sink": f"{cfg.data_dir}/olap.items_sink",
+        "rows": 1,
+        "ops": {"insert": 2, "update": 1, "delete": 1},
+    }]
+    state = spark.read.parquet(f"{cfg.data_dir}/olap.items_sink")
+    from mysql_syncer_clickhouse_spark.operators.upsert import latest_state
+    final = latest_state(state, ["id"]).collect()
+    assert len(final) == 1 and final[0]["es_title"] == "first-edited"
+
+
 def test_cli_curate_mode(spark, tmp_path):
     """--curate runs the batch curation chain: dedup -> redact ->
     quality gate -> deterministic shards, printing one JSON summary."""
