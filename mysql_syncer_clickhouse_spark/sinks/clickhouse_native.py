@@ -1,0 +1,481 @@
+"""ClickHouse sink writer over the public NATIVE TCP protocol.
+
+The reference applies batches over native TCP (clickhouse/client.go:
+36-37,77-233: one connection, Begin/Exec/Commit bulk INSERTs on port
+9000). sinks/clickhouse.py covers the HTTP interface; this module
+closes the remaining protocol gap at the FORMAT layer, the same way
+sources/binlog.py did for the binlog: the public wire framing
+implemented from scratch, stdlib socket only, tested against a
+recording fake server (there is no live ClickHouse in this sandbox).
+
+What's implemented (the documented native protocol, port 9000):
+- varint (LEB128) framing, length-prefixed strings;
+- client/server HELLO with revision negotiation -- the client
+  advertises revision 54406 and gates every optional field on
+  min(server, client), so a modern server simply speaks the older
+  dialect (below 54410 the server sends no TableColumns metadata,
+  below 54451 no ProfileEvents -- the minimal INSERT dialect);
+- QUERY packets (client info block, empty settings, stage Complete,
+  compression off) followed by the empty external-tables block;
+- DATA blocks: BlockInfo + column-oriented encode for the exact type
+  surface functions/typemap.py emits -- U/Int8..64, Float32/64,
+  String, Date, DateTime, DateTime64(n), Decimal(P<=18,S) (plus
+  Decimal128 for completeness), each optionally Nullable(T) with the
+  null-mask-first layout;
+- EXCEPTION (code/name/message/stack, nested chain) surfaced as
+  ClickHouseServerError, PROGRESS tolerated, END_OF_STREAM closing
+  each request.
+
+INSERT flow (what the server expects): Query("INSERT ... VALUES") ->
+empty external block -> server sends the header Data block -> client
+streams Data blocks -> empty Data block -> EndOfStream.
+
+Scale shape mirrors the HTTP sink: `apply_batch` posts FROM THE
+EXECUTORS via foreachPartition -- each partition holds ONE connection
+and streams its rows as native blocks of `bulk_size`, so nothing
+funnels through the driver. Epochs are serialized by foreachBatch;
+the ReplacingMergeTree (pk, seq) collapse dedups replays, the same
+at-least-once-then-idempotent contract as every other sink here.
+"""
+
+from __future__ import annotations
+
+import datetime
+import socket
+import struct
+from collections.abc import Sequence
+from dataclasses import dataclass, field
+from decimal import Decimal
+
+from pyspark.sql import DataFrame
+
+from ..functions.typemap import (clickhouse_create_table_ddl,
+                                 mysql_to_clickhouse_type)
+
+CLIENT_NAME = "mysql-syncer-clickhouse-spark"
+CLIENT_REVISION = 54406          # the minimal-INSERT dialect (see above)
+_EPOCH_DATE = datetime.date(1970, 1, 1)
+_UTC = datetime.timezone.utc
+
+# client packet codes
+C_HELLO, C_QUERY, C_DATA = 0, 1, 2
+# server packet codes
+S_HELLO, S_DATA, S_EXCEPTION, S_PROGRESS = 0, 1, 2, 3
+S_PONG, S_END_OF_STREAM, S_PROFILE_INFO = 4, 5, 6
+# revision gates (public protocol constants)
+_REV_SERVER_TIMEZONE = 54058
+_REV_QUOTA_KEY = 54060
+_REV_DISPLAY_NAME = 54372
+_REV_VERSION_PATCH = 54401
+_REV_TOTAL_ROWS_IN_PROGRESS = 54058
+
+
+class ClickHouseServerError(RuntimeError):
+    def __init__(self, code: int, name: str, message: str):
+        super().__init__(f"[{code}] {name}: {message}")
+        self.code, self.name = code, name
+
+
+# ------------------------------------------------------------ primitives
+
+def write_varint(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def write_str(s: str | bytes) -> bytes:
+    b = s.encode("utf-8") if isinstance(s, str) else bytes(s)
+    return write_varint(len(b)) + b
+
+
+class _Reader:
+    """Buffered socket reader with the protocol primitives."""
+
+    def __init__(self, sock: socket.socket):
+        self.sock = sock
+        self.buf = b""
+
+    def read(self, n: int) -> bytes:
+        while len(self.buf) < n:
+            chunk = self.sock.recv(65536)
+            if not chunk:
+                raise ConnectionError("server closed the connection")
+            self.buf += chunk
+        out, self.buf = self.buf[:n], self.buf[n:]
+        return out
+
+    def varint(self) -> int:
+        n = shift = 0
+        while True:
+            b = self.read(1)[0]
+            n |= (b & 0x7F) << shift
+            if not b & 0x80:
+                return n
+            shift += 7
+
+    def string(self) -> str:
+        return self.read(self.varint()).decode("utf-8")
+
+
+# --------------------------------------------------------- column encode
+
+def _scaled_decimal(v, scale: int) -> int:
+    q = Decimal(v).scaleb(scale)
+    return int(q.to_integral_value())
+
+
+_EPOCH_DT = datetime.datetime(1970, 1, 1, tzinfo=_UTC)
+
+
+def _epoch_us(dt: datetime.datetime) -> int:
+    if dt.tzinfo is None:            # session TZ is pinned UTC
+        dt = dt.replace(tzinfo=_UTC)
+    d = dt - _EPOCH_DT               # exact integer micros, pre-epoch safe
+    return (d.days * 86_400 + d.seconds) * 1_000_000 + d.microseconds
+
+
+def column_encoder(ch_type: str):
+    """ch type string -> (encode(values) -> bytes). Handles
+    Nullable(T) with the null-mask-first native layout."""
+    t = ch_type.strip()
+    if t.startswith("Nullable(") and t.endswith(")"):
+        inner = column_encoder(t[9:-1])
+
+        def enc_nullable(vals: list) -> bytes:
+            mask = bytes(1 if v is None else 0 for v in vals)
+            return mask + inner([v for v in vals])
+        return enc_nullable
+
+    def fixed(fmt: str, conv, default):
+        def enc(vals: list) -> bytes:
+            return b"".join(
+                struct.pack(fmt, default if v is None else conv(v))
+                for v in vals)
+        return enc
+
+    if t == "String":
+        def enc_str(vals: list) -> bytes:
+            out = bytearray()
+            for v in vals:
+                b = b"" if v is None else (
+                    v.encode("utf-8") if isinstance(v, str) else bytes(v))
+                out += write_varint(len(b)) + b
+            return bytes(out)
+        return enc_str
+    if t in ("Int8", "Int16", "Int32", "Int64",
+             "UInt8", "UInt16", "UInt32", "UInt64"):
+        fmt = {"8": "b", "16": "h", "32": "i", "64": "q"}[t.lstrip("UInt")]
+        if t.startswith("U"):
+            fmt = fmt.upper()
+        return fixed("<" + fmt, int, 0)
+    if t == "Float32":
+        return fixed("<f", float, 0.0)
+    if t == "Float64":
+        return fixed("<d", float, 0.0)
+    if t == "Date":
+        return fixed("<H", lambda v: (v - _EPOCH_DATE).days, 0)
+    if t == "DateTime" or t.startswith("DateTime("):
+        return fixed("<I", lambda v: _epoch_us(v) // 1_000_000, 0)
+    if t.startswith("DateTime64("):
+        p = int(t[11:-1].split(",")[0])
+
+        def conv_dt64(v, p=p):
+            us = _epoch_us(v)
+            return us * 10 ** (p - 6) if p >= 6 else us // 10 ** (6 - p)
+        return fixed("<q", conv_dt64, 0)
+    if t.startswith("Decimal("):
+        prec, scale = (int(x) for x in t[8:-1].split(","))
+        if prec <= 9:
+            return fixed("<i", lambda v: _scaled_decimal(v, scale), 0)
+        if prec <= 18:
+            return fixed("<q", lambda v: _scaled_decimal(v, scale), 0)
+
+        def enc_d128(vals: list) -> bytes:
+            return b"".join(
+                (0 if v is None else _scaled_decimal(v, scale))
+                .to_bytes(16, "little", signed=True) for v in vals)
+        return enc_d128
+    raise ValueError(f"no native encoder for ClickHouse type {ch_type!r}")
+
+
+def encode_block(columns: list[tuple[str, str]],
+                 rows: list[Sequence]) -> bytes:
+    """One native Data block body: BlockInfo + n_cols/n_rows + per
+    column (name, type, raw data). `columns` = (name, ch_type)."""
+    out = bytearray()
+    # BlockInfo: field 1 = is_overflows(0), field 2 = bucket_num(-1), 0
+    out += write_varint(1) + b"\x00"
+    out += write_varint(2) + struct.pack("<i", -1)
+    out += write_varint(0)
+    out += write_varint(len(columns)) + write_varint(len(rows))
+    for i, (name, ch_type) in enumerate(columns):
+        out += write_str(name) + write_str(ch_type)
+        out += column_encoder(ch_type)([r[i] for r in rows])
+    return bytes(out)
+
+
+# ------------------------------------------------------------ connection
+
+class NativeConnection:
+    """One native-protocol connection: hello handshake on connect,
+    then execute() / insert_blocks(). NOT thread-safe; executors open
+    one per partition."""
+
+    def __init__(self, host: str, port: int = 9000, *,
+                 database: str = "default", user: str = "default",
+                 password: str = "", timeout: float = 60.0):
+        self.sock = socket.create_connection((host, port),
+                                             timeout=timeout)
+        self.r = _Reader(self.sock)
+        self.server_revision = 0
+        self._hello(database, user, password)
+        self.revision = min(self.server_revision, CLIENT_REVISION)
+
+    # -- handshake / framing
+
+    def _send(self, *parts: bytes) -> None:
+        self.sock.sendall(b"".join(parts))
+
+    def _hello(self, database: str, user: str, password: str) -> None:
+        self._send(write_varint(C_HELLO), write_str(CLIENT_NAME),
+                   write_varint(1), write_varint(0),
+                   write_varint(CLIENT_REVISION),
+                   write_str(database), write_str(user),
+                   write_str(password))
+        code = self.r.varint()
+        if code == S_EXCEPTION:
+            raise self._read_exception()
+        if code != S_HELLO:
+            raise ConnectionError(f"expected server hello, got {code}")
+        self.server_name = self.r.string()
+        self.r.varint()              # version major
+        self.r.varint()              # version minor
+        self.server_revision = self.r.varint()
+        rev = min(self.server_revision, CLIENT_REVISION)
+        if rev >= _REV_SERVER_TIMEZONE:
+            self.server_timezone = self.r.string()
+        if rev >= _REV_DISPLAY_NAME:
+            self.server_display_name = self.r.string()
+        if rev >= _REV_VERSION_PATCH:
+            self.r.varint()          # version patch
+
+    def _read_exception(self) -> ClickHouseServerError:
+        code = struct.unpack("<i", self.r.read(4))[0]
+        name = self.r.string()
+        message = self.r.string()
+        self.r.string()              # stack trace
+        if self.r.read(1)[0]:        # has_nested: drain the chain
+            try:
+                self._read_exception()
+            except ClickHouseServerError:
+                pass
+        return ClickHouseServerError(code, name, message)
+
+    def _send_query(self, sql: str) -> None:
+        rev = self.revision
+        pkt = bytearray()
+        pkt += write_varint(C_QUERY) + write_str("")   # query id
+        # client info (ClientInfo::write at this revision)
+        pkt += b"\x01"                                 # kind: initial
+        pkt += write_str("") + write_str("")           # initial user/id
+        pkt += write_str("0.0.0.0:0")                  # initial address
+        pkt += b"\x01"                                 # interface: TCP
+        pkt += write_str("") + write_str("")           # os user/hostname
+        pkt += write_str(CLIENT_NAME)
+        pkt += write_varint(1) + write_varint(0)       # version
+        pkt += write_varint(CLIENT_REVISION)
+        if rev >= _REV_QUOTA_KEY:
+            pkt += write_str("")
+        if rev >= _REV_VERSION_PATCH:
+            pkt += write_varint(0)
+        pkt += write_str("")                           # settings end
+        pkt += write_varint(2)                         # stage: complete
+        pkt += write_varint(0)                         # compression off
+        pkt += write_str(sql)
+        self._send(bytes(pkt))
+        self.send_block([], [])      # end of external tables
+
+    def send_block(self, columns: list[tuple[str, str]],
+                   rows: list[Sequence]) -> None:
+        self._send(write_varint(C_DATA), write_str(""),
+                   encode_block(columns, rows))
+
+    def _skip_block(self) -> None:
+        """Consume a server Data block header (the INSERT sample block
+        is empty; names/types are read, data lengths are type-driven
+        so a non-empty one would need decoders -- the write path never
+        receives one)."""
+        self.r.string()              # temporary table name
+        self.r.varint()
+        self.r.read(1)               # block info: field 1
+        self.r.varint()
+        self.r.read(4)               # block info: field 2
+        self.r.varint()              # block info: end
+        n_cols, n_rows = self.r.varint(), self.r.varint()
+        if n_rows:
+            raise NotImplementedError("unexpected non-empty server block "
+                                      "on the write path")
+        for _ in range(n_cols):
+            self.r.string()
+            self.r.string()
+
+    def _read_until(self, *stop_codes: int) -> int:
+        while True:
+            code = self.r.varint()
+            if code == S_EXCEPTION:
+                raise self._read_exception()
+            if code == S_PROGRESS:
+                self.r.varint()
+                self.r.varint()
+                if self.revision >= _REV_TOTAL_ROWS_IN_PROGRESS:
+                    self.r.varint()
+                continue
+            if code in stop_codes:
+                return code
+            raise ConnectionError(f"unexpected server packet {code}")
+
+    # -- public ops
+
+    def execute(self, sql: str) -> None:
+        """DDL / side-effect statement: query -> EndOfStream."""
+        self._send_query(sql)
+        self._read_until(S_END_OF_STREAM)
+
+    def insert_blocks(self, sql: str, columns: list[tuple[str, str]],
+                      block_iter) -> int:
+        """INSERT: query -> header block -> stream blocks -> empty
+        block -> EndOfStream. Returns rows sent."""
+        self._send_query(sql)
+        self._read_until(S_DATA)
+        self._skip_block()
+        sent = 0
+        for rows in block_iter:
+            if rows:
+                self.send_block(columns, rows)
+                sent += len(rows)
+        self.send_block([], [])
+        self._read_until(S_END_OF_STREAM)
+        return sent
+
+    def close(self) -> None:
+        try:
+            self.sock.close()
+        except OSError:
+            pass
+
+
+# ------------------------------------------------------------------ sink
+
+@dataclass
+class ClickHouseNativeSink:
+    """foreachBatch sink applying micro-batches over native TCP --
+    the same surface as ClickHouseHTTPSink, different wire."""
+    host: str
+    port: int = 9000
+    database: str = "default"
+    table: str = ""
+    columns: Sequence[tuple[str, str, bool]] = field(default_factory=list)
+    pk: tuple[str, ...] = ()
+    bulk_size: int = 10000
+    user: str = "default"
+    password: str = ""
+    _known_cols: set[str] | None = field(default=None, repr=False)
+
+    def _connect(self) -> NativeConnection:
+        return NativeConnection(self.host, self.port,
+                                database=self.database, user=self.user,
+                                password=self.password)
+
+    def execute(self, sql: str) -> None:
+        conn = self._connect()
+        try:
+            conn.execute(sql)
+        finally:
+            conn.close()
+
+    def ensure_table(self) -> str:
+        ddl = clickhouse_create_table_ddl(
+            self.database, self.table, list(self.columns), self.pk)
+        self.execute(ddl)
+        return ddl
+
+    def _ch_types(self, df_columns: list[str]) -> list[tuple[str, str]]:
+        typed = {c[0]: (c[1], c[2]) for c in self.columns}
+        nn = set(self.pk)
+        out = []
+        for c in df_columns:
+            mtype, nullable = typed.get(c, ("text", True))
+            out.append((c, mysql_to_clickhouse_type(
+                mtype, nullable and c not in nn)))
+        return out
+
+    def ensure_columns(self, batch_df: DataFrame) -> list[str]:
+        """Mid-stream schema drift -> ALTER ADD COLUMN, same policy as
+        the HTTP sink (unknown columns land Nullable(String))."""
+        if self._known_cols is None:
+            self._known_cols = ({c[0] for c in self.columns}
+                                if self.columns else set(batch_df.columns))
+        typed = {c[0]: (c[1], c[2]) for c in self.columns}
+        ddls = []
+        for c in batch_df.columns:
+            if c in self._known_cols:
+                continue
+            mtype, nullable = typed.get(c, ("text", True))
+            ddls.append(
+                f"ALTER TABLE `{self.database}`.`{self.table}` "
+                f"ADD COLUMN IF NOT EXISTS `{c}` "
+                f"{mysql_to_clickhouse_type(mtype, nullable)}")
+            self._known_cols.add(c)
+        for ddl in ddls:
+            self.execute(ddl)
+        return ddls
+
+    def apply_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        """foreachBatch target: each partition opens ONE connection and
+        streams its rows as native blocks of bulk_size within a single
+        INSERT (the protocol's multi-block insert -- the reference's
+        Begin/Exec/Commit batch, clickhouse/client.go:77-233)."""
+        self.ensure_columns(batch_df)
+        cols = self._ch_types(list(batch_df.columns))
+        names = ", ".join(f"`{n}`" for n, _ in cols)
+        sql = (f"INSERT INTO `{self.database}`.`{self.table}` "
+               f"({names}) VALUES")
+        host, port = self.host, self.port
+        database, user, password = self.database, self.user, self.password
+        bulk = self.bulk_size
+
+        def send_partition(rows) -> None:
+            def blocks():
+                buf = []
+                for row in rows:
+                    buf.append(tuple(row))
+                    if len(buf) >= bulk:
+                        yield buf
+                        buf = []
+                yield buf
+            conn = NativeConnection(host, port, database=database,
+                                    user=user, password=password)
+            try:
+                conn.insert_blocks(sql, cols, blocks())
+            finally:
+                conn.close()
+
+        batch_df.foreachPartition(send_partition)
+
+    def attach(self, stream: DataFrame, checkpoint_dir: str,
+               ensure: bool = True):
+        if ensure:
+            self.ensure_table()
+        return (stream.writeStream
+                .foreachBatch(self.apply_batch)
+                .option("checkpointLocation", checkpoint_dir)
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .start())
