@@ -14,13 +14,24 @@ from pyspark.sql import SparkSession
 
 
 def get_spark(app_name: str = "mysql_syncer_clickhouse_spark",
-              cpus: int | None = None) -> SparkSession:
+              cpus: int | None = None,
+              shuffle_partitions: int | None = None) -> SparkSession:
+    """`shuffle_partitions` defaults to `cpus` -- the cluster-correct
+    rule of thumb. Harnesses running SMALL fixtures should pass fewer
+    (bench.py sizes it to the fixture): SCALE.md §5 measured that at
+    sf0.1 every shuffle carries a few MB, so 32 near-empty partitions
+    across ~40 stages is pure task-dispatch floor, not data work --
+    `local[8]` beat `local[32]` on the merged entries. Plans are
+    partition-count independent; only scheduling overhead changes."""
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0) or os.cpu_count() or 4
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get(
+            "SPARK_GRAFT_SHUFFLE_PARTITIONS", "0") or 0) or cpus
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
-        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

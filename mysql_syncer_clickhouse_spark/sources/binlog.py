@@ -32,6 +32,31 @@ Row values are emitted as a JSON envelope so one fixed schema covers
 every table; `binlog_to_changelog` projects a chosen table into the
 normalized changelog shape (seq, ts, op, cols...) shared with the
 Debezium source -- the apply path cannot tell them apart.
+
+Support matrix vs canal/go-mysql's decode surface (round 8):
+
+  SUPPORTED -- all integer widths incl. unsigned via the SIGNEDNESS
+  TLV (default signed without it), FLOAT/DOUBLE, NEWDECIMAL (any
+  precision, sign-flip groups), VARCHAR/VAR_STRING/STRING (1/2-byte
+  lengths, packed STRING meta), ENUM (index), SET (bitmask), BIT,
+  all BLOB widths, GEOMETRY (raw SRID+WKB bytes, what go-mysql
+  returns too), JSON (binary small/large objects/arrays, inlined
+  scalars, opaque typed literals), DATE (zero-date -> NULL),
+  DATETIME2/TIMESTAMP2/TIME2 with any fsp (TIME2 as one biased
+  two's-complement number -- negative fractions correct), YEAR;
+  row events v1 and v2, UPDATE before/after pairing, CRC32 per
+  event, FORMAT_DESCRIPTION checksum-algorithm negotiation,
+  tolerant truncation for actively-written files.
+
+  EXPLICIT REFUSAL (BinlogError, never silent drop) --
+  binlog_row_value_options=PARTIAL_JSON (event 39: after-images are
+  JSON diffs, not documents) and binlog_transaction_compression=ON
+  (event 40: zstd payload envelope). Both are OFF-by-default server
+  options; the error says which knob to flip.
+
+  FRAMING-ONLY SKIP (no row data inside) -- GTID/ANONYMOUS_GTID/
+  PREVIOUS_GTIDS, ROTATE (next-file name surfaced), QUERY (schema +
+  statement surfaced), XID (surfaced).
 """
 
 from __future__ import annotations
@@ -65,6 +90,8 @@ PREVIOUS_GTIDS_LOG_EVENT = 35
 WRITE_ROWS_EVENT = 30
 UPDATE_ROWS_EVENT = 31
 DELETE_ROWS_EVENT = 32
+TRANSACTION_PAYLOAD_EVENT = 40   # binlog_transaction_compression=ON
+PARTIAL_UPDATE_ROWS_EVENT = 39   # binlog_row_value_options=PARTIAL_JSON
 
 # column type codes (public enum_field_types)
 T_DECIMAL, T_TINY, T_SHORT, T_LONG, T_FLOAT, T_DOUBLE = 0, 1, 2, 3, 4, 5
@@ -623,6 +650,21 @@ def iter_binlog_events(data: bytes, *,
             ev.next_file = body.bytes(body.remaining()).decode()
         elif tc == XID_EVENT:
             ev.xid = body.u64()
+        elif tc == PARTIAL_UPDATE_ROWS_EVENT:
+            # silently skipping would DROP updates -- refuse loudly.
+            # (The after-image carries JSON diffs, not full documents;
+            # see the module support matrix.)
+            raise BinlogError(
+                "PARTIAL_UPDATE_ROWS event: this server runs "
+                "binlog_row_value_options=PARTIAL_JSON, whose JSON-diff "
+                "after-images are not supported -- set "
+                "binlog_row_value_options='' (full JSON images)")
+        elif tc == TRANSACTION_PAYLOAD_EVENT:
+            raise BinlogError(
+                "TRANSACTION_PAYLOAD event: this server runs "
+                "binlog_transaction_compression=ON (zstd-wrapped "
+                "payloads are not supported) -- set "
+                "binlog_transaction_compression=OFF")
         # GTID / PREVIOUS_GTIDS / others: framing-only skip
         yield ev
         pos += size

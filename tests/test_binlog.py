@@ -328,6 +328,40 @@ def test_golden_time2_negative_with_fraction():
         -datetime.timedelta(hours=101, minutes=2, seconds=3)
 
 
+def test_golden_geometry_and_unsigned_boundaries():
+    # GEOMETRY decodes as raw SRID+WKB bytes (go-mysql's contract):
+    # SRID 4326 + WKB little-endian POINT(1.5, -2.5)
+    wkb = (struct.pack("<I", 4326) + b"\x01"
+           + struct.pack("<I", 1) + struct.pack("<dd", 1.5, -2.5))
+    r = B._Reader(struct.pack("<I", len(wkb)) + wkb)
+    got = B._decode_value(r, B.T_GEOMETRY, 4, False)
+    assert got == wkb
+    # unsigned boundaries: INT24 max vs signed wraparound, TINY 255
+    r = B._Reader(b"\xff\xff\xff")
+    assert B._decode_value(r, B.T_INT24, 0, True) == (1 << 24) - 1
+    r = B._Reader(b"\xff\xff\xff")
+    assert B._decode_value(r, B.T_INT24, 0, False) == -1
+    r = B._Reader(b"\xff")
+    assert B._decode_value(r, B.T_TINY, 0, True) == 255
+    r = B._Reader(b"\x80")
+    assert B._decode_value(r, B.T_TINY, 0, False) == -128
+    r = B._Reader(b"\xff" * 8)
+    assert B._decode_value(r, B.T_LONGLONG, 0, True) == (1 << 64) - 1
+
+
+def test_partial_json_and_compressed_payload_refused_loudly():
+    """Silently skipping these would DROP updates; the decoder must
+    refuse with the server knob named."""
+    for tc, knob in [(B.PARTIAL_UPDATE_ROWS_EVENT,
+                      "binlog_row_value_options"),
+                     (B.TRANSACTION_PAYLOAD_EVENT,
+                      "binlog_transaction_compression")]:
+        enc = Enc()
+        enc._event(tc, b"\x00" * 16)
+        with pytest.raises(B.BinlogError, match=knob):
+            list(B.iter_binlog_events(enc.bytes()))
+
+
 def test_golden_binary_json_small_object():
     # {"a": 1}: hand-laid-out small object (count=1, size=12,
     # key entry offset=11 len=1, inlined int16 value)
