@@ -547,6 +547,24 @@ def _parse_table_map(body: _Reader) -> TableMap:
     return tm
 
 
+def fde_checksummed(fde_body: bytes) -> bool:
+    """Whether a FORMAT_DESCRIPTION event declares CRC32 checksums.
+    Layout: binlog_version(2) server_version(50) ts(4) header_len(1)
+    + post-header array [+ checksum_alg(1) + crc32(4)] -- the alg byte
+    exists only for server versions >= 5.6.1. Shared by the file
+    decoder and the replication tailer (mysql_repl.py), which must
+    know whether streamed ROTATE events carry a trailing CRC."""
+    ver = fde_body[2:52].split(b"\x00")[0].decode()
+    parts = tuple(int("".join(ch for ch in p if ch.isdigit()) or 0)
+                  for p in ver.split(".")[:3])
+    if parts < (5, 6, 1):
+        return False
+    alg = fde_body[-5]
+    if alg not in (0, 1):
+        raise BinlogError(f"unsupported checksum alg {alg}")
+    return alg == 1
+
+
 def iter_binlog_events(data: bytes, *,
                        verify_checksum: bool = True,
                        tolerate_truncation: bool = False,
@@ -574,16 +592,7 @@ def iter_binlog_events(data: bytes, *,
             raise BinlogError(f"truncated event at {pos}")
         body_b = data[pos + _HEADER_LEN:pos + size]
         if tc == FORMAT_DESCRIPTION_EVENT:
-            # binlog_version(2) server_version(50) ts(4) header_len(1)
-            # + post-header array [+ checksum_alg(1) + crc32(4)]
-            ver = body_b[2:52].split(b"\x00")[0].decode()
-            parts = tuple(int("".join(ch for ch in p if ch.isdigit()) or 0)
-                          for p in ver.split(".")[:3])
-            if parts >= (5, 6, 1):
-                alg = body_b[-5]
-                checksummed = alg == 1
-                if alg not in (0, 1):
-                    raise BinlogError(f"unsupported checksum alg {alg}")
+            checksummed = fde_checksummed(body_b)
         ev_crc_ok = True
         if checksummed:
             want = struct.unpack("<I", body_b[-4:])[0]

@@ -1,0 +1,345 @@
+"""MySQL replication-protocol client -- the live-tail half of the
+binlog story, from the public client/server wire format, stdlib
+socket only.
+
+The reference registers as a pseudo-replica and streams binlog events
+over a socket (river/river.go:102-123, server_id river/config.go:34,
+all delegated to go-mysql). sources/binlog.py already decodes the
+binlog v4 EVENTS from scratch; this module implements the protocol
+that asks a server to stream them:
+
+- the packet layer (3-byte LE length + sequence id framing);
+- the v10 initial handshake parse + HandshakeResponse41 with
+  mysql_native_password authentication (SHA1(p) XOR
+  SHA1(nonce + SHA1(SHA1(p))) -- the public scramble);
+- COM_QUERY for the session setup statements a replica issues before
+  dumping (e.g. SET @master_binlog_checksum = 'CRC32') -- OK/ERR
+  responses only, which is all SET needs; resultset parsing is out of
+  scope (documented degrade: this client is a replica, not a query
+  shell);
+- COM_REGISTER_SLAVE with the configured server_id (the reference's
+  river/config.go:34 knob) and COM_BINLOG_DUMP from a (file, pos)
+  checkpoint -- master.info semantics (river/master.go:17-25);
+- the event stream: each OK-prefixed packet carries ONE raw binlog
+  event, byte-identical to the on-disk form, so the SAME decoder
+  consumes both.
+
+Spark integration is RELAY SHIPPING, the only shape that scales: the
+tailer is a single driver-side (or external) thread appending raw
+events into relay files -- `RelayWriter` starts each file with the
+binlog magic and rotates on the stream's own ROTATE events, so a
+relay file IS a binlog file -- and the distributed side is the
+existing `read_binlog_files(streaming=True)` (one file = one task).
+The replication stream is inherently serial (single TCP connection,
+TABLE_MAP state); parallelism lives on the file axis, exactly as for
+server-written binlogs.
+
+There is no live MySQL in this sandbox: tests drive this client
+against a fake server implementing the same public handshake
+(tests/test_mysql_repl.py), which verifies the scramble server-side
+with an independent implementation.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import socket
+import struct
+from dataclasses import dataclass
+
+from .binlog import (BINLOG_MAGIC, FORMAT_DESCRIPTION_EVENT,
+                     ROTATE_EVENT, fde_checksummed)
+
+# capability flags (public protocol constants)
+CLIENT_LONG_PASSWORD = 0x1
+CLIENT_LONG_FLAG = 0x4
+CLIENT_PROTOCOL_41 = 0x200
+CLIENT_SECURE_CONNECTION = 0x8000
+CLIENT_PLUGIN_AUTH = 0x80000
+
+COM_QUERY = 0x03
+COM_REGISTER_SLAVE = 0x15
+COM_BINLOG_DUMP = 0x12
+
+NATIVE_AUTH = "mysql_native_password"
+
+
+class MySQLProtocolError(ConnectionError):
+    pass
+
+
+class MySQLServerError(RuntimeError):
+    def __init__(self, code: int, sqlstate: str, message: str):
+        super().__init__(f"[{code}] ({sqlstate}) {message}")
+        self.code, self.sqlstate = code, sqlstate
+
+
+def native_password_scramble(password: str, nonce: bytes) -> bytes:
+    """mysql_native_password: SHA1(p) XOR SHA1(nonce + SHA1(SHA1(p)))."""
+    if not password:
+        return b""
+    p1 = hashlib.sha1(password.encode("utf-8")).digest()
+    p2 = hashlib.sha1(p1).digest()
+    h = hashlib.sha1(nonce + p2).digest()
+    return bytes(a ^ b for a, b in zip(p1, h))
+
+
+class _PacketIO:
+    """The MySQL packet layer: 3-byte LE payload length + 1-byte
+    sequence id. Packets are capped at 16MB-1; a replica streaming
+    ordinary binlog events (max_binlog_size-bounded) never splits."""
+
+    def __init__(self, sock: socket.socket):
+        self.sock = sock
+        self.buf = b""
+        self.seq = 0
+
+    def _read(self, n: int) -> bytes:
+        while len(self.buf) < n:
+            chunk = self.sock.recv(65536)
+            if not chunk:
+                raise MySQLProtocolError("server closed the connection")
+            self.buf += chunk
+        out, self.buf = self.buf[:n], self.buf[n:]
+        return out
+
+    def read_packet(self) -> bytes:
+        hdr = self._read(4)
+        n = hdr[0] | hdr[1] << 8 | hdr[2] << 16
+        self.seq = hdr[3] + 1
+        if n == 0xFFFFFF:
+            raise MySQLProtocolError("16MB packet splitting not "
+                                     "supported on the replica path")
+        return self._read(n)
+
+    def send_packet(self, payload: bytes, *, seq: int | None = None) -> None:
+        if seq is not None:
+            self.seq = seq
+        self.sock.sendall(
+            len(payload).to_bytes(3, "little") + bytes([self.seq & 0xFF])
+            + payload)
+        self.seq += 1
+
+
+def _parse_handshake_v10(p: bytes) -> tuple[str, bytes, int, str]:
+    """-> (server_version, auth nonce, capabilities, auth plugin)."""
+    if p[0] == 0xFF:
+        raise _parse_err(p, CLIENT_PROTOCOL_41)
+    if p[0] != 10:
+        raise MySQLProtocolError(f"unsupported handshake v{p[0]}")
+    i = 1
+    end = p.index(b"\x00", i)
+    server_version = p[i:end].decode()
+    i = end + 1
+    i += 4                                   # thread id
+    nonce1 = p[i:i + 8]
+    i += 8 + 1                               # + filler
+    caps = struct.unpack_from("<H", p, i)[0]
+    i += 2
+    plugin = NATIVE_AUTH
+    nonce2 = b""
+    if len(p) > i:
+        i += 1 + 2                           # charset + status flags
+        caps |= struct.unpack_from("<H", p, i)[0] << 16
+        i += 2
+        auth_len = p[i]
+        i += 1 + 10                          # + reserved
+        if caps & CLIENT_SECURE_CONNECTION:
+            n2 = max(13, auth_len - 8)
+            nonce2 = p[i:i + n2].rstrip(b"\x00")
+            i += n2
+        if caps & CLIENT_PLUGIN_AUTH:
+            end = p.index(b"\x00", i) if b"\x00" in p[i:] else len(p)
+            plugin = p[i:end].decode() or NATIVE_AUTH
+    # the scramble is 20 bytes: part1(8) + part2[:12]
+    return server_version, (nonce1 + nonce2)[:20], caps, plugin
+
+
+def _parse_err(p: bytes, caps: int) -> MySQLServerError:
+    code = struct.unpack_from("<H", p, 1)[0]
+    i = 3
+    state = ""
+    if caps & CLIENT_PROTOCOL_41 and len(p) > i and p[i:i + 1] == b"#":
+        state = p[i + 1:i + 6].decode()
+        i += 6
+    return MySQLServerError(code, state, p[i:].decode("utf-8", "replace"))
+
+
+class ReplicationClient:
+    """One replica connection: connect() performs the handshake,
+    register_and_dump() issues COM_REGISTER_SLAVE + COM_BINLOG_DUMP,
+    events() yields raw binlog event bytes until EOF."""
+
+    def __init__(self, host: str, port: int = 3306, *,
+                 user: str = "repl", password: str = "",
+                 server_id: int = 1001, timeout: float = 60.0):
+        self.host, self.port = host, port
+        self.user, self.password = user, password
+        self.server_id = server_id
+        self.timeout = timeout
+        self.io: _PacketIO | None = None
+        self.caps = 0
+        self.server_version = ""
+
+    # -- handshake
+
+    def connect(self) -> None:
+        sock = socket.create_connection((self.host, self.port),
+                                        timeout=self.timeout)
+        self.io = _PacketIO(sock)
+        p = self.io.read_packet()
+        self.server_version, nonce, caps, plugin = _parse_handshake_v10(p)
+        if plugin != NATIVE_AUTH:
+            raise MySQLProtocolError(
+                f"auth plugin {plugin!r} not supported (only "
+                f"{NATIVE_AUTH}; caching_sha2_password needs TLS or an "
+                f"RSA exchange -- create the replication user WITH "
+                f"{NATIVE_AUTH})")
+        self.caps = (CLIENT_LONG_PASSWORD | CLIENT_LONG_FLAG
+                     | CLIENT_PROTOCOL_41 | CLIENT_SECURE_CONNECTION
+                     | CLIENT_PLUGIN_AUTH)
+        auth = native_password_scramble(self.password, nonce)
+        resp = struct.pack("<IIB", self.caps, 1 << 24, 33) + bytes(23)
+        resp += self.user.encode() + b"\x00"
+        resp += bytes([len(auth)]) + auth
+        resp += NATIVE_AUTH.encode() + b"\x00"
+        self.io.send_packet(resp)            # seq continues the server's
+        self._expect_ok("authentication")
+
+    def _expect_ok(self, what: str) -> None:
+        p = self.io.read_packet()
+        if p[0] == 0xFF:
+            raise _parse_err(p, self.caps)
+        if p[0] not in (0x00, 0xFE):
+            raise MySQLProtocolError(f"unexpected {what} response "
+                                     f"0x{p[0]:02x}")
+
+    # -- commands (each starts a fresh sequence at 0)
+
+    def _command(self, payload: bytes) -> None:
+        self.io.send_packet(payload, seq=0)
+
+    def query_ok(self, sql: str) -> None:
+        """COM_QUERY for OK-only statements (SET ...). Resultsets are
+        out of scope -- a replica only needs session setup."""
+        self._command(bytes([COM_QUERY]) + sql.encode("utf-8"))
+        self._expect_ok(f"query {sql[:40]!r}")
+
+    def register_and_dump(self, start_file: str, start_pos: int = 4,
+                          *, hostname: str = "") -> None:
+        """COM_REGISTER_SLAVE + COM_BINLOG_DUMP from (file, pos) --
+        the master.info checkpoint the reference persists
+        (river/master.go:17-25)."""
+        host = (hostname or socket.gethostname() or "spark")[:60]
+        reg = bytes([COM_REGISTER_SLAVE])
+        reg += struct.pack("<I", self.server_id)
+        reg += bytes([len(host)]) + host.encode()
+        reg += bytes([len(self.user)]) + self.user.encode()
+        reg += bytes([0])                    # password not reported
+        reg += struct.pack("<HII", 0, 0, 0)  # port, rank, master id
+        self._command(reg)
+        self._expect_ok("COM_REGISTER_SLAVE")
+        dump = bytes([COM_BINLOG_DUMP])
+        dump += struct.pack("<IHI", start_pos, 0, self.server_id)
+        dump += start_file.encode()
+        self._command(dump)
+
+    def events(self):
+        """Yield raw binlog event bytes (header+body+checksum) from
+        the dump stream until server EOF. Byte-identical to the
+        on-disk event form -- feed them to RelayWriter or straight to
+        binlog.iter_binlog_events."""
+        while True:
+            p = self.io.read_packet()
+            if p[0] == 0xFF:
+                raise _parse_err(p, self.caps)
+            if p[0] == 0xFE and len(p) < 9:
+                return                       # EOF
+            if p[0] != 0x00:
+                raise MySQLProtocolError(
+                    f"unexpected dump packet 0x{p[0]:02x}")
+            yield p[1:]
+
+    def close(self) -> None:
+        if self.io is not None:
+            try:
+                self.io.sock.close()
+            except OSError:
+                pass
+
+
+@dataclass
+class RelayWriter:
+    """Appends streamed events into relay files that ARE binlog files
+    (magic first, rotate on the stream's ROTATE events), so
+    read_binlog_files consumes the relay directory with no special
+    casing. Rotates (artificial or real) retarget the current file
+    and are not written; files the server already moved past never
+    change again -- exactly the immutability the streaming file
+    source requires.
+
+    `checksummed` must be seeded by the caller for the stream's FIRST
+    packet (the artificial ROTATE precedes the FDE, so it cannot be
+    inferred yet -- tail_to_relay seeds it from the checksum it
+    requested with SET @master_binlog_checksum, the same order canal
+    does things); every FDE re-derives it authoritatively."""
+
+    relay_dir: str
+    checksummed: bool = False
+    current: str | None = None
+
+    def _path(self) -> str:
+        return os.path.join(self.relay_dir, self.current)
+
+    def _open(self, name: str) -> None:
+        self.current = name
+        os.makedirs(self.relay_dir, exist_ok=True)
+        if not os.path.exists(self._path()):
+            with open(self._path(), "wb") as fh:
+                fh.write(BINLOG_MAGIC)
+
+    def append(self, event: bytes) -> None:
+        tc = event[4]
+        if tc == FORMAT_DESCRIPTION_EVENT:
+            # the FDE always carries the alg byte + 4-byte footer slot
+            # (self-describing), so no ambiguity here
+            self.checksummed = fde_checksummed(event[19:])
+        if tc == ROTATE_EVENT:
+            body = event[19:]
+            if self.checksummed:
+                body = body[:-4]
+            next_file = body[8:].decode()
+            self._open(next_file)
+            return                           # rotates are not file data
+        if self.current is None:
+            raise MySQLProtocolError(
+                "event before the stream's initial ROTATE")
+        with open(self._path(), "ab") as fh:
+            fh.write(event)
+
+
+def tail_to_relay(client: ReplicationClient, relay_dir: str,
+                  start_file: str, start_pos: int = 4, *,
+                  max_events: int | None = None,
+                  setup_checksum: bool = True) -> int:
+    """Drive one replica connection into a relay directory: the
+    driver-side (or external-process) half of live tailing; the
+    distributed half is read_binlog_files(relay_dir, streaming=True).
+    Returns the number of events relayed. `max_events` bounds the
+    drain for catch-up runs and tests; a production tailer loops."""
+    client.connect()
+    if setup_checksum:
+        # the replica contract: declare the checksum the server should
+        # keep emitting (canal does the same before dumping)
+        client.query_ok("SET @master_binlog_checksum = 'CRC32'")
+    client.register_and_dump(start_file, start_pos)
+    writer = RelayWriter(relay_dir, checksummed=setup_checksum)
+    n = 0
+    for ev in client.events():
+        writer.append(ev)
+        n += 1
+        if max_events is not None and n >= max_events:
+            break
+    client.close()
+    return n
