@@ -220,6 +220,8 @@ class BinlogEvent:
     query: str | None = None       # QUERY_EVENT text (DDL, BEGIN)
     next_file: str | None = None   # ROTATE_EVENT
     xid: int | None = None
+    gtid: str | None = None        # GTID_LOG_EVENT ("uuid:gno")
+    gtid_set: str | None = None    # PREVIOUS_GTIDS_LOG_EVENT (text form)
 
 
 def _decode_packed_meta(col_types: list[int], meta: bytes) -> list[int]:
@@ -547,6 +549,52 @@ def _parse_table_map(body: _Reader) -> TableMap:
     return tm
 
 
+def _sid_to_uuid(sid: bytes) -> str:
+    h = sid.hex()
+    return f"{h[:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:]}"
+
+
+def decode_gtid_set(b: bytes) -> str:
+    """The SID-block GTID-set encoding (PREVIOUS_GTIDS body, and the
+    COM_BINLOG_DUMP_GTID payload): n_sids u64, then per sid 16 UUID
+    bytes + n_intervals u64 + (start u64, stop u64) pairs with stop
+    EXCLUSIVE -- rendered to the canonical text form
+    'uuid:1-5:7,uuid2:3'."""
+    r = _Reader(b)
+    parts = []
+    for _ in range(r.u64()):
+        uuid = _sid_to_uuid(r.bytes(16))
+        ivs = []
+        for _ in range(r.u64()):
+            start, stop = r.u64(), r.u64()
+            ivs.append(str(start) if stop == start + 1
+                       else f"{start}-{stop - 1}")
+        parts.append(uuid + ":" + ":".join(ivs))
+    return ",".join(parts)
+
+
+def encode_gtid_set(text: str) -> bytes:
+    """Inverse of decode_gtid_set: 'uuid:1-5:7' -> SID blocks. The
+    replica sends this in COM_BINLOG_DUMP_GTID to say what it already
+    has (master.info's GTID form)."""
+    out = bytearray()
+    sids = [p for p in text.replace(" ", "").split(",") if p]
+    out += struct.pack("<Q", len(sids))
+    for part in sids:
+        uuid, *ivs = part.split(":")
+        if not ivs:
+            raise BinlogError(f"GTID set entry without intervals: {part!r}")
+        out += bytes.fromhex(uuid.replace("-", ""))
+        out += struct.pack("<Q", len(ivs))
+        for iv in ivs:
+            if "-" in iv:
+                a, b_ = iv.split("-")
+                out += struct.pack("<QQ", int(a), int(b_) + 1)
+            else:
+                out += struct.pack("<QQ", int(iv), int(iv) + 1)
+    return bytes(out)
+
+
 def fde_checksummed(fde_body: bytes) -> bool:
     """Whether a FORMAT_DESCRIPTION event declares CRC32 checksums.
     Layout: binlog_version(2) server_version(50) ts(4) header_len(1)
@@ -659,6 +707,17 @@ def iter_binlog_events(data: bytes, *,
             ev.next_file = body.bytes(body.remaining()).decode()
         elif tc == XID_EVENT:
             ev.xid = body.u64()
+        elif tc in (GTID_LOG_EVENT, ANONYMOUS_GTID_LOG_EVENT):
+            # flags(1) sid(16) gno(8) -- the transaction's identity;
+            # the anonymous variant carries a zero/ignored sid
+            body.u8()
+            sid = body.bytes(16)
+            gno = body.u64()
+            if tc == GTID_LOG_EVENT:
+                ev.gtid = f"{_sid_to_uuid(sid)}:{gno}"
+        elif tc == PREVIOUS_GTIDS_LOG_EVENT:
+            ev.gtid_set = decode_gtid_set(
+                body.bytes(body.remaining()))
         elif tc == PARTIAL_UPDATE_ROWS_EVENT:
             # silently skipping would DROP updates -- refuse loudly.
             # (The after-image carries JSON diffs, not full documents;

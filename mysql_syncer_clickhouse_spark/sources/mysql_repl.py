@@ -61,6 +61,8 @@ CLIENT_PLUGIN_AUTH = 0x80000
 COM_QUERY = 0x03
 COM_REGISTER_SLAVE = 0x15
 COM_BINLOG_DUMP = 0x12
+COM_BINLOG_DUMP_GTID = 0x1E
+BINLOG_THROUGH_GTID = 0x04
 
 NATIVE_AUTH = "mysql_native_password"
 
@@ -243,6 +245,31 @@ class ReplicationClient:
         dump = bytes([COM_BINLOG_DUMP])
         dump += struct.pack("<IHI", start_pos, 0, self.server_id)
         dump += start_file.encode()
+        self._command(dump)
+
+    def register_and_dump_gtid(self, gtid_set: str, *,
+                               hostname: str = "") -> None:
+        """COM_REGISTER_SLAVE + COM_BINLOG_DUMP_GTID: resume from a
+        GTID set instead of (file, pos) -- the reference's canal GTID
+        mode. `gtid_set` is the canonical text form
+        ('uuid:1-5:7,uuid2:3') of what the replica ALREADY HAS; the
+        server streams everything else."""
+        from .binlog import encode_gtid_set
+        host = (hostname or socket.gethostname() or "spark")[:60]
+        reg = bytes([COM_REGISTER_SLAVE])
+        reg += struct.pack("<I", self.server_id)
+        reg += bytes([len(host)]) + host.encode()
+        reg += bytes([len(self.user)]) + self.user.encode()
+        reg += bytes([0])
+        reg += struct.pack("<HII", 0, 0, 0)
+        self._command(reg)
+        self._expect_ok("COM_REGISTER_SLAVE")
+        blob = encode_gtid_set(gtid_set)
+        dump = bytes([COM_BINLOG_DUMP_GTID])
+        dump += struct.pack("<HI", BINLOG_THROUGH_GTID, self.server_id)
+        dump += struct.pack("<I", 0)         # empty binlog name
+        dump += struct.pack("<Q", 4)         # position: start of file
+        dump += struct.pack("<I", len(blob)) + blob
         self._command(dump)
 
     def events(self):

@@ -18,7 +18,7 @@ import pytest
 
 from mysql_syncer_clickhouse_spark.sources import binlog as B
 from mysql_syncer_clickhouse_spark.sources import mysql_repl as R
-from tests.test_binlog import ROW_DDL, _items_file
+from tests.test_binlog import ROW_DDL, Enc, _items_file
 
 NONCE = bytes(range(1, 21))                  # fixed 20-byte scramble
 USER, PASSWORD = "repl", "s3cret"
@@ -63,6 +63,7 @@ class FakeMySQL:
         self.files = dict(sorted(binlog_files.items()))
         self.commands: list[tuple[int, bytes]] = []
         self.auth_ok: list[bool] = []
+        self.gtid_blobs: list[bytes] = []
         self._lock = threading.Lock()
         outer = self
 
@@ -147,8 +148,20 @@ class FakeMySQL:
                 self._send_pkt(sock, 1, b"\x00\x00\x00\x02\x00\x00\x00")
             elif cmd[0] == R.COM_REGISTER_SLAVE:
                 self._send_pkt(sock, 1, b"\x00\x00\x00\x02\x00\x00\x00")
-            elif cmd[0] == R.COM_BINLOG_DUMP:
-                start_file = cmd[11:].decode()
+            elif cmd[0] in (R.COM_BINLOG_DUMP, R.COM_BINLOG_DUMP_GTID):
+                if cmd[0] == R.COM_BINLOG_DUMP:
+                    start_file = cmd[11:].decode()
+                else:
+                    # flags(2) server_id(4) name_len(4) name pos(8)
+                    # data_len(4) gtid blob -- record the blob for
+                    # the test's independent parse; stream everything
+                    nlen = struct.unpack_from("<I", cmd, 7)[0]
+                    dlen_off = 11 + nlen + 8
+                    dlen = struct.unpack_from("<I", cmd, dlen_off)[0]
+                    with self._lock:
+                        self.gtid_blobs.append(
+                            cmd[dlen_off + 4:dlen_off + 4 + dlen])
+                    start_file = ""
                 seq = 1
                 names = [n for n in self.files if n >= start_file]
                 for k, name in enumerate(names):
@@ -228,6 +241,55 @@ def test_handshake_register_dump_and_event_stream(fake_mysql):
                      B.DELETE_ROWS_EVENT):
             rows.append(ev)
     assert len(rows) == 4
+
+
+def test_gtid_set_codec_golden_and_roundtrip():
+    """SID-block encoding: hand-laid-out golden bytes + text
+    round-trip through decode (independent of any server)."""
+    text = "3e11fa47-71ca-11e1-9e33-c80aa9429562:1-5:7"
+    blob = B.encode_gtid_set(text)
+    # n_sids=1, sid, n_intervals=2, (1,6), (7,8) -- stop exclusive
+    assert blob[:8] == struct.pack("<Q", 1)
+    assert blob[8:24] == bytes.fromhex("3e11fa4771ca11e19e33c80aa9429562")
+    assert blob[24:32] == struct.pack("<Q", 2)
+    assert blob[32:48] == struct.pack("<QQ", 1, 6)
+    assert blob[48:64] == struct.pack("<QQ", 7, 8)
+    assert B.decode_gtid_set(blob) == text
+    multi = ("3e11fa47-71ca-11e1-9e33-c80aa9429562:1-99,"
+             "aaaaaaaa-bbbb-cccc-dddd-eeeeeeeeeeee:3")
+    assert B.decode_gtid_set(B.encode_gtid_set(multi)) == multi
+
+
+def test_dump_gtid_sends_parseable_set_and_streams(fake_mysql):
+    c = R.ReplicationClient(fake_mysql.host, fake_mysql.port,
+                            user=USER, password=PASSWORD,
+                            server_id=77)
+    c.connect()
+    want = "3e11fa47-71ca-11e1-9e33-c80aa9429562:1-21"
+    c.register_and_dump_gtid(want)
+    evs = list(c.events())
+    c.close()
+    assert len(fake_mysql.gtid_blobs) == 1
+    assert B.decode_gtid_set(fake_mysql.gtid_blobs[0]) == want
+    rows = [e for e in evs if e[4] in (B.WRITE_ROWS_EVENT,
+                                       B.UPDATE_ROWS_EVENT,
+                                       B.DELETE_ROWS_EVENT)]
+    assert len(rows) == 4                    # both files streamed
+
+
+def test_gtid_events_decoded_from_stream():
+    """GTID_LOG_EVENT + PREVIOUS_GTIDS surface on BinlogEvent -- the
+    checkpoint identities a GTID-mode tailer persists."""
+    sid = bytes.fromhex("3e11fa4771ca11e19e33c80aa9429562")
+    enc = Enc()
+    enc._event(B.PREVIOUS_GTIDS_LOG_EVENT,
+               B.encode_gtid_set(
+                   "3e11fa47-71ca-11e1-9e33-c80aa9429562:1-9"))
+    enc._event(B.GTID_LOG_EVENT, bytes([1]) + sid
+               + struct.pack("<Q", 10))
+    evs = list(B.iter_binlog_events(enc.bytes()))
+    assert evs[1].gtid_set == "3e11fa47-71ca-11e1-9e33-c80aa9429562:1-9"
+    assert evs[2].gtid == "3e11fa47-71ca-11e1-9e33-c80aa9429562:10"
 
 
 def test_wrong_password_surfaces_server_error(fake_mysql):
