@@ -185,6 +185,33 @@ def run_binlog(cfg: EngineConfig, binlog_dir: str, *,
     return results
 
 
+def run_tail(cfg: EngineConfig, start_file: str, *,
+             relay_dir: str | None = None, start_pos: int = 4,
+             compact: bool = False, spark=None) -> list[dict]:
+    """--tail mode: the reference's FULL topology in one command
+    (main.go:25-106) -- register as a pseudo-replica on
+    cfg.source_addr with cfg.server_id, drain the binlog stream into
+    relay files (catch-up: BINLOG_DUMP_NON_BLOCK, the server EOFs
+    when we're current), then push the relay through the same
+    rules/apply path as --binlog-dir. A production deployment loops
+    this (or runs the tailer as its own process) while --follow
+    drains the relay continuously; the serial socket and the
+    distributed decode stay decoupled by design."""
+    from .sources.mysql_repl import ReplicationClient, tail_to_relay
+    host, _, port = (cfg.source_addr or "127.0.0.1:3306").rpartition(":")
+    relay = relay_dir or os.path.join(cfg.data_dir, "_relay")
+    client = ReplicationClient(host or "127.0.0.1", int(port),
+                               user=cfg.source_user or "root",
+                               password=cfg.source_pass or "",
+                               server_id=cfg.server_id)
+    n = tail_to_relay(client, relay, start_file, start_pos,
+                      non_block=True)
+    out = [{"mode": "tail", "source": cfg.source_addr,
+            "relay_dir": relay, "events_relayed": n}]
+    out.extend(run_binlog(cfg, relay, compact=compact, spark=spark))
+    return out
+
+
 def run_curate(src: str, out: str, *, min_quality: float = 0.5,
                seed: int = 0, spark=None) -> dict:
     """Batch corpus curation end-to-end: exact dedup (canonical keeper
@@ -242,6 +269,13 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--binlog-dir",
                     help="directory of MySQL binlog files (mysql-bin.N)"
                          " to drain instead of a parquet changelog")
+    ap.add_argument("--tail", metavar="START_FILE",
+                    help="register on [source_addr] as a pseudo-replica"
+                         " (server_id from config), catch up the binlog"
+                         " stream into <data_dir>/_relay, then drain it")
+    ap.add_argument("--relay-dir",
+                    help="relay directory for --tail "
+                         "(default <data_dir>/_relay)")
     ap.add_argument("--follow", action="store_true",
                     help="keep tailing at flush_bulk_time cadence")
     ap.add_argument("--compact", action="store_true",
@@ -275,13 +309,18 @@ def main(argv: list[str] | None = None) -> int:
                                     min_quality=args.min_quality,
                                     seed=args.seed)))
         return 0
-    if args.changelog_dir and args.binlog_dir:
-        ap.error("--changelog-dir and --binlog-dir are exclusive")
-    if not args.config or not (args.changelog_dir or args.binlog_dir):
-        ap.error("--config and one of --changelog-dir/--binlog-dir are "
-                 "required (or use --curate / --query)")
+    if sum(map(bool, [args.changelog_dir, args.binlog_dir,
+                      args.tail])) > 1:
+        ap.error("--changelog-dir / --binlog-dir / --tail are exclusive")
+    if not args.config or not (args.changelog_dir or args.binlog_dir
+                               or args.tail):
+        ap.error("--config and one of --changelog-dir/--binlog-dir/"
+                 "--tail are required (or use --curate / --query)")
     cfg = EngineConfig.from_toml(args.config)
-    if args.binlog_dir:
+    if args.tail:
+        lines = run_tail(cfg, args.tail, relay_dir=args.relay_dir,
+                         compact=args.compact)
+    elif args.binlog_dir:
         lines = run_binlog(cfg, args.binlog_dir,
                            follow=args.follow, compact=args.compact)
     else:

@@ -48,6 +48,9 @@ class EngineConfig:
     source_addr: str | None = None
     source_user: str | None = None
     source_pass: str | None = None
+    # reference river/config.go:34 -- the pseudo-replica's identity on
+    # the master (must be unique among its replicas)
+    server_id: int = 1001
     # reference river/config.go:38 -- where to serve /stat (+ /stacks)
     stat_addr: str | None = None
 
@@ -63,6 +66,7 @@ class EngineConfig:
             source_addr=cfg.get("source_addr"),
             source_user=cfg.get("source_user"),
             source_pass=cfg.get("source_pass"),
+            server_id=int(cfg.get("server_id", 1001)),
             stat_addr=cfg.get("stat_addr"),
         )
 

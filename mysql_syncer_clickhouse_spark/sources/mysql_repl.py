@@ -229,10 +229,13 @@ class ReplicationClient:
         self._expect_ok(f"query {sql[:40]!r}")
 
     def register_and_dump(self, start_file: str, start_pos: int = 4,
-                          *, hostname: str = "") -> None:
+                          *, hostname: str = "",
+                          non_block: bool = False) -> None:
         """COM_REGISTER_SLAVE + COM_BINLOG_DUMP from (file, pos) --
         the master.info checkpoint the reference persists
-        (river/master.go:17-25)."""
+        (river/master.go:17-25). `non_block` sets
+        BINLOG_DUMP_NON_BLOCK: the server sends EOF when caught up
+        instead of blocking -- the catch-up-drain mode the CLI uses."""
         host = (hostname or socket.gethostname() or "spark")[:60]
         reg = bytes([COM_REGISTER_SLAVE])
         reg += struct.pack("<I", self.server_id)
@@ -243,7 +246,8 @@ class ReplicationClient:
         self._command(reg)
         self._expect_ok("COM_REGISTER_SLAVE")
         dump = bytes([COM_BINLOG_DUMP])
-        dump += struct.pack("<IHI", start_pos, 0, self.server_id)
+        dump += struct.pack("<IHI", start_pos,
+                            1 if non_block else 0, self.server_id)
         dump += start_file.encode()
         self._command(dump)
 
@@ -349,7 +353,8 @@ class RelayWriter:
 def tail_to_relay(client: ReplicationClient, relay_dir: str,
                   start_file: str, start_pos: int = 4, *,
                   max_events: int | None = None,
-                  setup_checksum: bool = True) -> int:
+                  setup_checksum: bool = True,
+                  non_block: bool = False) -> int:
     """Drive one replica connection into a relay directory: the
     driver-side (or external-process) half of live tailing; the
     distributed half is read_binlog_files(relay_dir, streaming=True).
@@ -360,7 +365,8 @@ def tail_to_relay(client: ReplicationClient, relay_dir: str,
         # the replica contract: declare the checksum the server should
         # keep emitting (canal does the same before dumping)
         client.query_ok("SET @master_binlog_checksum = 'CRC32'")
-    client.register_and_dump(start_file, start_pos)
+    client.register_and_dump(start_file, start_pos,
+                             non_block=non_block)
     writer = RelayWriter(relay_dir, checksummed=setup_checksum)
     n = 0
     for ev in client.events():

@@ -315,6 +315,34 @@ def test_tail_to_relay_produces_real_binlog_files(fake_mysql, tmp_path):
         assert evs[0].type_code == B.FORMAT_DESCRIPTION_EVENT
 
 
+def test_cli_tail_mode_full_topology(fake_mysql, tmp_path, spark):
+    """--tail: register on source_addr -> relay -> rules/apply drain,
+    all from the reference's own river.toml fields."""
+    import os
+
+    from mysql_syncer_clickhouse_spark.__main__ import run_tail
+    from mysql_syncer_clickhouse_spark.config import EngineConfig
+    toml = os.path.join(os.path.dirname(__file__), "..", "etc",
+                        "river.toml")
+    cfg = EngineConfig.from_toml(toml)
+    cfg.data_dir = str(tmp_path / "log")
+    cfg.source_addr = f"{fake_mysql.host}:{fake_mysql.port}"
+    cfg.source_user, cfg.source_pass = USER, PASSWORD
+    cfg.server_id = 4242
+    out = run_tail(cfg, "mysql-bin.000001", spark=spark)
+    assert out[0]["mode"] == "tail" and out[0]["events_relayed"] >= 6
+    assert out[1]["rule"] == "app:items"
+    assert out[1]["ops"] == {"insert": 3, "update": 1, "delete": 1}
+    reg = [p for op, p in fake_mysql.commands
+           if op == R.COM_REGISTER_SLAVE][0]
+    assert struct.unpack_from("<I", reg, 0)[0] == 4242
+    from mysql_syncer_clickhouse_spark.operators.upsert import latest_state
+    sink = spark.read.parquet(f"{cfg.data_dir}/olap.items_sink")
+    final = {r["id"]: r["es_title"]
+             for r in latest_state(sink, ["id"]).collect()}
+    assert final == {1: "first-edited", 3: "third"}
+
+
 def test_relay_through_spark_to_final_state(fake_mysql, tmp_path, spark):
     """The full topology: wire -> relay files -> distributed decode ->
     changelog -> upsert final state (the reference's river loop,
