@@ -759,10 +759,13 @@ def _json_default(v: Any) -> Any:
 
 
 # envelope schema shared by the file readers: one fixed shape for all
-# tables (rows as JSON), projected per-table by binlog_to_changelog
+# tables (rows as JSON), projected per-table by binlog_to_changelog.
+# `gtid` is the enclosing transaction's identity (GTID_LOG_EVENT
+# "uuid:gno", NULL on non-GTID servers) -- what a GTID-mode resume
+# checkpoints instead of (file, pos).
 ENVELOPE_DDL = ("file string, pos long, server_id long, ts timestamp, "
                 "op string, db string, `table` string, row_in_event int, "
-                "before string, after string")
+                "before string, after string, gtid string")
 
 
 def decode_binlog_file_bytes(file_name: str, data: bytes, *,
@@ -771,10 +774,16 @@ def decode_binlog_file_bytes(file_name: str, data: bytes, *,
                              ) -> list[dict]:
     """File bytes -> envelope dicts (one per row image). `pos` is the
     event's end position (header log_pos) -- the same monotone position
-    the reference checkpoints in master.info (river/master.go:17-25)."""
+    the reference checkpoints in master.info (river/master.go:17-25);
+    row events carry the GTID of the transaction that opened them."""
     out: list[dict] = []
+    gtid: str | None = None
     for ev in iter_binlog_events(data, verify_checksum=verify_checksum,
                                  tolerate_truncation=tolerate_truncation):
+        if ev.type_code in (GTID_LOG_EVENT, ANONYMOUS_GTID_LOG_EVENT):
+            gtid = ev.gtid               # None for the anonymous form
+        elif ev.type_code == XID_EVENT:
+            gtid = None                  # transaction closed
         if not ev.rows:
             continue
         for i, row in enumerate(ev.rows):
@@ -791,6 +800,7 @@ def decode_binlog_file_bytes(file_name: str, data: bytes, *,
                            if "before" in row else None),
                 "after": (json.dumps(row["after"], default=_json_default)
                           if "after" in row else None),
+                "gtid": gtid,
             })
     return out
 
@@ -877,7 +887,7 @@ def decode_binary_column(df: DataFrame, *,
 
     def decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         cols = ["file", "pos", "server_id", "ts", "op", "db", "table",
-                "row_in_event", "before", "after"]
+                "row_in_event", "before", "after", "gtid"]
         for pdf in batches:
             rows: list[dict] = []
             for name, content in zip(pdf[file_col], pdf[content_col]):
@@ -903,7 +913,8 @@ def decode_binary_column(df: DataFrame, *,
                     "table": pd.Series(dtype="object"),
                     "row_in_event": pd.Series(dtype="int32"),
                     "before": pd.Series(dtype="object"),
-                    "after": pd.Series(dtype="object")})
+                    "after": pd.Series(dtype="object"),
+                    "gtid": pd.Series(dtype="object")})
 
     return (df.select(F.col(file_col).alias(file_col),
                       F.col(content_col).alias(content_col))

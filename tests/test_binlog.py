@@ -684,6 +684,27 @@ def test_read_binlog_files_tolerates_truncated_tail(spark, tmp_path):
                             tolerate_truncation=False).collect()
 
 
+def test_envelope_carries_transaction_gtid():
+    """Row events are stamped with the GTID of the transaction that
+    opened them (GTID-mode resume checkpoints this, not (file, pos));
+    rows after XID and rows on anonymous-GTID servers carry NULL."""
+    sid = bytes.fromhex("3e11fa4771ca11e19e33c80aa9429562")
+    enc = Enc()
+    cols = [("id", B.T_LONG, b"", False)]
+    enc.table_map(5, "app", "kv", cols)
+    enc._event(B.GTID_LOG_EVENT, bytes([1]) + sid
+               + struct.pack("<Q", 42))
+    enc.rows(B.WRITE_ROWS_EVENT, 5, 1, [[e_i32(1)]])
+    enc.xid(9)
+    enc._event(B.ANONYMOUS_GTID_LOG_EVENT, bytes([1]) + bytes(16)
+               + struct.pack("<Q", 0))
+    enc.rows(B.WRITE_ROWS_EVENT, 5, 1, [[e_i32(2)]])
+    rows = B.decode_binlog_file_bytes("mysql-bin.000001", enc.bytes())
+    assert rows[0]["gtid"] == \
+        "3e11fa47-71ca-11e1-9e33-c80aa9429562:42"
+    assert rows[1]["gtid"] is None
+
+
 def test_binlog_to_changelog_final_state(spark, binlog_dir):
     from mysql_syncer_clickhouse_spark.operators.upsert import latest_state
     env = B.read_binlog_files(spark, binlog_dir)
