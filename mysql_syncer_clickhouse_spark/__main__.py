@@ -69,6 +69,42 @@ def _start_stat_server(stat_addr: str, pipes: list[StreamingSyncPipeline]):
     return srv
 
 
+def _attach_ch_sink(cfg: EngineConfig, pipe: StreamingSyncPipeline,
+                    spark, source_schema) -> str:
+    """river.toml sink_addr -> apply batches to ClickHouse (the
+    reference's only sink, river/config.go:24-27): native TCP for
+    host:port (the reference's own transport, clickhouse/client.go),
+    the HTTP writer for http(s):// URLs. Sink columns/DDL derive from
+    the rule-projected Spark schema via the single type authority
+    (typemap). Returns the sink descriptor for the result line."""
+    from .functions.typemap import columns_from_spark_schema
+    empty = spark.createDataFrame([], source_schema)
+    meta = [pipe.seq_col, pipe.op_col]
+    payload = [c for c in empty.columns if c not in meta]
+    projected = empty.select(*[empty[c] for c in meta],
+                             *pipe.rule.projection(payload))
+    cols = columns_from_spark_schema(projected.schema)
+    pk = tuple(pipe._sink_pk())
+    addr = cfg.sink_addr
+    db, table = pipe.rule.sink_schema, pipe.rule.sink_table
+    if addr.startswith(("http://", "https://")):
+        from .sinks.clickhouse import ClickHouseHTTPSink
+        sink = ClickHouseHTTPSink(
+            url=addr, database=db, table=table, columns=cols, pk=pk,
+            user=cfg.sink_user, password=cfg.sink_pass)
+    else:
+        from .sinks.clickhouse_native import ClickHouseNativeSink
+        host, _, port = addr.rpartition(":")
+        sink = ClickHouseNativeSink(
+            host=host or "127.0.0.1", port=int(port or 9000),
+            database=db, table=table, columns=cols, pk=pk,
+            user=cfg.sink_user or "default",
+            password=cfg.sink_pass or "")
+    sink.ensure_table()
+    pipe.ch_sink = sink
+    return f"clickhouse://{addr}/{db}.{table}"
+
+
 def run(cfg: EngineConfig, changelog_dir: str, *, follow: bool = False,
         compact: bool = False, spark=None) -> list[dict]:
     spark = spark or get_spark("mysql-syncer-clickhouse-spark",
@@ -90,6 +126,9 @@ def run(cfg: EngineConfig, changelog_dir: str, *, follow: bool = False,
         pipe = StreamingSyncPipeline(
             rule, list(rule.pk), cfg.sink_dir(rule),
             cfg.checkpoint_dir(rule))
+        sink_desc = cfg.sink_dir(rule)
+        if cfg.sink_addr:
+            sink_desc = _attach_ch_sink(cfg, pipe, spark, schema)
         pipes.append(pipe)
         if follow:
             pipe.start(spark, src, schema,
@@ -99,14 +138,16 @@ def run(cfg: EngineConfig, changelog_dir: str, *, follow: bool = False,
             continue
         pipe.run_available(spark, src, schema,
                            max_files_per_trigger=cfg.bulk_size)
-        if compact:
-            pipe.compact(spark)
-        results.append({
+        if compact and pipe.ch_sink is None:
+            pipe.compact(spark)   # ClickHouse merges itself
+        line = {
             "rule": rule.key,
-            "sink": cfg.sink_dir(rule),
-            "rows": pipe.current_state(spark).count(),
+            "sink": sink_desc,
             "ops": pipe.metrics.snapshot(),
-        })
+        }
+        if pipe.ch_sink is None:
+            line["rows"] = pipe.current_state(spark).count()
+        results.append(line)
     return results
 
 
@@ -168,20 +209,25 @@ def run_binlog(cfg: EngineConfig, binlog_dir: str, *,
         pipe = StreamingSyncPipeline(
             rule, list(rule.pk), cfg.sink_dir(rule),
             cfg.checkpoint_dir(rule))
+        sink_desc = cfg.sink_dir(rule)
+        if cfg.sink_addr:
+            sink_desc = _attach_ch_sink(cfg, pipe, spark, cl.schema)
         pipes.append(pipe)
         q = pipe.start_stream(cl, **cfg.trigger_kwargs(follow=follow))
         if follow:
             results.append({"rule": rule.key, "mode": "following"})
             continue
         q.awaitTermination()
-        if compact:
-            pipe.compact(spark)
-        results.append({
+        if compact and pipe.ch_sink is None:
+            pipe.compact(spark)   # ClickHouse merges itself
+        line = {
             "rule": rule.key,
-            "sink": cfg.sink_dir(rule),
-            "rows": pipe.current_state(spark).count(),
+            "sink": sink_desc,
             "ops": pipe.metrics.snapshot(),
-        })
+        }
+        if pipe.ch_sink is None:
+            line["rows"] = pipe.current_state(spark).count()
+        results.append(line)
     return results
 
 

@@ -48,6 +48,13 @@ class EngineConfig:
     source_addr: str | None = None
     source_user: str | None = None
     source_pass: str | None = None
+    # reference river/config.go:24-27 -- the ClickHouse endpoint. When
+    # set, the CLI applies batches to ClickHouse (the reference's only
+    # sink): native TCP for host:port (the reference's own transport),
+    # the HTTP writer for http(s):// URLs. Unset -> file sinks.
+    sink_addr: str | None = None
+    sink_user: str | None = None
+    sink_pass: str | None = None
     # reference river/config.go:34 -- the pseudo-replica's identity on
     # the master (must be unique among its replicas)
     server_id: int = 1001
@@ -66,6 +73,9 @@ class EngineConfig:
             source_addr=cfg.get("source_addr"),
             source_user=cfg.get("source_user"),
             source_pass=cfg.get("source_pass"),
+            sink_addr=cfg.get("sink_addr"),
+            sink_user=cfg.get("sink_user"),
+            sink_pass=cfg.get("sink_pass"),
             server_id=int(cfg.get("server_id", 1001)),
             stat_addr=cfg.get("stat_addr"),
         )

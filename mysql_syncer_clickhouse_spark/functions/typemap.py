@@ -147,3 +147,46 @@ def clickhouse_create_table_ddl(schema: str, table: str,
     order = ("(" + ", ".join(f"`{c}`" for c in pk) + ")") if pk else "tuple()"
     return (f"CREATE TABLE IF NOT EXISTS `{schema}`.`{table}` ({cols}) "
             f"ENGINE = ReplacingMergeTree ORDER BY {order}")
+
+
+# ---------------------------------------------------------------------------
+# Spark schema -> MySQL-typed column triples (the reverse direction):
+# the CLI paths (parquet changelog, binlog envelope) know only the
+# SPARK schema, while the ClickHouse sinks key their DDL and native
+# block encoders on (name, mysql_type, nullable) triples. Round-
+# tripping through a MySQL type string keeps ONE mapping authority
+# (mysql_to_clickhouse_type) for both sinks.
+# ---------------------------------------------------------------------------
+
+def spark_type_to_mysql(dt: T.DataType) -> str:
+    """Spark DataType -> the MySQL type string whose
+    mysql_to_clickhouse_type image stores it faithfully."""
+    if isinstance(dt, T.ByteType):
+        return "tinyint"
+    if isinstance(dt, T.ShortType):
+        return "smallint"
+    if isinstance(dt, T.IntegerType):
+        return "int"
+    if isinstance(dt, T.LongType):
+        return "bigint"
+    if isinstance(dt, T.FloatType):
+        return "float"
+    if isinstance(dt, T.DoubleType):
+        return "double"
+    if isinstance(dt, T.BooleanType):
+        return "bool"
+    if isinstance(dt, T.DateType):
+        return "date"
+    if isinstance(dt, T.TimestampType):
+        return "datetime(6)"
+    if isinstance(dt, T.DecimalType):
+        return f"decimal({dt.precision},{dt.scale})"
+    # string/binary/complex -> the reference's String fallback
+    return "text"
+
+
+def columns_from_spark_schema(schema: T.StructType) -> list[tuple]:
+    """StructType -> (name, mysql_type, nullable) triples for the
+    ClickHouse sinks' auto-CREATE and native block encode."""
+    return [(f.name, spark_type_to_mysql(f.dataType), bool(f.nullable))
+            for f in schema.fields]

@@ -85,6 +85,13 @@ class StreamingSyncPipeline:
     # Spark-native, same append/compact/dedup-on-read semantics; the
     # reference's fixed ClickHouse target becomes a config choice here
     sink_format: str = "parquet"
+    # optional ClickHouse writer (sinks/clickhouse.py or
+    # clickhouse_native.py): when set, projected batches apply to
+    # ClickHouse INSTEAD of the file sink -- the reference's own
+    # topology (its only sink IS ClickHouse). The writer's
+    # foreachPartition insert is the observed action, so op counters
+    # and positions ride it identically.
+    ch_sink: object | None = None
     metrics: SyncMetrics = field(default_factory=SyncMetrics)
 
     def _apply_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
@@ -96,19 +103,31 @@ class StreamingSyncPipeline:
         from pyspark.sql import Observation
         meta = [self.seq_col, self.op_col]
         payload = [c for c in batch_df.columns if c not in meta]
-        obs = Observation()
+        stat_cols = [
+            *[F.sum((F.col(self.op_col) == o).cast("long")).alias(o)
+              for o in ("insert", "update", "delete")],
+            F.max(F.col(self.seq_col)).alias("__max_seq")]
         projected = batch_df.select(
             *[F.col(c) for c in meta],
-            *self.rule.projection(payload)) \
-            .observe(obs, *[
-                F.sum((F.col(self.op_col) == o).cast("long")).alias(o)
-                for o in ("insert", "update", "delete")],
-                F.max(F.col(self.seq_col)).alias("__max_seq"))
-        writer = projected.write.mode("append").format(self.sink_format)
-        if self.partition_cols:
-            writer = writer.partitionBy(*self.partition_cols)
-        writer.save(self.sink_dir)
-        observed = dict(obs.get)
+            *self.rule.projection(payload))
+        if self.ch_sink is not None:
+            # the ClickHouse writers post via foreachPartition -- an
+            # RDD action, which DataFrame observe() metrics never fire
+            # on -- so the counters run as their own bounded aggregate
+            # over the micro-batch (one extra scan of a
+            # maxFilesPerTrigger-bounded batch; the insert round-trips
+            # dominate at any scale)
+            observed = projected.agg(*stat_cols).collect()[0].asDict()
+            self.ch_sink.apply_batch(projected, epoch_id)
+        else:
+            obs = Observation()
+            projected = projected.observe(obs, *stat_cols)
+            writer = projected.write.mode("append") \
+                .format(self.sink_format)
+            if self.partition_cols:
+                writer = writer.partitionBy(*self.partition_cols)
+            writer.save(self.sink_dir)
+            observed = dict(obs.get)
         # position rides the same observation -- no second pass
         self.metrics.record_position(observed.pop("__max_seq", None),
                                      epoch_id)

@@ -165,6 +165,46 @@ def test_cli_binlog_dir_drains_binlog_files(spark, tmp_path):
     assert len(final) == 1 and final[0]["es_title"] == "first-edited"
 
 
+def test_cli_sink_addr_applies_to_clickhouse_native(spark, tmp_path):
+    """river.toml's sink_addr (reference river/config.go:24-27) routes
+    the drain into ClickHouse over native TCP: auto-CREATE from the
+    rule-projected schema, then the projected/renamed batches as
+    native blocks -- no file sink touched."""
+    from tests.test_clickhouse_native_sink import _FakeNativeClickHouse
+
+    srv = _FakeNativeClickHouse().start()
+    try:
+        changelog = tmp_path / "changelog" / "app.items"
+        os.makedirs(changelog)
+        df = spark.createDataFrame(
+            ROWS, "seq long, op string, id long, title string, mydate long")
+        df.coalesce(1).write.mode("append").parquet(str(changelog))
+
+        cfg = EngineConfig.from_toml(TOML)
+        cfg.data_dir = str(tmp_path / "log")
+        cfg.sink_addr = f"{srv.host}:{srv.port}"
+        out = run(cfg, str(tmp_path / "changelog"), spark=spark)
+        assert out == [{
+            "rule": "app:items",
+            "sink": f"clickhouse://{cfg.sink_addr}/olap.items_sink",
+            "ops": {"insert": 2, "update": 1, "delete": 1},
+        }]
+        # DDL first, from the PROJECTED schema (es_title, no mydate
+        # filter in this rule -- title renamed per rule.field)
+        assert srv.queries[0].startswith(
+            "CREATE TABLE IF NOT EXISTS `olap`.`items_sink`")
+        assert "`es_title` Nullable(String)" in srv.queries[0]
+        assert "ORDER BY (`id`)" in srv.queries[0]
+        rows = [r for _, got in srv.inserts for r in got]
+        assert len(rows) == len(ROWS)
+        upd = [r for r in rows if r[1] == "update"][0]
+        assert upd[3] == "first-edited"     # renamed column carried
+        # nothing written to the file sink location
+        assert not os.path.exists(f"{cfg.data_dir}/olap.items_sink")
+    finally:
+        srv.stop()
+
+
 def test_cli_curate_mode(spark, tmp_path):
     """--curate runs the batch curation chain: dedup -> redact ->
     quality gate -> deterministic shards, printing one JSON summary."""
