@@ -58,6 +58,12 @@ class EngineConfig:
     # reference river/config.go:34 -- the pseudo-replica's identity on
     # the master (must be unique among its replicas)
     server_id: int = 1001
+    # reference river/config.go:35 -- 'mysql' (default) or 'mariadb'.
+    # The binlog v4 event layer is shared; MariaDB's GTID format
+    # (domain-server-seq) is NOT the MySQL SID-block form this repo
+    # implements, so GTID-mode tailing supports flavor='mysql' only
+    # ((file, pos) dumping works for both).
+    flavor: str = "mysql"
     # reference river/config.go:38 -- where to serve /stat (+ /stacks)
     stat_addr: str | None = None
 
@@ -77,6 +83,7 @@ class EngineConfig:
             sink_user=cfg.get("sink_user"),
             sink_pass=cfg.get("sink_pass"),
             server_id=int(cfg.get("server_id", 1001)),
+            flavor=str(cfg.get("flavor", "mysql")),
             stat_addr=cfg.get("stat_addr"),
         )
 
