@@ -53,7 +53,15 @@ from ..functions.typemap import (clickhouse_create_table_ddl,
                                  mysql_to_clickhouse_type)
 
 CLIENT_NAME = "mysql-syncer-clickhouse-spark"
-CLIENT_REVISION = 54406          # the minimal-INSERT dialect (see above)
+# 54429 = settings-serialized-as-strings: the lowest revision that can
+# carry per-query settings (insert_deduplication_token) as plain
+# (name, flags, value) strings. Still below interserver-secret (54441),
+# opentelemetry (54442), distributed-depth (54448), initial-query-start
+# (54449) and ProfileEvents (54451), so the client-info layout and the
+# response stream stay minimal; the one addition over 54406 is that
+# servers >= 54410 send a TableColumns metadata packet on INSERT, which
+# _read_until now tolerates.
+CLIENT_REVISION = 54429
 _EPOCH_DATE = datetime.date(1970, 1, 1)
 _UTC = datetime.timezone.utc
 
@@ -62,12 +70,14 @@ C_HELLO, C_QUERY, C_DATA = 0, 1, 2
 # server packet codes
 S_HELLO, S_DATA, S_EXCEPTION, S_PROGRESS = 0, 1, 2, 3
 S_PONG, S_END_OF_STREAM, S_PROFILE_INFO = 4, 5, 6
+S_TABLE_COLUMNS = 11
 # revision gates (public protocol constants)
 _REV_SERVER_TIMEZONE = 54058
 _REV_QUOTA_KEY = 54060
 _REV_DISPLAY_NAME = 54372
 _REV_VERSION_PATCH = 54401
 _REV_TOTAL_ROWS_IN_PROGRESS = 54058
+_REV_SETTINGS_AS_STRINGS = 54429
 
 
 class ClickHouseServerError(RuntimeError):
@@ -278,7 +288,8 @@ class NativeConnection:
                 pass
         return ClickHouseServerError(code, name, message)
 
-    def _send_query(self, sql: str) -> None:
+    def _send_query(self, sql: str,
+                    settings: dict[str, str] | None = None) -> None:
         rev = self.revision
         pkt = bytearray()
         pkt += write_varint(C_QUERY) + write_str("")   # query id
@@ -295,6 +306,11 @@ class NativeConnection:
             pkt += write_str("")
         if rev >= _REV_VERSION_PATCH:
             pkt += write_varint(0)
+        if settings and rev >= _REV_SETTINGS_AS_STRINGS:
+            for name, value in settings.items():
+                pkt += write_str(name)
+                pkt += bytes([0])                      # flags: none
+                pkt += write_str(value)
         pkt += write_str("")                           # settings end
         pkt += write_varint(2)                         # stage: complete
         pkt += write_varint(0)                         # compression off
@@ -337,22 +353,28 @@ class NativeConnection:
                 if self.revision >= _REV_TOTAL_ROWS_IN_PROGRESS:
                     self.r.varint()
                 continue
+            if code == S_TABLE_COLUMNS:
+                self.r.string()      # external table name
+                self.r.string()      # columns description text
+                continue
             if code in stop_codes:
                 return code
             raise ConnectionError(f"unexpected server packet {code}")
 
     # -- public ops
 
-    def execute(self, sql: str) -> None:
+    def execute(self, sql: str,
+                settings: dict[str, str] | None = None) -> None:
         """DDL / side-effect statement: query -> EndOfStream."""
-        self._send_query(sql)
+        self._send_query(sql, settings)
         self._read_until(S_END_OF_STREAM)
 
     def insert_blocks(self, sql: str, columns: list[tuple[str, str]],
-                      block_iter) -> int:
+                      block_iter, *,
+                      settings: dict[str, str] | None = None) -> int:
         """INSERT: query -> header block -> stream blocks -> empty
         block -> EndOfStream. Returns rows sent."""
-        self._send_query(sql)
+        self._send_query(sql, settings)
         self._read_until(S_DATA)
         self._skip_block()
         sent = 0
@@ -386,6 +408,12 @@ class ClickHouseNativeSink:
     bulk_size: int = 10000
     user: str = "default"
     password: str = ""
+    # deterministic insert_deduplication_token per partition INSERT
+    # (db.table:epoch:partition): a replayed epoch that reproduces the
+    # same partitioning (availableNow file replays do) dedups
+    # SERVER-side -- same contract as the HTTP sink's dedup_tokens;
+    # the ReplacingMergeTree (pk, seq) collapse stays the backstop
+    dedup_tokens: bool = False
     _known_cols: set[str] | None = field(default=None, repr=False)
 
     def _connect(self) -> NativeConnection:
@@ -450,8 +478,18 @@ class ClickHouseNativeSink:
         host, port = self.host, self.port
         database, user, password = self.database, self.user, self.password
         bulk = self.bulk_size
+        token_prefix = (f"{self.database}.{self.table}:{epoch_id}"
+                        if self.dedup_tokens else None)
 
         def send_partition(rows) -> None:
+            settings = None
+            if token_prefix is not None:
+                from pyspark import TaskContext
+                ctx = TaskContext.get()
+                pid = ctx.partitionId() if ctx is not None else 0
+                settings = {"insert_deduplication_token":
+                            f"{token_prefix}:{pid}"}
+
             def blocks():
                 buf = []
                 for row in rows:
@@ -463,7 +501,8 @@ class ClickHouseNativeSink:
             conn = NativeConnection(host, port, database=database,
                                     user=user, password=password)
             try:
-                conn.insert_blocks(sql, cols, blocks())
+                conn.insert_blocks(sql, cols, blocks(),
+                                   settings=settings)
             finally:
                 conn.close()
 

@@ -134,12 +134,15 @@ class _FakeNativeClickHouse:
     sink: hello, per-query INSERT data collection, optional scripted
     exceptions. Thread-safe recording."""
 
-    def __init__(self, *, fail_sql_containing: str | None = None):
+    def __init__(self, *, fail_sql_containing: str | None = None,
+                 send_table_columns: bool = False):
         self.queries: list[str] = []
         self.inserts: list[tuple[str, list[tuple]]] = []
         self.hellos: list[tuple[str, str, str]] = []   # db, user, pass
+        self.settings: list[dict[str, str]] = []       # per query
         self._lock = threading.Lock()
         self._fail = fail_sql_containing
+        self._send_tc = send_table_columns
         outer = self
 
         class Handler(socketserver.BaseRequestHandler):
@@ -190,7 +193,14 @@ class _FakeNativeClickHouse:
             _rd_varint(r)            # version + revision
             _rd_str(r)               # quota key
             _rd_varint(r)            # version patch
-            assert _rd_str(r) == ""  # no settings
+            # settings-as-strings list, empty-name-terminated
+            qsettings: dict[str, str] = {}
+            while True:
+                sname = _rd_str(r)
+                if not sname:
+                    break
+                r.read(1)            # flags
+                qsettings[sname] = _rd_str(r)
             assert _rd_varint(r) == 2          # stage complete
             assert _rd_varint(r) == 0          # no compression
             sql = _rd_str(r)
@@ -201,6 +211,7 @@ class _FakeNativeClickHouse:
             assert not rows
             with self._lock:
                 self.queries.append(sql)
+                self.settings.append(qsettings)
             if self._fail and self._fail in sql:
                 sock.sendall(_wr_varint(2) + struct.pack("<i", 60)
                              + _wr_str("DB::Exception")
@@ -208,6 +219,11 @@ class _FakeNativeClickHouse:
                              + _wr_str("") + b"\x00")
                 continue
             if sql.lstrip().upper().startswith("INSERT"):
+                if self._send_tc:
+                    # servers >= 54410 send TableColumns metadata for
+                    # INSERTs; clients must tolerate it
+                    sock.sendall(_wr_varint(11) + _wr_str("")
+                                 + _wr_str("columns format version: 1"))
                 # header block: empty
                 sock.sendall(_wr_varint(1) + _wr_str("")
                              + N.encode_block([], []))
@@ -336,6 +352,44 @@ def test_bulk_size_chunks_into_blocks_single_insert(fake_native, spark):
     # are concatenated by the fake: chunking is a framing detail)
     assert len(fake_native.inserts) == 1
     assert len(fake_native.inserts[0][1]) == 5
+
+
+def test_dedup_tokens_ride_native_settings_and_are_replay_stable(
+        fake_native, spark):
+    """insert_deduplication_token travels as a (name, flags, value)
+    settings string in the Query packet (revision 54429) and repeats
+    across a replayed epoch with identical partitioning -- the
+    server-side dedup contract the HTTP sink already has."""
+    sink = _sink(fake_native)
+    sink.dedup_tokens = True
+    df = spark.createDataFrame(
+        [(1, "insert", 1, "a", 1), (2, "insert", 2, "b", 2)],
+        SCHEMA_DDL).coalesce(1)
+    sink.apply_batch(df, epoch_id=7)
+    sink.apply_batch(df, epoch_id=7)          # replay
+    tokens = [s["insert_deduplication_token"]
+              for s, q in zip(fake_native.settings, fake_native.queries)
+              if q.startswith("INSERT")]
+    assert tokens == ["olap.items_sink:7:0", "olap.items_sink:7:0"]
+    # a DDL query carries no settings
+    ddl_settings = [s for s, q in zip(fake_native.settings,
+                                      fake_native.queries)
+                    if not q.startswith("INSERT")]
+    assert all(s == {} for s in ddl_settings)
+
+
+def test_client_tolerates_table_columns_metadata(spark):
+    """Servers >= 54410 interleave a TableColumns packet before the
+    INSERT header block; the write path must skip it."""
+    srv = _FakeNativeClickHouse(send_table_columns=True).start()
+    try:
+        sink = _sink(srv)
+        df = spark.createDataFrame([(1, "insert", 1, "a", 1)],
+                                   SCHEMA_DDL).coalesce(1)
+        sink.apply_batch(df, epoch_id=0)
+        assert len(srv.inserts) == 1 and len(srv.inserts[0][1]) == 1
+    finally:
+        srv.stop()
 
 
 def test_server_exception_surfaces(fake_native):
