@@ -59,10 +59,11 @@ class EngineConfig:
     # the master (must be unique among its replicas)
     server_id: int = 1001
     # reference river/config.go:35 -- 'mysql' (default) or 'mariadb'.
-    # The binlog v4 event layer is shared; MariaDB's GTID format
-    # (domain-server-seq) is NOT the MySQL SID-block form this repo
-    # implements, so GTID-mode tailing supports flavor='mysql' only
-    # ((file, pos) dumping works for both).
+    # The binlog v4 event layer is shared; (file, pos) dumping works
+    # for both, MySQL GTID resume uses COM_BINLOG_DUMP_GTID
+    # (SID-block sets) and MariaDB GTID resume announces
+    # @slave_connect_state ('domain-server-seq' lists) before a plain
+    # dump -- see sources/mysql_repl.py.
     flavor: str = "mysql"
     # reference river/config.go:38 -- where to serve /stat (+ /stacks)
     stat_addr: str | None = None

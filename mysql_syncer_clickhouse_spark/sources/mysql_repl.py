@@ -251,6 +251,22 @@ class ReplicationClient:
         dump += start_file.encode()
         self._command(dump)
 
+    def register_and_dump_mariadb_gtid(self, gtid_list: str, *,
+                                       hostname: str = "",
+                                       non_block: bool = False) -> None:
+        """MariaDB's GTID resume (flavor='mariadb'): no new command --
+        the replica announces its position in SESSION VARIABLES
+        (@slave_connect_state = 'domain-server-seq[,...]',
+        @mariadb_slave_capability = 4) and then issues a plain
+        COM_BINLOG_DUMP with an empty file name; the server resolves
+        the start position from the announced GTID list. The list
+        format is MariaDB's own (NOT the MySQL SID-block set)."""
+        self.query_ok(f"SET @slave_connect_state = '{gtid_list}'")
+        self.query_ok("SET @mariadb_slave_capability = 4")
+        self.query_ok("SET @slave_gtid_strict_mode = 0")
+        self.register_and_dump("", 4, hostname=hostname,
+                               non_block=non_block)
+
     def register_and_dump_gtid(self, gtid_set: str, *,
                                hostname: str = "") -> None:
         """COM_REGISTER_SLAVE + COM_BINLOG_DUMP_GTID: resume from a

@@ -277,6 +277,28 @@ def test_dump_gtid_sends_parseable_set_and_streams(fake_mysql):
     assert len(rows) == 4                    # both files streamed
 
 
+def test_mariadb_gtid_dump_announces_session_state(fake_mysql):
+    """flavor='mariadb': GTID position travels as session variables
+    before a plain COM_BINLOG_DUMP with an empty file name."""
+    c = R.ReplicationClient(fake_mysql.host, fake_mysql.port,
+                            user=USER, password=PASSWORD)
+    c.connect()
+    c.register_and_dump_mariadb_gtid("0-1-42,1-2-7")
+    evs = list(c.events())
+    c.close()
+    sets = [p.decode() for op, p in fake_mysql.commands
+            if op == R.COM_QUERY]
+    assert "SET @slave_connect_state = '0-1-42,1-2-7'" in sets
+    assert "SET @mariadb_slave_capability = 4" in sets
+    dump = [p for op, p in fake_mysql.commands
+            if op == R.COM_BINLOG_DUMP][0]
+    assert dump[10:] == b""                  # empty file name
+    rows = [e for e in evs if e[4] in (B.WRITE_ROWS_EVENT,
+                                       B.UPDATE_ROWS_EVENT,
+                                       B.DELETE_ROWS_EVENT)]
+    assert len(rows) == 4
+
+
 def test_gtid_events_decoded_from_stream():
     """GTID_LOG_EVENT + PREVIOUS_GTIDS surface on BinlogEvent -- the
     checkpoint identities a GTID-mode tailer persists."""
