@@ -90,6 +90,7 @@ PREVIOUS_GTIDS_LOG_EVENT = 35
 WRITE_ROWS_EVENT = 30
 UPDATE_ROWS_EVENT = 31
 DELETE_ROWS_EVENT = 32
+HEARTBEAT_LOG_EVENT = 27         # dump-stream keepalive, never file data
 TRANSACTION_PAYLOAD_EVENT = 40   # binlog_transaction_compression=ON
 PARTIAL_UPDATE_ROWS_EVENT = 39   # binlog_row_value_options=PARTIAL_JSON
 

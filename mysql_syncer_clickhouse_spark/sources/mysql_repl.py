@@ -49,7 +49,7 @@ import struct
 from dataclasses import dataclass
 
 from .binlog import (BINLOG_MAGIC, FORMAT_DESCRIPTION_EVENT,
-                     ROTATE_EVENT, fde_checksummed)
+                     HEARTBEAT_LOG_EVENT, ROTATE_EVENT, fde_checksummed)
 
 # capability flags (public protocol constants)
 CLIENT_LONG_PASSWORD = 0x1
@@ -213,6 +213,17 @@ class ReplicationClient:
         p = self.io.read_packet()
         if p[0] == 0xFF:
             raise _parse_err(p, self.caps)
+        if p[0] == 0xFE and len(p) >= 9:
+            # AuthSwitchRequest: the USER'S plugin differs from the one
+            # the server advertised in the handshake (e.g. the server
+            # defaults to mysql_native_password but this account was
+            # created WITH caching_sha2_password). Mistaking it for an
+            # OK would leave the protocol desynchronized.
+            end = p.index(b"\x00", 1) if b"\x00" in p[1:] else len(p)
+            raise MySQLProtocolError(
+                f"server requested auth switch to {p[1:end].decode()!r} "
+                f"during {what} -- recreate the replication user WITH "
+                f"{NATIVE_AUTH}")
         if p[0] not in (0x00, 0xFE):
             raise MySQLProtocolError(f"unexpected {what} response "
                                      f"0x{p[0]:02x}")
@@ -261,6 +272,10 @@ class ReplicationClient:
         COM_BINLOG_DUMP with an empty file name; the server resolves
         the start position from the announced GTID list. The list
         format is MariaDB's own (NOT the MySQL SID-block set)."""
+        if not all(ch.isdigit() or ch in "-, " for ch in gtid_list):
+            raise MySQLProtocolError(
+                f"malformed MariaDB GTID list {gtid_list!r} (expected "
+                f"'domain-server-seq[,...]')")
         self.query_ok(f"SET @slave_connect_state = '{gtid_list}'")
         self.query_ok("SET @mariadb_slave_capability = 4")
         self.query_ok("SET @slave_gtid_strict_mode = 0")
@@ -348,6 +363,11 @@ class RelayWriter:
 
     def append(self, event: bytes) -> None:
         tc = event[4]
+        if tc == HEARTBEAT_LOG_EVENT:
+            # dump-stream keepalive on an idle connection; the server
+            # never writes these to binlog/relay files, and neither do
+            # we -- an idle tail must not grow the relay
+            return
         if tc == FORMAT_DESCRIPTION_EVENT:
             # the FDE always carries the alg byte + 4-byte footer slot
             # (self-describing), so no ambiguity here
@@ -376,19 +396,21 @@ def tail_to_relay(client: ReplicationClient, relay_dir: str,
     distributed half is read_binlog_files(relay_dir, streaming=True).
     Returns the number of events relayed. `max_events` bounds the
     drain for catch-up runs and tests; a production tailer loops."""
-    client.connect()
-    if setup_checksum:
-        # the replica contract: declare the checksum the server should
-        # keep emitting (canal does the same before dumping)
-        client.query_ok("SET @master_binlog_checksum = 'CRC32'")
-    client.register_and_dump(start_file, start_pos,
-                             non_block=non_block)
-    writer = RelayWriter(relay_dir, checksummed=setup_checksum)
-    n = 0
-    for ev in client.events():
-        writer.append(ev)
-        n += 1
-        if max_events is not None and n >= max_events:
-            break
-    client.close()
-    return n
+    try:
+        client.connect()
+        if setup_checksum:
+            # the replica contract: declare the checksum the server
+            # should keep emitting (canal does the same before dumping)
+            client.query_ok("SET @master_binlog_checksum = 'CRC32'")
+        client.register_and_dump(start_file, start_pos,
+                                 non_block=non_block)
+        writer = RelayWriter(relay_dir, checksummed=setup_checksum)
+        n = 0
+        for ev in client.events():
+            writer.append(ev)
+            n += 1
+            if max_events is not None and n >= max_events:
+                break
+        return n
+    finally:
+        client.close()

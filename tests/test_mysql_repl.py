@@ -379,3 +379,71 @@ def test_relay_through_spark_to_final_state(fake_mysql, tmp_path, spark):
     final = {r["id"]: (r["title"], r["qty"])
              for r in latest_state(cl, ["id"]).collect()}
     assert final == {1: ("first-edited", 11), 3: ("third", 30)}
+
+
+def test_auth_switch_request_surfaces_clear_error():
+    """A server whose USER runs a different plugin answers the
+    handshake response with AuthSwitchRequest (0xFE + plugin name);
+    mistaking that for an OK would desynchronize the protocol."""
+    import socketserver
+
+    class Handler(socketserver.BaseRequestHandler):
+        def handle(self):
+            greet = bytes([10]) + b"8.0.36-fake\x00"
+            greet += struct.pack("<I", 7) + NONCE[:8] + b"\x00"
+            caps = 0x200 | 0x8000 | 0x80000
+            greet += struct.pack("<H", caps & 0xFFFF) + bytes([33])
+            greet += struct.pack("<H", 0x0002)
+            greet += struct.pack("<H", caps >> 16) + bytes([21])
+            greet += bytes(10) + NONCE[8:] + b"\x00"
+            greet += b"mysql_native_password\x00"
+            FakeMySQL._send_pkt(self.request, 0, greet)
+            r = FakeMySQL._Buf(self.request)
+            seq, _ = FakeMySQL._read_pkt(r)
+            FakeMySQL._send_pkt(self.request, seq + 1,
+                                b"\xfe" + b"caching_sha2_password\x00"
+                                + NONCE + b"\x00")
+
+    srv = socketserver.TCPServer(("127.0.0.1", 0), Handler)
+    srv.allow_reuse_address = True
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        c = R.ReplicationClient(*srv.server_address,
+                                user=USER, password=PASSWORD)
+        with pytest.raises(R.MySQLProtocolError,
+                           match=r"auth switch to 'caching_sha2"):
+            c.connect()
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_malformed_mariadb_gtid_list_rejected_before_any_io():
+    c = R.ReplicationClient("127.0.0.1", 1, user=USER)
+    with pytest.raises(R.MySQLProtocolError, match="malformed"):
+        c.register_and_dump_mariadb_gtid("0-1-5'; DROP--")
+
+
+def test_tail_to_relay_closes_socket_on_error(fake_mysql, tmp_path):
+    c = R.ReplicationClient(fake_mysql.host, fake_mysql.port,
+                            user=USER, password="wrong")
+    with pytest.raises(R.MySQLServerError):
+        R.tail_to_relay(c, str(tmp_path / "relay"), "mysql-bin.000001")
+    assert c.io is not None and c.io.sock.fileno() == -1
+
+
+def test_relay_writer_skips_heartbeats(tmp_path):
+    """HEARTBEAT_LOG_EVENT is dump-stream keepalive: never written to
+    relay files (an idle tail must not grow the relay)."""
+    import zlib
+    w = R.RelayWriter(str(tmp_path), checksummed=True)
+    w.append(_artificial_rotate("mysql-bin.000009"))
+    hb_body = b"mysql-bin.000009"
+    size = 19 + len(hb_body) + 4
+    hdr = struct.pack("<IBIIIH", 0, B.HEARTBEAT_LOG_EVENT, 99,
+                      size, 0, 0)
+    hb = hdr + hb_body
+    hb += struct.pack("<I", zlib.crc32(hb))
+    w.append(hb)
+    data = (tmp_path / "mysql-bin.000009").read_bytes()
+    assert data == B.BINLOG_MAGIC
