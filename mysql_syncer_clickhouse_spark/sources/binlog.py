@@ -46,13 +46,20 @@ Support matrix vs canal/go-mysql's decode surface (round 8):
   two's-complement number -- negative fractions correct), YEAR;
   row events v1 and v2, UPDATE before/after pairing, CRC32 per
   event, FORMAT_DESCRIPTION checksum-algorithm negotiation,
-  tolerant truncation for actively-written files.
+  tolerant truncation for actively-written files;
+  binlog_row_value_options=PARTIAL_JSON (event 39: after-image JSON
+  diff vectors -- REPLACE/INSERT/REMOVE with full path grammar --
+  are replayed against the before-image, so consumers only ever see
+  full documents; requires binlog_row_image=FULL, else refused);
+  binlog_transaction_compression=ON (event 40: the TLV payload
+  envelope is opened in place -- uncompressed payloads always,
+  zstd when the optional 'zstandard' module is installed).
 
-  EXPLICIT REFUSAL (BinlogError, never silent drop) --
-  binlog_row_value_options=PARTIAL_JSON (event 39: after-images are
-  JSON diffs, not documents) and binlog_transaction_compression=ON
-  (event 40: zstd payload envelope). Both are OFF-by-default server
-  options; the error says which knob to flip.
+  EXPLICIT REFUSAL (BinlogError, never silent drop) -- zstd payload
+  without the 'zstandard' module (names the pip package and the
+  server knob), partial-JSON diffs whose before-image lacks the
+  document (binlog_row_image != FULL), unknown payload compression,
+  unknown diff operations, diff paths that do not resolve.
 
   FRAMING-ONLY SKIP (no row data inside) -- GTID/ANONYMOUS_GTID/
   PREVIOUS_GTIDS, ROTATE (next-file name surfaced), QUERY (schema +
@@ -61,6 +68,7 @@ Support matrix vs canal/go-mysql's decode surface (round 8):
 
 from __future__ import annotations
 
+import copy
 import datetime
 import json
 import struct
@@ -424,7 +432,156 @@ def _decode_json_value(b: bytes) -> Any:
     return value(b[0], b[1:])
 
 
-def _decode_value(r: _Reader, t: int, meta: int, unsigned: bool) -> Any:
+# JSON partial updates (binlog_row_value_options=PARTIAL_JSON, MySQL
+# WL#2955): a PARTIAL_UPDATE_ROWS after-image stores changed JSON
+# columns as a Json_diff_vector instead of the full document.
+DIFF_REPLACE, DIFF_INSERT, DIFF_REMOVE = 0, 1, 2
+
+
+@dataclass
+class _JsonPartial:
+    """Marker for an after-image JSON column decoded as diffs; resolved
+    against the before-image by _merge_partial_after before the row is
+    surfaced (consumers only ever see full documents)."""
+    diffs: list
+
+
+def _decode_json_diffs(b: bytes) -> list[tuple[int, str, Any]]:
+    """Json_diff_vector binary layout (sql/json_diff.cc
+    write_binary/read_binary; go-mysql decodeJsonPartialBinary agrees):
+    repeated (operation u8, lenenc path-length + path,
+    [lenenc value-length + binary-JSON value] unless REMOVE)."""
+    r = _Reader(b)
+    diffs: list[tuple[int, str, Any]] = []
+    while r.remaining() > 0:
+        op = r.u8()
+        if op not in (DIFF_REPLACE, DIFF_INSERT, DIFF_REMOVE):
+            raise BinlogError(f"unknown JSON diff operation {op}")
+        path = r.bytes(r.lenenc()).decode("utf-8")
+        value = None
+        if op != DIFF_REMOVE:
+            value = _decode_json_value(r.bytes(r.lenenc()))
+        diffs.append((op, path, value))
+    return diffs
+
+
+def _parse_json_path(path: str) -> list[Any]:
+    """A Json_path as the server serializes into diffs: '$' followed by
+    .member / ."quoted member" / [N] legs. Diff paths are always
+    concrete -- no wildcards or ranges (sql/json_diff.cc only emits
+    seekable paths)."""
+    if not path.startswith("$"):
+        raise BinlogError(f"bad JSON path {path!r}")
+    legs: list[Any] = []
+    i = 1
+    while i < len(path):
+        c = path[i]
+        if c == ".":
+            i += 1
+            if i < len(path) and path[i] == '"':
+                j = i + 1
+                while j < len(path) and path[j] != '"':
+                    j += 2 if path[j] == "\\" else 1
+                if j >= len(path):
+                    raise BinlogError(f"unterminated quote in {path!r}")
+                legs.append(json.loads(path[i:j + 1]))
+                i = j + 1
+            else:
+                j = i
+                while j < len(path) and path[j] not in ".[":
+                    j += 1
+                if j == i:
+                    raise BinlogError(f"empty member leg in {path!r}")
+                legs.append(path[i:j])
+                i = j
+        elif c == "[":
+            j = path.find("]", i)
+            if j < 0 or not path[i + 1:j].isdigit():
+                raise BinlogError(f"bad array leg in {path!r}")
+            legs.append(int(path[i + 1:j]))
+            i = j + 1
+        else:
+            raise BinlogError(f"bad JSON path leg at {i} in {path!r}")
+    return legs
+
+
+def _json_seek(container: Any, leg: Any, path: str) -> Any:
+    """One existing path leg; raising beats silently fabricating a
+    document that diverges from the server's."""
+    if isinstance(leg, int):
+        if not isinstance(container, list) or leg >= len(container):
+            raise BinlogError(f"JSON diff path {path!r} does not "
+                              f"resolve in the before-image")
+        return container[leg]
+    if not isinstance(container, dict) or leg not in container:
+        raise BinlogError(f"JSON diff path {path!r} does not "
+                          f"resolve in the before-image")
+    return container[leg]
+
+
+def _apply_json_diffs(doc: Any, diffs: list[tuple[int, str, Any]]) -> Any:
+    """Replay a diff vector against the before-image document --
+    the same semantics as the server's apply_json_diff
+    (sql/json_diff.cc): REPLACE needs an existing target, INSERT adds
+    a new member or splices into an array (past-the-end appends, as
+    JSON_ARRAY_INSERT does), REMOVE deletes an existing target."""
+    doc = copy.deepcopy(doc)
+    for op, path, value in diffs:
+        legs = _parse_json_path(path)
+        if not legs:
+            if op != DIFF_REPLACE:
+                raise BinlogError(f"JSON diff op {op} at root path")
+            doc = value
+            continue
+        parent = doc
+        for leg in legs[:-1]:
+            parent = _json_seek(parent, leg, path)
+        leg = legs[-1]
+        if op == DIFF_REPLACE:
+            _json_seek(parent, leg, path)
+            parent[leg] = value
+        elif op == DIFF_INSERT:
+            if isinstance(parent, list) and isinstance(leg, int):
+                parent.insert(leg, value)
+            elif isinstance(parent, dict) and not isinstance(leg, int):
+                if leg in parent:
+                    raise BinlogError(f"JSON diff INSERT over existing "
+                                      f"member {path!r}")
+                parent[leg] = value
+            else:
+                raise BinlogError(f"JSON diff INSERT leg/container "
+                                  f"mismatch at {path!r}")
+        else:  # DIFF_REMOVE
+            _json_seek(parent, leg, path)
+            if isinstance(parent, list):
+                parent.pop(leg)
+            else:
+                del parent[leg]
+    return doc
+
+
+def _merge_partial_after(before: dict[str, Any],
+                         after: dict[str, Any]) -> dict[str, Any]:
+    """Resolve _JsonPartial columns of a PARTIAL_UPDATE after-image
+    against the before-image, so downstream only ever sees full
+    documents. Diffs without a before-image document (binlog_row_image
+    != FULL) are unreconstructable -- refuse, don't guess."""
+    out: dict[str, Any] = {}
+    for k, v in after.items():
+        if isinstance(v, _JsonPartial):
+            if k not in before or before[k] is None:
+                raise BinlogError(
+                    f"partial-JSON update on column {k!r} without a "
+                    f"before-image document (binlog_row_image must be "
+                    f"FULL to reconstruct after-images from diffs)")
+            out[k] = _apply_json_diffs(before[k], v.diffs)
+        else:
+            out[k] = v
+    return out
+
+
+def _decode_value(r: _Reader, t: int, meta: int, unsigned: bool,
+                  as_json_diffs: bool = False) -> Any:
     """One column value from a row image (public row-event encoding)."""
     if t == T_TINY:
         v = r.u8()
@@ -467,7 +624,10 @@ def _decode_value(r: _Reader, t: int, meta: int, unsigned: bool) -> Any:
         return r.bytes(n)
     if t == T_JSON:
         n = int.from_bytes(r.bytes(meta), "little")
-        return _decode_json_value(r.bytes(n))
+        raw = r.bytes(n)
+        if as_json_diffs:
+            return _JsonPartial(_decode_json_diffs(raw))
+        return _decode_json_value(raw)
     if t == T_DATE:
         v = r.u24()
         day, month, year = v & 0x1F, (v >> 5) & 0x0F, v >> 9
@@ -499,20 +659,37 @@ def _bit(bm: bytes, i: int) -> bool:
     return bool(bm[i // 8] & (1 << (i % 8)))
 
 
-def _decode_row_image(r: _Reader, tm: TableMap,
-                      present: bytes) -> dict[str, Any]:
+def _decode_row_image(r: _Reader, tm: TableMap, present: bytes,
+                      partial: bool = False) -> dict[str, Any]:
+    """One row image. `partial=True` only on a PARTIAL_UPDATE_ROWS
+    after-image (WL#2955): it is prefixed by a lenenc value_options
+    and -- when the PARTIAL_JSON_UPDATES bit is set -- a partial_bits
+    bitmap sized over ALL of the table's JSON columns; bits are
+    consumed in order by every JSON column present in the image (NULL
+    ones included), the interop convention go-mysql decodes."""
+    partial_bits = b""
+    if partial:
+        value_options = r.lenenc()
+        if value_options & 1:  # PARTIAL_JSON_UPDATES
+            n_json = sum(1 for t in tm.col_types if t == T_JSON)
+            partial_bits = r.bytes((n_json + 7) // 8)
     present_idx = [i for i in range(len(tm.col_types))
                    if _bit(present, i)]
     null_bm = r.bytes((len(present_idx) + 7) // 8)
     out: dict[str, Any] = {}
+    json_seen = 0
     for j, i in enumerate(present_idx):
         name = (tm.col_names[i] if i < len(tm.col_names)
                 else f"@{i}")
+        as_diffs = False
+        if partial_bits and tm.col_types[i] == T_JSON:
+            as_diffs = _bit(partial_bits, json_seen)
+            json_seen += 1
         if _bit(null_bm, j):
             out[name] = None
         else:
             out[name] = _decode_value(r, tm.col_types[i], tm.col_meta[i],
-                                      tm.unsigned(i))
+                                      tm.unsigned(i), as_diffs)
     return out
 
 
@@ -614,6 +791,57 @@ def fde_checksummed(fde_body: bytes) -> bool:
     return alg == 1
 
 
+# TRANSACTION_PAYLOAD_EVENT (binlog_transaction_compression=ON,
+# MySQL WL#3549): the transaction's events travel wrapped -- and
+# usually zstd-compressed -- inside one envelope event.
+_PAYLOAD_COMPRESSION_ZSTD = 0
+_PAYLOAD_COMPRESSION_NONE = 255
+
+
+def _decompress_payload(body: _Reader) -> bytes:
+    """TRANSACTION_PAYLOAD TLV header (libbinlogevents
+    control_events.cpp / codecs): repeated (lenenc type, lenenc length,
+    value) fields -- 1=payload size, 2=compression type,
+    3=uncompressed size -- until the end mark (type 0); the raw payload
+    follows the end mark. Returns the decompressed inner event stream.
+    zstd needs the optional 'zstandard' module; without it the error
+    names both the pip package and the server knob."""
+    comp = _PAYLOAD_COMPRESSION_NONE
+    usize: int | None = None
+    while True:
+        if body.remaining() == 0:
+            raise BinlogError("TRANSACTION_PAYLOAD without an end mark")
+        ftype = body.lenenc()
+        if ftype == 0:  # OTW_PAYLOAD_HEADER_END_MARK
+            payload = body.bytes(body.remaining())
+            break
+        val = body.bytes(body.lenenc())
+        if ftype == 2:  # OTW_PAYLOAD_COMPRESSION_TYPE_FIELD
+            comp = int.from_bytes(val, "little")
+        elif ftype == 3:  # OTW_PAYLOAD_UNCOMPRESSED_SIZE_FIELD
+            usize = int.from_bytes(val, "little")
+        # ftype 1 (payload size) is redundant with the end-mark slice
+    if comp == _PAYLOAD_COMPRESSION_NONE:
+        return payload
+    if comp == _PAYLOAD_COMPRESSION_ZSTD:
+        try:
+            import zstandard
+        except ImportError:
+            raise BinlogError(
+                "TRANSACTION_PAYLOAD is zstd-compressed and the "
+                "'zstandard' module is not installed -- pip install "
+                "zstandard, or set binlog_transaction_compression=OFF "
+                "on the server") from None
+        out = zstandard.ZstdDecompressor().decompress(
+            payload, max_output_size=usize if usize else 1 << 30)
+        if usize is not None and len(out) != usize:
+            raise BinlogError(
+                f"zstd payload decompressed to {len(out)} bytes, "
+                f"header said {usize}")
+        return out
+    raise BinlogError(f"unknown payload compression type {comp}")
+
+
 def iter_binlog_events(data: bytes, *,
                        verify_checksum: bool = True,
                        tolerate_truncation: bool = False,
@@ -621,6 +849,10 @@ def iter_binlog_events(data: bytes, *,
     """Decode a binlog byte stream (file contents including the magic,
     or a raw event stream without it) into BinlogEvents. TABLE_MAP
     state is tracked internally, exactly as a replica must.
+    TRANSACTION_PAYLOAD envelopes are opened in place: their inner
+    events come out of this iterator as ordinary events (inner frames
+    are never checksummed -- WL#3549 -- and share the file's TABLE_MAP
+    state).
 
     `tolerate_truncation=True` stops cleanly at the last COMPLETE event
     instead of raising -- an actively-written or partially-shipped file
@@ -653,90 +885,108 @@ def iter_binlog_events(data: bytes, *,
             body_b = body_b[:-4]
         body = _Reader(body_b)
         ev = BinlogEvent(tc, ts, sid, log_pos)
-        if tc == TABLE_MAP_EVENT:
-            tm = _parse_table_map(body)
-            tables[tm.table_id] = tm
-        elif tc in (WRITE_ROWS_EVENT, UPDATE_ROWS_EVENT, DELETE_ROWS_EVENT,
-                    WRITE_ROWS_EVENT_V1, UPDATE_ROWS_EVENT_V1,
-                    DELETE_ROWS_EVENT_V1):
-            table_id = body.u48()
-            body.u16()  # flags
-            if tc in (WRITE_ROWS_EVENT, UPDATE_ROWS_EVENT,
-                      DELETE_ROWS_EVENT):
-                extra = body.u16()
-                if extra > 2:
-                    body.bytes(extra - 2)
-            tm = tables.get(table_id)
-            if tm is None:
-                raise BinlogError(f"row event before TABLE_MAP "
-                                  f"(table id {table_id})")
-            ncols = body.lenenc()
-            bm_len = (ncols + 7) // 8
-            present1 = body.bytes(bm_len)
-            is_update = tc in (UPDATE_ROWS_EVENT, UPDATE_ROWS_EVENT_V1)
-            present2 = body.bytes(bm_len) if is_update else present1
-            ev.schema, ev.table = tm.schema, tm.table
-            ev.op = ("insert" if tc in (WRITE_ROWS_EVENT,
-                                        WRITE_ROWS_EVENT_V1)
-                     else "delete" if tc in (DELETE_ROWS_EVENT,
-                                             DELETE_ROWS_EVENT_V1)
-                     else "update")
-            while body.remaining() > 0:
-                if is_update:
-                    before = _decode_row_image(body, tm, present1)
-                    after = _decode_row_image(body, tm, present2)
-                    ev.rows.append({"before": before, "after": after})
-                elif ev.op == "insert":
-                    ev.rows.append(
-                        {"after": _decode_row_image(body, tm, present1)})
-                else:
-                    ev.rows.append(
-                        {"before": _decode_row_image(body, tm, present1)})
-        elif tc == QUERY_EVENT:
-            body.u32()  # thread id
-            body.u32()  # exec time
-            schema_len = body.u8()
-            body.u16()  # error code
-            status_len = body.u16()
-            body.bytes(status_len)
-            ev.schema = body.bytes(schema_len).decode()
-            body.u8()   # trailing 0
-            ev.query = body.bytes(body.remaining()).decode("utf-8",
-                                                           "replace")
-        elif tc == ROTATE_EVENT:
-            body.u64()  # first position in next file
-            ev.next_file = body.bytes(body.remaining()).decode()
-        elif tc == XID_EVENT:
-            ev.xid = body.u64()
-        elif tc in (GTID_LOG_EVENT, ANONYMOUS_GTID_LOG_EVENT):
-            # flags(1) sid(16) gno(8) -- the transaction's identity;
-            # the anonymous variant carries a zero/ignored sid
-            body.u8()
-            sid = body.bytes(16)
-            gno = body.u64()
-            if tc == GTID_LOG_EVENT:
-                ev.gtid = f"{_sid_to_uuid(sid)}:{gno}"
-        elif tc == PREVIOUS_GTIDS_LOG_EVENT:
-            ev.gtid_set = decode_gtid_set(
-                body.bytes(body.remaining()))
-        elif tc == PARTIAL_UPDATE_ROWS_EVENT:
-            # silently skipping would DROP updates -- refuse loudly.
-            # (The after-image carries JSON diffs, not full documents;
-            # see the module support matrix.)
-            raise BinlogError(
-                "PARTIAL_UPDATE_ROWS event: this server runs "
-                "binlog_row_value_options=PARTIAL_JSON, whose JSON-diff "
-                "after-images are not supported -- set "
-                "binlog_row_value_options='' (full JSON images)")
-        elif tc == TRANSACTION_PAYLOAD_EVENT:
-            raise BinlogError(
-                "TRANSACTION_PAYLOAD event: this server runs "
-                "binlog_transaction_compression=ON (zstd-wrapped "
-                "payloads are not supported) -- set "
-                "binlog_transaction_compression=OFF")
-        # GTID / PREVIOUS_GTIDS / others: framing-only skip
-        yield ev
+        if tc == TRANSACTION_PAYLOAD_EVENT:
+            inner = _decompress_payload(body)
+            ipos = 0
+            while ipos + _HEADER_LEN <= len(inner):
+                its, itc, isid, isize, ilog, _ = struct.unpack_from(
+                    "<IBIIIH", inner, ipos)
+                if isize < _HEADER_LEN or ipos + isize > len(inner):
+                    raise BinlogError(
+                        f"corrupt payload frame at inner offset {ipos}")
+                if itc == TRANSACTION_PAYLOAD_EVENT:
+                    raise BinlogError("nested TRANSACTION_PAYLOAD")
+                ibody = _Reader(inner[ipos + _HEADER_LEN:ipos + isize])
+                iev = BinlogEvent(itc, its, isid, ilog)
+                _decode_event_body(itc, ibody, tables, iev)
+                yield iev
+                ipos += isize
+            if ipos != len(inner):
+                raise BinlogError("trailing bytes in payload envelope")
+        else:
+            _decode_event_body(tc, body, tables, ev)
+            yield ev
         pos += size
+
+
+def _decode_event_body(tc: int, body: _Reader,
+                       tables: dict[int, TableMap],
+                       ev: BinlogEvent) -> None:
+    """Decode one event's body into `ev` (TABLE_MAP state shared via
+    `tables`). Framing, checksums, and payload envelopes are the
+    caller's job."""
+    if tc == TABLE_MAP_EVENT:
+        tm = _parse_table_map(body)
+        tables[tm.table_id] = tm
+    elif tc in (WRITE_ROWS_EVENT, UPDATE_ROWS_EVENT, DELETE_ROWS_EVENT,
+                WRITE_ROWS_EVENT_V1, UPDATE_ROWS_EVENT_V1,
+                DELETE_ROWS_EVENT_V1, PARTIAL_UPDATE_ROWS_EVENT):
+        table_id = body.u48()
+        body.u16()  # flags
+        if tc not in (WRITE_ROWS_EVENT_V1, UPDATE_ROWS_EVENT_V1,
+                      DELETE_ROWS_EVENT_V1):
+            extra = body.u16()   # v2 var-header (incl. event 39)
+            if extra > 2:
+                body.bytes(extra - 2)
+        tm = tables.get(table_id)
+        if tm is None:
+            raise BinlogError(f"row event before TABLE_MAP "
+                              f"(table id {table_id})")
+        ncols = body.lenenc()
+        bm_len = (ncols + 7) // 8
+        present1 = body.bytes(bm_len)
+        is_update = tc in (UPDATE_ROWS_EVENT, UPDATE_ROWS_EVENT_V1,
+                           PARTIAL_UPDATE_ROWS_EVENT)
+        partial = tc == PARTIAL_UPDATE_ROWS_EVENT
+        present2 = body.bytes(bm_len) if is_update else present1
+        ev.schema, ev.table = tm.schema, tm.table
+        ev.op = ("insert" if tc in (WRITE_ROWS_EVENT,
+                                    WRITE_ROWS_EVENT_V1)
+                 else "delete" if tc in (DELETE_ROWS_EVENT,
+                                         DELETE_ROWS_EVENT_V1)
+                 else "update")
+        while body.remaining() > 0:
+            if is_update:
+                before = _decode_row_image(body, tm, present1)
+                after = _decode_row_image(body, tm, present2,
+                                          partial=partial)
+                if partial:
+                    after = _merge_partial_after(before, after)
+                ev.rows.append({"before": before, "after": after})
+            elif ev.op == "insert":
+                ev.rows.append(
+                    {"after": _decode_row_image(body, tm, present1)})
+            else:
+                ev.rows.append(
+                    {"before": _decode_row_image(body, tm, present1)})
+    elif tc == QUERY_EVENT:
+        body.u32()  # thread id
+        body.u32()  # exec time
+        schema_len = body.u8()
+        body.u16()  # error code
+        status_len = body.u16()
+        body.bytes(status_len)
+        ev.schema = body.bytes(schema_len).decode()
+        body.u8()   # trailing 0
+        ev.query = body.bytes(body.remaining()).decode("utf-8",
+                                                       "replace")
+    elif tc == ROTATE_EVENT:
+        body.u64()  # first position in next file
+        ev.next_file = body.bytes(body.remaining()).decode()
+    elif tc == XID_EVENT:
+        ev.xid = body.u64()
+    elif tc in (GTID_LOG_EVENT, ANONYMOUS_GTID_LOG_EVENT):
+        # flags(1) sid(16) gno(8) -- the transaction's identity;
+        # the anonymous variant carries a zero/ignored sid
+        body.u8()
+        sid = body.bytes(16)
+        gno = body.u64()
+        if tc == GTID_LOG_EVENT:
+            ev.gtid = f"{_sid_to_uuid(sid)}:{gno}"
+    elif tc == PREVIOUS_GTIDS_LOG_EVENT:
+        ev.gtid_set = decode_gtid_set(
+            body.bytes(body.remaining()))
+    # FDE / HEARTBEAT / others: framing-only skip
 
 
 def _json_default(v: Any) -> Any:

@@ -128,8 +128,62 @@ class Enc:
     def xid(self, xid: int) -> None:
         self._event(B.XID_EVENT, struct.pack("<Q", xid))
 
+    def rows_partial_update(self, table_id: int, ncols: int,
+                            pairs) -> None:
+        """PARTIAL_UPDATE_ROWS_EVENT (WL#2955). pairs: list of
+        (before_img, after_img, value_options, partial_bits); the
+        after-image is prefixed by lenenc value_options and, when its
+        PARTIAL_JSON bit is set, by partial_bits."""
+        body = table_id.to_bytes(6, "little") + struct.pack("<H", 0)
+        body += struct.pack("<H", 2)            # v2 var-header
+        body += _lenenc(ncols)
+        bm_len = (ncols + 7) // 8
+        present = b"\xff" * bm_len
+        body += present + present
+        for before, after, vopts, pbits in pairs:
+            body += _img_bytes(before, bm_len)
+            body += _lenenc(vopts) + pbits
+            body += _img_bytes(after, bm_len)
+        self._event(B.PARTIAL_UPDATE_ROWS_EVENT, body)
+
+    def payload(self, inner_frames: bytes, *, compression: int = 255,
+                usize: int | None = None) -> None:
+        """TRANSACTION_PAYLOAD_EVENT (WL#3549 TLV layout): compression
+        type (field 2), optional uncompressed size (field 3), payload
+        size (field 1), end mark (0), then the raw inner frames."""
+        body = bytes([2, 1, compression])
+        if usize is not None:
+            ub = usize.to_bytes(max(1, (usize.bit_length() + 7) // 8),
+                                "little")
+            body += bytes([3, len(ub)]) + ub
+        ps = len(inner_frames)
+        psb = ps.to_bytes(max(1, (ps.bit_length() + 7) // 8), "little")
+        body += bytes([1, len(psb)]) + psb
+        body += bytes([0]) + inner_frames
+        self._event(B.TRANSACTION_PAYLOAD_EVENT, body)
+
     def bytes(self) -> bytes:
         return bytes(self.buf)
+
+
+def _img_bytes(img, bm_len: int) -> bytes:
+    null = bytearray(bm_len)
+    vals = b""
+    for i, v in enumerate(img):
+        if v is None:
+            null[i // 8] |= 1 << (i % 8)
+        else:
+            vals += v
+    return bytes(null) + vals
+
+
+def _raw_frames(build) -> bytes:
+    """Checksum-less event frames as they appear INSIDE a payload
+    envelope (no magic, no FDE, no CRC -- WL#3549)."""
+    e = Enc(checksum=False)
+    n0 = len(e.buf)
+    build(e)
+    return bytes(e.buf[n0:])
 
 
 # value encoders (independent of the module under test)
@@ -287,6 +341,41 @@ def wrap_json_col(j: bytes, size_bytes=4) -> bytes:
     return len(j).to_bytes(size_bytes, "little") + j
 
 
+def e_json_value(v) -> bytes:
+    """Standalone binary-JSON value (type byte + data) -- scalars are
+    NOT inlined at top level, unlike inside object/array entries."""
+    if isinstance(v, (dict, list)):
+        return e_json_obj(v)
+    if v is None:
+        return bytes([0x04, 0])
+    if isinstance(v, bool):
+        return bytes([0x04, 1 if v else 2])
+    if isinstance(v, int):
+        if -(1 << 15) <= v < 1 << 15:
+            return bytes([0x05]) + struct.pack("<h", v)
+        if -(1 << 31) <= v < 1 << 31:
+            return bytes([0x07]) + struct.pack("<i", v)
+        return bytes([0x09]) + struct.pack("<q", v)
+    if isinstance(v, float):
+        return bytes([0x0B]) + struct.pack("<d", v)
+    b = v.encode()
+    assert len(b) < 128
+    return bytes([0x0C, len(b)]) + b
+
+
+def e_json_diffs(diffs) -> bytes:
+    """Json_diff_vector binary (sql/json_diff.cc write_binary):
+    diffs: list of (op, path, value-or-None)."""
+    out = b""
+    for op, path, val in diffs:
+        pb = path.encode()
+        out += bytes([op]) + _lenenc(len(pb)) + pb
+        if op != 2:  # REMOVE carries no value
+            jb = e_json_value(val)
+            out += _lenenc(len(jb)) + jb
+    return out
+
+
 # --------------------------------------------------------------- goldens
 
 
@@ -349,17 +438,179 @@ def test_golden_geometry_and_unsigned_boundaries():
     assert B._decode_value(r, B.T_LONGLONG, 0, True) == (1 << 64) - 1
 
 
-def test_partial_json_and_compressed_payload_refused_loudly():
-    """Silently skipping these would DROP updates; the decoder must
-    refuse with the server knob named."""
-    for tc, knob in [(B.PARTIAL_UPDATE_ROWS_EVENT,
-                      "binlog_row_value_options"),
-                     (B.TRANSACTION_PAYLOAD_EVENT,
-                      "binlog_transaction_compression")]:
-        enc = Enc()
-        enc._event(tc, b"\x00" * 16)
-        with pytest.raises(B.BinlogError, match=knob):
-            list(B.iter_binlog_events(enc.bytes()))
+_PAYLOAD_COLS = [("id", B.T_LONG, b"", False),
+                 ("v", B.T_VARCHAR, struct.pack("<H", 80), False)]
+
+
+def test_payload_uncompressed_roundtrip():
+    """TRANSACTION_PAYLOAD with compression NONE: inner frames decode
+    as ordinary events, TABLE_MAP state is shared with the outer
+    stream, and inner frames are never checksummed."""
+    enc = Enc()
+    inner = _raw_frames(lambda e: (
+        e.table_map(5, "app", "t", _PAYLOAD_COLS),
+        e.rows(B.WRITE_ROWS_EVENT, 5, 2,
+               [[e_i32(1), e_varchar("in-payload")]]),
+        e.xid(77)))
+    enc.payload(inner, usize=len(inner))
+    # an OUTER row event after the envelope reuses the INNER TABLE_MAP
+    enc.rows(B.WRITE_ROWS_EVENT, 5, 2, [[e_i32(2), e_varchar("after")]])
+    evs = list(B.iter_binlog_events(enc.bytes()))
+    rows = [ev for ev in evs if ev.rows]
+    assert rows[0].rows[0]["after"] == {"id": 1, "v": "in-payload"}
+    assert rows[0].schema == "app" and rows[0].table == "t"
+    assert rows[1].rows[0]["after"] == {"id": 2, "v": "after"}
+    assert any(ev.xid == 77 for ev in evs)
+
+
+def test_payload_zstd_without_module_names_package_and_knob():
+    enc = Enc()
+    enc.payload(b"\x28\xb5\x2f\xfd\x00\x00", compression=0)
+    try:
+        import zstandard  # noqa: F401
+        pytest.skip("zstandard installed; the refusal path needs it absent")
+    except ImportError:
+        pass
+    with pytest.raises(B.BinlogError) as ei:
+        list(B.iter_binlog_events(enc.bytes()))
+    assert "zstandard" in str(ei.value)
+    assert "binlog_transaction_compression" in str(ei.value)
+
+
+def test_payload_unknown_compression_and_missing_end_mark_refused():
+    enc = Enc()
+    enc.payload(b"", compression=7)
+    with pytest.raises(B.BinlogError, match="unknown payload compression"):
+        list(B.iter_binlog_events(enc.bytes()))
+    enc2 = Enc()
+    enc2._event(B.TRANSACTION_PAYLOAD_EVENT, bytes([2, 1, 255]))
+    with pytest.raises(B.BinlogError, match="end mark"):
+        list(B.iter_binlog_events(enc2.bytes()))
+
+
+def test_payload_nested_envelope_refused():
+    enc = Enc()
+    inner_payload = _raw_frames(lambda e: e.payload(b""))
+    enc.payload(inner_payload)
+    with pytest.raises(B.BinlogError, match="nested"):
+        list(B.iter_binlog_events(enc.bytes()))
+
+
+_PJ_COLS = [("id", B.T_LONG, b"", False),
+            ("doc", B.T_JSON, bytes([4]), False)]
+
+
+def _partial_update_file(before_doc, diffs, *, value_options=1,
+                         partial_bits=bytes([1])):
+    enc = Enc()
+    enc.table_map(9, "app", "j", _PJ_COLS)
+    before = [e_i32(1), wrap_json_col(e_json_obj(before_doc))]
+    after = [e_i32(1), wrap_json_col(e_json_diffs(diffs))]
+    enc.rows_partial_update(9, 2, [(before, after, value_options,
+                                    partial_bits)])
+    return enc.bytes()
+
+
+def test_partial_json_diffs_applied_to_before_image():
+    """WL#2955: REPLACE / array INSERT (past-the-end appends) /
+    member INSERT / REMOVE replayed against the before-image; the
+    surfaced after-image is a full document."""
+    data = _partial_update_file(
+        {"a": 1, "b": [1, 2, 3], "keep": "x"},
+        [(0, "$.a", 5), (1, "$.b[3]", 9), (2, "$.keep", None),
+         (1, "$.c", "new")])
+    evs = [ev for ev in B.iter_binlog_events(data) if ev.rows]
+    row = evs[0].rows[0]
+    assert row["before"]["doc"] == {"a": 1, "b": [1, 2, 3], "keep": "x"}
+    assert row["after"]["doc"] == {"a": 5, "b": [1, 2, 3, 9], "c": "new"}
+    assert row["after"]["id"] == 1
+    assert evs[0].op == "update"
+
+
+def test_partial_json_quoted_path_and_root_replace():
+    data = _partial_update_file(
+        {"weird key": [{"x": 1}], "z": 0},
+        [(0, '$."weird key"[0].x', 2)])
+    row = [ev for ev in B.iter_binlog_events(data) if ev.rows][0].rows[0]
+    assert row["after"]["doc"] == {"weird key": [{"x": 2}], "z": 0}
+    data = _partial_update_file({"old": 1}, [(0, "$", {"whole": True})])
+    row = [ev for ev in B.iter_binlog_events(data) if ev.rows][0].rows[0]
+    assert row["after"]["doc"] == {"whole": True}
+
+
+def test_partial_bit_zero_means_full_document():
+    """value_options says PARTIAL_JSON but this column's bit is 0:
+    the value is an ordinary full binary-JSON document."""
+    enc = Enc()
+    enc.table_map(9, "app", "j", _PJ_COLS)
+    before = [e_i32(1), wrap_json_col(e_json_obj({"a": 1}))]
+    after = [e_i32(1), wrap_json_col(e_json_obj({"a": 2}))]
+    enc.rows_partial_update(9, 2, [(before, after, 1, bytes([0]))])
+    row = [ev for ev in B.iter_binlog_events(enc.bytes())
+           if ev.rows][0].rows[0]
+    assert row["after"]["doc"] == {"a": 2}
+
+
+def test_partial_value_options_zero_has_no_bitmap():
+    enc = Enc()
+    enc.table_map(9, "app", "j", _PJ_COLS)
+    before = [e_i32(1), wrap_json_col(e_json_obj({"a": 1}))]
+    after = [e_i32(1), wrap_json_col(e_json_obj({"a": 3}))]
+    enc.rows_partial_update(9, 2, [(before, after, 0, b"")])
+    row = [ev for ev in B.iter_binlog_events(enc.bytes())
+           if ev.rows][0].rows[0]
+    assert row["after"]["doc"] == {"a": 3}
+
+
+def test_partial_null_json_column_still_consumes_its_bit():
+    """Bits are consumed per present JSON column including NULL ones
+    (go-mysql's interop convention): with j1 NULL, j2's bit is bit 1."""
+    cols = [("id", B.T_LONG, b"", False),
+            ("j1", B.T_JSON, bytes([4]), False),
+            ("j2", B.T_JSON, bytes([4]), False)]
+    enc = Enc()
+    enc.table_map(9, "app", "jj", cols)
+    before = [e_i32(1), wrap_json_col(e_json_obj({"a": 1})),
+              wrap_json_col(e_json_obj({"b": 2}))]
+    after = [e_i32(1), None,
+             wrap_json_col(e_json_diffs([(0, "$.b", 7)]))]
+    enc.rows_partial_update(9, 3, [(before, after, 1, bytes([0b10]))])
+    row = [ev for ev in B.iter_binlog_events(enc.bytes())
+           if ev.rows][0].rows[0]
+    assert row["after"]["j1"] is None
+    assert row["after"]["j2"] == {"b": 7}
+
+
+def test_partial_without_before_document_refused():
+    """Diffs are unreconstructable without the before-image document
+    (binlog_row_image != FULL) -- refuse, don't guess."""
+    enc = Enc()
+    enc.table_map(9, "app", "j", _PJ_COLS)
+    before = [e_i32(1), None]   # NULL before-image doc
+    after = [e_i32(1), wrap_json_col(e_json_diffs([(0, "$.a", 5)]))]
+    enc.rows_partial_update(9, 2, [(before, after, 1, bytes([1]))])
+    with pytest.raises(B.BinlogError, match="before-image"):
+        list(B.iter_binlog_events(enc.bytes()))
+
+
+def test_partial_bad_diffs_refused():
+    for diffs, msg in [
+            ([(0, "$.missing", 1)], "does not resolve"),
+            ([(2, "$.missing", None)], "does not resolve"),
+            ([(1, "$.a", 9)], "existing member"),
+            ([(5, "$.a", 1)], "unknown JSON diff")]:
+        data = _partial_update_file({"a": 1}, diffs)
+        with pytest.raises(B.BinlogError, match=msg):
+            list(B.iter_binlog_events(data))
+
+
+def test_partial_update_through_envelope_path():
+    """The file-reader envelope surfaces the reconstructed full
+    after-image document."""
+    data = _partial_update_file({"a": 1, "b": [1]}, [(1, "$.b[9]", 2)])
+    env = B.decode_binlog_file_bytes("mysql-bin.000001", data)
+    assert len(env) == 1 and env[0]["op"] == "update"
+    assert json.loads(env[0]["after"])["doc"] == {"a": 1, "b": [1, 2]}
 
 
 def test_golden_binary_json_small_object():
