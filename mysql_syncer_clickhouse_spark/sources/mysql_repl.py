@@ -10,8 +10,12 @@ that asks a server to stream them:
 
 - the packet layer (3-byte LE length + sequence id framing);
 - the v10 initial handshake parse + HandshakeResponse41 with
-  mysql_native_password authentication (SHA1(p) XOR
-  SHA1(nonce + SHA1(SHA1(p))) -- the public scramble);
+  mysql_native_password (SHA1(p) XOR SHA1(nonce + SHA1(SHA1(p))))
+  and caching_sha2_password fast-auth (SHA256(p) XOR
+  SHA256(SHA256(SHA256(p)) + nonce)) -- the public scrambles --
+  plus AuthSwitchRequest handling between the two; caching_sha2's
+  perform-full-authentication path (plaintext/RSA, needs TLS) is
+  refused with guidance rather than half-implemented;
 - COM_QUERY for the session setup statements a replica issues before
   dumping (e.g. SET @master_binlog_checksum = 'CRC32') -- OK/ERR
   responses only, which is all SET needs; resultset parsing is out of
@@ -65,6 +69,7 @@ COM_BINLOG_DUMP_GTID = 0x1E
 BINLOG_THROUGH_GTID = 0x04
 
 NATIVE_AUTH = "mysql_native_password"
+CACHING_SHA2_AUTH = "caching_sha2_password"
 
 
 class MySQLProtocolError(ConnectionError):
@@ -85,6 +90,21 @@ def native_password_scramble(password: str, nonce: bytes) -> bytes:
     p2 = hashlib.sha1(p1).digest()
     h = hashlib.sha1(nonce + p2).digest()
     return bytes(a ^ b for a, b in zip(p1, h))
+
+
+def caching_sha2_scramble(password: str, nonce: bytes) -> bytes:
+    """caching_sha2_password fast-auth scramble (the public
+    algorithm, MySQL 8's default plugin):
+    SHA256(p) XOR SHA256(SHA256(SHA256(p)) + nonce)."""
+    if not password:
+        return b""
+    d1 = hashlib.sha256(password.encode("utf-8")).digest()
+    h = hashlib.sha256(hashlib.sha256(d1).digest() + nonce).digest()
+    return bytes(a ^ b for a, b in zip(d1, h))
+
+
+_SCRAMBLERS = {NATIVE_AUTH: native_password_scramble,
+               CACHING_SHA2_AUTH: caching_sha2_scramble}
 
 
 class _PacketIO:
@@ -192,38 +212,81 @@ class ReplicationClient:
         self.io = _PacketIO(sock)
         p = self.io.read_packet()
         self.server_version, nonce, caps, plugin = _parse_handshake_v10(p)
-        if plugin != NATIVE_AUTH:
+        if plugin not in _SCRAMBLERS:
             raise MySQLProtocolError(
-                f"auth plugin {plugin!r} not supported (only "
-                f"{NATIVE_AUTH}; caching_sha2_password needs TLS or an "
-                f"RSA exchange -- create the replication user WITH "
-                f"{NATIVE_AUTH})")
+                f"auth plugin {plugin!r} not supported (supported: "
+                f"{', '.join(sorted(_SCRAMBLERS))})")
         self.caps = (CLIENT_LONG_PASSWORD | CLIENT_LONG_FLAG
                      | CLIENT_PROTOCOL_41 | CLIENT_SECURE_CONNECTION
                      | CLIENT_PLUGIN_AUTH)
-        auth = native_password_scramble(self.password, nonce)
+        auth = _SCRAMBLERS[plugin](self.password, nonce)
         resp = struct.pack("<IIB", self.caps, 1 << 24, 33) + bytes(23)
         resp += self.user.encode() + b"\x00"
         resp += bytes([len(auth)]) + auth
-        resp += NATIVE_AUTH.encode() + b"\x00"
+        resp += plugin.encode() + b"\x00"
         self.io.send_packet(resp)            # seq continues the server's
-        self._expect_ok("authentication")
+        self._auth_result()
+
+    def _auth_result(self) -> None:
+        """Drive the post-HandshakeResponse authentication exchange:
+        OK / ERR, caching_sha2's AuthMoreData (0x01 0x03 = fast-auth
+        success, the real OK follows; 0x01 0x04 = perform-full-
+        authentication, which needs TLS or an RSA exchange this
+        replica client deliberately does not do -- refused with
+        guidance), and AuthSwitchRequest (re-scramble with the
+        switched plugin's algorithm over its fresh nonce)."""
+        while True:
+            p = self.io.read_packet()
+            if p[0] == 0x00:
+                return
+            if p[0] == 0xFF:
+                raise _parse_err(p, self.caps)
+            if p[0] == 0x01:               # AuthMoreData
+                if p[1:2] == b"\x03":      # fast_auth_success
+                    continue
+                if p[1:2] == b"\x04":      # perform_full_authentication
+                    raise MySQLProtocolError(
+                        "caching_sha2_password requested full "
+                        "authentication (no cached entry for this "
+                        "user yet): log the replication user in once "
+                        "with a TLS-capable client to prime the "
+                        "server's auth cache, or create the user "
+                        f"WITH {NATIVE_AUTH} -- the plaintext/RSA "
+                        "exchange requires TLS, which this replica "
+                        "client does not do")
+                raise MySQLProtocolError(
+                    f"unexpected AuthMoreData 0x{p[1:9].hex()}")
+            if p[0] == 0xFE and len(p) >= 9:   # AuthSwitchRequest
+                end = p.index(b"\x00", 1)
+                plugin = p[1:end].decode()
+                data = p[end + 1:]
+                if data.endswith(b"\x00"):
+                    data = data[:-1]
+                if plugin not in _SCRAMBLERS:
+                    raise MySQLProtocolError(
+                        f"server requested auth switch to {plugin!r}, "
+                        f"which this client cannot perform "
+                        f"(supported: {', '.join(sorted(_SCRAMBLERS))})")
+                self.io.send_packet(
+                    _SCRAMBLERS[plugin](self.password, data[:20]))
+                continue
+            if p[0] == 0xFE:
+                return                     # legacy EOF-as-OK
+            raise MySQLProtocolError(
+                f"unexpected authentication response 0x{p[0]:02x}")
 
     def _expect_ok(self, what: str) -> None:
         p = self.io.read_packet()
         if p[0] == 0xFF:
             raise _parse_err(p, self.caps)
         if p[0] == 0xFE and len(p) >= 9:
-            # AuthSwitchRequest: the USER'S plugin differs from the one
-            # the server advertised in the handshake (e.g. the server
-            # defaults to mysql_native_password but this account was
-            # created WITH caching_sha2_password). Mistaking it for an
-            # OK would leave the protocol desynchronized.
+            # AuthSwitchRequest outside the authentication exchange:
+            # mistaking it for an OK would desynchronize the protocol
+            # (the handshake path handles switches in _auth_result).
             end = p.index(b"\x00", 1) if b"\x00" in p[1:] else len(p)
             raise MySQLProtocolError(
-                f"server requested auth switch to {p[1:end].decode()!r} "
-                f"during {what} -- recreate the replication user WITH "
-                f"{NATIVE_AUTH}")
+                f"unexpected auth switch to {p[1:end].decode()!r} "
+                f"during {what}")
         if p[0] not in (0x00, 0xFE):
             raise MySQLProtocolError(f"unexpected {what} response "
                                      f"0x{p[0]:02x}")

@@ -381,41 +381,139 @@ def test_relay_through_spark_to_final_state(fake_mysql, tmp_path, spark):
     assert final == {1: ("first-edited", 11), 3: ("third", 30)}
 
 
-def test_auth_switch_request_surfaces_clear_error():
-    """A server whose USER runs a different plugin answers the
-    handshake response with AuthSwitchRequest (0xFE + plugin name);
-    mistaking that for an OK would desynchronize the protocol."""
+def _indep_sha2_scramble(password: str, nonce: bytes) -> bytes:
+    """Independent caching_sha2_password fast-auth scramble (public
+    algorithm), written fresh so the module can't self-verify."""
+    d1 = hashlib.sha256(password.encode()).digest()
+    h = hashlib.sha256(hashlib.sha256(d1).digest() + nonce).digest()
+    return bytes(a ^ b for a, b in zip(d1, h))
+
+
+def _scripted_auth_server(script):
+    """A one-connection server: sends the v10 greeting (plugin taken
+    from the script), then drives `script(sock, buf, seq, auth_bytes)`
+    after reading the HandshakeResponse."""
     import socketserver
+
+    state = {}
 
     class Handler(socketserver.BaseRequestHandler):
         def handle(self):
-            greet = bytes([10]) + b"8.0.36-fake\x00"
-            greet += struct.pack("<I", 7) + NONCE[:8] + b"\x00"
-            caps = 0x200 | 0x8000 | 0x80000
-            greet += struct.pack("<H", caps & 0xFFFF) + bytes([33])
-            greet += struct.pack("<H", 0x0002)
-            greet += struct.pack("<H", caps >> 16) + bytes([21])
-            greet += bytes(10) + NONCE[8:] + b"\x00"
-            greet += b"mysql_native_password\x00"
-            FakeMySQL._send_pkt(self.request, 0, greet)
-            r = FakeMySQL._Buf(self.request)
-            seq, _ = FakeMySQL._read_pkt(r)
-            FakeMySQL._send_pkt(self.request, seq + 1,
-                                b"\xfe" + b"caching_sha2_password\x00"
-                                + NONCE + b"\x00")
+            try:
+                greet = bytes([10]) + b"8.0.36-fake\x00"
+                greet += struct.pack("<I", 7) + NONCE[:8] + b"\x00"
+                caps = 0x200 | 0x8000 | 0x80000
+                greet += struct.pack("<H", caps & 0xFFFF) + bytes([33])
+                greet += struct.pack("<H", 0x0002)
+                greet += struct.pack("<H", caps >> 16) + bytes([21])
+                greet += bytes(10) + NONCE[8:] + b"\x00"
+                greet += state["plugin"] + b"\x00"
+                FakeMySQL._send_pkt(self.request, 0, greet)
+                r = FakeMySQL._Buf(self.request)
+                seq, resp = FakeMySQL._read_pkt(r)
+                i = 4 + 4 + 1 + 23
+                end = resp.index(b"\x00", i)
+                alen = resp[end + 1]
+                auth = resp[end + 2:end + 2 + alen]
+                script(self.request, r, seq, auth)
+            except (ConnectionError, OSError):
+                pass
 
-    srv = socketserver.TCPServer(("127.0.0.1", 0), Handler)
-    srv.allow_reuse_address = True
+    class Srv(socketserver.ThreadingTCPServer):
+        # threading + daemon: a handler blocked in recv (e.g. the
+        # client refused before responding) must not deadlock shutdown
+        allow_reuse_address = True
+        daemon_threads = True
+
+    srv = Srv(("127.0.0.1", 0), Handler)
     threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv, state
+
+
+def _run_auth(plugin: bytes, script):
+    srv, state = _scripted_auth_server(script)
+    state["plugin"] = plugin
+    c = R.ReplicationClient(*srv.server_address,
+                            user=USER, password=PASSWORD)
     try:
-        c = R.ReplicationClient(*srv.server_address,
-                                user=USER, password=PASSWORD)
-        with pytest.raises(R.MySQLProtocolError,
-                           match=r"auth switch to 'caching_sha2"):
-            c.connect()
+        c.connect()
+        return c
+    except BaseException:
+        if c.io is not None:
+            c.io.sock.close()
+        raise
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_caching_sha2_fast_auth_succeeds():
+    """Server advertises caching_sha2_password; the client's scramble
+    verifies against an independent implementation; the server answers
+    fast-auth-success (0x01 0x03) then OK."""
+    seen = {}
+
+    def script(sock, r, seq, auth):
+        seen["auth"] = auth
+        FakeMySQL._send_pkt(sock, seq + 1, b"\x01\x03")
+        FakeMySQL._send_pkt(sock, seq + 2,
+                            b"\x00\x00\x00\x02\x00\x00\x00")
+
+    c = _run_auth(b"caching_sha2_password", script)
+    assert seen["auth"] == _indep_sha2_scramble(PASSWORD, NONCE)
+    assert c.io is not None
+    c.close()
+
+
+def test_caching_sha2_full_auth_refused_with_guidance():
+    def script(sock, r, seq, auth):
+        FakeMySQL._send_pkt(sock, seq + 1, b"\x01\x04")
+
+    with pytest.raises(R.MySQLProtocolError,
+                       match="full authentication"):
+        _run_auth(b"caching_sha2_password", script)
+
+
+def test_auth_switch_from_native_to_caching_sha2():
+    """AuthSwitchRequest mid-auth: the client re-scrambles with the
+    switched plugin's algorithm over the FRESH nonce."""
+    fresh = bytes(range(40, 60))
+    seen = {}
+
+    def script(sock, r, seq, auth):
+        seen["first"] = auth
+        FakeMySQL._send_pkt(sock, seq + 1,
+                            b"\xfe" + b"caching_sha2_password\x00"
+                            + fresh + b"\x00")
+        seq2, switched = FakeMySQL._read_pkt(r)
+        seen["switched"] = switched
+        FakeMySQL._send_pkt(sock, seq2 + 1, b"\x01\x03")
+        FakeMySQL._send_pkt(sock, seq2 + 2,
+                            b"\x00\x00\x00\x02\x00\x00\x00")
+
+    c = _run_auth(b"mysql_native_password", script)
+    assert seen["first"] == _indep_scramble(PASSWORD, NONCE)
+    assert seen["switched"] == _indep_sha2_scramble(PASSWORD, fresh)
+    c.close()
+
+
+def test_auth_switch_to_unknown_plugin_errors():
+    def script(sock, r, seq, auth):
+        FakeMySQL._send_pkt(sock, seq + 1,
+                            b"\xfe" + b"sha256_password\x00"
+                            + NONCE + b"\x00")
+
+    with pytest.raises(R.MySQLProtocolError,
+                       match=r"switch to 'sha256_password'"):
+        _run_auth(b"mysql_native_password", script)
+
+
+def test_unknown_handshake_plugin_errors_before_sending_auth():
+    def script(sock, r, seq, auth):  # pragma: no cover - never reached
+        raise AssertionError("client should not have responded")
+
+    with pytest.raises(R.MySQLProtocolError, match="not supported"):
+        _run_auth(b"dialog", script)
 
 
 def test_malformed_mariadb_gtid_list_rejected_before_any_io():
