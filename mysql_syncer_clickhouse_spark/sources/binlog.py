@@ -41,7 +41,9 @@ Support matrix vs canal/go-mysql's decode surface (round 8):
   lengths, packed STRING meta), ENUM (index), SET (bitmask), BIT,
   all BLOB widths, GEOMETRY (raw SRID+WKB bytes, what go-mysql
   returns too), JSON (binary small/large objects/arrays, inlined
-  scalars, opaque typed literals), DATE (zero-date -> NULL),
+  scalars, opaque typed literals -- DECIMAL/DATE/TIME/DATETIME
+  decoded to typed values, unknown opaque types as hex),
+  DATE (zero-date -> NULL),
   DATETIME2/TIMESTAMP2/TIME2 with any fsp (TIME2 as one biased
   two's-complement number -- negative fractions correct), YEAR;
   row events v1 and v2, UPDATE before/after pairing, CRC32 per
@@ -344,10 +346,51 @@ def _decode_time2(r: _Reader, fsp: int) -> datetime.timedelta:
     return -td if neg else td
 
 
+def _decode_json_opaque(ft: int, raw: bytes) -> Any:
+    """Typed opaque binary-JSON values: the server stores DECIMAL /
+    DATE / TIME / DATETIME inside JSON documents as opaque
+    (field_type, payload) pairs -- JSON_OBJECT('d', CAST(x AS
+    DECIMAL)), CAST(d AS JSON), etc. The temporal payload is the
+    packed-int64 in-memory form (my_packed_time: ((ymd<<17|hms)<<24)
+    | microseconds), the decimal payload is (precision, scale,
+    NEWDECIMAL binary) -- the same surface go-mysql's jsonbinary
+    decoder covers. Unknown opaque types surface as hex, never drop."""
+    if ft in (T_NEWDECIMAL, T_DECIMAL) and len(raw) >= 2:
+        precision, scale = raw[0], raw[1]
+        need = _decimal_bin_size(precision, scale)
+        if len(raw) >= 2 + need:
+            return _decode_newdecimal(raw[2:2 + need], precision, scale)
+    if ft in (T_DATE, T_DATETIME, T_TIMESTAMP, T_TIME) and len(raw) >= 8:
+        v = int.from_bytes(raw[:8], "little", signed=True)
+        neg = v < 0
+        if neg:
+            v = -v
+        intpart = v >> 24
+        micro = v & 0xFFFFFF
+        minute, sec = (intpart >> 6) & 0x3F, intpart & 0x3F
+        if ft == T_TIME:
+            # TIME hours span 0..838 -> 10 bits
+            td = datetime.timedelta(hours=(intpart >> 12) & 0x3FF,
+                                    minutes=minute, seconds=sec,
+                                    microseconds=micro)
+            return -td if neg else td
+        hour = (intpart >> 12) & 0x1F   # 5 bits; bits 17+ are ymd
+        ymd = intpart >> 17
+        ym = ymd >> 5
+        year, month, day = ym // 13, ym % 13, ymd & 0x1F
+        if year == 0 or month == 0 or day == 0:
+            return None  # zero-date -> NULL, the module's convention
+        if ft == T_DATE:
+            return datetime.date(year, month, day)
+        return datetime.datetime(year, month, day, hour, minute, sec,
+                                 micro)
+    return {"_opaque_type": ft, "_hex": raw.hex()}
+
+
 def _decode_json_value(b: bytes) -> Any:
     """MySQL binary JSON (the public JSONB-like format): type byte +
     small/large objects/arrays with offset tables, inlined small
-    scalars, 7-bit varint string lengths."""
+    scalars, 7-bit varint string lengths, typed opaque literals."""
     if not b:
         return None
 
@@ -423,10 +466,9 @@ def _decode_json_value(b: bytes) -> Any:
         if t == 0x0C:
             ln, i = var_len(buf, 0)
             return buf[i:i + ln].decode("utf-8")
-        if t == 0x0F:  # opaque: (type u8, varlen, bytes) -- surface hex
+        if t == 0x0F:  # opaque: (field type u8, varlen, payload)
             ln, i = var_len(buf, 1)
-            return {"_opaque_type": buf[0],
-                    "_hex": buf[i:i + ln].hex()}
+            return _decode_json_opaque(buf[0], buf[i:i + ln])
         raise BinlogError(f"unknown binary-JSON type {t:#x}")
 
     return value(b[0], b[1:])

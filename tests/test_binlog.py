@@ -613,6 +613,38 @@ def test_partial_update_through_envelope_path():
     assert json.loads(env[0]["after"])["doc"] == {"a": 1, "b": [1, 2]}
 
 
+def test_opaque_json_typed_values():
+    """Opaque binary-JSON literals (CAST(x AS JSON) of DECIMAL/DATE/
+    TIME/DATETIME): packed-int64 temporals and (precision, scale,
+    NEWDECIMAL) decimals decode typed; unknown opaque stays hex."""
+    import datetime
+    from decimal import Decimal
+
+    dec = e_decimal("1234.56", 6, 2)
+    raw = bytes([6, 2]) + dec
+    b = bytes([0x0F, B.T_NEWDECIMAL, len(raw)]) + raw
+    assert B._decode_json_value(b) == Decimal("1234.56")
+
+    ymd = ((2023 * 13 + 7) << 5) | 4
+    b = bytes([0x0F, B.T_DATE, 8]) + struct.pack("<q", (ymd << 17) << 24)
+    assert B._decode_json_value(b) == datetime.date(2023, 7, 4)
+
+    hms = (9 << 12) | (8 << 6) | 7
+    v = (((ymd << 17) | hms) << 24) | 123
+    b = bytes([0x0F, B.T_DATETIME, 8]) + struct.pack("<q", v)
+    assert B._decode_json_value(b) == datetime.datetime(
+        2023, 7, 4, 9, 8, 7, 123)
+
+    v = -((((1 << 12) | (2 << 6) | 3) << 24) | 4)
+    b = bytes([0x0F, B.T_TIME, 8]) + struct.pack("<q", v)
+    assert B._decode_json_value(b) == -datetime.timedelta(
+        hours=1, minutes=2, seconds=3, microseconds=4)
+
+    b = bytes([0x0F, 250, 2]) + b"\xab\xcd"
+    assert B._decode_json_value(b) == {"_opaque_type": 250,
+                                       "_hex": "abcd"}
+
+
 def test_golden_binary_json_small_object():
     # {"a": 1}: hand-laid-out small object (count=1, size=12,
     # key entry offset=11 len=1, inlined int16 value)

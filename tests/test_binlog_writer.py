@@ -91,3 +91,45 @@ def test_writer_double_json_roundtrip_is_exact():
     evs = [e for e in B.iter_binlog_events(w.to_bytes()) if e.rows]
     got = [e.rows[0]["after"]["score"] for e in evs]
     assert [v.hex() for v in got] == [v.hex() for v in vals]
+
+
+# ----------------------------------------------------------- fuzz
+# hypothesis round-trip: arbitrary typed rows through the writer must
+# come back value-identical through the decoder (NULLs anywhere,
+# unsigned extremes, utf-8 text, raw bytes, full-fsp datetimes).
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+FUZZ_COLS = [BinlogColumn.bigint("id"),
+             BinlogColumn.bigint("uid", unsigned=True),
+             BinlogColumn.integer("qty"),
+             BinlogColumn.double("score"),
+             BinlogColumn.varchar("name", 240),
+             BinlogColumn.blob("payload"),
+             BinlogColumn.datetime2("created", 6)]
+
+_TEXT = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=50)
+
+_ROW = st.tuples(
+    st.one_of(st.none(), st.integers(-(2 ** 63), 2 ** 63 - 1)),
+    st.one_of(st.none(), st.integers(0, 2 ** 64 - 1)),
+    st.one_of(st.none(), st.integers(-(2 ** 31), 2 ** 31 - 1)),
+    st.one_of(st.none(), st.floats(allow_nan=False)),
+    st.one_of(st.none(), _TEXT),
+    st.one_of(st.none(), st.binary(max_size=100)),
+    st.one_of(st.none(), st.datetimes(
+        min_value=datetime.datetime(1000, 1, 1),
+        max_value=datetime.datetime(9999, 12, 31, 23, 59, 59, 999999))),
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(_ROW, min_size=1, max_size=8))
+def test_writer_decoder_roundtrip_fuzz(rows):
+    w = BinlogFileWriter("app", "t", FUZZ_COLS, table_id=4)
+    w.insert([list(r) for r in rows])
+    evs = [e for e in B.iter_binlog_events(w.to_bytes()) if e.rows]
+    got = [tuple(r["after"][c.name] for c in FUZZ_COLS)
+           for e in evs for r in e.rows]
+    assert got == list(rows)
