@@ -192,6 +192,9 @@ class TableMap:
     # bit i set => i-th NUMERIC column is unsigned
     signedness: list[bool] = field(default_factory=list)
     col_names: list[str] = field(default_factory=list)
+    # per-column unsigned flags, precomputed once (unsigned() rescans
+    # col_types per call -- O(cols^2) per ROW in the decode hot loop)
+    uflags: list[bool] = field(default_factory=list)
 
     def unsigned(self, col_idx: int) -> bool:
         """Signedness of a numeric column. The classic binlog does NOT
@@ -701,9 +704,11 @@ def _bit(bm: bytes, i: int) -> bool:
     return bool(bm[i // 8] & (1 << (i % 8)))
 
 
-def _decode_row_image(r: _Reader, tm: TableMap, present: bytes,
+def _decode_row_image(r: _Reader, tm: TableMap, present_idx: list[int],
                       partial: bool = False) -> dict[str, Any]:
-    """One row image. `partial=True` only on a PARTIAL_UPDATE_ROWS
+    """One row image (present_idx: indices of columns in the image,
+    computed ONCE per event by the caller -- this runs per row in the
+    decode hot loop). `partial=True` only on a PARTIAL_UPDATE_ROWS
     after-image (WL#2955): it is prefixed by a lenenc value_options
     and -- when the PARTIAL_JSON_UPDATES bit is set -- a partial_bits
     bitmap sized over ALL of the table's JSON columns; bits are
@@ -715,23 +720,22 @@ def _decode_row_image(r: _Reader, tm: TableMap, present: bytes,
         if value_options & 1:  # PARTIAL_JSON_UPDATES
             n_json = sum(1 for t in tm.col_types if t == T_JSON)
             partial_bits = r.bytes((n_json + 7) // 8)
-    present_idx = [i for i in range(len(tm.col_types))
-                   if _bit(present, i)]
     null_bm = r.bytes((len(present_idx) + 7) // 8)
     out: dict[str, Any] = {}
     json_seen = 0
+    names, types, metas, uflags = (tm.col_names, tm.col_types,
+                                   tm.col_meta, tm.uflags)
     for j, i in enumerate(present_idx):
-        name = (tm.col_names[i] if i < len(tm.col_names)
-                else f"@{i}")
+        name = names[i] if i < len(names) else f"@{i}"
         as_diffs = False
-        if partial_bits and tm.col_types[i] == T_JSON:
+        if partial_bits and types[i] == T_JSON:
             as_diffs = _bit(partial_bits, json_seen)
             json_seen += 1
-        if _bit(null_bm, j):
+        if null_bm[j >> 3] & (1 << (j & 7)):
             out[name] = None
         else:
-            out[name] = _decode_value(r, tm.col_types[i], tm.col_meta[i],
-                                      tm.unsigned(i), as_diffs)
+            out[name] = _decode_value(r, types[i], metas[i],
+                                      uflags[i], as_diffs)
     return out
 
 
@@ -766,6 +770,7 @@ def _parse_table_map(body: _Reader) -> TableMap:
             while rr.remaining():
                 names.append(rr.bytes(rr.lenenc()).decode())
             tm.col_names = names
+    tm.uflags = [tm.unsigned(i) for i in range(len(col_types))]
     return tm
 
 
@@ -981,6 +986,11 @@ def _decode_event_body(tc: int, body: _Reader,
                            PARTIAL_UPDATE_ROWS_EVENT)
         partial = tc == PARTIAL_UPDATE_ROWS_EVENT
         present2 = body.bytes(bm_len) if is_update else present1
+        idx1 = [i for i in range(len(tm.col_types))
+                if _bit(present1, i)]
+        idx2 = (idx1 if present2 is present1 else
+                [i for i in range(len(tm.col_types))
+                 if _bit(present2, i)])
         ev.schema, ev.table = tm.schema, tm.table
         ev.op = ("insert" if tc in (WRITE_ROWS_EVENT,
                                     WRITE_ROWS_EVENT_V1)
@@ -989,18 +999,18 @@ def _decode_event_body(tc: int, body: _Reader,
                  else "update")
         while body.remaining() > 0:
             if is_update:
-                before = _decode_row_image(body, tm, present1)
-                after = _decode_row_image(body, tm, present2,
+                before = _decode_row_image(body, tm, idx1)
+                after = _decode_row_image(body, tm, idx2,
                                           partial=partial)
                 if partial:
                     after = _merge_partial_after(before, after)
                 ev.rows.append({"before": before, "after": after})
             elif ev.op == "insert":
                 ev.rows.append(
-                    {"after": _decode_row_image(body, tm, present1)})
+                    {"after": _decode_row_image(body, tm, idx1)})
             else:
                 ev.rows.append(
-                    {"before": _decode_row_image(body, tm, present1)})
+                    {"before": _decode_row_image(body, tm, idx1)})
     elif tc == QUERY_EVENT:
         body.u32()  # thread id
         body.u32()  # exec time
