@@ -54,13 +54,16 @@ Support matrix vs canal/go-mysql's decode surface (round 8):
   are replayed against the before-image, so consumers only ever see
   full documents; requires binlog_row_image=FULL, else refused);
   binlog_transaction_compression=ON (event 40: the TLV payload
-  envelope is opened in place -- uncompressed payloads always,
-  zstd when the optional 'zstandard' module is installed).
+  envelope is opened in place -- uncompressed payloads always, zstd
+  via the 'zstandard' module or pyarrow's bundled libzstd codec,
+  and pyarrow is already a hard dependency of this engine).
 
   EXPLICIT REFUSAL (BinlogError, never silent drop) -- zstd payload
-  without the 'zstandard' module (names the pip package and the
-  server knob), partial-JSON diffs whose before-image lacks the
-  document (binlog_row_image != FULL), unknown payload compression,
+  with neither zstandard nor pyarrow available, or without the
+  envelope's uncompressed-size field on the pyarrow path (its codec
+  needs the exact size; the server always writes the field),
+  partial-JSON diffs whose before-image lacks the document
+  (binlog_row_image != FULL), unknown payload compression,
   unknown diff operations, diff paths that do not resolve.
 
   FRAMING-ONLY SKIP (no row data inside) -- GTID/ANONYMOUS_GTID/
@@ -871,16 +874,33 @@ def _decompress_payload(body: _Reader) -> bytes:
     if comp == _PAYLOAD_COMPRESSION_NONE:
         return payload
     if comp == _PAYLOAD_COMPRESSION_ZSTD:
+        out: bytes | None = None
         try:
             import zstandard
+            out = zstandard.ZstdDecompressor().decompress(
+                payload, max_output_size=usize if usize else 1 << 30)
         except ImportError:
-            raise BinlogError(
-                "TRANSACTION_PAYLOAD is zstd-compressed and the "
-                "'zstandard' module is not installed -- pip install "
-                "zstandard, or set binlog_transaction_compression=OFF "
-                "on the server") from None
-        out = zstandard.ZstdDecompressor().decompress(
-            payload, max_output_size=usize if usize else 1 << 30)
+            # pyarrow (a hard dependency of this engine anyway)
+            # bundles libzstd; its codec needs the exact output size,
+            # which the envelope's uncompressed-size field carries
+            # (the server always writes it).
+            try:
+                import pyarrow
+            except ImportError:
+                raise BinlogError(
+                    "TRANSACTION_PAYLOAD is zstd-compressed and "
+                    "neither 'zstandard' nor 'pyarrow' is available "
+                    "-- pip install either, or set "
+                    "binlog_transaction_compression=OFF on the "
+                    "server") from None
+            if usize is None:
+                raise BinlogError(
+                    "zstd TRANSACTION_PAYLOAD without an "
+                    "uncompressed-size field -- pyarrow's codec needs "
+                    "the exact size; install 'zstandard' for "
+                    "streaming decompression") from None
+            out = bytes(pyarrow.Codec("zstd").decompress(
+                payload, decompressed_size=usize))
         if usize is not None and len(out) != usize:
             raise BinlogError(
                 f"zstd payload decompressed to {len(out)} bytes, "
