@@ -10,6 +10,7 @@ produced."""
 from __future__ import annotations
 
 import hashlib
+import json
 import socketserver
 import struct
 import threading
@@ -545,3 +546,47 @@ def test_relay_writer_skips_heartbeats(tmp_path):
     w.append(hb)
     data = (tmp_path / "mysql-bin.000009").read_bytes()
     assert data == B.BINLOG_MAGIC
+
+
+def test_relay_carries_payload_and_partial_json_events(tmp_path, spark):
+    """A MySQL 8 server with binlog_transaction_compression=ON and
+    binlog_row_value_options=PARTIAL_JSON streams TRANSACTION_PAYLOAD
+    envelopes and PARTIAL_UPDATE_ROWS events over the wire; the relay
+    writer ships them verbatim and the distributed decode opens the
+    envelope and replays the JSON diffs -- the whole round-8 decode
+    surface composing with the tail topology."""
+    from tests.test_binlog import (_PJ_COLS, _raw_frames, e_i32,
+                                   e_json_diffs, e_json_obj,
+                                   wrap_json_col)
+
+    enc = Enc()
+    inner = _raw_frames(lambda e: (
+        e.table_map(9, "app", "j", _PJ_COLS),
+        e.rows(B.WRITE_ROWS_EVENT, 9, 2,
+               [[e_i32(1), wrap_json_col(e_json_obj(
+                   {"a": 1, "tags": ["x"]}))]]),
+        e.xid(7)))
+    enc.payload(inner, usize=len(inner))
+    enc.table_map(9, "app", "j", _PJ_COLS)
+    before = [e_i32(1),
+              wrap_json_col(e_json_obj({"a": 1, "tags": ["x"]}))]
+    after = [e_i32(1), wrap_json_col(e_json_diffs(
+        [(0, "$.a", 2), (1, "$.tags[1]", "y")]))]
+    enc.rows_partial_update(9, 2, [(before, after, 1, bytes([1]))])
+    file_bytes = enc.bytes()
+
+    srv = FakeMySQL({"mysql-bin.000007": file_bytes}).start()
+    try:
+        c = R.ReplicationClient(srv.host, srv.port,
+                                user=USER, password=PASSWORD)
+        relay = tmp_path / "relay"
+        R.tail_to_relay(c, str(relay), "mysql-bin.000007")
+    finally:
+        srv.stop()
+
+    env = B.read_binlog_files(spark, str(relay))
+    rows = {r["op"]: r for r in env.collect()}
+    assert json.loads(rows["insert"]["after"])["doc"] == \
+        {"a": 1, "tags": ["x"]}
+    assert json.loads(rows["update"]["after"])["doc"] == \
+        {"a": 2, "tags": ["x", "y"]}
