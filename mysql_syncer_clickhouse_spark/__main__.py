@@ -231,7 +231,7 @@ def run_binlog(cfg: EngineConfig, binlog_dir: str, *,
     return results
 
 
-def run_tail(cfg: EngineConfig, start_file: str, *,
+def run_tail(cfg: EngineConfig, start_file: str | None, *,
              relay_dir: str | None = None, start_pos: int = 4,
              compact: bool = False, spark=None) -> list[dict]:
     """--tail mode: the reference's FULL topology in one command
@@ -315,10 +315,13 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--binlog-dir",
                     help="directory of MySQL binlog files (mysql-bin.N)"
                          " to drain instead of a parquet changelog")
-    ap.add_argument("--tail", metavar="START_FILE",
+    ap.add_argument("--tail", metavar="START_FILE", nargs="?",
+                    const="@current",
                     help="register on [source_addr] as a pseudo-replica"
                          " (server_id from config), catch up the binlog"
-                         " stream into <data_dir>/_relay, then drain it")
+                         " stream into <data_dir>/_relay, then drain it;"
+                         " without START_FILE the current position is"
+                         " resolved via SHOW MASTER STATUS")
     ap.add_argument("--relay-dir",
                     help="relay directory for --tail "
                          "(default <data_dir>/_relay)")
@@ -364,7 +367,9 @@ def main(argv: list[str] | None = None) -> int:
                  "--tail are required (or use --curate / --query)")
     cfg = EngineConfig.from_toml(args.config)
     if args.tail:
-        lines = run_tail(cfg, args.tail, relay_dir=args.relay_dir,
+        lines = run_tail(cfg,
+                         None if args.tail == "@current" else args.tail,
+                         relay_dir=args.relay_dir,
                          compact=args.compact)
     elif args.binlog_dir:
         lines = run_binlog(cfg, args.binlog_dir,

@@ -53,7 +53,9 @@ import struct
 from dataclasses import dataclass
 
 from .binlog import (BINLOG_MAGIC, FORMAT_DESCRIPTION_EVENT,
-                     HEARTBEAT_LOG_EVENT, ROTATE_EVENT, fde_checksummed)
+                     HEARTBEAT_LOG_EVENT, ROTATE_EVENT, BinlogError,
+                     fde_checksummed)
+from .binlog import _Reader as _BReader  # lenenc over packet bytes
 
 # capability flags (public protocol constants)
 CLIENT_LONG_PASSWORD = 0x1
@@ -297,10 +299,65 @@ class ReplicationClient:
         self.io.send_packet(payload, seq=0)
 
     def query_ok(self, sql: str) -> None:
-        """COM_QUERY for OK-only statements (SET ...). Resultsets are
-        out of scope -- a replica only needs session setup."""
+        """COM_QUERY for OK-only statements (SET ...)."""
         self._command(bytes([COM_QUERY]) + sql.encode("utf-8"))
         self._expect_ok(f"query {sql[:40]!r}")
+
+    def query_rows(self, sql: str) -> list[tuple[str | None, ...]]:
+        """COM_QUERY with a TEXT resultset -- the bootstrap
+        introspection the reference runs through canal (SHOW MASTER
+        STATUS, river/status.go:27-35). Classic protocol shape:
+        column-count, column-definition packets, EOF, row packets of
+        lenenc strings (0xFB = NULL), terminating EOF. Values arrive
+        as strings -- the text protocol's own contract. OK-only
+        statements return []."""
+        self._command(bytes([COM_QUERY]) + sql.encode("utf-8"))
+        p = self.io.read_packet()
+        if p[0] == 0xFF:
+            raise _parse_err(p, self.caps)
+        if p[0] == 0x00:
+            return []                          # OK: no resultset
+        try:
+            ncols = _BReader(p).lenenc()
+        except BinlogError as e:
+            raise MySQLProtocolError(f"bad column count: {e}") from None
+        for _ in range(ncols):
+            self.io.read_packet()              # column definitions
+        p = self.io.read_packet()
+        if not (p[0] == 0xFE and len(p) < 9):
+            raise MySQLProtocolError("missing EOF after column "
+                                     "definitions")
+        rows: list[tuple[str | None, ...]] = []
+        while True:
+            p = self.io.read_packet()
+            if p[0] == 0xFF:
+                raise _parse_err(p, self.caps)
+            if p[0] == 0xFE and len(p) < 9:
+                return rows
+            rd = _BReader(p)
+            vals: list[str | None] = []
+            try:
+                for _ in range(ncols):
+                    if rd.b[rd.i] == 0xFB:     # NULL marker
+                        rd.i += 1
+                        vals.append(None)
+                    else:
+                        vals.append(rd.bytes(rd.lenenc())
+                                    .decode("utf-8", "replace"))
+            except (BinlogError, IndexError) as e:
+                raise MySQLProtocolError(f"bad text row: {e}") from None
+            rows.append(tuple(vals))
+
+    def master_status(self) -> tuple[str, int]:
+        """(current binlog file, position) via SHOW MASTER STATUS --
+        what a tail without an explicit checkpoint starts from, and
+        what the reference's /stat reports (river/status.go:27-35)."""
+        rows = self.query_rows("SHOW MASTER STATUS")
+        if not rows or rows[0][0] is None:
+            raise MySQLProtocolError(
+                "SHOW MASTER STATUS returned no position -- is binary "
+                "logging enabled (log_bin)?")
+        return rows[0][0], int(rows[0][1])
 
     def register_and_dump(self, start_file: str, start_pos: int = 4,
                           *, hostname: str = "",
@@ -450,21 +507,26 @@ class RelayWriter:
 
 
 def tail_to_relay(client: ReplicationClient, relay_dir: str,
-                  start_file: str, start_pos: int = 4, *,
+                  start_file: str | None = None, start_pos: int = 4, *,
                   max_events: int | None = None,
                   setup_checksum: bool = True,
                   non_block: bool = False) -> int:
     """Drive one replica connection into a relay directory: the
     driver-side (or external-process) half of live tailing; the
     distributed half is read_binlog_files(relay_dir, streaming=True).
-    Returns the number of events relayed. `max_events` bounds the
-    drain for catch-up runs and tests; a production tailer loops."""
+    `start_file=None` resolves the server's CURRENT position via SHOW
+    MASTER STATUS (a fresh tail with no checkpoint -- canal's own
+    bootstrap). Returns the number of events relayed. `max_events`
+    bounds the drain for catch-up runs and tests; a production tailer
+    loops."""
     try:
         client.connect()
         if setup_checksum:
             # the replica contract: declare the checksum the server
             # should keep emitting (canal does the same before dumping)
             client.query_ok("SET @master_binlog_checksum = 'CRC32'")
+        if start_file is None:
+            start_file, start_pos = client.master_status()
         client.register_and_dump(start_file, start_pos,
                                  non_block=non_block)
         writer = RelayWriter(relay_dir, checksummed=setup_checksum)

@@ -146,7 +146,12 @@ class FakeMySQL:
             with self._lock:
                 self.commands.append((cmd[0], cmd[1:]))
             if cmd[0] == R.COM_QUERY:
-                self._send_pkt(sock, 1, b"\x00\x00\x00\x02\x00\x00\x00")
+                if cmd[1:].decode().upper().startswith(
+                        "SHOW MASTER STATUS"):
+                    self._send_master_status(sock)
+                else:
+                    self._send_pkt(sock, 1,
+                                   b"\x00\x00\x00\x02\x00\x00\x00")
             elif cmd[0] == R.COM_REGISTER_SLAVE:
                 self._send_pkt(sock, 1, b"\x00\x00\x00\x02\x00\x00\x00")
             elif cmd[0] in (R.COM_BINLOG_DUMP, R.COM_BINLOG_DUMP_GTID):
@@ -179,6 +184,37 @@ class FakeMySQL:
                 self._send_pkt(sock, 1,
                                b"\xff" + struct.pack("<H", 1047)
                                + b"#08S01Unknown command")
+
+    def _send_master_status(self, sock) -> None:
+        """Classic TEXT resultset for SHOW MASTER STATUS, built
+        independently: column count, 5 column defs, EOF, one row
+        (current file, its byte size as position, '', '', NULL), EOF."""
+        def lenenc_str(s: bytes) -> bytes:
+            return bytes([len(s)]) + s
+
+        names = [b"File", b"Position", b"Binlog_Do_DB",
+                 b"Binlog_Ignore_DB", b"Executed_Gtid_Set"]
+        seq = 1
+        self._send_pkt(sock, seq, bytes([len(names)]))
+        for nm in names:
+            seq += 1
+            # minimal column-def41 (catalog 'def', blanks, type blob)
+            col = (lenenc_str(b"def") + lenenc_str(b"") * 3
+                   + lenenc_str(nm) + lenenc_str(nm)
+                   + bytes([0x0C]) + struct.pack("<HIBHB", 33, 255,
+                                                 252, 0, 0)
+                   + b"\x00\x00")
+            self._send_pkt(sock, seq, col)
+        seq += 1
+        self._send_pkt(sock, seq, b"\xfe\x00\x00\x02\x00")
+        last = max(self.files)
+        row = (lenenc_str(last.encode())
+               + lenenc_str(str(len(self.files[last])).encode())
+               + lenenc_str(b"") + lenenc_str(b"") + b"\xfb")
+        seq += 1
+        self._send_pkt(sock, seq, row)
+        seq += 1
+        self._send_pkt(sock, seq, b"\xfe\x00\x00\x02\x00")
 
     def start(self):
         threading.Thread(target=self._srv.serve_forever,
@@ -590,3 +626,57 @@ def test_relay_carries_payload_and_partial_json_events(tmp_path, spark):
         {"a": 1, "tags": ["x"]}
     assert json.loads(rows["update"]["after"])["doc"] == \
         {"a": 2, "tags": ["x", "y"]}
+
+
+def test_query_rows_and_master_status(fake_mysql):
+    """TEXT resultset parsing against an independently-built resultset
+    (column defs, lenenc string rows, 0xFB NULL, EOF framing)."""
+    c = R.ReplicationClient(fake_mysql.host, fake_mysql.port,
+                            user=USER, password=PASSWORD)
+    c.connect()
+    try:
+        rows = c.query_rows("SHOW MASTER STATUS")
+        assert len(rows) == 1
+        assert rows[0][2] == "" and rows[0][4] is None   # NULL marker
+        f, pos = c.master_status()
+        assert f == "mysql-bin.000002" and pos > 4
+        assert c.query_rows("SET @x = 1") == []          # OK: no rs
+    finally:
+        c.close()
+
+
+def test_tail_without_checkpoint_starts_at_master_status(
+        fake_mysql, tmp_path):
+    """start_file=None: the tail resolves the server's CURRENT
+    position via SHOW MASTER STATUS (canal's fresh-start bootstrap)
+    and dumps from there -- only the last file's events arrive."""
+    c = R.ReplicationClient(fake_mysql.host, fake_mysql.port,
+                            user=USER, password=PASSWORD)
+    n = R.tail_to_relay(c, str(tmp_path / "relay"), None)
+    assert n > 0
+    dumps = [d for (t, d) in fake_mysql.commands
+             if t == R.COM_BINLOG_DUMP]
+    assert len(dumps) == 1
+    assert dumps[0][10:].decode() == "mysql-bin.000002"
+    files = sorted(p.name for p in (tmp_path / "relay").iterdir())
+    assert files == ["mysql-bin.000002"]
+
+
+def test_cli_tail_mode_auto_position(fake_mysql, tmp_path, spark):
+    """--tail with no START_FILE: the CLI resolves the server's
+    current position (SHOW MASTER STATUS) and dumps from there."""
+    import os
+
+    from mysql_syncer_clickhouse_spark.__main__ import run_tail
+    from mysql_syncer_clickhouse_spark.config import EngineConfig
+    toml = os.path.join(os.path.dirname(__file__), "..", "etc",
+                        "river.toml")
+    cfg = EngineConfig.from_toml(toml)
+    cfg.data_dir = str(tmp_path / "log")
+    cfg.source_addr = f"{fake_mysql.host}:{fake_mysql.port}"
+    cfg.source_user, cfg.source_pass = USER, PASSWORD
+    out = run_tail(cfg, None, spark=spark)
+    assert out[0]["mode"] == "tail" and out[0]["events_relayed"] > 0
+    relay = tmp_path / "log" / "_relay"
+    assert sorted(p.name for p in relay.iterdir()) == \
+        ["mysql-bin.000002"]
