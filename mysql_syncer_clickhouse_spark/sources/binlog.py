@@ -830,11 +830,15 @@ def fde_checksummed(fde_body: bytes) -> bool:
     exists only for server versions >= 5.6.1. Shared by the file
     decoder and the replication tailer (mysql_repl.py), which must
     know whether streamed ROTATE events carry a trailing CRC."""
-    ver = fde_body[2:52].split(b"\x00")[0].decode()
+    # tolerant decode: a corrupt version string must raise BinlogError
+    # downstream (or parse as 0.0.0), never a stray UnicodeDecodeError
+    ver = fde_body[2:52].split(b"\x00")[0].decode("utf-8", "replace")
     parts = tuple(int("".join(ch for ch in p if ch.isdigit()) or 0)
                   for p in ver.split(".")[:3])
     if parts < (5, 6, 1):
         return False
+    if len(fde_body) < 5:
+        raise BinlogError("FORMAT_DESCRIPTION body too short")
     alg = fde_body[-5]
     if alg not in (0, 1):
         raise BinlogError(f"unsupported checksum alg {alg}")
@@ -965,15 +969,35 @@ def iter_binlog_events(data: bytes, *,
                     raise BinlogError("nested TRANSACTION_PAYLOAD")
                 ibody = _Reader(inner[ipos + _HEADER_LEN:ipos + isize])
                 iev = BinlogEvent(itc, its, isid, ilog)
-                _decode_event_body(itc, ibody, tables, iev)
+                _decode_body_guarded(itc, ibody, tables, iev,
+                                     f"payload frame at {ipos}")
                 yield iev
                 ipos += isize
             if ipos != len(inner):
                 raise BinlogError("trailing bytes in payload envelope")
         else:
-            _decode_event_body(tc, body, tables, ev)
+            _decode_body_guarded(tc, body, tables, ev, f"offset {pos}")
             yield ev
         pos += size
+
+
+def _decode_body_guarded(tc: int, body: _Reader,
+                         tables: dict[int, TableMap],
+                         ev: BinlogEvent, where: str) -> None:
+    """Corrupt-bytes contract: whatever a malformed body trips inside
+    the decoders (an impossible date, a bad utf-8 name, an index past
+    a JSON offset table), the caller sees ONE exception type --
+    BinlogError -- with the event position. The decoder runs inside
+    executor tasks on untrusted bytes; stray ValueErrors would surface
+    as inscrutable task failures."""
+    try:
+        _decode_event_body(tc, body, tables, ev)
+    except BinlogError:
+        raise
+    except (ValueError, IndexError, KeyError, OverflowError,
+            UnicodeDecodeError, struct.error) as e:
+        raise BinlogError(
+            f"corrupt event body ({where}, type {tc}): {e}") from e
 
 
 def _decode_event_body(tc: int, body: _Reader,
@@ -1018,6 +1042,7 @@ def _decode_event_body(tc: int, body: _Reader,
                                          DELETE_ROWS_EVENT_V1)
                  else "update")
         while body.remaining() > 0:
+            mark = body.i
             if is_update:
                 before = _decode_row_image(body, tm, idx1)
                 after = _decode_row_image(body, tm, idx2,
@@ -1031,6 +1056,10 @@ def _decode_event_body(tc: int, body: _Reader,
             else:
                 ev.rows.append(
                     {"before": _decode_row_image(body, tm, idx1)})
+            if body.i == mark:
+                # all-zero present bitmap (corrupt): a row image that
+                # consumes no bytes would loop forever
+                raise BinlogError("row image consumed no bytes")
     elif tc == QUERY_EVENT:
         body.u32()  # thread id
         body.u32()  # exec time

@@ -1044,3 +1044,53 @@ def test_binlog_stream_through_pipeline(spark, binlog_dir, tmp_path):
              for r in latest_state(spark.read.parquet(out),
                                    ["id"]).collect()}
     assert final == {1: "first-edited", 3: "third"}
+
+
+# ------------------------------------------------- corrupt-bytes fuzz
+# The decoder runs inside executor tasks on untrusted bytes: ANY
+# malformed input must fail with BinlogError (one exception type, with
+# position context) or decode -- never a stray ValueError/IndexError,
+# never a hang.
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+def _fuzz_bases():
+    items = _items_file(1, [("insert", [(1, "a", 1), (2, "b", 2)]),
+                            ("update", [[(1, "a", 1), (1, "c", 3)]])])
+    pj = _partial_update_file(
+        {"a": 1, "b": [1, 2]}, [(0, "$.a", 5), (1, "$.b[2]", 9)])
+    enc = Enc()
+    inner = _raw_frames(lambda e: (
+        e.table_map(5, "app", "t", _PAYLOAD_COLS),
+        e.rows(B.WRITE_ROWS_EVENT, 5, 2, [[e_i32(1), e_varchar("x")]])))
+    enc.payload(inner, usize=len(inner))
+    return [items, pj, enc.bytes()]
+
+
+_BASES = _fuzz_bases()
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.data())
+def test_decoder_mutated_bytes_fail_cleanly(data):
+    buf = bytearray(data.draw(st.sampled_from(_BASES)))
+    for _ in range(data.draw(st.integers(1, 8))):
+        i = data.draw(st.integers(0, len(buf) - 1))
+        buf[i] = data.draw(st.integers(0, 255))
+    try:
+        # checksum off so mutations reach the value decoders instead
+        # of all dying at the CRC gate
+        list(B.iter_binlog_events(bytes(buf), verify_checksum=False))
+    except B.BinlogError:
+        pass
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=400))
+def test_decoder_random_bytes_fail_cleanly(raw):
+    try:
+        list(B.iter_binlog_events(B.BINLOG_MAGIC + raw,
+                                  verify_checksum=False))
+    except B.BinlogError:
+        pass
