@@ -249,7 +249,8 @@ def run_tail(cfg: EngineConfig, start_file: str | None, *,
     client = ReplicationClient(host or "127.0.0.1", int(port),
                                user=cfg.source_user or "root",
                                password=cfg.source_pass or "",
-                               server_id=cfg.server_id)
+                               server_id=cfg.server_id,
+                               charset=cfg.source_charset or "utf8")
     n = tail_to_relay(client, relay, start_file, start_pos,
                       non_block=True)
     out = [{"mode": "tail", "source": cfg.source_addr,

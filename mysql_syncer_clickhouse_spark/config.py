@@ -48,6 +48,10 @@ class EngineConfig:
     source_addr: str | None = None
     source_user: str | None = None
     source_pass: str | None = None
+    # reference river/config.go:22, wired at river.go:107 -- the
+    # charset the replica declares in its handshake. sink_charset is
+    # accepted-but-ignored: ClickHouse is UTF-8 only.
+    source_charset: str | None = None
     # reference river/config.go:24-27 -- the ClickHouse endpoint. When
     # set, the CLI applies batches to ClickHouse (the reference's only
     # sink): native TCP for host:port (the reference's own transport),
@@ -80,6 +84,7 @@ class EngineConfig:
             source_addr=cfg.get("source_addr"),
             source_user=cfg.get("source_user"),
             source_pass=cfg.get("source_pass"),
+            source_charset=cfg.get("source_charset"),
             sink_addr=cfg.get("sink_addr"),
             sink_user=cfg.get("sink_user"),
             sink_pass=cfg.get("sink_pass"),

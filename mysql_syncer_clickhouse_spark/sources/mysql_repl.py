@@ -73,6 +73,11 @@ BINLOG_THROUGH_GTID = 0x04
 NATIVE_AUTH = "mysql_native_password"
 CACHING_SHA2_AUTH = "caching_sha2_password"
 
+# charset name -> default collation id (public charset registry;
+# the HandshakeResponse41 charset byte, river.toml source_charset)
+CHARSET_IDS = {"utf8": 33, "utf8mb3": 33, "utf8mb4": 45, "latin1": 8,
+               "ascii": 11, "gbk": 28, "big5": 1, "binary": 63}
+
 
 class MySQLProtocolError(ConnectionError):
     pass
@@ -197,11 +202,17 @@ class ReplicationClient:
 
     def __init__(self, host: str, port: int = 3306, *,
                  user: str = "repl", password: str = "",
-                 server_id: int = 1001, timeout: float = 60.0):
+                 server_id: int = 1001, timeout: float = 60.0,
+                 charset: str = "utf8"):
         self.host, self.port = host, port
         self.user, self.password = user, password
         self.server_id = server_id
         self.timeout = timeout
+        if charset not in CHARSET_IDS:
+            raise MySQLProtocolError(
+                f"unknown charset {charset!r} (supported: "
+                f"{', '.join(sorted(CHARSET_IDS))})")
+        self.charset_id = CHARSET_IDS[charset]
         self.io: _PacketIO | None = None
         self.caps = 0
         self.server_version = ""
@@ -222,7 +233,8 @@ class ReplicationClient:
                      | CLIENT_PROTOCOL_41 | CLIENT_SECURE_CONNECTION
                      | CLIENT_PLUGIN_AUTH)
         auth = _SCRAMBLERS[plugin](self.password, nonce)
-        resp = struct.pack("<IIB", self.caps, 1 << 24, 33) + bytes(23)
+        resp = struct.pack("<IIB", self.caps, 1 << 24,
+                           self.charset_id) + bytes(23)
         resp += self.user.encode() + b"\x00"
         resp += bytes([len(auth)]) + auth
         resp += plugin.encode() + b"\x00"

@@ -680,3 +680,50 @@ def test_cli_tail_mode_auto_position(fake_mysql, tmp_path, spark):
     relay = tmp_path / "log" / "_relay"
     assert sorted(p.name for p in relay.iterdir()) == \
         ["mysql-bin.000002"]
+
+
+def test_source_charset_reaches_the_handshake():
+    """river.toml source_charset (reference river.go:107) becomes the
+    HandshakeResponse41 charset byte (offset 8: caps(4) maxpkt(4))."""
+    import socketserver
+
+    seen = {}
+
+    class Handler(socketserver.BaseRequestHandler):
+        def handle(self):
+            try:
+                greet = bytes([10]) + b"8.0.36-fake\x00"
+                greet += struct.pack("<I", 7) + NONCE[:8] + b"\x00"
+                caps = 0x200 | 0x8000 | 0x80000
+                greet += struct.pack("<H", caps & 0xFFFF) + bytes([33])
+                greet += struct.pack("<H", 0x0002)
+                greet += struct.pack("<H", caps >> 16) + bytes([21])
+                greet += bytes(10) + NONCE[8:] + b"\x00"
+                greet += b"mysql_native_password\x00"
+                FakeMySQL._send_pkt(self.request, 0, greet)
+                r = FakeMySQL._Buf(self.request)
+                seq, resp = FakeMySQL._read_pkt(r)
+                seen["charset"] = resp[8]
+                FakeMySQL._send_pkt(self.request, seq + 1,
+                                    b"\x00\x00\x00\x02\x00\x00\x00")
+            except (ConnectionError, OSError):
+                pass
+
+    class Srv(socketserver.ThreadingTCPServer):
+        allow_reuse_address = True
+        daemon_threads = True
+
+    srv = Srv(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        c = R.ReplicationClient(*srv.server_address, user=USER,
+                                password=PASSWORD, charset="utf8mb4")
+        c.connect()
+        c.close()
+    finally:
+        srv.shutdown()
+        srv.server_close()
+    assert seen["charset"] == 45      # utf8mb4's collation id
+
+    with pytest.raises(R.MySQLProtocolError, match="unknown charset"):
+        R.ReplicationClient("127.0.0.1", 1, charset="klingon")
