@@ -363,8 +363,15 @@ class ReplicationClient:
     def master_status(self) -> tuple[str, int]:
         """(current binlog file, position) via SHOW MASTER STATUS --
         what a tail without an explicit checkpoint starts from, and
-        what the reference's /stat reports (river/status.go:27-35)."""
-        rows = self.query_rows("SHOW MASTER STATUS")
+        what the reference's /stat reports (river/status.go:27-35).
+        MySQL 8.4 removed the statement (ER_PARSE_ERROR); fall back to
+        its rename, SHOW BINARY LOG STATUS."""
+        try:
+            rows = self.query_rows("SHOW MASTER STATUS")
+        except MySQLServerError as e:
+            if e.code != 1064:
+                raise
+            rows = self.query_rows("SHOW BINARY LOG STATUS")
         if not rows or rows[0][0] is None:
             raise MySQLProtocolError(
                 "SHOW MASTER STATUS returned no position -- is binary "

@@ -65,6 +65,7 @@ class FakeMySQL:
         self.commands: list[tuple[int, bytes]] = []
         self.auth_ok: list[bool] = []
         self.gtid_blobs: list[bytes] = []
+        self.mysql84 = False        # 8.4: SHOW MASTER STATUS removed
         self._lock = threading.Lock()
         outer = self
 
@@ -146,8 +147,17 @@ class FakeMySQL:
             with self._lock:
                 self.commands.append((cmd[0], cmd[1:]))
             if cmd[0] == R.COM_QUERY:
-                if cmd[1:].decode().upper().startswith(
-                        "SHOW MASTER STATUS"):
+                sql = cmd[1:].decode().upper()
+                if sql.startswith("SHOW MASTER STATUS"):
+                    if self.mysql84:
+                        # MySQL 8.4 removed the statement
+                        self._send_pkt(
+                            sock, 1, b"\xff" + struct.pack("<H", 1064)
+                            + b"#42000You have an error in your SQL "
+                              b"syntax")
+                    else:
+                        self._send_master_status(sock)
+                elif sql.startswith("SHOW BINARY LOG STATUS"):
                     self._send_master_status(sock)
                 else:
                     self._send_pkt(sock, 1,
@@ -727,3 +737,17 @@ def test_source_charset_reaches_the_handshake():
 
     with pytest.raises(R.MySQLProtocolError, match="unknown charset"):
         R.ReplicationClient("127.0.0.1", 1, charset="klingon")
+
+
+def test_master_status_falls_back_on_mysql_84(fake_mysql):
+    """MySQL 8.4 removed SHOW MASTER STATUS (ER_PARSE_ERROR 1064);
+    the client retries with SHOW BINARY LOG STATUS."""
+    fake_mysql.mysql84 = True
+    c = R.ReplicationClient(fake_mysql.host, fake_mysql.port,
+                            user=USER, password=PASSWORD)
+    c.connect()
+    try:
+        f, pos = c.master_status()
+        assert f == "mysql-bin.000002" and pos > 4
+    finally:
+        c.close()
