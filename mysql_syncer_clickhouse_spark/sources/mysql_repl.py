@@ -249,6 +249,7 @@ class ReplicationClient:
         replica client deliberately does not do -- refused with
         guidance), and AuthSwitchRequest (re-scramble with the
         switched plugin's algorithm over its fresh nonce)."""
+        switches = 0
         while True:
             p = self.io.read_packet()
             if p[0] == 0x00:
@@ -271,8 +272,12 @@ class ReplicationClient:
                 raise MySQLProtocolError(
                     f"unexpected AuthMoreData 0x{p[1:9].hex()}")
             if p[0] == 0xFE and len(p) >= 9:   # AuthSwitchRequest
-                end = p.index(b"\x00", 1)
-                plugin = p[1:end].decode()
+                switches += 1
+                if switches > 2:           # real servers send at most 1
+                    raise MySQLProtocolError("auth switch loop")
+                end = (p.index(b"\x00", 1) if b"\x00" in p[1:]
+                       else len(p))
+                plugin = p[1:end].decode("utf-8", "replace")
                 data = p[end + 1:]
                 if data.endswith(b"\x00"):
                     data = data[:-1]
@@ -333,6 +338,9 @@ class ReplicationClient:
             ncols = _BReader(p).lenenc()
         except BinlogError as e:
             raise MySQLProtocolError(f"bad column count: {e}") from None
+        if not 0 < ncols <= 4096:
+            raise MySQLProtocolError(f"implausible column count "
+                                     f"{ncols}")
         for _ in range(ncols):
             self.io.read_packet()              # column definitions
         p = self.io.read_packet()
