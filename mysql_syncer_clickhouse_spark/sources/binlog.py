@@ -67,8 +67,10 @@ Support matrix vs canal/go-mysql's decode surface (round 8):
   unknown diff operations, diff paths that do not resolve.
 
   FRAMING-ONLY SKIP (no row data inside) -- GTID/ANONYMOUS_GTID/
-  PREVIOUS_GTIDS, ROTATE (next-file name surfaced), QUERY (schema +
-  statement surfaced), XID (surfaced).
+  PREVIOUS_GTIDS and their MariaDB analogs GTID_EVENT(162)/
+  GTID_LIST_EVENT(163) (identities surfaced and stamped onto rows
+  in both flavors), ROTATE (next-file name surfaced), QUERY (schema
+  + statement surfaced), XID (surfaced).
 """
 
 from __future__ import annotations
@@ -106,6 +108,10 @@ DELETE_ROWS_EVENT = 32
 HEARTBEAT_LOG_EVENT = 27         # dump-stream keepalive, never file data
 TRANSACTION_PAYLOAD_EVENT = 40   # binlog_transaction_compression=ON
 PARTIAL_UPDATE_ROWS_EVENT = 39   # binlog_row_value_options=PARTIAL_JSON
+# MariaDB's own GTID events (flavor=mariadb; row events reuse the
+# v1 type codes, so only the transaction-identity layer differs)
+MARIADB_GTID_EVENT = 162
+MARIADB_GTID_LIST_EVENT = 163
 
 # column type codes (public enum_field_types)
 T_DECIMAL, T_TINY, T_SHORT, T_LONG, T_FLOAT, T_DOUBLE = 0, 1, 2, 3, 4, 5
@@ -1084,6 +1090,20 @@ def _decode_event_body(tc: int, body: _Reader,
         gno = body.u64()
         if tc == GTID_LOG_EVENT:
             ev.gtid = f"{_sid_to_uuid(sid)}:{gno}"
+    elif tc == MARIADB_GTID_EVENT:
+        # MariaDB layout: seq_no(8) domain_id(4) flags(1)...; the
+        # server_id comes from the common header -- together they
+        # form the textual 'domain-server-seq' identity
+        seq_no = body.u64()
+        domain = body.u32()
+        ev.gtid = f"{domain}-{ev.server_id}-{seq_no}"
+    elif tc == MARIADB_GTID_LIST_EVENT:
+        # count(4, low 28 bits) then per GTID:
+        # domain(4) server(4) seq(8) -- the PREVIOUS_GTIDS analog
+        n = body.u32() & 0x0FFFFFFF
+        ev.gtid_set = ",".join(
+            f"{body.u32()}-{body.u32()}-{body.u64()}"
+            for _ in range(n))
     elif tc == PREVIOUS_GTIDS_LOG_EVENT:
         ev.gtid_set = decode_gtid_set(
             body.bytes(body.remaining()))
@@ -1132,7 +1152,8 @@ def decode_binlog_file_bytes(file_name: str, data: bytes, *,
     gtid: str | None = None
     for ev in iter_binlog_events(data, verify_checksum=verify_checksum,
                                  tolerate_truncation=tolerate_truncation):
-        if ev.type_code in (GTID_LOG_EVENT, ANONYMOUS_GTID_LOG_EVENT):
+        if ev.type_code in (GTID_LOG_EVENT, ANONYMOUS_GTID_LOG_EVENT,
+                            MARIADB_GTID_EVENT):
             gtid = ev.gtid               # None for the anonymous form
         elif ev.type_code == XID_EVENT:
             gtid = None                  # transaction closed

@@ -1094,3 +1094,23 @@ def test_decoder_random_bytes_fail_cleanly(raw):
                                   verify_checksum=False))
     except B.BinlogError:
         pass
+
+
+def test_mariadb_gtid_events_stamp_rows():
+    """flavor=mariadb: GTID_EVENT (162) carries seq_no(8) domain(4);
+    identity = domain-server_id-seq. GTID_LIST_EVENT (163) is the
+    PREVIOUS_GTIDS analog."""
+    enc = Enc()
+    enc._event(163, struct.pack("<I", 2)
+               + struct.pack("<IIQ", 0, 7, 41)
+               + struct.pack("<IIQ", 1, 9, 17))
+    enc._event(162, struct.pack("<QIB", 42, 0, 0), server_id=7)
+    cols = [("id", B.T_LONG, b"", False)]
+    enc.table_map(3, "app", "m", cols)
+    enc.rows(B.WRITE_ROWS_EVENT, 3, 1, [[e_i32(5)]])
+    enc.xid(9)
+    evs = list(B.iter_binlog_events(enc.bytes()))
+    assert any(e.gtid_set == "0-7-41,1-9-17" for e in evs)
+    assert any(e.gtid == "0-7-42" for e in evs)
+    env = B.decode_binlog_file_bytes("mysql-bin.000001", enc.bytes())
+    assert env[0]["op"] == "insert" and env[0]["gtid"] == "0-7-42"
