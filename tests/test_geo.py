@@ -1,0 +1,67 @@
+"""Geo building blocks: WKB point decode (MySQL internal geometry
+form, SRID + WKB) and haversine distance, tested against bytes built
+independently and a from-scratch reference distance."""
+
+from __future__ import annotations
+
+import math
+import struct
+
+from pyspark.sql import functions as F
+
+from mysql_syncer_clickhouse_spark.functions.geo import (
+    great_circle_distance, wkb_point)
+
+
+def _mysql_point(lon: float, lat: float, srid: int = 4326,
+                 big_endian: bool = False) -> bytes:
+    if big_endian:
+        return (struct.pack("<I", srid) + b"\x00"
+                + struct.pack(">I", 1) + struct.pack(">dd", lon, lat))
+    return (struct.pack("<I", srid) + b"\x01"
+            + struct.pack("<I", 1) + struct.pack("<dd", lon, lat))
+
+
+def _ref_haversine(lon1, lat1, lon2, lat2) -> float:
+    rad = math.pi / 180.0
+    p1, p2 = lat1 * rad, lat2 * rad
+    dphi, dlmb = (lat2 - lat1) * rad / 2, (lon2 - lon1) * rad / 2
+    h = (math.sin(dphi) ** 2
+         + math.cos(p1) * math.cos(p2) * math.sin(dlmb) ** 2)
+    return 2 * 6371000.0 * math.asin(math.sqrt(h))
+
+
+def test_wkb_point_decode_and_distance(spark):
+    paris = (2.3522, 48.8566)
+    london = (-0.1276, 51.5072)
+    rows = [(1, _mysql_point(*paris)),
+            (2, _mysql_point(*london, big_endian=True)),
+            (3, None),
+            (4, b"\x00\x01"),                       # malformed
+            (5, struct.pack("<I", 0) + b"\x01"
+                + struct.pack("<I", 2) + bytes(16))]  # LINESTRING
+    df = spark.createDataFrame(rows, "id int, g binary")
+    out = {r["id"]: r for r in
+           df.select("id", wkb_point("g").alias("p")).collect()}
+    assert out[1]["p"]["srid"] == 4326
+    assert abs(out[1]["p"]["lon"] - paris[0]) < 1e-12
+    assert abs(out[2]["p"]["lat"] - london[1]) < 1e-12
+    assert out[3]["p"]["lon"] is None
+    assert out[4]["p"]["lon"] is None
+    assert out[5]["p"]["lon"] is None               # non-POINT -> NULL
+
+    d = (df.filter("id = 1")
+           .select(great_circle_distance(
+               F.lit(paris[0]), F.lit(paris[1]),
+               F.lit(london[0]), F.lit(london[1])).alias("d"))
+           .collect()[0]["d"])
+    ref = _ref_haversine(*paris, *london)
+    assert abs(d - ref) < 1e-6
+    assert 340_000 < d < 348_000                    # ~343.5 km
+
+    # antipodal clamp: never NaN
+    d2 = (spark.range(1)
+          .select(great_circle_distance(
+              F.lit(0.0), F.lit(0.0), F.lit(180.0), F.lit(0.0))
+              .alias("d")).collect()[0]["d"])
+    assert abs(d2 - math.pi * 6371000.0) < 1.0
