@@ -77,6 +77,35 @@ def wkb_point(col) -> Column:
     return decode(col)
 
 
+def point_in_polygon(lon, lat, poly) -> Column:
+    """ClickHouse pointInPolygon analog, pure Catalyst higher-order
+    functions (no UDF, stays in codegen): `poly` is an
+    array<struct<lon double, lat double>> of vertices (closing edge
+    implied). Classic ray casting -- count edges whose latitude span
+    crosses the point's latitude and whose crossing longitude lies to
+    the right; odd count = inside. Horizontal edges are excluded by
+    the span test, so the crossing division never sees a zero
+    denominator on a counted edge (and double division yields +/-inf,
+    not an ANSI error, regardless)."""
+    lon = lon if isinstance(lon, Column) else F.lit(lon)
+    lat = lat if isinstance(lat, Column) else F.lit(lat)
+    rotated = F.concat(F.slice(poly, 2, F.size(poly) - 1),
+                       F.slice(poly, 1, 1))
+
+    def crossing(p1, p2):
+        spans = ((p1.getField("lat") > lat)
+                 != (p2.getField("lat") > lat))
+        x = (p1.getField("lon")
+             + (lat - p1.getField("lat"))
+             * (p2.getField("lon") - p1.getField("lon"))
+             / (p2.getField("lat") - p1.getField("lat")))
+        return F.when(spans & (lon < x), F.lit(1)).otherwise(F.lit(0))
+
+    n = F.aggregate(F.zip_with(poly, rotated, crossing), F.lit(0),
+                    lambda acc, c: acc + c)
+    return n % 2 == F.lit(1)
+
+
 def great_circle_distance(lon1, lat1, lon2, lat2) -> Column:
     """Haversine distance in meters, pure Catalyst (codegen-friendly):
     2R * asin(sqrt(sin^2(dlat/2) + cos(lat1) cos(lat2) sin^2(dlon/2)))."""

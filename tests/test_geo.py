@@ -65,3 +65,36 @@ def test_wkb_point_decode_and_distance(spark):
               F.lit(0.0), F.lit(0.0), F.lit(180.0), F.lit(0.0))
               .alias("d")).collect()[0]["d"])
     assert abs(d2 - math.pi * 6371000.0) < 1.0
+
+
+def test_point_in_polygon(spark):
+    from mysql_syncer_clickhouse_spark.functions.geo import (
+        point_in_polygon)
+
+    square = [(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0)]
+    # concave "C" shape: notch cut from the right side
+    concave = [(0.0, 0.0), (10.0, 0.0), (10.0, 4.0), (4.0, 4.0),
+               (4.0, 6.0), (10.0, 6.0), (10.0, 10.0), (0.0, 10.0)]
+    cases = [
+        ("sq-in", 5.0, 5.0, square, True),
+        ("sq-out", 15.0, 5.0, square, False),
+        ("sq-out-neg", -1.0, 5.0, square, False),
+        ("cc-in-left", 2.0, 5.0, concave, True),
+        ("cc-notch", 7.0, 5.0, concave, False),   # inside the cut
+        ("cc-in-low", 7.0, 2.0, concave, True),
+    ]
+    rows = [(n, x, y, [{"lon": a, "lat": b} for a, b in p])
+            for n, x, y, p, _ in cases]
+    df = spark.createDataFrame(
+        rows, "name string, x double, y double, "
+              "poly array<struct<lon double, lat double>>")
+    got = {r["name"]: r["inside"] for r in df.select(
+        "name", point_in_polygon(F.col("x"), F.col("y"),
+                                 F.col("poly")).alias("inside"))
+        .collect()}
+    assert got == {n: want for n, _, _, _, want in cases}
+    # pure Catalyst: no Python UDF / Arrow eval nodes in the plan
+    plan = (df.select(point_in_polygon(F.col("x"), F.col("y"),
+                                       F.col("poly")))
+              ._jdf.queryExecution().executedPlan().toString())
+    assert "Python" not in plan and "Arrow" not in plan
