@@ -106,6 +106,46 @@ def point_in_polygon(lon, lat, poly) -> Column:
     return n % 2 == F.lit(1)
 
 
+_GEOHASH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_encode(lon, lat, precision: int = 12) -> Column:
+    """ClickHouse geohashEncode analog, pure Catalyst (the bit
+    interleave is statically unrolled into column arithmetic -- 5 *
+    precision bit terms summed into one long, then base32 chars
+    sliced from a literal alphabet; no UDF). precision 1..12 (12 =
+    60 bits, the format's full resolution)."""
+    if not 1 <= precision <= 12:
+        raise ValueError("geohash precision must be 1..12")
+    lon = lon if isinstance(lon, Column) else F.lit(lon)
+    lat = lat if isinstance(lat, Column) else F.lit(lat)
+    total = 5 * precision
+    bits_lon = (total + 1) // 2     # interleave starts with lon
+    bits_lat = total // 2
+
+    def cell(v, lo, span, nbits):
+        c = F.floor((v - F.lit(lo)) / F.lit(span)
+                    * F.lit(float(1 << nbits))).cast("long")
+        return F.least(F.lit((1 << nbits) - 1),
+                       F.greatest(F.lit(0), c))
+
+    ilon = cell(lon, -180.0, 360.0, bits_lon)
+    ilat = cell(lat, -90.0, 180.0, bits_lat)
+    h = F.lit(0).cast("long")
+    for k in range(total):
+        src, nbits, j = ((ilon, bits_lon, k // 2) if k % 2 == 0
+                         else (ilat, bits_lat, k // 2))
+        bit = F.shiftrightunsigned(src, nbits - 1 - j) % 2
+        h = h + bit * F.lit(1 << (total - 1 - k))
+    alphabet = F.array(*[F.lit(ch) for ch in _GEOHASH32])
+    chars = [F.element_at(alphabet,
+                          (F.shiftrightunsigned(
+                              h, 5 * (precision - 1 - c)) % 32 + 1
+                           ).cast("int"))
+             for c in range(precision)]
+    return F.concat(*chars)
+
+
 def great_circle_distance(lon1, lat1, lon2, lat2) -> Column:
     """Haversine distance in meters, pure Catalyst (codegen-friendly):
     2R * asin(sqrt(sin^2(dlat/2) + cos(lat1) cos(lat2) sin^2(dlon/2)))."""

@@ -98,3 +98,55 @@ def test_point_in_polygon(spark):
                                        F.col("poly")))
               ._jdf.queryExecution().executedPlan().toString())
     assert "Python" not in plan and "Arrow" not in plan
+
+
+def _ref_geohash(lon: float, lat: float, precision: int) -> str:
+    """From-scratch reference: classic bisection encoder."""
+    alphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
+    lo = [-180.0, -90.0]
+    hi = [180.0, 90.0]
+    bits, out, axis = 0, "", 0       # axis 0 = lon first
+    acc = 0
+    while len(out) < precision:
+        mid = (lo[axis] + hi[axis]) / 2
+        v = lon if axis == 0 else lat
+        if v >= mid:
+            acc = acc * 2 + 1
+            lo[axis] = mid
+        else:
+            acc = acc * 2
+            hi[axis] = mid
+        axis ^= 1
+        bits += 1
+        if bits == 5:
+            out += alphabet[acc]
+            acc, bits = 0, 0
+    return out
+
+
+def test_geohash_encode(spark):
+    import random
+
+    from mysql_syncer_clickhouse_spark.functions.geo import (
+        geohash_encode)
+
+    rng = random.Random(7)
+    pts = [(-5.60302734375, 42.60498046875, 5),   # wiki: ezs42
+           (0.0, 0.0, 12), (179.9999, 89.9999, 12),
+           (-180.0, -90.0, 12)]
+    pts += [(rng.uniform(-180, 180), rng.uniform(-90, 90),
+             rng.randint(1, 12)) for _ in range(40)]
+    for prec in sorted({p for _, _, p in pts}):
+        sub = [(lon, lat) for lon, lat, p in pts if p == prec]
+        df = spark.createDataFrame(sub, "lon double, lat double")
+        got = [r["h"] for r in df.select(
+            geohash_encode(F.col("lon"), F.col("lat"), prec)
+            .alias("h")).collect()]
+        want = [_ref_geohash(lon, lat, prec) for lon, lat in sub]
+        assert got == want, (prec, got, want)
+    assert _ref_geohash(-5.60302734375, 42.60498046875, 5) == "ezs42"
+    # pure Catalyst: no Python/Arrow nodes
+    df = spark.createDataFrame([(1.0, 2.0)], "lon double, lat double")
+    plan = (df.select(geohash_encode(F.col("lon"), F.col("lat"), 12))
+              ._jdf.queryExecution().executedPlan().toString())
+    assert "Python" not in plan and "Arrow" not in plan
