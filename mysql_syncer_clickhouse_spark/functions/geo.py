@@ -146,6 +146,55 @@ def geohash_encode(lon, lat, precision: int = 12) -> Column:
     return F.concat(*chars)
 
 
+def geohash_decode(h, precision: int = 12) -> Column:
+    """ClickHouse geohashDecode analog: geohash string -> struct(lon,
+    lat) at the CELL CENTER, pure Catalyst (per-char alphabet lookup
+    via locate() on a literal, bit de-interleave statically unrolled).
+    `precision` is the maximum length decoded; shorter strings decode
+    at their own length since missing low bits contribute nothing
+    beyond their cell's span (standard geohash semantics: we decode
+    the longest available prefix up to `precision`)."""
+    if not 1 <= precision <= 12:
+        raise ValueError("geohash precision must be 1..12")
+    h = h if isinstance(h, Column) else F.lit(h)
+    total_c = F.least(F.lit(precision), F.length(h))
+    alphabet = F.array(*[F.lit(ch) for ch in _GEOHASH32])
+    total = 5 * precision
+    blm = (total + 1) // 2          # max lon bits at this precision
+    bltm = total // 2
+    # FLAT weighted sums, never accumulation chains (ilon = ilon*2+bit
+    # duplicates the whole prior tree per step -- exponential analysis
+    # cost); a missing char's bits are 0, handled by the half-cell
+    # shift below, so short strings decode at their own length
+    ilon = F.lit(0).cast("long")
+    ilat = F.lit(0).cast("long")
+    for c in range(precision):
+        have = F.lit(c) < total_c
+        val = F.when(have,
+                     (F.array_position(alphabet,
+                                       F.substring(h, c + 1, 1)) - 1)
+                     .cast("long")).otherwise(F.lit(0).cast("long"))
+        for b in range(5):
+            k = 5 * c + b
+            bit = F.shiftrightunsigned(val, 4 - b) % 2
+            if k % 2 == 0:
+                ilon = ilon + bit * F.lit(1 << (blm - 1 - k // 2))
+            else:
+                ilat = ilat + bit * F.lit(1 << (bltm - 1 - k // 2))
+    # present bit counts are pure arithmetic on the string length
+    tb = F.lit(5) * total_c
+    nlon = F.floor((tb + 1) / 2).cast("double")
+    nlat = F.floor(tb / 2).cast("double")
+    half_lon = F.pow(F.lit(2.0), F.lit(float(blm)) - nlon) * 0.5
+    half_lat = F.pow(F.lit(2.0), F.lit(float(bltm)) - nlat) * 0.5
+    lon = (F.lit(-180.0) + F.lit(360.0)
+           * (ilon.cast("double") + half_lon) / F.lit(float(1 << blm)))
+    lat = (F.lit(-90.0) + F.lit(180.0)
+           * (ilat.cast("double") + half_lat)
+           / F.lit(float(1 << bltm)))
+    return F.struct(lon.alias("lon"), lat.alias("lat"))
+
+
 def great_circle_distance(lon1, lat1, lon2, lat2) -> Column:
     """Haversine distance in meters, pure Catalyst (codegen-friendly):
     2R * asin(sqrt(sin^2(dlat/2) + cos(lat1) cos(lat2) sin^2(dlon/2)))."""

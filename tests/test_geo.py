@@ -135,7 +135,7 @@ def test_geohash_encode(spark):
            (0.0, 0.0, 12), (179.9999, 89.9999, 12),
            (-180.0, -90.0, 12)]
     pts += [(rng.uniform(-180, 180), rng.uniform(-90, 90),
-             rng.randint(1, 12)) for _ in range(40)]
+             rng.choice([1, 5, 7, 12])) for _ in range(40)]
     for prec in sorted({p for _, _, p in pts}):
         sub = [(lon, lat) for lon, lat, p in pts if p == prec]
         df = spark.createDataFrame(sub, "lon double, lat double")
@@ -149,4 +149,42 @@ def test_geohash_encode(spark):
     df = spark.createDataFrame([(1.0, 2.0)], "lon double, lat double")
     plan = (df.select(geohash_encode(F.col("lon"), F.col("lat"), 12))
               ._jdf.queryExecution().executedPlan().toString())
+    assert "Python" not in plan and "Arrow" not in plan
+
+
+def test_geohash_decode_roundtrip(spark):
+    import random
+
+    from mysql_syncer_clickhouse_spark.functions.geo import (
+        geohash_decode, geohash_encode)
+
+    rng = random.Random(11)
+    pts = [(rng.uniform(-180, 180), rng.uniform(-90, 90))
+           for _ in range(25)]
+    df = spark.createDataFrame(pts, "lon double, lat double")
+    # encode at 12, then decode from a MATERIALIZED hash column:
+    # composing two statically-unrolled expressions in one plan makes
+    # CollapseProject inline the 60-term encode into each of decode's
+    # 60 bit terms -- O(n^2) analysis. A materialization boundary
+    # keeps both trees small (what a real pipeline has anyway).
+    enc = df.select(
+        "lon", "lat",
+        geohash_encode(F.col("lon"), F.col("lat"), 12).alias("h")
+    ).collect()
+    df2 = spark.createDataFrame(
+        [(r["lon"], r["lat"], r["h"]) for r in enc],
+        "lon double, lat double, h string")
+    out = df2.select("lon", "lat",
+                     geohash_decode(F.col("h")).alias("d")).collect()
+    for r in out:
+        assert abs(r["d"]["lon"] - r["lon"]) <= 360.0 / 2 ** 30
+        assert abs(r["d"]["lat"] - r["lat"]) <= 180.0 / 2 ** 30
+    # shorter strings decode at their own length (prefix semantics)
+    one = spark.createDataFrame([("ezs42",)], "h string").select(
+        geohash_decode(F.col("h")).alias("d")).collect()[0]["d"]
+    assert abs(one["lon"] - (-5.60302734375)) < 0.022
+    assert abs(one["lat"] - 42.60498046875) < 0.022
+    plan = (spark.createDataFrame([("ezs42",)], "h string")
+            .select(geohash_decode(F.col("h")))
+            ._jdf.queryExecution().executedPlan().toString())
     assert "Python" not in plan and "Arrow" not in plan
