@@ -376,12 +376,29 @@ FROM events
 
 def t_array_ops(spark, sf_dir):
     """F7 csv->list transform + array/map built-ins, one scan; every
-    array output scalarized for the driver's hash."""
+    array output scalarized for the driver's hash. Round 8 adds the
+    web-analytics columns (functions/web.py): a deterministic IPv4 /
+    URL synthesized per row, round-tripped through IPv4StringToNum /
+    NumToString / isIPAddressInRange and domain / topLevelDomain /
+    firstSignificantSubdomain / extractURLParameter / cutQueryString
+    -- all integer/string-exact, so the DuckDB oracle restates them
+    without float-divergence risk (the trig-based geo functions stay
+    pytest-only for exactly that reason)."""
+    from ..functions import web as W
+
     ev = _events(spark, sf_dir)
     csv = F.concat_ws(",", F.col("event_type"),
                       F.col("user_id").cast("string"), F.lit("tail"))
     arr = X.csv_to_list(csv)
     arr2 = F.split(F.concat_ws(",", "event_type", "event_type"), ",")
+    ipnum_src = F.pmod(F.col("user_id") * 2654435761, F.lit(1 << 32))
+    ip = W.ipv4_num_to_string(ipnum_src)
+    url = F.concat(F.lit("https://"), F.col("event_type"),
+                   F.lit(".example.com/p/"),
+                   F.col("user_id").cast("string"),
+                   F.lit("?q="), F.col("event_type"),
+                   F.lit("&id="), F.col("user_id").cast("string"),
+                   F.lit("#frag"))
     return ev.select(
         "event_id",
         F.size(arr).alias("n_parts"),
@@ -394,6 +411,14 @@ def t_array_ops(spark, sf_dir):
          .alias("distinct_sorted"),
         F.element_at(F.create_map(F.lit("t"), F.col("event_type")), "t")
          .alias("map_val"),
+        ip.alias("ip_str"),
+        W.ipv4_string_to_num(ip).alias("ip_num"),
+        W.is_ip_address_in_range(ip, "128.0.0.0/1").alias("ip_hi"),
+        W.domain(url).alias("url_host"),
+        W.top_level_domain(url).alias("url_tld"),
+        W.first_significant_subdomain(url).alias("url_fss"),
+        W.extract_url_parameter(url, "id").alias("url_id"),
+        W.cut_query_string(url).alias("url_cut"),
     )
 
 
@@ -404,10 +429,26 @@ SELECT event_id,
        2 AS n_el,
        (event_type = 'click') AS has_click,
        event_type AS distinct_sorted,
-       event_type AS map_val
-FROM (SELECT event_id, event_type,
-             string_split(event_type || ',' || user_id || ',tail', ',') AS parts
-      FROM events)
+       event_type AS map_val,
+       ip_str,
+       ip_num,
+       (ip_num // 2147483648 = 1) AS ip_hi,
+       event_type || '.example.com' AS url_host,
+       'com' AS url_tld,
+       'example' AS url_fss,
+       CAST(user_id AS VARCHAR) AS url_id,
+       'https://' || event_type || '.example.com/p/' || user_id
+           AS url_cut
+FROM (SELECT event_id, event_type, user_id,
+             string_split(event_type || ',' || user_id || ',tail', ',') AS parts,
+             CAST((ip_num // 16777216) % 256 AS VARCHAR) || '.' ||
+             CAST((ip_num // 65536) % 256 AS VARCHAR) || '.' ||
+             CAST((ip_num // 256) % 256 AS VARCHAR) || '.' ||
+             CAST(ip_num % 256 AS VARCHAR) AS ip_str,
+             ip_num
+      FROM (SELECT *,
+                   (user_id * 2654435761) % 4294967296 AS ip_num
+            FROM events))
 """
 
 
