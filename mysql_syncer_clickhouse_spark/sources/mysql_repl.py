@@ -509,6 +509,15 @@ class RelayWriter:
                 fh.write(BINLOG_MAGIC)
 
     def append(self, event: bytes) -> None:
+        if len(event) < 19:
+            raise BinlogError(
+                f"short wire event ({len(event)} bytes < header); "
+                f"stream is corrupt or desynchronized")
+        declared = struct.unpack_from("<I", event, 9)[0]
+        if declared != len(event):
+            raise BinlogError(
+                f"wire event size field {declared} != packet payload "
+                f"{len(event)}; stream is corrupt or desynchronized")
         tc = event[4]
         if tc == HEARTBEAT_LOG_EVENT:
             # dump-stream keepalive on an idle connection; the server
@@ -523,7 +532,14 @@ class RelayWriter:
             body = event[19:]
             if self.checksummed:
                 body = body[:-4]
-            next_file = body[8:].decode()
+            next_file = body[8:].decode("utf-8", "replace")
+            # the name becomes a path under relay_dir: a separator or
+            # parent segment in a (malicious/corrupt) ROTATE must not
+            # escape the relay directory
+            if ("/" in next_file or "\\" in next_file
+                    or next_file in ("", ".", "..")):
+                raise BinlogError(
+                    f"unsafe binlog file name in ROTATE: {next_file!r}")
             self._open(next_file)
             return                           # rotates are not file data
         if self.current is None:

@@ -751,3 +751,22 @@ def test_master_status_falls_back_on_mysql_84(fake_mysql):
         assert f == "mysql-bin.000002" and pos > 4
     finally:
         c.close()
+
+
+def test_relay_writer_rejects_corrupt_and_unsafe_events(tmp_path):
+    """Wire events are server-controlled: short frames, size-field
+    mismatches, and ROTATE names that would escape the relay
+    directory all refuse loudly instead of writing garbage."""
+    w = R.RelayWriter(str(tmp_path), checksummed=True)
+    with pytest.raises(B.BinlogError, match="short wire event"):
+        w.append(b"\x00\x01\x02")
+    good = _artificial_rotate("mysql-bin.000001")
+    bad_size = bytearray(good)
+    bad_size[9] ^= 0x01
+    with pytest.raises(B.BinlogError, match="size field"):
+        w.append(bytes(bad_size))
+    for evil in ("../escape", "a/b", "..", ""):
+        ev = _artificial_rotate(evil)
+        with pytest.raises(B.BinlogError, match="unsafe"):
+            w.append(ev)
+    assert list(tmp_path.iterdir()) == []   # nothing was written
