@@ -96,8 +96,10 @@ def ipv4_string_to_num(ip) -> Column:
 
 
 def ipv4_num_to_string(num) -> Column:
-    """ClickHouse IPv4NumToString(): UInt32 -> dotted quad."""
-    num = _col(num).cast("long")
+    """ClickHouse IPv4NumToString(): UInt32 -> dotted quad. Inputs
+    outside [0, 2^32) are masked to 32 bits (the UInt32 reinterpret a
+    ClickHouse cast would apply)."""
+    num = F.pmod(_col(num).cast("long"), F.lit(1 << 32))
     return F.concat_ws(
         ".",
         (F.shiftrightunsigned(num, 24) % 256).cast("string"),
