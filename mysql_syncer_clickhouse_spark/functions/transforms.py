@@ -113,7 +113,8 @@ def uint64_normalize(col: Column | str) -> Column:
 
 
 def dict_get(df, dictionary, key_col: str, attr_cols,
-             default: dict | None = None, dict_key: str | None = None):
+             default: dict | None = None, dict_key: str | None = None,
+             strict: bool = False):
     """The sink DB's dictGet / dictGetOrDefault surface: enrich rows
     with attributes looked up from a dimension dictionary by key.
     `dictionary` is a bounded-by-contract relation (the external-dict
@@ -123,12 +124,25 @@ def dict_get(df, dictionary, key_col: str, attr_cols,
     take `default[attr]` (or NULL), mirroring dictGetOrDefault.
 
     attr_cols: list of dictionary attribute columns to attach;
-    dict_key: the dictionary's key column when named differently."""
+    dict_key: the dictionary's key column when named differently;
+    strict=True guards against duplicate dictionary keys with a
+    broadcast-side raise_error (ClickHouse rejects duplicates at
+    dictionary load; a left join would silently multiply fact rows)."""
     from pyspark.sql import functions as F
     dict_key = dict_key or key_col
     attrs = list(attr_cols)
     d = dictionary.select(F.col(dict_key).alias("__dk"),
                           *[F.col(a).alias(f"__dv_{a}") for a in attrs])
+    if strict:
+        d = d.groupBy("__dk").agg(
+            *[F.first(f"__dv_{a}").alias(f"__dv_{a}") for a in attrs],
+            F.count(F.lit(1)).alias("__dn"))
+        d = d.withColumn(
+            f"__dv_{attrs[0]}",
+            F.when(F.col("__dn") == 1, F.col(f"__dv_{attrs[0]}"))
+             .otherwise(F.raise_error(F.concat(
+                 F.lit("duplicate dictionary key: "),
+                 F.col("__dk").cast("string"))))).drop("__dn")
     out = df.join(F.broadcast(d), F.col(key_col) == F.col("__dk"),
                   "left")
     for a in attrs:
