@@ -170,10 +170,13 @@ def geohash_decode(h, precision: int = 12) -> Column:
     ilat = F.lit(0).cast("long")
     for c in range(precision):
         have = F.lit(c) < total_c
-        val = F.when(have,
-                     (F.array_position(alphabet,
-                                       F.substring(h, c + 1, 1)) - 1)
-                     .cast("long")).otherwise(F.lit(0).cast("long"))
+        pos = F.array_position(alphabet, F.substring(h, c + 1, 1))
+        # invalid geohash chars (a/i/l/o and anything non-base32)
+        # give array_position 0; they contribute zero bits instead of
+        # the garbage (pos-1 = -1) bit pattern
+        val = F.when(have & (pos > 0),
+                     (pos - 1).cast("long")) \
+               .otherwise(F.lit(0).cast("long"))
         for b in range(5):
             k = 5 * c + b
             bit = F.shiftrightunsigned(val, 4 - b) % 2

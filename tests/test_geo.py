@@ -188,3 +188,16 @@ def test_geohash_decode_roundtrip(spark):
             .select(geohash_decode(F.col("h")))
             ._jdf.queryExecution().executedPlan().toString())
     assert "Python" not in plan and "Arrow" not in plan
+
+
+def test_geohash_decode_invalid_chars_contribute_zero_bits(spark):
+    from mysql_syncer_clickhouse_spark.functions.geo import (
+        geohash_decode)
+
+    # 'a' is not geohash base32; it must decode like '0' bits, not a
+    # garbage (-1) bit pattern
+    got = spark.createDataFrame([("a",), ("0",)], "h string").select(
+        "h", geohash_decode(F.col("h")).alias("d")).collect()
+    vals = {r["h"]: (r["d"]["lon"], r["d"]["lat"]) for r in got}
+    assert vals["a"] == vals["0"]
+    assert abs(vals["0"][0] - (-157.5)) < 1e-9   # cell 0 center
