@@ -129,7 +129,10 @@ def mysql_to_clickhouse_type(mysql_type: str, nullable: bool = False) -> str:
 
 def clickhouse_create_table_ddl(schema: str, table: str,
                                 columns: list[tuple[str, str, bool]],
-                                pk: tuple[str, ...]) -> str:
+                                pk: tuple[str, ...],
+                                engine: str = "ReplacingMergeTree",
+                                engine_args: tuple[str, ...] = (),
+                                ) -> str:
     """Emit the sink auto-CREATE the reference builds at runtime
     (README.md:141-161): ReplacingMergeTree ordered by the PK. Two
     deliberate divergences from the reference snippet, both bugs
@@ -137,7 +140,23 @@ def clickhouse_create_table_ddl(schema: str, table: str,
     addCkField), and its ORDER BY list stays empty (priArr is never
     appended). We emit every column and order by the actual PK; PK
     columns are non-Nullable (ClickHouse rejects Nullable ORDER BY
-    keys by default)."""
+    keys by default).
+
+    `engine`/`engine_args` widen the surface to the other CDC-relevant
+    MergeTree engines (the read-time analogs live in
+    operators/upsert.py): CollapsingMergeTree(sign),
+    VersionedCollapsingMergeTree(sign, version),
+    SummingMergeTree([cols...]). Engine-arg columns must exist."""
+    allowed = {"ReplacingMergeTree", "CollapsingMergeTree",
+               "VersionedCollapsingMergeTree", "SummingMergeTree",
+               "MergeTree"}
+    if engine not in allowed:
+        raise ValueError(f"unsupported engine {engine!r} "
+                         f"(supported: {sorted(allowed)})")
+    names = {name for name, _, _ in columns}
+    missing = [a for a in engine_args if a not in names]
+    if missing:
+        raise ValueError(f"engine arg columns not in table: {missing}")
     pkset = set(pk)
     cols = ", ".join(
         f"`{name}` {mysql_to_clickhouse_type(mtype, nullable and name not in pkset)}"
@@ -145,8 +164,12 @@ def clickhouse_create_table_ddl(schema: str, table: str,
     # ClickHouse spells the empty sort key `ORDER BY tuple()`;
     # a literal `ORDER BY ()` is a syntax error
     order = ("(" + ", ".join(f"`{c}`" for c in pk) + ")") if pk else "tuple()"
+    inner = ", ".join(f"`{a}`" for a in engine_args)
+    if engine == "SummingMergeTree" and len(engine_args) > 1:
+        inner = f"({inner})"     # multi-column form takes a tuple
+    args = f"({inner})" if engine_args else ""
     return (f"CREATE TABLE IF NOT EXISTS `{schema}`.`{table}` ({cols}) "
-            f"ENGINE = ReplacingMergeTree ORDER BY {order}")
+            f"ENGINE = {engine}{args} ORDER BY {order}")
 
 
 # ---------------------------------------------------------------------------

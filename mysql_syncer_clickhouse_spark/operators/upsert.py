@@ -52,6 +52,61 @@ def latest_state(changelog: DataFrame,
     return df if keep_op else df.drop(op_col)
 
 
+def collapsing_final_state(rows: DataFrame,
+                           pk_cols: Sequence[str],
+                           sign_col: str = "sign",
+                           version_col: str | None = None) -> DataFrame:
+    """SELECT ... FINAL over a CollapsingMergeTree-shaped stream: rows
+    arrive as (+1 state, -1 cancel) pairs; a key survives while its
+    sign sum is positive, and the surviving values are the latest +1
+    row. With `version_col` this is the VersionedCollapsingMergeTree
+    read (latest by version); without it, input order is meaningless
+    to an aggregate, so a monotone column is required -- pass the seq.
+
+    One pk shuffle with map-side partial aggregation (same recipe as
+    latest_state: sum + max_by are real aggregates, so update-heavy
+    keys collapse per mapper BEFORE the exchange)."""
+    if version_col is None:
+        raise ValueError("collapsing_final_state needs a version/seq "
+                         "column: aggregates cannot see input order")
+    others = [c for c in rows.columns
+              if c not in pk_cols and c != sign_col]
+    agg = rows.groupBy(*pk_cols).agg(
+        F.sum(sign_col).alias("__s"),
+        F.max_by(
+            F.struct(*[F.col(c) for c in others]),
+            F.when(F.col(sign_col) > 0, F.col(version_col))
+        ).alias("__r"))
+    return (agg.filter(F.col("__s") > 0)
+               .select(*pk_cols,
+                       *[F.col("__r").getField(c).alias(c)
+                         for c in others]))
+
+
+def summing_final_state(rows: DataFrame,
+                        pk_cols: Sequence[str],
+                        sum_cols: Sequence[str],
+                        drop_zero: bool = True) -> DataFrame:
+    """SELECT ... FINAL over a SummingMergeTree-shaped stream: numeric
+    `sum_cols` are summed per key; each remaining column keeps a
+    representative value -- ClickHouse keeps "any" (order-dependent),
+    we keep min() so the result is deterministic under repartitioning,
+    a documented strengthening. `drop_zero=True` mirrors the engine's
+    removal of rows whose every summed column is 0."""
+    others = [c for c in rows.columns
+              if c not in pk_cols and c not in sum_cols]
+    agg = rows.groupBy(*pk_cols).agg(
+        *[F.sum(c).alias(c) for c in sum_cols],
+        *[F.min(c).alias(c) for c in others])
+    if drop_zero and sum_cols:
+        pred = None
+        for c in sum_cols:
+            p = F.coalesce(F.col(c), F.lit(0)) != 0
+            pred = p if pred is None else (pred | p)
+        agg = agg.filter(pred)
+    return agg.select(*[c for c in rows.columns])
+
+
 def fill_partial_updates(changelog: DataFrame,
                          pk_cols: Sequence[str],
                          payload_cols: Sequence[str],
