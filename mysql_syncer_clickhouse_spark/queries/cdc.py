@@ -126,12 +126,55 @@ SELECT 'binlog' AS part, seq, ts, pk, value, props FROM bfinal
 # --- R6: changed-column diff / partial update merge ---------------------
 
 def cdc_partial_update_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # model partial updates: update events carry only `value`
-    # (props NULL), inserts carry the full row -- the reference ships
-    # only changed columns on update (river/sync.go:367-370)
-    cl = derive_changelog_from_events(spark, sf_dir).withColumn(
+    """Three labelled parts over one derived changelog:
+    - 'partial': update events carry only `value` (props NULL),
+      inserts the full row -- the reference ships only changed columns
+      on update (river/sync.go:367-370) -- merged by
+      fill_partial_updates.
+    - 'collapsing' (round 8): the CollapsingMergeTree FINAL analog --
+      the changelog mapped to a sign stream (delete = -1, else +1); a
+      key survives while its sign sum is positive, values from the
+      latest +1 row (operators/upsert.py::collapsing_final_state).
+    - 'summing' (round 8): the SummingMergeTree FINAL analog over
+      integer deltas (signed row count + signed value cents --
+      integer so the oracle's sums are engine-exact), all-zero rows
+      dropped (summing_final_state). seq carries the qty sum and
+      value the cents sum in this part's rows."""
+    from ..operators.upsert import (collapsing_final_state,
+                                    summing_final_state)
+
+    cl0 = derive_changelog_from_events(spark, sf_dir)
+    cl = cl0.withColumn(
         "props", F.when(F.col("op") == "update", F.lit(None)).otherwise(F.col("props")))
-    return fill_partial_updates(cl, ["pk"], ["value", "props"])
+    p1 = fill_partial_updates(cl, ["pk"], ["value", "props"]).select(
+        F.lit("partial").alias("part"), "seq", "ts", "pk", "value",
+        "props")
+
+    signed = cl0.select(
+        "seq", "ts", "pk", "value", "props",
+        F.when(F.col("op") == "delete", F.lit(-1)).otherwise(F.lit(1))
+         .alias("sign"))
+    p2 = collapsing_final_state(signed, ["pk"], sign_col="sign",
+                                version_col="seq").select(
+        F.lit("collapsing").alias("part"), "seq", "ts", "pk", "value",
+        "props")
+
+    cents = F.floor(F.col("value") * 100)
+    deltas = cl0.select(
+        "pk",
+        F.when(F.col("op") == "delete", F.lit(-1)).otherwise(F.lit(1))
+         .alias("qty"),
+        F.when(F.col("op") == "delete", -cents).otherwise(cents)
+         .alias("cents"),
+        F.col("op").alias("tag"))
+    p3 = summing_final_state(deltas, ["pk"], ["qty", "cents"]).select(
+        F.lit("summing").alias("part"),
+        F.col("qty").cast("long").alias("seq"),
+        F.lit(None).cast("timestamp").alias("ts"),
+        "pk",
+        F.col("cents").cast("double").alias("value"),
+        F.col("tag").alias("props"))
+    return p1.unionByName(p2).unionByName(p3)
 
 
 _PARTIAL_SQL = _CL + """
@@ -154,10 +197,43 @@ _PARTIAL_SQL = _CL + """
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS props
   FROM inc
 )
-SELECT seq, ts, pk, value, props FROM (
+, signed AS (
+  SELECT seq, ts, pk, value, props,
+         CASE WHEN op = 'delete' THEN -1 ELSE 1 END AS sign
+  FROM changelog
+), surv AS (
+  SELECT pk FROM signed GROUP BY pk HAVING SUM(sign) > 0
+), clast AS (
+  SELECT seq, ts, pk, value, props FROM (
+    SELECT s.*, ROW_NUMBER() OVER (
+      PARTITION BY pk
+      ORDER BY CASE WHEN sign > 0 THEN seq END DESC NULLS LAST) AS rn
+    FROM signed s) WHERE rn = 1
+), sdelta AS (
+  SELECT pk,
+         CASE WHEN op = 'delete' THEN -1 ELSE 1 END AS qty,
+         CASE WHEN op = 'delete'
+              THEN -CAST(FLOOR(value * 100) AS BIGINT)
+              ELSE CAST(FLOOR(value * 100) AS BIGINT) END AS cents,
+         op AS tag
+  FROM changelog
+), ssum AS (
+  SELECT pk, CAST(SUM(qty) AS BIGINT) AS qty,
+         CAST(SUM(cents) AS BIGINT) AS cents, MIN(tag) AS tag
+  FROM sdelta GROUP BY pk
+  HAVING COALESCE(SUM(qty), 0) <> 0 OR COALESCE(SUM(cents), 0) <> 0
+)
+SELECT 'partial' AS part, seq, ts, pk, value, props FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY pk ORDER BY seq DESC) AS rn
   FROM filled
 ) WHERE rn = 1 AND op <> 'delete'
+UNION ALL
+SELECT 'collapsing' AS part, c.seq, c.ts, c.pk, c.value, c.props
+FROM clast c JOIN surv USING (pk)
+UNION ALL
+SELECT 'summing' AS part, qty AS seq, CAST(NULL AS TIMESTAMP) AS ts,
+       pk, CAST(cents AS DOUBLE) AS value, tag AS props
+FROM ssum
 """
 
 
