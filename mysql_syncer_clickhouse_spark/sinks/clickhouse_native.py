@@ -129,9 +129,15 @@ class _Reader:
             if not b & 0x80:
                 return n
             shift += 7
+            if shift > 63:   # a valid length never needs 10 bytes
+                raise ConnectionError("runaway varint from server")
 
     def string(self) -> str:
-        return self.read(self.varint()).decode("utf-8")
+        n = self.varint()
+        if n > 1 << 24:      # server strings are names/messages, not data
+            raise ConnectionError(f"implausible string length {n} "
+                                  f"from server")
+        return self.read(n).decode("utf-8", "replace")
 
 
 # --------------------------------------------------------- column encode
