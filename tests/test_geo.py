@@ -201,3 +201,48 @@ def test_geohash_decode_invalid_chars_contribute_zero_bits(spark):
     vals = {r["h"]: (r["d"]["lon"], r["d"]["lat"]) for r in got}
     assert vals["a"] == vals["0"]
     assert abs(vals["0"][0] - (-157.5)) < 1e-9   # cell 0 center
+
+
+# --------------------------------------------------------- pip fuzz
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+def _ref_point_in_polygon(x, y, poly):
+    """From-scratch ray casting reference."""
+    inside = False
+    n = len(poly)
+    for i in range(n):
+        (x1, y1), (x2, y2) = poly[i], poly[(i + 1) % n]
+        if (y1 > y) != (y2 > y):
+            xc = x1 + (y - y1) * (x2 - x1) / (y2 - y1)
+            if x < xc:
+                inside = not inside
+    return inside
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.data())
+def test_point_in_polygon_fuzz(spark, data):
+    from mysql_syncer_clickhouse_spark.functions.geo import (
+        point_in_polygon)
+
+    # random simple star-shaped polygon: sorted angles around origin
+    import math as m
+    k = data.draw(st.integers(3, 9))
+    angs = sorted(data.draw(st.lists(
+        st.floats(0, 2 * m.pi - 0.01), min_size=k, max_size=k,
+        unique=True)))
+    radii = [data.draw(st.floats(1.0, 10.0)) for _ in range(k)]
+    poly = [(r * m.cos(a), r * m.sin(a)) for a, r in zip(angs, radii)]
+    pts = [(data.draw(st.floats(-12, 12)), data.draw(st.floats(-12, 12)))
+           for _ in range(8)]
+    rows = [(x, y, [{"lon": a, "lat": b} for a, b in poly])
+            for x, y in pts]
+    df = spark.createDataFrame(
+        rows, "x double, y double, "
+              "poly array<struct<lon double, lat double>>")
+    got = [r["i"] for r in df.select(point_in_polygon(
+        F.col("x"), F.col("y"), F.col("poly")).alias("i")).collect()]
+    want = [_ref_point_in_polygon(x, y, poly) for x, y in pts]
+    assert got == want

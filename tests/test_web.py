@@ -61,3 +61,19 @@ def test_web_functions_pure_catalyst(spark):
                           F.col("ip"), F.lit("1.2.0.0/16")))
               ._jdf.queryExecution().executedPlan().toString())
     assert "Python" not in plan and "Arrow" not in plan
+
+
+# ------------------------------------------------------------- fuzz
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(st.integers(0, (1 << 32) - 1), min_size=1,
+                max_size=50))
+def test_ipv4_roundtrip_fuzz(spark, nums):
+    df = spark.createDataFrame([(n,) for n in nums], "n long")
+    got = [r["m"] for r in df.select(
+        W.ipv4_string_to_num(W.ipv4_num_to_string(F.col("n")))
+        .alias("m")).collect()]
+    assert got == nums
