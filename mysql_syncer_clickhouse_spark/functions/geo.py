@@ -43,6 +43,14 @@ _POINT_STRUCT = StructType([
 _EARTH_RADIUS_M = 6371000.0
 
 
+def _col(v) -> Column:
+    """Repo convention: a str is a COLUMN NAME (wrap literals in
+    F.lit); numbers become literals."""
+    if isinstance(v, Column):
+        return v
+    return F.col(v) if isinstance(v, str) else F.lit(v)
+
+
 def wkb_point(col) -> Column:
     """MySQL internal geometry bytes -> struct(srid, lon, lat).
 
@@ -87,8 +95,7 @@ def point_in_polygon(lon, lat, poly) -> Column:
     the span test, so the crossing division never sees a zero
     denominator on a counted edge (and double division yields +/-inf,
     not an ANSI error, regardless)."""
-    lon = lon if isinstance(lon, Column) else F.lit(lon)
-    lat = lat if isinstance(lat, Column) else F.lit(lat)
+    lon, lat = _col(lon), _col(lat)
     rotated = F.concat(F.slice(poly, 2, F.size(poly) - 1),
                        F.slice(poly, 1, 1))
 
@@ -117,8 +124,7 @@ def geohash_encode(lon, lat, precision: int = 12) -> Column:
     60 bits, the format's full resolution)."""
     if not 1 <= precision <= 12:
         raise ValueError("geohash precision must be 1..12")
-    lon = lon if isinstance(lon, Column) else F.lit(lon)
-    lat = lat if isinstance(lat, Column) else F.lit(lat)
+    lon, lat = _col(lon), _col(lat)
     total = 5 * precision
     bits_lon = (total + 1) // 2     # interleave starts with lon
     bits_lat = total // 2
@@ -156,7 +162,7 @@ def geohash_decode(h, precision: int = 12) -> Column:
     the longest available prefix up to `precision`)."""
     if not 1 <= precision <= 12:
         raise ValueError("geohash precision must be 1..12")
-    h = h if isinstance(h, Column) else F.lit(h)
+    h = _col(h)
     total_c = F.least(F.lit(precision), F.length(h))
     alphabet = F.array(*[F.lit(ch) for ch in _GEOHASH32])
     total = 5 * precision

@@ -26,7 +26,11 @@ _SECOND_LEVEL = ("com", "net", "org", "co", "edu", "gov")
 
 
 def _col(v) -> Column:
-    return v if isinstance(v, Column) else F.lit(v)
+    """Repo convention (functions/transforms.py): a str is a COLUMN
+    NAME; wrap literals in F.lit() explicitly."""
+    if isinstance(v, Column):
+        return v
+    return F.col(v) if isinstance(v, str) else F.lit(v)
 
 
 # ------------------------------------------------------------- URL
@@ -47,8 +51,10 @@ def query_string(url) -> Column:
 
 
 def extract_url_parameter(url, name) -> Column:
-    """ClickHouse extractURLParameter(url, name)."""
-    return F.parse_url(_col(url), F.lit("QUERY"), _col(name))
+    """ClickHouse extractURLParameter(url, name). `name` is a literal
+    parameter name (pass a Column to look it up per row)."""
+    name = name if isinstance(name, Column) else F.lit(name)
+    return F.parse_url(_col(url), F.lit("QUERY"), name)
 
 
 def cut_query_string(url) -> Column:
@@ -65,13 +71,17 @@ def top_level_domain(url) -> Column:
 
 def first_significant_subdomain(url) -> Column:
     """ClickHouse firstSignificantSubdomain():
-    news.clickhouse.com.tr -> clickhouse; www.example.com -> example."""
+    news.clickhouse.com.tr -> clickhouse; www.example.com -> example;
+    a dotless host is its own significant label. F.get (0-based,
+    out-of-bounds -> NULL) instead of negative element_at, which
+    THROWS under ANSI mode on short arrays."""
     labels = F.split(domain(url), r"\.")
     n = F.size(labels)
-    second = F.element_at(labels, -2)
+    second = F.get(labels, n - 2)
+    third = F.get(labels, n - 3)
     return F.when(
-        (n >= F.lit(3)) & second.isin(*_SECOND_LEVEL),
-        F.element_at(labels, -3)).otherwise(second)
+        (n >= F.lit(3)) & second.isin(*_SECOND_LEVEL), third
+    ).otherwise(F.coalesce(second, F.get(labels, n - 1)))
 
 
 # ------------------------------------------------------------ IPv4

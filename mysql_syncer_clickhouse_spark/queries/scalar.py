@@ -413,7 +413,8 @@ def t_array_ops(spark, sf_dir):
          .alias("map_val"),
         ip.alias("ip_str"),
         W.ipv4_string_to_num(ip).alias("ip_num"),
-        W.is_ip_address_in_range(ip, "128.0.0.0/1").alias("ip_hi"),
+        W.is_ip_address_in_range(ip, F.lit("128.0.0.0/1"))
+         .alias("ip_hi"),
         W.domain(url).alias("url_host"),
         W.top_level_domain(url).alias("url_tld"),
         W.first_significant_subdomain(url).alias("url_fss"),
