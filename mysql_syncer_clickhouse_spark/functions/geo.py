@@ -155,7 +155,7 @@ def geohash_encode(lon, lat, precision: int = 12) -> Column:
 def geohash_decode(h, precision: int = 12) -> Column:
     """ClickHouse geohashDecode analog: geohash string -> struct(lon,
     lat) at the CELL CENTER, pure Catalyst (per-char alphabet lookup
-    via locate() on a literal, bit de-interleave statically unrolled).
+    via array_position, bit de-interleave statically unrolled).
     `precision` is the maximum length decoded; shorter strings decode
     at their own length since missing low bits contribute nothing
     beyond their cell's span (standard geohash semantics: we decode
