@@ -242,17 +242,23 @@ def run_tail(cfg: EngineConfig, start_file: str | None, *,
     rules/apply path as --binlog-dir. A production deployment loops
     this (or runs the tailer as its own process) while --follow
     drains the relay continuously; the serial socket and the
-    distributed decode stay decoupled by design."""
-    from .sources.mysql_repl import ReplicationClient, tail_to_relay
+    distributed decode stay decoupled by design. The tail
+    auto-reconnects on network drops (tail_resumable), each
+    connection writing a fresh relay segment, and repeated --tail
+    invocations are append-safe the same way."""
+    from .sources.mysql_repl import ReplicationClient, tail_resumable
     host, _, port = (cfg.source_addr or "127.0.0.1:3306").rpartition(":")
     relay = relay_dir or os.path.join(cfg.data_dir, "_relay")
-    client = ReplicationClient(host or "127.0.0.1", int(port),
-                               user=cfg.source_user or "root",
-                               password=cfg.source_pass or "",
-                               server_id=cfg.server_id,
-                               charset=cfg.source_charset or "utf8")
-    n = tail_to_relay(client, relay, start_file, start_pos,
-                      non_block=True)
+
+    def factory():
+        return ReplicationClient(host or "127.0.0.1", int(port),
+                                 user=cfg.source_user or "root",
+                                 password=cfg.source_pass or "",
+                                 server_id=cfg.server_id,
+                                 charset=cfg.source_charset or "utf8")
+
+    n = tail_resumable(factory, relay, start_file, start_pos,
+                       non_block=True)
     out = [{"mode": "tail", "source": cfg.source_addr,
             "relay_dir": relay, "events_relayed": n}]
     out.extend(run_binlog(cfg, relay, compact=compact, spark=spark))

@@ -468,6 +468,61 @@ def expand_rep_pairs(rep_pairs: DataFrame, members: DataFrame,
     return cross.unionByName(intra)
 
 
+def rep_pair_report(rep_pairs: DataFrame, members: DataFrame,
+                    threshold: float = 0.5) -> DataFrame:
+    """Bounded near-dup report at REPRESENTATIVE grain: one row per
+    verified rep pair plus one summary row per exact-duplicate family,
+    each carrying member counts and the exact size of the member-grain
+    pair set it stands for.
+
+    Columns: (id_a, id_b, jaccard, containment, n_members_a,
+    n_members_b, n_member_pairs). Cross rows have id_a < id_b (rep
+    ids) and n_member_pairs = n_a * n_b; family rows have
+    id_a == id_b == rep_id, jaccard = containment = 1.0 and
+    n_member_pairs = n * (n - 1) / 2.
+
+    This is the scale-safe REPLACEMENT for expand_rep_pairs' member
+    pair list as a reporting surface: sum(n_member_pairs) equals the
+    expanded list's row count exactly (test-asserted), and every
+    member pair's jaccard/containment is recoverable (members of a
+    family share their rep's values BY CONSTRUCTION -- identical text,
+    identical shingle set), but the output is O(reps + rep_pairs)
+    rows no matter how mass-duplicated the corpus is. Under a
+    million-copy boilerplate family the expanded list is ~10^12 rows;
+    this report is ONE row. The x100 scale probe measured the
+    difference: 113.97 s / 10.8x second-decade growth for the
+    expanded list vs ~3.7x for the rep-grain path (SCALE.md §6).
+
+    Plan: one count per family (partial-aggregable groupBy over the
+    two-long members map), two bounded joins keyed on rep ids. `fam`
+    is pinned before its three-way fan-out (same rationale as the
+    members pin in minhash_dedup -- a 100 TB run parquet-checkpoints
+    it instead)."""
+    fam = (members.groupBy("rep_id")
+           .agg(F.count(F.lit(1)).alias("__n"))
+           .localCheckpoint(eager=True))
+    cross = (rep_pairs
+             .join(fam.select(F.col("rep_id").alias("id_a"),
+                              F.col("__n").alias("n_members_a")), "id_a")
+             .join(fam.select(F.col("rep_id").alias("id_b"),
+                              F.col("__n").alias("n_members_b")), "id_b")
+             .select("id_a", "id_b", "jaccard", "containment",
+                     "n_members_a", "n_members_b",
+                     (F.col("n_members_a") * F.col("n_members_b"))
+                     .alias("n_member_pairs")))
+    intra = (fam.filter(F.col("__n") >= 2)
+             .select(F.col("rep_id").alias("id_a"),
+                     F.col("rep_id").alias("id_b"),
+                     F.lit(1.0).alias("jaccard"),
+                     F.lit(1.0).alias("containment"),
+                     F.col("__n").alias("n_members_a"),
+                     F.col("__n").alias("n_members_b"),
+                     (F.col("__n") * (F.col("__n") - 1) / F.lit(2))
+                     .cast("long").alias("n_member_pairs"))
+             .filter(F.lit(1.0 >= threshold)))
+    return cross.unionByName(intra)
+
+
 def simhash_table(df: DataFrame, id_col: str, text_col: str,
                   k: int = 8, bits: int = 32) -> DataFrame:
     """Per-document SimHash: for each bit, +1/-1 votes over shingle

@@ -107,14 +107,37 @@ FROM corpus GROUP BY 1
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.minhash_dedup(_corpus(spark, sf_dir), "id", "text",
-                               threshold=0.5)
+    """Bounded rep-grain near-dup report (operators/dedup.
+    rep_pair_report): one row per verified representative pair plus
+    one per exact-dup family, carrying member counts and the exact
+    member-pair cardinality. Replaces the member-grain expanded pair
+    list this entry used to return -- the repo's own x100 probe
+    measured that list's O(N^2) blowup (113.97 s, 10.8x second-decade
+    growth) while the rep-grain path held 3.7x (SCALE.md §6); the
+    report preserves the full information content (sum of
+    n_member_pairs == expanded row count, per-member values
+    recoverable by construction) at O(reps) output."""
+    rep_pairs, members = dedup.minhash_dedup(
+        _corpus(spark, sf_dir), "id", "text", threshold=0.5, grain="rep")
+    return dedup.rep_pair_report(rep_pairs, members, threshold=0.5)
 
 
-# full CTE chain ending in `pairs` -- shared by the pair query and the
-# connected-components cluster query
-_MINHASH_CTES = _CORPUS + "," + _SHINGLES_SQL + f"""
-, sigs AS (
+def _minhash_pair_ctes(src: str) -> str:
+    """shingles -> sigs -> bands -> cands -> sizes -> inter -> pairs
+    CTE chain over relation `src` (needs (id, text)): the DuckDB twin
+    of operators/dedup's fused MinHash+LSH pipeline, parameterized so
+    the member-grain clusters oracle (src=corpus) and the rep-grain
+    report oracle (src=repdocs) share one definition."""
+    return f"""
+, shingles AS (
+  -- distinct (id, h32): hash before distinct, exactly like
+  -- operators/dedup.hashed_shingle_set, so any md5-prefix collision
+  -- affects both engines identically
+  SELECT DISTINCT id, {_H32.format(x='substr(text, p, 8)')} AS h32
+  FROM (SELECT id, text,
+               unnest(generate_series(1, greatest(len(text) - 7, 1))) AS p
+        FROM {src})
+), sigs AS (
   SELECT id, i, MIN((a * h32 + b) % {dedup.MINHASH_P}) AS mh
   FROM shingles CROSS JOIN {_PARAMS_SQL}
   GROUP BY id, i
@@ -147,8 +170,32 @@ _MINHASH_CTES = _CORPUS + "," + _SHINGLES_SQL + f"""
   WHERE CAST(n_inter AS DOUBLE) / (za.n + zb.n - n_inter) >= 0.5
 )"""
 
-_MINHASH_SQL = _MINHASH_CTES + """
-SELECT id_a, id_b, jaccard, containment FROM pairs
+
+# member-grain chain: kept for the connected-components cluster oracle
+_MINHASH_CTES = _CORPUS + _minhash_pair_ctes("corpus")
+
+# rep-grain report oracle: collapse byte-identical texts to the min-id
+# representative (md5(raw text), exactly collapse_exact_texts' key),
+# run the pair chain over representatives only, then attach family
+# sizes and the member-pair cardinality each row stands for
+_MINHASH_SQL = _CORPUS + """
+, fams AS (
+  SELECT md5(text) AS tfp, MIN(id) AS rep_id,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM corpus GROUP BY 1
+), repdocs AS (
+  SELECT c.id, c.text FROM corpus c JOIN fams f ON c.id = f.rep_id
+)""" + _minhash_pair_ctes("repdocs") + """
+SELECT p.id_a, p.id_b, p.jaccard, p.containment,
+       fa.n AS n_members_a, fb.n AS n_members_b,
+       CAST(fa.n * fb.n AS BIGINT) AS n_member_pairs
+FROM pairs p
+JOIN fams fa ON fa.rep_id = p.id_a
+JOIN fams fb ON fb.rep_id = p.id_b
+UNION ALL
+SELECT rep_id, rep_id, CAST(1.0 AS DOUBLE), CAST(1.0 AS DOUBLE),
+       n, n, CAST(n * (n - 1) / 2 AS BIGINT)
+FROM fams WHERE n >= 2
 """
 
 

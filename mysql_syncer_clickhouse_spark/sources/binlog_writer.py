@@ -210,9 +210,13 @@ class BinlogFileWriter:
         body += struct.pack("<H", 0)                       # flags
         body += struct.pack("<H", 2)                       # v2 extra len
         body += _lenenc(ncols)
-        body += b"\xff" * bm_len                           # columns present
+        # columns-present bitmap: only the low ncols bits set -- the
+        # server zeroes padding bits past ncols and strict external
+        # parsers may reject set padding (ADVICE r8)
+        present = ((1 << ncols) - 1).to_bytes(bm_len, "little")
+        body += present
         if is_update:
-            body += b"\xff" * bm_len
+            body += present
         body += b"".join(images)
         self._event(type_code, body)
 

@@ -45,15 +45,18 @@ def _events_of(file_bytes: bytes) -> list[bytes]:
     return out
 
 
-def _artificial_rotate(next_file: str) -> bytes:
-    """Server-style artificial ROTATE (ts=0, log_pos=0) with CRC32 --
-    a checksumming server checksums fake rotates too."""
+def _artificial_rotate(next_file: str, checksummed: bool = True) -> bytes:
+    """Server-style artificial ROTATE (ts=0, log_pos=0); a
+    checksumming server checksums fake rotates too, a
+    binlog_checksum=NONE server does not."""
     import zlib
     body = struct.pack("<Q", 4) + next_file.encode()
-    size = 19 + len(body) + 4
+    size = 19 + len(body) + (4 if checksummed else 0)
     hdr = struct.pack("<IBIIIH", 0, B.ROTATE_EVENT, 99, size, 0, 0x20)
     ev = hdr + body
-    return ev + struct.pack("<I", zlib.crc32(ev))
+    if checksummed:
+        ev += struct.pack("<I", zlib.crc32(ev))
+    return ev
 
 
 class FakeMySQL:
@@ -66,6 +69,12 @@ class FakeMySQL:
         self.auth_ok: list[bool] = []
         self.gtid_blobs: list[bytes] = []
         self.mysql84 = False        # 8.4: SHOW MASTER STATUS removed
+        self.binlog_checksum = "CRC32"   # what @@global reports
+        # reconnect-test hook: drop_plan[k] = abruptly close the k-th
+        # dump connection after that many event packets; connections
+        # beyond the plan stream to completion
+        self.drop_plan: list[int] = []
+        self.dump_count = 0
         self._lock = threading.Lock()
         outer = self
 
@@ -159,6 +168,10 @@ class FakeMySQL:
                         self._send_master_status(sock)
                 elif sql.startswith("SHOW BINARY LOG STATUS"):
                     self._send_master_status(sock)
+                elif sql.startswith("SELECT @@GLOBAL.BINLOG_CHECKSUM"):
+                    self._send_resultset(
+                        sock, [b"@@global.binlog_checksum"],
+                        [self.binlog_checksum.encode()])
                 else:
                     self._send_pkt(sock, 1,
                                    b"\x00\x00\x00\x02\x00\x00\x00")
@@ -178,15 +191,26 @@ class FakeMySQL:
                         self.gtid_blobs.append(
                             cmd[dlen_off + 4:dlen_off + 4 + dlen])
                     start_file = ""
+                with self._lock:
+                    drop_after = (self.drop_plan[self.dump_count]
+                                  if self.dump_count < len(self.drop_plan)
+                                  else None)
+                    self.dump_count += 1
                 seq = 1
+                sent = 0
+                csum = self.binlog_checksum != "NONE"
                 names = [n for n in self.files if n >= start_file]
                 for k, name in enumerate(names):
-                    self._send_pkt(sock, seq,
-                                   b"\x00" + _artificial_rotate(name))
+                    self._send_pkt(sock, seq, b"\x00"
+                                   + _artificial_rotate(name, csum))
                     seq += 1
                     for ev in _events_of(self.files[name]):
                         self._send_pkt(sock, seq, b"\x00" + ev)
                         seq += 1
+                        sent += 1
+                        if drop_after is not None and sent >= drop_after:
+                            sock.close()    # simulated network blip
+                            return
                 # EOF (non-blocking dump end)
                 self._send_pkt(sock, seq, b"\xfe\x00\x00\x02\x00")
                 return
@@ -195,15 +219,14 @@ class FakeMySQL:
                                b"\xff" + struct.pack("<H", 1047)
                                + b"#08S01Unknown command")
 
-    def _send_master_status(self, sock) -> None:
-        """Classic TEXT resultset for SHOW MASTER STATUS, built
-        independently: column count, 5 column defs, EOF, one row
-        (current file, its byte size as position, '', '', NULL), EOF."""
+    def _send_resultset(self, sock, names: list[bytes],
+                        row: "list[bytes | None]") -> None:
+        """Classic TEXT resultset, built independently: column count,
+        column defs, EOF, one row of lenenc strings (None -> 0xFB),
+        EOF."""
         def lenenc_str(s: bytes) -> bytes:
             return bytes([len(s)]) + s
 
-        names = [b"File", b"Position", b"Binlog_Do_DB",
-                 b"Binlog_Ignore_DB", b"Executed_Gtid_Set"]
         seq = 1
         self._send_pkt(sock, seq, bytes([len(names)]))
         for nm in names:
@@ -217,14 +240,21 @@ class FakeMySQL:
             self._send_pkt(sock, seq, col)
         seq += 1
         self._send_pkt(sock, seq, b"\xfe\x00\x00\x02\x00")
-        last = max(self.files)
-        row = (lenenc_str(last.encode())
-               + lenenc_str(str(len(self.files[last])).encode())
-               + lenenc_str(b"") + lenenc_str(b"") + b"\xfb")
+        payload = b"".join(b"\xfb" if v is None else lenenc_str(v)
+                           for v in row)
         seq += 1
-        self._send_pkt(sock, seq, row)
+        self._send_pkt(sock, seq, payload)
         seq += 1
         self._send_pkt(sock, seq, b"\xfe\x00\x00\x02\x00")
+
+    def _send_master_status(self, sock) -> None:
+        last = max(self.files)
+        self._send_resultset(
+            sock,
+            [b"File", b"Position", b"Binlog_Do_DB",
+             b"Binlog_Ignore_DB", b"Executed_Gtid_Set"],
+            [last.encode(), str(len(self.files[last])).encode(),
+             b"", b"", None])
 
     def start(self):
         threading.Thread(target=self._srv.serve_forever,
@@ -477,11 +507,12 @@ def _scripted_auth_server(script):
     return srv, state
 
 
-def _run_auth(plugin: bytes, script):
+def _run_auth(plugin: bytes, script, **client_kwargs):
     srv, state = _scripted_auth_server(script)
     state["plugin"] = plugin
     c = R.ReplicationClient(*srv.server_address,
-                            user=USER, password=PASSWORD)
+                            user=USER, password=PASSWORD,
+                            **client_kwargs)
     try:
         c.connect()
         return c
@@ -770,3 +801,475 @@ def test_relay_writer_rejects_corrupt_and_unsafe_events(tmp_path):
         with pytest.raises(B.BinlogError, match="unsafe"):
             w.append(ev)
     assert list(tmp_path.iterdir()) == []   # nothing was written
+
+
+# ---------------------------------------------------------------------------
+# caching_sha2 FULL authentication (round 9): RSA exchange + TLS
+# ---------------------------------------------------------------------------
+
+def _rsa_keypair():
+    """Test-side RSA keypair via the cryptography package (test
+    dependency only -- the client under test is stdlib-only)."""
+    cryptography = pytest.importorskip("cryptography")
+    from cryptography.hazmat.primitives import serialization
+    from cryptography.hazmat.primitives.asymmetric import rsa
+    key = rsa.generate_private_key(public_exponent=65537, key_size=2048)
+    pem = key.public_key().public_bytes(
+        serialization.Encoding.PEM,
+        serialization.PublicFormat.SubjectPublicKeyInfo)
+    return key, pem
+
+
+def _oaep_sha1_decrypt(key, ct: bytes) -> bytes:
+    from cryptography.hazmat.primitives import hashes
+    from cryptography.hazmat.primitives.asymmetric import padding
+    return key.decrypt(ct, padding.OAEP(
+        mgf=padding.MGF1(algorithm=hashes.SHA1()),
+        algorithm=hashes.SHA1(), label=None))
+
+
+def test_rsa_pem_parse_matches_cryptography():
+    key, pem = _rsa_keypair()
+    n, e = R.rsa_public_key_from_pem(pem)
+    nums = key.public_key().public_numbers()
+    assert (n, e) == (nums.n, nums.e)
+    # PKCS#1 form too (BEGIN RSA PUBLIC KEY)
+    from cryptography.hazmat.primitives import serialization
+    pem1 = key.public_key().public_bytes(
+        serialization.Encoding.PEM, serialization.PublicFormat.PKCS1)
+    assert R.rsa_public_key_from_pem(pem1) == (nums.n, nums.e)
+
+
+def test_rsa_oaep_encrypt_decrypts_with_reference():
+    """Our stdlib OAEP(SHA-1) ciphertext decrypts under the reference
+    implementation, and the XOR obfuscation undoes to the
+    NUL-terminated password -- the exact bytes libmysql expects."""
+    key, pem = _rsa_keypair()
+    n, e = R.rsa_public_key_from_pem(pem)
+    msg = R.xor_password(PASSWORD, NONCE)
+    ct = R.rsa_oaep_sha1_encrypt(msg, n, e)
+    assert len(ct) == 256
+    pt = _oaep_sha1_decrypt(key, ct)
+    assert pt == msg
+    assert bytes(c ^ NONCE[i % len(NONCE)]
+                 for i, c in enumerate(pt)) == PASSWORD.encode() + b"\x00"
+
+
+def test_rsa_oaep_rejects_oversized_message():
+    key, pem = _rsa_keypair()
+    n, e = R.rsa_public_key_from_pem(pem)
+    with pytest.raises(R.MySQLProtocolError, match="too long"):
+        R.rsa_oaep_sha1_encrypt(bytes(256 - 41), n, e)
+
+
+def test_full_auth_rsa_with_public_key_retrieval():
+    """perform-full-authentication without TLS: the client sends 0x02,
+    receives the PEM key, and returns an RSA-OAEP ciphertext that the
+    server-side reference decrypt verifies against XOR(password+NUL,
+    nonce)."""
+    key, pem = _rsa_keypair()
+    seen = {}
+
+    def script(sock, r, seq, auth):
+        FakeMySQL._send_pkt(sock, seq + 1, b"\x01\x04")
+        _, req = FakeMySQL._read_pkt(r)
+        seen["req"] = req
+        FakeMySQL._send_pkt(sock, seq + 3, b"\x01" + pem)
+        _, ct = FakeMySQL._read_pkt(r)
+        seen["pt"] = _oaep_sha1_decrypt(key, bytes(ct))
+        FakeMySQL._send_pkt(sock, seq + 5,
+                            b"\x00\x00\x00\x02\x00\x00\x00")
+
+    c = _run_auth(b"caching_sha2_password", script,
+                  allow_public_key_retrieval=True)
+    c.close()
+    assert seen["req"] == b"\x02"
+    assert seen["pt"] == R.xor_password(PASSWORD, NONCE)
+
+
+def test_full_auth_rsa_with_out_of_band_key():
+    """server_public_key= (the secure option): no in-band key request
+    -- the ciphertext is the very next packet after the 0x04."""
+    key, pem = _rsa_keypair()
+    seen = {}
+
+    def script(sock, r, seq, auth):
+        FakeMySQL._send_pkt(sock, seq + 1, b"\x01\x04")
+        _, ct = FakeMySQL._read_pkt(r)
+        seen["pt"] = _oaep_sha1_decrypt(key, bytes(ct))
+        FakeMySQL._send_pkt(sock, seq + 3,
+                            b"\x00\x00\x00\x02\x00\x00\x00")
+
+    c = _run_auth(b"caching_sha2_password", script,
+                  server_public_key=pem)
+    c.close()
+    assert seen["pt"] == R.xor_password(PASSWORD, NONCE)
+
+
+def test_full_auth_after_auth_switch_uses_fresh_nonce():
+    """AuthSwitchRequest to caching_sha2 followed by full auth: the
+    RSA payload must XOR against the SWITCHED nonce, not the
+    handshake's."""
+    key, pem = _rsa_keypair()
+    fresh = bytes(range(40, 60))
+    seen = {}
+
+    def script(sock, r, seq, auth):
+        FakeMySQL._send_pkt(sock, seq + 1,
+                            b"\xfe" + b"caching_sha2_password\x00"
+                            + fresh + b"\x00")
+        _, scr = FakeMySQL._read_pkt(r)
+        seen["scramble"] = scr
+        FakeMySQL._send_pkt(sock, seq + 3, b"\x01\x04")
+        _, ct = FakeMySQL._read_pkt(r)
+        seen["pt"] = _oaep_sha1_decrypt(key, bytes(ct))
+        FakeMySQL._send_pkt(sock, seq + 5,
+                            b"\x00\x00\x00\x02\x00\x00\x00")
+
+    c = _run_auth(b"mysql_native_password", script,
+                  server_public_key=pem)
+    c.close()
+    assert seen["scramble"] == _indep_sha2_scramble(PASSWORD, fresh)
+    assert seen["pt"] == R.xor_password(PASSWORD, fresh)
+
+
+def _recv_exact(sock, n: int) -> bytes:
+    """Never over-reads -- safe to use right before a TLS upgrade."""
+    b = b""
+    while len(b) < n:
+        c = sock.recv(n - len(b))
+        if not c:
+            raise ConnectionError("closed")
+        b += c
+    return b
+
+
+def _self_signed_cert(tmp_path):
+    import datetime
+
+    cryptography = pytest.importorskip("cryptography")
+    from cryptography import x509
+    from cryptography.hazmat.primitives import hashes, serialization
+    from cryptography.hazmat.primitives.asymmetric import rsa
+    from cryptography.x509.oid import NameOID
+    key = rsa.generate_private_key(public_exponent=65537, key_size=2048)
+    name = x509.Name([x509.NameAttribute(NameOID.COMMON_NAME,
+                                         "127.0.0.1")])
+    now = datetime.datetime.now(datetime.timezone.utc)
+    cert = (x509.CertificateBuilder()
+            .subject_name(name).issuer_name(name)
+            .public_key(key.public_key())
+            .serial_number(x509.random_serial_number())
+            .not_valid_before(now - datetime.timedelta(days=1))
+            .not_valid_after(now + datetime.timedelta(days=1))
+            .add_extension(x509.SubjectAlternativeName(
+                [x509.IPAddress(__import__("ipaddress")
+                                .ip_address("127.0.0.1"))]),
+                critical=False)
+            .sign(key, hashes.SHA256()))
+    certfile = tmp_path / "cert.pem"
+    keyfile = tmp_path / "key.pem"
+    certfile.write_bytes(cert.public_bytes(serialization.Encoding.PEM))
+    keyfile.write_bytes(key.private_bytes(
+        serialization.Encoding.PEM,
+        serialization.PrivateFormat.TraditionalOpenSSL,
+        serialization.NoEncryption()))
+    return str(certfile), str(keyfile)
+
+
+def test_full_auth_cleartext_inside_tls(tmp_path):
+    """The TLS path end-to-end over real sockets: SSLRequest carries
+    CLIENT_SSL, the tunnel is established (the client VERIFIES the
+    server cert), the HandshakeResponse travels inside it, and
+    perform-full-authentication is answered with the NUL-terminated
+    password in the clear -- inside the tunnel only."""
+    import socketserver
+    import ssl
+
+    certfile, keyfile = _self_signed_cert(tmp_path)
+    seen = {}
+
+    class Handler(socketserver.BaseRequestHandler):
+        def handle(self):
+            try:
+                sock = self.request
+                greet = bytes([10]) + b"8.0.36-fake\x00"
+                greet += struct.pack("<I", 7) + NONCE[:8] + b"\x00"
+                caps = 0x200 | 0x800 | 0x8000 | 0x80000
+                greet += struct.pack("<H", caps & 0xFFFF) + bytes([33])
+                greet += struct.pack("<H", 0x0002)
+                greet += struct.pack("<H", caps >> 16) + bytes([21])
+                greet += bytes(10) + NONCE[8:] + b"\x00"
+                greet += b"caching_sha2_password\x00"
+                FakeMySQL._send_pkt(sock, 0, greet)
+                # SSLRequest: exact reads only -- over-reading would
+                # swallow the TLS ClientHello
+                hdr = _recv_exact(sock, 4)
+                n = hdr[0] | hdr[1] << 8 | hdr[2] << 16
+                sslreq = _recv_exact(sock, n)
+                seen["sslreq_caps"] = struct.unpack_from("<I", sslreq)[0]
+                seen["sslreq_len"] = len(sslreq)
+                sctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+                sctx.load_cert_chain(certfile, keyfile)
+                tls = sctx.wrap_socket(sock, server_side=True)
+                r = FakeMySQL._Buf(tls)
+                seq, resp = FakeMySQL._read_pkt(r)
+                i = 4 + 4 + 1 + 23
+                end = resp.index(b"\x00", i)
+                seen["user"] = resp[i:end].decode()
+                alen = resp[end + 1]
+                seen["scramble"] = resp[end + 2:end + 2 + alen]
+                FakeMySQL._send_pkt(tls, seq + 1, b"\x01\x04")
+                _, pwd = FakeMySQL._read_pkt(r)
+                seen["pwd"] = pwd
+                FakeMySQL._send_pkt(tls, seq + 3,
+                                    b"\x00\x00\x00\x02\x00\x00\x00")
+                tls.unwrap()
+            except (ConnectionError, OSError, ssl.SSLError):
+                pass
+
+    class Srv(socketserver.ThreadingTCPServer):
+        allow_reuse_address = True
+        daemon_threads = True
+
+    srv = Srv(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        import ssl as _ssl
+        ctx = _ssl.SSLContext(_ssl.PROTOCOL_TLS_CLIENT)
+        ctx.check_hostname = False          # IP SAN covers it; belt +
+        ctx.verify_mode = _ssl.CERT_REQUIRED
+        ctx.load_verify_locations(certfile)
+        c = R.ReplicationClient(*srv.server_address, user=USER,
+                                password=PASSWORD, ssl_context=ctx)
+        c.connect()
+        assert c.tls_active
+        c.close()
+    finally:
+        srv.shutdown()
+        srv.server_close()
+    assert seen["sslreq_caps"] & 0x800      # CLIENT_SSL set
+    assert seen["sslreq_len"] == 32         # header-only SSLRequest
+    assert seen["user"] == USER
+    assert seen["scramble"] == _indep_sha2_scramble(PASSWORD, NONCE)
+    assert seen["pwd"] == PASSWORD.encode() + b"\x00"
+
+
+def test_tls_refused_when_server_lacks_client_ssl():
+    import ssl
+
+    def script(sock, r, seq, auth):  # pragma: no cover - never reached
+        pass
+
+    ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_CLIENT)
+    with pytest.raises(R.MySQLProtocolError, match="CLIENT_SSL"):
+        _run_auth(b"caching_sha2_password", script, ssl_context=ctx)
+
+
+# ---------------------------------------------------------------------------
+# >=16MB packet splitting (round 9, ADVICE r8 medium)
+# ---------------------------------------------------------------------------
+
+def test_packet_split_reassembly_both_ways():
+    """A payload >= 0xFFFFFF crosses the packet layer intact in both
+    directions: send_packet splits into max-size chunks + a short (or
+    empty) terminator; read_packet reassembles."""
+    import socket as _socket
+
+    a, b = _socket.socketpair()
+    try:
+        big = bytes(range(256)) * 65536 + b"tail"   # 16MB + 4
+        wio = R._PacketIO(a)
+        rio = R._PacketIO(b)
+        t = threading.Thread(target=wio.send_packet, args=(big,),
+                             kwargs={"seq": 0})
+        t.start()
+        got = rio.read_packet()
+        t.join()
+        assert got == big
+        # exactly one max chunk: terminator must be the EMPTY packet
+        a2, b2 = _socket.socketpair()
+        try:
+            w2, r2 = R._PacketIO(a2), R._PacketIO(b2)
+            exact = bytes(0xFFFFFF)
+            t = threading.Thread(target=w2.send_packet, args=(exact,),
+                                 kwargs={"seq": 0})
+            t.start()
+            assert r2.read_packet() == exact
+            t.join()
+            assert w2.seq == 2              # max chunk + empty chunk
+        finally:
+            a2.close(); b2.close()
+    finally:
+        a.close(); b.close()
+
+
+def test_small_packets_unchanged():
+    import socket as _socket
+    a, b = _socket.socketpair()
+    try:
+        w, r = R._PacketIO(a), R._PacketIO(b)
+        w.send_packet(b"\x03SELECT 1", seq=0)
+        assert r.read_packet() == b"\x03SELECT 1"
+        assert r.seq == 1
+    finally:
+        a.close(); b.close()
+
+
+# ---------------------------------------------------------------------------
+# relay segments + checksum probe + auto-reconnect (round 9)
+# ---------------------------------------------------------------------------
+
+def test_repeated_tail_sessions_use_fresh_segments(fake_mysql, tmp_path):
+    """ADVICE r8 (high): a second tail session must NOT append to
+    relay files a previous session created (the Spark drain never
+    re-reads a committed path). Each session gets its own rN- segment
+    namespace; binlog_seq still keys on the trailing server suffix."""
+    relay = tmp_path / "relay"
+    for _ in range(2):
+        c = R.ReplicationClient(fake_mysql.host, fake_mysql.port,
+                                user=USER, password=PASSWORD)
+        R.tail_to_relay(c, str(relay), "mysql-bin.000001")
+    names = sorted(p.name for p in relay.iterdir())
+    assert names == ["mysql-bin.000001", "mysql-bin.000002",
+                     "r1-mysql-bin.000001", "r1-mysql-bin.000002"]
+    # session 1 files were not touched by session 2: byte-identical
+    # to a fresh single-session tail
+    solo = tmp_path / "solo"
+    c = R.ReplicationClient(fake_mysql.host, fake_mysql.port,
+                            user=USER, password=PASSWORD)
+    R.tail_to_relay(c, str(solo), "mysql-bin.000001")
+    for n in ("mysql-bin.000001", "mysql-bin.000002"):
+        assert (relay / n).read_bytes() == (solo / n).read_bytes()
+        assert (relay / f"r1-{n}").read_bytes() == \
+            (solo / n).read_bytes()
+
+
+def test_checksum_probe_respects_none_server(fake_mysql, tmp_path):
+    """ADVICE r8 (low): against a binlog_checksum=NONE server the
+    initial artificial ROTATE is unchecksummed; seeding `checksummed`
+    from the client's own SET request would truncate the first relay
+    file's name by 4 bytes. The probe reads @@global.binlog_checksum
+    instead."""
+    fake_mysql.binlog_checksum = "NONE"
+    fake_mysql.files = {
+        "mysql-bin.000001": _items_file_nocrc(1, [
+            ("insert", [(1, "first", 10)]),
+        ])}
+    relay = tmp_path / "relay"
+    c = R.ReplicationClient(fake_mysql.host, fake_mysql.port,
+                            user=USER, password=PASSWORD)
+    n = R.tail_to_relay(c, str(relay), "mysql-bin.000001")
+    assert n >= 3
+    assert sorted(p.name for p in relay.iterdir()) == \
+        ["mysql-bin.000001"]               # NOT mysql-bin.0000 (-4)
+    evs = list(B.iter_binlog_events(
+        (relay / "mysql-bin.000001").read_bytes()))
+    assert evs[0].type_code == B.FORMAT_DESCRIPTION_EVENT
+
+
+def test_tail_resumable_survives_two_drops(fake_mysql, tmp_path, spark):
+    """VERDICT r8 ask #3 e2e: the connection is killed mid-stream
+    twice; tail_resumable reconnects, re-dumps from the relay's last
+    complete position into fresh segments, and the decoded final
+    state equals the uninterrupted run's -- no loss, no dup."""
+    from mysql_syncer_clickhouse_spark.operators.upsert import latest_state
+    fake_mysql.drop_plan = [3, 5]
+    relay = tmp_path / "relay"
+    calls = {"n": 0}
+
+    def factory():
+        calls["n"] += 1
+        return R.ReplicationClient(fake_mysql.host, fake_mysql.port,
+                                   user=USER, password=PASSWORD)
+
+    total = R.tail_resumable(factory, str(relay),
+                             "mysql-bin.000001", 4,
+                             retry_wait=0, sleep=lambda s: None)
+    assert calls["n"] == 3                 # two drops + one clean run
+    assert total > 0
+    segs = sorted(p.name for p in relay.iterdir())
+    assert any(s.startswith("r1-") for s in segs)
+    assert any(s.startswith("r2-") for s in segs)
+    env = B.read_binlog_files(spark, str(relay))
+    cl = B.binlog_to_changelog(env, ROW_DDL, db="app", table="items")
+    final = {r["id"]: (r["title"], r["qty"])
+             for r in latest_state(cl, ["id"]).collect()}
+    # identical to test_relay_through_spark_to_final_state's
+    # uninterrupted topology
+    assert final == {1: ("first-edited", 11), 3: ("third", 30)}
+
+
+def test_tail_resumable_gives_up_without_progress(tmp_path):
+    """A server that always refuses at the socket level exhausts
+    max_reconnects instead of looping forever."""
+    import socket as _socket
+    # a listener that accepts and instantly closes
+    lst = _socket.socket()
+    lst.bind(("127.0.0.1", 0))
+    lst.listen(8)
+    stop = threading.Event()
+
+    def reaper():
+        lst.settimeout(0.2)
+        while not stop.is_set():
+            try:
+                s, _ = lst.accept()
+                s.close()
+            except OSError:
+                continue
+
+    t = threading.Thread(target=reaper, daemon=True)
+    t.start()
+    try:
+        def factory():
+            return R.ReplicationClient(*lst.getsockname(),
+                                       user=USER, password=PASSWORD,
+                                       timeout=2.0)
+        with pytest.raises(R.MySQLProtocolError, match="gave up"):
+            R.tail_resumable(factory, str(tmp_path / "relay"),
+                             "mysql-bin.000001", 4,
+                             max_reconnects=2, retry_wait=0,
+                             sleep=lambda s: None)
+    finally:
+        stop.set()
+        t.join()
+        lst.close()
+
+
+def _items_file_nocrc(file_no: int, rows_spec) -> bytes:
+    """_items_file with checksum=NONE (a binlog_checksum=NONE
+    server)."""
+    enc = Enc(checksum=False)
+    cols = [("id", B.T_LONGLONG, b"", False),
+            ("title", B.T_VARCHAR, struct.pack("<H", 80), False),
+            ("qty", B.T_LONG, b"", False)]
+    enc.table_map(11, "app", "items", cols)
+    from tests.test_binlog import e_i32, e_i64, e_varchar
+
+    def img(id_, title, qty):
+        return [e_i64(id_), e_varchar(title), e_i32(qty)]
+
+    for op, rows in rows_spec:
+        enc.rows(B.WRITE_ROWS_EVENT, 11, 3, [img(*r) for r in rows])
+    enc.xid(1000 + file_no)
+    return enc.bytes()
+
+
+def test_relay_writer_tracks_resume_position(tmp_path):
+    """server_file/next_pos follow the stream: the artificial ROTATE
+    sets the file, each written event advances next_pos to its header
+    log_pos (the next dump position)."""
+    w = R.RelayWriter.for_new_session(str(tmp_path), checksummed=True)
+    assert w.segment == 0
+    w.append(_artificial_rotate("mysql-bin.000042"))
+    assert w.server_file == "mysql-bin.000042" and w.next_pos == 4
+    data = _items_file(42, [("insert", [(1, "a", 1)])])
+    for ev in _events_of(data):
+        w.append(ev)
+    # last event's declared end position
+    last_end = struct.unpack_from("<I", _events_of(data)[-1], 13)[0]
+    assert w.next_pos == last_end > 4
+    # a second writer in the same dir picks the next segment
+    w2 = R.RelayWriter.for_new_session(str(tmp_path), checksummed=True)
+    assert w2.segment == 1
