@@ -246,7 +246,35 @@ def main() -> None:
     # overflowed its tail-capture window -> parsed: null, losing the
     # round's official numbers). Verbose per-query diagnostics go to
     # stderr and BENCH_DETAIL.json instead.
-    detail = {"per_query_load1": loads}
+    # per-part wall times for the two merged entries (VERDICT r8 ask
+    # #4: the SCALE.md §5 job-floor claim must be re-checkable from a
+    # recorded artifact). A literal filter on the `part` label
+    # constant-folds to false in every other union branch, and
+    # PruneFilters + PropagateEmptyRelation remove those branches'
+    # scans -- so each timing is that part's ISOLATED plan plus the
+    # shared session floor. sum(parts) >> entry total is the floor
+    # claim made measurable: parts pay the per-job scheduling floor
+    # once each, the fused entry pays it once overall.
+    from pyspark.sql import functions as _F
+    per_part: dict[str, dict] = {}
+    for pname in ("agg_grouping_stats", "corpus_curation"):
+        pfn = all_q.get(pname)
+        if pfn is None:
+            continue
+        pdf = pfn(spark, sf_dir)
+        if "part" not in pdf.columns:
+            continue
+        labels = sorted(r["part"] for r in
+                        pdf.select("part").distinct().collect())
+        times: dict[str, float] = {}
+        for lab in labels:
+            times[lab] = round(_noop_write(
+                pfn(spark, sf_dir).filter(_F.col("part") == lab)), 3)
+        per_part[pname] = {"parts": times,
+                           "sum_parts": round(sum(times.values()), 3),
+                           "entry_cold": cold_times.get(pname),
+                           "entry_warm": warm_times.get(pname)}
+    detail = {"per_query_load1": loads, "per_part_sec": per_part}
     print(json.dumps({"bench_detail": detail}), file=sys.stderr)
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),

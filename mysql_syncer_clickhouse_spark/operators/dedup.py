@@ -649,11 +649,20 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 6,
     -- a long chain now costs extra rounds instead of silently
     mislabeling. The loop is driver-side control flow only; all data
     stays distributed."""
+    # PIN the edge list before the loop (round 9, found by the honest
+    # construction-inclusive scale probe): every propagate() iteration
+    # joins against `edges`, and each lazy-checkpoint boundary runs as
+    # its own job -- unpinned, EVERY iteration re-executed the entire
+    # upstream pair-producing chain (for MinHash rep pairs: the full
+    # shingle/band/verify pipeline, ~6-7x the dominant cost at x100).
+    # Edges are two longs per pair; a 100 TB run parquet-checkpoints
+    # the same relation.
     edges = (pairs.select(F.col("id_a").alias("src"),
                           F.col("id_b").alias("dst"))
              .unionByName(pairs.select(F.col("id_b").alias("src"),
                                        F.col("id_a").alias("dst")))
-             .distinct())
+             .distinct()
+             .localCheckpoint(eager=False))
     labels = (edges.select(F.col("src").alias("id"))
               .distinct()
               .withColumn("cluster_id", F.col("id")))

@@ -1,0 +1,196 @@
+"""CityHash v1.0.2 -- the 128-bit flavor ClickHouse frames every
+compressed block with.
+
+ClickHouse pinned CityHash at version 1.0.2 forever (the repo vendors
+it as CityHash_v1_0_2; later upstream releases changed the algorithm
+and would break every stored checksum), so this is a from-scratch
+stdlib re-implementation of that exact public algorithm: Google's
+cityhash-1.0.2 (MIT), the version WITH the k3 constant and the
+CityMurmur short path. The reference's driver stack gets it from its
+ClickHouse client library (/root/reference/clickhouse/client.go:36-37
+delegates; no hash code exists in the reference to compare against).
+
+Pure-Python u64 arithmetic is spec-faithful but slow (~MB/s-scale);
+a production deployment on a real cluster would swap in a compiled
+cityhash binding behind the same two functions. There is no live
+ClickHouse in this sandbox to interoperate with, so tests check
+self-consistency (framing round trip, avalanche, length edges) --
+algorithm-level validation against a real server is the first thing
+to run when one exists (tests/test_clickhouse_native_sink.py says the
+same).
+"""
+
+from __future__ import annotations
+
+import struct
+
+_M = 0xFFFFFFFFFFFFFFFF
+K0 = 0xC3A5C85C97CB3127
+K1 = 0xB492B66FBE98F273
+K2 = 0x9AE16A3B2F90404F
+K3 = 0xC949D7C7509E6557
+_KMUL = 0x9DDFEA08EB382D69
+
+
+def _fetch64(s: bytes, i: int = 0) -> int:
+    return struct.unpack_from("<Q", s, i)[0]
+
+
+def _fetch32(s: bytes, i: int = 0) -> int:
+    return struct.unpack_from("<I", s, i)[0]
+
+
+def _rot(v: int, shift: int) -> int:
+    if shift == 0:
+        return v
+    return ((v >> shift) | (v << (64 - shift))) & _M
+
+
+def _rot_at_least_1(v: int, shift: int) -> int:
+    return ((v >> shift) | (v << (64 - shift))) & _M
+
+
+def _shift_mix(v: int) -> int:
+    return v ^ (v >> 47)
+
+
+def _hash128to64(lo: int, hi: int) -> int:
+    a = ((lo ^ hi) * _KMUL) & _M
+    a ^= a >> 47
+    b = ((hi ^ a) * _KMUL) & _M
+    b ^= b >> 47
+    return (b * _KMUL) & _M
+
+
+def _hashlen16(u: int, v: int) -> int:
+    return _hash128to64(u, v)
+
+
+def _hashlen0to16(s: bytes, length: int) -> int:
+    if length > 8:
+        a = _fetch64(s)
+        b = _fetch64(s, length - 8)
+        return _hashlen16(a, _rot_at_least_1((b + length) & _M,
+                                             length)) ^ b
+    if length >= 4:
+        a = _fetch32(s)
+        return _hashlen16((length + (a << 3)) & _M,
+                          _fetch32(s, length - 4))
+    if length > 0:
+        a, b, c = s[0], s[length >> 1], s[length - 1]
+        y = (a + (b << 8)) & 0xFFFFFFFF
+        z = (length + (c << 2)) & 0xFFFFFFFF
+        return (_shift_mix((y * K2 ^ z * K3) & _M) * K2) & _M
+    return K2
+
+
+def _weak32_seeds(w: int, x: int, y: int, z: int,
+                  a: int, b: int) -> tuple[int, int]:
+    a = (a + w) & _M
+    b = _rot((b + a + z) & _M, 21)
+    c = a
+    a = (a + x + y) & _M
+    b = (b + _rot(a, 44)) & _M
+    return (a + z) & _M, (b + c) & _M
+
+
+def _weak32(s: bytes, i: int, a: int, b: int) -> tuple[int, int]:
+    return _weak32_seeds(_fetch64(s, i), _fetch64(s, i + 8),
+                         _fetch64(s, i + 16), _fetch64(s, i + 24),
+                         a, b)
+
+
+def _city_murmur(s: bytes, seed_lo: int, seed_hi: int) -> tuple[int, int]:
+    length = len(s)
+    a, b = seed_lo, seed_hi
+    ell = length - 16
+    if ell <= 0:                           # length <= 16
+        a = (_shift_mix((a * K1) & _M) * K1) & _M
+        c = (b * K1 + _hashlen0to16(s, length)) & _M
+        d = _shift_mix((a + (_fetch64(s) if length >= 8 else c)) & _M)
+    else:
+        c = _hashlen16((_fetch64(s, length - 8) + K1) & _M, a)
+        d = _hashlen16((b + length) & _M,
+                       (c + _fetch64(s, length - 16)) & _M)
+        a = (a + d) & _M
+        i = 0
+        while True:
+            a ^= (_shift_mix((_fetch64(s, i) * K1) & _M) * K1) & _M
+            a = (a * K1) & _M
+            b ^= a
+            c ^= (_shift_mix((_fetch64(s, i + 8) * K1) & _M) * K1) & _M
+            c = (c * K1) & _M
+            d ^= c
+            i += 16
+            ell -= 16
+            if ell <= 0:
+                break
+    a = _hashlen16(a, c)
+    b = _hashlen16(d, b)
+    return a ^ b, _hashlen16(b, a)
+
+
+def cityhash128_with_seed(s: bytes, seed_lo: int,
+                          seed_hi: int) -> tuple[int, int]:
+    """(low64, high64) of CityHash128WithSeed, cityhash-1.0.2."""
+    length = len(s)
+    if length < 128:
+        return _city_murmur(s, seed_lo, seed_hi)
+    x, y = seed_lo, seed_hi
+    z = (length * K1) & _M
+    v0 = (_rot(y ^ K1, 49) * K1 + _fetch64(s)) & _M
+    v1 = (_rot(v0, 42) * K1 + _fetch64(s, 8)) & _M
+    w0 = (_rot((y + z) & _M, 35) * K1 + x) & _M
+    w1 = (_rot((x + _fetch64(s, 88)) & _M, 53) * K1) & _M
+    i = 0
+    while True:
+        for _ in range(2):
+            x = (_rot((x + y + v0 + _fetch64(s, i + 16)) & _M, 37)
+                 * K1) & _M
+            y = (_rot((y + v1 + _fetch64(s, i + 48)) & _M, 42) * K1) & _M
+            x ^= w1
+            y ^= v0
+            z = _rot(z ^ w0, 33)
+            v0, v1 = _weak32(s, i, (v1 * K1) & _M, (x + w0) & _M)
+            w0, w1 = _weak32(s, i + 32, (z + w1) & _M, y)
+            z, x = x, z
+            i += 64
+        length -= 128
+        if length < 128:
+            break
+    y = (y + _rot(w0, 37) * K0 + z) & _M
+    x = (x + _rot((v0 + z) & _M, 49) * K0) & _M
+    # 0 < length < 128: up to 4 chunks of 32 bytes from the END
+    tail_done = 0
+    while tail_done < length:
+        tail_done += 32
+        y = (_rot((y - x) & _M, 42) * K0 + v1) & _M
+        w0 = (w0 + _fetch64(s, i + length - tail_done + 16)) & _M
+        x = (_rot(x, 49) * K0 + w0) & _M
+        w0 = (w0 + v0) & _M
+        v0, v1 = _weak32(s, i + length - tail_done, v0, v1)
+    x = _hashlen16(x, v0)
+    y = _hashlen16(y, w0)
+    return ((_hashlen16((x + v1) & _M, w1) + y) & _M,
+            _hashlen16((x + w1) & _M, (y + v1) & _M))
+
+
+def cityhash128(s: bytes) -> tuple[int, int]:
+    """(low64, high64) of CityHash128, cityhash-1.0.2 -- what
+    ClickHouse writes in front of every compressed block (two LE
+    u64s, low first)."""
+    length = len(s)
+    if length >= 16:
+        return cityhash128_with_seed(s[16:], _fetch64(s) ^ K3,
+                                     _fetch64(s, 8))
+    if length >= 8:
+        return cityhash128_with_seed(b"",
+                                     _fetch64(s) ^ ((length * K0) & _M),
+                                     _fetch64(s, length - 8) ^ K1)
+    return cityhash128_with_seed(s, K0, K1)
+
+
+def checksum16(s: bytes) -> bytes:
+    """The 16-byte frame checksum: low u64 then high u64, LE."""
+    lo, hi = cityhash128(s)
+    return struct.pack("<QQ", lo, hi)

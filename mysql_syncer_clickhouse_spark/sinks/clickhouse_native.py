@@ -11,12 +11,20 @@ recording fake server (there is no live ClickHouse in this sandbox).
 What's implemented (the documented native protocol, port 9000):
 - varint (LEB128) framing, length-prefixed strings;
 - client/server HELLO with revision negotiation -- the client
-  advertises revision 54406 and gates every optional field on
+  advertises revision 54429 (CLIENT_REVISION below) and gates every
+  optional field on
   min(server, client), so a modern server simply speaks the older
   dialect (below 54410 the server sends no TableColumns metadata,
   below 54451 no ProfileEvents -- the minimal INSERT dialect);
-- QUERY packets (client info block, empty settings, stage Complete,
-  compression off) followed by the empty external-tables block;
+- QUERY packets (client info block, optional settings-as-strings,
+  stage Complete) followed by the empty external-tables block;
+- LZ4 BLOCK COMPRESSION (round 9), the protocol's production default
+  and the reference driver stack's (clickhouse/client.go:36-37):
+  every Data block body rides in a [CityHash128-v1.0.2 checksum |
+  method 0x82 | compressed size | raw size | LZ4 payload] frame, both
+  directions, negotiated off against pre-54058 servers. CityHash
+  v1.0.2 is re-implemented from the public algorithm
+  (sinks/cityhash102.py); LZ4 raw blocks via pyarrow's lz4_raw codec;
 - DATA blocks: BlockInfo + column-oriented encode for the exact type
   surface functions/typemap.py emits -- U/Int8..64, Float32/64,
   String, Date, DateTime, DateTime64(n), Decimal(P<=18,S) (plus
@@ -51,6 +59,7 @@ from pyspark.sql import DataFrame
 
 from ..functions.typemap import (clickhouse_create_table_ddl,
                                  mysql_to_clickhouse_type)
+from .cityhash102 import checksum16
 
 CLIENT_NAME = "mysql-syncer-clickhouse-spark"
 # 54429 = settings-serialized-as-strings: the lowest revision that can
@@ -138,6 +147,79 @@ class _Reader:
             raise ConnectionError(f"implausible string length {n} "
                                   f"from server")
         return self.read(n).decode("utf-8", "replace")
+
+
+class _BytesReader(_Reader):
+    """_Reader over in-memory bytes -- what a decompressed frame is
+    parsed with."""
+
+    def __init__(self, data: bytes):  # noqa: super().__init__ replaced
+        self.sock = None
+        self.buf = data
+
+    def read(self, n: int) -> bytes:
+        if len(self.buf) < n:
+            raise ConnectionError("truncated compressed block")
+        out, self.buf = self.buf[:n], self.buf[n:]
+        return out
+
+
+# ------------------------------------------------- compressed framing
+
+# method bytes (public protocol constants)
+COMPRESSION_NONE = 0x02
+COMPRESSION_LZ4 = 0x82
+COMPRESSION_ZSTD = 0x90
+
+
+def _lz4_codec():
+    # pyarrow's lz4_raw IS the raw LZ4 block format ClickHouse frames
+    # carry (the same codec parquet's LZ4_RAW uses); stdlib has no LZ4
+    import pyarrow as pa
+    return pa.Codec("lz4_raw")
+
+
+def compress_frame(data: bytes, method: int = COMPRESSION_LZ4) -> bytes:
+    """One native-protocol compressed frame: CityHash128-v1.0.2
+    checksum (16 bytes, low u64 first) over [method byte |
+    compressed_size u32 | decompressed_size u32 | payload], where
+    compressed_size counts the 9-byte header itself -- the exact
+    layout CompressedWriteBuffer emits and the production default
+    (LZ4) the reference's driver stack speaks
+    (/root/reference/clickhouse/client.go:36-37)."""
+    if method == COMPRESSION_LZ4:
+        payload = bytes(_lz4_codec().compress(data))
+    elif method == COMPRESSION_NONE:
+        payload = data
+    else:
+        raise NotImplementedError(f"compression method 0x{method:02x}")
+    hdr = bytes([method]) + struct.pack("<II", 9 + len(payload),
+                                        len(data))
+    return checksum16(hdr + payload) + hdr + payload
+
+
+def read_compressed_frame(rd) -> bytes:
+    """Read + verify + decompress one frame from a reader with
+    .read(n). Raises on checksum mismatch (corruption detection is
+    the POINT of the frame -- silently passing it through would hide
+    wire damage the way the format is designed to catch)."""
+    chk = rd.read(16)
+    hdr = rd.read(9)
+    method = hdr[0]
+    comp_size, raw_size = struct.unpack_from("<II", hdr, 1)
+    if not 9 <= comp_size <= (1 << 30):
+        raise ConnectionError(f"implausible compressed size {comp_size}")
+    payload = rd.read(comp_size - 9)
+    if checksum16(hdr + payload) != chk:
+        raise ConnectionError("compressed block checksum mismatch")
+    if method == COMPRESSION_LZ4:
+        return bytes(_lz4_codec().decompress(payload, raw_size))
+    if method == COMPRESSION_NONE:
+        return payload
+    if method == COMPRESSION_ZSTD:
+        import pyarrow as pa
+        return bytes(pa.Codec("zstd").decompress(payload, raw_size))
+    raise NotImplementedError(f"compression method 0x{method:02x}")
 
 
 # --------------------------------------------------------- column encode
@@ -246,13 +328,20 @@ class NativeConnection:
 
     def __init__(self, host: str, port: int = 9000, *,
                  database: str = "default", user: str = "default",
-                 password: str = "", timeout: float = 60.0):
+                 password: str = "", timeout: float = 60.0,
+                 compression: bool = False):
         self.sock = socket.create_connection((host, port),
                                              timeout=timeout)
         self.r = _Reader(self.sock)
         self.server_revision = 0
         self._hello(database, user, password)
         self.revision = min(self.server_revision, CLIENT_REVISION)
+        # negotiated off against servers older than this client's own
+        # protocol floor (54058, the oldest dialect it speaks at all);
+        # any server at or above it accepts the Query compression flag
+        self.compression = (compression
+                            and self.server_revision
+                            >= _REV_SERVER_TIMEZONE)
 
     # -- handshake / framing
 
@@ -319,34 +408,44 @@ class NativeConnection:
                 pkt += write_str(value)
         pkt += write_str("")                           # settings end
         pkt += write_varint(2)                         # stage: complete
-        pkt += write_varint(0)                         # compression off
+        pkt += write_varint(1 if self.compression else 0)
         pkt += write_str(sql)
         self._send(bytes(pkt))
         self.send_block([], [])      # end of external tables
 
     def send_block(self, columns: list[tuple[str, str]],
                    rows: list[Sequence]) -> None:
-        self._send(write_varint(C_DATA), write_str(""),
-                   encode_block(columns, rows))
+        """One Data packet. With compression negotiated, the BLOCK
+        body (BlockInfo + counts + columns -- everything after the
+        table-name string, exactly CompressedWriteBuffer's span) rides
+        in an LZ4 frame; the packet code and name stay plain."""
+        block = encode_block(columns, rows)
+        if self.compression:
+            block = compress_frame(block)
+        self._send(write_varint(C_DATA), write_str(""), block)
 
     def _skip_block(self) -> None:
         """Consume a server Data block header (the INSERT sample block
         is empty; names/types are read, data lengths are type-driven
         so a non-empty one would need decoders -- the write path never
-        receives one)."""
-        self.r.string()              # temporary table name
-        self.r.varint()
-        self.r.read(1)               # block info: field 1
-        self.r.varint()
-        self.r.read(4)               # block info: field 2
-        self.r.varint()              # block info: end
-        n_cols, n_rows = self.r.varint(), self.r.varint()
+        receives one). With compression on, the server's block body
+        arrives framed too."""
+        rd = self.r
+        rd.string()                  # temporary table name
+        if self.compression:
+            rd = _BytesReader(read_compressed_frame(self.r))
+        rd.varint()
+        rd.read(1)                   # block info: field 1
+        rd.varint()
+        rd.read(4)                   # block info: field 2
+        rd.varint()                  # block info: end
+        n_cols, n_rows = rd.varint(), rd.varint()
         if n_rows:
             raise NotImplementedError("unexpected non-empty server block "
                                       "on the write path")
         for _ in range(n_cols):
-            self.r.string()
-            self.r.string()
+            rd.string()
+            rd.string()
 
     def _read_until(self, *stop_codes: int) -> int:
         while True:
@@ -420,12 +519,16 @@ class ClickHouseNativeSink:
     # SERVER-side -- same contract as the HTTP sink's dedup_tokens;
     # the ReplacingMergeTree (pk, seq) collapse stays the backstop
     dedup_tokens: bool = False
+    # LZ4 block compression (the native protocol's production
+    # default); negotiated off automatically against pre-54058 servers
+    compression: bool = True
     _known_cols: set[str] | None = field(default=None, repr=False)
 
     def _connect(self) -> NativeConnection:
         return NativeConnection(self.host, self.port,
                                 database=self.database, user=self.user,
-                                password=self.password)
+                                password=self.password,
+                                compression=self.compression)
 
     def execute(self, sql: str) -> None:
         conn = self._connect()
@@ -484,6 +587,7 @@ class ClickHouseNativeSink:
         host, port = self.host, self.port
         database, user, password = self.database, self.user, self.password
         bulk = self.bulk_size
+        compression = self.compression
         token_prefix = (f"{self.database}.{self.table}:{epoch_id}"
                         if self.dedup_tokens else None)
 
@@ -505,7 +609,8 @@ class ClickHouseNativeSink:
                         buf = []
                 yield buf
             conn = NativeConnection(host, port, database=database,
-                                    user=user, password=password)
+                                    user=user, password=password,
+                                    compression=compression)
             try:
                 conn.insert_blocks(sql, cols, blocks(),
                                    settings=settings)

@@ -616,7 +616,8 @@ class ReplicationClient:
                                non_block=non_block)
 
     def register_and_dump_gtid(self, gtid_set: str, *,
-                               hostname: str = "") -> None:
+                               hostname: str = "",
+                               non_block: bool = False) -> None:
         """COM_REGISTER_SLAVE + COM_BINLOG_DUMP_GTID: resume from a
         GTID set instead of (file, pos) -- the reference's canal GTID
         mode. `gtid_set` is the canonical text form
@@ -633,8 +634,9 @@ class ReplicationClient:
         self._command(reg)
         self._expect_ok("COM_REGISTER_SLAVE")
         blob = encode_gtid_set(gtid_set)
+        flags = BINLOG_THROUGH_GTID | (0x01 if non_block else 0)
         dump = bytes([COM_BINLOG_DUMP_GTID])
-        dump += struct.pack("<HI", BINLOG_THROUGH_GTID, self.server_id)
+        dump += struct.pack("<HI", flags, self.server_id)
         dump += struct.pack("<I", 0)         # empty binlog name
         dump += struct.pack("<Q", 4)         # position: start of file
         dump += struct.pack("<I", len(blob)) + blob
@@ -784,6 +786,8 @@ class RelayWriter:
 
 def tail_to_relay(client: ReplicationClient, relay_dir: str,
                   start_file: str | None = None, start_pos: int = 4, *,
+                  gtid_set: str | None = None,
+                  mariadb_gtid: str | None = None,
                   max_events: int | None = None,
                   setup_checksum: bool = True,
                   non_block: bool = False,
@@ -807,7 +811,12 @@ def tail_to_relay(client: ReplicationClient, relay_dir: str,
     binlog was WRITTEN with, not the one this client requested via
     SET @master_binlog_checksum, so seeding from the request would
     truncate the initial artificial ROTATE's file name by 4 bytes
-    against a binlog_checksum=NONE server (ADVICE r8)."""
+    against a binlog_checksum=NONE server (ADVICE r8).
+
+    `gtid_set` (MySQL auto-position: the canonical text set of what
+    is ALREADY applied) or `mariadb_gtid` ('domain-server-seq,...')
+    switch the dump to GTID mode; (start_file, start_pos) is then
+    ignored for the initial dump but still tracked for resume."""
     try:
         client.connect()
         if setup_checksum:
@@ -818,10 +827,16 @@ def tail_to_relay(client: ReplicationClient, relay_dir: str,
             writer = RelayWriter.for_new_session(
                 relay_dir, checksummed=_probe_checksum(
                     client, default=setup_checksum))
-        if start_file is None:
-            start_file, start_pos = client.master_status()
-        client.register_and_dump(start_file, start_pos,
-                                 non_block=non_block)
+        if gtid_set is not None:
+            client.register_and_dump_gtid(gtid_set, non_block=non_block)
+        elif mariadb_gtid is not None:
+            client.register_and_dump_mariadb_gtid(mariadb_gtid,
+                                                  non_block=non_block)
+        else:
+            if start_file is None:
+                start_file, start_pos = client.master_status()
+            client.register_and_dump(start_file, start_pos,
+                                     non_block=non_block)
         n = 0
         for ev in client.events():
             writer.append(ev)
@@ -848,6 +863,8 @@ def _probe_checksum(client: ReplicationClient, default: bool) -> bool:
 
 def tail_resumable(client_factory, relay_dir: str,
                    start_file: str | None = None, start_pos: int = 4, *,
+                   gtid_set: str | None = None,
+                   mariadb_gtid: str | None = None,
                    max_events: int | None = None,
                    setup_checksum: bool = True,
                    non_block: bool = False,
@@ -866,7 +883,12 @@ def tail_resumable(client_factory, relay_dir: str,
     construction. `max_reconnects` consecutive failures WITHOUT
     forward progress raise; any relayed event resets the counter.
     Backoff is linear (retry_wait * consecutive failures); `sleep`
-    is injectable for tests. Returns total events relayed."""
+    is injectable for tests. Returns total events relayed.
+
+    GTID modes (`gtid_set` / `mariadb_gtid`) drive the INITIAL dump;
+    once the relay has a complete position, reconnects re-dump from
+    (server_file, next_pos) -- the same dual bookkeeping canal's
+    master.info keeps (name/pos always, GTID when enabled)."""
     import time as _time
     sleep = sleep or _time.sleep
     total = 0
@@ -881,10 +903,17 @@ def tail_resumable(client_factory, relay_dir: str,
             writer = RelayWriter.for_new_session(
                 relay_dir, checksummed=_probe_checksum(
                     client, default=setup_checksum))
-            if start_file is None:
-                start_file, start_pos = client.master_status()
-            client.register_and_dump(start_file, start_pos,
-                                     non_block=non_block)
+            if gtid_set is not None:
+                client.register_and_dump_gtid(gtid_set,
+                                              non_block=non_block)
+            elif mariadb_gtid is not None:
+                client.register_and_dump_mariadb_gtid(
+                    mariadb_gtid, non_block=non_block)
+            else:
+                if start_file is None:
+                    start_file, start_pos = client.master_status()
+                client.register_and_dump(start_file, start_pos,
+                                         non_block=non_block)
             for ev in client.events():
                 writer.append(ev)
                 total += 1
@@ -899,8 +928,13 @@ def tail_resumable(client_factory, relay_dir: str,
                     f"tail gave up after {max_reconnects} consecutive "
                     f"reconnect failures without progress: {e}") from e
             if writer is not None and writer.server_file is not None:
+                # once the relay holds a complete position, resume by
+                # (file, pos); until then a GTID start retries as-is
+                # (falling to master_status() here could skip events
+                # between the GTID position and the current tip)
                 start_file = writer.server_file
                 start_pos = max(4, writer.next_pos)
+                gtid_set = mariadb_gtid = None
             sleep(retry_wait * failures)
         finally:
             client.close()

@@ -4,19 +4,22 @@ operator plus the growth ratio per decade. Sub-linear-per-10x claims
 in SCALE.md rest on BOTH decades (round 7; round 6 measured one).
 
 Replication is NOT naive duplication:
-- documents: each replica gets offset ids AND a per-replica letter
-  substitution over the text, composed from TWO disjoint 10-letter
-  rotation wheels (i % 10 over 'etaoinshrd', i // 10 over
-  'lucmfwypvb') -- 100 PAIRWISE-DISTINCT maps, so no two replicas are
-  exact copies and cross-replica shingle overlap drops to the residue
-  of shingles untouched by the differing wheel (replicas sharing
-  i % 10 keep the same wheel-A map, so shingles made only of wheel-A
-  letters plus the six unmapped letters/digits/punctuation still
-  collide -- a small inflation of cross-replica candidates, not
-  isolation). Naive copies would hand MinHash massive exact-duplicate
-  groups and measure a data pathology (which collapse_exact_texts
-  defuses anyway), not the operator. Within-replica near-dup
-  structure (what the operator hunts) is preserved by construction.
+- documents: each replica gets offset ids AND a per-replica AFFINE
+  LETTER BIJECTION over the full a-z alphabet (map i sends letter k
+  to (a_i * k + b_i) mod 26 with a_i coprime to 26) -- up to 312
+  pairwise-distinct maps any two of which agree on AT MOST ONE
+  letter, so no 8-char shingle containing two distinct letters can
+  collide across replicas. Round 9 correction: the previous scheme
+  (two composed 10-letter rotation wheels) left replicas sharing a
+  wheel with large collision residue -- measured 735,713 LSH
+  candidate pairs for 57k reps at x10, an O(replicas^2) cross-replica
+  band-collision pathology that dominated every minhash-family x100
+  number and measured the FIXTURE, not the operator. Naive copies
+  would instead hand MinHash massive exact-duplicate groups (which
+  collapse_exact_texts defuses anyway). Within-replica near-dup
+  structure (what the operator hunts) is preserved by construction:
+  near_dup_corpus plants its near/exact pairs per replica AFTER the
+  mapping.
 - lineitem/orders/customer: per-replica key offsets keep join
   consistency (each replica is a disjoint slice of a bigger TPC-H-ish
   database: same dimensions, Nx the facts) -- for aggregation (q1)
@@ -48,29 +51,38 @@ from mysql_syncer_clickhouse_spark.sources.tables import load_table
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 DECADES = [int(x) for x in os.environ.get(
     "SPARK_GRAFT_SCALE_DECADES", "10,100").split(",")]
-WHEEL_A = "etaoinshrd"
-WHEEL_B = "lucmfwypvb"
+LETTERS = "abcdefghijklmnopqrstuvwxyz"
+_COPRIMES = (1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
 
 
-def _rot(s: str, i: int) -> str:
-    return s[i % len(s):] + s[:i % len(s)]
+def _affine_map(i: int) -> str:
+    """The i-th affine letter bijection: letter k -> (a*k + b) mod 26,
+    a coprime to 26. Map 0 is the identity; any two maps agree on at
+    most one letter (same-a maps on none), so cross-replica shingles
+    never systematically collide (module docstring)."""
+    a = _COPRIMES[i % len(_COPRIMES)]
+    b = i // len(_COPRIMES)
+    return "".join(LETTERS[(a * k + b) % 26] for k in range(26))
 
 
-def replicate_docs(docs, n: int):
-    """n replicas with disjoint ids and pairwise-distinct letter maps
-    (two composed rotation wheels cover n <= 100; see module docstring
-    for the residual cross-replica overlap this leaves)."""
+def _replicate_docs_mapped(docs, n: int, map_of):
     parts = []
     for i in range(n):
-        sub = _rot(WHEEL_A, i % 10) + _rot(WHEEL_B, i // 10)
         parts.append(docs.select(
             (F.col("doc_id") + i * 10_000_000).alias("doc_id"),
-            F.translate("text", WHEEL_A + WHEEL_B, sub).alias("text"),
+            F.translate("text", LETTERS, map_of(i)).alias("text"),
             "source", "n_chars"))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def replicate_docs(docs, n: int):
+    """n replicas with disjoint ids and pairwise-distinct affine
+    letter maps -- genuinely distinct documents, the shape a real
+    100x corpus has."""
+    return _replicate_docs_mapped(docs, n, _affine_map)
 
 
 def replicate_docs_heaps(docs, n: int):
@@ -86,18 +98,7 @@ def replicate_docs_heaps(docs, n: int):
     pathology collapse_exact_texts defuses, a different measurement)."""
     import math
     pool = max(1, math.ceil(2 * math.sqrt(n)))
-    parts = []
-    for i in range(n):
-        j = i % pool
-        sub = _rot(WHEEL_A, j % 10) + _rot(WHEEL_B, j // 10)
-        parts.append(docs.select(
-            (F.col("doc_id") + i * 10_000_000).alias("doc_id"),
-            F.translate("text", WHEEL_A + WHEEL_B, sub).alias("text"),
-            "source", "n_chars"))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    return _replicate_docs_mapped(docs, n, lambda i: _affine_map(i % pool))
 
 
 def replicate_lineitem(li, n: int):
@@ -135,9 +136,18 @@ def replicate_customer(cust, n: int):
     return out
 
 
-def timed(df) -> float:
+def timed(make) -> float:
+    """`make: () -> DataFrame`; CONSTRUCTION runs inside the timer.
+    Round 9 correction: operators that pin relations eagerly
+    (localCheckpoint(eager=True)) or whose lazy local checkpoints
+    execute at RDD-conversion time under AQE (duplicate_clusters'
+    iteration) do their real work while the DataFrame is being BUILT
+    -- timing only the final action let r8's minhash_canonical_rep
+    x100 report 10.45 s while its construction cost ~2 min (measured
+    115 s at x10 alone). Passing a thunk closes the escape for every
+    case uniformly."""
     t0 = time.perf_counter()
-    df.write.format("noop").mode("overwrite").save()
+    make().write.format("noop").mode("overwrite").save()
     return round(time.perf_counter() - t0, 3)
 
 
@@ -219,13 +229,13 @@ def main() -> None:
     base: dict[str, float] = {}
     for name, fn in doc_cases.items():
         fn(docs1).write.format("noop").mode("overwrite").save()
-        base[name] = timed(fn(docs1))
+        base[name] = timed(lambda fn=fn: fn(docs1))
     if run_tpch:
         q1_over(li1).write.format("noop").mode("overwrite").save()
-        base["q1_pricing_summary"] = timed(q1_over(li1))
+        base["q1_pricing_summary"] = timed(lambda: q1_over(li1))
         q3_join_over(cu1, or1, li1).write.format("noop") \
             .mode("overwrite").save()
-        base["q3_join"] = timed(q3_join_over(cu1, or1, li1))
+        base["q3_join"] = timed(lambda: q3_join_over(cu1, or1, li1))
 
     out: dict[str, dict] = {}
     for n in DECADES:
@@ -234,7 +244,8 @@ def main() -> None:
                   if heaps_cases & doc_cases.keys() else None)
         dec: dict[str, dict] = {}
         for name, fn in doc_cases.items():
-            big = timed(fn(docsHN if name in heaps_cases else docsN))
+            big = timed(lambda fn=fn, name=name:
+                        fn(docsHN if name in heaps_cases else docsN))
             dec[name] = {"sec": big,
                          "growth_vs_sf0.1": round(big / base[name], 2)
                          if base[name] else None}
@@ -242,12 +253,12 @@ def main() -> None:
             liN = replicate_lineitem(li1, n)
             orN = replicate_orders(or1, n)
             cuN = replicate_customer(cu1, n)
-            big = timed(q1_over(liN))
+            big = timed(lambda: q1_over(liN))
             dec["q1_pricing_summary"] = {
                 "sec": big,
                 "growth_vs_sf0.1":
                     round(big / base["q1_pricing_summary"], 2)}
-            big = timed(q3_join_over(cuN, orN, liN))
+            big = timed(lambda: q3_join_over(cuN, orN, liN))
             dec["q3_join"] = {
                 "sec": big,
                 "growth_vs_sf0.1": round(big / base["q3_join"], 2)}
@@ -255,6 +266,8 @@ def main() -> None:
 
     print(json.dumps({"metric": "scale_probe_decades",
                       "decades": DECADES, "sf_dir": SF_DIR,
+                      "driver_memory": os.environ.get(
+                          "SPARK_DRIVER_MEMORY", "8g"),
                       "base_sf0.1_sec": base, "cases": out}))
     spark.stop()
 

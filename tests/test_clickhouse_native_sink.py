@@ -127,6 +127,54 @@ class _SockReader:
         return out
 
 
+class _MemReader:
+    def __init__(self, data: bytes):
+        self.buf = data
+
+    def read(self, n):
+        assert len(self.buf) >= n, "truncated frame"
+        out, self.buf = self.buf[:n], self.buf[n:]
+        return out
+
+
+def _rd_frame(r, sizes: list | None = None) -> bytes:
+    """Independent compressed-frame decode: checksum layout + LZ4 via
+    pyarrow directly (the checksum value itself is recomputed with
+    the module's cityhash102 -- the one component with no second
+    implementation available in this sandbox; consistency only)."""
+    import pyarrow as pa
+    chk = r.read(16)
+    hdr = r.read(9)
+    method = hdr[0]
+    comp_size, raw_size = struct.unpack_from("<II", hdr, 1)
+    payload = r.read(comp_size - 9)
+    from mysql_syncer_clickhouse_spark.sinks.cityhash102 import checksum16
+    assert checksum16(hdr + payload) == chk
+    assert method == 0x82                       # LZ4
+    raw = bytes(pa.Codec("lz4_raw").decompress(payload, raw_size))
+    assert len(raw) == raw_size
+    if sizes is not None:
+        sizes.append((16 + comp_size, raw_size))
+    return raw
+
+
+def _wr_frame(data: bytes) -> bytes:
+    """Independent frame builder for server->client blocks."""
+    import pyarrow as pa
+    from mysql_syncer_clickhouse_spark.sinks.cityhash102 import checksum16
+    payload = bytes(pa.Codec("lz4_raw").compress(data))
+    hdr = bytes([0x82]) + struct.pack("<II", 9 + len(payload), len(data))
+    return checksum16(hdr + payload) + hdr + payload
+
+
+def _decode_block_mc(r, compressed: bool, sizes: list | None = None):
+    """Block decode, through a frame when the query negotiated
+    compression."""
+    if not compressed:
+        return _decode_block(r)
+    return _decode_block(_MemReader(_rd_frame(r, sizes)))
+
+
 # -------------------------------------------------------- fake server
 
 class _FakeNativeClickHouse:
@@ -135,14 +183,18 @@ class _FakeNativeClickHouse:
     exceptions. Thread-safe recording."""
 
     def __init__(self, *, fail_sql_containing: str | None = None,
-                 send_table_columns: bool = False):
+                 send_table_columns: bool = False,
+                 hello_revision: int | None = None):
         self.queries: list[str] = []
         self.inserts: list[tuple[str, list[tuple]]] = []
         self.hellos: list[tuple[str, str, str]] = []   # db, user, pass
         self.settings: list[dict[str, str]] = []       # per query
+        self.compressions: list[int] = []              # query flag seen
+        self.frame_sizes: list[tuple[int, int]] = []   # (wire, raw)
         self._lock = threading.Lock()
         self._fail = fail_sql_containing
         self._send_tc = send_table_columns
+        self._hello_rev = hello_revision
         outer = self
 
         class Handler(socketserver.BaseRequestHandler):
@@ -170,11 +222,19 @@ class _FakeNativeClickHouse:
         db, user, pwd = _rd_str(r), _rd_str(r), _rd_str(r)
         with self._lock:
             self.hellos.append((db, user, pwd))
-        sock.sendall(_wr_varint(0) + _wr_str("FakeHouse")
-                     + _wr_varint(23) + _wr_varint(8)
-                     + _wr_varint(N.CLIENT_REVISION)
-                     + _wr_str("UTC") + _wr_str("fake")
-                     + _wr_varint(1))
+        hello_rev = (self._hello_rev if self._hello_rev is not None
+                     else N.CLIENT_REVISION)
+        hello = (_wr_varint(0) + _wr_str("FakeHouse")
+                 + _wr_varint(23) + _wr_varint(8)
+                 + _wr_varint(hello_rev))
+        rev = min(hello_rev, N.CLIENT_REVISION)
+        if rev >= 54058:
+            hello += _wr_str("UTC")
+        if rev >= 54372:
+            hello += _wr_str("fake")
+        if rev >= 54401:
+            hello += _wr_varint(1)
+        sock.sendall(hello)
         while True:
             pkt = _rd_varint(r)
             if pkt != 1:             # only Query packets expected
@@ -191,8 +251,10 @@ class _FakeNativeClickHouse:
             _rd_varint(r)
             _rd_varint(r)
             _rd_varint(r)            # version + revision
-            _rd_str(r)               # quota key
-            _rd_varint(r)            # version patch
+            if rev >= 54060:
+                _rd_str(r)           # quota key
+            if rev >= 54401:
+                _rd_varint(r)        # version patch
             # settings-as-strings list, empty-name-terminated
             qsettings: dict[str, str] = {}
             while True:
@@ -202,16 +264,18 @@ class _FakeNativeClickHouse:
                 r.read(1)            # flags
                 qsettings[sname] = _rd_str(r)
             assert _rd_varint(r) == 2          # stage complete
-            assert _rd_varint(r) == 0          # no compression
+            compression = _rd_varint(r)
+            assert compression in (0, 1)
             sql = _rd_str(r)
             # the empty external-tables block
             assert _rd_varint(r) == 2
             _rd_str(r)
-            cols, rows = _decode_block(r)
+            cols, rows = _decode_block_mc(r, compression == 1)
             assert not rows
             with self._lock:
                 self.queries.append(sql)
                 self.settings.append(qsettings)
+                self.compressions.append(compression)
             if self._fail and self._fail in sql:
                 sock.sendall(_wr_varint(2) + struct.pack("<i", 60)
                              + _wr_str("DB::Exception")
@@ -224,19 +288,25 @@ class _FakeNativeClickHouse:
                     # INSERTs; clients must tolerate it
                     sock.sendall(_wr_varint(11) + _wr_str("")
                                  + _wr_str("columns format version: 1"))
-                # header block: empty
-                sock.sendall(_wr_varint(1) + _wr_str("")
-                             + N.encode_block([], []))
+                # header block: empty -- framed when negotiated, so
+                # the CLIENT's decompress+verify path is exercised too
+                hdr_blk = N.encode_block([], [])
+                if compression:
+                    hdr_blk = _wr_frame(hdr_blk)
+                sock.sendall(_wr_varint(1) + _wr_str("") + hdr_blk)
                 got: list[tuple] = []
+                sizes: list[tuple[int, int]] = []
                 while True:
                     assert _rd_varint(r) == 2
                     _rd_str(r)
-                    bcols, brows = _decode_block(r)
+                    bcols, brows = _decode_block_mc(
+                        r, compression == 1, sizes)
                     if not bcols and not brows:
                         break
                     got.extend(brows)
                 with self._lock:
                     self.inserts.append((sql, got))
+                    self.frame_sizes.extend(sizes)
             sock.sendall(_wr_varint(5))        # EndOfStream
 
     def start(self):
@@ -422,3 +492,111 @@ def test_stream_applies_ddl_then_epoch_ordered_inserts(
     seqs = sorted(r[0] for r in all_rows)
     assert seqs == sorted([r[0] for r in ROWS_PART1]
                           + [r[0] for r in ROWS_PART2])
+
+
+# ----------------------------------------- LZ4 compression (round 9)
+
+def test_cityhash102_shape_and_self_golden():
+    """No second CityHash-1.0.2 implementation exists in this sandbox
+    (pip cityhash/clickhouse-driver absent, the Go reference delegates
+    to its driver), so these are REGRESSION pins: frozen self-goldens
+    across the algorithm's length regimes (empty / <4 / <=16 / <=64
+    CityMurmur / >=128 long loop + tail), plus avalanche sanity.
+    Validation against a live server is the first thing to run when
+    one exists."""
+    from mysql_syncer_clickhouse_spark.sinks.cityhash102 import (
+        cityhash128, checksum16)
+    golden = {
+        b"": (0x3DF09DFC64C09A2B, 0x3CB540C392E51E29),
+        b"a": (0xD27139A1AFE01AD0, 0xFD7E8EE2E4C86CF6),
+        b"abc": (0x900FF195577748FE, 0x13A9176355B20D7E),
+        b"hello world, this is a test": (0x582D3B930B996490,
+                                         0x3310441479416C76),
+        bytes(range(200)): (0x275774699E23B6FD, 0x5682EF01EBE7289C),
+        bytes(1000): (0xB9E3A4748EF475A8, 0x85E2F02FB9812B0E),
+    }
+    for s, want in golden.items():
+        assert cityhash128(s) == want, f"len {len(s)}"
+    # every length 0..300 hashes without error and distinctly per flip
+    seen = set()
+    base = bytes(range(256)) * 2
+    for n in range(301):
+        h = cityhash128(base[:n])
+        assert h not in seen
+        seen.add(h)
+    # avalanche: flipping one bit flips the hash
+    s = bytearray(base[:150])
+    h0 = cityhash128(bytes(s))
+    s[77] ^= 0x10
+    assert cityhash128(bytes(s)) != h0
+    # serialization: low u64 LE first
+    lo, hi = cityhash128(b"abc")
+    assert checksum16(b"abc") == struct.pack("<QQ", lo, hi)
+
+
+def test_compress_frame_roundtrip_and_corruption():
+    payloads = [b"", b"x", b"spark " * 1000, bytes(100_000),
+                bytes(range(256)) * 512]
+    for data in payloads:
+        frame = N.compress_frame(data)
+        assert N.read_compressed_frame(_MemReader(frame)) == data
+        # compressible data actually compresses
+        if len(data) > 1000 and len(set(data)) < 200:
+            assert len(frame) < len(data)
+    # a flipped byte anywhere in header or payload is caught
+    frame = bytearray(N.compress_frame(b"corruption target " * 100))
+    for pos in (16, 20, len(frame) - 1):    # method, size, payload
+        bad = bytearray(frame)
+        bad[pos] ^= 0x01
+        with pytest.raises((ConnectionError, NotImplementedError,
+                            AssertionError, Exception)):
+            got = N.read_compressed_frame(_MemReader(bytes(bad)))
+            assert got != b"corruption target " * 100
+    # checksum corruption specifically -> checksum mismatch
+    bad = bytearray(frame)
+    bad[0] ^= 0x01
+    with pytest.raises(ConnectionError, match="checksum"):
+        N.read_compressed_frame(_MemReader(bytes(bad)))
+
+
+def test_insert_rides_lz4_frames_by_default(fake_native, spark):
+    """The sink's production default: the Query packet negotiates
+    compression, every block body is an LZ4 frame (independently
+    decoded server-side), rows byte-decode to what was written, and
+    the wire bytes are SMALLER than the raw block."""
+    sink = _sink(fake_native)
+    rows = [(i, "insert", i, "title-" + "pad" * 20, 86400 + i)
+            for i in range(500)]
+    df = spark.createDataFrame(rows, SCHEMA_DDL).coalesce(1)
+    sink.apply_batch(df, epoch_id=0)
+    assert fake_native.compressions[-1] == 1
+    _, got = fake_native.inserts[0]
+    assert sorted(got) == sorted(rows)
+    assert fake_native.frame_sizes, "no frames recorded"
+    wire, raw = fake_native.frame_sizes[0]
+    assert wire < raw                       # repetitive text compresses
+
+
+def test_compression_negotiated_off_against_old_server(spark):
+    """A pre-54058 server cannot be asked for compression: the client
+    turns it off and the Query carries flag 0."""
+    srv = _FakeNativeClickHouse(hello_revision=54056).start()
+    try:
+        sink = _sink(srv)
+        df = spark.createDataFrame(
+            [(1, "insert", 1, "first", 86400)], SCHEMA_DDL).coalesce(1)
+        sink.apply_batch(df, epoch_id=0)
+        assert srv.compressions[-1] == 0
+        assert srv.inserts[0][1] == [(1, "insert", 1, "first", 86400)]
+    finally:
+        srv.stop()
+
+
+def test_compression_off_still_supported(fake_native, spark):
+    sink = _sink(fake_native)
+    sink.compression = False
+    df = spark.createDataFrame(
+        [(7, "insert", 7, "plain", None)], SCHEMA_DDL).coalesce(1)
+    sink.apply_batch(df, epoch_id=0)
+    assert fake_native.compressions[-1] == 0
+    assert fake_native.inserts[0][1] == [(7, "insert", 7, "plain", None)]
