@@ -75,6 +75,11 @@ class FakeMySQL:
         # beyond the plan stream to completion
         self.drop_plan: list[int] = []
         self.dump_count = 0
+        # full-auth mode: advertise caching_sha2_password and demand
+        # perform-full-authentication via the RSA exchange (the cold
+        # auth-cache first connect of a stock MySQL 8); set to an
+        # (private_key, public_pem) pair from _rsa_keypair()
+        self.full_auth_rsa = None
         self._lock = threading.Lock()
         outer = self
 
@@ -121,6 +126,8 @@ class FakeMySQL:
     def _session(self, sock) -> None:
         # v10 greeting: caps = PROTOCOL_41|SECURE_CONNECTION|PLUGIN_AUTH
         caps = 0x200 | 0x8000 | 0x80000 | 0x1 | 0x4
+        plugin = (b"caching_sha2_password" if self.full_auth_rsa
+                  else b"mysql_native_password")
         greet = bytes([10]) + b"8.0.36-fake\x00"
         greet += struct.pack("<I", 7)               # thread id
         greet += NONCE[:8] + b"\x00"
@@ -131,7 +138,7 @@ class FakeMySQL:
         greet += bytes([21])                        # auth data len
         greet += bytes(10)
         greet += NONCE[8:] + b"\x00"                # part2 + NUL
-        greet += b"mysql_native_password\x00"
+        greet += plugin + b"\x00"
         self._send_pkt(sock, 0, greet)
         r = self._Buf(sock)
         seq, resp = self._read_pkt(r)
@@ -142,7 +149,27 @@ class FakeMySQL:
         i = end + 1
         alen = resp[i]
         auth = resp[i + 1:i + 1 + alen]
-        ok = (user == USER and auth == _indep_scramble(PASSWORD, NONCE))
+        if self.full_auth_rsa is not None:
+            # cold-cache caching_sha2: fast-auth scramble cannot
+            # verify against a cache -> demand full authentication
+            key, pem = self.full_auth_rsa
+            ok = (user == USER
+                  and auth == _indep_sha2_scramble(PASSWORD, NONCE))
+            if ok:
+                self._send_pkt(sock, seq + 1, b"\x01\x04")
+                _, req = self._read_pkt(r)
+                if req == b"\x02":          # public key requested
+                    self._send_pkt(sock, seq + 3, b"\x01" + pem)
+                    _, ct = self._read_pkt(r)
+                else:
+                    ct = req                # out-of-band key: payload
+                pt = _oaep_sha1_decrypt(key, bytes(ct))
+                want = bytes(c ^ NONCE[i % len(NONCE)] for i, c in
+                             enumerate(PASSWORD.encode() + b"\x00"))
+                ok = pt == want
+        else:
+            ok = (user == USER
+                  and auth == _indep_scramble(PASSWORD, NONCE))
         with self._lock:
             self.auth_ok.append(ok)
         if not ok:
@@ -1332,3 +1359,40 @@ def test_gtid_resume_with_drop_no_loss_no_dup(fake_mysql, tmp_path,
     final = {r["id"]: (r["title"], r["qty"])
              for r in latest_state(cl, ["id"]).collect()}
     assert final == {1: ("first-edited", 11), 3: ("third", 30)}
+
+
+def test_tail_through_cold_cache_full_auth(fake_mysql, tmp_path):
+    """VERDICT r8 ask #2's literal done-criterion: the e2e tail runs
+    THROUGH caching_sha2 full authentication -- the fake server
+    advertises caching_sha2, rejects fast auth (cold cache), demands
+    the RSA exchange, verifies the OAEP payload server-side with the
+    reference decrypt, and only then serves the dump; the relay holds
+    the same files as the native-auth run."""
+    key, pem = _rsa_keypair()
+    fake_mysql.full_auth_rsa = (key, pem)
+    relay = tmp_path / "relay"
+    c = R.ReplicationClient(fake_mysql.host, fake_mysql.port,
+                            user=USER, password=PASSWORD,
+                            allow_public_key_retrieval=True)
+    n = R.tail_to_relay(c, str(relay), "mysql-bin.000001")
+    assert n >= 6
+    assert fake_mysql.auth_ok[-1] is True
+    names = sorted(p.name for p in relay.iterdir())
+    assert names == ["mysql-bin.000001", "mysql-bin.000002"]
+    evs = list(B.iter_binlog_events(
+        (relay / "mysql-bin.000001").read_bytes()))
+    assert evs[0].type_code == B.FORMAT_DESCRIPTION_EVENT
+
+    # out-of-band key variant (no 0x02 round trip)
+    relay2 = tmp_path / "relay2"
+    c2 = R.ReplicationClient(fake_mysql.host, fake_mysql.port,
+                             user=USER, password=PASSWORD,
+                             server_public_key=pem)
+    assert R.tail_to_relay(c2, str(relay2), "mysql-bin.000001") == n
+
+    # and a wrong password still fails loudly through the same path
+    c3 = R.ReplicationClient(fake_mysql.host, fake_mysql.port,
+                             user=USER, password="wrong",
+                             allow_public_key_retrieval=True)
+    with pytest.raises(R.MySQLServerError, match="denied"):
+        c3.connect()
