@@ -239,7 +239,64 @@ FROM ssum
 
 # --- S1+S2: snapshot + incremental changelog ----------------------------
 
+# the escape-grammar gauntlet the mysqldump round trip must carry
+# byte-exactly: single quote, backslash, newline, tab. Both engines
+# build the same plaintext; only the Spark side routes it through
+# dump-text escapes.
+_DUMP_SUFFIX = "'\\\n\ttail"
+
+
+def _mysqldump_roundtrip_snapshot(cust: DataFrame) -> DataFrame:
+    """Drive a bounded snapshot slice through REAL mysqldump text and
+    back: render each 512-key range as one extended INSERT statement
+    (sources/mysqldump.render_insert -- the public dump format,
+    backslash escapes and all), parse it with the from-scratch reader
+    (statements_to_rows: line-filter + Arrow-batched tokenizer +
+    Catalyst casts), and emit the typed snapshot rows. The oracle
+    computes the same rows straight from `customer`, so any
+    escape/tokenize/cast asymmetry in the dump layer breaks the value
+    hash -- the CORRECTNESS row for the reference's mysqldump
+    snapshot transport (river/river.go:111-146). Fixed key range
+    (c_custkey <= 4096), so the probe's cost is constant in sf; the
+    statement axis is the parallelism, exactly the module's contract."""
+    import pandas as pd
+
+    from ..sources.mysqldump import (DumpTable, render_insert,
+                                     statements_to_rows)
+
+    sl = (cust.filter(F.col("c_custkey") <= 4096)
+          .select(F.col("c_custkey").alias("pk"),
+                  F.col("c_acctbal").alias("value"),
+                  F.concat(F.col("c_name"),
+                           F.lit(_DUMP_SUFFIX)).alias("props")))
+
+    def enc(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("pk")
+        rows = [[int(r.pk),
+                 None if pd.isna(r.value) else float(r.value),
+                 None if r.props is None else str(r.props)]
+                for r in pdf.itertuples(index=False)]
+        return pd.DataFrame({"stmt": [render_insert("customer_snap",
+                                                    rows)]})
+
+    stmts = (sl.withColumn("chunk",
+                           F.floor(F.col("pk") / F.lit(512)).cast("long"))
+             .groupBy("chunk").applyInPandas(enc, "stmt string"))
+    t = DumpTable("customer_snap",
+                  [("pk", "bigint", False), ("value", "double", True),
+                   ("props", "varchar(256)", True)], ("pk",))
+    return (statements_to_rows(stmts, t)
+            .select(F.lit(-1).cast("long").alias("seq"),
+                    F.lit(None).cast("timestamp").alias("ts"),
+                    "pk", "value", "props"))
+
+
 def cdc_snapshot_plus_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two labelled parts: 'merged' is the snapshot+changelog upsert
+    (S1+S2 -- the initial full load entering the dedup at seq=-1);
+    'dump' routes a fixed 4096-key snapshot slice through real
+    mysqldump INSERT text and back (escape grammar, tokenizer, typed
+    casts) and must land on the oracle's direct rows."""
     # snapshot analog: one base row per customer key present in events
     cust = load_table(spark, sf_dir, "customer")
     snap = cust.select(
@@ -249,7 +306,13 @@ def cdc_snapshot_plus_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("{}").alias("props"),
     )
     cl = derive_changelog_from_events(spark, sf_dir)
-    return apply_snapshot_and_changelog(snap, cl, ["pk"])
+    merged = (apply_snapshot_and_changelog(snap, cl, ["pk"])
+              .select(F.lit("merged").alias("part"),
+                      "seq", "ts", "pk", "value", "props"))
+    dump = (_mysqldump_roundtrip_snapshot(cust)
+            .select(F.lit("dump").alias("part"),
+                    "seq", "ts", "pk", "value", "props"))
+    return merged.unionByName(dump)
 
 
 _SNAP_SQL = _CL + """
@@ -262,10 +325,17 @@ _SNAP_SQL = _CL + """
   UNION ALL
   SELECT seq, ts, op, pk, value, props FROM changelog
 )
-SELECT seq, ts, pk, value, props FROM (
+SELECT 'merged' AS part, seq, ts, pk, value, props FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY pk ORDER BY seq DESC) AS rn
   FROM merged
 ) WHERE rn = 1 AND op <> 'delete'
+UNION ALL
+SELECT 'dump' AS part, CAST(-1 AS BIGINT) AS seq,
+       CAST(NULL AS TIMESTAMP) AS ts, c_custkey AS pk,
+       c_acctbal AS value,
+       c_name || chr(39) || chr(92) || chr(10) || chr(9) || 'tail'
+         AS props
+FROM customer WHERE c_custkey <= 4096
 """
 
 

@@ -1,0 +1,336 @@
+"""mysqldump SQL-file ingestion -- the reference's snapshot transport,
+as a distributed source.
+
+The reference bootstraps its initial snapshot by SHELLING OUT to
+mysqldump and parsing the stream (river/river.go:111-146 wires
+--master-data dumps through canal's dump parser). This repo's LIVE
+snapshot path is range-partitioned JDBC (sources/jdbc.py -- a
+documented, superior divergence: parallel server-side cursors instead
+of one mysqldump stream), but users arrive with EXISTING .sql dump
+files; this module ingests those without a MySQL server.
+
+Scale shape (the part that matters at 100 TB):
+- INSERT statements are the data. mysqldump writes one extended
+  INSERT per LINE (bounded by net_buffer_length, ~1 MB default), so
+  the dump is line-splittable: `spark.read.text` distributes lines
+  across tasks, a line filter keeps `INSERT INTO ...` for the wanted
+  table (Catalyst-pushable startswith), and an Arrow-batched
+  mapInPandas tokenizer turns each statement's VALUES list into rows.
+  No driver-side pass over data, no whole-file reads; parallelism is
+  the line axis exactly as binlog ingestion's is the file axis.
+- CREATE TABLE blocks are the schema. They are small but MULTI-line,
+  so they are not line-parallel; the supported-at-scale contract is
+  the standard mysqldump deployment split: a schema-only dump
+  (--no-data, KBs) parsed driver-side via `parse_create_table`, plus
+  arbitrarily large data dumps parsed distributed. For convenience,
+  `read_mysqldump` also accepts a combined dump and extracts CREATE
+  blocks with one bounded driver scan over the schema LINES ONLY
+  (data lines are skipped on a cheap prefix test) -- fine for
+  single-node-sized files, documented as the non-scale path.
+
+Value grammar (the public mysqldump output format): NULL, integer /
+decimal / float literals, 0x... hex (binary), and single-quoted
+strings with backslash escapes (\\0 \\' \\" \\b \\n \\r \\t \\Z \\\\)
+plus '' quote doubling. Values parse to STRINGS (or None/bytes) and
+are cast to the CREATE TABLE's types through functions/typemap's
+mysql_to_spark_type -- the same mapping every other source here uses,
+so dump-loaded tables are drop-in for the rules/apply path.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.typemap import mysql_to_spark_type
+
+# table names may be schema-qualified and backtick-quoted per segment
+_NAME = r"((?:`[^`]+`|[^\s(`.])+(?:\.(?:`[^`]+`|[^\s(`.])+)*)"
+_CREATE_RE = re.compile(
+    r"CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?" + _NAME + r"\s*\(",
+    re.IGNORECASE)
+_COL_RE = re.compile(r"^\s*`([^`]+)`\s+([A-Za-z0-9_]+(?:\([^)]*\))?"
+                     r"(?:\s+unsigned)?)", re.IGNORECASE)
+_PK_RE = re.compile(r"^\s*PRIMARY\s+KEY\s*\(([^)]*)\)", re.IGNORECASE)
+_INSERT_RE = re.compile(
+    r"^INSERT\s+INTO\s+" + _NAME + r"\s*(?:\([^)]*\)\s*)?VALUES\s*",
+    re.IGNORECASE)
+
+
+def _bare_table(qualified: str) -> str:
+    return qualified.replace("`", "").split(".")[-1]
+
+_UNESCAPE = {"0": "\x00", "'": "'", '"': '"', "b": "\b", "n": "\n",
+             "r": "\r", "t": "\t", "Z": "\x1a", "\\": "\\", "%": "\\%",
+             "_": "\\_"}
+_ESCAPE = {"\x00": "\\0", "'": "\\'", "\b": "\\b", "\n": "\\n",
+           "\r": "\\r", "\t": "\\t", "\x1a": "\\Z", "\\": "\\\\"}
+
+
+@dataclass
+class DumpTable:
+    """One CREATE TABLE, parsed: column order is the INSERT value
+    order (mysqldump omits column lists by default)."""
+    table: str
+    columns: list[tuple[str, str, bool]]     # (name, mysql_type, nullable)
+    pk: tuple[str, ...] = ()
+
+    def row_ddl(self) -> str:
+        return ", ".join(
+            f"`{n}` {mysql_to_spark_type(t).simpleString()}"
+            for n, t, _ in self.columns)
+
+
+def parse_create_table(sql: str) -> DumpTable:
+    """One CREATE TABLE statement (the mysqldump form: one column or
+    constraint per line) -> DumpTable."""
+    m = _CREATE_RE.search(sql)
+    if not m:
+        raise ValueError("no CREATE TABLE statement found")
+    table = _bare_table(m.group(1))
+    cols: list[tuple[str, str, bool]] = []
+    pk: tuple[str, ...] = ()
+    body = sql[m.end():]
+    for line in body.splitlines():
+        pm = _PK_RE.match(line)
+        if pm:
+            pk = tuple(c.strip(" `") for c in pm.group(1).split(","))
+            continue
+        cm = _COL_RE.match(line)
+        if cm:
+            nullable = "NOT NULL" not in line.upper()
+            cols.append((cm.group(1), cm.group(2).lower(), nullable))
+    if not cols:
+        raise ValueError(f"CREATE TABLE {table!r} has no parseable "
+                         f"columns")
+    return DumpTable(table, cols, pk)
+
+
+def extract_create_tables(text: str) -> dict[str, DumpTable]:
+    """All CREATE TABLE blocks in a dump (driver-side; see module
+    docstring for why this is the schema path, not the data path)."""
+    out: dict[str, DumpTable] = {}
+    for m in _CREATE_RE.finditer(text):
+        end = text.find(";", m.end())
+        t = parse_create_table(text[m.start():end if end > 0 else None])
+        out[t.table] = t
+    return out
+
+
+def _unescape(s: str) -> str:
+    out = []
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c == "\\" and i + 1 < n:
+            nxt = s[i + 1]
+            if nxt in "0'\"bnrtZ\\":
+                out.append(_UNESCAPE[nxt])
+                i += 2
+                continue
+            # unknown escape: MySQL drops the backslash
+            out.append(nxt)
+            i += 2
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def escape_sql_string(s: str) -> str:
+    """The writer half: a single-quoted mysqldump string literal."""
+    return "'" + "".join(_ESCAPE.get(c, c) for c in s) + "'"
+
+
+def tokenize_values(values_part: str) -> list[list]:
+    """The `(...),(...),...` tail of one INSERT statement -> rows of
+    raw values: None for NULL, bytes for 0x hex literals, str
+    otherwise (numbers stay strings; the schema cast types them).
+    A hand state machine, not a regex: quotes nest escapes and
+    commas legally appear inside strings."""
+    rows: list[list] = []
+    cur: list | None = None
+    i, n = 0, len(values_part)
+    while i < n:
+        c = values_part[i]
+        if cur is None:
+            if c == "(":
+                cur = []
+                i += 1
+                continue
+            if c in ", \t\r\n;":
+                i += 1
+                continue
+            raise ValueError(f"unexpected {c!r} between row tuples "
+                             f"at offset {i}")
+        # inside a tuple: parse one value
+        if c in " \t":
+            i += 1
+            continue
+        if c == "'":
+            j = i + 1
+            buf = []
+            while True:
+                if j >= n:
+                    raise ValueError("unterminated string literal")
+                ch = values_part[j]
+                if ch == "\\" and j + 1 < n:
+                    buf.append(values_part[j:j + 2])
+                    j += 2
+                    continue
+                if ch == "'":
+                    if j + 1 < n and values_part[j + 1] == "'":
+                        buf.append("\\'")   # '' doubling -> escape form
+                        j += 2
+                        continue
+                    break
+                buf.append(ch)
+                j += 1
+            cur.append(_unescape("".join(buf)))
+            i = j + 1
+        else:
+            j = i
+            while j < n and values_part[j] not in ",)":
+                j += 1
+            tok = values_part[i:j].strip()
+            if not tok:
+                raise ValueError(f"empty value at offset {i}")
+            up = tok.upper()
+            if up == "NULL":
+                cur.append(None)
+            elif up.startswith("0X"):
+                cur.append(bytes.fromhex(tok[2:]))
+            else:
+                cur.append(tok)
+            i = j
+        # after a value: , or )
+        while i < n and values_part[i] in " \t":
+            i += 1
+        if i < n and values_part[i] == ",":
+            i += 1
+        elif i < n and values_part[i] == ")":
+            rows.append(cur)
+            cur = None
+            i += 1
+    if cur is not None:
+        raise ValueError("unterminated row tuple")
+    return rows
+
+
+def parse_insert_statement(stmt: str) -> tuple[str, list[list]]:
+    """One INSERT line -> (table, raw rows)."""
+    m = _INSERT_RE.match(stmt.strip())
+    if not m:
+        raise ValueError(f"not an INSERT statement: {stmt[:60]!r}")
+    return _bare_table(m.group(1)), tokenize_values(stmt[m.end():])
+
+
+def render_insert(table: str, rows: list[list]) -> str:
+    """The writer half: one extended INSERT line in mysqldump's own
+    format (what the round-trip probe feeds the parser). Values:
+    None -> NULL, bytes -> 0x hex, str -> escaped string literal,
+    numbers -> bare literal."""
+    def val(v) -> str:
+        if v is None:
+            return "NULL"
+        if isinstance(v, (bytes, bytearray)):
+            return "0x" + bytes(v).hex().upper() if v else "''"
+        if isinstance(v, bool):
+            return "1" if v else "0"
+        if isinstance(v, (int, float)):
+            return repr(v)
+        return escape_sql_string(str(v))
+
+    tuples = ",".join("(" + ",".join(val(v) for v in r) + ")"
+                      for r in rows)
+    return f"INSERT INTO `{table}` VALUES {tuples};"
+
+
+def statements_to_rows(stmts: DataFrame, table: DumpTable, *,
+                       stmt_col: str = "stmt") -> DataFrame:
+    """The in-plan distributed core: a DataFrame with one INSERT
+    statement per row -> typed rows of `table`. mapInPandas tokenizes
+    (Arrow-batched stdlib Python -- the same shape as the binlog
+    decoder), emitting STRING columns; the trailing select casts to
+    the CREATE TABLE types via Catalyst, so the hot cast path is
+    JVM-side and the oracle-relevant semantics (zero-date, decimals)
+    match every other source."""
+    import pandas as pd
+
+    names = [n for n, _, _ in table.columns]
+    want = table.table
+
+    def gen(batches):
+        for pdf in batches:
+            out: dict[str, list] = {n: [] for n in names}
+            for stmt in pdf[stmt_col]:
+                t, rows = parse_insert_statement(str(stmt))
+                if t != want:
+                    continue
+                for r in rows:
+                    if len(r) != len(names):
+                        raise ValueError(
+                            f"INSERT arity {len(r)} != {len(names)} "
+                            f"columns of `{want}`")
+                    for n, v in zip(names, r):
+                        if isinstance(v, (bytes, bytearray)):
+                            v = bytes(v).decode("utf-8", "replace")
+                        out[n].append(v)
+            yield pd.DataFrame(out, columns=names, dtype="object")
+
+    raw = stmts.mapInPandas(
+        gen, ", ".join(f"`{n}` string" for n in names))
+    casts = []
+    for n, mtype, _ in table.columns:
+        dt = mysql_to_spark_type(mtype)
+        col = F.col(n)
+        if dt.simpleString().startswith("timestamp"):
+            # zero-date guard, same policy as functions/transforms
+            col = F.when(F.col(n).startswith("0000-00-00"), None) \
+                   .otherwise(F.col(n))
+        casts.append(col.cast(dt).alias(n))
+    return raw.select(*casts)
+
+
+def read_mysqldump(spark: SparkSession, path: str, table: str, *,
+                   schema_sql: str | None = None) -> DataFrame:
+    """Load one table from mysqldump .sql file(s) at `path` (glob ok).
+
+    `schema_sql` is the schema-only dump text (mysqldump --no-data) --
+    the at-scale contract. When None, the CREATE blocks are extracted
+    from the dump itself with one bounded driver scan that skips data
+    lines on a prefix test (convenience path; see module docstring)."""
+    if schema_sql is not None:
+        tables = extract_create_tables(schema_sql)
+    else:
+        # bounded driver scan: schema lines only, INSERTs skipped fast
+        import glob as _glob
+        keep: list[str] = []
+        in_create = False
+        for f in sorted(_glob.glob(path)):
+            with open(f, "r", encoding="utf-8", errors="replace") as fh:
+                for line in fh:
+                    if in_create:
+                        keep.append(line)
+                        if line.lstrip().startswith(")"):
+                            in_create = False
+                        continue
+                    if line.startswith("CREATE TABLE"):
+                        keep.append(line)
+                        in_create = True
+        tables = extract_create_tables("".join(keep))
+    if table not in tables:
+        raise ValueError(f"table {table!r} not in dump schema "
+                         f"(found: {sorted(tables)})")
+    t = tables[table]
+    lines = spark.read.text(path)
+    stmts = (lines
+             .filter(F.col("value").startswith(f"INSERT INTO `{table}`")
+                     | F.col("value").startswith(f"INSERT INTO {table} ")
+                     | F.col("value").startswith(
+                         f"INSERT INTO `{table.lower()}`"))
+             .select(F.col("value").alias("stmt")))
+    return statements_to_rows(stmts, t)
