@@ -231,6 +231,51 @@ def run_binlog(cfg: EngineConfig, binlog_dir: str, *,
     return results
 
 
+def run_dump(cfg: EngineConfig, dump_path: str, *,
+             compact: bool = False, spark=None) -> list[dict]:
+    """--dump-sql mode: bootstrap every rule's sink from an EXISTING
+    mysqldump .sql file -- the reference's own bootstrap transport
+    (river shells out to mysqldump before tailing,
+    river/river.go:111-146). Each rule's table parses line-parallel
+    (sources/mysqldump.py) into op='insert', seq=-1 rows -- sorting
+    before every live change event, exactly
+    apply_snapshot_and_changelog's contract -- and applies through
+    the SAME per-rule project/rename/sink pipeline as every other
+    mode, so a subsequent --binlog-dir / --tail drain upserts on top
+    idempotently. Compose: `--dump-sql snap.sql --tail @current` is
+    the reference's full snapshot-then-replicate topology."""
+    from pyspark.sql import functions as F
+
+    from .sources.mysqldump import read_mysqldump
+    spark = spark or get_spark("mysql-syncer-clickhouse-spark",
+                               cpus=cfg.threads)
+    results: list[dict] = [{"mode": "dump", "dump": dump_path}]
+    for rule in cfg.rules.rules:
+        if not rule.pk and cfg.skip_no_pk_table:
+            continue
+        try:
+            df = read_mysqldump(spark, dump_path, rule.source_table)
+        except ValueError:
+            continue               # table absent from this dump
+        cl = df.select(F.lit(-1).cast("long").alias("seq"),
+                       F.lit("insert").alias("op"), *df.columns)
+        pipe = StreamingSyncPipeline(
+            rule, list(rule.pk), cfg.sink_dir(rule),
+            cfg.checkpoint_dir(rule))
+        sink_desc = cfg.sink_dir(rule)
+        if cfg.sink_addr:
+            sink_desc = _attach_ch_sink(cfg, pipe, spark, cl.schema)
+        pipe._apply_batch(cl, epoch_id=-1)
+        if compact and pipe.ch_sink is None:
+            pipe.compact(spark)
+        line = {"rule": rule.key, "sink": sink_desc,
+                "ops": pipe.metrics.snapshot()}
+        if pipe.ch_sink is None:
+            line["rows"] = pipe.current_state(spark).count()
+        results.append(line)
+    return results
+
+
 def run_tail(cfg: EngineConfig, start_file: str | None, *,
              relay_dir: str | None = None, start_pos: int = 4,
              compact: bool = False, spark=None) -> list[dict]:
@@ -332,6 +377,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--relay-dir",
                     help="relay directory for --tail "
                          "(default <data_dir>/_relay)")
+    ap.add_argument("--dump-sql", metavar="DUMP_GLOB",
+                    help="bootstrap each rule's sink from mysqldump "
+                         ".sql file(s) (snapshot rows at seq=-1); "
+                         "composes with --tail/--binlog-dir, which "
+                         "then upsert on top")
     ap.add_argument("--follow", action="store_true",
                     help="keep tailing at flush_bulk_time cadence")
     ap.add_argument("--compact", action="store_true",
@@ -369,21 +419,27 @@ def main(argv: list[str] | None = None) -> int:
                       args.tail])) > 1:
         ap.error("--changelog-dir / --binlog-dir / --tail are exclusive")
     if not args.config or not (args.changelog_dir or args.binlog_dir
-                               or args.tail):
+                               or args.tail or args.dump_sql):
         ap.error("--config and one of --changelog-dir/--binlog-dir/"
-                 "--tail are required (or use --curate / --query)")
+                 "--tail/--dump-sql are required (or use --curate / "
+                 "--query)")
     cfg = EngineConfig.from_toml(args.config)
+    lines = []
+    if args.dump_sql:
+        # snapshot bootstrap FIRST; a drain mode then upserts on top
+        # (the reference's snapshot-then-replicate order)
+        lines += run_dump(cfg, args.dump_sql, compact=args.compact)
     if args.tail:
-        lines = run_tail(cfg,
-                         None if args.tail == "@current" else args.tail,
-                         relay_dir=args.relay_dir,
-                         compact=args.compact)
+        lines += run_tail(cfg,
+                          None if args.tail == "@current" else args.tail,
+                          relay_dir=args.relay_dir,
+                          compact=args.compact)
     elif args.binlog_dir:
-        lines = run_binlog(cfg, args.binlog_dir,
-                           follow=args.follow, compact=args.compact)
-    else:
-        lines = run(cfg, args.changelog_dir,
-                    follow=args.follow, compact=args.compact)
+        lines += run_binlog(cfg, args.binlog_dir,
+                            follow=args.follow, compact=args.compact)
+    elif args.changelog_dir:
+        lines += run(cfg, args.changelog_dir,
+                     follow=args.follow, compact=args.compact)
     for line in lines:
         print(json.dumps(line))
     return 0

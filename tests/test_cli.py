@@ -258,3 +258,49 @@ def test_cli_query_explain(capsys):
     out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert "Physical Plan" in out["plan"]
     assert "rows" not in out
+
+
+def test_cli_dump_sql_bootstrap_then_binlog_upserts(spark, tmp_path):
+    """--dump-sql: mysqldump snapshot bootstraps the rule's sink
+    (op=insert at seq=-1 through the same project/rename path), and a
+    subsequent --binlog-dir drain upserts ON TOP -- the reference's
+    snapshot-then-replicate order (river/river.go:111-146)."""
+    from mysql_syncer_clickhouse_spark.__main__ import run_binlog, run_dump
+    from mysql_syncer_clickhouse_spark.operators.upsert import latest_state
+    from mysql_syncer_clickhouse_spark.sources.binlog_writer import (
+        BinlogColumn, BinlogFileWriter)
+
+    dump = tmp_path / "snap.sql"
+    dump.write_text(
+        "CREATE TABLE `items` (\n"
+        "  `id` bigint NOT NULL,\n"
+        "  `title` varchar(80) DEFAULT NULL,\n"
+        "  `mydate` bigint DEFAULT NULL,\n"
+        "  PRIMARY KEY (`id`)\n"
+        ") ENGINE=InnoDB;\n"
+        "INSERT INTO `items` VALUES (1,'first',86400),"
+        "(2,'second',86400),(5,'snap\\'s only',86400);\n")
+
+    cfg = EngineConfig.from_toml(TOML)
+    cfg.data_dir = str(tmp_path / "log")
+    out = run_dump(cfg, str(dump), spark=spark)
+    assert out[0]["mode"] == "dump"
+    assert out[1]["rule"] == "app:items" and out[1]["rows"] == 3
+    assert out[1]["ops"]["insert"] == 3
+
+    cols = [BinlogColumn.bigint("id"),
+            BinlogColumn.varchar("title", 80),
+            BinlogColumn.bigint("mydate")]
+    d = tmp_path / "binlogs"
+    d.mkdir()
+    w = BinlogFileWriter("app", "items", cols, table_id=11)
+    w.update([([1, "first", 86400], [1, "first-edited", 86400])])
+    w.delete([[2, "second", 86400]])
+    (d / "mysql-bin.000001").write_bytes(w.to_bytes())
+    run_binlog(cfg, str(d), spark=spark)
+
+    state = spark.read.parquet(f"{cfg.data_dir}/olap.items_sink")
+    final = {r["id"]: r["es_title"]
+             for r in latest_state(state, ["id"]).collect()}
+    # snapshot sorts under the changes: 1 edited, 2 deleted, 5 kept
+    assert final == {1: "first-edited", 5: "snap's only"}
