@@ -200,6 +200,13 @@ def main() -> None:
             dedup.near_dup_corpus(d), "id", "text", threshold=0.5),
         "dedup_exact": lambda d: dedup.exact_duplicates(d, "doc_id", "text"),
         "xdup_span_dup": lambda d: curation.cross_doc_ngram_dup(d, n=3),
+        # same operator under the Heaps-law vocabulary fixture: shared
+        # maps create REAL cross-replica duplicates (what xdup hunts),
+        # so this row measures the operator when vocabulary grows
+        # sub-linearly AND duplication is massive -- the two fixture
+        # shapes bracket the real-corpus behavior (SCALE.md §6 caveat)
+        "xdup_span_dup_heaps": lambda d: curation.cross_doc_ngram_dup(
+            d, n=3),
         "dsir_scores": lambda d: curation.dsir_scores(
             d.filter(F.col("source") != "src0"),
             curation.dsir_logratio_table(
@@ -216,7 +223,7 @@ def main() -> None:
     # vocabulary-driven cases replicate with Heaps-law-bounded letter
     # maps (see replicate_docs_heaps); everything else with pairwise-
     # distinct maps
-    heaps_cases = {"dsir_scores"}
+    heaps_cases = {"dsir_scores", "xdup_span_dup_heaps"}
     only = os.environ.get("SPARK_GRAFT_SCALE_CASES")
     if only:
         keep = {c.strip() for c in only.split(",")}
