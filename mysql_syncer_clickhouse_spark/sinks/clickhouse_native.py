@@ -189,6 +189,9 @@ def compress_frame(data: bytes, method: int = COMPRESSION_LZ4) -> bytes:
     (/root/reference/clickhouse/client.go:36-37)."""
     if method == COMPRESSION_LZ4:
         payload = bytes(_lz4_codec().compress(data))
+    elif method == COMPRESSION_ZSTD:
+        import pyarrow as pa
+        payload = bytes(pa.Codec("zstd").compress(data))
     elif method == COMPRESSION_NONE:
         payload = data
     else:
@@ -329,19 +332,27 @@ class NativeConnection:
     def __init__(self, host: str, port: int = 9000, *,
                  database: str = "default", user: str = "default",
                  password: str = "", timeout: float = 60.0,
-                 compression: bool = False):
+                 compression: "bool | str" = False):
+        """`compression`: False off, True or 'lz4' for LZ4 (the
+        production default), 'zstd' for ZSTD frames."""
         self.sock = socket.create_connection((host, port),
                                              timeout=timeout)
         self.r = _Reader(self.sock)
         self.server_revision = 0
         self._hello(database, user, password)
         self.revision = min(self.server_revision, CLIENT_REVISION)
+        method = {True: COMPRESSION_LZ4, "lz4": COMPRESSION_LZ4,
+                  "zstd": COMPRESSION_ZSTD, False: None}.get(compression)
+        if method is None and compression:
+            raise ValueError(f"unknown compression {compression!r} "
+                             f"(use 'lz4' or 'zstd')")
         # negotiated off against servers older than this client's own
         # protocol floor (54058, the oldest dialect it speaks at all);
         # any server at or above it accepts the Query compression flag
-        self.compression = (compression
-                            and self.server_revision
-                            >= _REV_SERVER_TIMEZONE)
+        self.compression_method = (
+            method if self.server_revision >= _REV_SERVER_TIMEZONE
+            else None)
+        self.compression = self.compression_method is not None
 
     # -- handshake / framing
 
@@ -421,7 +432,7 @@ class NativeConnection:
         in an LZ4 frame; the packet code and name stay plain."""
         block = encode_block(columns, rows)
         if self.compression:
-            block = compress_frame(block)
+            block = compress_frame(block, self.compression_method)
         self._send(write_varint(C_DATA), write_str(""), block)
 
     def _skip_block(self) -> None:
@@ -520,8 +531,9 @@ class ClickHouseNativeSink:
     # the ReplacingMergeTree (pk, seq) collapse stays the backstop
     dedup_tokens: bool = False
     # LZ4 block compression (the native protocol's production
-    # default); negotiated off automatically against pre-54058 servers
-    compression: bool = True
+    # default; 'zstd' also supported); negotiated off automatically
+    # against pre-54058 servers
+    compression: "bool | str" = True
     _known_cols: set[str] | None = field(default=None, repr=False)
 
     def _connect(self) -> NativeConnection:

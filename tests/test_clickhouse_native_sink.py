@@ -150,8 +150,9 @@ def _rd_frame(r, sizes: list | None = None) -> bytes:
     payload = r.read(comp_size - 9)
     from mysql_syncer_clickhouse_spark.sinks.cityhash102 import checksum16
     assert checksum16(hdr + payload) == chk
-    assert method == 0x82                       # LZ4
-    raw = bytes(pa.Codec("lz4_raw").decompress(payload, raw_size))
+    assert method in (0x82, 0x90)               # LZ4 / ZSTD
+    codec = pa.Codec("lz4_raw" if method == 0x82 else "zstd")
+    raw = bytes(codec.decompress(payload, raw_size))
     assert len(raw) == raw_size
     if sizes is not None:
         sizes.append((16 + comp_size, raw_size))
@@ -600,3 +601,24 @@ def test_compression_off_still_supported(fake_native, spark):
     sink.apply_batch(df, epoch_id=0)
     assert fake_native.compressions[-1] == 0
     assert fake_native.inserts[0][1] == [(7, "insert", 7, "plain", None)]
+
+
+def test_zstd_frames_roundtrip_and_sink(fake_native, spark):
+    """ZSTD (method 0x90) as the alternate production codec: frame
+    round trip plus a full sink insert whose frames the independent
+    server-side decoder verifies."""
+    data = b"zstd payload " * 5000
+    frame = N.compress_frame(data, N.COMPRESSION_ZSTD)
+    assert frame[16] == 0x90
+    assert N.read_compressed_frame(_MemReader(frame)) == data
+    sink = _sink(fake_native)
+    sink.compression = "zstd"
+    df = spark.createDataFrame(
+        [(1, "insert", 1, "ztitle" * 10, 86400)], SCHEMA_DDL).coalesce(1)
+    sink.apply_batch(df, epoch_id=0)
+    assert fake_native.compressions[-1] == 1
+    assert fake_native.inserts[-1][1] == [(1, "insert", 1,
+                                           "ztitle" * 10, 86400)]
+    with pytest.raises(ValueError, match="unknown compression"):
+        N.NativeConnection(fake_native.host, fake_native.port,
+                           database="olap", compression="snappy")
