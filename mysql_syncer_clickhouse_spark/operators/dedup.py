@@ -455,8 +455,7 @@ def expand_rep_pairs(rep_pairs: DataFrame, members: DataFrame,
              .filter(F.col("id_a") < F.col("id_b"))
              .select("id_a", "id_b",
                      F.lit(1.0).alias("jaccard"),
-                     F.lit(1.0).alias("containment"))
-             .filter(F.lit(1.0 >= threshold)))
+                     F.lit(1.0).alias("containment")))
     cross = (rep_pairs
              .join(members.select(F.col("rep_id").alias("id_a"),
                                   F.col("id").alias("__ma")), "id_a")
@@ -465,6 +464,12 @@ def expand_rep_pairs(rep_pairs: DataFrame, members: DataFrame,
              .select(F.least("__ma", "__mb").alias("id_a"),
                      F.greatest("__ma", "__mb").alias("id_b"),
                      "jaccard", "containment"))
+    # intra-family pairs all sit at jaccard exactly 1.0, so the
+    # threshold gate is a build-time branch, not a row filter (a
+    # lit(bool) filter here read as row-wise and would silently
+    # keep/drop everything if jaccard ever became a column)
+    if threshold > 1.0:
+        return cross
     return cross.unionByName(intra)
 
 
@@ -518,8 +523,11 @@ def rep_pair_report(rep_pairs: DataFrame, members: DataFrame,
                      F.col("__n").alias("n_members_a"),
                      F.col("__n").alias("n_members_b"),
                      (F.col("__n") * (F.col("__n") - 1) / F.lit(2))
-                     .cast("long").alias("n_member_pairs"))
-             .filter(F.lit(1.0 >= threshold)))
+                     .cast("long").alias("n_member_pairs")))
+    # same build-time threshold gate as expand_rep_pairs: family rows
+    # are exact duplicates (jaccard 1.0) by construction
+    if threshold > 1.0:
+        return cross
     return cross.unionByName(intra)
 
 

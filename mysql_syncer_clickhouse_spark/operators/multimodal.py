@@ -1,8 +1,13 @@
 """Multimodal column plumbing: image/audio/video as opaque binary
 columns with typed metadata, processed by Arrow-batched pandas
-iterators (`mapInPandas`) -- the real distribution/batching machinery,
-with the codec itself stubbed (no image/audio libraries in this
-container; see `decode_image_meta`).
+iterators (`mapInPandas`) -- the real distribution/batching machinery
+AND real codecs: header parsing for every supported container plus
+from-scratch pixel decoders in this module (NetPBM, BMP, GIF-LZW at
+`_gif_pixels`, PNG-deflate at `_png_pixels`) and the sibling modules
+for JPEG (`jpegcodec.py`), FLAC (`flaccodec.py`) and PCM/G.711/ADPCM
+(`audiocodec.py`). No image/audio libraries exist in this container;
+PIL is an explicit opt-in cross-check when present, never the default
+path.
 
 At scale the pattern is: keep blobs in their own column, partition by a
 content key, and run decode/feature-extraction as mapInPandas so each

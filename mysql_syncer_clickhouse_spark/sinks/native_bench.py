@@ -1,0 +1,309 @@
+"""Native-sink feed-rate micro-benchmark: how many rows/second can ONE
+connection's Python-side encode + frame + socket path push?
+
+Why this exists (round-10 VERDICT ask): the native sink's production
+default frames every Data block with LZ4 + CityHash128, and the r9
+review flagged the then-pure-Python checksum as a potential wire-rate
+ceiling. bench.py records this module's numbers per round in
+BENCH_DETAIL.json (`native_sink`), so the claim "the checksum is not
+the bottleneck" is a measured artifact, not an argument. At deployment
+time the same function sizes the sink: rows/s/connection x partitions
+= drain rate, compare against the source's event rate.
+
+Methodology: a local DRAIN server speaks just enough server-side
+protocol to run a real INSERT exchange (hello, header block,
+EndOfStream) but spends ~nothing per row -- compressed frames are
+length-skipped off the wire (one pyarrow LZ4 decompress at GB/s to
+count rows from the block header, then an arithmetic column skip;
+plain blocks get the same skeleton-parse-and-seek). So the wall clock
+measures the CLIENT path -- `encode_block`'s per-value struct packing,
+`compress_frame`'s LZ4 + CityHash, and loopback socket writes -- which
+is exactly the part the sink owns. The fixture schema is the CDC row
+shape (ints, float, DateTime, a short String), deterministic so runs
+compare across rounds.
+
+This is NOT a correctness harness -- tests/test_clickhouse_native_sink.py
+does full row-value verification against the recording fake server;
+the drain server here only cross-checks row COUNTS.
+"""
+
+from __future__ import annotations
+
+import socketserver
+import struct
+import threading
+import time
+
+from .clickhouse_native import (
+    COMPRESSION_LZ4,
+    COMPRESSION_NONE,
+    COMPRESSION_ZSTD,
+    NativeConnection,
+    CLIENT_REVISION,
+    _Reader,
+    encode_block,
+    compress_frame,
+    write_str,
+    write_varint,
+)
+
+_FIXED_WIDTH = {"Int8": 1, "UInt8": 1, "Int16": 2, "UInt16": 2,
+                "Int32": 4, "UInt32": 4, "Int64": 8, "UInt64": 8,
+                "Float32": 4, "Float64": 8, "Date": 2, "DateTime": 4}
+
+
+class _OffsetReader:
+    """In-memory reader tracking an offset instead of re-slicing the
+    buffer -- `_BytesReader.read` copies the remaining buffer on EVERY
+    read, which turns a per-row varint walk over a 2 MB block into
+    O(bytes x reads) memcpy (measured: ~35 s per 200k-row drain; this
+    class makes the same walk ~30 ms). Fine for the production client,
+    whose in-memory reads are all small header blocks; fatal for a
+    drain server whose whole job is cheap skipping."""
+
+    __slots__ = ("buf", "pos")
+
+    def __init__(self, data: bytes):
+        self.buf = data
+        self.pos = 0
+
+    def read(self, n: int) -> bytes:
+        p = self.pos
+        if len(self.buf) - p < n:
+            raise ConnectionError("truncated block")
+        self.pos = p + n
+        return self.buf[p:p + n]
+
+    def skip(self, n: int) -> None:
+        if len(self.buf) - self.pos < n:
+            raise ConnectionError("truncated block")
+        self.pos += n
+
+    def varint(self) -> int:
+        buf, p = self.buf, self.pos
+        n = shift = 0
+        while True:
+            b = buf[p]
+            p += 1
+            n |= (b & 0x7F) << shift
+            if not b & 0x80:
+                self.pos = p
+                return n
+            shift += 7
+            if shift > 63:
+                raise ConnectionError("runaway varint")
+
+    def string(self) -> str:
+        return self.read(self.varint()).decode("utf-8", "replace")
+
+
+def _skip_block(rd) -> int:
+    """Parse a block's skeleton (BlockInfo, counts, column name/type
+    strings) and SKIP the column payloads arithmetically; returns
+    n_rows. Per-row Python only for String columns (a varint walk);
+    fixed-width columns cost one read each regardless of rows."""
+    rd.varint()
+    rd.read(1)                       # BlockInfo field 1: is_overflows
+    rd.varint()
+    rd.read(4)                       # BlockInfo field 2: bucket_num
+    rd.varint()                      # BlockInfo end
+    n_cols, n_rows = rd.varint(), rd.varint()
+    for _ in range(n_cols):
+        rd.string()                  # name
+        t = rd.string()
+        nullable = t.startswith("Nullable(")
+        if nullable:
+            rd.read(n_rows)          # null mask
+            t = t[9:-1]
+        skip = getattr(rd, "skip", rd.read)
+        if t in _FIXED_WIDTH:
+            skip(n_rows * _FIXED_WIDTH[t])
+        elif t.startswith("DateTime64("):
+            skip(n_rows * 8)
+        elif t.startswith("Decimal("):
+            prec = int(t[8:-1].split(",")[0])
+            skip(n_rows * (4 if prec <= 9 else 8 if prec <= 18
+                           else 16))
+        elif t == "String":
+            for _ in range(n_rows):
+                skip(rd.varint())
+        else:
+            raise ConnectionError(f"drain server can't skip {t}")
+    return n_rows
+
+
+def _read_client_block(rd: _Reader, compressed: bool) -> int:
+    """One client Data packet body -> n_rows (0 for the terminator)."""
+    rd.string()                      # temporary table name
+    if not compressed:
+        return _skip_block(rd)
+    # frame: checksum(16) + method(1) + comp_size(4) + raw_size(4)
+    import pyarrow as pa
+    hdr = rd.read(16 + 9)
+    method = hdr[16]
+    comp_size, raw_size = struct.unpack_from("<II", hdr, 17)
+    payload = rd.read(comp_size - 9)
+    # no checksum verify here ON PURPOSE: the drain measures the
+    # writer; read-path verification is covered by the sink's own
+    # read_compressed_frame tests
+    if method == COMPRESSION_LZ4:
+        raw = bytes(pa.Codec("lz4_raw").decompress(payload, raw_size))
+    elif method == COMPRESSION_ZSTD:
+        raw = bytes(pa.Codec("zstd").decompress(payload, raw_size))
+    elif method == COMPRESSION_NONE:
+        raw = payload
+    else:
+        raise ConnectionError(f"method 0x{method:02x}")
+    return _skip_block(_OffsetReader(raw))
+
+
+class DrainServer:
+    """Minimal native-protocol server: handshake + INSERT drain."""
+
+    def __init__(self):
+        self.rows = 0
+        self.wire_bytes = 0
+        self._lock = threading.Lock()
+        outer = self
+
+        class Handler(socketserver.BaseRequestHandler):
+            def handle(self):
+                try:
+                    outer._session(self.request)
+                except (ConnectionError, OSError):
+                    pass
+
+        class Server(socketserver.ThreadingTCPServer):
+            allow_reuse_address = True
+            daemon_threads = True
+
+        self._srv = Server(("127.0.0.1", 0), Handler)
+        self.host, self.port = self._srv.server_address
+
+    def _session(self, sock) -> None:
+        rd = _CountingReader(sock)
+        if rd.varint() != 0:         # client hello
+            raise ConnectionError("expected hello")
+        rd.string()
+        rd.varint()
+        rd.varint()
+        rd.varint()
+        rd.string()
+        rd.string()
+        rd.string()                  # db/user/password
+        sock.sendall(write_varint(0) + write_str("DrainHouse")
+                     + write_varint(23) + write_varint(8)
+                     + write_varint(CLIENT_REVISION)
+                     + write_str("UTC") + write_str("drain")
+                     + write_varint(1))
+        while True:
+            if rd.varint() != 1:     # Query
+                raise ConnectionError("expected query")
+            rd.string()              # query id
+            rd.read(1)
+            rd.string()
+            rd.string()
+            rd.string()              # client info: initial
+            rd.read(1)
+            rd.string()
+            rd.string()
+            rd.string()              # iface + os fields
+            rd.varint()
+            rd.varint()
+            rd.varint()              # version/revision
+            rd.string()              # quota key
+            rd.varint()              # version patch
+            while rd.string():       # settings until empty name
+                rd.read(1)
+                rd.string()
+            rd.varint()              # stage
+            compressed = rd.varint() == 1
+            sql = rd.string()
+            if rd.varint() != 2:     # the empty external-tables block
+                raise ConnectionError("expected external-tables block")
+            _read_client_block(rd, compressed)
+            if sql.lstrip().upper().startswith("INSERT"):
+                hdr = encode_block([], [])
+                if compressed:
+                    hdr = compress_frame(hdr)
+                sock.sendall(write_varint(1) + write_str("") + hdr)
+                rd.bytes_read = 0
+                total = 0
+                while True:
+                    if rd.varint() != 2:
+                        raise ConnectionError("expected data")
+                    n = _read_client_block(rd, compressed)
+                    if n == 0:
+                        break
+                    total += n
+                with self._lock:
+                    self.rows += total
+                    self.wire_bytes += rd.bytes_read
+            sock.sendall(write_varint(5))        # EndOfStream
+
+    def start(self):
+        threading.Thread(target=self._srv.serve_forever,
+                         daemon=True).start()
+        return self
+
+    def stop(self):
+        self._srv.shutdown()
+        self._srv.server_close()
+
+
+class _CountingReader(_Reader):
+    def __init__(self, sock):
+        super().__init__(sock)
+        self.bytes_read = 0
+
+    def read(self, n: int) -> bytes:
+        out = super().read(n)
+        self.bytes_read += n
+        return out
+
+
+BENCH_COLUMNS = [("seq", "Int64"), ("op", "String"), ("id", "Int64"),
+                 ("ver", "UInt32"), ("val", "Float64"),
+                 ("ts", "DateTime")]
+
+_OPS = ("insert", "update", "delete")
+
+
+def _bench_rows(n: int) -> list[tuple]:
+    import datetime
+    base = datetime.datetime(2024, 1, 1, tzinfo=datetime.timezone.utc)
+    return [(i, _OPS[i % 3], i % 50_000, i % 7, i * 0.25,
+             base + datetime.timedelta(seconds=i % 86_400))
+            for i in range(n)]
+
+
+def measure_sink_throughput(n_rows: int = 200_000,
+                            bulk_size: int = 50_000,
+                            compression: "bool | str" = True) -> dict:
+    """Drain `n_rows` CDC-shaped rows through one NativeConnection
+    into a local drain server; returns rows/s plus wire/raw byte
+    accounting. Wall clock covers connect + INSERT exchange end to
+    end (the EndOfStream wait included, so server-side skip cost --
+    deliberately negligible -- cannot hide)."""
+    rows = _bench_rows(n_rows)
+    srv = DrainServer().start()
+    try:
+        t0 = time.perf_counter()
+        conn = NativeConnection(srv.host, srv.port,
+                                compression=compression)
+        blocks = (rows[i:i + bulk_size]
+                  for i in range(0, len(rows), bulk_size))
+        sent = conn.insert_blocks(
+            "INSERT INTO bench.cdc_rows VALUES", BENCH_COLUMNS, blocks)
+        conn.close()
+        wall = time.perf_counter() - t0
+    finally:
+        srv.stop()
+    if sent != srv.rows:
+        raise AssertionError(f"drain counted {srv.rows} rows, "
+                             f"client sent {sent}")
+    raw = len(encode_block(BENCH_COLUMNS, rows))   # uncompressed size
+    return {"rows": sent, "sec": round(wall, 3),
+            "rows_per_sec": round(sent / wall) if wall else None,
+            "raw_bytes": raw, "wire_bytes": srv.wire_bytes,
+            "compression": compression}

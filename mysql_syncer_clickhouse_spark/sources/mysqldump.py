@@ -249,6 +249,82 @@ def render_insert(table: str, rows: list[list]) -> str:
     return f"INSERT INTO `{table}` VALUES {tuples};"
 
 
+_CHANGE_MASTER_RE = re.compile(
+    r"CHANGE MASTER TO MASTER_LOG_FILE='([^']+)',\s*MASTER_LOG_POS=(\d+)",
+    re.IGNORECASE)
+
+
+def exec_mysqldump(exec_path: str, out_path: str, *,
+                   host: str = "127.0.0.1", port: int = 3306,
+                   user: str = "root", password: str = "",
+                   charset: str | None = None,
+                   schema_tables: dict[str, list[str]] | None = None,
+                   master_data: bool = True,
+                   extra_args: tuple[str, ...] = ()) -> dict:
+    """SPAWN mysqldump and stream its output to `out_path` -- the
+    reference's actual snapshot phase (river/river.go:111 wires the
+    configured binary into canal's Dump.ExecutionPath; river.go:126-146
+    `prepareCanal` shrinks the dump to the rules' tables when they all
+    live in one schema, else dumps whole databases -- the same
+    selection logic here).
+
+    Flags chosen to GUARANTEE this module's parser contract:
+    --extended-insert (one INSERT statement per line), --hex-blob
+    (binary as 0x literals, in the value grammar), --single-transaction
+    + --quick (consistent non-blocking snapshot, row streaming),
+    --master-data=2 (binlog position as a comment; see
+    etc/river.toml's skip_master_data for dump users without RELOAD).
+    The password rides MYSQL_PWD in the child's environment, never
+    argv (visible in `ps`).
+
+    Returns {"binlog_file", "binlog_pos"} parsed from the dump's
+    CHANGE MASTER comment (None/None when master_data is off) plus
+    {"bytes", "argv"} for observability. Raises RuntimeError with the
+    stderr tail on a non-zero exit -- a partial dump file must never
+    be silently bootstrapped from."""
+    import os
+    import subprocess
+
+    argv = [exec_path, f"--host={host}", f"--port={port}",
+            f"--user={user}", "--single-transaction", "--quick",
+            "--extended-insert", "--hex-blob"]
+    if master_data:
+        argv.append("--master-data=2")
+    if charset:
+        argv.append(f"--default-character-set={charset}")
+    argv.extend(extra_args)
+    schema_tables = schema_tables or {}
+    if len(schema_tables) == 1:
+        (db, tables), = schema_tables.items()
+        argv.append(db)
+        argv.extend(tables)          # one schema: shrink to the tables
+    else:
+        argv.append("--databases")
+        argv.extend(sorted(schema_tables))
+    env = dict(os.environ)
+    if password:
+        env["MYSQL_PWD"] = password
+    os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
+    with open(out_path, "wb") as out:
+        proc = subprocess.run(argv, stdout=out,
+                              stderr=subprocess.PIPE, env=env)
+    if proc.returncode != 0:
+        tail = proc.stderr.decode("utf-8", "replace")[-500:]
+        raise RuntimeError(f"mysqldump exited {proc.returncode}: {tail}")
+    binlog_file = binlog_pos = None
+    with open(out_path, "r", encoding="utf-8", errors="replace") as fh:
+        for _ in range(200):         # the comment sits in the header
+            line = fh.readline()
+            if not line:
+                break
+            m = _CHANGE_MASTER_RE.search(line)
+            if m:
+                binlog_file, binlog_pos = m.group(1), int(m.group(2))
+                break
+    return {"binlog_file": binlog_file, "binlog_pos": binlog_pos,
+            "bytes": os.path.getsize(out_path), "argv": argv}
+
+
 def statements_to_rows(stmts: DataFrame, table: DumpTable, *,
                        stmt_col: str = "stmt") -> DataFrame:
     """The in-plan distributed core: a DataFrame with one INSERT
@@ -270,6 +346,16 @@ def statements_to_rows(stmts: DataFrame, table: DumpTable, *,
                 t, rows = parse_insert_statement(str(stmt))
                 if t != want:
                     continue
+                if not rows:
+                    # a valid one-line INSERT always carries >=1 tuple;
+                    # an empty VALUES tail means the statement continues
+                    # on later lines (non-mysqldump / hand-edited dump)
+                    # -- fail LOUDLY instead of contributing zero rows
+                    raise ValueError(
+                        f"INSERT line for `{want}` carries no row "
+                        f"tuples -- a multi-line INSERT? this reader "
+                        f"requires mysqldump's one-statement-per-line "
+                        f"format: {str(stmt)[:80]!r}")
                 for r in rows:
                     if len(r) != len(names):
                         raise ValueError(
@@ -296,13 +382,24 @@ def statements_to_rows(stmts: DataFrame, table: DumpTable, *,
 
 
 def read_mysqldump(spark: SparkSession, path: str, table: str, *,
-                   schema_sql: str | None = None) -> DataFrame:
+                   schema_sql: str | None = None,
+                   strict: bool = True) -> DataFrame:
     """Load one table from mysqldump .sql file(s) at `path` (glob ok).
 
     `schema_sql` is the schema-only dump text (mysqldump --no-data) --
     the at-scale contract. When None, the CREATE blocks are extracted
     from the dump itself with one bounded driver scan that skips data
-    lines on a prefix test (convenience path; see module docstring)."""
+    lines on a prefix test (convenience path; see module docstring).
+
+    `strict` (default on) runs ONE extra line-count pass over the dump
+    and raises if zero lines matched the table's INSERT prefix while
+    the dump DOES mention INSERTs for that table in another shape
+    (multi-line statements, exotic quoting) -- the silent-empty case
+    a non-mysqldump dump would otherwise produce. The pass is a
+    Catalyst count over the same text scan (no Python), but it IS a
+    second read of the data files; pipelines that re-read a validated
+    dump can pass strict=False. Statements that match the prefix but
+    carry no row tuples fail loudly in the tokenizer either way."""
     if schema_sql is not None:
         tables = extract_create_tables(schema_sql)
     else:
@@ -327,10 +424,37 @@ def read_mysqldump(spark: SparkSession, path: str, table: str, *,
                          f"(found: {sorted(tables)})")
     t = tables[table]
     lines = spark.read.text(path)
-    stmts = (lines
-             .filter(F.col("value").startswith(f"INSERT INTO `{table}`")
-                     | F.col("value").startswith(f"INSERT INTO {table} ")
-                     | F.col("value").startswith(
-                         f"INSERT INTO `{table.lower()}`"))
-             .select(F.col("value").alias("stmt")))
+    matched = (F.col("value").startswith(f"INSERT INTO `{table}`")
+               | F.col("value").startswith(f"INSERT INTO {table} ")
+               | F.col("value").startswith(
+                   f"INSERT INTO `{table.lower()}`"))
+    stmts = lines.filter(matched).select(F.col("value").alias("stmt"))
+    if strict:
+        # suspicious = a statement-looking line (INSERT/INTO/REPLACE
+        # start -- INTO catches INSERT wrapped onto its own line) that
+        # references the table BEFORE its VALUES keyword (data values
+        # can legally contain the table's name as a string; the
+        # pre-VALUES head is the table-reference region) yet did not
+        # match the one-line mysqldump prefix
+        head = F.substring_index(F.col("value"), "VALUES", 1)
+        stmt_start = F.upper(F.ltrim(F.col("value")))
+        mentions = (
+            (stmt_start.startswith("INSERT")
+             | stmt_start.startswith("INTO")
+             | stmt_start.startswith("REPLACE"))
+            & ~matched
+            & (head.contains(f"`{table}`")
+               | head.rlike(rf"(^|[^`\w]){re.escape(table)}($|[^`\w])")))
+        diag = lines.agg(
+            F.sum(matched.cast("long")).alias("n_matched"),
+            F.sum(mentions.cast("long")).alias("n_mentions")).first()
+        if (diag["n_matched"] or 0) == 0 and (diag["n_mentions"] or 0) > 0:
+            raise ValueError(
+                f"dump at {path!r} mentions INSERTs for {table!r} on "
+                f"{diag['n_mentions']} line(s) but ZERO lines matched "
+                f"the mysqldump one-statement-per-line INSERT prefix "
+                f"-- multi-line or non-mysqldump formatting? This "
+                f"reader would silently return no rows; reformat the "
+                f"dump (one INSERT per line) or load via JDBC "
+                f"snapshot. (strict=False skips this check.)")
     return statements_to_rows(stmts, t)

@@ -304,3 +304,97 @@ def test_cli_dump_sql_bootstrap_then_binlog_upserts(spark, tmp_path):
              for r in latest_state(state, ["id"]).collect()}
     # snapshot sorts under the changes: 1 edited, 2 deleted, 5 kept
     assert final == {1: "first-edited", 5: "snap's only"}
+
+
+def test_cli_dump_exec_spawns_mysqldump_and_bootstraps(spark, tmp_path):
+    """--dump-exec (r9 VERDICT ask #3): the CLI EXECUTES mysqldump --
+    here a stub executable that records its argv and emits golden dump
+    text with a --master-data CHANGE MASTER comment -- and bootstraps
+    through the same path as --dump-sql: final state equal, argv
+    carries the rule's schema+table selection (river/river.go:126-146's
+    one-schema shrink), password via MYSQL_PWD not argv, and the
+    captured binlog position surfaces for --tail @dump composition."""
+    import stat
+    import sys
+
+    from mysql_syncer_clickhouse_spark.__main__ import run_dump, run_dump_exec
+    from mysql_syncer_clickhouse_spark.operators.upsert import latest_state
+
+    dump_text = (
+        "-- MySQL dump 10.13\\n\n"
+        "-- CHANGE MASTER TO MASTER_LOG_FILE='mysql-bin.000007', "
+        "MASTER_LOG_POS=1543;\n"
+        "CREATE TABLE `items` (\n"
+        "  `id` bigint NOT NULL,\n"
+        "  `title` varchar(80) DEFAULT NULL,\n"
+        "  `mydate` bigint DEFAULT NULL,\n"
+        "  PRIMARY KEY (`id`)\n"
+        ") ENGINE=InnoDB;\n"
+        "INSERT INTO `items` VALUES (1,'first',86400),"
+        "(2,'second',86400),(5,'exec\\'s only',86400);\n")
+    golden = tmp_path / "golden.sql"
+    golden.write_text(dump_text)
+    argv_log = tmp_path / "argv.json"
+    stub = tmp_path / "mysqldump"
+    stub.write_text(
+        f"#!{sys.executable}\n"
+        "import json, os, sys\n"
+        f"json.dump({{'argv': sys.argv[1:], "
+        f"'pwd_env': os.environ.get('MYSQL_PWD')}}, "
+        f"open({str(argv_log)!r}, 'w'))\n"
+        f"sys.stdout.write(open({str(golden)!r}).read())\n")
+    stub.chmod(stub.stat().st_mode | stat.S_IEXEC)
+
+    cfg = EngineConfig.from_toml(TOML)
+    cfg.data_dir = str(tmp_path / "log")
+    cfg.source_addr = "dbhost:3307"
+    cfg.source_user, cfg.source_pass = "syncer", "hunter2"
+    out = run_dump_exec(cfg, str(stub), spark=spark)
+    assert out[0]["mode"] == "dump-exec"
+    assert out[0]["binlog_file"] == "mysql-bin.000007"
+    assert out[0]["binlog_pos"] == 1543
+    assert out[1]["rule"] == "app:items" and out[1]["rows"] == 3
+
+    import json as _json
+    rec = _json.loads(argv_log.read_text())
+    assert rec["pwd_env"] == "hunter2"
+    argv = rec["argv"]
+    assert "--host=dbhost" in argv and "--port=3307" in argv
+    assert "--user=syncer" in argv and "--master-data=2" in argv
+    assert "--single-transaction" in argv and "--hex-blob" in argv
+    # one schema -> shrink to [db, tables...] (prepareCanal's logic)
+    assert argv[-2:] == ["app", "items"]
+    assert not any("hunter2" in a for a in argv)
+
+    # final state identical to the --dump-sql path on the same text
+    cfg2 = EngineConfig.from_toml(TOML)
+    cfg2.data_dir = str(tmp_path / "log2")
+    run_dump(cfg2, str(golden), spark=spark)
+    a = {(r["id"], r["es_title"]) for r in latest_state(
+        spark.read.parquet(f"{cfg.data_dir}/olap.items_sink"),
+        ["id"]).collect()}
+    b = {(r["id"], r["es_title"]) for r in latest_state(
+        spark.read.parquet(f"{cfg2.data_dir}/olap.items_sink"),
+        ["id"]).collect()}
+    assert a == b and len(a) == 3
+
+
+def test_cli_dump_exec_nonzero_exit_is_loud(tmp_path):
+    """A failing mysqldump must raise with its stderr -- a partial
+    dump file silently bootstrapped would be data loss."""
+    import stat
+    import sys
+
+    import pytest
+
+    from mysql_syncer_clickhouse_spark.sources.mysqldump import (
+        exec_mysqldump)
+    stub = tmp_path / "mysqldump"
+    stub.write_text(f"#!{sys.executable}\n"
+                    "import sys\n"
+                    "sys.stderr.write('Access denied for user')\n"
+                    "sys.exit(2)\n")
+    stub.chmod(stub.stat().st_mode | stat.S_IEXEC)
+    with pytest.raises(RuntimeError, match="Access denied"):
+        exec_mysqldump(str(stub), str(tmp_path / "out.sql"),
+                       schema_tables={"app": ["items"]})

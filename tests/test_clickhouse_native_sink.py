@@ -535,6 +535,112 @@ def test_cityhash102_shape_and_self_golden():
     assert checksum16(b"abc") == struct.pack("<QQ", lo, hi)
 
 
+def test_cityhash102_compiled_matches_reference():
+    """Round 10: checksum16 dispatches to a gcc-compiled ctypes build
+    of the same algorithm (~15 GB/s measured vs ~13 MB/s pure). The
+    compiled path must agree with the pure-Python reference on every
+    branch: a dense 0..300 sweep (hits empty/<4/<8/8..16/murmur
+    17..127 incl. the 16-byte stepper) plus >=128 long-loop lengths
+    covering all four 32-byte tail residues and multiple 256-byte
+    iterations, plus random fuzz. If no compiler is available the
+    dispatch IS the reference and this degenerates to identity --
+    still a valid pin."""
+    import random
+    from mysql_syncer_clickhouse_spark.sinks.cityhash102 import (
+        checksum16, checksum16_py, _native_fn)
+    rng = random.Random(0xC1102)
+    for n in list(range(301)) + [512, 513, 1000, 4096, 65536, 100001]:
+        s = bytes(rng.randrange(256) for _ in range(n))
+        assert checksum16(s) == checksum16_py(s), f"len {n}"
+    # the sandbox ships gcc, so the compiled path must actually load
+    # here (a silent fallback would un-test the C file); other hosts
+    # may legitimately lack a compiler
+    import shutil
+    if any(shutil.which(c) for c in ("cc", "gcc", "clang")):
+        assert _native_fn() is not None
+
+
+def test_native_bench_drain_counts_rows():
+    """The bench.py feed-rate harness (sinks/native_bench.py) must
+    run a REAL protocol exchange: rows counted by the drain server's
+    skip-parse equal rows sent, in both compression modes, and the
+    compressed wire is smaller than raw. Tiny row count -- this pins
+    the harness works, BENCH_DETAIL.json carries the measured rates."""
+    from mysql_syncer_clickhouse_spark.sinks.native_bench import (
+        measure_sink_throughput)
+    for comp in (True, False):
+        r = measure_sink_throughput(n_rows=3000, bulk_size=1000,
+                                    compression=comp)
+        assert r["rows"] == 3000
+        assert r["rows_per_sec"] > 0
+        if comp:
+            assert r["wire_bytes"] < r["raw_bytes"]
+        else:
+            assert r["wire_bytes"] >= r["raw_bytes"]
+
+
+def test_encode_block_fast_path_equals_slow_path():
+    """The vectorized one-call struct.pack column encode (round 10)
+    must be byte-identical to the per-value fallback across the type
+    surface, including None-bearing Nullable columns, date/datetime
+    conversions, and values needing coercion (float in an Int column
+    forces the py-loop; bool rides the fast path as 1)."""
+    cols = [("a", "Int64"), ("b", "Nullable(Int32)"), ("c", "Float64"),
+            ("d", "Date"), ("e", "DateTime"), ("f", "String"),
+            ("g", "Decimal(18,4)"), ("h", "UInt8")]
+    rows = [
+        (1, 2, 3.5, datetime.date(2024, 1, 2),
+         datetime.datetime(2024, 1, 2, 3, 4, 5), "x",
+         Decimal("12.3456"), True),
+        (2**40, None, -1.25, datetime.date(1970, 1, 1),
+         datetime.datetime(1970, 1, 1), "", Decimal("-1"), 0),
+        (-5, 7, 0.0, datetime.date(2030, 12, 31),
+         datetime.datetime(2030, 12, 31, 23, 59, 59), "héllo",
+         Decimal("0.0001"), 255),
+    ]
+    fast = N.encode_block(cols, rows)
+    # reference: per-value loop via a fmt that defeats the bulk pack
+    slow = bytearray()
+    slow += N.write_varint(1) + b"\x00"
+    slow += N.write_varint(2) + struct.pack("<i", -1)
+    slow += N.write_varint(0)
+    slow += N.write_varint(len(cols)) + N.write_varint(len(rows))
+    for i, (name, ch_type) in enumerate(cols):
+        slow += N.write_str(name) + N.write_str(ch_type)
+        enc = N.column_encoder(ch_type)
+        # feed one value at a time: single-element packs exercise the
+        # same conversion semantics, concatenation = column bytes for
+        # every fixed-width type; String/Nullable need the full column
+        if ch_type in ("String",) or ch_type.startswith("Nullable("):
+            slow += enc([r[i] for r in rows])
+        else:
+            slow += b"".join(enc([r[i]]) for r in rows)
+    assert fast == bytes(slow)
+
+
+def test_cityhash102_pure_fallback_env(monkeypatch):
+    """MSC_SPARK_PURE_CITYHASH=1 must force the reference path (fresh
+    module load), and frames written by one implementation must verify
+    under the other -- the mixed-process case (an executor without gcc
+    reading a frame a compiled writer produced)."""
+    import importlib
+    import sys
+    from mysql_syncer_clickhouse_spark.sinks import cityhash102 as live
+    compiled_frame = N.compress_frame(b"cross-impl payload " * 50)
+    monkeypatch.setenv("MSC_SPARK_PURE_CITYHASH", "1")
+    saved = sys.modules.pop("mysql_syncer_clickhouse_spark.sinks.cityhash102")
+    try:
+        pure = importlib.import_module(
+            "mysql_syncer_clickhouse_spark.sinks.cityhash102")
+        assert pure._native_fn() is None
+        body = compiled_frame[16 + 9:]
+        hdr = compiled_frame[16:16 + 9]
+        assert pure.checksum16(hdr + body) == compiled_frame[:16]
+    finally:
+        sys.modules["mysql_syncer_clickhouse_spark.sinks.cityhash102"] = saved
+        assert live.checksum16(b"abc") == live.checksum16_py(b"abc")
+
+
 def test_compress_frame_roundtrip_and_corruption():
     payloads = [b"", b"x", b"spark " * 1000, bytes(100_000),
                 bytes(range(256)) * 512]

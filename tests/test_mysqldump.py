@@ -143,3 +143,38 @@ def test_read_mysqldump_end_to_end(spark, tmp_path):
                        3: (None, 3.75, "three")}
     with pytest.raises(ValueError, match="not in dump schema"):
         D.read_mysqldump(spark, p, "missing", schema_sql=schema)
+
+
+def test_read_mysqldump_zero_match_is_loud(spark, tmp_path):
+    """r9 VERDICT What's-missing #3: a dump whose INSERTs for the
+    table exist but span lines (non-mysqldump formatting) must RAISE,
+    not silently return zero rows -- in both failure shapes: (a) no
+    line matches the INSERT prefix at all; (b) the first line matches
+    but carries no tuples (VALUES on following lines)."""
+    # (a) INSERT wrapped so no line starts with the prefix
+    multi = tmp_path / "multi"
+    multi.mkdir()
+    (multi / "dump.sql").write_text(
+        CREATE + "INSERT\nINTO `items`\nVALUES (1,1,1.00,'one',NULL);\n")
+    with pytest.raises(ValueError, match="ZERO lines matched"):
+        D.read_mysqldump(spark, str(multi / "dump.sql"), "items")
+    # strict=False keeps the old silent behavior for validated re-reads
+    df = D.read_mysqldump(spark, str(multi / "dump.sql"), "items",
+                          strict=False)
+    assert df.count() == 0
+    # (b) prefix matches, tuples on later lines -> tokenizer raises
+    headless = tmp_path / "headless"
+    headless.mkdir()
+    (headless / "dump.sql").write_text(
+        CREATE + "INSERT INTO `items` VALUES\n(1,1,1.00,'one',NULL);\n")
+    from py4j.protocol import Py4JJavaError
+    with pytest.raises(Exception, match="no row tuples|PythonException"):
+        D.read_mysqldump(spark, str(headless / "dump.sql"),
+                         "items").collect()
+    # a genuinely empty table (CREATE present, zero INSERTs anywhere)
+    # stays a valid empty read -- strict only fires on the mismatch
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    (empty / "dump.sql").write_text(CREATE)
+    assert D.read_mysqldump(spark, str(empty / "dump.sql"),
+                            "items").count() == 0
