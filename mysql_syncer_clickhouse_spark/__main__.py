@@ -322,10 +322,21 @@ def run_tail(cfg: EngineConfig, start_file: str | None, *,
     distributed decode stay decoupled by design. The tail
     auto-reconnects on network drops (tail_resumable), each
     connection writing a fresh relay segment, and repeated --tail
-    invocations are append-safe the same way."""
-    from .sources.mysql_repl import ReplicationClient, tail_resumable
+    invocations are append-safe the same way.
+
+    Every run persists <data_dir>/_master.info (file+pos AND the
+    executed GTID set when the stream carries GTIDs -- canal's
+    master.info analog); `--tail @info` resumes from it, preferring
+    the GTID set so the resume survives SERVER FAILOVER (binlog file
+    names are per-server; the executed set is portable)."""
+    from .sources.mysql_repl import (MasterInfo, ReplicationClient,
+                                     tail_resumable)
     host, _, port = (cfg.source_addr or "127.0.0.1:3306").rpartition(":")
     relay = relay_dir or os.path.join(cfg.data_dir, "_relay")
+    info = MasterInfo.load(os.path.join(cfg.data_dir, "_master.info"))
+    resume_from_info = start_file == "@info"
+    if resume_from_info:
+        start_file = None
 
     def factory():
         return ReplicationClient(host or "127.0.0.1", int(port),
@@ -335,9 +346,12 @@ def run_tail(cfg: EngineConfig, start_file: str | None, *,
                                  charset=cfg.source_charset or "utf8")
 
     n = tail_resumable(factory, relay, start_file, start_pos,
-                       non_block=True)
+                       non_block=True, master_info=info,
+                       resume_from_info=resume_from_info)
     out = [{"mode": "tail", "source": cfg.source_addr,
-            "relay_dir": relay, "events_relayed": n}]
+            "relay_dir": relay, "events_relayed": n,
+            "master_info": {"file": info.file, "pos": info.pos,
+                            "gtid_set": info.gtid_set}}]
     out.extend(run_binlog(cfg, relay, compact=compact, spark=spark))
     return out
 
@@ -405,7 +419,11 @@ def main(argv: list[str] | None = None) -> int:
                          " (server_id from config), catch up the binlog"
                          " stream into <data_dir>/_relay, then drain it;"
                          " without START_FILE the current position is"
-                         " resolved via SHOW MASTER STATUS")
+                         " resolved via SHOW MASTER STATUS; @info"
+                         " resumes from <data_dir>/_master.info"
+                         " (GTID-set auto-position when present, so the"
+                         " resume survives server failover); @dump"
+                         " resumes from --dump-exec's captured position")
     ap.add_argument("--relay-dir",
                     help="relay directory for --tail "
                          "(default <data_dir>/_relay)")

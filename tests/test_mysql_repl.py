@@ -80,6 +80,11 @@ class FakeMySQL:
         # auth-cache first connect of a stock MySQL 8); set to an
         # (private_key, public_pem) pair from _rsa_keypair()
         self.full_auth_rsa = None
+        # GTID-aware dump hook: fn(decoded_set_text) -> files dict to
+        # stream for a COM_BINLOG_DUMP_GTID (a real server serves only
+        # the transactions NOT in the announced set; tests script that
+        # subset here). None = stream self.files (legacy behavior).
+        self.gtid_files_fn = None
         self._lock = threading.Lock()
         outer = self
 
@@ -205,18 +210,23 @@ class FakeMySQL:
             elif cmd[0] == R.COM_REGISTER_SLAVE:
                 self._send_pkt(sock, 1, b"\x00\x00\x00\x02\x00\x00\x00")
             elif cmd[0] in (R.COM_BINLOG_DUMP, R.COM_BINLOG_DUMP_GTID):
+                files = self.files
                 if cmd[0] == R.COM_BINLOG_DUMP:
                     start_file = cmd[11:].decode()
                 else:
                     # flags(2) server_id(4) name_len(4) name pos(8)
                     # data_len(4) gtid blob -- record the blob for
                     # the test's independent parse; stream everything
+                    # (or what gtid_files_fn scripts for the set)
                     nlen = struct.unpack_from("<I", cmd, 7)[0]
                     dlen_off = 11 + nlen + 8
                     dlen = struct.unpack_from("<I", cmd, dlen_off)[0]
+                    blob = cmd[dlen_off + 4:dlen_off + 4 + dlen]
                     with self._lock:
-                        self.gtid_blobs.append(
-                            cmd[dlen_off + 4:dlen_off + 4 + dlen])
+                        self.gtid_blobs.append(blob)
+                    if self.gtid_files_fn is not None:
+                        files = self.gtid_files_fn(
+                            B.decode_gtid_set(blob))
                     start_file = ""
                 with self._lock:
                     drop_after = (self.drop_plan[self.dump_count]
@@ -226,12 +236,12 @@ class FakeMySQL:
                 seq = 1
                 sent = 0
                 csum = self.binlog_checksum != "NONE"
-                names = [n for n in self.files if n >= start_file]
+                names = [n for n in files if n >= start_file]
                 for k, name in enumerate(names):
                     self._send_pkt(sock, seq, b"\x00"
                                    + _artificial_rotate(name, csum))
                     seq += 1
-                    for ev in _events_of(self.files[name]):
+                    for ev in _events_of(files[name]):
                         self._send_pkt(sock, seq, b"\x00" + ev)
                         seq += 1
                         sent += 1
@@ -1333,9 +1343,12 @@ def test_gtid_tail_composes_to_final_state(fake_mysql, tmp_path, spark):
 def test_gtid_resume_with_drop_no_loss_no_dup(fake_mysql, tmp_path,
                                               spark):
     """VERDICT r8 stretch: a GTID-started tail whose connection drops
-    mid-stream resumes (by the relay's tracked file+pos once it has
-    one; the same dual bookkeeping as canal's master.info) and the
-    final state shows no loss and no duplication."""
+    mid-stream resumes and the final state shows no loss and no
+    duplication. Round 10: the resume re-dumps BY GTID (the start set
+    merged with every streamed GTID -- these fixture files carry
+    none, so the set is unchanged) rather than per-server (file, pos);
+    the overlap this re-streams dedups through the (pk, seq)
+    idempotent apply, which is exactly what this test pins."""
     from mysql_syncer_clickhouse_spark.operators.upsert import latest_state
     fake_mysql.drop_plan = [4]
     relay = tmp_path / "relay"
@@ -1349,16 +1362,181 @@ def test_gtid_resume_with_drop_no_loss_no_dup(fake_mysql, tmp_path,
         gtid_set="3e11fa47-71ca-11e1-9e33-c80aa9429562:1-5",
         retry_wait=0, sleep=lambda s: None)
     assert total > 0
-    # first connection was GTID, the resume was file+pos
+    # both connections dump by GTID: the failover-portable coordinate
     dumps = [op for op, _ in fake_mysql.commands
              if op in (R.COM_BINLOG_DUMP, R.COM_BINLOG_DUMP_GTID)]
-    assert dumps[0] == R.COM_BINLOG_DUMP_GTID
-    assert dumps[-1] == R.COM_BINLOG_DUMP
+    assert dumps == [R.COM_BINLOG_DUMP_GTID, R.COM_BINLOG_DUMP_GTID]
+    # the re-dump announced the same (unchanged) set as the start
+    assert B.decode_gtid_set(fake_mysql.gtid_blobs[-1]) == \
+        "3e11fa47-71ca-11e1-9e33-c80aa9429562:1-5"
     env = B.read_binlog_files(spark, str(relay))
     cl = B.binlog_to_changelog(env, ROW_DDL, db="app", table="items")
     final = {r["id"]: (r["title"], r["qty"])
              for r in latest_state(cl, ["id"]).collect()}
     assert final == {1: ("first-edited", 11), 3: ("third", 30)}
+
+
+# ---------------------------------------------------------------------------
+# GTID-set checkpointing + server failover (round 10, VERDICT r9 ask #6)
+# ---------------------------------------------------------------------------
+
+SID_TEXT = "3e11fa47-71ca-11e1-9e33-c80aa9429562"
+SID = bytes.fromhex(SID_TEXT.replace("-", ""))
+
+
+def _gtid_txn_file(file_no: int, txns) -> bytes:
+    """A binlog file of GTID-framed transactions: per (gno, rows)
+    entry, GTID_LOG_EVENT -> TABLE_MAP -> WRITE_ROWS -> XID."""
+    enc = Enc()
+    cols = [("id", B.T_LONGLONG, b"", False),
+            ("title", B.T_VARCHAR, struct.pack("<H", 80), False),
+            ("qty", B.T_LONG, b"", False)]
+    from tests.test_binlog import e_i32, e_i64, e_varchar
+
+    def img(id_, title, qty):
+        return [e_i64(id_), e_varchar(title), e_i32(qty)]
+
+    for gno, rows in txns:
+        enc._event(B.GTID_LOG_EVENT,
+                   bytes([1]) + SID + struct.pack("<q", gno))
+        enc.table_map(11, "app", "items", cols)
+        enc.rows(B.WRITE_ROWS_EVENT, 11, 3, [img(*r) for r in rows])
+        enc.xid(9000 + gno)
+    return enc.bytes()
+
+
+def test_gtid_set_merge_and_canonical_text():
+    s = R.GtidSet(f"{SID_TEXT}:1-3:7")
+    s.add_gtid(f"{SID_TEXT}:5")
+    assert s.text() == f"{SID_TEXT}:1-3:5:7"
+    s.add_gtid(f"{SID_TEXT}:4")          # bridges 1-3 and 5
+    assert s.text() == f"{SID_TEXT}:1-5:7"
+    s.add_gtid(f"{SID_TEXT}:6")          # bridges to 7
+    assert s.text() == f"{SID_TEXT}:1-7"
+    s.add(SID_TEXT, 2, 4)                # fully contained: no-op
+    assert s.text() == f"{SID_TEXT}:1-7"
+    other = "11111111-2222-3333-4444-555555555555"
+    s.add(other, 9)
+    # uuid-sorted, round-trips through the wire codec
+    assert s.text() == f"{other}:9,{SID_TEXT}:1-7"
+    assert B.decode_gtid_set(B.encode_gtid_set(s.text())) == s.text()
+    assert not R.GtidSet("")
+    with pytest.raises(B.BinlogError):
+        R.GtidSet("just-a-uuid-no-intervals")
+
+
+def test_master_info_roundtrip_and_missing(tmp_path):
+    path = str(tmp_path / "sub" / "master.info")
+    fresh = R.MasterInfo.load(path)       # missing file -> empty info
+    assert fresh.file is None and fresh.pos == 4 and not fresh.gtid_set
+    fresh.file, fresh.pos = "mysql-bin.000042", 1543
+    fresh.gtid_set = f"{SID_TEXT}:1-7"
+    fresh.save()
+    back = R.MasterInfo.load(path)
+    assert (back.file, back.pos, back.gtid_set) == \
+        ("mysql-bin.000042", 1543, f"{SID_TEXT}:1-7")
+
+
+def test_relay_writer_feeds_gtid_tracker(tmp_path):
+    w = R.RelayWriter.for_new_session(str(tmp_path), checksummed=True)
+    w.gtid_tracker = R.GtidSet("")
+    w.append(_artificial_rotate("mysql-bin.000001"))
+    for ev in _events_of(_gtid_txn_file(1, [
+            (1, [(1, "a", 1)]), (2, [(2, "b", 2)])])):
+        w.append(ev)
+    assert w.gtid_tracker.text() == f"{SID_TEXT}:1-2"
+
+
+def test_gtid_failover_resume_across_servers(tmp_path, spark):
+    """THE r9 ask-#6 done-criterion: a tail checkpointed by GTID set
+    resumes against a SECOND server with entirely different binlog
+    file names, no loss, no dup. Server A streams transactions 1-3;
+    master.info persists the executed set; server B (files named
+    b-bin.*) is scripted to serve exactly the NOT-in-set remainder
+    (4-5) like a real auto-position master; the merged relay's final
+    state carries all five transactions exactly once."""
+    from mysql_syncer_clickhouse_spark.operators.upsert import latest_state
+    relay = tmp_path / "relay"
+    info_path = str(tmp_path / "master.info")
+
+    srv_a = FakeMySQL({"a-bin.000001": _gtid_txn_file(1, [
+        (1, [(1, "one", 10)]), (2, [(2, "two", 20)]),
+        (3, [(3, "three", 30)])])})
+    srv_a.start()
+    info = R.MasterInfo.load(info_path)
+    n1 = R.tail_resumable(
+        lambda: R.ReplicationClient(srv_a.host, srv_a.port,
+                                    user=USER, password=PASSWORD),
+        str(relay), gtid_set="", non_block=True, master_info=info)
+    srv_a.stop()
+    assert n1 > 0
+    saved = R.MasterInfo.load(info_path)
+    assert saved.gtid_set == f"{SID_TEXT}:1-3"
+    assert saved.file == "a-bin.000001"
+
+    served_sets = []
+
+    def files_for(set_text):
+        served_sets.append(set_text)
+        # a real master computes the complement of the announced set;
+        # the script serves exactly what a 5-transaction B would
+        return {"b-bin.000009": _gtid_txn_file(9, [
+            (4, [(4, "four", 40)]), (5, [(5, "five", 50)])])}
+
+    srv_b = FakeMySQL({})
+    srv_b.gtid_files_fn = files_for
+    srv_b.start()
+    n2 = R.tail_resumable(
+        lambda: R.ReplicationClient(srv_b.host, srv_b.port,
+                                    user=USER, password=PASSWORD),
+        str(relay), non_block=True,
+        master_info=R.MasterInfo.load(info_path),
+        resume_from_info=True)
+    srv_b.stop()
+    assert n2 > 0
+    # B was asked for the complement of exactly what A delivered
+    assert served_sets == [f"{SID_TEXT}:1-3"]
+    # and the info now carries the union
+    assert R.MasterInfo.load(info_path).gtid_set == f"{SID_TEXT}:1-5"
+
+    env = B.read_binlog_files(spark, str(relay))
+    cl = B.binlog_to_changelog(env, ROW_DDL, db="app", table="items")
+    final = {r["id"]: (r["title"], r["qty"])
+             for r in latest_state(cl, ["id"]).collect()}
+    assert final == {1: ("one", 10), 2: ("two", 20), 3: ("three", 30),
+                     4: ("four", 40), 5: ("five", 50)}
+    # no dup: the changelog holds each insert exactly once
+    assert cl.count() == 5
+
+
+def test_gtid_reconnect_re_dumps_by_updated_set(tmp_path):
+    """A GTID-mode tail that drops mid-stream reconnects with the
+    UPDATED executed set (start set + streamed GTIDs) -- the
+    failover-portable coordinate -- instead of falling back to the
+    per-server (file, pos)."""
+    srv = FakeMySQL({"mysql-bin.000001": _gtid_txn_file(1, [
+        (1, [(1, "a", 1)]), (2, [(2, "b", 2)]), (3, [(3, "c", 3)])])})
+    sets_seen = []
+
+    def files_for(set_text):
+        sets_seen.append(set_text)
+        return srv.files
+    srv.gtid_files_fn = files_for
+    srv.drop_plan = [5]      # right after txn 1's XID
+    srv.start()
+    total = R.tail_resumable(
+        lambda: R.ReplicationClient(srv.host, srv.port,
+                                    user=USER, password=PASSWORD),
+        str(tmp_path / "relay"), gtid_set="", non_block=True,
+        retry_wait=0, sleep=lambda s: None)
+    srv.stop()
+    assert total > 0
+    assert sets_seen[0] == ""
+    # txn 1 completed before the drop; the re-dump announces it
+    assert f"{SID_TEXT}:1" in sets_seen[1]
+    dumps = [op for op, _ in srv.commands
+             if op in (R.COM_BINLOG_DUMP, R.COM_BINLOG_DUMP_GTID)]
+    assert dumps == [R.COM_BINLOG_DUMP_GTID, R.COM_BINLOG_DUMP_GTID]
 
 
 def test_tail_through_cold_cache_full_auth(fake_mysql, tmp_path):
