@@ -865,10 +865,21 @@ def fuzzy_decontaminate(docs: DataFrame, bench: DataFrame, *,
     # AQE would otherwise coalesce them to one task (dedup.
     # jaccard_verify_sets documents the measured trap)
     cands = dedup._spread(cands, "id_a")
+    # round 10 (same stage-cut finding as minhash_dedup): the verify
+    # join reads hs sets for CANDIDATE docs only -- restrict the
+    # expensive corpus side to candidate ids before its shingle
+    # explode + collect_set instead of re-aggregating the whole
+    # training corpus. Pin the bounded pair list first so the id
+    # list and the join input don't re-run the band chain.
+    cands = cands.localCheckpoint(eager=True)
+    t_cand_sets = dedup.fused_doc_profile(
+        t_reps.join(cands.select(F.col("id_a").alias("id")).distinct(),
+                    "id", "semi"))
     # per-side set tables (NOT a union: train and bench id spaces may
-    # overlap numerically -- they are different tables)
-    t_sets = t_prof.select(F.col("id").alias("id_a"),
-                           F.col("hs").alias("hs_a"))
+    # overlap numerically -- they are different tables). The bench
+    # side is bounded by contract -- no restriction needed.
+    t_sets = t_cand_sets.select(F.col("id").alias("id_a"),
+                                F.col("hs").alias("hs_a"))
     b_sets = b_prof.select(F.col("id").alias("id_b"),
                            F.col("hs").alias("hs_b"))
     n_inter = F.size(F.array_intersect("hs_a", "hs_b"))

@@ -388,8 +388,25 @@ def minhash_dedup(df: DataFrame, id_col: str, text_col: str,
     bands = fused_band_rows(per_doc)
     cands = lsh_candidate_pairs(bands, bucket_cap=bucket_cap,
                                 cap_observation=cap_observation)
-    rep_pairs = jaccard_verify_sets(cands, per_doc.select("id", "hs"),
-                                    threshold)
+    # Round 10 (found by the SCALE.md §6 stage cuts): the verify join
+    # consumes hs sets for CANDIDATE docs only, but feeding it the
+    # full per_doc relation aggregated collect_set over the WHOLE
+    # corpus -- twice (once per join side). At x100 that was 89 s of
+    # the chain's 130 s. Pin the bounded candidate pairs (two longs
+    # per row), restrict the corpus to candidate ids with a semi join
+    # BEFORE the shingle explode + collect_set, and pin the restricted
+    # sets so the two-sided join aggregates once. The r8 finding that
+    # caching the FULL hs relation loses to recompute still holds --
+    # this caches only the ~|candidates| slice, which is the part the
+    # join actually reads.
+    cands = cands.localCheckpoint(eager=True)
+    cand_ids = (cands.select(F.col("id_a").alias("id"))
+                .unionByName(cands.select(F.col("id_b").alias("id")))
+                .distinct())
+    cand_sets = (fused_doc_profile(reps.join(cand_ids, "id", "semi"), k)
+                 .select("id", "hs")
+                 .localCheckpoint(eager=True))
+    rep_pairs = jaccard_verify_sets(cands, cand_sets, threshold)
     if grain == "rep":
         return rep_pairs, members
     return expand_rep_pairs(rep_pairs, members, threshold)

@@ -151,6 +151,67 @@ def timed(make) -> float:
     return round(time.perf_counter() - t0, 3)
 
 
+def minhash_stage_cuts(docs, k: int = 8, threshold: float = 0.5,
+                       bucket_cap: int = 64) -> dict:
+    """Per-stage attribution for the minhash chain (VERDICT r9 ask
+    #4): time the CUMULATIVE cost of materializing the chain cut after
+    each stage -- collapse(+members pin) -> fused doc profile
+    (shingle explode + minhash/set agg) -> band rows -> capped
+    candidate pairs -> verified rep pairs -> bounded report. Marginal
+    stage cost = successive difference. Caveat stated in SCALE.md:
+    the chain deliberately does NOT persist intermediates (each
+    branch's recompute is cheaper than caching the wide hs row), so a
+    later cut re-runs its upstream; the differences attribute the
+    marginal work of each stage under exactly the plan shape the
+    operator really uses."""
+    corpus = dedup.near_dup_corpus(docs)
+    cuts: dict[str, float] = {}
+    # warm the JVM/codegen on a cheap slice so the first timed cut is
+    # not paying session startup (the chain itself stays cache-cold:
+    # nothing here persists)
+    corpus.limit(64).write.format("noop").mode("overwrite").save()
+    t0 = time.perf_counter()
+    reps, members = dedup.collapse_exact_texts(corpus, "id", "text")
+    members = members.localCheckpoint(eager=True)   # the real pin
+    cuts["collapse_pin_members"] = round(time.perf_counter() - t0, 3)
+
+    def chain(stage: str):
+        per_doc = dedup.fused_doc_profile(reps, k)
+        if stage == "profile":
+            return per_doc
+        bands = dedup.fused_band_rows(per_doc)
+        if stage == "bands":
+            return bands
+        cands = dedup.lsh_candidate_pairs(bands, bucket_cap=bucket_cap)
+        if stage == "candidates":
+            return cands
+        rep_pairs = dedup.jaccard_verify_sets(
+            cands, per_doc.select("id", "hs"), threshold)
+        if stage == "verify":
+            return rep_pairs
+        return dedup.rep_pair_report(rep_pairs, members, threshold)
+
+    # cut_X's plan re-derives the (lazy) reps relation, so every cut
+    # INCLUDES the collapse aggregation; the members pin above is the
+    # only work outside the cuts. Cuts are NOT monotonic because each
+    # downstream branch prunes the profile to what it needs (the band
+    # path drops the hs shingle set entirely) -- which is exactly the
+    # no-persist design's point. The two profile variants split the
+    # doc-profile cost into its band-branch shape (8 min-hash aggs,
+    # hs pruned) and verify-branch shape (collect_set materialized).
+    cuts["cut_profile_mins_only"] = timed(
+        lambda: chain("profile").drop("hs"))
+    for stage in ("profile", "bands", "candidates", "verify", "report"):
+        cuts[f"cut_{stage}"] = timed(lambda stage=stage: chain(stage))
+    cuts["marginal_candidates_vs_bands"] = round(
+        cuts["cut_candidates"] - cuts["cut_bands"], 3)
+    cuts["marginal_verify_vs_candidates"] = round(
+        cuts["cut_verify"] - cuts["cut_candidates"], 3)
+    cuts["marginal_report_vs_verify"] = round(
+        cuts["cut_report"] - cuts["cut_verify"], 3)
+    return cuts
+
+
 def q1_over(li):
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
@@ -231,6 +292,21 @@ def main() -> None:
         run_tpch = bool({"q1_pricing_summary", "q3_join"} & keep)
     else:
         run_tpch = True
+
+    if os.environ.get("SPARK_GRAFT_SCALE_STAGES") == "1":
+        # stage-attribution mode (r9 ask #4): minhash chain cuts at
+        # base + each requested decade; one JSON line, then exit
+        stages = {"base_sf0.1": minhash_stage_cuts(docs1)}
+        for n in DECADES:
+            stages[f"x{n}"] = minhash_stage_cuts(
+                replicate_docs(docs1, n))
+        print(json.dumps({"metric": "minhash_stage_cuts",
+                          "sf_dir": SF_DIR, "decades": DECADES,
+                          "driver_memory": os.environ.get(
+                              "SPARK_DRIVER_MEMORY", "8g"),
+                          "stages": stages}))
+        spark.stop()
+        return
 
     # baselines at plain sf0.1 (warmed)
     base: dict[str, float] = {}
