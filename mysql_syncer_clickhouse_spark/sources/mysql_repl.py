@@ -63,7 +63,7 @@ import struct
 from dataclasses import dataclass
 
 from .binlog import (BINLOG_MAGIC, FORMAT_DESCRIPTION_EVENT,
-                     GTID_LOG_EVENT,
+                     GTID_LOG_EVENT, MARIADB_GTID_EVENT,
                      HEARTBEAT_LOG_EVENT, ROTATE_EVENT, BinlogError,
                      fde_checksummed)
 from .binlog import _Reader as _BReader  # lenenc over packet bytes
@@ -731,6 +731,33 @@ class GtidSet:
         return bool(self._ivs)
 
 
+class MariadbGtidState:
+    """The MariaDB analog of GtidSet: replication state is the LATEST
+    (domain, server, seq) per domain -- a 'domain-server-seq,...'
+    list, not an interval set. Higher seq replaces; the server id
+    rides along (a failover to a new master updates it naturally)."""
+
+    def __init__(self, text: str = ""):
+        self._dom: dict[int, tuple[int, int]] = {}
+        for part in (text or "").replace(" ", "").split(","):
+            if not part:
+                continue
+            d, s, q = (int(x) for x in part.split("-"))
+            self.update(d, s, q)
+
+    def update(self, domain: int, server: int, seq: int) -> None:
+        cur = self._dom.get(domain)
+        if cur is None or seq >= cur[1]:
+            self._dom[domain] = (server, seq)
+
+    def text(self) -> str:
+        return ",".join(f"{d}-{s}-{q}"
+                        for d, (s, q) in sorted(self._dom.items()))
+
+    def __bool__(self) -> bool:
+        return bool(self._dom)
+
+
 @dataclass
 class MasterInfo:
     """The replica's persisted resume coordinates -- the master.info
@@ -743,6 +770,7 @@ class MasterInfo:
     file: str | None = None
     pos: int = 4
     gtid_set: str = ""
+    mariadb_gtid: str = ""
 
     @classmethod
     def load(cls, path: str) -> "MasterInfo":
@@ -753,7 +781,8 @@ class MasterInfo:
         except (OSError, ValueError):
             return cls(path)
         return cls(path, file=d.get("file"), pos=int(d.get("pos", 4)),
-                   gtid_set=d.get("gtid_set", "") or "")
+                   gtid_set=d.get("gtid_set", "") or "",
+                   mariadb_gtid=d.get("mariadb_gtid", "") or "")
 
     def save(self) -> None:
         import json
@@ -762,7 +791,8 @@ class MasterInfo:
         tmp = f"{self.path}.tmp{os.getpid()}"
         with open(tmp, "w") as fh:
             json.dump({"file": self.file, "pos": self.pos,
-                       "gtid_set": self.gtid_set}, fh)
+                       "gtid_set": self.gtid_set,
+                       "mariadb_gtid": self.mariadb_gtid}, fh)
         os.replace(tmp, self.path)
 
 
@@ -804,10 +834,12 @@ class RelayWriter:
     segment: int = 0
     server_file: str | None = None
     next_pos: int = 4
-    # optional executed-set tracker: every streamed GTID_LOG_EVENT's
-    # (sid, gno) is added, giving tail_resumable/MasterInfo the
-    # failover-portable resume coordinate
+    # optional executed-set trackers: every streamed GTID_LOG_EVENT's
+    # (sid, gno) -- and, flavor mariadb, every MARIADB_GTID_EVENT's
+    # (domain, server, seq) -- is folded in, giving tail_resumable /
+    # MasterInfo the failover-portable resume coordinate
     gtid_tracker: "GtidSet | None" = None
+    mariadb_tracker: "MariadbGtidState | None" = None
 
     @classmethod
     def for_new_session(cls, relay_dir: str,
@@ -887,6 +919,14 @@ class RelayWriter:
                 self.gtid_tracker.add(
                     _sid_to_uuid(body[1:17]),
                     struct.unpack_from("<q", body, 17)[0])
+        if tc == MARIADB_GTID_EVENT and self.mariadb_tracker is not None:
+            # body: seq(8 LE) domain(4 LE) flags...; server id from
+            # the common header (bytes 5..9)
+            if len(event) >= 19 + 12:
+                self.mariadb_tracker.update(
+                    struct.unpack_from("<I", event, 19 + 8)[0],
+                    struct.unpack_from("<I", event, 5)[0],
+                    struct.unpack_from("<Q", event, 19)[0])
         with open(self._path(), "ab") as fh:
             fh.write(event)
         # header log_pos = end position of this event in the SERVER's
@@ -1025,10 +1065,15 @@ def tail_resumable(client_factory, relay_dir: str,
         if master_info.gtid_set:
             gtid_set = master_info.gtid_set
             start_file = None            # per-server name: meaningless
+        elif master_info.mariadb_gtid:
+            mariadb_gtid = master_info.mariadb_gtid
+            start_file = None
         elif master_info.file:
             start_file, start_pos = master_info.file, master_info.pos
     tracker = GtidSet(gtid_set or "")
+    mtracker = MariadbGtidState(mariadb_gtid or "")
     gtid_mode = gtid_set is not None
+    mariadb_mode = mariadb_gtid is not None
 
     def _persist(writer) -> None:
         if master_info is None:
@@ -1038,6 +1083,8 @@ def tail_resumable(client_factory, relay_dir: str,
             master_info.pos = max(4, writer.next_pos)
         if tracker:
             master_info.gtid_set = tracker.text()
+        if mtracker:
+            master_info.mariadb_gtid = mtracker.text()
         master_info.save()
 
     total = 0
@@ -1053,6 +1100,7 @@ def tail_resumable(client_factory, relay_dir: str,
                 relay_dir, checksummed=_probe_checksum(
                     client, default=setup_checksum))
             writer.gtid_tracker = tracker
+            writer.mariadb_tracker = mtracker
             if gtid_set is not None:
                 client.register_and_dump_gtid(gtid_set,
                                               non_block=non_block)
@@ -1087,6 +1135,8 @@ def tail_resumable(client_factory, relay_dir: str,
                 # streamed GTID -- correct against ANY server of the
                 # topology, unlike the relay's per-server (file, pos)
                 gtid_set = tracker.text()
+            elif mariadb_mode and mtracker:
+                mariadb_gtid = mtracker.text()
             elif writer is not None and writer.server_file is not None:
                 # once the relay holds a complete position, resume by
                 # (file, pos); until then a GTID start retries as-is

@@ -1447,6 +1447,34 @@ def test_relay_writer_feeds_gtid_tracker(tmp_path):
     assert w.gtid_tracker.text() == f"{SID_TEXT}:1-2"
 
 
+def test_mariadb_gtid_state_and_tracker(tmp_path):
+    """The MariaDB half of master.info: latest (domain, server, seq)
+    per domain, fed from MARIADB_GTID_EVENTs (seq u64 + domain u32
+    body; server id from the common header)."""
+    st = R.MariadbGtidState("0-1-42,1-2-7")
+    st.update(0, 3, 50)          # higher seq replaces, server follows
+    st.update(1, 2, 5)           # lower seq ignored
+    assert st.text() == "0-3-50,1-2-7"
+    assert R.MariadbGtidState(st.text()).text() == st.text()
+    assert not R.MariadbGtidState("")
+
+    w = R.RelayWriter.for_new_session(str(tmp_path), checksummed=True)
+    w.mariadb_tracker = R.MariadbGtidState("")
+    w.append(_artificial_rotate("mariadb-bin.000001"))
+    enc = Enc()
+    enc._event(B.MARIADB_GTID_EVENT, struct.pack("<QIB", 42, 0, 0))
+    enc._event(B.MARIADB_GTID_EVENT, struct.pack("<QIB", 7, 1, 0))
+    for ev in _events_of(enc.bytes()):
+        w.append(ev)
+    # Enc's common header stamps server_id 7
+    assert w.mariadb_tracker.text() == "0-7-42,1-7-7"
+    # round-trips through MasterInfo
+    mi = R.MasterInfo(str(tmp_path / "mi.json"),
+                      mariadb_gtid=w.mariadb_tracker.text())
+    mi.save()
+    assert R.MasterInfo.load(mi.path).mariadb_gtid == "0-7-42,1-7-7"
+
+
 def test_gtid_failover_resume_across_servers(tmp_path, spark):
     """THE r9 ask-#6 done-criterion: a tail checkpointed by GTID set
     resumes against a SECOND server with entirely different binlog
