@@ -178,6 +178,33 @@ def test_mysql_binlog_dump_decodes_real_rows():
     assert deletes[0][0] == 2
 
 
+@needs_mysql
+@pytest.mark.skipif(not os.environ.get("MYSQLDUMP_PATH"),
+                    reason="MYSQLDUMP_PATH not set")
+def test_exec_mysqldump_against_real_server(tmp_path_factory):
+    """--dump-exec's subprocess half against a real mysqldump + real
+    server: spawn, parse the produced dump with read_mysqldump's
+    driver-side schema extraction, and confirm the --master-data
+    position parses when the user has the privilege."""
+    from mysql_syncer_clickhouse_spark.sources.mysqldump import (
+        exec_mysqldump, extract_create_tables)
+    host, _, port = MYSQL_ADDR.rpartition(":")
+    out = str(tmp_path_factory.mktemp("dump") / "snap.sql")
+    info = exec_mysqldump(
+        os.environ["MYSQLDUMP_PATH"], out,
+        host=host or "127.0.0.1", port=int(port or 3306),
+        user=os.environ.get("MYSQL_USER", "root"),
+        password=os.environ.get("MYSQL_PASSWORD", ""),
+        schema_tables={"msc_interop": ["t_probe"]},
+        master_data=os.environ.get("MYSQL_SKIP_MASTER_DATA") != "1")
+    assert info["bytes"] > 0
+    text = open(out, encoding="utf-8", errors="replace").read()
+    tabs = extract_create_tables(text)
+    assert "t_probe" in tabs or tabs == {}   # table may not exist yet
+    if os.environ.get("MYSQL_SKIP_MASTER_DATA") != "1":
+        assert info["binlog_file"]
+
+
 # ---------------------------------------------------------- ClickHouse
 
 CH_COLUMNS = [("id", "bigint", False), ("title", "varchar(64)", True),
