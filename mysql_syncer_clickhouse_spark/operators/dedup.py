@@ -268,7 +268,11 @@ def jaccard_verify(candidates: DataFrame, hashed: DataFrame,
     instead of exploding |pairs| x |shingles_per_doc| rows -- at 72k
     candidate pairs and ~300 shingles/doc that is a 20M-row shuffle
     avoided; the ratio only grows with corpus size."""
-    sets = hashed.groupBy("id").agg(F.collect_set("h32").alias("hs"))
+    sets = hashed.groupBy("id").agg(
+        F.collect_set(F.when(F.col("h32") >= (1 << 31),
+                             F.col("h32") - (1 << 32))
+                      .otherwise(F.col("h32"))
+                      .cast("int")).alias("hs"))
     return jaccard_verify_sets(candidates, sets, threshold)
 
 
@@ -292,11 +296,17 @@ def jaccard_verify_sets(candidates: DataFrame, sets: DataFrame,
     byte-blind-AQE trap operators/funnel._pin_user_parallelism
     documents)."""
     candidates = _spread(candidates, "id_a")
+    # shuffle_hash on the sets side: sort-merge would SORT the
+    # pair-side intermediate -- per-pair rows already carrying a
+    # ~300-int hs_a array (the x100 probe's dominant shuffle); hashing
+    # the doc-grain sets side instead streams the fat side through
     return (candidates
             .join(sets.select(F.col("id").alias("id_a"),
-                              F.col("hs").alias("hs_a")), "id_a")
+                              F.col("hs").alias("hs_a"))
+                  .hint("shuffle_hash"), "id_a")
             .join(sets.select(F.col("id").alias("id_b"),
-                              F.col("hs").alias("hs_b")), "id_b")
+                              F.col("hs").alias("hs_b"))
+                  .hint("shuffle_hash"), "id_b")
             .withColumn("n_inter", F.size(F.array_intersect("hs_a", "hs_b")))
             .withColumn("jaccard",
                         F.round(F.col("n_inter").cast("double")
@@ -424,8 +434,18 @@ def fused_doc_profile(docs: DataFrame, k: int = 8) -> DataFrame:
           .select("id",
                   F.explode(char_shingles("text", k)).alias("shingle"))
           .select("id", portable_hash32("shingle").alias("h32")))
+    # hs elements are the 32-bit hash values stored as INT via an
+    # explicit two's-complement wrap (a bijection on [0, 2^32); ANSI
+    # mode forbids the overflowing cast), and the set is only ever
+    # compared for equality/intersection -- round 10:
+    # halves the verify join's per-pair array payload, the dominant
+    # shuffle at x100 candidate density. The minhash arithmetic keeps
+    # the long form (a*h + b mod P needs the unsigned value).
     return sh.groupBy("id").agg(
-        F.collect_set("h32").alias("hs"),
+        F.collect_set(F.when(F.col("h32") >= (1 << 31),
+                             F.col("h32") - (1 << 32))
+                      .otherwise(F.col("h32"))
+                      .cast("int")).alias("hs"),
         *[F.min((F.lit(a) * F.col("h32") + F.lit(b))
                 % MINHASH_P).alias(f"mh{i}")
           for i, (a, b) in enumerate(MINHASH_PARAMS)])
