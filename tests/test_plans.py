@@ -495,8 +495,18 @@ def test_lsh_band_join_equi_and_capped(spark, sf_dir):
     plan = formatted_plan(pairs)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    # round 10: the candidate chain executes behind minhash_dedup's
+    # eager pair pin, so its operators no longer appear in the FINAL
+    # plan -- assert the cap window on the candidate-producing plan
+    # itself (the same relation the pin materializes)
+    reps0, _ = dd.collapse_exact_texts(_corpus(spark, sf_dir),
+                                       "id", "text")
+    cand_plan = formatted_plan(dd.lsh_candidate_pairs(
+        dd.fused_band_rows(dd.fused_doc_profile(reps0)), bucket_cap=64))
+    assert "CartesianProduct" not in cand_plan
+    assert "BroadcastNestedLoopJoin" not in cand_plan
     # the cap's row_number window runs partitioned on the join key
-    assert "row_number" in plan and "band_sig" in plan
+    assert "row_number" in cand_plan and "band_sig" in cand_plan
     # and capping really bounds the join input: no bucket wider than
     # the default cap survives into the join
     reps, _ = dd.collapse_exact_texts(_corpus(spark, sf_dir), "id", "text")
