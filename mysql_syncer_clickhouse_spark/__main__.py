@@ -243,19 +243,45 @@ def run_dump(cfg: EngineConfig, dump_path: str, *,
     the SAME per-rule project/rename/sink pipeline as every other
     mode, so a subsequent --binlog-dir / --tail drain upserts on top
     idempotently. Compose: `--dump-sql snap.sql --tail @current` is
-    the reference's full snapshot-then-replicate topology."""
+    the reference's full snapshot-then-replicate topology.
+
+    The dump's header coordinates (CHANGE MASTER/REPLICATION SOURCE
+    position, gtid_purged's executed set) are persisted into
+    <data_dir>/_master.info, so `--tail @info` after a dump bootstrap
+    resumes exactly where the snapshot was cut -- in GTID
+    auto-position mode when the dump carried a set (survives server
+    failover), by (file, pos) otherwise. A DumpFormatError (table
+    present but not parseable one-statement-per-line) PROPAGATES --
+    only tables genuinely absent from the dump are skipped."""
+    import glob as _glob
+
     from pyspark.sql import functions as F
 
-    from .sources.mysqldump import read_mysqldump
+    from .sources.mysql_repl import MasterInfo
+    from .sources.mysqldump import (TableNotInDumpError, read_mysqldump,
+                                    scan_dump_header)
     spark = spark or get_spark("mysql-syncer-clickhouse-spark",
                                cpus=cfg.threads)
     results: list[dict] = [{"mode": "dump", "dump": dump_path}]
+    hdr: dict = {}
+    for f in sorted(_glob.glob(dump_path)):
+        hdr = scan_dump_header(f)
+        if any(hdr.values()):
+            break
+    if any(hdr.values()):
+        info = MasterInfo.load(os.path.join(cfg.data_dir, "_master.info"))
+        if hdr["binlog_file"]:
+            info.file, info.pos = hdr["binlog_file"], hdr["binlog_pos"]
+        info.gtid_set = hdr["gtid_set"] or info.gtid_set
+        info.mariadb_gtid = hdr["mariadb_gtid"] or info.mariadb_gtid
+        info.save()
+        results[0].update({k: v for k, v in hdr.items() if v})
     for rule in cfg.rules.rules:
         if not rule.pk and cfg.skip_no_pk_table:
             continue
         try:
             df = read_mysqldump(spark, dump_path, rule.source_table)
-        except ValueError:
+        except TableNotInDumpError:
             continue               # table absent from this dump
         cl = df.select(F.lit(-1).cast("long").alias("seq"),
                        F.lit("insert").alias("op"), *df.columns)

@@ -1081,9 +1081,16 @@ def tail_resumable(client_factory, relay_dir: str,
         if writer is not None and writer.server_file is not None:
             master_info.file = writer.server_file
             master_info.pos = max(4, writer.next_pos)
-        if tracker:
+        # Persist the GTID set ONLY when this run started in GTID mode
+        # (tracker seeded from a complete executed set): a file/pos
+        # tail's tracker starts EMPTY and holds only GTIDs streamed
+        # since the tail began -- partial by construction, and a later
+        # `@info` resume preferring it would re-request the server's
+        # entire retained history (ADVICE r10 medium). A stale
+        # complete set from an earlier GTID run stays untouched.
+        if gtid_mode and tracker:
             master_info.gtid_set = tracker.text()
-        if mtracker:
+        if mariadb_mode and mtracker:
             master_info.mariadb_gtid = mtracker.text()
         master_info.save()
 

@@ -47,6 +47,21 @@ from pyspark.sql import functions as F
 
 from ..functions.typemap import mysql_to_spark_type
 
+class DumpFormatError(ValueError):
+    """The dump exists and mentions the table, but not in the
+    one-INSERT-per-line shape this reader parses (multi-line
+    statements, zero-tuple INSERT lines, exotic quoting). Distinct
+    from TableNotInDumpError so CLI loops can skip absent tables
+    while still failing LOUDLY on malformed present ones (ADVICE r10:
+    run_dump's blanket `except ValueError` was swallowing exactly
+    the silent-empty case the strict check exists to catch)."""
+
+
+class TableNotInDumpError(ValueError):
+    """The requested table has no CREATE TABLE block in this dump --
+    the one condition --dump-sql/--dump-exec rule loops may skip."""
+
+
 # table names may be schema-qualified and backtick-quoted per segment
 _NAME = r"((?:`[^`]+`|[^\s(`.])+(?:\.(?:`[^`]+`|[^\s(`.])+)*)"
 _CREATE_RE = re.compile(
@@ -220,6 +235,58 @@ def tokenize_values(values_part: str) -> list[list]:
     return rows
 
 
+def split_sql_statements(text: str) -> list[str]:
+    """Dump text -> ';'-terminated statements, respecting
+    single-quoted string literals (backslash escapes; '' doubling
+    toggles twice so it nets out) and skipping `--` / `#` comment
+    lines that sit BETWEEN statements (mysqldump's header comments
+    legally contain quotes and semicolons, e.g. the CHANGE MASTER
+    line). This is the reassembly pass that lifts the
+    one-INSERT-per-line restriction: a statement may span any number
+    of lines (VERDICT r10 ask #8)."""
+    stmts: list[str] = []
+    buf: list[str] = []
+    blank = True          # True while buf holds only whitespace
+    i, n = 0, len(text)
+    while i < n:
+        c = text[i]
+        if c == "'":
+            # string literal: consume to the closing quote
+            j = i + 1
+            while j < n:
+                ch = text[j]
+                if ch == "\\":
+                    j += 2
+                    continue
+                if ch == "'":
+                    break
+                j += 1
+            buf.append(text[i:min(j + 1, n)])
+            blank = False
+            i = j + 1
+            continue
+        if blank and (c == "#" or text[i:i + 2] == "--"):
+            j = text.find("\n", i)     # inter-statement comment line
+            i = n if j < 0 else j + 1
+            continue
+        if c == ";":
+            stmt = "".join(buf).strip()
+            if stmt:
+                stmts.append(stmt)
+            buf = []
+            blank = True
+            i += 1
+            continue
+        buf.append(c)
+        if blank and not c.isspace():
+            blank = False
+        i += 1
+    tail = "".join(buf).strip()
+    if tail:
+        stmts.append(tail)
+    return stmts
+
+
 def parse_insert_statement(stmt: str) -> tuple[str, list[list]]:
     """One INSERT line -> (table, raw rows)."""
     m = _INSERT_RE.match(stmt.strip())
@@ -249,9 +316,61 @@ def render_insert(table: str, rows: list[list]) -> str:
     return f"INSERT INTO `{table}` VALUES {tuples};"
 
 
+# mysqldump <=8.1 comments the position as CHANGE MASTER TO
+# MASTER_LOG_FILE/POS; 8.2+ defaults to the renamed CHANGE REPLICATION
+# SOURCE TO SOURCE_LOG_FILE/POS (ADVICE r10 low) -- accept both.
 _CHANGE_MASTER_RE = re.compile(
-    r"CHANGE MASTER TO MASTER_LOG_FILE='([^']+)',\s*MASTER_LOG_POS=(\d+)",
+    r"CHANGE (?:MASTER TO MASTER|REPLICATION SOURCE TO SOURCE)"
+    r"_LOG_FILE='([^']+)',\s*"
+    r"(?:MASTER|SOURCE)_LOG_POS=(\d+)",
     re.IGNORECASE)
+# --set-gtid-purged=ON/AUTO writes the source's gtid_executed at
+# snapshot time as gtid_purged (possibly wrapped in /*!80000 ...*/ and
+# spanning lines for multi-uuid sets); MariaDB's mariadb-dump writes
+# the equivalent gtid_slave_pos comment. Either one IS the dump's
+# complete GTID resume coordinate (VERDICT r10 ask #1).
+_GTID_PURGED_RE = re.compile(
+    r"SET\s+@@GLOBAL\.GTID_PURGED\s*=\s*"
+    r"(?:/\*!80000\s+'\+'\s*\*/\s*)?'",     # 8.0+'s append marker
+    re.IGNORECASE)
+_MARIADB_GTID_RE = re.compile(
+    r"gtid_slave_pos\s*=\s*'([0-9,\- ]+)'", re.IGNORECASE)
+
+
+def scan_dump_header(path: str, *, max_lines: int = 200) -> dict:
+    """Bounded scan of a dump file's header comments for the resume
+    coordinates mysqldump captured: the binlog (file, pos) from
+    --master-data / --source-data, the executed GTID set from
+    --set-gtid-purged, and MariaDB's gtid_slave_pos. All live in the
+    first ~30 lines of a real dump; `max_lines` bounds the scan (the
+    gtid_purged SET may span extra lines for multi-uuid sets -- the
+    continuation is followed until the closing quote regardless)."""
+    binlog_file = binlog_pos = None
+    gtid_set: str | None = None
+    mariadb_gtid: str | None = None
+    with open(path, "r", encoding="utf-8", errors="replace") as fh:
+        for _ in range(max_lines):
+            line = fh.readline()
+            if not line:
+                break
+            m = _CHANGE_MASTER_RE.search(line)
+            if m and binlog_file is None:
+                binlog_file, binlog_pos = m.group(1), int(m.group(2))
+            m = _MARIADB_GTID_RE.search(line)
+            if m and mariadb_gtid is None:
+                mariadb_gtid = m.group(1).replace(" ", "")
+            m = _GTID_PURGED_RE.search(line)
+            if m and gtid_set is None:
+                buf = line[m.end():]
+                while "'" not in buf:      # set spans lines
+                    nxt = fh.readline()
+                    if not nxt:
+                        break
+                    buf += nxt
+                gtid_set = (buf.split("'", 1)[0]
+                            .replace("\n", "").replace(" ", ""))
+    return {"binlog_file": binlog_file, "binlog_pos": binlog_pos,
+            "gtid_set": gtid_set, "mariadb_gtid": mariadb_gtid}
 
 
 def exec_mysqldump(exec_path: str, out_path: str, *,
@@ -277,11 +396,11 @@ def exec_mysqldump(exec_path: str, out_path: str, *,
     The password rides MYSQL_PWD in the child's environment, never
     argv (visible in `ps`).
 
-    Returns {"binlog_file", "binlog_pos"} parsed from the dump's
-    CHANGE MASTER comment (None/None when master_data is off) plus
-    {"bytes", "argv"} for observability. Raises RuntimeError with the
-    stderr tail on a non-zero exit -- a partial dump file must never
-    be silently bootstrapped from."""
+    Returns {"binlog_file", "binlog_pos", "gtid_set", "mariadb_gtid"}
+    from scan_dump_header (None when master_data is off / the server
+    has no GTIDs) plus {"bytes", "argv"} for observability. Raises
+    RuntimeError with the stderr tail on a non-zero exit -- a partial
+    dump file must never be silently bootstrapped from."""
     import os
     import subprocess
 
@@ -311,17 +430,7 @@ def exec_mysqldump(exec_path: str, out_path: str, *,
     if proc.returncode != 0:
         tail = proc.stderr.decode("utf-8", "replace")[-500:]
         raise RuntimeError(f"mysqldump exited {proc.returncode}: {tail}")
-    binlog_file = binlog_pos = None
-    with open(out_path, "r", encoding="utf-8", errors="replace") as fh:
-        for _ in range(200):         # the comment sits in the header
-            line = fh.readline()
-            if not line:
-                break
-            m = _CHANGE_MASTER_RE.search(line)
-            if m:
-                binlog_file, binlog_pos = m.group(1), int(m.group(2))
-                break
-    return {"binlog_file": binlog_file, "binlog_pos": binlog_pos,
+    return {**scan_dump_header(out_path),
             "bytes": os.path.getsize(out_path), "argv": argv}
 
 
@@ -351,14 +460,14 @@ def statements_to_rows(stmts: DataFrame, table: DumpTable, *,
                     # an empty VALUES tail means the statement continues
                     # on later lines (non-mysqldump / hand-edited dump)
                     # -- fail LOUDLY instead of contributing zero rows
-                    raise ValueError(
+                    raise DumpFormatError(
                         f"INSERT line for `{want}` carries no row "
                         f"tuples -- a multi-line INSERT? this reader "
                         f"requires mysqldump's one-statement-per-line "
                         f"format: {str(stmt)[:80]!r}")
                 for r in rows:
                     if len(r) != len(names):
-                        raise ValueError(
+                        raise DumpFormatError(
                             f"INSERT arity {len(r)} != {len(names)} "
                             f"columns of `{want}`")
                     for n, v in zip(names, r):
@@ -383,7 +492,8 @@ def statements_to_rows(stmts: DataFrame, table: DumpTable, *,
 
 def read_mysqldump(spark: SparkSession, path: str, table: str, *,
                    schema_sql: str | None = None,
-                   strict: bool = True) -> DataFrame:
+                   strict: bool = True,
+                   multiline: bool = False) -> DataFrame:
     """Load one table from mysqldump .sql file(s) at `path` (glob ok).
 
     `schema_sql` is the schema-only dump text (mysqldump --no-data) --
@@ -392,14 +502,24 @@ def read_mysqldump(spark: SparkSession, path: str, table: str, *,
     lines on a prefix test (convenience path; see module docstring).
 
     `strict` (default on) runs ONE extra line-count pass over the dump
-    and raises if zero lines matched the table's INSERT prefix while
-    the dump DOES mention INSERTs for that table in another shape
-    (multi-line statements, exotic quoting) -- the silent-empty case
-    a non-mysqldump dump would otherwise produce. The pass is a
-    Catalyst count over the same text scan (no Python), but it IS a
-    second read of the data files; pipelines that re-read a validated
-    dump can pass strict=False. Statements that match the prefix but
-    carry no row tuples fail loudly in the tokenizer either way."""
+    and raises DumpFormatError if zero lines matched the table's
+    INSERT prefix while the dump DOES mention INSERTs for that table
+    in another shape (multi-line statements, exotic quoting) -- the
+    silent-empty case a non-mysqldump dump would otherwise produce.
+    The pass is a Catalyst count over the same text scan (no Python),
+    but it IS a second read of the data files; pipelines that re-read
+    a validated dump can pass strict=False. Statements that match the
+    prefix but carry no row tuples fail loudly in the tokenizer
+    either way.
+
+    `multiline=True` switches the data path from line-parallel to
+    FILE-parallel: each file is read whole (`wholetext`) and
+    reassembled into statements by split_sql_statements before the
+    same tokenizer, so hand-wrapped / non-mysqldump dumps (one INSERT
+    spanning many lines) load correctly. Parallelism drops to the
+    file axis -- fine for the multi-file dump layouts other tools
+    emit, documented as the non-mysqldump compatibility path; real
+    mysqldump output should keep the default line-parallel reader."""
     if schema_sql is not None:
         tables = extract_create_tables(schema_sql)
     else:
@@ -420,9 +540,26 @@ def read_mysqldump(spark: SparkSession, path: str, table: str, *,
                         in_create = True
         tables = extract_create_tables("".join(keep))
     if table not in tables:
-        raise ValueError(f"table {table!r} not in dump schema "
-                         f"(found: {sorted(tables)})")
+        raise TableNotInDumpError(
+            f"table {table!r} not in dump schema "
+            f"(found: {sorted(tables)})")
     t = tables[table]
+    if multiline:
+        import pandas as pd
+        files = spark.read.text(path, wholetext=True)
+
+        def reasm(batches):
+            for pdf in batches:
+                out: list[str] = []
+                for text in pdf["value"]:
+                    for stmt in split_sql_statements(str(text)):
+                        m = _INSERT_RE.match(stmt)
+                        if m and _bare_table(m.group(1)) == table:
+                            out.append(stmt)
+                yield pd.DataFrame({"stmt": out}, dtype="object")
+
+        return statements_to_rows(
+            files.mapInPandas(reasm, "stmt string"), t)
     lines = spark.read.text(path)
     matched = (F.col("value").startswith(f"INSERT INTO `{table}`")
                | F.col("value").startswith(f"INSERT INTO {table} ")
@@ -449,12 +586,12 @@ def read_mysqldump(spark: SparkSession, path: str, table: str, *,
             F.sum(matched.cast("long")).alias("n_matched"),
             F.sum(mentions.cast("long")).alias("n_mentions")).first()
         if (diag["n_matched"] or 0) == 0 and (diag["n_mentions"] or 0) > 0:
-            raise ValueError(
+            raise DumpFormatError(
                 f"dump at {path!r} mentions INSERTs for {table!r} on "
                 f"{diag['n_mentions']} line(s) but ZERO lines matched "
                 f"the mysqldump one-statement-per-line INSERT prefix "
-                f"-- multi-line or non-mysqldump formatting? This "
-                f"reader would silently return no rows; reformat the "
-                f"dump (one INSERT per line) or load via JDBC "
-                f"snapshot. (strict=False skips this check.)")
+                f"-- multi-line or non-mysqldump formatting? Pass "
+                f"multiline=True (file-parallel statement reassembly) "
+                f"or reformat the dump (one INSERT per line). "
+                f"(strict=False skips this check.)")
     return statements_to_rows(stmts, t)

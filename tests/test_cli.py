@@ -398,3 +398,72 @@ def test_cli_dump_exec_nonzero_exit_is_loud(tmp_path):
     with pytest.raises(RuntimeError, match="Access denied"):
         exec_mysqldump(str(stub), str(tmp_path / "out.sql"),
                        schema_tables={"app": ["items"]})
+
+
+def test_cli_dump_seeds_master_info_and_skips_only_absent(spark,
+                                                          tmp_path):
+    """VERDICT r10 ask #1 + ADVICE r10 mediums: (a) a dump bootstrap
+    persists the header's resume coordinates -- binlog (file, pos)
+    from the 8.2+ CHANGE REPLICATION SOURCE comment and the COMPLETE
+    executed GTID set from gtid_purged -- into <data_dir>/_master.info
+    so `--tail @info` resumes in failover-portable GTID mode; (b) the
+    rule loop skips tables ABSENT from the dump but propagates
+    DumpFormatError for present-but-malformed ones instead of
+    swallowing it into a silent empty bootstrap."""
+    import pytest
+
+    from mysql_syncer_clickhouse_spark.__main__ import run_dump
+    from mysql_syncer_clickhouse_spark.sources.mysql_repl import MasterInfo
+    from mysql_syncer_clickhouse_spark.sources.mysqldump import (
+        DumpFormatError)
+
+    sid = "3e11fa47-71ca-11e1-9e33-c80aa9429562"
+    dump = tmp_path / "snap.sql"
+    dump.write_text(
+        "-- MySQL dump 10.13  Distrib 8.2.0\n"
+        f"SET @@GLOBAL.GTID_PURGED=/*!80000 '+'*/ '{sid}:1-3';\n"
+        "-- CHANGE REPLICATION SOURCE TO SOURCE_LOG_FILE="
+        "'a-bin.000001', SOURCE_LOG_POS=1543;\n"
+        "CREATE TABLE `items` (\n"
+        "  `id` bigint NOT NULL,\n"
+        "  `title` varchar(80) DEFAULT NULL,\n"
+        "  `qty` int DEFAULT NULL,\n"
+        "  PRIMARY KEY (`id`)\n"
+        ") ENGINE=InnoDB;\n"
+        "INSERT INTO `items` VALUES (1,'one',10),(2,'two',20);\n")
+    cfg = EngineConfig.from_toml(TOML)
+    cfg.data_dir = str(tmp_path / "log")
+    out = run_dump(cfg, str(dump), spark=spark)
+    assert out[0]["gtid_set"] == f"{sid}:1-3"
+    assert out[1]["rule"] == "app:items" and out[1]["rows"] == 2
+    info = MasterInfo.load(os.path.join(cfg.data_dir, "_master.info"))
+    assert info.gtid_set == f"{sid}:1-3"
+    assert (info.file, info.pos) == ("a-bin.000001", 1543)
+
+    # present-but-malformed: the table EXISTS in the dump but its
+    # INSERT spans lines -- must raise, not bootstrap empty
+    bad = tmp_path / "bad.sql"
+    bad.write_text(
+        "CREATE TABLE `items` (\n"
+        "  `id` bigint NOT NULL,\n"
+        "  `title` varchar(80) DEFAULT NULL,\n"
+        "  PRIMARY KEY (`id`)\n"
+        ") ENGINE=InnoDB;\n"
+        "INSERT\nINTO `items` VALUES (1,'one');\n")
+    cfg2 = EngineConfig.from_toml(TOML)
+    cfg2.data_dir = str(tmp_path / "log2")
+    with pytest.raises(DumpFormatError):
+        run_dump(cfg2, str(bad), spark=spark)
+
+    # genuinely absent table: skipped, no raise, no rows line
+    absent = tmp_path / "absent.sql"
+    absent.write_text(
+        "CREATE TABLE `unrelated` (\n"
+        "  `id` bigint NOT NULL,\n"
+        "  PRIMARY KEY (`id`)\n"
+        ") ENGINE=InnoDB;\n"
+        "INSERT INTO `unrelated` VALUES (1);\n")
+    cfg3 = EngineConfig.from_toml(TOML)
+    cfg3.data_dir = str(tmp_path / "log3")
+    out = run_dump(cfg3, str(absent), spark=spark)
+    assert len(out) == 1                     # header line only

@@ -1602,3 +1602,110 @@ def test_tail_through_cold_cache_full_auth(fake_mysql, tmp_path):
                              allow_public_key_retrieval=True)
     with pytest.raises(R.MySQLServerError, match="denied"):
         c3.connect()
+
+
+def test_file_pos_tail_does_not_persist_partial_gtid_set(tmp_path):
+    """ADVICE r10 medium: a (file, pos)-mode tail's GTID tracker
+    starts EMPTY and accumulates only GTIDs streamed since the tail
+    began -- partial by construction. Persisting it would make a
+    later `@info` resume auto-position from an incomplete executed
+    set (the server re-sends the entire retained history). The
+    master.info must carry file/pos ONLY; the gtid_set is persisted
+    when the run STARTED in GTID mode (complete seed)."""
+    srv = FakeMySQL({"mysql-bin.000001": _gtid_txn_file(1, [
+        (1, [(1, "a", 1)]), (2, [(2, "b", 2)])])})
+    srv.start()
+    info_path = str(tmp_path / "master.info")
+    info = R.MasterInfo.load(info_path)
+    n = R.tail_resumable(
+        lambda: R.ReplicationClient(srv.host, srv.port,
+                                    user=USER, password=PASSWORD),
+        str(tmp_path / "relay"), "mysql-bin.000001", non_block=True,
+        master_info=info)
+    srv.stop()
+    assert n > 0
+    saved = R.MasterInfo.load(info_path)
+    assert saved.file == "mysql-bin.000001" and saved.pos > 4
+    assert saved.gtid_set == ""          # partial set NOT persisted
+
+
+def test_dump_exec_seeded_gtid_failover_e2e(tmp_path, spark):
+    """VERDICT r10 ask #1's done-criterion: `--dump-exec` (stub
+    mysqldump emitting gtid_purged + the 8.2+ CHANGE REPLICATION
+    SOURCE comment) seeds <data_dir>/_master.info with the dump's
+    COMPLETE executed set; `--tail @info` then resumes against a
+    SECOND server with disjoint binlog file names -- GTID
+    auto-position announces exactly the dump's set, the server serves
+    the complement, and the final sink state carries every
+    transaction exactly once (zero loss, zero dup)."""
+    import os
+    import stat
+    import sys
+
+    from mysql_syncer_clickhouse_spark.__main__ import (run_dump_exec,
+                                                        run_tail)
+    from mysql_syncer_clickhouse_spark.config import EngineConfig
+    from mysql_syncer_clickhouse_spark.operators.upsert import latest_state
+
+    toml = os.path.join(os.path.dirname(__file__), "..", "etc",
+                        "river.toml")
+    dump_text = (
+        "-- MySQL dump 10.13  Distrib 8.2.0\n"
+        f"SET @@GLOBAL.GTID_PURGED=/*!80000 '+'*/ '{SID_TEXT}:1-3';\n"
+        "-- CHANGE REPLICATION SOURCE TO SOURCE_LOG_FILE="
+        "'a-bin.000001', SOURCE_LOG_POS=1543;\n"
+        "CREATE TABLE `items` (\n"
+        "  `id` bigint NOT NULL,\n"
+        "  `title` varchar(80) DEFAULT NULL,\n"
+        "  `qty` bigint DEFAULT NULL,\n"
+        "  PRIMARY KEY (`id`)\n"
+        ") ENGINE=InnoDB;\n"
+        "INSERT INTO `items` VALUES (1,'one',10),(2,'two',20),"
+        "(3,'three',30);\n")
+    golden = tmp_path / "golden.sql"
+    golden.write_text(dump_text)
+    stub = tmp_path / "mysqldump"
+    stub.write_text(f"#!{sys.executable}\n"
+                    "import sys\n"
+                    f"sys.stdout.write(open({str(golden)!r}).read())\n")
+    stub.chmod(stub.stat().st_mode | stat.S_IEXEC)
+
+    cfg = EngineConfig.from_toml(toml)
+    cfg.data_dir = str(tmp_path / "log")
+    out = run_dump_exec(cfg, str(stub), spark=spark)
+    assert out[0]["gtid_set"] == f"{SID_TEXT}:1-3"
+    assert out[1]["rows"] == 3
+    seeded = R.MasterInfo.load(
+        os.path.join(cfg.data_dir, "_master.info"))
+    assert seeded.gtid_set == f"{SID_TEXT}:1-3"
+
+    served_sets = []
+
+    def files_for(set_text):
+        served_sets.append(set_text)
+        # a real promoted master serves the complement of the
+        # announced set; B's files are named nothing like A's
+        return {"b-bin.000009": _gtid_txn_file(9, [
+            (4, [(4, "four", 40)]), (5, [(5, "five", 50)])])}
+
+    srv_b = FakeMySQL({})
+    srv_b.gtid_files_fn = files_for
+    srv_b.start()
+    cfg.source_addr = f"{srv_b.host}:{srv_b.port}"
+    cfg.source_user, cfg.source_pass = USER, PASSWORD
+    out = run_tail(cfg, "@info", spark=spark)
+    srv_b.stop()
+    assert out[0]["events_relayed"] > 0
+    # auto-position announced EXACTLY the dump's executed set
+    assert served_sets == [f"{SID_TEXT}:1-3"]
+    # info now carries the union -- the next @info resume skips 1-5
+    assert R.MasterInfo.load(
+        os.path.join(cfg.data_dir, "_master.info")).gtid_set == \
+        f"{SID_TEXT}:1-5"
+    sink = spark.read.parquet(f"{cfg.data_dir}/olap.items_sink")
+    final = {r["id"]: (r["es_title"], r["qty"])
+             for r in latest_state(sink, ["id"]).collect()}
+    assert final == {1: ("one", 10), 2: ("two", 20), 3: ("three", 30),
+                     4: ("four", 40), 5: ("five", 50)}
+    # zero dup: snapshot rows once (seq=-1), binlog rows once
+    assert sink.count() == 5

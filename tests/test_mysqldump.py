@@ -178,3 +178,102 @@ def test_read_mysqldump_zero_match_is_loud(spark, tmp_path):
     (empty / "dump.sql").write_text(CREATE)
     assert D.read_mysqldump(spark, str(empty / "dump.sql"),
                             "items").count() == 0
+
+
+def test_split_sql_statements_grammar():
+    """Statement reassembly (r10 VERDICT ask #8): ';' splits only at
+    top level; string literals keep semicolons/escapes; header
+    comment lines (which legally contain quotes AND semicolons, e.g.
+    the CHANGE MASTER line) are skipped between statements; a
+    statement may span any number of lines."""
+    text = (
+        "-- MySQL dump 10.13  Distrib 8.2.0\n"
+        "-- CHANGE REPLICATION SOURCE TO SOURCE_LOG_FILE='b.01', "
+        "SOURCE_LOG_POS=4;\n"
+        "# it's a hash comment; with a quote\n"
+        "CREATE TABLE `t` (\n  `id` bigint NOT NULL\n) ENGINE=X;\n"
+        "INSERT\nINTO `t`\nVALUES\n(1,'semi;colon'),\n"
+        "(2,'quote\\'s;x');\n"
+        "INSERT INTO `t` VALUES (3,'tail without terminator')")
+    stmts = D.split_sql_statements(text)
+    assert len(stmts) == 3
+    assert stmts[0].startswith("CREATE TABLE `t`")
+    assert stmts[1].startswith("INSERT\nINTO `t`")
+    t, rows = D.parse_insert_statement(stmts[1])
+    assert t == "t"
+    assert rows == [["1", "semi;colon"], ["2", "quote's;x"]]
+    t, rows = D.parse_insert_statement(stmts[2])
+    assert rows == [["3", "tail without terminator"]]
+
+
+def test_read_mysqldump_multiline_roundtrip(spark, tmp_path):
+    """The hand-wrapped dump that strict mode rejects loads correctly
+    with multiline=True (file-parallel statement reassembly)."""
+    d = tmp_path / "wrapped"
+    d.mkdir()
+    (d / "dump.sql").write_text(
+        CREATE
+        + "INSERT\nINTO `items`\nVALUES\n"
+          "(1,1,'1.00','one','2026-01-01 00:00:00'),\n"
+          "(2,NULL,'2.50','two\\'s',NULL);\n"
+        + "INSERT\nINTO `items` VALUES (3,3,'3.75','three',NULL);\n"
+        + "INSERT INTO `decoy` VALUES (9,\n'x');\n")
+    with pytest.raises(D.DumpFormatError, match="multiline=True"):
+        D.read_mysqldump(spark, str(d / "dump.sql"), "items")
+    df = D.read_mysqldump(spark, str(d / "dump.sql"), "items",
+                          multiline=True)
+    got = {r["id"]: (r["qty"], float(r["price"]), r["title"])
+           for r in df.collect()}
+    assert got == {1: (1, 1.00, "one"), 2: (None, 2.50, "two's"),
+                   3: (3, 3.75, "three")}
+
+
+def test_error_types_distinguish_absent_from_malformed(spark, tmp_path):
+    """ADVICE r10 medium: the CLI rule loop must be able to skip
+    tables genuinely absent from a dump while malformed-present ones
+    raise -- distinct exception types, both still ValueError for
+    compatibility."""
+    assert issubclass(D.DumpFormatError, ValueError)
+    assert issubclass(D.TableNotInDumpError, ValueError)
+    d = tmp_path / "d"
+    d.mkdir()
+    (d / "dump.sql").write_text(CREATE)
+    with pytest.raises(D.TableNotInDumpError):
+        D.read_mysqldump(spark, str(d / "dump.sql"), "missing")
+
+
+def test_scan_dump_header_variants(tmp_path):
+    """Header coordinates across mysqldump generations: legacy CHANGE
+    MASTER, 8.2+ CHANGE REPLICATION SOURCE (ADVICE r10 low), one-line
+    and line-wrapped gtid_purged sets (VERDICT r10 ask #1), and
+    MariaDB's gtid_slave_pos."""
+    legacy = tmp_path / "legacy.sql"
+    legacy.write_text(
+        "-- MySQL dump 10.13\n"
+        "-- CHANGE MASTER TO MASTER_LOG_FILE='mysql-bin.000007', "
+        "MASTER_LOG_POS=1543;\n")
+    h = D.scan_dump_header(str(legacy))
+    assert (h["binlog_file"], h["binlog_pos"]) == ("mysql-bin.000007",
+                                                   1543)
+    assert h["gtid_set"] is None and h["mariadb_gtid"] is None
+
+    modern = tmp_path / "modern.sql"
+    modern.write_text(
+        "-- MySQL dump 10.13  Distrib 8.2.0\n"
+        "SET @@SESSION.SQL_LOG_BIN= 0;\n"
+        "SET @@GLOBAL.GTID_PURGED=/*!80000 '+'*/ "
+        "'3e11fa47-71ca-11e1-9e33-c80aa9429562:1-5,\n"
+        "aaaaaaaa-bbbb-cccc-dddd-eeeeeeeeeeee:1-3';\n"
+        "-- CHANGE REPLICATION SOURCE TO SOURCE_LOG_FILE='b-bin.09', "
+        "SOURCE_LOG_POS=4;\n")
+    h = D.scan_dump_header(str(modern))
+    assert (h["binlog_file"], h["binlog_pos"]) == ("b-bin.09", 4)
+    assert h["gtid_set"] == ("3e11fa47-71ca-11e1-9e33-c80aa9429562:1-5,"
+                             "aaaaaaaa-bbbb-cccc-dddd-eeeeeeeeeeee:1-3")
+
+    maria = tmp_path / "maria.sql"
+    maria.write_text(
+        "-- mariadb-dump\n"
+        "-- SET GLOBAL gtid_slave_pos='0-1-42';\n")
+    h = D.scan_dump_header(str(maria))
+    assert h["mariadb_gtid"] == "0-1-42"
