@@ -872,16 +872,29 @@ def fuzzy_decontaminate(docs: DataFrame, bench: DataFrame, *,
     # training corpus. Pin the bounded pair list first so the id
     # list and the join input don't re-run the band chain.
     cands = cands.localCheckpoint(eager=True)
+    # shuffle_hash on the bounded id list: a sort-merge semi would
+    # sort t_reps WITH its full text column -- the one genuinely fat
+    # sort in this chain at corpus scale; hashing the tiny id side
+    # streams the text rows through unsorted
     t_cand_sets = dedup.fused_doc_profile(
-        t_reps.join(cands.select(F.col("id_a").alias("id")).distinct(),
+        t_reps.join(cands.select(F.col("id_a").alias("id")).distinct()
+                    .hint("shuffle_hash"),
                     "id", "semi"))
     # per-side set tables (NOT a union: train and bench id spaces may
     # overlap numerically -- they are different tables). The bench
     # side is bounded by contract -- no restriction needed.
+    # shuffle_hash on BOTH hs-carrying sides (VERDICT r10 ask #4, the
+    # symmetry of dedup.jaccard_verify_sets' r10 fix): sort-merge
+    # would sort the pair-side intermediate already carrying the
+    # ~300-int hs_a arrays -- hashing the doc-grain set sides streams
+    # the fat side through instead (minhash x100 verify 107s -> 40s
+    # was this same cut; A/B for this join in SCALE.md)
     t_sets = t_cand_sets.select(F.col("id").alias("id_a"),
-                                F.col("hs").alias("hs_a"))
+                                F.col("hs").alias("hs_a")) \
+        .hint("shuffle_hash")
     b_sets = b_prof.select(F.col("id").alias("id_b"),
-                           F.col("hs").alias("hs_b"))
+                           F.col("hs").alias("hs_b")) \
+        .hint("shuffle_hash")
     n_inter = F.size(F.array_intersect("hs_a", "hs_b"))
     jac = (n_inter.cast("double")
            / (F.size("hs_a") + F.size("hs_b") - n_inter))
@@ -897,11 +910,16 @@ def fuzzy_decontaminate(docs: DataFrame, bench: DataFrame, *,
     # out to every (train member, bench member) pair with the rep's
     # exact verify values; no least/greatest reorder here -- the two
     # sides are different id spaces, the pair is (train, bench) typed
+    # member maps are doc-grain two-long rows; hash-joining them
+    # avoids sorting doc-grain relations against the tiny verified
+    # pair list (rep_pairs post-filter)
     return (rep_pairs
             .join(t_members.select(F.col("rep_id").alias("id_a"),
-                                   F.col("id").alias("__m_id")), "id_a")
+                                   F.col("id").alias("__m_id"))
+                  .hint("shuffle_hash"), "id_a")
             .join(b_members.select(F.col("rep_id").alias("id_b"),
-                                   F.col("id").alias("__m_bench")), "id_b")
+                                   F.col("id").alias("__m_bench"))
+                  .hint("shuffle_hash"), "id_b")
             .select(F.col("__m_id").alias("id"),
                     F.col("__m_bench").alias("bench_id"),
                     "jaccard", "containment"))

@@ -38,6 +38,7 @@ from __future__ import annotations
 
 import ctypes
 import hashlib
+import logging
 import os
 import struct
 import subprocess
@@ -228,20 +229,52 @@ _NATIVE = None          # ctypes fn or None
 _NATIVE_TRIED = False
 
 
+def _owned_and_private(path: str) -> bool:
+    """True when `path` is owned by the current uid with no
+    group/other WRITE bits -- the precondition for trusting a cached
+    artifact. (ADVICE r10 medium: the cache used to live at a
+    predictable path under the world-writable /tmp and skipped
+    rebuilds when the file existed, so another local user could
+    pre-plant a trojaned .so; a planted library can return CORRECT
+    hashes, so load-time cross-validation does not defend against
+    it -- only ownership does.)"""
+    try:
+        st = os.stat(path)
+    except OSError:
+        return False
+    return st.st_uid == os.getuid() and not (st.st_mode & 0o022)
+
+
+def _cache_dir() -> str:
+    """User-private build cache: $XDG_CACHE_HOME/msc_spark (0700),
+    falling back to a fresh per-process mkdtemp (0700 by contract)
+    when the cache dir can't be made safe."""
+    base = os.environ.get("XDG_CACHE_HOME") or os.path.join(
+        os.path.expanduser("~"), ".cache")
+    d = os.path.join(base, "msc_spark")
+    try:
+        os.makedirs(d, mode=0o700, exist_ok=True)
+        if _owned_and_private(d):
+            return d
+    except OSError:
+        pass
+    return tempfile.mkdtemp(prefix="msc_cityhash_")
+
+
 def _compile_native():
     src = os.path.join(os.path.dirname(__file__), "_cityhash102.c")
     with open(src, "rb") as f:
         body = f.read()
     tag = hashlib.md5(body).hexdigest()[:16]
-    so = os.path.join(tempfile.gettempdir(),
-                      f"msc_cityhash102_{tag}.so")
-    if not os.path.exists(so):
+    so = os.path.join(_cache_dir(), f"msc_cityhash102_{tag}.so")
+    if not (os.path.exists(so) and _owned_and_private(so)):
         for cc in ("cc", "gcc", "clang"):
             tmp = so + f".build{os.getpid()}"
             try:
                 subprocess.run(
                     [cc, "-O3", "-shared", "-fPIC", "-o", tmp, src],
                     check=True, capture_output=True, timeout=60)
+                os.chmod(tmp, 0o700)
                 os.replace(tmp, so)      # atomic vs concurrent builders
                 break
             except (OSError, subprocess.SubprocessError):
@@ -251,6 +284,8 @@ def _compile_native():
                     pass
         else:
             return None
+    if not _owned_and_private(so):
+        return None                      # refuse someone else's .so
     lib = ctypes.CDLL(so)
     fn = lib.msc_cityhash102_128
     fn.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
@@ -290,7 +325,26 @@ def _native_fn():
                     _NATIVE = fn
             except Exception:
                 _NATIVE = None
+            if _NATIVE is None:
+                # VERDICT r10 ask #3: the ~1000x throughput regime
+                # change must be VISIBLE, not silent -- correctness is
+                # unaffected, so a warning (not an error) once per
+                # process. The explicit env opt-out stays quiet.
+                logging.getLogger(__name__).warning(
+                    "cityhash102: compiled twin unavailable (no C "
+                    "compiler / build or validation failure); native "
+                    "sink checksums fall back to pure Python "
+                    "(~3.6 MB/s/core vs multi-GB/s). Set "
+                    "MSC_SPARK_PURE_CITYHASH=1 to opt in silently.")
     return _NATIVE
+
+
+def compiled_loaded() -> bool:
+    """Whether checksum16 dispatches to the compiled, load-time
+    validated twin -- surfaced in the /stat payload next to the sink
+    counters so operators can see which throughput regime a deployment
+    is actually in."""
+    return _native_fn() is not None
 
 
 def checksum16(s: bytes) -> bytes:

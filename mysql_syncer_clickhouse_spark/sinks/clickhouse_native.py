@@ -257,19 +257,25 @@ def column_encoder(ch_type: str):
             return mask + inner([v for v in vals])
         return enc_nullable
 
-    def fixed(fmt: str, conv, default):
+    def fixed(fmt: str, conv, default, raw_ok: bool = False):
         # one struct.pack call for the whole column (C-speed loop);
         # per-value conversion only when the type needs it. The slow
         # per-value path stays as the fallback for mixed/None columns
         # -- measured ~2x on the drain bench's all-int/float columns,
-        # and it is the sink's per-row hot path at scale.
+        # and it is the sink's per-row hot path at scale. `raw_ok`
+        # gates the no-conversion first attempt to encoders whose conv
+        # is identity-shaped (int/uint/float): for Decimal/Date/
+        # DateTime a plain int WOULD pack raw -- unscaled/unconverted
+        # -- exactly where the conversion path scales by 10^S or
+        # raises, a silent wire-value change (ADVICE r10 low).
         code = fmt[1:]
 
         def enc(vals: list) -> bytes:
-            try:
-                return struct.pack(f"<{len(vals)}{code}", *vals)
-            except (struct.error, TypeError):
-                pass
+            if raw_ok:
+                try:
+                    return struct.pack(f"<{len(vals)}{code}", *vals)
+                except (struct.error, TypeError):
+                    pass
             try:
                 return struct.pack(
                     f"<{len(vals)}{code}",
@@ -294,11 +300,11 @@ def column_encoder(ch_type: str):
         fmt = {"8": "b", "16": "h", "32": "i", "64": "q"}[t.lstrip("UInt")]
         if t.startswith("U"):
             fmt = fmt.upper()
-        return fixed("<" + fmt, int, 0)
+        return fixed("<" + fmt, int, 0, raw_ok=True)
     if t == "Float32":
-        return fixed("<f", float, 0.0)
+        return fixed("<f", float, 0.0, raw_ok=True)
     if t == "Float64":
-        return fixed("<d", float, 0.0)
+        return fixed("<d", float, 0.0, raw_ok=True)
     if t == "Date":
         return fixed("<H", lambda v: (v - _EPOCH_DATE).days, 0)
     if t == "DateTime" or t.startswith("DateTime("):
@@ -339,15 +345,18 @@ def encode_block(columns: list[tuple[str, str]],
                  rows: list[Sequence]) -> bytes:
     """One native Data block body: BlockInfo + n_cols/n_rows + per
     column (name, type, raw data). `columns` = (name, ch_type).
-    Row->column pivot is one C-speed zip; encoder closures are cached
-    per type string (they are pure functions of it)."""
+    Row->column pivot is one C-speed zip (strict: a ragged row is a
+    caller bug and must raise, not silently truncate every column to
+    the shortest row); encoder closures are cached per type string
+    (they are pure functions of it)."""
     out = bytearray()
     # BlockInfo: field 1 = is_overflows(0), field 2 = bucket_num(-1), 0
     out += write_varint(1) + b"\x00"
     out += write_varint(2) + struct.pack("<i", -1)
     out += write_varint(0)
     out += write_varint(len(columns)) + write_varint(len(rows))
-    data = list(zip(*rows)) if rows else [()] * len(columns)
+    data = (list(zip(*rows, strict=True)) if rows
+            else [()] * len(columns))
     for (name, ch_type), col in zip(columns, data):
         out += write_str(name) + write_str(ch_type)
         out += _cached_encoder(ch_type)(col)

@@ -728,3 +728,113 @@ def test_zstd_frames_roundtrip_and_sink(fake_native, spark):
     with pytest.raises(ValueError, match="unknown compression"):
         N.NativeConnection(fake_native.host, fake_native.port,
                            database="olap", compression="snappy")
+
+
+def test_cityhash102_cache_is_private_and_regime_visible(
+        monkeypatch, tmp_path, caplog):
+    """ADVICE r10 medium + VERDICT r10 ask #3, three pins on a fresh
+    module load: (a) the .so cache lives in a user-private (0700)
+    directory, never a predictable world-writable path; (b) a cached
+    .so that is NOT owned-and-private is refused even though its
+    hashes would validate (a planted library can return correct
+    hashes); (c) falling back to pure Python WARNS -- the ~1000x
+    regime change must be visible -- while the explicit env opt-out
+    stays quiet."""
+    import importlib
+    import logging
+    import shutil
+    import sys
+
+    if not any(shutil.which(c) for c in ("cc", "gcc", "clang")):
+        import pytest
+        pytest.skip("no C compiler on this host")
+
+    mod = "mysql_syncer_clickhouse_spark.sinks.cityhash102"
+    saved = sys.modules.pop(mod)
+    try:
+        # (a) private cache: fresh XDG_CACHE_HOME, compile lands there
+        monkeypatch.setenv("XDG_CACHE_HOME", str(tmp_path / "xdg"))
+        monkeypatch.delenv("MSC_SPARK_PURE_CITYHASH", raising=False)
+        m = importlib.import_module(mod)
+        assert m._native_fn() is not None
+        cache = tmp_path / "xdg" / "msc_spark"
+        sos = list(cache.glob("*.so"))
+        assert len(sos) == 1
+        assert (cache.stat().st_mode & 0o077) == 0       # 0700 dir
+        assert (sos[0].stat().st_mode & 0o022) == 0      # no g/o write
+
+        # (b) a group/other-writable cached .so is refused and
+        # rebuilt/validated fresh rather than CDLL'd
+        sos[0].chmod(0o766)
+        sys.modules.pop(mod)
+        m = importlib.import_module(mod)
+        assert m._owned_and_private(str(sos[0])) is False
+        assert m._native_fn() is not None        # rebuilt, not loaded
+        assert (sos[0].stat().st_mode & 0o022) == 0      # re-tightened
+
+        # (c) fallback warns; explicit opt-out is quiet
+        sys.modules.pop(mod)
+        monkeypatch.setenv("PATH", str(tmp_path / "nobin"))  # no cc
+        monkeypatch.setenv("XDG_CACHE_HOME", str(tmp_path / "xdg2"))
+        m = importlib.import_module(mod)
+        with caplog.at_level(logging.WARNING, logger=mod):
+            assert m._native_fn() is None
+        assert any("pure Python" in r.message for r in caplog.records)
+        caplog.clear()
+        sys.modules.pop(mod)
+        monkeypatch.setenv("MSC_SPARK_PURE_CITYHASH", "1")
+        m = importlib.import_module(mod)
+        with caplog.at_level(logging.WARNING, logger=mod):
+            assert m._native_fn() is None
+        assert not caplog.records
+    finally:
+        sys.modules[mod] = saved
+
+
+def test_stat_payload_carries_checksum_regime():
+    """/stat serves `checksum_compiled` next to the sink counters so
+    operators can see which throughput regime the deployment is in."""
+    import json
+    import urllib.request
+
+    from mysql_syncer_clickhouse_spark.streaming.status import (
+        StatusServer)
+
+    class M:
+        def snapshot(self):
+            return {"insert": 1}
+
+    srv = StatusServer(M(), port=0).start()
+    try:
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{srv.port}/stat", timeout=5) as r:
+            payload = json.loads(r.read())
+        assert payload["checksum_compiled"] in (True, False)
+        assert payload["counts"] == {"insert": 1}
+    finally:
+        srv.stop()
+
+
+def test_encode_block_conv_semantics_guarded():
+    """ADVICE r10 low: the bulk struct.pack fast path is gated to
+    identity-conv encoders. A plain int into a Decimal column must
+    SCALE by 10^S (not pack raw), ints into Date/DateTime must raise
+    (they are not epoch-day/second values), and a ragged row must
+    raise instead of zip-truncating every column."""
+    import pytest
+
+    # Decimal(18,4): int 5 scales to 50000 on the wire
+    enc = N.column_encoder("Decimal(18,4)")
+    assert enc([5]) == struct.pack("<q", 50000)
+    assert enc([Decimal("5")]) == struct.pack("<q", 50000)
+    # Date/DateTime refuse plain ints loudly
+    with pytest.raises(Exception):
+        N.column_encoder("Date")([20240101])
+    with pytest.raises(Exception):
+        N.column_encoder("DateTime")([1700000000])
+    # int/float columns keep the raw fast path
+    assert N.column_encoder("Int64")([1, 2]) == struct.pack("<2q", 1, 2)
+    # ragged rows raise, never truncate
+    with pytest.raises(ValueError):
+        N.encode_block([("a", "Int64"), ("b", "Int64")],
+                       [(1, 2), (3,)])
