@@ -1692,52 +1692,23 @@ def agg_grouping_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                F.min(F.col("l_quantity").cast("double")).alias("x_lo")),
         li)
 
-    # the exact percentiles keep their OWN scan -- and since round 10
-    # that scan is SORT-based, not ObjectHashAggregate: the built-in
-    # `percentile` buffers every value in a per-group object hash
-    # buffer (measured 1.5-2.9 s isolated at sf0.1, the entry's floor
-    # per BENCH_DETAIL per_part_sec); a row_number window over the
-    # same grouping sorts via Tungsten and only the 4 interpolation
-    # ranks per group survive the filter (measured ~1.0 s). The
-    # arithmetic mirrors Spark's Percentile exactly -- pos = p*(n-1),
-    # result = lo + (hi - lo)*frac on doubles -- so values (and the
-    # oracle) are unchanged. At 100 TB the window sort shuffles on
-    # l_returnflag (3 groups): a real deployment range-partitions on
-    # (flag, value) instead; the shape here keeps the fixture's 3-task
-    # sort, which is exactly what the buffer-based percentile does
-    # too, minus its per-value JVM object overhead.
-    wrank = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
-    wgrp = Window.partitionBy("l_returnflag")
-    vd = F.col("l_extendedprice").cast("double")
-    ranked = li.select(
-        "l_returnflag", vd.alias("__v"),
-        (F.row_number().over(wrank) - 1).alias("__rn"),
-        F.count(F.lit(1)).over(wgrp).alias("__n"))
-    pos50 = (F.col("__n") - 1) * F.lit(0.5)
-    pos95 = (F.col("__n") - 1) * F.lit(0.95)
-    l50, h50 = F.floor(pos50), F.ceil(pos50)
-    l95, h95 = F.floor(pos95), F.ceil(pos95)
-    pcts_b = (
-        ranked.filter((F.col("__rn") == l50) | (F.col("__rn") == h50)
-                      | (F.col("__rn") == l95) | (F.col("__rn") == h95))
-        .groupBy("l_returnflag")
-        .agg(F.min(F.when(F.col("__rn") == l50, F.col("__v")))
-             .alias("__lo50"),
-             F.min(F.when(F.col("__rn") == h50, F.col("__v")))
-             .alias("__hi50"),
-             F.min(F.when(F.col("__rn") == l95, F.col("__v")))
-             .alias("__lo95"),
-             F.min(F.when(F.col("__rn") == h95, F.col("__v")))
-             .alias("__hi95"),
-             F.first(pos50 - F.floor(pos50)).alias("__f50"),
-             F.first(pos95 - F.floor(pos95)).alias("__f95"))
-        .select("l_returnflag",
-                F.round(F.col("__lo50") + (F.col("__hi50")
-                        - F.col("__lo50")) * F.col("__f50"), 6)
-                .alias("p50"),
-                F.round(F.col("__lo95") + (F.col("__hi95")
-                        - F.col("__lo95")) * F.col("__f95"), 6)
-                .alias("p95")))
+    # the exact percentiles keep their OWN scan -- sort-based (r10:
+    # the built-in `percentile`'s per-group ObjectHashAggregate
+    # buffer measured 1.5-2.9 s isolated at sf0.1; the rank pick
+    # ~1.0 s), and since round 11 it lives in
+    # operators/percentiles.exact_group_percentiles with BOTH
+    # physical shapes: the 3-task window sort used here (right for a
+    # 3-group fixture) and the range-bucketed form (tasks scale with
+    # groups x buckets -- the 100x deployment shape; VERDICT r10 ask
+    # #6). The two are equality-tested; SPARK_GRAFT_PCTL_RANGE=1
+    # swaps the shape without touching values. Interpolation is
+    # Spark's own Percentile arithmetic, so the oracle is unchanged.
+    from ..operators.percentiles import exact_group_percentiles
+    pcts_b = (exact_group_percentiles(li, "l_returnflag",
+                                      "l_extendedprice", [0.5, 0.95])
+              .select("l_returnflag",
+                      F.round("p50", 6).alias("p50"),
+                      F.round("p95", 6).alias("p95")))
 
     fn_d = F.col("n").cast("double")
     fsx = F.col("sx").cast("double")
