@@ -42,19 +42,27 @@ import pytest
 
 pytestmark = pytest.mark.interop
 
-MYSQL_ADDR = os.environ.get("MYSQL_ADDR")
-CH_ADDR = os.environ.get("CLICKHOUSE_ADDR")
-
+# skip gates evaluate at import; the HELPERS read the env at call
+# time so the interop_selftest twin (tests/test_interop_selftest.py)
+# can point these same bodies at the in-repo fake servers
 needs_mysql = pytest.mark.skipif(
-    not MYSQL_ADDR, reason="MYSQL_ADDR not set (real-server interop)")
+    not os.environ.get("MYSQL_ADDR"),
+    reason="MYSQL_ADDR not set (real-server interop)")
 needs_ch = pytest.mark.skipif(
-    not CH_ADDR, reason="CLICKHOUSE_ADDR not set (real-server interop)")
+    not os.environ.get("CLICKHOUSE_ADDR"),
+    reason="CLICKHOUSE_ADDR not set (real-server interop)")
+
+
+def _ch_hostport() -> tuple[str, int]:
+    host, _, port = os.environ.get(
+        "CLICKHOUSE_ADDR", "").rpartition(":")
+    return host or "127.0.0.1", int(port or 9000)
 
 
 def _mysql_client():
     from mysql_syncer_clickhouse_spark.sources.mysql_repl import (
         ReplicationClient)
-    host, _, port = MYSQL_ADDR.rpartition(":")
+    host, _, port = os.environ.get("MYSQL_ADDR", "").rpartition(":")
     return ReplicationClient(
         host or "127.0.0.1", int(port or 3306),
         user=os.environ.get("MYSQL_USER", "root"),
@@ -67,7 +75,8 @@ def _ch_http(sql: str, data: bytes | None = None) -> bytes:
     the plain HTTP interface."""
     addr = os.environ.get("CLICKHOUSE_HTTP_ADDR")
     if not addr:
-        host = CH_ADDR.rpartition(":")[0] or "127.0.0.1"
+        host = os.environ.get(
+            "CLICKHOUSE_ADDR", "").rpartition(":")[0] or "127.0.0.1"
         addr = f"{host}:8123"
     url = (f"http://{addr}/?" + urllib.parse.urlencode(
         {"query": sql,
@@ -188,7 +197,7 @@ def test_exec_mysqldump_against_real_server(tmp_path_factory):
     position parses when the user has the privilege."""
     from mysql_syncer_clickhouse_spark.sources.mysqldump import (
         exec_mysqldump, extract_create_tables)
-    host, _, port = MYSQL_ADDR.rpartition(":")
+    host, _, port = os.environ.get("MYSQL_ADDR", "").rpartition(":")
     out = str(tmp_path_factory.mktemp("dump") / "snap.sql")
     info = exec_mysqldump(
         os.environ["MYSQLDUMP_PATH"], out,
@@ -224,9 +233,9 @@ CH_ROWS = [
 def _native_sink(compression):
     from mysql_syncer_clickhouse_spark.sinks.clickhouse_native import (
         ClickHouseNativeSink)
-    host, _, port = CH_ADDR.rpartition(":")
+    host, port = _ch_hostport()
     return ClickHouseNativeSink(
-        host=host or "127.0.0.1", port=int(port or 9000),
+        host=host, port=port,
         database="msc_interop",
         table=f"probe_{str(compression).lower()}",
         columns=CH_COLUMNS, pk=("id",), bulk_size=2,
@@ -287,9 +296,9 @@ def test_clickhouse_server_exception_surfaces():
     into ClickHouseServerError, compression on."""
     from mysql_syncer_clickhouse_spark.sinks.clickhouse_native import (
         ClickHouseServerError, NativeConnection)
-    host, _, port = CH_ADDR.rpartition(":")
+    host, port = _ch_hostport()
     conn = NativeConnection(
-        host or "127.0.0.1", int(port or 9000),
+        host, port,
         user=os.environ.get("CLICKHOUSE_USER", "default"),
         password=os.environ.get("CLICKHOUSE_PASSWORD", ""),
         compression=True)
@@ -309,9 +318,9 @@ def test_clickhouse_compressed_select_readback_via_native():
     checksums)."""
     from mysql_syncer_clickhouse_spark.sinks.clickhouse_native import (
         NativeConnection)
-    host, _, port = CH_ADDR.rpartition(":")
+    host, port = _ch_hostport()
     conn = NativeConnection(
-        host or "127.0.0.1", int(port or 9000),
+        host, port,
         user=os.environ.get("CLICKHOUSE_USER", "default"),
         password=os.environ.get("CLICKHOUSE_PASSWORD", ""),
         compression=True)

@@ -204,6 +204,10 @@ class FakeMySQL:
                     self._send_resultset(
                         sock, [b"@@global.binlog_checksum"],
                         [self.binlog_checksum.encode()])
+                elif sql.startswith("SELECT 1, NULL, 'X'"):
+                    # the interop suite's probe row (selftest twin)
+                    self._send_resultset(sock, [b"1", b"NULL", b"x"],
+                                         [b"1", None, b"x"])
                 else:
                     self._send_pkt(sock, 1,
                                    b"\x00\x00\x00\x02\x00\x00\x00")
