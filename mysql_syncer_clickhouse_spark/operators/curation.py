@@ -83,6 +83,17 @@ def benchmark_decontaminate(docs: DataFrame, bench: DataFrame, *,
                     F.coalesce("n_overlap", F.lit(0)).alias("n_overlap")))
 
 
+def _hh(df: DataFrame) -> DataFrame:
+    """shuffle_hash join hint, disabled by SPARK_GRAFT_NO_JOIN_HINTS=1
+    so scale_probe can A/B the hinted plan against Spark's default
+    sort-merge choice on the same code path (r10's minhash verify-join
+    fix was measured exactly this way: 107 s -> 40 s at x100)."""
+    import os
+    if os.environ.get("SPARK_GRAFT_NO_JOIN_HINTS") == "1":
+        return df
+    return df.hint("shuffle_hash")
+
+
 def cross_doc_ngram_dup(docs: DataFrame, *,
                         id_col: str = "doc_id",
                         text_col: str = "text",
@@ -877,8 +888,8 @@ def fuzzy_decontaminate(docs: DataFrame, bench: DataFrame, *,
     # sort in this chain at corpus scale; hashing the tiny id side
     # streams the text rows through unsorted
     t_cand_sets = dedup.fused_doc_profile(
-        t_reps.join(cands.select(F.col("id_a").alias("id")).distinct()
-                    .hint("shuffle_hash"),
+        t_reps.join(_hh(cands.select(F.col("id_a").alias("id"))
+                        .distinct()),
                     "id", "semi"))
     # per-side set tables (NOT a union: train and bench id spaces may
     # overlap numerically -- they are different tables). The bench
@@ -889,12 +900,10 @@ def fuzzy_decontaminate(docs: DataFrame, bench: DataFrame, *,
     # ~300-int hs_a arrays -- hashing the doc-grain set sides streams
     # the fat side through instead (minhash x100 verify 107s -> 40s
     # was this same cut; A/B for this join in SCALE.md)
-    t_sets = t_cand_sets.select(F.col("id").alias("id_a"),
-                                F.col("hs").alias("hs_a")) \
-        .hint("shuffle_hash")
-    b_sets = b_prof.select(F.col("id").alias("id_b"),
-                           F.col("hs").alias("hs_b")) \
-        .hint("shuffle_hash")
+    t_sets = _hh(t_cand_sets.select(F.col("id").alias("id_a"),
+                                    F.col("hs").alias("hs_a")))
+    b_sets = _hh(b_prof.select(F.col("id").alias("id_b"),
+                               F.col("hs").alias("hs_b")))
     n_inter = F.size(F.array_intersect("hs_a", "hs_b"))
     jac = (n_inter.cast("double")
            / (F.size("hs_a") + F.size("hs_b") - n_inter))
@@ -914,12 +923,12 @@ def fuzzy_decontaminate(docs: DataFrame, bench: DataFrame, *,
     # avoids sorting doc-grain relations against the tiny verified
     # pair list (rep_pairs post-filter)
     return (rep_pairs
-            .join(t_members.select(F.col("rep_id").alias("id_a"),
-                                   F.col("id").alias("__m_id"))
-                  .hint("shuffle_hash"), "id_a")
-            .join(b_members.select(F.col("rep_id").alias("id_b"),
-                                   F.col("id").alias("__m_bench"))
-                  .hint("shuffle_hash"), "id_b")
+            .join(_hh(t_members.select(F.col("rep_id").alias("id_a"),
+                                       F.col("id").alias("__m_id"))),
+                  "id_a")
+            .join(_hh(b_members.select(F.col("rep_id").alias("id_b"),
+                                       F.col("id").alias("__m_bench"))),
+                  "id_b")
             .select(F.col("__m_id").alias("id"),
                     F.col("__m_bench").alias("bench_id"),
                     "jaccard", "containment"))

@@ -212,6 +212,99 @@ def minhash_stage_cuts(docs, k: int = 8, threshold: float = 0.5,
     return cuts
 
 
+def xdup_stage_cuts(docs, n: int = 3, min_docs: int = 2) -> dict:
+    """Per-stage attribution for the xdup chain (VERDICT r10 ask #2),
+    same cumulative-cut methodology as minhash_stage_cuts: gram
+    explode+hash+distinct -> gram-frequency count -> collision join
+    -> doc-grain dup count -> full left-joined report. The chain is
+    cross_doc_ngram_dup's exact internals, re-cut; no persists, so a
+    later cut re-runs its upstream and successive differences
+    attribute each stage's marginal work under the operator's real
+    plan (the g subtree feeds BOTH the freq aggregation and the
+    collision join -- whether AQE's ReusedExchange actually shares
+    the distinct shuffle is exactly what the freq->join marginal
+    measures)."""
+    cuts: dict[str, float] = {}
+    docs.limit(64).write.format("noop").mode("overwrite").save()
+
+    def chain(stage: str):
+        g = curation._gram_hashes(docs, "doc_id", "text", n)
+        if stage == "grams":
+            return g
+        freq = g.groupBy("gh").agg(F.count(F.lit(1)).alias("n_docs"))
+        if stage == "freq":
+            return freq
+        dup_rows = g.join(freq.filter(F.col("n_docs") >= min_docs),
+                          "gh")
+        if stage == "collision_join":
+            return dup_rows
+        dup = dup_rows.groupBy("id").agg(
+            F.count(F.lit(1)).alias("n_dup_grams"))
+        if stage == "doc_agg":
+            return dup
+        return (docs.select(F.col("doc_id").alias("id"))
+                .join(dup, "id", "left")
+                .select("id", F.coalesce("n_dup_grams", F.lit(0))
+                        .alias("n_dup_grams")))
+
+    for stage in ("grams", "freq", "collision_join", "doc_agg",
+                  "report"):
+        cuts[f"cut_{stage}"] = timed(lambda stage=stage: chain(stage))
+    for a, b in (("freq", "grams"), ("collision_join", "freq"),
+                 ("doc_agg", "collision_join"), ("report", "doc_agg")):
+        cuts[f"marginal_{a}_vs_{b}"] = round(
+            cuts[f"cut_{a}"] - cuts[f"cut_{b}"], 3)
+    return cuts
+
+
+def fuzzy_ab(docs, bench) -> dict:
+    """A/B the fuzzy_decontaminate verify-join hints (VERDICT r10 ask
+    #4): same code path, SPARK_GRAFT_NO_JOIN_HINTS toggles the
+    shuffle_hash hints off so Spark falls back to its default
+    sort-merge choice."""
+    out: dict[str, float] = {}
+    # full untimed warm run first: codegen/broadcast warmup would
+    # otherwise land entirely on whichever arm runs first
+    curation.fuzzy_decontaminate(docs, bench, threshold=0.5) \
+        .write.format("noop").mode("overwrite").save()
+    for label, env in (("hinted", None), ("sort_merge", "1")):
+        if env is None:
+            os.environ.pop("SPARK_GRAFT_NO_JOIN_HINTS", None)
+        else:
+            os.environ["SPARK_GRAFT_NO_JOIN_HINTS"] = env
+        out[label] = timed(lambda: curation.fuzzy_decontaminate(
+            docs, bench, threshold=0.5))
+    os.environ.pop("SPARK_GRAFT_NO_JOIN_HINTS", None)
+    return out
+
+
+def pctl_ab(li) -> dict:
+    """A/B the two exact-percentile shapes (VERDICT r10 ask #6 tail):
+    per-group window sort vs range-bucketed (group, bucket) sort, same
+    values by construction (equality-tested in tests/pytest and here),
+    on the replicated lineitem."""
+    from mysql_syncer_clickhouse_spark.operators.percentiles import (
+        exact_group_percentiles)
+    out: dict = {}
+    exact_group_percentiles(li, "l_returnflag", "l_extendedprice",
+                            [0.5], mode="window") \
+        .write.format("noop").mode("overwrite").save()
+    for mode in ("window", "range"):
+        out[mode] = timed(lambda mode=mode: exact_group_percentiles(
+            li, "l_returnflag", "l_extendedprice", [0.5, 0.95],
+            mode=mode))
+    a = {r["l_returnflag"]: (r["p50"], r["p95"])
+         for r in exact_group_percentiles(
+             li, "l_returnflag", "l_extendedprice", [0.5, 0.95],
+             mode="window").collect()}
+    b = {r["l_returnflag"]: (r["p50"], r["p95"])
+         for r in exact_group_percentiles(
+             li, "l_returnflag", "l_extendedprice", [0.5, 0.95],
+             mode="range").collect()}
+    out["values_equal"] = a == b
+    return out
+
+
 def q1_over(li):
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
@@ -293,7 +386,8 @@ def main() -> None:
     else:
         run_tpch = True
 
-    if os.environ.get("SPARK_GRAFT_SCALE_STAGES") == "1":
+    stages_mode = os.environ.get("SPARK_GRAFT_SCALE_STAGES")
+    if stages_mode == "1":
         # stage-attribution mode (r9 ask #4): minhash chain cuts at
         # base + each requested decade; one JSON line, then exit
         stages = {"base_sf0.1": minhash_stage_cuts(docs1)}
@@ -305,6 +399,46 @@ def main() -> None:
                           "driver_memory": os.environ.get(
                               "SPARK_DRIVER_MEMORY", "8g"),
                           "stages": stages}))
+        spark.stop()
+        return
+    if stages_mode == "xdup":
+        # r10 ask #2: the xdup chain's cuts under the HEAPS-pool
+        # fixture (its cost driver is distinct-gram vocabulary)
+        stages = {"base_sf0.1": xdup_stage_cuts(docs1)}
+        for n in DECADES:
+            stages[f"x{n}"] = xdup_stage_cuts(
+                replicate_docs_heaps(docs1, n))
+        print(json.dumps({"metric": "xdup_stage_cuts",
+                          "sf_dir": SF_DIR, "decades": DECADES,
+                          "fixture": "heaps_pool",
+                          "driver_memory": os.environ.get(
+                              "SPARK_DRIVER_MEMORY", "8g"),
+                          "stages": stages}))
+        spark.stop()
+        return
+    if stages_mode == "fuzzy":
+        # r10 ask #4 tail: hinted vs sort-merge verify join, x10
+        bench = docs1.filter(F.col("doc_id") % 97 == 0)
+        res = {"base_sf0.1": fuzzy_ab(docs1, bench)}
+        for n in DECADES:
+            res[f"x{n}"] = fuzzy_ab(replicate_docs(docs1, n), bench)
+        print(json.dumps({"metric": "fuzzy_decontaminate_hint_ab",
+                          "sf_dir": SF_DIR, "decades": DECADES,
+                          "driver_memory": os.environ.get(
+                              "SPARK_DRIVER_MEMORY", "8g"),
+                          "cases": res}))
+        spark.stop()
+        return
+    if stages_mode == "pctl":
+        # r10 asks #5/#6: isolated percentile-shape A/B per decade
+        res = {"base_sf0.1": pctl_ab(li1)}
+        for n in DECADES:
+            res[f"x{n}"] = pctl_ab(replicate_lineitem(li1, n))
+        print(json.dumps({"metric": "pctl_shape_ab",
+                          "sf_dir": SF_DIR, "decades": DECADES,
+                          "driver_memory": os.environ.get(
+                              "SPARK_DRIVER_MEMORY", "8g"),
+                          "cases": res}))
         spark.stop()
         return
 
