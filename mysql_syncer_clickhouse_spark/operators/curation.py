@@ -118,8 +118,21 @@ def cross_doc_ngram_dup(docs: DataFrame, *,
     one-pass-tokenize contract -- see benchmark_decontaminate)."""
     g = grams if grams is not None \
         else _gram_hashes(docs, id_col, text_col, n)
-    freq = g.groupBy("gh").agg(F.count(F.lit(1)).alias("n_docs"))
-    dup = (g.join(freq.filter(F.col("n_docs") >= min_docs), "gh")
+    # Round 11, found by the §6c stage cuts then A/B-measured: the
+    # original freq-aggregate + collision-join shape EXECUTED the
+    # corpus-grain g subtree twice (Spark does not reuse the distinct
+    # exchange across the aggregate and join branches; +15-20 s of
+    # the x100 chain, insensitive to join hints and to a
+    # subtraction rewrite that still read g twice). A count window
+    # over gh attaches each gram's doc-frequency in ONE scan of g:
+    # one gh exchange, then the doc-grain count combines map-side.
+    # x100 A/B: window 19.7 s vs two-scan 29.7 s warm (pinning g via
+    # localCheckpoint ties the window, 18.8 s, but costs executor
+    # storage for a corpus-grain relation -- the window shape needs
+    # none and handles any min_docs).
+    w = Window.partitionBy("gh")
+    dup = (g.withColumn("n_docs", F.count(F.lit(1)).over(w))
+            .filter(F.col("n_docs") >= min_docs)
             .groupBy("id")
             .agg(F.count(F.lit(1)).alias("n_dup_grams")))
     return (docs.select(F.col(id_col).alias("id"))

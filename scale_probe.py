@@ -228,32 +228,47 @@ def xdup_stage_cuts(docs, n: int = 3, min_docs: int = 2) -> dict:
     docs.limit(64).write.format("noop").mode("overwrite").save()
 
     def chain(stage: str):
+        # the operator's round-11 shape: one scan of g, gram
+        # doc-frequency via a count window over gh, doc-grain count.
+        # The pre-r11 freq-agg + collision-join shape (which executes
+        # the g subtree twice -- no cross-branch exchange reuse) is
+        # timed as its own cut for the A/B record.
+        from pyspark.sql import Window
         g = curation._gram_hashes(docs, "doc_id", "text", n)
         if stage == "grams":
             return g
-        freq = g.groupBy("gh").agg(F.count(F.lit(1)).alias("n_docs"))
-        if stage == "freq":
-            return freq
-        dup_rows = g.join(freq.filter(F.col("n_docs") >= min_docs),
-                          "gh")
-        if stage == "collision_join":
-            return dup_rows
-        dup = dup_rows.groupBy("id").agg(
-            F.count(F.lit(1)).alias("n_dup_grams"))
+        flagged = g.withColumn(
+            "n_docs", F.count(F.lit(1)).over(Window.partitionBy("gh")))
+        if stage == "window_freq":
+            return flagged
+        dup = (flagged.filter(F.col("n_docs") >= min_docs)
+               .groupBy("id")
+               .agg(F.count(F.lit(1)).alias("n_dup_grams")))
         if stage == "doc_agg":
             return dup
-        return (docs.select(F.col("doc_id").alias("id"))
-                .join(dup, "id", "left")
-                .select("id", F.coalesce("n_dup_grams", F.lit(0))
-                        .alias("n_dup_grams")))
+        if stage == "join_chain":       # the pre-r11 shape, kept A/B
+            freq = g.groupBy("gh").agg(
+                F.count(F.lit(1)).alias("n_docs"))
+            dup2 = (g.join(freq.filter(F.col("n_docs") >= min_docs),
+                           "gh")
+                    .groupBy("id")
+                    .agg(F.count(F.lit(1)).alias("n_dup_grams")))
+            return (docs.select(F.col("doc_id").alias("id"))
+                    .join(dup2, "id", "left")
+                    .select("id", F.coalesce("n_dup_grams", F.lit(0))
+                            .alias("n_dup_grams")))
+        return curation.cross_doc_ngram_dup(docs, n=n,
+                                            min_docs=min_docs)
 
-    for stage in ("grams", "freq", "collision_join", "doc_agg",
-                  "report"):
+    for stage in ("grams", "window_freq", "doc_agg", "report",
+                  "join_chain"):
         cuts[f"cut_{stage}"] = timed(lambda stage=stage: chain(stage))
-    for a, b in (("freq", "grams"), ("collision_join", "freq"),
-                 ("doc_agg", "collision_join"), ("report", "doc_agg")):
+    for a, b in (("window_freq", "grams"), ("doc_agg", "window_freq"),
+                 ("report", "doc_agg")):
         cuts[f"marginal_{a}_vs_{b}"] = round(
             cuts[f"cut_{a}"] - cuts[f"cut_{b}"], 3)
+    cuts["report_vs_join_chain"] = round(
+        cuts["cut_report"] - cuts["cut_join_chain"], 3)
     return cuts
 
 

@@ -447,6 +447,29 @@ def test_cross_doc_ngram_dup_planted_spans(spark):
     assert set(out) == {1, 2, 3, 4}  # every doc reported
 
 
+def test_cross_doc_ngram_dup_min_docs_threshold(spark):
+    """min_docs > 2 takes the general join path (the subtraction
+    identity only holds at 2): a gram in exactly 2 docs is dup at
+    min_docs=2 but NOT at min_docs=3; both shapes agree where both
+    apply."""
+    rows = [
+        (1, "the quick brown fox"),       # span in docs 1,2 (2 docs)
+        (2, "the quick brown fox"),
+        (3, "common span here yes"),      # span in docs 3,4,5 (3 docs)
+        (4, "common span here yes"),
+        (5, "common span here yes"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    # n=4 -> one gram per doc
+    at2 = {r["id"]: r["n_dup_grams"] for r in
+           curation.cross_doc_ngram_dup(docs, n=4).collect()}
+    at3 = {r["id"]: r["n_dup_grams"] for r in
+           curation.cross_doc_ngram_dup(docs, n=4,
+                                        min_docs=3).collect()}
+    assert at2 == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1}
+    assert at3 == {1: 0, 2: 0, 3: 1, 4: 1, 5: 1}
+
+
 def test_cross_doc_ngram_dup_counts_repeated_gram_once(spark):
     """A doc repeating the shared span internally still counts each
     DISTINCT shared gram once (set semantics, like decontaminate)."""
