@@ -232,7 +232,8 @@ def run_binlog(cfg: EngineConfig, binlog_dir: str, *,
 
 
 def run_dump(cfg: EngineConfig, dump_path: str, *,
-             compact: bool = False, spark=None) -> list[dict]:
+             compact: bool = False, multiline: bool = False,
+             spark=None) -> list[dict]:
     """--dump-sql mode: bootstrap every rule's sink from an EXISTING
     mysqldump .sql file -- the reference's own bootstrap transport
     (river shells out to mysqldump before tailing,
@@ -252,7 +253,10 @@ def run_dump(cfg: EngineConfig, dump_path: str, *,
     auto-position mode when the dump carried a set (survives server
     failover), by (file, pos) otherwise. A DumpFormatError (table
     present but not parseable one-statement-per-line) PROPAGATES --
-    only tables genuinely absent from the dump are skipped."""
+    only tables genuinely absent from the dump are skipped.
+    `multiline` (--dump-multiline) switches to the file-parallel
+    statement-reassembly reader for hand-wrapped / non-mysqldump
+    dumps (read_mysqldump's multiline contract)."""
     import glob as _glob
 
     from pyspark.sql import functions as F
@@ -280,7 +284,8 @@ def run_dump(cfg: EngineConfig, dump_path: str, *,
         if not rule.pk and cfg.skip_no_pk_table:
             continue
         try:
-            df = read_mysqldump(spark, dump_path, rule.source_table)
+            df = read_mysqldump(spark, dump_path, rule.source_table,
+                                multiline=multiline)
         except TableNotInDumpError:
             continue               # table absent from this dump
         cl = df.select(F.lit(-1).cast("long").alias("seq"),
@@ -458,6 +463,10 @@ def main(argv: list[str] | None = None) -> int:
                          ".sql file(s) (snapshot rows at seq=-1); "
                          "composes with --tail/--binlog-dir, which "
                          "then upsert on top")
+    ap.add_argument("--dump-multiline", action="store_true",
+                    help="with --dump-sql: reassemble statements "
+                         "spanning lines (file-parallel reader) for "
+                         "hand-wrapped / non-mysqldump dumps")
     ap.add_argument("--dump-exec", metavar="PATH", nargs="?",
                     const="@config",
                     help="EXECUTE mysqldump (PATH, or the config's "
@@ -515,7 +524,10 @@ def main(argv: list[str] | None = None) -> int:
     if args.dump_sql:
         # snapshot bootstrap FIRST; a drain mode then upserts on top
         # (the reference's snapshot-then-replicate order)
-        lines += run_dump(cfg, args.dump_sql, compact=args.compact)
+        lines += run_dump(cfg, args.dump_sql, compact=args.compact,
+                          multiline=args.dump_multiline)
+        if lines and lines[0].get("binlog_file"):
+            dump_pos = (lines[0]["binlog_file"], lines[0]["binlog_pos"])
     elif args.dump_exec:
         lines += run_dump_exec(
             cfg, None if args.dump_exec == "@config" else args.dump_exec,
@@ -527,8 +539,9 @@ def main(argv: list[str] | None = None) -> int:
             None if args.tail == "@current" else args.tail, 4)
         if args.tail == "@dump":
             if dump_pos is None:
-                ap.error("--tail @dump requires --dump-exec with a "
-                         "captured binlog position (master-data)")
+                ap.error("--tail @dump requires --dump-exec or "
+                         "--dump-sql with a captured binlog position "
+                         "(master-data / source-data header)")
             start_file, start_pos = dump_pos
         lines += run_tail(cfg, start_file, start_pos=start_pos,
                           relay_dir=args.relay_dir,

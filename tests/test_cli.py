@@ -467,3 +467,42 @@ def test_cli_dump_seeds_master_info_and_skips_only_absent(spark,
     cfg3.data_dir = str(tmp_path / "log3")
     out = run_dump(cfg3, str(absent), spark=spark)
     assert len(out) == 1                     # header line only
+
+
+def test_cli_dump_multiline_flag_and_tail_at_dump_from_sql(spark,
+                                                           tmp_path,
+                                                           capsys):
+    """--dump-multiline routes the file-parallel reassembly reader
+    through the CLI, and --dump-sql now feeds --tail @dump: the
+    header's captured position reaches the tail hand-off the same way
+    --dump-exec's does."""
+    import json as _json
+
+    from mysql_syncer_clickhouse_spark.__main__ import main, run_dump
+
+    dump = tmp_path / "wrapped.sql"
+    dump.write_text(
+        "-- CHANGE REPLICATION SOURCE TO SOURCE_LOG_FILE="
+        "'w-bin.000003', SOURCE_LOG_POS=99;\n"
+        "CREATE TABLE `items` (\n"
+        "  `id` bigint NOT NULL,\n"
+        "  `title` varchar(80) DEFAULT NULL,\n"
+        "  PRIMARY KEY (`id`)\n"
+        ") ENGINE=InnoDB;\n"
+        "INSERT\nINTO `items`\nVALUES\n(1,'one'),\n(2,'two');\n")
+    cfg = EngineConfig.from_toml(TOML)
+    cfg.data_dir = str(tmp_path / "log")
+    out = run_dump(cfg, str(dump), multiline=True, spark=spark)
+    assert out[1]["rows"] == 2
+    assert (out[0]["binlog_file"], out[0]["binlog_pos"]) == \
+        ("w-bin.000003", 99)
+
+    # argparse wiring: the flag exists and @dump guidance names both
+    # modes (no server here, so only the error path is driven)
+    toml2 = tmp_path / "r.toml"
+    toml2.write_text(open(TOML).read())
+    import pytest
+    with pytest.raises(SystemExit):
+        main(["--config", str(toml2), "--tail", "@dump"])
+    err = capsys.readouterr().err
+    assert "--dump-exec or --dump-sql" in err
