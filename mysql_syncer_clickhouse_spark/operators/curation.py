@@ -727,9 +727,16 @@ def remove_duplicate_spans(docs: DataFrame, *,
                       TX.portable_hash32("block").alias("h"),
                       (F.col("id") * _SPAN_PK_LIM + F.col("b"))
                       .alias("pk")))
-    stats = blocks.groupBy("h").agg(F.count(F.lit(1)).alias("cnt"),
-                                    F.min("pk").alias("winner"))
-    marked = (blocks.join(stats, "h")
+    # round 11 (the xdup §6c find applied here): aggregating blocks by
+    # h and joining back EXECUTES the explode subtree twice -- Spark
+    # does not reuse the exchange across the aggregate and join
+    # branches -- and this relation carries the full block TEXT. The
+    # count/min windows over h attach (cnt, winner) in ONE scan with
+    # the same single h exchange the join needed anyway.
+    wh = Window.partitionBy("h")
+    marked = (blocks
+              .withColumn("cnt", F.count(F.lit(1)).over(wh))
+              .withColumn("winner", F.min("pk").over(wh))
               .withColumn("keep", (F.col("cnt") == 1)
                           | (F.col("pk") == F.col("winner"))))
     return (marked.groupBy("id")
@@ -775,9 +782,12 @@ def exact_substring_dup_extents(docs: DataFrame, *,
                              " ", F.slice(ws, p + 1, L))))
                       .alias("pos", "gram"))
              .select("id", "pos", TX.portable_hash32("gram").alias("h")))
-    dup = grams.groupBy("h").agg(F.count(F.lit(1)).alias("cnt")) \
-               .filter(F.col("cnt") >= 2).select("h")
-    marks = (grams.join(dup, "h")
+    # round 11 (§6c find): count window over h instead of
+    # aggregate-then-self-join -- one scan of the stride-1 explode
+    # (the heaviest relation here), same single h exchange
+    marks = (grams.withColumn(
+                 "cnt", F.count(F.lit(1)).over(Window.partitionBy("h")))
+             .filter(F.col("cnt") >= 2)
              .select("id", "pos", (F.col("pos") + L).alias("end")))
     w = Window.partitionBy("id").orderBy("pos")
     run_end = F.max("end").over(
