@@ -404,29 +404,47 @@ def exec_mysqldump(exec_path: str, out_path: str, *,
     import os
     import subprocess
 
-    argv = [exec_path, f"--host={host}", f"--port={port}",
-            f"--user={user}", "--single-transaction", "--quick",
-            "--extended-insert", "--hex-blob"]
-    if master_data:
-        argv.append("--master-data=2")
-    if charset:
-        argv.append(f"--default-character-set={charset}")
-    argv.extend(extra_args)
-    schema_tables = schema_tables or {}
-    if len(schema_tables) == 1:
-        (db, tables), = schema_tables.items()
-        argv.append(db)
-        argv.extend(tables)          # one schema: shrink to the tables
-    else:
-        argv.append("--databases")
-        argv.extend(sorted(schema_tables))
+    def build_argv(position_flag: str | None) -> list[str]:
+        argv = [exec_path, f"--host={host}", f"--port={port}",
+                f"--user={user}", "--single-transaction", "--quick",
+                "--extended-insert", "--hex-blob"]
+        if position_flag:
+            argv.append(position_flag)
+        if charset:
+            argv.append(f"--default-character-set={charset}")
+        argv.extend(extra_args)
+        st = schema_tables or {}
+        if len(st) == 1:
+            (db, tables), = st.items()
+            argv.append(db)
+            argv.extend(tables)      # one schema: shrink to the tables
+        else:
+            argv.append("--databases")
+            argv.extend(sorted(st))
+        return argv
+
     env = dict(os.environ)
     if password:
         env["MYSQL_PWD"] = password
     os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
-    with open(out_path, "wb") as out:
-        proc = subprocess.run(argv, stdout=out,
-                              stderr=subprocess.PIPE, env=env)
+
+    def run(argv: list[str]):
+        with open(out_path, "wb") as out:
+            return subprocess.run(argv, stdout=out,
+                                  stderr=subprocess.PIPE, env=env)
+
+    argv = build_argv("--master-data=2" if master_data else None)
+    proc = run(argv)
+    if proc.returncode != 0 and master_data:
+        # mysqldump 8.0.26 renamed the flag to --source-data and 8.4
+        # REMOVED --master-data (same server family that dropped SHOW
+        # MASTER STATUS -- sources/mysql_repl.master_status carries
+        # the query-side fallback). Retry with the new spelling only
+        # when the failure names the flag; any other error stays loud.
+        err = proc.stderr.decode("utf-8", "replace")
+        if "master-data" in err.lower():
+            argv = build_argv("--source-data=2")
+            proc = run(argv)
     if proc.returncode != 0:
         tail = proc.stderr.decode("utf-8", "replace")[-500:]
         raise RuntimeError(f"mysqldump exited {proc.returncode}: {tail}")

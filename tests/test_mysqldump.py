@@ -277,3 +277,51 @@ def test_scan_dump_header_variants(tmp_path):
         "-- SET GLOBAL gtid_slave_pos='0-1-42';\n")
     h = D.scan_dump_header(str(maria))
     assert h["mariadb_gtid"] == "0-1-42"
+
+
+def test_exec_mysqldump_retries_source_data_on_84(tmp_path):
+    """mysqldump 8.4 removed --master-data (renamed --source-data in
+    8.0.26): a failure naming the flag retries once with the new
+    spelling; unrelated failures stay loud with no retry."""
+    import json
+    import stat
+    import sys
+
+    golden = ("-- CHANGE REPLICATION SOURCE TO SOURCE_LOG_FILE="
+              "'m-bin.01', SOURCE_LOG_POS=7;\n")
+    log = tmp_path / "calls.jsonl"
+    stub = tmp_path / "mysqldump"
+    stub.write_text(
+        f"#!{sys.executable}\n"
+        "import sys\n"
+        f"open({str(log)!r}, 'a').write("
+        "__import__('json').dumps(sys.argv[1:]) + '\\n')\n"
+        "if any(a.startswith('--master-data') for a in sys.argv):\n"
+        "    sys.stderr.write("
+        "\"unknown option '--master-data'\\n\")\n"
+        "    sys.exit(2)\n"
+        f"sys.stdout.write({golden!r})\n")
+    stub.chmod(stub.stat().st_mode | stat.S_IEXEC)
+    info = D.exec_mysqldump(str(stub), str(tmp_path / "out.sql"),
+                            schema_tables={"app": ["items"]})
+    calls = [json.loads(line) for line in log.read_text().splitlines()]
+    assert len(calls) == 2
+    assert any(a == "--master-data=2" for a in calls[0])
+    assert any(a == "--source-data=2" for a in calls[1])
+    assert (info["binlog_file"], info["binlog_pos"]) == ("m-bin.01", 7)
+
+    # unrelated failure: one attempt, loud
+    log2 = tmp_path / "calls2.jsonl"
+    stub2 = tmp_path / "mysqldump2"
+    stub2.write_text(
+        f"#!{sys.executable}\n"
+        "import sys\n"
+        f"open({str(log2)!r}, 'a').write('x\\n')\n"
+        "sys.stderr.write('Access denied for user')\n"
+        "sys.exit(2)\n")
+    stub2.chmod(stub2.stat().st_mode | stat.S_IEXEC)
+    import pytest
+    with pytest.raises(RuntimeError, match="Access denied"):
+        D.exec_mysqldump(str(stub2), str(tmp_path / "out2.sql"),
+                         schema_tables={"app": ["items"]})
+    assert len(log2.read_text().splitlines()) == 1
