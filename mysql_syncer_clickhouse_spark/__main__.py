@@ -95,11 +95,16 @@ def _attach_ch_sink(cfg: EngineConfig, pipe: StreamingSyncPipeline,
     else:
         from .sinks.clickhouse_native import ClickHouseNativeSink
         host, _, port = addr.rpartition(":")
+        ctx = None
+        if cfg.sink_secure or cfg.sink_ca:
+            import ssl
+            ctx = ssl.create_default_context(cafile=cfg.sink_ca)
         sink = ClickHouseNativeSink(
             host=host or "127.0.0.1", port=int(port or 9000),
             database=db, table=table, columns=cols, pk=pk,
             user=cfg.sink_user or "default",
-            password=cfg.sink_pass or "")
+            password=cfg.sink_pass or "",
+            ssl_context=ctx)
     sink.ensure_table()
     pipe.ch_sink = sink
     return f"clickhouse://{addr}/{db}.{table}"

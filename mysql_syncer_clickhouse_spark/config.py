@@ -59,6 +59,12 @@ class EngineConfig:
     sink_addr: str | None = None
     sink_user: str | None = None
     sink_pass: str | None = None
+    # TLS for the native sink (ClickHouse's secure port, 9440):
+    # sink_secure=true uses the system trust store;
+    # sink_ca=<pem path> pins a CA bundle (implies secure). HTTP(S)
+    # sinks take the scheme from sink_addr instead.
+    sink_secure: bool = False
+    sink_ca: str | None = None
     # reference river/config.go:34 -- the pseudo-replica's identity on
     # the master (must be unique among its replicas)
     server_id: int = 1001
@@ -96,6 +102,8 @@ class EngineConfig:
             sink_addr=cfg.get("sink_addr"),
             sink_user=cfg.get("sink_user"),
             sink_pass=cfg.get("sink_pass"),
+            sink_secure=bool(cfg.get("sink_secure", False)),
+            sink_ca=cfg.get("sink_ca") or None,
             server_id=int(cfg.get("server_id", 1001)),
             flavor=str(cfg.get("flavor", "mysql")),
             stat_addr=cfg.get("stat_addr"),

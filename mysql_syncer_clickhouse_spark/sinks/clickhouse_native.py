@@ -373,11 +373,22 @@ class NativeConnection:
     def __init__(self, host: str, port: int = 9000, *,
                  database: str = "default", user: str = "default",
                  password: str = "", timeout: float = 60.0,
-                 compression: "bool | str" = False):
+                 compression: "bool | str" = False,
+                 ssl_context=None):
         """`compression`: False off, True or 'lz4' for LZ4 (the
-        production default), 'zstd' for ZSTD frames."""
+        production default), 'zstd' for ZSTD frames.
+
+        `ssl_context` (an ssl.SSLContext) makes this a SECURE-port
+        connection (ClickHouse's 9440): unlike MySQL's mid-handshake
+        STARTTLS upgrade, the native secure port speaks TLS from byte
+        zero, so the socket is wrapped before the hello. The caller
+        owns the trust decision (CA bundle, hostname checking) --
+        ssl.create_default_context() is the sane default."""
         self.sock = socket.create_connection((host, port),
                                              timeout=timeout)
+        if ssl_context is not None:
+            self.sock = ssl_context.wrap_socket(
+                self.sock, server_hostname=host)
         self.r = _Reader(self.sock)
         self.server_revision = 0
         self._hello(database, user, password)
@@ -575,13 +586,17 @@ class ClickHouseNativeSink:
     # default; 'zstd' also supported); negotiated off automatically
     # against pre-54058 servers
     compression: "bool | str" = True
+    # TLS for the secure native port (9440): an ssl.SSLContext, or
+    # None for plaintext. See NativeConnection.
+    ssl_context: "object | None" = field(default=None, repr=False)
     _known_cols: set[str] | None = field(default=None, repr=False)
 
     def _connect(self) -> NativeConnection:
         return NativeConnection(self.host, self.port,
                                 database=self.database, user=self.user,
                                 password=self.password,
-                                compression=self.compression)
+                                compression=self.compression,
+                                ssl_context=self.ssl_context)
 
     def execute(self, sql: str) -> None:
         conn = self._connect()

@@ -838,3 +838,49 @@ def test_encode_block_conv_semantics_guarded():
     with pytest.raises(ValueError):
         N.encode_block([("a", "Int64"), ("b", "Int64")],
                        [(1, 2), (3,)])
+
+
+def test_native_connection_tls_end_to_end(tmp_path):
+    """The secure native port (9440 analog): TLS from byte zero --
+    the socket wraps BEFORE the hello (no STARTTLS; ClickHouse's
+    secure port differs from MySQL's mid-handshake upgrade). The
+    client VERIFIES the server cert (self-signed CA pinned), then a
+    compressed INSERT runs through the tunnel and the recording fake
+    decodes the same typed rows."""
+    import ssl
+
+    from tests.test_mysql_repl import _self_signed_cert
+
+    certfile, keyfile = _self_signed_cert(tmp_path)
+    sctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+    sctx.load_cert_chain(certfile, keyfile)
+
+    srv = _FakeNativeClickHouse()
+    # wrap the fake's listener: every accepted connection is TLS
+    srv._srv.socket = sctx.wrap_socket(srv._srv.socket,
+                                       server_side=True)
+    srv.start()
+    try:
+        ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_CLIENT)
+        ctx.check_hostname = False          # IP SAN covers identity
+        ctx.verify_mode = ssl.CERT_REQUIRED
+        ctx.load_verify_locations(certfile)
+        conn = N.NativeConnection(srv.host, srv.port,
+                                  compression=True, ssl_context=ctx)
+        try:
+            sent = conn.insert_blocks(
+                "INSERT INTO db.t VALUES",
+                [("id", "Int64"), ("s", "String")],
+                [[(1, "tls"), (2, "wire")]])
+            assert sent == 2
+        finally:
+            conn.close()
+        assert srv.inserts[0][1] == [(1, "tls"), (2, "wire")]
+        # an unpinned client refuses the self-signed server outright
+        bad = ssl.create_default_context()
+        bad.check_hostname = False
+        import pytest
+        with pytest.raises(ssl.SSLError):
+            N.NativeConnection(srv.host, srv.port, ssl_context=bad)
+    finally:
+        srv.stop()
