@@ -1004,3 +1004,23 @@ def test_fuzzy_decontaminate_verify_join_is_hash_not_sortmerge(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan
     assert "ShuffledHashJoin" in plan
+
+
+def test_one_scan_plans_have_single_explode(spark):
+    """Round-11 regression pin for the §6c find: the three operators
+    rewritten from aggregate-then-self-join to a count window must
+    keep exactly ONE Generate (explode) of their token/gram/block
+    relation in the physical plan -- a second Generate means Spark is
+    re-executing the corpus-grain subtree again (+15-20 s at x100)."""
+    docs = _docs_df(spark, [(i, "s", f"w{i} common words here now "
+                                     * 4) for i in range(6)])
+
+    def n_generates(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return sum("Generate " in line for line in plan.splitlines())
+
+    assert n_generates(curation.cross_doc_ngram_dup(docs, n=3)) == 1
+    assert n_generates(curation.exact_substring_dup_extents(
+        docs, min_tokens=4)) == 1
+    assert n_generates(curation.remove_duplicate_spans(
+        docs, span_words=4)) == 1
