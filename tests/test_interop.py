@@ -329,3 +329,44 @@ def test_clickhouse_compressed_select_readback_via_native():
         conn.execute("DROP DATABASE IF EXISTS msc_interop_tmp")
     finally:
         conn.close()
+
+
+@pytest.mark.skipif(not os.environ.get("CLICKHOUSE_SECURE_ADDR"),
+                    reason="CLICKHOUSE_SECURE_ADDR not set "
+                           "(secure native port interop)")
+def test_clickhouse_native_tls_insert():
+    """The SECURE native port (9440): TLS from byte zero, then the
+    full compressed INSERT path through the tunnel -- the server
+    accepting our frames proves checksum/compression survive the TLS
+    transport unchanged. CLICKHOUSE_CA pins a CA bundle;
+    CLICKHOUSE_TLS_INSECURE=1 skips verification (test servers)."""
+    import ssl
+
+    from mysql_syncer_clickhouse_spark.sinks.clickhouse_native import (
+        NativeConnection)
+    addr = os.environ["CLICKHOUSE_SECURE_ADDR"]
+    host, _, port = addr.rpartition(":")
+    ctx = ssl.create_default_context(
+        cafile=os.environ.get("CLICKHOUSE_CA") or None)
+    if os.environ.get("CLICKHOUSE_TLS_INSECURE") == "1":
+        ctx.check_hostname = False
+        ctx.verify_mode = ssl.CERT_NONE
+    conn = NativeConnection(
+        host or "127.0.0.1", int(port or 9440),
+        user=os.environ.get("CLICKHOUSE_USER", "default"),
+        password=os.environ.get("CLICKHOUSE_PASSWORD", ""),
+        compression=True, ssl_context=ctx)
+    try:
+        conn.execute("CREATE DATABASE IF NOT EXISTS msc_interop")
+        conn.execute("DROP TABLE IF EXISTS msc_interop.tls_probe")
+        conn.execute("CREATE TABLE msc_interop.tls_probe "
+                     "(id Int64, s String) ENGINE = MergeTree "
+                     "ORDER BY id")
+        sent = conn.insert_blocks(
+            "INSERT INTO msc_interop.tls_probe VALUES",
+            [("id", "Int64"), ("s", "String")],
+            [[(1, "tls"), (2, "wire")]])
+        assert sent == 2
+        conn.execute("DROP TABLE msc_interop.tls_probe")
+    finally:
+        conn.close()

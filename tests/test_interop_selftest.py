@@ -193,3 +193,26 @@ def test_selftest_ch_exception_surfaces(ch_fake_env):
 def test_selftest_ch_compressed_execute(ch_fake_env):
     IT.test_clickhouse_compressed_select_readback_via_native()
     assert any("CREATE DATABASE" in q for q in ch_fake_env.queries)
+
+
+def test_selftest_ch_native_tls(monkeypatch, tmp_path):
+    import ssl
+
+    from tests.test_mysql_repl import _self_signed_cert
+
+    certfile, keyfile = _self_signed_cert(tmp_path)
+    sctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+    sctx.load_cert_chain(certfile, keyfile)
+    native = _FakeNativeClickHouse()
+    native._srv.socket = sctx.wrap_socket(native._srv.socket,
+                                          server_side=True)
+    native.start()
+    try:
+        monkeypatch.setenv("CLICKHOUSE_SECURE_ADDR",
+                           f"{native.host}:{native.port}")
+        monkeypatch.setenv("CLICKHOUSE_CA", str(certfile))
+        monkeypatch.setenv("CLICKHOUSE_TLS_INSECURE", "1")
+        IT.test_clickhouse_native_tls_insert()
+        assert any("tls_probe" in sql for sql, _ in native.inserts)
+    finally:
+        native.stop()
