@@ -490,6 +490,12 @@ def main(argv: list[str] | None = None) -> int:
                     help="output dir for curated training shards")
     ap.add_argument("--min-quality", type=float, default=0.5)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--selfcheck", metavar="NAMES", nargs="?",
+                    const="@all",
+                    help="validate the install: run registry queries "
+                         "against their DuckDB oracle twins on the "
+                         "--sf-dir fixture and compare rows/schema/"
+                         "values (NAMES: comma list; default all)")
     ap.add_argument("--query", metavar="NAME",
                     help="run one registry query ('list' to enumerate)")
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01",
@@ -500,6 +506,13 @@ def main(argv: list[str] | None = None) -> int:
                     help="print the formatted physical plan instead "
                          "of rows (with --query)")
     args = ap.parse_args(argv)
+    if args.selfcheck:
+        from .selfcheck import run_selfcheck
+        names = (None if args.selfcheck == "@all"
+                 else [n.strip() for n in args.selfcheck.split(",")])
+        out = run_selfcheck(args.sf_dir, names)
+        print(json.dumps(out, default=str))
+        return 0 if not out["failed"] else 1
     if args.query:
         out = run_query(args.query, args.sf_dir, args.limit,
                         explain=args.explain)

@@ -506,3 +506,37 @@ def test_cli_dump_multiline_flag_and_tail_at_dump_from_sql(spark,
         main(["--config", str(toml2), "--tail", "@dump"])
     err = capsys.readouterr().err
     assert "--dump-exec or --dump-sql" in err
+
+
+def test_cli_selfcheck_mode(spark, tmp_path):
+    """--selfcheck: the external driver's oracle gate as a CLI mode --
+    green entries report all three matches; a value divergence is
+    DETECTED (not papered over by canonicalization) and lands in
+    `failed` with a first_diff sample; rows-only entries are listed
+    as skipped."""
+    from mysql_syncer_clickhouse_spark.selfcheck import (compare_one,
+                                                         run_selfcheck)
+
+    out = run_selfcheck("/root/testdata/sf0.001",
+                        ["q1_pricing_summary", "topk_orders"],
+                        spark=spark)
+    assert out["failed"] == [] and out["checked"] == 2
+    assert all(v["values_match"] for v in out["results"].values())
+
+    # a broken oracle must FAIL the compare, with a diff sample
+    import duckdb
+
+    import __spark_entry__ as E
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents",
+              "embeddings"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"'/root/testdata/sf0.001/{t}.parquet'")
+    good_sql = E.oracle_sql()["topk_orders"]
+    # perturb: shift a value column by 1 in the oracle
+    bad_sql = ("SELECT * REPLACE (o_orderkey + 1 AS o_orderkey) "
+               f"FROM ({good_sql})")
+    r = compare_one(spark, con, E.queries()["topk_orders"], bad_sql,
+                    "/root/testdata/sf0.001")
+    assert not r["values_match"] and "first_diff" in r
