@@ -346,30 +346,44 @@ def run_dump_exec(cfg: EngineConfig, exec_path: str | None = None, *,
 
 def run_tail(cfg: EngineConfig, start_file: str | None, *,
              relay_dir: str | None = None, start_pos: int = 4,
-             compact: bool = False, spark=None) -> list[dict]:
+             compact: bool = False, follow: bool = False,
+             max_cycles: int | None = None, sleep=None,
+             spark=None) -> list[dict]:
     """--tail mode: the reference's FULL topology in one command
     (main.go:25-106) -- register as a pseudo-replica on
     cfg.source_addr with cfg.server_id, drain the binlog stream into
     relay files (catch-up: BINLOG_DUMP_NON_BLOCK, the server EOFs
     when we're current), then push the relay through the same
-    rules/apply path as --binlog-dir. A production deployment loops
-    this (or runs the tailer as its own process) while --follow
-    drains the relay continuously; the serial socket and the
-    distributed decode stay decoupled by design. The tail
-    auto-reconnects on network drops (tail_resumable), each
-    connection writing a fresh relay segment, and repeated --tail
-    invocations are append-safe the same way.
+    rules/apply path as --binlog-dir. The tail auto-reconnects on
+    network drops (tail_resumable), each connection writing a fresh
+    relay segment, and repeated --tail invocations are append-safe
+    the same way.
+
+    `--tail --follow` is the reference's CONTINUOUS main loop: the
+    relay drain starts as live streaming queries (processing-time
+    trigger at flush_bulk_time, exactly --binlog-dir --follow), and
+    the tail half re-dumps from the persisted master.info at the same
+    cadence -- each cycle's new events land in a fresh relay segment
+    the file source picks up. Re-streamed overlap maps to identical
+    seq values, so the (pk, seq) apply dedups -- the serial socket
+    and the distributed decode stay decoupled by design. `max_cycles`
+    bounds the loop (tests; production runs unbounded), `sleep` is
+    injectable.
 
     Every run persists <data_dir>/_master.info (file+pos AND the
     executed GTID set when the stream carries GTIDs -- canal's
     master.info analog); `--tail @info` resumes from it, preferring
     the GTID set so the resume survives SERVER FAILOVER (binlog file
     names are per-server; the executed set is portable)."""
+    import time as _time
+
     from .sources.mysql_repl import (MasterInfo, ReplicationClient,
                                      tail_resumable)
+    sleep = sleep or _time.sleep
     host, _, port = (cfg.source_addr or "127.0.0.1:3306").rpartition(":")
     relay = relay_dir or os.path.join(cfg.data_dir, "_relay")
-    info = MasterInfo.load(os.path.join(cfg.data_dir, "_master.info"))
+    info_path = os.path.join(cfg.data_dir, "_master.info")
+    info = MasterInfo.load(info_path)
     resume_from_info = start_file == "@info"
     if resume_from_info:
         start_file = None
@@ -388,7 +402,27 @@ def run_tail(cfg: EngineConfig, start_file: str | None, *,
             "relay_dir": relay, "events_relayed": n,
             "master_info": {"file": info.file, "pos": info.pos,
                             "gtid_set": info.gtid_set}}]
-    out.extend(run_binlog(cfg, relay, compact=compact, spark=spark))
+    spark = spark or get_spark("mysql-syncer-clickhouse-spark",
+                               cpus=cfg.threads)
+    out.extend(run_binlog(cfg, relay, follow=follow, compact=compact,
+                          spark=spark))
+    if not follow:
+        return out
+    cycles = 0
+    total = n
+    while max_cycles is None or cycles < max_cycles:
+        sleep(max(cfg.flush_bulk_ms, 1) / 1000.0)
+        # re-dump from the persisted coordinates: the catch-up (and
+        # every prior cycle) advanced them, so each cycle streams only
+        # what the server produced since -- plus a bounded overlap the
+        # idempotent apply dedups
+        total += tail_resumable(
+            factory, relay, None, 4, non_block=True,
+            master_info=MasterInfo.load(info_path),
+            resume_from_info=True)
+        cycles += 1
+    out[0]["events_relayed"] = total
+    out[0]["cycles"] = cycles
     return out
 
 
@@ -480,7 +514,10 @@ def main(argv: list[str] | None = None) -> int:
                          "output; `--tail @dump` resumes from the "
                          "binlog position the dump captured")
     ap.add_argument("--follow", action="store_true",
-                    help="keep tailing at flush_bulk_time cadence")
+                    help="keep draining at flush_bulk_time cadence; "
+                         "with --tail, also keep re-dumping from the "
+                         "persisted master.info (the reference's "
+                         "continuous main loop)")
     ap.add_argument("--compact", action="store_true",
                     help="rewrite each sink to its merged state after draining")
     ap.add_argument("--curate", metavar="DOCS_DIR",
@@ -563,6 +600,7 @@ def main(argv: list[str] | None = None) -> int:
             start_file, start_pos = dump_pos
         lines += run_tail(cfg, start_file, start_pos=start_pos,
                           relay_dir=args.relay_dir,
+                          follow=args.follow,
                           compact=args.compact)
     elif args.binlog_dir:
         lines += run_binlog(cfg, args.binlog_dir,

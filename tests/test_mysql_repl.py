@@ -1713,3 +1713,62 @@ def test_dump_exec_seeded_gtid_failover_e2e(tmp_path, spark):
                      4: ("four", 40), 5: ("five", 50)}
     # zero dup: snapshot rows once (seq=-1), binlog rows once
     assert sink.count() == 5
+
+
+def test_cli_tail_follow_continuous_loop(tmp_path, spark):
+    """--tail --follow: the reference's continuous main loop. The
+    catch-up drains file 1; the relay drain keeps running as a live
+    streaming query; the next tail CYCLE re-dumps from the persisted
+    master.info and finds a binlog file the server produced AFTER the
+    catch-up -- its events land in a fresh relay segment the file
+    source picks up. Final state carries both files' changes exactly
+    once (overlap re-streamed by the file/pos re-dump dedups via
+    seq)."""
+    import os
+
+    from mysql_syncer_clickhouse_spark.__main__ import run_tail
+    from mysql_syncer_clickhouse_spark.config import EngineConfig
+    from mysql_syncer_clickhouse_spark.operators.upsert import latest_state
+
+    srv = FakeMySQL({
+        "mysql-bin.000001": _items_file(1, [
+            ("insert", [(1, "first", 10), (2, "second", 20)]),
+        ]),
+    })
+    srv.start()
+    toml = os.path.join(os.path.dirname(__file__), "..", "etc",
+                        "river.toml")
+    cfg = EngineConfig.from_toml(toml)
+    cfg.data_dir = str(tmp_path / "log")
+    cfg.source_addr = f"{srv.host}:{srv.port}"
+    cfg.source_user, cfg.source_pass = USER, PASSWORD
+
+    def on_sleep(_s):
+        # "the server produced more binlog" between cycles
+        with srv._lock:
+            srv.files["mysql-bin.000002"] = _items_file(2, [
+                ("insert", [(3, "third", 30)]),
+                ("update", [[(1, "first", 10),
+                             (1, "first-edited", 11)]]),
+            ])
+
+    try:
+        out = run_tail(cfg, "mysql-bin.000001", follow=True,
+                       max_cycles=1, sleep=on_sleep, spark=spark)
+    finally:
+        srv.stop()
+    assert out[0]["cycles"] == 1
+    assert any(line.get("mode") == "following" for line in out[1:])
+    # drain everything the loop relayed, then stop the live queries
+    for q in spark.streams.active:
+        q.processAllAvailable()
+        q.stop()
+    sink = spark.read.parquet(f"{cfg.data_dir}/olap.items_sink")
+    final = {r["id"]: r["es_title"]
+             for r in latest_state(sink, ["id"]).collect()}
+    assert final == {1: "first-edited", 2: "second", 3: "third"}
+    # the cycle re-streamed file 1 (file/pos re-dump), so the RAW sink
+    # may hold physical copies -- at-least-once relay; logical
+    # exactly-once means every distinct (seq, op, id) appears, each
+    # re-play byte-identical (seq derives from (file, pos, row))
+    assert sink.select("seq", "op", "id").distinct().count() == 4
