@@ -269,6 +269,14 @@ def split_sql_statements(text: str) -> list[str]:
             j = text.find("\n", i)     # inter-statement comment line
             i = n if j < 0 else j + 1
             continue
+        if blank and text[i:i + 2] == "/*":
+            # inter-statement block comment (incl. mysqldump's
+            # /*!NNNNN ...*/ conditional SETs -- none of them are data
+            # for this reader): skip to the closing marker so an
+            # unbalanced quote inside cannot poison the string state
+            j = text.find("*/", i + 2)
+            i = n if j < 0 else j + 2
+            continue
         if c == ";":
             stmt = "".join(buf).strip()
             if stmt:

@@ -325,3 +325,21 @@ def test_exec_mysqldump_retries_source_data_on_84(tmp_path):
         D.exec_mysqldump(str(stub2), str(tmp_path / "out2.sql"),
                          schema_tables={"app": ["items"]})
     assert len(log2.read_text().splitlines()) == 1
+
+
+def test_split_sql_statements_block_comments():
+    """Inter-statement block comments -- including mysqldump's
+    /*!NNNNN ...*/ conditional SET header lines -- are skipped whole,
+    so an unbalanced quote inside one cannot poison the string-state
+    tracking; INSERT statements around them split correctly."""
+    text = (
+        "/*!40101 SET @saved_cs_client = @@character_set_client */;\n"
+        "/* block comment with an unbalanced ' quote\n"
+        "   spanning lines */\n"
+        "INSERT INTO `t` VALUES (1,'a');\n"
+        "/*!40000 ALTER TABLE `t` DISABLE KEYS */;\n"
+        "INSERT INTO `t` VALUES (2,'b;c');\n")
+    stmts = D.split_sql_statements(text)
+    inserts = [st for st in stmts if st.startswith("INSERT")]
+    assert len(inserts) == 2
+    assert D.parse_insert_statement(inserts[1])[1] == [["2", "b;c"]]
