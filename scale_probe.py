@@ -272,6 +272,37 @@ def xdup_stage_cuts(docs, n: int = 3, min_docs: int = 2) -> dict:
     return cuts
 
 
+def dsir_stage_cuts(docs, n: int = 3) -> dict:
+    """Per-stage attribution for the DSIR chain (closing the last §6
+    family bracket by measurement): raw-side bag tokenize -> the
+    bounded logratio model table (both sides' bucket counts + one ln
+    per bucket) -> per-doc integer score sums -> report. The model is
+    <= 4096 rows by construction, so the expectation to verify is
+    that the chain is tokenize-bound -- the same irreducible scan the
+    xdup cuts isolated."""
+    cuts: dict[str, float] = {}
+    docs.limit(64).write.format("noop").mode("overwrite").save()
+    raw = docs.filter(F.col("source") != "src0")
+    target = docs.filter(F.col("source") == "src0")
+
+    def chain(stage: str):
+        if stage == "raw_bag":
+            return curation._bag_gram_buckets(raw, "doc_id", "text",
+                                              n, 4096)
+        lr = curation.dsir_logratio_table(raw, target, n=n)
+        if stage == "model":
+            return lr
+        return curation.dsir_scores(raw, lr, n=n)
+
+    for stage in ("raw_bag", "model", "report"):
+        cuts[f"cut_{stage}"] = timed(lambda stage=stage: chain(stage))
+    cuts["marginal_model_vs_raw_bag"] = round(
+        cuts["cut_model"] - cuts["cut_raw_bag"], 3)
+    cuts["marginal_report_vs_model"] = round(
+        cuts["cut_report"] - cuts["cut_model"], 3)
+    return cuts
+
+
 def fuzzy_ab(docs, bench) -> dict:
     """A/B the fuzzy_decontaminate verify-join hints (VERDICT r10 ask
     #4): same code path, SPARK_GRAFT_NO_JOIN_HINTS toggles the
@@ -424,6 +455,19 @@ def main() -> None:
             stages[f"x{n}"] = xdup_stage_cuts(
                 replicate_docs_heaps(docs1, n))
         print(json.dumps({"metric": "xdup_stage_cuts",
+                          "sf_dir": SF_DIR, "decades": DECADES,
+                          "fixture": "heaps_pool",
+                          "driver_memory": os.environ.get(
+                              "SPARK_DRIVER_MEMORY", "8g"),
+                          "stages": stages}))
+        spark.stop()
+        return
+    if stages_mode == "dsir":
+        stages = {"base_sf0.1": dsir_stage_cuts(docs1)}
+        for n in DECADES:
+            stages[f"x{n}"] = dsir_stage_cuts(
+                replicate_docs_heaps(docs1, n))
+        print(json.dumps({"metric": "dsir_stage_cuts",
                           "sf_dir": SF_DIR, "decades": DECADES,
                           "fixture": "heaps_pool",
                           "driver_memory": os.environ.get(
