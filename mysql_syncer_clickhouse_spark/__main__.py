@@ -278,12 +278,6 @@ def run_dump(cfg: EngineConfig, dump_path: str, *,
         if any(hdr.values()):
             break
     if any(hdr.values()):
-        info = MasterInfo.load(os.path.join(cfg.data_dir, "_master.info"))
-        if hdr["binlog_file"]:
-            info.file, info.pos = hdr["binlog_file"], hdr["binlog_pos"]
-        info.gtid_set = hdr["gtid_set"] or info.gtid_set
-        info.mariadb_gtid = hdr["mariadb_gtid"] or info.mariadb_gtid
-        info.save()
         results[0].update({k: v for k, v in hdr.items() if v})
     for rule in cfg.rules.rules:
         if not rule.pk and cfg.skip_no_pk_table:
@@ -309,6 +303,17 @@ def run_dump(cfg: EngineConfig, dump_path: str, *,
         if pipe.ch_sink is None:
             line["rows"] = pipe.current_state(spark).count()
         results.append(line)
+    if any(hdr.values()):
+        # persist the resume coordinates only AFTER every rule
+        # bootstrapped: a failed dump must not leave _master.info
+        # pointing past data that never landed in the sinks
+        info = MasterInfo.load(os.path.join(cfg.data_dir,
+                                            "_master.info"))
+        if hdr["binlog_file"]:
+            info.file, info.pos = hdr["binlog_file"], hdr["binlog_pos"]
+        info.gtid_set = hdr["gtid_set"] or info.gtid_set
+        info.mariadb_gtid = hdr["mariadb_gtid"] or info.mariadb_gtid
+        info.save()
     return results
 
 

@@ -84,8 +84,12 @@ def _ranked_window(df: DataFrame, group_col: str,
                    value_col: str) -> DataFrame:
     wrank = Window.partitionBy(group_col).orderBy("__v")
     wgrp = Window.partitionBy(group_col)
+    # NULL values are ignored, matching Spark's percentile() --
+    # unfiltered they would occupy ranks (NULLS FIRST) and shift
+    # every interpolation position
     return (df.select(group_col,
                       F.col(value_col).cast("double").alias("__v"))
+            .filter(F.col("__v").isNotNull())
             .select(group_col, "__v",
                     (F.row_number().over(wrank) - 1).alias("__rn"),
                     F.count(F.lit(1)).over(wgrp).alias("__n")))
@@ -95,8 +99,9 @@ def _ranked_range(df: DataFrame, group_col: str, value_col: str,
                   buckets: int | None) -> DataFrame:
     spark = df.sparkSession
     nb = buckets or spark.sparkContext.defaultParallelism
-    d = df.select(group_col,
-                  F.col(value_col).cast("double").alias("__v"))
+    d = (df.select(group_col,
+                   F.col(value_col).cast("double").alias("__v"))
+         .filter(F.col("__v").isNotNull()))   # percentile() semantics
     # per-group range boundaries: one map-side-combined approx pass,
     # G x (nb-1) doubles, broadcast. Boundary QUALITY only affects
     # balance, never correctness -- ranks compose exactly below.

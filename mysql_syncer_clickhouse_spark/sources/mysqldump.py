@@ -341,8 +341,9 @@ _GTID_PURGED_RE = re.compile(
     r"SET\s+@@GLOBAL\.GTID_PURGED\s*=\s*"
     r"(?:/\*!80000\s+'\+'\s*\*/\s*)?'",     # 8.0+'s append marker
     re.IGNORECASE)
-_MARIADB_GTID_RE = re.compile(
-    r"gtid_slave_pos\s*=\s*'([0-9,\- ]+)'", re.IGNORECASE)
+_MARIADB_GTID_RE = re.compile(       # the SET GLOBAL prefix keeps a
+    r"SET\s+GLOBAL\s+gtid_slave_pos"    # data string from false-matching
+    r"\s*=\s*'([0-9,\- ]+)'", re.IGNORECASE)
 
 
 def scan_dump_header(path: str, *, max_lines: int = 200) -> dict:

@@ -540,3 +540,32 @@ def test_cli_selfcheck_mode(spark, tmp_path):
     r = compare_one(spark, con, E.queries()["topk_orders"], bad_sql,
                     "/root/testdata/sf0.001")
     assert not r["values_match"] and "first_diff" in r
+
+
+def test_cli_dump_failure_does_not_advance_master_info(spark, tmp_path):
+    """A dump bootstrap that FAILS (present-but-malformed table) must
+    not persist its header coordinates: _master.info advancing past
+    data that never landed would make a later `--tail @info` skip it
+    silently."""
+    import pytest
+
+    from mysql_syncer_clickhouse_spark.__main__ import run_dump
+    from mysql_syncer_clickhouse_spark.sources.mysql_repl import MasterInfo
+    from mysql_syncer_clickhouse_spark.sources.mysqldump import (
+        DumpFormatError)
+
+    bad = tmp_path / "bad.sql"
+    bad.write_text(
+        "SET @@GLOBAL.GTID_PURGED='3e11fa47-71ca-11e1-9e33-"
+        "c80aa9429562:1-9';\n"
+        "CREATE TABLE `items` (\n"
+        "  `id` bigint NOT NULL,\n"
+        "  PRIMARY KEY (`id`)\n"
+        ") ENGINE=InnoDB;\n"
+        "INSERT\nINTO `items` VALUES (1);\n")   # malformed: wrapped
+    cfg = EngineConfig.from_toml(TOML)
+    cfg.data_dir = str(tmp_path / "log")
+    with pytest.raises(DumpFormatError):
+        run_dump(cfg, str(bad), spark=spark)
+    info = MasterInfo.load(os.path.join(cfg.data_dir, "_master.info"))
+    assert info.gtid_set == "" and info.file is None

@@ -75,3 +75,21 @@ def test_env_override_forces_range(spark, monkeypatch):
     plan = exact_group_percentiles(df, "g", "v", [0.5]) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "__b" in plan                    # bucketed shape engaged
+
+
+def test_null_values_ignored_like_builtin(spark):
+    """NULLs must be ignored (Spark percentile() semantics) in BOTH
+    shapes -- unfiltered they would occupy ranks and shift every
+    interpolation position."""
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", None), ("a", 3.0), ("a", None),
+         ("a", 5.0), ("b", None), ("b", 10.0)],
+        "g string, v double")
+    want = {r["g"]: r["q"] for r in df.groupBy("g").agg(
+        F.expr("percentile(v, 0.5)").alias("q")).collect()}
+    for mode in ("window", "range"):
+        got = {r["g"]: r["p50"] for r in
+               exact_group_percentiles(df, "g", "v", [0.5],
+                                       mode=mode, buckets=4).collect()}
+        assert got["a"] == pytest.approx(want["a"])   # 3.0, not 1.0
+        assert got["b"] == pytest.approx(want["b"])
