@@ -1549,7 +1549,10 @@ def agg_grouping_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     - `cells_o` = the orders analog feeding cube AND grouping-sets.
     - hist bin-counting, weighted percentiles (window shape) and the
       fused rank tests keep their own scans (different grains).
-    Net: 5 lineitem + 1 orders scans for 13 labelled parts. Every
+    Net: 6 lineitem + 1 orders scans for 14 labelled parts
+    (round 11 adds 'summap': the sumMap key-wise map aggregation,
+    operators/maps.py, scalarized via a key-sorted serialization
+    hash). Every
     downstream relation is cardinality-bounded (cells/fl/cells_o are
     category-sized), so the fusion holds at any data scale.
 
@@ -1820,6 +1823,33 @@ def agg_grouping_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     nd.alias("m1"), nd.alias("m2"),
                     nd.alias("m3"), nd.alias("m4")))
 
+    # 'summap': the sumMap key-wise map aggregation (operators/maps)
+    # driver-checked through a deterministic scalarization -- n = key
+    # count, m1 = total of the map's values, m2 = portable hash of
+    # the key-sorted "k:v|k:v" serialization (entry order is pinned
+    # by an explicit sort, so the hash is partitioning-independent
+    # and the oracle restates it byte-for-byte)
+    from ..functions.text import portable_hash32
+    from ..operators import maps as MAPS
+    summap_src = li.select(
+        "l_returnflag",
+        F.create_map(F.col("l_linestatus"),
+                     F.col("l_quantity").cast("long")).alias("m"))
+    mm = MAPS.sum_map(summap_src, ["l_returnflag"], "m")
+    ser = F.concat_ws("|", F.transform(
+        F.sort_array(F.map_entries(F.col("sum_map"))),
+        lambda e: F.concat(e["key"], F.lit(":"),
+                           e["value"].cast("string"))))
+    summap = mm.select(
+        F.lit("summap").alias("part"),
+        F.col("l_returnflag").alias("g1"),
+        F.lit(None).cast("string").alias("g2"),
+        F.size("sum_map").cast("long").alias("n"),
+        F.aggregate(F.map_values("sum_map"), F.lit(0).cast("long"),
+                    lambda acc, v: acc + v).cast("double").alias("m1"),
+        portable_hash32(ser).cast("double").alias("m2"),
+        nd.alias("m3"), nd.alias("m4"))
+
     # own-scan parts: window shape / distinct-value grain
     wpctl = agg_weighted_percentiles(spark, sf_dir).select(
         F.lit("wpctl").alias("part"),
@@ -1839,7 +1869,8 @@ def agg_grouping_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionByName(pctl).unionByName(hist).unionByName(wpctl)
             .unionByName(assoc).unionByName(ttest)
             .unionByName(rank2).unionByName(reg)
-            .unionByName(mom).unionByName(hier))
+            .unionByName(mom).unionByName(hier)
+            .unionByName(summap))
 
 
 _GROUPING_STATS_SQL = f"""
@@ -1988,6 +2019,23 @@ FROM (
     WHERE a.depth < 32
   )
   SELECT id, root, depth FROM anc
+)
+UNION ALL
+-- summap mirrors the key-wise map aggregation's scalarization: the
+-- per-key sums ARE the grouped sums; the hash covers the key-sorted
+-- serialization exactly as Spark builds it
+SELECT 'summap', l_returnflag, CAST(NULL AS VARCHAR),
+       CAST(n_keys AS BIGINT), CAST(total AS DOUBLE),
+       CAST(('0x' || substr(md5(ser), 1, 8))::BIGINT AS DOUBLE),
+       NULL, NULL
+FROM (
+  SELECT l_returnflag, COUNT(*) AS n_keys, SUM(v) AS total,
+         string_agg(l_linestatus || ':' || v, '|'
+                    ORDER BY l_linestatus) AS ser
+  FROM (SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS v
+        FROM lineitem GROUP BY 1, 2)
+  GROUP BY 1
 )
 """
 
