@@ -36,6 +36,9 @@ def mysql_to_spark_type(mysql_type: str, *,
     unsigned = "unsigned" in t
     base = re.split(r"[\s(]", t, 1)[0]
 
+    if base == "list":
+        # the rules' ',list' transform's pseudo-type (array<string>)
+        return T.ArrayType(T.StringType())
     if base in _INT:
         signed, widened = _INT[base]
         return widened if unsigned else signed
@@ -98,6 +101,11 @@ def mysql_to_clickhouse_type(mysql_type: str, nullable: bool = False) -> str:
     unsigned = "unsigned" in t
     base = re.split(r"[\s(]", t, 1)[0]
 
+    if base == "list":
+        # ',list' columns land as a real ClickHouse Array -- never
+        # Nullable-wrapped (CH forbids Nullable(Array); a missing
+        # value is the empty array)
+        return "Array(String)"
     if base in _CH_INT:
         ch = _CH_INT[base]
         out = "U" + ch if unsigned else ch
@@ -204,6 +212,9 @@ def spark_type_to_mysql(dt: T.DataType) -> str:
         return "datetime(6)"
     if isinstance(dt, T.DecimalType):
         return f"decimal({dt.precision},{dt.scale})"
+    if isinstance(dt, T.ArrayType) and isinstance(dt.elementType,
+                                                  T.StringType):
+        return "list"        # ',list' transform output -> CH Array
     # string/binary/complex -> the reference's String fallback
     return "text"
 

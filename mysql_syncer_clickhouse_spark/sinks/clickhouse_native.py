@@ -286,6 +286,25 @@ def column_encoder(ch_type: str):
                     for v in vals)
         return enc
 
+    if t.startswith("Array(") and t.endswith(")"):
+        inner = column_encoder(t[6:-1])
+
+        def enc_array(vals: list) -> bytes:
+            # native Array layout: cumulative UInt64 offsets for the
+            # whole column, then the flattened inner column. None
+            # (and SQL NULL) is the empty array -- ClickHouse forbids
+            # Nullable(Array); the ',list' transform's missing values
+            # land as [].
+            arrs = [list(v) if v is not None else [] for v in vals]
+            offs: list[int] = []
+            total = 0
+            for a in arrs:
+                total += len(a)
+                offs.append(total)
+            flat = [x for a in arrs for x in a]
+            return (struct.pack(f"<{len(offs)}Q", *offs)
+                    + inner(flat))
+        return enc_array
     if t == "String":
         def enc_str(vals: list) -> bytes:
             out = bytearray()

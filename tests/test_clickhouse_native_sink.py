@@ -87,6 +87,14 @@ def _decode_column(r, ch_type: str, n: int) -> list:
             out.append((datetime.datetime(1970, 1, 1)
                         + datetime.timedelta(microseconds=us)))
         return out
+    if ch_type.startswith("Array("):
+        offs = [struct.unpack("<Q", r.read(8))[0] for _ in range(n)]
+        flat = _decode_column(r, ch_type[6:-1], offs[-1] if offs else 0)
+        out, prev = [], 0
+        for o in offs:
+            out.append(flat[prev:o])
+            prev = o
+        return out
     if ch_type.startswith("Decimal("):
         prec, scale = (int(x) for x in ch_type[8:-1].split(","))
         w = 4 if prec <= 9 else 8 if prec <= 18 else 16
@@ -884,3 +892,57 @@ def test_native_connection_tls_end_to_end(tmp_path):
             N.NativeConnection(srv.host, srv.port, ssl_context=bad)
     finally:
         srv.stop()
+
+
+def test_array_string_column_end_to_end(fake_native):
+    """Array(String) -- what the rules' ',list' transform produces --
+    through the native wire: cumulative-offset layout decoded by the
+    independent test decoder; None lands as the empty array
+    (ClickHouse forbids Nullable(Array))."""
+    from mysql_syncer_clickhouse_spark.sinks.clickhouse_native import (
+        NativeConnection)
+    conn = NativeConnection(fake_native.host, fake_native.port,
+                            compression=True)
+    try:
+        sent = conn.insert_blocks(
+            "INSERT INTO db.t VALUES",
+            [("id", "Int64"), ("tags", "Array(String)")],
+            [[(1, ["a", "b"]), (2, []), (3, None), (4, ["x,y", ""])]])
+        assert sent == 4
+    finally:
+        conn.close()
+    assert fake_native.inserts[0][1] == [
+        (1, ["a", "b"]), (2, []), (3, []), (4, ["x,y", ""])]
+
+
+def test_list_rule_to_native_sink_e2e(spark, tmp_path, fake_native):
+    """The full composition that used to CRASH: a rule with a ',list'
+    field transform (array<string> column) applied to a ClickHouse
+    native sink. The type authority maps the array to Array(String)
+    (never Nullable-wrapped), the DDL carries it, and the encoder
+    ships real arrays."""
+    from mysql_syncer_clickhouse_spark.functions.typemap import (
+        columns_from_spark_schema, mysql_to_clickhouse_type)
+    from mysql_syncer_clickhouse_spark.sinks.clickhouse_native import (
+        ClickHouseNativeSink)
+
+    cl = spark.createDataFrame(
+        [(1, "insert", 1, "a,b,c"), (2, "insert", 2, None)],
+        "seq long, op string, id long, tags_csv string")
+    from mysql_syncer_clickhouse_spark.functions.transforms import (
+        csv_to_list)
+    projected = cl.select("seq", "op", "id",
+                          csv_to_list("tags_csv").alias("tags"))
+    cols = columns_from_spark_schema(projected.schema)
+    assert ("tags", "list", True) in cols
+    assert mysql_to_clickhouse_type("list", True) == "Array(String)"
+    sink = ClickHouseNativeSink(
+        host=fake_native.host, port=fake_native.port,
+        database="olap", table="t_list", columns=cols, pk=("id",),
+        compression=True)
+    sink.ensure_table()
+    assert any("Array(String)" in q for q in fake_native.queries)
+    sink.apply_batch(projected, epoch_id=0)
+    got = {r[2]: r[3] for _, rows in fake_native.inserts
+           for r in rows}
+    assert got == {1: ["a", "b", "c"], 2: []}
