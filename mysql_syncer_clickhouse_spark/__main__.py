@@ -272,13 +272,26 @@ def run_dump(cfg: EngineConfig, dump_path: str, *,
     spark = spark or get_spark("mysql-syncer-clickhouse-spark",
                                cpus=cfg.threads)
     results: list[dict] = [{"mode": "dump", "dump": dump_path}]
-    hdr: dict = {}
-    for f in sorted(_glob.glob(dump_path)):
-        hdr = scan_dump_header(f)
-        if any(hdr.values()):
-            break
+    # headers from EVERY matched file: a multi-file glob whose files
+    # were cut at different positions must not silently resume from
+    # the alphabetically-first header (it may predate the data the
+    # other files supplied) -- conflicting headers refuse to persist
+    hdrs = [(f, h) for f in sorted(_glob.glob(dump_path))
+            for h in [scan_dump_header(f)] if any(h.values())]
+    distinct = {tuple(sorted((k, v) for k, v in h.items() if v))
+                for _, h in hdrs}
+    hdr: dict = hdrs[0][1] if len(distinct) == 1 else {}
+    if len(distinct) > 1:
+        results[0]["header_conflict"] = [
+            {"file": f, **{k: v for k, v in h.items() if v}}
+            for f, h in hdrs]
+        print(f"WARN: {len(hdrs)} dump files carry conflicting resume "
+              f"headers; NOT persisting resume coordinates -- tail "
+              f"from an explicit position or dump per-file",
+              file=sys.stderr)
     if any(hdr.values()):
         results[0].update({k: v for k, v in hdr.items() if v})
+    bootstrapped = 0
     for rule in cfg.rules.rules:
         if not rule.pk and cfg.skip_no_pk_table:
             continue
@@ -303,10 +316,14 @@ def run_dump(cfg: EngineConfig, dump_path: str, *,
         if pipe.ch_sink is None:
             line["rows"] = pipe.current_state(spark).count()
         results.append(line)
-    if any(hdr.values()):
+        bootstrapped += 1
+    if bootstrapped and any(hdr.values()):
         # persist the resume coordinates only AFTER every rule
-        # bootstrapped: a failed dump must not leave _master.info
-        # pointing past data that never landed in the sinks
+        # bootstrapped, and only if AT LEAST ONE actually did: a
+        # failed dump must not leave _master.info pointing past data
+        # that never landed, and a mistargeted dump (every configured
+        # table absent -> all rules skipped) must not advance the
+        # resume position past binlog events that were never applied
         info = MasterInfo.load(os.path.join(cfg.data_dir,
                                             "_master.info"))
         if hdr["binlog_file"]:

@@ -14,7 +14,12 @@ partitioning-independent -- the repo's determinism convention).
 At 100 TB: shuffle volume is |groups x distinct keys| after partial
 aggregation, not |rows x map size|; no driver-side state, no UDFs.
 NULL maps contribute nothing; a key's NULL value is skipped (matches
-aggregate-ignores-NULL).
+aggregate-ignores-NULL). A group whose maps are ALL NULL/empty still
+appears in the output with an empty map -- ClickHouse's sumMap keeps
+the group -- via explode_outer's (NULL, NULL) marker row, NOT a
+join-back onto distinct groups (which would re-execute the source
+subtree: Spark shares no exchange across an aggregate branch and a
+join branch).
 """
 
 from __future__ import annotations
@@ -27,19 +32,27 @@ from pyspark.sql import functions as F
 
 def _agg_map(df: DataFrame, group_cols: Sequence[str], map_col: str,
              combine: Column, out_col: str) -> DataFrame:
+    # explode_outer keeps one (NULL, NULL) marker row for NULL/empty
+    # maps, so a group with no entries anywhere still reaches the final
+    # aggregate (and assembles to an empty map). An entry with a NULL
+    # value is demoted to a marker too (key nulled, not row-dropped) --
+    # aggregate-ignores-NULL for the key, but the group still survives.
     flat = (df.select(*group_cols,
-                      F.explode(F.coalesce(
-                          map_col,
-                          F.create_map().cast(
-                              df.schema[map_col].dataType)))
-                      .alias("__k", "__v"))
-            .filter(F.col("__v").isNotNull()))
+                      F.explode_outer(map_col).alias("__k0", "__v"))
+            .select(*group_cols,
+                    F.when(F.col("__v").isNotNull(), F.col("__k0"))
+                     .alias("__k"),
+                    "__v"))
     per_key = flat.groupBy(*group_cols, "__k").agg(
         combine.alias("__v"))
+    # collect_list skips NULL elements: the when() turns marker rows
+    # into NULLs, so an all-empty group yields [] -> {} (typed by the
+    # struct's schema), never a NULL-keyed map entry
     return (per_key.groupBy(*group_cols)
             .agg(F.map_from_entries(
                 F.sort_array(F.collect_list(
-                    F.struct(F.col("__k"), F.col("__v")))))
+                    F.when(F.col("__k").isNotNull(),
+                           F.struct(F.col("__k"), F.col("__v"))))))
                 .alias(out_col)))
 
 

@@ -31,10 +31,11 @@ Both shapes produce IDENTICAL values (equality-tested at sf0.1): the
 interpolation is Spark's own Percentile arithmetic -- pos = p*(n-1),
 result = lo + (hi-lo)*frac on doubles.
 
-``mode="auto"`` picks by a row-count threshold (one cheap two-column
-count -- callers that already know their scale should pass the mode
-explicitly; the env override SPARK_GRAFT_PCTL_RANGE=1 forces range
-for probes).
+``mode="auto"`` picks by a row-count threshold. Pass ``rows_hint``
+(approximate input rows) and auto costs ZERO extra jobs; without a
+hint it runs one two-column count() job, which makes hint-less auto
+interactive-only -- pipelines pass the mode or the hint. The env
+override SPARK_GRAFT_PCTL_RANGE=1 forces range for probes.
 """
 
 from __future__ import annotations
@@ -98,7 +99,10 @@ def _ranked_window(df: DataFrame, group_col: str,
 def _ranked_range(df: DataFrame, group_col: str, value_col: str,
                   buckets: int | None) -> DataFrame:
     spark = df.sparkSession
-    nb = buckets or spark.sparkContext.defaultParallelism
+    # clamp: buckets=1 (or defaultParallelism==1, e.g. local[1]) would
+    # build an EMPTY percentage list for percentile_approx below, which
+    # fails at analysis time -- and 1 bucket is just the window shape
+    nb = max(2, buckets or spark.sparkContext.defaultParallelism)
     d = (df.select(group_col,
                    F.col(value_col).cast("double").alias("__v"))
          .filter(F.col("__v").isNotNull()))   # percentile() semantics
@@ -136,17 +140,30 @@ def _ranked_range(df: DataFrame, group_col: str, value_col: str,
 def exact_group_percentiles(df: DataFrame, group_col: str,
                             value_col: str, ps: list[float], *,
                             mode: str = "window",
-                            buckets: int | None = None) -> DataFrame:
+                            buckets: int | None = None,
+                            rows_hint: int | None = None) -> DataFrame:
     """One row per group: p<pct> double columns, exact percentiles of
     `value_col` with Spark `percentile` interpolation semantics.
     `mode`: 'window' (per-group sort), 'range' (bucketed -- the 100x
     shape), or 'auto' (row-count threshold; env
-    SPARK_GRAFT_PCTL_RANGE=1 forces range)."""
+    SPARK_GRAFT_PCTL_RANGE=1 forces range). With mode='auto' pass
+    `rows_hint` (an approximate input row count) to pick the shape with
+    ZERO extra jobs; without a hint auto runs one count() job and is
+    therefore interactive-only -- pipelines should pass the mode or the
+    hint explicitly."""
     import os
+    tags = [str(int(round(p * 100))) for p in ps]
+    if len(set(tags)) != len(tags):
+        # 0.5 and 0.504 both tag "50" -> silent duplicate p-column
+        # aliases; refuse loudly instead
+        raise ValueError(
+            f"percentile list {ps} produces colliding column tags "
+            f"{tags}; percentiles must differ in int(round(p*100))")
     if os.environ.get("SPARK_GRAFT_PCTL_RANGE") == "1":
         mode = "range"
     elif mode == "auto":
-        n = df.select(group_col, value_col).count()
+        n = (rows_hint if rows_hint is not None
+             else df.select(group_col, value_col).count())
         mode = "range" if n >= AUTO_RANGE_THRESHOLD else "window"
     if mode == "window":
         ranked = _ranked_window(df, group_col, value_col)

@@ -39,7 +39,10 @@ def canon(v):
     if isinstance(v, datetime.date):
         return datetime.datetime(v.year, v.month, v.day).isoformat()
     if isinstance(v, float):
-        return round(v, 9)
+        # 9 SIGNIFICANT decimals (not decimal places): large-magnitude
+        # doubles (TPC-H revenue sums ~1e9) must also absorb last-ulp
+        # engine-formatting noise, or benign differences fail selfcheck
+        return float(f"{v:.9g}")
     return v
 
 

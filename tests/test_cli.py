@@ -569,3 +569,78 @@ def test_cli_dump_failure_does_not_advance_master_info(spark, tmp_path):
         run_dump(cfg, str(bad), spark=spark)
     info = MasterInfo.load(os.path.join(cfg.data_dir, "_master.info"))
     assert info.gtid_set == "" and info.file is None
+
+
+def test_selfcheck_canon_rounds_significant_digits():
+    """canon() absorbs last-ulp engine noise at ANY magnitude -- 9
+    SIGNIFICANT decimals, not 9 decimal places (ADVICE r11: a ~1e9
+    TPC-H revenue sum had no noise margin under round(v, 9))."""
+    from mysql_syncer_clickhouse_spark.selfcheck import canon
+    big = 1234567890.1234567
+    assert canon(big) == canon(big + 1e-6)       # ulp noise absorbed
+    assert canon(big) != canon(big + 10.0)       # real drift caught
+    assert canon(0.0001234567891) == canon(0.0001234567892)
+    assert canon(1.0001) != canon(1.0002)
+
+
+def test_cli_dump_header_persist_requires_bootstrap_and_agreement(
+        spark, tmp_path):
+    """ADVICE r11 (medium): (a) a mistargeted dump -- header present
+    but every configured table ABSENT -- must NOT persist resume
+    coordinates (a later `--tail @info` would skip binlog events that
+    were never applied); (b) a multi-file glob whose files carry
+    CONFLICTING headers must refuse to persist and record the
+    conflict; (c) a multi-file glob whose headers AGREE persists."""
+    from mysql_syncer_clickhouse_spark.__main__ import run_dump
+    from mysql_syncer_clickhouse_spark.sources.mysql_repl import MasterInfo
+
+    sid = "3e11fa47-71ca-11e1-9e33-c80aa9429562"
+
+    def hdr(file, pos, hi):
+        return (f"SET @@GLOBAL.GTID_PURGED='{sid}:1-{hi}';\n"
+                "-- CHANGE REPLICATION SOURCE TO SOURCE_LOG_FILE="
+                f"'{file}', SOURCE_LOG_POS={pos};\n")
+
+    items = ("CREATE TABLE `items` (\n  `id` bigint NOT NULL,\n"
+             "  PRIMARY KEY (`id`)\n) ENGINE=InnoDB;\n"
+             "INSERT INTO `items` VALUES (1);\n")
+
+    # (a) header but zero bootstrapped rules -> nothing persisted
+    mis = tmp_path / "mis.sql"
+    mis.write_text(hdr("a-bin.000009", 999, 9)
+                   + "CREATE TABLE `other` (`id` bigint NOT NULL,\n"
+                     "PRIMARY KEY (`id`)) ENGINE=InnoDB;\n"
+                     "INSERT INTO `other` VALUES (1);\n")
+    cfg = EngineConfig.from_toml(TOML)
+    cfg.data_dir = str(tmp_path / "log_a")
+    out = run_dump(cfg, str(mis), spark=spark)
+    assert len(out) == 1 and out[0]["gtid_set"] == f"{sid}:1-9"
+    info = MasterInfo.load(os.path.join(cfg.data_dir, "_master.info"))
+    assert info.gtid_set == "" and info.file is None
+
+    # (b) two files, two different snapshots -> refuse + record
+    d = tmp_path / "multi"
+    d.mkdir()
+    (d / "p1.sql").write_text(hdr("a-bin.000001", 100, 3) + items)
+    (d / "p2.sql").write_text(hdr("a-bin.000002", 500, 7) + items)
+    cfg2 = EngineConfig.from_toml(TOML)
+    cfg2.data_dir = str(tmp_path / "log_b")
+    out = run_dump(cfg2, str(d / "*.sql"), spark=spark)
+    assert "header_conflict" in out[0]
+    assert {c["binlog_file"] for c in out[0]["header_conflict"]} == \
+        {"a-bin.000001", "a-bin.000002"}
+    info = MasterInfo.load(os.path.join(cfg2.data_dir, "_master.info"))
+    assert info.gtid_set == "" and info.file is None
+
+    # (c) two files cut at the SAME position -> persist proceeds
+    d2 = tmp_path / "multi_ok"
+    d2.mkdir()
+    (d2 / "p1.sql").write_text(hdr("a-bin.000003", 777, 5) + items)
+    (d2 / "p2.sql").write_text(hdr("a-bin.000003", 777, 5))
+    cfg3 = EngineConfig.from_toml(TOML)
+    cfg3.data_dir = str(tmp_path / "log_c")
+    out = run_dump(cfg3, str(d2 / "*.sql"), spark=spark)
+    assert "header_conflict" not in out[0]
+    info = MasterInfo.load(os.path.join(cfg3.data_dir, "_master.info"))
+    assert (info.file, info.pos) == ("a-bin.000003", 777)
+    assert info.gtid_set == f"{sid}:1-5"

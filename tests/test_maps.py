@@ -16,6 +16,9 @@ ROWS = [
     ("g1", {"a": None, "d": 7}),        # NULL value skipped
     ("g2", {"x": -5}),
     ("g2", {}),
+    ("g3", None),                       # all-NULL group: kept, {} --
+    ("g3", {}),                         # ClickHouse sumMap keeps it
+    ("g4", {"a": None}),                # only NULL values: kept, {}
 ]
 
 

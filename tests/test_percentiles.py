@@ -93,3 +93,46 @@ def test_null_values_ignored_like_builtin(spark):
                                        mode=mode, buckets=4).collect()}
         assert got["a"] == pytest.approx(want["a"])   # 3.0, not 1.0
         assert got["b"] == pytest.approx(want["b"])
+
+
+def test_auto_with_rows_hint_runs_zero_jobs(spark, monkeypatch):
+    """mode='auto' with rows_hint must pick the shape from the hint
+    alone -- no count() job (VERDICT r11 ask #6; pipelines must not
+    pay an extra scan for shape selection)."""
+    from pyspark.sql import DataFrame
+    from mysql_syncer_clickhouse_spark.operators import percentiles as P
+    df = _fixture(spark, n=400)
+    monkeypatch.setattr(
+        DataFrame, "count",
+        lambda self: (_ for _ in ()).throw(
+            AssertionError("auto with rows_hint must not count()")))
+    small = exact_group_percentiles(df, "g", "v", [0.5], mode="auto",
+                                    rows_hint=400)
+    assert "__b" not in small._jdf.queryExecution() \
+        .executedPlan().toString()          # window shape picked
+    big = exact_group_percentiles(
+        df, "g", "v", [0.5], mode="auto",
+        rows_hint=P.AUTO_RANGE_THRESHOLD + 1)
+    assert "__b" in big._jdf.queryExecution() \
+        .executedPlan().toString()          # range shape picked
+
+
+def test_colliding_percentile_tags_refused(spark):
+    """0.5 and 0.504 both tag 'p50' -- silent duplicate aliases; the
+    operator must raise instead (ADVICE r11)."""
+    df = _fixture(spark, n=100)
+    with pytest.raises(ValueError, match="colliding"):
+        exact_group_percentiles(df, "g", "v", [0.5, 0.504])
+
+
+def test_range_buckets_one_clamped(spark):
+    """buckets=1 used to build an EMPTY percentage list for
+    percentile_approx (analysis-time failure); it now clamps to 2 and
+    still matches the window shape (ADVICE r11)."""
+    df = _fixture(spark, n=503)
+    w = {r["g"]: r["p50"] for r in exact_group_percentiles(
+        df, "g", "v", [0.5], mode="window").collect()}
+    r = {r["g"]: r["p50"] for r in exact_group_percentiles(
+        df, "g", "v", [0.5], mode="range", buckets=1).collect()}
+    for g in w:
+        assert r[g] == pytest.approx(w[g], abs=1e-9)
