@@ -12,6 +12,9 @@ onto Spark types (SURVEY.md §1.2):
   (a driver limitation) is opt-in via mirror_decimal_fallback
   enum/set -> string, json -> string (parse-on-demand), default -> string
   Nullable(T) -> StructField nullability
+  list / list(inner) pseudo-types (the rules' ',list' transform and
+  typed Spark arrays) -> ArrayType / Array(T), recursive, never
+  Nullable-wrapped; unmapped array ELEMENT types refuse loudly
 """
 
 from __future__ import annotations
@@ -37,7 +40,13 @@ def mysql_to_spark_type(mysql_type: str, *,
     base = re.split(r"[\s(]", t, 1)[0]
 
     if base == "list":
-        # the rules' ',list' transform's pseudo-type (array<string>)
+        # the rules' ',list' transform's pseudo-type. Bare 'list' is
+        # array<string>; 'list(inner)' recurses for typed arrays --
+        # 'list(bigint)' -> array<long>, 'list(list(int))' nests
+        m = re.match(r"list\s*\((.+)\)$", t)
+        if m:
+            return T.ArrayType(mysql_to_spark_type(
+                m.group(1), mirror_decimal_fallback=mirror_decimal_fallback))
         return T.ArrayType(T.StringType())
     if base in _INT:
         signed, widened = _INT[base]
@@ -104,7 +113,12 @@ def mysql_to_clickhouse_type(mysql_type: str, nullable: bool = False) -> str:
     if base == "list":
         # ',list' columns land as a real ClickHouse Array -- never
         # Nullable-wrapped (CH forbids Nullable(Array); a missing
-        # value is the empty array)
+        # value is the empty array). 'list(inner)' recurses:
+        # list(bigint) -> Array(Int64), list(list(int)) nests -- the
+        # native wire encoder is recursive over any inner encoder
+        m = re.match(r"list\s*\((.+)\)$", t)
+        if m:
+            return f"Array({mysql_to_clickhouse_type(m.group(1), False)})"
         return "Array(String)"
     if base in _CH_INT:
         ch = _CH_INT[base]
@@ -212,15 +226,37 @@ def spark_type_to_mysql(dt: T.DataType) -> str:
         return "datetime(6)"
     if isinstance(dt, T.DecimalType):
         return f"decimal({dt.precision},{dt.scale})"
-    if isinstance(dt, T.ArrayType) and isinstance(dt.elementType,
-                                                  T.StringType):
-        return "list"        # ',list' transform output -> CH Array
+    if isinstance(dt, T.ArrayType):
+        et = dt.elementType
+        if isinstance(et, T.StringType):
+            return "list"    # ',list' transform output -> Array(String)
+        if isinstance(et, (T.ByteType, T.ShortType, T.IntegerType,
+                           T.LongType, T.FloatType, T.DoubleType,
+                           T.DateType, T.ArrayType)):
+            # typed arrays recurse: array<long> -> list(bigint) ->
+            # Array(Int64); the native encoder handles any nesting
+            return f"list({spark_type_to_mysql(et)})"
+        # REFUSE the rest loudly: the String catch-all would encode
+        # array values through bytes(list) -- silent wire corruption
+        raise ValueError(
+            f"no ClickHouse Array mapping for array element type "
+            f"{et.simpleString()}; supported elements: string, "
+            f"tinyint..bigint, float, double, date, nested arrays")
     # string/binary/complex -> the reference's String fallback
     return "text"
 
 
 def columns_from_spark_schema(schema: T.StructType) -> list[tuple]:
     """StructType -> (name, mysql_type, nullable) triples for the
-    ClickHouse sinks' auto-CREATE and native block encode."""
-    return [(f.name, spark_type_to_mysql(f.dataType), bool(f.nullable))
-            for f in schema.fields]
+    ClickHouse sinks' auto-CREATE and native block encode. Raises
+    ValueError naming the COLUMN for array element types the authority
+    can't map (better a loud refusal at attach time than corrupt wire
+    bytes on the first batch)."""
+    out = []
+    for f in schema.fields:
+        try:
+            out.append((f.name, spark_type_to_mysql(f.dataType),
+                        bool(f.nullable)))
+        except ValueError as e:
+            raise ValueError(f"column {f.name!r}: {e}") from None
+    return out

@@ -946,3 +946,45 @@ def test_list_rule_to_native_sink_e2e(spark, tmp_path, fake_native):
     got = {r[2]: r[3] for _, rows in fake_native.inserts
            for r in rows}
     assert got == {1: ["a", "b", "c"], 2: []}
+
+
+def test_typed_array_columns_end_to_end(spark, fake_native):
+    """VERDICT r11 ask #1 e2e: typed arrays (int64, float64, date,
+    nested) flow Spark schema -> type authority -> auto-DDL -> native
+    wire, decoded back by the fake server's INDEPENDENT decoder.
+    Before the 'list(inner)' mapping these fell to the String
+    catch-all and corrupted the wire bytes."""
+    import datetime
+
+    from mysql_syncer_clickhouse_spark.functions.typemap import (
+        columns_from_spark_schema)
+    from mysql_syncer_clickhouse_spark.sinks.clickhouse_native import (
+        ClickHouseNativeSink)
+
+    # CH Date is UInt16 days since 1970 -- stay in range (the scalar
+    # Date encoder has the same domain; pre-epoch needs Date32)
+    d1, d2 = datetime.date(2024, 1, 2), datetime.date(1970, 1, 1)
+    df = spark.createDataFrame(
+        [(1, "insert", 10, [1, 2, 3], [0.5, -2.25], [d1, d2], [[7], []]),
+         (2, "insert", 20, [], None, None, None)],
+        "seq long, op string, id long, xs array<long>, "
+        "fs array<double>, ds array<date>, nest array<array<long>>")
+    cols = columns_from_spark_schema(df.schema)
+    assert ("xs", "list(bigint)", True) in cols
+    sink = ClickHouseNativeSink(
+        host=fake_native.host, port=fake_native.port,
+        database="olap", table="t_arr", columns=cols, pk=("id",),
+        compression=True)
+    sink.ensure_table()
+    ddl = next(q for q in fake_native.queries if "CREATE TABLE" in q)
+    for ch in ("Array(Int64)", "Array(Float64)", "Array(Date)",
+               "Array(Array(Int64))"):
+        assert ch in ddl and f"Nullable({ch}" not in ddl
+    sink.apply_batch(df, epoch_id=0)
+    got = {r[2]: r[3:] for _, rows in fake_native.inserts for r in rows}
+    assert got[10][0] == [1, 2, 3]
+    assert got[10][1] == [0.5, -2.25]
+    assert got[10][2] == [d1, d2]
+    assert got[10][3] == [[7], []]
+    # NULL / missing arrays land as [] (CH forbids Nullable(Array))
+    assert got[20] == ([], [], [], [])

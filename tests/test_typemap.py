@@ -43,3 +43,46 @@ def test_misc():
     assert mysql_to_spark_type("json") == T.StringType()
     assert mysql_to_spark_type("varchar(255)") == T.StringType()
     assert mysql_to_spark_type("sometype") == T.StringType()
+
+
+def test_typed_array_pseudo_types_round_trip_authority():
+    """VERDICT r11 ask #1: 'list(inner)' generalizes the ',list'
+    pseudo-type -- every mapped element type round-trips
+    Spark array -> mysql pseudo-type -> ClickHouse Array(T), and the
+    CH image is NEVER Nullable-wrapped."""
+    from mysql_syncer_clickhouse_spark.functions.typemap import (
+        mysql_to_clickhouse_type, spark_type_to_mysql)
+
+    cases = [
+        (T.ArrayType(T.StringType()), "list", "Array(String)"),
+        (T.ArrayType(T.ByteType()), "list(tinyint)", "Array(Int8)"),
+        (T.ArrayType(T.ShortType()), "list(smallint)", "Array(Int16)"),
+        (T.ArrayType(T.IntegerType()), "list(int)", "Array(Int32)"),
+        (T.ArrayType(T.LongType()), "list(bigint)", "Array(Int64)"),
+        (T.ArrayType(T.FloatType()), "list(float)", "Array(Float32)"),
+        (T.ArrayType(T.DoubleType()), "list(double)", "Array(Float64)"),
+        (T.ArrayType(T.DateType()), "list(date)", "Array(Date)"),
+        (T.ArrayType(T.ArrayType(T.LongType())), "list(list(bigint))",
+         "Array(Array(Int64))"),
+    ]
+    for spark_t, mysql_t, ch_t in cases:
+        assert spark_type_to_mysql(spark_t) == mysql_t
+        assert mysql_to_clickhouse_type(mysql_t, True) == ch_t, mysql_t
+        assert mysql_to_spark_type(mysql_t) == spark_t
+
+
+def test_unmapped_array_element_refuses_loudly():
+    """An array element type the authority can't map must RAISE with
+    the column name -- the old String catch-all encoded arrays through
+    bytes(list), silent wire corruption (VERDICT r11 ask #1)."""
+    import pytest
+
+    from mysql_syncer_clickhouse_spark.functions.typemap import (
+        columns_from_spark_schema, spark_type_to_mysql)
+    with pytest.raises(ValueError, match="array element"):
+        spark_type_to_mysql(T.ArrayType(T.TimestampType()))
+    schema = T.StructType([
+        T.StructField("id", T.LongType(), False),
+        T.StructField("weird", T.ArrayType(T.BooleanType()), True)])
+    with pytest.raises(ValueError, match="'weird'"):
+        columns_from_spark_schema(schema)
