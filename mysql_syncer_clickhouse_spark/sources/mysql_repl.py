@@ -684,7 +684,13 @@ class GtidSet:
 
     def __init__(self, text: str = ""):
         self._ivs: dict[str, list[list[int]]] = {}
-        for part in (text or "").replace(" ", "").split(","):
+        self.merge_text(text)
+
+    def merge_text(self, text: str) -> None:
+        """Fold another executed set (canonical text; the server's
+        @@GLOBAL.gtid_executed may be line-wrapped) into this one."""
+        cleaned = (text or "").replace(" ", "").replace("\n", "")
+        for part in cleaned.split(","):
             if not part:
                 continue
             uuid, *ivs = part.split(":")
@@ -1074,6 +1080,44 @@ def tail_resumable(client_factory, relay_dir: str,
     mtracker = MariadbGtidState(mariadb_gtid or "")
     gtid_mode = gtid_set is not None
     mariadb_mode = mariadb_gtid is not None
+    # file/pos-mode seeding (VERDICT r11 ask #2): the tracker can be
+    # made COMPLETE by merging the server's @@GLOBAL.gtid_executed at
+    # register time, but it only becomes SAFE to persist once the
+    # relay catches up to the tip observed at the seed read -- until
+    # then the set is ahead of the relay, and a crash + `@info`
+    # auto-position resume would skip binlog events never applied.
+    seed_gate: list = [None]          # (file, pos) consistency point
+    seed_reached = [False]
+
+    def _pos_key(name: str, pos: int):
+        try:                          # binlog names order by suffix
+            return (0, int(name.rsplit(".", 1)[1]), pos)
+        except (IndexError, ValueError):
+            return (1, name, pos)
+
+    def _seed_executed_set(client) -> None:
+        try:
+            rows = client.query_rows("SELECT @@GLOBAL.gtid_executed")
+            text = (rows[0][0] or "") if rows and rows[0] else ""
+            if not text:
+                return                # GTID off -> stay unseeded
+            tracker.merge_text(text)
+            # tip read AFTER the set: tip >= set, so reaching the tip
+            # guarantees every seeded GTID's event is in the relay
+            seed_gate[0] = client.master_status()
+        except (MySQLServerError, MySQLProtocolError, BinlogError):
+            return                    # MariaDB / no support: unseeded
+
+    def _seed_complete(writer) -> bool:
+        if seed_reached[0]:
+            return True
+        g = seed_gate[0]
+        if g is None or writer is None or writer.server_file is None:
+            return False
+        if (_pos_key(writer.server_file, writer.next_pos)
+                >= _pos_key(g[0], g[1])):
+            seed_reached[0] = True
+        return seed_reached[0]
 
     def _persist(writer) -> None:
         if master_info is None:
@@ -1081,14 +1125,15 @@ def tail_resumable(client_factory, relay_dir: str,
         if writer is not None and writer.server_file is not None:
             master_info.file = writer.server_file
             master_info.pos = max(4, writer.next_pos)
-        # Persist the GTID set ONLY when this run started in GTID mode
-        # (tracker seeded from a complete executed set): a file/pos
-        # tail's tracker starts EMPTY and holds only GTIDs streamed
-        # since the tail began -- partial by construction, and a later
-        # `@info` resume preferring it would re-request the server's
-        # entire retained history (ADVICE r10 medium). A stale
-        # complete set from an earlier GTID run stays untouched.
-        if gtid_mode and tracker:
+        # Persist the GTID set ONLY when it is COMPLETE: a run that
+        # started in GTID mode is seeded by construction; a file/pos
+        # run qualifies once the gtid_executed seed's gate position is
+        # reached. An UNSEEDED file/pos tracker holds only GTIDs
+        # streamed since the tail began -- partial by construction,
+        # and a later `@info` resume preferring it would re-request
+        # the server's entire retained history (ADVICE r10 medium).
+        # A stale complete set from an earlier GTID run stays put.
+        if (gtid_mode or _seed_complete(writer)) and tracker:
             master_info.gtid_set = tracker.text()
         if mariadb_mode and mtracker:
             master_info.mariadb_gtid = mtracker.text()
@@ -1115,6 +1160,8 @@ def tail_resumable(client_factory, relay_dir: str,
                 client.register_and_dump_mariadb_gtid(
                     mariadb_gtid, non_block=non_block)
             else:
+                if master_info is not None:
+                    _seed_executed_set(client)
                 if start_file is None:
                     start_file, start_pos = client.master_status()
                 client.register_and_dump(start_file, start_pos,

@@ -85,6 +85,9 @@ class FakeMySQL:
         # the transactions NOT in the announced set; tests script that
         # subset here). None = stream self.files (legacy behavior).
         self.gtid_files_fn = None
+        # what SELECT @@GLOBAL.gtid_executed reports; None = a server
+        # without GTID support (generic OK, no resultset)
+        self.gtid_executed: str | None = None
         self._lock = threading.Lock()
         outer = self
 
@@ -204,6 +207,11 @@ class FakeMySQL:
                     self._send_resultset(
                         sock, [b"@@global.binlog_checksum"],
                         [self.binlog_checksum.encode()])
+                elif sql.startswith("SELECT @@GLOBAL.GTID_EXECUTED") \
+                        and self.gtid_executed is not None:
+                    self._send_resultset(
+                        sock, [b"@@GLOBAL.gtid_executed"],
+                        [self.gtid_executed.encode()])
                 elif sql.startswith("SELECT 1, NULL, 'X'"):
                     # the interop suite's probe row (selftest twin)
                     self._send_resultset(sock, [b"1", b"NULL", b"x"],
@@ -1772,3 +1780,91 @@ def test_cli_tail_follow_continuous_loop(tmp_path, spark):
     # exactly-once means every distinct (seq, op, id) appears, each
     # re-play byte-identical (seq derives from (file, pos, row))
     assert sink.select("seq", "op", "id").distinct().count() == 4
+
+
+def test_file_pos_tail_seeds_complete_gtid_set_and_fails_over(
+        tmp_path, spark):
+    """VERDICT r11 ask #2's done-criterion: the two-server failover
+    e2e with the FIRST tail starting in (file, pos) mode. The tail
+    seeds its tracker from the server's @@GLOBAL.gtid_executed at
+    register time, so master.info ends up with a COMPLETE executed
+    set; `--tail @info` then resumes against a second server with
+    disjoint binlog names in GTID auto-position mode -- the server
+    serves exactly the complement, zero loss, zero dup."""
+    from mysql_syncer_clickhouse_spark.operators.upsert import latest_state
+    relay = tmp_path / "relay"
+    info_path = str(tmp_path / "master.info")
+
+    srv_a = FakeMySQL({"a-bin.000001": _gtid_txn_file(1, [
+        (1, [(1, "one", 10)]), (2, [(2, "two", 20)]),
+        (3, [(3, "three", 30)])])})
+    srv_a.gtid_executed = f"{SID_TEXT}:1-3"
+    srv_a.start()
+    info = R.MasterInfo.load(info_path)
+    n1 = R.tail_resumable(
+        lambda: R.ReplicationClient(srv_a.host, srv_a.port,
+                                    user=USER, password=PASSWORD),
+        str(relay), "a-bin.000001", non_block=True, master_info=info)
+    srv_a.stop()
+    assert n1 > 0
+    # the dump itself ran in file/pos mode...
+    dumps = [op for op, _ in srv_a.commands
+             if op in (R.COM_BINLOG_DUMP, R.COM_BINLOG_DUMP_GTID)]
+    assert dumps == [R.COM_BINLOG_DUMP]
+    # ...yet the info carries the COMPLETE seeded set
+    saved = R.MasterInfo.load(info_path)
+    assert saved.gtid_set == f"{SID_TEXT}:1-3"
+    assert saved.file == "a-bin.000001"
+
+    served_sets = []
+
+    def files_for(set_text):
+        served_sets.append(set_text)
+        return {"b-bin.000009": _gtid_txn_file(9, [
+            (4, [(4, "four", 40)]), (5, [(5, "five", 50)])])}
+
+    srv_b = FakeMySQL({})
+    srv_b.gtid_files_fn = files_for
+    srv_b.start()
+    n2 = R.tail_resumable(
+        lambda: R.ReplicationClient(srv_b.host, srv_b.port,
+                                    user=USER, password=PASSWORD),
+        str(relay), non_block=True,
+        master_info=R.MasterInfo.load(info_path),
+        resume_from_info=True)
+    srv_b.stop()
+    assert n2 > 0
+    assert served_sets == [f"{SID_TEXT}:1-3"]
+    assert R.MasterInfo.load(info_path).gtid_set == f"{SID_TEXT}:1-5"
+
+    env = B.read_binlog_files(spark, str(relay))
+    cl = B.binlog_to_changelog(env, ROW_DDL, db="app", table="items")
+    final = {r["id"]: (r["title"], r["qty"])
+             for r in latest_state(cl, ["id"]).collect()}
+    assert final == {1: ("one", 10), 2: ("two", 20), 3: ("three", 30),
+                     4: ("four", 40), 5: ("five", 50)}
+    assert cl.count() == 5
+
+
+def test_seeded_set_not_persisted_before_catching_up(tmp_path):
+    """The seed-gate safety half of r11 ask #2: the executed set read
+    at register time is AHEAD of the relay until the tail catches up
+    to the tip observed at the seed read. A tail cut short of that
+    tip must NOT persist the set -- a crash + `@info` auto-position
+    resume would skip the unapplied remainder."""
+    srv = FakeMySQL({"mysql-bin.000001": _gtid_txn_file(1, [
+        (1, [(1, "a", 1)]), (2, [(2, "b", 2)]), (3, [(3, "c", 3)])])})
+    srv.gtid_executed = f"{SID_TEXT}:1-3"
+    srv.start()
+    info_path = str(tmp_path / "master.info")
+    n = R.tail_resumable(
+        lambda: R.ReplicationClient(srv.host, srv.port,
+                                    user=USER, password=PASSWORD),
+        str(tmp_path / "relay"), "mysql-bin.000001", non_block=True,
+        max_events=3,                    # stops inside txn 1
+        master_info=R.MasterInfo.load(info_path))
+    srv.stop()
+    assert n == 3
+    saved = R.MasterInfo.load(info_path)
+    assert saved.gtid_set == ""          # ahead-of-relay set withheld
+    assert saved.file == "mysql-bin.000001" and saved.pos > 4
