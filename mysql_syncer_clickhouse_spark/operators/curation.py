@@ -498,13 +498,25 @@ def dsir_resample(docs: DataFrame, target: DataFrame, *, k: int,
     selected docs.
 
     The global top-k is a sort-limit (Spark runs it as per-partition
-    top-k + a k-row merge, no full sort materialization)."""
-    raw = docs.join(target.select(F.col(id_col).alias("id")),
-                    docs[id_col] == F.col("id"), "left_anti")
-    lr = dsir_logratio_table(raw, target, id_col=id_col,
-                             text_col=text_col, n=n, buckets=buckets)
+    top-k + a k-row merge, no full sort materialization).
+
+    ONE-PASS TOKENIZE (VERDICT r11 ask #3): `docs` is tokenized
+    exactly once -- the bag is pinned and the raw-model side derives
+    from it by an anti-join on target ids (raw IS docs-minus-target,
+    so its bag is a row-subset of the doc bag). Without this the
+    chain tokenized the corpus twice (model + scoring), and the
+    scoring tokenize alone was 13 of 30.6 s at the x100 probe. The
+    pin is the registry's own pattern (compact post-explode columns;
+    a 100 TB run would parquet-checkpoint the same relation)."""
+    doc_bag = (_bag_gram_buckets(docs, id_col, text_col, n, buckets)
+               .localCheckpoint(eager=False))
+    tgt_ids = target.select(F.col(id_col).alias("id"))
+    lr = dsir_logratio_table(
+        None, target, id_col=id_col, text_col=text_col, n=n,
+        buckets=buckets,
+        raw_buckets=doc_bag.join(tgt_ids, "id", "left_anti"))
     scores = dsir_scores(docs, lr, id_col=id_col, text_col=text_col,
-                         n=n, buckets=buckets)
+                         n=n, buckets=buckets, doc_buckets=doc_bag)
     u = (TX.portable_hash32(
             F.concat_ws(":", F.lit(seed), F.col("id").cast("string")))
          % 1_000_000 + 0.5) / 1e6

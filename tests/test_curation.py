@@ -1024,3 +1024,28 @@ def test_one_scan_plans_have_single_explode(spark):
         docs, min_tokens=4)) == 1
     assert n_generates(curation.remove_duplicate_spans(
         docs, span_words=4)) == 1
+
+
+def test_dsir_resample_tokenizes_corpus_once(spark, monkeypatch):
+    """VERDICT r11 ask #3: the standalone resample chain tokenizes
+    `docs` exactly ONCE (the raw-model bag derives from the pinned doc
+    bag by an id anti-join) plus once for the small target -- the old
+    chain tokenized raw AND docs separately, and the scoring tokenize
+    alone was 13 of 30.6 s at the x100 probe. Results unchanged."""
+    raw, target = _dsir_fixture(spark)
+    docs = raw.unionByName(target)
+    want = sorted(r["id"] for r in
+                  curation.dsir_resample(docs, target, k=4, n=3).collect())
+
+    calls = []
+    real = curation._bag_gram_buckets
+
+    def counting(df, *a, **kw):
+        calls.append(1)
+        return real(df, *a, **kw)
+
+    monkeypatch.setattr(curation, "_bag_gram_buckets", counting)
+    got = sorted(r["id"] for r in
+                 curation.dsir_resample(docs, target, k=4, n=3).collect())
+    assert got == want
+    assert len(calls) == 2          # docs once + target once, never raw
