@@ -56,6 +56,22 @@ class _AggregatedMetrics:
         return {"applied_seq": max(seqs) if seqs else None,
                 "applied_epoch": max(epochs) if epochs else None}
 
+    def sink_snapshot(self) -> dict | None:
+        """Sum every rule's sink counters; rate derives from the sums
+        (rows / summed connection wall = fleet-wide rows/s/conn)."""
+        tot = {"rows_written": 0, "conn_wall_us": 0, "epochs": 0}
+        for p in self._pipes:
+            s = p.metrics.sink_stats
+            if s:
+                for k in tot:
+                    tot[k] += int(s.get(k, 0))
+        if not tot["rows_written"]:
+            return None
+        wall = tot["conn_wall_us"] / 1e6
+        tot["rows_per_sec_per_conn"] = (
+            round(tot["rows_written"] / wall) if wall > 0 else None)
+        return tot
+
 
 def _start_stat_server(stat_addr: str, pipes: list[StreamingSyncPipeline]):
     """stat_addr is 'host:port' (river.toml format). The server is a
@@ -95,16 +111,15 @@ def _attach_ch_sink(cfg: EngineConfig, pipe: StreamingSyncPipeline,
     else:
         from .sinks.clickhouse_native import ClickHouseNativeSink
         host, _, port = addr.rpartition(":")
-        ctx = None
-        if cfg.sink_secure or cfg.sink_ca:
-            import ssl
-            ctx = ssl.create_default_context(cafile=cfg.sink_ca)
+        # TLS config stays PICKLABLE (secure/ca_file, not a built
+        # SSLContext): apply_batch's per-partition connections open on
+        # executors and rebuild their contexts from these fields
         sink = ClickHouseNativeSink(
             host=host or "127.0.0.1", port=int(port or 9000),
             database=db, table=table, columns=cols, pk=pk,
             user=cfg.sink_user or "default",
             password=cfg.sink_pass or "",
-            ssl_context=ctx)
+            secure=bool(cfg.sink_secure), ca_file=cfg.sink_ca or None)
     sink.ensure_table()
     pipe.ch_sink = sink
     return f"clickhouse://{addr}/{db}.{table}"

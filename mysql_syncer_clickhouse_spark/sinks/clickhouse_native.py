@@ -182,6 +182,21 @@ def _lz4_codec():
     return pa.Codec("lz4_raw")
 
 
+def build_tls_context(ca_file: "str | None" = None,
+                      insecure: bool = False):
+    """Build the secure-port SSLContext from picklable inputs --
+    executors rebuild per-partition contexts through this (an
+    ssl.SSLContext itself cannot be serialized into a Spark task).
+    `ca_file` pins a CA bundle (system trust store when None);
+    `insecure` skips verification (test servers only)."""
+    import ssl
+    ctx = ssl.create_default_context(cafile=ca_file)
+    if insecure:
+        ctx.check_hostname = False
+        ctx.verify_mode = ssl.CERT_NONE
+    return ctx
+
+
 def compress_frame(data: bytes, method: int = COMPRESSION_LZ4) -> bytes:
     """One native-protocol compressed frame: CityHash128-v1.0.2
     checksum (16 bytes, low u64 first) over [method byte |
@@ -605,17 +620,43 @@ class ClickHouseNativeSink:
     # default; 'zstd' also supported); negotiated off automatically
     # against pre-54058 servers
     compression: "bool | str" = True
-    # TLS for the secure native port (9440): an ssl.SSLContext, or
-    # None for plaintext. See NativeConnection.
+    # TLS for the secure native port (9440). `secure`/`ca_file`/
+    # `tls_insecure` are the PICKLABLE configuration -- apply_batch's
+    # per-partition connections open on EXECUTORS, where an
+    # ssl.SSLContext object cannot travel (not serializable), so each
+    # partition rebuilds its context from these. `ssl_context` is
+    # honored for driver-side control connections (execute /
+    # ensure_table) and by callers using NativeConnection directly;
+    # a sink configured ONLY via ssl_context refuses apply_batch
+    # loudly rather than silently writing plaintext from executors.
+    secure: bool = False
+    ca_file: "str | None" = None
+    tls_insecure: bool = False
     ssl_context: "object | None" = field(default=None, repr=False)
+    # cumulative feed-rate counters (VERDICT r11 ask #8): rows written
+    # and the SUM of per-partition-connection wall time, accumulated
+    # executor-side via Spark accumulators and read back on the
+    # driver after each epoch -- rows/conn_wall is the bench harness's
+    # rows/s/conn number, live, with no extra scan of the batch
+    write_stats: dict = field(default_factory=lambda: {
+        "rows_written": 0, "conn_wall_us": 0, "epochs": 0})
     _known_cols: set[str] | None = field(default=None, repr=False)
 
+    def _tls_config(self) -> "tuple[str | None, bool] | None":
+        """(ca_file, insecure) when TLS is configured picklably."""
+        if self.secure or self.ca_file:
+            return (self.ca_file, self.tls_insecure)
+        return None
+
     def _connect(self) -> NativeConnection:
+        ctx = self.ssl_context
+        if ctx is None and self._tls_config() is not None:
+            ctx = build_tls_context(*self._tls_config())
         return NativeConnection(self.host, self.port,
                                 database=self.database, user=self.user,
                                 password=self.password,
                                 compression=self.compression,
-                                ssl_context=self.ssl_context)
+                                ssl_context=ctx)
 
     def execute(self, sql: str) -> None:
         conn = self._connect()
@@ -675,10 +716,22 @@ class ClickHouseNativeSink:
         database, user, password = self.database, self.user, self.password
         bulk = self.bulk_size
         compression = self.compression
+        tls_cfg = self._tls_config()
+        if self.ssl_context is not None and tls_cfg is None:
+            raise ValueError(
+                "ClickHouseNativeSink: ssl_context cannot reach "
+                "executors (SSLContext is not picklable) -- configure "
+                "TLS for the distributed write path with secure=True / "
+                "ca_file= / tls_insecure= instead")
         token_prefix = (f"{self.database}.{self.table}:{epoch_id}"
                         if self.dedup_tokens else None)
+        sc = batch_df.sparkSession.sparkContext
+        rows_acc = sc.accumulator(0)
+        wall_acc = sc.accumulator(0)
 
         def send_partition(rows) -> None:
+            import time as _time
+            t0 = _time.monotonic()
             settings = None
             if token_prefix is not None:
                 from pyspark import TaskContext
@@ -695,16 +748,23 @@ class ClickHouseNativeSink:
                         yield buf
                         buf = []
                 yield buf
-            conn = NativeConnection(host, port, database=database,
-                                    user=user, password=password,
-                                    compression=compression)
+            conn = NativeConnection(
+                host, port, database=database, user=user,
+                password=password, compression=compression,
+                ssl_context=(build_tls_context(*tls_cfg)
+                             if tls_cfg is not None else None))
             try:
-                conn.insert_blocks(sql, cols, blocks(),
-                                   settings=settings)
+                sent = conn.insert_blocks(sql, cols, blocks(),
+                                          settings=settings)
             finally:
                 conn.close()
+            rows_acc.add(int(sent))
+            wall_acc.add(int((_time.monotonic() - t0) * 1e6))
 
         batch_df.foreachPartition(send_partition)
+        self.write_stats["rows_written"] += rows_acc.value
+        self.write_stats["conn_wall_us"] += wall_acc.value
+        self.write_stats["epochs"] += 1
 
     def attach(self, stream: DataFrame, checkpoint_dir: str,
                ensure: bool = True):

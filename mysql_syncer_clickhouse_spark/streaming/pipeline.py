@@ -42,6 +42,11 @@ class SyncMetrics:
     counts: dict[str, int] = field(default_factory=dict)
     applied_seq: int | None = None
     applied_epoch: int | None = None
+    # live sink feed rate (VERDICT r11 ask #8): the ClickHouse sink's
+    # cumulative {rows_written, conn_wall_us, epochs} counters, copied
+    # after each epoch -- /stat derives rows/s/conn from them so a
+    # deployment sees sink throughput without the bench harness
+    sink_stats: dict | None = None
 
     def record_counts(self, counts: dict[str, int]) -> None:
         for op, n in counts.items():
@@ -65,6 +70,22 @@ class SyncMetrics:
     def position_snapshot(self) -> dict:
         return {"applied_seq": self.applied_seq,
                 "applied_epoch": self.applied_epoch}
+
+    def record_sink_stats(self, stats: dict) -> None:
+        self.sink_stats = dict(stats)
+
+    def sink_snapshot(self) -> dict | None:
+        """Cumulative sink counters + the derived per-connection feed
+        rate (rows / summed connection wall -- the bench harness's
+        rows/s/conn number, live). None until the first sink write."""
+        s = self.sink_stats
+        if not s or not s.get("rows_written"):
+            return None
+        out = dict(s)
+        wall = s.get("conn_wall_us", 0) / 1e6
+        out["rows_per_sec_per_conn"] = (
+            round(s["rows_written"] / wall) if wall > 0 else None)
+        return out
 
 
 @dataclass
@@ -119,6 +140,9 @@ class StreamingSyncPipeline:
             # dominate at any scale)
             observed = projected.agg(*stat_cols).collect()[0].asDict()
             self.ch_sink.apply_batch(projected, epoch_id)
+            stats = getattr(self.ch_sink, "write_stats", None)
+            if stats:
+                self.metrics.record_sink_stats(stats)
         else:
             obs = Observation()
             projected = projected.observe(obs, *stat_cols)

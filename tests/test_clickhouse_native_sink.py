@@ -988,3 +988,97 @@ def test_typed_array_columns_end_to_end(spark, fake_native):
     assert got[10][3] == [[7], []]
     # NULL / missing arrays land as [] (CH forbids Nullable(Array))
     assert got[20] == ([], [], [], [])
+
+
+def test_stat_sink_feed_rate_advances_across_epochs(spark, fake_native):
+    """VERDICT r11 ask #8's done-criterion: /stat carries the native
+    sink's live feed rate (rows written, summed per-connection wall,
+    rows/s/conn) and the counters ADVANCE across epochs."""
+    import json
+    import urllib.request
+
+    from mysql_syncer_clickhouse_spark.sinks.clickhouse_native import (
+        ClickHouseNativeSink)
+    from mysql_syncer_clickhouse_spark.streaming.pipeline import (
+        SyncMetrics)
+    from mysql_syncer_clickhouse_spark.streaming.status import (
+        StatusServer)
+
+    sink = ClickHouseNativeSink(
+        host=fake_native.host, port=fake_native.port,
+        database="olap", table="t_rate",
+        columns=[("id", "bigint", False), ("v", "bigint", True)],
+        pk=("id",), compression=True)
+    sink.ensure_table()
+    metrics = SyncMetrics()
+    srv = StatusServer(metrics, port=0).start()
+
+    def stat():
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{srv.port}/stat", timeout=5) as r:
+            return json.loads(r.read())
+
+    try:
+        assert "sink" not in stat()          # nothing written yet
+        df1 = spark.createDataFrame([(1, 10), (2, 20)],
+                                    "id long, v long")
+        sink.apply_batch(df1, epoch_id=0)
+        metrics.record_sink_stats(sink.write_stats)
+        s1 = stat()["sink"]
+        assert s1["rows_written"] == 2 and s1["epochs"] == 1
+        assert s1["conn_wall_us"] > 0
+        assert s1["rows_per_sec_per_conn"] > 0
+
+        df2 = spark.createDataFrame([(3, 30), (4, 40), (5, 50)],
+                                    "id long, v long")
+        sink.apply_batch(df2, epoch_id=1)
+        metrics.record_sink_stats(sink.write_stats)
+        s2 = stat()["sink"]
+        assert s2["rows_written"] == 5 and s2["epochs"] == 2
+        assert s2["conn_wall_us"] > s1["conn_wall_us"]
+    finally:
+        srv.stop()
+
+
+def test_sink_tls_reaches_executor_write_path(spark, tmp_path):
+    """The distributed write path (apply_batch -> foreachPartition ->
+    per-partition connections on EXECUTORS) must speak TLS when the
+    sink is TLS-configured. An SSLContext object cannot travel into a
+    Spark task, so the sink carries picklable secure/ca_file config
+    and each partition rebuilds its context; a sink configured ONLY
+    via ssl_context refuses apply_batch loudly instead of silently
+    writing plaintext."""
+    import ssl
+
+    from tests.test_mysql_repl import _self_signed_cert
+
+    certfile, keyfile = _self_signed_cert(tmp_path)
+    sctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+    sctx.load_cert_chain(certfile, keyfile)
+    srv = _FakeNativeClickHouse()
+    srv._srv.socket = sctx.wrap_socket(srv._srv.socket,
+                                       server_side=True)
+    srv.start()
+    try:
+        from mysql_syncer_clickhouse_spark.sinks.clickhouse_native \
+            import ClickHouseNativeSink
+        sink = ClickHouseNativeSink(
+            host=srv.host, port=srv.port,
+            database="olap", table="t_tls",
+            columns=[("id", "bigint", False), ("s", "text", True)],
+            pk=("id",), compression=True, ca_file=certfile)
+        sink.ensure_table()                  # driver-side control conn
+        df = spark.createDataFrame([(1, "tls"), (2, "wire")],
+                                   "id long, s string").coalesce(1)
+        sink.apply_batch(df, epoch_id=0)     # executor-side data conn
+        assert srv.inserts[0][1] == [(1, "tls"), (2, "wire")]
+        assert sink.write_stats["rows_written"] == 2
+
+        ctx_only = ClickHouseNativeSink(
+            host=srv.host, port=srv.port, database="olap",
+            table="t_tls", columns=[("id", "bigint", False)],
+            pk=("id",), ssl_context=ssl.create_default_context())
+        with pytest.raises(ValueError, match="picklable"):
+            ctx_only.apply_batch(df.select("id"), epoch_id=0)
+    finally:
+        srv.stop()
