@@ -272,6 +272,54 @@ def xdup_stage_cuts(docs, n: int = 3, min_docs: int = 2) -> dict:
     return cuts
 
 
+def canonical_stage_cuts(docs, k: int = 8, threshold: float = 0.5,
+                         bucket_cap: int = 64) -> dict:
+    """Per-stage attribution for minhash_dedup_canonical (VERDICT r11
+    ask #4): at 185 s x100 it is the minhash family's largest absolute
+    cost and its 8.0x second decade never had its own cuts. Stages:
+    rep-grain pairs (the full LSH chain) -> member-grain cluster
+    labels (connected components over rep pairs + members fan-out) ->
+    the anti-joined canonical corpus. Two A/Bs ride along:
+    - rep_pairs_pinned: duplicate_clusters' edge build references
+      rep_pairs TWICE (the symmetrizing union) and the labels path
+      again -- whether Spark reuses the verify join's exchanges across
+      those branches is exactly what pinning the (bounded, four
+      scalars/row) pair list isolates.
+    - labels_members_semi: the final anti-join re-scans the full
+      corpus; cutting labels alone separates clustering cost from
+      that scan."""
+    cuts: dict[str, float] = {}
+    docs.limit(64).write.format("noop").mode("overwrite").save()
+
+    def chain(stage: str, pin: bool = False):
+        rep_pairs, members = dedup.minhash_dedup(
+            docs, "doc_id", "text", k=k, threshold=threshold,
+            bucket_cap=bucket_cap, grain="rep")
+        if pin:
+            rep_pairs = rep_pairs.localCheckpoint(eager=True)
+        if stage == "rep_pairs":
+            return rep_pairs
+        labels = dedup.rep_cluster_labels(rep_pairs, members)
+        if stage == "labels":
+            return labels
+        losers = (labels.filter(F.col("id") != F.col("cluster_id"))
+                  .select(F.col("id").alias("doc_id")))
+        return docs.join(losers, ["doc_id"], "left_anti")
+
+    for stage in ("rep_pairs", "labels", "canonical"):
+        cuts[f"cut_{stage}"] = timed(lambda stage=stage: chain(stage))
+    for stage in ("labels", "canonical"):
+        cuts[f"cut_{stage}_pinned"] = timed(
+            lambda stage=stage: chain(stage, pin=True))
+    cuts["marginal_labels_vs_rep_pairs"] = round(
+        cuts["cut_labels"] - cuts["cut_rep_pairs"], 3)
+    cuts["marginal_canonical_vs_labels"] = round(
+        cuts["cut_canonical"] - cuts["cut_labels"], 3)
+    cuts["pin_ab_canonical"] = round(
+        cuts["cut_canonical"] - cuts["cut_canonical_pinned"], 3)
+    return cuts
+
+
 def dsir_stage_cuts(docs, n: int = 3) -> dict:
     """Per-stage attribution for the DSIR chain (closing the last §6
     family bracket by measurement): raw-side bag tokenize -> the
@@ -457,6 +505,21 @@ def main() -> None:
         print(json.dumps({"metric": "xdup_stage_cuts",
                           "sf_dir": SF_DIR, "decades": DECADES,
                           "fixture": "heaps_pool",
+                          "driver_memory": os.environ.get(
+                              "SPARK_DRIVER_MEMORY", "8g"),
+                          "stages": stages}))
+        spark.stop()
+        return
+    if stages_mode == "canonical":
+        # r11 ask #4: minhash_dedup_canonical cuts (affine-bijection
+        # fixture -- the minhash family's cost driver is cross-replica
+        # band collisions, same fixture as the headline minhash rows)
+        stages = {"base_sf0.1": canonical_stage_cuts(docs1)}
+        for n in DECADES:
+            stages[f"x{n}"] = canonical_stage_cuts(
+                replicate_docs(docs1, n))
+        print(json.dumps({"metric": "canonical_stage_cuts",
+                          "sf_dir": SF_DIR, "decades": DECADES,
                           "driver_memory": os.environ.get(
                               "SPARK_DRIVER_MEMORY", "8g"),
                           "stages": stages}))

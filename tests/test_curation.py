@@ -1049,3 +1049,36 @@ def test_dsir_resample_tokenizes_corpus_once(spark, monkeypatch):
                  curation.dsir_resample(docs, target, k=4, n=3).collect())
     assert got == want
     assert len(calls) == 2          # docs once + target once, never raw
+
+
+def test_dsir_scores_reuses_model_bag_for_same_corpus(spark, monkeypatch):
+    """VERDICT r11 ask #3 (standalone dsir_scores): scoring the SAME
+    DataFrame object the lr model was built on reuses the model's
+    pinned bag (no second corpus tokenize); scoring a DIFFERENT
+    relation still tokenizes it (the identity check prevents silently
+    inheriting the wrong bag). Values identical either way."""
+    raw, target = _dsir_fixture(spark)
+    lr0 = curation.dsir_logratio_table(raw, target, n=3)
+    want = {r["id"]: r["dsir_micro"]
+            for r in curation.dsir_scores(raw, lr0, n=3).collect()}
+
+    calls = []
+    real = curation._bag_gram_buckets
+
+    def counting(df, *a, **kw):
+        calls.append(1)
+        return real(df, *a, **kw)
+
+    monkeypatch.setattr(curation, "_bag_gram_buckets", counting)
+    lr = curation.dsir_logratio_table(raw, target, n=3)
+    assert len(calls) == 2               # raw + target, model build
+    got = {r["id"]: r["dsir_micro"]
+           for r in curation.dsir_scores(raw, lr, n=3).collect()}
+    assert len(calls) == 2               # same object: bag reused
+    assert got == want
+
+    other = raw.filter(F.col("doc_id") <= 2)
+    sub = {r["id"]: r["dsir_micro"]
+           for r in curation.dsir_scores(other, lr, n=3).collect()}
+    assert len(calls) == 3               # different relation: tokenized
+    assert sub == {k: v for k, v in want.items() if k <= 2}
