@@ -61,7 +61,11 @@ def mysql_to_spark_type(mysql_type: str, *,
         return T.DoubleType()
     if base == "bit":
         return T.LongType()
-    if base == "date":
+    if base in ("date", "date32"):
+        # 'date32' is this engine's pseudo-type for wide-range dates:
+        # same Spark DateType, but the ClickHouse image is Date32
+        # (1900..2299) instead of Date (1970..2149) -- MySQL dates
+        # outside the Date range refuse loudly at the native encoder
         return T.DateType()
     if base in ("datetime", "timestamp"):
         return T.TimestampType()
@@ -135,6 +139,8 @@ def mysql_to_clickhouse_type(mysql_type: str, nullable: bool = False) -> str:
         out = "Int64"
     elif base == "date":
         out = "Date"
+    elif base == "date32":
+        out = "Date32"
     elif base in ("datetime", "timestamp"):
         m = re.match(r"(?:datetime|timestamp)\s*\((\d+)\)", t)
         out = f"DateTime64({m.group(1)})" if m else "DateTime"

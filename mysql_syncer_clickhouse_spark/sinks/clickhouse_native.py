@@ -340,7 +340,21 @@ def column_encoder(ch_type: str):
     if t == "Float64":
         return fixed("<d", float, 0.0, raw_ok=True)
     if t == "Date":
-        return fixed("<H", lambda v: (v - _EPOCH_DATE).days, 0)
+        def conv_date(v):
+            d = (v - _EPOCH_DATE).days
+            if not 0 <= d <= 0xFFFF:
+                # ClickHouse Date is UInt16 days since 1970 (1970..
+                # 2149); a MySQL date outside that range would wrap
+                # silently on the wire -- refuse with the remedy
+                raise ValueError(
+                    f"date {v} outside ClickHouse Date range "
+                    f"(1970-01-01..2149-06-06); use a Date32 column")
+            return d
+        return fixed("<H", conv_date, 0)
+    if t == "Date32":
+        # Int32 days since epoch, negatives allowed (1900..2299) --
+        # the wide-range date the reference's Date mapping can't hold
+        return fixed("<i", lambda v: (v - _EPOCH_DATE).days, 0)
     if t == "DateTime" or t.startswith("DateTime("):
         return fixed("<I", lambda v: _epoch_us(v) // 1_000_000, 0)
     if t.startswith("DateTime64("):

@@ -74,6 +74,10 @@ def _decode_column(r, ch_type: str, n: int) -> list:
         return [datetime.date(1970, 1, 1)
                 + datetime.timedelta(days=struct.unpack(
                     "<H", r.read(2))[0]) for _ in range(n)]
+    if ch_type == "Date32":
+        return [datetime.date(1970, 1, 1)
+                + datetime.timedelta(days=struct.unpack(
+                    "<i", r.read(4))[0]) for _ in range(n)]
     if ch_type == "DateTime":
         return [datetime.datetime.fromtimestamp(
             struct.unpack("<I", r.read(4))[0], tz=datetime.timezone.utc)
@@ -1082,3 +1086,40 @@ def test_sink_tls_reaches_executor_write_path(spark, tmp_path):
             ctx_only.apply_batch(df.select("id"), epoch_id=0)
     finally:
         srv.stop()
+
+
+def test_date32_wide_range_and_date_range_refusal(fake_native):
+    """Pre-epoch MySQL dates: ClickHouse Date (UInt16, 1970..2149)
+    cannot hold them -- the encoder now refuses LOUDLY with the
+    remedy instead of dying in a cryptic struct.error (or worse,
+    wrapping). The 'date32' pseudo-type maps to Date32 (Int32 days,
+    1900..2299) and round-trips negative day counts."""
+    import datetime
+
+    from mysql_syncer_clickhouse_spark.functions.typemap import (
+        mysql_to_clickhouse_type, mysql_to_spark_type)
+    from pyspark.sql import types as T
+
+    assert mysql_to_clickhouse_type("date32", True) == \
+        "Nullable(Date32)"
+    assert mysql_to_spark_type("date32") == T.DateType()
+
+    old = datetime.date(1932, 6, 15)
+    new = datetime.date(2101, 1, 2)
+    conn = N.NativeConnection(fake_native.host, fake_native.port,
+                              compression=True)
+    try:
+        sent = conn.insert_blocks(
+            "INSERT INTO db.t VALUES",
+            [("id", "Int64"), ("d", "Date32")],
+            [[(1, old), (2, new), (3, None)]])
+        assert sent == 3
+    finally:
+        conn.close()
+    assert fake_native.inserts[0][1] == [
+        (1, old), (2, new), (3, datetime.date(1970, 1, 1))]
+
+    with pytest.raises(ValueError, match="Date32"):
+        N.column_encoder("Date")([old])
+    with pytest.raises(ValueError, match="Date32"):
+        N.column_encoder("Date")([datetime.date(2200, 1, 1)])
