@@ -694,6 +694,16 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 6,
     -- a long chain now costs extra rounds instead of silently
     mislabeling. The loop is driver-side control flow only; all data
     stays distributed."""
+    # PIN the pair list FIRST (round 12, found by the §6d canonical
+    # stage cuts): the symmetrizing union below references `pairs`
+    # TWICE, and Spark does not reuse the upstream exchanges across
+    # the two branches -- for MinHash rep pairs the verify join
+    # re-executed once per reference (x100: canonical chain 139.5 s
+    # unpinned vs 61.0 s pinned, -56%). Two longs per pair, the
+    # cheapest possible materialization; every caller (rep_cluster_
+    # labels, keep_canonical, minhash_dedup_canonical, the registry's
+    # dedup_clusters) inherits the fix at this single choke point.
+    pairs = pairs.select("id_a", "id_b").localCheckpoint(eager=True)
     # PIN the edge list before the loop (round 9, found by the honest
     # construction-inclusive scale probe): every propagate() iteration
     # joins against `edges`, and each lazy-checkpoint boundary runs as

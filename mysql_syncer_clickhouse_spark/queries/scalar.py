@@ -294,6 +294,9 @@ _TYPEMAP_CASES = (
     "bigint unsigned", "tinyint", "mediumint unsigned", "year",
     "datetime(3)", "timestamp", "decimal(20,4)", "decimal(12,2)",
     "bit(5)", "enum('a','b')",
+    # round 12: the typed-array pseudo-types (never Nullable-wrapped)
+    # and the wide-range date
+    "list", "list(bigint)", "date32",
 )
 
 
@@ -358,7 +361,7 @@ SELECT event_id,
        CAST(to_timestamp(1700000000 + event_id * 3600) AS TIMESTAMP) AS t,
        CAST(props->>'$.k' AS INT) AS k,
        (json_valid(props)) AS valid_json,
-       CASE (event_id % 10)
+       CASE (event_id % 13)
          WHEN 0 THEN 'UInt64'        -- bigint unsigned
          WHEN 1 THEN 'Int8'          -- tinyint
          WHEN 2 THEN 'UInt32'        -- mediumint unsigned
@@ -368,7 +371,10 @@ SELECT event_id,
          WHEN 6 THEN 'String'        -- decimal(20,4): M>18 fallback
          WHEN 7 THEN 'Decimal(12,2)' -- decimal(12,2)
          WHEN 8 THEN 'Int64'         -- bit(5)
-         ELSE 'String'               -- enum default
+         WHEN 9 THEN 'String'        -- enum default
+         WHEN 10 THEN 'Array(String)'   -- ',list' pseudo-type
+         WHEN 11 THEN 'Array(Int64)'    -- list(bigint), round 12
+         ELSE 'Date32'               -- date32 wide-range date
        END AS ch_type
 FROM events
 """
