@@ -87,6 +87,11 @@ class ClickHouseHTTPSink:
     # (true for availableNow file replays); the (pk, seq) dedup remains
     # the correctness backstop either way.
     dedup_tokens: bool = False
+    # cumulative feed-rate counters (same contract as the native
+    # sink's): rows posted and summed per-partition-connection wall,
+    # accumulated executor-side, surfaced via /stat
+    write_stats: dict = field(default_factory=lambda: {
+        "rows_written": 0, "conn_wall_us": 0, "epochs": 0})
     # columns the sink table is known to have (drift tracking);
     # initialized lazily from `columns` or the first batch
     _known_cols: set[str] | None = field(default=None, repr=False)
@@ -145,8 +150,14 @@ class ClickHouseHTTPSink:
         bulk = self.bulk_size
         token_prefix = (f"{self.database}.{self.table}:{epoch_id}"
                         if self.dedup_tokens else None)
+        sc = batch_df.sparkSession.sparkContext
+        rows_acc = sc.accumulator(0)
+        wall_acc = sc.accumulator(0)
 
         def send_partition(rows) -> None:
+            import time as _time
+            t0 = _time.monotonic()
+            n_rows = 0
             if token_prefix is not None:
                 from pyspark import TaskContext
                 ctx = TaskContext.get()
@@ -167,12 +178,18 @@ class ClickHouseHTTPSink:
 
             for row in rows:
                 buf.append(_row_to_json(row))
+                n_rows += 1
                 if len(buf) >= bulk:
                     flush()
             if buf:
                 flush()
+            rows_acc.add(n_rows)
+            wall_acc.add(int((_time.monotonic() - t0) * 1e6))
 
         batch_df.foreachPartition(send_partition)
+        self.write_stats["rows_written"] += rows_acc.value
+        self.write_stats["conn_wall_us"] += wall_acc.value
+        self.write_stats["epochs"] += 1
 
     def attach(self, stream: DataFrame, checkpoint_dir: str,
                ensure: bool = True):

@@ -230,3 +230,19 @@ def test_insert_dedup_tokens_stable_across_replay(spark, fake_ch):
     plain.apply_batch(df, epoch_id=8)
     assert all("insert_deduplication_token" not in p
                for p in fake_ch.params[n:])
+
+
+def test_http_sink_feed_rate_counters_advance(spark, fake_ch):
+    """The HTTP sink carries the same write_stats contract as the
+    native sink (rows posted, summed per-partition wall, epochs) --
+    SyncMetrics/StatusServer read it duck-typed."""
+    sink = _sink(fake_ch.url)
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+    sink.apply_batch(df1, epoch_id=0)
+    s1 = dict(sink.write_stats)
+    assert s1["rows_written"] == 2 and s1["epochs"] == 1
+    assert s1["conn_wall_us"] > 0
+    sink.apply_batch(df1, epoch_id=1)
+    assert sink.write_stats["rows_written"] == 4
+    assert sink.write_stats["epochs"] == 2
+    assert sink.write_stats["conn_wall_us"] > s1["conn_wall_us"]
