@@ -15,6 +15,11 @@ onto Spark types (SURVEY.md §1.2):
   list / list(inner) pseudo-types (the rules' ',list' transform and
   typed Spark arrays) -> ArrayType / Array(T), recursive, never
   Nullable-wrapped; unmapped array ELEMENT types refuse loudly
+  map(key, value) pseudo-type (Spark map columns, e.g. the sumMap
+  family's map<string,long> output) -> Map(K, V), recursive; value
+  may be nullable(inner) (ClickHouse allows Map(K, Nullable(V)));
+  keys are restricted to the types ClickHouse accepts as Map keys
+  (string/int/date/datetime -- float, decimal, nested keys refuse)
 """
 
 from __future__ import annotations
@@ -22,6 +27,43 @@ from __future__ import annotations
 import re
 
 from pyspark.sql import types as T
+
+
+def split_type_args(s: str) -> list[str]:
+    """Split a type-argument list on TOP-LEVEL commas only --
+    'text, decimal(9,2)' -> ['text', 'decimal(9,2)']. Shared by the
+    map(k,v) pseudo-type parser here and the native sink's Map wire
+    encoder (one splitting authority, same nesting rules)."""
+    parts, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur).strip())
+    return parts
+
+
+def _map_args(t: str) -> tuple[str, str, bool]:
+    """Parse 'map(k, v)' / 'map(k, nullable(v))' -> (k, v,
+    value_nullable). Bare 'map' means map(text, text)."""
+    m = re.match(r"map\s*\((.+)\)$", t)
+    if not m:
+        return "text", "text", False
+    args = split_type_args(m.group(1))
+    if len(args) != 2:
+        raise ValueError(
+            f"map pseudo-type needs exactly (key, value): {t!r}")
+    k, v = args
+    mv = re.match(r"nullable\s*\((.+)\)$", v)
+    if mv:
+        return k, mv.group(1).strip(), True
+    return k, v, False
 
 _INT = {
     "tinyint": (T.ByteType(), T.ShortType()),
@@ -48,6 +90,12 @@ def mysql_to_spark_type(mysql_type: str, *,
             return T.ArrayType(mysql_to_spark_type(
                 m.group(1), mirror_decimal_fallback=mirror_decimal_fallback))
         return T.ArrayType(T.StringType())
+    if base == "map":
+        k, v, vnull = _map_args(t)
+        return T.MapType(
+            mysql_to_spark_type(k, mirror_decimal_fallback=mirror_decimal_fallback),
+            mysql_to_spark_type(v, mirror_decimal_fallback=mirror_decimal_fallback),
+            vnull)
     if base in _INT:
         signed, widened = _INT[base]
         return widened if unsigned else signed
@@ -124,6 +172,21 @@ def mysql_to_clickhouse_type(mysql_type: str, nullable: bool = False) -> str:
         if m:
             return f"Array({mysql_to_clickhouse_type(m.group(1), False)})"
         return "Array(String)"
+    if base == "map":
+        # Spark map columns (e.g. sumMap's map<string,long>) land as a
+        # real ClickHouse Map -- never Nullable-wrapped (CH forbids
+        # Nullable(Map); a missing value is the empty map). Keys must
+        # be a type ClickHouse accepts as a Map key; values recurse
+        # and may be nullable(inner) -> Nullable(V) (allowed for
+        # scalar V; Array/Map values return unwrapped from their own
+        # branches, matching CH's no-Nullable-composite rule).
+        k, v, vnull = _map_args(t)
+        ck = mysql_to_clickhouse_type(k, False)
+        if not re.match(r"(String|U?Int\d+|Date32?|DateTime)", ck):
+            raise ValueError(
+                f"ClickHouse Map keys must be string/int/date types, "
+                f"not {ck} (from map key type {k!r})")
+        return f"Map({ck}, {mysql_to_clickhouse_type(v, vnull)})"
     if base in _CH_INT:
         ch = _CH_INT[base]
         out = "U" + ch if unsigned else ch
@@ -242,12 +305,36 @@ def spark_type_to_mysql(dt: T.DataType) -> str:
             # typed arrays recurse: array<long> -> list(bigint) ->
             # Array(Int64); the native encoder handles any nesting
             return f"list({spark_type_to_mysql(et)})"
+        if isinstance(et, T.MapType):
+            return f"list({spark_type_to_mysql(et)})"
         # REFUSE the rest loudly: the String catch-all would encode
         # array values through bytes(list) -- silent wire corruption
         raise ValueError(
             f"no ClickHouse Array mapping for array element type "
             f"{et.simpleString()}; supported elements: string, "
             f"tinyint..bigint, float, double, date, nested arrays")
+    if isinstance(dt, T.MapType):
+        # Spark map columns (sumMap/minMap/maxMap outputs and friends)
+        # -> the map(k,v) pseudo-type -> ClickHouse Map(K, V). Key
+        # types are checked here too (same rule as the CH side) so a
+        # bad key refuses at schema time with the COLUMN in the error,
+        # not at the first wire block. valueContainsNull carries as
+        # nullable(v) for scalar values; Array/Map values stay
+        # unwrapped (CH forbids Nullable composites -- a missing
+        # nested value lands as []/{}), matching the list convention.
+        kt = dt.keyType
+        if not isinstance(kt, (T.StringType, T.ByteType, T.ShortType,
+                               T.IntegerType, T.LongType, T.DateType,
+                               T.TimestampType)):
+            raise ValueError(
+                f"no ClickHouse Map mapping for map key type "
+                f"{kt.simpleString()}; supported keys: string, "
+                f"tinyint..bigint, date, timestamp")
+        vm = spark_type_to_mysql(dt.valueType)
+        if dt.valueContainsNull and not isinstance(
+                dt.valueType, (T.ArrayType, T.MapType)):
+            vm = f"nullable({vm})"
+        return f"map({spark_type_to_mysql(kt)},{vm})"
     # string/binary/complex -> the reference's String fallback
     return "text"
 

@@ -694,15 +694,18 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 6,
     -- a long chain now costs extra rounds instead of silently
     mislabeling. The loop is driver-side control flow only; all data
     stays distributed."""
-    # PIN the pair list FIRST (round 12, found by the §6d canonical
-    # stage cuts): the symmetrizing union below references `pairs`
-    # TWICE, and Spark does not reuse the upstream exchanges across
-    # the two branches -- for MinHash rep pairs the verify join
-    # re-executed once per reference (x100: canonical chain 139.5 s
-    # unpinned vs 61.0 s pinned, -56%). Two longs per pair, the
-    # cheapest possible materialization; every caller (rep_cluster_
-    # labels, keep_canonical, minhash_dedup_canonical, the registry's
-    # dedup_clusters) inherits the fix at this single choke point.
+    # PIN the pair list FIRST (round 12): the symmetrizing union
+    # below references `pairs` TWICE -- the cross-branch shape that
+    # re-executed the xdup chain's gram subtree (SCALE.md §6c). Here
+    # the edges pin below already bounded that to once per RUN, so
+    # the clean §6d A/B measured this entry pin as a WASH at x100
+    # (93.1 vs 79.7 s, in-band; e2e family row flat at 190 vs 185 s)
+    # -- it stays as cheap hygiene (two longs per pair): downstream
+    # iteration cost no longer depends on lazy-checkpoint caching
+    # timing, and every caller (rep_cluster_labels, keep_canonical,
+    # minhash_dedup_canonical, dedup_clusters) shares the one choke
+    # point. An earlier 139.5-vs-61.0 A/B claiming -56% did not
+    # survive a clean-box re-run; SCALE.md §6d records both.
     pairs = pairs.select("id_a", "id_b").localCheckpoint(eager=True)
     # PIN the edge list before the loop (round 9, found by the honest
     # construction-inclusive scale probe): every propagate() iteration

@@ -297,6 +297,9 @@ _TYPEMAP_CASES = (
     # round 12: the typed-array pseudo-types (never Nullable-wrapped)
     # and the wide-range date
     "list", "list(bigint)", "date32",
+    # round 12: map(k,v) pseudo-types (Spark map columns -> CH Map;
+    # value nullability carries as Nullable(V))
+    "map(text,bigint)", "map(text,nullable(double))",
 )
 
 
@@ -361,7 +364,7 @@ SELECT event_id,
        CAST(to_timestamp(1700000000 + event_id * 3600) AS TIMESTAMP) AS t,
        CAST(props->>'$.k' AS INT) AS k,
        (json_valid(props)) AS valid_json,
-       CASE (event_id % 13)
+       CASE (event_id % 15)
          WHEN 0 THEN 'UInt64'        -- bigint unsigned
          WHEN 1 THEN 'Int8'          -- tinyint
          WHEN 2 THEN 'UInt32'        -- mediumint unsigned
@@ -374,7 +377,9 @@ SELECT event_id,
          WHEN 9 THEN 'String'        -- enum default
          WHEN 10 THEN 'Array(String)'   -- ',list' pseudo-type
          WHEN 11 THEN 'Array(Int64)'    -- list(bigint), round 12
-         ELSE 'Date32'               -- date32 wide-range date
+         WHEN 12 THEN 'Date32'       -- date32 wide-range date
+         WHEN 13 THEN 'Map(String, Int64)'  -- map(text,bigint), r12
+         ELSE 'Map(String, Nullable(Float64))' -- nullable map value
        END AS ch_type
 FROM events
 """

@@ -30,9 +30,11 @@ What's implemented (the documented native protocol, port 9000):
   bounds the wire rate); LZ4 raw blocks via pyarrow's lz4_raw codec;
 - DATA blocks: BlockInfo + column-oriented encode for the exact type
   surface functions/typemap.py emits -- U/Int8..64, Float32/64,
-  String, Date, DateTime, DateTime64(n), Decimal(P<=18,S) (plus
-  Decimal128 for completeness), each optionally Nullable(T) with the
-  null-mask-first layout;
+  String, Date, Date32, DateTime, DateTime64(n), Decimal(P<=18,S)
+  (plus Decimal128 for completeness), each optionally Nullable(T)
+  with the null-mask-first layout; Array(T) (cumulative-offset,
+  recursive) and Map(K, V) (offsets + flat keys + flat values, the
+  Array(Tuple) storage layout), never Nullable-wrapped;
 - EXCEPTION (code/name/message/stack, nested chain) surfaced as
   ClickHouseServerError, PROGRESS tolerated, END_OF_STREAM closing
   each request.
@@ -61,7 +63,8 @@ from decimal import Decimal
 from pyspark.sql import DataFrame
 
 from ..functions.typemap import (clickhouse_create_table_ddl,
-                                 mysql_to_clickhouse_type)
+                                 mysql_to_clickhouse_type,
+                                 split_type_args)
 from .cityhash102 import checksum16
 
 CLIENT_NAME = "mysql-syncer-clickhouse-spark"
@@ -320,6 +323,32 @@ def column_encoder(ch_type: str):
             return (struct.pack(f"<{len(offs)}Q", *offs)
                     + inner(flat))
         return enc_array
+    if t.startswith("Map(") and t.endswith(")"):
+        kt, vt = split_type_args(t[4:-1])
+        kenc = column_encoder(kt)
+        venc = column_encoder(vt)
+
+        def enc_map(vals: list) -> bytes:
+            # native Map layout = Array(Tuple(K, V)) storage:
+            # cumulative UInt64 entry offsets for the whole column,
+            # then the flat KEYS column, then the flat VALUES column
+            # (the public protocol layout clickhouse-driver's
+            # MapColumn implements). None (SQL NULL) is the empty map
+            # -- ClickHouse forbids Nullable(Map). Spark rows carry
+            # map values as Python dicts; entry order is preserved
+            # as-given (CH Map is lookup-by-scan, order-insensitive).
+            rows_kv = [list(v.items()) if isinstance(v, dict)
+                       else (list(v) if v is not None else [])
+                       for v in vals]
+            offs: list[int] = []
+            total = 0
+            for kv in rows_kv:
+                total += len(kv)
+                offs.append(total)
+            return (struct.pack(f"<{len(offs)}Q", *offs)
+                    + kenc([k for kv in rows_kv for k, _ in kv])
+                    + venc([v for kv in rows_kv for _, v in kv]))
+        return enc_map
     if t == "String":
         def enc_str(vals: list) -> bytes:
             out = bytearray()

@@ -337,17 +337,29 @@ def dsir_stage_cuts(docs, n: int = 3) -> dict:
         if stage == "raw_bag":
             return curation._bag_gram_buckets(raw, "doc_id", "text",
                                               n, 4096)
+        if stage == "report_nopin":
+            # the r11 two-tokenize shape, reproduced via the public
+            # API for a SAME-RUN A/B: passing raw_buckets explicitly
+            # (unpinned) suppresses the stash, so dsir_scores
+            # re-tokenizes -- two corpus scans, zero cache writes
+            lr = curation.dsir_logratio_table(
+                raw, target, n=n,
+                raw_buckets=curation._bag_gram_buckets(
+                    raw, "doc_id", "text", n, 4096))
+            return curation.dsir_scores(raw, lr, n=n)
         lr = curation.dsir_logratio_table(raw, target, n=n)
         if stage == "model":
             return lr
         return curation.dsir_scores(raw, lr, n=n)
 
-    for stage in ("raw_bag", "model", "report"):
+    for stage in ("raw_bag", "model", "report", "report_nopin"):
         cuts[f"cut_{stage}"] = timed(lambda stage=stage: chain(stage))
     cuts["marginal_model_vs_raw_bag"] = round(
         cuts["cut_model"] - cuts["cut_raw_bag"], 3)
     cuts["marginal_report_vs_model"] = round(
         cuts["cut_report"] - cuts["cut_model"], 3)
+    cuts["pin_ab_report"] = round(
+        cuts["cut_report_nopin"] - cuts["cut_report"], 3)
     return cuts
 
 
@@ -455,11 +467,16 @@ def main() -> None:
         # shapes bracket the real-corpus behavior (SCALE.md §6 caveat)
         "xdup_span_dup_heaps": lambda d: curation.cross_doc_ngram_dup(
             d, n=3),
-        "dsir_scores": lambda d: curation.dsir_scores(
-            d.filter(F.col("source") != "src0"),
-            curation.dsir_logratio_table(
-                d.filter(F.col("source") != "src0"),
-                d.filter(F.col("source") == "src0"), n=3), n=3),
+        # raw is bound ONCE (the natural caller shape): the model
+        # stashes the pinned bag it tokenized and dsir_scores reuses
+        # it for the same DataFrame object (r11 ask #3), so this row
+        # now measures the one-pass chain -- binding raw twice via two
+        # .filter() calls would defeat the identity check and measure
+        # the retired two-tokenize shape
+        "dsir_scores": lambda d: (lambda raw: curation.dsir_scores(
+            raw, curation.dsir_logratio_table(
+                raw, d.filter(F.col("source") == "src0"), n=3),
+            n=3))(d.filter(F.col("source") != "src0")),
         "bloom_screen": lambda d: bloom.bloom_screen_new(
             d.filter(F.col("doc_id") % 2 == 1)
              .withColumn("fp", F.md5("text")),

@@ -99,6 +99,22 @@ def _decode_column(r, ch_type: str, n: int) -> list:
             out.append(flat[prev:o])
             prev = o
         return out
+    if ch_type.startswith("Map("):
+        # independent decode of the Map layout: cumulative entry
+        # offsets, then the flat keys column, then the flat values
+        # column (Array(Tuple) storage)
+        from mysql_syncer_clickhouse_spark.functions.typemap import (
+            split_type_args)
+        kt, vt = split_type_args(ch_type[4:-1])
+        offs = [struct.unpack("<Q", r.read(8))[0] for _ in range(n)]
+        total = offs[-1] if offs else 0
+        keys = _decode_column(r, kt, total)
+        vals = _decode_column(r, vt, total)
+        out, prev = [], 0
+        for o in offs:
+            out.append(dict(zip(keys[prev:o], vals[prev:o])))
+            prev = o
+        return out
     if ch_type.startswith("Decimal("):
         prec, scale = (int(x) for x in ch_type[8:-1].split(","))
         w = 4 if prec <= 9 else 8 if prec <= 18 else 16
@@ -992,6 +1008,64 @@ def test_typed_array_columns_end_to_end(spark, fake_native):
     assert got[10][3] == [[7], []]
     # NULL / missing arrays land as [] (CH forbids Nullable(Array))
     assert got[20] == ([], [], [], [])
+
+
+def test_map_column_wire_round_trip(fake_native):
+    """Map(K, V) native layout (round 12): cumulative entry offsets +
+    flat keys + flat values, decoded by the fake server's INDEPENDENT
+    decoder. None lands as the empty map (CH forbids Nullable(Map));
+    Nullable VALUES inside a map carry the null-mask layout."""
+    from mysql_syncer_clickhouse_spark.sinks.clickhouse_native import (
+        NativeConnection)
+    conn = NativeConnection(fake_native.host, fake_native.port,
+                            compression=True)
+    try:
+        sent = conn.insert_blocks(
+            "INSERT INTO db.t VALUES",
+            [("id", "Int64"), ("m", "Map(String, Int64)"),
+             ("nv", "Map(String, Nullable(Float64))"),
+             ("ik", "Map(Int64, String)"),
+             ("am", "Map(String, Array(Int64))")],
+            [[(1, {"a": 1, "b": -2}, {"x": 0.5, "y": None},
+               {7: "seven"}, {"xs": [1, 2], "ys": []}),
+              (2, {}, None, {}, {})]])
+        assert sent == 2
+    finally:
+        conn.close()
+    assert fake_native.inserts[0][1] == [
+        (1, {"a": 1, "b": -2}, {"x": 0.5, "y": None},
+         {7: "seven"}, {"xs": [1, 2], "ys": []}),
+        (2, {}, {}, {}, {})]
+
+
+def test_map_column_sink_e2e(spark, fake_native):
+    """The sumMap-output composition that used to CRASH: a Spark
+    map<string,bigint> column (what operators/maps.py emits) through
+    the type authority -> auto-DDL -> native wire. Before the map
+    pseudo-type it fell to the String catch-all and bytes(dict) died
+    on the first batch."""
+    from mysql_syncer_clickhouse_spark.functions.typemap import (
+        columns_from_spark_schema)
+    from mysql_syncer_clickhouse_spark.sinks.clickhouse_native import (
+        ClickHouseNativeSink)
+
+    df = spark.createDataFrame(
+        [(1, "insert", 10, {"clicks": 3, "views": 9}),
+         (2, "insert", 20, None)],
+        "seq long, op string, id long, counters map<string,long>")
+    cols = columns_from_spark_schema(df.schema)
+    assert ("counters", "map(text,nullable(bigint))", True) in cols
+    sink = ClickHouseNativeSink(
+        host=fake_native.host, port=fake_native.port,
+        database="olap", table="t_map", columns=cols, pk=("id",),
+        compression=True)
+    sink.ensure_table()
+    ddl = next(q for q in fake_native.queries if "CREATE TABLE" in q)
+    assert "Map(String, Nullable(Int64))" in ddl
+    assert "Nullable(Map" not in ddl
+    sink.apply_batch(df, epoch_id=0)
+    got = {r[2]: r[3] for _, rows in fake_native.inserts for r in rows}
+    assert got == {10: {"clicks": 3, "views": 9}, 20: {}}
 
 
 def test_stat_sink_feed_rate_advances_across_epochs(spark, fake_native):

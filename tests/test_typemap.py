@@ -86,3 +86,72 @@ def test_unmapped_array_element_refuses_loudly():
         T.StructField("weird", T.ArrayType(T.BooleanType()), True)])
     with pytest.raises(ValueError, match="'weird'"):
         columns_from_spark_schema(schema)
+
+
+def test_map_pseudo_type_round_trip_authority():
+    """Round 12: Spark map columns (the sumMap family's output shape)
+    round-trip Spark map -> 'map(k,v)' pseudo-type -> ClickHouse
+    Map(K, V); the CH image is never Nullable-wrapped, value
+    nullability carries as Nullable(V), and composite values stay
+    unwrapped (CH forbids Nullable(Array/Map))."""
+    from mysql_syncer_clickhouse_spark.functions.typemap import (
+        mysql_to_clickhouse_type, spark_type_to_mysql)
+
+    cases = [
+        (T.MapType(T.StringType(), T.LongType(), False),
+         "map(text,bigint)", "Map(String, Int64)"),
+        (T.MapType(T.StringType(), T.LongType(), True),
+         "map(text,nullable(bigint))", "Map(String, Nullable(Int64))"),
+        (T.MapType(T.LongType(), T.StringType(), False),
+         "map(bigint,text)", "Map(Int64, String)"),
+        (T.MapType(T.StringType(), T.DoubleType(), True),
+         "map(text,nullable(double))", "Map(String, Nullable(Float64))"),
+    ]
+    for spark_t, mysql_t, ch_t in cases:
+        assert spark_type_to_mysql(spark_t) == mysql_t
+        assert mysql_to_clickhouse_type(mysql_t, True) == ch_t, mysql_t
+        assert mysql_to_spark_type(mysql_t) == spark_t
+    # composite values: never Nullable-wrapped even when Spark says
+    # valueContainsNull (CH forbids Nullable(Array/Map); a missing
+    # nested value is []/{}) -- so this direction drops the
+    # valueContainsNull flag BY DESIGN and is checked one-way
+    assert spark_type_to_mysql(
+        T.MapType(T.StringType(), T.ArrayType(T.LongType()), True)) \
+        == "map(text,list(bigint))"
+    assert mysql_to_clickhouse_type("map(text,list(bigint))", True) \
+        == "Map(String, Array(Int64))"
+    assert spark_type_to_mysql(
+        T.MapType(T.StringType(),
+                  T.MapType(T.StringType(), T.LongType(), False), True)) \
+        == "map(text,map(text,bigint))"
+    assert mysql_to_clickhouse_type("map(text,map(text,bigint))") \
+        == "Map(String, Map(String, Int64))"
+    # arrays of maps recurse too
+    assert spark_type_to_mysql(
+        T.ArrayType(T.MapType(T.StringType(), T.LongType(), False))) \
+        == "list(map(text,bigint))"
+    assert mysql_to_clickhouse_type("list(map(text,bigint))") \
+        == "Array(Map(String, Int64))"
+
+
+def test_map_key_types_clickhouse_cannot_hold_refuse():
+    """ClickHouse Map keys must be string/int/date types: a float or
+    decimal key refuses at schema time (naming the column), not on
+    the first wire block."""
+    import pytest
+
+    from mysql_syncer_clickhouse_spark.functions.typemap import (
+        columns_from_spark_schema, mysql_to_clickhouse_type,
+        spark_type_to_mysql)
+    with pytest.raises(ValueError, match="map key"):
+        spark_type_to_mysql(T.MapType(T.DoubleType(), T.LongType()))
+    with pytest.raises(ValueError, match="Map key"):
+        mysql_to_clickhouse_type("map(double,bigint)")
+    with pytest.raises(ValueError, match="Map key"):
+        mysql_to_clickhouse_type("map(decimal(9,2),bigint)")
+    schema = T.StructType([
+        T.StructField("id", T.LongType(), False),
+        T.StructField("badmap",
+                      T.MapType(T.FloatType(), T.LongType()), True)])
+    with pytest.raises(ValueError, match="'badmap'"):
+        columns_from_spark_schema(schema)
