@@ -49,6 +49,29 @@ def split_type_args(s: str) -> list[str]:
     return parts
 
 
+def _tuple_fields(t: str) -> list[tuple[str, str, bool]]:
+    """Parse 'tuple(f1 text, f2 nullable(bigint), ...)' -> (name,
+    inner_type, nullable) triples. Field names must be plain
+    identifiers (they land in ClickHouse DDL unquoted)."""
+    m = re.match(r"tuple\s*\((.+)\)$", t)
+    if not m:
+        raise ValueError(f"tuple pseudo-type needs (name type, ...): {t!r}")
+    out = []
+    for part in split_type_args(m.group(1)):
+        toks = part.split(None, 1)
+        if len(toks) != 2 or not re.fullmatch(r"[A-Za-z_]\w*", toks[0]):
+            raise ValueError(
+                f"tuple field must be 'name type' with an identifier "
+                f"name: {part!r}")
+        name, ftype = toks
+        mv = re.match(r"nullable\s*\((.+)\)$", ftype.strip())
+        if mv:
+            out.append((name, mv.group(1).strip(), True))
+        else:
+            out.append((name, ftype.strip(), False))
+    return out
+
+
 def _map_args(t: str) -> tuple[str, str, bool]:
     """Parse 'map(k, v)' / 'map(k, nullable(v))' -> (k, v,
     value_nullable). Bare 'map' means map(text, text)."""
@@ -96,6 +119,15 @@ def mysql_to_spark_type(mysql_type: str, *,
             mysql_to_spark_type(k, mirror_decimal_fallback=mirror_decimal_fallback),
             mysql_to_spark_type(v, mirror_decimal_fallback=mirror_decimal_fallback),
             vnull)
+    if base == "tuple":
+        return T.StructType([
+            T.StructField(n, mysql_to_spark_type(
+                ft, mirror_decimal_fallback=mirror_decimal_fallback), nul)
+            for n, ft, nul in _tuple_fields(t)])
+    if base == "uuid":
+        # MariaDB 10.7+ native UUID column; canonical 36-char string
+        # Spark-side, 16-byte ClickHouse UUID on the wire
+        return T.StringType()
     if base in _INT:
         signed, widened = _INT[base]
         return widened if unsigned else signed
@@ -187,6 +219,18 @@ def mysql_to_clickhouse_type(mysql_type: str, nullable: bool = False) -> str:
                 f"ClickHouse Map keys must be string/int/date types, "
                 f"not {ck} (from map key type {k!r})")
         return f"Map({ck}, {mysql_to_clickhouse_type(v, vnull)})"
+    if base == "tuple":
+        # Spark struct columns (e.g. from_json typed output) land as a
+        # NAMED ClickHouse Tuple -- never Nullable-wrapped (CH forbids
+        # Nullable(Tuple); a missing value is a default-element tuple).
+        # Per-field nullability recurses as Nullable(inner).
+        inner = ", ".join(
+            f"{n} {mysql_to_clickhouse_type(ft, nul)}"
+            for n, ft, nul in _tuple_fields(t))
+        return f"Tuple({inner})"
+    if base == "uuid":
+        out = "UUID"
+        return f"Nullable({out})" if nullable else out
     if base in _CH_INT:
         ch = _CH_INT[base]
         out = "U" + ch if unsigned else ch
@@ -305,7 +349,7 @@ def spark_type_to_mysql(dt: T.DataType) -> str:
             # typed arrays recurse: array<long> -> list(bigint) ->
             # Array(Int64); the native encoder handles any nesting
             return f"list({spark_type_to_mysql(et)})"
-        if isinstance(et, T.MapType):
+        if isinstance(et, (T.MapType, T.StructType)):
             return f"list({spark_type_to_mysql(et)})"
         # REFUSE the rest loudly: the String catch-all would encode
         # array values through bytes(list) -- silent wire corruption
@@ -332,10 +376,29 @@ def spark_type_to_mysql(dt: T.DataType) -> str:
                 f"tinyint..bigint, date, timestamp")
         vm = spark_type_to_mysql(dt.valueType)
         if dt.valueContainsNull and not isinstance(
-                dt.valueType, (T.ArrayType, T.MapType)):
+                dt.valueType, (T.ArrayType, T.MapType, T.StructType)):
             vm = f"nullable({vm})"
         return f"map({spark_type_to_mysql(kt)},{vm})"
-    # string/binary/complex -> the reference's String fallback
+    if isinstance(dt, T.StructType):
+        # Spark struct columns -> the tuple(name type, ...) pseudo-type
+        # -> ClickHouse named Tuple. Field names must be plain
+        # identifiers (they land in CH DDL unquoted) -- refuse loudly
+        # otherwise; the old String catch-all crashed the native sink
+        # on bytes(Row) at the first batch (same class the list/map
+        # pseudo-types closed).
+        parts = []
+        for f in dt.fields:
+            if not re.fullmatch(r"[A-Za-z_]\w*", f.name):
+                raise ValueError(
+                    f"no ClickHouse Tuple mapping for struct field name "
+                    f"{f.name!r} (must be a plain identifier)")
+            fm = spark_type_to_mysql(f.dataType)
+            if f.nullable and not isinstance(
+                    f.dataType, (T.ArrayType, T.MapType, T.StructType)):
+                fm = f"nullable({fm})"
+            parts.append(f"{f.name} {fm}")
+        return "tuple(" + ",".join(parts) + ")"
+    # string/binary -> the reference's String fallback
     return "text"
 
 

@@ -300,6 +300,9 @@ _TYPEMAP_CASES = (
     # round 12: map(k,v) pseudo-types (Spark map columns -> CH Map;
     # value nullability carries as Nullable(V))
     "map(text,bigint)", "map(text,nullable(double))",
+    # round 12: tuple(name type,...) (Spark struct columns -> named
+    # CH Tuple) and MariaDB's native uuid column
+    "tuple(k text,n nullable(bigint))", "uuid",
 )
 
 
@@ -364,7 +367,7 @@ SELECT event_id,
        CAST(to_timestamp(1700000000 + event_id * 3600) AS TIMESTAMP) AS t,
        CAST(props->>'$.k' AS INT) AS k,
        (json_valid(props)) AS valid_json,
-       CASE (event_id % 15)
+       CASE (event_id % 17)
          WHEN 0 THEN 'UInt64'        -- bigint unsigned
          WHEN 1 THEN 'Int8'          -- tinyint
          WHEN 2 THEN 'UInt32'        -- mediumint unsigned
@@ -379,7 +382,9 @@ SELECT event_id,
          WHEN 11 THEN 'Array(Int64)'    -- list(bigint), round 12
          WHEN 12 THEN 'Date32'       -- date32 wide-range date
          WHEN 13 THEN 'Map(String, Int64)'  -- map(text,bigint), r12
-         ELSE 'Map(String, Nullable(Float64))' -- nullable map value
+         WHEN 14 THEN 'Map(String, Nullable(Float64))' -- nullable val
+         WHEN 15 THEN 'Tuple(k String, n Nullable(Int64))' -- struct
+         ELSE 'UUID'                 -- MariaDB native uuid
        END AS ch_type
 FROM events
 """

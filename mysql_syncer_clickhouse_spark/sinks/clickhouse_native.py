@@ -31,10 +31,12 @@ What's implemented (the documented native protocol, port 9000):
 - DATA blocks: BlockInfo + column-oriented encode for the exact type
   surface functions/typemap.py emits -- U/Int8..64, Float32/64,
   String, Date, Date32, DateTime, DateTime64(n), Decimal(P<=18,S)
-  (plus Decimal128 for completeness), each optionally Nullable(T)
-  with the null-mask-first layout; Array(T) (cumulative-offset,
-  recursive) and Map(K, V) (offsets + flat keys + flat values, the
-  Array(Tuple) storage layout), never Nullable-wrapped;
+  (plus Decimal128 for completeness), UUID (UInt128 halves,
+  high-64-first), each optionally Nullable(T) with the
+  null-mask-first layout; Array(T) (cumulative-offset, recursive),
+  Map(K, V) (offsets + flat keys + flat values, the Array(Tuple)
+  storage layout) and Tuple(name T, ...) (element columns back to
+  back, fixed arity), never Nullable-wrapped;
 - EXCEPTION (code/name/message/stack, nested chain) surfaced as
   ClickHouseServerError, PROGRESS tolerated, END_OF_STREAM closing
   each request.
@@ -54,8 +56,10 @@ at-least-once-then-idempotent contract as every other sink here.
 from __future__ import annotations
 
 import datetime
+import re
 import socket
 import struct
+import uuid as _uuid
 from collections.abc import Sequence
 from dataclasses import dataclass, field
 from decimal import Decimal
@@ -349,6 +353,51 @@ def column_encoder(ch_type: str):
                     + kenc([k for kv in rows_kv for k, _ in kv])
                     + venc([v for kv in rows_kv for _, v in kv]))
         return enc_map
+    if t.startswith("Tuple(") and t.endswith(")"):
+        # named ('f Int64') or bare ('Int64') elements; a bare type
+        # with args ('Decimal(9,2)') is told apart from a name by the
+        # identifier check
+        etypes = []
+        for part in split_type_args(t[6:-1]):
+            toks = part.split(None, 1)
+            if len(toks) == 2 and re.fullmatch(r"[A-Za-z_]\w*", toks[0]):
+                etypes.append(toks[1])
+            else:
+                etypes.append(part)
+        encs = [column_encoder(et) for et in etypes]
+
+        def enc_tuple(vals: list) -> bytes:
+            # native Tuple layout: each element's FULL column in
+            # order, back to back (no offsets -- fixed arity). None
+            # (SQL NULL) is the default-element tuple -- ClickHouse
+            # forbids Nullable(Tuple); per-element Nullable carries
+            # its own mask via the inner encoder. Spark rows deliver
+            # struct values as Row (a tuple subclass).
+            none_row = (None,) * len(encs)
+            rows = [none_row if v is None else tuple(v) for v in vals]
+            return b"".join(
+                enc([r[i] for r in rows])
+                for i, enc in enumerate(encs))
+        return enc_tuple
+    if t == "UUID":
+        def enc_uuid(vals: list) -> bytes:
+            # UInt128 halves, HIGH 64 bits first, each little-endian
+            # (the public native-protocol layout clickhouse-driver's
+            # UUIDColumn implements); None -> the nil UUID
+            pairs: list[int] = []
+            for v in vals:
+                if v is None:
+                    i = 0
+                elif isinstance(v, _uuid.UUID):
+                    i = v.int
+                elif isinstance(v, (bytes, bytearray)):
+                    i = _uuid.UUID(bytes=bytes(v)).int
+                else:
+                    i = _uuid.UUID(str(v)).int
+                pairs.append(i >> 64)
+                pairs.append(i & 0xFFFFFFFFFFFFFFFF)
+            return struct.pack(f"<{len(pairs)}Q", *pairs)
+        return enc_uuid
     if t == "String":
         def enc_str(vals: list) -> bytes:
             out = bytearray()

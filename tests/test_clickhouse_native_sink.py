@@ -115,6 +115,27 @@ def _decode_column(r, ch_type: str, n: int) -> list:
             out.append(dict(zip(keys[prev:o], vals[prev:o])))
             prev = o
         return out
+    if ch_type.startswith("Tuple("):
+        import re as _re
+
+        from mysql_syncer_clickhouse_spark.functions.typemap import (
+            split_type_args)
+        etypes = []
+        for part in split_type_args(ch_type[6:-1]):
+            toks = part.split(None, 1)
+            if len(toks) == 2 and _re.fullmatch(r"[A-Za-z_]\w*", toks[0]):
+                etypes.append(toks[1])
+            else:
+                etypes.append(part)
+        cols = [_decode_column(r, et, n) for et in etypes]
+        return [tuple(c[i] for c in cols) for i in range(n)]
+    if ch_type == "UUID":
+        import uuid as _uuid
+        out = []
+        for _ in range(n):
+            hi, lo = struct.unpack("<QQ", r.read(16))
+            out.append(str(_uuid.UUID(int=(hi << 64) | lo)))
+        return out
     if ch_type.startswith("Decimal("):
         prec, scale = (int(x) for x in ch_type[8:-1].split(","))
         w = 4 if prec <= 9 else 8 if prec <= 18 else 16
@@ -1066,6 +1087,67 @@ def test_map_column_sink_e2e(spark, fake_native):
     sink.apply_batch(df, epoch_id=0)
     got = {r[2]: r[3] for _, rows in fake_native.inserts for r in rows}
     assert got == {10: {"clicks": 3, "views": 9}, 20: {}}
+
+
+def test_tuple_and_uuid_wire_round_trip(fake_native):
+    """Tuple(name Type, ...) and UUID native layouts (round 12):
+    tuples ship each element's full column back to back (fixed arity,
+    no offsets); UUID ships UInt128 halves high-64-first. Decoded by
+    the fake server's INDEPENDENT decoder. None -> default-element
+    tuple / nil UUID; Nullable tuple ELEMENTS keep real NULLs via
+    their own mask."""
+    from mysql_syncer_clickhouse_spark.sinks.clickhouse_native import (
+        NativeConnection)
+    conn = NativeConnection(fake_native.host, fake_native.port,
+                            compression=True)
+    try:
+        sent = conn.insert_blocks(
+            "INSERT INTO db.t VALUES",
+            [("id", "Int64"),
+             ("tup", "Tuple(k String, n Nullable(Int64))"),
+             ("u", "UUID")],
+            [[(1, ("a", 7), "12345678-1234-5678-1234-567812345678"),
+              (2, ("b", None), None),
+              (3, None, "00000000-0000-0000-0000-000000000001")]])
+        assert sent == 3
+    finally:
+        conn.close()
+    assert fake_native.inserts[0][1] == [
+        (1, ("a", 7), "12345678-1234-5678-1234-567812345678"),
+        (2, ("b", None), "00000000-0000-0000-0000-000000000000"),
+        (3, ("", None), "00000000-0000-0000-0000-000000000001")]
+
+
+def test_struct_column_sink_e2e(spark, fake_native):
+    """A Spark struct column (e.g. from_json typed output) through the
+    type authority -> named ClickHouse Tuple -> native wire. Before
+    the tuple pseudo-type it fell to the String catch-all and
+    bytes(Row) died on the first batch (same class as list/map)."""
+    from mysql_syncer_clickhouse_spark.functions.typemap import (
+        columns_from_spark_schema)
+    from mysql_syncer_clickhouse_spark.sinks.clickhouse_native import (
+        ClickHouseNativeSink)
+
+    df = spark.createDataFrame(
+        [(1, "insert", 10, ("alice", 3)),
+         (2, "insert", 20, None)],
+        "seq long, op string, id long, "
+        "who struct<name:string, n:long>")
+    cols = columns_from_spark_schema(df.schema)
+    # Spark DDL-parsed struct fields are nullable by default
+    assert ("who", "tuple(name nullable(text),n nullable(bigint))",
+            True) in cols
+    sink = ClickHouseNativeSink(
+        host=fake_native.host, port=fake_native.port,
+        database="olap", table="t_tup", columns=cols, pk=("id",),
+        compression=True)
+    sink.ensure_table()
+    ddl = next(q for q in fake_native.queries if "CREATE TABLE" in q)
+    assert "Tuple(name Nullable(String), n Nullable(Int64))" in ddl
+    assert "Nullable(Tuple" not in ddl
+    sink.apply_batch(df, epoch_id=0)
+    got = {r[2]: r[3] for _, rows in fake_native.inserts for r in rows}
+    assert got == {10: ("alice", 3), 20: (None, None)}
 
 
 def test_stat_sink_feed_rate_advances_across_epochs(spark, fake_native):

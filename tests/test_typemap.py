@@ -155,3 +155,60 @@ def test_map_key_types_clickhouse_cannot_hold_refuse():
                       T.MapType(T.FloatType(), T.LongType()), True)])
     with pytest.raises(ValueError, match="'badmap'"):
         columns_from_spark_schema(schema)
+
+
+def test_tuple_pseudo_type_round_trip_authority():
+    """Round 12: Spark struct columns round-trip struct ->
+    'tuple(name type,...)' pseudo-type -> named ClickHouse Tuple;
+    never Nullable-wrapped, per-field nullability as Nullable(inner),
+    nesting recurses."""
+    from mysql_syncer_clickhouse_spark.functions.typemap import (
+        mysql_to_clickhouse_type, spark_type_to_mysql)
+
+    st = T.StructType([
+        T.StructField("k", T.StringType(), False),
+        T.StructField("n", T.LongType(), True),
+        T.StructField("xs", T.ArrayType(T.LongType()), True)])
+    mt = "tuple(k text,n nullable(bigint),xs list(bigint))"
+    assert spark_type_to_mysql(st) == mt
+    assert mysql_to_clickhouse_type(mt, True) == \
+        "Tuple(k String, n Nullable(Int64), xs Array(Int64))"
+    # return path: scalar nullability round-trips; the COMPOSITE
+    # field comes back non-nullable BY DESIGN (CH forbids
+    # Nullable(Array); missing -> []), same one-way rule as map
+    assert mysql_to_spark_type(mt) == T.StructType([
+        T.StructField("k", T.StringType(), False),
+        T.StructField("n", T.LongType(), True),
+        T.StructField("xs", T.ArrayType(T.LongType()), False)])
+    # nesting: array<struct>, struct-in-struct
+    assert spark_type_to_mysql(T.ArrayType(T.StructType([
+        T.StructField("a", T.IntegerType(), False)]))) \
+        == "list(tuple(a int))"
+    assert mysql_to_clickhouse_type("list(tuple(a int))") \
+        == "Array(Tuple(a Int32))"
+    assert mysql_to_clickhouse_type(
+        "tuple(inner tuple(x bigint),y text)") \
+        == "Tuple(inner Tuple(x Int64), y String)"
+
+
+def test_tuple_bad_field_names_refuse():
+    import pytest
+
+    from mysql_syncer_clickhouse_spark.functions.typemap import (
+        mysql_to_clickhouse_type, spark_type_to_mysql)
+    with pytest.raises(ValueError, match="identifier"):
+        spark_type_to_mysql(T.StructType([
+            T.StructField("has space", T.LongType(), False)]))
+    with pytest.raises(ValueError, match="identifier"):
+        mysql_to_clickhouse_type("tuple(bigint)")
+
+
+def test_uuid_type_maps_to_clickhouse_uuid():
+    """MariaDB 10.7+ native uuid column -> ClickHouse UUID (Nullable
+    allowed -- UUID is a scalar); Spark side is the canonical 36-char
+    string."""
+    from mysql_syncer_clickhouse_spark.functions.typemap import (
+        mysql_to_clickhouse_type)
+    assert mysql_to_clickhouse_type("uuid") == "UUID"
+    assert mysql_to_clickhouse_type("uuid", True) == "Nullable(UUID)"
+    assert mysql_to_spark_type("uuid") == T.StringType()
