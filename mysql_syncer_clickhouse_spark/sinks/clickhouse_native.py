@@ -36,7 +36,11 @@ What's implemented (the documented native protocol, port 9000):
   null-mask-first layout; Array(T) (cumulative-offset, recursive),
   Map(K, V) (offsets + flat keys + flat values, the Array(Tuple)
   storage layout) and Tuple(name T, ...) (element columns back to
-  back, fixed arity), never Nullable-wrapped;
+  back, fixed arity), never Nullable-wrapped; Enum8/Enum16 (named
+  ints, unknown members refuse) and LowCardinality(T) (dictionary +
+  indices, additional-keys layout) for PRE-EXISTING tables -- the
+  INSERT path adopts the server header's declared types by name, so
+  blocks match tables the sink didn't create;
 - EXCEPTION (code/name/message/stack, nested chain) surfaced as
   ClickHouseServerError, PROGRESS tolerated, END_OF_STREAM closing
   each request.
@@ -442,6 +446,70 @@ def column_encoder(ch_type: str):
             us = _epoch_us(v)
             return us * 10 ** (p - 6) if p >= 6 else us // 10 ** (6 - p)
         return fixed("<q", conv_dt64, 0)
+    if t.startswith("Enum8(") or t.startswith("Enum16("):
+        # server-header type for existing tables; values arrive as the
+        # member NAME (string) or its numeric value. Unknown names/
+        # values raise -- a silent default here would corrupt data.
+        width8 = t.startswith("Enum8(")
+        body = t[t.index("(") + 1:-1]
+        mapping: dict[str, int] = {}
+        for m in re.finditer(r"'((?:[^'\\]|\\.)*)'\s*=\s*(-?\d+)", body):
+            nm = m.group(1).replace("\\'", "'").replace("\\\\", "\\")
+            mapping[nm] = int(m.group(2))
+        if not mapping:
+            raise ValueError(f"no members parsed from {ch_type!r}")
+        first = next(iter(mapping.values()))
+        valid = set(mapping.values())
+
+        def conv_enum(v):
+            if isinstance(v, int) and not isinstance(v, bool):
+                if v not in valid:
+                    raise ValueError(
+                        f"enum value {v} not a member of {ch_type}")
+                return v
+            n = mapping.get(v if isinstance(v, str) else str(v))
+            if n is None:
+                raise ValueError(
+                    f"enum name {v!r} not a member of {ch_type}")
+            return n
+        return fixed("<b" if width8 else "<h", conv_enum, first)
+    if t.startswith("LowCardinality(") and t.endswith(")"):
+        # server-header type for existing tables. Wire layout (the
+        # public protocol clickhouse-driver's LowCardinalityColumn
+        # implements): UInt64 keys-serialization version (1 =
+        # SharedDictionariesWithAdditionalKeys), UInt64
+        # serialization_type (HAS_ADDITIONAL_KEYS bit | index int
+        # size code), UInt64 dictionary size + the dictionary via the
+        # BASE (mask-free) encoder, UInt64 row count + indices. For
+        # Nullable inner, slot 0 is reserved for NULL (encoded as the
+        # base default) and NULL rows index it.
+        inner_t = t[15:-1].strip()
+        null_inner = inner_t.startswith("Nullable(")
+        base_enc = column_encoder(
+            inner_t[9:-1] if null_inner else inner_t)
+
+        def enc_lc(vals: list) -> bytes:
+            keys: list = [None] if null_inner else []
+            idx_of: dict = {}
+            if null_inner:
+                idx_of[None] = 0
+            indices: list[int] = []
+            for v in vals:
+                i = idx_of.get(v)
+                if i is None:
+                    i = idx_of[v] = len(keys)
+                    keys.append(v)
+                indices.append(i)
+            nk = len(keys)
+            code, fmt = (0, "B") if nk <= 0xFF else \
+                        (1, "H") if nk <= 0xFFFF else \
+                        (2, "I") if nk <= 0xFFFFFFFF else (3, "Q")
+            return (struct.pack("<Q", 1)                 # version
+                    + struct.pack("<Q", (1 << 9) | code) # ser. type
+                    + struct.pack("<Q", nk) + base_enc(keys)
+                    + struct.pack("<Q", len(indices))
+                    + struct.pack(f"<{len(indices)}{fmt}", *indices))
+        return enc_lc
     if t.startswith("Decimal("):
         prec, scale = (int(x) for x in t[8:-1].split(","))
         if prec <= 9:
@@ -613,11 +681,41 @@ class NativeConnection:
             block = compress_frame(block, self.compression_method)
         self._send(write_varint(C_DATA), write_str(""), block)
 
-    def _skip_block(self) -> None:
-        """Consume a server Data block header (the INSERT sample block
-        is empty; names/types are read, data lengths are type-driven
-        so a non-empty one would need decoders -- the write path never
-        receives one). With compression on, the server's block body
+    @staticmethod
+    def _state_prefix_len(ch_type: str) -> int:
+        """Bytes of per-column serialization-state prefix a server
+        block carries BEFORE the (possibly zero-row) data:
+        LowCardinality columns ship an 8-byte keys-serialization
+        version even when empty; composites aggregate their inners'."""
+        t = ch_type.strip()
+        if t.startswith("LowCardinality(") and t.endswith(")"):
+            return 8
+        if t.startswith("Nullable(") and t.endswith(")"):
+            return NativeConnection._state_prefix_len(t[9:-1])
+        if t.startswith("Array(") and t.endswith(")"):
+            return NativeConnection._state_prefix_len(t[6:-1])
+        if t.startswith("Map(") and t.endswith(")"):
+            return sum(NativeConnection._state_prefix_len(a)
+                       for a in split_type_args(t[4:-1]))
+        if t.startswith("Tuple(") and t.endswith(")"):
+            total = 0
+            for part in split_type_args(t[6:-1]):
+                toks = part.split(None, 1)
+                et = toks[1] if (len(toks) == 2 and re.fullmatch(
+                    r"[A-Za-z_]\w*", toks[0])) else part
+                total += NativeConnection._state_prefix_len(et)
+            return total
+        return 0
+
+    def _read_header_block(self) -> list[tuple[str, str]]:
+        """Consume a server Data block header and return its (name,
+        type) pairs. The INSERT sample block is row-empty but carries
+        the table's REAL column types (LowCardinality, Enum,
+        DateTime('tz'), ...) -- the write path adopts them so blocks
+        match what the server expects even for pre-existing tables
+        the sink didn't create. Data lengths are type-driven, so a
+        non-empty block would need decoders -- the write path never
+        receives one. With compression on, the server's block body
         arrives framed too."""
         rd = self.r
         rd.string()                  # temporary table name
@@ -632,9 +730,17 @@ class NativeConnection:
         if n_rows:
             raise NotImplementedError("unexpected non-empty server block "
                                       "on the write path")
+        out = []
         for _ in range(n_cols):
-            rd.string()
-            rd.string()
+            name, typ = rd.string(), rd.string()
+            # zero-row columns still carry their serialization-state
+            # prefix (LowCardinality's version stamp) -- consume it or
+            # the uncompressed stream desyncs
+            skip = self._state_prefix_len(typ)
+            if skip:
+                rd.read(skip)
+            out.append((name, typ))
+        return out
 
     def _read_until(self, *stop_codes: int) -> int:
         while True:
@@ -667,10 +773,20 @@ class NativeConnection:
                       block_iter, *,
                       settings: dict[str, str] | None = None) -> int:
         """INSERT: query -> header block -> stream blocks -> empty
-        block -> EndOfStream. Returns rows sent."""
+        block -> EndOfStream. Returns rows sent.
+
+        The server's header block declares the table's REAL column
+        types; where they differ from the caller's (a pre-existing
+        table with LowCardinality/Enum/timezone'd columns) the
+        SERVER's type wins -- the native protocol requires client
+        blocks to carry the exact declared types, so encoding with
+        the caller's mapping would be rejected (or worse). A server
+        type with no encoder raises naming it, before any bytes ship."""
         self._send_query(sql, settings)
         self._read_until(S_DATA)
-        self._skip_block()
+        header = dict(self._read_header_block())
+        if header:
+            columns = [(n, header.get(n, t)) for n, t in columns]
         sent = 0
         for rows in block_iter:
             if rows:

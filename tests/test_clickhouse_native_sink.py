@@ -115,6 +115,36 @@ def _decode_column(r, ch_type: str, n: int) -> list:
             out.append(dict(zip(keys[prev:o], vals[prev:o])))
             prev = o
         return out
+    if ch_type.startswith("Enum8(") or ch_type.startswith("Enum16("):
+        import re as _re
+        body = ch_type[ch_type.index("(") + 1:-1]
+        by_val = {int(m.group(2)):
+                  m.group(1).replace("\\'", "'").replace("\\\\", "\\")
+                  for m in _re.finditer(
+                      r"'((?:[^'\\]|\\.)*)'\s*=\s*(-?\d+)", body)}
+        fmt = "<b" if ch_type.startswith("Enum8(") else "<h"
+        w = struct.calcsize(fmt)
+        return [by_val[struct.unpack(fmt, r.read(w))[0]]
+                for _ in range(n)]
+    if ch_type.startswith("LowCardinality("):
+        # independent decode: version, serialization_type (additional-
+        # keys bit + index width code), dictionary via the BASE
+        # decoder, then indices; Nullable inner reserves slot 0 = NULL
+        inner = ch_type[15:-1].strip()
+        null_inner = inner.startswith("Nullable(")
+        base = inner[9:-1] if null_inner else inner
+        assert struct.unpack("<Q", r.read(8))[0] == 1
+        ser = struct.unpack("<Q", r.read(8))[0]
+        assert ser & (1 << 9)
+        fmt = {0: "<B", 1: "<H", 2: "<I", 3: "<Q"}[ser & 0xFF]
+        w = struct.calcsize(fmt)
+        nk = struct.unpack("<Q", r.read(8))[0]
+        keys = _decode_column(r, base, nk)
+        if null_inner:
+            keys = [None] + keys[1:]
+        nr = struct.unpack("<Q", r.read(8))[0]
+        return [keys[struct.unpack(fmt, r.read(w))[0]]
+                for _ in range(nr)]
     if ch_type.startswith("Tuple("):
         import re as _re
 
@@ -245,6 +275,10 @@ class _FakeNativeClickHouse:
         self._fail = fail_sql_containing
         self._send_tc = send_table_columns
         self._hello_rev = hello_revision
+        # (name, type) pairs to declare in the INSERT header block --
+        # simulates a PRE-EXISTING table whose real column types
+        # (LowCardinality, Enum, ...) differ from the client's mapping
+        self.header_types: list[tuple[str, str]] = []
         outer = self
 
         class Handler(socketserver.BaseRequestHandler):
@@ -338,9 +372,24 @@ class _FakeNativeClickHouse:
                     # INSERTs; clients must tolerate it
                     sock.sendall(_wr_varint(11) + _wr_str("")
                                  + _wr_str("columns format version: 1"))
-                # header block: empty -- framed when negotiated, so
-                # the CLIENT's decompress+verify path is exercised too
-                hdr_blk = N.encode_block([], [])
+                # header block: row-empty -- framed when negotiated,
+                # so the CLIENT's decompress+verify path is exercised
+                # too. With header_types set, it declares the table's
+                # REAL column types the way a live server does,
+                # including the zero-row serialization-state prefix
+                # (LowCardinality's 8-byte version stamp)
+                if self.header_types:
+                    hdr_blk = bytearray(
+                        b"\x01\x00\x02\xff\xff\xff\xff\x00")
+                    hdr_blk += _wr_varint(len(self.header_types))
+                    hdr_blk += _wr_varint(0)
+                    for hn, ht in self.header_types:
+                        hdr_blk += _wr_str(hn) + _wr_str(ht)
+                        if ht.startswith("LowCardinality("):
+                            hdr_blk += struct.pack("<Q", 1)
+                    hdr_blk = bytes(hdr_blk)
+                else:
+                    hdr_blk = N.encode_block([], [])
                 if compression:
                     hdr_blk = _wr_frame(hdr_blk)
                 sock.sendall(_wr_varint(1) + _wr_str("") + hdr_blk)
@@ -1148,6 +1197,88 @@ def test_struct_column_sink_e2e(spark, fake_native):
     sink.apply_batch(df, epoch_id=0)
     got = {r[2]: r[3] for _, rows in fake_native.inserts for r in rows}
     assert got == {10: ("alice", 3), 20: (None, None)}
+
+
+def test_lowcardinality_and_enum_wire_round_trip(fake_native):
+    """LowCardinality (dictionary + indices, additional-keys layout)
+    and Enum8/Enum16 (named Int8/Int16) native encodes, decoded by
+    the fake server's INDEPENDENT decoder. Nullable-inner
+    LowCardinality reserves dictionary slot 0 for NULL."""
+    from mysql_syncer_clickhouse_spark.sinks.clickhouse_native import (
+        NativeConnection)
+    conn = NativeConnection(fake_native.host, fake_native.port,
+                            compression=True)
+    try:
+        sent = conn.insert_blocks(
+            "INSERT INTO db.t VALUES",
+            [("id", "Int64"),
+             ("tag", "LowCardinality(String)"),
+             ("opt", "LowCardinality(Nullable(String))"),
+             ("sev", "Enum8('low' = 1, 'high' = 2)"),
+             ("code", "Enum16('a' = -300, 'b' = 5)")],
+            [[(1, "x", "p", "low", "a"),
+              (2, "x", None, "high", 5),
+              (3, "y", "p", 2, "b")]])
+        assert sent == 3
+    finally:
+        conn.close()
+    assert fake_native.inserts[0][1] == [
+        (1, "x", "p", "low", "a"),
+        (2, "x", None, "high", "b"),
+        (3, "y", "p", "high", "b")]
+
+
+def test_enum_unknown_member_refuses():
+    """An enum value outside the declared members must RAISE -- a
+    silent default would corrupt data."""
+    import pytest
+
+    from mysql_syncer_clickhouse_spark.sinks.clickhouse_native import (
+        column_encoder)
+    enc = column_encoder("Enum8('low' = 1, 'high' = 2)")
+    with pytest.raises(ValueError, match="not a member"):
+        enc(["nope"])
+    with pytest.raises(ValueError, match="not a member"):
+        enc([3])
+
+
+@pytest.mark.parametrize("compression", [True, False])
+def test_insert_adopts_server_header_types(fake_native, compression):
+    """A PRE-EXISTING table with LowCardinality/Enum columns: the
+    server's INSERT header declares the real types and the client
+    must encode with THEM, not its own mapping (the protocol rejects
+    mismatched blocks). Runs uncompressed too -- the zero-row
+    LowCardinality state prefix in the header must be consumed or
+    the raw socket stream desyncs."""
+    from mysql_syncer_clickhouse_spark.sinks.clickhouse_native import (
+        NativeConnection)
+    fake_native.header_types = [
+        ("id", "Int64"),
+        ("tag", "LowCardinality(String)"),
+        ("sev", "Enum8('low' = 1, 'high' = 2)")]
+    conn = NativeConnection(fake_native.host, fake_native.port,
+                            compression=compression)
+    try:
+        sent = conn.insert_blocks(
+            "INSERT INTO db.t (id, tag, sev) VALUES",
+            [("id", "Int64"), ("tag", "String"), ("sev", "String")],
+            [[(1, "a", "low"), (2, "a", "high")]])
+        assert sent == 2
+        # the connection is NOT desynced: a second INSERT still works
+        sent = conn.insert_blocks(
+            "INSERT INTO db.t (id, tag, sev) VALUES",
+            [("id", "Int64"), ("tag", "String"), ("sev", "String")],
+            [[(3, "b", "low")]])
+        assert sent == 1
+    finally:
+        conn.close()
+    assert fake_native.inserts[0][1] == [(1, "a", "low"),
+                                         (2, "a", "high")]
+    assert fake_native.inserts[1][1] == [(3, "b", "low")]
+    # the wire blocks really carried the server's types: the insert
+    # decode used the client-sent type strings, which round-trip enum
+    # NAMES (an Int8 of a plain String column could not)
+    fake_native.header_types = []
 
 
 def test_stat_sink_feed_rate_advances_across_epochs(spark, fake_native):
