@@ -192,6 +192,45 @@ LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
 }
 
 
+# --------------------------------------------------------------- PII
+# Training-data pipelines scrub obvious PII before anything else sees
+# the text. Patterns are deliberately restricted to syntax both Java
+# regex (Spark) and RE2 (DuckDB) treat identically -- no backrefs, no
+# lookaround, leftmost-first greedy quantifiers -- so the redaction is
+# oracle-checkable byte-for-byte.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+# international-prefixed numbers only ('+' then 8+ digits with
+# separators): bare digit runs would false-positive on quantities
+PII_PHONE = r"\+\d[\d() -]{6,}\d"
+
+
+def pii_count(col: Column | str) -> Column:
+    """Count of PII items redact_pii would replace -- counted as
+    placeholders in the REDACTED text so the number always agrees
+    with the redaction (counting patterns on the raw text would
+    double-count overlaps: an email's digit-bearing local part also
+    matches the phone pattern)."""
+    return F.regexp_count(redact_pii(col),
+                          F.lit("<EMAIL>|<PHONE>|<IP>")).cast("long")
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Replace email / IPv4 / phone matches with typed placeholder
+    tokens, in that order: email FIRST (its local part can contain
+    digit runs the later passes would mangle), then IPv4, then phone
+    LAST -- the greedy phone tail would otherwise bridge across a
+    space into a following dotted quad ('+44 20 ... 0958 10.0.0.7'
+    would eat the '10'); with the quad already collapsed to '<IP>'
+    the phone match stops at its own last digit. Phone digits never
+    contain dots, so the earlier IPv4 pass cannot take part of a
+    phone number."""
+    c = _c(col)
+    c = F.regexp_replace(c, PII_EMAIL, "<EMAIL>")
+    c = F.regexp_replace(c, PII_IPV4, "<IP>")
+    return F.regexp_replace(c, PII_PHONE, "<PHONE>")
+
+
 def language_scores(col: Column | str,
                     tables: dict[str, tuple[str, ...]] | None = None) \
         -> dict[str, Column]:

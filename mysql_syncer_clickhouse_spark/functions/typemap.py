@@ -128,6 +128,11 @@ def mysql_to_spark_type(mysql_type: str, *,
         # MariaDB 10.7+ native UUID column; canonical 36-char string
         # Spark-side, 16-byte ClickHouse UUID on the wire
         return T.StringType()
+    if base in ("inet4", "inet6"):
+        # MariaDB INET4/INET6 address columns; canonical string
+        # Spark-side, ClickHouse IPv4 (UInt32) / IPv6 (16 bytes) on
+        # the wire
+        return T.StringType()
     if base in _INT:
         signed, widened = _INT[base]
         return widened if unsigned else signed
@@ -230,6 +235,9 @@ def mysql_to_clickhouse_type(mysql_type: str, nullable: bool = False) -> str:
         return f"Tuple({inner})"
     if base == "uuid":
         out = "UUID"
+        return f"Nullable({out})" if nullable else out
+    if base in ("inet4", "inet6"):
+        out = "IPv4" if base == "inet4" else "IPv6"
         return f"Nullable({out})" if nullable else out
     if base in _CH_INT:
         ch = _CH_INT[base]

@@ -795,7 +795,23 @@ def text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         pred.alias("lang_pred"),
         TX.fingerprint("text").alias("fp"),
         TX.portable_hash32(F.col("text")).alias("fp32"),
-        F.round(TX.dup_ngram_ratio("text", 3), 6).alias("dup_3gram_ratio"))
+        F.round(TX.dup_ngram_ratio("text", 3), 6).alias("dup_3gram_ratio"),
+        # PII scrub (round 12): the fixtures carry no PII, so a
+        # deterministic email/phone/IPv4 tail derived from doc_id is
+        # appended FIRST -- the count and the redacted-text md5 then
+        # exercise the real match+replace behavior against the oracle
+        # on every row, not a constant no-op
+        TX.pii_count(_pii_probe_text()).alias("pii_n"),
+        F.md5(TX.redact_pii(_pii_probe_text())).alias("pii_red_fp"))
+
+
+def _pii_probe_text():
+    did = F.col("doc_id").cast("string")
+    return F.concat(
+        F.col("text"), F.lit(" contact user"), did,
+        F.lit("@example.com or +1 555 00"), did,
+        F.lit(" at 10.0."), (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7"))
 
 
 _TEXT_ANALYSIS_SQL = f"""
@@ -804,6 +820,10 @@ WITH t AS (
   FROM documents
 ), m AS (
   SELECT doc_id, lang, text, w,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or +1 555 00' || CAST(doc_id AS VARCHAR)
+              || ' at 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+           AS ptxt,
          CAST(len(list_filter(w, x -> x IN ({_STOP_IN}))) AS DOUBLE)
            / len(w) AS stop,
          CAST(list_sum(list_transform(w, x -> len(x))) AS DOUBLE)
@@ -831,7 +851,17 @@ SELECT doc_id,
        md5(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS fp,
        {_H32.format(x='text')} AS fp32,
        ROUND(1 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 6)
-         AS dup_3gram_ratio
+         AS dup_3gram_ratio,
+       CAST(len(regexp_extract_all(
+             regexp_replace(regexp_replace(regexp_replace(ptxt,
+               '{TX.PII_EMAIL}', '<EMAIL>', 'g'),
+               '{TX.PII_IPV4}', '<IP>', 'g'),
+               '{TX.PII_PHONE}', '<PHONE>', 'g'),
+             '<EMAIL>|<PHONE>|<IP>')) AS BIGINT) AS pii_n,
+       md5(regexp_replace(regexp_replace(regexp_replace(ptxt,
+             '{TX.PII_EMAIL}', '<EMAIL>', 'g'),
+             '{TX.PII_IPV4}', '<IP>', 'g'),
+             '{TX.PII_PHONE}', '<PHONE>', 'g')) AS pii_red_fp
 FROM m
 """
 

@@ -40,7 +40,9 @@ What's implemented (the documented native protocol, port 9000):
   ints, unknown members refuse) and LowCardinality(T) (dictionary +
   indices, additional-keys layout) for PRE-EXISTING tables -- the
   INSERT path adopts the server header's declared types by name, so
-  blocks match tables the sink didn't create;
+  blocks match tables the sink didn't create; FixedString(N)
+  (zero-padded, overlong refuses), Bool, IPv4 (UInt32) and IPv6
+  (network-order 16 bytes);
 - EXCEPTION (code/name/message/stack, nested chain) surfaced as
   ClickHouseServerError, PROGRESS tolerated, END_OF_STREAM closing
   each request.
@@ -60,6 +62,7 @@ at-least-once-then-idempotent contract as every other sink here.
 from __future__ import annotations
 
 import datetime
+import ipaddress
 import re
 import socket
 import struct
@@ -446,6 +449,51 @@ def column_encoder(ch_type: str):
             us = _epoch_us(v)
             return us * 10 ** (p - 6) if p >= 6 else us // 10 ** (6 - p)
         return fixed("<q", conv_dt64, 0)
+    if t == "Bool":
+        # UInt8 storage; accepts bools/ints, None -> false
+        return fixed("<B", lambda v: 1 if v else 0, 0)
+    if t.startswith("FixedString(") and t.endswith(")"):
+        width = int(t[12:-1])
+
+        def enc_fixed_str(vals: list) -> bytes:
+            out = bytearray()
+            for v in vals:
+                b = b"" if v is None else (
+                    v.encode("utf-8") if isinstance(v, str) else bytes(v))
+                if len(b) > width:
+                    # truncation would silently change the value
+                    raise ValueError(
+                        f"value of {len(b)} bytes too long for {t}")
+                out += b + b"\x00" * (width - len(b))
+            return bytes(out)
+        return enc_fixed_str
+    if t == "IPv4":
+        # UInt32, host byte order as an integer (little-endian on the
+        # wire like every other UInt32)
+        def conv_ipv4(v):
+            if isinstance(v, int):
+                return v
+            return int(ipaddress.IPv4Address(str(v)))
+        return fixed("<I", conv_ipv4, 0)
+    if t == "IPv6":
+        def enc_ipv6(vals: list) -> bytes:
+            out = bytearray()
+            for v in vals:
+                if v is None:
+                    out += bytes(16)
+                elif isinstance(v, (bytes, bytearray)):
+                    if len(v) != 16:
+                        raise ValueError(
+                            f"IPv6 bytes value must be 16 bytes, "
+                            f"got {len(v)}")
+                    out += bytes(v)
+                else:
+                    # big-endian 16 bytes (network order), the native
+                    # layout; IPv4-mapped strings normalize via the
+                    # stdlib parser
+                    out += ipaddress.IPv6Address(str(v)).packed
+            return bytes(out)
+        return enc_ipv6
     if t.startswith("Enum8(") or t.startswith("Enum16("):
         # server-header type for existing tables; values arrive as the
         # member NAME (string) or its numeric value. Unknown names/

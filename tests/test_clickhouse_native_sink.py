@@ -115,6 +115,19 @@ def _decode_column(r, ch_type: str, n: int) -> list:
             out.append(dict(zip(keys[prev:o], vals[prev:o])))
             prev = o
         return out
+    if ch_type == "Bool":
+        return [bool(b) for b in r.read(n)]
+    if ch_type.startswith("FixedString("):
+        w = int(ch_type[12:-1])
+        return [r.read(w).rstrip(b"\x00").decode() for _ in range(n)]
+    if ch_type == "IPv4":
+        import ipaddress
+        return [str(ipaddress.IPv4Address(
+            struct.unpack("<I", r.read(4))[0])) for _ in range(n)]
+    if ch_type == "IPv6":
+        import ipaddress
+        return [str(ipaddress.IPv6Address(r.read(16)))
+                for _ in range(n)]
     if ch_type.startswith("Enum8(") or ch_type.startswith("Enum16("):
         import re as _re
         body = ch_type[ch_type.index("(") + 1:-1]
@@ -1240,6 +1253,39 @@ def test_enum_unknown_member_refuses():
         enc(["nope"])
     with pytest.raises(ValueError, match="not a member"):
         enc([3])
+
+
+def test_fixedstring_bool_ip_wire_round_trip(fake_native):
+    """FixedString(N) (zero-padded, overlong REFUSES), Bool (UInt8),
+    IPv4 (UInt32) and IPv6 (network-order 16 bytes) -- the remaining
+    common scalar types a pre-existing table's header can declare --
+    decoded by the fake server's INDEPENDENT decoder."""
+    from mysql_syncer_clickhouse_spark.sinks.clickhouse_native import (
+        NativeConnection, column_encoder)
+    conn = NativeConnection(fake_native.host, fake_native.port,
+                            compression=True)
+    try:
+        sent = conn.insert_blocks(
+            "INSERT INTO db.t VALUES",
+            [("id", "Int64"), ("code", "FixedString(4)"),
+             ("ok", "Bool"), ("a4", "IPv4"), ("a6", "IPv6")],
+            [[(1, "ab", True, "1.2.3.4", "2001:db8::1"),
+              (2, "wxyz", False, "255.255.255.255", "::1"),
+              (3, None, None, None, None)]])
+        assert sent == 3
+    finally:
+        conn.close()
+    assert fake_native.inserts[0][1] == [
+        (1, "ab", True, "1.2.3.4", "2001:db8::1"),
+        (2, "wxyz", False, "255.255.255.255", "::1"),
+        (3, "", False, "0.0.0.0", "::")]
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="too long"):
+        column_encoder("FixedString(4)")(["abcde"])
+    from mysql_syncer_clickhouse_spark.functions.typemap import (
+        mysql_to_clickhouse_type)
+    assert mysql_to_clickhouse_type("inet6", True) == "Nullable(IPv6)"
+    assert mysql_to_clickhouse_type("inet4") == "IPv4"
 
 
 @pytest.mark.parametrize("compression", [True, False])

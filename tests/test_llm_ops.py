@@ -1809,3 +1809,33 @@ def test_jpeg_truncated_scan_returns_none(spark):
     # well before this point for a 32x32 noise image)
     cut = len(enc) - (len(enc) - enc.find(b"\xff\xda")) * 6 // 10
     assert decode_baseline_jpeg(enc[:cut]) is None
+
+
+def test_pii_redaction_and_count(spark):
+    """redact_pii replaces email -> phone -> IPv4 in that order (an
+    email's digit-bearing local part must not be half-eaten by the
+    phone pass); pii_count totals all three; non-PII digit runs and
+    bare dotted words survive."""
+    from mysql_syncer_clickhouse_spark.functions import text as TX
+    rows = [
+        ("write to Jo.Smith+x@sub.example.co.uk today",
+         "write to <EMAIL> today", 1),
+        ("call +1 (415) 555-0000 now", "call <PHONE> now", 1),
+        ("server 192.168.1.254 is up", "server <IP> is up", 1),
+        ("a1@b.io +44 20 7946 0958 10.0.0.7",
+         "<EMAIL> <PHONE> <IP>", 3),
+        # order: the email digits must vanish with the email, not
+        # leave a '<PHONE>' fragment behind
+        ("+123456789@mail.example.com", "<EMAIL>", 1),
+        # negatives: plain quantities, version-ish dotted tokens with
+        # non-numeric parts, bare long digit runs without '+'
+        ("we sold 123456789 units of v1.2.x today",
+         "we sold 123456789 units of v1.2.x today", 0),
+    ]
+    df = spark.createDataFrame([(t,) for t, _, _ in rows], "t string")
+    got = df.select(
+        TX.redact_pii("t").alias("red"),
+        TX.pii_count("t").alias("n")).collect()
+    for (src, want_red, want_n), r in zip(rows, got):
+        assert r["red"] == want_red, src
+        assert r["n"] == want_n, src
