@@ -115,26 +115,6 @@ def dup_ngram_ratio(col: Column | str, n: int = 3) -> Column:
             / total.cast("double"))
 
 
-# Order matters: emails before phones (an email's digit runs must not be
-# half-redacted first), IPs before phones (dotted quads are digit runs).
-_PII_PATTERNS = (
-    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
-    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
-    (r"\+?\d[\d\s().-]{7,}\d", "<PHONE>"),
-)
-
-
-def redact_pii(col: Column | str) -> Column:
-    """Best-effort PII scrub for training corpora: emails, IPv4s, and
-    phone-like digit runs replaced with typed placeholder tokens.
-    A chain of JVM regexp_replace calls -- map-only, codegen'd, no
-    Python in the path."""
-    out = _c(col)
-    for pat, token in _PII_PATTERNS:
-        out = F.regexp_replace(out, pat, token)
-    return out
-
-
 def canonical_text(col: Column | str) -> Column:
     """Dedup canonicalization: lowercase, punctuation -> space,
     whitespace collapsed, trimmed. The standard pre-fingerprint
@@ -201,7 +181,11 @@ LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
 PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 # international-prefixed numbers only ('+' then 8+ digits with
-# separators): bare digit runs would false-positive on quantities
+# separators): bare digit runs would false-positive on quantities.
+# Round 12 tightened this from the earlier optional-'+' pattern for
+# exactly that reason ('we sold 123456789 units' must survive), and
+# dropped '.' from the separator class so a phone match can never eat
+# into a dotted quad.
 PII_PHONE = r"\+\d[\d() -]{6,}\d"
 
 

@@ -274,6 +274,22 @@ def _epoch_us(dt: datetime.datetime) -> int:
     return (d.days * 86_400 + d.seconds) * 1_000_000 + d.microseconds
 
 
+def _refuse_nested_lowcardinality(outer: str, *inners: str) -> None:
+    """LowCardinality INSIDE a composite serializes its keys-version
+    stamp in the COLUMN's state prefix, not inline where this
+    encoder's flat recursion would put it -- shipping that would be
+    wrong bytes a real server rejects (or worse). Refuse loudly; the
+    header-adoption path then fails BEFORE any data ships. Top-level
+    LowCardinality (prefix and data contiguous) is fully supported."""
+    for inner in inners:
+        if "LowCardinality(" in inner:
+            raise ValueError(
+                f"LowCardinality nested inside {outer!r} is not "
+                f"supported by this encoder (its serialization state "
+                f"lives in the column prefix); use a plain inner type "
+                f"or a top-level LowCardinality column")
+
+
 def column_encoder(ch_type: str):
     """ch type string -> (encode(values) -> bytes). Handles
     Nullable(T) with the null-mask-first native layout."""
@@ -316,6 +332,7 @@ def column_encoder(ch_type: str):
         return enc
 
     if t.startswith("Array(") and t.endswith(")"):
+        _refuse_nested_lowcardinality(t, t[6:-1])
         inner = column_encoder(t[6:-1])
 
         def enc_array(vals: list) -> bytes:
@@ -336,6 +353,7 @@ def column_encoder(ch_type: str):
         return enc_array
     if t.startswith("Map(") and t.endswith(")"):
         kt, vt = split_type_args(t[4:-1])
+        _refuse_nested_lowcardinality(t, kt, vt)
         kenc = column_encoder(kt)
         venc = column_encoder(vt)
 
@@ -371,6 +389,7 @@ def column_encoder(ch_type: str):
                 etypes.append(toks[1])
             else:
                 etypes.append(part)
+        _refuse_nested_lowcardinality(t, *etypes)
         encs = [column_encoder(et) for et in etypes]
 
         def enc_tuple(vals: list) -> bytes:

@@ -1456,3 +1456,19 @@ def test_date32_wide_range_and_date_range_refusal(fake_native):
         N.column_encoder("Date")([old])
     with pytest.raises(ValueError, match="Date32"):
         N.column_encoder("Date")([datetime.date(2200, 1, 1)])
+
+
+def test_lowcardinality_nested_in_composite_refuses():
+    """LowCardinality inside Array/Map/Tuple serializes its version
+    stamp in the column STATE PREFIX, which the flat recursive
+    encoders cannot place -- they must refuse loudly (header adoption
+    would otherwise ship wrong bytes to a real server)."""
+    import pytest as _pytest
+
+    from mysql_syncer_clickhouse_spark.sinks.clickhouse_native import (
+        column_encoder)
+    for t in ("Array(LowCardinality(String))",
+              "Map(String, LowCardinality(String))",
+              "Tuple(a LowCardinality(String), b Int64)"):
+        with _pytest.raises(ValueError, match="LowCardinality nested"):
+            column_encoder(t)
