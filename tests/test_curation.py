@@ -334,7 +334,11 @@ def test_redact_pii_idempotent_and_clean(spark):
     for t in once.values():
         assert not _re.search(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", t)
         assert not _re.search(r"\b(?:\d{1,3}\.){3}\d{1,3}\b", t)
-        assert not _re.search(r"\+?\d[\d\s().-]{7,}\d", t)
+        # phone policy: international '+' prefix REQUIRED -- residual
+        # check uses the same rule, and a bare digit run is NOT PII
+        assert not _re.search(r"\+\d[\d() -]{6,}\d", t)
+    # the tightened pattern's whole point: quantities/ids survive
+    assert "0000000000" in once[2]
 
 
 def test_quality_percentile_filter_adapts_per_stratum(spark, sf_dir):
