@@ -101,28 +101,35 @@ def _attach_ch_sink(cfg: EngineConfig, pipe: StreamingSyncPipeline,
                              *pipe.rule.projection(payload))
     cols = columns_from_spark_schema(projected.schema)
     pk = tuple(pipe._sink_pk())
-    addr = cfg.sink_addr
     db, table = pipe.rule.sink_schema, pipe.rule.sink_table
-    if addr.startswith(("http://", "https://")):
-        from .sinks.clickhouse import ClickHouseHTTPSink
-        sink = ClickHouseHTTPSink(
-            url=addr, database=db, table=table, columns=cols, pk=pk,
-            user=cfg.sink_user, password=cfg.sink_pass)
-    else:
-        from .sinks.clickhouse_native import ClickHouseNativeSink
-        host, _, port = addr.rpartition(":")
-        # TLS config stays PICKLABLE (secure/ca_file, not a built
-        # SSLContext): apply_batch's per-partition connections open on
-        # executors and rebuild their contexts from these fields
-        sink = ClickHouseNativeSink(
-            host=host or "127.0.0.1", port=int(port or 9000),
-            database=db, table=table, columns=cols, pk=pk,
-            user=cfg.sink_user or "default",
-            password=cfg.sink_pass or "",
-            secure=bool(cfg.sink_secure), ca_file=cfg.sink_ca or None)
+    sink = _build_ch_sink(cfg, db, table, cols, pk)
     sink.ensure_table()
     pipe.ch_sink = sink
-    return f"clickhouse://{addr}/{db}.{table}"
+    return f"clickhouse://{cfg.sink_addr}/{db}.{table}"
+
+
+def _build_ch_sink(cfg: EngineConfig, db: str, table: str,
+                   cols, pk: tuple):
+    """sink_addr -> a ClickHouse sink object: native TCP for
+    host:port (the reference's own transport, clickhouse/client.go),
+    the HTTP writer for http(s):// URLs."""
+    addr = cfg.sink_addr
+    if addr.startswith(("http://", "https://")):
+        from .sinks.clickhouse import ClickHouseHTTPSink
+        return ClickHouseHTTPSink(
+            url=addr, database=db, table=table, columns=cols, pk=pk,
+            user=cfg.sink_user, password=cfg.sink_pass)
+    from .sinks.clickhouse_native import ClickHouseNativeSink
+    host, _, port = addr.rpartition(":")
+    # TLS config stays PICKLABLE (secure/ca_file, not a built
+    # SSLContext): apply_batch's per-partition connections open on
+    # executors and rebuild their contexts from these fields
+    return ClickHouseNativeSink(
+        host=host or "127.0.0.1", port=int(port or 9000),
+        database=db, table=table, columns=cols, pk=pk,
+        user=cfg.sink_user or "default",
+        password=cfg.sink_pass or "",
+        secure=bool(cfg.sink_secure), ca_file=cfg.sink_ca or None)
 
 
 def run(cfg: EngineConfig, changelog_dir: str, *, follow: bool = False,
@@ -248,6 +255,82 @@ def run_binlog(cfg: EngineConfig, binlog_dir: str, *,
         if pipe.ch_sink is None:
             line["rows"] = pipe.current_state(spark).count()
         results.append(line)
+    return results
+
+
+def run_apply_ddl(cfg: EngineConfig, binlog_dir: str, *,
+                  spark=None) -> list[dict]:
+    """--apply-ddl: replicate schema-changing statements from the
+    binlog stream into the ClickHouse sink, rule-mapped and TYPED --
+    the gap the reference leaves open (it refreshes only its in-memory
+    rule on DDL, river/sync.go:54-65; the ClickHouse table silently
+    drifts). Incremental: a (file, pos) watermark in
+    <data_dir>/_ddl.info makes repeated invocations apply only new
+    statements, the same resume discipline as _master.info.
+
+    Ordering contract: DDL applies at epoch boundaries -- run this
+    between drain epochs (or on --follow's cadence); the in-band
+    ensure_columns ADD-with-String-fallback remains the catch-all for
+    columns that land mid-epoch (the ADD here is IF NOT EXISTS, so
+    the two compose; re-typing an already-populated fallback column
+    is deliberately NOT attempted -- ClickHouse MODIFY COLUMN on
+    populated data is a rewrite a sync engine must not trigger
+    implicitly)."""
+    import re as _re
+
+    from .sources import ddl as ddlmod
+    from .sources.binlog import read_binlog_ddl
+
+    spark = spark or get_spark("mysql-syncer-clickhouse-spark",
+                               cpus=cfg.threads)
+    info_path = os.path.join(cfg.data_dir, "_ddl.info")
+
+    def _key(file: str, pos: int) -> tuple[int, int]:
+        m = _re.search(r"\.(\d+)$", file)
+        return (int(m.group(1)) if m else -1, pos)
+
+    mark = (-1, -1)
+    if os.path.exists(info_path):
+        with open(info_path) as fh:
+            saved = json.load(fh)
+        mark = _key(saved["file"], saved["pos"])
+
+    rows = sorted(read_binlog_ddl(spark, binlog_dir).collect(),
+                  key=lambda r: _key(r["file"], r["pos"]))
+    rows = [r for r in rows if _key(r["file"], r["pos"]) > mark]
+    results: list[dict] = []
+    sinks: dict[str, object] = {}
+    for r in rows:
+        actions = ddlmod.parse_mysql_ddl(r["query"],
+                                         default_schema=r["db"])
+        line = {"file": r["file"], "pos": r["pos"],
+                "query": r["query"], "applied": []}
+        for rule in cfg.rules.rules:
+            mapped = [a for a in (ddlmod.map_action(a, rule)
+                                  for a in actions) if a is not None]
+            if not all(a.kind == "ignored" for a in mapped):
+                if not cfg.sink_addr:
+                    line["applied"].append(
+                        {"rule": rule.key, "skipped": "no sink_addr"})
+                    continue
+                sink = sinks.get(rule.key)
+                if sink is None:
+                    sink = _build_ch_sink(
+                        cfg, rule.sink_schema, rule.sink_table,
+                        [], tuple(rule.pk))
+                    sinks[rule.key] = sink
+                stmts = ddlmod.apply_ddl_to_sink(sink, actions,
+                                                 rule=rule)
+                line["applied"].append({"rule": rule.key,
+                                        "statements": stmts})
+        results.append(line)
+    if rows:
+        os.makedirs(cfg.data_dir, exist_ok=True)
+        last = rows[-1]
+        with open(info_path, "w") as fh:
+            json.dump({"file": last["file"], "pos": last["pos"]}, fh)
+    results.append({"mode": "apply_ddl", "new_ddl_events": len(rows),
+                    "watermark": info_path})
     return results
 
 
@@ -550,6 +633,12 @@ def main(argv: list[str] | None = None) -> int:
                          " rules' tables, then bootstrap from its "
                          "output; `--tail @dump` resumes from the "
                          "binlog position the dump captured")
+    ap.add_argument("--apply-ddl", action="store_true",
+                    help="with --binlog-dir: replicate ALTER/RENAME/"
+                         "TRUNCATE/DROP statements from the binlog "
+                         "QUERY events to the ClickHouse sink, rule-"
+                         "mapped and typed; incremental via "
+                         "<data_dir>/_ddl.info")
     ap.add_argument("--follow", action="store_true",
                     help="keep draining at flush_bulk_time cadence; "
                          "with --tail, also keep re-dumping from the "
@@ -640,6 +729,8 @@ def main(argv: list[str] | None = None) -> int:
                           follow=args.follow,
                           compact=args.compact)
     elif args.binlog_dir:
+        if args.apply_ddl:
+            lines += run_apply_ddl(cfg, args.binlog_dir)
         lines += run_binlog(cfg, args.binlog_dir,
                             follow=args.follow, compact=args.compact)
     elif args.changelog_dir:

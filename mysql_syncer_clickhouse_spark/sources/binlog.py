@@ -1326,3 +1326,85 @@ def binlog_to_changelog(env: DataFrame, row_ddl: str, *,
         F.col("op"),
         *[image.getField(c).alias(c) for c in row_fields],
         *before_cols)
+
+
+# ------------------------------------------------------------- DDL
+
+DDL_DDL = "file string, pos long, ts timestamp, db string, query string"
+
+_DDL_HEAD_RE = None   # compiled lazily (module import stays cheap)
+
+
+def _is_ddl_text(q: str) -> bool:
+    """Cheap head-keyword filter for QUERY-event text: keep only
+    statements sources/ddl.py can act on (ALTER/CREATE/DROP/RENAME/
+    TRUNCATE TABLE); BEGIN markers, statement-format DML, SET/GRANT
+    session noise and CREATE DATABASE/INDEX/VIEW stay out of band."""
+    global _DDL_HEAD_RE
+    import re
+    if _DDL_HEAD_RE is None:
+        _DDL_HEAD_RE = re.compile(
+            r"\s*(?:/\*.*?\*/\s*)*"
+            r"(alter\s+(?:online\s+|offline\s+|ignore\s+)?table"
+            r"|create\s+table|drop\s+table|rename\s+table"
+            r"|truncate\s)", re.I | re.S)
+    return bool(_DDL_HEAD_RE.match(q))
+
+
+def decode_binlog_ddl(file_name: str, data: bytes, *,
+                      verify_checksum: bool = True,
+                      tolerate_truncation: bool = False) -> list[dict]:
+    """File bytes -> schema-changing QUERY events, in file order --
+    the raw material for sources/ddl.parse_mysql_ddl. The reference
+    only checkpoints past these (OnDDL, river/sync.go:62-65); we
+    surface them so the sink can evolve. `pos` is the event's END
+    position, same checkpoint monotone as the envelope rows."""
+    out: list[dict] = []
+    for ev in iter_binlog_events(data, verify_checksum=verify_checksum,
+                                 tolerate_truncation=tolerate_truncation):
+        if ev.type_code != QUERY_EVENT or not ev.query:
+            continue
+        if not _is_ddl_text(ev.query):
+            continue
+        out.append({
+            "file": file_name, "pos": ev.log_pos,
+            "ts": datetime.datetime.fromtimestamp(
+                ev.timestamp, tz=datetime.timezone.utc
+            ).replace(tzinfo=None),
+            "db": ev.schema, "query": ev.query,
+        })
+    return out
+
+
+def read_binlog_ddl(spark: SparkSession, path: str, *,
+                    tolerate_truncation: bool = True) -> DataFrame:
+    """Decode a binlog directory's schema-changing QUERY events into a
+    (file, pos, ts, db, query) DataFrame -- the same one-file-one-task
+    mapInPandas shape as the envelope decode, but over the RARE event
+    class, so the result is small enough to collect and order
+    driver-side for serial application (DDL is inherently ordered
+    against the row stream; see sources/ddl.apply_ddl_to_sink)."""
+    import pandas as pd
+
+    def decode(batches):
+        for pdf in batches:
+            rows: list[dict] = []
+            for name, content in zip(pdf["path"], pdf["content"]):
+                base = str(name).rsplit("/", 1)[-1]
+                rows.extend(decode_binlog_ddl(
+                    base, bytes(content),
+                    tolerate_truncation=tolerate_truncation))
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=["file", "pos", "ts", "db", "query"])
+            else:
+                yield pd.DataFrame({
+                    "file": pd.Series(dtype="object"),
+                    "pos": pd.Series(dtype="int64"),
+                    "ts": pd.Series(dtype="datetime64[ns]"),
+                    "db": pd.Series(dtype="object"),
+                    "query": pd.Series(dtype="object")})
+
+    raw = (spark.read.format("binaryFile").load(path)
+           .select("path", "content"))
+    return raw.mapInPandas(decode, schema=DDL_DDL)

@@ -33,7 +33,8 @@ import zlib
 from dataclasses import dataclass
 
 from .binlog import (BINLOG_MAGIC, DELETE_ROWS_EVENT,
-                     FORMAT_DESCRIPTION_EVENT, TABLE_MAP_EVENT, T_BLOB,
+                     FORMAT_DESCRIPTION_EVENT, QUERY_EVENT,
+                     TABLE_MAP_EVENT, T_BLOB,
                      T_DATETIME2, T_DOUBLE, T_FLOAT, T_LONG, T_LONGLONG,
                      T_SHORT, T_TINY, T_VARCHAR, UPDATE_ROWS_EVENT,
                      WRITE_ROWS_EVENT, XID_EVENT)
@@ -238,6 +239,18 @@ class BinlogFileWriter:
 
     def xid(self, xid: int) -> None:
         self._event(XID_EVENT, struct.pack("<Q", xid))
+
+    def ddl(self, query: str, schema: str | None = None) -> None:
+        """Append a QUERY event carrying a statement's text -- the
+        form the server logs DDL in (ALTER/CREATE/DROP/RENAME/
+        TRUNCATE run outside row-format logging). Body layout
+        mirrors the decoder (binlog.py QUERY_EVENT branch):
+        thread_id u32, exec_time u32, schema_len u8, error u16,
+        status_len u16, status bytes, schema, 0x00, query utf-8."""
+        sch = (schema if schema is not None else self.schema).encode()
+        body = struct.pack("<IIBHH", 0, 0, len(sch), 0, 0)
+        body += sch + b"\x00" + query.encode("utf-8")
+        self._event(QUERY_EVENT, body)
 
     def to_bytes(self) -> bytes:
         return bytes(self.buf)

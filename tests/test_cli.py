@@ -644,3 +644,64 @@ def test_cli_dump_header_persist_requires_bootstrap_and_agreement(
     info = MasterInfo.load(os.path.join(cfg3.data_dir, "_master.info"))
     assert (info.file, info.pos) == ("a-bin.000003", 777)
     assert info.gtid_set == f"{sid}:1-5"
+
+
+def test_cli_apply_ddl_replicates_schema_changes(spark, tmp_path):
+    """--apply-ddl: ALTER statements in the binlog QUERY stream land
+    on the ClickHouse sink rule-mapped ('title' -> 'es_title') and
+    TYPED -- the gap the reference leaves open (OnDDL only saves the
+    position, river/sync.go:62-65). Incremental via _ddl.info: a
+    second invocation applies nothing."""
+    from mysql_syncer_clickhouse_spark.__main__ import run_apply_ddl
+    from mysql_syncer_clickhouse_spark.sources.binlog_writer import (
+        BinlogColumn, BinlogFileWriter)
+    from tests.test_clickhouse_sink import _FakeClickHouse
+
+    d = tmp_path / "binlogs"
+    d.mkdir()
+    w = BinlogFileWriter("app", "items",
+                         [BinlogColumn.bigint("id"),
+                          BinlogColumn.varchar("title", 80)])
+    w.insert([[1, "a"]])
+    w.xid(1)
+    w.ddl("ALTER TABLE items ADD COLUMN price decimal(10,2) NOT NULL "
+          "AFTER title, ADD INDEX i (id)")
+    w.ddl("ALTER TABLE items MODIFY title varchar(200) NOT NULL")
+    w.ddl("ALTER TABLE other ADD COLUMN x int")   # unruled table
+    (d / "mysql-bin.000001").write_bytes(w.to_bytes())
+
+    srv = _FakeClickHouse().start()
+    try:
+        cfg = EngineConfig.from_toml(TOML)
+        cfg.data_dir = str(tmp_path / "log")
+        cfg.sink_addr = srv.url
+        out = run_apply_ddl(cfg, str(d), spark=spark)
+        stmts = [s for line in out for a in line.get("applied", [])
+                 for s in a.get("statements", [])]
+        assert stmts == [
+            "ALTER TABLE `olap`.`items_sink` ADD COLUMN IF NOT EXISTS "
+            "`price` Decimal(10,2) AFTER `es_title`",
+            "ALTER TABLE `olap`.`items_sink` MODIFY COLUMN "
+            "`es_title` String"]
+        assert [q for q, _ in srv.requests] == stmts
+        # 3 events scanned (the unruled 'other' advances the watermark
+        # without producing statements)
+        assert out[-1]["new_ddl_events"] == 3
+
+        # watermark: nothing re-applies
+        out2 = run_apply_ddl(cfg, str(d), spark=spark)
+        assert out2[-1]["new_ddl_events"] == 0
+        assert len(srv.requests) == len(stmts)
+
+        # a NEW binlog file's DDL applies on the next run
+        w2 = BinlogFileWriter("app", "items",
+                              [BinlogColumn.bigint("id")])
+        w2.ddl("ALTER TABLE app.items DROP COLUMN price")
+        (d / "mysql-bin.000002").write_bytes(w2.to_bytes())
+        out3 = run_apply_ddl(cfg, str(d), spark=spark)
+        assert out3[-1]["new_ddl_events"] == 1
+        assert srv.requests[-1][0] == (
+            "ALTER TABLE `olap`.`items_sink` DROP COLUMN IF EXISTS "
+            "`price`")
+    finally:
+        srv.stop()

@@ -1,0 +1,352 @@
+"""MySQL DDL replication -> ClickHouse schema evolution
+(sources/ddl.py): statement parsing, rule re-expression, ClickHouse
+emission, sink column-model refresh, and the binlog QUERY-event
+surfacing the reference only checkpoints past (OnDDL,
+river/sync.go:62-65)."""
+
+from __future__ import annotations
+
+import pytest
+
+from mysql_syncer_clickhouse_spark.plans.rules import Rule
+from mysql_syncer_clickhouse_spark.sources import ddl as D
+from mysql_syncer_clickhouse_spark.sources.binlog import (
+    decode_binlog_ddl, decode_binlog_file_bytes, read_binlog_ddl)
+from mysql_syncer_clickhouse_spark.sources.binlog_writer import (
+    BinlogColumn, BinlogFileWriter)
+
+
+# ------------------------------------------------------------ parse
+
+def _one(sql, **kw):
+    acts = D.parse_mysql_ddl(sql, **kw)
+    assert len(acts) == 1, acts
+    return acts[0]
+
+
+def test_parse_add_column_forms():
+    a = _one("ALTER TABLE shop.items ADD COLUMN price "
+             "decimal(10,2) NOT NULL AFTER `title`")
+    assert (a.kind, a.schema, a.table) == ("add_column", "shop", "items")
+    assert (a.column, a.mysql_type, a.nullable, a.after) == \
+        ("price", "decimal(10,2)", False, "title")
+
+    a = _one("alter table `items` add `flags` bigint unsigned first",
+             default_schema="shop")
+    assert (a.schema, a.column, a.mysql_type, a.first) == \
+        ("shop", "flags", "bigint unsigned", True)
+
+    # parenthesized multi-add; enum with a quoted comma must not split
+    acts = D.parse_mysql_ddl(
+        "ALTER TABLE s.t ADD COLUMN (a int, b enum('x,y','z') "
+        "NOT NULL)")
+    assert [x.kind for x in acts] == ["add_column", "add_column"]
+    assert acts[1].mysql_type == "enum('x,y','z')"
+    assert acts[1].nullable is False
+
+    a = _one("ALTER TABLE s.t ADD COLUMN IF NOT EXISTS c text NULL")
+    assert (a.column, a.mysql_type, a.nullable) == ("c", "text", True)
+
+
+def test_parse_multi_clause_and_ignored():
+    acts = D.parse_mysql_ddl(
+        "ALTER TABLE s.t ADD COLUMN a int, DROP COLUMN b, "
+        "ADD INDEX idx_a (a), DROP PRIMARY KEY, MODIFY c varchar(64), "
+        "CHANGE old_c new_c bigint NOT NULL, RENAME COLUMN p TO q, "
+        "ENGINE=InnoDB, ALGORITHM=INPLACE, LOCK=NONE")
+    kinds = [x.kind for x in acts]
+    assert kinds == ["add_column", "drop_column", "ignored", "ignored",
+                     "modify_column", "change_column", "rename_column",
+                     "ignored", "ignored", "ignored"]
+    ch = acts[5]
+    assert (ch.column, ch.new_name, ch.mysql_type, ch.nullable) == \
+        ("old_c", "new_c", "bigint", False)
+    rn = acts[6]
+    assert (rn.column, rn.new_name) == ("p", "q")
+
+
+def test_parse_default_string_does_not_trip_keywords():
+    # 'NOT NULL' / 'AFTER x' inside string literals must not parse as
+    # constraints or position hints
+    a = _one("ALTER TABLE s.t ADD c varchar(32) DEFAULT 'NOT NULL'")
+    assert a.nullable is True and a.after is None and not a.first
+    a = _one("ALTER TABLE s.t ADD c varchar(32) COMMENT 'AFTER id'")
+    assert a.after is None
+
+
+def test_parse_table_level_statements():
+    acts = D.parse_mysql_ddl("RENAME TABLE s.a TO s.b, c TO d",
+                             default_schema="dflt")
+    assert [(x.schema, x.table, x.new_name) for x in acts] == \
+        [("s", "a", "b"), ("dflt", "c", "d")]
+    a = _one("TRUNCATE TABLE shop.items")
+    assert (a.kind, a.table) == ("truncate", "items")
+    a = _one("truncate items", default_schema="shop")
+    assert (a.kind, a.schema) == ("truncate", "shop")
+    acts = D.parse_mysql_ddl("DROP TABLE IF EXISTS s.a, b",
+                             default_schema="dflt")
+    assert [(x.kind, x.schema, x.table) for x in acts] == \
+        [("drop_table", "s", "a"), ("drop_table", "dflt", "b")]
+
+
+def test_parse_create_table():
+    a = _one("CREATE TABLE IF NOT EXISTS shop.items ("
+             "id bigint unsigned NOT NULL, title varchar(64), "
+             "tags enum('a','b') NOT NULL, KEY k (title), "
+             "PRIMARY KEY (id)) ENGINE=InnoDB DEFAULT CHARSET=utf8mb4")
+    assert a.kind == "create_table"
+    assert a.columns == (("id", "bigint unsigned", False),
+                         ("title", "varchar(64)", True),
+                         ("tags", "enum('a','b')", False))
+    assert a.pk == ("id",)
+
+
+def test_parse_non_ddl_returns_empty():
+    for stmt in ["BEGIN", "COMMIT",
+                 "INSERT INTO t VALUES (1)",
+                 "UPDATE t SET a=1",
+                 "SET NAMES utf8mb4",
+                 "GRANT ALL ON *.* TO 'u'@'%'",
+                 "CREATE DATABASE shop",
+                 "CREATE INDEX i ON t (a)",
+                 "CREATE OR REPLACE VIEW v AS SELECT 1",
+                 "DROP TEMPORARY TABLE tmp1",
+                 "ANALYZE TABLE t",
+                 "XA START 'x'",
+                 ""]:
+        assert D.parse_mysql_ddl(stmt) == [], stmt
+
+
+def test_parse_versioned_comment_wrapping():
+    # mysqldump wraps DDL in /*!NNNNN ... */ -- content must survive
+    a = _one("/*!40101 ALTER TABLE s.t ADD c int */;")
+    assert (a.kind, a.column) == ("add_column", "c")
+    # plain comments and -- lines are stripped
+    a = _one("ALTER TABLE s.t /* web release */ ADD c int -- ticket 7")
+    assert a.kind == "add_column"
+
+
+# ----------------------------------------------------- clickhouse ddl
+
+def test_clickhouse_ddl_per_kind():
+    add = _one("ALTER TABLE s.t ADD c smallint NOT NULL AFTER b")
+    assert D.clickhouse_ddl(add, database="olap", table="t_sink") == \
+        ["ALTER TABLE `olap`.`t_sink` ADD COLUMN IF NOT EXISTS `c` "
+         "Int16 AFTER `b`"]
+    # nullable wraps; pk columns stay bare
+    add2 = _one("ALTER TABLE s.t ADD c int")
+    assert "Nullable(Int32)" in D.clickhouse_ddl(
+        add2, database="olap", table="t")[0]
+    assert "`c` Int32" in D.clickhouse_ddl(
+        add2, database="olap", table="t", pk=("c",))[0]
+
+    drop = _one("ALTER TABLE s.t DROP COLUMN c")
+    assert D.clickhouse_ddl(drop, database="olap", table="t") == \
+        ["ALTER TABLE `olap`.`t` DROP COLUMN IF EXISTS `c`"]
+
+    mod = _one("ALTER TABLE s.t MODIFY c varchar(128) NOT NULL")
+    assert D.clickhouse_ddl(mod, database="olap", table="t") == \
+        ["ALTER TABLE `olap`.`t` MODIFY COLUMN `c` String"]
+
+    # CHANGE = rename + retype, two ordered statements
+    ch = _one("ALTER TABLE s.t CHANGE a b bigint NOT NULL")
+    assert D.clickhouse_ddl(ch, database="olap", table="t") == \
+        ["ALTER TABLE `olap`.`t` RENAME COLUMN `a` TO `b`",
+         "ALTER TABLE `olap`.`t` MODIFY COLUMN `b` Int64"]
+    # same-name CHANGE is just a MODIFY
+    ch2 = _one("ALTER TABLE s.t CHANGE a a bigint NOT NULL")
+    assert len(D.clickhouse_ddl(ch2, database="olap", table="t")) == 1
+
+    tr = _one("TRUNCATE TABLE s.t")
+    assert D.clickhouse_ddl(tr, database="olap", table="t") == \
+        ["TRUNCATE TABLE `olap`.`t`"]
+
+    rt = _one("ALTER TABLE s.t RENAME TO t2")
+    assert D.clickhouse_ddl(rt, database="olap", table="t") == \
+        ["RENAME TABLE `olap`.`t` TO `olap`.`t2`"]
+
+    ct = _one("CREATE TABLE s.t (id bigint NOT NULL, v text, "
+              "PRIMARY KEY (id))")
+    [sql] = D.clickhouse_ddl(ct, database="olap", table="t")
+    assert sql.startswith("CREATE TABLE IF NOT EXISTS `olap`.`t` ")
+    assert "`id` Int64" in sql and "ORDER BY (`id`)" in sql
+
+    ign = _one("ALTER TABLE s.t ADD INDEX i (a)")
+    assert D.clickhouse_ddl(ign, database="olap", table="t") == []
+
+
+# ------------------------------------------------------- rule mapping
+
+RULE = Rule(source_schema="shop", source_table="items",
+            sink_schema="olap", sink_table="items_sink",
+            pk=("id",), column_filter=("id", "title", "csv"),
+            field_mapping={"title": "es_title", "csv": "tags,list"})
+
+
+def test_map_action_filters_renames_and_transforms():
+    # other table -> None
+    assert D.map_action(
+        _one("ALTER TABLE shop.other ADD c int"), RULE) is None
+    # unsynced column -> None
+    assert D.map_action(
+        _one("ALTER TABLE shop.items ADD c int"), RULE) is None
+    # renamed column lands under the SINK name
+    a = D.map_action(
+        _one("ALTER TABLE shop.items MODIFY title varchar(128)"), RULE)
+    assert (a.schema, a.table, a.column) == \
+        ("olap", "items_sink", "es_title")
+    # ',list' transform re-types: the sink stores Array(String)
+    a = D.map_action(
+        _one("ALTER TABLE shop.items MODIFY csv text"), RULE)
+    assert (a.column, a.mysql_type) == ("tags", "list")
+    assert "Array(String)" in D.clickhouse_ddl(
+        a, database="olap", table="items_sink")[0]
+    # AFTER hint maps too; an unsynced AFTER column degrades to append
+    a = D.map_action(
+        _one("ALTER TABLE shop.items ADD title varchar(8) AFTER csv"),
+        RULE)
+    assert a.after == "tags"
+    # source-side RENAME TABLE does not move the rule-addressed sink
+    assert D.map_action(
+        _one("ALTER TABLE shop.items RENAME TO items2"), RULE) is None
+    # truncate carries through to the sink table
+    a = D.map_action(_one("TRUNCATE shop.items"), RULE)
+    assert (a.kind, a.table) == ("truncate", "items_sink")
+
+
+def test_map_action_wildcard_rule():
+    wild = Rule(source_schema="shop", source_table="logs_\\d+",
+                sink_schema="olap", sink_table="logs_all", pk=("id",))
+    a = D.map_action(_one("ALTER TABLE shop.logs_7 ADD c int"), wild)
+    assert (a.table, a.column) == ("logs_all", "c")
+    assert D.map_action(
+        _one("ALTER TABLE shop.users ADD c int"), wild) is None
+
+
+# ------------------------------------------------- column-model refresh
+
+def test_apply_to_columns_positions_and_mutations():
+    cols = [("id", "bigint", False), ("a", "int", True),
+            ("b", "text", True)]
+    add = _one("ALTER TABLE s.t ADD c smallint AFTER a")
+    assert [c[0] for c in D.apply_to_columns(cols, add)] == \
+        ["id", "a", "c", "b"]
+    addf = _one("ALTER TABLE s.t ADD z int FIRST")
+    assert D.apply_to_columns(cols, addf)[0] == ("z", "int", True)
+    # AFTER an unknown column appends (same degrade as MySQL errors,
+    # but the model must never lose the column)
+    addu = _one("ALTER TABLE s.t ADD c int AFTER nope")
+    assert [c[0] for c in D.apply_to_columns(cols, addu)][-1] == "c"
+    drop = _one("ALTER TABLE s.t DROP COLUMN a")
+    assert [c[0] for c in D.apply_to_columns(cols, drop)] == ["id", "b"]
+    mod = _one("ALTER TABLE s.t MODIFY a bigint NOT NULL")
+    assert D.apply_to_columns(cols, mod)[1] == ("a", "bigint", False)
+    ch = _one("ALTER TABLE s.t CHANGE a a2 bigint")
+    assert D.apply_to_columns(cols, ch)[1] == ("a2", "bigint", True)
+    rn = _one("ALTER TABLE s.t RENAME COLUMN b TO b2")
+    assert D.apply_to_columns(cols, rn)[2] == ("b2", "text", True)
+    ct = _one("CREATE TABLE s.t (x int NOT NULL, PRIMARY KEY (x))")
+    assert D.apply_to_columns(cols, ct) == [("x", "int", False)]
+    tr = _one("TRUNCATE s.t")
+    assert D.apply_to_columns(cols, tr) == cols
+
+
+# ------------------------------------------------------ sink end-to-end
+
+@pytest.fixture()
+def fake_ch():
+    from tests.test_clickhouse_sink import _FakeClickHouse
+    srv = _FakeClickHouse().start()
+    yield srv
+    srv.stop()
+
+
+def test_apply_ddl_to_sink_http(fake_ch):
+    from tests.test_clickhouse_sink import COLUMNS, _sink
+    sink = _sink(fake_ch.url)
+    actions = D.parse_mysql_ddl(
+        "ALTER TABLE shop.items ADD COLUMN price decimal(10,2) "
+        "NOT NULL AFTER title, DROP COLUMN mydate, ADD INDEX i (id)")
+    executed = D.apply_ddl_to_sink(sink, actions)
+    assert executed == [
+        "ALTER TABLE `olap`.`items_sink` ADD COLUMN IF NOT EXISTS "
+        "`price` Decimal(10,2) AFTER `title`",
+        "ALTER TABLE `olap`.`items_sink` DROP COLUMN IF EXISTS "
+        "`mydate`"]
+    # the fake server saw exactly those statements, in order
+    assert [q for q, _ in fake_ch.requests] == executed
+    # the column model evolved in lock-step
+    names = [c[0] for c in sink.columns]
+    assert names == ["seq", "op", "id", "title", "price"]
+    assert ("price", "decimal(10,2)", False) in [tuple(c)
+                                                 for c in sink.columns]
+    assert len(COLUMNS) == 5   # the shared fixture itself is untouched
+
+
+def test_apply_ddl_to_sink_with_rule(fake_ch):
+    from tests.test_clickhouse_sink import _sink
+    sink = _sink(fake_ch.url)
+    sink.columns = [("id", "bigint", False), ("es_title", "text", True),
+                    ("tags", "list", True)]
+    actions = D.parse_mysql_ddl(
+        "ALTER TABLE shop.items MODIFY title varchar(128) NOT NULL, "
+        "ADD secret int")        # 'secret' is filtered by the rule
+    executed = D.apply_ddl_to_sink(sink, actions, rule=RULE)
+    assert executed == [
+        "ALTER TABLE `olap`.`items_sink` MODIFY COLUMN `es_title` "
+        "String"]
+    assert ("es_title", "varchar(128)", False) in [
+        tuple(c) for c in sink.columns]
+    assert "secret" not in [c[0] for c in sink.columns]
+
+
+# --------------------------------------------------- binlog surfacing
+
+def _binlog_with_ddl() -> bytes:
+    w = BinlogFileWriter("shop", "items",
+                         [BinlogColumn.bigint("id"),
+                          BinlogColumn.varchar("title")])
+    w.insert([[1, "a"], [2, "b"]])
+    w.xid(7)
+    w.ddl("BEGIN")                       # transaction marker: filtered
+    w.ddl("ALTER TABLE items ADD COLUMN price decimal(10,2) "
+          "NOT NULL AFTER title")        # schema from the event header
+    w.insert([[3, "c"]])
+    w.xid(8)
+    w.ddl("TRUNCATE TABLE shop.items")
+    return w.to_bytes()
+
+
+def test_decode_binlog_ddl_filters_and_orders():
+    data = _binlog_with_ddl()
+    ddls = decode_binlog_ddl("mysql-bin.000001", data)
+    assert [d["query"].split()[0] for d in ddls] == ["ALTER", "TRUNCATE"]
+    assert all(d["db"] == "shop" for d in ddls)
+    assert ddls[0]["pos"] < ddls[1]["pos"]
+    # default_schema from the event header completes unqualified DDL
+    acts = D.parse_mysql_ddl(ddls[0]["query"],
+                             default_schema=ddls[0]["db"])
+    assert (acts[0].schema, acts[0].column) == ("shop", "price")
+    # the envelope decode is unaffected by interleaved QUERY events
+    env = decode_binlog_file_bytes("mysql-bin.000001", data)
+    assert [e["op"] for e in env] == ["insert"] * 3
+
+
+def test_read_binlog_ddl_spark(spark, tmp_path):
+    (tmp_path / "mysql-bin.000001").write_bytes(_binlog_with_ddl())
+    w2 = BinlogFileWriter("shop", "items", [BinlogColumn.bigint("id")])
+    w2.ddl("DROP TABLE shop.items")
+    (tmp_path / "mysql-bin.000002").write_bytes(w2.to_bytes())
+    rows = (read_binlog_ddl(spark, str(tmp_path))
+            .orderBy("file", "pos").collect())
+    assert [r["query"].split()[0] for r in rows] == \
+        ["ALTER", "TRUNCATE", "DROP"]
+    assert rows[0]["file"] == "mysql-bin.000001"
+    assert rows[-1]["file"] == "mysql-bin.000002"
+
+
+def test_parse_error_surfaces_loudly():
+    with pytest.raises(ValueError):
+        D.parse_mysql_ddl("RENAME TABLE gibberish")
+    with pytest.raises(ValueError):
+        D.parse_mysql_ddl("ALTER TABLE s.t ADD c badtype(")
