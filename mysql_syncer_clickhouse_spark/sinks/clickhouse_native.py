@@ -31,7 +31,8 @@ What's implemented (the documented native protocol, port 9000):
 - DATA blocks: BlockInfo + column-oriented encode for the exact type
   surface functions/typemap.py emits -- U/Int8..64, Float32/64,
   String, Date, Date32, DateTime, DateTime64(n), Decimal(P<=18,S)
-  (plus Decimal128 for completeness), UUID (UInt128 halves,
+  (plus Decimal128/Decimal256 and Int128/256 + UInt128/256 for
+  header adoption), UUID (UInt128 halves,
   high-64-first), each optionally Nullable(T) with the
   null-mask-first layout; Array(T) (cumulative-offset, recursive),
   Map(K, V) (offsets + flat keys + flat values, the Array(Tuple)
@@ -577,17 +578,33 @@ def column_encoder(ch_type: str):
                     + struct.pack("<Q", len(indices))
                     + struct.pack(f"<{len(indices)}{fmt}", *indices))
         return enc_lc
+    if t in ("Int128", "Int256", "UInt128", "UInt256"):
+        # header-adoption types only (no MySQL source type maps here):
+        # plain little-endian at 16/32 bytes; out-of-range values
+        # refuse loudly via to_bytes' OverflowError
+        wwidth = 16 if t.endswith("128") else 32
+        wsigned = not t.startswith("U")
+
+        def enc_wide(vals: list) -> bytes:
+            return b"".join(
+                int(0 if v is None else v).to_bytes(
+                    wwidth, "little", signed=wsigned) for v in vals)
+        return enc_wide
     if t.startswith("Decimal("):
         prec, scale = (int(x) for x in t[8:-1].split(","))
+        if prec > 76:
+            raise ValueError(f"Decimal precision {prec} exceeds "
+                             f"ClickHouse's Decimal256 maximum (76)")
         if prec <= 9:
             return fixed("<i", lambda v: _scaled_decimal(v, scale), 0)
         if prec <= 18:
             return fixed("<q", lambda v: _scaled_decimal(v, scale), 0)
+        dwidth = 16 if prec <= 38 else 32   # Decimal128 / Decimal256
 
         def enc_d128(vals: list) -> bytes:
             return b"".join(
                 (0 if v is None else _scaled_decimal(v, scale))
-                .to_bytes(16, "little", signed=True) for v in vals)
+                .to_bytes(dwidth, "little", signed=True) for v in vals)
         return enc_d128
     raise ValueError(f"no native encoder for ClickHouse type {ch_type!r}")
 

@@ -181,12 +181,18 @@ def _decode_column(r, ch_type: str, n: int) -> list:
         return out
     if ch_type.startswith("Decimal("):
         prec, scale = (int(x) for x in ch_type[8:-1].split(","))
-        w = 4 if prec <= 9 else 8 if prec <= 18 else 16
+        w = 4 if prec <= 9 else 8 if prec <= 18 else \
+            16 if prec <= 38 else 32
         out = []
         for _ in range(n):
             raw = int.from_bytes(r.read(w), "little", signed=True)
             out.append(Decimal(raw).scaleb(-scale))
         return out
+    if ch_type in ("Int128", "Int256", "UInt128", "UInt256"):
+        w = 16 if ch_type.endswith("128") else 32
+        signed = not ch_type.startswith("U")
+        return [int.from_bytes(r.read(w), "little", signed=signed)
+                for _ in range(n)]
     raise AssertionError(f"fake server can't decode {ch_type}")
 
 
@@ -1472,3 +1478,41 @@ def test_lowcardinality_nested_in_composite_refuses():
               "Tuple(a LowCardinality(String), b Int64)"):
         with _pytest.raises(ValueError, match="LowCardinality nested"):
             column_encoder(t)
+
+
+def test_wide_int_and_decimal256_round_trip(fake_native):
+    """Int128/256, UInt128/256 and Decimal(P>38) (Decimal256, 32-byte
+    lanes) -- header-adoption-only types a pre-existing table can
+    declare. Before the widths were explicit, a Decimal(40,s) column
+    would have shipped 16-byte lanes and desynced the stream mid-
+    block. Decoded by the fake server's independent decoder."""
+    from mysql_syncer_clickhouse_spark.sinks.clickhouse_native import (
+        NativeConnection, column_encoder)
+
+    big = (1 << 100) + 7
+    neg = -(1 << 200) - 3
+    conn = NativeConnection(fake_native.host, fake_native.port,
+                            compression=True)
+    try:
+        sent = conn.insert_blocks(
+            "INSERT INTO db.t VALUES",
+            [("a", "Int128"), ("b", "UInt128"),
+             ("c", "Int256"), ("d", "Nullable(UInt256)"),
+             ("e", "Decimal(40,2)")],
+            [[(big, big, neg, 1 << 250, Decimal("123.45")),
+              (-big, 0, 0, None, Decimal("-0.01"))]])
+        assert sent == 2
+    finally:
+        conn.close()
+    assert fake_native.inserts[0][1] == [
+        (big, big, neg, 1 << 250, Decimal("123.45")),
+        (-big, 0, 0, None, Decimal("-0.01"))]
+
+    # out-of-range refuses loudly (OverflowError from to_bytes)
+    with pytest.raises(OverflowError):
+        column_encoder("Int128")([1 << 127])
+    with pytest.raises(OverflowError):
+        column_encoder("UInt128")([-1])
+    # beyond-Decimal256 precision refuses at encoder-build time
+    with pytest.raises(ValueError):
+        column_encoder("Decimal(77,2)")
