@@ -468,7 +468,7 @@ def run_tail(cfg: EngineConfig, start_file: str | None, *,
              relay_dir: str | None = None, start_pos: int = 4,
              compact: bool = False, follow: bool = False,
              max_cycles: int | None = None, sleep=None,
-             spark=None) -> list[dict]:
+             apply_ddl: bool = False, spark=None) -> list[dict]:
     """--tail mode: the reference's FULL topology in one command
     (main.go:25-106) -- register as a pseudo-replica on
     cfg.source_addr with cfg.server_id, drain the binlog stream into
@@ -524,6 +524,11 @@ def run_tail(cfg: EngineConfig, start_file: str | None, *,
                             "gtid_set": info.gtid_set}}]
     spark = spark or get_spark("mysql-syncer-clickhouse-spark",
                                cpus=cfg.threads)
+    if apply_ddl:
+        # relay files are raw binlog (QUERY events included): DDL
+        # applies at the epoch boundary, BEFORE the rows that follow
+        # it drain; the _ddl.info watermark dedups re-dumped overlap
+        out.extend(run_apply_ddl(cfg, relay, spark=spark))
     out.extend(run_binlog(cfg, relay, follow=follow, compact=compact,
                           spark=spark))
     if not follow:
@@ -540,6 +545,8 @@ def run_tail(cfg: EngineConfig, start_file: str | None, *,
             factory, relay, None, 4, non_block=True,
             master_info=MasterInfo.load(info_path),
             resume_from_info=True)
+        if apply_ddl:
+            out.extend(run_apply_ddl(cfg, relay, spark=spark))
         cycles += 1
     out[0]["events_relayed"] = total
     out[0]["cycles"] = cycles
@@ -634,11 +641,13 @@ def main(argv: list[str] | None = None) -> int:
                          "output; `--tail @dump` resumes from the "
                          "binlog position the dump captured")
     ap.add_argument("--apply-ddl", action="store_true",
-                    help="with --binlog-dir: replicate ALTER/RENAME/"
-                         "TRUNCATE/DROP statements from the binlog "
-                         "QUERY events to the ClickHouse sink, rule-"
-                         "mapped and typed; incremental via "
-                         "<data_dir>/_ddl.info")
+                    help="with --binlog-dir or --tail: replicate "
+                         "ALTER/RENAME/TRUNCATE/DROP statements from "
+                         "the binlog QUERY events to the ClickHouse "
+                         "sink, rule-mapped and typed, before each "
+                         "drain; incremental via <data_dir>/_ddl.info"
+                         " (assumes the sink table exists -- run one "
+                         "bootstrap drain first)")
     ap.add_argument("--follow", action="store_true",
                     help="keep draining at flush_bulk_time cadence; "
                          "with --tail, also keep re-dumping from the "
@@ -727,7 +736,8 @@ def main(argv: list[str] | None = None) -> int:
         lines += run_tail(cfg, start_file, start_pos=start_pos,
                           relay_dir=args.relay_dir,
                           follow=args.follow,
-                          compact=args.compact)
+                          compact=args.compact,
+                          apply_ddl=args.apply_ddl)
     elif args.binlog_dir:
         if args.apply_ddl:
             lines += run_apply_ddl(cfg, args.binlog_dir)

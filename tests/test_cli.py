@@ -705,3 +705,69 @@ def test_cli_apply_ddl_replicates_schema_changes(spark, tmp_path):
             "`price`")
     finally:
         srv.stop()
+
+
+def test_cli_apply_ddl_composes_with_drain(spark, tmp_path):
+    """Epoch-boundary composition: bootstrap drain creates the sink,
+    then a later binlog file carries ALTER + rows WITH the new column
+    -- --apply-ddl lands the typed ALTER before the incremental drain
+    inserts rows carrying it (checkpoint resume drains only the new
+    file)."""
+    import json as _json
+
+    from mysql_syncer_clickhouse_spark.__main__ import (run_apply_ddl,
+                                                        run_binlog)
+    from mysql_syncer_clickhouse_spark.sources.binlog_writer import (
+        BinlogColumn, BinlogFileWriter)
+    from tests.test_clickhouse_sink import _FakeClickHouse
+
+    d = tmp_path / "binlogs"
+    d.mkdir()
+    w1 = BinlogFileWriter("app", "items",
+                          [BinlogColumn.bigint("id"),
+                           BinlogColumn.varchar("title", 80)])
+    w1.insert([[1, "a"], [2, "b"]])
+    w1.xid(1)
+    (d / "mysql-bin.000001").write_bytes(w1.to_bytes())
+
+    srv = _FakeClickHouse().start()
+    try:
+        cfg = EngineConfig.from_toml(TOML)
+        cfg.data_dir = str(tmp_path / "log")
+        cfg.sink_addr = srv.url
+        out = run_binlog(cfg, str(d), spark=spark)
+        assert out[0]["ops"]["insert"] == 2
+        n_bootstrap = len(srv.requests)
+
+        # source evolves: ALTER, then rows that carry the new column
+        w2 = BinlogFileWriter("app", "items",
+                              [BinlogColumn.bigint("id"),
+                               BinlogColumn.varchar("title", 80),
+                               BinlogColumn.bigint("price")])
+        w2.ddl("ALTER TABLE items ADD COLUMN price bigint "
+               "AFTER title")
+        w2.insert([[3, "c", 999]])
+        w2.xid(2)
+        (d / "mysql-bin.000002").write_bytes(w2.to_bytes())
+
+        run_apply_ddl(cfg, str(d), spark=spark)
+        out2 = run_binlog(cfg, str(d), spark=spark)
+        # checkpoint resume: only the NEW file's rows drain
+        assert out2[0]["ops"]["insert"] == 1
+
+        reqs = srv.requests[n_bootstrap:]
+        alter = [q for q, _ in reqs if q.startswith("ALTER")]
+        assert alter == [
+            "ALTER TABLE `olap`.`items_sink` ADD COLUMN IF NOT EXISTS "
+            "`price` Nullable(Int64) AFTER `es_title`"]
+        # the ALTER landed BEFORE the incremental drain's INSERTs
+        first_alter = next(i for i, (q, _) in enumerate(reqs)
+                           if q.startswith("ALTER"))
+        insert_rows = [
+            _json.loads(line)
+            for q, body in reqs[first_alter:] if q.startswith("INSERT")
+            for line in body.strip().splitlines()]
+        new = [r for r in insert_rows if r.get("id") == 3]
+        assert new and new[0]["price"] == 999
+    finally:
+        srv.stop()

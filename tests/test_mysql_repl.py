@@ -1868,3 +1868,52 @@ def test_seeded_set_not_persisted_before_catching_up(tmp_path):
     saved = R.MasterInfo.load(info_path)
     assert saved.gtid_set == ""          # ahead-of-relay set withheld
     assert saved.file == "mysql-bin.000001" and saved.pos > 4
+
+
+def test_cli_tail_apply_ddl_reaches_sink(tmp_path, spark):
+    """--tail --apply-ddl: DDL QUERY events ride the relay like any
+    other event; the typed ALTER lands on the ClickHouse sink before
+    the drain (rule-mapped: title -> es_title)."""
+    import os
+
+    from mysql_syncer_clickhouse_spark.__main__ import run_tail
+    from mysql_syncer_clickhouse_spark.config import EngineConfig
+    from tests.test_binlog import e_i32, e_i64, e_varchar
+    from tests.test_clickhouse_sink import _FakeClickHouse
+
+    enc = Enc()
+    cols = [("id", B.T_LONGLONG, b"", False),
+            ("title", B.T_VARCHAR, struct.pack("<H", 80), False),
+            ("qty", B.T_LONG, b"", False)]
+    enc.table_map(11, "app", "items", cols)
+    enc.rows(B.WRITE_ROWS_EVENT, 11, 3,
+             [[e_i64(1), e_varchar("first"), e_i32(10)]])
+    enc.xid(1)
+    enc.query("ALTER TABLE items ADD COLUMN price decimal(10,2) "
+              "NOT NULL AFTER title", schema="app")
+    srv = FakeMySQL({"mysql-bin.000001": enc.bytes()}).start()
+    ch = _FakeClickHouse().start()
+    try:
+        toml = os.path.join(os.path.dirname(__file__), "..", "etc",
+                            "river.toml")
+        cfg = EngineConfig.from_toml(toml)
+        cfg.data_dir = str(tmp_path / "log")
+        cfg.source_addr = f"{srv.host}:{srv.port}"
+        cfg.source_user, cfg.source_pass = USER, PASSWORD
+        cfg.sink_addr = ch.url
+        out = run_tail(cfg, "mysql-bin.000001", spark=spark,
+                       apply_ddl=True)
+        assert out[0]["mode"] == "tail"
+        alters = [q for q, _ in ch.requests if q.startswith("ALTER")]
+        assert alters == [
+            "ALTER TABLE `olap`.`items_sink` ADD COLUMN IF NOT EXISTS "
+            "`price` Decimal(10,2) AFTER `es_title`"]
+        # ALTER precedes the CREATE/INSERT drain requests that follow
+        idx_alter = next(i for i, (q, _) in enumerate(ch.requests)
+                         if q.startswith("ALTER"))
+        idx_insert = next(i for i, (q, _) in enumerate(ch.requests)
+                          if q.startswith("INSERT"))
+        assert idx_alter < idx_insert
+    finally:
+        ch.stop()
+        srv.stop()
