@@ -233,6 +233,18 @@ def _parse_coldef(s: str) -> tuple[str, str, bool, bool, str | None]:
 
 # ---------------------------------------------------------- parsing
 
+def _is_virtual_generated(coldef: str) -> bool:
+    """VIRTUAL generated columns never appear in binlog row images
+    (only STORED ones do), so replicating their ADD would create a
+    sink column that receives NULL forever -- ignore them. MySQL's
+    default when neither keyword is given is VIRTUAL."""
+    blanked = _strip_strings(coldef)
+    if not re.search(r"\bGENERATED\s+ALWAYS\s+AS\b|\bAS\s*\(",
+                     blanked, re.I):
+        return False
+    return not re.search(r"\bSTORED\b", blanked, re.I)
+
+
 _IGNORED_ADD = ("index", "key", "unique", "fulltext", "spatial",
                 "constraint", "primary", "foreign", "partition", "check")
 _IGNORED_DROP = ("index", "key", "primary", "foreign", "constraint",
@@ -257,11 +269,17 @@ def _alter_clause(schema: str | None, table: str, clause: str) \
             inner = body[1:body.rindex(")")]
             out = []
             for part in _split_top(inner):
+                if _is_virtual_generated(part):
+                    out.append(DdlAction("ignored", schema, table,
+                                         clause=part))
+                    continue
                 n, t, nul, fi, af = _parse_coldef(part)
                 out.append(DdlAction("add_column", schema, table,
                                      column=n, mysql_type=t, nullable=nul,
                                      first=fi, after=af, clause=part))
             return out
+        if _is_virtual_generated(body):
+            return [ign]
         n, t, nul, fi, af = _parse_coldef(body)
         return [DdlAction("add_column", schema, table, column=n,
                           mysql_type=t, nullable=nul, first=fi,

@@ -350,3 +350,25 @@ def test_parse_error_surfaces_loudly():
         D.parse_mysql_ddl("RENAME TABLE gibberish")
     with pytest.raises(ValueError):
         D.parse_mysql_ddl("ALTER TABLE s.t ADD c badtype(")
+
+
+def test_virtual_generated_columns_ignored_stored_kept():
+    """VIRTUAL generated columns never appear in binlog row images --
+    their ADD must not create a forever-NULL sink column; STORED ones
+    DO appear and replicate normally (MySQL defaults to VIRTUAL when
+    neither keyword is given)."""
+    a = _one("ALTER TABLE s.t ADD full_name varchar(64) "
+             "GENERATED ALWAYS AS (CONCAT(a, b)) VIRTUAL")
+    assert a.kind == "ignored"
+    a = _one("ALTER TABLE s.t ADD doubled int AS (qty * 2)")
+    assert a.kind == "ignored"          # bare AS(...) = VIRTUAL
+    a = _one("ALTER TABLE s.t ADD doubled int "
+             "GENERATED ALWAYS AS (qty * 2) STORED")
+    assert (a.kind, a.column) == ("add_column", "doubled")
+    # multi-add form: the virtual one drops, the plain one stays
+    acts = D.parse_mysql_ddl(
+        "ALTER TABLE s.t ADD COLUMN (v int AS (a+1), w int)")
+    assert [x.kind for x in acts] == ["ignored", "add_column"]
+    # a DEFAULT string containing 'AS (' must not trip the detector
+    a = _one("ALTER TABLE s.t ADD c varchar(20) DEFAULT 'AS (x)'")
+    assert a.kind == "add_column"
