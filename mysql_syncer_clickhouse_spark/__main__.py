@@ -301,8 +301,16 @@ def run_apply_ddl(cfg: EngineConfig, binlog_dir: str, *,
     results: list[dict] = []
     sinks: dict[str, object] = {}
     for r in rows:
-        actions = ddlmod.parse_mysql_ddl(r["query"],
-                                         default_schema=r["db"])
+        try:
+            actions = ddlmod.parse_mysql_ddl(r["query"],
+                                             default_schema=r["db"])
+        except ValueError as e:
+            # loud, with the checkpoint coordinates: an unparseable
+            # DDL means the sink may drift -- stopping here is the
+            # same contract as DumpFormatError on a malformed dump
+            raise ValueError(
+                f"unparseable DDL at {r['file']}:{r['pos']}: {e} "
+                f"(statement: {r['query'][:120]!r})") from None
         line = {"file": r["file"], "pos": r["pos"],
                 "query": r["query"], "applied": []}
         for rule in cfg.rules.rules:

@@ -380,11 +380,14 @@ def parse_mysql_ddl(sql: str, default_schema: str | None = None) \
 
     m = re.match(rf"drop\s+table\s+(?:if\s+exists\s+)?(.+)$", s, re.I)
     if m and not low.startswith("drop temporary"):
+        body = re.sub(r"\s+(?:restrict|cascade)\s*$", "", m.group(1),
+                      flags=re.I)
         out = []
-        for part in _split_top(m.group(1)):
+        for part in _split_top(body):
             tm = re.match(rf"{_TABLE}\s*$", part)
             if not tm:
-                continue   # RESTRICT/CASCADE tail ends up here
+                raise ValueError(
+                    f"unparseable DROP TABLE arm: {part!r}")
             out.append(DdlAction(
                 "drop_table", _unq(tm.group(1)) or default_schema,
                 _unq(tm.group(2)), clause=part))

@@ -372,3 +372,12 @@ def test_virtual_generated_columns_ignored_stored_kept():
     # a DEFAULT string containing 'AS (' must not trip the detector
     a = _one("ALTER TABLE s.t ADD c varchar(20) DEFAULT 'AS (x)'")
     assert a.kind == "add_column"
+
+
+def test_drop_table_restrict_cascade_tail():
+    acts = D.parse_mysql_ddl("DROP TABLE s.a, b CASCADE",
+                             default_schema="d")
+    assert [(x.kind, x.schema, x.table) for x in acts] == \
+        [("drop_table", "s", "a"), ("drop_table", "d", "b")]
+    acts = D.parse_mysql_ddl("DROP TABLE IF EXISTS a RESTRICT")
+    assert [(x.kind, x.table) for x in acts] == [("drop_table", "a")]
