@@ -37,7 +37,7 @@ mapInPandas shape as the envelope decode.
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass, field, replace
+from dataclasses import dataclass, replace
 
 from ..functions.typemap import (clickhouse_create_table_ddl,
                                  mysql_to_clickhouse_type)
