@@ -578,6 +578,26 @@ def column_encoder(ch_type: str):
                     + struct.pack("<Q", len(indices))
                     + struct.pack(f"<{len(indices)}{fmt}", *indices))
         return enc_lc
+    if t.startswith("SimpleAggregateFunction(") and t.endswith(")"):
+        # AggregatingMergeTree columns a header can declare: the wire
+        # format IS the inner type (that's the 'Simple' contract --
+        # the state equals the value), so encoding delegates entirely
+        args = split_type_args(t[24:-1])
+        if len(args) != 2:
+            raise ValueError(
+                f"SimpleAggregateFunction needs (func, type): "
+                f"{ch_type!r}")
+        return column_encoder(args[1])
+    if t.startswith("AggregateFunction("):
+        # full -State columns serialize each function's internal
+        # state format (uniqState's HLL registers, quantileState's
+        # sampler...) -- refuse with the remedy rather than the
+        # generic unknown-type error
+        raise ValueError(
+            f"AggregateFunction state columns are not writable by this"
+            f" sink ({ch_type!r}); INSERT into the table's source and "
+            f"let the materialized view aggregate, or use "
+            f"SimpleAggregateFunction columns")
     if t in ("Int128", "Int256", "UInt128", "UInt256"):
         # header-adoption types only (no MySQL source type maps here):
         # plain little-endian at 16/32 bytes; out-of-range values
@@ -774,6 +794,10 @@ class NativeConnection:
         t = ch_type.strip()
         if t.startswith("LowCardinality(") and t.endswith(")"):
             return 8
+        if t.startswith("SimpleAggregateFunction(") and t.endswith(")"):
+            args = split_type_args(t[24:-1])
+            return (NativeConnection._state_prefix_len(args[1])
+                    if len(args) == 2 else 0)
         if t.startswith("Nullable(") and t.endswith(")"):
             return NativeConnection._state_prefix_len(t[9:-1])
         if t.startswith("Array(") and t.endswith(")"):

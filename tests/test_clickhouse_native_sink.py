@@ -193,6 +193,11 @@ def _decode_column(r, ch_type: str, n: int) -> list:
         signed = not ch_type.startswith("U")
         return [int.from_bytes(r.read(w), "little", signed=signed)
                 for _ in range(n)]
+    if ch_type.startswith("SimpleAggregateFunction("):
+        from mysql_syncer_clickhouse_spark.functions.typemap import (
+            split_type_args)
+        return _decode_column(
+            r, split_type_args(ch_type[24:-1])[1], n)
     raise AssertionError(f"fake server can't decode {ch_type}")
 
 
@@ -1516,3 +1521,31 @@ def test_wide_int_and_decimal256_round_trip(fake_native):
     # beyond-Decimal256 precision refuses at encoder-build time
     with pytest.raises(ValueError):
         column_encoder("Decimal(77,2)")
+
+
+def test_simple_aggregate_function_adopts_inner_wire(fake_native):
+    """SimpleAggregateFunction(f, T) columns (AggregatingMergeTree
+    targets a header can declare) ship the INNER type's wire format --
+    the 'Simple' contract is state == value. Full AggregateFunction
+    -State columns refuse with the materialized-view remedy."""
+    from mysql_syncer_clickhouse_spark.sinks.clickhouse_native import (
+        NativeConnection, column_encoder)
+
+    conn = NativeConnection(fake_native.host, fake_native.port,
+                            compression=True)
+    try:
+        sent = conn.insert_blocks(
+            "INSERT INTO db.t VALUES",
+            [("k", "Int64"),
+             ("s", "SimpleAggregateFunction(sum, UInt64)"),
+             ("m", "SimpleAggregateFunction(max, Nullable(String))")],
+            [[(1, 10, "a"), (2, 0, None)]])
+        assert sent == 2
+    finally:
+        conn.close()
+    assert fake_native.inserts[0][1] == [(1, 10, "a"), (2, 0, None)]
+
+    with pytest.raises(ValueError, match="materialized view"):
+        column_encoder("AggregateFunction(uniq, UInt64)")
+    with pytest.raises(ValueError, match="func, type"):
+        column_encoder("SimpleAggregateFunction(sum)")
