@@ -381,3 +381,72 @@ def test_drop_table_restrict_cascade_tail():
         [("drop_table", "s", "a"), ("drop_table", "d", "b")]
     acts = D.parse_mysql_ddl("DROP TABLE IF EXISTS a RESTRICT")
     assert [(x.kind, x.table) for x in acts] == [("drop_table", "a")]
+
+
+# ------------------------------------------------- property hardening
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_ident = st.from_regex(r"[A-Za-z_][A-Za-z0-9_]{0,10}", fullmatch=True)
+_types = st.sampled_from([
+    "int", "bigint", "bigint unsigned", "varchar(64)", "text",
+    "decimal(10,2)", "enum('a,b','c''d','e\\'f')", "date",
+    "datetime(6)", "set('x','y')", "double", "json",
+])
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.lists(st.tuples(_ident, _types, st.booleans(),
+                          st.sampled_from([None, "FIRST", "AFTER"])),
+                min_size=1, max_size=6),
+       _ident, _ident)
+def test_alter_add_round_trip_property(cols, schema, table):
+    """Generated multi-clause ALTER ADDs parse back to exactly the
+    generated (name, type, nullable) triples, survive apply_to_columns
+    in order, and every emitted ClickHouse statement names the column;
+    the parser never crashes on this grammar."""
+    clauses = []
+    for name, mtype, notnull, posk in cols:
+        c = f"ADD COLUMN `{name}` {mtype}"
+        if notnull:
+            c += " NOT NULL"
+        if posk == "FIRST":
+            c += " FIRST"
+        elif posk == "AFTER":
+            c += " AFTER `id`"
+        clauses.append(c)
+    sql = f"ALTER TABLE `{schema}`.`{table}` " + ", ".join(clauses)
+    acts = D.parse_mysql_ddl(sql)
+    assert len(acts) == len(cols)
+    model = [("id", "bigint", False)]
+    for a, (name, mtype, notnull, posk) in zip(acts, cols):
+        assert (a.kind, a.schema, a.table) == \
+            ("add_column", schema, table)
+        assert (a.column, a.mysql_type, a.nullable) == \
+            (name, mtype, not notnull)
+        assert a.first == (posk == "FIRST")
+        assert a.after == ("id" if posk == "AFTER" else None)
+        [stmt] = D.clickhouse_ddl(a, database="olap", table=table)
+        assert f"`{name}`" in stmt
+        model = D.apply_to_columns(model, a)
+        assert (name, mtype, not notnull) in model
+        names = [c[0] for c in model]
+        if posk == "FIRST":
+            assert names[0] == name
+        elif posk == "AFTER":
+            assert names[names.index("id") + 1] == name
+        else:
+            assert names[-1] == name
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.text(min_size=0, max_size=120))
+def test_parser_never_crashes_on_noise(s):
+    """Arbitrary text: parse returns a list or raises ValueError --
+    never any other exception, never hangs (the loud-stop contract
+    run_apply_ddl wraps with coordinates)."""
+    try:
+        out = D.parse_mysql_ddl(s)
+    except ValueError:
+        return
+    assert isinstance(out, list)
