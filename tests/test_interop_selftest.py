@@ -216,3 +216,60 @@ def test_selftest_ch_native_tls(monkeypatch, tmp_path):
         assert any("tls_probe" in sql for sql, _ in native.inserts)
     finally:
         native.stop()
+
+
+def test_selftest_ddl_replication(mysql_fake_env, ch_fake_env,
+                                  tmp_path):
+    """Twin of test_ddl_replication_mysql_to_clickhouse: the same
+    decode -> parse -> typed-apply chain against the fakes. The real
+    body's DESCRIBE readback needs a live server, so the twin asserts
+    the ALTER the native fake RECEIVED instead -- every other line of
+    harness code executes."""
+    from mysql_syncer_clickhouse_spark.sinks.clickhouse_native import (
+        ClickHouseNativeSink)
+    from mysql_syncer_clickhouse_spark.sources import ddl as ddlmod
+    from mysql_syncer_clickhouse_spark.sources.binlog import (
+        decode_binlog_ddl)
+    from mysql_syncer_clickhouse_spark.sources.mysql_repl import (
+        ReplicationClient, tail_to_relay)
+    import os as _os
+
+    # the fake serves the t_probe stream; append a DDL-bearing file
+    enc = Enc()
+    enc.query("ALTER TABLE msc_interop.t_ddlrep ADD COLUMN price "
+              "DECIMAL(10,2) NOT NULL AFTER title, ADD INDEX i (t)",
+              schema="msc_interop")
+    mysql_fake_env.files["mysql-bin.000002"] = enc.bytes()
+
+    host, _, port = _os.environ["MYSQL_ADDR"].rpartition(":")
+    tailer = ReplicationClient(host, int(port), user=USER,
+                               password=PASSWORD)
+    tailer.connect()
+    relay = str(tmp_path / "relay")
+    try:
+        tail_to_relay(tailer, relay, "mysql-bin.000001", non_block=True)
+    finally:
+        tailer.close()
+    ddls = []
+    for f in sorted(_os.listdir(relay)):
+        if "bin" in f:
+            with open(_os.path.join(relay, f), "rb") as fh:
+                ddls.extend(decode_binlog_ddl(f, fh.read()))
+    stmts = [d for d in ddls if "t_ddlrep" in d["query"]]
+    assert len(stmts) == 1
+    actions = ddlmod.parse_mysql_ddl(stmts[0]["query"],
+                                     default_schema=stmts[0]["db"])
+    assert [a.kind for a in actions] == ["add_column", "ignored"]
+
+    nat_host, _, nat_port = _os.environ["CLICKHOUSE_ADDR"].rpartition(":")
+    sink = ClickHouseNativeSink(
+        host=nat_host, port=int(nat_port), database="msc_interop",
+        table="t_ddlrep",
+        columns=[("id", "bigint", False), ("title", "varchar(64)", True)],
+        pk=("id",))
+    executed = ddlmod.apply_ddl_to_sink(sink, actions)
+    assert executed == [
+        "ALTER TABLE `msc_interop`.`t_ddlrep` ADD COLUMN IF NOT "
+        "EXISTS `price` Decimal(10,2) AFTER `title`"]
+    assert executed[0] in ch_fake_env.queries
+    assert [c[0] for c in sink.columns] == ["id", "title", "price"]
