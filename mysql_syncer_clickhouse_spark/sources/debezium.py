@@ -187,3 +187,39 @@ def read_debezium_kafka(spark: SparkSession, bootstrap_servers: str,
                                str(max_offsets_per_trigger))
     lines = reader.load().selectExpr("CAST(value AS STRING) AS value")
     return parse_debezium(lines, row_ddl)
+
+
+SCHEMA_CHANGE_DDL = ("seq long, ts timestamp, db string, "
+                     "table string, query string")
+
+
+def parse_debezium_schema_change(lines: DataFrame) -> DataFrame:
+    """Debezium's SCHEMA-CHANGE topic (the history/schema-change
+    stream a MySQL connector publishes alongside row topics): each
+    value is a JSON envelope carrying `databaseName`, the raw `ddl`
+    statement text, and the `source` block with the binlog position.
+    Parses to (seq, ts, db, table, query) -- `query` feeds the SAME
+    sources/ddl.parse_mysql_ddl -> map_action -> apply_ddl_to_sink
+    chain the binlog-file path uses, so a Kafka-fed deployment gets
+    DDL replication with no second code path.
+
+    Pure Catalyst (from_json + column ops); the stream is tiny (one
+    event per DDL statement), so the downstream collect-and-apply is
+    the same rare-event driver-side shape as read_binlog_ddl.
+    Non-DDL housekeeping messages (empty/absent ddl) are dropped;
+    tableChanges is deliberately unused -- the statement text is the
+    authority, matching the binlog path."""
+    env = ("databaseName string, ddl string, "
+           "source struct<file:string, pos:long, ts_ms:long, "
+           "table:string>")
+    j = F.from_json(F.col("value"), env)
+    out = lines.select(
+        binlog_seq(j.getField("source").getField("file"),
+                   j.getField("source").getField("pos")),
+        F.timestamp_millis(j.getField("source").getField("ts_ms"))
+         .alias("ts"),
+        j.getField("databaseName").alias("db"),
+        j.getField("source").getField("table").alias("table"),
+        j.getField("ddl").alias("query"))
+    return out.filter(F.col("query").isNotNull()
+                      & (F.trim(F.col("query")) != ""))

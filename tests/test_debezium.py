@@ -220,3 +220,49 @@ def test_with_before_pairs_update_images(spark):
     # default stays image-only: no before_* columns
     cols = parse_debezium(df, ROW_DDL).columns
     assert not [c for c in cols if c.startswith("before_")]
+
+
+def test_parse_debezium_schema_change_feeds_ddl_chain(spark):
+    """The schema-change topic parses to (seq, ts, db, table, query)
+    and the query text drives the SAME parse -> map -> ClickHouse
+    chain as the binlog path; housekeeping messages (no ddl) drop."""
+    import json
+
+    from mysql_syncer_clickhouse_spark.plans.rules import Rule
+    from mysql_syncer_clickhouse_spark.sources import ddl as ddlmod
+    from mysql_syncer_clickhouse_spark.sources.debezium import (
+        parse_debezium_schema_change)
+
+    msgs = [
+        {"databaseName": "shop",
+         "ddl": "ALTER TABLE items ADD COLUMN price decimal(10,2) "
+                "NOT NULL AFTER title",
+         "source": {"file": "mysql-bin.000007", "pos": 900,
+                    "ts_ms": 1700000000000, "table": "items"}},
+        {"databaseName": "shop", "ddl": "",
+         "source": {"file": "mysql-bin.000007", "pos": 950,
+                    "ts_ms": 1700000001000, "table": "items"}},
+        {"databaseName": "shop",
+         "ddl": "DROP TABLE shop.old_stuff",
+         "source": {"file": "mysql-bin.000008", "pos": 4,
+                    "ts_ms": 1700000002000, "table": "old_stuff"}},
+    ]
+    lines = spark.createDataFrame(
+        [(json.dumps(m),) for m in msgs], "value string")
+    rows = (parse_debezium_schema_change(lines)
+            .orderBy("seq").collect())
+    assert [r["query"].split()[0] for r in rows] == ["ALTER", "DROP"]
+    assert rows[0]["seq"] < rows[1]["seq"]     # binlog total order
+    assert rows[0]["db"] == "shop" and rows[0]["table"] == "items"
+    assert rows[0]["ts"].year == 2023
+
+    rule = Rule(source_schema="shop", source_table="items",
+                sink_schema="olap", sink_table="items_sink",
+                pk=("id",), field_mapping={"title": "es_title"})
+    acts = ddlmod.parse_mysql_ddl(rows[0]["query"],
+                                  default_schema=rows[0]["db"])
+    mapped = ddlmod.map_action(acts[0], rule)
+    assert ddlmod.clickhouse_ddl(
+        mapped, database="olap", table="items_sink") == [
+        "ALTER TABLE `olap`.`items_sink` ADD COLUMN IF NOT EXISTS "
+        "`price` Decimal(10,2) AFTER `es_title`"]
