@@ -202,6 +202,7 @@ def _infer_row_ddl(env_batch, db: str, table: str) -> str | None:
 
 def run_binlog(cfg: EngineConfig, binlog_dir: str, *,
                follow: bool = False, compact: bool = False,
+               follow_ddl: bool = False, ddl_stop=None,
                spark=None) -> list[dict]:
     """--binlog-dir mode: drain MySQL binlog FILES through the same
     rules/apply path as the changelog mode -- the reference's own
@@ -210,7 +211,17 @@ def run_binlog(cfg: EngineConfig, binlog_dir: str, *,
     one task); each rule projects its table out of the shared envelope
     stream, so N rules share ONE decode pass per micro-batch per
     distinct source checkpoint. Exact-match rules only (a wildcard
-    rule needs live introspection to enumerate tables)."""
+    rule needs live introspection to enumerate tables).
+
+    `follow_ddl` (the --follow half of --apply-ddl): a daemon thread
+    polls the directory for NEW schema-changing QUERY events at
+    flush_bulk_time cadence and applies them through run_apply_ddl's
+    watermark, mirroring the per-cycle apply the --tail loop does.
+    Fail-stop: the first apply error ends the poller (a drifting sink
+    must not be papered over by continued polling) and is stashed on
+    `ddl_stop.error` for the caller to surface. `ddl_stop` (a
+    threading.Event; tests pass one to stop/inspect the poller --
+    under the CLI the daemon thread simply dies with the process)."""
     from .sources.binlog import binlog_to_changelog, read_binlog_files
     spark = spark or get_spark("mysql-syncer-clickhouse-spark",
                                cpus=cfg.threads)
@@ -221,6 +232,24 @@ def run_binlog(cfg: EngineConfig, binlog_dir: str, *,
         results.append(
             {"stat":
              f"http://{srv._httpd.server_address[0]}:{srv.port}/stat"})
+    if follow_ddl and follow:
+        import threading
+
+        stop = ddl_stop if ddl_stop is not None else threading.Event()
+        stop.error = None
+
+        def _ddl_poll():
+            while not stop.wait(max(cfg.flush_bulk_ms, 1) / 1000.0):
+                try:
+                    run_apply_ddl(cfg, binlog_dir, spark=spark)
+                except Exception as e:          # fail-stop, stashed
+                    stop.error = e
+                    return
+
+        threading.Thread(target=_ddl_poll, daemon=True,
+                         name="ddl-follow-poll").start()
+        results.append({"mode": "apply_ddl_follow",
+                        "cadence_ms": cfg.flush_bulk_ms})
     env_batch = read_binlog_files(spark, binlog_dir)
     for rule in cfg.rules.rules:
         if not rule.pk and cfg.skip_no_pk_table:
@@ -653,7 +682,9 @@ def main(argv: list[str] | None = None) -> int:
                          "ALTER/RENAME/TRUNCATE/DROP statements from "
                          "the binlog QUERY events to the ClickHouse "
                          "sink, rule-mapped and typed, before each "
-                         "drain; incremental via <data_dir>/_ddl.info"
+                         "drain (and at flush_bulk_time cadence in "
+                         "--follow modes); incremental via "
+                         "<data_dir>/_ddl.info"
                          " (assumes the sink table exists -- run one "
                          "bootstrap drain first)")
     ap.add_argument("--follow", action="store_true",
@@ -750,7 +781,8 @@ def main(argv: list[str] | None = None) -> int:
         if args.apply_ddl:
             lines += run_apply_ddl(cfg, args.binlog_dir)
         lines += run_binlog(cfg, args.binlog_dir,
-                            follow=args.follow, compact=args.compact)
+                            follow=args.follow, compact=args.compact,
+                            follow_ddl=args.apply_ddl)
     elif args.changelog_dir:
         lines += run(cfg, args.changelog_dir,
                      follow=args.follow, compact=args.compact)

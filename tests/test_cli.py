@@ -771,3 +771,57 @@ def test_cli_apply_ddl_composes_with_drain(spark, tmp_path):
         assert new and new[0]["price"] == 999
     finally:
         srv.stop()
+
+
+def test_cli_follow_mode_applies_late_ddl(spark, tmp_path):
+    """--binlog-dir --follow --apply-ddl: a DDL that lands AFTER
+    startup reaches the ClickHouse sink without a restart (the
+    daemon poller at flush_bulk_time cadence -- the --tail loop's
+    per-cycle apply, mirrored for the file-watching mode)."""
+    import threading
+    import time
+
+    from mysql_syncer_clickhouse_spark.__main__ import run_binlog
+    from mysql_syncer_clickhouse_spark.sources.binlog_writer import (
+        BinlogColumn, BinlogFileWriter)
+    from tests.test_clickhouse_sink import _FakeClickHouse
+
+    d = tmp_path / "binlogs"
+    d.mkdir()
+    w1 = BinlogFileWriter("app", "items",
+                          [BinlogColumn.bigint("id"),
+                           BinlogColumn.varchar("title", 80)])
+    w1.insert([[1, "a"]])
+    w1.xid(1)
+    (d / "mysql-bin.000001").write_bytes(w1.to_bytes())
+
+    srv = _FakeClickHouse().start()
+    stop = threading.Event()
+    try:
+        cfg = EngineConfig.from_toml(TOML)
+        cfg.data_dir = str(tmp_path / "log")
+        cfg.sink_addr = srv.url
+        out = run_binlog(cfg, str(d), follow=True, follow_ddl=True,
+                         ddl_stop=stop, spark=spark)
+        assert {"mode": "apply_ddl_follow",
+                "cadence_ms": cfg.flush_bulk_ms} in out
+
+        w2 = BinlogFileWriter("app", "items",
+                              [BinlogColumn.bigint("id")])
+        w2.ddl("ALTER TABLE items ADD COLUMN price bigint")
+        (d / "mysql-bin.000002").write_bytes(w2.to_bytes())
+
+        want = ("ALTER TABLE `olap`.`items_sink` ADD COLUMN IF NOT "
+                "EXISTS `price` Nullable(Int64)")
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if any(q == want for q, _ in srv.requests):
+                break
+            assert stop.error is None, stop.error
+            time.sleep(0.5)
+        assert any(q == want for q, _ in srv.requests)
+    finally:
+        stop.set()
+        for q in spark.streams.active:
+            q.stop()
+        srv.stop()
