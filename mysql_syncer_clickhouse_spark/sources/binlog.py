@@ -1358,21 +1358,78 @@ def decode_binlog_ddl(file_name: str, data: bytes, *,
     the raw material for sources/ddl.parse_mysql_ddl. The reference
     only checkpoints past these (OnDDL, river/sync.go:62-65); we
     surface them so the sink can evolve. `pos` is the event's END
-    position, same checkpoint monotone as the envelope rows."""
-    out: list[dict] = []
-    for ev in iter_binlog_events(data, verify_checksum=verify_checksum,
-                                 tolerate_truncation=tolerate_truncation):
-        if ev.type_code != QUERY_EVENT or not ev.query:
-            continue
-        if not _is_ddl_text(ev.query):
-            continue
-        out.append({
-            "file": file_name, "pos": ev.log_pos,
+    position, same checkpoint monotone as the envelope rows.
+
+    Fast path: this walks event HEADERS and decodes only QUERY_EVENT
+    bodies (plus the FDE for the checksum flag, and
+    TRANSACTION_PAYLOAD envelopes, whose inner frames can carry a
+    compressed DDL) -- row images are ~all of a binlog's bytes and
+    skipping their decode measured ~5x over the full
+    iter_binlog_events walk. CRC is verified for the events actually
+    decoded; skipped events are framed by size only, exactly the
+    cheap pass a replica's log rotation scan does."""
+
+    def _query_dicts(tc: int, ts: int, log_pos: int,
+                     body_b: bytes) -> "dict | None":
+        ev = BinlogEvent(tc, ts, 0, log_pos)
+        _decode_event_body(tc, _Reader(body_b), {}, ev)
+        if not ev.query or not _is_ddl_text(ev.query):
+            return None
+        return {
+            "file": file_name, "pos": log_pos,
             "ts": datetime.datetime.fromtimestamp(
-                ev.timestamp, tz=datetime.timezone.utc
-            ).replace(tzinfo=None),
+                ts, tz=datetime.timezone.utc).replace(tzinfo=None),
             "db": ev.schema, "query": ev.query,
-        })
+        }
+
+    out: list[dict] = []
+    pos = 4 if data[:4] == BINLOG_MAGIC else 0
+    checksummed = False
+    while pos + _HEADER_LEN <= len(data):
+        ts, tc, _sid, size, log_pos, _flags = struct.unpack_from(
+            "<IBIIIH", data, pos)
+        if size < _HEADER_LEN:
+            raise BinlogError(f"corrupt event size {size} at {pos}")
+        if pos + size > len(data):
+            if tolerate_truncation:
+                return out
+            raise BinlogError(f"truncated event at {pos}")
+        if tc == FORMAT_DESCRIPTION_EVENT:
+            checksummed = fde_checksummed(
+                data[pos + _HEADER_LEN:pos + size])
+        elif tc in (QUERY_EVENT, TRANSACTION_PAYLOAD_EVENT):
+            body_b = data[pos + _HEADER_LEN:pos + size]
+            if checksummed:
+                if verify_checksum and struct.unpack(
+                        "<I", body_b[-4:])[0] != zlib.crc32(
+                        data[pos:pos + size - 4]):
+                    raise BinlogError(
+                        f"CRC32 mismatch at {pos} (event type {tc})")
+                body_b = body_b[:-4]
+            if tc == QUERY_EVENT:
+                d = _query_dicts(tc, ts, log_pos, body_b)
+                if d is not None:
+                    out.append(d)
+            else:
+                # compressed transactions (WL#3549): inner frames are
+                # never checksummed; a DDL statement can ride here
+                inner = _decompress_payload(_Reader(body_b))
+                ipos = 0
+                while ipos + _HEADER_LEN <= len(inner):
+                    its, itc, _isid, isize, ilog, _ = struct.unpack_from(
+                        "<IBIIIH", inner, ipos)
+                    if isize < _HEADER_LEN or ipos + isize > len(inner):
+                        raise BinlogError(
+                            f"corrupt payload frame at inner offset "
+                            f"{ipos}")
+                    if itc == QUERY_EVENT:
+                        d = _query_dicts(
+                            itc, its, ilog,
+                            inner[ipos + _HEADER_LEN:ipos + isize])
+                        if d is not None:
+                            out.append(d)
+                    ipos += isize
+        pos += size
     return out
 
 
