@@ -242,7 +242,16 @@ def run_binlog(cfg: EngineConfig, binlog_dir: str, *,
             while not stop.wait(max(cfg.flush_bulk_ms, 1) / 1000.0):
                 try:
                     run_apply_ddl(cfg, binlog_dir, spark=spark)
-                except Exception as e:          # fail-stop, stashed
+                except Exception as e:          # fail-stop, LOUD
+                    # the CLI never reads stop.error (the daemon dies
+                    # with the process) -- without this line DDL
+                    # replication would die silently while the row
+                    # drain keeps running, the exact unreported drift
+                    # the feature exists to close
+                    print(f"ERROR: --apply-ddl poller stopped; the "
+                          f"sink schema will NO LONGER track source "
+                          f"DDL (rows keep draining): {e}",
+                          file=sys.stderr, flush=True)
                     stop.error = e
                     return
 
@@ -319,16 +328,41 @@ def run_apply_ddl(cfg: EngineConfig, binlog_dir: str, *,
         return (int(m.group(1)) if m else -1, pos)
 
     mark = (-1, -1)
+    saved: dict = {}
     if os.path.exists(info_path):
-        with open(info_path) as fh:
-            saved = json.load(fh)
+        try:
+            with open(info_path) as fh:
+                saved = json.load(fh)
+        except json.JSONDecodeError as e:
+            # the save below is atomic (tmp + os.replace), so a torn
+            # file means external damage -- treating it as absent
+            # would REPLAY non-idempotent statements (TRUNCATE,
+            # RENAME COLUMN); refuse with the remedy instead
+            raise ValueError(
+                f"corrupt DDL watermark {info_path}: {e}; restore it "
+                f"({{\"file\": ..., \"pos\": ...}}) or delete it to "
+                f"deliberately re-apply from the first binlog "
+                f"statement") from None
         mark = _key(saved["file"], saved["pos"])
+    ledger = ddlmod.ShadowLedger(saved.get("shadow"))
 
     rows = sorted(read_binlog_ddl(spark, binlog_dir).collect(),
                   key=lambda r: _key(r["file"], r["pos"]))
     rows = [r for r in rows if _key(r["file"], r["pos"]) > mark]
     results: list[dict] = []
     sinks: dict[str, object] = {}
+
+    def _sink_for(rule):
+        sink = sinks.get(rule.key)
+        if sink is None:
+            # pk in SINK space (field_mapping may rename a pk column;
+            # clickhouse_ddl's non-Nullable guard compares sink names)
+            pk = tuple(rule._field_parts(c)[0] for c in rule.pk)
+            sink = _build_ch_sink(cfg, rule.sink_schema,
+                                  rule.sink_table, [], pk)
+            sinks[rule.key] = sink
+        return sink
+
     for r in rows:
         try:
             actions = ddlmod.parse_mysql_ddl(r["query"],
@@ -342,6 +376,26 @@ def run_apply_ddl(cfg: EngineConfig, binlog_dir: str, *,
                 f"(statement: {r['query'][:120]!r})") from None
         line = {"file": r["file"], "pos": r["pos"],
                 "query": r["query"], "applied": []}
+        # online-schema-change tracking (source-space, statement
+        # order): gh-ost/pt-osc shadow tables accumulate in the
+        # ledger; their RENAME cut-over replays the migration's
+        # ALTERs onto the sink (or warns loudly -- nothing silent)
+        for action in actions:
+            replays, warns = ledger.observe(action, cfg.rules.rules)
+            for w in warns:
+                print(f"WARN: {w}", file=sys.stderr, flush=True)
+                line.setdefault("warnings", []).append(w)
+            for rule, acts in replays:
+                if not cfg.sink_addr:
+                    line["applied"].append(
+                        {"rule": rule.key, "osc_replay": True,
+                         "skipped": "no sink_addr"})
+                    continue
+                stmts = ddlmod.apply_ddl_to_sink(_sink_for(rule), acts,
+                                                 rule=rule)
+                line["applied"].append({"rule": rule.key,
+                                        "osc_replay": True,
+                                        "statements": stmts})
         for rule in cfg.rules.rules:
             mapped = [a for a in (ddlmod.map_action(a, rule)
                                   for a in actions) if a is not None]
@@ -350,22 +404,21 @@ def run_apply_ddl(cfg: EngineConfig, binlog_dir: str, *,
                     line["applied"].append(
                         {"rule": rule.key, "skipped": "no sink_addr"})
                     continue
-                sink = sinks.get(rule.key)
-                if sink is None:
-                    sink = _build_ch_sink(
-                        cfg, rule.sink_schema, rule.sink_table,
-                        [], tuple(rule.pk))
-                    sinks[rule.key] = sink
-                stmts = ddlmod.apply_ddl_to_sink(sink, actions,
-                                                 rule=rule)
+                stmts = ddlmod.apply_ddl_to_sink(_sink_for(rule),
+                                                 actions, rule=rule)
                 line["applied"].append({"rule": rule.key,
                                         "statements": stmts})
         results.append(line)
     if rows:
         os.makedirs(cfg.data_dir, exist_ok=True)
         last = rows[-1]
-        with open(info_path, "w") as fh:
-            json.dump({"file": last["file"], "pos": last["pos"]}, fh)
+        # atomic: a crash mid-write must not leave torn JSON that
+        # blocks every later run (MasterInfo.save's discipline)
+        tmp = info_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"file": last["file"], "pos": last["pos"],
+                       "shadow": ledger.to_state()}, fh)
+        os.replace(tmp, info_path)
     results.append({"mode": "apply_ddl", "new_ddl_events": len(rows),
                     "watermark": info_path})
     return results

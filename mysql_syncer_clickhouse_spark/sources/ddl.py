@@ -44,7 +44,7 @@ from ..functions.typemap import (clickhouse_create_table_ddl,
 
 __all__ = [
     "DdlAction", "parse_mysql_ddl", "map_action", "clickhouse_ddl",
-    "apply_to_columns", "apply_ddl_to_sink",
+    "apply_to_columns", "apply_ddl_to_sink", "ShadowLedger",
 ]
 
 
@@ -53,18 +53,21 @@ class DdlAction:
     """One schema-changing step, source-space unless produced by
     map_action. `kind` is one of: add_column, drop_column,
     modify_column, change_column, rename_column, rename_table,
-    truncate, drop_table, create_table, ignored."""
+    truncate, drop_table, create_table, create_table_like, ignored."""
     kind: str
     schema: str | None
     table: str
     column: str | None = None
     new_name: str | None = None          # change/rename targets
+    new_schema: str | None = None        # RENAME TABLE a.t TO b.t2
     mysql_type: str | None = None
     nullable: bool = True
     first: bool = False                  # ADD/MODIFY ... FIRST
     after: str | None = None             # ADD/MODIFY ... AFTER col
     columns: tuple = ()                  # create_table triples
     pk: tuple = ()                       # create_table PRIMARY KEY
+    like_schema: str | None = None       # CREATE TABLE ... LIKE src
+    like_table: str | None = None
     clause: str = ""                     # raw clause (diagnostics)
 
 
@@ -127,8 +130,16 @@ def _split_top(s: str) -> list[str]:
 
 
 def _strip_strings(s: str) -> str:
-    """Blank out quoted string literals so keyword searches (NOT
-    NULL, FIRST, AFTER) can't match inside a DEFAULT/COMMENT text."""
+    """Blank out quoted string literals (and backtick-identifier
+    CONTENTS) so keyword searches (NOT NULL, FIRST, AFTER, comment
+    markers) can't match inside a DEFAULT/COMMENT text or a weird
+    identifier. LENGTH-PRESERVING: every consumed input char emits
+    exactly one output char, so span indices computed on the blanked
+    text map 1:1 onto the original -- callers (_parse_coldef's AFTER
+    extraction, _strip_comments' cut index) slice the ORIGINAL by
+    blanked-match spans, and an escaped quote ('' or \\') must not
+    shift them. Backtick delimiters themselves are kept so identifier
+    boundaries stay visible to the `...` regex alternative."""
     out: list[str] = []
     q: str | None = None
     i = 0
@@ -136,16 +147,21 @@ def _strip_strings(s: str) -> str:
         ch = s[i]
         if q is not None:
             if ch == "\\" and q == "'" and i + 1 < len(s):
-                i += 1
-            elif ch == q:
+                out.append("  ")           # 2 consumed -> 2 blanks
+                i += 2
+                continue
+            if ch == q:
                 if i + 1 < len(s) and s[i + 1] == q:
-                    i += 1
-                else:
-                    q = None
-            out.append(" ")
-        elif ch in "'\"":
+                    out.append("  ")       # doubled-quote escape
+                    i += 2
+                    continue
+                q = None
+                out.append(ch if ch == "`" else " ")
+            else:
+                out.append(" ")
+        elif ch in "'\"`":
             q = ch
-            out.append(" ")
+            out.append(ch if ch == "`" else " ")
         else:
             out.append(ch)
         i += 1
@@ -331,7 +347,9 @@ def _alter_clause(schema: str | None, table: str, clause: str) \
     m = re.match(rf"rename\s+(?:to\s+|as\s+)?{_TABLE}\s*$", c, re.I)
     if m:
         return [DdlAction("rename_table", schema, table,
-                          new_name=_unq(m.group(2)), clause=c)]
+                          new_name=_unq(m.group(2)),
+                          new_schema=_unq(m.group(1)) or schema,
+                          clause=c)]
 
     # ALTER COLUMN ... SET/DROP DEFAULT, ENGINE=, AUTO_INCREMENT=,
     # CONVERT TO, charset/collation, ALGORITHM/LOCK, ORDER BY,
@@ -370,7 +388,9 @@ def parse_mysql_ddl(sql: str, default_schema: str | None = None) \
                                  f"{part!r}")
             out.append(DdlAction(
                 "rename_table", _unq(m.group(1)) or default_schema,
-                _unq(m.group(2)), new_name=_unq(m.group(4)), clause=part))
+                _unq(m.group(2)), new_name=_unq(m.group(4)),
+                new_schema=_unq(m.group(3)) or default_schema,
+                clause=part))
         return out
 
     m = re.match(rf"truncate\s+(?:table\s+)?{_TABLE}\s*$", s, re.I)
@@ -394,13 +414,60 @@ def parse_mysql_ddl(sql: str, default_schema: str | None = None) \
         return out
 
     m = re.match(rf"create\s+table\s+(?:if\s+not\s+exists\s+)?"
-                 rf"{_TABLE}\s*\((.*)\)[^)]*$", s, re.I | re.S)
+                 rf"{_TABLE}\s*(.*)$", s, re.I | re.S)
     if m:
         schema = _unq(m.group(1)) or default_schema
         table = _unq(m.group(2))
+        body = m.group(3).strip()
+
+        # CREATE TABLE new LIKE orig -- how gh-ost/pt-osc open every
+        # online-schema-change migration. Typed so ShadowLedger can
+        # track the shadow and replay its ALTERs at the RENAME swap.
+        lm = re.match(rf"like\s+{_TABLE}\s*$", body, re.I)
+        if lm:
+            return [DdlAction("create_table_like", schema, table,
+                              like_schema=_unq(lm.group(1))
+                              or default_schema,
+                              like_table=_unq(lm.group(2)), clause=s)]
+
+        # CREATE TABLE ... [AS] SELECT: the column set comes from the
+        # SELECT, which this parser cannot type -- surface as an
+        # 'ignored' action (visible in --apply-ddl logs), never a
+        # silent []. Detect on blanked text so a DEFAULT 'select'
+        # string can't trip it.
+        blanked_body = _strip_strings(body)
+        if re.match(r"(?:as\s+)?select\b|\(\s*select\b", blanked_body,
+                    re.I):
+            return [DdlAction("ignored", schema, table, clause=s)]
+
+        if not body.startswith("("):
+            return [DdlAction("ignored", schema, table, clause=s)]
+        # find the MATCHING close paren of the column list by
+        # depth/quote-aware scan -- a greedy regex to the last ')'
+        # swallows table options containing parens (COMMENT 'x (y)',
+        # PARTITION BY ...) into the column list
+        depth = 0
+        end = -1
+        for i, ch in enumerate(blanked_body):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    end = i
+                    break
+        if end < 0:
+            raise ValueError(
+                f"unbalanced parens in CREATE TABLE: {s[:80]!r}")
+        inner = body[1:end]
+        tail = blanked_body[end + 1:]
+        if re.search(r"\bselect\b", tail, re.I):
+            # CREATE TABLE t (cols...) SELECT ...: the SELECT may add
+            # columns beyond the explicit list -- same opaque class
+            return [DdlAction("ignored", schema, table, clause=s)]
         cols: list[tuple[str, str, bool]] = []
         pk: tuple[str, ...] = ()
-        for part in _split_top(m.group(3)):
+        for part in _split_top(inner):
             pm = re.match(r"primary\s+key\s*\(([^)]*)\)", part, re.I)
             if pm:
                 pk = tuple(_unq(x.strip())
@@ -409,6 +476,8 @@ def parse_mysql_ddl(sql: str, default_schema: str | None = None) \
             head = part.split(None, 1)[0].lower()
             if head in ("key", "index", "unique", "fulltext", "spatial",
                         "constraint", "foreign", "check"):
+                continue
+            if _is_virtual_generated(part):
                 continue
             n, t, nul, _, _ = _parse_coldef(part)
             cols.append((n, t, nul))
@@ -425,6 +494,16 @@ def parse_mysql_ddl(sql: str, default_schema: str | None = None) \
 _TRANSFORM_TYPE = {"list": "list", "date": "datetime"}
 
 
+def _rule_matches(rule, schema: str | None, table: str) -> bool:
+    """Exact rule key first, then wildcard source_table fullmatch --
+    RuleSet.match's order (plans/rules.py)."""
+    if f"{schema}:{table}".lower() == rule.key:
+        return True
+    return (rule.source_schema.lower() == (schema or "").lower()
+            and re.fullmatch(rule.source_table, table,
+                             re.IGNORECASE) is not None)
+
+
 def map_action(action: DdlAction, rule) -> DdlAction | None:
     """Re-express a source-space action in SINK space through a
     plans.rules.Rule: actions for other tables -> None; columns the
@@ -435,11 +514,7 @@ def map_action(action: DdlAction, rule) -> DdlAction | None:
     (river/river.go:166-180) made explicit and typed."""
     if rule is None:
         return action
-    key = f"{action.schema}:{action.table}".lower()
-    if key != rule.key and not (
-            rule.source_schema.lower() == (action.schema or "").lower()
-            and re.fullmatch(rule.source_table, action.table,
-                             re.IGNORECASE)):
+    if not _rule_matches(rule, action.schema, action.table):
         return None
 
     def synced(col: str) -> bool:
@@ -473,8 +548,16 @@ def map_action(action: DdlAction, rule) -> DdlAction | None:
                        after=after)
     if action.kind == "rename_table":
         # the sink table is rule-addressed: the source renaming out
-        # from under the rule does not move the sink table
+        # from under the rule does not move the sink table. The
+        # rename-INTO-rule half of an OSC swap is ShadowLedger's job
+        # (it needs cross-statement state this per-action map lacks).
         return None
+    if action.kind == "create_table_like":
+        # rule-addressed sink: another wildcard match created LIKE a
+        # sibling adds no sink work (the one sink table exists), and
+        # the LIKE source's columns are unknowable here -- visible,
+        # not actionable
+        return replace(a, kind="ignored")
     if action.kind == "create_table":
         cols = []
         for n, t, nul in action.columns:
@@ -603,3 +686,123 @@ def apply_ddl_to_sink(sink, actions, rule=None) -> list[str]:
         if sink._known_cols is not None:
             sink._known_cols = {c[0] for c in sink.columns}
     return executed
+
+
+# --------------------------------------- online-schema-change swaps
+
+class ShadowLedger:
+    """Online-schema-change (gh-ost / pt-osc) shadow-table tracker.
+
+    Both tools run EVERY production ALTER as a shadow-table migration:
+
+        CREATE TABLE `_t_new` LIKE `t`        -- pt-osc (gh-ost: _t_gho)
+        ALTER TABLE `_t_new` ADD COLUMN ...   -- the actual migration
+        ... row copy ...
+        RENAME TABLE `t` TO `_t_old`, `_t_new` TO `t`   -- atomic swap
+
+    To a per-statement DDL replicator the migration is INVISIBLE: the
+    shadow table matches no rule (its CREATE and ALTERs drop), and the
+    swap's arms both map to nothing (`t` renames out of the rule;
+    `_t_new` matches no rule) -- the sink silently drifts, the exact
+    failure mode DDL replication exists to close (the reference is
+    equally blind: OnDDL only checkpoints, river/sync.go:54-65).
+
+    The ledger records CREATE ... LIKE statements whose LIKE target
+    matches a rule (bounding state to in-flight migrations),
+    accumulates the shadow's subsequent column actions, and when a
+    RENAME swaps the shadow INTO a rule's source name, replays those
+    actions onto the sink re-addressed to the rule's table -- the
+    shadow's delta vs the original is BY CONSTRUCTION exactly its
+    accumulated ALTERs. A swap whose incoming table was never seen,
+    or was not created LIKE a table of the same rule, cannot be
+    replayed and surfaces a loud warning instead: nothing silent.
+
+    State round-trips through to_state()/ShadowLedger(state) so the
+    --apply-ddl watermark carries it across invocations and --follow
+    poll cycles (a real OSC migration spans hours)."""
+
+    _COLUMN_KINDS = ("add_column", "drop_column", "modify_column",
+                     "change_column", "rename_column")
+
+    def __init__(self, state: dict | None = None) -> None:
+        self._shadow: dict[str, dict] = {}
+        for key, ent in (state or {}).items():
+            self._shadow[key] = {
+                "like": tuple(ent["like"]) if ent.get("like") else None,
+                "actions": [DdlAction(**{
+                    **a, "columns": tuple(map(tuple, a.get("columns", ()))),
+                    "pk": tuple(a.get("pk", ()))}) for a in ent["actions"]],
+            }
+
+    def to_state(self) -> dict:
+        from dataclasses import asdict
+        return {k: {"like": list(e["like"]) if e["like"] else None,
+                    "actions": [asdict(a) for a in e["actions"]]}
+                for k, e in self._shadow.items()}
+
+    @staticmethod
+    def _key(schema: str | None, table: str) -> str:
+        return f"{(schema or '').lower()}:{table.lower()}"
+
+    def observe(self, action: DdlAction, rules) \
+            -> tuple[list, list[str]]:
+        """Feed one SOURCE-space action (in statement order). Returns
+        (replays, warnings): replays = [(rule, [retargeted actions])]
+        for the caller to apply_ddl_to_sink; warnings = strings the
+        caller must surface loudly."""
+        replays: list = []
+        warnings: list[str] = []
+        key = self._key(action.schema, action.table)
+        k = action.kind
+
+        if k == "create_table_like":
+            if any(_rule_matches(r, action.schema, action.table)
+                   for r in rules):
+                return replays, warnings    # map_action's territory
+            if any(_rule_matches(r, action.like_schema,
+                                 action.like_table) for r in rules):
+                self._shadow[key] = {
+                    "like": (action.like_schema, action.like_table),
+                    "actions": []}
+            return replays, warnings
+
+        if key in self._shadow:
+            if k in self._COLUMN_KINDS:
+                self._shadow[key]["actions"].append(action)
+            elif k in ("drop_table", "create_table"):
+                # re-created from scratch: history no longer derivable
+                del self._shadow[key]
+
+        if k != "rename_table":
+            return replays, warnings
+
+        ent = self._shadow.pop(key, None)
+        new_schema = action.new_schema or action.schema
+        new_name = action.new_name
+        target_rule = next(
+            (r for r in rules if _rule_matches(r, new_schema, new_name)),
+            None)
+        if target_rule is None:
+            if ent is not None:     # shadow renamed, still off-rule
+                self._shadow[self._key(new_schema, new_name)] = ent
+            return replays, warnings
+
+        # a table is being renamed INTO a rule's source name: the
+        # cut-over half of an OSC swap (or a manual table swap)
+        if ent is not None and ent["like"] is not None and \
+                _rule_matches(target_rule, *ent["like"]):
+            acts = [replace(a, schema=new_schema, table=new_name)
+                    for a in ent["actions"]]
+            if acts:
+                replays.append((target_rule, acts))
+            return replays, warnings
+        warnings.append(
+            f"RENAME TABLE moved `{action.schema}`.`{action.table}` "
+            f"into rule {target_rule.key!r} as "
+            f"`{new_schema}`.`{new_name}`, but its schema history is "
+            f"unknown ({'created without LIKE a ruled table' if ent else 'its CREATE was never observed'}): "
+            f"the sink table `{target_rule.sink_schema}`."
+            f"`{target_rule.sink_table}` may now drift -- diff the "
+            f"schemas and ALTER the sink manually (or re-bootstrap "
+            f"the rule)")
+        return replays, warnings

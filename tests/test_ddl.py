@@ -383,6 +383,184 @@ def test_drop_table_restrict_cascade_tail():
     assert [(x.kind, x.table) for x in acts] == [("drop_table", "a")]
 
 
+def test_strip_strings_is_length_preserving():
+    """Escaped quotes ('' and \\') consume 2 chars each -- the blanked
+    text must stay index-aligned with the original, or AFTER/comment
+    spans computed on it slice the wrong original text (r12 ADVICE
+    high: after='fo', stray-backtick idents, 'int' truncated to 'in'
+    and silently String-mapped)."""
+    a = _one(r"ALTER TABLE s.t ADD c varchar(10) DEFAULT 'a\'b' "
+             r"AFTER foo")
+    assert a.after == "foo"
+    a = _one("ALTER TABLE s.t ADD c varchar(10) DEFAULT 'it''s' "
+             "AFTER `order_id`")
+    assert a.after == "order_id"
+    # a '' escape before a line comment: the cut index must not
+    # truncate the FOLLOWING clause's type
+    acts = D.parse_mysql_ddl(
+        "ALTER TABLE s.t ADD cc int COMMENT 'it''s', ADD dd int# trail")
+    assert [(x.column, x.mysql_type) for x in acts] == \
+        [("cc", "int"), ("dd", "int")]
+    # '#' inside a backtick identifier is not a comment start
+    a = _one("ALTER TABLE s.t ADD `c#1` int AFTER `a#2`")
+    assert (a.column, a.after) == ("c#1", "a#2")
+    # direct property: blanked output length == input length
+    for s in ["DEFAULT 'a\\'b' AFTER x", "DEFAULT 'it''s'",
+              "`we``ird` int", 'DEFAULT "d""q"', "plain text"]:
+        assert len(D._strip_strings(s)) == len(s)
+
+
+def test_create_table_options_with_parens():
+    """Table options containing ')' (COMMENT 'x (y)', PARTITION BY)
+    must not leak into the column list (r12 ADVICE low: the greedy
+    regex captured up to the LAST paren)."""
+    a = _one("CREATE TABLE s.t (id bigint NOT NULL, v text, "
+             "PRIMARY KEY (id)) ENGINE=InnoDB COMMENT 'x (y)' "
+             "PARTITION BY RANGE (id) "
+             "(PARTITION p0 VALUES LESS THAN (10))")
+    assert a.kind == "create_table"
+    assert a.columns == (("id", "bigint", False), ("v", "text", True))
+    assert a.pk == ("id",)
+
+
+def test_create_table_like_and_as_select():
+    """CREATE TABLE ... LIKE parses TYPED (the OSC shadow opener);
+    AS SELECT / (cols) SELECT are visible 'ignored' actions, never a
+    silent [] (r12 VERDICT missing #1)."""
+    a = _one("CREATE TABLE `_t_new` LIKE `t`", default_schema="app")
+    assert (a.kind, a.schema, a.table) == \
+        ("create_table_like", "app", "_t_new")
+    assert (a.like_schema, a.like_table) == ("app", "t")
+    a = _one("CREATE TABLE shop.t2 LIKE shop.t1")
+    assert (a.like_schema, a.like_table) == ("shop", "t1")
+    for stmt in ["CREATE TABLE t2 AS SELECT * FROM t1",
+                 "CREATE TABLE t2 SELECT b FROM t1",
+                 "CREATE TABLE t2 (a int) SELECT b FROM t1"]:
+        a = _one(stmt, default_schema="app")
+        assert (a.kind, a.table) == ("ignored", "t2"), stmt
+    # a mapped create_table_like is visible but not actionable (the
+    # rule-addressed sink already exists; LIKE columns are unknowable)
+    a = D.map_action(_one("CREATE TABLE shop.items LIKE shop.tmpl"),
+                     RULE)
+    assert a.kind == "ignored"
+
+
+def test_rename_table_carries_new_schema():
+    acts = D.parse_mysql_ddl(
+        "RENAME TABLE a.t TO b.t2, u TO v", default_schema="dflt")
+    assert [(x.schema, x.table, x.new_schema, x.new_name)
+            for x in acts] == \
+        [("a", "t", "b", "t2"), ("dflt", "u", "dflt", "v")]
+    a = _one("ALTER TABLE a.t RENAME TO b.t2")
+    assert (a.new_schema, a.new_name) == ("b", "t2")
+
+
+# ------------------------------------------------ OSC shadow ledger
+
+LEDGER_RULE = Rule(source_schema="app", source_table="items",
+                   sink_schema="olap", sink_table="items_sink",
+                   pk=("id",), field_mapping={"title": "es_title"})
+
+PT_OSC_SEQUENCE = [
+    "CREATE TABLE `_items_new` LIKE `items`",
+    "ALTER TABLE _items_new ADD COLUMN price decimal(10,2) NOT NULL "
+    "AFTER title",
+    "ALTER TABLE _items_new MODIFY title varchar(200) NOT NULL",
+    "RENAME TABLE items TO _items_old, _items_new TO items",
+]
+
+
+def _feed(ledger, stmts, rules):
+    replays, warnings = [], []
+    for stmt in stmts:
+        for a in D.parse_mysql_ddl(stmt, default_schema="app"):
+            r, w = ledger.observe(a, rules)
+            replays.extend(r)
+            warnings.extend(w)
+    return replays, warnings
+
+
+def test_shadow_ledger_replays_pt_osc_swap():
+    """The pt-osc/gh-ost shadow-migration sequence -- invisible to
+    per-statement rule mapping (every arm maps to None) -- replays the
+    shadow's accumulated ALTERs onto the sink at the cut-over RENAME,
+    re-addressed through the rule (rename + type both honored)."""
+    led = D.ShadowLedger()
+    replays, warnings = _feed(led, PT_OSC_SEQUENCE, [LEDGER_RULE])
+    assert warnings == []
+    assert len(replays) == 1
+    rule, acts = replays[0]
+    assert rule is LEDGER_RULE
+    stmts = [s for a in acts
+             for s in D.clickhouse_ddl(D.map_action(a, rule),
+                                       database=rule.sink_schema,
+                                       table=rule.sink_table)]
+    assert stmts == [
+        "ALTER TABLE `olap`.`items_sink` ADD COLUMN IF NOT EXISTS "
+        "`price` Decimal(10,2) AFTER `es_title`",
+        "ALTER TABLE `olap`.`items_sink` MODIFY COLUMN `es_title` "
+        "String"]
+    assert led.to_state() == {}       # cut-over consumed the entry
+
+
+def test_shadow_ledger_state_round_trip_mid_migration():
+    """A real OSC migration spans hours of poll cycles -- the ledger
+    must survive the watermark's JSON round-trip mid-flight."""
+    import json as _json
+    led = D.ShadowLedger()
+    _feed(led, PT_OSC_SEQUENCE[:2], [LEDGER_RULE])
+    state = _json.loads(_json.dumps(led.to_state()))
+    led2 = D.ShadowLedger(state)
+    replays, warnings = _feed(led2, PT_OSC_SEQUENCE[2:], [LEDGER_RULE])
+    assert warnings == []
+    [(rule, acts)] = replays
+    assert [a.kind for a in acts] == ["add_column", "modify_column"]
+    assert all(a.table == "items" for a in acts)   # retargeted
+
+
+def test_shadow_ledger_warns_on_unknown_swap():
+    """A rename INTO a rule from a table with no derivable history
+    (never seen, created without LIKE, or re-created mid-flight) must
+    surface loudly -- nothing silent."""
+    # never observed at all
+    led = D.ShadowLedger()
+    replays, warnings = _feed(
+        led, ["RENAME TABLE backup_items TO items"], [LEDGER_RULE])
+    assert replays == [] and len(warnings) == 1
+    assert "items_sink" in warnings[0] and "drift" in warnings[0]
+    # created LIKE a NON-ruled table
+    led = D.ShadowLedger()
+    replays, warnings = _feed(
+        led, ["CREATE TABLE tmp LIKE other_table",
+              "RENAME TABLE tmp TO items"], [LEDGER_RULE])
+    assert replays == [] and len(warnings) == 1
+    # DROPped and re-CREATEd from scratch mid-flight: history gone
+    led = D.ShadowLedger()
+    replays, warnings = _feed(
+        led, ["CREATE TABLE tmp LIKE items",
+              "DROP TABLE tmp",
+              "CREATE TABLE tmp (id bigint NOT NULL, PRIMARY KEY(id))",
+              "RENAME TABLE tmp TO items"], [LEDGER_RULE])
+    assert replays == [] and len(warnings) == 1
+
+
+def test_shadow_ledger_tracks_shadow_renames_and_gh_ost_two_step():
+    """gh-ost's non-atomic cut-over uses two RENAME statements; a
+    shadow renamed while off-rule keeps its history under the new
+    name."""
+    led = D.ShadowLedger()
+    replays, warnings = _feed(led, [
+        "CREATE TABLE _items_gho LIKE items",
+        "ALTER TABLE _items_gho ADD COLUMN qty int",
+        "RENAME TABLE _items_gho TO _items_ghc",   # off-rule rename
+        "RENAME TABLE items TO _items_del",        # cut-over step 1
+        "RENAME TABLE _items_ghc TO items",        # cut-over step 2
+    ], [LEDGER_RULE])
+    assert warnings == []
+    [(rule, acts)] = replays
+    assert [(a.kind, a.column) for a in acts] == [("add_column", "qty")]
+
+
 # ------------------------------------------------- property hardening
 
 from hypothesis import given, settings, strategies as st  # noqa: E402
