@@ -85,6 +85,26 @@ def _noop_write(df) -> float:
     return time.perf_counter() - t0
 
 
+def _calibration(spark, _sf_dir=None):
+    """PINNED cross-round calibration workload -- DO NOT EDIT (r12
+    VERDICT next #2). A pure-CPU, fixture-independent job whose cost
+    moves ONLY with the box: cross-round totals normalize by this
+    row's ratio instead of a manual same-box A/B of the old tree
+    (the r12 +22% "regression" took exactly such an A/B to attribute
+    to box drift). Frozen plan: range -> xxhash64 -> mod-bucket ->
+    two-level agg; 20M rows over 16 fixed input partitions; summed
+    values are mod-bounded so the plan is ANSI-overflow-safe.
+    Introduced round 13; earlier BENCH_r*.json have no row."""
+    from pyspark.sql import functions as F
+    return (spark.range(0, 20_000_000, 1, 16)
+            .withColumn("h", F.xxhash64("id"))
+            .withColumn("g", F.pmod(F.col("h"), F.lit(1024)))
+            .groupBy("g")
+            .agg(F.sum(F.pmod(F.col("h"), F.lit(1_000_000))).alias("s"),
+                 F.count(F.lit(1)).alias("n"))
+            .agg(F.sum("s").alias("total"), F.sum("n").alias("rows")))
+
+
 def _time_query(spark, fn, sf_dir: str,
                 reps: int) -> tuple[float, float, float]:
     """(cold_first, min_warm, load1_before): warmup, clear caches, time
@@ -146,6 +166,10 @@ def main() -> None:
     names = [n for n in HEADLINE if n in all_q]
 
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    # calibration bracket: once on the fresh session (box state at
+    # start) and once after the headline sweep (box state the second
+    # half of the run saw) -- the cross-round normalizer pair
+    cal_start = _time_query(spark, _calibration, sf_dir, reps)
     cold_times: dict[str, float] = {}
     warm_times: dict[str, float] = {}
     loads: dict[str, float] = {}
@@ -165,6 +189,7 @@ def main() -> None:
             if c2 < cold_times[name]:
                 cold_times[name], loads[name] = c2, l2
             warm_times[name] = min(warm_times[name], w2)
+    cal_end = _time_query(spark, _calibration, sf_dir, reps)
 
     curve: dict[str, dict[str, float]] = {}
     if os.environ.get("SPARK_GRAFT_SCALE_CURVE", "1") == "1" \
@@ -228,7 +253,15 @@ def main() -> None:
         native_sink = {
             "lz4": measure_sink_throughput(compression=True),
             "plain": measure_sink_throughput(compression=False),
+            # composite-typed feed (round 13): Map/Array/Tuple/
+            # LowCardinality encoding is per-value Python -- the
+            # scalar number alone hid a map-heavy table's rate
+            "composite_lz4": measure_sink_throughput(
+                compression=True, fixture="composite"),
         }
+        native_sink["composite_vs_scalar_ratio"] = round(
+            native_sink["composite_lz4"]["rows_per_sec"]
+            / native_sink["lz4"]["rows_per_sec"], 2)
         buf = b"\xa5" * (1 << 20)
         t0 = time.perf_counter()
         for _ in range(32):
@@ -242,6 +275,42 @@ def main() -> None:
             "pure_python": round(pure, 1),
             "compiled_loaded": _ch._native_fn() is not None,
         }
+        # DDL-scan throughput (round 13, r12 VERDICT ask #4): the
+        # --apply-ddl header walk skips row-image bytes by size and
+        # decodes only QUERY/FDE bodies, so its cost is O(#events),
+        # NOT O(bytes) -- MB/s scales with event size (1000-row batch
+        # events measured 200+ GB/s, meaningless). Record the
+        # CONSERVATIVE shape: single-row OLTP events (~230 B each),
+        # the reference's own workload class. Same generated-fixture
+        # approach as the feed-rate rows.
+        from mysql_syncer_clickhouse_spark.sources.binlog import (
+            decode_binlog_ddl)
+        from mysql_syncer_clickhouse_spark.sources.binlog_writer import (
+            BinlogColumn, BinlogFileWriter)
+        w = BinlogFileWriter("bench", "t",
+                             [BinlogColumn.bigint("id"),
+                              BinlogColumn.varchar("payload")])
+        pay = "x" * 200
+        for i in range(60_000):
+            w.insert([[i, pay]])
+            if i % 100 == 0:
+                w.xid(i)
+        w.ddl("ALTER TABLE t ADD COLUMN c int")
+        data = w.to_bytes()
+        mb = len(data) / 1e6
+        found = len(decode_binlog_ddl("mysql-bin.000001", data))  # warm
+        t0 = time.perf_counter()
+        n_iters = 0
+        while time.perf_counter() - t0 < 0.5:
+            decode_binlog_ddl("mysql-bin.000001", data)
+            n_iters += 1
+        native_sink["ddl_scan_mb_per_sec"] = {
+            "corpus_mb": round(mb, 1),
+            "event_shape": "single-row OLTP (~230 B/event)",
+            "mb_per_sec": round(n_iters * mb
+                                / (time.perf_counter() - t0)),
+            "ddl_events_found": found,
+        }
     except Exception:
         native_sink = None
 
@@ -254,6 +323,17 @@ def main() -> None:
         "queries_warm": warm_times,
         "sf": float(sf) if sf else sf_dir,
     }
+    # cross-round normalizer (r12 VERDICT next #2): divide a round's
+    # totals by its calibration cost before comparing rounds -- the
+    # workload is pinned, so its drift IS the box's drift. start/end
+    # bracket the sweep because r12's detail showed the second half
+    # of a "clean" run at load1 5-10.
+    out["calibration"] = {
+        "start_cold_sec": cal_start[0], "start_warm_sec": cal_start[1],
+        "end_warm_sec": cal_end[1],
+        "load1_before_start": cal_start[2],
+        "load1_before_end": cal_end[2],
+    }
     if curve:
         out["scale_curve_10x"] = curve
     if cdc_rps:
@@ -262,6 +342,8 @@ def main() -> None:
         out["native_sink_rows_per_sec"] = {
             "lz4": native_sink["lz4"]["rows_per_sec"],
             "plain": native_sink["plain"]["rows_per_sec"],
+            "composite_lz4": native_sink["composite_lz4"]
+            ["rows_per_sec"],
         }
     # run-quality verdict: a bench started on a loaded VM is polluted
     # wholesale (external JVMs inflate cold numbers up to ~4x --
@@ -272,12 +354,25 @@ def main() -> None:
     suspects = sorted(n for n in cold_times
                       if warm_times[n] > 0
                       and cold_times[n] > 4 * warm_times[n])
+    # per-query load flags (r12 VERDICT what's-wrong #2: the verdict
+    # gated only on the START load while the run's second half sat at
+    # load1 5-10 and its "regressions" carried no flag). The sampled
+    # load1 includes the decaying tail of our OWN previous query, so
+    # the bound sits above the self-load band of an 8-task run;
+    # flagged entries compare cross-round only via the calibration
+    # ratio, not raw seconds.
+    load_bound = float(os.environ.get(
+        "SPARK_GRAFT_BENCH_QUERY_LOAD_BOUND", "4"))
+    load_suspects = sorted(n for n, l in loads.items()
+                           if l > load_bound)
     out["run_quality"] = {
         "load1_at_start": load_start,
         "load1_max_before_query": max(loads.values()) if loads else 0.0,
         "verdict": "polluted" if load_start > 2.0 else "clean",
         "suspect_queries": suspects,
         "retried_queries": retried,
+        "query_load_bound": load_bound,
+        "load_suspect_queries": load_suspects,
     }
     # stdout carries EXACTLY ONE compact JSON line (the driver's
     # contract; r6's multi-kilobyte line with per-query loadavgs

@@ -97,11 +97,72 @@ class _OffsetReader:
         return self.read(self.varint()).decode("utf-8", "replace")
 
 
+def _skip_offsets(rd, n: int) -> int:
+    """Array/Map cumulative UInt64 offsets -> total flat count (the
+    last offset); the offsets themselves are not needed to skip."""
+    if n == 0:
+        return 0
+    data = rd.read(n * 8)
+    return struct.unpack_from("<Q", data, (n - 1) * 8)[0]
+
+
+def _skip_column(rd, t: str, n: int) -> None:
+    """Skip one column's payload arithmetically (recursive for the
+    composite types, mirroring the client encoders' layouts --
+    sinks/clickhouse_native.py). Per-row Python only where the wire
+    format forces it (String varint walk); everything else costs one
+    read per NESTING LEVEL, not per row."""
+    skip = getattr(rd, "skip", rd.read)
+    if t.startswith("Nullable("):
+        skip(n)                                    # null mask
+        return _skip_column(rd, t[9:-1], n)
+    if t in _FIXED_WIDTH:
+        return skip(n * _FIXED_WIDTH[t])
+    if t.startswith("DateTime64("):
+        return skip(n * 8)
+    if t.startswith("Decimal("):
+        prec = int(t[8:-1].split(",")[0])
+        return skip(n * (4 if prec <= 9 else 8 if prec <= 18
+                         else 16 if prec <= 38 else 32))
+    if t == "String":
+        for _ in range(n):
+            skip(rd.varint())
+        return
+    if t.startswith("Array("):
+        return _skip_column(rd, t[6:-1], _skip_offsets(rd, n))
+    if t.startswith("Map("):
+        from ..functions.typemap import split_type_args
+        kt, vt = split_type_args(t[4:-1])
+        total = _skip_offsets(rd, n)
+        _skip_column(rd, kt.strip(), total)
+        return _skip_column(rd, vt.strip(), total)
+    if t.startswith("Tuple("):
+        import re as _re
+
+        from ..functions.typemap import split_type_args
+        for part in split_type_args(t[6:-1]):
+            toks = part.split(None, 1)
+            et = toks[1] if (len(toks) == 2 and _re.fullmatch(
+                r"[A-Za-z_]\w*", toks[0])) else part
+            _skip_column(rd, et.strip(), n)
+        return
+    if t.startswith("LowCardinality("):
+        inner = t[15:-1].strip()
+        base = inner[9:-1] if inner.startswith("Nullable(") else inner
+        rd.read(8)                                 # keys version
+        ser = struct.unpack("<Q", rd.read(8))[0]
+        width = (1, 2, 4, 8)[ser & 0xFF]
+        nk = struct.unpack("<Q", rd.read(8))[0]
+        _skip_column(rd, base, nk)                 # dictionary keys
+        nr = struct.unpack("<Q", rd.read(8))[0]
+        return skip(nr * width)                    # indices
+    raise ConnectionError(f"drain server can't skip {t}")
+
+
 def _skip_block(rd) -> int:
     """Parse a block's skeleton (BlockInfo, counts, column name/type
     strings) and SKIP the column payloads arithmetically; returns
-    n_rows. Per-row Python only for String columns (a varint walk);
-    fixed-width columns cost one read each regardless of rows."""
+    n_rows."""
     rd.varint()
     rd.read(1)                       # BlockInfo field 1: is_overflows
     rd.varint()
@@ -110,25 +171,7 @@ def _skip_block(rd) -> int:
     n_cols, n_rows = rd.varint(), rd.varint()
     for _ in range(n_cols):
         rd.string()                  # name
-        t = rd.string()
-        nullable = t.startswith("Nullable(")
-        if nullable:
-            rd.read(n_rows)          # null mask
-            t = t[9:-1]
-        skip = getattr(rd, "skip", rd.read)
-        if t in _FIXED_WIDTH:
-            skip(n_rows * _FIXED_WIDTH[t])
-        elif t.startswith("DateTime64("):
-            skip(n_rows * 8)
-        elif t.startswith("Decimal("):
-            prec = int(t[8:-1].split(",")[0])
-            skip(n_rows * (4 if prec <= 9 else 8 if prec <= 18
-                           else 16))
-        elif t == "String":
-            for _ in range(n_rows):
-                skip(rd.varint())
-        else:
-            raise ConnectionError(f"drain server can't skip {t}")
+        _skip_column(rd, rd.string(), n_rows)
     return n_rows
 
 
@@ -277,15 +320,46 @@ def _bench_rows(n: int) -> list[tuple]:
             for i in range(n)]
 
 
+# Composite-typed fixture (round-13 VERDICT ask #5): the scalar
+# number hid that Map/Tuple/Array/LowCardinality encoding is per-value
+# Python (clickhouse_native.py) -- a map-heavy table's feed rate was
+# unknown. Shape: the LowCardinality op + an Array tag list + a
+# Map attribute bag + a coordinate Tuple, deterministic like
+# BENCH_COLUMNS so rounds compare.
+COMPOSITE_COLUMNS = [("seq", "Int64"),
+                     ("op", "LowCardinality(String)"),
+                     ("tags", "Array(String)"),
+                     ("attrs", "Map(String, Int64)"),
+                     ("geo", "Tuple(lat Float64, lon Float64)")]
+
+_TAG_POOL = ("alpha", "beta", "gamma", "delta")
+
+
+def _composite_rows(n: int) -> list[tuple]:
+    return [(i, _OPS[i % 3],
+             [_TAG_POOL[i % 4], _TAG_POOL[(i + 1) % 4]][: 1 + i % 2],
+             {"a": i, "b": i % 97},
+             (float(i % 180), float(i % 360)))
+            for i in range(n)]
+
+
+FIXTURES = {"cdc": (BENCH_COLUMNS, _bench_rows),
+            "composite": (COMPOSITE_COLUMNS, _composite_rows)}
+
+
 def measure_sink_throughput(n_rows: int = 200_000,
                             bulk_size: int = 50_000,
-                            compression: "bool | str" = True) -> dict:
-    """Drain `n_rows` CDC-shaped rows through one NativeConnection
-    into a local drain server; returns rows/s plus wire/raw byte
-    accounting. Wall clock covers connect + INSERT exchange end to
-    end (the EndOfStream wait included, so server-side skip cost --
-    deliberately negligible -- cannot hide)."""
-    rows = _bench_rows(n_rows)
+                            compression: "bool | str" = True,
+                            fixture: str = "cdc") -> dict:
+    """Drain `n_rows` rows of the named fixture ('cdc' scalars or
+    'composite' Map/Array/Tuple/LowCardinality) through one
+    NativeConnection into a local drain server; returns rows/s plus
+    wire/raw byte accounting. Wall clock covers connect + INSERT
+    exchange end to end (the EndOfStream wait included, so
+    server-side skip cost -- deliberately negligible -- cannot
+    hide)."""
+    columns, rows_fn = FIXTURES[fixture]
+    rows = rows_fn(n_rows)
     srv = DrainServer().start()
     try:
         t0 = time.perf_counter()
@@ -294,7 +368,7 @@ def measure_sink_throughput(n_rows: int = 200_000,
         blocks = (rows[i:i + bulk_size]
                   for i in range(0, len(rows), bulk_size))
         sent = conn.insert_blocks(
-            "INSERT INTO bench.cdc_rows VALUES", BENCH_COLUMNS, blocks)
+            "INSERT INTO bench.cdc_rows VALUES", columns, blocks)
         conn.close()
         wall = time.perf_counter() - t0
     finally:
@@ -302,8 +376,8 @@ def measure_sink_throughput(n_rows: int = 200_000,
     if sent != srv.rows:
         raise AssertionError(f"drain counted {srv.rows} rows, "
                              f"client sent {sent}")
-    raw = len(encode_block(BENCH_COLUMNS, rows))   # uncompressed size
+    raw = len(encode_block(columns, rows))         # uncompressed size
     return {"rows": sent, "sec": round(wall, 3),
             "rows_per_sec": round(sent / wall) if wall else None,
             "raw_bytes": raw, "wire_bytes": srv.wire_bytes,
-            "compression": compression}
+            "compression": compression, "fixture": fixture}
