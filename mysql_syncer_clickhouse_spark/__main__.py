@@ -424,6 +424,97 @@ def run_apply_ddl(cfg: EngineConfig, binlog_dir: str, *,
     return results
 
 
+def run_retype(cfg: EngineConfig, binlog_dir: str, *,
+               execute: bool = False, spark=None) -> list[dict]:
+    """--retype: the DELIBERATE maintenance path for String-fallback
+    columns. Columns that land mid-epoch arrive via ensure_columns as
+    Nullable(String) (the reference's fallback mapping), and the
+    epoch-boundary DDL apply NEVER re-types a populated column --
+    correct, because an implicit ClickHouse MODIFY on populated data
+    is a disk rewrite a sync engine must not trigger. This command
+    completes the story: reconstruct each rule's CURRENT source
+    column model from the full binlog DDL stream (no watermark -- a
+    reconstruction, not an application), introspect the sink's
+    CURRENT types, and for every column still sitting at the String
+    fallback whose source type maps narrower, EMIT the `ALTER TABLE
+    ... MODIFY COLUMN` -- executing it only under --execute, with the
+    rewrite warning attached either way."""
+    from .functions.typemap import mysql_to_clickhouse_type
+    from .sources import ddl as ddlmod
+    from .sources.binlog import read_binlog_ddl
+
+    spark = spark or get_spark("mysql-syncer-clickhouse-spark",
+                               cpus=cfg.threads)
+    if not cfg.sink_addr:
+        raise SystemExit("--retype needs sink_addr (a ClickHouse "
+                         "sink to introspect)")
+    import re as _re
+
+    def _key(file: str, pos: int) -> tuple[int, int]:
+        m = _re.search(r"\.(\d+)$", file)
+        return (int(m.group(1)) if m else -1, pos)
+
+    rows = sorted(read_binlog_ddl(spark, binlog_dir).collect(),
+                  key=lambda r: _key(r["file"], r["pos"]))
+    results: list[dict] = []
+    _STRING_FALLBACK = ("String", "Nullable(String)")
+    for rule in cfg.rules.rules:
+        # fold the rule-mapped DDL stream into the expected sink-space
+        # column model -- the same authority apply_ddl_to_sink uses
+        model: list[tuple[str, str, bool]] = []
+        for r in rows:
+            for a in ddlmod.parse_mysql_ddl(r["query"],
+                                            default_schema=r["db"]):
+                mapped = ddlmod.map_action(a, rule)
+                if mapped is not None and mapped.kind != "ignored":
+                    model = ddlmod.apply_to_columns(model, mapped)
+        if not model:
+            continue
+        pk = tuple(rule._field_parts(c)[0] for c in rule.pk)
+        sink = _build_ch_sink(cfg, rule.sink_schema, rule.sink_table,
+                              [], pk)
+        current = dict(sink.describe_columns())
+        # seed the sink's column model with the CURRENT state: fallback
+        # columns are 'text' until their MODIFY actually executes
+        sink.columns = [
+            (name, "text" if current.get(name) in _STRING_FALLBACK
+             else mtype, nullable)
+            for name, mtype, nullable in model if name in current]
+        line = {"rule": rule.key, "mode": "retype",
+                "executed": execute, "modify": []}
+        for name, mtype, nullable in model:
+            cur = current.get(name)
+            target = mysql_to_clickhouse_type(
+                mtype or "text", nullable and name not in pk)
+            if cur not in _STRING_FALLBACK or \
+                    target in _STRING_FALLBACK:
+                continue
+            stmt = (f"ALTER TABLE `{rule.sink_schema}`."
+                    f"`{rule.sink_table}` MODIFY COLUMN `{name}` "
+                    f"{target}")
+            entry = {"column": name, "current": cur, "target": target,
+                     "statement": stmt,
+                     "warning": "MODIFY COLUMN rewrites the column on "
+                                "disk and String->narrow can fail on "
+                                "unparseable values; run in a "
+                                "maintenance window"}
+            if execute:
+                sink.execute(stmt)
+                sink.columns = ddlmod.apply_to_columns(
+                    list(sink.columns),
+                    ddlmod.DdlAction("modify_column", rule.sink_schema,
+                                     rule.sink_table, column=name,
+                                     mysql_type=mtype,
+                                     nullable=nullable))
+                entry["columns_after"] = [list(c) for c in sink.columns]
+            line["modify"].append(entry)
+        if line["modify"]:
+            results.append(line)
+    results.append({"mode": "retype", "rules_with_candidates":
+                    len(results), "executed": execute})
+    return results
+
+
 def run_dump(cfg: EngineConfig, dump_path: str, *,
              compact: bool = False, multiline: bool = False,
              spark=None) -> list[dict]:
@@ -740,6 +831,18 @@ def main(argv: list[str] | None = None) -> int:
                          "<data_dir>/_ddl.info"
                          " (assumes the sink table exists -- run one "
                          "bootstrap drain first)")
+    ap.add_argument("--retype", action="store_true",
+                    help="with --binlog-dir: maintenance command for "
+                         "String-fallback columns -- reconstruct each "
+                         "rule's source column model from the binlog "
+                         "DDL stream, introspect the ClickHouse sink, "
+                         "and EMIT the MODIFY COLUMN statements for "
+                         "fallback columns whose source type maps "
+                         "narrower (execute them only with --execute)")
+    ap.add_argument("--execute", action="store_true",
+                    help="with --retype: actually run the emitted "
+                         "MODIFY COLUMN statements (a disk rewrite -- "
+                         "maintenance windows only)")
     ap.add_argument("--follow", action="store_true",
                     help="keep draining at flush_bulk_time cadence; "
                          "with --tail, also keep re-dumping from the "
@@ -801,6 +904,14 @@ def main(argv: list[str] | None = None) -> int:
     if args.dump_sql and args.dump_exec:
         ap.error("--dump-sql / --dump-exec are exclusive")
     cfg = EngineConfig.from_toml(args.config)
+    if args.retype:
+        if not args.binlog_dir:
+            ap.error("--retype requires --binlog-dir (the DDL stream "
+                     "the source model reconstructs from)")
+        for line in run_retype(cfg, args.binlog_dir,
+                               execute=args.execute):
+            print(json.dumps(line))
+        return 0
     lines = []
     dump_pos: tuple[str, int] | None = None
     if args.dump_sql:

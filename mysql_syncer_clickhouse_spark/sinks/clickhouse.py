@@ -108,6 +108,21 @@ class ClickHouseHTTPSink:
         self.execute(ddl)
         return ddl
 
+    def describe_columns(self) -> list[tuple[str, str]]:
+        """The sink table's CURRENT (name, ClickHouse type) pairs,
+        from system.columns -- the introspection --retype keys its
+        String-fallback detection on."""
+        body = self.execute(
+            f"SELECT name, type FROM system.columns WHERE database = "
+            f"'{self.database}' AND table = '{self.table}' "
+            f"ORDER BY position FORMAT TabSeparated")
+        out = []
+        for line in body.decode().splitlines():
+            if line.strip():
+                name, typ = line.split("\t")[:2]
+                out.append((name, typ))
+        return out
+
     def ensure_columns(self, batch_df: DataFrame) -> list[str]:
         """Schema-drift handling (the reference re-introspects the
         source on OnTableChanged, river/sync.go:54-60): columns that

@@ -987,6 +987,25 @@ class ClickHouseNativeSink:
         self.execute(ddl)
         return ddl
 
+    def describe_columns(self) -> list[tuple[str, str]]:
+        """The sink table's CURRENT (name, ClickHouse type) pairs --
+        the introspection --retype keys its String-fallback detection
+        on. No SELECT result decoding needed: a zero-row INSERT
+        exchange's header block already carries every column's REAL
+        declared type (the same header the write path adopts), so the
+        query is INSERT -> header -> empty terminator -> EndOfStream."""
+        conn = self._connect()
+        try:
+            conn._send_query(
+                f"INSERT INTO `{self.database}`.`{self.table}` VALUES")
+            conn._read_until(S_DATA)
+            header = conn._read_header_block()
+            conn.send_block([], [])
+            conn._read_until(S_END_OF_STREAM)
+            return list(header)
+        finally:
+            conn.close()
+
     def _ch_types(self, df_columns: list[str]) -> list[tuple[str, str]]:
         typed = {c[0]: (c[1], c[2]) for c in self.columns}
         nn = set(self.pk)

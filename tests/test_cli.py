@@ -963,3 +963,59 @@ def test_cli_apply_ddl_wildcard_create_then_fan_in(spark, tmp_path):
         assert got == {1: "a", 2: "b", 10: "x"}
     finally:
         srv.stop()
+
+
+def test_cli_retype_emits_then_executes_fallback_modifies(spark,
+                                                          tmp_path):
+    """--retype (r12 VERDICT next #3): a column that landed mid-epoch
+    via the in-band Nullable(String) fallback, whose binlog DDL says
+    decimal(10,2), gets its MODIFY COLUMN EMITTED (not run) by
+    default, and executed under --execute with the sink column model
+    updating via apply_to_columns. Columns already narrow, or whose
+    source maps to String anyway, are untouched."""
+    from mysql_syncer_clickhouse_spark.__main__ import run_retype
+    from mysql_syncer_clickhouse_spark.sources.binlog_writer import (
+        BinlogColumn, BinlogFileWriter)
+    from tests.test_clickhouse_sink import _FakeClickHouse
+
+    d = tmp_path / "binlogs"
+    d.mkdir()
+    w = BinlogFileWriter("app", "items", [BinlogColumn.bigint("id")])
+    w.ddl("ALTER TABLE items ADD COLUMN price decimal(10,2), "
+          "ADD COLUMN note text, ADD COLUMN qty int NOT NULL")
+    (d / "mysql-bin.000001").write_bytes(w.to_bytes())
+
+    srv = _FakeClickHouse().start()
+    # sink state: price+note stuck at the fallback, qty already typed
+    srv.select_response = (b"id\tInt64\n"
+                           b"es_title\tNullable(String)\n"
+                           b"price\tNullable(String)\n"
+                           b"note\tNullable(String)\n"
+                           b"qty\tInt32\n")
+    try:
+        cfg = EngineConfig.from_toml(TOML)
+        cfg.data_dir = str(tmp_path / "log")
+        cfg.sink_addr = srv.url
+
+        out = run_retype(cfg, str(d), spark=spark)
+        [line] = [x for x in out if x.get("modify")]
+        want_stmt = ("ALTER TABLE `olap`.`items_sink` MODIFY COLUMN "
+                     "`price` Nullable(Decimal(10,2))")
+        assert [m["column"] for m in line["modify"]] == ["price"]
+        assert line["modify"][0]["statement"] == want_stmt
+        assert line["modify"][0]["current"] == "Nullable(String)"
+        assert "rewrite" in line["modify"][0]["warning"]
+        # emit-only: nothing but the introspection SELECT hit the sink
+        assert all(q.lstrip().upper().startswith("SELECT")
+                   for q, _ in srv.requests)
+
+        out2 = run_retype(cfg, str(d), execute=True, spark=spark)
+        [line2] = [x for x in out2 if x.get("modify")]
+        alters = [q for q, _ in srv.requests if q.startswith("ALTER")]
+        assert alters == [want_stmt]
+        # the column model updated via apply_to_columns
+        after = [tuple(c) for c in line2["modify"][0]["columns_after"]]
+        assert ("price", "decimal(10,2)", True) in after
+        assert ("qty", "int", False) in after      # untouched, typed
+    finally:
+        srv.stop()

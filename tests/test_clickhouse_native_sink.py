@@ -701,6 +701,20 @@ def test_native_bench_drain_counts_rows():
             assert r["wire_bytes"] >= r["raw_bytes"]
 
 
+def test_describe_columns_via_zero_row_insert_header(fake_native):
+    """describe_columns (--retype's introspection) reads the table's
+    REAL declared types from a zero-row INSERT exchange's header block
+    -- no SELECT result decoding on the native wire -- and inserts
+    nothing."""
+    fake_native.header_types = [("id", "Int64"),
+                                ("price", "Nullable(String)"),
+                                ("op", "LowCardinality(String)")]
+    sink = _sink(fake_native)
+    assert sink.describe_columns() == fake_native.header_types
+    # the exchange carried zero rows
+    assert all(not rows for _, rows in fake_native.inserts)
+
+
 def test_native_bench_composite_fixture_drains():
     """The composite fixture (Map/Array/Tuple/LowCardinality -- r12
     VERDICT ask #5) must round the same real exchange: the drain's

@@ -33,6 +33,9 @@ class _FakeClickHouse:
         # non-query settings per request (insert_deduplication_token
         # etc.), index-aligned with `requests`
         self.params: list[dict[str, str]] = []
+        # optional canned body for SELECT queries (system.columns
+        # introspection -- describe_columns/--retype tests)
+        self.select_response: bytes = b""
         self._lock = threading.Lock()
         outer = self
 
@@ -46,9 +49,14 @@ class _FakeClickHouse:
                     outer.requests.append((query, body))
                     outer.params.append({k: v[0] for k, v in qs.items()
                                          if k != "query"})
+                resp = (outer.select_response
+                        if query.lstrip().upper().startswith("SELECT")
+                        else b"")
                 self.send_response(200)
-                self.send_header("Content-Length", "0")
+                self.send_header("Content-Length", str(len(resp)))
                 self.end_headers()
+                if resp:
+                    self.wfile.write(resp)
 
             def log_message(self, *a):
                 pass
