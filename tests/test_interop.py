@@ -445,3 +445,95 @@ def test_ddl_replication_mysql_to_clickhouse():
             for line in desc.rstrip("\n").split("\n")]
     assert ["price", "Decimal(10, 2)"] in rows
     assert [r[0] for r in rows] == ["id", "title", "price"]
+
+
+@needs_mysql
+@needs_ch
+def test_osc_migration_replays_on_real_servers():
+    """Round-13 OSC chain against REAL servers: a pt-osc-style
+    shadow-table migration on MySQL (CREATE LIKE -> ALTER the shadow
+    -> atomic RENAME swap) tailed through the replication protocol,
+    tracked by ShadowLedger, and its accumulated ALTER replayed onto
+    the real ClickHouse table at the cut-over; readback via DESCRIBE
+    over HTTP (independent channel)."""
+    import tempfile
+
+    from mysql_syncer_clickhouse_spark.plans.rules import Rule
+    from mysql_syncer_clickhouse_spark.sinks.clickhouse_native import (
+        ClickHouseNativeSink)
+    from mysql_syncer_clickhouse_spark.sources import ddl as ddlmod
+    from mysql_syncer_clickhouse_spark.sources.binlog import (
+        decode_binlog_ddl)
+    from mysql_syncer_clickhouse_spark.sources.mysql_repl import (
+        tail_to_relay)
+
+    c = _mysql_client()
+    c.connect()
+    try:
+        c.query_ok("CREATE DATABASE IF NOT EXISTS msc_interop")
+        for t in ("t_osc", "_t_osc_new", "_t_osc_old"):
+            c.query_ok(f"DROP TABLE IF EXISTS msc_interop.{t}")
+        c.query_ok("CREATE TABLE msc_interop.t_osc ("
+                   " id BIGINT NOT NULL PRIMARY KEY,"
+                   " title VARCHAR(64))")
+        start_file, start_pos = c.master_status()
+        # the pt-osc sequence
+        c.query_ok("CREATE TABLE msc_interop._t_osc_new "
+                   "LIKE msc_interop.t_osc")
+        c.query_ok("ALTER TABLE msc_interop._t_osc_new "
+                   "ADD COLUMN price DECIMAL(10,2) NOT NULL "
+                   "AFTER title")
+        c.query_ok("RENAME TABLE msc_interop.t_osc TO "
+                   "msc_interop._t_osc_old, msc_interop._t_osc_new "
+                   "TO msc_interop.t_osc")
+    finally:
+        c.close()
+
+    with tempfile.TemporaryDirectory() as relay_dir:
+        tailer = _mysql_client()
+        tailer.connect()
+        try:
+            tail_to_relay(tailer, relay_dir, start_file, start_pos,
+                          non_block=True)
+        finally:
+            tailer.close()
+        ddls = []
+        for f in sorted(os.listdir(relay_dir)):
+            if "bin" in f:
+                with open(os.path.join(relay_dir, f), "rb") as fh:
+                    ddls.extend(decode_binlog_ddl(f, fh.read()))
+
+    rule = Rule(source_schema="msc_interop", source_table="t_osc",
+                sink_schema="msc_interop", sink_table="t_osc",
+                pk=("id",))
+    ledger = ddlmod.ShadowLedger()
+    replays = []
+    for d in ddls:
+        for a in ddlmod.parse_mysql_ddl(d["query"],
+                                        default_schema=d["db"]):
+            r, warns = ledger.observe(a, [rule])
+            assert warns == [], warns
+            replays.extend(r)
+    assert len(replays) == 1
+    _, acts = replays[0]
+    assert [a.kind for a in acts] == ["add_column"]
+
+    host, port = _ch_hostport()
+    sink = ClickHouseNativeSink(
+        host=host, port=port, database="msc_interop", table="t_osc",
+        columns=[("id", "bigint", False),
+                 ("title", "varchar(64)", True)],
+        pk=("id",),
+        user=os.environ.get("CLICKHOUSE_USER", "default"),
+        password=os.environ.get("CLICKHOUSE_PASSWORD", ""))
+    _ch_http("DROP TABLE IF EXISTS msc_interop.t_osc")
+    sink.ensure_table()
+    executed = ddlmod.apply_ddl_to_sink(sink, acts, rule=rule)
+    assert executed == [
+        "ALTER TABLE `msc_interop`.`t_osc` ADD COLUMN IF NOT "
+        "EXISTS `price` Decimal(10,2) AFTER `title`"]
+    desc = _ch_http("DESCRIBE TABLE msc_interop.t_osc "
+                    "FORMAT TabSeparated").decode()
+    rows = [line.split("\t")[:2]
+            for line in desc.rstrip("\n").split("\n")]
+    assert ["price", "Decimal(10, 2)"] in rows

@@ -273,3 +273,78 @@ def test_selftest_ddl_replication(mysql_fake_env, ch_fake_env,
         "EXISTS `price` Decimal(10,2) AFTER `title`"]
     assert executed[0] in ch_fake_env.queries
     assert [c[0] for c in sink.columns] == ["id", "title", "price"]
+
+
+def test_selftest_osc_migration_replay(mysql_fake_env, ch_fake_env,
+                                       tmp_path):
+    """Twin of test_osc_migration_replays_on_real_servers: the pt-osc
+    shadow sequence (CREATE LIKE -> ALTER shadow -> RENAME swap)
+    tailed from the fake MySQL, tracked by ShadowLedger, replayed onto
+    the fake ClickHouse -- asserting the ALTER the native fake
+    RECEIVED instead of the real body's DESCRIBE readback."""
+    import os as _os
+
+    from mysql_syncer_clickhouse_spark.plans.rules import Rule
+    from mysql_syncer_clickhouse_spark.sinks.clickhouse_native import (
+        ClickHouseNativeSink)
+    from mysql_syncer_clickhouse_spark.sources import ddl as ddlmod
+    from mysql_syncer_clickhouse_spark.sources.binlog import (
+        decode_binlog_ddl)
+    from mysql_syncer_clickhouse_spark.sources.mysql_repl import (
+        ReplicationClient, tail_to_relay)
+
+    enc = Enc()
+    enc.query("CREATE TABLE msc_interop._t_osc_new "
+              "LIKE msc_interop.t_osc", schema="msc_interop")
+    enc.query("ALTER TABLE msc_interop._t_osc_new "
+              "ADD COLUMN price DECIMAL(10,2) NOT NULL AFTER title",
+              schema="msc_interop")
+    enc.query("RENAME TABLE msc_interop.t_osc TO "
+              "msc_interop._t_osc_old, msc_interop._t_osc_new "
+              "TO msc_interop.t_osc", schema="msc_interop")
+    mysql_fake_env.files["mysql-bin.000002"] = enc.bytes()
+
+    host, _, port = _os.environ["MYSQL_ADDR"].rpartition(":")
+    tailer = ReplicationClient(host, int(port), user=USER,
+                               password=PASSWORD)
+    tailer.connect()
+    relay = str(tmp_path / "relay")
+    try:
+        tail_to_relay(tailer, relay, "mysql-bin.000001", non_block=True)
+    finally:
+        tailer.close()
+    ddls = []
+    for f in sorted(_os.listdir(relay)):
+        if "bin" in f:
+            with open(_os.path.join(relay, f), "rb") as fh:
+                ddls.extend(decode_binlog_ddl(f, fh.read()))
+    stmts = [d for d in ddls if "osc" in d["query"]]
+    assert len(stmts) == 3
+
+    rule = Rule(source_schema="msc_interop", source_table="t_osc",
+                sink_schema="msc_interop", sink_table="t_osc",
+                pk=("id",))
+    ledger = ddlmod.ShadowLedger()
+    replays = []
+    for d in stmts:
+        for a in ddlmod.parse_mysql_ddl(d["query"],
+                                        default_schema=d["db"]):
+            r, warns = ledger.observe(a, [rule])
+            assert warns == [], warns
+            replays.extend(r)
+    assert len(replays) == 1
+    _, acts = replays[0]
+
+    nat_host, _, nat_port = _os.environ["CLICKHOUSE_ADDR"].rpartition(":")
+    sink = ClickHouseNativeSink(
+        host=nat_host, port=int(nat_port), database="msc_interop",
+        table="t_osc",
+        columns=[("id", "bigint", False),
+                 ("title", "varchar(64)", True)],
+        pk=("id",))
+    executed = ddlmod.apply_ddl_to_sink(sink, acts, rule=rule)
+    assert executed == [
+        "ALTER TABLE `msc_interop`.`t_osc` ADD COLUMN IF NOT "
+        "EXISTS `price` Decimal(10,2) AFTER `title`"]
+    assert executed[0] in ch_fake_env.queries
+    assert [c[0] for c in sink.columns] == ["id", "title", "price"]
