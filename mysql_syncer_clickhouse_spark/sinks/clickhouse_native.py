@@ -350,7 +350,8 @@ def column_encoder(ch_type: str):
             # (and SQL NULL) is the empty array -- ClickHouse forbids
             # Nullable(Array); the ',list' transform's missing values
             # land as [].
-            arrs = [list(v) if v is not None else [] for v in vals]
+            arrs = [v if type(v) is list else
+                    (list(v) if v is not None else []) for v in vals]
             offs: list[int] = []
             total = 0
             for a in arrs:
@@ -375,17 +376,16 @@ def column_encoder(ch_type: str):
             # -- ClickHouse forbids Nullable(Map). Spark rows carry
             # map values as Python dicts; entry order is preserved
             # as-given (CH Map is lookup-by-scan, order-insensitive).
-            rows_kv = [list(v.items()) if isinstance(v, dict)
-                       else (list(v) if v is not None else [])
-                       for v in vals]
+            dicts = [v if isinstance(v, dict)
+                     else ({} if v is None else dict(v)) for v in vals]
             offs: list[int] = []
             total = 0
-            for kv in rows_kv:
-                total += len(kv)
+            for d in dicts:
+                total += len(d)
                 offs.append(total)
             return (struct.pack(f"<{len(offs)}Q", *offs)
-                    + kenc([k for kv in rows_kv for k, _ in kv])
-                    + venc([v for kv in rows_kv for _, v in kv]))
+                    + kenc([k for d in dicts for k in d])
+                    + venc([x for d in dicts for x in d.values()]))
         return enc_map
     if t.startswith("Tuple(") and t.endswith(")"):
         # named ('f Int64') or bare ('Int64') elements; a bare type
