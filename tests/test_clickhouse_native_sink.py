@@ -701,6 +701,36 @@ def test_native_bench_drain_counts_rows():
             assert r["wire_bytes"] >= r["raw_bytes"]
 
 
+def test_string_encode_fast_path_and_fallback_byte_identical():
+    """The round-13 enc_str fast path (all-str, <128 B, one-byte
+    varints) must fall back WHOLESALE and byte-identically when the
+    column carries a None, a bytes value, or a 128+ B string -- the
+    independent decoder is the referee in every mix."""
+    from mysql_syncer_clickhouse_spark.sinks.clickhouse_native import (
+        encode_block)
+    cols = [("s", "String")]
+    short = ["a", "bb", "", "delta"]
+    mixes = [
+        short,                                     # pure fast path
+        short + ["x" * 300],                       # multi-byte varint
+        ["a", None, "c"],                          # None -> ""
+        ["a", b"ok-bytes", "c"],                   # bytes passthrough
+        ["x" * 127, "y" * 128],                    # boundary
+    ]
+    for vals in mixes:
+        blk = _MemReader(encode_block(cols, [(v,) for v in vals]))
+        _, got = _decode_block_raw(blk)
+        want = ["" if v is None else
+                (v if isinstance(v, str) else v.decode())
+                for v in vals]
+        assert [g[0] for g in got] == want, vals
+    # Nullable(String): mask + fast-path inner (None slots encode "")
+    blk = _MemReader(encode_block([("s", "Nullable(String)")],
+                                  [("a",), (None,), ("c",)]))
+    _, got = _decode_block_raw(blk)
+    assert [g[0] for g in got] == ["a", None, "c"]
+
+
 def test_describe_columns_via_zero_row_insert_header(fake_native):
     """describe_columns (--retype's introspection) reads the table's
     REAL declared types from a zero-row INSERT exchange's header block
