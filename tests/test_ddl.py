@@ -628,3 +628,43 @@ def test_parser_never_crashes_on_noise(s):
     except ValueError:
         return
     assert isinstance(out, list)
+
+
+_osc_stmts = st.lists(st.sampled_from([
+    "CREATE TABLE tmp1 LIKE items",
+    "CREATE TABLE tmp2 LIKE other",
+    "CREATE TABLE tmp1 (id bigint NOT NULL, PRIMARY KEY(id))",
+    "ALTER TABLE tmp1 ADD COLUMN c1 int",
+    "ALTER TABLE tmp1 CHANGE c1 c2 bigint NOT NULL",
+    "ALTER TABLE tmp2 DROP COLUMN z",
+    "RENAME TABLE tmp1 TO tmp2",
+    "RENAME TABLE tmp2 TO tmp1",
+    "RENAME TABLE items TO tmp_old, tmp1 TO items",
+    "RENAME TABLE tmp2 TO items",
+    "DROP TABLE tmp1",
+    "TRUNCATE TABLE items",
+]), min_size=0, max_size=12)
+
+
+@settings(max_examples=150, deadline=None)
+@given(_osc_stmts)
+def test_shadow_ledger_state_round_trip_property(stmts):
+    """Any interleaving of shadow-ish statements: observe never raises,
+    and serializing the ledger state to JSON and back BETWEEN EVERY
+    STATEMENT produces the same replays/warnings as the uninterrupted
+    ledger -- the persistence the --apply-ddl watermark relies on
+    cannot change behavior."""
+    import json as _json
+    rules = [LEDGER_RULE]
+    direct = D.ShadowLedger()
+    hopped = D.ShadowLedger()
+    for stmt in stmts:
+        for a in D.parse_mysql_ddl(stmt, default_schema="app"):
+            r1, w1 = direct.observe(a, rules)
+            r2, w2 = hopped.observe(a, rules)
+            assert [(ru.key, acts) for ru, acts in r1] == \
+                [(ru.key, acts) for ru, acts in r2]
+            assert w1 == w2
+            hopped = D.ShadowLedger(
+                _json.loads(_json.dumps(hopped.to_state())))
+    assert direct.to_state() == hopped.to_state()
