@@ -399,6 +399,26 @@ def run_apply_ddl(cfg: EngineConfig, binlog_dir: str, *,
         for rule in cfg.rules.rules:
             mapped = [a for a in (ddlmod.map_action(a, rule)
                                   for a in actions) if a is not None]
+            # a DDL that renames or drops a rule's pk column leaves
+            # the [[rule]] config stale: later drains would select a
+            # missing column and the sink's ORDER BY key is frozen at
+            # CREATE time anyway -- surface it loudly, don't paper
+            sink_pk = {rule._field_parts(c)[0] for c in rule.pk}
+            for m in mapped:
+                if (m.kind in ("rename_column", "change_column")
+                        and m.column in sink_pk
+                        and m.new_name != m.column) or \
+                        (m.kind == "drop_column"
+                         and m.column in sink_pk):
+                    w = (f"DDL {m.kind} touches rule {rule.key!r}'s "
+                         f"pk column `{m.column}`: the [[rule]] "
+                         f"config still names the old column (update "
+                         f"it before the next drain), and the sink's "
+                         f"ORDER BY key is frozen at CREATE time -- "
+                         f"re-bootstrap the sink table if the key "
+                         f"itself must change")
+                    print(f"WARN: {w}", file=sys.stderr, flush=True)
+                    line.setdefault("warnings", []).append(w)
             if not all(a.kind == "ignored" for a in mapped):
                 if not cfg.sink_addr:
                     line["applied"].append(

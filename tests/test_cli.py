@@ -1019,3 +1019,39 @@ def test_cli_retype_emits_then_executes_fallback_modifies(spark,
         assert ("qty", "int", False) in after      # untouched, typed
     finally:
         srv.stop()
+
+
+def test_cli_apply_ddl_warns_on_pk_column_ddl(spark, tmp_path, capsys):
+    """A source DDL renaming or dropping a rule's pk column leaves the
+    [[rule]] config stale (later drains select a missing column) and
+    cannot move the sink's frozen ORDER BY key -- --apply-ddl must
+    surface it loudly, in stderr AND the result line."""
+    from mysql_syncer_clickhouse_spark.__main__ import run_apply_ddl
+    from mysql_syncer_clickhouse_spark.sources.binlog_writer import (
+        BinlogColumn, BinlogFileWriter)
+    from tests.test_clickhouse_sink import _FakeClickHouse
+
+    d = tmp_path / "binlogs"
+    d.mkdir()
+    w = BinlogFileWriter("app", "items", [BinlogColumn.bigint("id")])
+    w.ddl("ALTER TABLE items RENAME COLUMN id TO item_id")
+    (d / "mysql-bin.000001").write_bytes(w.to_bytes())
+
+    srv = _FakeClickHouse().start()
+    try:
+        cfg = EngineConfig.from_toml(TOML)
+        cfg.data_dir = str(tmp_path / "log")
+        cfg.sink_addr = srv.url
+        capsys.readouterr()
+        out = run_apply_ddl(cfg, str(d), spark=spark)
+        err = capsys.readouterr().err
+        assert "pk column `id`" in err
+        warns = [w for line in out for w in line.get("warnings", [])]
+        assert len(warns) == 1 and "ORDER BY key" in warns[0]
+        # the rename itself still applies (the sink column follows);
+        # only the config staleness is the operator's to fix
+        assert [q for q, _ in srv.requests] == [
+            "ALTER TABLE `olap`.`items_sink` RENAME COLUMN `id` "
+            "TO `item_id`"]
+    finally:
+        srv.stop()
