@@ -796,6 +796,12 @@ class ShadowLedger:
             if acts:
                 replays.append((target_rule, acts))
             return replays, warnings
+        if any(_rule_matches(r, action.schema, action.table)
+               for r in rules):
+            # rename WITHIN rule scope (e.g. a catch-all wildcard
+            # matched the shadow too): its DDL already applied live
+            # through the normal per-statement path -- no history gap
+            return replays, warnings
         warnings.append(
             f"RENAME TABLE moved `{action.schema}`.`{action.table}` "
             f"into rule {target_rule.key!r} as "

@@ -668,3 +668,19 @@ def test_shadow_ledger_state_round_trip_property(stmts):
             hopped = D.ShadowLedger(
                 _json.loads(_json.dumps(hopped.to_state())))
     assert direct.to_state() == hopped.to_state()
+
+
+def test_shadow_ledger_rename_within_rule_scope_is_quiet():
+    """With a catch-all wildcard rule, the shadow table itself matches
+    the rule, so its ALTERs applied live through the normal path --
+    the cut-over rename must produce neither a replay nor a false
+    history-unknown warning."""
+    wild = Rule(source_schema="app", source_table=".*",
+                sink_schema="olap", sink_table="all_sink", pk=("id",))
+    led = D.ShadowLedger()
+    replays, warnings = _feed(led, [
+        "CREATE TABLE _items_new LIKE items",   # ruled -> not ledgered
+        "ALTER TABLE _items_new ADD COLUMN c int",  # applied live
+        "RENAME TABLE items TO _items_old, _items_new TO items",
+    ], [wild])
+    assert replays == [] and warnings == []
