@@ -171,18 +171,30 @@ def _strip_strings(s: str) -> str:
 def _strip_comments(sql: str) -> str:
     """Drop -- and # line comments and /* */ blocks; KEEP the content
     of /*!NNNNN versioned */ comments (mysqldump wraps real DDL in
-    them)."""
+    them). Comment markers are located on the GLOBALLY blanked text
+    (one _strip_strings pass over the whole statement), not per line:
+    a string literal spanning lines (COMMENT 'a\\n-- b') keeps its
+    quote state, so markers inside it never truncate the statement --
+    and since blanking turns in-string newlines into spaces, every
+    '\\n' still visible in the blanked text is a REAL line break a
+    comment runs to."""
     sql = re.sub(r"/\*!\d*\s?(.*?)\*/", r"\1", sql, flags=re.S)
     sql = re.sub(r"/\*.*?\*/", " ", sql, flags=re.S)
-    lines = []
-    for line in sql.splitlines():
-        clean = _strip_strings(line)
-        cut = len(line)
-        m = re.search(r"--(\s|$)|#", clean)
-        if m:
-            cut = m.start()
-        lines.append(line[:cut])
-    return " ".join(lines).strip().rstrip(";").strip()
+    blanked = _strip_strings(sql)
+    pat = re.compile(r"--(\s|$)|#")
+    out: list[str] = []
+    i = 0
+    while i < len(sql):
+        m = pat.search(blanked, i)
+        if not m:
+            out.append(sql[i:])
+            break
+        out.append(sql[i:m.start()])
+        nl = blanked.find("\n", m.start())
+        if nl < 0:
+            break
+        i = nl                 # the line break itself survives
+    return "".join(out).strip().rstrip(";").strip()
 
 
 def _parse_type(s: str) -> tuple[str, str]:

@@ -684,3 +684,24 @@ def test_shadow_ledger_rename_within_rule_scope_is_quiet():
         "RENAME TABLE items TO _items_old, _items_new TO items",
     ], [wild])
     assert replays == [] and warnings == []
+
+
+def test_comment_markers_inside_multiline_strings():
+    """A string literal spanning lines keeps its quote state: '--' or
+    '#' INSIDE it never truncates the statement (the per-line blanking
+    this replaces lost the open quote at each line break)."""
+    a = _one("ALTER TABLE s.t ADD c varchar(40) "
+             "COMMENT 'line1\n-- not a comment' AFTER b")
+    assert (a.kind, a.column, a.after) == ("add_column", "c", "b")
+    a = _one("ALTER TABLE s.t ADD e enum('a\n#x','c') NOT NULL")
+    assert a.mysql_type == "enum('a\n#x','c')"
+    assert a.nullable is False
+    # real comments still strip, including after a multi-line literal
+    a = _one("ALTER TABLE s.t ADD c varchar(8) "
+             "COMMENT 'x\ny' -- trailing\n, ADD INDEX i (c)"
+             .split(",")[0])
+    assert a.kind == "add_column"
+    acts = D.parse_mysql_ddl(
+        "ALTER TABLE s.t ADD a int, -- c1\nADD b int # c2\n, ADD d int")
+    assert [x.column for x in acts
+            if x.kind == "add_column"] == ["a", "b", "d"]
