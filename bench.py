@@ -20,6 +20,13 @@ Timing methodology (explicit, because it changed across rounds):
 Earlier rounds: r1 = single post-warmup run with caches left warm,
 r2 = min-of-3 with caches left warm; both are closest to
 "queries_warm" here.
+
+Cross-round comparison (round 13+): divide totals by the PINNED
+calibration row ("calibration" in the JSON -- a frozen pure-CPU
+workload timed at sweep start and end) before reading a delta as
+regression; per-query entries listed in
+run_quality.load_suspect_queries were measured above the documented
+load bound and compare cross-round only via that ratio.
 """
 
 from __future__ import annotations

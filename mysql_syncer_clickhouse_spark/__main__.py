@@ -509,6 +509,18 @@ def run_retype(cfg: EngineConfig, binlog_dir: str, *,
             if cur not in _STRING_FALLBACK or \
                     target in _STRING_FALLBACK:
                 continue
+            if target.startswith(("Array(", "Map(", "Tuple(")):
+                # structural conversion: ClickHouse MODIFY refuses
+                # String -> Array/Map/Tuple outright -- emitting the
+                # ALTER would just fail; the remedy is a rebuild
+                line["modify"].append({
+                    "column": name, "current": cur, "target": target,
+                    "statement": None,
+                    "manual": "String -> composite is not a MODIFY "
+                              "ClickHouse accepts; add a new column "
+                              "and backfill, or re-bootstrap the "
+                              "table"})
+                continue
             stmt = (f"ALTER TABLE `{rule.sink_schema}`."
                     f"`{rule.sink_table}` MODIFY COLUMN `{name}` "
                     f"{target}")

@@ -1021,6 +1021,44 @@ def test_cli_retype_emits_then_executes_fallback_modifies(spark,
         srv.stop()
 
 
+def test_cli_retype_composite_targets_are_manual(spark, tmp_path):
+    """A ',list' transform column maps String -> Array(String): a
+    structural conversion ClickHouse MODIFY refuses outright --
+    --retype must mark it manual (statement: None) instead of
+    emitting a doomed ALTER, and --execute must not run anything."""
+    from mysql_syncer_clickhouse_spark.__main__ import run_retype
+    from mysql_syncer_clickhouse_spark.plans.rules import Rule, RuleSet
+    from mysql_syncer_clickhouse_spark.sources.binlog_writer import (
+        BinlogColumn, BinlogFileWriter)
+    from tests.test_clickhouse_sink import _FakeClickHouse
+
+    d = tmp_path / "binlogs"
+    d.mkdir()
+    w = BinlogFileWriter("app", "items", [BinlogColumn.bigint("id")])
+    w.ddl("ALTER TABLE items ADD COLUMN csv text")
+    (d / "mysql-bin.000001").write_bytes(w.to_bytes())
+
+    srv = _FakeClickHouse().start()
+    srv.select_response = (b"id\tInt64\n"
+                           b"tags\tNullable(String)\n")
+    try:
+        cfg = EngineConfig.from_toml(TOML)
+        cfg.data_dir = str(tmp_path / "log")
+        cfg.sink_addr = srv.url
+        cfg.rules = RuleSet([Rule(
+            source_schema="app", source_table="items",
+            sink_schema="olap", sink_table="items_sink", pk=("id",),
+            field_mapping={"csv": "tags,list"})])
+        out = run_retype(cfg, str(d), execute=True, spark=spark)
+        [line] = [x for x in out if x.get("modify")]
+        [m] = line["modify"]
+        assert m["column"] == "tags" and m["target"] == "Array(String)"
+        assert m["statement"] is None and "backfill" in m["manual"]
+        assert not [q for q, _ in srv.requests if q.startswith("ALTER")]
+    finally:
+        srv.stop()
+
+
 def test_cli_apply_ddl_warns_on_pk_column_ddl(spark, tmp_path, capsys):
     """A source DDL renaming or dropping a rule's pk column leaves the
     [[rule]] config stale (later drains select a missing column) and
