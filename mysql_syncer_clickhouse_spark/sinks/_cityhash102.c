@@ -163,6 +163,92 @@ static void city128_with_seed(const uint8_t *s, size_t len,
     out[1] = hashlen16(x + w1, y + v1);
 }
 
+/* ---- CityHash64 (same 1.0.2 source) -- what ClickHouse's SQL
+ * cityHash64() computes for a single String argument, which is what
+ * the sync-verify checksum pushes down to the server.  The k3-based
+ * HashLen17to32 and the xor-seeded long loop are the 1.0.x variants
+ * (CityHash 1.1 removed k3 and reworked both); correctness against a
+ * real server is the gated interop test, and the checker's default
+ * mode hashes both sides in Spark so this path is only exercised when
+ * the user asks for server-side pushdown. */
+
+static uint64_t hashlen17to32(const uint8_t *s, size_t len) {
+    uint64_t a = fetch64(s) * K1;
+    uint64_t b = fetch64(s + 8);
+    uint64_t c = fetch64(s + len - 8) * K2;
+    uint64_t d = fetch64(s + len - 16) * K0;
+    return hashlen16(rot(a - b, 43) + rot(c, 30) + d,
+                     a + rot(b ^ K3, 20) - c + len);
+}
+
+static uint64_t hashlen33to64(const uint8_t *s, size_t len) {
+    uint64_t z = fetch64(s + 24);
+    uint64_t a = fetch64(s) + (len + fetch64(s + len - 16)) * K0;
+    uint64_t b = rot(a + z, 52);
+    uint64_t c = rot(a, 37);
+    a += fetch64(s + 8);
+    c += rot(a, 7);
+    a += fetch64(s + 16);
+    uint64_t vf = a + z;
+    uint64_t vs = b + rot(a, 31) + c;
+    a = fetch64(s + 16) + fetch64(s + len - 32);
+    z = fetch64(s + len - 8);
+    b = rot(a + z, 52);
+    c = rot(a, 37);
+    a += fetch64(s + len - 24);
+    c += rot(a, 7);
+    a += fetch64(s + len - 16);
+    uint64_t wf = a + z;
+    uint64_t ws = b + rot(a, 31) + c;
+    uint64_t r = shift_mix((vf + ws) * K2 + (wf + vs) * K0);
+    return shift_mix(r * K0 + vs) * K2;
+}
+
+uint64_t msc_cityhash102_64(const uint8_t *s, size_t len) {
+    if (len <= 32) {
+        if (len <= 16) return hashlen0to16(s, len);
+        return hashlen17to32(s, len);
+    }
+    if (len <= 64) return hashlen33to64(s, len);
+    uint64_t x = fetch64(s);
+    uint64_t y = fetch64(s + len - 16) ^ K1;
+    uint64_t z = fetch64(s + len - 56) ^ K0;
+    uint64_t v[2], w[2];
+    weak32(s + len - 64, (uint64_t)len, y, v);
+    weak32(s + len - 32, (uint64_t)len * K1, K0, w);
+    z += shift_mix(v[1]) * K1;
+    x = rot(z + x, 39) * K1;
+    y = rot(y, 33) * K1;
+    len = (len - 1) & ~(size_t)63;
+    uint64_t t[2];
+    do {
+        x = rot(x + y + v[0] + fetch64(s + 16), 37) * K1;
+        y = rot(y + v[1] + fetch64(s + 48), 42) * K1;
+        x ^= w[1];
+        y ^= v[0];
+        z = rot(z ^ w[0], 33);
+        weak32(s, v[1] * K1, x + w[0], t);
+        v[0] = t[0]; v[1] = t[1];
+        weak32(s + 32, z + w[1], y, t);
+        w[0] = t[0]; w[1] = t[1];
+        uint64_t tmp = z; z = x; x = tmp;
+        s += 64;
+        len -= 64;
+    } while (len != 0);
+    return hashlen16(hashlen16(v[0], w[0]) + shift_mix(y) * K1 + z,
+                     hashlen16(v[1], w[1]) + x);
+}
+
+/* Batch API for the Arrow path: hash n strings packed into one buffer
+ * with n+1 offsets -- one ctypes call per pandas batch instead of one
+ * per row. */
+void msc_cityhash102_64_batch(const uint8_t *buf, const int64_t *offsets,
+                              int64_t n, uint64_t *out) {
+    for (int64_t i = 0; i < n; i++)
+        out[i] = msc_cityhash102_64(buf + offsets[i],
+                                    (size_t)(offsets[i + 1] - offsets[i]));
+}
+
 /* out[0] = low u64, out[1] = high u64 -- CityHash128(s, len) */
 void msc_cityhash102_128(const uint8_t *s, size_t len, uint64_t *out) {
     if (len >= 16) {

@@ -217,6 +217,94 @@ def checksum16_py(s: bytes) -> bytes:
     return struct.pack("<QQ", lo, hi)
 
 
+# ------------------------------------------------------- CityHash64
+#
+# The 64-bit flavor from the same cityhash-1.0.2 source -- what
+# ClickHouse's SQL `cityHash64(s)` computes for a single String
+# argument (FunctionsHashing.h delegates to
+# CityHash_v1_0_2::CityHash64).  The sync-verify checker
+# (operators/syncverify.py) pushes bucket digests down to the server
+# as `cityHash64(<canonical row>)` aggregates and computes the
+# matching source-side digest with this function, so neither side
+# ships rows.  The k3-based HashLen17to32 and the xor-seeded long
+# loop are the 1.0.x variants (CityHash 1.1 removed k3 and reworked
+# both paths); the pin `cityhash64(b"") == K2` plus the compiled-twin
+# cross-validation cover every branch in-sandbox, and algorithm-level
+# agreement with a live server is asserted by the gated interop test
+# (`pytest -m interop` with CLICKHOUSE_ADDR).
+
+
+def _hashlen17to32(s: bytes, length: int) -> int:
+    a = (_fetch64(s) * K1) & _M
+    b = _fetch64(s, 8)
+    c = (_fetch64(s, length - 8) * K2) & _M
+    d = (_fetch64(s, length - 16) * K0) & _M
+    return _hashlen16(
+        (_rot((a - b) & _M, 43) + _rot(c, 30) + d) & _M,
+        (a + _rot((b ^ K3) & _M, 20) - c + length) & _M)
+
+
+def _hashlen33to64(s: bytes, length: int) -> int:
+    z = _fetch64(s, 24)
+    a = (_fetch64(s) + (length + _fetch64(s, length - 16)) * K0) & _M
+    b = _rot((a + z) & _M, 52)
+    c = _rot(a, 37)
+    a = (a + _fetch64(s, 8)) & _M
+    c = (c + _rot(a, 7)) & _M
+    a = (a + _fetch64(s, 16)) & _M
+    vf = (a + z) & _M
+    vs = (b + _rot(a, 31) + c) & _M
+    a = (_fetch64(s, 16) + _fetch64(s, length - 32)) & _M
+    z = _fetch64(s, length - 8)
+    b = _rot((a + z) & _M, 52)
+    c = _rot(a, 37)
+    a = (a + _fetch64(s, length - 24)) & _M
+    c = (c + _rot(a, 7)) & _M
+    a = (a + _fetch64(s, length - 16)) & _M
+    wf = (a + z) & _M
+    ws = (b + _rot(a, 31) + c) & _M
+    r = _shift_mix(((vf + ws) * K2 + (wf + vs) * K0) & _M)
+    return (_shift_mix((r * K0 + vs) & _M) * K2) & _M
+
+
+def cityhash64(s: bytes) -> int:
+    """CityHash64, cityhash-1.0.2 -- pure-Python reference."""
+    length = len(s)
+    if length <= 16:
+        return _hashlen0to16(s, length)
+    if length <= 32:
+        return _hashlen17to32(s, length)
+    if length <= 64:
+        return _hashlen33to64(s, length)
+    x = _fetch64(s)
+    y = _fetch64(s, length - 16) ^ K1
+    z = _fetch64(s, length - 56) ^ K0
+    v = _weak32(s, length - 64, length, y)
+    w = _weak32(s, length - 32, (length * K1) & _M, K0)
+    z = (z + _shift_mix(v[1]) * K1) & _M
+    x = (_rot((z + x) & _M, 39) * K1) & _M
+    y = (_rot(y, 33) * K1) & _M
+    n = (length - 1) & ~63
+    i = 0
+    while True:
+        x = (_rot((x + y + v[0] + _fetch64(s, i + 16)) & _M, 37)
+             * K1) & _M
+        y = (_rot((y + v[1] + _fetch64(s, i + 48)) & _M, 42) * K1) & _M
+        x ^= w[1]
+        y ^= v[0]
+        z = _rot(z ^ w[0], 33)
+        v = _weak32(s, i, (v[1] * K1) & _M, (x + w[0]) & _M)
+        w = _weak32(s, i + 32, (z + w[1]) & _M, y)
+        z, x = x, z
+        i += 64
+        n -= 64
+        if n == 0:
+            break
+    return _hashlen16(
+        (_hashlen16(v[0], w[0]) + _shift_mix(y) * K1 + z) & _M,
+        (_hashlen16(v[1], w[1]) + x) & _M)
+
+
 # ------------------------------------------------- compiled fast path
 #
 # Build _cityhash102.c once per source revision into a cached .so
@@ -225,7 +313,8 @@ def checksum16_py(s: bytes) -> bytes:
 # trusting it.  Everything here is best-effort: any failure leaves
 # _NATIVE at None and checksum16 serves the reference implementation.
 
-_NATIVE = None          # ctypes fn or None
+_NATIVE = None          # ctypes 128-bit fn or None
+_NATIVE64 = None        # ctypes 64-bit batch fn or None
 _NATIVE_TRIED = False
 
 
@@ -291,7 +380,11 @@ def _compile_native():
     fn.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
                    ctypes.POINTER(ctypes.c_uint64)]
     fn.restype = None
-    return fn
+    fn64 = lib.msc_cityhash102_64_batch
+    fn64.argtypes = [ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+                     ctypes.c_int64, ctypes.POINTER(ctypes.c_uint64)]
+    fn64.restype = None
+    return fn, fn64
 
 
 def _validate_native(fn) -> bool:
@@ -314,17 +407,44 @@ def _validate_native(fn) -> bool:
     return True
 
 
+def _validate_native64(fn64) -> bool:
+    """The compiled 64-bit batch must equal the pure-Python reference
+    on every algorithm branch (0..16, 17..32, 33..64, and >64 with
+    multiple 64-byte loop iterations + each tail residue), exercised
+    through the SAME packed-buffer batch entry the hot path uses."""
+    import random
+    rng = random.Random(0x64C17)
+    lengths = [0, 1, 3, 4, 7, 8, 9, 15, 16, 17, 24, 31, 32, 33, 48,
+               63, 64, 65, 100, 127, 128, 129, 192, 255, 256, 1000,
+               4096]
+    vals = [bytes(rng.randrange(256) for _ in range(n))
+            for n in lengths]
+    buf = b"".join(vals)
+    offs = [0]
+    for v in vals:
+        offs.append(offs[-1] + len(v))
+    off_arr = (ctypes.c_int64 * len(offs))(*offs)
+    out = (ctypes.c_uint64 * len(vals))()
+    fn64(buf, off_arr, len(vals), out)
+    return all(out[i] == cityhash64(v) for i, v in enumerate(vals))
+
+
 def _native_fn():
-    global _NATIVE, _NATIVE_TRIED
+    global _NATIVE, _NATIVE64, _NATIVE_TRIED
     if not _NATIVE_TRIED:
         _NATIVE_TRIED = True
         if os.environ.get("MSC_SPARK_PURE_CITYHASH") != "1":
             try:
-                fn = _compile_native()
-                if fn is not None and _validate_native(fn):
-                    _NATIVE = fn
+                built = _compile_native()
+                if built is not None:
+                    fn, fn64 = built
+                    if _validate_native(fn):
+                        _NATIVE = fn
+                    if _validate_native64(fn64):
+                        _NATIVE64 = fn64
             except Exception:
                 _NATIVE = None
+                _NATIVE64 = None
             if _NATIVE is None:
                 # VERDICT r10 ask #3: the ~1000x throughput regime
                 # change must be VISIBLE, not silent -- correctness is
@@ -357,3 +477,24 @@ def checksum16(s: bytes) -> bytes:
     out = (ctypes.c_uint64 * 2)()
     fn(s, len(s), out)
     return struct.pack("<QQ", out[0], out[1])
+
+
+def cityhash64_batch(values) -> "list[int]":
+    """CityHash64 of each bytes value, as unsigned ints.
+
+    The sync-verify hot path: one ctypes call per Arrow batch over a
+    packed buffer + offsets (the compiled twin's batch entry), pure
+    Python per-value otherwise.  `values` is any iterable of bytes
+    (a pandas Series of encoded canonical rows in the pandas_udf)."""
+    _native_fn()                      # ensure the load attempt happened
+    vals = [v if isinstance(v, bytes) else bytes(v) for v in values]
+    if _NATIVE64 is None:
+        return [cityhash64(v) for v in vals]
+    buf = b"".join(vals)
+    offs = [0]
+    for v in vals:
+        offs.append(offs[-1] + len(v))
+    off_arr = (ctypes.c_int64 * len(offs))(*offs)
+    out = (ctypes.c_uint64 * len(vals))()
+    _NATIVE64(buf, off_arr, len(vals), out)
+    return list(out)

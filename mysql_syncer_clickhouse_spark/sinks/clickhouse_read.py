@@ -1,0 +1,125 @@
+"""Distributed ClickHouse read-back over the public HTTP interface.
+
+The write half (sinks/clickhouse.py) posts JSONEachRow from the
+executors; this is the symmetric read: N Spark tasks each SELECT one
+hash-slice of the table (`WHERE <split_expr> = i FORMAT JSONEachRow`)
+so the fetch parallelizes across the cluster and nothing funnels
+through the driver.  Primary consumer is the sync-consistency checker
+(operators/syncverify.py) reading the sink back for Spark-mode
+verification and for row-level drill-down of mismatched buckets; it
+is also a general escape hatch for "get my synced table back into a
+DataFrame".
+
+Scale shape: ClickHouse evaluates the split predicate data-resident
+(each task's query is a full-table scan server-side UNLESS the split
+expression matches the table's ORDER BY prefix -- for the checker's
+drill-down we instead push a bucket IN-list predicate, which is one
+scan total). For bulk read-back of a large table, prefer more
+partitions with `LIMIT/OFFSET`-free hash slicing (this module) over a
+single-stream dump: the server parallelizes each slice internally and
+the client side scales with executors.
+
+JSON type notes (public HTTP semantics): 64-bit integers arrive
+quoted by default (output_format_json_quote_64bit_integers=1) -- the
+coercers accept both; DateTime renders in SERVER timezone, so
+timestamp columns compare correctly only when source and checker
+agree on zone (the pushdown digest mode avoids this entirely by
+hashing epoch numbers); Nullable NULL arrives as JSON null.
+"""
+
+from __future__ import annotations
+
+import json
+import urllib.parse
+import urllib.request
+from datetime import date, datetime
+from decimal import Decimal
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def _get(url: str, query: str, user: str | None,
+         password: str | None, timeout: int) -> bytes:
+    q = urllib.parse.urlencode({"query": query})
+    req = urllib.request.Request(f"{url}/?{q}", method="POST")
+    if user:
+        req.add_header("X-ClickHouse-User", user)
+    if password:
+        req.add_header("X-ClickHouse-Key", password)
+    with urllib.request.urlopen(req, timeout=timeout) as r:
+        return r.read()
+
+
+def _coercer(dt: T.DataType):
+    """JSON value -> Spark-compatible Python value for one field."""
+    if isinstance(dt, (T.LongType, T.IntegerType, T.ShortType,
+                       T.ByteType)):
+        return lambda v: None if v is None else int(v)
+    if isinstance(dt, T.DecimalType):
+        return lambda v: None if v is None else Decimal(str(v))
+    if isinstance(dt, (T.DoubleType, T.FloatType)):
+        return lambda v: None if v is None else float(v)
+    if isinstance(dt, T.BooleanType):
+        return lambda v: None if v is None else bool(v)
+    if isinstance(dt, T.DateType):
+        return lambda v: None if v is None else date.fromisoformat(v)
+    if isinstance(dt, T.TimestampType):
+        return (lambda v: None if v is None
+                else datetime.fromisoformat(v))
+    if isinstance(dt, T.StringType):
+        return lambda v: None if v is None else str(v)
+    raise ValueError(
+        f"read_clickhouse_http: unsupported read-back type {dt} "
+        "(binary/array/map read-back is not JSON-safe; read the "
+        "table into parquet server-side or verify in pushdown mode)")
+
+
+def hash_split_sql(pk_cols: list[str], n: int) -> str:
+    """A split expression distributing rows across `n` fetch tasks by
+    primary-key hash -- stable under concurrent inserts to OTHER keys,
+    unlike OFFSET pagination."""
+    parts = ", ".join(f"toString(`{c}`)" for c in pk_cols)
+    inner = parts if len(pk_cols) == 1 else f"concat({parts})"
+    return f"cityHash64({inner}) % {n}"
+
+
+def read_clickhouse_http(spark: SparkSession, url: str, database: str,
+                         table: str, schema: T.StructType,
+                         split_expr: str, n_splits: int = 32, *,
+                         user: str | None = None,
+                         password: str | None = None,
+                         where: str | None = None,
+                         final: bool = False,
+                         timeout: int = 120) -> DataFrame:
+    """Read `database`.`table` back as a DataFrame with `schema`.
+
+    One Spark task per split value in [0, n_splits); each posts
+    `SELECT <cols> FROM t [FINAL] WHERE <split_expr> = i [AND where]
+    FORMAT JSONEachRow` and parses its own slice -- executor-side,
+    driver never sees a row."""
+    import pandas as pd
+
+    cols = ", ".join(f"`{f.name}`" for f in schema.fields)
+    fin = " FINAL" if final else ""
+    extra = f" AND ({where})" if where else ""
+    names = [f.name for f in schema.fields]
+    coercers = {f.name: _coercer(f.dataType) for f in schema.fields}
+
+    def fetch(batches):
+        for pdf in batches:
+            for i in pdf["id"]:
+                sql = (f"SELECT {cols} FROM `{database}`.`{table}`"
+                       f"{fin} WHERE ({split_expr}) = {int(i)}{extra} "
+                       "FORMAT JSONEachRow")
+                body = _get(url, sql, user, password, timeout)
+                rows = [json.loads(line)
+                        for line in body.decode().splitlines()
+                        if line.strip()]
+                data = {
+                    n: [coercers[n](r.get(n)) for r in rows]
+                    for n in names}
+                yield pd.DataFrame(data, columns=names, dtype=object)
+
+    ids = spark.range(n_splits).repartition(n_splits).toDF("id")
+    return ids.mapInPandas(fetch, schema=schema)

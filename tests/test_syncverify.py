@@ -1,0 +1,446 @@
+"""Sync-consistency checker (operators/syncverify.py) + the CityHash64
+addition to sinks/cityhash102.py + the HTTP read-back reader.
+
+The pushdown tests follow the repo's selftest-twin pattern: a mini
+"ClickHouse" evaluates the emitted digest SQL's SEMANTICS over plain
+Python rows with the independent pure-Python CityHash64, so the Spark
+side and the emitted-SQL side are checked against each other without a
+live server (algorithm-level interop is `pytest -m interop`)."""
+
+from __future__ import annotations
+
+import json
+import threading
+from datetime import date, datetime
+from decimal import Decimal
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+import pytest
+
+from mysql_syncer_clickhouse_spark.operators import syncverify as sv
+from mysql_syncer_clickhouse_spark.sinks.cityhash102 import (
+    K2,
+    _native_fn,
+    cityhash64,
+    cityhash64_batch,
+)
+
+# ------------------------------------------------------- CityHash64
+
+
+def test_cityhash64_empty_is_k2():
+    # HashLen0to16 of the empty string returns k2 directly -- the one
+    # branch pinned by the spec without running the mixer
+    assert cityhash64(b"") == K2
+
+
+def test_cityhash64_batch_equals_pure_on_every_branch():
+    vals = [b"", b"a", b"ab", b"abc", b"0123", b"01234567",
+            b"0123456789abcdef", b"x" * 17, b"x" * 32, b"x" * 33,
+            b"x" * 64, b"y" * 65, b"y" * 127, b"y" * 128,
+            b"z" * 200, bytes(range(256)), b"w" * 1000]
+    assert cityhash64_batch(vals) == [cityhash64(v) for v in vals]
+
+
+def test_cityhash64_compiled_twin_loaded_and_validated():
+    _native_fn()
+    from mysql_syncer_clickhouse_spark.sinks import cityhash102
+    # this sandbox has a C compiler; the load-time validation battery
+    # must have accepted the compiled 64-bit batch
+    assert cityhash102._NATIVE64 is not None
+
+
+def test_cityhash64_is_64bit_unsigned():
+    for v in (b"q", b"q" * 40, b"q" * 400):
+        h = cityhash64(v)
+        assert 0 <= h < (1 << 64)
+
+
+# ------------------------------------------------------- Spark mode
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    src = spark.createDataFrame(
+        [(i, f"name{i}", i * 10) for i in range(1000)],
+        "id long, name string, qty long")
+    rows = [(i, f"name{i}", i * 10) for i in range(1000) if i != 7]
+    rows = [(i, n, q if i != 13 else 999) for (i, n, q) in rows]
+    rows.append((2000, "ghost", 1))
+    rows.append((500, "name500", 5000))
+    dst = spark.createDataFrame(rows, "id long, name string, qty long")
+    return src, dst
+
+
+def test_sync_verify_identical_in_sync(spark, frames):
+    src, _ = frames
+    report, diff = sv.sync_verify(src, src, ["id"], n_buckets=64)
+    assert report["in_sync"] is True
+    assert report["buckets_mismatched"] == 0
+    assert diff is None
+
+
+def test_sync_verify_classifies_every_divergence(spark, frames):
+    src, dst = frames
+    report, diff = sv.sync_verify(src, dst, ["id"], n_buckets=64)
+    assert report["rows_src"] == 1000
+    assert report["rows_dst"] == 1001
+    assert not report["in_sync"]
+    got = {(r["id"], r["status"]): list(r["differing_columns"])
+           for r in diff.collect()}
+    assert got[(7, "missing_in_sink")] == []
+    assert got[(13, "value_mismatch")] == ["qty"]
+    assert got[(2000, "extra_in_sink")] == []
+    assert (500, "duplicate_pk_in_sink") in got
+    # the duplicate pk also value-mismatches (its representative row
+    # has qty 5000); nothing ELSE appears
+    ids = {i for (i, _s) in got}
+    assert ids == {7, 13, 2000, 500}
+
+
+def test_even_multiplicity_duplicate_caught_by_count(spark):
+    # x ^ x cancels in bitXor: a row inserted TWICE more leaves the
+    # xor digest unchanged -- cnt (and sum) must catch it
+    src = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(100)], "id long, v string")
+    dst = src.unionAll(spark.createDataFrame(
+        [(42, "v42"), (42, "v42")], "id long, v string"))
+    report, diff = sv.sync_verify(src, dst, ["id"], n_buckets=8)
+    assert not report["in_sync"]
+    statuses = {r["status"] for r in diff.collect()}
+    assert statuses == {"duplicate_pk_in_sink"}
+
+
+def test_schema_drift_reported_and_common_subset_verified(spark):
+    src = spark.createDataFrame(
+        [(1, "a", 10)], "id long, name string, qty long")
+    dst = spark.createDataFrame([(1, "a")], "id long, name string")
+    report, diff = sv.sync_verify(src, dst, ["id"], n_buckets=4)
+    assert report["schema_missing_in_sink"] == ["qty"]
+    assert not report["in_sync"]        # schema gap = not in sync
+    assert report["buckets_mismatched"] == 0   # but the data agrees
+    assert diff is None
+
+
+def test_type_widening_aligned_before_hashing(spark):
+    src = spark.createDataFrame([(1, 10), (2, 20)], "id long, qty long")
+    dst = spark.createDataFrame(
+        [(1, 10), (2, 20)], "id int, qty int")
+    report, _ = sv.sync_verify(src, dst, ["id"], n_buckets=4)
+    assert report["in_sync"] is True
+
+
+def test_composite_pk_and_null_semantics(spark):
+    src = spark.createDataFrame(
+        [(1, "a", None), (1, "b", "x"), (2, "a", "N")],
+        "k1 long, k2 string, v string")
+    dst = spark.createDataFrame(
+        [(1, "a", "N"), (1, "b", "x"), (2, "a", "N")],
+        "k1 long, k2 string, v string")
+    report, diff = sv.sync_verify(src, dst, ["k1", "k2"], n_buckets=4)
+    assert not report["in_sync"]         # NULL != the string 'N'
+    rows = diff.collect()
+    assert [(r["k1"], r["k2"], r["status"], list(r["differing_columns"]))
+            for r in rows] == [(1, "a", "value_mismatch", ["v"])]
+
+
+def test_random_perturbations_found_exactly(spark):
+    import random
+    rng = random.Random(1307)
+    n = 500
+    src_rows = [(i, f"p{i}", i % 17, i * 3) for i in range(n)]
+    missing = set(rng.sample(range(n), 5))
+    changed = set(rng.sample(sorted(set(range(n)) - missing), 7))
+    extra = {n + 1 + j for j in range(3)}
+    dst_rows = [
+        (i, f"p{i}", (i % 17) + (100 if i in changed else 0), i * 3)
+        for i in range(n) if i not in missing]
+    dst_rows += [(e, f"x{e}", 0, 0) for e in extra]
+    schema = "id long, s string, a long, b long"
+    src = spark.createDataFrame(src_rows, schema)
+    dst = spark.createDataFrame(dst_rows, schema)
+    report, diff = sv.sync_verify(src, dst, ["id"], n_buckets=32)
+    got = {(r["id"], r["status"]) for r in diff.collect()}
+    expected = ({(i, "missing_in_sink") for i in missing}
+                | {(i, "value_mismatch") for i in changed}
+                | {(e, "extra_in_sink") for e in extra})
+    assert got == expected
+
+
+# ------------------------------------------------- canonical rendering
+
+
+def _mini_ch_canon(vals) -> bytes:
+    """Independent evaluator of the canonical-row contract: what the
+    emitted ClickHouse SQL computes, written WITHOUT reusing the
+    module's Spark expressions."""
+    parts = []
+    for v in vals:
+        if v is None:
+            parts.append("N")
+        else:
+            b = str(v)
+            parts.append(f"{len(b.encode())}:{b}")
+    return "".join(parts).encode()
+
+
+def test_canonical_is_injective_across_field_boundaries(spark):
+    df1 = spark.createDataFrame([("ab", "c")], "x string, y string")
+    df2 = spark.createDataFrame([("a", "bc")], "x string, y string")
+    cols = [("x", "String"), ("y", "String")]
+    c1 = df1.select(sv.spark_canonical_row(df1, cols).alias("c")).first()["c"]
+    c2 = df2.select(sv.spark_canonical_row(df2, cols).alias("c")).first()["c"]
+    assert c1 != c2
+    assert c1 == "2:ab1:c" and c2 == "1:a2:bc"
+
+
+def test_canonical_null_vs_literal_N_vs_empty(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, "N"), (3, "")], "id long, v string")
+    cols = [("v", "Nullable(String)")]
+    got = {r["id"]: r["c"] for r in df.select(
+        "id", sv.spark_canonical_row(df, cols).alias("c")).collect()}
+    assert got == {1: "N", 2: "1:N", 3: "0:"}
+
+
+def test_canonical_multibyte_uses_byte_length(spark):
+    df = spark.createDataFrame([("é",)], "v string")
+    c = df.select(sv.spark_canonical_row(
+        df, [("v", "String")]).alias("c")).first()["c"]
+    assert c == "2:é"          # 2 UTF-8 bytes, 1 character
+
+
+def test_pushdown_refuses_float_columns_both_sides(spark):
+    with pytest.raises(ValueError, match="Float"):
+        sv.clickhouse_digest_sql(
+            "db", "t", [("id", "Int64"), ("x", "Float64")], ["id"], 8)
+    df = spark.createDataFrame([(1, 1.5)], "id long, x double")
+    with pytest.raises(ValueError, match="Float"):
+        sv.spark_canonical_row(
+            df, [("id", "Int64"), ("x", "Float64")])
+
+
+def test_pushdown_digest_matches_independent_evaluator(spark):
+    rows = [
+        (1, "alpha", None, date(2024, 1, 2),
+         datetime(2024, 1, 2, 3, 4, 5), Decimal("12.30")),
+        (2, None, 7, date(1970, 1, 1),
+         datetime(2024, 1, 2, 3, 4, 5, 123456), Decimal("-0.01")),
+        (3, "émoji™", -5, None, None, None),
+    ]
+    schema = ("id long, name string, n int, d date, ts timestamp, "
+              "amt decimal(10,2)")
+    df = spark.createDataFrame(rows, schema)
+    columns = [("id", "Int64"), ("name", "Nullable(String)"),
+               ("n", "Nullable(Int32)"), ("d", "Nullable(Date)"),
+               ("ts", "Nullable(DateTime64(6))"),
+               ("amt", "Nullable(Decimal(10,2))")]
+    got = {int(r["bucket"]): (int(r["cnt"]),
+                              int(r["xor_fp"]) % (1 << 64),
+                              int(r["sum_fp"]))
+           for r in sv.spark_pushdown_digest(
+               df, columns, ["id"], 8).collect()}
+
+    # the mini-CH: render each column the way the emitted SQL does
+    import collections
+    agg = collections.defaultdict(lambda: [0, 0, 0])
+    import calendar
+    for (i, name, n, d, ts, amt) in rows:
+        # DateTime64 canonical is epoch MICROS, computed here as UTC
+        # from the same naive values Spark was given (the session
+        # timezone is pinned to UTC below)
+        micros = (None if ts is None else
+                  calendar.timegm(ts.timetuple()) * 10**6
+                  + ts.microsecond)
+        canon_vals = [i, name, n, d, micros, amt]
+        fp = cityhash64(_mini_ch_canon(canon_vals))
+        b = cityhash64(_mini_ch_canon([i])) % 8
+        a = agg[b]
+        a[0] += 1
+        a[1] ^= fp
+        a[2] += fp
+    expected = {b: tuple(v) for b, v in agg.items()}
+    assert got == expected
+
+
+def test_digest_sql_shape_and_tsv_roundtrip():
+    sql = sv.clickhouse_digest_sql(
+        "olap", "orders", [("id", "Int64"), ("s", "String")],
+        ["id"], 16, final=True)
+    assert "groupBitXor(fp)" in sql
+    assert "sum(toUInt256(fp))" in sql
+    assert "% 16" in sql
+    assert "`olap`.`orders` FINAL" in sql
+    assert "FORMAT TabSeparated" in sql
+    body = b"0\t10\t123\t456\n3\t7\t18446744073709551615\t99\n"
+    rows = sv.parse_digest_tsv(body)
+    assert rows[1] == {"bucket": 3, "cnt": 7,
+                       "xor_fp": (1 << 64) - 1, "sum_fp": 99}
+    cmp = sv.compare_digests(rows, rows)
+    assert cmp.in_sync and cmp.rows_src == 17
+
+
+def test_spark_digest_comparable_with_parsed_tsv(spark):
+    # signed Spark xor vs unsigned ClickHouse xor normalize equal
+    df = spark.createDataFrame(
+        [(i, f"s{i}") for i in range(50)], "id long, s string")
+    columns = [("id", "Int64"), ("s", "String")]
+    spark_rows = sv.spark_pushdown_digest(df, columns, ["id"], 4).collect()
+    # fabricate the server body from the independent evaluator
+    import collections
+    agg = collections.defaultdict(lambda: [0, 0, 0])
+    for i in range(50):
+        fp = cityhash64(_mini_ch_canon([i, f"s{i}"]))
+        b = cityhash64(_mini_ch_canon([i])) % 4
+        agg[b][0] += 1
+        agg[b][1] ^= fp
+        agg[b][2] += fp
+    body = "\n".join(
+        f"{b}\t{v[0]}\t{v[1]}\t{v[2]}"
+        for b, v in sorted(agg.items())).encode()
+    cmp = sv.compare_digests(spark_rows, sv.parse_digest_tsv(body))
+    assert cmp.in_sync
+
+
+# ------------------------------------------------------------ repair
+
+
+def test_repair_statements_by_status():
+    diff = [
+        {"id": 7, "status": "missing_in_sink",
+         "src_row": '{"id":7,"v":"a"}', "dst_row": None},
+        {"id": 13, "status": "value_mismatch",
+         "src_row": '{"id":13,"v":"b"}', "dst_row": '{"id":13,"v":"x"}'},
+        {"id": 99, "status": "extra_in_sink",
+         "src_row": None, "dst_row": '{"id":99}'},
+        {"id": 500, "status": "duplicate_pk_in_sink",
+         "src_row": None, "dst_row": None},
+    ]
+    stmts = sv.repair_statements(diff, "olap", "t", ["id"])
+    assert stmts[0]["statement"] == (
+        'INSERT INTO `olap`.`t` FORMAT JSONEachRow {"id":7,"v":"a"}')
+    assert stmts[1]["statement"].startswith("INSERT INTO")
+    assert stmts[2]["statement"] == (
+        "ALTER TABLE `olap`.`t` DELETE WHERE `id` = 99")
+    assert stmts[3]["statement"] is None
+    assert "OPTIMIZE" in stmts[3]["manual"]
+
+
+def test_repair_escapes_string_pks():
+    diff = [{"k": "o'brien\\x", "status": "extra_in_sink",
+             "src_row": None, "dst_row": "{}"}]
+    (s,) = sv.repair_statements(diff, "d", "t", ["k"])
+    assert s["statement"].endswith("WHERE `k` = 'o\\'brien\\\\x'")
+
+
+# -------------------------------------------------- HTTP read-back
+
+
+class _MiniClickHouse:
+    """A fake that EVALUATES read-back queries over a Python row
+    store: hash-split SELECTs serve JSONEachRow slices computed with
+    the same public cityHash64 semantics the emitted SQL asks a real
+    server for."""
+
+    def __init__(self, rows: list[dict], pk: str, n_splits: int):
+        self.rows, self.pk, self.n = rows, pk, n_splits
+        self.queries: list[str] = []
+        self._lock = threading.Lock()
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def do_POST(self):               # noqa: N802
+                qs = parse_qs(urlparse(self.path).query)
+                query = qs.get("query", [""])[0]
+                with outer._lock:
+                    outer.queries.append(query)
+                resp = outer._serve(query)
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(resp)))
+                self.end_headers()
+                self.wfile.write(resp)
+
+            def log_message(self, *a):
+                pass
+
+        self._httpd = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        self.url = f"http://127.0.0.1:{self._httpd.server_address[1]}"
+        threading.Thread(target=self._httpd.serve_forever,
+                         daemon=True).start()
+
+    def _serve(self, query: str) -> bytes:
+        import re
+        m = re.search(r"=\s*(\d+)\s+FORMAT JSONEachRow", query)
+        if not m:
+            return b""
+        i = int(m.group(1))
+        out = []
+        for r in self.rows:
+            h = cityhash64(str(r[self.pk]).encode()) % self.n
+            if h == i:
+                out.append(json.dumps(r))
+        return ("\n".join(out) + "\n").encode() if out else b""
+
+    def stop(self):
+        self._httpd.shutdown()
+        self._httpd.server_close()
+
+
+def test_read_clickhouse_http_distributed_slices(spark):
+    from pyspark.sql import types as T
+
+    from mysql_syncer_clickhouse_spark.sinks.clickhouse_read import (
+        hash_split_sql,
+        read_clickhouse_http,
+    )
+    rows = [{"id": i, "name": f"n{i}", "qty": i * 2} for i in range(200)]
+    srv = _MiniClickHouse(rows, "id", 4)
+    try:
+        schema = T.StructType([
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("qty", T.LongType())])
+        df = read_clickhouse_http(
+            spark, srv.url, "olap", "t", schema,
+            split_expr=hash_split_sql(["id"], 4), n_splits=4)
+        got = sorted((r["id"], r["name"], r["qty"]) for r in df.collect())
+        assert got == [(i, f"n{i}", i * 2) for i in range(200)]
+        # one query per split, each a slice predicate
+        assert len(srv.queries) == 4
+        assert all("FORMAT JSONEachRow" in q for q in srv.queries)
+        joined = " ".join(srv.queries)
+        for i in range(4):
+            assert f"= {i} " in joined
+    finally:
+        srv.stop()
+
+
+def test_read_back_then_verify_roundtrip(spark):
+    """The full Spark-mode loop: write-shaped rows served by the fake,
+    read back distributed, verified against the source frame."""
+    from pyspark.sql import types as T
+
+    from mysql_syncer_clickhouse_spark.sinks.clickhouse_read import (
+        hash_split_sql,
+        read_clickhouse_http,
+    )
+    src = spark.createDataFrame(
+        [(i, f"n{i}") for i in range(100)], "id long, name string")
+    # sink drifted: row 5 missing, row 9 changed
+    rows = [{"id": i, "name": ("CHANGED" if i == 9 else f"n{i}")}
+            for i in range(100) if i != 5]
+    srv = _MiniClickHouse(rows, "id", 3)
+    try:
+        schema = T.StructType([
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType())])
+        dst = read_clickhouse_http(
+            spark, srv.url, "olap", "t", schema,
+            split_expr=hash_split_sql(["id"], 3), n_splits=3)
+        report, diff = sv.sync_verify(src, dst, ["id"], n_buckets=16)
+        assert not report["in_sync"]
+        got = {(r["id"], r["status"]) for r in diff.collect()}
+        assert got == {(5, "missing_in_sink"), (9, "value_mismatch")}
+    finally:
+        srv.stop()
