@@ -547,6 +547,164 @@ def run_retype(cfg: EngineConfig, binlog_dir: str, *,
     return results
 
 
+def run_checksum(cfg: EngineConfig, *, changelog_dir: str | None = None,
+                 binlog_dir: str | None = None, buckets: int = 1024,
+                 deep: bool = False, repair: bool = False,
+                 execute: bool = False, checksum_url: str | None = None,
+                 diff_limit: int = 1000, spark=None) -> list[dict]:
+    """--checksum: verify the ClickHouse sink against the source of
+    truth (pt-table-checksum for this engine -- the check the
+    reference never had; rows flow through river/sync.go unverified).
+
+    Per rule: reconstruct the EXPECTED sink state from the changelog /
+    binlog stream (rule-projected, collapsed to max-seq per pk with
+    tombstones kept -- exactly what a ReplacingMergeTree FINAL read
+    should return), then compare per-bucket digests WITHOUT moving
+    rows: the sink side is ONE server-resident aggregate query
+    (cityHash64 canonical digests, operators/syncverify.py), the
+    source side is the identical digest computed in Spark.  At 100 TB
+    each side is one scan; the exchange is n_buckets rows of
+    (count, xor, sum).
+
+    `deep`: read ONLY the mismatched buckets back over HTTP and emit
+    row-level findings (missing/extra/value_mismatch/duplicate).
+    `repair`: also emit repair statements (re-INSERT missing or
+    changed rows -- the sink's last-wins FINAL collapse upserts them;
+    targeted ALTER DELETE for extras), executing them only under
+    `execute`.  The digest SELECT needs the sink's HTTP interface:
+    native-TCP sink_addr requires --checksum-url http://host:8123."""
+    from pyspark.sql import functions as F
+
+    from .operators import syncverify as sv
+    from .sinks.clickhouse import ClickHouseHTTPSink
+    from .sinks.clickhouse_read import read_clickhouse_http
+
+    spark = spark or get_spark("mysql-syncer-clickhouse-spark",
+                               cpus=cfg.threads)
+    if not (changelog_dir or binlog_dir):
+        raise SystemExit("--checksum needs --changelog-dir or "
+                         "--binlog-dir (the source-of-truth stream)")
+    http_url = checksum_url
+    if http_url is None and cfg.sink_addr and \
+            cfg.sink_addr.startswith(("http://", "https://")):
+        http_url = cfg.sink_addr
+    if http_url is None:
+        raise SystemExit(
+            "--checksum runs its digest as a server-side SELECT over "
+            "the sink's HTTP interface; sink_addr is native TCP (or "
+            "unset), so pass --checksum-url http://host:8123")
+    env_batch = None
+    if binlog_dir:
+        from .sources.binlog import read_binlog_files
+        env_batch = read_binlog_files(spark, binlog_dir)
+    results: list[dict] = []
+    for rule in cfg.rules.rules:
+        if changelog_dir:
+            src_path = os.path.join(
+                changelog_dir,
+                f"{rule.source_schema}.{rule.source_table}")
+            if not os.path.isdir(src_path):
+                continue
+            raw = spark.read.parquet(src_path)
+        else:
+            from .sources.binlog import binlog_to_changelog
+            ddl = _infer_row_ddl(env_batch, rule.source_schema,
+                                 rule.source_table)
+            if ddl is None:
+                continue
+            raw = binlog_to_changelog(env_batch, ddl,
+                                      db=rule.source_schema,
+                                      table=rule.source_table)
+        meta = [c for c in ("seq", "op") if c in raw.columns]
+        payload = [c for c in raw.columns if c not in meta]
+        projected = raw.select(*[F.col(c) for c in meta],
+                               *rule.projection(payload))
+        pk = [rule._field_parts(c)[0] for c in rule.pk]
+        expected = sv.final_state_with_tombstones(projected, pk)
+
+        hsink = ClickHouseHTTPSink(
+            url=http_url, database=rule.sink_schema,
+            table=rule.sink_table, columns=[], pk=tuple(pk),
+            user=cfg.sink_user, password=cfg.sink_pass)
+        ch_types = dict(hsink.describe_columns())
+        line: dict = {"rule": rule.key, "mode": "checksum",
+                      "sink": f"{rule.sink_schema}.{rule.sink_table}",
+                      "buckets": buckets}
+        if not ch_types:
+            line["error"] = ("sink table not found (system.columns "
+                            "returned nothing)")
+            results.append(line)
+            continue
+        missing_pk = [c for c in pk if c not in ch_types]
+        if missing_pk:
+            line["error"] = (f"primary key column(s) {missing_pk} "
+                             "absent from the sink table")
+            results.append(line)
+            continue
+        cols_order = sv.ordered_cols(expected, pk)
+        line["schema_missing_in_sink"] = [
+            c for c in cols_order if c not in ch_types]
+        line["schema_extra_in_sink"] = sorted(
+            c for c in ch_types if c not in cols_order)
+        common = [c for c in cols_order if c in ch_types]
+        columns = [(c, ch_types[c]) for c in common]
+        pk_pairs = [(c, ch_types[c]) for c in pk]
+        exp_common = expected.select(*common)
+        try:
+            src_rows = sv.spark_pushdown_digest(
+                exp_common, columns, pk, buckets).collect()
+            body = hsink.execute(sv.clickhouse_digest_sql(
+                rule.sink_schema, rule.sink_table, columns, pk,
+                buckets, final=True))
+        except ValueError as e:      # float refusal, with its remedy
+            line["error"] = str(e)
+            results.append(line)
+            continue
+        cmp = sv.compare_digests(src_rows, sv.parse_digest_tsv(body))
+        line.update({
+            "rows_src": cmp.rows_src, "rows_sink": cmp.rows_dst,
+            "buckets_mismatched": len(cmp.mismatched),
+            "in_sync": cmp.in_sync
+            and not line["schema_missing_in_sink"],
+        })
+        if deep and cmp.mismatched:
+            dst = read_clickhouse_http(
+                spark, http_url, rule.sink_schema, rule.sink_table,
+                exp_common.schema,
+                split_expr=sv.clickhouse_bucket_sql(pk_pairs, buckets),
+                n_splits=buckets, split_values=cmp.mismatched,
+                final=True, user=cfg.sink_user,
+                password=cfg.sink_pass)
+            diff = sv.row_diff(
+                exp_common, dst, pk, cmp.mismatched, buckets, common,
+                bucket_src=sv.spark_bucket_col(exp_common, pk_pairs,
+                                               buckets),
+                bucket_dst=sv.spark_bucket_col(dst, pk_pairs,
+                                               buckets))
+            diff_rows = [r.asDict() for r in
+                         diff.limit(diff_limit + 1).collect()]
+            line["diff_truncated"] = len(diff_rows) > diff_limit
+            diff_rows = diff_rows[:diff_limit]
+            line["diff"] = diff_rows
+            if repair:
+                stmts = sv.repair_statements(
+                    diff_rows, rule.sink_schema, rule.sink_table, pk)
+                if execute:
+                    for s in stmts:
+                        if s["statement"]:
+                            hsink.execute(s["statement"])
+                line["repair"] = stmts
+                line["repair_executed"] = execute
+        results.append(line)
+    results.append({"mode": "checksum", "rules_checked":
+                    sum(1 for r in results if r.get("rule")),
+                    "out_of_sync": sorted(
+                        r["rule"] for r in results
+                        if r.get("rule") and not r.get("in_sync",
+                                                       False))})
+    return results
+
+
 def run_dump(cfg: EngineConfig, dump_path: str, *,
              compact: bool = False, multiline: bool = False,
              spark=None) -> list[dict]:
@@ -871,6 +1029,27 @@ def main(argv: list[str] | None = None) -> int:
                          "and EMIT the MODIFY COLUMN statements for "
                          "fallback columns whose source type maps "
                          "narrower (execute them only with --execute)")
+    ap.add_argument("--checksum", action="store_true",
+                    help="verify the ClickHouse sink against the "
+                         "source-of-truth stream (--changelog-dir / "
+                         "--binlog-dir) via per-bucket digests: the "
+                         "sink side runs ONE server-resident "
+                         "aggregate, no rows move")
+    ap.add_argument("--buckets", type=int, default=1024,
+                    help="digest bucket count for --checksum "
+                         "(default 1024; size so a mismatched "
+                         "bucket's rows are cheap to re-read)")
+    ap.add_argument("--deep", action="store_true",
+                    help="with --checksum: read mismatched buckets "
+                         "back and report row-level findings")
+    ap.add_argument("--repair", action="store_true",
+                    help="with --checksum: emit repair statements "
+                         "(implies --deep); executes them only with "
+                         "--execute")
+    ap.add_argument("--checksum-url", metavar="URL",
+                    help="HTTP endpoint for the digest SELECT when "
+                         "sink_addr is native TCP (e.g. "
+                         "http://host:8123)")
     ap.add_argument("--execute", action="store_true",
                     help="with --retype: actually run the emitted "
                          "MODIFY COLUMN statements (a disk rewrite -- "
@@ -936,6 +1115,17 @@ def main(argv: list[str] | None = None) -> int:
     if args.dump_sql and args.dump_exec:
         ap.error("--dump-sql / --dump-exec are exclusive")
     cfg = EngineConfig.from_toml(args.config)
+    if args.checksum:
+        if not (args.changelog_dir or args.binlog_dir):
+            ap.error("--checksum requires --changelog-dir or "
+                     "--binlog-dir (the source-of-truth stream)")
+        for line in run_checksum(
+                cfg, changelog_dir=args.changelog_dir,
+                binlog_dir=args.binlog_dir, buckets=args.buckets,
+                deep=args.deep or args.repair, repair=args.repair,
+                execute=args.execute, checksum_url=args.checksum_url):
+            print(json.dumps(line, default=str))
+        return 0
     if args.retype:
         if not args.binlog_dir:
             ap.error("--retype requires --binlog-dir (the DDL stream "

@@ -201,7 +201,9 @@ def row_diff(src: DataFrame, dst: DataFrame, pk_cols: list[str],
                      F.lit("duplicate_pk_in_source").alias("status"),
                      F.array().cast("array<string>")
                       .alias("differing_columns"),
-                     F.to_json(F.struct(*cols)).alias("src_row"),
+                     F.to_json(F.struct(*cols),
+                               {"ignoreNullFields": "false"})
+                      .alias("src_row"),
                      F.lit(None).cast("string").alias("dst_row")))
     dup_d = (d.filter(F.col("_dup") > 1).filter(F.col("_rn") == 1)
              .select(*pk_cols,
@@ -209,7 +211,9 @@ def row_diff(src: DataFrame, dst: DataFrame, pk_cols: list[str],
                      F.array().cast("array<string>")
                       .alias("differing_columns"),
                      F.lit(None).cast("string").alias("src_row"),
-                     F.to_json(F.struct(*cols)).alias("dst_row")))
+                     F.to_json(F.struct(*cols),
+                               {"ignoreNullFields": "false"})
+                      .alias("dst_row")))
 
     s1 = s.filter(F.col("_rn") == 1).alias("s")
     d1 = d.filter(F.col("_rn") == 1).alias("d")
@@ -233,11 +237,17 @@ def row_diff(src: DataFrame, dst: DataFrame, pk_cols: list[str],
         F.when(s_present & d_present, differing)
          .otherwise(F.array().cast("array<string>"))
          .alias("differing_columns"),
+        # nulls stay EXPLICIT in the JSON: repair re-INSERTs feed this
+        # to JSONEachRow, where an omitted key takes the column
+        # DEFAULT (a materialized default would silently diverge from
+        # the intended NULL)
         F.when(s_present,
-               F.to_json(F.struct(*[s1[c] for c in cols])))
+               F.to_json(F.struct(*[s1[c] for c in cols]),
+                         {"ignoreNullFields": "false"}))
          .alias("src_row"),
         F.when(d_present,
-               F.to_json(F.struct(*[d1[c] for c in cols])))
+               F.to_json(F.struct(*[d1[c] for c in cols]),
+                         {"ignoreNullFields": "false"}))
          .alias("dst_row"))
         .filter((F.col("status") != "value_mismatch")
                 | (F.size("differing_columns") > 0)))
@@ -336,6 +346,14 @@ def _ch_canon(cols: list[tuple[str, str]]) -> str:
     return f"concat({', '.join(parts)})"
 
 
+def clickhouse_bucket_sql(pk_pairs: list[tuple[str, str]],
+                          n_buckets: int) -> str:
+    """The server-side bucket expression -- shared by the digest query
+    and the drill-down read-back's IN-list predicate, so both sides of
+    a bucket always mean the same rows."""
+    return f"cityHash64({_ch_canon(pk_pairs)}) % {n_buckets}"
+
+
 def clickhouse_digest_sql(database: str, table: str,
                           columns: list[tuple[str, str]],
                           pk_cols: list[str], n_buckets: int,
@@ -350,13 +368,13 @@ def clickhouse_digest_sql(database: str, table: str,
     by_name = dict(columns)
     pk_pairs = [(c, by_name[c]) for c in pk_cols]
     canon = _ch_canon(columns)
-    pk_canon = _ch_canon(pk_pairs)
+    bucket = clickhouse_bucket_sql(pk_pairs, n_buckets)
     fin = " FINAL" if final else ""
     return (
         "SELECT bucket, count() AS cnt, groupBitXor(fp) AS xor_fp, "
         "sum(toUInt256(fp)) AS sum_fp FROM "
         f"(SELECT cityHash64({canon}) AS fp, "
-        f"cityHash64({pk_canon}) % {n_buckets} AS bucket "
+        f"{bucket} AS bucket "
         f"FROM `{database}`.`{table}`{fin}) "
         "GROUP BY bucket ORDER BY bucket FORMAT TabSeparated")
 
@@ -427,6 +445,38 @@ def _cityhash64_udf():
     # decorator's type-hint inference
     _city.__annotations__ = {"s": pd.Series, "return": pd.Series}
     return F.pandas_udf(_city, "long")
+
+
+def spark_bucket_col(df: DataFrame, pk_pairs: list[tuple[str, str]],
+                     n_buckets: int) -> Column:
+    """The Spark twin of `clickhouse_bucket_sql` -- used by pushdown
+    drill-down so both frames bucket rows identically to the server."""
+    city = _cityhash64_udf()
+    return F.pmod(city(spark_canonical_row(df, pk_pairs)),
+                  F.lit(n_buckets))
+
+
+def final_state_with_tombstones(changelog: DataFrame,
+                                pk_cols: list[str],
+                                seq_col: str = "seq",
+                                op_col: str = "op") -> DataFrame:
+    """What a ReplacingMergeTree FINAL read of the sink SHOULD return:
+    the max-seq row per primary key INCLUDING delete tombstones (the
+    sink keeps op='delete' rows; readers filter them -- so must the
+    expected state, or every deleted key would flag as
+    extra_in_sink).  Same max_by shape as operators/upsert.latest_state
+    (map-side combine collapses each mapper to one candidate per pk
+    before the shuffle); kept separate because latest_state's contract
+    is the USER-facing state (tombstones dropped), while this is the
+    sink-table contract."""
+    others = [c for c in changelog.columns if c not in pk_cols]
+    agg = changelog.groupBy(*pk_cols).agg(
+        F.max_by(F.struct(*[F.col(c) for c in others]),
+                 F.col(seq_col)).alias("__r"))
+    return agg.select(
+        *pk_cols,
+        *[F.col("__r").getField(c).alias(c) for c in others]) \
+        .select(*changelog.columns)
 
 
 def spark_pushdown_digest(df: DataFrame,

@@ -91,13 +91,16 @@ def read_clickhouse_http(spark: SparkSession, url: str, database: str,
                          password: str | None = None,
                          where: str | None = None,
                          final: bool = False,
+                         split_values: list[int] | None = None,
                          timeout: int = 120) -> DataFrame:
     """Read `database`.`table` back as a DataFrame with `schema`.
 
     One Spark task per split value in [0, n_splits); each posts
     `SELECT <cols> FROM t [FINAL] WHERE <split_expr> = i [AND where]
     FORMAT JSONEachRow` and parses its own slice -- executor-side,
-    driver never sees a row."""
+    driver never sees a row.  `split_values` restricts the fetch to
+    specific split ids (the checker's drill-down reads ONLY the
+    mismatched buckets)."""
     import pandas as pd
 
     cols = ", ".join(f"`{f.name}`" for f in schema.fields)
@@ -121,5 +124,11 @@ def read_clickhouse_http(spark: SparkSession, url: str, database: str,
                     for n in names}
                 yield pd.DataFrame(data, columns=names, dtype=object)
 
-    ids = spark.range(n_splits).repartition(n_splits).toDF("id")
+    if split_values is not None:
+        vals = [int(v) for v in split_values]
+        ids = spark.createDataFrame(
+            [(v,) for v in vals], "id long").repartition(
+                max(1, len(vals)))
+    else:
+        ids = spark.range(n_splits).repartition(n_splits).toDF("id")
     return ids.mapInPandas(fetch, schema=schema)

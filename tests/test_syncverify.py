@@ -444,3 +444,227 @@ def test_read_back_then_verify_roundtrip(spark):
         assert got == {(5, "missing_in_sink"), (9, "value_mismatch")}
     finally:
         srv.stop()
+
+
+# ------------------------------------------------------ CLI e2e
+
+
+class _ChecksumFakeCH:
+    """A fake sink for the --checksum CLI that EVALUATES all four
+    request kinds with the independent mini-evaluator: system.columns
+    introspection, the pushdown digest aggregate, bucket-IN read-back,
+    and repair writes (recorded)."""
+
+    def __init__(self, rows: list[dict],
+                 schema: list[tuple[str, str]],
+                 pk: list[str], n_buckets: int):
+        self.rows, self.schema = rows, schema
+        self.pk, self.n = pk, n_buckets
+        self.writes: list[str] = []
+        self._lock = threading.Lock()
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def do_POST(self):               # noqa: N802
+                n = int(self.headers.get("Content-Length", 0))
+                self.rfile.read(n)
+                qs = parse_qs(urlparse(self.path).query)
+                query = qs.get("query", [""])[0]
+                resp = outer._serve(query)
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(resp)))
+                self.end_headers()
+                self.wfile.write(resp)
+
+            def log_message(self, *a):
+                pass
+
+        self._httpd = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        self.url = f"http://127.0.0.1:{self._httpd.server_address[1]}"
+        threading.Thread(target=self._httpd.serve_forever,
+                         daemon=True).start()
+
+    def _canon_order(self) -> list[str]:
+        rest = sorted(n for n, _ in self.schema if n not in self.pk)
+        return self.pk + rest
+
+    def _bucket(self, r: dict) -> int:
+        return cityhash64(
+            _mini_ch_canon([r[c] for c in self.pk])) % self.n
+
+    def _serve(self, query: str) -> bytes:
+        import collections
+        import re
+        with self._lock:
+            if query.startswith(("INSERT", "ALTER")):
+                self.writes.append(query)
+                return b""
+            if "system.columns" in query:
+                return "".join(
+                    f"{n}\t{t}\n" for n, t in self.schema).encode()
+            if "groupBitXor" in query:
+                # evaluate the columns the QUERY references (schema
+                # drift means the emitted digest covers only the
+                # common subset), in their first-appearance order
+                known = {n for n, _ in self.schema}
+                refs = [n for n in re.findall(r"`([^`]+)`", query)
+                        if n in known]
+                order = list(dict.fromkeys(refs)) or self._canon_order()
+                agg = collections.defaultdict(lambda: [0, 0, 0])
+                for r in self.rows:
+                    fp = cityhash64(
+                        _mini_ch_canon([r[c] for c in order]))
+                    a = agg[self._bucket(r)]
+                    a[0] += 1
+                    a[1] ^= fp
+                    a[2] += fp
+                return "".join(
+                    f"{b}\t{v[0]}\t{v[1]}\t{v[2]}\n"
+                    for b, v in sorted(agg.items())).encode()
+            m = re.search(r"=\s*(\d+)\s+FORMAT JSONEachRow", query)
+            if m:
+                i = int(m.group(1))
+                out = [json.dumps(r) for r in self.rows
+                       if self._bucket(r) == i]
+                return ("\n".join(out) + "\n").encode() if out else b""
+            return b""
+
+    def stop(self):
+        self._httpd.shutdown()
+        self._httpd.server_close()
+
+
+_CHECKSUM_SCHEMA = [("id", "Int64"), ("es_title", "Nullable(String)"),
+                    ("mydate", "Nullable(Int64)"), ("op", "String"),
+                    ("seq", "Int64")]
+
+
+def _write_items_changelog(spark, tmp_path):
+    import os
+    changelog = tmp_path / "changelog" / "app.items"
+    os.makedirs(changelog)
+    rows = [
+        (1, "insert", 1, "first", 86400),
+        (2, "insert", 2, "second", 86400),
+        (3, "update", 1, "first-edited", 86400),
+        (4, "delete", 2, None, None),
+    ]
+    spark.createDataFrame(
+        rows, "seq long, op string, id long, title string, mydate long"
+    ).coalesce(1).write.mode("append").parquet(str(changelog))
+    return str(tmp_path / "changelog")
+
+
+# expected sink state (max seq per pk, tombstones kept), sink-space
+_EXPECTED_SINK = [
+    {"id": 1, "es_title": "first-edited", "mydate": 86400,
+     "op": "update", "seq": 3},
+    {"id": 2, "es_title": None, "mydate": None,
+     "op": "delete", "seq": 4},
+]
+
+
+def _checksum_cfg(tmp_path, url):
+    import os
+
+    from mysql_syncer_clickhouse_spark.config import EngineConfig
+    toml = os.path.join(os.path.dirname(__file__), "..", "etc",
+                        "river.toml")
+    cfg = EngineConfig.from_toml(toml)
+    cfg.data_dir = str(tmp_path / "log")
+    cfg.sink_addr = url
+    return cfg
+
+
+def test_cli_checksum_in_sync(spark, tmp_path):
+    from mysql_syncer_clickhouse_spark.__main__ import run_checksum
+    changelog = _write_items_changelog(spark, tmp_path)
+    srv = _ChecksumFakeCH(list(_EXPECTED_SINK), _CHECKSUM_SCHEMA,
+                          ["id"], 16)
+    try:
+        cfg = _checksum_cfg(tmp_path, srv.url)
+        out = run_checksum(cfg, changelog_dir=changelog, buckets=16,
+                           spark=spark)
+        line = next(x for x in out if x.get("rule") == "app:items")
+        assert line["in_sync"] is True
+        assert line["rows_src"] == 2 and line["rows_sink"] == 2
+        assert line["buckets_mismatched"] == 0
+        assert "diff" not in line
+        assert out[-1]["out_of_sync"] == []
+    finally:
+        srv.stop()
+
+
+def test_cli_checksum_deep_repair_emits_then_executes(spark, tmp_path):
+    """Drifted sink: pk 1 changed, pk 2 missing, pk 99 extra.  --deep
+    names each finding; --repair emits (not runs) the statements;
+    --execute drives them against the sink."""
+    from mysql_syncer_clickhouse_spark.__main__ import run_checksum
+    changelog = _write_items_changelog(spark, tmp_path)
+    drifted = [
+        {"id": 1, "es_title": "STALE", "mydate": 86400,
+         "op": "update", "seq": 3},
+        {"id": 99, "es_title": "ghost", "mydate": 1,
+         "op": "insert", "seq": 9},
+    ]
+    srv = _ChecksumFakeCH(drifted, _CHECKSUM_SCHEMA, ["id"], 16)
+    try:
+        cfg = _checksum_cfg(tmp_path, srv.url)
+        out = run_checksum(cfg, changelog_dir=changelog, buckets=16,
+                           deep=True, repair=True, spark=spark)
+        line = next(x for x in out if x.get("rule") == "app:items")
+        assert line["in_sync"] is False
+        got = {(d["id"], d["status"]): d["differing_columns"]
+               for d in line["diff"]}
+        assert got[(1, "value_mismatch")] == ["es_title"]
+        assert (2, "missing_in_sink") in got
+        assert (99, "extra_in_sink") in got
+        assert len(got) == 3
+        stmts = {s["status"]: s["statement"] for s in line["repair"]}
+        assert stmts["missing_in_sink"].startswith(
+            "INSERT INTO `olap`.`items_sink` FORMAT JSONEachRow")
+        assert '"es_title":null' in stmts["missing_in_sink"]
+        assert stmts["extra_in_sink"] == (
+            "ALTER TABLE `olap`.`items_sink` DELETE WHERE `id` = 99")
+        assert line["repair_executed"] is False
+        assert srv.writes == []          # emit-only by default
+
+        out2 = run_checksum(cfg, changelog_dir=changelog, buckets=16,
+                            deep=True, repair=True, execute=True,
+                            spark=spark)
+        line2 = next(x for x in out2 if x.get("rule") == "app:items")
+        assert line2["repair_executed"] is True
+        kinds = sorted(w.split(" ", 1)[0] for w in srv.writes)
+        assert kinds == ["ALTER", "INSERT", "INSERT"]
+    finally:
+        srv.stop()
+
+
+def test_cli_checksum_schema_drift_reported(spark, tmp_path):
+    from mysql_syncer_clickhouse_spark.__main__ import run_checksum
+    changelog = _write_items_changelog(spark, tmp_path)
+    # sink lost 'mydate' and grew 'bonus'
+    schema = [(n, t) for n, t in _CHECKSUM_SCHEMA if n != "mydate"]
+    schema.append(("bonus", "Nullable(String)"))
+    rows = [{k: v for k, v in r.items() if k != "mydate"}
+            for r in _EXPECTED_SINK]
+    srv = _ChecksumFakeCH(rows, schema, ["id"], 16)
+    try:
+        cfg = _checksum_cfg(tmp_path, srv.url)
+        out = run_checksum(cfg, changelog_dir=changelog, buckets=16,
+                           spark=spark)
+        line = next(x for x in out if x.get("rule") == "app:items")
+        assert line["schema_missing_in_sink"] == ["mydate"]
+        assert line["schema_extra_in_sink"] == ["bonus"]
+        assert line["in_sync"] is False   # schema gap = not in sync
+        assert line["buckets_mismatched"] == 0   # common data agrees
+    finally:
+        srv.stop()
+
+
+def test_cli_checksum_native_sink_needs_http_url(spark, tmp_path):
+    from mysql_syncer_clickhouse_spark.__main__ import run_checksum
+    changelog = _write_items_changelog(spark, tmp_path)
+    cfg = _checksum_cfg(tmp_path, "127.0.0.1:9000")
+    with pytest.raises(SystemExit, match="checksum-url"):
+        run_checksum(cfg, changelog_dir=changelog, spark=spark)
