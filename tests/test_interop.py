@@ -537,3 +537,121 @@ def test_osc_migration_replays_on_real_servers():
     rows = [line.split("\t")[:2]
             for line in desc.rstrip("\n").split("\n")]
     assert ["price", "Decimal(10, 2)"] in rows
+
+
+# ------------------------------------------------ sync-verify checksum
+
+def cityhash64_battery() -> list[bytes]:
+    """Deterministic inputs spanning every CityHash64 branch: the
+    0..16 sub-branches, 17..32 (k3 path), 33..64, and >64 with one,
+    two and many 64-byte loop iterations plus each tail residue."""
+    import random
+    rng = random.Random(0x64BEEF)
+    lengths = [0, 1, 2, 3, 4, 5, 7, 8, 9, 12, 15, 16, 17, 24, 31, 32,
+               33, 48, 63, 64, 65, 100, 127, 128, 129, 191, 192, 200,
+               255, 256, 1000]
+    return [bytes(rng.randrange(256) for _ in range(n))
+            for n in lengths]
+
+
+@needs_ch
+def test_cityhash64_matches_real_server():
+    """THE algorithm-fidelity check for the sync-verify pushdown mode:
+    our cityhash-1.0.2 CityHash64 must equal the server's SQL
+    cityHash64() on every branch (the in-sandbox tests can only pin
+    the empty string and compiled-vs-pure agreement)."""
+    from mysql_syncer_clickhouse_spark.sinks.cityhash102 import (
+        cityhash64)
+    for v in cityhash64_battery():
+        got = int(_ch_http(
+            f"SELECT cityHash64(unhex('{v.hex()}'))").strip())
+        assert got == cityhash64(v), (len(v), v.hex())
+
+
+CHECKSUM_T_COLUMNS = [
+    ("id", "Int64"), ("amt", "Nullable(Decimal(10,2))"),
+    ("d", "Nullable(Date)"), ("n", "Nullable(Int32)"),
+    ("name", "Nullable(String)"),
+    # explicit UTC so the server parses the inserted literals in the
+    # same zone Spark's UTC session does -- the canonical rendering
+    # itself hashes epoch micros, which is zone-free either way
+    ("ts", "Nullable(DateTime64(6, 'UTC'))"),
+]
+
+# JSONEachRow-shaped rows; the Spark twin frame is built from the same
+# literals in _checksum_spark_df
+CHECKSUM_T_ROWS = [
+    {"id": 1, "amt": "12.30", "d": "2024-01-02",
+     "n": 7, "name": "alpha", "ts": "2024-01-02 03:04:05.000000"},
+    {"id": 2, "amt": "-0.01", "d": "1970-01-01",
+     "n": None, "name": None, "ts": "2024-01-02 03:04:05.123456"},
+    {"id": 3, "amt": None, "d": None,
+     "n": -5, "name": "émoji™", "ts": None},
+    {"id": 4, "amt": "0.00", "d": "2038-01-19",
+     "n": 2147483647, "name": "it's\ttab", "ts": None},
+]
+
+
+def _checksum_spark_df(spark):
+    import datetime as dt
+    from decimal import Decimal
+
+    def ts(s):
+        return (None if s is None else
+                dt.datetime.strptime(s, "%Y-%m-%d %H:%M:%S.%f"))
+
+    def d(s):
+        return None if s is None else dt.date.fromisoformat(s)
+
+    rows = [(r["id"],
+             None if r["amt"] is None else Decimal(r["amt"]),
+             d(r["d"]), r["n"], r["name"], ts(r["ts"]))
+            for r in CHECKSUM_T_ROWS]
+    return spark.createDataFrame(
+        rows, "id long, amt decimal(10,2), d date, n int, "
+              "name string, ts timestamp")
+
+
+def checksum_digest_roundtrip(spark, n_buckets: int = 8):
+    """Shared body: build the table server-side, digest it with ONE
+    emitted aggregate query, digest the same rows in Spark, compare;
+    then perturb the server side and require the mismatch to show."""
+    import json as _json
+
+    from mysql_syncer_clickhouse_spark.operators import syncverify as sv
+    _ch_http("CREATE DATABASE IF NOT EXISTS msc_interop")
+    _ch_http("DROP TABLE IF EXISTS msc_interop.t_checksum")
+    cols_sql = ", ".join(f"`{n}` {t}" for n, t in CHECKSUM_T_COLUMNS)
+    _ch_http(f"CREATE TABLE msc_interop.t_checksum ({cols_sql}) "
+             "ENGINE = MergeTree ORDER BY id")
+    body = "\n".join(_json.dumps(r) for r in CHECKSUM_T_ROWS)
+    _ch_http("INSERT INTO msc_interop.t_checksum FORMAT JSONEachRow",
+             body.encode())
+
+    df = _checksum_spark_df(spark)
+    sql = sv.clickhouse_digest_sql(
+        "msc_interop", "t_checksum", CHECKSUM_T_COLUMNS, ["id"],
+        n_buckets)
+    server = sv.parse_digest_tsv(_ch_http(sql))
+    mine = sv.spark_pushdown_digest(
+        df, CHECKSUM_T_COLUMNS, ["id"], n_buckets).collect()
+    cmp = sv.compare_digests(mine, server)
+    assert cmp.rows_src == len(CHECKSUM_T_ROWS)
+    assert cmp.in_sync, cmp.mismatched
+
+    # a drifted sink must NOT digest equal
+    _ch_http("INSERT INTO msc_interop.t_checksum FORMAT JSONEachRow",
+             b'{"id": 99, "amt": null, "d": null, "n": null, '
+             b'"name": "ghost", "ts": null}')
+    drifted = sv.parse_digest_tsv(_ch_http(sql))
+    assert not sv.compare_digests(mine, drifted).in_sync
+
+
+@needs_ch
+def test_checksum_digest_matches_real_server(spark):
+    """The sync-verify canonical-rendering contract against a REAL
+    server: toString semantics for Decimal scale / Date / Int,
+    toUnixTimestamp64Micro, byte-length prefixes, NULL sentinel
+    through concat+coalesce, groupBitXor, sum(toUInt256) and the
+    cityHash64 bucketing -- all in one emitted aggregate."""
+    checksum_digest_roundtrip(spark)

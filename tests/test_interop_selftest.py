@@ -348,3 +348,139 @@ def test_selftest_osc_migration_replay(mysql_fake_env, ch_fake_env,
         "EXISTS `price` Decimal(10,2) AFTER `title`"]
     assert executed[0] in ch_fake_env.queries
     assert [c[0] for c in sink.columns] == ["id", "title", "price"]
+
+
+# ------------------------------------------------ sync-verify checksum
+
+
+class _ChecksumHTTPFake:
+    """Twin of the real server for the checksum interop bodies: an
+    HTTP endpoint that ACCEPTS the bodies' DDL/INSERT traffic and
+    EVALUATES cityHash64 probes and the emitted digest aggregate with
+    its own converters (epoch-micros for DateTime64, quantized
+    Decimal rendering) -- an independent re-statement of the
+    canonical-rendering contract, not a replay of the module's Spark
+    expressions."""
+
+    def __init__(self):
+        self.rows: list[dict] = []
+        self._lock = threading.Lock()
+        outer = self
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def do_POST(self):               # noqa: N802
+                n = int(self.headers.get("Content-Length", 0))
+                body = self.rfile.read(n)
+                q = urllib.parse.parse_qs(
+                    urllib.parse.urlparse(self.path).query)
+                query = q.get("query", [""])[0]
+                resp = outer._serve(query, body)
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(resp)))
+                self.end_headers()
+                self.wfile.write(resp)
+
+            def log_message(self, *a):
+                pass
+
+        self._httpd = http.server.ThreadingHTTPServer(
+            ("127.0.0.1", 0), Handler)
+        self.addr = (f"127.0.0.1:{self._httpd.server_address[1]}")
+        threading.Thread(target=self._httpd.serve_forever,
+                         daemon=True).start()
+
+    # canonical rendering, independent implementation
+    def _canon(self, r: dict) -> bytes:
+        from tests.test_interop import CHECKSUM_T_COLUMNS
+        parts = []
+        for name, typ in CHECKSUM_T_COLUMNS:
+            v = r.get(name)
+            if v is None:
+                parts.append("N")
+                continue
+            if typ.startswith("Nullable("):
+                typ_i = typ[len("Nullable("):-1]
+            else:
+                typ_i = typ
+            if typ_i.startswith("DateTime64"):
+                dt_v = datetime.datetime.strptime(
+                    v, "%Y-%m-%d %H:%M:%S.%f")
+                epoch = datetime.datetime(1970, 1, 1)
+                s = str(int((dt_v - epoch).total_seconds()) * 10**6
+                        + dt_v.microsecond)
+            elif typ_i.startswith("Decimal"):
+                s = str(Decimal(v).quantize(Decimal("0.01")))
+            else:
+                s = str(v)
+            parts.append(f"{len(s.encode())}:{s}")
+        return "".join(parts).encode()
+
+    def _serve(self, query: str, body: bytes) -> bytes:
+        import collections
+        import json as _json
+        import re
+
+        from mysql_syncer_clickhouse_spark.sinks.cityhash102 import (
+            cityhash64)
+        with self._lock:
+            m = re.match(r"SELECT cityHash64\(unhex\('([0-9a-f]*)'\)\)",
+                         query)
+            if m:
+                return str(cityhash64(
+                    bytes.fromhex(m.group(1)))).encode()
+            if query.startswith("INSERT"):
+                for line in body.decode().splitlines():
+                    if line.strip():
+                        self.rows.append(_json.loads(line))
+                return b""
+            if query.startswith(("CREATE", "DROP")):
+                if query.startswith("DROP TABLE"):
+                    self.rows.clear()
+                return b""
+            if "groupBitXor" in query:
+                mm = re.search(r"%\s*(\d+)\s+AS bucket", query)
+                n = int(mm.group(1))
+                agg = collections.defaultdict(lambda: [0, 0, 0])
+                for r in self.rows:
+                    fp = cityhash64(self._canon(r))
+                    pk = str(r["id"])
+                    b = cityhash64(
+                        f"{len(pk)}:{pk}".encode()) % n
+                    agg[b][0] += 1
+                    agg[b][1] ^= fp
+                    agg[b][2] += fp
+                return "".join(
+                    f"{b}\t{v[0]}\t{v[1]}\t{v[2]}\n"
+                    for b, v in sorted(agg.items())).encode()
+            return b""
+
+    def stop(self):
+        self._httpd.shutdown()
+        self._httpd.server_close()
+
+
+@pytest.fixture()
+def checksum_fake_env(monkeypatch):
+    srv = _ChecksumHTTPFake()
+    monkeypatch.setenv("CLICKHOUSE_HTTP_ADDR", srv.addr)
+    monkeypatch.delenv("CLICKHOUSE_USER", raising=False)
+    monkeypatch.delenv("CLICKHOUSE_PASSWORD", raising=False)
+    yield srv
+    srv.stop()
+
+
+def test_selftest_cityhash64_probe(checksum_fake_env):
+    """Keeps the battery/probe plumbing executing. The fake answers
+    with the pure-Python CityHash64, so this twin validates query
+    construction and response parsing -- algorithm-level validation
+    is only meaningful against a real server (the gated test)."""
+    IT.test_cityhash64_matches_real_server()
+
+
+def test_selftest_checksum_digest(checksum_fake_env, spark):
+    """The full digest round-trip against the evaluating fake: the
+    body's CREATE/INSERT traffic lands in the fake's row store, the
+    emitted aggregate is EVALUATED with independent converters, and
+    the Spark-side digest must agree (then disagree after the
+    perturbing INSERT)."""
+    IT.checksum_digest_roundtrip(spark)
