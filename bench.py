@@ -321,6 +321,47 @@ def main() -> None:
     except Exception:
         native_sink = None
 
+    # Sync-verify digest rates (round 13): the --checksum path's two
+    # hash regimes over the sf's largest table. spark_mode is the
+    # JVM xxhash64 digest (whole-stage codegen, what read-back
+    # verification uses); pushdown_spark_side is the CityHash-udf
+    # digest (canonical-string build JVM-side, batch ctypes hash --
+    # the only Python in that plan) that must match the server's ONE
+    # aggregate. Both are one scan + an n_buckets-row shuffle, so
+    # rows/s here IS the per-core verify rate at any scale.
+    sync_checksum = None
+    try:
+        from mysql_syncer_clickhouse_spark.operators import (
+            syncverify as _sv)
+        _li = spark.read.parquet(
+            os.path.join(sf_dir, "lineitem.parquet"))
+        _pk = ["l_orderkey", "l_linenumber"]
+        _n_li = _li.count()
+        t0 = time.perf_counter()
+        _sv.bucket_digest(_li, _pk, 1024).collect()
+        _spark_rps = _n_li / (time.perf_counter() - t0)
+        # pushdown refuses floats by contract: digest the non-float
+        # columns (the documented remedy)
+        _cols = [(f.name, {"bigint": "Int64", "int": "Int32",
+                           "string": "String",
+                           "timestamp": "DateTime64(6)",
+                           "timestamp_ntz": "DateTime64(6)"}
+                  [f.dataType.simpleString()])
+                 for f in _li.schema.fields
+                 if f.dataType.simpleString() != "double"]
+        t0 = time.perf_counter()
+        _sv.spark_pushdown_digest(
+            _li.select(*[c for c, _ in _cols]), _cols, _pk,
+            1024).collect()
+        _push_rps = _n_li / (time.perf_counter() - t0)
+        sync_checksum = {
+            "rows": _n_li,
+            "spark_mode": round(_spark_rps),
+            "pushdown_spark_side": round(_push_rps),
+        }
+    except Exception:
+        sync_checksum = None
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "headline_query_wall_sec",
@@ -345,6 +386,8 @@ def main() -> None:
         out["scale_curve_10x"] = curve
     if cdc_rps:
         out["cdc_apply_rows_per_sec"] = cdc_rps
+    if sync_checksum:
+        out["sync_checksum_rows_per_sec"] = sync_checksum
     if native_sink:
         out["native_sink_rows_per_sec"] = {
             "lz4": native_sink["lz4"]["rows_per_sec"],
