@@ -340,15 +340,12 @@ def main() -> None:
         t0 = time.perf_counter()
         _sv.bucket_digest(_li, _pk, 1024).collect()
         _spark_rps = _n_li / (time.perf_counter() - t0)
-        # pushdown refuses floats by contract: digest the non-float
-        # columns (the documented remedy)
         _cols = [(f.name, {"bigint": "Int64", "int": "Int32",
-                           "string": "String",
+                           "string": "String", "double": "Float64",
                            "timestamp": "DateTime64(6)",
                            "timestamp_ntz": "DateTime64(6)"}
                   [f.dataType.simpleString()])
-                 for f in _li.schema.fields
-                 if f.dataType.simpleString() != "double"]
+                 for f in _li.schema.fields]
         t0 = time.perf_counter()
         _sv.spark_pushdown_digest(
             _li.select(*[c for c, _ in _cols]), _cols, _pk,

@@ -656,7 +656,7 @@ def run_checksum(cfg: EngineConfig, *, changelog_dir: str | None = None,
             body = hsink.execute(sv.clickhouse_digest_sql(
                 rule.sink_schema, rule.sink_table, columns, pk,
                 buckets, final=True))
-        except ValueError as e:      # float refusal, with its remedy
+        except ValueError as e:      # renderer refusal, with remedy
             line["error"] = str(e)
             results.append(line)
             continue

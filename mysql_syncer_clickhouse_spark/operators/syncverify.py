@@ -303,14 +303,6 @@ def sync_verify(src: DataFrame, dst: DataFrame, pk_cols: list[str],
 
 # ------------------------------------------------- pushdown (mode B)
 
-_PUSHDOWN_REFUSE = (
-    "column `{col}` has ClickHouse type {typ}: float formatting is "
-    "engine-specific (shortest-roundtrip vs printf), so pushdown "
-    "digests would mismatch on equal data. Remedy: verify this table "
-    "in Spark mode (read the sink back), or exclude the column from "
-    "value_cols.")
-
-
 def _ch_canon_part(name: str, ch_type: str) -> str:
     """ClickHouse SQL rendering ONE column into its canonical string
     (before length-prefixing); must mirror `_spark_canon_part`."""
@@ -321,7 +313,12 @@ def _ch_canon_part(name: str, ch_type: str) -> str:
         t = t[len("LowCardinality("):-1]
     q = f"`{name}`"
     if t.startswith("Float"):
-        raise ValueError(_PUSHDOWN_REFUSE.format(col=name, typ=t))
+        # floats hash by IEEE BIT PATTERN, never by text: float
+        # formatting is engine-specific (shortest-roundtrip vs
+        # printf), but a synced float is the same double on both
+        # sides, so its bits are the engine-neutral identity
+        width = "64" if t == "Float64" else "32"
+        return f"toString(reinterpretAsUInt{width}({q}))"
     if t in ("String",) or t.startswith("FixedString"):
         return q
     if t.startswith("DateTime64"):
@@ -392,6 +389,28 @@ def parse_digest_tsv(body: bytes) -> list[dict]:
     return out
 
 
+def _float_bits_udf(width: int):
+    """pandas_udf: IEEE bit pattern of a float column as decimal-digit
+    strings (the Spark twin of reinterpretAsUInt64/32).  Arrow hands
+    nullable floats to pandas as NaN; MySQL cannot store NaN, so NaN
+    here IS null and maps back to None (the JVM-side NULL sentinel
+    then applies, identical to the server's NULL propagation)."""
+    import numpy as np
+    import pandas as pd
+
+    def _bits(s):
+        arr = s.to_numpy(
+            dtype=np.float64 if width == 64 else np.float32)
+        view = arr.view(np.uint64 if width == 64 else np.uint32)
+        mask = np.isnan(arr)
+        return pd.Series(
+            [None if m else str(int(v))
+             for v, m in zip(view, mask)])
+
+    _bits.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return F.pandas_udf(_bits, "string")
+
+
 def _spark_canon_part(col: Column, spark_type: T.DataType,
                       ch_type: str, name: str) -> Column:
     """Spark rendering of ONE column's canonical string -- must equal
@@ -401,7 +420,9 @@ def _spark_canon_part(col: Column, spark_type: T.DataType,
         if t.startswith(wrap) and t.endswith(")"):
             t = t[len(wrap):-1]
     if t.startswith("Float"):
-        raise ValueError(_PUSHDOWN_REFUSE.format(col=name, typ=t))
+        width = 64 if t == "Float64" else 32
+        return _float_bits_udf(width)(
+            col.cast("double" if width == 64 else "float"))
     if t == "String" or t.startswith("FixedString"):
         return col.cast("string")
     if t.startswith("DateTime64"):

@@ -570,7 +570,8 @@ def test_cityhash64_matches_real_server():
 
 CHECKSUM_T_COLUMNS = [
     ("id", "Int64"), ("amt", "Nullable(Decimal(10,2))"),
-    ("d", "Nullable(Date)"), ("n", "Nullable(Int32)"),
+    ("d", "Nullable(Date)"), ("f", "Nullable(Float64)"),
+    ("n", "Nullable(Int32)"),
     ("name", "Nullable(String)"),
     # explicit UTC so the server parses the inserted literals in the
     # same zone Spark's UTC session does -- the canonical rendering
@@ -581,13 +582,13 @@ CHECKSUM_T_COLUMNS = [
 # JSONEachRow-shaped rows; the Spark twin frame is built from the same
 # literals in _checksum_spark_df
 CHECKSUM_T_ROWS = [
-    {"id": 1, "amt": "12.30", "d": "2024-01-02",
+    {"id": 1, "amt": "12.30", "d": "2024-01-02", "f": 3.25,
      "n": 7, "name": "alpha", "ts": "2024-01-02 03:04:05.000000"},
-    {"id": 2, "amt": "-0.01", "d": "1970-01-01",
+    {"id": 2, "amt": "-0.01", "d": "1970-01-01", "f": None,
      "n": None, "name": None, "ts": "2024-01-02 03:04:05.123456"},
-    {"id": 3, "amt": None, "d": None,
+    {"id": 3, "amt": None, "d": None, "f": -0.0,
      "n": -5, "name": "émoji™", "ts": None},
-    {"id": 4, "amt": "0.00", "d": "2038-01-19",
+    {"id": 4, "amt": "0.00", "d": "2038-01-19", "f": 1e300,
      "n": 2147483647, "name": "it's\ttab", "ts": None},
 ]
 
@@ -605,10 +606,10 @@ def _checksum_spark_df(spark):
 
     rows = [(r["id"],
              None if r["amt"] is None else Decimal(r["amt"]),
-             d(r["d"]), r["n"], r["name"], ts(r["ts"]))
+             d(r["d"]), r["f"], r["n"], r["name"], ts(r["ts"]))
             for r in CHECKSUM_T_ROWS]
     return spark.createDataFrame(
-        rows, "id long, amt decimal(10,2), d date, n int, "
+        rows, "id long, amt decimal(10,2), d date, f double, n int, "
               "name string, ts timestamp")
 
 
@@ -641,8 +642,8 @@ def checksum_digest_roundtrip(spark, n_buckets: int = 8):
 
     # a drifted sink must NOT digest equal
     _ch_http("INSERT INTO msc_interop.t_checksum FORMAT JSONEachRow",
-             b'{"id": 99, "amt": null, "d": null, "n": null, '
-             b'"name": "ghost", "ts": null}')
+             b'{"id": 99, "amt": null, "d": null, "f": null, '
+             b'"n": null, "name": "ghost", "ts": null}')
     drifted = sv.parse_digest_tsv(_ch_http(sql))
     assert not sv.compare_digests(mine, drifted).in_sync
 

@@ -410,6 +410,9 @@ class _ChecksumHTTPFake:
                         + dt_v.microsecond)
             elif typ_i.startswith("Decimal"):
                 s = str(Decimal(v).quantize(Decimal("0.01")))
+            elif typ_i.startswith("Float"):
+                s = str(struct.unpack(
+                    "<Q", struct.pack("<d", float(v)))[0])
             else:
                 s = str(v)
             parts.append(f"{len(s.encode())}:{s}")

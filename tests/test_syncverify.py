@@ -211,14 +211,40 @@ def test_canonical_multibyte_uses_byte_length(spark):
     assert c == "2:é"          # 2 UTF-8 bytes, 1 character
 
 
-def test_pushdown_refuses_float_columns_both_sides(spark):
-    with pytest.raises(ValueError, match="Float"):
-        sv.clickhouse_digest_sql(
-            "db", "t", [("id", "Int64"), ("x", "Float64")], ["id"], 8)
-    df = spark.createDataFrame([(1, 1.5)], "id long, x double")
-    with pytest.raises(ValueError, match="Float"):
-        sv.spark_canonical_row(
-            df, [("id", "Int64"), ("x", "Float64")])
+def test_pushdown_floats_hash_by_bit_pattern(spark):
+    """Floats never render as text (engine-specific formatting): the
+    canonical value is the IEEE bit pattern, identical to the emitted
+    reinterpretAsUInt64/32.  NULL keeps the sentinel."""
+    import struct as _struct
+    rows = [(1, 1.5, 2.5), (2, -0.0, None), (3, 1e300, 3.14)]
+    df = spark.createDataFrame(rows, "id long, x double, y float")
+    cols = [("id", "Int64"), ("x", "Float64"),
+            ("y", "Nullable(Float32)")]
+    sql = sv.clickhouse_digest_sql("db", "t", cols, ["id"], 8)
+    assert "reinterpretAsUInt64(`x`)" in sql
+    assert "reinterpretAsUInt32(`y`)" in sql
+    got = {r["id"]: r["c"] for r in df.select(
+        "id", sv.spark_canonical_row(df, cols).alias("c")).collect()}
+
+    def bits64(v):
+        return str(_struct.unpack("<Q", _struct.pack("<d", v))[0])
+
+    def bits32(v):
+        return str(_struct.unpack("<I", _struct.pack("<f", v))[0])
+
+    for (i, x, y) in rows:
+        xs, ys = bits64(x), (None if y is None else bits32(y))
+        want = f"1:{i}{len(xs)}:{xs}"
+        want += "N" if ys is None else f"{len(ys)}:{ys}"
+        assert got[i] == want, (i, got[i], want)
+    # -0.0 and 0.0 are DIFFERENT bit patterns: the digest must tell
+    # them apart (both engines store what they were given)
+    z = spark.createDataFrame([(1, 0.0)], "id long, x double")
+    nz = spark.createDataFrame([(1, -0.0)], "id long, x double")
+    c2 = [("id", "Int64"), ("x", "Float64")]
+    dz = sv.spark_pushdown_digest(z, c2, ["id"], 4).collect()
+    dnz = sv.spark_pushdown_digest(nz, c2, ["id"], 4).collect()
+    assert not sv.compare_digests(dz, dnz).in_sync
 
 
 def test_pushdown_digest_matches_independent_evaluator(spark):
