@@ -56,6 +56,22 @@ class _AggregatedMetrics:
         return {"applied_seq": max(seqs) if seqs else None,
                 "applied_epoch": max(epochs) if epochs else None}
 
+    def lag_snapshot(self) -> dict | None:
+        """The WORST rule's apply lag (a fleet is as behind as its
+        most-behind table); staleness is the freshest apply so an
+        active fleet with one idle rule doesn't read as stalled."""
+        snaps = [s for s in (p.metrics.lag_snapshot()
+                             for p in self._pipes) if s]
+        if not snaps:
+            return None
+        worst = max(snaps, key=lambda s: s["apply_lag_seconds"])
+        return {
+            "last_event_ts": worst["last_event_ts"],
+            "apply_lag_seconds": worst["apply_lag_seconds"],
+            "since_last_apply_seconds": min(
+                s["since_last_apply_seconds"] for s in snaps),
+        }
+
     def sink_snapshot(self) -> dict | None:
         """Sum every rule's sink counters; rate derives from the sums
         (rows / summed connection wall = fleet-wide rows/s/conn)."""

@@ -46,11 +46,13 @@ def _thread_stacks() -> dict[str, list[str]]:
     }
 
 
-def _prometheus_text(counts: dict, position: dict | None) -> str:
+def _prometheus_text(counts: dict, position: dict | None,
+                     lag: dict | None = None) -> str:
     """Render the counters + position in the Prometheus text exposition
     format (the de-facto scrape contract): one `sync_ops_total` counter
-    per op label, plus gauges for the applied position. Metric names
-    are stable; no client library needed for the text format."""
+    per op label, plus gauges for the applied position and replication
+    lag. Metric names are stable; no client library needed for the
+    text format."""
     lines = [
         "# TYPE sync_ops_total counter",
     ]
@@ -63,6 +65,13 @@ def _prometheus_text(counts: dict, position: dict | None) -> str:
             lines.append("# TYPE sync_applied_epoch gauge")
             lines.append(
                 f"sync_applied_epoch {position['applied_epoch']}")
+    if lag:
+        lines.append("# TYPE sync_apply_lag_seconds gauge")
+        lines.append(
+            f"sync_apply_lag_seconds {lag['apply_lag_seconds']}")
+        lines.append("# TYPE sync_since_last_apply_seconds gauge")
+        lines.append(f"sync_since_last_apply_seconds "
+                     f"{lag['since_last_apply_seconds']}")
     return "\n".join(lines) + "\n"
 
 
@@ -107,8 +116,11 @@ class StatusServer:
                     if snap is not None \
                             and snap.get("applied_seq") is None:
                         snap = None
+                    lag_fn = getattr(outer._metrics, "lag_snapshot",
+                                     None)
+                    lag = lag_fn() if lag_fn is not None else None
                     body = _prometheus_text(
-                        outer._metrics.snapshot(), snap).encode()
+                        outer._metrics.snapshot(), snap, lag).encode()
                     self.send_response(200)
                     self.send_header("Content-Type",
                                      "text/plain; version=0.0.4")
@@ -135,6 +147,14 @@ class StatusServer:
                     snap = sink_fn()
                     if snap:
                         payload["sink"] = snap
+                # replication lag (event clock vs apply wall clock;
+                # pt-heartbeat semantics -- see SyncMetrics.
+                # lag_snapshot), None until a ts-bearing batch applies
+                lag_fn = getattr(outer._metrics, "lag_snapshot", None)
+                if lag_fn is not None:
+                    snap = lag_fn()
+                    if snap:
+                        payload["lag"] = snap
                 # live applied position (max seq + epoch), read at
                 # request time -- the read_binlog analog
                 pos = getattr(outer._metrics, "position_snapshot", None)

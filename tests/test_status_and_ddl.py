@@ -6,6 +6,8 @@ from __future__ import annotations
 import json
 import urllib.request
 
+import pytest
+
 from mysql_syncer_clickhouse_spark.functions.typemap import (
     clickhouse_create_table_ddl, mysql_to_clickhouse_type)
 from mysql_syncer_clickhouse_spark.streaming.pipeline import SyncMetrics
@@ -236,3 +238,105 @@ def test_lsh_cap_metrics_surface_on_stat_endpoint(spark):
     dedup.record_lsh_cap_metrics(obs2, m)
     assert m.counts["lsh_bucket_cap_rows_dropped"] == 450 + 400
     assert m.counts["lsh_bucket_cap_max_bucket_size"] == 500
+
+
+def test_metrics_record_event_ts_semantics():
+    """Replication-lag bookkeeping: datetime and epoch inputs advance
+    the event clock monotonically, a payload column merely NAMED ts
+    (string) is ignored, and lag_snapshot reports apply-time latency
+    plus staleness."""
+    import datetime as dt
+    import time
+
+    from mysql_syncer_clickhouse_spark.streaming.pipeline import (
+        SyncMetrics)
+    m = SyncMetrics()
+    assert m.lag_snapshot() is None
+    t_event = time.time() - 7.5
+    m.record_event_ts(dt.datetime.fromtimestamp(t_event))
+    snap = m.lag_snapshot()
+    assert 7.0 < snap["apply_lag_seconds"] < 8.5
+    assert 0 <= snap["since_last_apply_seconds"] < 2
+    # monotonic: an older replayed ts cannot move the clock back
+    m.record_event_ts(t_event - 100)
+    assert m.applied_event_ts == pytest.approx(t_event, abs=1e-3)
+    # newer epoch-number input advances it
+    m.record_event_ts(t_event + 5)
+    assert m.applied_event_ts == pytest.approx(t_event + 5, abs=1e-3)
+    # junk named ts is ignored, not fatal
+    m.record_event_ts("not-a-time")
+    assert m.applied_event_ts == pytest.approx(t_event + 5, abs=1e-3)
+
+
+def test_stat_serves_replication_lag(spark, tmp_path):
+    """A ts-bearing changelog lights up /stat's lag block and the
+    /metrics gauges; the ts-less fixture (other tests) never does."""
+    import datetime as dt
+    import os
+    import time
+
+    from mysql_syncer_clickhouse_spark.plans.rules import Rule
+    from mysql_syncer_clickhouse_spark.streaming.pipeline import (
+        StreamingSyncPipeline)
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    now = time.time()
+    rows = [
+        (1, dt.datetime.fromtimestamp(now - 30), "insert", 1, "a"),
+        (2, dt.datetime.fromtimestamp(now - 12), "update", 1, "b"),
+    ]
+    df = spark.createDataFrame(
+        rows, "seq long, ts timestamp, op string, id long, v string")
+    df.coalesce(1).write.mode("append").parquet(src)
+    rule = Rule(source_schema="app", source_table="t",
+                sink_schema="olap", sink_table="t", pk=("id",))
+    pipe = StreamingSyncPipeline(rule, ["id"], str(tmp_path / "sink"),
+                                 str(tmp_path / "ckpt"))
+    srv = StatusServer(pipe.metrics, port=0)
+    srv.start()
+    try:
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{srv.port}/stat", timeout=5) as r:
+            assert "lag" not in json.loads(r.read())
+        pipe.run_available(spark, src, df.schema)
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{srv.port}/stat", timeout=5) as r:
+            lag = json.loads(r.read())["lag"]
+        # newest applied event is ~12s old; the apply just happened
+        assert 10 < lag["apply_lag_seconds"] < 60
+        assert lag["since_last_apply_seconds"] < 30
+        assert lag["last_event_ts"] == pytest.approx(now - 12, abs=1.0)
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{srv.port}/metrics", timeout=5) as r:
+            text = r.read().decode()
+        assert "sync_apply_lag_seconds " in text
+        assert "sync_since_last_apply_seconds " in text
+    finally:
+        srv.stop()
+
+
+def test_aggregated_lag_is_worst_rule(spark):
+    """The CLI's fleet /stat reports the MOST-BEHIND rule's lag and
+    the FRESHEST apply staleness."""
+    import time
+
+    from mysql_syncer_clickhouse_spark.__main__ import (
+        _AggregatedMetrics)
+    from mysql_syncer_clickhouse_spark.plans.rules import Rule
+    from mysql_syncer_clickhouse_spark.streaming.pipeline import (
+        StreamingSyncPipeline)
+
+    now = time.time()
+    pipes = []
+    for behind in (5, 90):
+        rule = Rule(source_schema="a", source_table=f"t{behind}",
+                    sink_schema="a", sink_table=f"t{behind}", pk=("id",))
+        p = StreamingSyncPipeline(rule, ["id"], "/tmp/x", "/tmp/y")
+        p.metrics.record_event_ts(now - behind)
+        pipes.append(p)
+    agg = _AggregatedMetrics(pipes)
+    lag = agg.lag_snapshot()
+    assert 85 < lag["apply_lag_seconds"] < 95
+    assert lag["since_last_apply_seconds"] < 5
+    assert _AggregatedMetrics([]).lag_snapshot() is None
