@@ -666,12 +666,15 @@ def run_checksum(cfg: EngineConfig, *, changelog_dir: str | None = None,
         columns = [(c, ch_types[c]) for c in common]
         pk_pairs = [(c, ch_types[c]) for c in pk]
         exp_common = expected.select(*common)
+        from pyspark.sql import types as _T
+        binary_cols = {f.name for f in exp_common.schema.fields
+                       if isinstance(f.dataType, _T.BinaryType)}
         try:
             src_rows = sv.spark_pushdown_digest(
                 exp_common, columns, pk, buckets).collect()
             body = hsink.execute(sv.clickhouse_digest_sql(
                 rule.sink_schema, rule.sink_table, columns, pk,
-                buckets, final=True))
+                buckets, final=True, binary_cols=binary_cols))
         except ValueError as e:      # renderer refusal, with remedy
             line["error"] = str(e)
             results.append(line)
@@ -687,7 +690,8 @@ def run_checksum(cfg: EngineConfig, *, changelog_dir: str | None = None,
             dst = read_clickhouse_http(
                 spark, http_url, rule.sink_schema, rule.sink_table,
                 exp_common.schema,
-                split_expr=sv.clickhouse_bucket_sql(pk_pairs, buckets),
+                split_expr=sv.clickhouse_bucket_sql(
+                    pk_pairs, buckets, binary_cols),
                 n_splits=buckets, split_values=cmp.mismatched,
                 final=True, user=cfg.sink_user,
                 password=cfg.sink_pass)

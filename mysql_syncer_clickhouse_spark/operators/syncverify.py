@@ -44,10 +44,13 @@ Two execution modes:
   canonical rendering built by `canonical_row`.  The canonical
   rendering is length-prefixed (`len:value`) so concatenation is
   injective, uses `N` for NULL (can never collide: real entries
-  start with digits + ':'), and renders times as epoch numbers so
-  server-timezone formatting can't diverge.  Float columns REFUSE in
-  pushdown mode (shortest-roundtrip float formatting differs between
-  engines); use Spark mode or exclude the column.
+  start with digits + ':'), renders times as epoch numbers so
+  server-timezone formatting can't diverge, floats as IEEE BIT
+  PATTERNS (reinterpretAsUInt64/32 server-side, a numpy bit view in
+  the udf) because float TEXT formatting is engine-specific while a
+  synced float is the same double on both sides, and binary columns
+  as uppercase hex (ClickHouse String is byte-transparent, Spark
+  strings are UTF-8; hex is the injective common ground).
 
 Reference gap being closed: river/sync.go applies rows and hopes;
 this is the verification half the reference never had.
@@ -303,15 +306,22 @@ def sync_verify(src: DataFrame, dst: DataFrame, pk_cols: list[str],
 
 # ------------------------------------------------- pushdown (mode B)
 
-def _ch_canon_part(name: str, ch_type: str) -> str:
+def _ch_canon_part(name: str, ch_type: str,
+                   binary: bool = False) -> str:
     """ClickHouse SQL rendering ONE column into its canonical string
-    (before length-prefixing); must mirror `_spark_canon_part`."""
+    (before length-prefixing); must mirror `_spark_canon_part`.
+    `binary`: the column holds raw bytes (ClickHouse String is
+    byte-transparent, but Spark strings are UTF-8) -- canonicalize as
+    uppercase hex on both sides, which is injective and
+    engine-identical."""
     t = ch_type
     if t.startswith("Nullable(") and t.endswith(")"):
         t = t[len("Nullable("):-1]
     if t.startswith("LowCardinality(") and t.endswith(")"):
         t = t[len("LowCardinality("):-1]
     q = f"`{name}`"
+    if binary:
+        return f"hex({q})"
     if t.startswith("Float"):
         # floats hash by IEEE BIT PATTERN, never by text: float
         # formatting is engine-specific (shortest-roundtrip vs
@@ -331,30 +341,35 @@ def _ch_canon_part(name: str, ch_type: str) -> str:
     return f"toString({q})"
 
 
-def _ch_canon(cols: list[tuple[str, str]]) -> str:
+def _ch_canon(cols: list[tuple[str, str]],
+              binary_cols: set | None = None) -> str:
     """length-prefixed, NULL-sentineled concatenation of all columns.
     NULL propagates through concat, so coalesce marks it AFTER the
     prefix is built; 'N' cannot collide with '<digits>:'..."""
     parts = []
     for name, ch_type in cols:
-        v = _ch_canon_part(name, ch_type)
+        v = _ch_canon_part(name, ch_type,
+                           binary=name in (binary_cols or ()))
         parts.append(
             f"coalesce(concat(toString(length({v})), ':', {v}), 'N')")
     return f"concat({', '.join(parts)})"
 
 
 def clickhouse_bucket_sql(pk_pairs: list[tuple[str, str]],
-                          n_buckets: int) -> str:
+                          n_buckets: int,
+                          binary_cols: set | None = None) -> str:
     """The server-side bucket expression -- shared by the digest query
     and the drill-down read-back's IN-list predicate, so both sides of
     a bucket always mean the same rows."""
-    return f"cityHash64({_ch_canon(pk_pairs)}) % {n_buckets}"
+    return (f"cityHash64({_ch_canon(pk_pairs, binary_cols)}) "
+            f"% {n_buckets}")
 
 
 def clickhouse_digest_sql(database: str, table: str,
                           columns: list[tuple[str, str]],
                           pk_cols: list[str], n_buckets: int,
-                          final: bool = False) -> str:
+                          final: bool = False,
+                          binary_cols: set | None = None) -> str:
     """ONE server-side aggregate query producing the same
     (bucket, cnt, xor_fp, sum_fp) digest `spark_pushdown_digest`
     computes -- the ClickHouse side of a 100 TB verification never
@@ -364,8 +379,8 @@ def clickhouse_digest_sql(database: str, table: str,
     duplicate_pk_in_sink findings, which is also a truth)."""
     by_name = dict(columns)
     pk_pairs = [(c, by_name[c]) for c in pk_cols]
-    canon = _ch_canon(columns)
-    bucket = clickhouse_bucket_sql(pk_pairs, n_buckets)
+    canon = _ch_canon(columns, binary_cols)
+    bucket = clickhouse_bucket_sql(pk_pairs, n_buckets, binary_cols)
     fin = " FINAL" if final else ""
     return (
         "SELECT bucket, count() AS cnt, groupBitXor(fp) AS xor_fp, "
@@ -423,6 +438,13 @@ def _spark_canon_part(col: Column, spark_type: T.DataType,
         width = 64 if t == "Float64" else 32
         return _float_bits_udf(width)(
             col.cast("double" if width == 64 else "float"))
+    if isinstance(spark_type, T.BinaryType):
+        # raw bytes: ClickHouse String is byte-transparent but Spark
+        # strings are UTF-8, so both sides canonicalize as uppercase
+        # hex (injective, engine-identical). The SQL emitters take
+        # the matching column set via `binary_cols` -- derive both
+        # from the same schema (run_checksum does).
+        return F.hex(col)
     if t == "String" or t.startswith("FixedString"):
         return col.cast("string")
     if t.startswith("DateTime64"):

@@ -694,3 +694,36 @@ def test_cli_checksum_native_sink_needs_http_url(spark, tmp_path):
     cfg = _checksum_cfg(tmp_path, "127.0.0.1:9000")
     with pytest.raises(SystemExit, match="checksum-url"):
         run_checksum(cfg, changelog_dir=changelog, spark=spark)
+
+
+def test_pushdown_binary_columns_hash_as_hex(spark):
+    """Raw bytes canonicalize as uppercase hex on both sides
+    (ClickHouse String is byte-transparent; Spark strings are UTF-8 --
+    hex is the injective common ground). Spark auto-detects
+    BinaryType; the SQL emitter takes the matching set."""
+    rows = [(1, bytearray(b"\x00\xffA")), (2, None)]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    cols = [("id", "Int64"), ("payload", "Nullable(String)")]
+    sql = sv.clickhouse_digest_sql("db", "t", cols, ["id"], 8,
+                                   binary_cols={"payload"})
+    assert "hex(`payload`)" in sql
+    got = {r["id"]: r["c"] for r in df.select(
+        "id", sv.spark_canonical_row(df, cols).alias("c")).collect()}
+    assert got[1] == "1:16:00FF41"        # uppercase hex, byte length
+    assert got[2] == "1:2N"
+    # independent evaluator agreement on the digest
+    dig = {int(r["bucket"]): (int(r["cnt"]),
+                              int(r["xor_fp"]) % (1 << 64),
+                              int(r["sum_fp"]))
+           for r in sv.spark_pushdown_digest(
+               df, cols, ["id"], 4).collect()}
+    import collections
+    agg = collections.defaultdict(lambda: [0, 0, 0])
+    for (i, payload) in rows:
+        hexed = None if payload is None else bytes(payload).hex().upper()
+        fp = cityhash64(_mini_ch_canon([i, hexed]))
+        b = cityhash64(_mini_ch_canon([i])) % 4
+        agg[b][0] += 1
+        agg[b][1] ^= fp
+        agg[b][2] += fp
+    assert dig == {b: tuple(v) for b, v in agg.items()}
