@@ -409,7 +409,19 @@ def _float_bits_udf(width: int):
     strings (the Spark twin of reinterpretAsUInt64/32).  Arrow hands
     nullable floats to pandas as NaN; MySQL cannot store NaN, so NaN
     here IS null and maps back to None (the JVM-side NULL sentinel
-    then applies, identical to the server's NULL propagation)."""
+    then applies, identical to the server's NULL propagation).
+
+    Alternatives MEASURED on a quiet box (4 float columns, sf0.1
+    lineitem, local[32], rows/s for the 4-column projection): this
+    shape 530k; one struct-returning udf for all four columns 493k
+    (the single crossing saves nothing -- Arrow batches per column
+    anyway); JVM `reflect('java.lang.Double','doubleToRawLongBits')`
+    + decimal re-bias 404k (row-at-a-time reflection beats Python
+    crossings only under load-contaminated measurement -- a first A/B
+    taken during a decaying pytest run said the opposite and did not
+    survive the clean rerun, SCALE.md section 6d's rule);
+    np.char.mod vectorized rendering 273k (numpy's %d formatting is
+    slower than the plain loop)."""
     import numpy as np
     import pandas as pd
 
@@ -527,16 +539,34 @@ def spark_pushdown_digest(df: DataFrame,
                           pk_cols: list[str],
                           n_buckets: int) -> DataFrame:
     """Source-side digest matching `clickhouse_digest_sql`: CityHash64
-    over the canonical rendering, batch-hashed through the compiled
-    twin (one ctypes call per Arrow batch -- the only Python in the
-    plan, and only in pushdown mode)."""
+    over the canonical rendering.
+
+    The canonical strings build JVM-side (whole-stage codegen); the
+    hash crosses to Python through `mapInArrow`, where the Arrow
+    string layout (one data buffer + an offsets vector) IS the
+    compiled batch hasher's input -- per batch the only Python work is
+    widening the offsets and one ctypes call, no per-row encode loop
+    (measured ~2x over the pandas_udf encode path at sf0.1)."""
     by_name = dict(columns)
     pk_pairs = [(c, by_name[c]) for c in pk_cols]
-    city = _cityhash64_udf()
     canon = spark_canonical_row(df, columns)
     pk_canon = spark_canonical_row(df, pk_pairs)
-    hashed = df.select(city(canon).alias("_fp"),
-                       city(pk_canon).alias("_pkfp"))
+
+    def _hash_batches(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        from ..sinks.cityhash102 import cityhash64_arrow
+        for b in batches:
+            fp = cityhash64_arrow(b.column(0)).view(np.int64)
+            pk = cityhash64_arrow(b.column(1)).view(np.int64)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(fp, type=pa.int64()),
+                 pa.array(pk, type=pa.int64())],
+                names=["_fp", "_pkfp"])
+
+    hashed = (df.select(canon.alias("_c"), pk_canon.alias("_p"))
+                .mapInArrow(_hash_batches, "_fp long, _pkfp long"))
     bucket = F.pmod(F.col("_pkfp"), F.lit(n_buckets))
     return (hashed
             .groupBy(bucket.alias("bucket"))

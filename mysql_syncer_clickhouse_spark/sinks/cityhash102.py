@@ -498,3 +498,43 @@ def cityhash64_batch(values) -> "list[int]":
     out = (ctypes.c_uint64 * len(vals))()
     _NATIVE64(buf, off_arr, len(vals), out)
     return list(out)
+
+
+def cityhash64_arrow(arr) -> "object":
+    """CityHash64 over a pyarrow String array, zero-copy: the Arrow
+    layout IS the compiled batch entry's input (one data buffer + an
+    offsets vector), so the only per-batch work is widening int32
+    offsets to int64 and one ctypes call.  Returns a numpy uint64
+    array.  Falls back to the pure-Python path value-by-value when the
+    compiled twin is unavailable.  The caller guarantees no nulls
+    (sync-verify canonical strings are coalesced before hashing)."""
+    import ctypes as _ct
+
+    import numpy as np
+    import pyarrow as pa
+
+    _native_fn()
+    n = len(arr)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    if _NATIVE64 is None:
+        return np.fromiter(
+            (cityhash64(v.as_py().encode("utf-8")) for v in arr),
+            dtype=np.uint64, count=n)
+    if pa.types.is_large_string(arr.type):
+        off_np = np.frombuffer(
+            arr.buffers()[1], dtype=np.int64,
+            count=n + 1, offset=8 * arr.offset)
+        offs = np.ascontiguousarray(off_np)
+    else:
+        off32 = np.frombuffer(
+            arr.buffers()[1], dtype=np.int32,
+            count=n + 1, offset=4 * arr.offset)
+        offs = off32.astype(np.int64)
+    data = arr.buffers()[2]
+    out = np.empty(n, dtype=np.uint64)
+    fn = _NATIVE64
+    fn(_ct.c_char_p(data.address), offs.ctypes.data_as(
+        _ct.POINTER(_ct.c_int64)), n,
+       out.ctypes.data_as(_ct.POINTER(_ct.c_uint64)))
+    return out

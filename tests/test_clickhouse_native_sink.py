@@ -852,6 +852,11 @@ def test_cityhash102_pure_fallback_env(monkeypatch):
         assert pure.checksum16(hdr + body) == compiled_frame[:16]
     finally:
         sys.modules["mysql_syncer_clickhouse_spark.sinks.cityhash102"] = saved
+        # import_module also REBOUND the parent package's attribute to
+        # the fresh module; restore it too, or `from ...sinks import
+        # cityhash102` serves the poisoned copy for the session's rest
+        from mysql_syncer_clickhouse_spark import sinks as _sinks_pkg
+        _sinks_pkg.cityhash102 = saved
         assert live.checksum16(b"abc") == live.checksum16_py(b"abc")
 
 
@@ -1003,6 +1008,12 @@ def test_cityhash102_cache_is_private_and_regime_visible(
         assert not caplog.records
     finally:
         sys.modules[mod] = saved
+        # restore the parent-package attribute the fresh imports
+        # rebound (same leak as test_cityhash102_pure_fallback_env:
+        # a PATH=nobin-latched copy otherwise serves every later
+        # `from ...sinks import cityhash102` in the session)
+        from mysql_syncer_clickhouse_spark import sinks as _sinks_pkg
+        _sinks_pkg.cityhash102 = saved
 
 
 def test_stat_payload_carries_checksum_regime():
