@@ -582,6 +582,14 @@ def run_checksum(cfg: EngineConfig, *, changelog_dir: str | None = None,
     each side is one scan; the exchange is n_buckets rows of
     (count, xor, sum).
 
+    Run it at a QUIESCED point: after an availableNow drain exits
+    (caught up by construction) or in a maintenance window. Verifying
+    a live, still-draining stream reports the sink honestly BEHIND,
+    not corrupt -- digest-over-everything has no lag tolerance by
+    design (a lag-aware checksum would need per-chunk freshness
+    bookkeeping that can mask real divergence; pt-table-checksum has
+    the same caveat on busy replicas).
+
     `deep`: read ONLY the mismatched buckets back over HTTP and emit
     row-level findings (missing/extra/value_mismatch/duplicate).
     `repair`: also emit repair statements (re-INSERT missing or
