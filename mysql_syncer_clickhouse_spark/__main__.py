@@ -168,7 +168,7 @@ def run(cfg: EngineConfig, changelog_dir: str, *, follow: bool = False,
         schema = spark.read.parquet(src).schema
         pipe = StreamingSyncPipeline(
             rule, list(rule.pk), cfg.sink_dir(rule),
-            cfg.checkpoint_dir(rule))
+            cfg.checkpoint_dir(rule), skip_ops=cfg.skip_ops())
         sink_desc = cfg.sink_dir(rule)
         if cfg.sink_addr:
             sink_desc = _attach_ch_sink(cfg, pipe, spark, schema)
@@ -289,7 +289,7 @@ def run_binlog(cfg: EngineConfig, binlog_dir: str, *,
                                  table=rule.source_table)
         pipe = StreamingSyncPipeline(
             rule, list(rule.pk), cfg.sink_dir(rule),
-            cfg.checkpoint_dir(rule))
+            cfg.checkpoint_dir(rule), skip_ops=cfg.skip_ops())
         sink_desc = cfg.sink_dir(rule)
         if cfg.sink_addr:
             sink_desc = _attach_ch_sink(cfg, pipe, spark, cl.schema)
@@ -801,7 +801,7 @@ def run_dump(cfg: EngineConfig, dump_path: str, *,
                        F.lit("insert").alias("op"), *df.columns)
         pipe = StreamingSyncPipeline(
             rule, list(rule.pk), cfg.sink_dir(rule),
-            cfg.checkpoint_dir(rule))
+            cfg.checkpoint_dir(rule), skip_ops=cfg.skip_ops())
         sink_desc = cfg.sink_dir(rule)
         if cfg.sink_addr:
             sink_desc = _attach_ch_sink(cfg, pipe, spark, cl.schema)
@@ -1057,6 +1057,13 @@ def main(argv: list[str] | None = None) -> int:
                          "and EMIT the MODIFY COLUMN statements for "
                          "fallback columns whose source type maps "
                          "narrower (execute them only with --execute)")
+    ap.add_argument("--skip-delete", action="store_true",
+                    help="ignore delete events (the reference's "
+                         "-delete flag; THERE it defaults on, here "
+                         "skipping is explicit)")
+    ap.add_argument("--skip-update", action="store_true",
+                    help="ignore update events (the reference's "
+                         "-update flag)")
     ap.add_argument("--checksum", action="store_true",
                     help="verify the ClickHouse sink against the "
                          "source-of-truth stream (--changelog-dir / "
@@ -1143,6 +1150,10 @@ def main(argv: list[str] | None = None) -> int:
     if args.dump_sql and args.dump_exec:
         ap.error("--dump-sql / --dump-exec are exclusive")
     cfg = EngineConfig.from_toml(args.config)
+    if args.skip_delete:
+        cfg.skip_delete = True
+    if args.skip_update:
+        cfg.skip_update = True
     if args.checksum:
         if not (args.changelog_dir or args.binlog_dir):
             ap.error("--checksum requires --changelog-dir or "

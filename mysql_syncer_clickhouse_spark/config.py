@@ -45,6 +45,16 @@ class EngineConfig:
     flush_bulk_ms: int = 200
     threads: int = 10
     skip_no_pk_table: bool = False
+    # the reference's -delete / -update flags
+    # (clickhouse/client.go:240-243: FilterDelete/FilterUpdate --
+    # skipped ops never reach the sink). DIVERGENCE, deliberate: the
+    # reference defaults BOTH to true, silently dropping every
+    # update/delete unless the operator passes -delete=false -- a
+    # data-loss footgun; we default to applying everything and make
+    # the skip an explicit opt-in (toml skip_delete/skip_update or
+    # CLI --skip-delete/--skip-update).
+    skip_delete: bool = False
+    skip_update: bool = False
     source_addr: str | None = None
     source_user: str | None = None
     source_pass: str | None = None
@@ -95,6 +105,8 @@ class EngineConfig:
             flush_bulk_ms=parse_duration_ms(cfg.get("flush_bulk_time", "")),
             threads=int(cfg.get("thread", 10)),
             skip_no_pk_table=bool(cfg.get("skip_no_pk_table", False)),
+            skip_delete=bool(cfg.get("skip_delete", False)),
+            skip_update=bool(cfg.get("skip_update", False)),
             source_addr=cfg.get("source_addr"),
             source_user=cfg.get("source_user"),
             source_pass=cfg.get("source_pass"),
@@ -115,6 +127,16 @@ class EngineConfig:
     def from_toml(cls, path: str) -> EngineConfig:
         with open(path, "rb") as f:
             return cls.from_dict(tomllib.load(f))
+
+    def skip_ops(self) -> tuple[str, ...]:
+        """Ops the pipelines must drop before apply (the reference's
+        FilterDelete/FilterUpdate surface)."""
+        out = []
+        if self.skip_delete:
+            out.append("delete")
+        if self.skip_update:
+            out.append("update")
+        return tuple(out)
 
     def sink_dir(self, rule: Rule) -> str:
         return f"{self.data_dir}/{rule.sink_schema}.{rule.sink_table}"

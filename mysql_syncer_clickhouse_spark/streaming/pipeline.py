@@ -156,6 +156,11 @@ class StreamingSyncPipeline:
     # foreachPartition insert is the observed action, so op counters
     # and positions ride it identically.
     ch_sink: object | None = None
+    # ops dropped BEFORE counting/apply -- the reference's
+    # FilterDelete/FilterUpdate flags (clickhouse/client.go:240-243;
+    # there they default ON, here skipping is an explicit opt-in --
+    # see EngineConfig.skip_delete)
+    skip_ops: Sequence[str] = ()
     metrics: SyncMetrics = field(default_factory=SyncMetrics)
 
     def _apply_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
@@ -165,6 +170,12 @@ class StreamingSyncPipeline:
         via seq and makes replays idempotent. Op counters ride the
         write job via observe() -- no second pass over the batch."""
         from pyspark.sql import Observation
+        if self.skip_ops:
+            # ignored ops vanish before counters and sink alike (the
+            # reference breaks out of bulk() without executing,
+            # clickhouse/client.go:252-254)
+            batch_df = batch_df.filter(
+                ~F.col(self.op_col).isin(list(self.skip_ops)))
         meta = [self.seq_col, self.op_col]
         payload = [c for c in batch_df.columns if c not in meta]
         stat_cols = [

@@ -1093,3 +1093,46 @@ def test_cli_apply_ddl_warns_on_pk_column_ddl(spark, tmp_path, capsys):
             "TO `item_id`"]
     finally:
         srv.stop()
+
+
+def test_skip_delete_and_update_ops(spark, tmp_path):
+    """The reference's -delete/-update flags
+    (clickhouse/client.go:240-243): skipped ops never reach the sink
+    OR the counters (bulk() breaks out before executing). Divergence
+    noted in config.py: the reference defaults BOTH on (silently
+    dropping every update/delete); here skipping is an explicit
+    opt-in."""
+    import os
+
+    changelog = tmp_path / "changelog" / "app.items"
+    os.makedirs(changelog)
+    df = spark.createDataFrame(
+        ROWS, "seq long, op string, id long, title string, mydate long")
+    df.coalesce(1).write.mode("append").parquet(str(changelog))
+
+    cfg = EngineConfig.from_toml(TOML)
+    cfg.data_dir = str(tmp_path / "log")
+    cfg.skip_delete = True
+    cfg.skip_update = True
+    assert cfg.skip_ops() == ("delete", "update")
+    from mysql_syncer_clickhouse_spark.__main__ import run
+    out = run(cfg, str(tmp_path / "changelog"), spark=spark)
+    [line] = [x for x in out if x.get("rule") == "app:items"]
+    # inserts only: id=2's delete ignored (still present), id=1's
+    # update ignored (original title), so 2 rows with original values
+    assert line["ops"] == {"insert": 2}
+    assert line["rows"] == 2
+    state = {r["id"]: r["es_title"] for r in
+             spark.read.parquet(line["sink"]).collect()}
+    assert state[1] == "first"        # update skipped
+    assert 2 in state                 # delete skipped
+
+
+def test_skip_flags_parse_from_toml(tmp_path):
+    toml = tmp_path / "r.toml"
+    toml.write_text(
+        'skip_delete = true\n'
+        '[[rule]]\nschema = "a"\ntable = "t"\n')
+    cfg = EngineConfig.from_toml(str(toml))
+    assert cfg.skip_delete is True and cfg.skip_update is False
+    assert cfg.skip_ops() == ("delete",)
