@@ -158,7 +158,16 @@ def run(cfg: EngineConfig, changelog_dir: str, *, follow: bool = False,
         srv = _start_stat_server(cfg.stat_addr, pipes)
         results.append(
             {"stat": f"http://{srv._httpd.server_address[0]}:{srv.port}/stat"})
-    for rule in cfg.rules.rules:
+    # [[source]] wildcard expansion against what the changelog
+    # actually contains -- the file-source analog of the reference's
+    # information_schema query (river/river.go:203-209)
+    available = []
+    for entry in sorted(os.listdir(changelog_dir)):
+        if "." in entry and os.path.isdir(
+                os.path.join(changelog_dir, entry)):
+            db, _, tbl = entry.partition(".")
+            available.append((db, tbl))
+    for rule in cfg.effective_rules(available).rules:
         src = os.path.join(changelog_dir,
                            f"{rule.source_schema}.{rule.source_table}")
         if not os.path.isdir(src):
@@ -276,7 +285,12 @@ def run_binlog(cfg: EngineConfig, binlog_dir: str, *,
         results.append({"mode": "apply_ddl_follow",
                         "cadence_ms": cfg.flush_bulk_ms})
     env_batch = read_binlog_files(spark, binlog_dir)
-    for rule in cfg.rules.rules:
+    # [[source]] wildcard expansion against the tables actually
+    # present in the binlogs (bounded: one distinct over (db, table))
+    available = [(r["db"], r["table"]) for r in
+                 env_batch.select("db", "table").distinct().collect()
+                 if r["db"] and r["table"]]
+    for rule in cfg.effective_rules(available).rules:
         if not rule.pk and cfg.skip_no_pk_table:
             continue
         ddl = _infer_row_ddl(env_batch, rule.source_schema,
@@ -618,11 +632,21 @@ def run_checksum(cfg: EngineConfig, *, changelog_dir: str | None = None,
             "the sink's HTTP interface; sink_addr is native TCP (or "
             "unset), so pass --checksum-url http://host:8123")
     env_batch = None
+    available: list = []
     if binlog_dir:
         from .sources.binlog import read_binlog_files
         env_batch = read_binlog_files(spark, binlog_dir)
+        available = [(r["db"], r["table"]) for r in
+                     env_batch.select("db", "table").distinct()
+                     .collect() if r["db"] and r["table"]]
+    else:
+        for entry in sorted(os.listdir(changelog_dir)):
+            if "." in entry and os.path.isdir(
+                    os.path.join(changelog_dir, entry)):
+                db, _, tbl = entry.partition(".")
+                available.append((db, tbl))
     results: list[dict] = []
-    for rule in cfg.rules.rules:
+    for rule in cfg.effective_rules(available).rules:
         if changelog_dir:
             src_path = os.path.join(
                 changelog_dir,

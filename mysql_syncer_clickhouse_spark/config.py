@@ -25,7 +25,8 @@ import re
 import tomllib
 from dataclasses import dataclass, field
 
-from .plans.rules import Rule, RuleSet, rules_from_config
+from .plans.rules import (Rule, RuleSet, expand_source_rules,
+                          rules_from_config)
 
 _DURATION_RE = re.compile(r"^(\d+)(ms|s|m|h)$")
 _UNIT_MS = {"ms": 1, "s": 1000, "m": 60_000, "h": 3_600_000}
@@ -40,6 +41,9 @@ def parse_duration_ms(text: str, default_ms: int = 200) -> int:
 @dataclass
 class EngineConfig:
     rules: RuleSet
+    # raw [[source]] blocks (schema + tables, possibly regex) -- the
+    # reference's subscription set; effective_rules() expands them
+    sources: list = field(default_factory=list)
     data_dir: str = "./log"
     bulk_size: int = 128
     flush_bulk_ms: int = 200
@@ -100,6 +104,9 @@ class EngineConfig:
     def from_dict(cls, cfg: dict) -> EngineConfig:
         return cls(
             rules=rules_from_config(cfg),
+            sources=[{"schema": b.get("schema", ""),
+                      "tables": list(b.get("tables", []))}
+                     for b in cfg.get("source", [])],
             data_dir=cfg.get("data_dir", "./log"),
             bulk_size=int(cfg.get("bulk_size", 128)),
             flush_bulk_ms=parse_duration_ms(cfg.get("flush_bulk_time", "")),
@@ -127,6 +134,16 @@ class EngineConfig:
     def from_toml(cls, path: str) -> EngineConfig:
         with open(path, "rb") as f:
             return cls.from_dict(tomllib.load(f))
+
+    def effective_rules(self, available=None) -> RuleSet:
+        """[[source]] defaults + [[rule]] overrides (the reference's
+        prepareRule, river/river.go:238-276). `available` = the
+        (schema, table) pairs the drain can actually see -- the
+        file-source stand-in for live information_schema wildcard
+        expansion. Without source blocks this is exactly `rules`."""
+        if not self.sources:
+            return self.rules
+        return expand_source_rules(self.sources, self.rules, available)
 
     def skip_ops(self) -> tuple[str, ...]:
         """Ops the pipelines must drop before apply (the reference's

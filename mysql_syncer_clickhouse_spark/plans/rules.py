@@ -131,3 +131,95 @@ def load_rules_toml(path: str) -> RuleSet:
 
 def wildcard_to_regex(pattern: str) -> str:
     return fnmatch.translate(pattern)
+
+
+def expand_source_rules(sources: list[dict], rules: RuleSet,
+                        available: list[tuple[str, str]] | None = None,
+                        ) -> RuleSet:
+    """The reference's parseSource/prepareRule semantics
+    (river/river.go:182-276): every [[source]] table gets a DEFAULT
+    identity rule (newDefaultRule -- sink = source, river/river.go:162),
+    wildcard source tables expand to per-table identity rules, and
+    [[rule]] entries then OVERRIDE the defaults (a wildcard rule's
+    id/field mapping lands on each expanded table,
+    river/river.go:252-265).
+
+    The reference expands wildcards against live information_schema
+    (river/river.go:203-209); with file sources the AVAILABLE table
+    list plays that role -- changelog directory names or the distinct
+    (db, table) set actually present in the binlogs.  Without
+    `available`, a wildcard source stays ONE regex identity rule,
+    which the per-event fan-in path (S4) still routes; expansion just
+    pins per-table sink names the way the reference does.
+
+    Wildcard-overlay divergence, deliberate: the reference copies
+    ONLY id/field mapping onto expanded tables and ignores any sink
+    naming on a wildcard rule (river/river.go:262-264 touches ID and
+    FieldMapping alone).  Here an explicit sink_schema is honored and
+    an explicit sink_table routes every match into that one sink --
+    what a user writing those keys plainly intends; leave them unset
+    for the reference's per-table identity behavior.
+
+    Kept LOOSE where the reference errors: a [[rule]] with no matching
+    [[source]] stands alone here (the reference refuses,
+    river/river.go:268-269) -- every pre-existing config in this repo
+    and most tests drive rules without source blocks, and refusing
+    them would break working deployments for ceremony.  The
+    reference's own hard errors that guard real mistakes stay:
+    duplicate source tables and empty schemas refuse."""
+    defaults: dict[str, Rule] = {}
+    seen: set[str] = set()
+    for s in sources:
+        schema = s.get("schema", "")
+        if not schema:
+            raise ValueError("empty schema not allowed for source "
+                             "(river/river.go:193)")
+        for table in s.get("tables", []):
+            key = f"{schema}:{table}".lower()
+            if key in seen:
+                raise ValueError(
+                    f"duplicate source table {schema}.{table} "
+                    "(river/river.go:158-159,197-199)")
+            seen.add(key)
+            is_wild = re.escape(table) != table
+            if is_wild and available is not None:
+                for (db, t) in available:
+                    if db.lower() == schema.lower() and \
+                            re.fullmatch(table, t, re.IGNORECASE):
+                        defaults[f"{schema}:{t}".lower()] = Rule(
+                            source_schema=schema, source_table=t,
+                            sink_schema=schema, sink_table=t)
+            else:
+                defaults[key] = Rule(
+                    source_schema=schema, source_table=table,
+                    sink_schema=schema, sink_table=table)
+    out: dict[str, Rule] = dict(defaults)
+    for r in rules.rules:
+        key = r.key
+        is_wild = re.escape(r.source_table) != r.source_table
+        if is_wild and available is not None and sources:
+            # wildcard rule: its pk/filter/mapping overlays every
+            # expanded default it matches (river/river.go:252-265);
+            # sink naming keeps the EXPANDED table (identity) unless
+            # the rule renames explicitly
+            hit = False
+            for dkey, d in list(defaults.items()):
+                if d.source_schema.lower() == \
+                        r.source_schema.lower() and \
+                        re.fullmatch(r.source_table, d.source_table,
+                                     re.IGNORECASE):
+                    sink_t = (r.sink_table
+                              if r.sink_table != r.source_table
+                              else d.source_table)
+                    out[dkey] = Rule(
+                        source_schema=d.source_schema,
+                        source_table=d.source_table,
+                        sink_schema=r.sink_schema,
+                        sink_table=sink_t,
+                        pk=r.pk, column_filter=r.column_filter,
+                        field_mapping=r.field_mapping)
+                    hit = True
+            if hit:
+                continue
+        out[key] = r
+    return RuleSet(list(out.values()))

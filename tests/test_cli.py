@@ -1136,3 +1136,81 @@ def test_skip_flags_parse_from_toml(tmp_path):
     cfg = EngineConfig.from_toml(str(toml))
     assert cfg.skip_delete is True and cfg.skip_update is False
     assert cfg.skip_ops() == ("delete",)
+
+
+def test_source_only_config_creates_identity_rules(spark, tmp_path):
+    """[[source]] tables without a [[rule]] sync under DEFAULT
+    identity rules (the reference's newDefaultRule,
+    river/river.go:155-163) -- previously a source-only config parsed
+    to zero rules and silently synced nothing."""
+    import os
+
+    changelog = tmp_path / "changelog" / "app.items"
+    os.makedirs(changelog)
+    df = spark.createDataFrame(
+        ROWS, "seq long, op string, id long, title string, mydate long")
+    df.coalesce(1).write.mode("append").parquet(str(changelog))
+    toml = tmp_path / "r.toml"
+    toml.write_text('[[source]]\nschema = "app"\n'
+                    'tables = ["items"]\n')
+    cfg = EngineConfig.from_toml(str(toml))
+    cfg.data_dir = str(tmp_path / "log")
+    assert cfg.rules.rules == []          # no [[rule]] blocks
+    from mysql_syncer_clickhouse_spark.__main__ import run
+    out = run(cfg, str(tmp_path / "changelog"), spark=spark)
+    [line] = [x for x in out if x.get("rule") == "app:items"]
+    assert line["sink"].endswith("app.items")       # identity sink
+    assert line["ops"] == {"insert": 2, "update": 1, "delete": 1}
+    assert line["rows"] == 1
+
+
+def test_wildcard_source_expands_against_available_tables(
+        spark, tmp_path):
+    """A regex [[source]] table expands to per-table identity rules
+    against the tables the changelog actually holds (the
+    information_schema-analog, river/river.go:203-209), and a
+    wildcard [[rule]] overlays its field mapping on each expansion
+    (river/river.go:252-265) while sink naming stays per-table."""
+    import os
+
+    for t in ("river_0001", "river_0002", "other"):
+        d = tmp_path / "changelog" / f"app.{t}"
+        os.makedirs(d)
+        spark.createDataFrame(
+            [(1, "insert", 5, "x")],
+            "seq long, op string, id long, title string"
+        ).coalesce(1).write.mode("append").parquet(str(d))
+    toml = tmp_path / "r.toml"
+    toml.write_text(
+        '[[source]]\nschema = "app"\n'
+        'tables = ["river_[0-9]{4}"]\n'
+        '[[rule]]\nschema = "app"\ntable = "river_[0-9]{4}"\n'
+        'id = ["id"]\n[rule.field]\ntitle = "es_title"\n')
+    cfg = EngineConfig.from_toml(str(toml))
+    cfg.data_dir = str(tmp_path / "log")
+    from mysql_syncer_clickhouse_spark.__main__ import run
+    out = run(cfg, str(tmp_path / "changelog"), spark=spark)
+    synced = sorted(x["rule"] for x in out if x.get("rule"))
+    assert synced == ["app:river_0001", "app:river_0002"]
+    for x in out:
+        if not x.get("rule"):
+            continue
+        # per-table identity sink + the wildcard rule's rename applied
+        assert x["sink"].endswith(x["rule"].replace(":", "."))
+        cols = spark.read.parquet(x["sink"]).columns
+        assert "es_title" in cols and "title" not in cols
+
+
+def test_duplicate_source_table_refuses(tmp_path):
+    import pytest
+
+    from mysql_syncer_clickhouse_spark.plans.rules import (
+        RuleSet,
+        expand_source_rules,
+    )
+    with pytest.raises(ValueError, match="duplicate source"):
+        expand_source_rules(
+            [{"schema": "a", "tables": ["t", "t"]}], RuleSet([]))
+    with pytest.raises(ValueError, match="empty schema"):
+        expand_source_rules(
+            [{"schema": "", "tables": ["t"]}], RuleSet([]))
