@@ -953,6 +953,14 @@ def iter_binlog_events(data: bytes, *,
             checksummed = fde_checksummed(body_b)
         ev_crc_ok = True
         if checksummed:
+            if len(body_b) < 4:
+                # a mutated size field can shrink the body below the
+                # 4-byte CRC trailer; that's corruption, and it must
+                # surface as the decoder's clean error, not a raw
+                # struct.error (hypothesis-found)
+                raise BinlogError(
+                    f"corrupt event at {pos}: body too short for "
+                    f"its CRC32 trailer ({len(body_b)} bytes)")
             want = struct.unpack("<I", body_b[-4:])[0]
             got = zlib.crc32(data[pos:pos + size - 4])
             ev_crc_ok = want == got
