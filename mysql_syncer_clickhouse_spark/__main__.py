@@ -134,7 +134,8 @@ def _build_ch_sink(cfg: EngineConfig, db: str, table: str,
         from .sinks.clickhouse import ClickHouseHTTPSink
         return ClickHouseHTTPSink(
             url=addr, database=db, table=table, columns=cols, pk=pk,
-            user=cfg.sink_user, password=cfg.sink_pass)
+            user=cfg.sink_user, password=cfg.sink_pass,
+            max_open=cfg.max_open)
     from .sinks.clickhouse_native import ClickHouseNativeSink
     host, _, port = addr.rpartition(":")
     # TLS config stays PICKLABLE (secure/ca_file, not a built
@@ -145,6 +146,7 @@ def _build_ch_sink(cfg: EngineConfig, db: str, table: str,
         database=db, table=table, columns=cols, pk=pk,
         user=cfg.sink_user or "default",
         password=cfg.sink_pass or "",
+        max_open=cfg.max_open,
         secure=bool(cfg.sink_secure), ca_file=cfg.sink_ca or None)
 
 

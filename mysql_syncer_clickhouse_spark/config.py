@@ -77,6 +77,15 @@ class EngineConfig:
     # sink_secure=true uses the system trust store;
     # sink_ca=<pem path> pins a CA bundle (implies secure). HTTP(S)
     # sinks take the scheme from sink_addr instead.
+    # reference river/config.go:30-31 -> database/sql pool knobs
+    # (clickhouse/client.go:39-41). max_open caps CONCURRENT sink
+    # connections; the Spark analog is capping insert partitions per
+    # micro-batch (each partition opens one connection), so the sinks
+    # coalesce to max_open before foreachPartition. max_connect
+    # (SetMaxIdleConns) is accepted-but-ignored like sink_charset:
+    # per-batch executor connections have no idle pool to size.
+    max_open: int = 0
+    max_connect: int = 0
     sink_secure: bool = False
     sink_ca: str | None = None
     # reference river/config.go:34 -- the pseudo-replica's identity on
@@ -121,6 +130,8 @@ class EngineConfig:
             sink_addr=cfg.get("sink_addr"),
             sink_user=cfg.get("sink_user"),
             sink_pass=cfg.get("sink_pass"),
+            max_open=int(cfg.get("max_open", 0) or 0),
+            max_connect=int(cfg.get("max_connect", 0) or 0),
             sink_secure=bool(cfg.get("sink_secure", False)),
             sink_ca=cfg.get("sink_ca") or None,
             server_id=int(cfg.get("server_id", 1001)),

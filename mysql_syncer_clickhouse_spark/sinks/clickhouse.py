@@ -87,6 +87,13 @@ class ClickHouseHTTPSink:
     # (true for availableNow file replays); the (pk, seq) dedup remains
     # the correctness backstop either way.
     dedup_tokens: bool = False
+    # cap on CONCURRENT insert connections per micro-batch (the
+    # reference's max_open / SetMaxOpenConns,
+    # clickhouse/client.go:39): partitions coalesce down to this
+    # before the per-partition POST fan-out; 0 = unlimited. coalesce
+    # never increases partition counts, so small batches are
+    # untouched.
+    max_open: int = 0
     # cumulative feed-rate counters (same contract as the native
     # sink's): rows posted and summed per-partition-connection wall,
     # accumulated executor-side, surfaced via /stat
@@ -165,6 +172,8 @@ class ClickHouseHTTPSink:
         bulk = self.bulk_size
         token_prefix = (f"{self.database}.{self.table}:{epoch_id}"
                         if self.dedup_tokens else None)
+        if self.max_open > 0:
+            batch_df = batch_df.coalesce(self.max_open)
         sc = batch_df.sparkSession.sparkContext
         rows_acc = sc.accumulator(0)
         wall_acc = sc.accumulator(0)

@@ -960,6 +960,11 @@ class ClickHouseNativeSink:
     # SERVER-side -- same contract as the HTTP sink's dedup_tokens;
     # the ReplacingMergeTree (pk, seq) collapse stays the backstop
     dedup_tokens: bool = False
+    # cap on CONCURRENT insert connections per micro-batch (the
+    # reference's max_open / SetMaxOpenConns, clickhouse/client.go:39);
+    # 0 = unlimited. max_connect (SetMaxIdleConns) has no analog here:
+    # executor connections are per-batch ephemeral, no idle pool.
+    max_open: int = 0
     # LZ4 block compression (the native protocol's production
     # default; 'zstd' also supported); negotiated off automatically
     # against pre-54058 servers
@@ -1071,6 +1076,12 @@ class ClickHouseNativeSink:
         INSERT (the protocol's multi-block insert -- the reference's
         Begin/Exec/Commit batch, clickhouse/client.go:77-233)."""
         self.ensure_columns(batch_df)
+        if self.max_open > 0:
+            # the reference's max_open / SetMaxOpenConns
+            # (clickhouse/client.go:39): cap CONCURRENT connections by
+            # coalescing insert partitions (each opens one); coalesce
+            # never increases, so small batches are untouched
+            batch_df = batch_df.coalesce(self.max_open)
         cols = self._ch_types(list(batch_df.columns))
         names = ", ".join(f"`{n}`" for n, _ in cols)
         sql = (f"INSERT INTO `{self.database}`.`{self.table}` "

@@ -254,3 +254,24 @@ def test_http_sink_feed_rate_counters_advance(spark, fake_ch):
     assert sink.write_stats["rows_written"] == 4
     assert sink.write_stats["epochs"] == 2
     assert sink.write_stats["conn_wall_us"] > s1["conn_wall_us"]
+
+
+def test_max_open_caps_concurrent_insert_connections(spark, fake_ch):
+    """The reference's max_open / SetMaxOpenConns
+    (clickhouse/client.go:39): each insert partition opens one
+    connection, so the sink coalesces the batch down to max_open
+    partitions first -- an 8-partition batch lands as at most 2
+    INSERT posts. 0 (default) leaves partitioning alone."""
+    sink = ClickHouseHTTPSink(url=fake_ch.url, database="olap",
+                              table="items_sink", columns=COLUMNS,
+                              pk=("id",), max_open=2)
+    df = spark.createDataFrame(
+        [(i, "insert", i, f"t{i}", None) for i in range(64)],
+        "seq long, op string, id long, title string, mydate long"
+    ).repartition(8)
+    sink.apply_batch(df, epoch_id=0)
+    inserts = [q for q, _ in fake_ch.requests if q.startswith("INSERT")]
+    assert 1 <= len(inserts) <= 2
+    rows = sum(len([ln for ln in b.splitlines() if ln.strip()])
+               for q, b in fake_ch.requests if q.startswith("INSERT"))
+    assert rows == 64
