@@ -583,6 +583,7 @@ def run_checksum(cfg: EngineConfig, *, changelog_dir: str | None = None,
                  binlog_dir: str | None = None, buckets: int = 1024,
                  deep: bool = False, repair: bool = False,
                  execute: bool = False, checksum_url: str | None = None,
+                 sample: tuple[int, int] | None = None,
                  diff_limit: int = 1000, spark=None) -> list[dict]:
     """--checksum: verify the ClickHouse sink against the source of
     truth (pt-table-checksum for this engine -- the check the
@@ -680,6 +681,8 @@ def run_checksum(cfg: EngineConfig, *, changelog_dir: str | None = None,
         line: dict = {"rule": rule.key, "mode": "checksum",
                       "sink": f"{rule.sink_schema}.{rule.sink_table}",
                       "buckets": buckets}
+        if sample is not None:
+            line["sample"] = f"{sample[0]}:{sample[1]}" 
         if not ch_types:
             line["error"] = ("sink table not found (system.columns "
                             "returned nothing)")
@@ -705,10 +708,12 @@ def run_checksum(cfg: EngineConfig, *, changelog_dir: str | None = None,
                        if isinstance(f.dataType, _T.BinaryType)}
         try:
             src_rows = sv.spark_pushdown_digest(
-                exp_common, columns, pk, buckets).collect()
+                exp_common, columns, pk, buckets,
+                sample=sample).collect()
             body = hsink.execute(sv.clickhouse_digest_sql(
                 rule.sink_schema, rule.sink_table, columns, pk,
-                buckets, final=True, binary_cols=binary_cols))
+                buckets, final=True, binary_cols=binary_cols,
+                sample=sample))
         except ValueError as e:      # renderer refusal, with remedy
             line["error"] = str(e)
             results.append(line)
@@ -1107,6 +1112,11 @@ def main(argv: list[str] | None = None) -> int:
                     help="with --checksum: emit repair statements "
                          "(implies --deep); executes them only with "
                          "--execute")
+    ap.add_argument("--checksum-sample", metavar="M:K",
+                    help="verify only buckets where bucket %% M == K "
+                         "(rotating K over M cron runs covers the "
+                         "whole keyspace at 1/M the hash cost per "
+                         "run)")
     ap.add_argument("--checksum-url", metavar="URL",
                     help="HTTP endpoint for the digest SELECT when "
                          "sink_addr is native TCP (e.g. "
@@ -1184,11 +1194,22 @@ def main(argv: list[str] | None = None) -> int:
         if not (args.changelog_dir or args.binlog_dir):
             ap.error("--checksum requires --changelog-dir or "
                      "--binlog-dir (the source-of-truth stream)")
+        sample = None
+        if args.checksum_sample:
+            try:
+                m, _, k = args.checksum_sample.partition(":")
+                sample = (int(m), int(k))
+                if sample[0] <= 0:
+                    raise ValueError
+            except ValueError:
+                ap.error("--checksum-sample wants M:K with M > 0 "
+                         "(e.g. 16:3)")
         for line in run_checksum(
                 cfg, changelog_dir=args.changelog_dir,
                 binlog_dir=args.binlog_dir, buckets=args.buckets,
                 deep=args.deep or args.repair, repair=args.repair,
-                execute=args.execute, checksum_url=args.checksum_url):
+                execute=args.execute, checksum_url=args.checksum_url,
+                sample=sample):
             print(json.dumps(line, default=str))
         return 0
     if args.retype:

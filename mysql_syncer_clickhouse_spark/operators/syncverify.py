@@ -106,20 +106,33 @@ def ordered_cols(df: DataFrame, pk_cols: list[str],
 def bucket_digest(df: DataFrame, pk_cols: list[str], n_buckets: int,
                   value_cols: list[str] | None = None,
                   fingerprint: Column | None = None,
-                  bucket: Column | None = None) -> DataFrame:
+                  bucket: Column | None = None,
+                  sample: tuple[int, int] | None = None) -> DataFrame:
     """Per-bucket digest: (bucket, cnt, xor_fp, sum_fp).
 
     One hash aggregation -- partial map-side combine then a shuffle of
     at most n_buckets * shuffle_partitions tiny rows.  `fingerprint` /
-    `bucket` overrides let pushdown mode supply CityHash columns."""
+    `bucket` overrides let pushdown mode supply CityHash columns.
+
+    `sample=(M, K)` digests only buckets where bucket % M == K -- the
+    rotating-slice mode for cheap periodic verification at 100 TB:
+    each run scans everything but hashes/aggregates only 1/M of the
+    keyspace's buckets, and K rotating over M runs covers all of it
+    deterministically (same slice on both sides, because the bucket
+    is a pk hash)."""
     cols = ordered_cols(df, pk_cols, value_cols)
     fp = fingerprint if fingerprint is not None else _fingerprint(cols)
     bk = bucket if bucket is not None else _bucket(pk_cols, n_buckets)
-    return (df.select(bk.alias("bucket"), fp.alias("_fp"))
-              .groupBy("bucket")
-              .agg(F.count(F.lit(1)).alias("cnt"),
-                   F.expr("bit_xor(_fp)").alias("xor_fp"),
-                   F.sum(_unsigned_dec(F.col("_fp"))).alias("sum_fp")))
+    out = df.select(bk.alias("bucket"), fp.alias("_fp"))
+    if sample is not None:
+        m, k = sample
+        out = out.filter(F.pmod(F.col("bucket"), F.lit(int(m)))
+                         == int(k) % int(m))
+    return (out
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 F.expr("bit_xor(_fp)").alias("xor_fp"),
+                 F.sum(_unsigned_dec(F.col("_fp"))).alias("sum_fp")))
 
 
 @dataclass
@@ -369,7 +382,8 @@ def clickhouse_digest_sql(database: str, table: str,
                           columns: list[tuple[str, str]],
                           pk_cols: list[str], n_buckets: int,
                           final: bool = False,
-                          binary_cols: set | None = None) -> str:
+                          binary_cols: set | None = None,
+                          sample: tuple[int, int] | None = None) -> str:
     """ONE server-side aggregate query producing the same
     (bucket, cnt, xor_fp, sum_fp) digest `spark_pushdown_digest`
     computes -- the ClickHouse side of a 100 TB verification never
@@ -382,12 +396,17 @@ def clickhouse_digest_sql(database: str, table: str,
     canon = _ch_canon(columns, binary_cols)
     bucket = clickhouse_bucket_sql(pk_pairs, n_buckets, binary_cols)
     fin = " FINAL" if final else ""
+    where = ""
+    if sample is not None:
+        m, k = sample
+        where = f" WHERE bucket % {int(m)} = {int(k) % int(m)}"
     return (
         "SELECT bucket, count() AS cnt, groupBitXor(fp) AS xor_fp, "
         "sum(toUInt256(fp)) AS sum_fp FROM "
         f"(SELECT cityHash64({canon}) AS fp, "
         f"{bucket} AS bucket "
-        f"FROM `{database}`.`{table}`{fin}) "
+        f"FROM `{database}`.`{table}`{fin})"
+        f"{where} "
         "GROUP BY bucket ORDER BY bucket FORMAT TabSeparated")
 
 
@@ -537,7 +556,9 @@ def final_state_with_tombstones(changelog: DataFrame,
 def spark_pushdown_digest(df: DataFrame,
                           columns: list[tuple[str, str]],
                           pk_cols: list[str],
-                          n_buckets: int) -> DataFrame:
+                          n_buckets: int,
+                          sample: tuple[int, int] | None = None
+                          ) -> DataFrame:
     """Source-side digest matching `clickhouse_digest_sql`: CityHash64
     over the canonical rendering.
 
@@ -568,8 +589,13 @@ def spark_pushdown_digest(df: DataFrame,
     hashed = (df.select(canon.alias("_c"), pk_canon.alias("_p"))
                 .mapInArrow(_hash_batches, "_fp long, _pkfp long"))
     bucket = F.pmod(F.col("_pkfp"), F.lit(n_buckets))
-    return (hashed
-            .groupBy(bucket.alias("bucket"))
+    out = hashed.select(bucket.alias("bucket"), "_fp")
+    if sample is not None:
+        m, k = sample
+        out = out.filter(F.pmod(F.col("bucket"), F.lit(int(m)))
+                         == int(k) % int(m))
+    return (out
+            .groupBy("bucket")
             .agg(F.count(F.lit(1)).alias("cnt"),
                  F.expr("bit_xor(_fp)").alias("xor_fp"),
                  F.sum(_unsigned_dec(F.col("_fp"))).alias("sum_fp")))

@@ -536,11 +536,17 @@ class _ChecksumFakeCH:
                 refs = [n for n in re.findall(r"`([^`]+)`", query)
                         if n in known]
                 order = list(dict.fromkeys(refs)) or self._canon_order()
+                sm = re.search(r"WHERE bucket % (\d+) = (\d+)", query)
+                sample = ((int(sm.group(1)), int(sm.group(2)))
+                          if sm else None)
                 agg = collections.defaultdict(lambda: [0, 0, 0])
                 for r in self.rows:
+                    b = self._bucket(r)
+                    if sample and b % sample[0] != sample[1]:
+                        continue
                     fp = cityhash64(
                         _mini_ch_canon([r[c] for c in order]))
-                    a = agg[self._bucket(r)]
+                    a = agg[b]
                     a[0] += 1
                     a[1] ^= fp
                     a[2] += fp
@@ -820,3 +826,87 @@ def test_cityhash64_arrow_property_matches_pure():
                     == want[off:]
 
     check()
+
+
+def test_sampled_digest_partitions_the_full_digest(spark):
+    """Slices over K in [0, M) union back to the full digest -- the
+    rotating-cron contract: M runs cover everything, nothing twice."""
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(400)], "id long, v string")
+    full = {int(r["bucket"]): (int(r["cnt"]), int(r["xor_fp"]),
+                               int(r["sum_fp"]))
+            for r in sv.bucket_digest(df, ["id"], 32).collect()}
+    merged = {}
+    for k in range(4):
+        part = sv.bucket_digest(df, ["id"], 32,
+                                sample=(4, k)).collect()
+        for r in part:
+            b = int(r["bucket"])
+            assert b % 4 == k
+            assert b not in merged
+            merged[b] = (int(r["cnt"]), int(r["xor_fp"]),
+                         int(r["sum_fp"]))
+    assert merged == full
+
+
+def test_sampled_pushdown_matches_evaluator_and_sql(spark):
+    df = spark.createDataFrame(
+        [(i, f"s{i}") for i in range(100)], "id long, s string")
+    columns = [("id", "Int64"), ("s", "String")]
+    sql = sv.clickhouse_digest_sql("d", "t", columns, ["id"], 16,
+                                   sample=(4, 1))
+    assert "WHERE bucket % 4 = 1" in sql
+    got = {int(r["bucket"]) for r in sv.spark_pushdown_digest(
+        df, columns, ["id"], 16, sample=(4, 1)).collect()}
+    assert got and all(b % 4 == 1 for b in got)
+    # the evaluator twin restricted the same way agrees
+    import collections
+    agg = collections.defaultdict(lambda: [0, 0, 0])
+    for i in range(100):
+        b = cityhash64(_mini_ch_canon([i])) % 16
+        if b % 4 != 1:
+            continue
+        fp = cityhash64(_mini_ch_canon([i, f"s{i}"]))
+        agg[b][0] += 1
+        agg[b][1] ^= fp
+        agg[b][2] += fp
+    want = {b: tuple(v) for b, v in agg.items()}
+    have = {int(r["bucket"]): (int(r["cnt"]),
+                               int(r["xor_fp"]) % (1 << 64),
+                               int(r["sum_fp"]))
+            for r in sv.spark_pushdown_digest(
+                df, columns, ["id"], 16, sample=(4, 1)).collect()}
+    assert have == want
+
+
+def test_cli_checksum_sample_sees_only_its_slice(spark, tmp_path):
+    """--checksum-sample M:K verifies 1/M of the buckets: drift whose
+    bucket falls in the slice is caught this run; drift outside waits
+    for its rotation (asserted BOTH ways, so the test fails if
+    sampling silently degrades to a full scan or to a no-op)."""
+    from mysql_syncer_clickhouse_spark.__main__ import run_checksum
+    changelog = _write_items_changelog(spark, tmp_path)
+    # drift pk 1 (change) and pk 2 (missing); compute their buckets
+    b1 = cityhash64(_mini_ch_canon([1])) % 16
+    b2 = cityhash64(_mini_ch_canon([2])) % 16
+    assert b1 % 2 != b2 % 2   # fixture puts them in different slices
+    drifted = [
+        {"id": 1, "es_title": "STALE", "mydate": 86400,
+         "op": "update", "seq": 3},
+    ]
+    srv = _ChecksumFakeCH(drifted, _CHECKSUM_SCHEMA, ["id"], 16)
+    try:
+        cfg = _checksum_cfg(tmp_path, srv.url)
+        hits = {}
+        for k in (b1 % 2, b2 % 2):
+            out = run_checksum(cfg, changelog_dir=changelog,
+                               buckets=16, deep=True,
+                               sample=(2, k), spark=spark)
+            line = next(x for x in out if x.get("rule") == "app:items")
+            assert line["sample"] == f"2:{k}"
+            hits[k] = {(d["id"], d["status"])
+                       for d in line.get("diff", [])}
+        assert hits[b1 % 2] == {(1, "value_mismatch")}
+        assert hits[b2 % 2] == {(2, "missing_in_sink")}
+    finally:
+        srv.stop()
