@@ -580,7 +580,9 @@ def run_retype(cfg: EngineConfig, binlog_dir: str, *,
 
 
 def run_checksum(cfg: EngineConfig, *, changelog_dir: str | None = None,
-                 binlog_dir: str | None = None, buckets: int = 1024,
+                 binlog_dir: str | None = None,
+                 dump_path: str | None = None,
+                 multiline: bool = False, buckets: int = 1024,
                  deep: bool = False, repair: bool = False,
                  execute: bool = False, checksum_url: str | None = None,
                  sample: tuple[int, int] | None = None,
@@ -622,9 +624,10 @@ def run_checksum(cfg: EngineConfig, *, changelog_dir: str | None = None,
 
     spark = spark or get_spark("mysql-syncer-clickhouse-spark",
                                cpus=cfg.threads)
-    if not (changelog_dir or binlog_dir):
-        raise SystemExit("--checksum needs --changelog-dir or "
-                         "--binlog-dir (the source-of-truth stream)")
+    if not (changelog_dir or binlog_dir or dump_path):
+        raise SystemExit("--checksum needs --changelog-dir, "
+                         "--binlog-dir and/or --dump-sql (the "
+                         "source-of-truth stream/snapshot)")
     http_url = checksum_url
     if http_url is None and cfg.sink_addr and \
             cfg.sink_addr.startswith(("http://", "https://")):
@@ -642,30 +645,54 @@ def run_checksum(cfg: EngineConfig, *, changelog_dir: str | None = None,
         available = [(r["db"], r["table"]) for r in
                      env_batch.select("db", "table").distinct()
                      .collect() if r["db"] and r["table"]]
-    else:
+    elif changelog_dir:
         for entry in sorted(os.listdir(changelog_dir)):
             if "." in entry and os.path.isdir(
                     os.path.join(changelog_dir, entry)):
                 db, _, tbl = entry.partition(".")
                 available.append((db, tbl))
+    # dump-only: no table listing to expand wildcards against --
+    # effective_rules(None) keeps regex identity rules un-expanded,
+    # and read_mysqldump's table lookup needs exact names anyway
     results: list[dict] = []
     for rule in cfg.effective_rules(available).rules:
+        frames = []
+        if dump_path:
+            # verify a dump BOOTSTRAP landed intact: the snapshot rows
+            # are insert ops at seq=-1, sorting before every live
+            # change -- exactly run_dump's apply contract, so
+            # `--dump-sql snap.sql --binlog-dir d --checksum` models
+            # the full snapshot-then-replicate state
+            from .sources.mysqldump import (TableNotInDumpError,
+                                            read_mysqldump)
+            try:
+                ddf = read_mysqldump(spark, dump_path,
+                                     rule.source_table,
+                                     multiline=multiline)
+                frames.append(ddf.select(
+                    F.lit(-1).cast("long").alias("seq"),
+                    F.lit("insert").alias("op"), *ddf.columns))
+            except TableNotInDumpError:
+                pass
         if changelog_dir:
             src_path = os.path.join(
                 changelog_dir,
                 f"{rule.source_schema}.{rule.source_table}")
-            if not os.path.isdir(src_path):
-                continue
-            raw = spark.read.parquet(src_path)
-        else:
+            if os.path.isdir(src_path):
+                frames.append(spark.read.parquet(src_path))
+        if binlog_dir:
             from .sources.binlog import binlog_to_changelog
             ddl = _infer_row_ddl(env_batch, rule.source_schema,
                                  rule.source_table)
-            if ddl is None:
-                continue
-            raw = binlog_to_changelog(env_batch, ddl,
-                                      db=rule.source_schema,
-                                      table=rule.source_table)
+            if ddl is not None:
+                frames.append(binlog_to_changelog(
+                    env_batch, ddl, db=rule.source_schema,
+                    table=rule.source_table))
+        if not frames:
+            continue
+        raw = frames[0]
+        for f2 in frames[1:]:
+            raw = raw.unionByName(f2, allowMissingColumns=True)
         meta = [c for c in ("seq", "op") if c in raw.columns]
         payload = [c for c in raw.columns if c not in meta]
         projected = raw.select(*[F.col(c) for c in meta],
@@ -1191,9 +1218,11 @@ def main(argv: list[str] | None = None) -> int:
     if args.skip_update:
         cfg.skip_update = True
     if args.checksum:
-        if not (args.changelog_dir or args.binlog_dir):
-            ap.error("--checksum requires --changelog-dir or "
-                     "--binlog-dir (the source-of-truth stream)")
+        if not (args.changelog_dir or args.binlog_dir
+                or args.dump_sql):
+            ap.error("--checksum requires --changelog-dir, "
+                     "--binlog-dir and/or --dump-sql (the "
+                     "source-of-truth stream/snapshot)")
         sample = None
         if args.checksum_sample:
             try:
@@ -1206,7 +1235,8 @@ def main(argv: list[str] | None = None) -> int:
                          "(e.g. 16:3)")
         for line in run_checksum(
                 cfg, changelog_dir=args.changelog_dir,
-                binlog_dir=args.binlog_dir, buckets=args.buckets,
+                binlog_dir=args.binlog_dir, dump_path=args.dump_sql,
+                multiline=args.dump_multiline, buckets=args.buckets,
                 deep=args.deep or args.repair, repair=args.repair,
                 execute=args.execute, checksum_url=args.checksum_url,
                 sample=sample):

@@ -910,3 +910,53 @@ def test_cli_checksum_sample_sees_only_its_slice(spark, tmp_path):
         assert hits[b2 % 2] == {(2, "missing_in_sink")}
     finally:
         srv.stop()
+
+
+def test_cli_checksum_against_dump_bootstrap(spark, tmp_path):
+    """--checksum --dump-sql: verify a dump BOOTSTRAP landed intact --
+    the snapshot rows (seq=-1 inserts, run_dump's contract) are the
+    expected state; a sink that lost one row during bootstrap flags
+    it."""
+    from mysql_syncer_clickhouse_spark.__main__ import run_checksum
+    dump = tmp_path / "snap.sql"
+    dump.write_text(
+        "-- MySQL dump 10.13\n"
+        "CREATE TABLE `items` (\n"
+        "  `id` bigint NOT NULL,\n"
+        "  `title` varchar(64) DEFAULT NULL,\n"
+        "  `mydate` bigint DEFAULT NULL,\n"
+        "  PRIMARY KEY (`id`)\n"
+        ") ENGINE=InnoDB;\n"
+        "INSERT INTO `items` VALUES (1,'first',86400),"
+        "(2,'second',86400);\n")
+    schema = [("id", "Int64"), ("es_title", "Nullable(String)"),
+              ("mydate", "Nullable(Int64)"), ("op", "String"),
+              ("seq", "Int64")]
+    good = [
+        {"id": 1, "es_title": "first", "mydate": 86400,
+         "op": "insert", "seq": -1},
+        {"id": 2, "es_title": "second", "mydate": 86400,
+         "op": "insert", "seq": -1},
+    ]
+    srv = _ChecksumFakeCH(list(good), schema, ["id"], 16)
+    try:
+        cfg = _checksum_cfg(tmp_path, srv.url)
+        out = run_checksum(cfg, dump_path=str(dump), buckets=16,
+                           spark=spark)
+        line = next(x for x in out if x.get("rule") == "app:items")
+        assert line["in_sync"] is True
+        assert line["rows_src"] == 2
+    finally:
+        srv.stop()
+    # bootstrap that dropped row 2
+    srv = _ChecksumFakeCH(good[:1], schema, ["id"], 16)
+    try:
+        cfg = _checksum_cfg(tmp_path, srv.url)
+        out = run_checksum(cfg, dump_path=str(dump), buckets=16,
+                           deep=True, spark=spark)
+        line = next(x for x in out if x.get("rule") == "app:items")
+        assert not line["in_sync"]
+        assert {(d["id"], d["status"]) for d in line["diff"]} == {
+            (2, "missing_in_sink")}
+    finally:
+        srv.stop()
