@@ -1115,6 +1115,16 @@ def main(argv: list[str] | None = None) -> int:
                          "and EMIT the MODIFY COLUMN statements for "
                          "fallback columns whose source type maps "
                          "narrower (execute them only with --execute)")
+    ap.add_argument("--flavor", choices=["mysql", "mariadb"],
+                    help="override the config's flavor (the "
+                         "reference's -flavor flag)")
+    ap.add_argument("--thread", type=int, metavar="N",
+                    help="override the config's thread count (the "
+                         "reference's -thread flag; sizes local "
+                         "cores / shuffle partitions here)")
+    ap.add_argument("--log-level", metavar="LEVEL",
+                    help="Spark log level (the reference's "
+                         "-log_level flag): ERROR, WARN, INFO, DEBUG")
     ap.add_argument("--skip-delete", action="store_true",
                     help="ignore delete events (the reference's "
                          "-delete flag; THERE it defaults on, here "
@@ -1213,6 +1223,13 @@ def main(argv: list[str] | None = None) -> int:
     if args.dump_sql and args.dump_exec:
         ap.error("--dump-sql / --dump-exec are exclusive")
     cfg = EngineConfig.from_toml(args.config)
+    if args.flavor:
+        cfg.flavor = args.flavor
+    if args.thread:
+        cfg.threads = args.thread
+    if args.log_level:
+        os.environ.setdefault("SPARK_GRAFT_LOG_LEVEL",
+                              args.log_level.upper())
     if args.skip_delete:
         cfg.skip_delete = True
     if args.skip_update:

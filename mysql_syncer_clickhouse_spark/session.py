@@ -28,7 +28,7 @@ def get_spark(app_name: str = "mysql_syncer_clickhouse_spark",
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get(
             "SPARK_GRAFT_SHUFFLE_PARTITIONS", "0") or 0) or cpus
-    return (
+    spark = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
@@ -41,3 +41,13 @@ def get_spark(app_name: str = "mysql_syncer_clickhouse_spark",
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .getOrCreate()
     )
+    apply_log_level(spark)
+    return spark
+
+
+def apply_log_level(spark: SparkSession) -> None:
+    """Honor the CLI's --log-level (the reference's -log_level flag)
+    via SPARK_GRAFT_LOG_LEVEL; default leaves Spark's own level."""
+    level = os.environ.get("SPARK_GRAFT_LOG_LEVEL")
+    if level:
+        spark.sparkContext.setLogLevel(level)

@@ -1214,3 +1214,28 @@ def test_duplicate_source_table_refuses(tmp_path):
     with pytest.raises(ValueError, match="empty schema"):
         expand_source_rules(
             [{"schema": "", "tables": ["t"]}], RuleSet([]))
+
+
+def test_cli_flag_overrides_flavor_thread_loglevel(monkeypatch,
+                                                   tmp_path):
+    """The reference's -flavor/-thread/-log_level CLI flags override
+    the config (main.go:19-22); --log-level rides an env var every
+    get_spark call honors."""
+    import mysql_syncer_clickhouse_spark.__main__ as M
+
+    seen = {}
+    monkeypatch.setattr(
+        M, "run", lambda cfg, d, **kw: seen.update(cfg=cfg) or [])
+    monkeypatch.delenv("SPARK_GRAFT_LOG_LEVEL", raising=False)
+    d = tmp_path / "changelog"
+    os.makedirs(d)
+    rc = M.main(["--config", TOML, "--changelog-dir", str(d),
+                 "--thread", "4", "--flavor", "mariadb",
+                 "--log-level", "warn"])
+    try:
+        assert rc == 0
+        assert seen["cfg"].threads == 4
+        assert seen["cfg"].flavor == "mariadb"
+        assert os.environ["SPARK_GRAFT_LOG_LEVEL"] == "WARN"
+    finally:
+        os.environ.pop("SPARK_GRAFT_LOG_LEVEL", None)
