@@ -133,6 +133,18 @@ def wildcard_to_regex(pattern: str) -> str:
     return fnmatch.translate(pattern)
 
 
+_REGEX_META = set("\\.+*?()|[]{}^$")
+
+
+def _is_regex_name(table: str) -> bool:
+    """Wildcard detection matching Go's regexp.QuoteMeta contract
+    (river/river.go:196): only true regex metacharacters make a name
+    a pattern. Python's re.escape also escapes '-', '#', etc., so
+    `re.escape(t) != t` would misclassify a literal table named
+    'my-table' as a wildcard."""
+    return any(c in _REGEX_META for c in table)
+
+
 def expand_source_rules(sources: list[dict], rules: RuleSet,
                         available: list[tuple[str, str]] | None = None,
                         ) -> RuleSet:
@@ -181,7 +193,7 @@ def expand_source_rules(sources: list[dict], rules: RuleSet,
                     f"duplicate source table {schema}.{table} "
                     "(river/river.go:158-159,197-199)")
             seen.add(key)
-            is_wild = re.escape(table) != table
+            is_wild = _is_regex_name(table)
             if is_wild and available is not None:
                 for (db, t) in available:
                     if db.lower() == schema.lower() and \
@@ -196,7 +208,7 @@ def expand_source_rules(sources: list[dict], rules: RuleSet,
     out: dict[str, Rule] = dict(defaults)
     for r in rules.rules:
         key = r.key
-        is_wild = re.escape(r.source_table) != r.source_table
+        is_wild = _is_regex_name(r.source_table)
         if is_wild and available is not None and sources:
             # wildcard rule: its pk/filter/mapping overlays every
             # expanded default it matches (river/river.go:252-265);

@@ -1239,3 +1239,20 @@ def test_cli_flag_overrides_flavor_thread_loglevel(monkeypatch,
         assert os.environ["SPARK_GRAFT_LOG_LEVEL"] == "WARN"
     finally:
         os.environ.pop("SPARK_GRAFT_LOG_LEVEL", None)
+
+
+def test_hyphenated_table_name_is_not_a_wildcard():
+    """Go's regexp.QuoteMeta does not escape '-', so the reference
+    treats 'my-table' as a literal name; Python's re.escape DOES, and
+    naive `re.escape(t) != t` detection would misclassify it as a
+    wildcard and silently skip static-rule creation."""
+    from mysql_syncer_clickhouse_spark.plans.rules import (
+        RuleSet,
+        expand_source_rules,
+    )
+    rs = expand_source_rules(
+        [{"schema": "a", "tables": ["my-table", "t_[0-9]+"]}],
+        RuleSet([]), available=[("a", "t_1"), ("a", "my-table")])
+    keys = sorted(r.key for r in rs.rules)
+    # literal name stays one identity rule; the regex expanded
+    assert keys == ["a:my-table", "a:t_1"]
