@@ -586,6 +586,7 @@ def run_checksum(cfg: EngineConfig, *, changelog_dir: str | None = None,
                  deep: bool = False, repair: bool = False,
                  execute: bool = False, checksum_url: str | None = None,
                  sample: tuple[int, int] | None = None,
+                 final: bool = True,
                  diff_limit: int = 1000, spark=None) -> list[dict]:
     """--checksum: verify the ClickHouse sink against the source of
     truth (pt-table-checksum for this engine -- the check the
@@ -733,16 +734,35 @@ def run_checksum(cfg: EngineConfig, *, changelog_dir: str | None = None,
         from pyspark.sql import types as _T
         binary_cols = {f.name for f in exp_common.schema.fields
                        if isinstance(f.dataType, _T.BinaryType)}
+        import urllib.error as _uerr
         try:
             src_rows = sv.spark_pushdown_digest(
                 exp_common, columns, pk, buckets,
                 sample=sample).collect()
             body = hsink.execute(sv.clickhouse_digest_sql(
                 rule.sink_schema, rule.sink_table, columns, pk,
-                buckets, final=True, binary_cols=binary_cols,
+                buckets, final=final, binary_cols=binary_cols,
                 sample=sample))
         except ValueError as e:      # renderer refusal, with remedy
             line["error"] = str(e)
+            results.append(line)
+            continue
+        except (_uerr.HTTPError, _uerr.URLError, OSError) as e:
+            # a real server rejects FINAL on a plain-MergeTree sink,
+            # among other per-table failures -- surface per rule with
+            # the remedy instead of crashing the whole run
+            detail = ""
+            if hasattr(e, "read"):
+                try:
+                    detail = e.read().decode(errors="replace")[:300]
+                except Exception:
+                    pass
+            line["error"] = (
+                f"sink digest query failed: {e} {detail}".strip()
+                + " -- if the sink engine does not support FINAL "
+                "(plain MergeTree), re-run with --checksum-no-final "
+                "(pre-merge duplicate versions then surface as "
+                "duplicate_pk_in_sink findings)")
             results.append(line)
             continue
         cmp = sv.compare_digests(src_rows, sv.parse_digest_tsv(body))
@@ -759,7 +779,7 @@ def run_checksum(cfg: EngineConfig, *, changelog_dir: str | None = None,
                 split_expr=sv.clickhouse_bucket_sql(
                     pk_pairs, buckets, binary_cols),
                 n_splits=buckets, split_values=cmp.mismatched,
-                final=True, user=cfg.sink_user,
+                final=final, user=cfg.sink_user,
                 password=cfg.sink_pass)
             diff = sv.row_diff(
                 exp_common, dst, pk, cmp.mismatched, buckets, common,
@@ -1149,6 +1169,11 @@ def main(argv: list[str] | None = None) -> int:
                     help="with --checksum: emit repair statements "
                          "(implies --deep); executes them only with "
                          "--execute")
+    ap.add_argument("--checksum-no-final", action="store_true",
+                    help="digest the sink WITHOUT FINAL (required "
+                         "for plain-MergeTree sinks; pre-merge "
+                         "duplicate versions then surface as "
+                         "duplicate findings)")
     ap.add_argument("--checksum-sample", metavar="M:K",
                     help="verify only buckets where bucket %% M == K "
                          "(rotating K over M cron runs covers the "
@@ -1256,7 +1281,7 @@ def main(argv: list[str] | None = None) -> int:
                 multiline=args.dump_multiline, buckets=args.buckets,
                 deep=args.deep or args.repair, repair=args.repair,
                 execute=args.execute, checksum_url=args.checksum_url,
-                sample=sample):
+                sample=sample, final=not args.checksum_no_final):
             print(json.dumps(line, default=str))
         return 0
     if args.retype:

@@ -960,3 +960,76 @@ def test_cli_checksum_against_dump_bootstrap(spark, tmp_path):
             (2, "missing_in_sink")}
     finally:
         srv.stop()
+
+
+def test_cli_checksum_final_rejection_surfaces_with_remedy(
+        spark, tmp_path):
+    """A server that rejects the FINAL digest (plain-MergeTree sink)
+    produces a per-rule error line naming --checksum-no-final instead
+    of crashing the run; --checksum-no-final omits FINAL."""
+    import re
+    import threading as _t
+    from http.server import BaseHTTPRequestHandler as _H
+    from http.server import ThreadingHTTPServer as _S
+    from urllib.parse import parse_qs as _pq
+    from urllib.parse import urlparse as _up
+
+    from mysql_syncer_clickhouse_spark.__main__ import run_checksum
+
+    class _FinalHater:
+        def __init__(self, inner):
+            self.inner = inner
+            outer = self
+
+            class Handler(_H):
+                def do_POST(self):            # noqa: N802
+                    n = int(self.headers.get("Content-Length", 0))
+                    self.rfile.read(n)
+                    q = _pq(_up(self.path).query).get(
+                        "query", [""])[0]
+                    if re.search(r"\bFINAL\b", q):
+                        body = (b"Code: 181. DB::Exception: Illegal "
+                                b"FINAL")
+                        self.send_response(500)
+                        self.send_header("Content-Length",
+                                         str(len(body)))
+                        self.end_headers()
+                        self.wfile.write(body)
+                        return
+                    resp = outer.inner._serve(q)
+                    self.send_response(200)
+                    self.send_header("Content-Length", str(len(resp)))
+                    self.end_headers()
+                    self.wfile.write(resp)
+
+                def log_message(self, *a):
+                    pass
+
+            self._httpd = _S(("127.0.0.1", 0), Handler)
+            self.url = f"http://127.0.0.1:{self._httpd.server_address[1]}"
+            _t.Thread(target=self._httpd.serve_forever,
+                      daemon=True).start()
+
+        def stop(self):
+            self._httpd.shutdown()
+            self._httpd.server_close()
+
+    changelog = _write_items_changelog(spark, tmp_path)
+    inner = _ChecksumFakeCH(list(_EXPECTED_SINK), _CHECKSUM_SCHEMA,
+                            ["id"], 16)
+    srv = _FinalHater(inner)
+    try:
+        cfg = _checksum_cfg(tmp_path, srv.url)
+        out = run_checksum(cfg, changelog_dir=changelog, buckets=16,
+                           spark=spark)
+        line = next(x for x in out if x.get("rule") == "app:items")
+        assert "checksum-no-final" in line["error"]
+        assert "Illegal FINAL" in line["error"]
+        # and the documented remedy works
+        out2 = run_checksum(cfg, changelog_dir=changelog, buckets=16,
+                            final=False, spark=spark)
+        line2 = next(x for x in out2 if x.get("rule") == "app:items")
+        assert line2["in_sync"] is True
+    finally:
+        srv.stop()
+        inner._httpd.server_close()
