@@ -213,8 +213,10 @@ def expand_source_rules(sources: list[dict], rules: RuleSet,
             # wildcard rule: its pk/filter/mapping overlays every
             # expanded default it matches (river/river.go:252-265);
             # sink naming keeps the EXPANDED table (identity) unless
-            # the rule renames explicitly
-            hit = False
+            # the rule renames explicitly. The RAW pattern rule stays
+            # in the set either way -- it is what routes tables that
+            # APPEAR MID-STREAM (the S4 fan-in path); expansion only
+            # pins per-table sinks for tables already visible.
             for dkey, d in list(defaults.items()):
                 if d.source_schema.lower() == \
                         r.source_schema.lower() and \
@@ -230,8 +232,5 @@ def expand_source_rules(sources: list[dict], rules: RuleSet,
                         sink_table=sink_t,
                         pk=r.pk, column_filter=r.column_filter,
                         field_mapping=r.field_mapping)
-                    hit = True
-            if hit:
-                continue
         out[key] = r
     return RuleSet(list(out.values()))

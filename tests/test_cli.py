@@ -1256,3 +1256,54 @@ def test_hyphenated_table_name_is_not_a_wildcard():
     keys = sorted(r.key for r in rs.rules)
     # literal name stays one identity rule; the regex expanded
     assert keys == ["a:my-table", "a:t_1"]
+
+
+def test_expand_source_rules_properties():
+    """Hypothesis invariants for the [[source]] expansion: every
+    non-wildcard source table yields exactly one rule; expansion
+    against an available list yields one rule per matching table;
+    keys never duplicate; [[rule]] overlays preserve their pk and
+    field mapping on every expanded match."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from mysql_syncer_clickhouse_spark.plans.rules import (
+        Rule,
+        RuleSet,
+        expand_source_rules,
+    )
+
+    name = st.text(alphabet="abcdefgh_", min_size=1, max_size=8)
+
+    @settings(max_examples=100, deadline=None)
+    @given(st.lists(name, min_size=1, max_size=5, unique=True),
+           st.lists(name, min_size=0, max_size=6, unique=True))
+    def check(tables, avail_tables):
+        sources = [{"schema": "s", "tables": tables}]
+        avail = [("s", t) for t in avail_tables]
+        rs = expand_source_rules(sources, RuleSet([]), avail)
+        keys = [r.key for r in rs.rules]
+        assert len(keys) == len(set(keys))          # never duplicates
+        # plain names (no metachars in this alphabet) -> identity
+        for t in tables:
+            assert f"s:{t}" in keys
+        # a wildcard over the alphabet expands to available matches
+        rs2 = expand_source_rules(
+            [{"schema": "s", "tables": ["[a-h_]+"]}],
+            RuleSet([Rule(source_schema="s", source_table="[a-h_]+",
+                          sink_schema="olap", sink_table="[a-h_]+",
+                          pk=("k",),
+                          field_mapping={"x": "y"})]),
+            avail)
+        for r in rs2.rules:
+            assert r.pk == ("k",)                   # overlay applied
+            assert r.field_mapping == {"x": "y"}
+            assert r.sink_schema == "olap"
+            assert r.sink_table == r.source_table   # identity kept
+        # expansions for every available match PLUS the raw pattern
+        # rule itself (it keeps routing tables that appear mid-stream
+        # -- the S4 fan-in contract)
+        assert sorted(r.source_table for r in rs2.rules) == \
+            sorted(avail_tables + ["[a-h_]+"])
+
+    check()
