@@ -640,6 +640,24 @@ def checksum_digest_roundtrip(spark, n_buckets: int = 8):
     assert cmp.rows_src == len(CHECKSUM_T_ROWS)
     assert cmp.in_sync, cmp.mismatched
 
+    # sampled digests: the rotating-slice mode must agree too, and
+    # the slices must union back to the full bucket set
+    seen = set()
+    for k in range(2):
+        ssql = sv.clickhouse_digest_sql(
+            "msc_interop", "t_checksum", CHECKSUM_T_COLUMNS, ["id"],
+            n_buckets, sample=(2, k))
+        sserver = sv.parse_digest_tsv(_ch_http(ssql))
+        smine = sv.spark_pushdown_digest(
+            df, CHECKSUM_T_COLUMNS, ["id"], n_buckets,
+            sample=(2, k)).collect()
+        assert sv.compare_digests(smine, sserver).in_sync
+        for r in sserver:
+            assert r["bucket"] % 2 == k
+            assert r["bucket"] not in seen
+            seen.add(r["bucket"])
+    assert seen == {int(r["bucket"]) for r in server}
+
     # a drifted sink must NOT digest equal
     _ch_http("INSERT INTO msc_interop.t_checksum FORMAT JSONEachRow",
              b'{"id": 99, "amt": null, "d": null, "f": null, '

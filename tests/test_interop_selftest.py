@@ -443,12 +443,17 @@ class _ChecksumHTTPFake:
             if "groupBitXor" in query:
                 mm = re.search(r"%\s*(\d+)\s+AS bucket", query)
                 n = int(mm.group(1))
+                sm = re.search(r"WHERE bucket % (\d+) = (\d+)", query)
+                sample = ((int(sm.group(1)), int(sm.group(2)))
+                          if sm else None)
                 agg = collections.defaultdict(lambda: [0, 0, 0])
                 for r in self.rows:
                     fp = cityhash64(self._canon(r))
                     pk = str(r["id"])
                     b = cityhash64(
                         f"{len(pk)}:{pk}".encode()) % n
+                    if sample and b % sample[0] != sample[1]:
+                        continue
                     agg[b][0] += 1
                     agg[b][1] ^= fp
                     agg[b][2] += fp
