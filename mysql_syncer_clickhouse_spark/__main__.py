@@ -353,6 +353,10 @@ def run_apply_ddl(cfg: EngineConfig, binlog_dir: str, *,
 
     spark = spark or get_spark("mysql-syncer-clickhouse-spark",
                                cpus=cfg.threads)
+    # the DDL chain sees the SAME effective rule set as the row
+    # drains: [[source]]-only configs get identity rules; wildcard
+    # rules keep working via map_action's event-time fullmatch
+    ddl_rules = cfg.effective_rules(None).rules
     info_path = os.path.join(cfg.data_dir, "_ddl.info")
 
     def _key(file: str, pos: int) -> tuple[int, int]:
@@ -413,7 +417,7 @@ def run_apply_ddl(cfg: EngineConfig, binlog_dir: str, *,
         # ledger; their RENAME cut-over replays the migration's
         # ALTERs onto the sink (or warns loudly -- nothing silent)
         for action in actions:
-            replays, warns = ledger.observe(action, cfg.rules.rules)
+            replays, warns = ledger.observe(action, ddl_rules)
             for w in warns:
                 print(f"WARN: {w}", file=sys.stderr, flush=True)
                 line.setdefault("warnings", []).append(w)
@@ -428,7 +432,7 @@ def run_apply_ddl(cfg: EngineConfig, binlog_dir: str, *,
                 line["applied"].append({"rule": rule.key,
                                         "osc_replay": True,
                                         "statements": stmts})
-        for rule in cfg.rules.rules:
+        for rule in ddl_rules:
             mapped = [a for a in (ddlmod.map_action(a, rule)
                                   for a in actions) if a is not None]
             # a DDL that renames or drops a rule's pk column leaves
@@ -510,7 +514,7 @@ def run_retype(cfg: EngineConfig, binlog_dir: str, *,
                   key=lambda r: _key(r["file"], r["pos"]))
     results: list[dict] = []
     _STRING_FALLBACK = ("String", "Nullable(String)")
-    for rule in cfg.rules.rules:
+    for rule in cfg.effective_rules(None).rules:
         # fold the rule-mapped DDL stream into the expected sink-space
         # column model -- the same authority apply_ddl_to_sink uses
         model: list[tuple[str, str, bool]] = []
@@ -867,7 +871,7 @@ def run_dump(cfg: EngineConfig, dump_path: str, *,
     if any(hdr.values()):
         results[0].update({k: v for k, v in hdr.items() if v})
     bootstrapped = 0
-    for rule in cfg.rules.rules:
+    for rule in cfg.effective_rules(None).rules:
         if not rule.pk and cfg.skip_no_pk_table:
             continue
         try:
@@ -923,8 +927,14 @@ def run_dump_exec(cfg: EngineConfig, exec_path: str | None = None, *,
     from .sources.mysqldump import exec_mysqldump
     exec_path = exec_path or cfg.dump_exec or "mysqldump"
     host, _, port = (cfg.source_addr or "127.0.0.1:3306").rpartition(":")
+    from .plans.rules import _is_regex_name
     schema_tables: dict[str, list[str]] = {}
-    for rule in cfg.rules.rules:
+    # wildcard patterns cannot be handed to mysqldump as table names
+    # (the reference expands them via information_schema first); only
+    # literal names -- incl. [[source]]-derived identity rules -- go
+    # on the command line
+    for rule in [r for r in cfg.effective_rules(None).rules
+                 if not _is_regex_name(r.source_table)]:
         schema_tables.setdefault(rule.source_schema, []).append(
             rule.source_table)
     out_path = os.path.join(cfg.data_dir, "_dump", "snapshot.sql")

@@ -1307,3 +1307,35 @@ def test_expand_source_rules_properties():
             sorted(avail_tables + ["[a-h_]+"])
 
     check()
+
+
+def test_source_only_config_reaches_ddl_chain(spark, tmp_path):
+    """A source-only config's identity rules drive --apply-ddl too:
+    binlog DDL on a [[source]] table applies to its identity sink."""
+    from mysql_syncer_clickhouse_spark.__main__ import run_apply_ddl
+    from mysql_syncer_clickhouse_spark.sources.binlog_writer import (
+        BinlogColumn, BinlogFileWriter)
+    from tests.test_clickhouse_sink import _FakeClickHouse
+
+    d = tmp_path / "binlogs"
+    d.mkdir()
+    w = BinlogFileWriter("app", "widgets", [BinlogColumn.bigint("id")])
+    w.ddl("ALTER TABLE widgets ADD COLUMN price decimal(10,2)")
+    (d / "mysql-bin.000001").write_bytes(w.to_bytes())
+
+    srv = _FakeClickHouse().start()
+    try:
+        toml = tmp_path / "r.toml"
+        toml.write_text('[[source]]\nschema = "app"\n'
+                        'tables = ["widgets"]\n')
+        cfg = EngineConfig.from_toml(str(toml))
+        cfg.data_dir = str(tmp_path / "log")
+        cfg.sink_addr = srv.url
+        out = run_apply_ddl(cfg, str(d), spark=spark)
+        applied = [a for line in out
+                   for a in line.get("applied", [])]
+        stmts = [s for a in applied for s in a.get("statements", [])]
+        assert any("`app`.`widgets`" in s and "ADD COLUMN" in s
+                   and "Decimal(10,2)" in s for s in stmts), stmts
+    finally:
+        srv.stop()
