@@ -208,6 +208,34 @@ def row_diff(src: DataFrame, dst: DataFrame, pk_cols: list[str],
                     F.row_number().over(
                         w.orderBy(*[F.col(c) for c in cols]))))
 
+    # a NULL primary key is corruption, not identity: such a row can
+    # never join and would leak through the presence checks as a
+    # nonsense value_mismatch -- classify it as its own finding and
+    # keep it out of the join entirely
+    null_pk = None
+    for c in pk_cols:
+        e = F.col(c).isNull()
+        null_pk = e if null_pk is None else null_pk | e
+
+    def _null_pk_rows(df: DataFrame, status: str,
+                      side: str) -> DataFrame:
+        rows = df.select(*cols).filter(null_pk)
+        payload = F.to_json(F.struct(*cols),
+                            {"ignoreNullFields": "false"})
+        return rows.select(
+            *pk_cols,
+            F.lit(status).alias("status"),
+            F.array().cast("array<string>").alias("differing_columns"),
+            (payload if side == "src"
+             else F.lit(None).cast("string")).alias("src_row"),
+            (payload if side == "dst"
+             else F.lit(None).cast("string")).alias("dst_row"))
+
+    nulls_s = _null_pk_rows(src, "null_pk_in_source", "src")
+    nulls_d = _null_pk_rows(dst, "null_pk_in_sink", "dst")
+    src = src.filter(~F.coalesce(null_pk, F.lit(False)))
+    dst = dst.filter(~F.coalesce(null_pk, F.lit(False)))
+
     s = _prep(src, bucket_src).alias("s")
     d = _prep(dst, bucket_dst).alias("d")
     # duplicates are their own finding; the pk join below sees one
@@ -267,7 +295,8 @@ def row_diff(src: DataFrame, dst: DataFrame, pk_cols: list[str],
          .alias("dst_row"))
         .filter((F.col("status") != "value_mismatch")
                 | (F.size("differing_columns") > 0)))
-    return diff.unionByName(dup_s).unionByName(dup_d)
+    return (diff.unionByName(dup_s).unionByName(dup_d)
+            .unionByName(nulls_s).unionByName(nulls_d))
 
 
 # ---------------------------------------------------- full verify run

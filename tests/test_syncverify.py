@@ -1033,3 +1033,19 @@ def test_cli_checksum_final_rejection_surfaces_with_remedy(
     finally:
         srv.stop()
         inner._httpd.server_close()
+
+
+def test_null_pk_rows_are_their_own_finding(spark):
+    """A NULL primary key is corruption, not identity: it must
+    surface as null_pk_in_source/sink, never as a nonsense
+    value_mismatch leaked through the presence checks."""
+    src = spark.createDataFrame(
+        [(1, "a"), (None, "corrupt-src")], "id long, v string")
+    dst = spark.createDataFrame(
+        [(1, "a"), (None, "corrupt-dst")], "id long, v string")
+    report, diff = sv.sync_verify(src, dst, ["id"], n_buckets=4)
+    assert not report["in_sync"]   # null-pk rows hash differently
+    got = {(r["id"], r["status"]) for r in diff.collect()}
+    assert (None, "null_pk_in_source") in got
+    assert (None, "null_pk_in_sink") in got
+    assert not any(s == "value_mismatch" for (_i, s) in got)
