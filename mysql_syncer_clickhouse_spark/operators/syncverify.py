@@ -666,6 +666,17 @@ def repair_statements(diff_rows, database: str, table: str,
                     f"ALTER TABLE `{database}`.`{table}` DELETE "
                     f"WHERE {pred}"),
             })
+        elif status.startswith("null_pk"):
+            # corruption, not divergence: a repair script must not
+            # guess an identity for a row that has none
+            stmts.append({
+                "pk": {c: row[c] for c in pk_cols},
+                "status": status,
+                "statement": None,
+                "manual": ("row with NULL primary key: investigate "
+                           "the upstream writer; not auto-repairable "
+                           "(no identity to target)"),
+            })
         else:  # duplicates: surfaced, not auto-repaired -- the remedy
             # is OPTIMIZE ... FINAL / reading with FINAL, an operator
             # decision a repair script must not take implicitly

@@ -1049,3 +1049,12 @@ def test_null_pk_rows_are_their_own_finding(spark):
     assert (None, "null_pk_in_source") in got
     assert (None, "null_pk_in_sink") in got
     assert not any(s == "value_mismatch" for (_i, s) in got)
+
+
+def test_repair_null_pk_is_manual_with_correct_remedy():
+    diff = [{"id": None, "status": "null_pk_in_sink",
+             "src_row": None, "dst_row": "{}"}]
+    (s,) = sv.repair_statements(diff, "d", "t", ["id"])
+    assert s["statement"] is None
+    assert "NULL primary key" in s["manual"]
+    assert "OPTIMIZE" not in s["manual"]
