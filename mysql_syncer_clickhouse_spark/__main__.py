@@ -698,6 +698,12 @@ def run_checksum(cfg: EngineConfig, *, changelog_dir: str | None = None,
         raw = frames[0]
         for f2 in frames[1:]:
             raw = raw.unionByName(f2, allowMissingColumns=True)
+        if cfg.skip_ops() and "op" in raw.columns:
+            # the drain dropped these ops before apply (skip_delete/
+            # skip_update); the EXPECTED state must drop them the same
+            # way or every skipped event reads as sink drift
+            raw = raw.filter(
+                ~F.col("op").isin(list(cfg.skip_ops())))
         meta = [c for c in ("seq", "op") if c in raw.columns]
         payload = [c for c in raw.columns if c not in meta]
         projected = raw.select(*[F.col(c) for c in meta],

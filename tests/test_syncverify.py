@@ -1058,3 +1058,35 @@ def test_repair_null_pk_is_manual_with_correct_remedy():
     assert s["statement"] is None
     assert "NULL primary key" in s["manual"]
     assert "OPTIMIZE" not in s["manual"]
+
+
+def test_checksum_honors_skip_ops(spark, tmp_path):
+    """With skip_delete/skip_update active the drain never applied
+    those events, so the checksum's expected state must drop them the
+    same way -- otherwise every skipped op reads as sink drift."""
+    from mysql_syncer_clickhouse_spark.__main__ import run_checksum
+    changelog = _write_items_changelog(spark, tmp_path)
+    # the sink a skip-everything drain produced: inserts only
+    skipped_sink = [
+        {"id": 1, "es_title": "first", "mydate": 86400,
+         "op": "insert", "seq": 1},
+        {"id": 2, "es_title": "second", "mydate": 86400,
+         "op": "insert", "seq": 2},
+    ]
+    srv = _ChecksumFakeCH(skipped_sink, _CHECKSUM_SCHEMA, ["id"], 16)
+    try:
+        cfg = _checksum_cfg(tmp_path, srv.url)
+        cfg.skip_delete = True
+        cfg.skip_update = True
+        out = run_checksum(cfg, changelog_dir=changelog, buckets=16,
+                           spark=spark)
+        line = next(x for x in out if x.get("rule") == "app:items")
+        assert line["in_sync"] is True, line
+        # and WITHOUT the skips, the same sink is rightly out of sync
+        cfg.skip_delete = cfg.skip_update = False
+        out2 = run_checksum(cfg, changelog_dir=changelog, buckets=16,
+                            spark=spark)
+        line2 = next(x for x in out2 if x.get("rule") == "app:items")
+        assert line2["in_sync"] is False
+    finally:
+        srv.stop()
