@@ -164,11 +164,13 @@ def run(cfg: EngineConfig, changelog_dir: str, *, follow: bool = False,
     # actually contains -- the file-source analog of the reference's
     # information_schema query (river/river.go:203-209)
     available = []
-    for entry in sorted(os.listdir(changelog_dir)):
-        if "." in entry and os.path.isdir(
-                os.path.join(changelog_dir, entry)):
-            db, _, tbl = entry.partition(".")
-            available.append((db, tbl))
+    if os.path.isdir(changelog_dir):    # a missing root stays the
+        # graceful no-op it always was (each rule's dir check skips)
+        for entry in sorted(os.listdir(changelog_dir)):
+            if "." in entry and os.path.isdir(
+                    os.path.join(changelog_dir, entry)):
+                db, _, tbl = entry.partition(".")
+                available.append((db, tbl))
     for rule in cfg.effective_rules(available).rules:
         src = os.path.join(changelog_dir,
                            f"{rule.source_schema}.{rule.source_table}")
@@ -650,7 +652,7 @@ def run_checksum(cfg: EngineConfig, *, changelog_dir: str | None = None,
         available = [(r["db"], r["table"]) for r in
                      env_batch.select("db", "table").distinct()
                      .collect() if r["db"] and r["table"]]
-    elif changelog_dir:
+    elif changelog_dir and os.path.isdir(changelog_dir):
         for entry in sorted(os.listdir(changelog_dir)):
             if "." in entry and os.path.isdir(
                     os.path.join(changelog_dir, entry)):

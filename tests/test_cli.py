@@ -1339,3 +1339,13 @@ def test_source_only_config_reaches_ddl_chain(spark, tmp_path):
                    and "Decimal(10,2)" in s for s in stmts), stmts
     finally:
         srv.stop()
+
+
+def test_missing_changelog_root_is_graceful(spark, tmp_path):
+    """A changelog root that does not exist (first boot, wrong path)
+    drains to zero rules, as it always did -- the [[source]]
+    expansion's directory listing must not turn it into a crash."""
+    cfg = EngineConfig.from_toml(TOML)
+    cfg.data_dir = str(tmp_path / "log")
+    out = run(cfg, str(tmp_path / "never-created"), spark=spark)
+    assert out == []
