@@ -179,6 +179,19 @@ def run(cfg: EngineConfig, changelog_dir: str, *, follow: bool = False,
         if not rule.pk and cfg.skip_no_pk_table:
             continue
         schema = spark.read.parquet(src).schema
+        missing_pk = [c for c in rule.pk if c not in schema.names]
+        if missing_pk:
+            # identity rules from [[source]] GUESS pk=('id',) (the
+            # reference introspects the real PK from live MySQL,
+            # river/river.go:279-291); a table without it must skip
+            # LOUDLY with the remedy, not crash in latest_state
+            print(f"WARN: {rule.key}: pk column(s) {missing_pk} not "
+                  f"in the table; skipping -- declare an explicit "
+                  f"[[rule]] with id = [...] for this table",
+                  file=sys.stderr, flush=True)
+            results.append({"rule": rule.key,
+                            "skipped_missing_pk": missing_pk})
+            continue
         pipe = StreamingSyncPipeline(
             rule, list(rule.pk), cfg.sink_dir(rule),
             cfg.checkpoint_dir(rule), skip_ops=cfg.skip_ops())
@@ -300,6 +313,17 @@ def run_binlog(cfg: EngineConfig, binlog_dir: str, *,
         ddl = _infer_row_ddl(env_batch, rule.source_schema,
                              rule.source_table)
         if ddl is None:        # table absent from the binlogs so far
+            continue
+        from pyspark.sql.types import StructType as _ST
+        ddl_names = _ST.fromDDL(ddl).fieldNames()
+        missing_pk = [c for c in rule.pk if c not in ddl_names]
+        if missing_pk:
+            print(f"WARN: {rule.key}: pk column(s) {missing_pk} not "
+                  f"in the table; skipping -- declare an explicit "
+                  f"[[rule]] with id = [...] for this table",
+                  file=sys.stderr, flush=True)
+            results.append({"rule": rule.key,
+                            "skipped_missing_pk": missing_pk})
             continue
         env = read_binlog_files(spark, binlog_dir, streaming=True,
                                 max_files_per_trigger=cfg.bulk_size)

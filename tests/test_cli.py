@@ -1349,3 +1349,26 @@ def test_missing_changelog_root_is_graceful(spark, tmp_path):
     cfg.data_dir = str(tmp_path / "log")
     out = run(cfg, str(tmp_path / "never-created"), spark=spark)
     assert out == []
+
+
+def test_identity_rule_without_id_column_skips_loudly(spark, tmp_path,
+                                                      capsys):
+    """[[source]] identity rules guess pk=('id',); a table without
+    that column skips with a WARN + result line naming the remedy
+    instead of crashing in latest_state."""
+    import os as _os
+
+    d = tmp_path / "changelog" / "app.noid"
+    _os.makedirs(d)
+    spark.createDataFrame(
+        [(1, "insert", "x")], "seq long, op string, payload string"
+    ).coalesce(1).write.mode("append").parquet(str(d))
+    toml = tmp_path / "r.toml"
+    toml.write_text('[[source]]\nschema = "app"\ntables = ["noid"]\n')
+    cfg = EngineConfig.from_toml(str(toml))
+    cfg.data_dir = str(tmp_path / "log")
+    out = run(cfg, str(tmp_path / "changelog"), spark=spark)
+    assert out == [{"rule": "app:noid",
+                    "skipped_missing_pk": ["id"]}]
+    err = capsys.readouterr().err
+    assert "declare an explicit [[rule]]" in err
