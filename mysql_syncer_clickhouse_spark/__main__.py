@@ -735,6 +735,14 @@ def run_checksum(cfg: EngineConfig, *, changelog_dir: str | None = None,
         projected = raw.select(*[F.col(c) for c in meta],
                                *rule.projection(payload))
         pk = [rule._field_parts(c)[0] for c in rule.pk]
+        missing_pk = [c for c in pk if c not in projected.columns]
+        if missing_pk:
+            results.append({
+                "rule": rule.key, "mode": "checksum",
+                "error": (f"pk column(s) {missing_pk} not in the "
+                          "source stream; declare an explicit "
+                          "[[rule]] with id = [...] for this table")})
+            continue
         expected = sv.final_state_with_tombstones(projected, pk)
 
         hsink = ClickHouseHTTPSink(
