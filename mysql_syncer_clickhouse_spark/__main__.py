@@ -817,22 +817,36 @@ def run_checksum(cfg: EngineConfig, *, changelog_dir: str | None = None,
             and not line["schema_missing_in_sink"],
         })
         if deep and cmp.mismatched:
-            dst = read_clickhouse_http(
-                spark, http_url, rule.sink_schema, rule.sink_table,
-                exp_common.schema,
-                split_expr=sv.clickhouse_bucket_sql(
-                    pk_pairs, buckets, binary_cols),
-                n_splits=buckets, split_values=cmp.mismatched,
-                final=final, user=cfg.sink_user,
-                password=cfg.sink_pass)
-            diff = sv.row_diff(
-                exp_common, dst, pk, cmp.mismatched, buckets, common,
-                bucket_src=sv.spark_bucket_col(exp_common, pk_pairs,
-                                               buckets),
-                bucket_dst=sv.spark_bucket_col(dst, pk_pairs,
-                                               buckets))
-            diff_rows = [r.asDict() for r in
-                         diff.limit(diff_limit + 1).collect()]
+            # per-rule error handling, same as the digest phase: a
+            # read-back refusal (e.g. a binary column the JSON
+            # transport can't round-trip) records the finding and
+            # moves on -- the digest verdict above already stands
+            try:
+                dst = read_clickhouse_http(
+                    spark, http_url, rule.sink_schema, rule.sink_table,
+                    exp_common.schema,
+                    split_expr=sv.clickhouse_bucket_sql(
+                        pk_pairs, buckets, binary_cols),
+                    n_splits=buckets, split_values=cmp.mismatched,
+                    final=final, user=cfg.sink_user,
+                    password=cfg.sink_pass)
+                diff = sv.row_diff(
+                    exp_common, dst, pk, cmp.mismatched, buckets,
+                    common,
+                    bucket_src=sv.spark_bucket_col(
+                        exp_common, pk_pairs, buckets),
+                    bucket_dst=sv.spark_bucket_col(
+                        dst, pk_pairs, buckets))
+                diff_rows = [r.asDict() for r in
+                             diff.limit(diff_limit + 1).collect()]
+            except ValueError as e:  # coercer refusal, with remedy
+                line["deep_error"] = str(e)
+                results.append(line)
+                continue
+            except (_uerr.HTTPError, _uerr.URLError, OSError) as e:
+                line["deep_error"] = f"sink read-back failed: {e}"
+                results.append(line)
+                continue
             line["diff_truncated"] = len(diff_rows) > diff_limit
             diff_rows = diff_rows[:diff_limit]
             line["diff"] = diff_rows
@@ -1303,8 +1317,9 @@ def main(argv: list[str] | None = None) -> int:
     if args.thread:
         cfg.threads = args.thread
     if args.log_level:
-        os.environ.setdefault("SPARK_GRAFT_LOG_LEVEL",
-                              args.log_level.upper())
+        # direct assign: an explicit CLI flag outranks a pre-existing
+        # env var (setdefault would silently let the env win)
+        os.environ["SPARK_GRAFT_LOG_LEVEL"] = args.log_level.upper()
     if args.skip_delete:
         cfg.skip_delete = True
     if args.skip_update:
@@ -1315,6 +1330,8 @@ def main(argv: list[str] | None = None) -> int:
             ap.error("--checksum requires --changelog-dir, "
                      "--binlog-dir and/or --dump-sql (the "
                      "source-of-truth stream/snapshot)")
+        if args.buckets < 1:
+            ap.error("--buckets must be >= 1")
         sample = None
         if args.checksum_sample:
             try:

@@ -93,6 +93,23 @@ def _unsigned_dec(fp: Column) -> Column:
     return F.when(fp < 0, d + F.lit(Decimal(_U64))).otherwise(d)
 
 
+def _unsigned_mod(fp: Column, n: int) -> Column:
+    """`uint64(fp) % n` where `fp` is the SIGNED int64 view of a
+    64-bit hash -- the Spark twin of ClickHouse's `UInt64 % n`.  Plain
+    `pmod(fp, n)` agrees only when n divides 2^64 (the default 1024
+    does; --buckets 1000 does not, and every hash >= 2^63 would land
+    in a different bucket per side, flagging ~half the buckets of a
+    perfectly in-sync table).  Unsigned value = fp + 2^64 when fp < 0,
+    so unsigned%n = pmod(pmod(fp,n) + (2^64 % n if fp<0), n) -- pure
+    int64 arithmetic, stays in whole-stage codegen."""
+    n = int(n)
+    bias = _U64 % n
+    return F.pmod(
+        F.pmod(fp, F.lit(n))
+        + F.when(fp < 0, F.lit(bias)).otherwise(F.lit(0)),
+        F.lit(n))
+
+
 def ordered_cols(df: DataFrame, pk_cols: list[str],
                  value_cols: list[str] | None = None) -> list[str]:
     """Deterministic column order both sides must share: primary key
@@ -555,8 +572,8 @@ def spark_bucket_col(df: DataFrame, pk_pairs: list[tuple[str, str]],
     """The Spark twin of `clickhouse_bucket_sql` -- used by pushdown
     drill-down so both frames bucket rows identically to the server."""
     city = _cityhash64_udf()
-    return F.pmod(city(spark_canonical_row(df, pk_pairs)),
-                  F.lit(n_buckets))
+    return _unsigned_mod(city(spark_canonical_row(df, pk_pairs)),
+                         n_buckets)
 
 
 def final_state_with_tombstones(changelog: DataFrame,
@@ -617,7 +634,7 @@ def spark_pushdown_digest(df: DataFrame,
 
     hashed = (df.select(canon.alias("_c"), pk_canon.alias("_p"))
                 .mapInArrow(_hash_batches, "_fp long, _pkfp long"))
-    bucket = F.pmod(F.col("_pkfp"), F.lit(n_buckets))
+    bucket = _unsigned_mod(F.col("_pkfp"), n_buckets)
     out = hashed.select(bucket.alias("bucket"), "_fp")
     if sample is not None:
         m, k = sample

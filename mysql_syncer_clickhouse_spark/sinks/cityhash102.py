@@ -456,6 +456,16 @@ def _native_fn():
                     "sink checksums fall back to pure Python "
                     "(~3.6 MB/s/core vs multi-GB/s). Set "
                     "MSC_SPARK_PURE_CITYHASH=1 to opt in silently.")
+            elif _NATIVE64 is None:
+                # same visibility policy for the 64-bit batch entry:
+                # it can fail validation independently of the 128-bit
+                # path, and it IS the checksum hot path
+                logging.getLogger(__name__).warning(
+                    "cityhash102: 64-bit batch entry failed "
+                    "validation; sync-verify digests fall back to "
+                    "pure Python (~1000x slower on the checksum hot "
+                    "path). Set MSC_SPARK_PURE_CITYHASH=1 to opt in "
+                    "silently.")
     return _NATIVE
 
 

@@ -97,6 +97,7 @@ C_HELLO, C_QUERY, C_DATA = 0, 1, 2
 # server packet codes
 S_HELLO, S_DATA, S_EXCEPTION, S_PROGRESS = 0, 1, 2, 3
 S_PONG, S_END_OF_STREAM, S_PROFILE_INFO = 4, 5, 6
+S_TOTALS, S_EXTREMES = 7, 8
 S_TABLE_COLUMNS = 11
 # revision gates (public protocol constants)
 _REV_SERVER_TIMEZONE = 54058
@@ -689,6 +690,222 @@ def encode_block(columns: list[tuple[str, str]],
     return bytes(out)
 
 
+# ------------------------------------------------------------- decoders
+#
+# The read half of the wire: SELECT results arrive as the same Data
+# blocks the write path emits, so the decoders mirror column_encoder's
+# type surface symmetrically. Primary consumer is sync-verify's
+# native-TCP mode (__main__.run_checksum): the digest aggregate's
+# ~4 columns x n_buckets rows, and the drill-down's divergence-bounded
+# read-back -- a native-only deployment (the reference's own client is
+# native TCP, clickhouse/client.go:36-37) can now verify without
+# opening a second HTTP port. String/FixedString return BYTES
+# (ClickHouse String is byte-transparent; the read layer decides
+# utf-8 vs binary).
+
+
+def _rd_u64s(rd, n: int) -> tuple:
+    return struct.unpack(f"<{n}Q", rd.read(8 * n))
+
+
+def column_decoder(ch_type: str):
+    """ch type string -> (decode(rd, n) -> list of Python values).
+    `rd` is any reader with read()/varint() (the connection's _Reader
+    or a _BytesReader over a decompressed frame)."""
+    t = ch_type.strip()
+    if t.startswith("Nullable(") and t.endswith(")"):
+        inner = column_decoder(t[9:-1])
+
+        def dec_nullable(rd, n: int) -> list:
+            mask = rd.read(n)
+            vals = inner(rd, n)
+            return [None if m else v for m, v in zip(mask, vals)]
+        return dec_nullable
+    if t == "String":
+        def dec_str(rd, n: int) -> list:
+            return [rd.read(rd.varint()) for _ in range(n)]
+        return dec_str
+
+    def fixed(code: str, conv=None):
+        w = struct.calcsize("<" + code)
+
+        def dec(rd, n: int) -> list:
+            vals = struct.unpack(f"<{n}{code}", rd.read(w * n))
+            return [conv(v) for v in vals] if conv else list(vals)
+        return dec
+
+    if t in ("Int8", "Int16", "Int32", "Int64",
+             "UInt8", "UInt16", "UInt32", "UInt64"):
+        code = {"8": "b", "16": "h", "32": "i", "64": "q"}[
+            t.lstrip("UInt")]
+        return fixed(code.upper() if t.startswith("U") else code)
+    if t == "Float32":
+        return fixed("f")
+    if t == "Float64":
+        return fixed("d")
+    if t == "Bool":
+        return fixed("B", bool)
+    if t == "Date":
+        return fixed("H", lambda d: _EPOCH_DATE
+                     + datetime.timedelta(days=d))
+    if t == "Date32":
+        return fixed("i", lambda d: _EPOCH_DATE
+                     + datetime.timedelta(days=d))
+    if t == "DateTime" or t.startswith("DateTime("):
+        # naive UTC, symmetric with the encoder's epoch conversion
+        # (the session timezone is pinned UTC in session.py)
+        return fixed("I", lambda s: datetime.datetime.fromtimestamp(
+            s, tz=_UTC).replace(tzinfo=None))
+    if t.startswith("DateTime64("):
+        p = int(t[11:-1].split(",")[0])
+
+        def conv_dt64(v, p=p):
+            us = v // 10 ** (p - 6) if p >= 6 else v * 10 ** (6 - p)
+            return (datetime.datetime(1970, 1, 1)
+                    + datetime.timedelta(microseconds=us))
+        return fixed("q", conv_dt64)
+    if t.startswith("FixedString(") and t.endswith(")"):
+        width = int(t[12:-1])
+
+        def dec_fixed_str(rd, n: int) -> list:
+            # the encoder zero-pads; strip the padding back off (a
+            # value with GENUINE trailing NULs is not representable
+            # through this round-trip -- same as every text format)
+            return [rd.read(width).rstrip(b"\x00") for _ in range(n)]
+        return dec_fixed_str
+    if t == "UUID":
+        def dec_uuid(rd, n: int) -> list:
+            out = []
+            for _ in range(n):
+                hi, lo = struct.unpack("<QQ", rd.read(16))
+                out.append(str(_uuid.UUID(int=(hi << 64) | lo)))
+            return out
+        return dec_uuid
+    if t == "IPv4":
+        return fixed("I", lambda v: str(ipaddress.IPv4Address(v)))
+    if t == "IPv6":
+        def dec_ipv6(rd, n: int) -> list:
+            return [str(ipaddress.IPv6Address(rd.read(16)))
+                    for _ in range(n)]
+        return dec_ipv6
+    if t.startswith("Enum8(") or t.startswith("Enum16("):
+        body = t[t.index("(") + 1:-1]
+        by_val: dict[int, str] = {}
+        for m in re.finditer(r"'((?:[^'\\]|\\.)*)'\s*=\s*(-?\d+)", body):
+            nm = m.group(1).replace("\\'", "'").replace("\\\\", "\\")
+            by_val[int(m.group(2))] = nm
+        if not by_val:
+            raise ValueError(f"no members parsed from {ch_type!r}")
+
+        def conv_enum(v):
+            name = by_val.get(v)
+            if name is None:
+                raise ValueError(
+                    f"enum value {v} not a member of {ch_type}")
+            return name
+        return fixed("b" if t.startswith("Enum8(") else "h", conv_enum)
+    if t.startswith("Decimal(") and t.endswith(")"):
+        prec, scale = (int(x) for x in t[8:-1].split(","))
+        dwidth = 4 if prec <= 9 else 8 if prec <= 18 else \
+            16 if prec <= 38 else 32
+
+        def dec_decimal(rd, n: int) -> list:
+            return [Decimal(int.from_bytes(
+                rd.read(dwidth), "little", signed=True)).scaleb(-scale)
+                for _ in range(n)]
+        return dec_decimal
+    if t in ("Int128", "Int256", "UInt128", "UInt256"):
+        wwidth = 16 if t.endswith("128") else 32
+        wsigned = not t.startswith("U")
+
+        def dec_wide(rd, n: int) -> list:
+            return [int.from_bytes(rd.read(wwidth), "little",
+                                   signed=wsigned) for _ in range(n)]
+        return dec_wide
+    if t.startswith("Array(") and t.endswith(")"):
+        inner = column_decoder(t[6:-1])
+
+        def dec_array(rd, n: int) -> list:
+            offs = _rd_u64s(rd, n)
+            flat = inner(rd, offs[-1] if n else 0)
+            out, prev = [], 0
+            for o in offs:
+                out.append(flat[prev:o])
+                prev = o
+            return out
+        return dec_array
+    if t.startswith("Map(") and t.endswith(")"):
+        kt, vt = split_type_args(t[4:-1])
+        kdec, vdec = column_decoder(kt), column_decoder(vt)
+
+        def dec_map(rd, n: int) -> list:
+            offs = _rd_u64s(rd, n)
+            total = offs[-1] if n else 0
+            keys, vals = kdec(rd, total), vdec(rd, total)
+            out, prev = [], 0
+            for o in offs:
+                out.append(dict(zip(keys[prev:o], vals[prev:o])))
+                prev = o
+            return out
+        return dec_map
+    if t.startswith("Tuple(") and t.endswith(")"):
+        etypes = []
+        for part in split_type_args(t[6:-1]):
+            toks = part.split(None, 1)
+            if len(toks) == 2 and re.fullmatch(r"[A-Za-z_]\w*",
+                                               toks[0]):
+                etypes.append(toks[1])
+            else:
+                etypes.append(part)
+        decs = [column_decoder(et) for et in etypes]
+
+        def dec_tuple(rd, n: int) -> list:
+            cols = [dec(rd, n) for dec in decs]
+            return [tuple(c[i] for c in cols) for i in range(n)]
+        return dec_tuple
+    if t.startswith("LowCardinality(") and t.endswith(")"):
+        inner_t = t[15:-1].strip()
+        null_inner = inner_t.startswith("Nullable(")
+        base_dec = column_decoder(
+            inner_t[9:-1] if null_inner else inner_t)
+
+        def dec_lc(rd, n: int) -> list:
+            version = struct.unpack("<Q", rd.read(8))[0]
+            if version != 1:
+                raise ValueError(
+                    f"LowCardinality keys version {version} != 1")
+            ser = struct.unpack("<Q", rd.read(8))[0]
+            fmt = {0: "B", 1: "H", 2: "I", 3: "Q"}[ser & 0xFF]
+            nk = struct.unpack("<Q", rd.read(8))[0]
+            keys = base_dec(rd, nk)
+            if null_inner and keys:
+                keys = [None] + keys[1:]     # slot 0 reserved = NULL
+            nr = struct.unpack("<Q", rd.read(8))[0]
+            w = struct.calcsize("<" + fmt)
+            idx = struct.unpack(f"<{nr}{fmt}", rd.read(w * nr))
+            return [keys[i] for i in idx]
+        return dec_lc
+    if t.startswith("SimpleAggregateFunction(") and t.endswith(")"):
+        args = split_type_args(t[24:-1])
+        if len(args) != 2:
+            raise ValueError(
+                f"SimpleAggregateFunction needs (func, type): "
+                f"{ch_type!r}")
+        return column_decoder(args[1])
+    raise ValueError(f"no native decoder for ClickHouse type "
+                     f"{ch_type!r}")
+
+
+_DECODER_CACHE: dict = {}
+
+
+def _cached_decoder(ch_type: str):
+    dec = _DECODER_CACHE.get(ch_type)
+    if dec is None:
+        dec = _DECODER_CACHE[ch_type] = column_decoder(ch_type)
+    return dec
+
+
 # ------------------------------------------------------------ connection
 
 class NativeConnection:
@@ -893,9 +1110,74 @@ class NativeConnection:
                 self.r.string()      # external table name
                 self.r.string()      # columns description text
                 continue
+            if code == S_PROFILE_INFO:
+                # SELECT responses carry one: rows/blocks/bytes
+                # varints, applied_limit u8, rows_before_limit varint,
+                # calculated_rows_before_limit u8 (the layout at this
+                # client revision, below the 54460 extensions)
+                self.r.varint()
+                self.r.varint()
+                self.r.varint()
+                self.r.read(1)
+                self.r.varint()
+                self.r.read(1)
+                continue
             if code in stop_codes:
                 return code
             raise ConnectionError(f"unexpected server packet {code}")
+
+    def _read_data_block(self):
+        """One server Data block, DECODED: (columns, rows). Zero-row
+        blocks (the SELECT header / terminator) return their (name,
+        type) pairs with no rows -- the caller keeps the last non-empty
+        schema it saw."""
+        rd = self.r
+        rd.string()                  # temporary table name
+        if self.compression:
+            rd = _BytesReader(read_compressed_frame(self.r))
+        rd.varint()
+        rd.read(1)                   # block info: field 1
+        rd.varint()
+        rd.read(4)                   # block info: field 2
+        rd.varint()                  # block info: end
+        n_cols, n_rows = rd.varint(), rd.varint()
+        cols, data = [], []
+        for _ in range(n_cols):
+            name, typ = rd.string(), rd.string()
+            cols.append((name, typ))
+            if n_rows:
+                data.append(_cached_decoder(typ)(rd, n_rows))
+            else:
+                skip = self._state_prefix_len(typ)
+                if skip:
+                    rd.read(skip)
+        rows = [tuple(c[i] for c in data) for i in range(n_rows)]
+        return cols, rows
+
+    def select_rows(self, sql: str,
+                    settings: dict[str, str] | None = None
+                    ) -> tuple[list[tuple[str, str]], list[tuple]]:
+        """SELECT over the native protocol: query -> Data blocks
+        (decoded and accumulated) -> EndOfStream. Returns
+        ((name, ch_type) pairs, row tuples). The sync-verify caller's
+        results are bounded by construction (n_buckets digest rows /
+        divergence-bounded drill-down slices), so accumulation is
+        safe; this is NOT a bulk-export path -- read large tables back
+        through the distributed readers in sinks/clickhouse_read.py."""
+        self._send_query(sql, settings)
+        cols: list[tuple[str, str]] = []
+        rows: list[tuple] = []
+        while True:
+            code = self._read_until(S_DATA, S_TOTALS, S_EXTREMES,
+                                    S_END_OF_STREAM)
+            if code == S_END_OF_STREAM:
+                return cols, rows
+            bcols, brows = self._read_data_block()
+            if code != S_DATA:
+                continue             # totals/extremes: consume, drop
+            if bcols:
+                cols = bcols
+            rows.extend(brows)
 
     # -- public ops
 

@@ -132,3 +132,101 @@ def read_clickhouse_http(spark: SparkSession, url: str, database: str,
     else:
         ids = spark.range(n_splits).repartition(n_splits).toDF("id")
     return ids.mapInPandas(fetch, schema=schema)
+
+
+# ------------------------------------------------- native read-back
+
+
+def _native_coercer(dt: T.DataType):
+    """Decoded native value -> Spark-compatible Python value. The
+    native decoders already return typed values (int/float/Decimal/
+    date/datetime); the work here is the byte-transparent String:
+    utf-8 text for StringType, raw bytes for BinaryType -- which is
+    why the native read-back supports binary columns the JSON
+    transport must refuse."""
+    if isinstance(dt, T.StringType):
+        return (lambda v: None if v is None else
+                (v.decode("utf-8", errors="replace")
+                 if isinstance(v, (bytes, bytearray)) else str(v)))
+    if isinstance(dt, T.BinaryType):
+        return (lambda v: None if v is None else
+                (bytearray(v) if isinstance(v, (bytes, bytearray))
+                 else bytearray(str(v), "utf-8")))
+    if isinstance(dt, (T.LongType, T.IntegerType, T.ShortType,
+                       T.ByteType)):
+        return lambda v: None if v is None else int(v)
+    if isinstance(dt, T.DecimalType):
+        return (lambda v: None if v is None else
+                (v if isinstance(v, Decimal) else Decimal(str(v))))
+    if isinstance(dt, (T.DoubleType, T.FloatType)):
+        return lambda v: None if v is None else float(v)
+    if isinstance(dt, T.BooleanType):
+        return lambda v: None if v is None else bool(v)
+    if isinstance(dt, (T.DateType, T.TimestampType,
+                       T.TimestampNTZType)):
+        return lambda v: v
+    raise ValueError(
+        f"read_clickhouse_native: unsupported read-back type {dt} "
+        "(array/map read-back is not wired into the drill-down; "
+        "verify such tables in digest-only mode)")
+
+
+def read_clickhouse_native(spark: SparkSession, host: str, port: int,
+                           database: str, table: str,
+                           schema: T.StructType,
+                           split_expr: str, n_splits: int = 32, *,
+                           user: str = "default", password: str = "",
+                           where: str | None = None,
+                           final: bool = False,
+                           split_values: list[int] | None = None,
+                           secure: bool = False,
+                           ca_file: str | None = None,
+                           tls_insecure: bool = False,
+                           compression: "bool | str" = True
+                           ) -> DataFrame:
+    """`read_clickhouse_http`'s twin over the NATIVE protocol: one
+    Spark task per split value, each opening its own NativeConnection
+    and decoding its slice's Data blocks executor-side -- the driver
+    never sees a row, and binary columns round-trip (native String is
+    byte-transparent, unlike JSONEachRow)."""
+    import pandas as pd
+
+    cols = ", ".join(f"`{f.name}`" for f in schema.fields)
+    fin = " FINAL" if final else ""
+    extra = f" AND ({where})" if where else ""
+    names = [f.name for f in schema.fields]
+    coercers = {f.name: _native_coercer(f.dataType)
+                for f in schema.fields}
+
+    def fetch(batches):
+        from .clickhouse_native import (NativeConnection,
+                                        build_tls_context)
+        ctx = (build_tls_context(ca_file, tls_insecure)
+               if (secure or ca_file) else None)
+        conn = NativeConnection(
+            host, port, database=database, user=user,
+            password=password, compression=compression,
+            ssl_context=ctx)
+        try:
+            for pdf in batches:
+                for i in pdf["id"]:
+                    sql = (f"SELECT {cols} FROM "
+                           f"`{database}`.`{table}`{fin} "
+                           f"WHERE ({split_expr}) = {int(i)}{extra}")
+                    _, rows = conn.select_rows(sql)
+                    data = {
+                        n: [coercers[n](r[j]) for r in rows]
+                        for j, n in enumerate(names)}
+                    yield pd.DataFrame(data, columns=names,
+                                       dtype=object)
+        finally:
+            conn.close()
+
+    if split_values is not None:
+        vals = [int(v) for v in split_values]
+        ids = spark.createDataFrame(
+            [(v,) for v in vals], "id long").repartition(
+                max(1, len(vals)))
+    else:
+        ids = spark.range(n_splits).repartition(n_splits).toDF("id")
+    return ids.mapInPandas(fetch, schema=schema)

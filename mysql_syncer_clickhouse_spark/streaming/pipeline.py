@@ -90,6 +90,13 @@ class SyncMetrics:
                   else float(max_ts))
         except (TypeError, ValueError):
             return          # a payload column merely NAMED ts
+        # Debezium ts_ms carries MILLISECOND epochs; consumed as
+        # seconds it would read as year ~55000 and make the lag gauge
+        # a huge negative. 1e11 is year 5138 in seconds but 1973 in
+        # ms, so any plausible ms epoch sits above it and any
+        # plausible second epoch below -- normalize, don't guess.
+        if ts > 1e11:
+            ts /= 1000.0
         if self.applied_event_ts is None or ts > self.applied_event_ts:
             self.applied_event_ts = ts
         self.applied_wall = _time.time()

@@ -1237,6 +1237,13 @@ def test_cli_flag_overrides_flavor_thread_loglevel(monkeypatch,
         assert seen["cfg"].threads == 4
         assert seen["cfg"].flavor == "mariadb"
         assert os.environ["SPARK_GRAFT_LOG_LEVEL"] == "WARN"
+        # ADVICE r13: an explicit CLI flag outranks a PRE-EXISTING env
+        # var (setdefault let the env silently win)
+        os.environ["SPARK_GRAFT_LOG_LEVEL"] = "DEBUG"
+        rc = M.main(["--config", TOML, "--changelog-dir", str(d),
+                     "--log-level", "error"])
+        assert rc == 0
+        assert os.environ["SPARK_GRAFT_LOG_LEVEL"] == "ERROR"
     finally:
         os.environ.pop("SPARK_GRAFT_LOG_LEVEL", None)
 

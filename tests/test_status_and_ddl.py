@@ -266,6 +266,12 @@ def test_metrics_record_event_ts_semantics():
     # junk named ts is ignored, not fatal
     m.record_event_ts("not-a-time")
     assert m.applied_event_ts == pytest.approx(t_event + 5, abs=1e-3)
+    # ADVICE r13: a Debezium ts_ms MILLISECOND epoch normalizes to
+    # seconds instead of reading as year ~55000 (which made the lag
+    # gauge a huge negative)
+    m.record_event_ts((t_event + 6) * 1000)
+    assert m.applied_event_ts == pytest.approx(t_event + 6, abs=1e-2)
+    assert m.lag_snapshot()["apply_lag_seconds"] > 0
 
 
 def test_stat_serves_replication_lag(spark, tmp_path):

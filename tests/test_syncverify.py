@@ -290,6 +290,42 @@ def test_pushdown_digest_matches_independent_evaluator(spark):
     assert got == expected
 
 
+def test_pushdown_non_power_of_two_buckets_match_server_semantics(
+        spark):
+    """ADVICE r13 medium: Spark used pmod over the SIGNED int64 view
+    of the CityHash64 fingerprint while the emitted SQL computes
+    UInt64 % n_buckets -- for hashes >= 2^63 these agree only when
+    n_buckets divides 2^64, so `--buckets 1000` flagged ~half the
+    buckets of a perfectly in-sync table.  The fix computes the
+    UNSIGNED modulo; pin it against the independent evaluator at a
+    non-power-of-two count over enough rows that high-bit hashes are
+    certain to occur (P[no hash >= 2^63 in 400 rows] ~ 2^-400)."""
+    n_buckets = 1000
+    rows = [(i, f"s{i}") for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, s string")
+    columns = [("id", "Int64"), ("s", "String")]
+    got = {int(r["bucket"]): (int(r["cnt"]),
+                              int(r["xor_fp"]) % (1 << 64),
+                              int(r["sum_fp"]))
+           for r in sv.spark_pushdown_digest(
+               df, columns, ["id"], n_buckets).collect()}
+    import collections
+    agg = collections.defaultdict(lambda: [0, 0, 0])
+    for i, s in rows:
+        fp = cityhash64(_mini_ch_canon([i, s]))
+        b = cityhash64(_mini_ch_canon([i])) % n_buckets   # UInt64 %
+        agg[b][0] += 1
+        agg[b][1] ^= fp
+        agg[b][2] += fp
+    assert got == {b: tuple(v) for b, v in agg.items()}
+    # the drill-down bucket column must agree with the same semantics
+    buckets = {int(r["b"]) for r in df.select(
+        sv.spark_bucket_col(df, [("id", "Int64")], n_buckets)
+        .alias("b")).collect()}
+    assert buckets == {cityhash64(_mini_ch_canon([i])) % n_buckets
+                       for i, _ in rows}
+
+
 def test_digest_sql_shape_and_tsv_roundtrip():
     sql = sv.clickhouse_digest_sql(
         "olap", "orders", [("id", "Int64"), ("s", "String")],
@@ -700,6 +736,43 @@ def test_cli_checksum_native_sink_needs_http_url(spark, tmp_path):
     cfg = _checksum_cfg(tmp_path, "127.0.0.1:9000")
     with pytest.raises(SystemExit, match="checksum-url"):
         run_checksum(cfg, changelog_dir=changelog, spark=spark)
+
+
+def test_cli_checksum_deep_on_binary_column_records_error(spark,
+                                                          tmp_path):
+    """ADVICE r13 medium: the digest phase supports binary columns
+    (hex canonicalization), but --deep's JSON read-back cannot
+    round-trip raw bytes -- the coercer's refusal must land as a
+    per-rule `deep_error` (digest verdict intact), not crash the
+    whole run."""
+    import os
+
+    from mysql_syncer_clickhouse_spark.__main__ import run_checksum
+    changelog = tmp_path / "changelog" / "app.items"
+    os.makedirs(changelog)
+    spark.createDataFrame(
+        [(1, "insert", 1, bytearray(b"\x00\xffA")),
+         (2, "insert", 2, bytearray(b"zz"))],
+        "seq long, op string, id long, payload binary"
+    ).coalesce(1).write.mode("append").parquet(str(changelog))
+    schema = [("id", "Int64"), ("op", "String"),
+              ("payload", "Nullable(String)"), ("seq", "Int64")]
+    # fake stores the HEX rendering (what the emitted hex() computes);
+    # pk 2 drifted so the deep path actually triggers
+    rows = [{"id": 1, "op": "insert", "payload": "00FF41", "seq": 1},
+            {"id": 2, "op": "insert", "payload": "AAAA", "seq": 2}]
+    srv = _ChecksumFakeCH(rows, schema, ["id"], 16)
+    try:
+        cfg = _checksum_cfg(tmp_path, srv.url)
+        out = run_checksum(cfg, changelog_dir=str(tmp_path / "changelog"),
+                           buckets=16, deep=True, spark=spark)
+        line = next(x for x in out if x.get("rule") == "app:items")
+        assert line["in_sync"] is False
+        assert line["buckets_mismatched"] == 1
+        assert "binary" in line["deep_error"]
+        assert "diff" not in line
+    finally:
+        srv.stop()
 
 
 def test_pushdown_binary_columns_hash_as_hex(spark):
