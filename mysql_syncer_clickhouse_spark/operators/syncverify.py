@@ -429,14 +429,17 @@ def clickhouse_digest_sql(database: str, table: str,
                           pk_cols: list[str], n_buckets: int,
                           final: bool = False,
                           binary_cols: set | None = None,
-                          sample: tuple[int, int] | None = None) -> str:
+                          sample: tuple[int, int] | None = None,
+                          fmt: str | None = "TabSeparated") -> str:
     """ONE server-side aggregate query producing the same
     (bucket, cnt, xor_fp, sum_fp) digest `spark_pushdown_digest`
     computes -- the ClickHouse side of a 100 TB verification never
     ships a row.  `final` reads the table with FINAL so a
     ReplacingMergeTree collapses to its post-merge state (slower;
     without it, pre-merge duplicate versions surface as
-    duplicate_pk_in_sink findings, which is also a truth)."""
+    duplicate_pk_in_sink findings, which is also a truth).  `fmt`:
+    the HTTP transport wants TabSeparated; native-protocol results
+    arrive as typed Data blocks, no FORMAT clause (fmt=None)."""
     by_name = dict(columns)
     pk_pairs = [(c, by_name[c]) for c in pk_cols]
     canon = _ch_canon(columns, binary_cols)
@@ -453,7 +456,8 @@ def clickhouse_digest_sql(database: str, table: str,
         f"{bucket} AS bucket "
         f"FROM `{database}`.`{table}`{fin})"
         f"{where} "
-        "GROUP BY bucket ORDER BY bucket FORMAT TabSeparated")
+        "GROUP BY bucket ORDER BY bucket"
+        + (f" FORMAT {fmt}" if fmt else ""))
 
 
 def parse_digest_tsv(body: bytes) -> list[dict]:

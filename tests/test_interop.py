@@ -674,3 +674,73 @@ def test_checksum_digest_matches_real_server(spark):
     through concat+coalesce, groupBitXor, sum(toUInt256) and the
     cityHash64 bucketing -- all in one emitted aggregate."""
     checksum_digest_roundtrip(spark)
+
+
+def checksum_digest_roundtrip_native(spark, host: str, port: int,
+                                     n_buckets: int = 1000):
+    """Shared body for the NATIVE-transport digest (round 14): build
+    the same t_checksum table through native execute + insert_blocks,
+    run the emitted digest aggregate through select_rows (no FORMAT
+    clause -- the result decodes from typed Data blocks), and require
+    agreement with the Spark pushdown digest.  n_buckets is
+    deliberately NON-power-of-two so the unsigned-modulo bucketing
+    (ADVICE r13 medium) is pinned end to end on this wire too."""
+    from mysql_syncer_clickhouse_spark.operators import syncverify as sv
+    from mysql_syncer_clickhouse_spark.sinks.clickhouse_native import (
+        NativeConnection)
+
+    conn = NativeConnection(
+        host, port,
+        user=os.environ.get("CLICKHOUSE_USER", "default"),
+        password=os.environ.get("CLICKHOUSE_PASSWORD", ""),
+        compression=True)
+    try:
+        conn.execute("CREATE DATABASE IF NOT EXISTS msc_interop")
+        conn.execute("DROP TABLE IF EXISTS msc_interop.t_checksum_nat")
+        cols_sql = ", ".join(
+            f"`{n}` {t}" for n, t in CHECKSUM_T_COLUMNS)
+        conn.execute(
+            f"CREATE TABLE msc_interop.t_checksum_nat ({cols_sql}) "
+            "ENGINE = MergeTree ORDER BY id")
+        df = _checksum_spark_df(spark)
+        typed = [tuple(r) for r in df.collect()]
+        names = ", ".join(f"`{n}`" for n, _ in CHECKSUM_T_COLUMNS)
+        conn.insert_blocks(
+            f"INSERT INTO msc_interop.t_checksum_nat ({names}) VALUES",
+            CHECKSUM_T_COLUMNS, [typed])
+
+        sql = sv.clickhouse_digest_sql(
+            "msc_interop", "t_checksum_nat", CHECKSUM_T_COLUMNS,
+            ["id"], n_buckets, fmt=None)
+        _, rows = conn.select_rows(sql)
+        server = [{"bucket": int(b), "cnt": int(c),
+                   "xor_fp": int(x), "sum_fp": int(s)}
+                  for b, c, x, s in rows]
+        mine = sv.spark_pushdown_digest(
+            df, CHECKSUM_T_COLUMNS, ["id"], n_buckets).collect()
+        cmp = sv.compare_digests(mine, server)
+        assert cmp.rows_src == len(CHECKSUM_T_ROWS)
+        assert cmp.in_sync, cmp.mismatched
+
+        # a drifted sink must NOT digest equal over this wire either
+        conn.insert_blocks(
+            f"INSERT INTO msc_interop.t_checksum_nat ({names}) VALUES",
+            CHECKSUM_T_COLUMNS,
+            [[(99, None, None, None, None, "ghost", None)]])
+        _, rows2 = conn.select_rows(sql)
+        drifted = [{"bucket": int(b), "cnt": int(c),
+                    "xor_fp": int(x), "sum_fp": int(s)}
+                   for b, c, x, s in rows2]
+        assert not sv.compare_digests(mine, drifted).in_sync
+    finally:
+        conn.close()
+
+
+@needs_ch
+def test_checksum_digest_native_matches_real_server(spark):
+    """The round-14 native-TCP digest path against a REAL server:
+    typed block decode of the aggregate result, insert_blocks-built
+    fixture, non-power-of-two bucketing -- no HTTP interface
+    touched."""
+    host, port = _ch_hostport()
+    checksum_digest_roundtrip_native(spark, host, port)

@@ -492,3 +492,20 @@ def test_selftest_checksum_digest(checksum_fake_env, spark):
     the Spark-side digest must agree (then disagree after the
     perturbing INSERT)."""
     IT.checksum_digest_roundtrip(spark)
+
+
+def test_selftest_checksum_digest_native(spark):
+    """The round-14 NATIVE digest round-trip against the evaluating
+    native fake (test_syncverify_native._MiniNativeCH): insert_blocks
+    lands typed rows in its store, the emitted aggregate is evaluated
+    with its independent typed canonical renderer (float bits,
+    fixed-scale decimals, epoch micros), and the typed-block decode
+    of the result must agree with Spark's pushdown digest -- at a
+    non-power-of-two bucket count."""
+    from tests.test_interop import CHECKSUM_T_COLUMNS
+    from tests.test_syncverify_native import _MiniNativeCH
+    srv = _MiniNativeCH([], CHECKSUM_T_COLUMNS, ["id"], 1000)
+    try:
+        IT.checksum_digest_roundtrip_native(spark, srv.host, srv.port)
+    finally:
+        srv.stop()

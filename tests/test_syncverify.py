@@ -730,11 +730,16 @@ def test_cli_checksum_schema_drift_reported(spark, tmp_path):
         srv.stop()
 
 
-def test_cli_checksum_native_sink_needs_http_url(spark, tmp_path):
+def test_cli_checksum_without_any_sink_refuses_with_remedy(
+        spark, tmp_path):
+    """No sink_addr and no --checksum-url: nothing to verify against.
+    (A native-TCP sink_addr now WORKS -- tests in
+    test_syncverify_native.py -- where r13 demanded an HTTP URL.)"""
     from mysql_syncer_clickhouse_spark.__main__ import run_checksum
     changelog = _write_items_changelog(spark, tmp_path)
-    cfg = _checksum_cfg(tmp_path, "127.0.0.1:9000")
-    with pytest.raises(SystemExit, match="checksum-url"):
+    cfg = _checksum_cfg(tmp_path, None)
+    cfg.sink_addr = None
+    with pytest.raises(SystemExit, match="sink_addr"):
         run_checksum(cfg, changelog_dir=changelog, spark=spark)
 
 
