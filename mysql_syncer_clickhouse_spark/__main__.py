@@ -540,16 +540,33 @@ def run_retype(cfg: EngineConfig, binlog_dir: str, *,
                   key=lambda r: _key(r["file"], r["pos"]))
     results: list[dict] = []
     _STRING_FALLBACK = ("String", "Nullable(String)")
-    for rule in cfg.effective_rules(None).rules:
-        # fold the rule-mapped DDL stream into the expected sink-space
-        # column model -- the same authority apply_ddl_to_sink uses
+    rules = cfg.effective_rules(None).rules
+    # fold the rule-mapped DDL stream into per-rule sink-space column
+    # models -- the same authority apply_ddl_to_sink uses. The fold
+    # rides its own ShadowLedger (round 14): a pt-osc/gh-ost migration
+    # carries the column's REAL type on the shadow table's ALTER, so
+    # without replaying the cut-over here a String-fallback column
+    # whose only type authority is that shadow ALTER would be
+    # invisible to --retype (the OSC replay x retype composition).
+    folded: dict[str, list] = {r.key: [] for r in rules}
+    ledger = ddlmod.ShadowLedger()
+    for r in rows:
+        for a in ddlmod.parse_mysql_ddl(r["query"],
+                                        default_schema=r["db"]):
+            replays, _warns = ledger.observe(a, rules)
+            for rep_rule, acts in replays:
+                for act in acts:
+                    m = ddlmod.map_action(act, rep_rule)
+                    if m is not None and m.kind != "ignored":
+                        folded[rep_rule.key].append(m)
+            for rule in rules:
+                m = ddlmod.map_action(a, rule)
+                if m is not None and m.kind != "ignored":
+                    folded[rule.key].append(m)
+    for rule in rules:
         model: list[tuple[str, str, bool]] = []
-        for r in rows:
-            for a in ddlmod.parse_mysql_ddl(r["query"],
-                                            default_schema=r["db"]):
-                mapped = ddlmod.map_action(a, rule)
-                if mapped is not None and mapped.kind != "ignored":
-                    model = ddlmod.apply_to_columns(model, mapped)
+        for mapped in folded[rule.key]:
+            model = ddlmod.apply_to_columns(model, mapped)
         if not model:
             continue
         pk = tuple(rule._field_parts(c)[0] for c in rule.pk)

@@ -1021,6 +1021,138 @@ def test_cli_retype_emits_then_executes_fallback_modifies(spark,
         srv.stop()
 
 
+def test_cli_retype_sees_osc_carried_types(spark, tmp_path):
+    """Composition e2e (r13 VERDICT next #4a): a pt-osc migration is
+    the ONLY place the column's real type was ever stated -- the
+    shadow table's ALTER says decimal(10,2); the production table
+    never saw a direct ALTER. Rows for the column meanwhile landed in
+    the sink via the in-band Nullable(String) fallback. --retype's
+    source-model fold must ride the same ShadowLedger --apply-ddl
+    does: the cut-over replay carries the type into the model and the
+    MODIFY is emitted (without the ledger the column is invisible and
+    --retype reports nothing)."""
+    from mysql_syncer_clickhouse_spark.__main__ import run_retype
+    from mysql_syncer_clickhouse_spark.sources.binlog_writer import (
+        BinlogColumn, BinlogFileWriter)
+    from tests.test_clickhouse_sink import _FakeClickHouse
+
+    d = tmp_path / "binlogs"
+    d.mkdir()
+
+    def binlog(n, *stmts):
+        w = BinlogFileWriter("app", "items",
+                             [BinlogColumn.bigint("id")])
+        for s in stmts:
+            w.ddl(s)
+        (d / f"mysql-bin.{n:06d}").write_bytes(w.to_bytes())
+
+    binlog(1, "CREATE TABLE `_items_new` LIKE `items`")
+    binlog(2, "ALTER TABLE _items_new ADD COLUMN price decimal(10,2)")
+    binlog(3, "RENAME TABLE items TO _items_old, _items_new TO items")
+
+    srv = _FakeClickHouse().start()
+    srv.select_response = (b"id\tInt64\n"
+                           b"es_title\tNullable(String)\n"
+                           b"price\tNullable(String)\n")
+    try:
+        cfg = EngineConfig.from_toml(TOML)
+        cfg.data_dir = str(tmp_path / "log")
+        cfg.sink_addr = srv.url
+        out = run_retype(cfg, str(d), execute=True, spark=spark)
+        [line] = [x for x in out if x.get("modify")]
+        [m] = line["modify"]
+        assert m["column"] == "price"
+        assert m["target"] == "Nullable(Decimal(10,2))"
+        alters = [q for q, _ in srv.requests if q.startswith("ALTER")]
+        assert alters == ["ALTER TABLE `olap`.`items_sink` MODIFY "
+                          "COLUMN `price` Nullable(Decimal(10,2))"]
+    finally:
+        srv.stop()
+
+
+def test_cli_apply_ddl_then_checksum_schema_gap_closes(spark,
+                                                       tmp_path):
+    """Composition e2e (r13 VERDICT next #4b): --checksum's schema
+    drift reporting composes with --apply-ddl. A sink missing a
+    column reports schema_missing_in_sink (and not-in-sync) while the
+    COMMON columns still digest clean; after --apply-ddl replays the
+    ALTER onto the sink, a second --checksum reports the gap closed
+    and the rule fully in sync."""
+    from mysql_syncer_clickhouse_spark.__main__ import (run_apply_ddl,
+                                                        run_checksum)
+    from mysql_syncer_clickhouse_spark.sources.binlog_writer import (
+        BinlogColumn, BinlogFileWriter)
+    from tests.test_syncverify import _ChecksumFakeCH
+
+    d = tmp_path / "binlogs"
+    d.mkdir()
+    w = BinlogFileWriter("app", "items",
+                         [BinlogColumn.bigint("id"),
+                          BinlogColumn.varchar("title"),
+                          BinlogColumn.bigint("price")])
+    w.insert([[1, "first", 100], [2, "second", 200]])
+    w.xid(1)
+    w.ddl("ALTER TABLE items ADD COLUMN price bigint")
+    (d / "mysql-bin.000001").write_bytes(w.to_bytes())
+
+    class _EvolvingFakeCH(_ChecksumFakeCH):
+        """The checksum fake, plus: an ALTER ADD COLUMN lands in its
+        schema -- so --apply-ddl visibly changes what --checksum
+        introspects."""
+
+        def _serve(self, query):
+            import re as _re
+            m = _re.match(r"ALTER TABLE .* ADD COLUMN IF NOT EXISTS "
+                          r"`(\w+)` (\S+)", query)
+            if m:
+                with self._lock:
+                    self.writes.append(query)
+                    self.schema.append((m.group(1), m.group(2)))
+                return b""
+            return super()._serve(query)
+
+    # sink rows CARRY price values (the in-band insert path wrote
+    # them); only the TABLE SCHEMA the introspection reports lags.
+    # ts: the binlog writer stamps event headers at epoch 0; the
+    # fake's canonical renderer sees the epoch-micros integer (what
+    # the digest hashes for DateTime64)
+    schema = [("id", "Int64"), ("es_title", "Nullable(String)"),
+              ("op", "String"), ("seq", "Int64"),
+              ("ts", "Nullable(DateTime64(6))")]
+    # seq = the changelog's deterministic (file_index << 40) | pos
+    rows = [{"id": 1, "es_title": "first", "price": 100,
+             "op": "insert", "seq": 1099511698944, "ts": 0},
+            {"id": 2, "es_title": "second", "price": 200,
+             "op": "insert", "seq": 1099511698945, "ts": 0}]
+    srv = _EvolvingFakeCH(rows, schema, ["id"], 16)
+    try:
+        cfg = EngineConfig.from_toml(TOML)
+        cfg.data_dir = str(tmp_path / "log")
+        cfg.sink_addr = srv.url
+
+        out1 = run_checksum(cfg, binlog_dir=str(d), buckets=16,
+                            spark=spark)
+        line1 = next(x for x in out1 if x.get("rule") == "app:items")
+        assert line1["schema_missing_in_sink"] == ["price"]
+        assert line1["in_sync"] is False         # schema gap
+        assert line1["buckets_mismatched"] == 0  # common data agrees
+
+        out_ddl = run_apply_ddl(cfg, str(d), spark=spark)
+        assert out_ddl[-1]["new_ddl_events"] == 1
+        assert any(q.startswith("ALTER TABLE `olap`.`items_sink` "
+                                "ADD COLUMN IF NOT EXISTS `price`")
+                   for q in srv.writes)
+
+        out2 = run_checksum(cfg, binlog_dir=str(d), buckets=16,
+                            spark=spark)
+        line2 = next(x for x in out2 if x.get("rule") == "app:items")
+        assert line2["schema_missing_in_sink"] == []
+        assert line2["buckets_mismatched"] == 0
+        assert line2["in_sync"] is True
+    finally:
+        srv.stop()
+
+
 def test_cli_retype_composite_targets_are_manual(spark, tmp_path):
     """A ',list' transform column maps String -> Array(String): a
     structural conversion ClickHouse MODIFY refuses outright --
