@@ -1259,6 +1259,13 @@ def main(argv: list[str] | None = None) -> int:
                          "endpoint (e.g. http://host:8123); by "
                          "default --checksum speaks sink_addr's own "
                          "protocol, including native TCP")
+    ap.add_argument("--verify-after-drain", nargs="?", const="full",
+                    metavar="M:K",
+                    help="after an availableNow drain exits (caught "
+                         "up by construction -- the quiesced point "
+                         "--checksum wants), automatically verify the "
+                         "sink: full digest by default, or a rotating "
+                         "--checksum-sample slice M:K")
     ap.add_argument("--execute", action="store_true",
                     help="with --retype: actually run the emitted "
                          "MODIFY COLUMN statements (a disk rewrite -- "
@@ -1409,8 +1416,42 @@ def main(argv: list[str] | None = None) -> int:
     elif args.changelog_dir:
         lines += run(cfg, args.changelog_dir,
                      follow=args.follow, compact=args.compact)
+    if args.verify_after_drain:
+        # an availableNow drain that just exited IS the quiesced point
+        # run_checksum's contract asks for (its docstring argues this:
+        # verifying a live stream reports "behind", not "corrupt") --
+        # so the verification composes here, not in a separate cron
+        if args.follow:
+            ap.error("--verify-after-drain composes with availableNow "
+                     "drains; a --follow loop never reaches the "
+                     "quiesced point (run --checksum separately in a "
+                     "maintenance window)")
+        vsample = None
+        if args.verify_after_drain != "full":
+            try:
+                m, _, k = args.verify_after_drain.partition(":")
+                vsample = (int(m), int(k))
+                if vsample[0] <= 0:
+                    raise ValueError
+            except ValueError:
+                ap.error("--verify-after-drain wants M:K (e.g. 16:3) "
+                         "or no value for the full digest")
+        vb_dir = args.binlog_dir
+        if args.tail:
+            if not args.relay_dir:
+                ap.error("--verify-after-drain with --tail needs "
+                         "--relay-dir (the persisted relay binlogs "
+                         "are the source of truth to digest)")
+            vb_dir = args.relay_dir
+        for line in run_checksum(
+                cfg, changelog_dir=args.changelog_dir,
+                binlog_dir=vb_dir, dump_path=args.dump_sql,
+                multiline=args.dump_multiline, buckets=args.buckets,
+                checksum_url=args.checksum_url, sample=vsample,
+                final=not args.checksum_no_final):
+            lines.append(line)
     for line in lines:
-        print(json.dumps(line))
+        print(json.dumps(line, default=str))
     return 0
 
 

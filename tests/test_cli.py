@@ -1100,7 +1100,7 @@ def test_cli_apply_ddl_then_checksum_schema_gap_closes(spark,
         schema -- so --apply-ddl visibly changes what --checksum
         introspects."""
 
-        def _serve(self, query):
+        def _serve(self, query, body=b""):
             import re as _re
             m = _re.match(r"ALTER TABLE .* ADD COLUMN IF NOT EXISTS "
                           r"`(\w+)` (\S+)", query)
@@ -1109,7 +1109,7 @@ def test_cli_apply_ddl_then_checksum_schema_gap_closes(spark,
                     self.writes.append(query)
                     self.schema.append((m.group(1), m.group(2)))
                 return b""
-            return super()._serve(query)
+            return super()._serve(query, body)
 
     # sink rows CARRY price values (the in-band insert path wrote
     # them); only the TABLE SCHEMA the introspection reports lags.

@@ -10,6 +10,7 @@ live server (algorithm-level interop is `pytest -m interop`)."""
 from __future__ import annotations
 
 import json
+import os
 import threading
 from datetime import date, datetime
 from decimal import Decimal
@@ -529,10 +530,10 @@ class _ChecksumFakeCH:
         class Handler(BaseHTTPRequestHandler):
             def do_POST(self):               # noqa: N802
                 n = int(self.headers.get("Content-Length", 0))
-                self.rfile.read(n)
+                body = self.rfile.read(n)
                 qs = parse_qs(urlparse(self.path).query)
                 query = qs.get("query", [""])[0]
-                resp = outer._serve(query)
+                resp = outer._serve(query, body)
                 self.send_response(200)
                 self.send_header("Content-Length", str(len(resp)))
                 self.end_headers()
@@ -554,7 +555,7 @@ class _ChecksumFakeCH:
         return cityhash64(
             _mini_ch_canon([r[c] for c in self.pk])) % self.n
 
-    def _serve(self, query: str) -> bytes:
+    def _serve(self, query: str, body: bytes = b"") -> bytes:
         import collections
         import re
         with self._lock:
@@ -726,6 +727,111 @@ def test_cli_checksum_schema_drift_reported(spark, tmp_path):
         assert line["schema_extra_in_sink"] == ["bonus"]
         assert line["in_sync"] is False   # schema gap = not in sync
         assert line["buckets_mismatched"] == 0   # common data agrees
+    finally:
+        srv.stop()
+
+
+class _ApplyingFakeCH(_ChecksumFakeCH):
+    """_ChecksumFakeCH plus the WRITE half: INSERT JSONEachRow bodies
+    land in the row store with the ReplacingMergeTree (pk, seq)
+    collapse applied (last-wins per pk -- what a FINAL read returns),
+    so a drain's applied state is what the digest then evaluates."""
+
+    def _serve(self, query: str, body: bytes = b"") -> bytes:
+        if query.lstrip().upper().startswith("INSERT") and body:
+            with self._lock:
+                self.writes.append(query)
+                by_pk = {tuple(r[c] for c in self.pk): r
+                         for r in self.rows}
+                for line in body.decode().splitlines():
+                    if not line.strip():
+                        continue
+                    r = json.loads(line)
+                    key = tuple(r[c] for c in self.pk)
+                    old = by_pk.get(key)
+                    if old is None or r.get("seq", 0) >= \
+                            old.get("seq", 0):
+                        by_pk[key] = r
+                self.rows[:] = list(by_pk.values())
+            return b""
+        return super()._serve(query, body)
+
+
+def test_cli_drain_then_verify_after_drain(spark, tmp_path, capsys,
+                                           monkeypatch):
+    """--verify-after-drain (r13 VERDICT next #7), full CLI: an
+    availableNow drain applies the changelog to the sink and exits
+    caught-up BY CONSTRUCTION -- the quiesced point --checksum's
+    docstring demands -- then the automatic verification digests the
+    sink against the same stream and reports in_sync. One command,
+    drain + proof."""
+    import mysql_syncer_clickhouse_spark.__main__ as M
+
+    changelog = _write_items_changelog(spark, tmp_path)
+    # the store starts EMPTY: every synced row arrives via the drain
+    srv = _ApplyingFakeCH([], _CHECKSUM_SCHEMA, ["id"], 16)
+    base = open(os.path.join(os.path.dirname(__file__), "..", "etc",
+                             "river.toml")).read()
+    toml = tmp_path / "river.toml"
+    base = base.replace('data_dir = "./log"',
+                        f'data_dir = "{tmp_path}/log"')
+    # sink_addr must PREPEND: appended keys would land inside the
+    # trailing [rule.field] table
+    toml.write_text(f'sink_addr = "{srv.url}"\n' + base)
+    # reuse the module-scoped session (main would build its own)
+    monkeypatch.setattr(M, "get_spark", lambda *a, **kw: spark)
+    try:
+        rc = M.main(["--config", str(toml),
+                     "--changelog-dir", changelog,
+                     "--verify-after-drain", "--buckets", "16"])
+        assert rc == 0
+        out_lines = [json.loads(x) for x in
+                     capsys.readouterr().out.splitlines() if x.strip()]
+        [drained] = [x for x in out_lines if x.get("ops")]
+        assert drained["ops"] == {"insert": 2, "update": 1,
+                                  "delete": 1}
+        vline = next(x for x in out_lines
+                     if x.get("mode") == "checksum"
+                     and x.get("rule") == "app:items")
+        assert vline["in_sync"] is True
+        assert vline["rows_src"] == 2 and vline["rows_sink"] == 2
+        # a --follow loop never reaches the quiesced point: refuse
+        with pytest.raises(SystemExit):
+            M.main(["--config", str(toml), "--changelog-dir",
+                    changelog, "--verify-after-drain", "--follow"])
+    finally:
+        srv.stop()
+
+
+def test_cli_verify_after_drain_sampled_slice(spark, tmp_path, capsys,
+                                              monkeypatch):
+    """--verify-after-drain M:K runs the rotating sample slice -- the
+    cheap periodic form for cron'd drains."""
+    import mysql_syncer_clickhouse_spark.__main__ as M
+
+    changelog = _write_items_changelog(spark, tmp_path)
+    srv = _ApplyingFakeCH([], _CHECKSUM_SCHEMA, ["id"], 16)
+    base = open(os.path.join(os.path.dirname(__file__), "..", "etc",
+                             "river.toml")).read()
+    toml = tmp_path / "river.toml"
+    base = base.replace('data_dir = "./log"',
+                        f'data_dir = "{tmp_path}/log"')
+    # sink_addr must PREPEND: appended keys would land inside the
+    # trailing [rule.field] table
+    toml.write_text(f'sink_addr = "{srv.url}"\n' + base)
+    monkeypatch.setattr(M, "get_spark", lambda *a, **kw: spark)
+    try:
+        rc = M.main(["--config", str(toml),
+                     "--changelog-dir", changelog,
+                     "--verify-after-drain", "4:1", "--buckets", "16"])
+        assert rc == 0
+        out_lines = [json.loads(x) for x in
+                     capsys.readouterr().out.splitlines() if x.strip()]
+        vline = next(x for x in out_lines
+                     if x.get("mode") == "checksum"
+                     and x.get("rule") == "app:items")
+        assert vline["sample"] == "4:1"
+        assert vline["in_sync"] is True
     finally:
         srv.stop()
 
