@@ -411,6 +411,70 @@ def pctl_ab(li) -> dict:
     return out
 
 
+def syncverify_cuts(make_li) -> dict:
+    """S9 at scale (r13 VERDICT next #6): digest cost per side, the
+    n_buckets-row exchange, and drill-down bounded by DIVERGENCE (a
+    fixed ~120-key perturbation regardless of decade -- if drill-down
+    time grows with the TABLE instead of the divergence, the
+    bucket-restricted scan claim is false). Also times the pushdown
+    (CityHash canonical) digest of one side -- the shape a real
+    --checksum run computes Spark-side.  `make_li` is a THUNK: the
+    perturbed side rebuilds from a fresh lineage (a real run's dst
+    comes from the sink read-back; deriving it from the same plan
+    root would be an ambiguous self-join)."""
+    from mysql_syncer_clickhouse_spark.operators import syncverify as sv
+    li = make_li()
+    pk = ["l_orderkey", "l_linenumber"]
+    n = li.count()
+    per = max(1, n // 120)
+    hit = F.pmod(F.xxhash64(*[F.col(c) for c in pk]),
+                 F.lit(per)) == 0
+    dst = make_li().withColumn(
+        "l_quantity",
+        F.when(hit, F.col("l_quantity") + F.lit(1000.0))
+        .otherwise(F.col("l_quantity")))
+
+    t0 = time.perf_counter()
+    s_rows = sv.bucket_digest(li, pk, 1024).collect()
+    t_src = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    d_rows = sv.bucket_digest(dst, pk, 1024).collect()
+    t_dst = time.perf_counter() - t0
+    cmp = sv.compare_digests(s_rows, d_rows)
+    t0 = time.perf_counter()
+    # findings BY STATUS: the synthetic lineitem's pk is genuinely
+    # non-unique (r13's §6f-ter finding), so every duplicate pk
+    # living inside a touched bucket is correctly reported as a
+    # duplicate_pk finding -- the value_mismatch count is the one
+    # that must track the ~120-key perturbation, and it does
+    findings = {r["status"]: r["count"] for r in
+                sv.row_diff(li, dst, pk, cmp.mismatched, 1024)
+                .groupBy("status").count().collect()}
+    t_diff = time.perf_counter() - t0
+
+    types = {"bigint": "Int64", "int": "Int32", "string": "String",
+             "double": "Float64", "timestamp": "DateTime64(6)",
+             "timestamp_ntz": "DateTime64(6)", "date": "Date"}
+    cols = [(f.name, types[f.dataType.simpleString()])
+            for f in li.schema.fields]
+    t0 = time.perf_counter()
+    sv.spark_pushdown_digest(
+        li.select(*[c for c, _ in cols]), cols, pk, 1024).collect()
+    t_push = time.perf_counter() - t0
+    return {
+        "rows": n,
+        "digest_spark_sec": round(t_src, 2),
+        "digest_spark_rows_per_sec": round(n / t_src),
+        "digest_exchange_rows": len(s_rows),    # the n_buckets bound
+        "pushdown_digest_sec": round(t_push, 2),
+        "pushdown_rows_per_sec": round(n / t_push),
+        "buckets_mismatched": len(cmp.mismatched),
+        "drilldown_sec": round(t_diff, 2),
+        "findings": findings,
+        "second_digest_sec": round(t_dst, 2),
+    }
+
+
 def q1_over(li):
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
@@ -562,6 +626,22 @@ def main() -> None:
         for n in DECADES:
             res[f"x{n}"] = fuzzy_ab(replicate_docs(docs1, n), bench)
         print(json.dumps({"metric": "fuzzy_decontaminate_hint_ab",
+                          "sf_dir": SF_DIR, "decades": DECADES,
+                          "driver_memory": os.environ.get(
+                              "SPARK_DRIVER_MEMORY", "8g"),
+                          "cases": res}))
+        spark.stop()
+        return
+    if stages_mode == "syncverify":
+        # r13 ask #6: S9 digest + divergence-bounded drill-down per
+        # decade (x100 lineitem ~= 60M rows)
+        res = {"base_sf0.1": syncverify_cuts(
+            lambda: load_table(spark, SF_DIR, "lineitem"))}
+        for n in DECADES:
+            res[f"x{n}"] = syncverify_cuts(
+                lambda n=n: replicate_lineitem(
+                    load_table(spark, SF_DIR, "lineitem"), n))
+        print(json.dumps({"metric": "syncverify_scale",
                           "sf_dir": SF_DIR, "decades": DECADES,
                           "driver_memory": os.environ.get(
                               "SPARK_DRIVER_MEMORY", "8g"),

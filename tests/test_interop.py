@@ -312,10 +312,11 @@ def test_clickhouse_server_exception_surfaces():
 
 @needs_ch
 def test_clickhouse_compressed_select_readback_via_native():
-    """Server->client compressed frames: run a SELECT-less probe --
-    execute() drains PROGRESS/EndOfStream through the compressed
-    read path (read_compressed_frame verifying the SERVER's
-    checksums)."""
+    """Server->client compressed frames carrying REAL result data:
+    select_rows decodes a typed multi-column SELECT through the
+    compressed read path (read_compressed_frame verifying the
+    SERVER's checksums; round 14 -- before the decoders existed this
+    leg could only drain PROGRESS/EndOfStream)."""
     from mysql_syncer_clickhouse_spark.sinks.clickhouse_native import (
         NativeConnection)
     host, port = _ch_hostport()
@@ -326,7 +327,16 @@ def test_clickhouse_compressed_select_readback_via_native():
         compression=True)
     try:
         conn.execute("CREATE DATABASE IF NOT EXISTS msc_interop")
-        conn.execute("DROP DATABASE IF EXISTS msc_interop_tmp")
+        cols, rows = conn.select_rows(
+            "SELECT number AS n, toString(number) AS s, "
+            "number / 2 AS f, toNullable(number % 2 = 0 ? "
+            "NULL : number) AS m "
+            "FROM system.numbers LIMIT 5")
+        assert [c[0] for c in cols] == ["n", "s", "f", "m"]
+        assert [r[0] for r in rows] == [0, 1, 2, 3, 4]
+        assert rows[3][1] == b"3"
+        assert rows[1][2] == 0.5
+        assert rows[0][3] is None and rows[1][3] == 1
     finally:
         conn.close()
 

@@ -190,9 +190,34 @@ def test_selftest_ch_exception_surfaces(ch_fake_env):
     IT.test_clickhouse_server_exception_surfaces()
 
 
-def test_selftest_ch_compressed_execute(ch_fake_env):
-    IT.test_clickhouse_compressed_select_readback_via_native()
-    assert any("CREATE DATABASE" in q for q in ch_fake_env.queries)
+def test_selftest_ch_compressed_execute(monkeypatch):
+    """The body now runs a REAL typed SELECT (round 14): the twin
+    answers it from the evaluating native fake's machinery with the
+    rows system.numbers would produce, encoded by the TEST-side
+    column encoders -- so the production select_rows decode path
+    executes in the default suite."""
+    from tests.test_syncverify_native import _MiniNativeCH, _wr_block
+
+    class _NumbersCH(_MiniNativeCH):
+        def _answer(self, sql, send, compressed):
+            if "system.numbers" in sql:
+                cols = [("n", "UInt64"), ("s", "String"),
+                        ("f", "Float64"), ("m", "Nullable(UInt64)")]
+                rows = [(i, str(i), i / 2,
+                         None if i % 2 == 0 else i) for i in range(5)]
+                send(_wr_block(cols, rows, compressed))
+                return
+            super()._answer(sql, send, compressed)
+
+    srv = _NumbersCH([], [], ["id"], 8)
+    monkeypatch.setenv("CLICKHOUSE_ADDR", srv.addr)
+    monkeypatch.delenv("CLICKHOUSE_USER", raising=False)
+    monkeypatch.delenv("CLICKHOUSE_PASSWORD", raising=False)
+    try:
+        IT.test_clickhouse_compressed_select_readback_via_native()
+        assert any("CREATE DATABASE" in q for q in srv.queries)
+    finally:
+        srv.stop()
 
 
 def test_selftest_ch_native_tls(monkeypatch, tmp_path):
