@@ -52,7 +52,10 @@ def _get(url: str, query: str, user: str | None,
 
 
 def _coercer(dt: T.DataType):
-    """JSON value -> Spark-compatible Python value for one field."""
+    """JSON value -> Spark-compatible Python value for one field.
+    Arrays and maps recurse (JSONEachRow round-trips them as JSON
+    lists/objects); only raw binary stays refused -- JSON cannot
+    carry arbitrary bytes (the NATIVE read-back can)."""
     if isinstance(dt, (T.LongType, T.IntegerType, T.ShortType,
                        T.ByteType)):
         return lambda v: None if v is None else int(v)
@@ -69,10 +72,20 @@ def _coercer(dt: T.DataType):
                 else datetime.fromisoformat(v))
     if isinstance(dt, T.StringType):
         return lambda v: None if v is None else str(v)
+    if isinstance(dt, T.ArrayType):
+        elem = _coercer(dt.elementType)
+        return (lambda v: None if v is None
+                else [elem(x) for x in v])
+    if isinstance(dt, T.MapType):
+        key = _coercer(dt.keyType)
+        val = _coercer(dt.valueType)
+        return (lambda v: None if v is None
+                else {key(k): val(x) for k, x in v.items()})
     raise ValueError(
         f"read_clickhouse_http: unsupported read-back type {dt} "
-        "(binary/array/map read-back is not JSON-safe; read the "
-        "table into parquet server-side or verify in pushdown mode)")
+        "(binary read-back is not JSON-safe; use the native "
+        "transport -- a host:port sink_addr -- or verify in "
+        "digest-only mode)")
 
 
 def hash_split_sql(pk_cols: list[str], n: int) -> str:
@@ -165,10 +178,17 @@ def _native_coercer(dt: T.DataType):
     if isinstance(dt, (T.DateType, T.TimestampType,
                        T.TimestampNTZType)):
         return lambda v: v
+    if isinstance(dt, T.ArrayType):
+        elem = _native_coercer(dt.elementType)
+        return (lambda v: None if v is None
+                else [elem(x) for x in v])
+    if isinstance(dt, T.MapType):
+        key = _native_coercer(dt.keyType)
+        val = _native_coercer(dt.valueType)
+        return (lambda v: None if v is None
+                else {key(k): val(x) for k, x in v.items()})
     raise ValueError(
-        f"read_clickhouse_native: unsupported read-back type {dt} "
-        "(array/map read-back is not wired into the drill-down; "
-        "verify such tables in digest-only mode)")
+        f"read_clickhouse_native: unsupported read-back type {dt}")
 
 
 def read_clickhouse_native(spark: SparkSession, host: str, port: int,
