@@ -865,9 +865,8 @@ def run_checksum(cfg: EngineConfig, *, changelog_dir: str | None = None,
                 stmts = sv.repair_statements(
                     diff_rows, rule.sink_schema, rule.sink_table, pk)
                 if execute:
-                    for s in stmts:
-                        transport.execute_repair(
-                            s, columns, exp_common.schema)
+                    transport.execute_repairs(
+                        stmts, columns, exp_common.schema)
                 line["repair"] = stmts
                 line["repair_executed"] = execute
         results.append(line)

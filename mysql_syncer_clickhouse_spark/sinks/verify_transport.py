@@ -86,11 +86,13 @@ class HTTPVerifyTransport:
             split_values=split_values, final=final,
             user=self.user, password=self.password)
 
-    def execute_repair(self, stmt: dict, columns, spark_schema) -> None:
-        """`stmt` from syncverify.repair_statements: the emitted SQL
+    def execute_repairs(self, stmts: list[dict], columns,
+                        spark_schema) -> None:
+        """`stmts` from syncverify.repair_statements: the emitted SQL
         text IS this transport's executable form."""
-        if stmt.get("statement"):
-            self._sink.execute(stmt["statement"])
+        for stmt in stmts:
+            if stmt.get("statement"):
+                self._sink.execute(stmt["statement"])
 
     @property
     def errors(self) -> tuple:
@@ -169,35 +171,45 @@ class NativeVerifyTransport:
             tls_insecure=self.tls_insecure,
             compression=self.compression)
 
-    def execute_repair(self, stmt: dict, columns, spark_schema) -> None:
-        """ALTER DELETE executes as text; INSERTs ship as ONE native
+    def execute_repairs(self, stmts: list[dict], columns,
+                        spark_schema) -> None:
+        """ONE connection for the whole repair plan: ALTER DELETEs
+        execute as text; all re-INSERTs ship together as ONE native
         block (inline JSONEachRow data after FORMAT is an HTTP-body
-        feature the native protocol doesn't accept) -- the row's JSON
+        feature the native protocol doesn't accept) -- each row's JSON
         payload re-types through the Spark schema the diff was built
-        from."""
-        statement = stmt.get("statement")
-        if not statement:
+        from. Every diff row carries the full common column set, so a
+        single block covers them all."""
+        inserts: list[dict] = []
+        alters: list[str] = []
+        for stmt in stmts:
+            statement = stmt.get("statement")
+            if not statement:
+                continue
+            if statement.startswith("ALTER"):
+                alters.append(statement)
+            else:
+                inserts.append(json.loads(
+                    statement.split("FORMAT JSONEachRow ", 1)[1]))
+        if not inserts and not alters:
             return
-        if statement.startswith("ALTER"):
-            conn = self._connect()
-            try:
-                conn.execute(statement)
-            finally:
-                conn.close()
-            return
-        # INSERT: the payload is the JSON document after FORMAT
-        payload = statement.split("FORMAT JSONEachRow ", 1)[1]
-        row = json.loads(payload)
         by_name = {f.name: f.dataType for f in spark_schema.fields}
-        cols = [(n, t) for n, t in columns if n in row]
-        vals = tuple(
-            _json_coercer(by_name[n])(row.get(n)) for n, _ in cols)
-        names = ", ".join(f"`{n}`" for n, _ in cols)
         conn = self._connect()
         try:
-            conn.insert_blocks(
-                f"INSERT INTO `{self.database}`.`{self.table}` "
-                f"({names}) VALUES", cols, [[vals]])
+            if inserts:
+                cols = [(n, t) for n, t in columns
+                        if n in inserts[0]]
+                coercers = [_json_coercer(by_name[n])
+                            for n, _ in cols]
+                rows = [tuple(c(r.get(n)) for c, (n, _t)
+                              in zip(coercers, cols))
+                        for r in inserts]
+                names = ", ".join(f"`{n}`" for n, _ in cols)
+                conn.insert_blocks(
+                    f"INSERT INTO `{self.database}`.`{self.table}` "
+                    f"({names}) VALUES", cols, [rows])
+            for statement in alters:
+                conn.execute(statement)
         finally:
             conn.close()
 

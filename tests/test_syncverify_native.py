@@ -443,9 +443,12 @@ def test_cli_checksum_native_deep_repair_executes_native_blocks(
         assert (99, "extra_in_sink") in got
         assert len(got) == 3
         assert line["repair_executed"] is True
-        # two INSERTs landed as native blocks with TYPED values
-        assert len(srv.inserts) == 2
-        ins = {rows[0][0]: rows[0] for _sql, rows in srv.inserts}
+        # BOTH repair rows landed in ONE native block over ONE
+        # connection (typed values, decoded by the fake's independent
+        # decoders)
+        assert len(srv.inserts) == 1
+        ins = {r[0]: r for r in srv.inserts[0][1]}
+        assert len(ins) == 2
         assert ins[1][1] == "first-edited"     # value_mismatch fixed
         assert ins[2][1] is None                # missing row, null title
         assert any(w.startswith("ALTER TABLE `olap`.`items_sink` "
