@@ -665,7 +665,10 @@ def run_checksum(cfg: EngineConfig, *, changelog_dir: str | None = None,
     sink side speaks whichever interface sink_addr does: host:port
     runs the digest SELECT (and drill-down/repair) over the NATIVE
     protocol -- the production sink's own wire, no HTTP port needed
-    -- while http(s):// or an explicit --checksum-url uses HTTP."""
+    -- while http(s):// or an explicit --checksum-url uses HTTP; with
+    NO ClickHouse configured at all, the rule's FILE sink (the
+    default parquet changelog directory) verifies in spark mode
+    against the user-facing state contract."""
     from pyspark.sql import functions as F
 
     from .operators import syncverify as sv
@@ -677,7 +680,7 @@ def run_checksum(cfg: EngineConfig, *, changelog_dir: str | None = None,
         raise SystemExit("--checksum needs --changelog-dir, "
                          "--binlog-dir and/or --dump-sql (the "
                          "source-of-truth stream/snapshot)")
-    make_transport = transport_for(cfg, checksum_url)
+    make_transport = transport_for(cfg, checksum_url, required=False)
     env_batch = None
     available: list = []
     if binlog_dir:
@@ -752,6 +755,59 @@ def run_checksum(cfg: EngineConfig, *, changelog_dir: str | None = None,
                 "error": (f"pk column(s) {missing_pk} not in the "
                           "source stream; declare an explicit "
                           "[[rule]] with id = [...] for this table")})
+            continue
+        if make_transport is None:
+            # FILE-sink verification (no ClickHouse configured -- the
+            # engine's DEFAULT sink is a parquet changelog directory,
+            # and it deserves the same check): both sides reduce to
+            # the USER-facing state contract -- latest row per pk,
+            # tombstones dropped, `op` excluded (compact() rewrites
+            # it to 'insert') -- so the verdict holds before AND
+            # after compaction. Spark-mode digests (JVM xxhash64),
+            # one scan per side + the n_buckets exchange.
+            from .operators.upsert import latest_state
+            sink_path = cfg.sink_dir(rule)
+            line = {"rule": rule.key, "mode": "checksum",
+                    "sink": sink_path, "transport": "file",
+                    "buckets": buckets}
+            if sample is not None:
+                line["sample"] = f"{sample[0]}:{sample[1]}"
+            if not os.path.isdir(sink_path):
+                line["error"] = ("file sink not found (nothing "
+                                 "drained yet? run the drain first, "
+                                 "or set sink_addr to verify a "
+                                 "ClickHouse sink)")
+                results.append(line)
+                continue
+            dst_raw = (spark.read.option("mergeSchema", "true")
+                       .parquet(sink_path))
+            report, diff = sv.sync_verify(
+                latest_state(projected, pk),
+                latest_state(dst_raw, pk), pk, buckets,
+                drill_down=deep, sample=sample)
+            line["schema_missing_in_sink"] = \
+                report["schema_missing_in_sink"]
+            line["schema_extra_in_sink"] = \
+                report["schema_extra_in_sink"]
+            line.update({
+                "rows_src": report["rows_src"],
+                "rows_sink": report["rows_dst"],
+                "buckets_mismatched": report["buckets_mismatched"],
+                "in_sync": report["in_sync"],
+            })
+            if diff is not None:
+                diff_rows = [r.asDict() for r in
+                             diff.limit(diff_limit + 1).collect()]
+                line["diff_truncated"] = len(diff_rows) > diff_limit
+                line["diff"] = diff_rows[:diff_limit]
+            if repair:
+                # no statements to emit against parquet: the drain is
+                # an idempotent upsert, so the repair IS a re-drain
+                line["repair_note"] = (
+                    "file sinks repair by re-draining (apply is an "
+                    "idempotent upsert) or by pipeline compact(); "
+                    "no statements to emit")
+            results.append(line)
             continue
         expected = sv.final_state_with_tombstones(projected, pk)
 

@@ -322,14 +322,17 @@ def row_diff(src: DataFrame, dst: DataFrame, pk_cols: list[str],
 def sync_verify(src: DataFrame, dst: DataFrame, pk_cols: list[str],
                 n_buckets: int = 1024,
                 value_cols: list[str] | None = None,
-                drill_down: bool = True):
+                drill_down: bool = True,
+                sample: tuple[int, int] | None = None):
     """End-to-end Spark-mode verification.
 
     Returns (report: dict, diff: DataFrame | None).  `dst` is aligned
     to `src`'s column set and types first (a sink read back through
     HTTP arrives as strings; a parquet sink may have widened types) --
     columns missing from either side are a SCHEMA finding reported
-    before any data is hashed, not a silent skip."""
+    before any data is hashed, not a silent skip.  `sample=(M, K)`
+    digests only the rotating 1/M bucket slice (both sides restrict
+    identically -- the bucket is a pk hash)."""
     missing_in_dst = [c for c in src.columns if c not in dst.columns]
     extra_in_dst = [c for c in dst.columns if c not in src.columns]
     report = {
@@ -348,8 +351,10 @@ def sync_verify(src: DataFrame, dst: DataFrame, pk_cols: list[str],
     dst_a = dst.select(*[F.col(c).cast(src_a.schema[c].dataType)
                          .alias(c) for c in cols])
     cmp = compare_digests(
-        bucket_digest(src_a, pk_cols, n_buckets, cols).collect(),
-        bucket_digest(dst_a, pk_cols, n_buckets, cols).collect())
+        bucket_digest(src_a, pk_cols, n_buckets, cols,
+                      sample=sample).collect(),
+        bucket_digest(dst_a, pk_cols, n_buckets, cols,
+                      sample=sample).collect())
     report.update({
         "rows_src": cmp.rows_src, "rows_dst": cmp.rows_dst,
         "buckets_mismatched": len(cmp.mismatched),

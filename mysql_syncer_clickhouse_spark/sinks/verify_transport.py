@@ -220,12 +220,17 @@ class NativeVerifyTransport:
                 ValueError)
 
 
-def transport_for(cfg, checksum_url: str | None):
+def transport_for(cfg, checksum_url: str | None, *,
+                  required: bool = True):
     """Pick the verification transport: an explicit --checksum-url
     wins; else the sink_addr's own protocol (http(s):// -> HTTP,
     host:port -> native TCP -- the reference's transport). Returns a
     FACTORY taking (database, table, pk) since --checksum iterates
-    rules with different sink tables."""
+    rules with different sink tables.  With no ClickHouse sink at
+    all: raise with the remedy (required=True) or return None so the
+    caller verifies the FILE sink instead (run_checksum does -- the
+    engine's default sink is a parquet changelog directory, and it
+    deserves verification too)."""
     url = checksum_url
     if url is None and cfg.sink_addr and \
             cfg.sink_addr.startswith(("http://", "https://")):
@@ -234,6 +239,8 @@ def transport_for(cfg, checksum_url: str | None):
         return lambda db, tbl, pk: HTTPVerifyTransport(
             url, db, tbl, pk, cfg.sink_user, cfg.sink_pass)
     if not cfg.sink_addr:
+        if not required:
+            return None
         raise SystemExit(
             "--checksum needs a sink to verify against: set "
             "sink_addr in the config (host:port native TCP or "

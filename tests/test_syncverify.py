@@ -803,6 +803,33 @@ def test_cli_drain_then_verify_after_drain(spark, tmp_path, capsys,
         srv.stop()
 
 
+def test_cli_verify_after_drain_file_sink(spark, tmp_path, capsys,
+                                          monkeypatch):
+    """--verify-after-drain with NO ClickHouse at all: the DEFAULT
+    deployment (parquet file sinks) gets drain + proof in one command
+    too, through the file-mode checksum."""
+    import mysql_syncer_clickhouse_spark.__main__ as M
+
+    changelog = _write_items_changelog(spark, tmp_path)
+    base = open(os.path.join(os.path.dirname(__file__), "..", "etc",
+                             "river.toml")).read()
+    base = base.replace('data_dir = "./log"',
+                        f'data_dir = "{tmp_path}/log"')
+    toml = tmp_path / "river.toml"
+    toml.write_text(base)
+    monkeypatch.setattr(M, "get_spark", lambda *a, **kw: spark)
+    rc = M.main(["--config", str(toml), "--changelog-dir", changelog,
+                 "--verify-after-drain", "--buckets", "16"])
+    assert rc == 0
+    out_lines = [json.loads(x) for x in
+                 capsys.readouterr().out.splitlines() if x.strip()]
+    vline = next(x for x in out_lines
+                 if x.get("mode") == "checksum"
+                 and x.get("rule") == "app:items")
+    assert vline["transport"] == "file"
+    assert vline["in_sync"] is True
+
+
 def test_cli_verify_after_drain_sampled_slice(spark, tmp_path, capsys,
                                               monkeypatch):
     """--verify-after-drain M:K runs the rotating sample slice -- the
@@ -836,17 +863,56 @@ def test_cli_verify_after_drain_sampled_slice(spark, tmp_path, capsys,
         srv.stop()
 
 
-def test_cli_checksum_without_any_sink_refuses_with_remedy(
-        spark, tmp_path):
-    """No sink_addr and no --checksum-url: nothing to verify against.
-    (A native-TCP sink_addr now WORKS -- tests in
-    test_syncverify_native.py -- where r13 demanded an HTTP URL.)"""
-    from mysql_syncer_clickhouse_spark.__main__ import run_checksum
+def test_cli_checksum_verifies_file_sinks(spark, tmp_path):
+    """No ClickHouse configured: --checksum verifies the rule's FILE
+    sink (the engine's default parquet changelog directory) against
+    the user-facing state contract -- latest per pk, tombstones
+    dropped, `op` excluded so the verdict holds before AND after
+    compact(). Drain -> in_sync; planted divergence -> named
+    findings; a missing sink dir -> per-rule error with remedy.
+    (r13 refused outright here; the refusal now lives in
+    transport_for(required=True) for library callers.)"""
+    from mysql_syncer_clickhouse_spark.__main__ import run, run_checksum
     changelog = _write_items_changelog(spark, tmp_path)
     cfg = _checksum_cfg(tmp_path, None)
     cfg.sink_addr = None
-    with pytest.raises(SystemExit, match="sink_addr"):
-        run_checksum(cfg, changelog_dir=changelog, spark=spark)
+
+    # before any drain: graceful per-rule error, not a crash
+    out0 = run_checksum(cfg, changelog_dir=changelog, buckets=16,
+                        spark=spark)
+    line0 = next(x for x in out0 if x.get("rule") == "app:items")
+    assert line0["transport"] == "file"
+    assert "not found" in line0["error"]
+
+    run(cfg, changelog, spark=spark)            # drain to parquet
+    out1 = run_checksum(cfg, changelog_dir=changelog, buckets=16,
+                        spark=spark)
+    line1 = next(x for x in out1 if x.get("rule") == "app:items")
+    assert line1["transport"] == "file"
+    assert line1["in_sync"] is True
+    assert line1["rows_src"] == 1 == line1["rows_sink"]   # pk2 deleted
+
+    # plant divergence: a ghost row appended straight into the sink
+    # files (bypassing the drain -- exactly the corruption class a
+    # checksum exists to catch)
+    sink_path = cfg.sink_dir(cfg.effective_rules(None).rules[0])
+    spark.createDataFrame(
+        [(99, "insert", 999, "ghost", 1)],
+        "seq long, op string, id long, es_title string, mydate long"
+    ).coalesce(1).write.mode("append").parquet(sink_path)
+    out2 = run_checksum(cfg, changelog_dir=changelog, buckets=16,
+                        deep=True, repair=True, spark=spark)
+    line2 = next(x for x in out2 if x.get("rule") == "app:items")
+    assert line2["in_sync"] is False
+    got = {(d["id"], d["status"]) for d in line2["diff"]}
+    assert got == {(999, "extra_in_sink")}
+    assert "re-drain" in line2["repair_note"]
+
+    # sampled slice still works against the file sink
+    out3 = run_checksum(cfg, changelog_dir=changelog, buckets=16,
+                        sample=(2, 0), spark=spark)
+    line3 = next(x for x in out3 if x.get("rule") == "app:items")
+    assert line3["sample"] == "2:0"
 
 
 def test_cli_checksum_deep_on_binary_column_records_error(spark,
