@@ -195,6 +195,15 @@ def compare_digests(src_rows, dst_rows) -> DigestCompare:
 _DIFF_SCHEMA_DOC = ("pk columns..., status, differing_columns, "
                     "src_row, dst_row")
 
+# diff-row JSON payloads feed repair re-INSERTs: nulls stay explicit
+# (an omitted key takes the column DEFAULT in JSONEachRow) and
+# timestamps render at FULL microsecond precision -- Spark's default
+# timestampFormat is millisecond-truncating, so a repaired
+# DateTime64(6) value would otherwise re-insert truncated and still
+# mismatch on the next checksum
+_JSON_OPTS = {"ignoreNullFields": "false",
+              "timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"}
+
 
 def row_diff(src: DataFrame, dst: DataFrame, pk_cols: list[str],
              buckets: list[int], n_buckets: int,
@@ -238,7 +247,7 @@ def row_diff(src: DataFrame, dst: DataFrame, pk_cols: list[str],
                       side: str) -> DataFrame:
         rows = df.select(*cols).filter(null_pk)
         payload = F.to_json(F.struct(*cols),
-                            {"ignoreNullFields": "false"})
+                            _JSON_OPTS)
         return rows.select(
             *pk_cols,
             F.lit(status).alias("status"),
@@ -263,7 +272,7 @@ def row_diff(src: DataFrame, dst: DataFrame, pk_cols: list[str],
                      F.array().cast("array<string>")
                       .alias("differing_columns"),
                      F.to_json(F.struct(*cols),
-                               {"ignoreNullFields": "false"})
+                               _JSON_OPTS)
                       .alias("src_row"),
                      F.lit(None).cast("string").alias("dst_row")))
     dup_d = (d.filter(F.col("_dup") > 1).filter(F.col("_rn") == 1)
@@ -273,7 +282,7 @@ def row_diff(src: DataFrame, dst: DataFrame, pk_cols: list[str],
                       .alias("differing_columns"),
                      F.lit(None).cast("string").alias("src_row"),
                      F.to_json(F.struct(*cols),
-                               {"ignoreNullFields": "false"})
+                               _JSON_OPTS)
                       .alias("dst_row")))
 
     s1 = s.filter(F.col("_rn") == 1).alias("s")
@@ -304,11 +313,11 @@ def row_diff(src: DataFrame, dst: DataFrame, pk_cols: list[str],
         # the intended NULL)
         F.when(s_present,
                F.to_json(F.struct(*[s1[c] for c in cols]),
-                         {"ignoreNullFields": "false"}))
+                         _JSON_OPTS))
          .alias("src_row"),
         F.when(d_present,
                F.to_json(F.struct(*[d1[c] for c in cols]),
-                         {"ignoreNullFields": "false"}))
+                         _JSON_OPTS))
          .alias("dst_row"))
         .filter((F.col("status") != "value_mismatch")
                 | (F.size("differing_columns") > 0)))

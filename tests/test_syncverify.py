@@ -915,6 +915,25 @@ def test_cli_checksum_verifies_file_sinks(spark, tmp_path):
     assert line3["sample"] == "2:0"
 
 
+def test_cli_checksum_file_sink_survives_compaction(spark, tmp_path):
+    """The op-exclusion design claim, proven: a --compact drain
+    rewrites the sink to its materialized state (op forced to
+    'insert', tombstones dropped) -- the file-mode checksum must
+    still report in_sync, because both sides reduce to the same
+    user-facing contract."""
+    from mysql_syncer_clickhouse_spark.__main__ import run, run_checksum
+    changelog = _write_items_changelog(spark, tmp_path)
+    cfg = _checksum_cfg(tmp_path, None)
+    cfg.sink_addr = None
+    run(cfg, changelog, compact=True, spark=spark)
+    out = run_checksum(cfg, changelog_dir=changelog, buckets=16,
+                       spark=spark)
+    line = next(x for x in out if x.get("rule") == "app:items")
+    assert line["transport"] == "file"
+    assert line["in_sync"] is True
+    assert line["rows_src"] == 1 == line["rows_sink"]
+
+
 def test_cli_checksum_deep_on_binary_column_records_error(spark,
                                                           tmp_path):
     """ADVICE r13 medium: the digest phase supports binary columns

@@ -604,3 +604,47 @@ def test_native_array_column_decodes_and_reads_back(spark):
         assert rows == [(1, [1, 2, 3]), (2, []), (3, [42])]
     finally:
         srv.stop()
+
+
+def test_json_coercer_round_trips_spark_to_json(spark):
+    """Repair rows ride as the drill-down's src_row JSON (Spark
+    to_json); the native transport re-types them for the block
+    encoders. Pin the coercion against Spark's ACTUAL rendering --
+    dates, timestamps (session-UTC ISO with zone suffix), decimals,
+    base64 binary, ints, bools, nulls."""
+    import datetime
+    import json as _json
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+
+    from mysql_syncer_clickhouse_spark.sinks.verify_transport import (
+        _json_coercer)
+
+    rows = [(1, datetime.date(2024, 1, 2),
+             datetime.datetime(2024, 1, 2, 3, 4, 5, 123456),
+             Decimal("12.30"), bytearray(b"\x00\xffA"), True, None)]
+    df = spark.createDataFrame(
+        rows, "id long, d date, ts timestamp, amt decimal(10,2), "
+              "payload binary, flag boolean, missing string")
+    from mysql_syncer_clickhouse_spark.operators.syncverify import (
+        _JSON_OPTS)
+    payload = df.select(F.to_json(
+        F.struct(*df.columns), _JSON_OPTS).alias("j")).first()["j"]
+    assert ".123456" in payload      # micros survive the rendering
+    row = _json.loads(payload)
+    got = {f.name: _json_coercer(f.dataType)(row[f.name])
+           for f in df.schema.fields}
+    assert got["id"] == 1
+    assert got["d"] == datetime.date(2024, 1, 2)
+    assert got["ts"] == datetime.datetime(2024, 1, 2, 3, 4, 5, 123456)
+    assert got["amt"] == Decimal("12.30")
+    assert bytes(got["payload"]) == b"\x00\xffA"
+    assert got["flag"] is True
+    assert got["missing"] is None
+    # and the values feed the native encoders without error
+    cols = [("id", "Int64"), ("d", "Date"), ("ts", "DateTime64(6)"),
+            ("amt", "Decimal(10,2)"), ("payload", "String"),
+            ("flag", "Bool"), ("missing", "Nullable(String)")]
+    blk = N.encode_block(cols, [tuple(got[n] for n, _ in cols)])
+    assert isinstance(blk, bytes) and len(blk) > 40
