@@ -269,10 +269,19 @@ class _MiniNativeCH:
             if head.startswith("INSERT"):
                 with self._lock:
                     self.writes.append(sql)
-                hdr = N.encode_block([], [])   # row-empty header
-                if compression:
-                    hdr = _wr_frame(hdr)
-                sock.sendall(_wr_varint(1) + _wr_str("") + hdr)
+                # a REAL server's INSERT header declares the target
+                # columns' types (what describe_columns adopts); the
+                # statement's explicit column list narrows it
+                m = re.search(r"INSERT INTO [^(]+\(([^)]*)\)", sql)
+                if m and self.schema:
+                    names = [c.strip().strip("`")
+                             for c in m.group(1).split(",")]
+                    by_name = dict(self.schema)
+                    hcols = [(c, by_name[c]) for c in names
+                             if c in by_name]
+                else:
+                    hcols = list(self.schema)
+                sock.sendall(_wr_block(hcols, [], compression == 1))
                 got: list[tuple] = []
                 names: list[str] = []
                 while True:
@@ -648,3 +657,43 @@ def test_json_coercer_round_trips_spark_to_json(spark):
             ("flag", "Bool"), ("missing", "Nullable(String)")]
     blk = N.encode_block(cols, [tuple(got[n] for n, _ in cols)])
     assert isinstance(blk, bytes) and len(blk) > 40
+
+
+def test_cli_retype_over_native_sink(spark, tmp_path):
+    """--retype against a native-TCP sink_addr: the introspection
+    rides the zero-row INSERT header (the same header adoption the
+    write path uses -- no SELECT decoding needed there), and the
+    MODIFY executes over the native wire. The HTTP twin lives in
+    test_cli.py; this pins the native leg the CLI documents."""
+    import os
+
+    from mysql_syncer_clickhouse_spark.__main__ import run_retype
+    from mysql_syncer_clickhouse_spark.config import EngineConfig
+    from mysql_syncer_clickhouse_spark.sources.binlog_writer import (
+        BinlogColumn, BinlogFileWriter)
+
+    d = tmp_path / "binlogs"
+    d.mkdir()
+    w = BinlogFileWriter("app", "items", [BinlogColumn.bigint("id")])
+    w.ddl("ALTER TABLE items ADD COLUMN price decimal(10,2)")
+    (d / "mysql-bin.000001").write_bytes(w.to_bytes())
+
+    schema = [("id", "Int64"), ("es_title", "Nullable(String)"),
+              ("price", "Nullable(String)")]   # stuck at fallback
+    srv = _MiniNativeCH([], schema, ["id"], 8)
+    try:
+        toml = os.path.join(os.path.dirname(__file__), "..", "etc",
+                            "river.toml")
+        cfg = EngineConfig.from_toml(toml)
+        cfg.data_dir = str(tmp_path / "log")
+        cfg.sink_addr = srv.addr
+        out = run_retype(cfg, str(d), execute=True, spark=spark)
+        [line] = [x for x in out if x.get("modify")]
+        [m] = line["modify"]
+        assert m["column"] == "price"
+        assert m["target"] == "Nullable(Decimal(10,2))"
+        assert any(q.startswith("ALTER TABLE `olap`.`items_sink` "
+                                "MODIFY COLUMN `price`")
+                   for q in srv.writes)
+    finally:
+        srv.stop()
