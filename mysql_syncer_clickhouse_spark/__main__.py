@@ -823,6 +823,24 @@ def run_checksum(cfg: EngineConfig, *, changelog_dir: str | None = None,
             line["error"] = f"sink introspection failed: {e}"
             results.append(line)
             continue
+        try:
+            engine = transport.table_engine()
+        except transport.errors:
+            engine = None              # system.tables restricted: ok
+        if engine and any(s in engine for s in
+                          ("Collapsing", "Summing", "Aggregating")):
+            # the digest's EXPECTED state is the ReplacingMergeTree
+            # last-wins contract (max seq per pk, tombstones kept);
+            # a sign-collapse or summing engine's FINAL read obeys
+            # different semantics, so findings would reflect the
+            # ENGINE, not drift -- surface it loudly, don't guess
+            w = (f"sink engine {engine} collapses by its own "
+                 f"semantics, not the last-wins contract this "
+                 f"checksum reconstructs; findings may reflect "
+                 f"engine behavior rather than drift")
+            print(f"WARN: {rule.key}: {w}", file=sys.stderr,
+                  flush=True)
+            line["engine_warning"] = w
         if sample is not None:
             line["sample"] = f"{sample[0]}:{sample[1]}" 
         if not ch_types:

@@ -69,6 +69,14 @@ class HTTPVerifyTransport:
     def describe_columns(self) -> list[tuple[str, str]]:
         return self._sink.describe_columns()
 
+    def table_engine(self) -> str | None:
+        body = self._sink.execute(
+            f"SELECT engine FROM system.tables WHERE database = "
+            f"'{self.database}' AND name = '{self.table}' "
+            f"FORMAT TabSeparated")
+        text = body.decode().strip()
+        return text.splitlines()[0].strip() if text else None
+
     def digest(self, columns, pk_cols, n_buckets, *, final,
                binary_cols, sample) -> list[dict]:
         from ..operators import syncverify as sv
@@ -140,6 +148,19 @@ class NativeVerifyTransport:
                     for n, t in rows]
         finally:
             conn.close()
+
+    def table_engine(self) -> str | None:
+        conn = self._connect()
+        try:
+            _, rows = conn.select_rows(
+                f"SELECT engine FROM system.tables WHERE database = "
+                f"'{self.database}' AND name = '{self.table}'")
+        finally:
+            conn.close()
+        if not rows:
+            return None
+        v = rows[0][0]
+        return v.decode() if isinstance(v, bytes) else str(v)
 
     def digest(self, columns, pk_cols, n_buckets, *, final,
                binary_cols, sample) -> list[dict]:

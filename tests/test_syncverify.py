@@ -520,9 +520,11 @@ class _ChecksumFakeCH:
 
     def __init__(self, rows: list[dict],
                  schema: list[tuple[str, str]],
-                 pk: list[str], n_buckets: int):
+                 pk: list[str], n_buckets: int,
+                 engine: str = "ReplacingMergeTree"):
         self.rows, self.schema = rows, schema
         self.pk, self.n = pk, n_buckets
+        self.engine = engine
         self.writes: list[str] = []
         self._lock = threading.Lock()
         outer = self
@@ -565,6 +567,8 @@ class _ChecksumFakeCH:
             if "system.columns" in query:
                 return "".join(
                     f"{n}\t{t}\n" for n, t in self.schema).encode()
+            if "system.tables" in query:
+                return f"{self.engine}\n".encode()
             if "groupBitXor" in query:
                 # evaluate the columns the QUERY references (schema
                 # drift means the emitted digest covers only the
@@ -1359,3 +1363,37 @@ def test_checksum_honors_skip_ops(spark, tmp_path):
         assert line2["in_sync"] is False
     finally:
         srv.stop()
+
+
+def test_cli_checksum_warns_on_non_replacing_engine(spark, tmp_path,
+                                                    capsys):
+    """A pre-existing Collapsing/Summing sink obeys its own FINAL
+    semantics, not the last-wins contract the checksum reconstructs
+    -- the run must say so loudly instead of reporting
+    engine-behavior as drift. ReplacingMergeTree (and plain
+    MergeTree) stay silent."""
+    from mysql_syncer_clickhouse_spark.__main__ import run_checksum
+    changelog = _write_items_changelog(spark, tmp_path)
+    srv = _ChecksumFakeCH(list(_EXPECTED_SINK), _CHECKSUM_SCHEMA,
+                          ["id"], 16, engine="CollapsingMergeTree")
+    try:
+        cfg = _checksum_cfg(tmp_path, srv.url)
+        capsys.readouterr()
+        out = run_checksum(cfg, changelog_dir=changelog, buckets=16,
+                           spark=spark)
+        line = next(x for x in out if x.get("rule") == "app:items")
+        assert "CollapsingMergeTree" in line["engine_warning"]
+        assert "WARN" in capsys.readouterr().err
+    finally:
+        srv.stop()
+    srv2 = _ChecksumFakeCH(list(_EXPECTED_SINK), _CHECKSUM_SCHEMA,
+                           ["id"], 16)
+    try:
+        cfg = _checksum_cfg(tmp_path, srv2.url)
+        out = run_checksum(cfg, changelog_dir=changelog, buckets=16,
+                           spark=spark)
+        line = next(x for x in out if x.get("rule") == "app:items")
+        assert "engine_warning" not in line
+        assert line["in_sync"] is True
+    finally:
+        srv2.stop()

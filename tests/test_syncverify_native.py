@@ -71,7 +71,11 @@ def _wr_block(cols: list[tuple[str, str]], rows: list[tuple],
     body += _wr_varint(len(cols)) + _wr_varint(len(rows))
     for j, (n, t) in enumerate(cols):
         body += _wr_str(n) + _wr_str(t)
-        body += _enc_col(t, [r[j] for r in rows])
+        if rows:
+            body += _enc_col(t, [r[j] for r in rows])
+        # zero-row columns carry no data (none of the fake's types
+        # have a serialization-state prefix), so an INSERT header can
+        # declare types the test encoder has no data encoder for
     body = bytes(body)
     if compressed:
         body = _wr_frame(body)
@@ -90,9 +94,11 @@ class _MiniNativeCH:
 
     def __init__(self, rows: list[dict],
                  schema: list[tuple[str, str]],
-                 pk: list[str], n_buckets: int):
+                 pk: list[str], n_buckets: int,
+                 engine: str = "ReplacingMergeTree"):
         self.rows, self.schema = rows, schema
         self.pk, self.n = pk, n_buckets
+        self.engine = engine
         self.queries: list[str] = []
         self.writes: list[str] = []
         self.inserts: list[tuple[str, list[tuple]]] = []
@@ -179,6 +185,10 @@ class _MiniNativeCH:
             send(_wr_block([("name", "String"), ("type", "String")],
                            [(n, t) for n, t in self.schema],
                            compressed))
+            return
+        if "system.tables" in sql:
+            send(_wr_block([("engine", "String")],
+                           [(self.engine,)], compressed))
             return
         if "groupBitXor" in sql:
             known = {n for n, _ in self.schema}
