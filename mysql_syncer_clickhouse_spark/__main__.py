@@ -680,6 +680,27 @@ def run_checksum(cfg: EngineConfig, *, changelog_dir: str | None = None,
         raise SystemExit("--checksum needs --changelog-dir, "
                          "--binlog-dir and/or --dump-sql (the "
                          "source-of-truth stream/snapshot)")
+    rotation_path = None
+    if sample is not None and sample[1] is None:
+        # M:auto -- the rotation counter persists next to the DDL
+        # watermark so cron'd runs cover the whole keyspace over M
+        # invocations with nobody tracking K by hand; same atomic
+        # tmp+replace discipline as every other state file here
+        m = int(sample[0])
+        rotation_path = os.path.join(cfg.data_dir,
+                                     "_checksum_rotation.json")
+        rotation_state: dict = {}
+        try:
+            with open(rotation_path) as fh:
+                rotation_state = json.load(fh)
+        except FileNotFoundError:
+            pass
+        except (OSError, ValueError) as e:
+            raise SystemExit(
+                f"corrupt checksum rotation state {rotation_path}: "
+                f"{e}; delete it to restart the rotation at K=0"
+            ) from None
+        sample = (m, int(rotation_state.get(str(m), 0)) % m)
     make_transport = transport_for(cfg, checksum_url, required=False)
     env_batch = None
     available: list = []
@@ -944,12 +965,25 @@ def run_checksum(cfg: EngineConfig, *, changelog_dir: str | None = None,
                 line["repair"] = stmts
                 line["repair_executed"] = execute
         results.append(line)
-    results.append({"mode": "checksum", "rules_checked":
-                    sum(1 for r in results if r.get("rule")),
-                    "out_of_sync": sorted(
-                        r["rule"] for r in results
-                        if r.get("rule") and not r.get("in_sync",
-                                                       False))})
+    summary = {"mode": "checksum", "rules_checked":
+               sum(1 for r in results if r.get("rule")),
+               "out_of_sync": sorted(
+                   r["rule"] for r in results
+                   if r.get("rule") and not r.get("in_sync",
+                                                  False))}
+    if rotation_path is not None:
+        # advance AFTER a completed sweep: a crashed run re-verifies
+        # the same slice next time instead of silently skipping it
+        rotation_state[str(sample[0])] = (sample[1] + 1) % sample[0]
+        os.makedirs(cfg.data_dir, exist_ok=True)
+        tmp = rotation_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(rotation_state, fh)
+        os.replace(tmp, rotation_path)
+        summary["sample_rotation"] = {
+            "ran": f"{sample[0]}:{sample[1]}",
+            "next": f"{sample[0]}:{rotation_state[str(sample[0])]}"}
+    results.append(summary)
     return results
 
 
@@ -1326,7 +1360,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="verify only buckets where bucket %% M == K "
                          "(rotating K over M cron runs covers the "
                          "whole keyspace at 1/M the hash cost per "
-                         "run)")
+                         "run); M:auto persists the rotation counter "
+                         "in data_dir so cron jobs need no K "
+                         "bookkeeping")
     ap.add_argument("--checksum-url", metavar="URL",
                     help="force the digest SELECT over HTTP at this "
                          "endpoint (e.g. http://host:8123); by "
@@ -1428,12 +1464,14 @@ def main(argv: list[str] | None = None) -> int:
         if args.checksum_sample:
             try:
                 m, _, k = args.checksum_sample.partition(":")
-                sample = (int(m), int(k))
+                sample = (int(m),
+                          None if k == "auto" else int(k))
                 if sample[0] <= 0:
                     raise ValueError
             except ValueError:
                 ap.error("--checksum-sample wants M:K with M > 0 "
-                         "(e.g. 16:3)")
+                         "(e.g. 16:3), or M:auto for a persisted "
+                         "rotation")
         for line in run_checksum(
                 cfg, changelog_dir=args.changelog_dir,
                 binlog_dir=args.binlog_dir, dump_path=args.dump_sql,
@@ -1503,12 +1541,14 @@ def main(argv: list[str] | None = None) -> int:
         if args.verify_after_drain != "full":
             try:
                 m, _, k = args.verify_after_drain.partition(":")
-                vsample = (int(m), int(k))
+                vsample = (int(m),
+                           None if k == "auto" else int(k))
                 if vsample[0] <= 0:
                     raise ValueError
             except ValueError:
-                ap.error("--verify-after-drain wants M:K (e.g. 16:3) "
-                         "or no value for the full digest")
+                ap.error("--verify-after-drain wants M:K (e.g. 16:3),"
+                         " M:auto for a persisted rotation, or no "
+                         "value for the full digest")
         vb_dir = args.binlog_dir
         if args.tail:
             if not args.relay_dir:

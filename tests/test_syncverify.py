@@ -1397,3 +1397,35 @@ def test_cli_checksum_warns_on_non_replacing_engine(spark, tmp_path,
         assert line["in_sync"] is True
     finally:
         srv2.stop()
+
+
+def test_cli_checksum_sample_auto_rotates_persisted_counter(
+        spark, tmp_path):
+    """--checksum-sample M:auto: the rotation counter persists in
+    data_dir (atomic, like the DDL watermark), so M cron'd runs cover
+    the whole keyspace with nobody tracking K by hand. Three runs at
+    M=3 verify slices 0, 1, 2 and wrap; the counter advances only
+    AFTER a completed sweep (a crashed run re-verifies its slice)."""
+    import json as _json
+
+    from mysql_syncer_clickhouse_spark.__main__ import run_checksum
+    changelog = _write_items_changelog(spark, tmp_path)
+    srv = _ChecksumFakeCH(list(_EXPECTED_SINK), _CHECKSUM_SCHEMA,
+                          ["id"], 16)
+    try:
+        cfg = _checksum_cfg(tmp_path, srv.url)
+        seen = []
+        for _ in range(4):
+            out = run_checksum(cfg, changelog_dir=changelog,
+                               buckets=16, sample=(3, None),
+                               spark=spark)
+            line = next(x for x in out
+                        if x.get("rule") == "app:items")
+            seen.append(line["sample"])
+            assert out[-1]["sample_rotation"]["ran"] == line["sample"]
+        assert seen == ["3:0", "3:1", "3:2", "3:0"]   # wraps
+        state = _json.loads(
+            (tmp_path / "log" / "_checksum_rotation.json").read_text())
+        assert state == {"3": 1}
+    finally:
+        srv.stop()
