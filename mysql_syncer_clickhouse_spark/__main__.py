@@ -89,14 +89,19 @@ class _AggregatedMetrics:
         return tot
 
 
-def _start_stat_server(stat_addr: str, pipes: list[StreamingSyncPipeline]):
+def _start_stat_server(stat_addr: str, pipes: list[StreamingSyncPipeline],
+                       data_dir: str | None = None):
     """stat_addr is 'host:port' (river.toml format). The server is a
     daemon thread -- it lives as long as the process, like the
-    reference's http.ListenAndServe."""
+    reference's http.ListenAndServe. With `data_dir`, /stat also
+    serves the last --checksum verdict (`last_verify` + its age)."""
     from .streaming.status import StatusServer
     host, _, port = stat_addr.rpartition(":")
     srv = StatusServer(_AggregatedMetrics(pipes), port=int(port),
-                       host=host or "127.0.0.1")
+                       host=host or "127.0.0.1",
+                       verify_file=(os.path.join(
+                           data_dir, "_checksum_last.json")
+                           if data_dir else None))
     srv.start()
     return srv
 
@@ -157,7 +162,8 @@ def run(cfg: EngineConfig, changelog_dir: str, *, follow: bool = False,
     results = []
     pipes: list[StreamingSyncPipeline] = []
     if cfg.stat_addr:
-        srv = _start_stat_server(cfg.stat_addr, pipes)
+        srv = _start_stat_server(cfg.stat_addr, pipes,
+                                 data_dir=cfg.data_dir)
         results.append(
             {"stat": f"http://{srv._httpd.server_address[0]}:{srv.port}/stat"})
     # [[source]] wildcard expansion against what the changelog
@@ -270,7 +276,8 @@ def run_binlog(cfg: EngineConfig, binlog_dir: str, *,
     results: list[dict] = []
     pipes: list[StreamingSyncPipeline] = []
     if cfg.stat_addr:
-        srv = _start_stat_server(cfg.stat_addr, pipes)
+        srv = _start_stat_server(cfg.stat_addr, pipes,
+                                 data_dir=cfg.data_dir)
         results.append(
             {"stat":
              f"http://{srv._httpd.server_address[0]}:{srv.port}/stat"})
@@ -984,6 +991,33 @@ def run_checksum(cfg: EngineConfig, *, changelog_dir: str | None = None,
             "ran": f"{sample[0]}:{sample[1]}",
             "next": f"{sample[0]}:{rotation_state[str(sample[0])]}"}
     results.append(summary)
+    # persist the verdict for /stat's `last_verify` block (the stat
+    # server runs in the drain process; this file is the bridge).
+    # Best-effort: a bookkeeping write must never fail the report.
+    import time as _time
+    try:
+        os.makedirs(cfg.data_dir, exist_ok=True)
+        last_path = os.path.join(cfg.data_dir, "_checksum_last.json")
+        tmp = last_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({
+                "ts": _time.time(),
+                "sample": (f"{sample[0]}:{sample[1]}"
+                           if sample else None),
+                "out_of_sync": summary["out_of_sync"],
+                "rules": {
+                    r["rule"]: {
+                        "in_sync": r.get("in_sync"),
+                        "buckets_mismatched":
+                            r.get("buckets_mismatched"),
+                        **({"error": r["error"]} if r.get("error")
+                           else {}),
+                    } for r in results if r.get("rule")},
+            }, fh, default=str)
+        os.replace(tmp, last_path)
+    except OSError as e:
+        print(f"WARN: could not persist checksum summary: {e}",
+              file=sys.stderr, flush=True)
     return results
 
 

@@ -78,15 +78,21 @@ def _prometheus_text(counts: dict, position: dict | None,
 class StatusServer:
     def __init__(self, metrics, port: int = 8080,
                  extra: dict | None = None,
-                 progress=None, host: str = "127.0.0.1") -> None:
+                 progress=None, host: str = "127.0.0.1",
+                 verify_file: str | None = None) -> None:
         """`extra` is static context (config echo); `progress` is an
         optional zero-arg callable evaluated PER REQUEST -- pass
         `lambda: query.lastProgress` to serve the live streaming-query
         progress the way the reference serves the live binlog position
-        (river/status.go:27-40)."""
+        (river/status.go:27-40).  `verify_file`: path of the
+        --checksum run's persisted summary (_checksum_last.json in
+        data_dir) -- served as `last_verify` with its age, so an
+        operator watching /stat sees WHEN the sink was last proven in
+        sync, not just that rows are flowing."""
         self._metrics = metrics
         self._extra = extra or {}
         self._progress = progress
+        self._verify_file = verify_file
         self._httpd = ThreadingHTTPServer((host, port),
                                           self._handler_cls())
         self._thread: threading.Thread | None = None
@@ -167,6 +173,23 @@ class StatusServer:
                         payload["progress"] = outer._progress()
                     except Exception as e:   # never 500 the stat page
                         payload["progress"] = {"error": str(e)}
+                if outer._verify_file is not None:
+                    # freshest verification verdict, read per request
+                    # (the checksum runs in its own invocation; the
+                    # file is the bridge). Absent file = never
+                    # verified, which is itself the information.
+                    import time as _time
+                    try:
+                        with open(outer._verify_file) as fh:
+                            lv = json.load(fh)
+                        if isinstance(lv.get("ts"), (int, float)):
+                            lv["age_seconds"] = round(
+                                _time.time() - lv["ts"], 1)
+                        payload["last_verify"] = lv
+                    except FileNotFoundError:
+                        pass
+                    except Exception as e:   # never 500 the stat page
+                        payload["last_verify"] = {"error": str(e)}
                 body = json.dumps(payload).encode()
                 self.send_response(200)
                 self.send_header("Content-Type", "application/json")

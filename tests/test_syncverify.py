@@ -1429,3 +1429,40 @@ def test_cli_checksum_sample_auto_rotates_persisted_counter(
         assert state == {"3": 1}
     finally:
         srv.stop()
+
+
+def test_stat_serves_last_checksum_verdict(spark, tmp_path):
+    """Operational loop closed: a --checksum run persists its verdict
+    (_checksum_last.json, atomic) and /stat serves it as
+    `last_verify` with its age -- an operator watching /stat sees
+    WHEN the sink was last proven in sync, not just that rows flow."""
+    import urllib.request
+
+    from mysql_syncer_clickhouse_spark.__main__ import run_checksum
+    from mysql_syncer_clickhouse_spark.streaming.pipeline import (
+        SyncMetrics)
+    from mysql_syncer_clickhouse_spark.streaming.status import (
+        StatusServer)
+
+    changelog = _write_items_changelog(spark, tmp_path)
+    srv = _ChecksumFakeCH(list(_EXPECTED_SINK), _CHECKSUM_SCHEMA,
+                          ["id"], 16)
+    try:
+        cfg = _checksum_cfg(tmp_path, srv.url)
+        run_checksum(cfg, changelog_dir=changelog, buckets=16,
+                     spark=spark)
+    finally:
+        srv.stop()
+    vf = os.path.join(cfg.data_dir, "_checksum_last.json")
+    assert os.path.exists(vf)
+    stat = StatusServer(SyncMetrics(), port=0, verify_file=vf).start()
+    try:
+        body = urllib.request.urlopen(
+            f"http://127.0.0.1:{stat.port}/stat", timeout=10).read()
+        payload = json.loads(body)
+        lv = payload["last_verify"]
+        assert lv["rules"]["app:items"]["in_sync"] is True
+        assert lv["out_of_sync"] == []
+        assert lv["age_seconds"] >= 0
+    finally:
+        stat.stop()
