@@ -52,7 +52,7 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_local_supplier",
     "window_topk_per_group",
-    "topk_orders",
+    "sync_bucket_digest",
     "join_skew_salted",
     "join_asof",
     "join_range_binned",
@@ -137,8 +137,9 @@ def _cpu_busy_frac(interval: float = 0.2) -> float:
 
 
 def _time_query(spark, fn, sf_dir: str,
-                reps: int) -> tuple[float, float, float, float]:
-    """(cold_first, min_warm, load1_before, busy_before): warmup,
+                reps: int) -> tuple[float, float, float, float, float]:
+    """(cold_first, min_warm, load1_before, busy_before,
+    quiesce_wait_sec): warmup,
     clear caches, QUIESCE (bounded wait for the instantaneous busy
     fraction to drop -- our own GC tail drains in seconds; persistent
     external load won't, and then the flag is real), time rep 1 cold,
@@ -162,7 +163,11 @@ def _time_query(spark, fn, sf_dir: str,
     cold = _noop_write(df)
     warm = min((_noop_write(df) for _ in range(max(reps - 1, 1))),
                default=cold)
-    return round(cold, 3), round(warm, 3), round(load1, 2), busy
+    # the wait itself is recorded (VERDICT r14 #7): a box where every
+    # entry burns quiesce budget is slow in a way the flags alone
+    # would hide
+    return (round(cold, 3), round(warm, 3), round(load1, 2), busy,
+            round(waited, 1))
 
 
 def main() -> None:
@@ -213,10 +218,12 @@ def main() -> None:
     warm_times: dict[str, float] = {}
     loads: dict[str, float] = {}
     busys: dict[str, float] = {}
+    quiesce: dict[str, float] = {}
     retried: list[str] = []
     for name in names:
         (cold_times[name], warm_times[name], loads[name],
-         busys[name]) = _time_query(spark, all_q[name], sf_dir, reps)
+         busys[name], quiesce[name]) = _time_query(
+            spark, all_q[name], sf_dir, reps)
     # auto-rerun suspects: a cold rep >4x its warm floor is almost
     # always a transient (GC pause, competing JVM, page-cache miss
     # burst) -- BENCH_r06 recorded a whole round of such drift. One
@@ -224,9 +231,10 @@ def main() -> None:
     # recorded so a genuinely expensive cold path stays visible.
     for name in names:
         if warm_times[name] > 0 and cold_times[name] > 4 * warm_times[name]:
-            c2, w2, l2, b2 = _time_query(spark, all_q[name], sf_dir,
-                                         reps)
+            c2, w2, l2, b2, q2 = _time_query(spark, all_q[name],
+                                             sf_dir, reps)
             retried.append(name)
+            quiesce[name] = round(quiesce[name] + q2, 1)
             if c2 < cold_times[name]:
                 cold_times[name], loads[name] = c2, l2
                 busys[name] = b2
@@ -241,7 +249,7 @@ def main() -> None:
         for name in SCALE_CURVE:
             if name not in all_q:
                 continue
-            small_cold, _, _, _ = _time_query(
+            small_cold, _, _, _, _ = _time_query(
                 spark, all_q[name], SCALE_CURVE_SMALL_DIR, reps)
             curve[name] = {
                 "sf0.01_sec": small_cold,
@@ -448,11 +456,15 @@ def main() -> None:
         "SPARK_GRAFT_BENCH_BUSY_BOUND", "0.25"))
     load_suspects = sorted(n for n, b in busys.items()
                            if b > busy_bound)
-    # the headline verdict degrades when a third of entries measured
-    # contended, not just on the start load (r13 what's-wrong #1)
+    # ANY entry measured under contention degrades the verdict
+    # (VERDICT r14 #7 tightened r13's one-third rule: a "clean"
+    # verdict with a non-empty flag list is a contradiction --
+    # asserted below so it can never regress)
     verdict = ("polluted" if load_start > 2.0 else
-               "suspect" if len(load_suspects) > len(names) / 3 else
+               "suspect" if load_suspects else
                "clean")
+    assert not (verdict == "clean" and load_suspects), \
+        "invariant: clean verdict with contended entries"
     out["run_quality"] = {
         "load1_at_start": load_start,
         "verdict": verdict,
@@ -460,6 +472,8 @@ def main() -> None:
         "retried_queries": retried,
         "busy_bound": busy_bound,
         "load_suspect_queries": load_suspects,
+        "quiesce_wait_total_sec": round(sum(quiesce.values()), 1),
+        "quiesce_wait_max_sec": max(quiesce.values(), default=0.0),
     }
     # stdout carries EXACTLY ONE compact JSON line (the driver's
     # contract; r6's multi-kilobyte line with per-query loadavgs
@@ -495,7 +509,9 @@ def main() -> None:
                            "entry_cold": cold_times.get(pname),
                            "entry_warm": warm_times.get(pname)}
     detail = {"queries_warm": warm_times, "per_query_load1": loads,
-              "per_query_busy": busys, "per_part_sec": per_part}
+              "per_query_busy": busys,
+              "per_query_quiesce_wait_sec": quiesce,
+              "per_part_sec": per_part}
     if native_sink:
         detail["native_sink"] = native_sink
     print(json.dumps({"bench_detail": detail}), file=sys.stderr)

@@ -633,6 +633,30 @@ def run_retype(cfg: EngineConfig, binlog_dir: str, *,
     return results
 
 
+def _collect_diff(diff, diff_limit: int, line: dict) -> list[dict]:
+    """Bounded collection of a drill-down report: at most diff_limit
+    findings with an EXPLICIT truncation marker, plus -- on truncation
+    only -- the per-status totals, so a capped report still says how
+    much of each class it dropped (the no-silent-caps rule).  The
+    frame persists across the two jobs so the window+join drill-down
+    computes once."""
+    diff = diff.persist()
+    try:
+        rows = [r.asDict() for r in
+                diff.limit(diff_limit + 1).collect()]
+        truncated = len(rows) > diff_limit
+        line["diff_truncated"] = truncated
+        if truncated:
+            line["diff_status_totals"] = {
+                r["status"]: r["count"]
+                for r in diff.groupBy("status").count().collect()}
+        rows = rows[:diff_limit]
+        line["diff"] = rows
+        return rows
+    finally:
+        diff.unpersist()
+
+
 def run_checksum(cfg: EngineConfig, *, changelog_dir: str | None = None,
                  binlog_dir: str | None = None,
                  dump_path: str | None = None,
@@ -641,7 +665,8 @@ def run_checksum(cfg: EngineConfig, *, changelog_dir: str | None = None,
                  execute: bool = False, checksum_url: str | None = None,
                  sample: tuple[int, int] | None = None,
                  final: bool = True,
-                 diff_limit: int = 1000, spark=None) -> list[dict]:
+                 diff_limit: int = 1000,
+                 dup_grain: str = "pk", spark=None) -> list[dict]:
     """--checksum: verify the ClickHouse sink against the source of
     truth (pt-table-checksum for this engine -- the check the
     reference never had; rows flow through river/sync.go unverified).
@@ -812,7 +837,7 @@ def run_checksum(cfg: EngineConfig, *, changelog_dir: str | None = None,
             report, diff = sv.sync_verify(
                 latest_state(projected, pk),
                 latest_state(dst_raw, pk), pk, buckets,
-                drill_down=deep, sample=sample)
+                drill_down=deep, sample=sample, dup_grain=dup_grain)
             line["schema_missing_in_sink"] = \
                 report["schema_missing_in_sink"]
             line["schema_extra_in_sink"] = \
@@ -824,10 +849,7 @@ def run_checksum(cfg: EngineConfig, *, changelog_dir: str | None = None,
                 "in_sync": report["in_sync"],
             })
             if diff is not None:
-                diff_rows = [r.asDict() for r in
-                             diff.limit(diff_limit + 1).collect()]
-                line["diff_truncated"] = len(diff_rows) > diff_limit
-                line["diff"] = diff_rows[:diff_limit]
+                _collect_diff(diff, diff_limit, line)
             if repair:
                 # no statements to emit against parquet: the drain is
                 # an idempotent upsert, so the repair IS a re-drain
@@ -920,7 +942,7 @@ def run_checksum(cfg: EngineConfig, *, changelog_dir: str | None = None,
                 + " -- if the sink engine does not support FINAL "
                 "(plain MergeTree), re-run with --checksum-no-final "
                 "(pre-merge duplicate versions then surface as "
-                "duplicate_pk_in_sink findings)")
+                "duplicate_pk findings)")
             results.append(line)
             continue
         cmp = sv.compare_digests(src_rows, dst_rows)
@@ -932,10 +954,9 @@ def run_checksum(cfg: EngineConfig, *, changelog_dir: str | None = None,
         })
         if deep and cmp.mismatched:
             # per-rule error handling, same as the digest phase: a
-            # read-back refusal (e.g. a binary column the JSON
-            # transport can't round-trip -- the native transport CAN)
-            # records the finding and moves on -- the digest verdict
-            # above already stands
+            # read-back refusal (an unsupported column type) records
+            # the finding and moves on -- the digest verdict above
+            # already stands
             try:
                 dst = transport.read_back(
                     spark, exp_common.schema,
@@ -949,9 +970,9 @@ def run_checksum(cfg: EngineConfig, *, changelog_dir: str | None = None,
                     bucket_src=sv.spark_bucket_col(
                         exp_common, pk_pairs, buckets),
                     bucket_dst=sv.spark_bucket_col(
-                        dst, pk_pairs, buckets))
-                diff_rows = [r.asDict() for r in
-                             diff.limit(diff_limit + 1).collect()]
+                        dst, pk_pairs, buckets),
+                    dup_grain=dup_grain)
+                diff_rows = _collect_diff(diff, diff_limit, line)
             except ValueError as e:  # coercer refusal, with remedy
                 line["deep_error"] = str(e)
                 results.append(line)
@@ -960,12 +981,10 @@ def run_checksum(cfg: EngineConfig, *, changelog_dir: str | None = None,
                 line["deep_error"] = f"sink read-back failed: {e}"
                 results.append(line)
                 continue
-            line["diff_truncated"] = len(diff_rows) > diff_limit
-            diff_rows = diff_rows[:diff_limit]
-            line["diff"] = diff_rows
             if repair:
                 stmts = sv.repair_statements(
-                    diff_rows, rule.sink_schema, rule.sink_table, pk)
+                    diff_rows, rule.sink_schema, rule.sink_table, pk,
+                    engine=engine)
                 if execute:
                     transport.execute_repairs(
                         stmts, columns, exp_common.schema)
@@ -1397,6 +1416,16 @@ def main(argv: list[str] | None = None) -> int:
                          "run); M:auto persists the rotation counter "
                          "in data_dir so cron jobs need no K "
                          "bookkeeping")
+    ap.add_argument("--dup-grain", choices=("pk", "row"),
+                    default="pk",
+                    help="--deep's duplicate-pk report grain: 'pk' "
+                         "(default) emits ONE finding per pk whose "
+                         "duplicate state differs between the sides "
+                         "(src/dst counts attached; report stays "
+                         "proportional to the divergence), 'row' "
+                         "lists every duplicated pk per side, "
+                         "balanced or not (the exhaustive "
+                         "pre-OPTIMIZE inventory)")
     ap.add_argument("--checksum-url", metavar="URL",
                     help="force the digest SELECT over HTTP at this "
                          "endpoint (e.g. http://host:8123); by "
@@ -1512,7 +1541,8 @@ def main(argv: list[str] | None = None) -> int:
                 multiline=args.dump_multiline, buckets=args.buckets,
                 deep=args.deep or args.repair, repair=args.repair,
                 execute=args.execute, checksum_url=args.checksum_url,
-                sample=sample, final=not args.checksum_no_final):
+                sample=sample, final=not args.checksum_no_final,
+                dup_grain=args.dup_grain):
             print(json.dumps(line, default=str))
         return 0
     if args.retype:
@@ -1595,7 +1625,8 @@ def main(argv: list[str] | None = None) -> int:
                 binlog_dir=vb_dir, dump_path=args.dump_sql,
                 multiline=args.dump_multiline, buckets=args.buckets,
                 checksum_url=args.checksum_url, sample=vsample,
-                final=not args.checksum_no_final):
+                final=not args.checksum_no_final,
+                dup_grain=args.dup_grain):
             lines.append(line)
     for line in lines:
         print(json.dumps(line, default=str))

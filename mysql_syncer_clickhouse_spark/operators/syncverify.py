@@ -24,10 +24,14 @@ re-expressed for Spark + ClickHouse:
   re-read (the bucket predicate is a cheap hash filter evaluated in
   the scan stage), full-outer-joined on the primary key, and
   classified `missing_in_sink` / `extra_in_sink` / `value_mismatch`
-  with the exact differing columns named.  Duplicate primary keys on
-  either side are reported as their own class instead of silently
-  multiplying through the join (a ReplacingMergeTree read WITHOUT
-  `FINAL` is the classic source of these).
+  with the exact differing columns named.  Duplicate primary keys
+  never multiply through the join (each side contributes one
+  deterministic representative); by default they report at PK grain
+  -- one `duplicate_pk` finding per key whose duplicate state
+  actually differs between the sides, with per-side counts -- so the
+  report scales with the divergence, not the table (a
+  ReplacingMergeTree read WITHOUT `FINAL` is the classic source;
+  `dup_grain="row"` keeps the exhaustive per-side inventory).
 
 Two execution modes:
 
@@ -209,16 +213,38 @@ def row_diff(src: DataFrame, dst: DataFrame, pk_cols: list[str],
              buckets: list[int], n_buckets: int,
              value_cols: list[str] | None = None,
              bucket_src: Column | None = None,
-             bucket_dst: Column | None = None) -> DataFrame:
+             bucket_dst: Column | None = None,
+             dup_grain: str = "pk") -> DataFrame:
     """Row-level classification of the mismatched buckets only.
 
     Both sides re-read with the bucket hash-filter applied AT THE SCAN
     (no shuffle until the pk join, and the join input is only the bad
     buckets' rows -- bounded by how out-of-sync the sink actually is).
-    Output: one row per divergent primary key with `status` in
-    {missing_in_sink, extra_in_sink, value_mismatch,
-    duplicate_pk_in_source, duplicate_pk_in_sink}, the differing
-    column names, and both rows as JSON."""
+    Output: one row per divergent primary key with `status`, the
+    differing column names, both rows as JSON, and the per-side
+    multiplicities `src_count` / `dst_count`.
+
+    `dup_grain` governs how duplicate primary keys report:
+
+    - `"pk"` (default): ONE `duplicate_pk` finding per primary key
+      whose duplicate state DIFFERS between the sides -- multiplicity
+      or the per-pk value multiset (count + bitXor + sum of the row
+      fingerprints, the same blind-spot-free trio as the bucket
+      digest).  Duplicates that are BALANCED (same rows, same
+      multiplicity on both sides) cannot have caused the bucket
+      mismatch being drilled into, and on a table with a
+      systematically non-unique pk they would make the report scale
+      with the TABLE instead of the divergence (the r14 x100 probe
+      measured 736k such rows at 60M rows) -- so the default grain
+      keeps the drill-down output proportional to what actually
+      drifted.
+    - `"row"`: the legacy exhaustive grain -- every duplicated pk on
+      either side reports as `duplicate_pk_in_source` /
+      `duplicate_pk_in_sink`, balanced or not (the full inventory a
+      pre-OPTIMIZE audit wants)."""
+    if dup_grain not in ("pk", "row"):
+        raise ValueError(
+            f"dup_grain must be 'pk' or 'row', got {dup_grain!r}")
     cols = ordered_cols(src, pk_cols, value_cols)
     val_cols = [c for c in cols if c not in pk_cols]
 
@@ -226,9 +252,17 @@ def row_diff(src: DataFrame, dst: DataFrame, pk_cols: list[str],
         bk = bucket if bucket is not None else _bucket(pk_cols, n_buckets)
         out = df.select(*cols).withColumn("_b", bk)
         out = out.filter(F.col("_b").isin([int(b) for b in buckets]))
+        out = out.withColumn("_fp", _fingerprint(cols))
         w = Window.partitionBy(*pk_cols)
+        # count + xor + sum over the pk partition: the per-pk value
+        # MULTISET digest (xor alone cancels even multiplicities; sum
+        # alone misses swaps) -- one shuffle, all four window
+        # aggregates share it
         return (out
                 .withColumn("_dup", F.count(F.lit(1)).over(w))
+                .withColumn("_dxor", F.expr("bit_xor(_fp)").over(w))
+                .withColumn("_dsum",
+                            F.sum(_unsigned_dec(F.col("_fp"))).over(w))
                 .withColumn(
                     "_rn",
                     F.row_number().over(
@@ -255,7 +289,9 @@ def row_diff(src: DataFrame, dst: DataFrame, pk_cols: list[str],
             (payload if side == "src"
              else F.lit(None).cast("string")).alias("src_row"),
             (payload if side == "dst"
-             else F.lit(None).cast("string")).alias("dst_row"))
+             else F.lit(None).cast("string")).alias("dst_row"),
+            F.lit(None).cast("long").alias("src_count"),
+            F.lit(None).cast("long").alias("dst_count"))
 
     nulls_s = _null_pk_rows(src, "null_pk_in_source", "src")
     nulls_d = _null_pk_rows(dst, "null_pk_in_sink", "dst")
@@ -264,26 +300,34 @@ def row_diff(src: DataFrame, dst: DataFrame, pk_cols: list[str],
 
     s = _prep(src, bucket_src).alias("s")
     d = _prep(dst, bucket_dst).alias("d")
-    # duplicates are their own finding; the pk join below sees one
-    # deterministic representative per side so it cannot fan out
-    dup_s = (s.filter(F.col("_dup") > 1).filter(F.col("_rn") == 1)
-             .select(*pk_cols,
-                     F.lit("duplicate_pk_in_source").alias("status"),
-                     F.array().cast("array<string>")
-                      .alias("differing_columns"),
-                     F.to_json(F.struct(*cols),
-                               _JSON_OPTS)
-                      .alias("src_row"),
-                     F.lit(None).cast("string").alias("dst_row")))
-    dup_d = (d.filter(F.col("_dup") > 1).filter(F.col("_rn") == 1)
-             .select(*pk_cols,
-                     F.lit("duplicate_pk_in_sink").alias("status"),
-                     F.array().cast("array<string>")
-                      .alias("differing_columns"),
-                     F.lit(None).cast("string").alias("src_row"),
-                     F.to_json(F.struct(*cols),
-                               _JSON_OPTS)
-                      .alias("dst_row")))
+    extra_unions = []
+    if dup_grain == "row":
+        # legacy exhaustive grain: every duplicated pk reports per
+        # side, balanced or not; the pk join below still sees one
+        # deterministic representative per side so it cannot fan out
+        dup_s = (s.filter(F.col("_dup") > 1).filter(F.col("_rn") == 1)
+                 .select(*pk_cols,
+                         F.lit("duplicate_pk_in_source").alias("status"),
+                         F.array().cast("array<string>")
+                          .alias("differing_columns"),
+                         F.to_json(F.struct(*cols),
+                                   _JSON_OPTS)
+                          .alias("src_row"),
+                         F.lit(None).cast("string").alias("dst_row"),
+                         F.col("_dup").cast("long").alias("src_count"),
+                         F.lit(None).cast("long").alias("dst_count")))
+        dup_d = (d.filter(F.col("_dup") > 1).filter(F.col("_rn") == 1)
+                 .select(*pk_cols,
+                         F.lit("duplicate_pk_in_sink").alias("status"),
+                         F.array().cast("array<string>")
+                          .alias("differing_columns"),
+                         F.lit(None).cast("string").alias("src_row"),
+                         F.to_json(F.struct(*cols),
+                                   _JSON_OPTS)
+                          .alias("dst_row"),
+                         F.lit(None).cast("long").alias("src_count"),
+                         F.col("_dup").cast("long").alias("dst_count")))
+        extra_unions = [dup_s, dup_d]
 
     s1 = s.filter(F.col("_rn") == 1).alias("s")
     d1 = d.filter(F.col("_rn") == 1).alias("d")
@@ -294,6 +338,8 @@ def row_diff(src: DataFrame, dst: DataFrame, pk_cols: list[str],
     j = s1.join(d1, cond, "full_outer")
     s_present = s1[pk_cols[0]].isNotNull()
     d_present = d1[pk_cols[0]].isNotNull()
+    s_cnt = F.coalesce(s1["_dup"], F.lit(0)).cast("long")
+    d_cnt = F.coalesce(d1["_dup"], F.lit(0)).cast("long")
     differing = F.filter(
         F.array(*[
             F.when(~s1[c].eqNullSafe(d1[c]), F.lit(c))
@@ -318,11 +364,39 @@ def row_diff(src: DataFrame, dst: DataFrame, pk_cols: list[str],
         F.when(d_present,
                F.to_json(F.struct(*[d1[c] for c in cols]),
                          _JSON_OPTS))
-         .alias("dst_row"))
+         .alias("dst_row"),
+        F.when(s_present, s_cnt).alias("src_count"),
+        F.when(d_present, d_cnt).alias("dst_count"))
         .filter((F.col("status") != "value_mismatch")
                 | (F.size("differing_columns") > 0)))
-    return (diff.unionByName(dup_s).unionByName(dup_d)
-            .unionByName(nulls_s).unionByName(nulls_d))
+    if dup_grain == "pk":
+        # one finding per pk whose duplicate state DIFFERS between
+        # the sides: multiplicity, or the per-pk multiset digest
+        # (balanced duplicates cannot explain a bucket mismatch and
+        # would scale the report with the table)
+        balanced = ((s_cnt == d_cnt)
+                    & s1["_dxor"].eqNullSafe(d1["_dxor"])
+                    & s1["_dsum"].eqNullSafe(d1["_dsum"]))
+        dup = (j.filter(((s_cnt > 1) | (d_cnt > 1)) & ~balanced)
+               .select(
+                   *[F.coalesce(s1[c], d1[c]).alias(c)
+                     for c in pk_cols],
+                   F.lit("duplicate_pk").alias("status"),
+                   F.array().cast("array<string>")
+                    .alias("differing_columns"),
+                   F.when(s_present,
+                          F.to_json(F.struct(*[s1[c] for c in cols]),
+                                    _JSON_OPTS)).alias("src_row"),
+                   F.when(d_present,
+                          F.to_json(F.struct(*[d1[c] for c in cols]),
+                                    _JSON_OPTS)).alias("dst_row"),
+                   s_cnt.alias("src_count"),
+                   d_cnt.alias("dst_count")))
+        extra_unions = [dup]
+    out = diff
+    for u in extra_unions:
+        out = out.unionByName(u)
+    return out.unionByName(nulls_s).unionByName(nulls_d)
 
 
 # ---------------------------------------------------- full verify run
@@ -332,7 +406,8 @@ def sync_verify(src: DataFrame, dst: DataFrame, pk_cols: list[str],
                 n_buckets: int = 1024,
                 value_cols: list[str] | None = None,
                 drill_down: bool = True,
-                sample: tuple[int, int] | None = None):
+                sample: tuple[int, int] | None = None,
+                dup_grain: str = "pk"):
     """End-to-end Spark-mode verification.
 
     Returns (report: dict, diff: DataFrame | None).  `dst` is aligned
@@ -373,7 +448,7 @@ def sync_verify(src: DataFrame, dst: DataFrame, pk_cols: list[str],
     diff = None
     if drill_down and cmp.mismatched:
         diff = row_diff(src_a, dst_a, pk_cols, cmp.mismatched,
-                        n_buckets, cols)
+                        n_buckets, cols, dup_grain=dup_grain)
     return report, diff
 
 
@@ -736,16 +811,28 @@ def spark_pushdown_digest(df: DataFrame,
 
 
 def repair_statements(diff_rows, database: str, table: str,
-                      pk_cols: list[str]) -> list[dict]:
+                      pk_cols: list[str],
+                      engine: str | None = None) -> list[dict]:
     """Repair plan from collected diff rows (bounded: callers collect
     only after the bucket-restricted drill-down, typically with a
     LIMIT).  missing/mismatched rows re-INSERT (a ReplacingMergeTree
     upserts by (pk, version) collapse -- the same idempotent path the
     sink uses); extra rows emit a targeted ALTER DELETE.  Statements
     are EMITTED, not executed -- the caller decides (--execute), same
-    contract as --retype."""
+    contract as --retype.
+
+    `engine`: the sink's table engine, when known.  Duplicate-pk
+    findings have ONE table-level remedy -- `OPTIMIZE TABLE ... FINAL`
+    collapses them -- but forcing a merge is only a REPAIR where the
+    engine's FINAL semantics are the sync contract (Replacing /
+    Collapsing families); on a plain MergeTree it would merge parts
+    without deduplicating anything.  So when duplicates are present
+    AND the engine qualifies, the plan ends with one executable
+    OPTIMIZE statement covering them all (per-finding entries stay
+    informational); otherwise the remedy stays manual."""
     import json as _json
     stmts = []
+    n_dup = 0
     for r in diff_rows:
         row = r if isinstance(r, dict) else r.asDict()
         status = row["status"]
@@ -779,17 +866,40 @@ def repair_statements(diff_rows, database: str, table: str,
                            "the upstream writer; not auto-repairable "
                            "(no identity to target)"),
             })
-        else:  # duplicates: surfaced, not auto-repaired -- the remedy
-            # is OPTIMIZE ... FINAL / reading with FINAL, an operator
-            # decision a repair script must not take implicitly
+        else:  # duplicates: per-finding entries are informational;
+            # the executable remedy (one OPTIMIZE for the whole
+            # table) is appended below, engine-gated
+            n_dup += 1
             stmts.append({
                 "pk": {c: row[c] for c in pk_cols},
                 "status": status,
                 "statement": None,
-                "manual": ("duplicate primary key: run OPTIMIZE TABLE "
-                           f"`{database}`.`{table}` FINAL or "
-                           "deduplicate at read time with FINAL"),
+                "manual": ("duplicate primary key: collapsed by "
+                           f"OPTIMIZE TABLE `{database}`.`{table}` "
+                           "FINAL (emitted at the end of this plan "
+                           "when the engine's FINAL collapse is the "
+                           "sync contract) or deduplicate at read "
+                           "time with FINAL"),
             })
+    if n_dup:
+        optimizable = engine is not None and any(
+            s in engine for s in ("Replacing", "Collapsing"))
+        entry = {
+            "pk": None,
+            "status": "optimize_table",
+            "covers": n_dup,
+        }
+        if optimizable:
+            entry["statement"] = (
+                f"OPTIMIZE TABLE `{database}`.`{table}` FINAL")
+        else:
+            entry["statement"] = None
+            entry["manual"] = (
+                "duplicate pks present but the sink engine "
+                f"({engine or 'unknown'}) does not collapse by FINAL "
+                "-- deduplicate manually (OPTIMIZE would merge parts "
+                "without removing duplicates)")
+        stmts.append(entry)
     return stmts
 
 

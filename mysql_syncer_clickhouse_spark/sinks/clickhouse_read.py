@@ -54,8 +54,12 @@ def _get(url: str, query: str, user: str | None,
 def _coercer(dt: T.DataType):
     """JSON value -> Spark-compatible Python value for one field.
     Arrays and maps recurse (JSONEachRow round-trips them as JSON
-    lists/objects); only raw binary stays refused -- JSON cannot
-    carry arbitrary bytes (the NATIVE read-back can)."""
+    lists/objects).  Binary columns arrive as HEX: JSON cannot carry
+    arbitrary bytes, so the read-back SELECT renders them `hex(col)`
+    (the same injective engine-neutral encoding the digest canonical
+    uses) and the coercer decodes -- which is what lets --deep drill
+    into binary columns over HTTP, not just native (VERDICT r14
+    #3)."""
     if isinstance(dt, (T.LongType, T.IntegerType, T.ShortType,
                        T.ByteType)):
         return lambda v: None if v is None else int(v)
@@ -81,11 +85,11 @@ def _coercer(dt: T.DataType):
         val = _coercer(dt.valueType)
         return (lambda v: None if v is None
                 else {key(k): val(x) for k, x in v.items()})
+    if isinstance(dt, T.BinaryType):
+        return (lambda v: None if v is None
+                else bytearray(bytes.fromhex(v)))
     raise ValueError(
-        f"read_clickhouse_http: unsupported read-back type {dt} "
-        "(binary read-back is not JSON-safe; use the native "
-        "transport -- a host:port sink_addr -- or verify in "
-        "digest-only mode)")
+        f"read_clickhouse_http: unsupported read-back type {dt}")
 
 
 def hash_split_sql(pk_cols: list[str], n: int) -> str:
@@ -116,7 +120,10 @@ def read_clickhouse_http(spark: SparkSession, url: str, database: str,
     mismatched buckets)."""
     import pandas as pd
 
-    cols = ", ".join(f"`{f.name}`" for f in schema.fields)
+    cols = ", ".join(
+        f"hex(`{f.name}`) AS `{f.name}`"
+        if isinstance(f.dataType, T.BinaryType) else f"`{f.name}`"
+        for f in schema.fields)
     fin = " FINAL" if final else ""
     extra = f" AND ({where})" if where else ""
     names = [f.name for f in schema.fields]
@@ -154,9 +161,8 @@ def _native_coercer(dt: T.DataType):
     """Decoded native value -> Spark-compatible Python value. The
     native decoders already return typed values (int/float/Decimal/
     date/datetime); the work here is the byte-transparent String:
-    utf-8 text for StringType, raw bytes for BinaryType -- which is
-    why the native read-back supports binary columns the JSON
-    transport must refuse."""
+    utf-8 text for StringType, raw bytes for BinaryType (the HTTP
+    twin gets the same bytes via hex(col) + decode)."""
     if isinstance(dt, T.StringType):
         return (lambda v: None if v is None else
                 (v.decode("utf-8", errors="replace")

@@ -13,7 +13,8 @@ protocol (the bounded ~4-column x n_buckets result decodes through
 sinks/clickhouse_native.column_decoder), routes drill-down through
 the distributed native reader, and executes repairs as native blocks
 -- which also makes binary columns verifiable end-to-end (native
-String is byte-transparent; the JSON transport must refuse them).
+String is byte-transparent; the HTTP transport gets there by
+hex(col) read-back + VALUES/unhex repair rewriting).
 
 Scale shape is transport-independent: the sink side of a 100 TB
 verification is ONE data-resident aggregate; only n_buckets digest
@@ -48,6 +49,45 @@ def _json_coercer(dt: T.DataType):
         return (lambda v: None if v is None
                 else base64.b64decode(v))
     return lambda v: v
+
+
+def _values_literal(v, binary: bool = False) -> str:
+    """ONE JSON-payload value as a ClickHouse VALUES literal.  The
+    payload is to_json output, so the type space is JSON's (str/num/
+    bool/null/list/dict) plus base64 for binary."""
+    if v is None:
+        return "NULL"
+    if binary:
+        return f"unhex('{base64.b64decode(v).hex().upper()}')"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    if isinstance(v, list):
+        return "[" + ", ".join(_values_literal(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return ("map(" + ", ".join(
+            f"{_values_literal(k)}, {_values_literal(x)}"
+            for k, x in v.items()) + ")")
+    s = str(v).replace("\\", "\\\\").replace("'", "\\'")
+    return f"'{s}'"
+
+
+def _values_insert(statement: str, database: str, table: str,
+                   bin_cols: set) -> str:
+    """Rewrite a `INSERT ... FORMAT JSONEachRow {..}` repair statement
+    as `INSERT INTO t (cols) VALUES (..)` with unhex() for binary
+    columns -- the HTTP-executable form for payloads JSON cannot
+    carry as bytes."""
+    payload = json.loads(
+        statement.split("FORMAT JSONEachRow ", 1)[1])
+    names = list(payload)
+    cols = ", ".join(f"`{n}`" for n in names)
+    vals = ", ".join(
+        _values_literal(payload[n], binary=n in bin_cols)
+        for n in names)
+    return (f"INSERT INTO `{database}`.`{table}` ({cols}) "
+            f"VALUES ({vals})")
 
 
 class HTTPVerifyTransport:
@@ -97,10 +137,23 @@ class HTTPVerifyTransport:
     def execute_repairs(self, stmts: list[dict], columns,
                         spark_schema) -> None:
         """`stmts` from syncverify.repair_statements: the emitted SQL
-        text IS this transport's executable form."""
+        text IS this transport's executable form -- EXCEPT re-INSERTs
+        touching binary columns.  The diff's JSON payload renders
+        binary as base64 (Spark to_json), and JSONEachRow would store
+        that base64 TEXT into the column -- silent corruption.  Those
+        inserts rewrite to `INSERT ... VALUES` with `unhex('..')` for
+        the binary columns (the VALUES format evaluates expressions),
+        which round-trips the raw bytes over HTTP."""
+        bin_cols = {f.name for f in spark_schema.fields
+                    if isinstance(f.dataType, T.BinaryType)}
         for stmt in stmts:
-            if stmt.get("statement"):
-                self._sink.execute(stmt["statement"])
+            statement = stmt.get("statement")
+            if not statement:
+                continue
+            if bin_cols and statement.startswith("INSERT"):
+                statement = _values_insert(
+                    statement, self.database, self.table, bin_cols)
+            self._sink.execute(statement)
 
     @property
     def errors(self) -> tuple:
@@ -202,17 +255,20 @@ class NativeVerifyTransport:
         from. Every diff row carries the full common column set, so a
         single block covers them all."""
         inserts: list[dict] = []
-        alters: list[str] = []
+        others: list[str] = []
         for stmt in stmts:
             statement = stmt.get("statement")
             if not statement:
                 continue
-            if statement.startswith("ALTER"):
-                alters.append(statement)
-            else:
+            if statement.startswith("INSERT"):
                 inserts.append(json.loads(
                     statement.split("FORMAT JSONEachRow ", 1)[1]))
-        if not inserts and not alters:
+            else:
+                # ALTER DELETE / OPTIMIZE ... FINAL: plain text, in
+                # plan order (repair_statements puts the OPTIMIZE
+                # last so the collapse sees every repaired row)
+                others.append(statement)
+        if not inserts and not others:
             return
         by_name = {f.name: f.dataType for f in spark_schema.fields}
         conn = self._connect()
@@ -229,7 +285,7 @@ class NativeVerifyTransport:
                 conn.insert_blocks(
                     f"INSERT INTO `{self.database}`.`{self.table}` "
                     f"({names}) VALUES", cols, [rows])
-            for statement in alters:
+            for statement in others:
                 conn.execute(statement)
         finally:
             conn.close()

@@ -46,13 +46,34 @@ def _thread_stacks() -> dict[str, list[str]]:
     }
 
 
+def _read_verify(path: str | None) -> dict | None:
+    """The --checksum run's persisted verdict (_checksum_last.json)
+    with its age computed at read time; None when never verified or
+    unreadable (the absence IS the information).  Shared by /stat's
+    `last_verify` block and /metrics' gauges."""
+    if path is None:
+        return None
+    import time as _time
+    try:
+        with open(path) as fh:
+            lv = json.load(fh)
+    except FileNotFoundError:
+        return None
+    except Exception as e:           # never 500 the page over this
+        return {"error": str(e)}
+    if isinstance(lv.get("ts"), (int, float)):
+        lv["age_seconds"] = round(_time.time() - lv["ts"], 1)
+    return lv
+
+
 def _prometheus_text(counts: dict, position: dict | None,
-                     lag: dict | None = None) -> str:
+                     lag: dict | None = None,
+                     verify: dict | None = None) -> str:
     """Render the counters + position in the Prometheus text exposition
     format (the de-facto scrape contract): one `sync_ops_total` counter
-    per op label, plus gauges for the applied position and replication
-    lag. Metric names are stable; no client library needed for the
-    text format."""
+    per op label, plus gauges for the applied position, replication
+    lag, and verification freshness. Metric names are stable; no
+    client library needed for the text format."""
     lines = [
         "# TYPE sync_ops_total counter",
     ]
@@ -72,6 +93,18 @@ def _prometheus_text(counts: dict, position: dict | None,
         lines.append("# TYPE sync_since_last_apply_seconds gauge")
         lines.append(f"sync_since_last_apply_seconds "
                      f"{lag['since_last_apply_seconds']}")
+    if verify is not None and verify.get("age_seconds") is not None:
+        # the M:auto cron loop closes into real alerting: "sink not
+        # PROVEN in sync for N seconds" is one PromQL expression on
+        # these two, next to the lag pair (VERDICT r14 #2).
+        # out_of_sync lists every rule not proven (errors included,
+        # run_checksum's summary contract), so empty == all proven.
+        lines.append("# TYPE sync_last_verify_age_seconds gauge")
+        lines.append(
+            f"sync_last_verify_age_seconds {verify['age_seconds']}")
+        lines.append("# TYPE sync_last_verify_in_sync gauge")
+        in_sync = 0 if verify.get("out_of_sync") else 1
+        lines.append(f"sync_last_verify_in_sync {in_sync}")
     return "\n".join(lines) + "\n"
 
 
@@ -126,7 +159,8 @@ class StatusServer:
                                      None)
                     lag = lag_fn() if lag_fn is not None else None
                     body = _prometheus_text(
-                        outer._metrics.snapshot(), snap, lag).encode()
+                        outer._metrics.snapshot(), snap, lag,
+                        _read_verify(outer._verify_file)).encode()
                     self.send_response(200)
                     self.send_header("Content-Type",
                                      "text/plain; version=0.0.4")
@@ -173,23 +207,13 @@ class StatusServer:
                         payload["progress"] = outer._progress()
                     except Exception as e:   # never 500 the stat page
                         payload["progress"] = {"error": str(e)}
-                if outer._verify_file is not None:
-                    # freshest verification verdict, read per request
-                    # (the checksum runs in its own invocation; the
-                    # file is the bridge). Absent file = never
-                    # verified, which is itself the information.
-                    import time as _time
-                    try:
-                        with open(outer._verify_file) as fh:
-                            lv = json.load(fh)
-                        if isinstance(lv.get("ts"), (int, float)):
-                            lv["age_seconds"] = round(
-                                _time.time() - lv["ts"], 1)
-                        payload["last_verify"] = lv
-                    except FileNotFoundError:
-                        pass
-                    except Exception as e:   # never 500 the stat page
-                        payload["last_verify"] = {"error": str(e)}
+                # freshest verification verdict, read per request
+                # (the checksum runs in its own invocation; the
+                # file is the bridge). Absent file = never
+                # verified, which is itself the information.
+                lv = _read_verify(outer._verify_file)
+                if lv is not None:
+                    payload["last_verify"] = lv
                 body = json.dumps(payload).encode()
                 self.send_response(200)
                 self.send_header("Content-Type", "application/json")

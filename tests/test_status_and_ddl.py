@@ -346,3 +346,46 @@ def test_aggregated_lag_is_worst_rule(spark):
     assert 85 < lag["apply_lag_seconds"] < 95
     assert lag["since_last_apply_seconds"] < 5
     assert _AggregatedMetrics([]).lag_snapshot() is None
+
+
+def test_metrics_serves_last_verify_gauges(tmp_path):
+    """VERDICT r14 #2: the --checksum verdict reaches the SAME
+    alerting pipeline as the lag pair -- /metrics gains
+    sync_last_verify_age_seconds + sync_last_verify_in_sync (0/1),
+    read per scrape from the persisted _checksum_last.json. No file
+    -> no gauges (never verified is itself the signal: absence of
+    the series alerts via `absent()`)."""
+    import time
+
+    m = SyncMetrics()
+    srv = StatusServer(m, port=0,
+                       verify_file=str(tmp_path / "v.json")).start()
+    try:
+        body = urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}/metrics",
+            timeout=5).read().decode()
+        assert "sync_last_verify" not in body     # never verified
+
+        (tmp_path / "v.json").write_text(json.dumps(
+            {"ts": time.time() - 30, "out_of_sync": [],
+             "rules": {"app:items": {"in_sync": True}}}))
+        body = urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}/metrics",
+            timeout=5).read().decode()
+        assert "# TYPE sync_last_verify_age_seconds gauge" in body
+        age = float(next(
+            line.split()[1] for line in body.splitlines()
+            if line.startswith("sync_last_verify_age_seconds")))
+        assert 25 <= age <= 120
+        assert "sync_last_verify_in_sync 1" in body
+
+        # a failed proof (or an errored rule) flips the gauge to 0
+        (tmp_path / "v.json").write_text(json.dumps(
+            {"ts": time.time(), "out_of_sync": ["app:items"],
+             "rules": {"app:items": {"in_sync": False}}}))
+        body = urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}/metrics",
+            timeout=5).read().decode()
+        assert "sync_last_verify_in_sync 0" in body
+    finally:
+        srv.stop()

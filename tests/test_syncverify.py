@@ -93,9 +93,12 @@ def test_sync_verify_classifies_every_divergence(spark, frames):
     assert got[(7, "missing_in_sink")] == []
     assert got[(13, "value_mismatch")] == ["qty"]
     assert got[(2000, "extra_in_sink")] == []
-    assert (500, "duplicate_pk_in_sink") in got
-    # the duplicate pk also value-mismatches (its representative row
-    # has qty 5000); nothing ELSE appears
+    # pk-grain default: ONE duplicate finding carrying both sides'
+    # multiplicities (src has the row once, sink twice)
+    assert (500, "duplicate_pk") in got
+    counts = {(r["id"], r["status"]): (r["src_count"], r["dst_count"])
+              for r in diff.collect()}
+    assert counts[(500, "duplicate_pk")] == (1, 2)
     ids = {i for (i, _s) in got}
     assert ids == {7, 13, 2000, 500}
 
@@ -109,8 +112,9 @@ def test_even_multiplicity_duplicate_caught_by_count(spark):
         [(42, "v42"), (42, "v42")], "id long, v string"))
     report, diff = sv.sync_verify(src, dst, ["id"], n_buckets=8)
     assert not report["in_sync"]
-    statuses = {r["status"] for r in diff.collect()}
-    assert statuses == {"duplicate_pk_in_sink"}
+    rows = diff.collect()
+    assert {r["status"] for r in rows} == {"duplicate_pk"}
+    assert [(r["src_count"], r["dst_count"]) for r in rows] == [(1, 3)]
 
 
 def test_schema_drift_reported_and_common_subset_verified(spark):
@@ -938,13 +942,48 @@ def test_cli_checksum_file_sink_survives_compaction(spark, tmp_path):
     assert line["rows_src"] == 1 == line["rows_sink"]
 
 
-def test_cli_checksum_deep_on_binary_column_records_error(spark,
-                                                          tmp_path):
-    """ADVICE r13 medium: the digest phase supports binary columns
-    (hex canonicalization), but --deep's JSON read-back cannot
-    round-trip raw bytes -- the coercer's refusal must land as a
-    per-rule `deep_error` (digest verdict intact), not crash the
-    whole run."""
+class _ValuesApplyingFakeCH(_ChecksumFakeCH):
+    """_ChecksumFakeCH plus the binary-safe WRITE half: INSERT ...
+    VALUES statements (the HTTP transport's rewritten repair form for
+    binary columns) apply to the row store with unhex('H') evaluating
+    to the hex string H -- the fake's value space IS what hex(col)
+    returns, matching its digest evaluator."""
+
+    def _serve(self, query: str, body: bytes = b"") -> bytes:
+        import ast
+        import re
+        m = re.match(
+            r"INSERT INTO `[^`]+`\.`[^`]+` \(([^)]*)\) "
+            r"VALUES \((.*)\)\s*$", query, re.S)
+        if m:
+            with self._lock:
+                self.writes.append(query)
+                names = [c.strip(" `") for c in m.group(1).split(",")]
+                vals_s = re.sub(r"unhex\('([0-9A-Fa-f]*)'\)",
+                                r"'\1'", m.group(2))
+                vals_s = vals_s.replace("NULL", "None")
+                vals = list(ast.literal_eval(f"[{vals_s}]"))
+                r = dict(zip(names, vals))
+                by_pk = {tuple(x[c] for c in self.pk): x
+                         for x in self.rows}
+                key = tuple(r[c] for c in self.pk)
+                old = by_pk.get(key)
+                if old is None or r.get("seq", 0) >= \
+                        old.get("seq", 0):
+                    by_pk[key] = r
+                self.rows[:] = list(by_pk.values())
+            return b""
+        return super()._serve(query, body)
+
+
+def test_cli_checksum_deep_repairs_binary_over_http(spark, tmp_path):
+    """VERDICT r14 #3 (the r13 ADVICE remedy, landed): --deep over
+    the HTTP transport now drills into binary columns -- the
+    read-back SELECT renders hex(col), the coercer decodes, and the
+    repair re-INSERT rewrites to VALUES+unhex so raw bytes (not
+    base64 text) land in the sink.  This is the native transport's
+    binary e2e (test_syncverify_native.py) passing over the HTTP
+    fake too."""
     import os
 
     from mysql_syncer_clickhouse_spark.__main__ import run_checksum
@@ -957,20 +996,31 @@ def test_cli_checksum_deep_on_binary_column_records_error(spark,
     ).coalesce(1).write.mode("append").parquet(str(changelog))
     schema = [("id", "Int64"), ("op", "String"),
               ("payload", "Nullable(String)"), ("seq", "Int64")]
-    # fake stores the HEX rendering (what the emitted hex() computes);
-    # pk 2 drifted so the deep path actually triggers
+    # fake stores the HEX rendering (its value space is what hex()
+    # returns); pk 2's payload drifted (hex of b"zz" is 7A7A)
     rows = [{"id": 1, "op": "insert", "payload": "00FF41", "seq": 1},
             {"id": 2, "op": "insert", "payload": "AAAA", "seq": 2}]
-    srv = _ChecksumFakeCH(rows, schema, ["id"], 16)
+    srv = _ValuesApplyingFakeCH(rows, schema, ["id"], 16)
     try:
         cfg = _checksum_cfg(tmp_path, srv.url)
         out = run_checksum(cfg, changelog_dir=str(tmp_path / "changelog"),
-                           buckets=16, deep=True, spark=spark)
+                           buckets=16, deep=True, repair=True,
+                           execute=True, spark=spark)
         line = next(x for x in out if x.get("rule") == "app:items")
         assert line["in_sync"] is False
         assert line["buckets_mismatched"] == 1
-        assert "binary" in line["deep_error"]
-        assert "diff" not in line
+        assert "deep_error" not in line
+        got = {(d["id"], d["status"]): d["differing_columns"]
+               for d in line["diff"]}
+        assert got == {(2, "value_mismatch"): ["payload"]}
+        # the executed repair shipped raw bytes via unhex, not base64
+        [w] = srv.writes
+        assert "VALUES" in w and "unhex('7A7A')" in w
+        assert "JSONEachRow" not in w
+        out2 = run_checksum(cfg, changelog_dir=str(tmp_path / "changelog"),
+                            buckets=16, spark=spark)
+        line2 = next(x for x in out2 if x.get("rule") == "app:items")
+        assert line2["in_sync"] is True
     finally:
         srv.stop()
 
@@ -1466,3 +1516,199 @@ def test_stat_serves_last_checksum_verdict(spark, tmp_path):
         assert lv["age_seconds"] >= 0
     finally:
         stat.stop()
+
+
+# ----------------------------------------- duplicate grain (round 15)
+
+
+def test_balanced_duplicates_suppressed_in_pk_grain(spark):
+    """VERDICT r14 #1: duplicates with the SAME multiplicity and the
+    SAME value multiset on both sides cannot have caused the bucket
+    mismatch being drilled into -- the default pk grain must not
+    report them, or a systematically non-unique pk makes the report
+    scale with the TABLE (the x100 probe's 736k finding rows). The
+    row grain keeps the exhaustive inventory."""
+    # pk 1 duplicated IDENTICALLY on both sides (balanced); pk 2's
+    # value drifted so the (single, n_buckets=1) bucket flags and the
+    # drill-down admits everything
+    src = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "x")], "id long, v string")
+    dst = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "y")], "id long, v string")
+    report, diff = sv.sync_verify(src, dst, ["id"], n_buckets=1)
+    assert not report["in_sync"]
+    got = {(r["id"], r["status"]) for r in diff.collect()}
+    assert got == {(2, "value_mismatch")}
+
+    # the legacy row grain still lists the balanced duplicate per side
+    _, diff_row = sv.sync_verify(src, dst, ["id"], n_buckets=1,
+                                 dup_grain="row")
+    got_row = {(r["id"], r["status"]) for r in diff_row.collect()}
+    assert (1, "duplicate_pk_in_source") in got_row
+    assert (1, "duplicate_pk_in_sink") in got_row
+    assert (2, "value_mismatch") in got_row
+
+
+def test_duplicate_multiset_swap_caught_at_equal_counts(spark):
+    """Equal multiplicities but a different value multiset among the
+    duplicates: count ties, but the per-pk xor/sum digest differs --
+    the finding must surface even though the deterministic
+    representatives (first row by full ordering) compare equal."""
+    src = spark.createDataFrame(
+        [(5, "a"), (5, "a"), (5, "b")], "id long, v string")
+    dst = spark.createDataFrame(
+        [(5, "a"), (5, "b"), (5, "b")], "id long, v string")
+    report, diff = sv.sync_verify(src, dst, ["id"], n_buckets=1)
+    assert not report["in_sync"]
+    rows = diff.collect()
+    assert {(r["id"], r["status"]) for r in rows} == {
+        (5, "duplicate_pk")}
+    [(sc, dc)] = [(r["src_count"], r["dst_count"]) for r in rows]
+    assert (sc, dc) == (3, 3)
+
+
+def test_one_sided_duplicate_vs_absent_pk(spark):
+    """A pk duplicated on one side and absent on the other reports
+    BOTH facts: presence (missing/extra) and the duplicate state."""
+    src = spark.createDataFrame(
+        [(1, "a"), (9, "z"), (9, "z")], "id long, v string")
+    dst = spark.createDataFrame([(1, "a")], "id long, v string")
+    report, diff = sv.sync_verify(src, dst, ["id"], n_buckets=1)
+    got = {(r["id"], r["status"]): (r["src_count"], r["dst_count"])
+           for r in diff.collect()}
+    # the presence finding carries the side's multiplicity too
+    assert got[(9, "missing_in_sink")] == (2, None)
+    assert got[(9, "duplicate_pk")] == (2, 0)
+    assert len(got) == 2
+
+
+def test_row_diff_rejects_unknown_dup_grain(spark):
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    with pytest.raises(ValueError, match="dup_grain"):
+        sv.row_diff(df, df, ["id"], [0], 4, dup_grain="bogus")
+
+
+def test_repair_optimize_is_engine_gated():
+    """Duplicate findings end the plan with ONE executable OPTIMIZE
+    TABLE ... FINAL -- but only when the engine's FINAL collapse is
+    the sync contract (Replacing/Collapsing); a plain MergeTree or an
+    unknown engine keeps the remedy manual (OPTIMIZE there merges
+    parts without deduplicating)."""
+    diff = [
+        {"id": 500, "status": "duplicate_pk",
+         "src_row": '{"id":500}', "dst_row": '{"id":500}',
+         "src_count": 1, "dst_count": 2},
+        {"id": 501, "status": "duplicate_pk",
+         "src_row": None, "dst_row": '{"id":501}',
+         "src_count": 0, "dst_count": 3},
+    ]
+    stmts = sv.repair_statements(diff, "olap", "t", ["id"],
+                                 engine="ReplacingMergeTree")
+    assert stmts[-1]["status"] == "optimize_table"
+    assert stmts[-1]["statement"] == "OPTIMIZE TABLE `olap`.`t` FINAL"
+    assert stmts[-1]["covers"] == 2
+    assert all(s["statement"] is None
+               for s in stmts if s["status"] == "duplicate_pk")
+
+    for eng in (None, "MergeTree", "SummingMergeTree"):
+        tail = sv.repair_statements(diff, "olap", "t", ["id"],
+                                    engine=eng)[-1]
+        assert tail["status"] == "optimize_table"
+        assert tail["statement"] is None
+        assert "manually" in tail["manual"]
+
+    # no duplicates -> no optimize entry at all
+    clean = sv.repair_statements(
+        [{"id": 7, "status": "missing_in_sink",
+          "src_row": '{"id":7}', "dst_row": None}],
+        "olap", "t", ["id"], engine="ReplacingMergeTree")
+    assert all(s["status"] != "optimize_table" for s in clean)
+
+
+class _OptimizingFakeCH(_ChecksumFakeCH):
+    """_ChecksumFakeCH plus OPTIMIZE ... FINAL: collapses the row
+    store to the max-seq row per pk -- what a ReplacingMergeTree
+    merge does -- so a duplicate-repair round trip is observable."""
+
+    def _serve(self, query: str, body: bytes = b"") -> bytes:
+        if query.lstrip().upper().startswith("OPTIMIZE"):
+            with self._lock:
+                self.writes.append(query)
+                by_pk: dict = {}
+                for r in self.rows:
+                    key = tuple(r[c] for c in self.pk)
+                    old = by_pk.get(key)
+                    if old is None or r.get("seq", 0) >= \
+                            old.get("seq", 0):
+                        by_pk[key] = r
+                self.rows[:] = list(by_pk.values())
+            return b""
+        return super()._serve(query, body)
+
+
+def test_cli_checksum_repair_executes_optimize_for_duplicates(
+        spark, tmp_path):
+    """VERDICT r14 #5 end-to-end: planted duplicate -> --repair
+    --execute routes OPTIMIZE TABLE ... FINAL through the transport
+    (engine-gated) -> second checksum clean."""
+    from mysql_syncer_clickhouse_spark.__main__ import run_checksum
+    changelog = _write_items_changelog(spark, tmp_path)
+    # pk 1 landed TWICE with identical values (a retried insert the
+    # merge has not collapsed yet)
+    dup_sink = [dict(r) for r in _EXPECTED_SINK] + \
+        [dict(_EXPECTED_SINK[0])]
+    srv = _OptimizingFakeCH(dup_sink, _CHECKSUM_SCHEMA, ["id"], 16)
+    try:
+        cfg = _checksum_cfg(tmp_path, srv.url)
+        out = run_checksum(cfg, changelog_dir=changelog, buckets=16,
+                           deep=True, repair=True, execute=True,
+                           spark=spark)
+        line = next(x for x in out if x.get("rule") == "app:items")
+        assert line["in_sync"] is False
+        assert {(d["id"], d["status"], d["src_count"], d["dst_count"])
+                for d in line["diff"]} == {(1, "duplicate_pk", 1, 2)}
+        tail = line["repair"][-1]
+        assert tail["status"] == "optimize_table"
+        assert tail["statement"] == (
+            "OPTIMIZE TABLE `olap`.`items_sink` FINAL")
+        assert any(w.startswith("OPTIMIZE") for w in srv.writes)
+        # the executed collapse closed the divergence
+        out2 = run_checksum(cfg, changelog_dir=changelog, buckets=16,
+                            spark=spark)
+        line2 = next(x for x in out2 if x.get("rule") == "app:items")
+        assert line2["in_sync"] is True
+    finally:
+        srv.stop()
+
+
+def test_cli_checksum_diff_truncation_reports_status_totals(
+        spark, tmp_path):
+    """The findings cap is explicit, never silent: a truncated diff
+    carries diff_truncated=True AND the per-status totals of the FULL
+    report, so the operator knows how much of each class was
+    dropped."""
+    from mysql_syncer_clickhouse_spark.__main__ import run, run_checksum
+    changelog = _write_items_changelog(spark, tmp_path)
+    cfg = _checksum_cfg(tmp_path, None)
+    cfg.sink_addr = None
+    run(cfg, changelog, spark=spark)            # drain to parquet
+    # plant 5 ghost rows straight into the sink files
+    sink_path = cfg.sink_dir(cfg.effective_rules(None).rules[0])
+    spark.createDataFrame(
+        [(90 + i, "insert", 900 + i, f"ghost{i}", 1)
+         for i in range(5)],
+        "seq long, op string, id long, es_title string, mydate long"
+    ).coalesce(1).write.mode("append").parquet(sink_path)
+    out = run_checksum(cfg, changelog_dir=changelog, buckets=16,
+                       deep=True, diff_limit=2, spark=spark)
+    line = next(x for x in out if x.get("rule") == "app:items")
+    assert line["diff_truncated"] is True
+    assert len(line["diff"]) == 2
+    assert line["diff_status_totals"] == {"extra_in_sink": 5}
+    # under the cap: no totals block, marker says untruncated
+    out2 = run_checksum(cfg, changelog_dir=changelog, buckets=16,
+                        deep=True, diff_limit=100, spark=spark)
+    line2 = next(x for x in out2 if x.get("rule") == "app:items")
+    assert line2["diff_truncated"] is False
+    assert "diff_status_totals" not in line2
+    assert len(line2["diff"]) == 5

@@ -479,10 +479,11 @@ def test_cli_checksum_native_deep_repair_executes_native_blocks(
 
 def test_cli_checksum_native_deep_handles_binary_columns(
         spark, tmp_path):
-    """The JSON transport must refuse binary read-back (recorded as
-    deep_error, test_syncverify.py); the native transport round-trips
-    bytes -- drill-down over a binary column WORKS and classifies the
-    drifted payload."""
+    """The native transport round-trips raw bytes (String is
+    byte-transparent) -- drill-down over a binary column WORKS and
+    classifies the drifted payload.  (The HTTP transport reaches the
+    same verdict via hex read-back: test_syncverify.py's
+    test_cli_checksum_deep_repairs_binary_over_http.)"""
     import os
 
     from mysql_syncer_clickhouse_spark.__main__ import run_checksum
