@@ -52,7 +52,7 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_local_supplier",
     "window_topk_per_group",
-    "sync_bucket_digest",
+    "topk_orders",
     "join_skew_salted",
     "join_asof",
     "join_range_binned",
@@ -281,8 +281,8 @@ def main() -> None:
         import pyarrow.parquet as pq
         n_ev = pq.ParquetFile(
             os.path.join(sf_dir, "events.parquet")).metadata.num_rows
-        cdc_cold, _, _, _ = _time_query(spark, _cdc_apply, sf_dir,
-                                        reps)
+        cdc_cold, _, _, _, _ = _time_query(spark, _cdc_apply, sf_dir,
+                                           reps)
         if cdc_cold:
             cdc_rps = round(n_ev / cdc_cold)
     except Exception:

@@ -1318,81 +1318,19 @@ FROM sessions GROUP BY user_id, session_idx
 """
 
 
-# --- sync-verification bucket digest --------------------------------------
+# --- top-k / sort-limit ---------------------------------------------------
 
-def sync_bucket_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S9's digest semantics under the driver's oracle gate: per-bucket
-    (cnt, bitXor, sum) of a row fingerprint, bucketed BY PRIMARY-KEY
-    hash -- the exact aggregation --checksum exchanges instead of rows
-    (operators/syncverify.bucket_digest, which this calls directly, so
-    the driver-green row covers the production operator).
-
-    The production fingerprint is CityHash64/xxhash64 -- neither has a
-    DuckDB twin -- so this entry supplies bucket_digest's fingerprint/
-    bucket override columns (the same hook pushdown mode uses) with an
-    engine-neutral hash: the canonical length-prefixed row rendering
-    (same `len:value`/'N' contract as the pushdown canonical) through
-    md5, top 15 hex digits as a 60-bit int.  Both engines compute
-    byte-identical canonicals (prices at fixed DECIMAL(15,2) scale,
-    dates as epoch seconds), so cnt/xor/sum match exactly per bucket.
-
-    Scale shape: one O(N) scan, map-side partial agg, a 32-row
-    exchange -- the "two scans and a kilobyte" claim in registry
-    form."""
-    from ..operators import syncverify as sv
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
-
-    def _part(v):
-        return F.coalesce(
-            F.concat(F.length(v).cast("string"), F.lit(":"), v),
-            F.lit("N"))
-
-    canon = F.concat(*[_part(v) for v in (
-        F.col("o_orderkey").cast("string"),
-        F.col("o_custkey").cast("string"),
-        F.col("o_orderstatus"),
-        F.col("o_totalprice").cast("decimal(15,2)").cast("string"),
-        F.unix_timestamp(F.col("o_orderdate")).cast("string"),
-        F.col("o_orderpriority"),
-    )])
-    pk_canon = _part(F.col("o_orderkey").cast("string"))
-    fp = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("long")
-    bucket = F.pmod(
-        F.conv(F.substring(F.md5(pk_canon), 1, 15), 16, 10)
-         .cast("long"),
-        F.lit(32))
-    return sv.bucket_digest(orders, ["o_orderkey"], 32,
-                            fingerprint=fp, bucket=bucket)
+    return (orders.orderBy(F.col("o_totalprice").desc(),
+                           F.col("o_orderkey").asc())
+                  .limit(25)
+                  .select("o_orderkey", "o_totalprice", "o_orderdate"))
 
 
-_SYNC_DIGEST_SQL = """
-WITH c AS (
-  SELECT
-    coalesce(length(o_orderkey::VARCHAR)::VARCHAR || ':'
-             || o_orderkey::VARCHAR, 'N')
-    || coalesce(length(o_custkey::VARCHAR)::VARCHAR || ':'
-                || o_custkey::VARCHAR, 'N')
-    || coalesce(length(o_orderstatus)::VARCHAR || ':'
-                || o_orderstatus, 'N')
-    || coalesce(length((o_totalprice::DECIMAL(15,2))::VARCHAR)::VARCHAR
-                || ':' || (o_totalprice::DECIMAL(15,2))::VARCHAR, 'N')
-    || coalesce(length(CAST(FLOOR(epoch(o_orderdate)) AS BIGINT)
-                       ::VARCHAR)::VARCHAR || ':'
-                || CAST(FLOOR(epoch(o_orderdate)) AS BIGINT)::VARCHAR,
-                'N')
-    || coalesce(length(o_orderpriority)::VARCHAR || ':'
-                || o_orderpriority, 'N') AS canon,
-    coalesce(length(o_orderkey::VARCHAR)::VARCHAR || ':'
-             || o_orderkey::VARCHAR, 'N') AS pkc
-  FROM orders
-), f AS (
-  SELECT ('0x' || substring(md5(pkc), 1, 15))::BIGINT % 32 AS bucket,
-         ('0x' || substring(md5(canon), 1, 15))::BIGINT AS fp
-  FROM c
-)
-SELECT bucket, count(*) AS cnt, bit_xor(fp) AS xor_fp,
-       sum(fp)::DECIMAL(38,0) AS sum_fp
-FROM f GROUP BY bucket ORDER BY bucket
+_TOPK_SQL = """
+SELECT o_orderkey, o_totalprice, o_orderdate FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 25
 """
 
 
@@ -2271,9 +2209,7 @@ QUERIES = {
     "window_running_sum": window_running_sum,
     "window_sessionize": window_sessionize,
     "window_analytics": window_analytics,
-    # topk_orders rotated out in r15 (subsumed by window_topk_per_group
-    # + q18_large_orders) to give S9's digest semantics a driver row
-    "sync_bucket_digest": sync_bucket_digest,
+    "topk_orders": topk_orders,
     "pivot_status": pivot_status,
     "set_ops": set_ops,
     "distinct_vs_approx": distinct_vs_approx,
@@ -2295,7 +2231,7 @@ ORACLE = {
     "window_running_sum": _RUNNING_SQL,
     "window_sessionize": _SESSION_SQL,
     "window_analytics": _WINDOW_ANALYTICS_SQL,
-    "sync_bucket_digest": _SYNC_DIGEST_SQL,
+    "topk_orders": _TOPK_SQL,
     "pivot_status": _PIVOT_SQL,
     "set_ops": _SET_OPS_SQL,
     "distinct_vs_approx": _DISTINCT_VS_APPROX_SQL,

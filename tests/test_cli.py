@@ -518,7 +518,7 @@ def test_cli_selfcheck_mode(spark, tmp_path):
                                                          run_selfcheck)
 
     out = run_selfcheck("/root/testdata/sf0.001",
-                        ["q1_pricing_summary", "sync_bucket_digest"],
+                        ["q1_pricing_summary", "topk_orders"],
                         spark=spark)
     assert out["failed"] == [] and out["checked"] == 2
     assert all(v["values_match"] for v in out["results"].values())
@@ -533,12 +533,12 @@ def test_cli_selfcheck_mode(spark, tmp_path):
               "embeddings"):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                     f"'/root/testdata/sf0.001/{t}.parquet'")
-    good_sql = E.oracle_sql()["sync_bucket_digest"]
+    good_sql = E.oracle_sql()["topk_orders"]
     # perturb: shift a value column by 1 in the oracle
-    bad_sql = ("SELECT * REPLACE (xor_fp + 1 AS xor_fp) "
+    bad_sql = ("SELECT * REPLACE (o_orderkey + 1 AS o_orderkey) "
                f"FROM ({good_sql})")
-    r = compare_one(spark, con, E.queries()["sync_bucket_digest"],
-                    bad_sql, "/root/testdata/sf0.001")
+    r = compare_one(spark, con, E.queries()["topk_orders"], bad_sql,
+                    "/root/testdata/sf0.001")
     assert not r["values_match"] and "first_diff" in r
 
 
