@@ -66,14 +66,67 @@ def _pin_user_parallelism(stepped: DataFrame) -> DataFrame:
     return stepped.repartition(n, "user")
 
 
+# --- bucketed per-user scan (round 15, guide §4) -------------------------
+#
+# applyInPandas pays a fixed per-GROUP price: one Arrow slice, one
+# pandas frame in, one (often 1-row!) frame out, one Python dispatch.
+# With per-USER groups that price multiplies by the user count and
+# dominated every scan in this module (the per-user math itself is
+# numpy). The scans below therefore group by a HASH BUCKET of the user
+# instead: each group holds ~|users|/n_buckets whole users, the bucket
+# frame is sorted once by (user, ts, tiebreak), and per-user slices are
+# cut out with numpy run boundaries. Results are identical by
+# construction -- the bucket is a pure function of the user (groups
+# still hold whole users) and each user's slice is sorted exactly as
+# its per-user group was.
+#
+# n_buckets = defaultParallelism x _BUCKETS_PER_CORE keeps per-group
+# memory at matching_rows / (P x 32) -- cluster-adaptive, and 32
+# groups per task keep AQE-independent load balance without paying
+# per-group overhead again.
+
+_BUCKET = "__ubucket"
+_BUCKETS_PER_CORE = 32
+
+
+def _user_bounds(users: np.ndarray) -> np.ndarray:
+    """Offsets of each user's run in a user-sorted array, with a
+    trailing len sentinel: zip(b[:-1], b[1:]) yields the slices."""
+    starts = np.flatnonzero(np.r_[True, users[1:] != users[:-1]])
+    return np.r_[starts, len(users)]
+
+
+def _apply_user_bucketed(stepped: DataFrame, scan_bucket,
+                         schema: str) -> DataFrame:
+    """Run `scan_bucket(pdf)` over (user, ts_s, tb)-sorted bucket
+    frames; scan_bucket returns one result frame covering every user
+    in the bucket. The explicit repartition pins Python parallelism
+    for the same byte-blind-AQE reason as _pin_user_parallelism, and
+    groupBy(_BUCKET) reuses it (no second exchange)."""
+    n = stepped.sparkSession.sparkContext.defaultParallelism
+    n_buckets = max(1, n * _BUCKETS_PER_CORE)
+    bucketed = (stepped.withColumn(
+                    _BUCKET,
+                    F.pmod(F.xxhash64(F.col("user")),
+                           F.lit(n_buckets)).cast("int"))
+                .repartition(n, _BUCKET))
+    return bucketed.groupBy(_BUCKET).applyInPandas(
+        lambda pdf: scan_bucket(
+            pdf.sort_values(["user", "ts_s", "tb"], kind="mergesort")),
+        schema)
+
+
 def _with_step(events: DataFrame, user_col: str, ts_col: str,
                conds: Sequence[Column], tiebreak_col: str,
-               keep_others: bool = False) -> DataFrame:
+               keep_others: bool = False,
+               pin: bool = True) -> DataFrame:
     """(user, ts_s, tiebreak, step): first matching condition wins
     (documented simplification of ClickHouse's multi-assign); events
     matching no condition are filtered out before any shuffle --
     except under `keep_others` (strict_order needs them as chain
-    breakers), where they survive as step 0."""
+    breakers), where they survive as step 0. `pin=False` skips the
+    user-keyed repartition for callers that bucket-and-repartition
+    themselves (_apply_user_bucketed)."""
     step = F.lit(None).cast("int")
     for i in range(len(conds) - 1, -1, -1):
         step = F.when(conds[i], F.lit(i + 1)).otherwise(step)
@@ -86,7 +139,7 @@ def _with_step(events: DataFrame, user_col: str, ts_col: str,
         tagged = tagged.fillna({"step": 0})
     else:
         tagged = tagged.filter(F.col("step").isNotNull())
-    return _pin_user_parallelism(tagged)
+    return _pin_user_parallelism(tagged) if pin else tagged
 
 
 def _funnel_level(ts: np.ndarray, step: np.ndarray, n: int,
@@ -203,30 +256,36 @@ def window_funnel(events: DataFrame, user_col: str, ts_col: str,
     # recipe) -- hard-coding `user long` fails string/UUID user columns
     user_type = dict(events.dtypes)[user_col]
     stepped = _with_step(events, user_col, ts_col, conds, tiebreak_col,
-                         keep_others=order)
+                         keep_others=order, pin=False)
 
-    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts_s", "tb"], kind="mergesort")
+    def scan_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        users = pdf["user"].to_numpy()
         ts = pdf["ts_s"].to_numpy(dtype=np.float64)
         st = pdf["step"].to_numpy(dtype=np.int64)
-        # strict_order keeps step-0 events in the stream as chain
-        # breakers, which would otherwise surface users ALL of whose
-        # events match nothing as (user, 0) rows -- the documented
-        # contract (users matching nothing are absent) holds in every
-        # mode
-        if order and not (st > 0).any():
-            return pd.DataFrame({"user": pd.Series([], dtype=object),
-                                 "level": pd.Series([], dtype="int32")})
-        if modes:
-            level = _funnel_level_modes(ts, st, n, window_s,
-                                        dedup, order, increase)
-        else:
-            level = _funnel_level(ts, st, n, window_s)
-        return pd.DataFrame({"user": [pdf["user"].iloc[0]],
-                             "level": [level]})
+        b = _user_bounds(users)
+        out_u: list = []
+        out_l: list = []
+        for s, e in zip(b[:-1], b[1:]):
+            tsl, stl = ts[s:e], st[s:e]
+            # strict_order keeps step-0 events in the stream as chain
+            # breakers, which would otherwise surface users ALL of
+            # whose events match nothing as (user, 0) rows -- the
+            # documented contract (users matching nothing are absent)
+            # holds in every mode
+            if order and not (stl > 0).any():
+                continue
+            if modes:
+                level = _funnel_level_modes(tsl, stl, n, window_s,
+                                            dedup, order, increase)
+            else:
+                level = _funnel_level(tsl, stl, n, window_s)
+            out_u.append(users[s])
+            out_l.append(level)
+        return pd.DataFrame({"user": pd.Series(out_u, dtype=object),
+                             "level": pd.Series(out_l, dtype="int32")})
 
-    return stepped.groupBy("user").applyInPandas(
-        scan, f"user {user_type}, level int")
+    return _apply_user_bucketed(stepped, scan_bucket,
+                                f"user {user_type}, level int")
 
 
 def sequence_count(events: DataFrame, user_col: str, ts_col: str,
@@ -236,23 +295,32 @@ def sequence_count(events: DataFrame, user_col: str, ts_col: str,
     per user, in time order (restart-on-match automaton)."""
     n = len(conds)
     user_type = dict(events.dtypes)[user_col]
-    stepped = _with_step(events, user_col, ts_col, conds, tiebreak_col)
+    stepped = _with_step(events, user_col, ts_col, conds, tiebreak_col,
+                         pin=False)
 
-    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts_s", "tb"], kind="mergesort")
-        state = 0
-        count = 0
-        for step in pdf["step"]:
-            if int(step) == state + 1:
-                state += 1
-                if state == n:
-                    count += 1
-                    state = 0
-        return pd.DataFrame({"user": [pdf["user"].iloc[0]],
-                             "n_matches": [count]})
+    def scan_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        users = pdf["user"].to_numpy()
+        steps = pdf["step"].to_numpy(dtype=np.int64)
+        b = _user_bounds(users)
+        out_u: list = []
+        out_n: list = []
+        for s, e in zip(b[:-1], b[1:]):
+            state = 0
+            count = 0
+            for step in steps[s:e]:
+                if step == state + 1:
+                    state += 1
+                    if state == n:
+                        count += 1
+                        state = 0
+            out_u.append(users[s])
+            out_n.append(count)
+        return pd.DataFrame({"user": pd.Series(out_u, dtype=object),
+                             "n_matches": pd.Series(out_n,
+                                                    dtype="int64")})
 
-    return stepped.groupBy("user").applyInPandas(
-        scan, f"user {user_type}, n_matches long")
+    return _apply_user_bucketed(stepped, scan_bucket,
+                                f"user {user_type}, n_matches long")
 
 
 # sequenceMatch pattern tokens: (?N) condition, (?t op secs) time
@@ -394,31 +462,39 @@ def sequence_count_pattern(events: DataFrame, user_col: str,
     mask = F.lit(0)
     for i, c in enumerate(conds):
         mask = mask + F.when(c, F.lit(1 << i)).otherwise(0)
-    stepped = _pin_user_parallelism(
-        events.select(
-                  F.col(user_col).alias("user"),
-                  F.col(ts_col).cast("timestamp").cast("double")
-                   .alias("ts_s"),
-                  F.col(tiebreak_col).alias("tb"),
-                  mask.alias("mask"))
-              .filter(F.col("mask") != 0))
+    stepped = (events.select(
+                   F.col(user_col).alias("user"),
+                   F.col(ts_col).cast("timestamp").cast("double")
+                    .alias("ts_s"),
+                   F.col(tiebreak_col).alias("tb"),
+                   mask.alias("mask"))
+               .filter(F.col("mask") != 0))
 
-    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts_s", "tb"], kind="mergesort")
-        ts = list(pdf["ts_s"])
-        masks = [int(m) for m in pdf["mask"]]
-        count, pos = 0, 0
-        while pos < len(ts):
-            end = _earliest_match_end(ts, masks, items, pos)
-            if end is None:
-                break
-            count += 1
-            pos = end + 1
-        return pd.DataFrame({"user": [pdf["user"].iloc[0]],
-                             "n_matches": [count]})
+    def scan_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        users = pdf["user"].to_numpy()
+        tsall = pdf["ts_s"].to_numpy(dtype=np.float64)
+        maskall = pdf["mask"].to_numpy(dtype=np.int64)
+        b = _user_bounds(users)
+        out_u: list = []
+        out_n: list = []
+        for s, e in zip(b[:-1], b[1:]):
+            ts = list(tsall[s:e])
+            masks = [int(m) for m in maskall[s:e]]
+            count, pos = 0, 0
+            while pos < len(ts):
+                end = _earliest_match_end(ts, masks, items, pos)
+                if end is None:
+                    break
+                count += 1
+                pos = end + 1
+            out_u.append(users[s])
+            out_n.append(count)
+        return pd.DataFrame({"user": pd.Series(out_u, dtype=object),
+                             "n_matches": pd.Series(out_n,
+                                                    dtype="int64")})
 
-    return stepped.groupBy("user").applyInPandas(
-        scan, f"user {user_type}, n_matches long")
+    return _apply_user_bucketed(stepped, scan_bucket,
+                                f"user {user_type}, n_matches long")
 
 
 def sequence_match(events: DataFrame, user_col: str, ts_col: str,
@@ -448,24 +524,32 @@ def sequence_match(events: DataFrame, user_col: str, ts_col: str,
     mask = F.lit(0)
     for i, c in enumerate(conds):
         mask = mask + F.when(c, F.lit(1 << i)).otherwise(0)
-    stepped = _pin_user_parallelism(
-        events.select(
-                  F.col(user_col).alias("user"),
-                  F.col(ts_col).cast("timestamp").cast("double")
-                   .alias("ts_s"),
-                  F.col(tiebreak_col).alias("tb"),
-                  mask.alias("mask"))
-              .filter(F.col("mask") != 0))
+    stepped = (events.select(
+                   F.col(user_col).alias("user"),
+                   F.col(ts_col).cast("timestamp").cast("double")
+                    .alias("ts_s"),
+                   F.col(tiebreak_col).alias("tb"),
+                   mask.alias("mask"))
+               .filter(F.col("mask") != 0))
 
-    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts_s", "tb"], kind="mergesort")
-        ok = _match_sequence(list(pdf["ts_s"]),
-                             [int(m) for m in pdf["mask"]], items)
-        return pd.DataFrame({"user": [pdf["user"].iloc[0]],
-                             "matched": [ok]})
+    def scan_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        users = pdf["user"].to_numpy()
+        tsall = pdf["ts_s"].to_numpy(dtype=np.float64)
+        maskall = pdf["mask"].to_numpy(dtype=np.int64)
+        b = _user_bounds(users)
+        out_u: list = []
+        out_m: list = []
+        for s, e in zip(b[:-1], b[1:]):
+            out_u.append(users[s])
+            out_m.append(_match_sequence(
+                list(tsall[s:e]), [int(m) for m in maskall[s:e]],
+                items))
+        return pd.DataFrame({"user": pd.Series(out_u, dtype=object),
+                             "matched": pd.Series(out_m,
+                                                  dtype="bool")})
 
-    return stepped.groupBy("user").applyInPandas(
-        scan, f"user {user_type}, matched boolean")
+    return _apply_user_bucketed(stepped, scan_bucket,
+                                f"user {user_type}, matched boolean")
 
 
 def sequence_and_funnel(events: DataFrame, user_col: str, ts_col: str,
@@ -494,30 +578,42 @@ def sequence_and_funnel(events: DataFrame, user_col: str, ts_col: str,
     mask = F.lit(0)
     for i, c in enumerate(conds):
         mask = mask + F.when(c, F.lit(1 << i)).otherwise(0)
-    stepped = _pin_user_parallelism(
-        events.select(
-                  F.col(user_col).alias("user"),
-                  F.col(ts_col).cast("timestamp").cast("double")
-                   .alias("ts_s"),
-                  F.col(tiebreak_col).alias("tb"),
-                  mask.alias("mask"))
-              .filter(F.col("mask") != 0))
+    stepped = (events.select(
+                   F.col(user_col).alias("user"),
+                   F.col(ts_col).cast("timestamp").cast("double")
+                    .alias("ts_s"),
+                   F.col(tiebreak_col).alias("tb"),
+                   mask.alias("mask"))
+               .filter(F.col("mask") != 0))
 
-    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts_s", "tb"], kind="mergesort")
-        ts = pdf["ts_s"].to_numpy(dtype=np.float64)
-        masks = pdf["mask"].to_numpy(dtype=np.int64)
-        ok = _match_sequence(list(ts), [int(m) for m in masks], items)
-        low = masks & -masks               # lowest set bit per event
-        step = np.zeros(len(masks), dtype=np.int64)
+    def scan_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        users = pdf["user"].to_numpy()
+        tsall = pdf["ts_s"].to_numpy(dtype=np.float64)
+        maskall = pdf["mask"].to_numpy(dtype=np.int64)
+        # lowest set bit -> funnel step, vectorized over the WHOLE
+        # bucket (per-user slicing below sees the same values)
+        low = maskall & -maskall
+        stepall = np.zeros(len(maskall), dtype=np.int64)
         for k in range(1, n_conds + 1):
-            step[low == (1 << (k - 1))] = k
-        level = _funnel_level(ts, step, n_conds, window_s)
-        return pd.DataFrame({"user": [pdf["user"].iloc[0]],
-                             "matched": [ok], "level": [level]})
+            stepall[low == (1 << (k - 1))] = k
+        b = _user_bounds(users)
+        out_u: list = []
+        out_m: list = []
+        out_l: list = []
+        for s, e in zip(b[:-1], b[1:]):
+            ts, masks = tsall[s:e], maskall[s:e]
+            out_u.append(users[s])
+            out_m.append(_match_sequence(
+                list(ts), [int(m) for m in masks], items))
+            out_l.append(_funnel_level(ts, stepall[s:e], n_conds,
+                                       window_s))
+        return pd.DataFrame({"user": pd.Series(out_u, dtype=object),
+                             "matched": pd.Series(out_m, dtype="bool"),
+                             "level": pd.Series(out_l, dtype="int32")})
 
-    return stepped.groupBy("user").applyInPandas(
-        scan, f"user {user_type}, matched boolean, level int")
+    return _apply_user_bucketed(
+        stepped, scan_bucket,
+        f"user {user_type}, matched boolean, level int")
 
 
 def retention(events: DataFrame, user_col: str,
@@ -611,49 +707,50 @@ def sequence_next_node(events: DataFrame, user_col: str, ts_col: str,
     # fail any caller with a string/UUID user column at runtime
     user_type = dict(events.dtypes)[user_col]
 
-    def _empty() -> pd.DataFrame:
-        return pd.DataFrame({"user": pd.Series([], dtype=object),
-                             "next_value": pd.Series([], dtype=object)})
-
     mask = F.lit(0)
     for i, c in enumerate(conds):
         mask = mask + F.when(c, F.lit(1 << i)).otherwise(0)
-    stepped = _pin_user_parallelism(
-        events.select(
-            F.col(user_col).alias("user"),
-            F.col(ts_col).cast("timestamp").cast("double").alias("ts_s"),
-            F.col(tiebreak_col).alias("tb"),
-            F.col(value_col).cast("string").alias("val"),
-            mask.alias("mask")))
+    stepped = events.select(
+        F.col(user_col).alias("user"),
+        F.col(ts_col).cast("timestamp").cast("double").alias("ts_s"),
+        F.col(tiebreak_col).alias("tb"),
+        F.col(value_col).cast("string").alias("val"),
+        mask.alias("mask"))
 
-    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts_s", "tb"], kind="mergesort")
-        masks = pdf["mask"].to_numpy(dtype=np.int64)
-        vals = pdf["val"].to_numpy(dtype=object)
-        if direction == "backward":
-            masks, vals = masks[::-1], vals[::-1]
-        ln = len(masks)
-        if ln < n:
-            return _empty()
-        # start[i] == True iff conds 1..n match at stream positions
-        # i..i+n-1 (shift-and-AND, no per-event loop)
-        start = ((masks[:ln - n + 1] >> 0) & 1).astype(bool)
-        for j in range(1, n):
-            start &= ((masks[j:ln - n + 1 + j] >> j) & 1).astype(bool)
-        idxs = np.flatnonzero(start)
-        if base in ("head", "tail"):
-            idxs = idxs[:1] if idxs.size and idxs[0] == 0 \
-                else np.array([], dtype=np.int64)
-        anchor = None
-        if idxs.size:
+    def scan_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        users = pdf["user"].to_numpy()
+        maskall = pdf["mask"].to_numpy(dtype=np.int64)
+        valall = pdf["val"].to_numpy(dtype=object)
+        b = _user_bounds(users)
+        out_u: list = []
+        out_v: list = []
+        for s, e in zip(b[:-1], b[1:]):
+            masks, vals = maskall[s:e], valall[s:e]
+            if direction == "backward":
+                masks, vals = masks[::-1], vals[::-1]
+            ln = len(masks)
+            if ln < n:
+                continue
+            # start[i] == True iff conds 1..n match at stream
+            # positions i..i+n-1 (shift-and-AND, no per-event loop)
+            start = ((masks[:ln - n + 1] >> 0) & 1).astype(bool)
+            for j in range(1, n):
+                start &= ((masks[j:ln - n + 1 + j] >> j) & 1) \
+                    .astype(bool)
+            idxs = np.flatnonzero(start)
+            if base in ("head", "tail"):
+                idxs = idxs[:1] if idxs.size and idxs[0] == 0 \
+                    else np.array([], dtype=np.int64)
+            if not idxs.size:
+                continue
             anchor = int(idxs[0]) if base != "last_match" \
                 else int(idxs[-1])
-        if anchor is None:
-            return _empty()
-        nxt = anchor + n
-        val = vals[nxt] if nxt < ln else None
-        return pd.DataFrame({"user": [pdf["user"].iloc[0]],
-                             "next_value": [val]})
+            nxt = anchor + n
+            out_u.append(users[s])
+            out_v.append(vals[nxt] if nxt < ln else None)
+        return pd.DataFrame({"user": pd.Series(out_u, dtype=object),
+                             "next_value": pd.Series(out_v,
+                                                     dtype=object)})
 
-    return stepped.groupBy("user").applyInPandas(
-        scan, f"user {user_type}, next_value string")
+    return _apply_user_bucketed(stepped, scan_bucket,
+                                f"user {user_type}, next_value string")

@@ -381,6 +381,38 @@ def extract_features(df: DataFrame, dim: int = 8) -> DataFrame:
     return df.mapInPandas(extract, FEATURES_SCHEMA)
 
 
+META_FEATURES_SCHEMA = ("doc_id long, n_bytes long, width int, "
+                        "height int, format string, "
+                        "features array<double>")
+
+
+def decode_meta_and_features(df: DataFrame, dim: int = 8) -> DataFrame:
+    """Fused decode_image_meta + extract_features: one payload pass
+    emitting both the header metadata and the feature vector (round
+    15, guide §4 -- the registry's multimodal entry consumed the same
+    payload relation through TWO mapInPandas branches, so the payload
+    synthesis and the Arrow crossing ran twice and the results met in
+    a join; column-for-column identical values to
+    decode_image_meta(df).join(extract_features(df, dim), "doc_id"),
+    both derived from `_decode` / the byte length exactly as the
+    standalone operators derive them)."""
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            meta = pdf["payload"].map(_decode)
+            n = meta.map(lambda t: t[0])
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "n_bytes": n,
+                "width": meta.map(lambda t: t[1]),
+                "height": meta.map(lambda t: t[2]),
+                "format": meta.map(lambda t: t[3]),
+                "features": n.map(lambda ln: [
+                    (ln * (j + 1)) % 997 / 997.0 for j in range(dim)]),
+            })
+
+    return df.mapInPandas(decode, META_FEATURES_SCHEMA)
+
+
 # --- NetPBM (PPM/PGM): the format whose PIXELS decode codec-free ---------
 
 def make_ppm(width: int, height: int, seed: int = 0,
@@ -868,8 +900,6 @@ def decode_image_pixels(df: DataFrame) -> DataFrame:
     Same Arrow mapInPandas plumbing as every other multimodal
     operator; arithmetic runs as one numpy reduction per image, not
     per-pixel Python."""
-    import numpy as np
-
     schema = ("doc_id long, format string, width int, height int, "
               "mean_r double, mean_g double, mean_b double, "
               "brightness double")
@@ -880,65 +910,64 @@ def decode_image_pixels(df: DataFrame) -> DataFrame:
                 "doc_id", "format", "width", "height",
                 "mean_r", "mean_g", "mean_b", "brightness")}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                payload = bytes(payload)
-                meta = parse_ppm(payload)
-                bmp = None if meta is not None else \
-                    parse_bmp_pixels(payload)
-                decoded = None              # (fmt, (w, h, rgb))
-                if meta is None and bmp is None:
-                    for fmt_name, parser in (
-                            ("gif", parse_gif_pixels),
-                            ("png", parse_png_pixels),
-                            ("jpeg", parse_jpeg_pixels)):
-                        got = parser(payload)
-                        if got is not None:
-                            decoded = (fmt_name, got)
-                            break
+                stats = _pixel_stats(bytes(payload))
                 out["doc_id"].append(doc_id)
-                if meta is None and bmp is None and decoded is None:
-                    n, w, h, fmt = _decode(payload)
-                    out["format"].append(fmt)
-                    out["width"].append(w)
-                    out["height"].append(h)
-                    for k in ("mean_r", "mean_g", "mean_b", "brightness"):
-                        out[k].append(None)
-                    continue
-                if meta is not None:
-                    fmt, w, h, _maxval, off = meta
-                    ch = 1 if fmt == "pgm" else 3
-                    px = np.frombuffer(payload, dtype=np.uint8,
-                                       count=w * h * ch, offset=off) \
-                           .reshape(h, w, ch).astype(np.float64)
-                    means = px.mean(axis=(0, 1))
-                elif decoded is not None:
-                    fmt, (w, h, rgb) = decoded
-                    means = rgb.astype(np.float64).mean(axis=(0, 1))
-                    ch = 3
-                else:
-                    fmt = "bmp"
-                    w, h, off, stride = bmp
-                    rows = np.frombuffer(payload, dtype=np.uint8,
-                                         count=stride * h, offset=off) \
-                             .reshape(h, stride)
-                    px = rows[:, :w * 3].reshape(h, w, 3) \
-                             .astype(np.float64)
-                    means = px.mean(axis=(0, 1))[::-1]  # BGR -> RGB
-                    ch = 3
-                if ch == 1:
-                    r = g = b = float(means[0])
-                else:
-                    r, g, b = (float(x) for x in means)
-                out["format"].append(fmt)
-                out["width"].append(w)
-                out["height"].append(h)
-                out["mean_r"].append(round(r, 6))
-                out["mean_g"].append(round(g, 6))
-                out["mean_b"].append(round(b, 6))
-                out["brightness"].append(
-                    round(0.299 * r + 0.587 * g + 0.114 * b, 6))
+                for k, v in zip(("format", "width", "height", "mean_r",
+                                 "mean_g", "mean_b", "brightness"),
+                                stats):
+                    out[k].append(v)
             yield pd.DataFrame(out)
 
     return df.mapInPandas(decode, schema)
+
+
+def _pixel_stats(payload: bytes) -> tuple:
+    """Per-payload core of decode_image_pixels: (format, width,
+    height, mean_r, mean_g, mean_b, brightness) -- shared with the
+    fused registry pass (fused_meta_pixel_audio) so both compute
+    identical values from one implementation."""
+    import numpy as np
+    meta = parse_ppm(payload)
+    bmp = None if meta is not None else parse_bmp_pixels(payload)
+    decoded = None                      # (fmt, (w, h, rgb))
+    if meta is None and bmp is None:
+        for fmt_name, parser in (
+                ("gif", parse_gif_pixels),
+                ("png", parse_png_pixels),
+                ("jpeg", parse_jpeg_pixels)):
+            got = parser(payload)
+            if got is not None:
+                decoded = (fmt_name, got)
+                break
+    if meta is None and bmp is None and decoded is None:
+        _n, w, h, fmt = _decode(payload)
+        return (fmt, w, h, None, None, None, None)
+    if meta is not None:
+        fmt, w, h, _maxval, off = meta
+        ch = 1 if fmt == "pgm" else 3
+        px = np.frombuffer(payload, dtype=np.uint8,
+                           count=w * h * ch, offset=off) \
+               .reshape(h, w, ch).astype(np.float64)
+        means = px.mean(axis=(0, 1))
+    elif decoded is not None:
+        fmt, (w, h, rgb) = decoded
+        means = rgb.astype(np.float64).mean(axis=(0, 1))
+        ch = 3
+    else:
+        fmt = "bmp"
+        w, h, off, stride = bmp
+        rows = np.frombuffer(payload, dtype=np.uint8,
+                             count=stride * h, offset=off) \
+                 .reshape(h, stride)
+        px = rows[:, :w * 3].reshape(h, w, 3).astype(np.float64)
+        means = px.mean(axis=(0, 1))[::-1]  # BGR -> RGB
+        ch = 3
+    if ch == 1:
+        r = g = b = float(means[0])
+    else:
+        r, g, b = (float(x) for x in means)
+    return (fmt, w, h, round(r, 6), round(g, 6), round(b, 6),
+            round(0.299 * r + 0.587 * g + 0.114 * b, 6))
 
 
 def make_wav(sample_rate: int, samples: list[int],
@@ -1578,8 +1607,6 @@ def audio_roundtrip_sums(docs: DataFrame) -> DataFrame:
     lossless, so an oracle that recomputes the sums analytically from
     the formula proves the full encode -> container -> decode chain
     value-for-value -- the audio twin of with_pixel_payload."""
-    import numpy as np
-
     schema = ("doc_id long, aud_fmt string, aud_n long, "
               "aud_sum long, aud_abs long")
 
@@ -1589,24 +1616,96 @@ def audio_roundtrip_sums(docs: DataFrame) -> DataFrame:
                 "doc_id", "aud_fmt", "aud_n", "aud_sum", "aud_abs")}
             for doc_id in pdf["doc_id"]:
                 doc_id = int(doc_id)
-                n = doc_id % 50 + 20
-                sig = [((doc_id * 31 + i * 17) % 4096) - 2048
-                       for i in range(n)]
-                if doc_id % 2 == 0:
-                    payload = make_wav(8000, sig)
-                    fmt = "pcm"
-                else:
-                    payload = make_flac(8000, sig)
-                    fmt = "flac"
-                dec = _any_audio_samples(payload)
-                x = np.array([], dtype=np.float64) if dec is None \
-                    else dec[2]
+                fmt, n, s, a = _audio_sums_one(doc_id)
                 out["doc_id"].append(doc_id)
                 out["aud_fmt"].append(fmt)
-                out["aud_n"].append(int(len(x)))
-                out["aud_sum"].append(int(round(float(x.sum()))))
-                out["aud_abs"].append(
-                    int(round(float(np.abs(x).sum()))))
+                out["aud_n"].append(n)
+                out["aud_sum"].append(s)
+                out["aud_abs"].append(a)
             yield pd.DataFrame(out)
 
     return docs.select("doc_id").mapInPandas(run, schema)
+
+
+def _audio_sums_one(doc_id: int) -> tuple[str, int, int, int]:
+    """Per-doc core of audio_roundtrip_sums: (aud_fmt, aud_n, aud_sum,
+    aud_abs) -- shared with the fused registry pass
+    (fused_meta_pixel_audio)."""
+    import numpy as np
+    n = doc_id % 50 + 20
+    sig = [((doc_id * 31 + i * 17) % 4096) - 2048 for i in range(n)]
+    if doc_id % 2 == 0:
+        payload = make_wav(8000, sig)
+        fmt = "pcm"
+    else:
+        payload = make_flac(8000, sig)
+        fmt = "flac"
+    dec = _any_audio_samples(payload)
+    x = np.array([], dtype=np.float64) if dec is None else dec[2]
+    return (fmt, int(len(x)), int(round(float(x.sum()))),
+            int(round(float(np.abs(x).sum()))))
+
+
+def fused_meta_pixel_audio(docs: DataFrame, text_col: str = "text",
+                           dim: int = 8) -> DataFrame:
+    """ONE Python pass for the registry's multimodal entry (round 15,
+    guide §4): per doc, the mixed-payload synth + header decode +
+    feature vector, the pixel-payload synth + real pixel decode, and
+    the audio round-trip -- all through the SAME per-doc cores the
+    standalone operators run (the with_mixed_payload/_pixel_payload
+    makers, `_decode`, `_pixel_stats`, `_audio_sums_one`), so every
+    column is value-identical to the three-branch join it replaces.
+    The fusion exists because each branch was its own mapInPandas
+    chain: six Python stage setups and two joins for columns that are
+    all functions of one doc row."""
+    makers = (make_bmp_header, make_png_header,
+              make_jpeg_header, make_gif_header)
+    px_makers = (make_bmp, make_ppm, make_gif, make_png)
+    schema = ("doc_id long, n_bytes long, width int, height int, "
+              "format string, features array<double>, "
+              "px_format string, px_w int, px_h int, "
+              "mean_r double, mean_g double, mean_b double, "
+              "aud_fmt string, aud_n long, aud_sum long, aud_abs long")
+    cols = [f.strip().split(" ")[0] for f in schema.split(",")]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in cols}
+            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+                did = int(doc_id)
+                # --- mixed payload -> header meta + features --------
+                w = did % 64 + 1
+                h = (did * 7) % 48 + 1
+                m = did % 5
+                payload = makers[m](w, h) if m < 4 else \
+                    str(text).encode("utf-8")
+                n_bytes, mw, mh, fmt = _decode(payload)
+                out["doc_id"].append(did)
+                out["n_bytes"].append(n_bytes)
+                out["width"].append(mw)
+                out["height"].append(mh)
+                out["format"].append(fmt)
+                out["features"].append([
+                    (n_bytes * (j + 1)) % 997 / 997.0
+                    for j in range(dim)])
+                # --- pixel payload -> real pixel decode -------------
+                pw = did % 13 + 4
+                ph = (did * 3) % 11 + 4
+                seed = did % 256
+                pfmt, pxw, pxh, mr, mg, mb, _bright = _pixel_stats(
+                    px_makers[did % 4](pw, ph, seed))
+                out["px_format"].append(pfmt)
+                out["px_w"].append(pxw)
+                out["px_h"].append(pxh)
+                out["mean_r"].append(mr)
+                out["mean_g"].append(mg)
+                out["mean_b"].append(mb)
+                # --- audio round-trip -------------------------------
+                afmt, an, asum, aabs = _audio_sums_one(did)
+                out["aud_fmt"].append(afmt)
+                out["aud_n"].append(an)
+                out["aud_sum"].append(asum)
+                out["aud_abs"].append(aabs)
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id", text_col).mapInPandas(run, schema)

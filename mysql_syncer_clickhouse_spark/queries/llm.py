@@ -888,32 +888,29 @@ def multimodal_meta_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     means: sum = round(mean_6dp * w * h) is exactly integer-
     recoverable (rounding error < 5e-7 * w * h << 0.5), so the hash
     compare is float-safe."""
-    docs = _docs(spark, sf_dir)
-    payload = multimodal.with_mixed_payload(docs)
-    meta = multimodal.decode_image_meta(payload)
-    feats = multimodal.extract_features(payload, dim=4)
-    px = multimodal.decode_image_pixels(
-        multimodal.with_pixel_payload(docs))
-    wh = F.col("width") * F.col("height")
-    px = px.select(
-        "doc_id", F.col("format").alias("px_format"),
-        F.col("width").alias("px_w"), F.col("height").alias("px_h"),
-        *[F.round(F.col(f"mean_{c}") * wh).cast("long").alias(f"sum_{c}")
-          for c in ("r", "g", "b")])
-    # aud_* columns: the LOSSLESS audio round-trip (16-bit PCM WAV and
-    # the from-scratch FLAC codec) decoded back through the real
-    # sample path; the oracle recomputes the exact integer sums from
-    # the sample formula (multimodal.audio_roundtrip_sums)
-    aud = multimodal.audio_roundtrip_sums(docs)
+    # Round 15 (guide §4): the entry's three branches (mixed-payload
+    # meta + features, pixel decode, audio round-trip) were each their
+    # own mapInPandas chain -- six Python stage setups and two joins
+    # for columns that are all functions of one doc row -- and the
+    # single-file local fixture scans as ONE split, so the per-doc
+    # codec work (LZW, zlib, FLAC) ran serially on one core (measured
+    # 1.3 s pixel + 1.2 s audio at sf0.1 on one task). Now: spread the
+    # doc rows across cores (the dedup._spread insurance; a no-op
+    # cost-wise on a many-split 100 TB scan), then ONE fused Python
+    # pass through the same per-doc cores the standalone operators
+    # run (multimodal.fused_meta_pixel_audio -- value-identity
+    # documented there). The JVM-side sum_c arithmetic is unchanged.
+    docs = dedup._spread(_docs(spark, sf_dir), "doc_id")
+    mm = multimodal.fused_meta_pixel_audio(docs, dim=4)
+    wh = F.col("px_w") * F.col("px_h")
     f = F.col("features")
-    return (meta.join(feats, "doc_id").join(px, "doc_id")
-                .join(aud, "doc_id")
-                .select("doc_id", "n_bytes", "width", "height", "format",
-                        F.get(f, 0).alias("f1"), F.get(f, 1).alias("f2"),
-                        F.get(f, 2).alias("f3"), F.get(f, 3).alias("f4"),
-                        "px_format", "px_w", "px_h",
-                        "sum_r", "sum_g", "sum_b",
-                        "aud_fmt", "aud_n", "aud_sum", "aud_abs"))
+    return mm.select("doc_id", "n_bytes", "width", "height", "format",
+                     F.get(f, 0).alias("f1"), F.get(f, 1).alias("f2"),
+                     F.get(f, 2).alias("f3"), F.get(f, 3).alias("f4"),
+                     "px_format", "px_w", "px_h",
+                     *[F.round(F.col(f"mean_{c}") * wh).cast("long")
+                       .alias(f"sum_{c}") for c in ("r", "g", "b")],
+                     "aud_fmt", "aud_n", "aud_sum", "aud_abs")
 
 
 # mirrors with_mixed_payload's synthesis arithmetic + the header-parse

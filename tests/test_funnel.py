@@ -669,3 +669,42 @@ def test_all_funnel_scanners_accept_string_user_column(spark):
     assert {r["user"]: (r["matched"], r["level"])
             for r in saf.collect()} == \
         {"alice": (True, 2), "bob": (False, 1)}
+
+
+def test_bucketed_scan_many_users_one_group(spark, monkeypatch):
+    """The round-15 bucketed scans group users by hash bucket and
+    slice them back out inside the pandas frame; force EVERY user into
+    ONE bucket group so the in-bucket run-boundary slicing is the path
+    under test (with the default parallelism x 32 buckets, small
+    fixtures rarely collide), and assert results are identical to the
+    default bucketing."""
+    import mysql_syncer_clickhouse_spark.operators.funnel as fu
+    from mysql_syncer_clickhouse_spark.operators.funnel import (
+        sequence_and_funnel, sequence_next_node)
+
+    rng = random.Random(7)
+    rows = [(u, rng.randrange(60), rng.choice("ABC"))
+            for u in range(12) for _ in range(rng.randrange(1, 9))]
+    ev = _events(spark, rows)
+    conds = _conds(["A", "B"])
+
+    def snapshot():
+        wf = {(r["user"], r["level"])
+              for r in window_funnel(ev, "user_id", "ts", conds,
+                                     window_s=30).collect()}
+        sc = {(r["user"], r["n_matches"])
+              for r in sequence_count(ev, "user_id", "ts",
+                                      conds).collect()}
+        saf = {(r["user"], r["matched"], r["level"])
+               for r in sequence_and_funnel(ev, "user_id", "ts",
+                                            "(?1).*(?2)", conds,
+                                            30).collect()}
+        nn = {(r["user"], r["next_value"])
+              for r in sequence_next_node(ev, "user_id", "ts",
+                                          "event_type",
+                                          conds).collect()}
+        return wf, sc, saf, nn
+
+    default = snapshot()
+    monkeypatch.setattr(fu, "_BUCKETS_PER_CORE", 0)   # -> 1 bucket
+    assert snapshot() == default

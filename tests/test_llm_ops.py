@@ -1839,3 +1839,39 @@ def test_pii_redaction_and_count(spark):
     for (src, want_red, want_n), r in zip(rows, got):
         assert r["red"] == want_red, src
         assert r["n"] == want_n, src
+
+
+def test_fused_meta_pixel_audio_matches_branch_composition(spark, sf_dir):
+    """The round-15 fused multimodal pass must be column-for-column
+    identical to the three standalone branch compositions it replaces
+    (with_mixed_payload -> decode_image_meta + extract_features,
+    with_pixel_payload -> decode_image_pixels, audio_roundtrip_sums)."""
+    docs = load_table(spark, sf_dir, "documents")
+    fused = {r["doc_id"]: r.asDict() for r in
+             multimodal.fused_meta_pixel_audio(docs, dim=4).collect()}
+
+    payload = multimodal.with_mixed_payload(docs)
+    meta = {r["doc_id"]: r.asDict() for r in
+            multimodal.decode_image_meta(payload).collect()}
+    feats = {r["doc_id"]: r["features"] for r in
+             multimodal.extract_features(payload, dim=4).collect()}
+    px = {r["doc_id"]: r.asDict() for r in
+          multimodal.decode_image_pixels(
+              multimodal.with_pixel_payload(docs)).collect()}
+    aud = {r["doc_id"]: r.asDict() for r in
+           multimodal.audio_roundtrip_sums(docs).collect()}
+
+    assert set(fused) == set(meta) == set(px) == set(aud)
+    for did, f in fused.items():
+        m = meta[did]
+        assert (f["n_bytes"], f["width"], f["height"], f["format"]) \
+            == (m["n_bytes"], m["width"], m["height"], m["format"])
+        assert f["features"] == feats[did]
+        p = px[did]
+        assert (f["px_format"], f["px_w"], f["px_h"]) \
+            == (p["format"], p["width"], p["height"])
+        assert (f["mean_r"], f["mean_g"], f["mean_b"]) \
+            == (p["mean_r"], p["mean_g"], p["mean_b"])
+        a = aud[did]
+        assert (f["aud_fmt"], f["aud_n"], f["aud_sum"], f["aud_abs"]) \
+            == (a["aud_fmt"], a["aud_n"], a["aud_sum"], a["aud_abs"])
