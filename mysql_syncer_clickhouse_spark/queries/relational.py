@@ -37,8 +37,14 @@ from ..sources.tables import load_table
 _DEC = "decimal(38,6)"
 
 
-def _t(spark, sf_dir, name):
-    return load_table(spark, sf_dir, name)
+def _t(spark, sf_dir, name, spread=False):
+    # spread=True (sources/tables._spread_starved_scan) only for call
+    # sites whose first post-scan operator is CPU-heavy map-side work
+    # AND whose entry is a single pipeline -- measured per-site A/B at
+    # sf0.1 (OPTIMIZATION_r15.md): wins q1/q3/join_skew_salted/
+    # distinct_vs_approx/window_topk_per_group, LOSES on multi-branch
+    # union entries and tiny sort-limit shapes, so never blanket.
+    return load_table(spark, sf_dir, name, spread=spread)
 
 
 def _pin_if_split_rich(df: DataFrame, source: DataFrame) -> DataFrame:
@@ -64,7 +70,7 @@ def _pin_if_split_rich(df: DataFrame, source: DataFrame) -> DataFrame:
 # --- TPC-H Q1 style: pricing summary (flagship; SURVEY §7 M0) -----------
 
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem", spread=True)
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return (
@@ -104,9 +110,9 @@ GROUP BY l_returnflag, l_linestatus
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING")
-    orders = _t(spark, sf_dir, "orders").filter(
+    orders = _t(spark, sf_dir, "orders", spread=True).filter(
         F.col("o_orderdate") < F.to_timestamp(F.lit("1997-03-15")))
-    li = _t(spark, sf_dir, "lineitem").filter(
+    li = _t(spark, sf_dir, "lineitem", spread=True).filter(
         F.col("l_shipdate") > F.to_timestamp(F.lit("1997-03-15")))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
@@ -449,9 +455,9 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     the entire shuffle by salt_n and cost ~2.5s/rep at sf0.1 for keys
     that didn't need it)."""
     from ..operators.skew import hot_key_salted_join
-    li = _t(spark, sf_dir, "lineitem").select(
+    li = _t(spark, sf_dir, "lineitem", spread=True).select(
         "l_orderkey", "l_extendedprice", "l_discount")
-    orders = _t(spark, sf_dir, "orders").select(
+    orders = _t(spark, sf_dir, "orders", spread=True).select(
         F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority")
     joined = hot_key_salted_join(li, orders, ["l_orderkey"],
                                  salt_n=8, hot_threshold=9)
@@ -1202,7 +1208,7 @@ def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top 3 orders by totalprice per market segment (rank + filter);
     o_orderkey tie-break keeps it deterministic."""
     cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
+    orders = _t(spark, sf_dir, "orders", spread=True)
     j = orders.join(cust, orders.o_custkey == cust.c_custkey)
     w = Window.partitionBy("c_mktsegment").orderBy(
         F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
@@ -2118,7 +2124,7 @@ def distinct_vs_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     and theta_sum_vmin are the sketch state's integer projection,
     checked EXACTLY against the oracle (portable md5 arithmetic),
     theta_ok bands the estimate at 10%."""
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem", spread=True)
     # THREE aggregations joined on the tiny group key, not one: mixing
     # n count-distincts with percentile aggregates in a single groupBy
     # makes Catalyst Expand the input once per distinct set AND carry

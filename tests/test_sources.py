@@ -64,3 +64,51 @@ def test_load_table_schema_contract(spark):
         assert emb["embedding"].startswith("array<"), emb
         for t in TABLES:  # every table loads and has columns
             assert load_table(spark, sf, t).columns
+
+
+# --- _spread_starved_scan (round 15: scan parallelism for single-
+# row-group fixture files; guide §2.5) -----------------------------------
+
+def test_spread_starved_scan_sizes_and_pushdown(spark):
+    """spread=True must (a) size partitions by file bytes (never more
+    than defaultParallelism), (b) no-op below the 2 MB floor and for
+    directory-backed tables, and (c) keep predicate pushdown intact
+    through the repartition -- the properties that make it safe to
+    leave on at cluster scale."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mysql_syncer_clickhouse_spark.plans.explain import formatted_plan
+    from mysql_syncer_clickhouse_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.1"
+    li = load_table(spark, sf, "lineitem", spread=True)
+    size = os.path.getsize(os.path.join(sf, "lineitem.parquet"))
+    want = min(spark.sparkContext.defaultParallelism, size // (1 << 20))
+    assert li.rdd.getNumPartitions() == want > 1
+    # values identical to the unspread read
+    assert li.count() == load_table(spark, sf, "lineitem").count()
+    # pushdown reaches the scan through the RepartitionByExpression
+    plan = formatted_plan(
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+          .groupBy("l_returnflag").count())
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+
+    # below the floor: identical plan, no repartition inserted
+    small = load_table(spark, sf, "customer", spread=True)
+    assert "Repartition" not in formatted_plan(small)
+
+
+def test_spread_starved_scan_noop_on_directory(spark, tmp_path):
+    """A directory-backed table (the cluster layout) must bypass the
+    spread: splits, not the helper, provide parallelism there."""
+    from mysql_syncer_clickhouse_spark.plans.explain import formatted_plan
+    from mysql_syncer_clickhouse_spark.sources.tables import load_table
+
+    src = load_table(spark, "/root/testdata/sf0.01", "orders")
+    # parquet DIRECTORY named like a fixture file
+    src.write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    out = load_table(spark, str(tmp_path), "orders", spread=True)
+    assert "Repartition" not in formatted_plan(out)
+    assert out.count() == src.count()
