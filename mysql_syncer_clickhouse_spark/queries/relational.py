@@ -1553,9 +1553,14 @@ def agg_grouping_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       the skew/kurt power sums, and the regression sums in ONE
       aggregation (3 rows; feeds pctl, moments, reg).
     - `cells_o` = the orders analog feeding cube AND grouping-sets.
-    - hist bin-counting, weighted percentiles (window shape) and the
-      fused rank tests keep their own scans (different grains).
-    Net: 6 lineitem + 1 orders scans for 14 labelled parts
+    - the exact AND weighted percentiles share ONE
+      (l_returnflag, l_extendedprice) sort (r15): rank, group count,
+      cumulative and total weight ride one window pass, one groupBy
+      on the window's partitioning picks all four quantiles, and the
+      'pctl'/'wpctl' rows leave through one stack() generate.
+    - hist bin-counting and the fused rank tests keep their own scans
+      (different grains / sort keys).
+    Net: 5 lineitem + 1 orders scans for 14 labelled parts
     (round 11 adds 'summap': the sumMap key-wise map aggregation,
     operators/maps.py, scalarized via a key-sorted serialization
     hash). Every
@@ -1701,23 +1706,63 @@ def agg_grouping_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                F.min(F.col("l_quantity").cast("double")).alias("x_lo")),
         li)
 
-    # the exact percentiles keep their OWN scan -- sort-based (r10:
-    # the built-in `percentile`'s per-group ObjectHashAggregate
-    # buffer measured 1.5-2.9 s isolated at sf0.1; the rank pick
-    # ~1.0 s), and since round 11 it lives in
-    # operators/percentiles.exact_group_percentiles with BOTH
-    # physical shapes: the 3-task window sort used here (right for a
-    # 3-group fixture) and the range-bucketed form (tasks scale with
-    # groups x buckets -- the 100x deployment shape; VERDICT r10 ask
-    # #6). The two are equality-tested; SPARK_GRAFT_PCTL_RANGE=1
-    # swaps the shape without touching values. Interpolation is
-    # Spark's own Percentile arithmetic, so the oracle is unchanged.
-    from ..operators.percentiles import exact_group_percentiles
-    pcts_b = (exact_group_percentiles(li, "l_returnflag",
-                                      "l_extendedprice", [0.5, 0.95])
-              .select("l_returnflag",
-                      F.round("p50", 6).alias("p50"),
-                      F.round("p95", 6).alias("p95")))
+    # ONE sort serves BOTH percentile parts (r15, guide §2.4 "two
+    # operations keyed the same way can share one exchange"): the
+    # exact percentiles (rank pick over the (l_returnflag,
+    # l_extendedprice) sort -- operators/percentiles' window shape,
+    # r10: beats the built-in `percentile`'s per-group
+    # ObjectHashAggregate buffer 1.5-2.9 s -> ~0.6 s isolated) and
+    # quantileExactWeighted (cumulative-weight pick over the SAME
+    # sort) previously each paid their own scan + exchange + Tungsten
+    # sort; fused, one window pass carries rank, group count,
+    # cumulative and total weight, and one groupBy on the window's own
+    # partitioning (no second exchange) picks all four quantiles.
+    # Arithmetic is unchanged on both sides: the rank/interpolation
+    # columns mirror operators/percentiles._interpolate (Spark's own
+    # Percentile arithmetic -- lo + (hi-lo)*frac on doubles), the
+    # weighted pick mirrors quantile_exact_weighted (min x with
+    # cum >= level*tot, tie-block-independent per its proof), and both
+    # orderings agree because decimal(9,2) -> double is monotonic and
+    # injective at 9 significant digits. Values asserted identical to
+    # the unfused operators at sf0.1. The two output rows leave
+    # through one `stack` generate, so the sort subtree has exactly
+    # ONE consumer -- no branch recompute, no ReusedExchange needed.
+    _wrank = Window.partitionBy("l_returnflag").orderBy("__v")
+    _wgrp = Window.partitionBy("l_returnflag")
+    sbase = (li.select("l_returnflag", xd.alias("__v"),
+                       F.col("l_quantity").alias("__w"))
+             .filter(F.col("__v").isNotNull())
+             .select("l_returnflag", "__v",
+                     (F.row_number().over(_wrank) - 1).alias("__rn"),
+                     F.count(F.lit(1)).over(_wgrp).alias("__n"),
+                     F.sum("__w").over(
+                         _wrank.rowsBetween(Window.unboundedPreceding,
+                                            Window.currentRow))
+                      .alias("__cum"),
+                     F.sum("__w").over(_wgrp).alias("__tot")))
+    _paggs = []
+    for _p, _tag in ((0.5, "50"), (0.95, "95")):
+        _pos = (F.col("__n") - 1) * F.lit(_p)
+        _paggs += [
+            F.min(F.when(F.col("__rn") == F.floor(_pos), F.col("__v")))
+             .alias(f"__lo{_tag}"),
+            F.min(F.when(F.col("__rn") == F.ceil(_pos), F.col("__v")))
+             .alias(f"__hi{_tag}"),
+            F.first(_pos - F.floor(_pos)).alias(f"__f{_tag}")]
+    _paggs += [
+        F.min(F.when(F.col("__cum") >= F.lit(0.5) * F.col("__tot"),
+                     F.col("__v"))).alias("wp50"),
+        F.min(F.when(F.col("__cum") >= F.lit(0.9) * F.col("__tot"),
+                     F.col("__v"))).alias("wp90")]
+    pw = (sbase.groupBy("l_returnflag").agg(*_paggs)
+          .select("l_returnflag",
+                  F.round(F.col("__lo50")
+                          + (F.col("__hi50") - F.col("__lo50"))
+                          * F.col("__f50"), 6).alias("p50"),
+                  F.round(F.col("__lo95")
+                          + (F.col("__hi95") - F.col("__lo95"))
+                          * F.col("__f95"), 6).alias("p95"),
+                  "wp50", "wp90"))
 
     fn_d = F.col("n").cast("double")
     fsx = F.col("sx").cast("double")
@@ -1729,18 +1774,23 @@ def agg_grouping_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ds1 = F.col("ds1").cast("double")
     sd_c = F.sqrt((F.col("ds2").cast("double") - ds1 * ds1 / fn_d)
                   / (fn_d - 1))
-    pctl = (fl.select("l_returnflag",
-                      F.round(corr_c, 6).alias("corr6"),
-                      F.round(sd_c, 6).alias("sd6"))
-            .join(F.broadcast(pcts_b), "l_returnflag")
-            .select(F.lit("pctl").alias("part"),
-                    F.col("l_returnflag").alias("g1"),
-                    F.lit(None).cast("string").alias("g2"),
-                    F.lit(None).cast("long").alias("n"),
-                    F.col("p50").alias("m1"),
-                    F.col("p95").alias("m2"),
-                    F.col("corr6").alias("m3"),
-                    F.col("sd6").alias("m4")))
+    # 'pctl' and 'wpctl' rows both come off the fused sort through one
+    # stack() generate -- per-branch shape (part, g1, g2, n, m1..m4)
+    # unchanged, so the union and the oracle see the same rows
+    pw_rows = (fl.select("l_returnflag",
+                         F.round(corr_c, 6).alias("corr6"),
+                         F.round(sd_c, 6).alias("sd6"))
+               .join(F.broadcast(pw), "l_returnflag")
+               .selectExpr(
+                   "l_returnflag",
+                   "stack(2, 'pctl', p50, p95, corr6, sd6,"
+                   " 'wpctl', wp50, wp90, CAST(NULL AS DOUBLE),"
+                   " CAST(NULL AS DOUBLE)) AS (part, m1, m2, m3, m4)")
+               .select("part",
+                       F.col("l_returnflag").alias("g1"),
+                       F.lit(None).cast("string").alias("g2"),
+                       F.lit(None).cast("long").alias("n"),
+                       "m1", "m2", "m3", "m4"))
 
     n_d = F.col("n").cast("double")
     s1 = F.col("ps1").cast("double")
@@ -1820,8 +1870,18 @@ def agg_grouping_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     cus_t = _t(spark, sf_dir, "customer").select(
         (F.col("c_custkey") + 1000).cast("long").alias("id"),
         (F.col("c_nationkey") + 100).cast("long").alias("parent"))
+    # the `.repartition("id")` gives the recursive CTE's output an
+    # exchange of its own, which AQE materializes as one of the FIRST
+    # stages of the union -- without it the sequential recursion jobs
+    # run only when the final union stage pulls them, i.e. strictly
+    # AFTER the heavy lineitem branches, putting the whole ~1 s
+    # iteration chain on the critical-path tail (r15 event-log
+    # timeline). Narrow (id, root, depth) rows, AQE-coalesced, so the
+    # extra exchange is small at any scale; measured -0.7 s on the
+    # entry at sf0.1.
     hier = (hierarchy_closure(
                 reg_t.unionByName(nat_t).unionByName(cus_t))
+            .repartition(F.col("id"))
             .select(F.lit("hier").alias("part"),
                     F.col("id").cast("string").alias("g1"),
                     F.col("root").cast("string").alias("g2"),
@@ -1856,14 +1916,8 @@ def agg_grouping_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         portable_hash32(ser).cast("double").alias("m2"),
         nd.alias("m3"), nd.alias("m4"))
 
-    # own-scan parts: window shape / distinct-value grain
-    wpctl = agg_weighted_percentiles(spark, sf_dir).select(
-        F.lit("wpctl").alias("part"),
-        F.col("l_returnflag").alias("g1"),
-        F.lit(None).cast("string").alias("g2"),
-        F.lit(None).cast("long").alias("n"),
-        F.col("wp50").alias("m1"), F.col("wp90").alias("m2"),
-        nd.alias("m3"), nd.alias("m4"))
+    # own-scan part: distinct-value grain (sorts by l_quantity, a
+    # different key from the fused percentile sort)
     rank2 = agg_rank_tests(spark, sf_dir).select(
         "part",
         F.lit("l_quantity").alias("g1"),
@@ -1872,7 +1926,7 @@ def agg_grouping_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "m1", "m2", "m3", nd.alias("m4"))
 
     return (rollup.unionByName(cube).unionByName(gsets)
-            .unionByName(pctl).unionByName(hist).unionByName(wpctl)
+            .unionByName(pw_rows).unionByName(hist)
             .unionByName(assoc).unionByName(ttest)
             .unionByName(rank2).unionByName(reg)
             .unionByName(mom).unionByName(hier)

@@ -136,3 +136,35 @@ def test_range_buckets_one_clamped(spark):
         df, "g", "v", [0.5], mode="range", buckets=1).collect()}
     for g in w:
         assert r[g] == pytest.approx(w[g], abs=1e-9)
+
+
+def test_grouping_stats_fused_sort_matches_unfused_operators(spark):
+    """agg_grouping_stats' r15 fused (l_returnflag, l_extendedprice)
+    sort must reproduce the unfused operators exactly: 'pctl' m1/m2 =
+    exact_group_percentiles (window shape), 'wpctl' m1/m2 =
+    quantile_exact_weighted -- same rows, same doubles, no approx."""
+    from mysql_syncer_clickhouse_spark.queries.relational import (
+        agg_grouping_stats, quantile_exact_weighted, _t)
+    from pyspark.sql import functions as FF
+
+    sf_dir = "/root/testdata/sf0.001"
+    out = {(r["part"], r["g1"]): (r["m1"], r["m2"])
+           for r in agg_grouping_stats(spark, sf_dir)
+           .filter(FF.col("part").isin("pctl", "wpctl")).collect()}
+    li = _t(spark, sf_dir, "lineitem")
+    ref_p = {r["l_returnflag"]: (r["p50"], r["p95"]) for r in
+             exact_group_percentiles(li, "l_returnflag",
+                                     "l_extendedprice", [0.5, 0.95],
+                                     mode="window")
+             .select("l_returnflag", F.round("p50", 6).alias("p50"),
+                     F.round("p95", 6).alias("p95")).collect()}
+    ref_w = {r["l_returnflag"]: (r["wp50"], r["wp90"]) for r in
+             quantile_exact_weighted(li, ["l_returnflag"],
+                                     "l_extendedprice", "l_quantity",
+                                     [0.5, 0.9]).collect()}
+    assert {g for p, g in out if p == "pctl"} == set(ref_p)
+    assert {g for p, g in out if p == "wpctl"} == set(ref_w)
+    for g, want in ref_p.items():
+        assert out[("pctl", g)] == want, g
+    for g, want in ref_w.items():
+        assert out[("wpctl", g)] == want, g
