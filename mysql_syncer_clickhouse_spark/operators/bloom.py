@@ -84,29 +84,45 @@ def bloom_might_contain(probe: DataFrame, item_col: str, bloom: DataFrame,
                         out_col: str = "might_contain") -> DataFrame:
     """Append a boolean membership column: True iff all k bits are set.
 
-    k broadcast hash joins against the (bounded-by-construction) filter
-    -- map-only, no shuffle on the probe side. NULL items probe False."""
+    The sparse (word, bits) filter is densified into ONE row holding an
+    m/32-word array and broadcast once; every probe row tests its k bits
+    with pure-codegen element_at arithmetic. Round 15 (guide §2.4 /
+    §3.1): the previous shape ran k SEPARATE broadcast hash joins --
+    k broadcast exchanges, each materializing its own copy of the build
+    aggregation as a driver-side job -- for a filter that is <= m/32
+    rows BY CONSTRUCTION. Packing moves the lookup below one
+    BroadcastNestedLoopJoin of a single 16 KB row: zero shuffles on the
+    probe side, one build job, bit answers unchanged (same salted
+    positions, same 32-bit word packing; a missing word reads 0 through
+    the densify coalesce exactly as the old left join's NULL did).
+    NULL items probe False."""
     item = F.col(item_col)
-    out = probe
+    n_words = (m + 31) // 32
+    packed = (bloom.groupBy()
+              .agg(F.map_from_entries(
+                  F.collect_list(F.struct("word", "bits"))).alias("_bf_m"))
+              .select(F.transform(
+                  F.sequence(F.lit(0).cast("long"),
+                             F.lit(n_words - 1).cast("long")),
+                  lambda w: F.coalesce(
+                      F.try_element_at("_bf_m", w),
+                      F.lit(0).cast("long"))).alias("_bf_arr")))
+    out = probe.crossJoin(F.broadcast(packed))
+    arr = F.col("_bf_arr")
     hits = []
     for i in range(k):
         pos = _position(item, i, m)
-        b = bloom.select(F.col("word").alias(f"_bf_word_{i}"),
-                         F.col("bits").alias(f"_bf_bits_{i}"))
-        out = out.join(F.broadcast(b),
-                       F.shiftright(pos, 5) == F.col(f"_bf_word_{i}"),
-                       "left")
         mask = F.call_function("shiftleft", F.lit(1).cast("long"),
                                pos.bitwiseAND(F.lit(31)).cast("int"))
+        word_ix = (F.shiftright(pos, 5) + F.lit(1)).cast("int")
         hits.append(
-            (F.coalesce(F.col(f"_bf_bits_{i}"), F.lit(0)).bitwiseAND(mask)
-             != 0))
+            (F.coalesce(F.element_at(arr, word_ix), F.lit(0))
+             .bitwiseAND(mask) != 0))
     flag = hits[0]
     for h in hits[1:]:
         flag = flag & h
     out = out.withColumn(out_col, item.isNotNull() & flag)
-    return out.drop(*[c for i in range(k)
-                      for c in (f"_bf_word_{i}", f"_bf_bits_{i}")])
+    return out.drop("_bf_arr")
 
 
 def bloom_screen_new(corpus: DataFrame, seen: DataFrame, item_col: str,

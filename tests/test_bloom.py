@@ -69,13 +69,16 @@ def test_deterministic_across_partitionings(spark, seen_items, bloom):
 
 
 def test_probe_plan_is_map_only(spark, seen_items, bloom):
-    """The k lookups must all be broadcast hash joins -- no Exchange
-    introduced by the probe side (its own scan aside)."""
+    """The probe side stays map-only: the densified filter arrives as
+    ONE broadcast row (round 15: was k separate broadcast hash joins,
+    each re-materializing the build aggregate), and the k bit tests are
+    pure codegen -- no shuffle exchange anywhere on the probe side."""
     probe = spark.range(0, 100).select(
         F.concat(F.lit("u"), F.col("id")).alias("item"))
     plan = bloom_might_contain(probe, "item", bloom.localCheckpoint())\
         ._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("BroadcastHashJoin") == BLOOM_K
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert "BroadcastHashJoin" not in plan
     assert "SortMergeJoin" not in plan
     assert "ShuffleExchange" not in plan.replace(
         "BroadcastExchange", "")
