@@ -945,13 +945,24 @@ def fuzzy_decontaminate(docs: DataFrame, bench: DataFrame, *,
     # sort t_reps WITH its full text column -- the one genuinely fat
     # sort in this chain at corpus scale; hashing the tiny id side
     # streams the text rows through unsorted
+    # eager-pin the candidate-restricted set table (round 15): without
+    # the pin the verify join's lazy lineage re-ran the CORPUS-WIDE
+    # text collapse on every execution -- minhash_dedup has pinned its
+    # cand_sets since the r10 stage cut, fuzzy just never got the same
+    # fix. The pinned relation is |candidate reps| rows of (id, hs),
+    # bounded by cross-side band collisions, the identical contract as
+    # minhash_dedup's pin.
     t_cand_sets = dedup.fused_doc_profile(
         t_reps.join(_hh(cands.select(F.col("id_a").alias("id"))
                         .distinct()),
-                    "id", "semi"))
+                    "id", "semi")).select("id", "hs") \
+        .localCheckpoint(eager=True)
     # per-side set tables (NOT a union: train and bench id spaces may
     # overlap numerically -- they are different tables). The bench
-    # side is bounded by contract -- no restriction needed.
+    # side is an eval suite, bounded by contract -- no candidate
+    # restriction needed, and for the same reason its (id, hs) table
+    # is pin-safe: pin it so the verify join does not re-collapse and
+    # re-profile the bench corpus per execution.
     # shuffle_hash on BOTH hs-carrying sides (VERDICT r10 ask #4, the
     # symmetry of dedup.jaccard_verify_sets' r10 fix): sort-merge
     # would sort the pair-side intermediate already carrying the
@@ -961,7 +972,8 @@ def fuzzy_decontaminate(docs: DataFrame, bench: DataFrame, *,
     t_sets = _hh(t_cand_sets.select(F.col("id").alias("id_a"),
                                     F.col("hs").alias("hs_a")))
     b_sets = _hh(b_prof.select(F.col("id").alias("id_b"),
-                               F.col("hs").alias("hs_b")))
+                               F.col("hs").alias("hs_b"))
+                 .localCheckpoint(eager=True))
     n_inter = F.size(F.array_intersect("hs_a", "hs_b"))
     jac = (n_inter.cast("double")
            / (F.size("hs_a") + F.size("hs_b") - n_inter))
