@@ -24,7 +24,7 @@ _CL = f"WITH changelog AS ({CHANGELOG_SQL})"
 
 def _binlog_roundtrip_final_state(cl: DataFrame) -> DataFrame:
     """Drive a deterministic changelog slice through REAL binlog v4
-    BYTES and back: encode each 4096-seq range of events into one
+    BYTES and back: encode each 512-seq range of events into one
     binlog file (sources/binlog_writer -- framing, CRC32, TABLE_MAP
     TLVs, row images, DATETIME2(6)/DOUBLE/VARCHAR codecs), decode with
     the from-scratch decoder (sources/binlog.py), project through
@@ -70,9 +70,24 @@ def _binlog_roundtrip_final_state(cl: DataFrame) -> DataFrame:
         return pd.DataFrame({"file": [f"mysql-bin.{no:06d}"],
                              "content": [w.to_bytes()]})
 
+    # 512-seq ranges (round 15, guide §2.5/§4): the file axis IS the
+    # parallelism axis on both sides of the round-trip (the docstring's
+    # contract), and the old 4096-range split of the seq<8192 probe
+    # produced exactly TWO files -- the whole per-event Python encode
+    # and decode ran on two cores. Sixteen 512-event files spread the
+    # identical per-event work across the session's cores; final-state
+    # winners are unaffected (ranges still ascend, events stay
+    # seq-ordered within a file, binlog_seq stays monotone).
+    # explicit file_no-keyed repartition: the encode exchange is
+    # byte-tiny, so AQE would coalesce it to one partition and
+    # serialize the Python encode anyway (the same byte-blind-AQE trap
+    # operators/funnel._pin_user_parallelism documents); groupBy
+    # reuses the pinned partitioning, no second exchange
+    n_par = cl.sparkSession.sparkContext.defaultParallelism
     files = (cl.withColumn("file_no",
-                           F.floor(F.col("seq") / F.lit(4096))
+                           F.floor(F.col("seq") / F.lit(512))
                             .cast("long"))
+               .repartition(n_par, "file_no")
                .groupBy("file_no")
                .applyInPandas(enc, "file string, content binary"))
     env = decode_binary_column(files)
