@@ -1691,8 +1691,18 @@ def agg_grouping_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (F.col("l_quantity").cast("double") * F.lit(1e12)
            + (F.col("l_orderkey") * 8 + F.col("l_linenumber"))
            .cast("double"))
+    # fl's 16-aggregate partial (four decimal power sums up to
+    # decimal(38,8) per row) was the entry's single heaviest operator
+    # (1.9 s aggregation build on ONE task -- the unsplittable
+    # single-row-group scan). Spreading JUST this subtree's scan wins
+    # ~0.8 s in alternating A/B at sf0.1, while blanket spread on the
+    # entry still loses (re-measured this round: base 3.1-4.0 s,
+    # all-spread 4.5-4.8 s, fl-spread 2.3-2.8 s) -- the other branches
+    # already fill the cores and their per-branch exchanges are pure
+    # overhead.
     fl = _pin_if_split_rich(
-        li.groupBy("l_returnflag")
+        _t(spark, sf_dir, "lineitem", spread=True)
+          .groupBy("l_returnflag")
           .agg(F.count(F.lit(1)).alias("n"),
                F.sum(x9).alias("ps1"), F.sum(x2).alias("ps2"),
                F.sum(x3).alias("ps3"), F.sum(x4).alias("ps4"),
