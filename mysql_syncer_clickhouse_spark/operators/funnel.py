@@ -616,6 +616,133 @@ def sequence_and_funnel(events: DataFrame, user_col: str, ts_col: str,
         f"user {user_type}, matched boolean, level int")
 
 
+def sequence_funnel_next_node(events: DataFrame, user_col: str,
+                              ts_col: str, pattern: str,
+                              conds: Sequence[Column], window_s: float,
+                              value_col: str,
+                              nn_conds: Sequence[Column],
+                              tiebreak_col: str = "event_id") -> DataFrame:
+    """(user, sf_any, matched, level, nn_matched, next_value):
+    sequence_and_funnel(pattern, conds, window_s) AND
+    sequence_next_node(forward, first_match)(value_col, nn_conds) in
+    ONE events scan + ONE per-user shuffle + ONE Python pass (round
+    15, guide §4: the two scans consumed the same events table through
+    two separate applyInPandas chains in cdc_op_counters; the
+    per-batch Arrow/pandas machinery -- not the per-user math --
+    dominated both).
+
+    Composition contract (test-asserted row identity):
+    - `.filter("sf_any").select("user", "matched", "level")` equals
+      sequence_and_funnel(events, user, ts, pattern, conds, window_s):
+      sf_any marks users with >= 1 event matching `conds` (exactly the
+      rows the standalone operator's pre-shuffle filter keeps), and
+      matched/level run the same cores (_match_sequence /
+      _funnel_level) over the same (ts, tiebreak)-ordered subset -- a
+      mask-filtered slice of the bucket's sorted frame is sorted the
+      same way the standalone operator's filtered shuffle was.
+    - `.filter("nn_matched").select("user", "next_value")` equals
+      sequence_next_node(events, user, ts, value_col, nn_conds,
+      'forward', 'first_match'): the full (unfiltered) event stream of
+      each user rides the same bucket frame, so stream positions and
+      the adjacent-value lookup are identical.
+
+    The fused stream ships every event once (sequence_next_node's
+    requirement -- non-matching events occupy stream positions);
+    the standalone pair shipped every event PLUS the conds-matching
+    subset. One scan, fewer shuffled bytes, half the Python passes."""
+    items = parse_sequence_pattern(pattern)
+    n_conds = len(conds)
+    n_nn = len(nn_conds)
+    if n_conds > 62 or n_nn > 62:
+        raise ValueError("condition bitmask is a long: at most 62 "
+                         "conditions supported")
+    for it in items:
+        if not 1 <= it["cond"] <= n_conds:
+            raise ValueError(f"pattern references cond {it['cond']} "
+                             f"but only {n_conds} supplied")
+    user_type = dict(events.dtypes)[user_col]
+    sfm = F.lit(0)
+    for i, c in enumerate(conds):
+        sfm = sfm + F.when(c, F.lit(1 << i)).otherwise(0)
+    nnm = F.lit(0)
+    for i, c in enumerate(nn_conds):
+        nnm = nnm + F.when(c, F.lit(1 << i)).otherwise(0)
+    stepped = events.select(
+        F.col(user_col).alias("user"),
+        F.col(ts_col).cast("timestamp").cast("double").alias("ts_s"),
+        F.col(tiebreak_col).alias("tb"),
+        F.col(value_col).cast("string").alias("val"),
+        sfm.alias("sfm"), nnm.alias("nnm"))
+
+    def scan_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        users = pdf["user"].to_numpy()
+        tsall = pdf["ts_s"].to_numpy(dtype=np.float64)
+        sfall = pdf["sfm"].to_numpy(dtype=np.int64)
+        nnall = pdf["nnm"].to_numpy(dtype=np.int64)
+        valall = pdf["val"].to_numpy(dtype=object)
+        # lowest set bit -> funnel step (sequence_and_funnel's rule),
+        # vectorized over the whole bucket
+        low = sfall & -sfall
+        stepall = np.zeros(len(sfall), dtype=np.int64)
+        for k in range(1, n_conds + 1):
+            stepall[low == (1 << (k - 1))] = k
+        b = _user_bounds(users)
+        out_u: list = []
+        out_a: list = []
+        out_m: list = []
+        out_l: list = []
+        out_nm: list = []
+        out_v: list = []
+        for s, e in zip(b[:-1], b[1:]):
+            sf = sfall[s:e]
+            keep = sf != 0
+            sf_any = bool(keep.any())
+            if sf_any:
+                ts_m = tsall[s:e][keep]
+                matched = _match_sequence(
+                    list(ts_m), [int(m) for m in sf[keep]], items)
+                level = _funnel_level(ts_m, stepall[s:e][keep],
+                                      n_conds, window_s)
+            else:
+                matched, level = False, 0
+            # sequence_next_node forward/first_match over the FULL
+            # slice (identical shift-and-AND core)
+            masks, vals = nnall[s:e], valall[s:e]
+            ln = e - s
+            nn_matched = False
+            nxt_val = None
+            if ln >= n_nn:
+                start = ((masks[:ln - n_nn + 1] >> 0) & 1).astype(bool)
+                for j in range(1, n_nn):
+                    start &= ((masks[j:ln - n_nn + 1 + j] >> j) & 1) \
+                        .astype(bool)
+                idxs = np.flatnonzero(start)
+                if idxs.size:
+                    nn_matched = True
+                    nxt = int(idxs[0]) + n_nn
+                    if nxt < ln:
+                        nxt_val = vals[nxt]
+            if sf_any or nn_matched:
+                out_u.append(users[s])
+                out_a.append(sf_any)
+                out_m.append(matched)
+                out_l.append(level)
+                out_nm.append(nn_matched)
+                out_v.append(nxt_val)
+        return pd.DataFrame({
+            "user": pd.Series(out_u, dtype=object),
+            "sf_any": pd.Series(out_a, dtype="bool"),
+            "matched": pd.Series(out_m, dtype="bool"),
+            "level": pd.Series(out_l, dtype="int32"),
+            "nn_matched": pd.Series(out_nm, dtype="bool"),
+            "next_value": pd.Series(out_v, dtype=object)})
+
+    return _apply_user_bucketed(
+        stepped, scan_bucket,
+        f"user {user_type}, sf_any boolean, matched boolean, "
+        f"level int, nn_matched boolean, next_value string")
+
+
 def retention(events: DataFrame, user_col: str,
               conds: Sequence[Column]) -> DataFrame:
     """(user, r1..rN): the sink DB's retention() aggregate -- r1 is

@@ -432,35 +432,72 @@ def cdc_op_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     users with a click followed (in (ts, event_id) order, any gap) by
     a purchase -- the '(?1).*(?2)' sequenceMatch pattern, whose
     existence form the oracle mirrors as an ordered EXISTS pair."""
-    from ..operators.funnel import retention, sequence_and_funnel
+    from ..operators.funnel import retention, sequence_funnel_next_node
     cl = derive_changelog_from_events(spark, sf_dir)
     ops = cl.groupBy("op").agg(F.count(F.lit(1)).alias("n"))
     ev = load_table(spark, sf_dir, "events")
     conds = [F.col("event_type") == "click",
              F.col("event_type") == "purchase"]
-    # 'seq_click_purchase' + 'funnel_l2_1800s' from ONE fused scan
-    # (sequence_and_funnel runs the same _match_sequence /
-    # _funnel_level cores as the standalone operators): one events
-    # pass, one per-user shuffle, one applyInPandas -- r5's entry ran
-    # two separate scans + shuffles for the same two rows. The two
-    # counts reduce in one aggregation and unpack via a 2-element
-    # explode. 'funnel_l2_1800s' = users whose 2-step funnel completes
-    # within 1800 s of the chain start; for 2 steps "level >= 2" ==
-    # EXISTS an ordered pair within the window, which the oracle states
-    fm = sequence_and_funnel(ev, "user_id", "ts", "(?1).*(?2)", conds,
-                             window_s=1800)
-    two = (fm.agg(F.coalesce(F.sum(F.when(F.col("matched"), 1)
-                                    .otherwise(0)), F.lit(0))
-                   .alias("n_matched"),
-                  F.coalesce(F.sum(F.when(F.col("level") >= 2, 1)
-                                    .otherwise(0)), F.lit(0))
-                   .alias("n_l2"))
-           .select(F.explode(F.array(
-               F.struct(F.lit("seq_click_purchase").alias("op"),
-                        F.col("n_matched").alias("n")),
-               F.struct(F.lit("funnel_l2_1800s").alias("op"),
-                        F.col("n_l2").alias("n")))).alias("s"))
-           .select("s.op", "s.n"))
+    # 'seq_click_purchase' + 'funnel_l2_1800s' + the 'nextnode_*' rows
+    # all come from ONE fused events scan + ONE per-user shuffle + ONE
+    # applyInPandas pass (round 15, guide §4:
+    # funnel.sequence_funnel_next_node runs the same _match_sequence /
+    # _funnel_level / shift-and-AND cores as the standalone operators;
+    # composition row-identity is test-asserted). r5's entry ran two
+    # separate scans + shuffles for the first two rows alone, and until
+    # this round sequenceNextNode paid a THIRD scan + shuffle + Python
+    # pass over the same events. 'funnel_l2_1800s' = users whose 2-step
+    # funnel completes within 1800 s of the chain start; for 2 steps
+    # "level >= 2" == EXISTS an ordered pair within the window, which
+    # the oracle states.
+    #
+    # The fused relation feeds ONE rollup aggregation (not one
+    # consumer per output row -- a second consumer would re-run the
+    # whole Python pass, the branch-recompute trap): the grand-total
+    # row carries the matched/level sums, the per-next_value rows the
+    # nextnode counts. matched/level are False/0 for users with no
+    # conds-matching event (sf_any false), exactly the rows
+    # sequence_and_funnel never saw, so the sums are unchanged.
+    # Rollup on an EMPTY relation yields no grand-total row (unlike
+    # the agg-without-groupBy it replaces), so the two counter rows
+    # are seeded with literal zeros and summed per op -- row presence
+    # is input-independent, as before.
+    fused = sequence_funnel_next_node(
+        ev, "user_id", "ts", "(?1).*(?2)", conds, 1800, "event_type",
+        [F.col("event_type") == "click",
+         F.col("event_type") == "view"])
+    g = (fused.rollup("next_value")
+         .agg(F.sum(F.when(F.col("matched"), 1).otherwise(0))
+               .alias("nm"),
+              F.sum(F.when(F.col("level") >= 2, 1).otherwise(0))
+               .alias("nl"),
+              F.count(F.lit(1)).alias("nv"),
+              F.grouping("next_value").alias("gid")))
+    # ONE consumer of g (a second consumer would duplicate the whole
+    # fused subtree, Python pass included): the grand-total row
+    # explodes into the two counter rows, each per-value row into its
+    # nextnode row, the null-value group into nothing. The seed union
+    # + per-op sum keeps the two counter rows present even on an empty
+    # events relation (rollup emits no grand total there, where the
+    # agg-without-groupBy this replaces emitted one).
+    _row = "struct<op:string,n:bigint>"
+    fused_rows = (g.select(F.explode(
+        F.when(F.col("gid") == 1, F.array(
+            F.struct(F.lit("seq_click_purchase").alias("op"),
+                     F.col("nm").cast("long").alias("n")),
+            F.struct(F.lit("funnel_l2_1800s").alias("op"),
+                     F.col("nl").cast("long").alias("n"))))
+         .when(F.col("next_value").isNotNull(), F.array(
+             F.struct(F.concat(F.lit("nextnode_"),
+                               F.col("next_value")).alias("op"),
+                      F.col("nv").cast("long").alias("n"))))
+         .otherwise(F.lit(None).cast(f"array<{_row}>"))).alias("s"))
+        .select("s.op", "s.n"))
+    seed = spark.createDataFrame(
+        [("seq_click_purchase", 0), ("funnel_l2_1800s", 0)],
+        "op string, n bigint")
+    two = (seed.unionByName(fused_rows)
+           .groupBy("op").agg(F.sum("n").alias("n")))
     # 'retention_r2': the retention() aggregate's r2 column (did
     # cond1 AND cond2 ever hold) counted over users -- order-free, so
     # the oracle is a per-user bool_and of two bool_ors
@@ -479,18 +516,15 @@ def cdc_op_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
           .select(F.concat(F.lit("topk_"), F.col("item")).alias("op"),
                   F.col("est").alias("n")))
     # 'nextnode_<type>': sequenceNextNode(forward, first_match) through
-    # the real adjacency scan -- users counted by WHAT THEY DID right
-    # after their first stream-adjacent click->view pair; the oracle
-    # restates it with row_number windows (rn, rn+1 adjacency, value
-    # at first_rn + 2)
-    from ..operators.funnel import sequence_next_node
-    nn = (sequence_next_node(ev, "user_id", "ts", "event_type",
-                             [F.col("event_type") == "click",
-                              F.col("event_type") == "view"])
-          .filter(F.col("next_value").isNotNull())
-          .groupBy("next_value").agg(F.count(F.lit(1)).alias("n"))
-          .select(F.concat(F.lit("nextnode_"), F.col("next_value"))
-                   .alias("op"), "n"))
+    # the real adjacency scan (fused above) -- users counted by WHAT
+    # THEY DID right after their first stream-adjacent click->view
+    # pair; the oracle restates it with row_number windows (rn, rn+1
+    # adjacency, value at first_rn + 2). The rows ride `two` via
+    # fused_rows: each non-null per-value rollup row IS that per-user
+    # count (one fused row per user; users whose chain ends the stream
+    # carry a null next_value and land in the dropped null-value
+    # group, exactly the rows the standalone path's isNotNull filter
+    # dropped).
     # 'tfilter_<schema.table>': the S3 table include-filter (the canal
     # regex analog, plans/rules.RuleSet.table_regexes) applied the
     # distributed way -- `rlike` over a stream of derived table names,
@@ -514,7 +548,7 @@ def cdc_op_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("tfilter_"), F.col("tbl")).alias("op"),
         F.col("tbl").rlike(pat).cast("long").alias("n"))
     return (ops.unionByName(two).unionByName(rt).unionByName(tk)
-               .unionByName(nn).unionByName(tf))
+               .unionByName(tf))
 
 
 _COUNTERS_SQL = _CL + """

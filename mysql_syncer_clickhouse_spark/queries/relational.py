@@ -2201,15 +2201,19 @@ def distinct_vs_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.countDistinct("l_suppkey").alias("n_supps"),
                   F.count(F.lit(1)).alias("n_rows"),
                   F.countDistinct("l_orderkey").alias("n_orders")))
+    # approx_count_distinct rides the percentile aggregation (round
+    # 15, guide §2.4): both are plain (non-distinct) aggregates over
+    # the same group key, so fusing them costs no Expand -- the trap
+    # above is specific to COUNT(DISTINCT) sets -- and drops one whole
+    # lineitem scan + aggregation + join from the five-branch plan.
     pct = (li.groupBy("l_returnflag")
              .agg(F.expr("percentile(l_extendedprice, 0.5)")
                    .alias("exact_p50"),
                   F.expr("approx_percentile(l_extendedprice, 0.5, 10000)")
-                   .alias("approx_p50")))
-    apx = (li.groupBy("l_returnflag")
-             .agg(F.approx_count_distinct("l_orderkey", 0.02)
+                   .alias("approx_p50"),
+                  F.approx_count_distinct("l_orderkey", 0.02)
                    .alias("approx_orders")))
-    agg = dst.join(pct, "l_returnflag").join(apx, "l_returnflag")
+    agg = dst.join(pct, "l_returnflag")
     ok = (F.abs(F.col("approx_orders") - F.col("n_orders"))
           <= 0.05 * F.col("n_orders"))
     p50_ok = (F.abs(F.col("approx_p50") - F.col("exact_p50"))

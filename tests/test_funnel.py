@@ -432,6 +432,55 @@ def test_sequence_and_funnel_matches_standalone_ops(spark, sf_dir):
         assert m == sm[u] and lv == wf[u], u
 
 
+def test_sequence_funnel_next_node_matches_standalone_ops(spark, sf_dir):
+    """The three-way fused operator (round 15: one events scan + one
+    shuffle + one Python pass for cdc_op_counters' sequenceMatch +
+    windowFunnel + sequenceNextNode rows) must agree row-for-row with
+    sequence_and_funnel and sequence_next_node run separately, on the
+    real fixture events -- including which users appear at all on each
+    side (sf_any / nn_matched reproduce the standalone presence
+    rules)."""
+    from mysql_syncer_clickhouse_spark.operators.funnel import (
+        sequence_and_funnel, sequence_funnel_next_node,
+        sequence_next_node)
+    from mysql_syncer_clickhouse_spark.sources.tables import load_table
+    ev = load_table(spark, sf_dir, "events")
+    conds = [F.col("event_type") == "click",
+             F.col("event_type") == "purchase"]
+    nn_conds = [F.col("event_type") == "click",
+                F.col("event_type") == "view"]
+    fused = sequence_funnel_next_node(
+        ev, "user_id", "ts", "(?1).*(?2)", conds, 1800,
+        "event_type", nn_conds).collect()
+    sf_side = {r["user"]: (r["matched"], r["level"])
+               for r in fused if r["sf_any"]}
+    nn_side = {r["user"]: r["next_value"]
+               for r in fused if r["nn_matched"]}
+    saf = {r["user"]: (r["matched"], r["level"])
+           for r in sequence_and_funnel(ev, "user_id", "ts",
+                                        "(?1).*(?2)", conds,
+                                        window_s=1800).collect()}
+    snn = {r["user"]: r["next_value"]
+           for r in sequence_next_node(ev, "user_id", "ts",
+                                       "event_type",
+                                       nn_conds).collect()}
+    assert sf_side == saf
+    assert nn_side == snn
+
+
+def test_sequence_funnel_next_node_empty_input(spark):
+    """Zero matching events -> zero rows (both standalone operators'
+    presence rule), and the schema still binds."""
+    from mysql_syncer_clickhouse_spark.operators.funnel import (
+        sequence_funnel_next_node)
+    ev = _events(spark, [(1, 0, "view"), (1, 5, "view")])
+    out = sequence_funnel_next_node(
+        ev, "user_id", "ts", "(?1).*(?2)",
+        _conds(["click", "purchase"]), 1800, "event_type",
+        _conds(["click", "purchase"])).collect()
+    assert out == []
+
+
 def test_window_funnel_strict_order_doc_example(spark):
     """The ClickHouse docs example: A->B->D->C stops A->B->C at D
     under strict_order (level 2); the base mode sees through D
