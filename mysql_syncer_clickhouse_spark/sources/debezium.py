@@ -107,14 +107,35 @@ def parse_debezium(lines: DataFrame, row_ddl: str,
     raw = F.col(value_col)
     # unwrap {"schema":..., "payload": {...}} if present
     payload_str = F.coalesce(F.get_json_object(raw, "$.payload"), raw)
-    env = F.from_json(payload_str, env_ddl)
 
+    # ONE from_json per row (r15, guide §4.4's duplication lesson
+    # applied to JVM expressions). The previous single-select form
+    # referenced `env` four times, and Catalyst's per-use from_json
+    # schema pruning makes each reference a DIFFERENT JsonToStructs
+    # expression -- so nothing CSEs and each row was parsed 4x; the
+    # null-drop filter below was then pushed beneath the projection,
+    # substituting the whole parse chain into each of its three
+    # conjunct references (measured on cdc_debezium_parse at sf0.1:
+    # 8 from_json + 7 to_json evaluations per row, 6.1 s -> 1 + 1,
+    # 1.4 s). Staged projects keep the full-schema parse single
+    # (CollapseProject refuses to inline a non-cheap alias used more
+    # than once), and the __bar column makes the staged project list
+    # non-deterministic, which is the one thing PushDownPredicates
+    # respects -- rand()-style always-true CONJUNCTS don't work
+    # (deterministic conjuncts are partitioned out and pushed anyway,
+    # and Spark 4 constant-folds rand() bound comparisons;
+    # monotonically_increasing_id is rejected on streaming frames,
+    # spark_partition_id is not). __bar is always >= 0 by
+    # construction, so the filter keeps exactly the rows it always
+    # kept; nothing downstream sees the column.
+    parsed = lines.select(F.from_json(payload_str, env_ddl).alias("e"))
+    e = F.col("e")
     op_expr = F.element_at(
         F.create_map(*[F.lit(x) for kv in _OP_MAP.items() for x in kv]),
-        env.getField("op"))
+        e.getField("op"))
     # row image: after for c/r/u, before for d (after is null on delete)
-    row = F.coalesce(env.getField("after"), env.getField("before"))
-    src = env.getField("source")
+    row = F.coalesce(e.getField("after"), e.getField("before"))
+    src = e.getField("source")
 
     # parse the DDL properly -- a naive comma split breaks on
     # parameterized/nested types (decimal(10,2), array<...>, struct<...>)
@@ -132,10 +153,12 @@ def parse_debezium(lines: DataFrame, row_ddl: str,
               if with_before else None)
     before_cols = ([before.getField(c).alias(f"before_{c}")
                     for c in row_fields] if with_before else [])
-    return (lines
-            .select(env.alias("e"), op_expr.alias("op"), row.alias("row"),
-                    src.alias("src"))
-            .filter(F.col("op").isNotNull() & F.col("row").isNotNull())
+    staged = parsed.select(
+        "e", op_expr.alias("op"), row.alias("row"), src.alias("src"),
+        F.spark_partition_id().alias("__bar"))
+    return (staged
+            .filter((F.col("__bar") >= F.lit(0))
+                    & F.col("op").isNotNull() & F.col("row").isNotNull())
             .select(
                 binlog_seq(F.col("src").getField("file"),
                            F.col("src").getField("pos"),
