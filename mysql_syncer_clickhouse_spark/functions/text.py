@@ -81,6 +81,34 @@ def word_ngrams(col: Column | str, n: int = 3) -> Column:
                        lambda i: F.concat_ws(" ", F.slice(ws, i, n)))
 
 
+def exploded_word_ngrams(df, text_col: Column | str, n: int = 3,
+                         alias: str = "g",
+                         keep: Sequence[Column | str] = ("id",)):
+    """One row per word n-gram: the flat-codegen equivalent of
+    F.explode(word_ngrams(col, n)) (r15, guide §1.2 per-task work).
+    Building the gram ARRAY first runs the transform() concat lambda
+    interpreted per element -- the same trap hashed_shingle_set
+    documents for char shingles -- so gram POSITIONS are exploded
+    first and the slice+concat_ws runs post-explode inside whole-stage
+    codegen (measured: the dedup_simhash_ngram gram relation 4.5 s ->
+    1.1 s isolated at sf0.1, identical distinct-gram set). Row
+    multiset and per-doc order are identical to the array form:
+    sequence(1, cnt) enumerates the same positions transform() maps
+    over, and both emit >= 1 row per doc (cnt is floored at 1)."""
+    ws = words(text_col)
+    cnt = F.greatest(F.size(ws) - (n - 1), F.lit(1))
+    first = df.select(*keep, ws.alias("__ws"), cnt.alias("__cnt"))
+    names = [c for c in first.columns if c not in ("__ws", "__cnt")]
+    return (first
+            .select(*names, "__ws",
+                    F.explode(F.sequence(F.lit(1), F.col("__cnt")))
+                     .alias("__i"))
+            .select(*names,
+                    F.concat_ws(" ", F.slice(F.col("__ws"),
+                                             F.col("__i"), n))
+                     .alias(alias)))
+
+
 def fingerprint(col: Column | str) -> Column:
     """Deterministic document fingerprint: md5 of the
     whitespace-normalized text."""

@@ -37,12 +37,14 @@ def _gram_hashes(df: DataFrame, id_col: str, text_col: str,
     """(id, gh): distinct 32-bit hashes of the doc's word n-grams.
     Doc rows are spread across cores BEFORE the explode (parallelism is
     otherwise bound by input splits -- operators/dedup._spread
-    rationale), and grams are hashed AFTER the explode as a flat Column
-    expression: hashing inside the array via a transform() lambda runs
-    interpreted per element and measured 10x slower than the codegen'd
-    post-explode md5."""
-    return (_spread(df.select(F.col(id_col).alias("id"), text_col), "id")
-            .select("id", F.explode(TX.word_ngrams(text_col, n)).alias("g"))
+    rationale), and grams are built AND hashed post-explode as flat
+    Column expressions (r15: exploded_word_ngrams -- the gram-ARRAY
+    form ran the transform() concat lambda interpreted per element,
+    the same trap the post-explode md5 here already avoided for the
+    hash half)."""
+    return (TX.exploded_word_ngrams(
+                _spread(df.select(F.col(id_col).alias("id"), text_col),
+                        "id"), text_col, n)
             .select("id", TX.portable_hash32(F.col("g")).alias("gh"))
             .distinct())
 
@@ -407,8 +409,9 @@ def _bag_gram_buckets(df: DataFrame, id_col: str, text_col: str,
     """(id, bucket): hashed word n-grams WITH multiplicity (bag
     semantics -- DSIR models n-gram frequency, unlike the distinct-set
     grams decontamination uses), feature-hashed into `buckets`."""
-    return (_spread(df.select(F.col(id_col).alias("id"), text_col), "id")
-            .select("id", F.explode(TX.word_ngrams(text_col, n)).alias("g"))
+    return (TX.exploded_word_ngrams(
+                _spread(df.select(F.col(id_col).alias("id"), text_col),
+                        "id"), text_col, n)
             .select("id",
                     (TX.portable_hash32(F.col("g")) % buckets)
                     .alias("bucket")))
@@ -595,9 +598,9 @@ def gopher_repetition_signals(docs: DataFrame, *,
 
     gram_rows = None
     for n in ns:
-        g = (_spread(base, "id")
-             .select("id", F.lit(n).alias("n"),
-                     F.explode(TX.word_ngrams(text_col, n)).alias("g")))
+        g = TX.exploded_word_ngrams(
+            _spread(base, "id"), text_col, n,
+            keep=("id", F.lit(n).alias("n")))
         gram_rows = g if gram_rows is None else gram_rows.unionByName(g)
     gcount = (gram_rows.groupBy("id", "n", "g")
                        .agg(F.count(F.lit(1)).alias("c")))

@@ -19,7 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import char_shingles, fingerprint, portable_hash32, word_ngrams
+from ..functions import text as TX
+from ..functions.text import char_shingles, fingerprint, portable_hash32
 
 # LCG-style MinHash parameter pairs (a, b); modulus below
 MINHASH_PARAMS = (
@@ -571,23 +572,31 @@ def rep_pair_report(rep_pairs: DataFrame, members: DataFrame,
 def simhash_table(df: DataFrame, id_col: str, text_col: str,
                   k: int = 8, bits: int = 32) -> DataFrame:
     """Per-document SimHash: for each bit, +1/-1 votes over shingle
-    hashes; bit set when the vote sum is positive. Bit extraction uses
-    floor(H / 2^b) % 2 (exact in double for H < 2^32) for engine
-    parity. Identical simhash == near-identical text at this k."""
-    spark = df.sparkSession
-    bit_df = spark.createDataFrame([(b,) for b in range(bits)], "b int")
+    hashes; bit set when the vote sum is positive. Identical simhash
+    == near-identical text at this k.
+
+    One aggregation, no row explosion (r15, guide §2.3 "aggregate
+    before you shuffle"): the per-bit vote over a doc's n distinct
+    shingles is sum(+1/-1) = 2*cnt_b - n where cnt_b counts shingles
+    with bit b set, so all 32 votes are 32 conditional sums in ONE
+    groupBy(id) -- the previous shape broadcast-joined a 32-row bit
+    table, multiplying the (id, h32) relation 32x through an extra
+    (id, b) aggregation (measured 1.9 s -> 0.6 s isolated for the
+    simhash branch at sf0.1, and the 32x intermediate is gone at any
+    scale). h32 is an unsigned 32-bit value in a long, so
+    shiftright(h32, b) & 1 IS floor(h32 / 2^b) % 2, the documented
+    engine-parity bit extraction; vote > 0 <=> 2*cnt_b > n in exact
+    integers, so the fingerprints are bit-identical."""
     h = hashed_shingle_set(df, id_col, text_col, k)
-    votes = (h.join(F.broadcast(bit_df))
-              .withColumn("bit",
-                          (F.floor(F.col("h32") / F.pow(F.lit(2.0), "b"))
-                           % 2).cast("int"))
-              .groupBy("id", "b")
-              .agg(F.sum(F.when(F.col("bit") == 1, 1).otherwise(-1))
-                    .alias("vote")))
-    return (votes.groupBy("id")
-                 .agg(F.sum(F.when(F.col("vote") > 0,
-                                   F.pow(F.lit(2.0), "b").cast("long"))
-                             .otherwise(F.lit(0))).alias("simhash")))
+    cnts = h.groupBy("id").agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[F.sum(F.shiftright(F.col("h32"), b).bitwiseAND(F.lit(1)))
+           .alias(f"__c{b}") for b in range(bits)])
+    sim = F.lit(0).cast("long")
+    for b in range(bits):
+        sim = sim + F.when(F.col(f"__c{b}") * 2 > F.col("__n"),
+                           F.lit(1 << b).cast("long")).otherwise(F.lit(0))
+    return cnts.select("id", sim.alias("simhash"))
 
 
 def simhash_near_dups(df: DataFrame, id_col: str, text_col: str,
@@ -632,15 +641,19 @@ def ngram_jaccard_blocked(df: DataFrame, id_col: str, text_col: str,
     """Word-n-gram Jaccard with metadata blocking: only pairs sharing
     the blocking key are compared -- the classic scalable alternative
     to LSH when trustworthy blocking attributes exist."""
-    base = df.select(F.col(id_col).alias("id"), *block_cols,
-                     word_ngrams(text_col, n).alias("grams"))
+    base = df.select(F.col(id_col).alias("id"), *block_cols)
     a = base.select(F.col("id").alias("id_a"), *block_cols)
     b = base.select(F.col("id").alias("id_b"), *block_cols)
     cands = (a.join(b, block_cols)
               .filter(F.col("id_a") < F.col("id_b"))
               .select("id_a", "id_b"))
-    grams = (_spread(base, "id")
-             .select("id", F.explode("grams").alias("g"))
+    # flat-codegen gram explode (r15): the array form ran the
+    # transform() concat lambda interpreted per gram -- 4.5 s -> 1.1 s
+    # isolated for this relation at sf0.1; also keeps the gram arrays
+    # out of the spread exchange (text shuffles, grams compute after)
+    grams = (TX.exploded_word_ngrams(
+                 _spread(df.select(F.col(id_col).alias("id"), text_col),
+                         "id"), text_col, n)
              .select("id", portable_hash32("g").alias("h32"))
              .distinct())
     return jaccard_verify(cands, grams, threshold)

@@ -617,8 +617,8 @@ def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       md5-salted bucketing makes the estimates (including their
       deterministic overcounts) bit-identical in the oracle."""
     docs = _docs(spark, sf_dir)
-    grams = docs.select(
-        F.explode(TX.word_ngrams("text", 3)).alias("gram"))
+    grams = TX.exploded_word_ngrams(docs, "text", 3, alias="gram",
+                                    keep=())
     exact = (grams.groupBy("gram")
                   .agg(F.count(F.lit(1)).alias("n"))
                   .orderBy(F.col("n").desc(), F.col("gram").asc())
@@ -1035,10 +1035,11 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DSIR bag models. A 100 TB run would parquet-checkpoint the same
     # relation. Hashes are portable_hash32 in all three consumers, so
     # the derivations are exact, not approximations.
-    tri = (dedup._spread(docs.select("doc_id", "source", "text"),
-                         "doc_id")
-           .select(F.col("doc_id").alias("id"), "source",
-                   F.explode(TX.word_ngrams("text", 3)).alias("g"))
+    tri = (TX.exploded_word_ngrams(
+               dedup._spread(docs.select("doc_id", "source", "text"),
+                             "doc_id"),
+               "text", 3,
+               keep=(F.col("doc_id").alias("id"), "source"))
            .select("id", "source", TX.portable_hash32("g").alias("gh"))
            .localCheckpoint(eager=False))
     # ONE distinct pass shared by decontam and xdup (round 7: the two
