@@ -94,7 +94,21 @@ def exploded_word_ngrams(df, text_col: Column | str, n: int = 3,
     1.1 s isolated at sf0.1, identical distinct-gram set). Row
     multiset and per-doc order are identical to the array form:
     sequence(1, cnt) enumerates the same positions transform() maps
-    over, and both emit >= 1 row per doc (cnt is floored at 1)."""
+    over, and both emit >= 1 row per doc (cnt is floored at 1).
+
+    `keep` columns and `alias` may not collide with each other or the
+    reserved internals (__ws/__cnt/__i): a keep column named __ws or
+    __cnt would silently drop, and a keep column matching `alias`
+    would duplicate in the output (r15 ADVICE guard -- this is a
+    shared primitive, fail loudly instead)."""
+    _RESERVED = {"__ws", "__cnt", "__i"}
+    keep_names = [c for c in keep if isinstance(c, str)]
+    clashes = ({n for n in (*keep_names, alias) if n in _RESERVED}
+               | ({alias} if alias in keep_names else set()))
+    if clashes or len(set(keep_names)) != len(keep_names):
+        raise ValueError(
+            f"exploded_word_ngrams: keep/alias collide with reserved "
+            f"names or each other: {sorted(clashes) or keep_names}")
     ws = words(text_col)
     cnt = F.greatest(F.size(ws) - (n - 1), F.lit(1))
     first = df.select(*keep, ws.alias("__ws"), cnt.alias("__cnt"))

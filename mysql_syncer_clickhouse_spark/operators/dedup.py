@@ -587,6 +587,12 @@ def simhash_table(df: DataFrame, id_col: str, text_col: str,
     shiftright(h32, b) & 1 IS floor(h32 / 2^b) % 2, the documented
     engine-parity bit extraction; vote > 0 <=> 2*cnt_b > n in exact
     integers, so the fingerprints are bit-identical."""
+    # h32 is a 32-bit hash: bits > 32 would vote on constant-zero bits
+    # (and the 1 << b literal overflows long at b >= 63) -- fail loudly
+    # instead of degrading silently (r15 ADVICE guard)
+    if not 1 <= bits <= 32:
+        raise ValueError(f"simhash bits must be in [1, 32] (h32 is a "
+                         f"32-bit hash), got {bits}")
     h = hashed_shingle_set(df, id_col, text_col, k)
     cnts = h.groupBy("id").agg(
         F.count(F.lit(1)).alias("__n"),

@@ -96,6 +96,34 @@ def _user_bounds(users: np.ndarray) -> np.ndarray:
     return np.r_[starts, len(users)]
 
 
+def _lowest_bit_steps(maskall: np.ndarray, n_conds: int) -> np.ndarray:
+    """Funnel step from a condition bitmask, vectorized: the LOWEST set
+    bit wins -- the same first-condition-wins rule _with_step applies.
+    Shared by sequence_and_funnel and the fused
+    sequence_funnel_next_node (r15 ADVICE: inlined copies could
+    silently diverge)."""
+    low = maskall & -maskall
+    stepall = np.zeros(len(maskall), dtype=np.int64)
+    for k in range(1, n_conds + 1):
+        stepall[low == (1 << (k - 1))] = k
+    return stepall
+
+
+def _chain_starts(masks: np.ndarray, n: int) -> np.ndarray:
+    """sequence_next_node's adjacency core: indices i where conds 1..n
+    match at stream positions i..i+n-1 (shift-and-AND over the bitmask
+    array, no per-event loop). Empty when the stream is shorter than
+    the chain. Shared by the standalone and fused operators (r15
+    ADVICE)."""
+    ln = len(masks)
+    if ln < n:
+        return np.array([], dtype=np.int64)
+    start = ((masks[:ln - n + 1] >> 0) & 1).astype(bool)
+    for j in range(1, n):
+        start &= ((masks[j:ln - n + 1 + j] >> j) & 1).astype(bool)
+    return np.flatnonzero(start)
+
+
 def _apply_user_bucketed(stepped: DataFrame, scan_bucket,
                          schema: str) -> DataFrame:
     """Run `scan_bucket(pdf)` over (user, ts_s, tb)-sorted bucket
@@ -592,10 +620,7 @@ def sequence_and_funnel(events: DataFrame, user_col: str, ts_col: str,
         maskall = pdf["mask"].to_numpy(dtype=np.int64)
         # lowest set bit -> funnel step, vectorized over the WHOLE
         # bucket (per-user slicing below sees the same values)
-        low = maskall & -maskall
-        stepall = np.zeros(len(maskall), dtype=np.int64)
-        for k in range(1, n_conds + 1):
-            stepall[low == (1 << (k - 1))] = k
+        stepall = _lowest_bit_steps(maskall, n_conds)
         b = _user_bounds(users)
         out_u: list = []
         out_m: list = []
@@ -682,10 +707,7 @@ def sequence_funnel_next_node(events: DataFrame, user_col: str,
         valall = pdf["val"].to_numpy(dtype=object)
         # lowest set bit -> funnel step (sequence_and_funnel's rule),
         # vectorized over the whole bucket
-        low = sfall & -sfall
-        stepall = np.zeros(len(sfall), dtype=np.int64)
-        for k in range(1, n_conds + 1):
-            stepall[low == (1 << (k - 1))] = k
+        stepall = _lowest_bit_steps(sfall, n_conds)
         b = _user_bounds(users)
         out_u: list = []
         out_a: list = []
@@ -706,22 +728,17 @@ def sequence_funnel_next_node(events: DataFrame, user_col: str,
             else:
                 matched, level = False, 0
             # sequence_next_node forward/first_match over the FULL
-            # slice (identical shift-and-AND core)
+            # slice (the shared _chain_starts adjacency core)
             masks, vals = nnall[s:e], valall[s:e]
             ln = e - s
             nn_matched = False
             nxt_val = None
-            if ln >= n_nn:
-                start = ((masks[:ln - n_nn + 1] >> 0) & 1).astype(bool)
-                for j in range(1, n_nn):
-                    start &= ((masks[j:ln - n_nn + 1 + j] >> j) & 1) \
-                        .astype(bool)
-                idxs = np.flatnonzero(start)
-                if idxs.size:
-                    nn_matched = True
-                    nxt = int(idxs[0]) + n_nn
-                    if nxt < ln:
-                        nxt_val = vals[nxt]
+            idxs = _chain_starts(masks, n_nn)
+            if idxs.size:
+                nn_matched = True
+                nxt = int(idxs[0]) + n_nn
+                if nxt < ln:
+                    nxt_val = vals[nxt]
             if sf_any or nn_matched:
                 out_u.append(users[s])
                 out_a.append(sf_any)
@@ -856,15 +873,8 @@ def sequence_next_node(events: DataFrame, user_col: str, ts_col: str,
             if direction == "backward":
                 masks, vals = masks[::-1], vals[::-1]
             ln = len(masks)
-            if ln < n:
-                continue
-            # start[i] == True iff conds 1..n match at stream
-            # positions i..i+n-1 (shift-and-AND, no per-event loop)
-            start = ((masks[:ln - n + 1] >> 0) & 1).astype(bool)
-            for j in range(1, n):
-                start &= ((masks[j:ln - n + 1 + j] >> j) & 1) \
-                    .astype(bool)
-            idxs = np.flatnonzero(start)
+            # chain starts via the shared shift-and-AND adjacency core
+            idxs = _chain_starts(masks, n)
             if base in ("head", "tail"):
                 idxs = idxs[:1] if idxs.size and idxs[0] == 0 \
                     else np.array([], dtype=np.int64)

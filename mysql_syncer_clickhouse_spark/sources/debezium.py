@@ -231,18 +231,31 @@ def parse_debezium_schema_change(lines: DataFrame) -> DataFrame:
     the same rare-event driver-side shape as read_binlog_ddl.
     Non-DDL housekeeping messages (empty/absent ddl) are dropped;
     tableChanges is deliberately unused -- the statement text is the
-    authority, matching the binlog path."""
+    authority, matching the binlog path.
+
+    Parses each envelope ONCE (round 16): the old single-select
+    referenced the from_json result 5x and the empty-ddl filter's
+    pushdown substituted the parse chain into its conjuncts -- the
+    same per-row parse multiplication parse_debezium had (r15,
+    measured 8 parses/row there). Same staged-project +
+    spark_partition_id barrier fix; __bar >= 0 is always true, so the
+    filter keeps exactly the rows it always kept."""
     env = ("databaseName string, ddl string, "
            "source struct<file:string, pos:long, ts_ms:long, "
            "table:string>")
-    j = F.from_json(F.col("value"), env)
-    out = lines.select(
-        binlog_seq(j.getField("source").getField("file"),
-                   j.getField("source").getField("pos")),
-        F.timestamp_millis(j.getField("source").getField("ts_ms"))
-         .alias("ts"),
-        j.getField("databaseName").alias("db"),
-        j.getField("source").getField("table").alias("table"),
-        j.getField("ddl").alias("query"))
-    return out.filter(F.col("query").isNotNull()
-                      & (F.trim(F.col("query")) != ""))
+    staged = lines.select(
+        F.from_json(F.col("value"), env).alias("e"),
+        F.spark_partition_id().alias("__bar"))
+    e = F.col("e")
+    return (staged
+            .filter((F.col("__bar") >= F.lit(0))
+                    & e.getField("ddl").isNotNull()
+                    & (F.trim(e.getField("ddl")) != ""))
+            .select(
+                binlog_seq(e.getField("source").getField("file"),
+                           e.getField("source").getField("pos")),
+                F.timestamp_millis(
+                    e.getField("source").getField("ts_ms")).alias("ts"),
+                e.getField("databaseName").alias("db"),
+                e.getField("source").getField("table").alias("table"),
+                e.getField("ddl").alias("query")))

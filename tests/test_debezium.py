@@ -266,3 +266,29 @@ def test_parse_debezium_schema_change_feeds_ddl_chain(spark):
         mapped, database="olap", table="items_sink") == [
         "ALTER TABLE `olap`.`items_sink` ADD COLUMN IF NOT EXISTS "
         "`price` Decimal(10,2) AFTER `es_title`"]
+
+
+def test_parse_plans_contain_exactly_one_from_json(spark):
+    """Plan-shape regression guard (r15 ADVICE): the single-parse
+    guarantee of parse_debezium / parse_debezium_schema_change rests on
+    the staged-project + spark_partition_id barrier, which in turn
+    relies on Catalyst behavior (CollapseProject's non-cheap-alias rule
+    and PushDownPredicates' determinism check). A Spark upgrade could
+    quietly restore the 8x-per-row parse with no functional failure --
+    assert the optimized plan carries exactly ONE JsonToStructs."""
+    import json
+
+    from mysql_syncer_clickhouse_spark.sources.debezium import (
+        parse_debezium, parse_debezium_schema_change)
+
+    rows_df = parse_debezium(
+        spark.createDataFrame([(l,) for l in LINES_P1], "value string"),
+        ROW_DDL)
+    ddl_df = parse_debezium_schema_change(spark.createDataFrame(
+        [(json.dumps({"databaseName": "shop", "ddl": "DROP TABLE t",
+                      "source": {"file": "mysql-bin.000007", "pos": 9,
+                                 "ts_ms": 1700000000000,
+                                 "table": "t"}}),)], "value string"))
+    for df in (rows_df, ddl_df):
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert plan.count("from_json(") == 1, plan

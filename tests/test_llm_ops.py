@@ -1875,3 +1875,34 @@ def test_fused_meta_pixel_audio_matches_branch_composition(spark, sf_dir):
         a = aud[did]
         assert (f["aud_fmt"], f["aud_n"], f["aud_sum"], f["aud_abs"]) \
             == (a["aud_fmt"], a["aud_n"], a["aud_sum"], a["aud_abs"])
+
+
+def test_guard_simhash_bits_range(spark, sf_dir):
+    """bits outside [1, 32] must fail loudly: h32 is a 32-bit hash, so
+    bits > 32 would vote on constant-zero bits, and 1 << b literals
+    overflow long at b >= 63 (r15 ADVICE guard)."""
+    import pytest
+    corpus = _corpus(spark, sf_dir)
+    for bad in (0, 33, 64):
+        with pytest.raises(ValueError, match="simhash bits"):
+            dedup.simhash_table(corpus, "id", "text", bits=bad)
+
+
+def test_guard_exploded_word_ngrams_reserved_names(spark, sf_dir):
+    """keep/alias collisions with the reserved internals (__ws/__cnt/
+    __i) or each other must raise instead of silently dropping or
+    duplicating columns (r15 ADVICE guard)."""
+    import pytest
+    from mysql_syncer_clickhouse_spark.functions.text import (
+        exploded_word_ngrams)
+    docs = load_table(spark, sf_dir, "documents").limit(5).select(
+        F.col("doc_id").alias("id"), "text",
+        F.col("text").alias("__ws"), F.col("doc_id").alias("g2"))
+    for kwargs in ({"keep": ("__ws",)},            # reserved keep
+                   {"alias": "__cnt"},             # reserved alias
+                   {"keep": ("id", "g2"), "alias": "g2"},  # keep=alias
+                   {"keep": ("id", "id")}):        # duplicate keep
+        with pytest.raises(ValueError, match="exploded_word_ngrams"):
+            exploded_word_ngrams(docs, "text", 3, **kwargs)
+    # the documented good shape still works
+    assert exploded_word_ngrams(docs, "text", 3).columns == ["id", "g"]
