@@ -908,12 +908,6 @@ def fuzzy_decontaminate(docs: DataFrame, bench: DataFrame, *,
 
     t_reps, t_members = dedup.collapse_exact_texts(docs, id_col, text_col)
     b_reps, b_members = dedup.collapse_exact_texts(bench, id_col, text_col)
-    # pin the (id, rep_id) maps before fan-out reuse -- every later
-    # reference would otherwise re-run the corpus-wide collapse
-    # aggregation (same measured trap as minhash_dedup; two longs per
-    # doc, the cheapest materialization)
-    t_members = t_members.localCheckpoint(eager=True)
-    b_members = b_members.localCheckpoint(eager=True)
     # fused per-side profile: shingle set + minhash mins in ONE
     # doc-keyed aggregation per side, bands via flat arithmetic --
     # the same fused plan as minhash_dedup (was the unfused distinct
@@ -937,13 +931,24 @@ def fuzzy_decontaminate(docs: DataFrame, bench: DataFrame, *,
     # AQE would otherwise coalesce them to one task (dedup.
     # jaccard_verify_sets documents the measured trap)
     cands = dedup._spread(cands, "id_a")
-    # round 10 (same stage-cut finding as minhash_dedup): the verify
-    # join reads hs sets for CANDIDATE docs only -- restrict the
-    # expensive corpus side to candidate ids before its shingle
-    # explode + collect_set instead of re-aggregating the whole
-    # training corpus. Pin the bounded pair list first so the id
-    # list and the join input don't re-run the band chain.
-    cands = cands.localCheckpoint(eager=True)
+    # Four pins, ONE concurrent phase (r16, guide §2.6 -- they share
+    # no dependency):
+    # - t_members / b_members: the (id, rep_id) maps before fan-out
+    #   reuse -- every later reference would otherwise re-run the
+    #   corpus-wide collapse aggregation (same measured trap as
+    #   minhash_dedup; two longs per doc, the cheapest
+    #   materialization);
+    # - cands (round 10, same stage-cut finding as minhash_dedup): the
+    #   verify join reads hs sets for CANDIDATE docs only -- pin the
+    #   bounded pair list so the id list and the join input don't
+    #   re-run the band chain;
+    # - the bench-side (id, hs) set table: an eval suite, bounded by
+    #   contract, so pin-safe -- without it the verify join
+    #   re-collapses and re-profiles the bench corpus per execution.
+    t_members, b_members, cands, b_sets_pinned = dedup._pin_concurrent(
+        t_members, b_members, cands,
+        b_prof.select(F.col("id").alias("id_b"),
+                      F.col("hs").alias("hs_b")))
     # shuffle_hash on the bounded id list: a sort-merge semi would
     # sort t_reps WITH its full text column -- the one genuinely fat
     # sort in this chain at corpus scale; hashing the tiny id side
@@ -962,10 +967,8 @@ def fuzzy_decontaminate(docs: DataFrame, bench: DataFrame, *,
         .localCheckpoint(eager=True)
     # per-side set tables (NOT a union: train and bench id spaces may
     # overlap numerically -- they are different tables). The bench
-    # side is an eval suite, bounded by contract -- no candidate
-    # restriction needed, and for the same reason its (id, hs) table
-    # is pin-safe: pin it so the verify join does not re-collapse and
-    # re-profile the bench corpus per execution.
+    # side (pinned in the concurrent phase above) needs no candidate
+    # restriction: it is an eval suite, bounded by contract.
     # shuffle_hash on BOTH hs-carrying sides (VERDICT r10 ask #4, the
     # symmetry of dedup.jaccard_verify_sets' r10 fix): sort-merge
     # would sort the pair-side intermediate already carrying the
@@ -974,9 +977,7 @@ def fuzzy_decontaminate(docs: DataFrame, bench: DataFrame, *,
     # was this same cut; A/B for this join in SCALE.md)
     t_sets = _hh(t_cand_sets.select(F.col("id").alias("id_a"),
                                     F.col("hs").alias("hs_a")))
-    b_sets = _hh(b_prof.select(F.col("id").alias("id_b"),
-                               F.col("hs").alias("hs_b"))
-                 .localCheckpoint(eager=True))
+    b_sets = _hh(b_sets_pinned)
     n_inter = F.size(F.array_intersect("hs_a", "hs_b"))
     jac = (n_inter.cast("double")
            / (F.size("hs_a") + F.size("hs_b") - n_inter))
