@@ -769,35 +769,40 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 6,
               .distinct()
               .withColumn("cluster_id", F.col("id")))
 
-    def propagate(cur: DataFrame) -> DataFrame:
+    def propagate(cur: DataFrame, with_flag: bool = False) -> DataFrame:
         neighbor_min = (edges
                         .join(cur.withColumnRenamed("id", "dst")
                                  .withColumnRenamed("cluster_id", "nl"),
                               "dst")
                         .groupBy("src")
                         .agg(F.min("nl").alias("neighbor_label")))
+        nl = F.coalesce("neighbor_label", "cluster_id")
+        # the convergence guard's changed flag rides the SAME join
+        # (r16): labels only ever DECREASE, so `changed` is exactly
+        # `neighbor_label < cluster_id` -- computing it here lets the
+        # guard count over the pinned result instead of re-joining the
+        # new and old label tables (one join + exchange fewer per
+        # guard round; the old delta join was the guard's whole cost)
+        flag = [(nl < F.col("cluster_id")).alias("__chg")] \
+            if with_flag else []
         return (cur
                 .join(neighbor_min.withColumnRenamed("src", "id"),
                       "id", "left")
                 .select("id",
-                        F.least("cluster_id",
-                                F.coalesce("neighbor_label",
-                                           "cluster_id"))
-                         .alias("cluster_id")))
+                        F.least("cluster_id", nl).alias("cluster_id"),
+                        *flag))
 
     for _ in range(max_iters):
         # localCheckpoint truncates the exponentially growing lineage;
         # at scale this is the standard iterative-algorithm pattern
         labels = propagate(labels).localCheckpoint(eager=False)
     for it in range(max_iters, hard_cap + 1):
-        nxt = propagate(labels).localCheckpoint(eager=True)
-        delta = (nxt.withColumnRenamed("cluster_id", "new_label")
-                 .join(labels, "id")
-                 .filter(F.col("new_label") != F.col("cluster_id"))
-                 .count())
+        nxt = propagate(labels, with_flag=True) \
+            .localCheckpoint(eager=True)
+        delta = nxt.filter(F.col("__chg")).count()
+        labels = nxt.select("id", "cluster_id")
         if delta == 0:
             return labels
-        labels = nxt
     raise RuntimeError(
         f"duplicate_clusters did not converge within {hard_cap} rounds "
         "-- a duplicate component has pathological diameter; raise "
