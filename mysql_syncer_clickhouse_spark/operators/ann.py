@@ -715,6 +715,28 @@ def semdedup(vecs: DataFrame, *, eps: float = 0.97, keep: str = "far",
                        cosine("q", "cv").alias("csim"),
                        F.sqrt(norm_sq("q")).alias("__qn")))
 
+    # pair stage: ONE numpy matrix pass per cluster when the id column
+    # is integral (r16, guide §4.2 -- the per-pair interpreted dot fold
+    # was the entry's dominant cost); the DataFrame fold is the
+    # reference implementation, kept for non-integral ids and the
+    # forced bit-equality tests (tests/test_semdedup_parity.py)
+    id_type = dict(scored.dtypes)["id"]
+    if id_type in ("tinyint", "smallint", "int", "bigint"):
+        dup = _semdedup_dups_arrow(scored, eps, keep, id_type)
+    else:
+        dup = _semdedup_dups_frame(scored, eps, keep)
+    return (scored.join(dup, "id", "left")
+                  .select("id", "cid", "csim", "dup_of",
+                          F.col("dup_of").isNull().alias("kept")))
+
+
+def _semdedup_dups_frame(scored: DataFrame, eps: float,
+                         keep: str) -> DataFrame:
+    """semdedup's pair stage as the original DataFrame self-join +
+    per-pair fold: (id, dup_of) for every DROPPED member. Kept as the
+    reference implementation -- the Arrow pass below is forced
+    bit-equal to this in tests/test_semdedup_parity.py -- and as the
+    fallback for non-integral id columns."""
     better = (F.col("y_csim") < F.col("csim")) if keep == "far" \
         else (F.col("y_csim") > F.col("csim"))
     prio = better | ((F.col("y_csim") == F.col("csim"))
@@ -725,13 +747,134 @@ def semdedup(vecs: DataFrame, *, eps: float = 0.97, keep: str = "far",
                           F.col("__qn").alias("__yqn"))
     pair_cos = F.round(dot("q", "y_q")
                        / (F.col("__qn") * F.col("__yqn")), 6)
-    dup = (scored.join(other, "cid")
-                 .filter(prio & (pair_cos >= eps))
-                 .groupBy("id")
-                 .agg(F.min("y_id").alias("dup_of")))
-    return (scored.join(dup, "id", "left")
-                  .select("id", "cid", "csim", "dup_of",
-                          F.col("dup_of").isNull().alias("kept")))
+    return (scored.join(other, "cid")
+                  .filter(prio & (pair_cos >= eps))
+                  .groupBy("id")
+                  .agg(F.min("y_id").alias("dup_of")))
+
+
+def _round_ge_threshold(spark, eps: float, scale: int = 6) -> float:
+    """Smallest double c with Spark ROUND(c, scale) >= eps. Spark's
+    Round on DoubleType is BigDecimal.valueOf(c).setScale(scale,
+    HALF_UP) -- i.e. HALF_UP over Double.toString's SHORTEST decimal
+    repr (probed: round(2.675, 2) = 2.68, round(2.5e-6, 6) = 3e-6).
+    Replicating that per pair inside executors would need Java's
+    exact toString; instead the threshold is computed ONCE on the
+    driver via the session JVM's own Double.toString, and the pair
+    stage tests a plain c >= t. Valid because round is monotone
+    non-decreasing in c (both shortest-repr conversion and HALF_UP
+    quantization preserve order), so {c : round(c) >= eps} is an
+    upward-closed set with a unique least double. Bit-level binary
+    search over the IEEE double line."""
+    import struct
+    from decimal import ROUND_HALF_UP, Decimal
+
+    if not (eps > 0):
+        raise ValueError(f"eps must be positive, got {eps}")
+    jdouble = spark._jvm.java.lang.Double
+    quantum = Decimal(1).scaleb(-scale)
+
+    def ge(c: float) -> bool:
+        rounded = float(Decimal(jdouble.toString(float(c)))
+                        .quantize(quantum, rounding=ROUND_HALF_UP))
+        return rounded >= eps
+
+    bits = lambda x: struct.unpack("<q", struct.pack("<d", x))[0]
+    flt = lambda b: struct.unpack("<d", struct.pack("<q", b))[0]
+    lo, hi = eps - 2 * 10.0 ** -scale, eps + 10.0 ** -scale
+    if ge(lo) or not ge(hi):
+        raise AssertionError("round-threshold bracket failed "
+                             f"(eps={eps}, scale={scale})")
+    lo_b, hi_b = bits(lo), bits(hi)
+    while hi_b - lo_b > 1:
+        mid = (lo_b + hi_b) // 2
+        if ge(flt(mid)):
+            hi_b = mid
+        else:
+            lo_b = mid
+    return flt(hi_b)
+
+
+def _semdedup_dups_arrow(scored: DataFrame, eps: float, keep: str,
+                         id_type: str) -> DataFrame:
+    """semdedup's pair stage as ONE numpy matrix pass per cluster
+    (r16, guide §4.2): (id, dup_of) for every DROPPED member,
+    bit-equal to _semdedup_dups_frame (forced in
+    tests/test_semdedup_parity.py). The frame path evaluated the
+    zip_with/aggregate dot fold per PAIR interpreted; here each
+    cluster ships once through Arrow and the pair dots are vectorized.
+
+    Bit-parity contract, edge by edge:
+    - dot: the per-dimension accumulation loop (P += q_d outer y_d in
+      dimension order) reproduces functions/vectors.dot's
+      left-to-right fold exactly -- each numpy multiply/add is one
+      correctly-rounded IEEE double op, no FMA, no reassociation, and
+      the divide happens after the qn_x * qn_y product exactly like
+      the frame's column expression;
+    - ROUND(c, 6) >= eps: replaced by c >= _round_ge_threshold(eps)
+      -- equivalent by monotonicity, and exact where a re-derived
+      decimal rounding would not be (Java's Double.toString is the
+      authority, consulted on the driver);
+    - NULL csim (zero vectors / zero centroid under a non-ANSI
+      session): NULL comparisons are false in the frame's prio AND
+      pair filter, so such rows never pair on either side -- they are
+      excluded here via an explicit isnull flag (Arrow conflates NULL
+      and NaN in float64, so the flag must be computed JVM-side);
+    - NaN csim (NaN vector elements): Spark comparisons treat NaN as
+      LARGER than any double and NaN = NaN as TRUE -- reproduced by
+      substituting +inf for NaN csim (csim is otherwise bounded by
+      cosine's [-1, 1], so +inf collides with nothing) and forcing
+      NaN pair dots to +inf (Spark: NaN >= eps is true).
+    """
+    import numpy as np
+    import pandas as pd
+
+    t = _round_ge_threshold(scored.sparkSession, eps)
+    far = keep == "far"
+    int64_max = np.iinfo(np.int64).max
+
+    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        # a NULL cid never matches itself in the frame path's equi-join
+        # (NULL != NULL), but groupBy collects NULL cids into ONE group
+        # -- such rows must not pair here either
+        if pdf["cid"].isna().any():
+            return pd.DataFrame({"id": pd.Series([], dtype="int64"),
+                                 "dup_of": pd.Series([], dtype="int64")})
+        valid = (~pdf["__cnull"]).to_numpy()
+        if valid.sum() < 2:
+            return pd.DataFrame({"id": pd.Series([], dtype="int64"),
+                                 "dup_of": pd.Series([], dtype="int64")})
+        ids = pdf["id"].to_numpy(dtype=np.int64)[valid]
+        qn = pdf["__qn"].to_numpy(dtype=np.float64)[valid]
+        csim = pdf["csim"].to_numpy(dtype=np.float64)[valid]
+        csim = np.where(np.isnan(csim), np.inf, csim)   # NaN largest
+        Q = np.stack(pdf["q"].to_numpy()[valid])
+        n, dim = Q.shape
+        # pair dots, sequential over dimensions (the fold's IEEE order)
+        P = np.zeros((n, n))
+        tmp = np.empty((n, n))
+        for d in range(dim):
+            col = Q[:, d]
+            np.multiply(col[:, None], col[None, :], out=tmp)
+            P += tmp
+        C = P / np.multiply(qn[:, None], qn[None, :])
+        C[np.isnan(C)] = np.inf                         # NaN >= eps
+        # prio[x, y]: y strictly higher-priority than x
+        if far:
+            better = csim[None, :] < csim[:, None]
+        else:
+            better = csim[None, :] > csim[:, None]
+        prio = better | ((csim[None, :] == csim[:, None])
+                         & (ids[None, :] < ids[:, None]))
+        mask = prio & (C >= t)
+        any_x = mask.any(axis=1)
+        dup = np.where(mask, ids[None, :], int64_max).min(axis=1)
+        return pd.DataFrame({"id": ids[any_x], "dup_of": dup[any_x]})
+
+    src = scored.select("cid", "id", "q", "csim", "__qn",
+                        F.isnull("csim").alias("__cnull"))
+    return (src.groupBy("cid")
+               .applyInPandas(scan, f"id {id_type}, dup_of {id_type}"))
 
 
 def embedding_decontaminate(train: DataFrame, bench: DataFrame, *,
