@@ -192,13 +192,24 @@ def hyperplane_lsh_near_dups(emb: DataFrame, threshold: float = 0.98,
                      F.col("b.id").alias("id_b"))
              .filter(F.col("id_a") < F.col("id_b"))
              .dropDuplicates(["id_a", "id_b"]))
-    vecs = sigs.select("id", "v").dropDuplicates(["id"])
+    # each side's norm computed once per ROW before the pair joins
+    # (r16, guide §1.2 -- the same hoist semdedup's pair stage got in
+    # r15): cosine() recomputed both operands' norms per PAIR, three
+    # interpreted folds per candidate for values that are per-id
+    # constants. Same sqrt of the same fold, so every rounded score is
+    # bit-identical.
+    vecs = (sigs.select("id", "v").dropDuplicates(["id"])
+            .withColumn("vn", F.sqrt(norm_sq("v"))))
     pairs = (cands
              .join(vecs.select(F.col("id").alias("id_a"),
-                               F.col("v").alias("va")), "id_a")
+                               F.col("v").alias("va"),
+                               F.col("vn").alias("na")), "id_a")
              .join(vecs.select(F.col("id").alias("id_b"),
-                               F.col("v").alias("vb")), "id_b"))
-    return (pairs.withColumn("score", cosine("va", "vb"))
+                               F.col("v").alias("vb"),
+                               F.col("vn").alias("nb")), "id_b"))
+    return (pairs.withColumn("score",
+                             F.round(dot("va", "vb")
+                                     / (F.col("na") * F.col("nb")), 6))
                  .filter(F.col("score") >= threshold)
                  .select("id_a", "id_b", "score"))
 
@@ -891,13 +902,21 @@ def embedding_decontaminate(train: DataFrame, bench: DataFrame, *,
     The benchmark side is an eval suite -- bounded by contract like
     the ANN query set -- so it BROADCASTS against one corpus scan:
     |train| x |bench| cosine evaluations as a map-side join, no
-    shuffle of the training corpus, no corpus x corpus product."""
+    shuffle of the training corpus, no corpus x corpus product.
+
+    Norms are hoisted to per-ROW columns on each side (r16, guide
+    §1.2): cosine() recomputed the train norm |bench| times per row
+    and the bench norm per pair -- the pair stage now evaluates one
+    dot. Same sqrt of the same fold; rounded scores bit-identical."""
     t = train.select(F.col(id_col).alias("id"),
-                     F.col(vec_col).cast("array<double>").alias("tv"))
-    b = bench.select(F.col(vec_col).cast("array<double>").alias("bv"))
+                     F.col(vec_col).cast("array<double>").alias("tv")) \
+             .withColumn("tn", F.sqrt(norm_sq("tv")))
+    b = bench.select(F.col(vec_col).cast("array<double>").alias("bv")) \
+             .withColumn("bn", F.sqrt(norm_sq("bv")))
+    sim = F.round(dot("tv", "bv") / (F.col("tn") * F.col("bn")), 6)
     return (t.join(F.broadcast(b))
              .groupBy("id")
-             .agg(F.max(cosine("tv", "bv")).alias("max_bench_sim"))
+             .agg(F.max(sim).alias("max_bench_sim"))
              .select("id", "max_bench_sim",
                      (F.col("max_bench_sim") >= threshold)
                       .alias("contaminated")))
