@@ -41,6 +41,8 @@ Scale notes (100 TB stance):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 from ..functions.numeric import sql_dsum
@@ -408,7 +410,70 @@ FROM (
 GROUP BY cntrycode
 """
 
+# --- Q21 Spark-side rewrite (r16, guide §2.4/§3): the EXISTS +
+# NOT EXISTS pair decorrelates into a left-semi and a left-anti join
+# that each shuffle the FULL lineitem relation by orderkey -- three
+# lineitem scans and two fat self-joins for information that is a
+# per-(orderkey, suppkey) aggregate. Equivalent single-pass form:
+#   m_other(o, s) = max shipdate among o's lines from OTHER suppliers
+#   l1 qualifies  <=>  order has >= 2 suppliers  (the EXISTS)
+#                  AND l1.shipdate >= m_other     (the NOT EXISTS)
+# m_other comes from the per-(o, s) max table: it is the order max m1
+# unless s is the UNIQUE supplier attaining m1, in which case it is
+# the best non-max supplier max m2. Both window layers share one
+# orderkey partitioning (no extra exchange). Two lineitem scans
+# instead of three; the (o, s)-grain relation replaces both
+# full-lineitem self-joins. NULL shipdates would diverge (the
+# original's NULL comparison keeps such l1 rows, a >= test drops
+# them); the schema contract has l_shipdate NOT NULL.
+#
+# WHEN it wins (measured, r16): only once lineitem is too big to
+# broadcast. On the fixtures the decorrelated EXISTS pair runs as
+# BroadcastHashJoin LeftSemi/LeftAnti -- no shuffle at all -- and the
+# rewrite's agg + two windows measured WORSE (suite isolated 3.5 vs
+# 4.0 s; plans/r16/tpch_suite_b_q21_{before,after}.txt). At scale the
+# anti/semi sides are the full fact table: Spark falls back to
+# sort-merge, shuffling lineitem twice, while the rewrite shuffles
+# the map-combined (orderkey, suppkey) grain once. tpch_suite_b
+# therefore dispatches on lineitem's on-disk size (the
+# _spread_starved_scan pattern: scale-adaptive, not a local tune);
+# both texts' equivalence is pytest-pinned against each other and the
+# oracle text (tests/test_oracle_parity.py::test_q21_rewrite_*).
+_Q21_SPARK = """
+WITH ls AS (
+  SELECT l_orderkey, l_suppkey, MAX(l_shipdate) AS s_max
+  FROM lineitem GROUP BY l_orderkey, l_suppkey
+), lw AS (
+  SELECT l_orderkey, l_suppkey, s_max,
+         MAX(s_max) OVER (PARTITION BY l_orderkey) AS m1,
+         COUNT(*)  OVER (PARTITION BY l_orderkey) AS n_supp
+  FROM ls
+), mo AS (
+  SELECT l_orderkey, l_suppkey, n_supp,
+         CASE WHEN s_max < m1
+                   OR SUM(CASE WHEN s_max = m1 THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY l_orderkey) >= 2
+              THEN m1
+              ELSE MAX(CASE WHEN s_max < m1 THEN s_max END)
+                   OVER (PARTITION BY l_orderkey) END AS m_other
+  FROM lw
+)
+""" + _head("q21", k1="s_name", n1="CAST(COUNT(*) AS BIGINT)") + """
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN mo ON mo.l_orderkey = l1.l_orderkey
+       AND mo.l_suppkey = l1.l_suppkey
+WHERE o_orderstatus = 'F' AND n_name = 'NATION_4'
+  AND mo.n_supp >= 2 AND l1.l_shipdate >= mo.m_other
+GROUP BY s_name
+"""
+
 _PARTS_B = [_Q11, _Q12, _Q13, _Q15, _Q16, _Q17, _Q19, _Q20, _Q21, _Q22]
+# Spark runs the q21 rewrite; the ORACLE keeps the original EXISTS
+# text, so the two texts' equivalence is itself driver-checked
+_PARTS_B_SPARK = [_Q21_SPARK if p is _Q21 else p for p in _PARTS_B]
 
 
 def _suite_sql(parts: list[str]) -> str:
@@ -418,6 +483,7 @@ def _suite_sql(parts: list[str]) -> str:
 
 _SUITE_A_SQL = _suite_sql(_PARTS_A)
 _SUITE_B_SQL = _suite_sql(_PARTS_B)
+_SUITE_B_SPARK_SQL = _suite_sql(_PARTS_B_SPARK)
 
 
 def _run_suite(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
@@ -430,9 +496,26 @@ def tpch_suite_a(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_suite(spark, sf_dir, _SUITE_A_SQL)
 
 
+# beyond this, lineitem no longer broadcasts (even heavily projected)
+# and the EXISTS pair becomes two sort-merge self-shuffles of the fact
+# table -- the regime the q21 window rewrite is for
+_Q21_REWRITE_BYTES = 256 << 20
+
+
 def tpch_suite_b(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H shapes Q11, Q12, Q13, Q15, Q16, Q17, Q19, Q20, Q21, Q22."""
-    return _run_suite(spark, sf_dir, _SUITE_B_SQL)
+    """TPC-H shapes Q11, Q12, Q13, Q15, Q16, Q17, Q19, Q20, Q21, Q22.
+    Runs the q21 single-pass window rewrite once lineitem is past
+    broadcast size (see _Q21_SPARK's header); the oracle always keeps
+    the original decorrelated-EXISTS text, so whichever variant runs
+    is checked against the original semantics."""
+    try:
+        big = os.path.getsize(os.path.join(
+            sf_dir, "lineitem.parquet")) >= _Q21_REWRITE_BYTES
+    except OSError:
+        # directory-backed (cluster-scale) lineitem: the rewrite regime
+        big = os.path.isdir(os.path.join(sf_dir, "lineitem.parquet"))
+    return _run_suite(spark, sf_dir,
+                      _SUITE_B_SPARK_SQL if big else _SUITE_B_SQL)
 
 
 QUERIES = {

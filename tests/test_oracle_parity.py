@@ -104,3 +104,31 @@ def test_parity(spark, name, sf_dir):
     dr = _rows(duck_cols, duck_data)
     mismatches = [(a, b) for a, b in zip(sr, dr) if a != b]
     assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
+
+
+@pytest.mark.parametrize("sf_dir", PARITY_SFS)
+def test_q21_rewrite_equals_original_exists_text(spark, sf_dir):
+    """The q21 single-pass window rewrite (the variant tpch_suite_b
+    dispatches to once lineitem is past broadcast size) must produce
+    exactly the original decorrelated-EXISTS text's rows -- checked in
+    BOTH engines: Spark(rewrite suite) vs Spark(original suite) and vs
+    the DuckDB oracle (which always runs the original text). Without
+    this, the rewrite would go driver-unchecked at fixture sizes."""
+    from mysql_syncer_clickhouse_spark.queries import tpch
+    from mysql_syncer_clickhouse_spark.sources.tables import (
+        register_views)
+
+    register_views(spark, sf_dir)
+    cols = None
+    results = {}
+    for tag, sql in (("rewrite", tpch._SUITE_B_SPARK_SQL),
+                     ("original", tpch._SUITE_B_SQL)):
+        df = spark.sql(sql)
+        cols = df.columns
+        results[tag] = _rows(cols, [tuple(r) for r in df.collect()])
+    assert results["rewrite"] == results["original"]
+
+    con = _duck(sf_dir)
+    res = con.execute(tpch._SUITE_B_SQL)
+    duck = _rows([d[0] for d in res.description], res.fetchall())
+    assert results["rewrite"] == duck
