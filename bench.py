@@ -172,6 +172,20 @@ def _time_query(
     df = fn(spark, sf_dir)
     _noop_write(df)                       # warm JVM/codegen, not timed
     spark.catalog.clearCache()            # drop persisted relations
+    # GC barrier (r16, VERDICT r15 next #8): clearCache does NOT free
+    # localCheckpoint RDD blocks -- each construction leaks its pins
+    # until the ContextCleaner notices the dropped references, so by
+    # late entries the sweep runs against accumulated storage + GC
+    # pressure (r15's sweeps ended at load1 ~12 with late-alphabet
+    # entries 1.5-2x their isolated time). Collect the Python refs,
+    # ask the JVM for a full GC, and let the existing bounded quiesce
+    # absorb the tail. Outside the timed region; same JSON contract.
+    import gc
+    gc.collect()
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:
+        pass
     bound = float(os.environ.get("SPARK_GRAFT_BENCH_BUSY_BOUND",
                                  "0.25"))
     cap = float(os.environ.get("SPARK_GRAFT_BENCH_QUIESCE_CAP", "15"))

@@ -721,7 +721,7 @@ FROM documents WHERE doc_id % 11 = 0
 """
 
 
-def duplicate_clusters(pairs: DataFrame, max_iters: int = 6,
+def duplicate_clusters(pairs: DataFrame, max_iters: int = 1,
                        hard_cap: int = 64) -> DataFrame:
     """Connected components over duplicate pairs -> (id, cluster_id)
     with cluster_id = min id in the component (deterministic).
@@ -729,15 +729,24 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 6,
     Min-label propagation: each iteration joins current labels across
     the (symmetrized) edge list and keeps the per-node minimum -- one
     keyed aggregation per iteration, converging in O(component
-    diameter) rounds. Near-dup components are chains/cliques of a few
-    docs, so the first `max_iters` rounds run action-free (no
-    convergence checks on the hot path); after that a CONVERGENCE
-    GUARD takes over: keep propagating until a round changes no label
-    (checked with one count per extra round), raising RuntimeError if
-    a pathological component is still unconverged at `hard_cap` rounds
-    -- a long chain now costs extra rounds instead of silently
-    mislabeling. The loop is driver-side control flow only; all data
-    stays distributed."""
+    diameter) rounds. The first `max_iters` rounds run action-free;
+    after that a CONVERGENCE GUARD takes over: keep propagating until
+    a round changes no label, raising RuntimeError if a pathological
+    component is still unconverged at `hard_cap` rounds -- a long
+    chain costs extra rounds instead of silently mislabeling. The
+    loop is driver-side control flow only; all data stays distributed.
+
+    max_iters default 1 (r16, was 6): near-dup components are cliques
+    or short chains -- the sf0.1 fixture converges with delta=0 at
+    round TWO (measured: iter-1 delta 948, iter-2 delta 0) -- so five
+    of the six blind rounds were pure waste (~0.3-0.45 s of join+agg
+    stages each in the final materializing job). Since the r16
+    changed-flag guard, each guarded round's convergence check is one
+    cheap count over the round's own pinned output (no extra join),
+    so guarding early costs one tiny job per round and saves every
+    unneeded propagate at ANY scale where components stay small --
+    which is the operating assumption the bucket caps already
+    enforce upstream."""
     # PIN the pair list FIRST (round 12): the symmetrizing union
     # below references `pairs` TWICE -- the cross-branch shape that
     # re-executed the xdup chain's gram subtree (SCALE.md §6c). Here

@@ -486,8 +486,16 @@ _SUITE_B_SQL = _suite_sql(_PARTS_B)
 _SUITE_B_SPARK_SQL = _suite_sql(_PARTS_B_SPARK)
 
 
+# the suites touch only the 7 TPC-H tables; registering the other
+# three fixture tables (events/documents/embeddings) per construction
+# paid three parquet-footer reads + view registrations for nothing
+# (r16 -- construction is inside the bench's timed cold number now)
+_SUITE_TABLES = ("region", "nation", "customer", "supplier", "part",
+                 "orders", "lineitem")
+
+
 def _run_suite(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, tables=_SUITE_TABLES)
     return spark.sql(sql)
 
 
